@@ -1,0 +1,111 @@
+"""Temporal aggregations (SURVEY.md §2.4 A1-A4, §2.5 W1).
+
+The reference computes these as xarray resample/groupby reductions over a
+dense (time, lat, lon) grid (`/root/reference/src/climate_pipeline/metrics/
+temporal.py`). In the long/tall row model each becomes a hash aggregation
+on a calendar key — one shuffle, map-side partial aggregation free from
+Catalyst. Series identity ("which grid cell / entity") is a caller-supplied
+key column list, so the same operator serves (lat, lon) grids and
+(user_id,) event streams.
+
+All aggregates are aliased by the caller-visible names used in
+``__spark_entry__.oracle_sql`` so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import season, season_year
+
+
+def _cols(keys: Sequence[str | Column]) -> list[Column]:
+    return [F.col(k) if isinstance(k, str) else k for k in keys]
+
+
+def monthly_mean(df: DataFrame, time_col: str, value_col: str,
+                 keys: Sequence[str] = (), alias: str = "avg_value") -> DataFrame:
+    """Month-resampled mean — reference `metrics/temporal.py:21-44`
+    (`ds.resample(time='ME').mean()`). Calendar-month truncation plays the
+    role of the ME resample label."""
+    month = F.date_trunc("month", F.col(time_col)).alias("month_start")
+    return (df.groupBy(month, *_cols(keys))
+              .agg(F.avg(value_col).alias(alias)))
+
+
+def seasonal_mean(df: DataFrame, time_col: str, value_col: str,
+                  keys: Sequence[str] = (), alias: str = "avg_value") -> DataFrame:
+    """Seasonal (DJF/MAM/JJA/SON) mean — reference `metrics/temporal.py:47-88`.
+    QE-NOV anchoring means December rolls into the next year's DJF:
+    season_year = year + (month = 12)."""
+    return (df.groupBy(season_year(time_col).alias("season_year"),
+                       season(time_col).alias("season"),
+                       *_cols(keys))
+              .agg(F.avg(value_col).alias(alias)))
+
+
+def annual_mean(df: DataFrame, time_col: str, value_col: str,
+                keys: Sequence[str] = (), alias: str = "avg_value") -> DataFrame:
+    """Year-resampled mean — reference `metrics/temporal.py:91-117`."""
+    return (df.groupBy(F.year(time_col).cast("int").alias("year"), *_cols(keys))
+              .agg(F.avg(value_col).alias(alias)))
+
+
+def climatology(df: DataFrame, time_col: str, value_col: str,
+                keys: Sequence[str] = (), groupby: str = "month",
+                reference_period: tuple[str, str] | None = None,
+                alias: str = "clim_value") -> DataFrame:
+    """Long-term mean per month / dayofyear / season — reference
+    `metrics/temporal.py:120-159`. ``reference_period`` filters rows before
+    aggregating (pushed to the parquet scan by Catalyst)."""
+    if reference_period is not None:
+        df = df.where(F.col(time_col).between(*reference_period))
+    if groupby == "month":
+        key = F.month(time_col).cast("int").alias("month")
+    elif groupby == "dayofyear":
+        key = F.dayofyear(time_col).cast("int").alias("dayofyear")
+    elif groupby == "season":
+        key = season(time_col).alias("season")
+    else:
+        raise ValueError(f"groupby must be month|dayofyear|season, got {groupby!r}")
+    return df.groupBy(key, *_cols(keys)).agg(F.avg(value_col).alias(alias))
+
+
+def rolling_mean(df: DataFrame, time_col: str, value_col: str,
+                 keys: Sequence[str], window: int = 5, center: bool = True,
+                 min_periods: int | None = None,
+                 order_cols: Sequence[str] | None = None,
+                 decimal_scale: int | None = None,
+                 alias: str = "rolling_mean") -> DataFrame:
+    """Moving average over a row-count window per series — reference
+    `metrics/temporal.py:162-192`. Row-based frames match the reference's
+    `.rolling(time=k)`; ``min_periods`` (default k//2, reference lines
+    184-185) nulls out under-filled frames via a count guard.
+
+    One shuffle (partition by series key); rows within a series sort by
+    time inside each partition — no global sort. Pass extra ``order_cols``
+    (e.g. a unique id) to make frame membership deterministic under tied
+    timestamps. ``decimal_scale`` switches the frame aggregation to an
+    exact DECIMAL sum / count — order-independent, so results reproduce
+    bit-for-bit across partitionings (and match a SQL oracle).
+    """
+    if min_periods is None:
+        min_periods = max(window // 2, 1)
+    if center:
+        before, after = window // 2, window - 1 - window // 2
+    else:
+        before, after = window - 1, 0
+    order = _cols(order_cols if order_cols is not None else [time_col])
+    w = (Window.partitionBy(*_cols(keys))
+               .orderBy(*order)
+               .rowsBetween(-before, after))
+    if decimal_scale is None:
+        mean = F.avg(value_col).over(w)
+    else:
+        dec = F.col(value_col).cast(f"decimal(18,{decimal_scale})")
+        mean = F.sum(dec).over(w).cast("double") / F.count(value_col).over(w)
+    guarded = F.when(F.count(value_col).over(w) >= min_periods, mean)
+    return df.withColumn(alias, guarded)

@@ -1,0 +1,177 @@
+"""Temporal-aggregation queries (SURVEY.md §2.4 A1-A4, §2.5 W1) + flagship.
+
+The climate analogue on driver data: `lineitem`/`orders` play the role of
+the multi-year daily time series (l_shipdate / o_orderdate spans 1995-2001),
+`events` plays the per-entity high-frequency stream (30 days of per-user
+events) for rolling windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import temporal as T
+from ..registry import query
+from ..sources.io import load_table
+
+
+def _dec(col, scale: int = 2, prec: int = 18):
+    """Order-independent exact sum representation for k-decimal currency
+    doubles (see registry docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+# --- flagship: TPC-H Q1-style pricing summary (scan → filter → group-agg) ---
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query — full-table aggregation with 8 aggregates, the
+    canonical OLAP scan-agg shape (maps to reference A11/A12 global stats,
+    `src/arco_demo.py:234-260`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+              F.sum("l_quantity").alias("sum_qty"),
+              F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+              F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+              F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+              (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+              (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+              (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+              F.count("*").alias("count_order"),
+          )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity)                                           AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       SUM(l_quantity) / COUNT(*)                                AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*)                                                  AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+query("a11_pricing_summary", oracle=PRICING_SUMMARY_SQL)(pricing_summary)
+
+
+# --- A1: monthly mean ---
+
+@query("a1_monthly_mean", oracle="""
+SELECT date_trunc('month', o_orderdate) AS month_start,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1
+""")
+def monthly_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `compute_monthly_mean` (`metrics/temporal.py:21-44`) on the
+    orders series: mean order value per calendar month, 1995-2001."""
+    df = load_table(spark, sf_dir, "orders")
+    return (df.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+              .agg((F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_value"),
+                   F.count("*").alias("n")))
+
+
+# --- A2: seasonal mean (DJF/MAM/JJA/SON with December→next season-year) ---
+
+@query("a2_seasonal_mean", oracle="""
+SELECT CAST(year(l_shipdate) + CASE WHEN month(l_shipdate) = 12 THEN 1 ELSE 0 END AS INTEGER) AS season_year,
+       CASE WHEN month(l_shipdate) IN (12, 1, 2) THEN 'DJF'
+            WHEN month(l_shipdate) IN (3, 4, 5)  THEN 'MAM'
+            WHEN month(l_shipdate) IN (6, 7, 8)  THEN 'JJA'
+            ELSE 'SON' END AS season,
+       AVG(l_quantity) AS avg_value
+FROM lineitem
+GROUP BY 1, 2
+""")
+def seasonal_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `compute_seasonal_mean` (`metrics/temporal.py:47-88`):
+    QE-NOV anchored seasons; avg(l_quantity) is an exact integer sum so the
+    plain AVG is bit-deterministic."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return T.seasonal_mean(df, "l_shipdate", "l_quantity")
+
+
+# --- A3: annual mean ---
+
+@query("a3_annual_mean", oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1
+""")
+def annual_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `compute_annual_mean` (`metrics/temporal.py:91-117`)."""
+    df = load_table(spark, sf_dir, "orders")
+    return (df.groupBy(F.year("o_orderdate").cast("int").alias("year"))
+              .agg((F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_value"),
+                   F.count("*").alias("n")))
+
+
+# --- A4: climatology (month-of-year long-term mean, reference period) ---
+
+@query("a4_climatology_month", oracle="""
+SELECT CAST(month(l_shipdate) AS INTEGER) AS month,
+       l_returnflag,
+       AVG(l_quantity) AS clim_value
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1999-12-31'
+GROUP BY 1, 2
+""")
+def climatology_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `compute_climatology` (`metrics/temporal.py:120-159`) with
+    a reference-period filter (pushed down to the parquet scan)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return T.climatology(df, "l_shipdate", "l_quantity", keys=["l_returnflag"],
+                         groupby="month",
+                         reference_period=("1995-01-01", "1999-12-31"))
+
+
+@query("a4_climatology_season", oracle="""
+SELECT CASE WHEN month(l_shipdate) IN (12, 1, 2) THEN 'DJF'
+            WHEN month(l_shipdate) IN (3, 4, 5)  THEN 'MAM'
+            WHEN month(l_shipdate) IN (6, 7, 8)  THEN 'JJA'
+            ELSE 'SON' END AS season,
+       AVG(l_quantity) AS clim_value
+FROM lineitem
+GROUP BY 1
+""")
+def climatology_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return T.climatology(df, "l_shipdate", "l_quantity", groupby="season")
+
+
+# --- W1: centered rolling mean with min_periods ---
+
+@query("w1_rolling_mean", oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       CASE WHEN COUNT(value) OVER w >= 3
+            THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w
+       END AS rolling_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+""")
+def rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `compute_rolling_mean` (`metrics/temporal.py:162-192`):
+    centered window of 7 per user series, min_periods = 7//2 = 3. One
+    shuffle on user_id; in-partition sort by (ts, event_id)."""
+    df = load_table(spark, sf_dir, "events")
+    out = T.rolling_mean(df, "ts", "value", keys=["user_id"], window=7,
+                         center=True, order_cols=["ts", "event_id"],
+                         decimal_scale=2)
+    return out.select("event_id", "user_id", "ts", "value", "rolling_mean")

@@ -1,0 +1,63 @@
+"""Query registry — the driver-facing surface.
+
+Each entry pairs a Spark DataFrame query (built from the package's
+operators) with the equivalent ANSI SQL for the DuckDB oracle. The driver
+compares row count + schema + order-insensitive value hash at sf=0.01
+(see `/root/repo/__spark_entry__.py`), so results must be *bit-deterministic*
+across partitionings:
+
+- sums of integer-valued doubles (quantities) are exact in IEEE double;
+- currency values (2-decimal doubles) are summed as DECIMAL(18,2)/(18,4)
+  — exact and order-independent — then cast back to double;
+- inherently order-sensitive float aggregates (stddev, correlation,
+  regression slopes, interpolated percentiles) are rounded to a precision
+  far above the accumulation error but far below data variation.
+
+Register with the ``@query(name, oracle=...)`` decorator; ``oracle=None``
+marks a non-SQL-expressible op (driver records a weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Entry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, Entry] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Entry(fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: e.fn for name, e in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import queries as _q  # noqa: F401
+    _LOADED = True

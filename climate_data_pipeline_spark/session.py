@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for the local[N] test/bench environment.
+
+At cluster scale the same settings apply, except ``spark.driver.memory``
+(executors have their own memory) and ``local[...]`` master. AQE is on so
+skewed shuffles re-plan at runtime; shuffle partitions default to the core
+count locally (the 200 default over-parallelizes small local data and
+under-parallelizes 100 TB — at scale this is set per-job or left to AQE).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "climate_data_pipeline_spark",
+              cpus: str | int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(str(cpus)), 8)
+        except ValueError:
+            shuffle_partitions = 32
+    return (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

