@@ -1,0 +1,130 @@
+"""Percentile-based metrics (SURVEY.md §2.4 A5-A7, §2.7 F6).
+
+The reference computes grouped climatological quantiles with xarray's
+linear-interpolation quantile (`/root/reference/src/climate_pipeline/
+metrics/percentiles.py`). Spark's exact ``percentile`` matches that
+interpolation (= SQL ``percentile_cont`` = DuckDB ``quantile_cont``), so
+oracle parity is exact; ``approx_percentile`` is the documented 100 TB
+scale path (single-pass sketch, no full sort) behind the ``exact`` flag.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import percentile_bin
+
+DEFAULT_PERCENTILES = (10, 25, 50, 75, 90, 95, 99)  # reference percentiles.py:11
+
+
+def _pct(value_col: str, p: float, exact: bool, accuracy: int = 10000):
+    if exact:
+        return F.percentile(value_col, p)
+    return F.percentile_approx(value_col, p, accuracy)
+
+
+def grouped_percentiles(df: DataFrame, time_col: str, value_col: str,
+                        keys: Sequence[str] = (),
+                        percentiles: Sequence[int] = DEFAULT_PERCENTILES,
+                        groupby: str = "month",
+                        reference_period: tuple[str, str] | None = None,
+                        exact: bool = True, long_format: bool = True) -> DataFrame:
+    """Climatological percentiles — reference `metrics/percentiles.py:14-77`:
+    quantiles at the requested levels per (month|dayofyear|all, *keys).
+    ``long_format`` explodes to one row per percentile (the reference keeps
+    percentile as a dimension, lines 67-68); wide keeps one column per level.
+    """
+    if not all(0 < p < 100 for p in percentiles):
+        raise ValueError("percentiles must be in (0, 100)")  # ref lines 43-45
+    if reference_period is not None:
+        df = df.where(F.col(time_col).between(*reference_period))
+    if groupby == "month":
+        gkeys = [F.month(time_col).cast("int").alias("month"), *keys]
+    elif groupby == "dayofyear":
+        gkeys = [F.dayofyear(time_col).cast("int").alias("dayofyear"), *keys]
+    elif groupby is None or groupby == "none":
+        gkeys = list(keys)
+    else:
+        raise ValueError(f"groupby must be month|dayofyear|none, got {groupby!r}")
+
+    wide = df.groupBy(*gkeys).agg(
+        *[_pct(value_col, p / 100.0, exact).alias(f"p{p}") for p in percentiles]
+    )
+    if not long_format:
+        return wide
+    pairs = F.array(*[
+        F.struct(F.lit(p).cast("int").alias("percentile"),
+                 F.col(f"p{p}").alias("threshold"))
+        for p in percentiles
+    ])
+    return (wide.withColumn("__pair", F.explode(pairs))
+                .select(*[c for c in wide.columns if not c.startswith("p")],
+                        F.col("__pair.percentile").alias("percentile"),
+                        F.col("__pair.threshold").alias("threshold")))
+
+
+def exceedance_frequency(df: DataFrame, time_col: str, value_col: str,
+                         keys: Sequence[str] = (), percentile: int = 90,
+                         reference_period: tuple[str, str] | None = None,
+                         exact: bool = True,
+                         alias: str = "exceedance_freq") -> DataFrame:
+    """Fraction of observations above their group's percentile threshold —
+    reference `metrics/percentiles.py:80-112`. Threshold table is tiny →
+    broadcast join; the frequency is an exact 0/1 mean."""
+    thr = grouped_percentiles(df, time_col, value_col, keys=keys,
+                              percentiles=(percentile,), groupby="month",
+                              reference_period=reference_period,
+                              exact=exact, long_format=False)
+    thr = thr.withColumnRenamed(f"p{percentile}", "__thr")
+    joined = (df.withColumn("month", F.month(time_col).cast("int"))
+                .join(F.broadcast(thr), on=["month", *keys], how="inner"))
+    return (joined.groupBy(*keys)
+                  .agg(F.avg((F.col(value_col) > F.col("__thr")).cast("double"))
+                        .alias(alias),
+                       F.count("*").alias("n")))
+
+
+def return_periods(df: DataFrame, time_col: str, value_col: str,
+                   keys: Sequence[str] = (),
+                   periods: Sequence[int] = (2, 5, 10, 25, 50, 100),
+                   exact: bool = True) -> DataFrame:
+    """Return-period values — reference `metrics/percentiles.py:152-187`:
+    annual maxima per series, then the quantile at 1 − 1/T per period T
+    (probability transform, line 172). Two-stage aggregation: the annual-max
+    stage shrinks data by ~365× before the quantile stage."""
+    amax = (df.groupBy(F.year(time_col).cast("int").alias("year"), *keys)
+              .agg(F.max(value_col).alias("__amax")))
+    agg = amax.groupBy(*keys).agg(
+        *[_pct("__amax", 1.0 - 1.0 / t, exact).alias(f"rp{t}") for t in periods]
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(t).cast("int").alias("return_period"),
+                 F.col(f"rp{t}").alias("value"))
+        for t in periods
+    ])
+    return (agg.withColumn("__pair", F.explode(pairs))
+               .select(*[str(k) for k in keys],
+                       F.col("__pair.return_period").alias("return_period"),
+                       F.col("__pair.value").alias("value")))
+
+
+def percentile_bins(df: DataFrame, time_col: str, value_col: str,
+                    keys: Sequence[str] = (),
+                    percentiles: Sequence[int] = (50, 75, 90, 95, 99),
+                    reference_period: tuple[str, str] | None = None,
+                    exact: bool = True, alias: str = "percentile_bin") -> DataFrame:
+    """Classify each observation into the highest percentile band it
+    exceeds — reference `metrics/percentiles.py:115-149` (descending
+    threshold scan, masked replace at lines 141-142 → CASE chain here)."""
+    thr = grouped_percentiles(df, time_col, value_col, keys=keys,
+                              percentiles=percentiles, groupby="month",
+                              reference_period=reference_period,
+                              exact=exact, long_format=False)
+    out = (df.withColumn("month", F.month(time_col).cast("int"))
+             .join(F.broadcast(thr), on=["month", *keys], how="left"))
+    out = out.withColumn(
+        alias, percentile_bin(value_col, {p: f"p{p}" for p in percentiles}))
+    return out.drop(*[f"p{p}" for p in percentiles])

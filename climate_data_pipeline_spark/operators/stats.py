@@ -1,0 +1,91 @@
+"""Summary statistics (SURVEY.md §2.4 A11/A12) and dataset info (S6).
+
+Reference: per-variable global stats `src/arco_demo.py:234-260`; region
+stats over a bbox+time window `api/routes/data.py:172-214`; dataset
+metadata summary `ingest/netcdf_reader.py:159-210`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def global_stats(df: DataFrame, value_col: str,
+                 percentiles: Sequence[int] = (5, 95),
+                 exact: bool = True) -> DataFrame:
+    """Per-variable mean/std/min/max + tail percentiles — reference
+    `calculate_metrics` (`src/arco_demo.py:234-260`). Single full-scan
+    aggregation; every aggregate is a single-pass partial-merge."""
+    pct = F.percentile if exact else (lambda c, p: F.percentile_approx(c, p, 10000))
+    return df.agg(
+        F.avg(value_col).alias("mean"),
+        F.stddev_samp(value_col).alias("std"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.count(value_col).alias("n"),
+        *[pct(F.col(value_col), p / 100.0).alias(f"p{p}") for p in percentiles],
+    )
+
+
+def region_stats(df: DataFrame, value_col: str,
+                 predicates: Column | None = None,
+                 keys: Sequence[str] = (),
+                 percentiles: Sequence[int] = (10, 50, 90),
+                 exact: bool = True) -> DataFrame:
+    """Summary stats over a filtered region — reference
+    `/datasets/{id}/stats` (`api/routes/data.py:172-214`): bbox+time
+    predicates then mean/std/min/max/p10/p50/p90. Predicates push down to
+    the parquet scan."""
+    if predicates is not None:
+        df = df.where(predicates)
+    pct = F.percentile if exact else (lambda c, p: F.percentile_approx(c, p, 10000))
+    return df.groupBy(*keys).agg(
+        F.avg(value_col).alias("mean"),
+        F.stddev_samp(value_col).alias("std"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.count(value_col).alias("n"),
+        *[pct(F.col(value_col), p / 100.0).alias(f"p{p}") for p in percentiles],
+    )
+
+
+def dataset_info(df: DataFrame, time_col: str | None = None,
+                 extent_cols: Sequence[str] = ()) -> dict:
+    """Metadata summary — reference `get_dataset_info`
+    (`ingest/netcdf_reader.py:159-210`): columns/dtypes, row count, time
+    range, value extents. One aggregation pass for all extents."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    if time_col:
+        aggs += [F.min(time_col).alias("__tmin"), F.max(time_col).alias("__tmax")]
+    for c in extent_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    row = df.agg(*aggs).collect()[0].asDict()
+    info = {
+        "variables": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "num_rows": row["__n"],
+    }
+    if time_col:
+        info["time_range"] = {"start": row["__tmin"], "end": row["__tmax"]}
+    if extent_cols:
+        info["extent"] = {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in extent_cols}
+    return info
+
+
+def detect_time_column(df: DataFrame,
+                       candidates: Sequence[str] = ("time", "t", "date",
+                                                    "datetime", "ts")) -> str | None:
+    """Schema inference for the time column — reference `_detect_time_dim`
+    (`ingest/netcdf_reader.py:80-90`): name-pattern match first, then any
+    timestamp/date-typed column."""
+    lower = {c.lower(): c for c in df.columns}
+    for cand in candidates:
+        if cand in lower:
+            return lower[cand]
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.TimestampType, T.DateType, T.TimestampNTZType)):
+            return f.name
+    return None

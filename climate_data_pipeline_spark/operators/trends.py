@@ -1,0 +1,151 @@
+"""Trend estimation (SURVEY.md §2.4 A8-A10).
+
+- ``linear_trend``: OLS slope per series — pure SQL via ``regr_slope`` over
+  fractional years (reference polyfit, `metrics/trends.py:12-65`).
+- ``trend_with_confidence``: slope ± t·stderr — the stderr comes from the
+  closed-form OLS residual formula, all built-in aggregates (reference uses
+  scipy.linregress, `metrics/trends.py:170-244`).
+- ``mann_kendall``: MK test + Sen's slope — genuinely non-relational
+  (O(n²) pairwise kernel per series), the one place the engine drops to a
+  grouped-map Pandas UDF (`applyInPandas`), matching the reference's
+  `apply_ufunc` fan-out (`metrics/trends.py:144-152`).
+
+The 365.25-day-year time scaling (reference `metrics/trends.py:36-39`) is
+exposed by ``functions.scalars.fractional_years`` and must be mirrored
+verbatim in any oracle SQL.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import fractional_years
+
+
+def linear_trend(df: DataFrame, time_col: str, value_col: str,
+                 keys: Sequence[str] = (), t0: str = "1995-01-01") -> DataFrame:
+    """Per-series OLS slope in value-units per year — reference
+    `compute_linear_trend` (`metrics/trends.py:12-65`). One hash
+    aggregation; `regr_slope`/`regr_intercept` are single-pass co-moment
+    aggregates (map-side partials, no sort)."""
+    t = fractional_years(time_col, t0)
+    return (df.withColumn("__t", t)
+              .groupBy(*keys)
+              .agg(F.regr_slope(F.col(value_col), F.col("__t")).alias("slope"),
+                   F.regr_intercept(F.col(value_col), F.col("__t")).alias("intercept"),
+                   F.count(value_col).alias("n")))
+
+
+def trend_with_confidence(df: DataFrame, time_col: str, value_col: str,
+                          keys: Sequence[str] = (), t0: str = "1995-01-01",
+                          confidence: float = 0.95) -> DataFrame:
+    """Slope with a confidence margin — reference
+    `compute_trend_with_confidence` (`metrics/trends.py:170-244`,
+    margin = t_crit · std_err at lines 208-211).
+
+    std_err uses the closed-form OLS residual standard error
+    sqrt((var(y)/var(x) − slope²) / (n − 2)) with *population* variances —
+    algebraically identical to scipy.linregress. The Student-t critical
+    value uses the Cornish-Fisher expansion around the normal quantile
+    (exact enough for n ≳ 30; documented engine semantics so the SQL
+    oracle can reproduce it term for term).
+    """
+    z = _normal_quantile((1 + confidence) / 2)
+    t = fractional_years(time_col, t0)
+    g = (df.withColumn("__t", t)
+           .groupBy(*keys)
+           .agg(F.regr_slope(F.col(value_col), F.col("__t")).alias("slope"),
+                F.regr_intercept(F.col(value_col), F.col("__t")).alias("intercept"),
+                F.var_pop(value_col).alias("__vy"),
+                F.var_pop("__t").alias("__vx"),
+                F.count(value_col).alias("n")))
+    nu = F.col("n") - 2
+    t_crit = (F.lit(z) + (F.lit(z) ** 3 + F.lit(z)) / (4 * nu)
+              + (5 * F.lit(z) ** 5 + 16 * F.lit(z) ** 3 + 3 * F.lit(z)) / (96 * nu ** 2))
+    stderr = F.sqrt((F.col("__vy") / F.col("__vx") - F.col("slope") ** 2) / nu)
+    return (g.withColumn("std_err", stderr)
+             .withColumn("margin", t_crit * F.col("std_err"))
+             .drop("__vy", "__vx"))
+
+
+def _normal_quantile(p: float) -> float:
+    """Acklam's rational approximation of the standard normal quantile —
+    deterministic constant used for the t-critical expansion."""
+    # For the standard confidence levels just use the well-known constants.
+    table = {0.975: 1.959963984540054, 0.95: 1.6448536269514722,
+             0.995: 2.5758293035489004, 0.9: 1.2815515655446004}
+    if p in table:
+        return table[p]
+    # Beasley-Springer-Moro style fallback
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    q = p - 0.5
+    r = q * q
+    return ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q /
+            (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1))
+
+
+MK_SCHEMA_SUFFIX = ("s_stat double, var_s double, z double, p_value double, "
+                    "significant boolean, sen_slope double, n long")
+
+
+def mann_kendall(df: DataFrame, time_col: str, value_col: str,
+                 keys: Sequence[str], alpha: float = 0.05) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per series — reference
+    `compute_trend_significance` (`metrics/trends.py:68-167`): S statistic
+    (pairwise sign sum), tie-corrected variance, Z with continuity
+    correction, two-tailed p, significance at ``alpha``, Sen's slope =
+    median pairwise slope. O(n²) per series — run it on *aggregated*
+    series (e.g. monthly means), never raw 100 TB rows; the grouped-map
+    UDF shuffles once on the series key and the kernel is vectorized
+    numpy (no Python-level pair loop).
+    """
+    key_fields = [f"{k} {dict(df.dtypes)[k]}" for k in keys]
+    schema = ", ".join([*key_fields, MK_SCHEMA_SUFFIX])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        tsec = pdf[time_col].astype("int64").to_numpy() / 1e9
+        tyr = tsec / (365.25 * 86400.0)  # reference metrics/trends.py:36-39
+        n = len(x)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        if n < 3:
+            vals = dict(s_stat=np.nan, var_s=np.nan, z=np.nan, p_value=np.nan,
+                        significant=False, sen_slope=np.nan, n=n)
+        else:
+            dx = x[None, :] - x[:, None]          # pairwise, vectorized
+            iu = np.triu_indices(n, k=1)
+            s = float(np.sign(dx[iu]).sum())      # ref trends.py:103-107
+            _, counts = np.unique(x, return_counts=True)
+            ties = counts[counts > 1]
+            var_s = (n * (n - 1) * (2 * n + 5)
+                     - float((ties * (ties - 1) * (2 * ties + 5)).sum())) / 18.0
+            if var_s > 0:                          # ref trends.py:117-123
+                if s > 0:
+                    zstat = (s - 1) / math.sqrt(var_s)
+                elif s < 0:
+                    zstat = (s + 1) / math.sqrt(var_s)
+                else:
+                    zstat = 0.0
+            else:
+                zstat = 0.0
+            # two-tailed p = 2·(1 − Φ(|z|)) = erfc(|z|/√2), numerically stable
+            p = math.erfc(abs(zstat) / math.sqrt(2.0))
+            dt = tyr[None, :] - tyr[:, None]
+            valid = dt[iu] != 0
+            sen = float(np.median(dx[iu][valid] / dt[iu][valid])) if valid.any() else np.nan
+            vals = dict(s_stat=s, var_s=var_s, z=zstat, p_value=p,
+                        significant=bool(p < alpha), sen_slope=sen, n=n)
+        out.update({k: [v] for k, v in vals.items()})
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(kernel, schema=schema)

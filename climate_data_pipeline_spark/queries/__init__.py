@@ -3,4 +3,4 @@
 Importing this package registers every query into ``registry.REGISTRY``.
 """
 
-from . import temporal  # noqa: F401
+from . import anomalies, percentiles, stats, temporal, trends  # noqa: F401

@@ -1,0 +1,119 @@
+"""Anomaly / standardization queries (J1, W2, F4) on the lineitem series.
+
+l_quantity is integer-valued so climatology means are exact IEEE sums —
+anomalies are bit-deterministic. Z-scores involve stddev (order-sensitive
+accumulation) and are rounded to 6 dp in engine AND oracle (error ~1e-13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import severity_from_z
+from ..operators import anomalies as A
+from ..registry import query
+from ..sources.io import load_table
+
+_Z_SQL_CORE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(month(l_shipdate) AS INTEGER) AS month,
+       l_returnflag, l_quantity,
+       round((l_quantity - avg(l_quantity) OVER w) / stddev_samp(l_quantity) OVER w, 6) AS zscore
+FROM lineitem
+WINDOW w AS (PARTITION BY month(l_shipdate), l_returnflag)
+"""
+
+
+@query("j1_anomaly_join", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(month(l_shipdate) AS INTEGER) AS month,
+       l_returnflag, l_quantity,
+       l_quantity - avg(l_quantity) OVER (PARTITION BY month(l_shipdate), l_returnflag) AS anomaly
+FROM lineitem
+""")
+def anomaly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — groupby-broadcast arithmetic as a broadcast equi-join
+    (reference `metrics/anomalies.py:14-62`). The oracle uses the window
+    formulation; both compute the same exact value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = A.anomaly(li, "l_shipdate", "l_quantity", keys=["l_returnflag"],
+                    groupby="month")
+    return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
+                      "l_quantity", "anomaly")
+
+
+@query("w2_zscore", oracle=_Z_SQL_CORE)
+def zscore_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — groupwise standardization (reference `metrics/anomalies.py:
+    100-125`), join method (aggregate → broadcast-join beats a full-table
+    window shuffle at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = A.zscore(li, "l_shipdate", "l_quantity", keys=["l_returnflag"],
+                   groupby="month", method="join")
+    return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
+                      "l_quantity", F.round("zscore", 6).alias("zscore"))
+
+
+@query("f4_severity", oracle=f"""
+SELECT l_orderkey, l_linenumber, month, l_returnflag, zscore,
+       CAST(CASE WHEN zscore < -2.0 THEN -3
+                 WHEN zscore < -1.5 THEN -2
+                 WHEN zscore < -1.0 THEN -1
+                 WHEN zscore <= 1.0 THEN 0
+                 WHEN zscore <= 1.5 THEN 1
+                 WHEN zscore <= 2.0 THEN 2
+                 ELSE 3 END AS INTEGER) AS severity
+FROM ({_Z_SQL_CORE})
+""")
+def severity_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — 7-level severity banding of z-scores with the reference's exact
+    thresholds (`metrics/anomalies.py:232-237`). Applied to the *rounded*
+    z-score in both engines so band boundaries agree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = A.zscore(li, "l_shipdate", "l_quantity", keys=["l_returnflag"],
+                 groupby="month", method="join")
+    z = z.withColumn("zscore", F.round("zscore", 6))
+    return (z.withColumn("severity", severity_from_z("zscore"))
+             .select("l_orderkey", "l_linenumber", "month", "l_returnflag",
+                     "zscore", "severity"))
+
+
+@query("w3_percentile_rank", oracle="""
+WITH thr AS (
+  SELECT CAST(month(l_shipdate) AS INTEGER) AS month, l_returnflag,
+         quantile_cont(l_quantity, 0.10) AS t10, quantile_cont(l_quantity, 0.25) AS t25,
+         quantile_cont(l_quantity, 0.50) AS t50, quantile_cont(l_quantity, 0.75) AS t75,
+         quantile_cont(l_quantity, 0.90) AS t90, quantile_cont(l_quantity, 0.95) AS t95,
+         quantile_cont(l_quantity, 0.99) AS t99
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l.l_orderkey, l.l_linenumber, thr.month, l.l_returnflag, l.l_quantity,
+       round(CASE
+         WHEN l.l_quantity >= t99 THEN 99.0
+         WHEN l.l_quantity >= t95 AND l.l_quantity < t99 AND t99 > t95
+              THEN 95.0 + (l.l_quantity - t95) / (t99 - t95) * 4.0
+         WHEN l.l_quantity >= t90 AND l.l_quantity < t95 AND t95 > t90
+              THEN 90.0 + (l.l_quantity - t90) / (t95 - t90) * 5.0
+         WHEN l.l_quantity >= t75 AND l.l_quantity < t90 AND t90 > t75
+              THEN 75.0 + (l.l_quantity - t75) / (t90 - t75) * 15.0
+         WHEN l.l_quantity >= t50 AND l.l_quantity < t75 AND t75 > t50
+              THEN 50.0 + (l.l_quantity - t50) / (t75 - t50) * 25.0
+         WHEN l.l_quantity >= t25 AND l.l_quantity < t50 AND t50 > t25
+              THEN 25.0 + (l.l_quantity - t25) / (t50 - t25) * 25.0
+         WHEN l.l_quantity >= t10 AND l.l_quantity < t25 AND t25 > t10
+              THEN 10.0 + (l.l_quantity - t10) / (t25 - t10) * 15.0
+         ELSE 10.0 END, 6) AS percentile_rank
+FROM lineitem l
+JOIN thr ON thr.month = CAST(month(l.l_shipdate) AS INTEGER)
+        AND thr.l_returnflag = l.l_returnflag
+""")
+def percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — np.interp-style percentile rank against the month's percentile
+    curve (reference `metrics/anomalies.py:138-204`), as a broadcast join +
+    piecewise-linear CASE chain — no UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = A.percentile_rank(li, "l_shipdate", "l_quantity", keys=["l_returnflag"])
+    return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
+                      "l_quantity",
+                      F.round("percentile_rank", 6).alias("percentile_rank"))

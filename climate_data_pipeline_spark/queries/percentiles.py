@@ -1,0 +1,112 @@
+"""Percentile-metric queries (A5-A7, F6) on lineitem.
+
+Exact `percentile` (linear interpolation) = DuckDB `quantile_cont`;
+thresholds rounded to 6 dp at the output only (comparisons use the raw
+exact values — interpolated thresholds sit strictly between integer
+quantity values in both engines, so >/>= outcomes agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import percentiles as P
+from ..registry import query
+from ..sources.io import load_table
+
+
+@query("a5_grouped_percentiles", oracle="""
+SELECT CAST(month(l_shipdate) AS INTEGER) AS month, l_returnflag,
+       unnest([10, 25, 50, 75, 90, 95, 99]) AS percentile,
+       round(unnest(quantile_cont(l_quantity,
+             [0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99])), 6) AS threshold
+FROM lineitem
+GROUP BY 1, 2
+""")
+def grouped_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — climatological percentiles per (month, series), long format with
+    an explicit percentile column (reference `metrics/percentiles.py:14-77`
+    keeps percentile as a dimension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = P.grouped_percentiles(li, "l_shipdate", "l_quantity",
+                                keys=["l_returnflag"], groupby="month")
+    return out.select("month", "l_returnflag", "percentile",
+                      F.round("threshold", 6).alias("threshold"))
+
+
+@query("a6_exceedance_frequency", oracle="""
+WITH thr AS (
+  SELECT CAST(month(l_shipdate) AS INTEGER) AS month, l_returnflag,
+         quantile_cont(l_quantity, 0.90) AS t
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l.l_returnflag,
+       avg(CASE WHEN l.l_quantity > thr.t THEN 1.0 ELSE 0.0 END) AS exceedance_freq,
+       count(*) AS n
+FROM lineitem l
+JOIN thr ON thr.month = CAST(month(l.l_shipdate) AS INTEGER)
+        AND thr.l_returnflag = l.l_returnflag
+GROUP BY 1
+""")
+def exceedance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — fraction of observations above the month's p90 (reference
+    `metrics/percentiles.py:80-112`); ≈0.10 by construction, an exact 0/1
+    mean. Threshold table is 12×#flags rows → broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return P.exceedance_frequency(li, "l_shipdate", "l_quantity",
+                                  keys=["l_returnflag"], percentile=90)
+
+
+@query("a7_return_periods", oracle="""
+WITH amax AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS year, l_returnflag,
+         max(l_extendedprice) AS m
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       unnest([2, 5, 10, 25, 50, 100]) AS return_period,
+       round(unnest(quantile_cont(m, [0.5, 0.8, 0.9, 0.96, 0.98, 0.99])), 6) AS value
+FROM amax
+GROUP BY 1
+""")
+def return_periods_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — annual maxima then quantile at 1−1/T (reference
+    `metrics/percentiles.py:152-187`). The annual-max stage shrinks the
+    data ~10^3× before the exact quantile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = P.return_periods(li, "l_shipdate", "l_extendedprice",
+                           keys=["l_returnflag"])
+    return out.select("l_returnflag", "return_period",
+                      F.round("value", 6).alias("value"))
+
+
+@query("f6_percentile_bins", oracle="""
+WITH thr AS (
+  SELECT CAST(month(l_shipdate) AS INTEGER) AS month, l_returnflag,
+         quantile_cont(l_quantity, 0.50) AS t50,
+         quantile_cont(l_quantity, 0.75) AS t75,
+         quantile_cont(l_quantity, 0.90) AS t90,
+         quantile_cont(l_quantity, 0.95) AS t95,
+         quantile_cont(l_quantity, 0.99) AS t99
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l.l_orderkey, l.l_linenumber, thr.month, l.l_returnflag, l.l_quantity,
+       CAST(CASE WHEN l.l_quantity >= t99 THEN 99
+                 WHEN l.l_quantity >= t95 THEN 95
+                 WHEN l.l_quantity >= t90 THEN 90
+                 WHEN l.l_quantity >= t75 THEN 75
+                 WHEN l.l_quantity >= t50 THEN 50
+                 ELSE 0 END AS INTEGER) AS percentile_bin
+FROM lineitem l
+JOIN thr ON thr.month = CAST(month(l.l_shipdate) AS INTEGER)
+        AND thr.l_returnflag = l.l_returnflag
+""")
+def percentile_bins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — highest-band-passed percentile classification (reference
+    `metrics/percentiles.py:115-149`, descending CASE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = P.percentile_bins(li, "l_shipdate", "l_quantity",
+                            keys=["l_returnflag"])
+    return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
+                      "l_quantity", "percentile_bin")

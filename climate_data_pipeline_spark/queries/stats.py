@@ -1,0 +1,65 @@
+"""Summary-stats queries (A11/A12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import stats as S
+from ..registry import query
+from ..sources.io import load_table
+
+
+@query("a11_global_stats", oracle="""
+SELECT round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS std,
+       min(value) AS min,
+       max(value) AS max,
+       count(value) AS n,
+       round(quantile_cont(value, 0.05), 6) AS p5,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events
+""")
+def global_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — per-variable global stats (reference `src/arco_demo.py:234-260`):
+    one full-scan aggregation, all single-pass partial-merge aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    out = S.global_stats(ev, "value", percentiles=(5, 95))
+    return out.select(F.round("mean", 6).alias("mean"),
+                      F.round("std", 6).alias("std"),
+                      "min", "max", "n",
+                      F.round("p5", 6).alias("p5"),
+                      F.round("p95", 6).alias("p95"))
+
+
+@query("a12_region_stats", oracle="""
+SELECT l_returnflag,
+       round(avg(l_extendedprice), 4) AS mean,
+       round(stddev_samp(l_extendedprice), 4) AS std,
+       min(l_extendedprice) AS min,
+       max(l_extendedprice) AS max,
+       count(l_extendedprice) AS n,
+       round(quantile_cont(l_extendedprice, 0.10), 4) AS p10,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+  AND l_quantity BETWEEN 10 AND 40
+GROUP BY 1
+""")
+def region_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — bbox-style range predicates + grouped summary (reference
+    `/datasets/{id}/stats`, `api/routes/data.py:172-214`). Both range
+    predicates push down to the parquet scan (check PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = (F.col("l_shipdate").between("1996-01-01", "1998-12-31")
+            & F.col("l_quantity").between(10, 40))
+    out = S.region_stats(li, "l_extendedprice", predicates=pred,
+                         keys=["l_returnflag"], percentiles=(10, 50, 90))
+    return out.select("l_returnflag",
+                      F.round("mean", 4).alias("mean"),
+                      F.round("std", 4).alias("std"),
+                      "min", "max", "n",
+                      F.round("p10", 4).alias("p10"),
+                      F.round("p50", 4).alias("p50"),
+                      F.round("p90", 4).alias("p90"))

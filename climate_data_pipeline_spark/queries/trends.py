@@ -1,0 +1,84 @@
+"""Trend queries (A8-A10). Slopes are in units per fractional year with the
+reference's 365.25-day-year constant — mirrored verbatim in the oracle SQL
+(SURVEY.md §7.4 calendar-math risk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import temporal as T
+from ..operators import trends as TR
+from ..registry import query
+from ..sources.io import load_table
+
+# fractional years since 1995-01-01 — identical expression both engines
+_TYR_SQL = "(epoch(l_shipdate) - epoch(TIMESTAMP '1995-01-01')) / (365.25 * 86400)"
+
+
+@query("a8_linear_trend", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       round(regr_slope(l_quantity, {_TYR_SQL}), 8) AS slope,
+       round(regr_intercept(l_quantity, {_TYR_SQL}), 6) AS intercept,
+       count(l_quantity) AS n
+FROM lineitem
+GROUP BY 1, 2
+""")
+def linear_trend_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — per-series OLS slope via regr_slope (reference polyfit,
+    `metrics/trends.py:12-65`): single-pass co-moment aggregation, no sort,
+    no UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = TR.linear_trend(li, "l_shipdate", "l_quantity",
+                          keys=["l_returnflag", "l_linestatus"], t0="1995-01-01")
+    return out.select("l_returnflag", "l_linestatus",
+                      F.round("slope", 8).alias("slope"),
+                      F.round("intercept", 6).alias("intercept"), "n")
+
+
+@query("a10_trend_confidence", oracle=f"""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         regr_slope(l_quantity, {_TYR_SQL}) AS slope,
+         var_pop(l_quantity) AS vy,
+         var_pop({_TYR_SQL}) AS vx,
+         count(l_quantity) AS n
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       round(slope, 8) AS slope,
+       round(sqrt((vy / vx - slope * slope) / (n - 2)), 8) AS std_err,
+       round((1.959963984540054
+              + (pow(1.959963984540054, 3) + 1.959963984540054) / (4 * (n - 2))
+              + (5 * pow(1.959963984540054, 5) + 16 * pow(1.959963984540054, 3)
+                 + 3 * 1.959963984540054) / (96 * (n - 2) * (n - 2)))
+             * sqrt((vy / vx - slope * slope) / (n - 2)), 8) AS margin,
+       n
+FROM g
+""")
+def trend_confidence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — slope ± 95% margin (reference scipy.linregress CI,
+    `metrics/trends.py:170-244`); closed-form residual stderr + Cornish-
+    Fisher t-critical, all built-in aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = TR.trend_with_confidence(li, "l_shipdate", "l_quantity",
+                                   keys=["l_returnflag", "l_linestatus"],
+                                   t0="1995-01-01", confidence=0.95)
+    return out.select("l_returnflag", "l_linestatus",
+                      F.round("slope", 8).alias("slope"),
+                      F.round("std_err", 8).alias("std_err"),
+                      F.round("margin", 8).alias("margin"), "n")
+
+
+@query("a9_mann_kendall", oracle=None)  # non-SQL-expressible → rows-only check
+def mann_kendall_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — Mann-Kendall + Sen's slope per series over *monthly-aggregated*
+    values (reference `metrics/trends.py:68-167` runs per grid cell on the
+    time series, not raw observations — aggregate first, then the O(n²)
+    kernel sees ~80 points/series)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = T.monthly_mean(li, "l_shipdate", "l_quantity",
+                             keys=["l_returnflag", "l_linestatus"],
+                             alias="avg_qty")
+    return TR.mann_kendall(monthly, "month_start", "avg_qty",
+                           keys=["l_returnflag", "l_linestatus"], alpha=0.05)

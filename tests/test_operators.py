@@ -1,0 +1,143 @@
+"""Property-style checks on metric operators — the reference's assertion
+strategy (SURVEY.md §5): statistical invariants, not golden values."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipeline_spark.operators import (
+    anomalies as A,
+    percentiles as P,
+    stats as S,
+    temporal as T,
+    trends as TR,
+)
+from climate_data_pipeline_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").cache()
+
+
+def test_monthly_groups_span_years(lineitem):
+    out = T.monthly_mean(lineitem, "l_shipdate", "l_quantity")
+    months = out.count()
+    assert 70 <= months <= 90  # ~80 months in 1995-2001
+
+
+def test_monthly_mean_smooths(spark, lineitem):
+    daily_var = lineitem.agg(F.var_samp("l_quantity")).first()[0]
+    monthly = T.monthly_mean(lineitem, "l_shipdate", "l_quantity")
+    monthly_var = monthly.agg(F.var_samp("avg_value")).first()[0]
+    assert monthly_var < daily_var  # aggregation reduces variance
+
+
+def test_seasonal_labels(lineitem):
+    out = T.seasonal_mean(lineitem, "l_shipdate", "l_quantity")
+    labels = {r["season"] for r in out.select("season").distinct().collect()}
+    assert labels == {"DJF", "MAM", "JJA", "SON"}
+
+
+def test_climatology_has_12_months(lineitem):
+    out = T.climatology(lineitem, "l_shipdate", "l_quantity", groupby="month")
+    assert out.count() == 12
+
+
+def test_rolling_mean_min_periods(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = T.rolling_mean(ev, "ts", "value", keys=["user_id"], window=7,
+                         center=True, order_cols=["ts", "event_id"])
+    # rolling mean exists and smooths: var(rolling) < var(raw)
+    raw_var, roll_var = (out.agg(F.var_samp("value"),
+                                 F.var_samp("rolling_mean")).first())
+    assert roll_var < raw_var
+
+
+def test_anomaly_mean_near_zero(lineitem):
+    out = A.anomaly(lineitem, "l_shipdate", "l_quantity", keys=["l_returnflag"])
+    m = out.agg(F.avg("anomaly")).first()[0]
+    assert abs(m) < 1e-9  # exact-mean climatology → anomalies sum to ~0
+
+
+def test_zscore_standardized(lineitem):
+    out = A.zscore(lineitem, "l_shipdate", "l_quantity", keys=["l_returnflag"])
+    mean, std = out.agg(F.avg("zscore"), F.stddev_samp("zscore")).first()
+    assert abs(mean) < 0.01 and abs(std - 1.0) < 0.01
+
+
+def test_zscore_window_equals_join(lineitem):
+    # (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+    # data, so compare the full sorted value vectors instead of joining.
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "zscore"]
+    j = (A.zscore(lineitem, "l_shipdate", "l_quantity", keys=["l_returnflag"],
+                  method="join").select(cols).toPandas()
+         .sort_values(cols).reset_index(drop=True))
+    w = (A.zscore(lineitem, "l_shipdate", "l_quantity", keys=["l_returnflag"],
+                  method="window").select(cols).toPandas()
+         .sort_values(cols).reset_index(drop=True))
+    assert (j["zscore"] - w["zscore"]).abs().max() < 1e-9
+
+
+def test_severity_bounded_both_signs(lineitem):
+    z = A.zscore(lineitem, "l_shipdate", "l_quantity", keys=["l_returnflag"])
+    sev = A.severity(z, "zscore")
+    lo, hi = sev.agg(F.min("severity"), F.max("severity")).first()
+    assert -3 <= lo < 0 < hi <= 3
+
+
+def test_percentile_ordering(lineitem):
+    wide = P.grouped_percentiles(lineitem, "l_shipdate", "l_quantity",
+                                 keys=["l_returnflag"], long_format=False)
+    bad = wide.where((F.col("p10") > F.col("p50"))
+                     | (F.col("p50") > F.col("p90"))).count()
+    assert bad == 0
+
+
+def test_exceedance_near_10pct(lineitem):
+    out = P.exceedance_frequency(lineitem, "l_shipdate", "l_quantity",
+                                 keys=["l_returnflag"], percentile=90)
+    for r in out.collect():
+        assert 0.05 < r["exceedance_freq"] < 0.20
+
+
+def test_return_period_monotonic(lineitem):
+    out = P.return_periods(lineitem, "l_shipdate", "l_extendedprice",
+                           keys=["l_returnflag"]).toPandas()
+    for _flag, g in out.groupby("l_returnflag"):
+        vals = g.sort_values("return_period")["value"].tolist()
+        assert vals == sorted(vals)  # longer return period → larger value
+
+
+def test_mann_kendall_shape(spark, lineitem):
+    monthly = T.monthly_mean(lineitem, "l_shipdate", "l_quantity",
+                             keys=["l_returnflag"], alias="avg_qty")
+    out = TR.mann_kendall(monthly, "month_start", "avg_qty",
+                          keys=["l_returnflag"]).toPandas()
+    assert set(out.columns) >= {"s_stat", "var_s", "z", "p_value",
+                                "significant", "sen_slope", "n"}
+    assert (out["p_value"].between(0, 1)).all()
+    assert (out["n"] > 12).all()
+
+
+def test_trend_margin_positive(lineitem):
+    out = TR.trend_with_confidence(lineitem, "l_shipdate", "l_quantity",
+                                   keys=["l_returnflag"]).toPandas()
+    assert (out["std_err"] > 0).all()
+    assert (out["margin"] > out["std_err"] * 1.9).all()  # t_crit ≈ 1.96
+
+
+def test_dataset_info(spark, lineitem):
+    info = S.dataset_info(lineitem, time_col="l_shipdate",
+                          extent_cols=["l_quantity"])
+    assert info["num_rows"] > 0
+    assert info["time_range"]["start"].year == 1995
+    assert info["extent"]["l_quantity"][0] >= 1
+
+
+def test_detect_time_column(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert S.detect_time_column(ev) == "ts"
+    li = load_table(spark, sf_dir, "lineitem")
+    assert S.detect_time_column(li) == "l_shipdate"
