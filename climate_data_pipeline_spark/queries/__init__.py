@@ -3,4 +3,4 @@
 Importing this package registers every query into ``registry.REGISTRY``.
 """
 
-from . import anomalies, percentiles, stats, temporal, trends  # noqa: F401
+from . import anomalies, percentiles, relational, stats, temporal, trends  # noqa: F401

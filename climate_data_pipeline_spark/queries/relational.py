@@ -1,0 +1,468 @@
+"""Relational-completeness queries (SURVEY.md §2.3/§2.6/§2.7 + build-plan
+step 6): the join family, set ops, top-k, rollup/cube, ranking windows,
+sessionization, string/date/math scalars, JSON extraction.
+
+Scale notes baked into each query: dimension tables broadcast (region,
+nation ≤ 25 rows; per-group threshold tables likewise); fact-fact joins
+shuffle on the join key and AQE handles skew; aggregates follow the
+decimal-sum determinism discipline (registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import sessionize, top_k
+from ..registry import query
+from ..sources.io import load_table
+
+
+# --- join family -----------------------------------------------------------
+
+@query("j_equi_join_star", oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2
+""")
+def equi_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi-join chain: fact (orders) shuffles once on custkey;
+    nation/region are broadcast (≤25 rows) so they add no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("double").alias("total_revenue"),
+                  F.count("*").alias("n_orders")))
+
+
+@query("j_semi_join", oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+GROUP BY 1
+""")
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS: customers with at least one large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
+
+
+@query("j_anti_join", oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+""")
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS: customers who never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
+
+
+@query("j_outer_join", oracle="""
+SELECT c.c_custkey, c.c_name,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""")
+def outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with zero-filled aggregates: every customer appears,
+    order-less customers get n_orders = 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .groupBy("c_custkey", "c_name")
+             .agg(F.count("o_orderkey").alias("n_orders"),
+                  F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                             F.lit(0).cast("decimal(18,2)"))
+                   .cast("double").alias("revenue")))
+
+
+@query("j_range_join", oracle="""
+SELECT p.p_brand, COUNT(*) AS n,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+           AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+GROUP BY 1
+""")
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join condition — Catalyst evaluates the range
+    residual on the hash-join output, no nested-loop explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = ((li.l_partkey == p.p_partkey)
+            & li.l_quantity.between(p.p_size - 5, p.p_size + 5))
+    return (li.join(p, cond)
+              .groupBy("p_brand")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double").alias("revenue")))
+
+
+# --- set operations ---------------------------------------------------------
+
+@query("set_ops", oracle="""
+WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'),
+     c96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31')
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+UNION ALL
+SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM c95 UNION SELECT * FROM c96)
+""")
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (distinct semantics) on yearly customer
+    cohorts — xr.concat's UNION ALL analogue (SURVEY.md §2.6) plus the set
+    ops the reference lacks."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (o.where(F.col("o_orderdate").between(f"{year}-01-01",
+                                                     f"{year}-12-31"))
+                 .select("o_custkey").distinct())
+
+    c95, c96 = cohort(1995), cohort(1996)
+    rows = [
+        ("intersect", c95.intersect(c96)),
+        ("except", c95.exceptAll(c96).distinct()),
+        ("union", c95.union(c96).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+# --- sorts / limits / top-k --------------------------------------------------
+
+@query("topk_global", oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC
+LIMIT 10
+""")
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — TakeOrderedAndProject (per-partition heads, driver
+    merge), never a full sort. Unique tie-break keeps the set deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    return top_k(c, [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 10) \
+        .select("c_custkey", "c_name", "c_acctbal")
+
+
+@query("topk_per_group", oracle="""
+SELECT * FROM (
+  SELECT n_name AS nation, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+) WHERE rank <= 3
+""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation — row_number window, one shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .withColumnRenamed("n_name", "nation"))
+    return top_k(joined, [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+                 3, partition_keys=["nation"]) \
+        .select("nation", "c_custkey", "c_acctbal", F.col("rank").cast("long").alias("rank"))
+
+
+# --- grouping sets / rollup / cube -------------------------------------------
+
+@query("rollup_agg", oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING markers — subtotals + grand total in one pass
+    (Spark expands to a union of grouping sets before the hash agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity").alias("sum_qty"),
+                   F.count("*").alias("n"),
+                   F.grouping("l_returnflag").cast("int").alias("g_flag"),
+                   F.grouping("l_linestatus").cast("int").alias("g_status")))
+
+
+@query("cube_agg", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("double").alias("revenue")))
+
+
+@query("distinct_counts", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1
+""")
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                   F.countDistinct("l_suppkey").alias("n_suppliers"),
+                   F.count("*").alias("n_rows")))
+
+
+@query("approx_distinct", oracle=None)  # HLL sketches differ per engine → rows-only
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the 100 TB path for cardinality (HLL++,
+    single pass, fixed memory). Engine-specific sketch values can't match
+    a DuckDB oracle; the rows-only check validates shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+                   F.countDistinct("l_partkey").alias("exact_parts")))
+
+
+# --- ranking / analytic windows + sessionization ------------------------------
+
+@query("rank_lag_lead", oracle="""
+SELECT event_id, user_id, event_type, value,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       round(value - COALESCE(LAG(value) OVER w, value), 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / lag / lead per user stream — free in Spark, absent in
+    the reference (SURVEY.md §2.5 note)."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w),
+                                            F.col("value")), 6).alias("delta"))
+
+
+@query("sessionization", oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY 1
+""")
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + running sum (SURVEY.md
+    §2.5; the streaming analogue is session_window, see streaming/)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap_minutes=30.0,
+                   order_cols=["ts", "event_id"])
+    return (s.groupBy("user_id")
+             .agg(F.countDistinct("session_id").alias("n_sessions"),
+                  F.count("*").alias("n_events")))
+
+
+# --- scalar functions: string / date / math / JSON ----------------------------
+
+@query("string_functions", oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       length(p_name) AS name_len,
+       substr(p_type, 1, 8) AS type_prefix,
+       concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+       CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+       CASE WHEN p_type LIKE '%BRASS%' THEN TRUE ELSE FALSE END AS is_brass,
+       replace(lower(p_name), ' ', '_') AS slug
+FROM part
+""")
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar sampler (upper/length/substr/concat/regexp/like/
+    replace) — all JVM built-ins inside codegen."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 8).alias("type_prefix"),
+        F.concat_ws(":", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.replace(F.lower("p_name"), F.lit(" "), F.lit("_")).alias("slug"))
+
+
+@query("date_functions", oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       date_trunc('quarter', o_orderdate) AS quarter_start,
+       CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start
+FROM orders
+""")
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar sampler — F1/F3 analogues (reference virtual
+    groupers `metrics/temporal.py:111,147-151`) plus arithmetic. Spark
+    dayofweek is 1=Sunday; DuckDB dow is 0=Sunday (shifted in oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1995-01-01").cast("date")).cast("int")
+         .alias("days_since_epoch_start"))
+
+
+@query("math_functions", oracle="""
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(ln(p_retailprice), 6) AS ln_price,
+       round(pow(p_retailprice, 0.5) - sqrt(p_retailprice), 6) AS pow_sqrt_diff,
+       abs(p_size - 25) AS size_dist,
+       CAST(p_size % 7 AS INTEGER) AS size_mod,
+       round(sin(radians(CAST(p_size AS DOUBLE))), 6) AS sin_size,
+       CAST(greatest(p_size, 10) AS INTEGER) AS size_floor10,
+       CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket
+FROM part
+""")
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar sampler (F7/F8 analogues). Transcendentals (sqrt/ln/sin)
+    are correctly-rounded-ish but not bit-identical across libm
+    implementations → rounded to 6 dp in both engines."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.pow("p_retailprice", F.lit(0.5)) - F.sqrt("p_retailprice"), 6)
+         .alias("pow_sqrt_diff"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.round(F.sin(F.radians(F.col("p_size").cast("double"))), 6).alias("sin_size"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bucket"))
+
+
+@query("f9_json_extract", oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""")
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (F9/extension surface,
+    SURVEY.md §2.7 note) — get_json_object stays JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"))
+
+
+@query("pivot_agg", oracle="""
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+       SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
+FROM lineitem
+GROUP BY 1
+""")
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on linestatus — compiles to conditional aggregation, matching
+    the oracle's CASE formulation exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .pivot("l_linestatus", ["O", "F"])
+              .agg(F.sum("l_quantity"))
+              .withColumnRenamed("O", "qty_o")
+              .withColumnRenamed("F", "qty_f"))
+
+
+@query("p4_point_select", oracle="""
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+ORDER BY abs(value - 50.0) ASC, event_id ASC
+LIMIT 1
+""")
+def point_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — nearest-point selection (reference point query,
+    `api/routes/data.py:88-127`): closest event to value 50.0."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.relational import nearest_point
+    return nearest_point(ev, {"value": 50.0}, tie_break=["event_id"]) \
+        .select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@query("s2_projected_scan", oracle="""
+SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+  AND l_quantity >= 45
+""")
+def projected_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P2/P3 — projected scan with time-range + value predicates; both
+    reach the parquet reader (PushedFilters + ReadSchema pruning), the
+    Spark equivalent of the reference's read-time selection
+    (`ingest/netcdf_reader.py:34-77`)."""
+    from ..sources.io import scan
+    return scan(spark, sf_dir, "lineitem",
+                columns=["l_orderkey", "l_partkey", "l_quantity", "l_shipdate"],
+                predicate=F.col("l_quantity") >= 45,
+                time_col="l_shipdate",
+                time_range=("1996-01-01", "1996-06-30"))
