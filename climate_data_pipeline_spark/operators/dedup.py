@@ -1,0 +1,184 @@
+"""Deduplication for training-data pipelines (beyond-reference extension):
+exact (content-hash), MinHash near-dup, SimHash near-dup, and sparse
+n-gram-Jaccard similarity join.
+
+Scale design (the point of each algorithm):
+
+- **exact**: one hash aggregation on the fingerprint — the only full
+  shuffle, keyed on a 32-char hash (uniform, skew-free).
+- **MinHash**: signatures are per-row array ops over *distinct* shingles
+  (one explode + one groupBy on doc id); candidate generation joins on
+  band keys, so cost scales with the number of colliding docs, never
+  all-pairs. Signature hashes are min-of-md5 *strings* — portable to any
+  SQL engine, no 64-bit arithmetic required.
+- **SimHash**: 32-bit signature from duplicate-weighted word hashes; the
+  4-byte band pigeonhole guarantees any pair within Hamming ≤ 3 collides
+  on at least one band, so the banded join finds exactly the brute-force
+  result set.
+- **n-gram Jaccard**: the sparse similarity join — explode distinct
+  shingles, equi-join on shingle, count matches per pair; cost ∝ shared-shingle
+  pairs (inverted-index join), not |docs|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, words
+
+DEFAULT_NUM_PERM = 12
+DEFAULT_BANDS = 4
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (lowercased, punctuation-split)."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)])
+    return F.when(F.size(w) >= n, F.transform(idx, gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct normalized content, with
+    the canonical (minimum) id and the copy count."""
+    fp = fingerprint(df, text_col, alias="fingerprint")
+    return (fp.groupBy("fingerprint")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count("*").alias("n_copies")))
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, deduplicated — the inverted-index relation."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(shingles(text_col, n)).alias("shingle"))
+              .distinct())
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = DEFAULT_NUM_PERM,
+                       n: int = 3) -> DataFrame:
+    """MinHash signature per document: component i = min over shingles of
+    md5('i:' || shingle), compared as hex strings (each md5 keyed by the
+    permutation index is an independent pseudo-random order on the shingle
+    universe — min-of-hash is the classic MinHash estimator)."""
+    ds = _doc_shingles(df, text_col, id_col, n)
+    aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))))
+             .alias(f"mh{i}") for i in range(num_perm)]
+    return ds.groupBy("id").agg(*aggs)
+
+
+def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS,
+                  n: int = 3, min_est: float = 0.5) -> DataFrame:
+    """LSH candidate pairs + MinHash Jaccard estimate ≥ ``min_est``.
+
+    Signatures are banded (num_perm/bands rows per band); docs sharing any
+    full band key become candidates (join on the band hash, not all
+    pairs); the estimate is the fraction of matching signature components.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, n).cache()
+    band_entries = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
+                                          for r in range(rows)])).alias("key"))
+        for b in range(bands)
+    ])
+    banded = (sig.select("id", F.explode(band_entries).alias("bk"))
+                 .select("id", F.col("bk.band").alias("band"),
+                         F.col("bk.key").alias("key")))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                      & (F.col("a.key") == F.col("b.key"))
+                      & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
+    est = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+              for i in range(num_perm)) / F.lit(float(num_perm))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard_est", est)
+                .where(F.col("jaccard_est") >= min_est)
+                .select("id_a", "id_b", "jaccard_est"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, min_jaccard: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via the inverted index:
+    pairs sharing ≥1 shingle are generated by the shingle equi-join
+    (never |docs|²), then J = |∩| / (|A| + |B| − |∩|) filters exactly."""
+    ds = _doc_shingles(df, text_col, id_col, n).cache()
+    sizes = ds.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = ds.alias("a"), ds.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                        & (F.col("a.id") < F.col("b.id")))
+               .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+               .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+                  .withColumn("jaccard", jac)
+                  .where(F.col("jaccard") >= min_jaccard)
+                  .select("id_a", "id_b", "n_common", "jaccard"))
+
+
+def _hex_to_long(hex_col: Column) -> Column:
+    """First-8-hex-chars → bigint (stable 32-bit word hash)."""
+    return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document: each word votes ±1 on every bit of its
+    32-bit md5-derived hash (duplicate-weighted); bit b of the signature
+    is 1 iff the vote sum is positive. Explode → 32 conditional sums →
+    one groupBy(id): a single shuffle keyed on the doc id."""
+    w = (df.select(F.col(id_col).alias("id"),
+                   F.explode(words(text_col)).alias("word"))
+           .withColumn("h", _hex_to_long(F.md5(F.col("word")))))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+               .otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = w.groupBy("id").agg(*votes)
+    sig = sum(F.when(F.col(f"v{b}") > 0,
+                     F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+              for b in range(bits))
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming`` via byte-band
+    LSH: with 4 bands and ≤3 differing bits, at least one 8-bit band is
+    identical (pigeonhole), so the banded join is lossless vs brute force."""
+    sig = simhash(df, text_col, id_col).cache()
+    band_arr = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.shiftright(F.col("simhash"), b * 8).bitwiseAND(255)
+                  .alias("val"))
+        for b in range(bands)
+    ])
+    banded = (sig.select("id", "simhash", F.explode(band_arr).alias("bk"))
+                 .select("id", "simhash", F.col("bk.band").alias("band"),
+                         F.col("bk.val").alias("val")))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                      & (F.col("a.val") == F.col("b.val"))
+                      & (F.col("a.id") < F.col("b.id")))
+             .where(ham <= max_hamming)
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("simhash_a"),
+                     F.col("b.simhash").alias("simhash_b"),
+                     ham.cast("long").alias("hamming"))
+             .distinct())

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (beyond-reference extension):
+brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+bucketing as the 100 TB scale path.
+
+Embeddings are ``array<float>`` columns; all arithmetic casts to double
+elementwise first (float32 accumulation is neither portable nor stable),
+then folds left-to-right with ``aggregate`` — JVM-side, no UDF.
+
+Scale notes: brute-force is a broadcast nested-loop (queries × corpus) —
+right only when queries are few; the LSH path buckets the corpus once
+(cost ∝ corpus), probes only matching buckets, and its plan is the
+standard bucket-join. For IVF-style search swap the hash for a learned
+centroid assignment (MLlib KMeans) — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of elementwise products — deterministic order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                query_id: str = "q_id", corpus_id: str = "vec_id",
+                query_vec: str = "q_vec", corpus_vec: str = "embedding",
+                round_dp: int = 6) -> DataFrame:
+    """Exact top-k neighbors per query vector: broadcast the (small) query
+    set against the corpus, compute cosine, rank per query. Cosine is
+    rounded before ranking so the selected set is reproducible under
+    floating-point accumulation differences; ties break on corpus id."""
+    cos = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_dp)
+    scored = (corpus.join(F.broadcast(queries),
+                          F.col(query_id) != F.col(corpus_id))
+                    .withColumn("cosine", cos))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= k)
+                  .select(query_id, corpus_id, "cosine", "rank"))
+
+
+def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", threshold: float = 0.4,
+                 round_dp: int = 6) -> DataFrame:
+    """All pairs with cosine ≥ threshold — embedding near-dup detection.
+    Brute-force all-pairs here (exact, oracle-checkable); at scale, run
+    ``lsh_buckets`` first and compare only within buckets."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), round_dp)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cos)
+             .where(F.col("cosine") >= threshold)
+             .select("id_a", "id_b", "cosine"))
+
+
+def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_planes: int = 8,
+                seed: str = "cdps") -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign bits of the dot product with
+    ``n_planes`` pseudo-random hyperplanes. Planes are derived
+    deterministically from md5(seed:plane:dim) — reproducible across
+    runs/engines, no RNG state to ship. One pass over the corpus."""
+    dim = F.size(F.col(vec_col))
+    v = _as_double(F.col(vec_col))
+
+    def plane_component(p: int):
+        # uniform in [-1, 1): ((md5-derived int) % 2001 - 1000) / 1000
+        return lambda i: ((F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.lit(str(p)),
+                              (i - 1).cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2001) - 1000).cast("double") / 1000.0
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        idx = F.sequence(F.lit(1), dim)
+        plane = F.transform(idx, plane_component(p))
+        d = dot(v, plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p).cast("long")) \
+                           .otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), F.col(vec_col),
+                     bucket.alias("bucket"))
+
+
+def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
+            query_id: str = "q_id", corpus_id: str = "vec_id",
+            query_vec: str = "q_vec", corpus_vec: str = "embedding",
+            n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: hash both sides into hyperplane buckets, join on
+    bucket, rank within candidates only. Recall < 1 by construction (the
+    approximation); cost ∝ bucket collisions instead of |Q|×|corpus|."""
+    cb = lsh_buckets(corpus, corpus_id, corpus_vec, n_planes)
+    qb = (lsh_buckets(queries.withColumnRenamed(query_vec, corpus_vec),
+                      query_id, corpus_vec, n_planes)
+          .withColumnRenamed(corpus_vec, query_vec))
+    cand = (cb.join(qb.select(query_id, query_vec, "bucket"), "bucket")
+              .where(F.col(query_id) != F.col(corpus_id)))
+    cos = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (cand.withColumn("cosine", cos)
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(query_id, corpus_id, "bucket", "cosine", "rank"))

@@ -1,0 +1,143 @@
+"""Text analysis for training-data pipelines (beyond-reference extension,
+build-plan step 9): tokenization, token counting, quality scoring,
+language ID, document fingerprinting.
+
+All operators are pure built-in column expressions (split / filter /
+transform / regexp_count / md5) — no Python UDFs, so they run inside
+whole-stage codegen and scale linearly with partitions. Deterministic by
+construction (integer counts, rational arithmetic, md5), so every one has
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_SPLIT = "[^a-z0-9]+"
+# BPE-ish pieces: runs of ≤4 alphanumerics, or a single non-space symbol
+BPE_PIECE = "[a-z0-9]{1,4}|[^a-z0-9\\s]"
+
+# Small marker lexicons for the n-gram/stopword language heuristic.
+# (The driver's synthetic documents carry a lang *label*; the heuristic is
+# the deterministic scoring machinery a real pipeline would back with
+# proper lexicons.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "los", "y", "en", "que", "un"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "des"),
+    "zh": ("de", "shi", "bu", "le", "zai", "you", "wo", "ta"),
+}
+
+ENGLISH_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+                     "it", "that", "this", "for", "on", "with", "as", "at")
+
+
+def words(text: Column | str) -> Column:
+    """Lowercased word array (split on non-alphanumerics, empties dropped)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), WORD_SPLIT), lambda w: w != "")
+
+
+def tokenize(df: DataFrame, text_col: str, alias: str = "words") -> DataFrame:
+    return df.withColumn(alias, words(text_col))
+
+
+def token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish sub-word piece count
+    (greedy ≤4-char runs — a deterministic stand-in for a real BPE vocab)."""
+    w = words(text_col)
+    return (df.withColumn("n_chars_text", F.length(text_col).cast("long"))
+              .withColumn("n_words", F.size(w).cast("long"))
+              .withColumn("n_tokens_bpe",
+                          F.regexp_count(F.lower(F.col(text_col)),
+                                         F.lit(BPE_PIECE)).cast("long")))
+
+
+def quality_score(df: DataFrame, text_col: str,
+                  alias: str = "quality_score") -> DataFrame:
+    """Heuristic document quality in [0,1]: favors stopword-bearing prose
+    of moderate word length with little punctuation. Components are exact
+    integer ratios; the blend is fixed-weight rational arithmetic."""
+    w = words(text_col)
+    lower = F.lower(F.col(text_col))
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(
+        w, lambda x: F.array_contains(F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS]), x)))
+    word_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_punct = F.length(F.regexp_replace(lower, "[a-z0-9\\s]", ""))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    avg_word_len = word_chars / F.greatest(n_words, F.lit(1))
+    punct_ratio = n_punct / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    score = (F.lit(0.4) * stop_ratio
+             + F.lit(0.3) * F.least(avg_word_len / F.lit(8.0), F.lit(1.0))
+             + F.lit(0.3) * (F.lit(1.0) - punct_ratio))
+    return (df.withColumn("stopword_ratio", stop_ratio)
+              .withColumn("avg_word_len", avg_word_len)
+              .withColumn("punct_ratio", punct_ratio)
+              .withColumn(alias, score))
+
+
+def language_id(df: DataFrame, text_col: str,
+                alias: str = "lang_pred") -> DataFrame:
+    """Marker-lexicon language scoring with a deterministic alphabetical
+    tie-break. Scores are duplicate-weighted marker counts — pure array
+    ops, one pass, no shuffle."""
+    w = words(text_col)
+    langs = sorted(LANG_MARKERS)
+    out = df
+    for lang in langs:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(w, lambda x: F.array_contains(markers, x))).cast("long"))
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else cond & c
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return out.withColumn(alias, pred.otherwise(langs[-1]))
+
+
+def fingerprint(df: DataFrame, text_col: str,
+                alias: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase
+    word stream — invariant to case/punctuation/whitespace variations,
+    the canonical key for exact dedup."""
+    return df.withColumn(alias, F.md5(F.concat_ws(" ", words(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL generators (DuckDB dialect) — kept next to the operators so the
+# two definitions evolve together.
+# ---------------------------------------------------------------------------
+
+SQL_WORDS = ("list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), "
+             "w -> w <> '')")
+
+
+def sql_lang_scores(text: str = "text") -> str:
+    """Per-language duplicate-weighted marker counts, DuckDB dialect."""
+    w = SQL_WORDS.format(t=text)
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        cols.append(
+            f"CAST(len(list_filter({w}, x -> list_contains([{lst}], x))) AS BIGINT)"
+            f" AS score_{lang}")
+    return ",\n       ".join(cols)
+
+
+def sql_lang_pred(prefix: str = "score_") -> str:
+    langs = sorted(LANG_MARKERS)
+    lines = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(f"{prefix}{lang} >= {prefix}{other}"
+                             for other in langs if other != lang)
+        lines.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(lines) + f" ELSE '{langs[-1]}' END"

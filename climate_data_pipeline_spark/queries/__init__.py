@@ -3,4 +3,13 @@
 Importing this package registers every query into ``registry.REGISTRY``.
 """
 
-from . import anomalies, percentiles, relational, stats, temporal, trends  # noqa: F401
+from . import (  # noqa: F401
+    anomalies,
+    percentiles,
+    relational,
+    similarity_mm,
+    stats,
+    temporal,
+    text_dedup,
+    trends,
+)

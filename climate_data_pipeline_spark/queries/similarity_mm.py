@@ -1,0 +1,111 @@
+"""Similarity-search and multimodal queries (beyond-reference extensions).
+
+Cosine arithmetic: both engines cast float32 elements to double and sum 64
+products; accumulation-order ulp differences are absorbed by rounding to
+6 dp *before* ranking/thresholding, so selected sets are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..registry import query
+from ..sources.io import load_table
+
+_DOT = ("SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))")
+_NORM_C = "sqrt(SUM(pow(CAST(c.embedding[i] AS DOUBLE), 2)))"
+_NORM_Q = "sqrt(SUM(pow(CAST(q.q_vec[i] AS DOUBLE), 2)))"
+
+
+@query("sim_cosine_topk", oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         round({_DOT} / ({_NORM_C} * {_NORM_Q}), 6) AS cosine
+  FROM q
+  CROSS JOIN embeddings c
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE q.q_id <> c.vec_id
+  GROUP BY q.q_id, c.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""")
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 5 query vectors — the ANN
+    baseline. Query set broadcasts; corpus scans once; JVM-side fold for
+    the dot product (no UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return SIM.cosine_topk(queries, emb, k=5)
+
+
+@query("sim_cosine_pairs", oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+             / (sqrt(SUM(pow(CAST(a.embedding[i] AS DOUBLE), 2)))
+                * sqrt(SUM(pow(CAST(b.embedding[i] AS DOUBLE), 2)))), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+CROSS JOIN generate_series(1, 64) AS t(i)
+GROUP BY 1, 2
+HAVING round(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+             / (sqrt(SUM(pow(CAST(a.embedding[i] AS DOUBLE), 2)))
+                * sqrt(SUM(pow(CAST(b.embedding[i] AS DOUBLE), 2)))), 6) >= 0.4
+""")
+def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4) — brute-force exact here;
+    the scale path is lsh_ann (bucket first, compare within buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs(emb, threshold=0.4)
+
+
+@query("sim_lsh_ann", oracle=None)  # approximate by design → rows-only check
+def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: deterministic md5-derived planes bucket
+    the corpus; candidates come from bucket collisions only. Approximate
+    recall by construction — validated by shape + the recall unit test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 20)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return SIM.lsh_ann(queries, emb, k=3, n_planes=6)
+
+
+# --- multimodal plumbing (binary payloads; rows-only checks) ------------------
+
+@query("mm_decode", oracle=None)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode via mapInPandas (stubbed codec, real
+    distributed plumbing): documents → opaque payloads → typed metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs, "doc_id", "text", media_type="image/fake")
+    return MM.decode_media(media)
+
+
+@query("mm_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature vectors (array<double>) from binary payloads
+    — the encoder-model stand-in, Arrow-batched."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs, "doc_id", "text")
+    return MM.byte_histogram_features(media)
+
+
+@query("mm_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one output row per sampled byte-window 'frame' —
+    the row-multiplying UDTF shape video pipelines need."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs, "doc_id", "text", media_type="video/fake")
+    return MM.frame_sample(media, every_n=64)

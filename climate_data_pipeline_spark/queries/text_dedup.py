@@ -1,0 +1,210 @@
+"""Text-analysis and deduplication queries over the documents table
+(beyond-reference extensions, build-plan step 9).
+
+The oracle SQL for the hash-based operators (MinHash/SimHash) is generated
+programmatically so both engines express the *same algorithm definition* —
+md5-keyed permutations and bit votes are portable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as TX
+from ..registry import query
+from ..sources.io import load_table
+
+_W = TX.SQL_WORDS.format(t="text")  # DuckDB word-array expression
+
+# --- text analysis -----------------------------------------------------------
+
+@query("text_token_stats", oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST(len({_W}) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '{TX.BPE_PIECE}')) AS BIGINT) AS n_tokens_bpe
+FROM documents
+""")
+def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: chars, whitespace words, BPE-ish sub-word pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.token_stats(docs, "text").select(
+        "doc_id", "n_chars_text", "n_words", "n_tokens_bpe")
+
+
+@query("text_quality", oracle=f"""
+SELECT doc_id,
+       round(len(list_filter({_W}, x -> list_contains(
+             [{", ".join(f"'{s}'" for s in TX.ENGLISH_STOPWORDS)}], x)))
+             / greatest(len({_W}), 1), 6) AS stopword_ratio,
+       round(list_sum(list_transform({_W}, x -> length(x)))
+             / greatest(len({_W}), 1), 6) AS avg_word_len,
+       round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(0.4 * (len(list_filter({_W}, x -> list_contains(
+                 [{", ".join(f"'{s}'" for s in TX.ENGLISH_STOPWORDS)}], x)))
+                 / greatest(len({_W}), 1))
+           + 0.3 * least((list_sum(list_transform({_W}, x -> length(x)))
+                 / greatest(len({_W}), 1)) / 8.0, 1.0)
+           + 0.3 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                 / greatest(length(text), 1)), 6) AS quality_score
+FROM documents
+""")
+def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, mean word length, punctuation
+    ratio, fixed-weight blend."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.quality_score(docs, "text")
+    return out.select("doc_id",
+                      F.round("stopword_ratio", 6).alias("stopword_ratio"),
+                      F.round("avg_word_len", 6).alias("avg_word_len"),
+                      F.round("punct_ratio", 6).alias("punct_ratio"),
+                      F.round("quality_score", 6).alias("quality_score"))
+
+
+@query("text_language_id", oracle=f"""
+SELECT doc_id, lang,
+       {TX.sql_lang_scores("text")},
+       {TX.sql_lang_pred()} AS lang_pred
+FROM documents
+""")
+def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language scoring with deterministic tie-break; the
+    dataset's lang label is carried through for eyeball comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.language_id(docs, "text")
+    return out.select("doc_id", "lang",
+                      *[f"score_{lang}" for lang in sorted(TX.LANG_MARKERS)],
+                      "lang_pred")
+
+
+@query("text_fingerprint", oracle=f"""
+SELECT doc_id, md5(array_to_string({_W}, ' ')) AS fingerprint
+FROM documents
+""")
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 of the word stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# --- dedup -------------------------------------------------------------------
+
+@query("dedup_exact", oracle=f"""
+SELECT md5(array_to_string({_W}, ' ')) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""")
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized content hash, keep the minimum id.
+    One hash aggregation on a uniform 32-char key — skew-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+_SHINGLES_CTE = f"""
+words AS (SELECT doc_id AS id, {_W} AS w FROM documents),
+ds AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+)
+"""
+
+
+def _minhash_oracle(num_perm: int = 12, bands: int = 4,
+                    min_est: float = 0.5) -> str:
+    rows = num_perm // bands
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_perm))
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS key{b}" for b in range(bands))
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band, key{b} AS key FROM keys" for b in range(bands))
+    est = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm))
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT id, {sig_cols} FROM ds GROUP BY id),
+keys AS (SELECT id, {band_keys} FROM sig),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, ({est}) / {float(num_perm)} AS jaccard_est
+FROM cand c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b
+WHERE ({est}) / {float(num_perm)} >= {min_est}
+"""
+
+
+@query("dedup_minhash", oracle=_minhash_oracle())
+def minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup: md5-keyed min-hash signatures over word
+    3-gram shingles, banded candidate join, estimate ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_pairs(docs, "text", "doc_id",
+                           num_perm=12, bands=4, min_est=0.5)
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH {_SHINGLES_CTE.strip()},
+sizes AS (SELECT id, count(*) AS n_sh FROM ds GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       c.n_common / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+""")
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.5 via the inverted-index (sparse) join —
+    never materializes |docs|² pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5)
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id, unnest({_W}) AS word FROM documents
+),
+h AS (SELECT id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w),
+v AS (SELECT id, {votes} FROM h GROUP BY id),
+s AS (SELECT id, CAST({sig} AS BIGINT) AS simhash FROM v)
+SELECT a.id AS id_a, b.id AS id_b,
+       a.simhash AS simhash_a, b.simhash AS simhash_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit duplicate-weighted word-hash signature,
+    byte-band LSH join (lossless for Hamming ≤ 3 by pigeonhole), exact
+    Hamming filter. The oracle runs the brute-force quadratic comparison —
+    matching it proves the banding loses nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)

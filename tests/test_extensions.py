@@ -1,0 +1,145 @@
+"""Unit tests for the training-data extension operators: dedup,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipeline_spark.operators import (
+    dedup as D,
+    multimodal as MM,
+    similarity as SIM,
+    text as TX,
+)
+from climate_data_pipeline_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_tokenize_nonempty(docs):
+    out = TX.tokenize(docs, "text")
+    assert out.where(F.size("words") == 0).count() == 0
+
+
+def test_quality_score_bounded(docs):
+    out = TX.quality_score(docs, "text")
+    lo, hi = out.agg(F.min("quality_score"), F.max("quality_score")).first()
+    assert 0.0 <= lo <= hi <= 1.0
+
+
+def test_fingerprint_invariant_to_case_and_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "different text")],
+        ["doc_id", "text"])
+    out = TX.fingerprint(df, "text").collect()
+    fps = {r["doc_id"]: r["fingerprint"] for r in out}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_exact_dedup_finds_normalized_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "A b, c!"), (3, "x y z")], ["doc_id", "text"])
+    out = {r["keep_id"]: r["n_copies"]
+           for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_est_close_to_exact_jaccard(docs):
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                            min_jaccard=0.5).collect()}
+    est = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+           for r in D.minhash_pairs(docs, "text", "doc_id",
+                                    min_est=0.5).collect()}
+    # every very-similar pair (J ≥ 0.8) must be caught by the LSH bands
+    strong = {k for k, v in exact.items() if v >= 0.8}
+    assert strong and strong <= set(est)
+    for k in strong:
+        assert abs(est[k] - exact[k]) < 0.45  # 12 perms → coarse but sane
+
+
+def test_simhash_banding_is_lossless(docs, spark):
+    banded = D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
+    sig = D.simhash(docs, "text", "doc_id")
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (a.join(b, F.col("id_a") < F.col("id_b"))
+              .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3))
+    assert banded.count() == brute.count()
+
+
+def test_cosine_topk_matches_numpy(emb):
+    import numpy as np
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.round(Vn @ Vn.T, 6)
+    queries = (emb.where(F.col("vec_id") < 3)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    got = SIM.cosine_topk(queries, emb, k=3).collect()
+    for r in got:
+        qi = int(np.where(ids == r["q_id"])[0][0])
+        order = sorted((-C[qi, j], ids[j]) for j in range(len(ids))
+                       if ids[j] != r["q_id"])
+        want_id = order[r["rank"] - 1][1]
+        assert r["vec_id"] == want_id
+
+
+def test_lsh_ann_recall(emb):
+    queries = (emb.where(F.col("vec_id") < 20)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    exact = {(r["q_id"], r["vec_id"])
+             for r in SIM.cosine_topk(queries, emb, k=3).collect()}
+    approx = {(r["q_id"], r["vec_id"])
+              for r in SIM.lsh_ann(queries, emb, k=3, n_planes=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    # random embeddings have no cluster structure, so hyperplane buckets
+    # rarely contain the true top-3 — nonzero recall plus the candidate-set
+    # reduction is what the approximation promises here
+    assert recall >= 0.03
+    n_corpus = emb.count()
+    buckets = SIM.lsh_buckets(emb, n_planes=6)
+    biggest = buckets.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    assert biggest < n_corpus / 2  # candidates ≪ brute-force comparisons
+
+
+def test_multimodal_decode_stub_and_fake(spark, docs):
+    media = MM.attach_payload(docs, "doc_id", "text")
+    out = MM.decode_media(media)
+    assert out.count() == docs.count()
+    row = out.first()
+    assert row["width"] >= 16 and row["mean_intensity"] > 0
+    with pytest.raises(NotImplementedError, match="STUB"):
+        MM.decode_media(media, real=True)
+
+
+def test_multimodal_features_shape(spark, docs):
+    media = MM.attach_payload(docs, "doc_id", "text")
+    out = MM.byte_histogram_features(media, n_bins=16)
+    row = out.first()
+    assert len(row["features"]) == 16
+    assert abs(sum(row["features"]) - 1.0) < 1e-9
+
+
+def test_frame_sample_multiplies_rows(spark, docs):
+    media = MM.attach_payload(docs, "doc_id", "text")
+    frames = MM.frame_sample(media, every_n=64)
+    assert frames.count() > docs.count()  # ≥1 frame per doc, most have >1
+    per_doc = frames.groupBy("media_id").count()
+    n_bytes = media.select("media_id", "n_bytes")
+    joined = per_doc.join(n_bytes, "media_id")
+    bad = joined.where(
+        F.col("count") != F.ceil(F.col("n_bytes") / 64)).count()
+    assert bad == 0
