@@ -6,6 +6,7 @@ Importing this package registers every query into ``registry.REGISTRY``.
 from . import (  # noqa: F401
     anomalies,
     percentiles,
+    plans_q,
     relational,
     similarity_mm,
     stats,

@@ -1,0 +1,80 @@
+"""Structured Streaming analogues (SURVEY.md §2.9).
+
+The reference is strictly batch — its Celery tasks are deferred batch
+jobs, not streams — so streaming is deliberately OFF the core path. These
+demos show the incremental formulations of the batch operators for the
+case where events arrive continuously:
+
+- ``streaming_rollup``: the tumbling-window incremental version of the
+  monthly/daily mean (A1), with a watermark bounding state for late data.
+- ``streaming_sessionize``: session_window — the stateful analogue of the
+  batch lag+cumsum sessionization in operators/relational.py.
+
+Both read a parquet directory as a file stream (swap for kafka in
+production) and are driven to completion synchronously in tests via the
+memory sink + ``processAllAvailable``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import _NANOS_TS_COLS
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streams need an explicit schema; reuse the batch reader's (with the
+    # nanos column surfaced as long, converted exactly like the batch path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream sources need a directory; glob-filter to the events table
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    for c in _NANOS_TS_COLS.get("events", ()):
+        if dict(stream.dtypes).get(c) == "bigint":
+            stream = stream.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream
+
+
+def streaming_rollup(spark: SparkSession, sf_dir: str,
+                     window: str = "1 day",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window mean/count per event_type with late-data watermark —
+    the incremental A1. State per (window, event_type) is dropped once the
+    watermark passes, so state size is bounded at any input rate."""
+    ev = _read_events_stream(spark, sf_dir)
+    return (ev.withWatermark("ts", watermark)
+              .groupBy(F.window("ts", window).alias("w"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.avg("value").alias("avg_value"))
+              .select(F.col("w.start").alias("window_start"),
+                      "event_type", "n", "avg_value"))
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str,
+                         gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """session_window aggregation — the stateful streaming counterpart of
+    the batch gap-based sessionization."""
+    ev = _read_events_stream(spark, sf_dir)
+    return (ev.withWatermark("ts", watermark)
+              .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+              .agg(F.count("*").alias("n_events"))
+              .select(F.col("sw.start").alias("session_start"),
+                      F.col("sw.end").alias("session_end"),
+                      "user_id", "n_events"))
+
+
+def run_stream_to_memory(df: DataFrame, name: str,
+                         output_mode: str = "append") -> None:
+    """Drive a streaming DataFrame to completion against the memory sink
+    (test/demo harness)."""
+    q = (df.writeStream.outputMode(output_mode)
+           .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

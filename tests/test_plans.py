@@ -1,0 +1,159 @@
+"""Tests for the op-dict DSL, pipelines, metric dispatcher, catalog and
+streaming analogues."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipeline_spark.plans import (
+    LazyPipeline,
+    Pipeline,
+    compile_ops,
+    run_metric,
+    run_ops,
+)
+from climate_data_pipeline_spark.plans.dispatch import METRIC_TYPES
+from climate_data_pipeline_spark.plans.pipeline import execute_parallel
+from climate_data_pipeline_spark.sources.catalog import Catalog
+from climate_data_pipeline_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").cache()
+
+
+def test_ops_compiler_validates_eagerly():
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        compile_ops([{"op": "resample", "column": "ts",
+                      "aggs": {"x": "median(v)"}}])
+    with pytest.raises(ValueError, match="missing 'op'"):
+        compile_ops([{"column": "ts"}])
+
+
+def test_ops_unknown_column_raises(lineitem):
+    with pytest.raises(ValueError, match="unknown columns"):
+        run_ops(lineitem, [{"op": "select", "columns": ["nope"]}])
+
+
+def test_ops_chain_matches_direct(lineitem):
+    ops = [
+        {"op": "slice_time", "column": "l_shipdate",
+         "start": "1996-01-01", "end": "1996-12-31"},
+        {"op": "compute_mean", "keys": ["l_returnflag"],
+         "values": ["l_quantity"]},
+    ]
+    got = {r["l_returnflag"]: r["avg_l_quantity"]
+           for r in run_ops(lineitem, ops).collect()}
+    want = {r["l_returnflag"]: r["avg"]
+            for r in (lineitem
+                      .where(F.col("l_shipdate").between("1996-01-01",
+                                                         "1996-12-31"))
+                      .groupBy("l_returnflag")
+                      .agg(F.avg("l_quantity").alias("avg"))).collect()}
+    assert got == want
+
+
+def test_ops_pushdown_reaches_scan(spark, sf_small):
+    # use a scale dir no fixture caches: the cache manager substitutes any
+    # matching cached plan subtree (InMemoryRelation), and a cache read
+    # shows the cache's original unfiltered FileScan instead of pushdown
+    fresh = load_table(spark, sf_small, "lineitem")
+    ops = [{"op": "slice_time", "column": "l_shipdate",
+            "start": "1996-01-01", "end": "1996-12-31"},
+           {"op": "select", "columns": ["l_shipdate", "l_quantity"]}]
+    plan = run_ops(fresh, ops)._jdf.queryExecution().executedPlan().toString()
+    # the DSL chain is lazy → Catalyst pushes the time slice into the scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters")[1][:200]
+
+
+def test_pipeline_steps_and_timing(lineitem):
+    p = Pipeline()
+    p.add_step("filter", lambda df: df.where(F.col("l_quantity") > 10))
+    p.add_step("agg", lambda df: df.groupBy("l_returnflag").count())
+    out = p.execute(lineitem, materialize=True)
+    assert out.count() == 3
+    assert set(p.timings) == {"filter", "agg", "__materialize__"}
+
+
+def test_lazy_pipeline_graph_info(lineitem):
+    lp = (LazyPipeline(lineitem)
+          .transform(lambda df: df.groupBy("l_returnflag").count()))
+    info = lp.graph_info()
+    assert info["num_exchanges"] >= 1  # groupBy must shuffle
+    assert info["wholestage_codegen_spans"] >= 1
+    assert lp.compute().count() == 3
+
+
+def test_execute_parallel(lineitem):
+    parts = [lineitem.where(F.col("l_returnflag") == f) for f in ("A", "N", "R")]
+    outs = execute_parallel(parts,
+                            lambda df: df.groupBy("l_linestatus").count(),
+                            max_workers=3)
+    assert len(outs) == 3
+    assert all(o.count() >= 1 for o in outs)
+
+
+def test_metric_dispatcher_all_types(lineitem):
+    for metric in METRIC_TYPES:
+        if metric == "mann_kendall":
+            continue  # exercised on aggregated series in test_operators
+        out = run_metric(lineitem, metric, "l_shipdate", "l_quantity",
+                         keys=["l_returnflag"])
+        assert out.columns  # plan builds and binds
+
+
+def test_metric_dispatcher_unknown():
+    with pytest.raises(ValueError, match="unknown metric_type"):
+        run_metric(None, "nope", "ts", "v")
+
+
+def test_catalog_register_describe(spark, sf_dir):
+    cat = Catalog(spark).register_sf_dir(sf_dir)
+    assert "lineitem" in cat.list_datasets()
+    cat.register("li_alias", f"{sf_dir}/lineitem.parquet", title="Lineitem",
+                 attrs={"conventions": "tpch-ish"},
+                 var_attrs={"l_quantity": {"units": "count"}})
+    desc = cat.describe("li_alias", compute_extents=True)
+    assert desc["variables"]["l_quantity"]["units"] == "count"
+    assert desc["num_rows"] > 0
+    assert desc["time_range"]["start"].startswith("1995")
+    stac = cat.to_stac_items()
+    assert any(i["id"] == "li_alias" for i in stac)
+    with pytest.raises(KeyError, match="not registered"):
+        cat.describe("missing")
+
+
+def test_catalog_events_loader_handles_nanos(spark, sf_dir):
+    cat = Catalog(spark).register_sf_dir(sf_dir)
+    ev = cat.load("events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir):
+    from climate_data_pipeline_spark.streaming import streaming_rollup
+    from climate_data_pipeline_spark.streaming.rollup import run_stream_to_memory
+
+    agg = streaming_rollup(spark, sf_dir, window="1 day", watermark="1 hour")
+    run_stream_to_memory(agg, "rollup_out", output_mode="complete")
+    got = {(str(r["window_start"]), r["event_type"]): r["n"]
+           for r in spark.sql("SELECT * FROM rollup_out").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {(str(r["d"]), r["event_type"]): r["n"]
+            for r in (ev.groupBy(F.date_trunc("day", "ts").alias("d"),
+                                 "event_type")
+                        .agg(F.count("*").alias("n"))).collect()}
+    assert got == want
+
+
+def test_streaming_sessionize_runs(spark, sf_dir):
+    from climate_data_pipeline_spark.streaming import streaming_sessionize
+    from climate_data_pipeline_spark.streaming.rollup import run_stream_to_memory
+
+    s = streaming_sessionize(spark, sf_dir, gap="30 minutes")
+    run_stream_to_memory(s, "sessions_out", output_mode="complete")
+    n = spark.sql("SELECT count(*) c FROM sessions_out").first()["c"]
+    assert n > 0
