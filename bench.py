@@ -1,0 +1,91 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Methodology mirrors the reference's benchmark suite
+(`/root/reference/src/benchmark_suite.py:67-120`): warmup run(s), N timed
+iterations per query, per-query stats; the BASELINE envelope is the
+reference's < 2,000 ms/query latency target at comparable data volume
+(BASELINE.md). Headline queries span every operator family: scan-agg,
+climatology join, window, exact percentiles, star join, top-k, JSON,
+sessionization, MinHash dedup, cosine top-k.
+
+Queries execute against the `noop` sink — full computation, no driver
+collect — so timings measure the engine, not result serialization.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores),
+     BENCH_ITERATIONS / BENCH_WARMUP (default 3 / 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+HEADLINE = [
+    "a11_pricing_summary",    # full-scan 8-aggregate group-agg (TPC-H Q1 shape)
+    "a1_monthly_mean",        # calendar hash agg
+    "a4_climatology_month",   # filtered climatology agg
+    "j1_anomaly_join",        # agg + broadcast join back against facts
+    "w1_rolling_mean",        # per-entity window frames
+    "a5_grouped_percentiles", # exact grouped percentiles (sort-heavy)
+    "a8_linear_trend",        # regression co-moment agg
+    "j_equi_join_star",       # fact-dim join chain
+    "topk_per_group",         # ranking window
+    "f9_json_extract",        # JSON scalar path
+    "sessionization",         # lag + running-sum window
+    "dedup_minhash",          # shingle explode + signature agg + band join
+    "sim_cosine_topk",        # broadcast NL + vector fold
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iterations = int(os.environ.get("BENCH_ITERATIONS", "3"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from climate_data_pipeline_spark import registry
+    from climate_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="cdps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    per_query: dict[str, float] = {}
+    details: dict[str, dict] = {}
+    for name in HEADLINE:
+        for _ in range(warmup):
+            run_once(name)
+        times = [run_once(name) for _ in range(iterations)]
+        per_query[name] = round(statistics.mean(times), 4)
+        details[name] = {
+            "mean_s": round(statistics.mean(times), 4),
+            "min_s": round(min(times), 4),
+            "max_s": round(max(times), 4),
+            "meets_2s_target": max(times) < 2.0,
+        }
+
+    total = round(sum(per_query.values()), 4)
+    print(json.dumps({"details": details, "n_queries": len(HEADLINE)},
+                     indent=None), file=sys.stderr)
+    print(json.dumps({
+        "metric": "headline_query_mean_runtime_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Tests for source loaders and layout-preset sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipeline_spark.sources.io import (
+    load_table,
+    parquet_info,
+    scan,
+    write_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_events_nanos_timestamp_loads(events):
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    assert events.where(F.col("ts").isNull()).count() == 0
+
+
+def test_scan_validates_and_pushes(spark, sf_small):
+    with pytest.raises(ValueError, match="columns not found"):
+        scan(spark, sf_small, "orders", columns=["nope"])
+    df = scan(spark, sf_small, "orders", columns=["o_orderkey", "o_orderdate"],
+              time_col="o_orderdate", time_range=("1996-01-01", "1996-12-31"))
+    assert df.columns == ["o_orderkey", "o_orderdate"]
+    assert df.count() > 0
+
+
+def test_write_layout_timeseries(spark, events, tmp_path):
+    path = str(tmp_path / "ts_layout")
+    write_parquet(events, path, layout="timeseries",
+                  entity_cols=["user_id"], time_col="ts", target_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+    info = parquet_info(spark, path)
+    assert info["num_files"] >= 1 and info["bytes_stored"] > 0
+    # range partitioning on user_id → each user's rows land in ONE file
+    by_user = (back.withColumn("f", F.input_file_name())
+                   .groupBy("user_id")
+                   .agg(F.countDistinct("f").alias("nf")))
+    assert by_user.agg(F.max("nf")).first()[0] == 1
+
+
+def test_write_layout_spatial(spark, events, tmp_path):
+    path = str(tmp_path / "sp_layout")
+    write_parquet(events, path, layout="spatial",
+                  entity_cols=["user_id"], time_col="ts")
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+    # directory-partitioned by time bucket → time-slice reads prune dirs
+    assert "__t_bucket" in back.columns
+    pruned = back.where(F.col("__t_bucket") == "2024-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__t_bucket" in plan
+
+
+def test_write_layout_balanced_and_overwrite_protection(spark, events, tmp_path):
+    path = str(tmp_path / "bal_layout")
+    write_parquet(events, path, layout="balanced",
+                  entity_cols=["user_id"], time_col="ts", target_files=4)
+    with pytest.raises(Exception):  # reference's overwrite protection (S7)
+        write_parquet(events, path, layout="balanced",
+                      entity_cols=["user_id"], time_col="ts")
+    write_parquet(events.limit(10), path, layout="balanced",
+                  entity_cols=["user_id"], overwrite=True, target_files=1)
+    assert spark.read.parquet(path).count() == 10
+
+
+def test_unknown_layout_rejected(events, tmp_path):
+    with pytest.raises(ValueError, match="unknown layout"):
+        write_parquet(events, str(tmp_path / "x"), layout="zarr")
