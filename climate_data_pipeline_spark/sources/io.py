@@ -86,6 +86,33 @@ def scan(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def bbox_filter(df: DataFrame, lat_col: str, lon_col: str,
+                bbox: tuple[float, float, float, float],
+                normalize_lon: bool = True) -> DataFrame:
+    """Spatial bounding-box predicate — the reference's `_apply_bbox`
+    (`ingest/netcdf_reader.py:114-156`), row-model edition.
+
+    ``bbox`` is (west, south, east, north). Handles:
+    - longitude stored in [0, 360): normalized to [-180, 180) first
+      (reference lines 132-137);
+    - antimeridian-crossing boxes (west > east): the reference concatenates
+      two slices (lines 150-154); in the row model that's a single OR
+      predicate — no union, still one scan;
+    - descending latitude needs no special case (no coordinate order).
+    """
+    west, south, east, north = bbox
+    lat = F.col(lat_col)
+    lon = F.col(lon_col) if not normalize_lon else (
+        F.when(F.col(lon_col) >= 180.0, F.col(lon_col) - 360.0)
+         .otherwise(F.col(lon_col)))
+    lat_pred = lat.between(south, north)
+    if west <= east:
+        lon_pred = (lon >= west) & (lon <= east)
+    else:  # crosses the antimeridian
+        lon_pred = (lon >= west) | (lon <= east)
+    return df.where(lat_pred & lon_pred)
+
+
 # ---------------------------------------------------------------------------
 # Sink layout presets — the Spark re-expression of the reference's
 # access-pattern chunking (`ingest/arco_converter.py:20-107`: "timeseries"

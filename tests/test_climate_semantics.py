@@ -1,0 +1,153 @@
+"""The reference's own test-suite assertions, run on reference-shaped
+synthetic climate data through this engine's operators.
+
+Mirrors `/root/reference/tests/` semantics (SURVEY.md §5 / FIXTURES.md A1):
+2 years of daily (ts, lat, lon, temperature, precipitation) — 24 monthly
+groups, 8 seasons, 12 climatology months, variance reduction, percentile
+ordering, exceedance ≈ 10%, anomaly ≈ 0, z ~ N(0,1), severity ∈ [-3,3],
+bbox/antimeridian behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipeline_spark.operators import (
+    anomalies as A,
+    percentiles as P,
+    temporal as T,
+)
+from climate_data_pipeline_spark.sources.io import bbox_filter
+from climate_data_pipeline_spark.sources.synthetic import climate_grid
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # reference sample_dataset shape: 731 days × 19 lats × 36 lons
+    return climate_grid(spark, start="2020-01-01", days=731).cache()
+
+
+def test_grid_shape(grid):
+    assert grid.count() == 731 * 19 * 36
+    assert grid.select("lat").distinct().count() == 19
+    assert grid.select("lon").distinct().count() == 36
+
+
+def test_monthly_mean_24_months(grid):
+    # ref tests/test_metrics/test_temporal.py:18-24
+    out = T.monthly_mean(grid, "ts", "temperature", keys=["lat", "lon"])
+    assert out.select("month_start").distinct().count() == 24
+
+
+def test_monthly_variance_below_daily(grid):
+    # ref test_temporal.py:33-40
+    daily = grid.agg(F.var_samp("temperature")).first()[0]
+    monthly = (T.monthly_mean(grid, "ts", "temperature", keys=["lat", "lon"])
+                .agg(F.var_samp("avg_value")).first()[0])
+    assert monthly < daily
+
+
+def test_seasonal_8_groups(grid):
+    # ref test_temporal.py:46-52 — 2 years → 8 (season_year, season) pairs,
+    # plus the leading partial DJF (Jan-Feb 2020 anchors to DJF 2020 with
+    # Dec 2021 → DJF 2022): exactly 9 distinct labels, 8 fully inside
+    out = T.seasonal_mean(grid, "ts", "temperature")
+    assert out.count() == 9
+
+
+def test_annual_2_years(grid):
+    # ref test_temporal.py:58-64
+    out = T.annual_mean(grid, "ts", "temperature")
+    assert out.count() == 2
+
+
+def test_climatology_12_months(grid):
+    # ref test_temporal.py:78-83
+    out = T.climatology(grid, "ts", "temperature", keys=["lat", "lon"])
+    assert out.select("month").distinct().count() == 12
+
+
+def test_rolling_smooths(grid, spark):
+    # ref test_temporal.py:113-120 — on one grid point's series
+    point = grid.where((F.col("lat") == 0.0) & (F.col("lon") == 0.0))
+    out = T.rolling_mean(point, "ts", "temperature", keys=["lat", "lon"],
+                         window=30)
+    raw, smooth = out.agg(F.var_samp("temperature"),
+                          F.var_samp("rolling_mean")).first()
+    assert smooth < raw
+
+
+def test_percentile_ordering(grid):
+    # ref tests/test_metrics/test_percentiles.py:52-64
+    wide = P.grouped_percentiles(grid, "ts", "temperature",
+                                 keys=["lat", "lon"], long_format=False)
+    bad = wide.where((F.col("p10") > F.col("p50"))
+                     | (F.col("p50") > F.col("p90"))).count()
+    assert bad == 0
+
+
+def test_exceedance_of_p90_near_10pct(grid):
+    # ref test_percentiles.py:70-85 (bounds 0.05-0.20)
+    out = P.exceedance_frequency(grid, "ts", "temperature",
+                                 keys=["lat", "lon"], percentile=90)
+    lo, hi = out.agg(F.min("exceedance_freq"),
+                     F.max("exceedance_freq")).first()
+    assert 0.02 < lo and hi < 0.25
+
+
+def test_anomaly_mean_within_1K(grid):
+    # ref tests/test_metrics/test_anomalies.py:23-29
+    out = A.anomaly(grid, "ts", "temperature", keys=["lat", "lon"])
+    m = out.agg(F.avg("anomaly")).first()[0]
+    assert abs(m) < 1.0
+
+
+def test_zscore_standard_normal(grid):
+    # ref test_anomalies.py:51-61
+    out = A.zscore(grid, "ts", "temperature", keys=["lat", "lon"])
+    mean, std = out.agg(F.avg("zscore"), F.stddev_samp("zscore")).first()
+    assert abs(mean) < 0.05 and abs(std - 1.0) < 0.05
+
+
+def test_severity_range_and_signs(grid):
+    # ref test_anomalies.py:67-89
+    z = A.zscore(grid, "ts", "temperature", keys=["lat", "lon"])
+    sev = A.severity(z, "zscore")
+    lo, hi = sev.agg(F.min("severity"), F.max("severity")).first()
+    assert -3 <= lo < 0 < hi <= 3
+
+
+def test_temperature_latitude_gradient(grid):
+    # equator warmer than poles (fixture structure, conftest.py:30-40)
+    by_lat = (grid.groupBy("lat").agg(F.avg("temperature").alias("t"))
+                  .collect())
+    temps = {r["lat"]: r["t"] for r in by_lat}
+    assert temps[0.0] > temps[80.0] and temps[0.0] > temps[-80.0]
+
+
+def test_bbox_simple(grid):
+    # ref tests/test_ingest/test_netcdf_reader.py bbox bounds
+    out = bbox_filter(grid, "lat", "lon", (-20.0, -10.0, 30.0, 10.0))
+    r = out.agg(F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")).first()
+    assert r[0] >= -10.0 and r[1] <= 10.0 and r[2] >= -20.0 and r[3] <= 30.0
+
+
+def test_bbox_antimeridian(grid):
+    # ref netcdf_reader.py:150-154 — box crossing 180° = OR predicate
+    out = bbox_filter(grid, "lat", "lon", (160.0, -10.0, -160.0, 10.0))
+    lons = {r["lon"] for r in out.select("lon").distinct().collect()}
+    assert lons == {160.0, 170.0, -180.0, -170.0, -160.0}
+
+
+def test_bbox_normalizes_0_360(spark, grid):
+    # ref netcdf_reader.py:132-137 — data stored 0..360 still queryable
+    g360 = grid.withColumn("lon", F.when(F.col("lon") < 0,
+                                         F.col("lon") + 360.0)
+                                    .otherwise(F.col("lon")))
+    out = bbox_filter(g360, "lat", "lon", (-20.0, -10.0, 10.0, 10.0),
+                      normalize_lon=True)
+    assert out.count() > 0
+    # normalized lon space: matches the same cells as the native query
+    native = bbox_filter(grid, "lat", "lon", (-20.0, -10.0, 10.0, 10.0))
+    assert out.count() == native.count()
