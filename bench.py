@@ -37,6 +37,7 @@ HEADLINE = [
     "topk_per_group",         # ranking window
     "f9_json_extract",        # JSON scalar path
     "sessionization",         # lag + running-sum window
+    "asof_join_events",       # as-of join (union + last-ignore-nulls window)
     "dedup_minhash",          # shingle explode + signature agg + band join
     "sim_cosine_topk",        # broadcast NL + vector fold
 ]

@@ -5,6 +5,7 @@ Importing this package registers every query into ``registry.REGISTRY``.
 
 from . import (  # noqa: F401
     anomalies,
+    asof_q,
     percentiles,
     plans_q,
     relational,

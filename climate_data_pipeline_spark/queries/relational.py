@@ -466,3 +466,28 @@ def projected_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 predicate=F.col("l_quantity") >= 45,
                 time_col="l_shipdate",
                 time_range=("1996-01-01", "1996-06-30"))
+
+
+@query("unpivot_melt", oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+         SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'qty_o' AS status_col, qty_o AS qty FROM wide WHERE qty_o IS NOT NULL
+UNION ALL
+SELECT l_returnflag, 'qty_f' AS status_col, qty_f AS qty FROM wide WHERE qty_f IS NOT NULL
+""")
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide pivoted aggregates back to long (the xarray
+    dim↔column reshape analogue; SURVEY.md §2.6 pivot/unpivot note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (li.groupBy("l_returnflag")
+              .pivot("l_linestatus", ["O", "F"])
+              .agg(F.sum("l_quantity"))
+              .withColumnRenamed("O", "qty_o")
+              .withColumnRenamed("F", "qty_f"))
+    return (wide.unpivot("l_returnflag", ["qty_o", "qty_f"],
+                         "status_col", "qty")
+                .where(F.col("qty").isNotNull()))

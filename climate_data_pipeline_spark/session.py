@@ -32,6 +32,11 @@ def get_spark(app_name: str = "climate_data_pipeline_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local test files are single ~1-20MB parquets; the 128MB default
+        # split packs each table into 1-3 tasks and starves the cores.
+        # At cluster scale files are sized to the default — tune per-job.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_MAX_PARTITION_BYTES", "4m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
