@@ -89,8 +89,9 @@ def rolling_mean(df: DataFrame, time_col: str, value_col: str,
     time inside each partition — no global sort. Pass extra ``order_cols``
     (e.g. a unique id) to make frame membership deterministic under tied
     timestamps. ``decimal_scale`` switches the frame aggregation to an
-    exact DECIMAL sum / count — order-independent, so results reproduce
-    bit-for-bit across partitionings (and match a SQL oracle).
+    exact scaled-integer sum / count (see ``functions.exact``) —
+    order-independent, so results reproduce bit-for-bit across
+    partitionings (and match a SQL oracle).
     """
     if min_periods is None:
         min_periods = max(window // 2, 1)
@@ -105,7 +106,8 @@ def rolling_mean(df: DataFrame, time_col: str, value_col: str,
     if decimal_scale is None:
         mean = F.avg(value_col).over(w)
     else:
-        dec = F.col(value_col).cast(f"decimal(18,{decimal_scale})")
-        mean = F.sum(dec).over(w).cast("double") / F.count(value_col).over(w)
+        factor = float(10 ** decimal_scale)
+        scaled = F.round(F.col(value_col) * factor).cast("long")
+        mean = (F.sum(scaled).over(w) / factor) / F.count(value_col).over(w)
     guarded = F.when(F.count(value_col).over(w) >= min_periods, mean)
     return df.withColumn(alias, guarded)

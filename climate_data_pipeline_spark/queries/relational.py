@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import exact_sum, sql_exact_sum
 from ..operators.relational import sessionize, top_k
 from ..registry import query
 from ..sources.io import load_table
@@ -20,9 +21,9 @@ from ..sources.io import load_table
 
 # --- join family -----------------------------------------------------------
 
-@query("j_equi_join_star", oracle="""
+@query("j_equi_join_star", oracle=f"""
 SELECT r.r_name AS region, n.n_name AS nation,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       {sql_exact_sum('o.o_totalprice', 2)} AS total_revenue,
        COUNT(*) AS n_orders
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -41,8 +42,7 @@ def equi_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
              .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                   .cast("double").alias("total_revenue"),
+             .agg(exact_sum("o_totalprice", 2).alias("total_revenue"),
                   F.count("*").alias("n_orders")))
 
 
@@ -78,7 +78,7 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("j_outer_join", oracle="""
 SELECT c.c_custkey, c.c_name,
        COUNT(o.o_orderkey) AS n_orders,
-       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
+       COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) / 100.0 AS revenue
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
@@ -91,14 +91,14 @@ def outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.join(o, c.c_custkey == o.o_custkey, "left")
              .groupBy("c_custkey", "c_name")
              .agg(F.count("o_orderkey").alias("n_orders"),
-                  F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
-                             F.lit(0).cast("decimal(18,2)"))
-                   .cast("double").alias("revenue")))
+                  (F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100)
+                                     .cast("long")), F.lit(0))
+                    / 100.0).alias("revenue")))
 
 
-@query("j_range_join", oracle="""
+@query("j_range_join", oracle=f"""
 SELECT p.p_brand, COUNT(*) AS n,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       {sql_exact_sum('l.l_extendedprice', 2)} AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
            AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
@@ -114,8 +114,7 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(p, cond)
               .groupBy("p_brand")
               .agg(F.count("*").alias("n"),
-                   F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                    .cast("double").alias("revenue")))
+                   exact_sum("l_extendedprice", 2).alias("revenue")))
 
 
 # --- set operations ---------------------------------------------------------
@@ -211,10 +210,10 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.grouping("l_linestatus").cast("int").alias("g_status")))
 
 
-@query("cube_agg", oracle="""
+@query("cube_agg", oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       {sql_exact_sum('o_totalprice', 2)} AS revenue
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
@@ -223,8 +222,7 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (o.cube("o_orderstatus", "o_orderpriority")
              .agg(F.count("*").alias("n"),
-                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                   .cast("double").alias("revenue")))
+                  exact_sum("o_totalprice", 2).alias("revenue")))
 
 
 @query("distinct_counts", oracle="""

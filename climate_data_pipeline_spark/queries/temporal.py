@@ -11,16 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import exact_avg, exact_sum, sql_exact_avg, sql_exact_sum
 from ..operators import temporal as T
 from ..registry import query
 from ..sources.io import load_table
-
-
-def _dec(col, scale: int = 2, prec: int = 18):
-    """Order-independent exact sum representation for k-decimal currency
-    doubles (see registry docstring)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({prec},{scale})")
 
 
 # --- flagship: TPC-H Q1-style pricing summary (scan → filter → group-agg) ---
@@ -37,27 +31,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
               F.sum("l_quantity").alias("sum_qty"),
-              F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-              F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
-              F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+              exact_sum("l_extendedprice", 2).alias("sum_base_price"),
+              exact_sum(disc_price, 4).alias("sum_disc_price"),
+              exact_sum(charge, 6).alias("sum_charge"),
               (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
-              (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-              (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+              exact_avg("l_extendedprice", 2).alias("avg_price"),
+              exact_avg("l_discount", 2).alias("avg_disc"),
               F.count("*").alias("count_order"),
           )
     )
 
 
-PRICING_SUMMARY_SQL = """
+PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity)                                           AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-       SUM(l_quantity) / COUNT(*)                                AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
-       COUNT(*)                                                  AS count_order
+       SUM(l_quantity) AS sum_qty,
+       {sql_exact_sum('l_extendedprice', 2)} AS sum_base_price,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       {sql_exact_avg('l_extendedprice', 2)} AS avg_price,
+       {sql_exact_avg('l_discount', 2)} AS avg_disc,
+       COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -68,9 +62,9 @@ query("a11_pricing_summary", oracle=PRICING_SUMMARY_SQL)(pricing_summary)
 
 # --- A1: monthly mean ---
 
-@query("a1_monthly_mean", oracle="""
+@query("a1_monthly_mean", oracle=f"""
 SELECT date_trunc('month', o_orderdate) AS month_start,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       {sql_exact_avg('o_totalprice', 2)} AS avg_value,
        COUNT(*) AS n
 FROM orders
 GROUP BY 1
@@ -80,7 +74,7 @@ def monthly_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders series: mean order value per calendar month, 1995-2001."""
     df = load_table(spark, sf_dir, "orders")
     return (df.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
-              .agg((F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_value"),
+              .agg(exact_avg("o_totalprice", 2).alias("avg_value"),
                    F.count("*").alias("n")))
 
 
@@ -106,9 +100,9 @@ def seasonal_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A3: annual mean ---
 
-@query("a3_annual_mean", oracle="""
+@query("a3_annual_mean", oracle=f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       {sql_exact_avg('o_totalprice', 2)} AS avg_value,
        COUNT(*) AS n
 FROM orders
 GROUP BY 1
@@ -117,7 +111,7 @@ def annual_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference `compute_annual_mean` (`metrics/temporal.py:91-117`)."""
     df = load_table(spark, sf_dir, "orders")
     return (df.groupBy(F.year("o_orderdate").cast("int").alias("year"))
-              .agg((F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_value"),
+              .agg(exact_avg("o_totalprice", 2).alias("avg_value"),
                    F.count("*").alias("n")))
 
 
@@ -159,7 +153,7 @@ def climatology_season(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("w1_rolling_mean", oracle="""
 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
        CASE WHEN COUNT(value) OVER w >= 3
-            THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            THEN (SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0)
                  / COUNT(value) OVER w
        END AS rolling_mean
 FROM events
