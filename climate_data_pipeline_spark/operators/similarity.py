@@ -101,6 +101,53 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
                      bucket.alias("bucket"))
 
 
+def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
+            query_id: str = "q_id", corpus_id: str = "vec_id",
+            query_vec: str = "q_vec", corpus_vec: str = "embedding",
+            n_lists: int = 16, n_probe: int = 2, seed: int = 42) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_lists`` KMeans cells
+    (MLlib, one training pass), then search each query only in its
+    ``n_probe`` nearest cells. The probe step is a broadcast of the tiny
+    centroid table; candidate generation is an equi-join on cell id —
+    the same bucket-join plan as LSH but with learned, data-adaptive
+    cells (higher recall on clustered data)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.withColumn("__v", array_to_vector(
+        _as_double(F.col(corpus_vec))))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__v",
+                predictionCol="__cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select(
+        corpus_id, corpus_vec, "__cell")
+
+    centroids = [(i, [float(x) for x in c])
+                 for i, c in enumerate(model.clusterCenters())]
+    cent_df = queries.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>")
+
+    # nearest n_probe cells per query: tiny cross product vs centroids
+    qc = (queries.join(F.broadcast(cent_df))
+          .withColumn("__d", -cosine(F.col(query_vec), F.col("centroid"))))
+    w = Window.partitionBy(query_id).orderBy(F.col("__d").asc(),
+                                             F.col("cell").asc())
+    probes = (qc.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= n_probe)
+                .select(query_id, query_vec, F.col("cell").alias("__cell")))
+
+    cand = (assigned.join(probes, "__cell")
+                    .where(F.col(query_id) != F.col(corpus_id)))
+    cos = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6)
+    rw = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                              F.col(corpus_id).asc())
+    return (cand.withColumn("cosine", cos)
+                .withColumn("rank", F.row_number().over(rw).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(query_id, corpus_id, F.col("__cell").alias("cell"),
+                        "cosine", "rank"))
+
+
 def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
             query_id: str = "q_id", corpus_id: str = "vec_id",
             query_vec: str = "q_vec", corpus_vec: str = "embedding",

@@ -13,5 +13,6 @@ from . import (  # noqa: F401
     stats,
     temporal,
     text_dedup,
+    tpch_like,
     trends,
 )

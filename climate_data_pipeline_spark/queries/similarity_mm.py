@@ -109,3 +109,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload(docs, "doc_id", "text", media_type="video/fake")
     return MM.frame_sample(media, every_n=64)
+
+
+@query("sim_ivf_ann", oracle=None)  # learned clustering → rows-only check
+def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans cells (MLlib) + n_probe nearest-cell search — the
+    learned-partition counterpart of the hyperplane LSH path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return SIM.ivf_ann(queries, emb, k=3, n_lists=8, n_probe=2)

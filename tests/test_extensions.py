@@ -143,3 +143,17 @@ def test_frame_sample_multiplies_rows(spark, docs):
     bad = joined.where(
         F.col("count") != F.ceil(F.col("n_bytes") / 64)).count()
     assert bad == 0
+
+
+def test_ivf_ann_recall_beats_random(emb):
+    queries = (emb.where(F.col("vec_id") < 20)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    exact = {(r["q_id"], r["vec_id"])
+             for r in SIM.cosine_topk(queries, emb, k=3).collect()}
+    ivf = {(r["q_id"], r["vec_id"])
+           for r in SIM.ivf_ann(queries, emb, k=3, n_lists=8,
+                                n_probe=2).collect()}
+    recall = len(exact & ivf) / len(exact)
+    # probing 2/8 cells examines ~25% of the corpus; recall must beat that
+    assert recall > 0.25
