@@ -78,3 +78,58 @@ def run_stream_to_memory(df: DataFrame, name: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def streaming_running_zscore(spark: SparkSession, sf_dir: str,
+                             min_history: int = 5) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running anomaly detector. State = Welford (n, mean, M2)
+    per user; each micro-batch emits the batch's events z-scored against
+    the history *before* the batch, then folds the batch into state.
+
+    This is the pattern the reference has no analogue for (strictly batch,
+    SURVEY.md §2.9) and the one genuinely stateful extension point
+    Structured Streaming adds: bounded per-key state, incremental updates,
+    timeout-based eviction (unused here — event-time bounded input).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _read_events_stream(spark, sf_dir)
+    out_schema = ("user_id long, event_id long, value double, "
+                  "history_n long, zscore double")
+    state_schema = "n long, mean double, m2 double"
+
+    def detect(key, pdfs, state: GroupState):
+        # closure-local imports/helpers only (cloudpickle ships by value)
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            pre_n, pre_mean, pre_m2 = n, mean, m2
+            std = (math.sqrt(pre_m2 / (pre_n - 1))
+                   if pre_n > 1 else float("nan"))
+            z = ((pdf["value"] - pre_mean) / std
+                 if pre_n >= min_history and std and std > 0
+                 else pd.Series([float("nan")] * len(pdf),
+                                index=pdf.index))
+            outs.append(pd.DataFrame({
+                "user_id": user_id, "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "history_n": pre_n, "zscore": z}))
+            for v in pdf["value"]:          # Welford fold
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.concat(outs)
+
+    return (ev.groupBy("user_id")
+              .applyInPandasWithState(detect, out_schema, state_schema,
+                                      "append",
+                                      GroupStateTimeout.NoTimeout))

@@ -157,3 +157,18 @@ def test_streaming_sessionize_runs(spark, sf_dir):
     run_stream_to_memory(s, "sessions_out", output_mode="complete")
     n = spark.sql("SELECT count(*) c FROM sessions_out").first()["c"]
     assert n > 0
+
+
+def test_streaming_stateful_zscore(spark, sf_dir):
+    from climate_data_pipeline_spark.streaming.rollup import (
+        run_stream_to_memory,
+        streaming_running_zscore,
+    )
+
+    out = streaming_running_zscore(spark, sf_dir, min_history=5)
+    run_stream_to_memory(out, "zscore_out", output_mode="append")
+    res = spark.sql("SELECT * FROM zscore_out")
+    assert res.count() > 0
+    # single micro-batch → every row scored against empty history = null z
+    assert res.where(F.col("zscore").isNotNull()).count() == 0
+    assert res.where(F.col("history_n") != 0).count() == 0

@@ -1,0 +1,98 @@
+"""Skew-operator equivalence tests + physical-plan quality regression
+guards for the headline queries (the 100 TB story, locked in CI)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipeline_spark import registry
+from climate_data_pipeline_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+    skew_report,
+)
+from climate_data_pipeline_spark.sources.io import load_table
+
+registry._load_all()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_salted_aggregate_equals_plain(lineitem):
+    got = {r["l_returnflag"]: (r["s"], r["n"], r["mx"])
+           for r in salted_aggregate(
+               lineitem, ["l_returnflag"],
+               {"s": ("sum", "l_quantity"), "n": ("count", "l_quantity"),
+                "mx": ("max", "l_quantity")}).collect()}
+    want = {r["l_returnflag"]: (r["s"], r["n"], r["mx"])
+            for r in lineitem.groupBy("l_returnflag")
+                             .agg(F.sum("l_quantity").alias("s"),
+                                  F.count("l_quantity").alias("n"),
+                                  F.max("l_quantity").alias("mx")).collect()}
+    assert got == want
+
+
+def test_salted_aggregate_rejects_nonalgebraic(lineitem):
+    with pytest.raises(ValueError, match="fn must be one of"):
+        salted_aggregate(lineitem, ["l_returnflag"],
+                         {"m": ("median", "l_quantity")})
+
+
+def test_salted_join_equals_plain(spark, sf_dir, lineitem):
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = lineitem.select(F.col("l_partkey").alias("p_partkey"), "l_quantity")
+    plain = li.join(part, "p_partkey").groupBy("p_brand") \
+              .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    salted = salted_join(li, part, "p_partkey", n_salts=4) \
+        .groupBy("p_brand").agg(F.count("*").alias("n"),
+                                F.sum("l_quantity").alias("q"))
+    assert sorted(map(tuple, plain.collect())) == \
+           sorted(map(tuple, salted.collect()))
+
+
+def test_skew_report(lineitem):
+    rep = skew_report(lineitem, "l_returnflag", top_n=3).collect()
+    assert len(rep) == 3
+    assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-9  # 3 flags total
+
+
+# --- plan-quality regression guards ------------------------------------------
+
+
+def _plan(spark, sf_small, name: str) -> str:
+    df = registry.REGISTRY[name].fn(spark, sf_small)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_small):
+    plan = _plan(spark, sf_small, "j_equi_join_star")
+    assert "SortMergeJoin" not in plan  # every dim side broadcasts at sf0.001
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_anomaly_join_is_broadcast(spark, sf_small):
+    plan = _plan(spark, sf_small, "j1_anomaly_join")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_aggregations_have_map_side_partials(spark, sf_small):
+    for name in ("a11_pricing_summary", "a1_monthly_mean", "a8_linear_trend"):
+        plan = _plan(spark, sf_small, name)
+        assert "partial_" in plan, f"{name}: no map-side partial aggregation"
+        assert plan.count("Exchange ") == 1, f"{name}: expected exactly 1 shuffle"
+
+
+def test_rolling_single_shuffle(spark, sf_small):
+    plan = _plan(spark, sf_small, "w1_rolling_mean")
+    assert plan.count("Exchange ") == 1  # partition by user only, no global sort
+
+
+def test_scan_query_prunes_columns(spark, sf_small):
+    plan = _plan(spark, sf_small, "s2_projected_scan")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema  # unprojected column pruned
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
