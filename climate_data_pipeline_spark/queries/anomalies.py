@@ -117,3 +117,42 @@ def percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
                       "l_quantity",
                       F.round("percentile_rank", 6).alias("percentile_rank"))
+
+
+@query("f5_anomaly_labels", oracle=f"""
+WITH sev AS (
+  SELECT l_orderkey, l_linenumber, month, l_returnflag, zscore,
+         CAST(CASE WHEN zscore < -2.0 THEN -3
+                   WHEN zscore < -1.5 THEN -2
+                   WHEN zscore < -1.0 THEN -1
+                   WHEN zscore <= 1.0 THEN 0
+                   WHEN zscore <= 1.5 THEN 1
+                   WHEN zscore <= 2.0 THEN 2
+                   ELSE 3 END AS INTEGER) AS severity
+  FROM ({_Z_SQL_CORE})
+)
+SELECT severity,
+       CASE WHEN severity = -3 THEN 'extreme_low'
+            WHEN severity = -2 THEN 'severe_low'
+            WHEN severity = -1 THEN 'moderate_low'
+            WHEN severity = 0  THEN 'normal'
+            WHEN severity = 1  THEN 'moderate_high'
+            WHEN severity = 2  THEN 'severe_high'
+            ELSE 'extreme_high' END AS label,
+       COUNT(*) AS n
+FROM sev
+GROUP BY 1, 2
+""")
+def anomaly_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — severity level → human label (reference
+    `api/routes/metrics.py:221-250`), with the band population counts."""
+    from ..functions.scalars import anomaly_label
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = A.zscore(li, "l_shipdate", "l_quantity", keys=["l_returnflag"],
+                 groupby="month", method="join")
+    z = z.withColumn("zscore", F.round("zscore", 6))
+    sev = z.withColumn("severity", severity_from_z("zscore"))
+    return (sev.withColumn("label", anomaly_label("severity"))
+               .groupBy("severity", "label")
+               .agg(F.count("*").alias("n")))
