@@ -2,7 +2,8 @@
 
 l_quantity is integer-valued so climatology means are exact IEEE sums —
 anomalies are bit-deterministic. Z-scores involve stddev (order-sensitive
-accumulation) and are rounded to 6 dp in engine AND oracle (error ~1e-13).
+accumulation) and are rounded to 4 dp in engine AND oracle — the margin
+sits ~9 orders of magnitude above the ~1e-13 accumulation error.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ _Z_SQL_CORE = """
 SELECT l_orderkey, l_linenumber,
        CAST(month(l_shipdate) AS INTEGER) AS month,
        l_returnflag, l_quantity,
-       round((l_quantity - avg(l_quantity) OVER w) / stddev_samp(l_quantity) OVER w, 6) AS zscore
+       round((l_quantity - avg(l_quantity) OVER w) / stddev_samp(l_quantity) OVER w, 4) AS zscore
 FROM lineitem
 WINDOW w AS (PARTITION BY month(l_shipdate), l_returnflag)
 """
@@ -52,7 +53,7 @@ def zscore_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = A.zscore(li, "l_shipdate", "l_quantity", keys=["l_returnflag"],
                    groupby="month", method="join")
     return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
-                      "l_quantity", F.round("zscore", 6).alias("zscore"))
+                      "l_quantity", F.round("zscore", 4).alias("zscore"))
 
 
 @query("f4_severity", oracle=f"""
@@ -73,7 +74,7 @@ def severity_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     z = A.zscore(li, "l_shipdate", "l_quantity", keys=["l_returnflag"],
                  groupby="month", method="join")
-    z = z.withColumn("zscore", F.round("zscore", 6))
+    z = z.withColumn("zscore", F.round("zscore", 4))
     return (z.withColumn("severity", severity_from_z("zscore"))
              .select("l_orderkey", "l_linenumber", "month", "l_returnflag",
                      "zscore", "severity"))
@@ -103,7 +104,7 @@ SELECT l.l_orderkey, l.l_linenumber, thr.month, l.l_returnflag, l.l_quantity,
               THEN 25.0 + (l.l_quantity - t25) / (t50 - t25) * 25.0
          WHEN l.l_quantity >= t10 AND l.l_quantity < t25 AND t25 > t10
               THEN 10.0 + (l.l_quantity - t10) / (t25 - t10) * 15.0
-         ELSE 10.0 END, 6) AS percentile_rank
+         ELSE 10.0 END, 4) AS percentile_rank
 FROM lineitem l
 JOIN thr ON thr.month = CAST(month(l.l_shipdate) AS INTEGER)
         AND thr.l_returnflag = l.l_returnflag
@@ -116,7 +117,7 @@ def percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = A.percentile_rank(li, "l_shipdate", "l_quantity", keys=["l_returnflag"])
     return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
                       "l_quantity",
-                      F.round("percentile_rank", 6).alias("percentile_rank"))
+                      F.round("percentile_rank", 4).alias("percentile_rank"))
 
 
 @query("f5_anomaly_labels", oracle=f"""
@@ -151,7 +152,7 @@ def anomaly_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     z = A.zscore(li, "l_shipdate", "l_quantity", keys=["l_returnflag"],
                  groupby="month", method="join")
-    z = z.withColumn("zscore", F.round("zscore", 6))
+    z = z.withColumn("zscore", F.round("zscore", 4))
     sev = z.withColumn("severity", severity_from_z("zscore"))
     return (sev.withColumn("label", anomaly_label("severity"))
                .groupBy("severity", "label")
