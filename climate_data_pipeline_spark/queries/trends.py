@@ -82,3 +82,61 @@ def mann_kendall_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                              alias="avg_qty")
     return TR.mann_kendall(monthly, "month_start", "avg_qty",
                            keys=["l_returnflag", "l_linestatus"], alpha=0.05)
+
+
+# Mann-Kendall core statistics ARE SQL-expressible on the aggregated
+# series (pairwise self-join); only the z→p step needs erfc, which SQL
+# lacks. This companion query oracle-checks S, Var(S) and Sen's slope,
+# upgrading A9 from a rows-only to a value-checked operator.
+@query("a9_mk_s_stat", oracle="""
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         date_trunc('month', l_shipdate) AS mo,
+         AVG(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.l_returnflag, a.l_linestatus,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+         (b.v - a.v) / ((epoch(b.mo) - epoch(a.mo)) / (365.25 * 86400)) AS slope
+  FROM m a JOIN m b
+    ON a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
+   AND a.mo < b.mo
+),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(sgn) AS DOUBLE) AS s_stat,
+         round(quantile_cont(slope, 0.5), 8) AS sen_slope
+  FROM pairs GROUP BY 1, 2
+),
+ties AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS t
+  FROM m GROUP BY l_returnflag, l_linestatus, v HAVING count(*) > 1
+),
+vars AS (
+  SELECT m.l_returnflag, m.l_linestatus, count(*) AS n,
+         (count(*) * (count(*) - 1) * (2 * count(*) + 5)
+          - COALESCE((SELECT SUM(t * (t - 1) * (2 * t + 5)) FROM ties
+                      WHERE ties.l_returnflag = m.l_returnflag
+                        AND ties.l_linestatus = m.l_linestatus), 0)) / 18.0
+         AS var_s
+  FROM m GROUP BY 1, 2
+)
+SELECT s.l_returnflag, s.l_linestatus, s.s_stat, vars.var_s,
+       s.sen_slope, vars.n
+FROM s JOIN vars USING (l_returnflag, l_linestatus)
+""")
+def mk_s_stat_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (oracle-checked core): the same applyInPandas kernel as
+    a9_mann_kendall, projected to its SQL-expressible outputs — S
+    (exact integer-valued), tie-corrected Var(S) (exact rational), and
+    Sen's slope (median of pairwise slopes, rounded to absorb the
+    ns-vs-s epoch-arithmetic ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = T.monthly_mean(li, "l_shipdate", "l_quantity",
+                             keys=["l_returnflag", "l_linestatus"],
+                             alias="avg_qty")
+    out = TR.mann_kendall(monthly, "month_start", "avg_qty",
+                          keys=["l_returnflag", "l_linestatus"])
+    return out.select("l_returnflag", "l_linestatus", "s_stat", "var_s",
+                      F.round("sen_slope", 8).alias("sen_slope"), "n")
