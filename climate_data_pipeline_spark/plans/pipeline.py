@@ -32,9 +32,11 @@ class PipelineStep:
 
 @dataclass
 class Pipeline:
-    """Eager pipeline: ordered named steps, per-step wall-clock timing on
-    execute (the reference's ProgressBar analogue,
-    `dask_pipeline.py:74-81`)."""
+    """Eager pipeline: ordered named steps (the reference's Pipeline,
+    `dask_pipeline.py:16-94`). Step timings measure plan *construction*
+    (lazy, ~0); actual execution happens once at materialization and is
+    recorded under ``__materialize__`` — the same split as the
+    reference's build-then-`.compute()` under a ProgressBar."""
     steps: list[PipelineStep] = field(default_factory=list)
     timings: dict[str, float] = field(default_factory=dict)
 

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     relational,
     similarity_mm,
     stats,
+    stats_extra,
     temporal,
     text_dedup,
     tpch_like,
