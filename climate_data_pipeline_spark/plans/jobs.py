@@ -1,0 +1,68 @@
+"""Batch-job entry points (SURVEY.md §2.10 O4+O6): the engine-side
+equivalent of the reference's Celery tasks — load → apply an op-dict
+plan → write with a layout preset → verify the output.
+
+Reference: `process_dataset` (`tasks/celery_tasks.py:33-81`, op
+interpreter at 210-231) and `convert_to_zarr_task`
+(`celery_tasks.py:160-207`, load → convert → verify info). In Spark these
+are plain functions: enqueueing/retries belong to whatever scheduler
+submits the job (Airflow, spark-submit cron, Celery itself) — the engine
+contract is the deterministic plan in the middle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+from ..sources.io import load_table, parquet_info, write_parquet
+from .ops import run_ops
+
+
+def process_dataset(spark: SparkSession, sf_dir: str, table: str,
+                    output_path: str, operations: Sequence[dict] = (),
+                    layout: str = "balanced",
+                    entity_cols: Sequence[str] = (),
+                    time_col: str | None = None,
+                    compression: str = "zstd",
+                    overwrite: bool = False) -> dict:
+    """load → op-dict plan → layout-preset write → verify.
+
+    Returns the reference's result-dict shape
+    (`celery_tasks.py:70-77`): status, output path, output info.
+    """
+    df = load_table(spark, sf_dir, table)
+    if operations:
+        df = run_ops(df, operations)
+    write_parquet(df, output_path, layout=layout, entity_cols=entity_cols,
+                  time_col=time_col, compression=compression,
+                  overwrite=overwrite)
+    info = parquet_info(spark, output_path)
+    return {
+        "status": "completed",
+        "input": f"{sf_dir}/{table}.parquet",
+        "output_path": output_path,
+        "operations_applied": len(operations),
+        "output_info": info,
+    }
+
+
+def convert_dataset(spark: SparkSession, sf_dir: str, table: str,
+                    output_path: str, layout: str = "balanced",
+                    entity_cols: Sequence[str] = (),
+                    time_col: str | None = None,
+                    compression: str = "zstd",
+                    overwrite: bool = False) -> dict:
+    """Pure format/layout conversion (O6) — process_dataset with no ops;
+    verifies row-count parity between input and output."""
+    result = process_dataset(spark, sf_dir, table, output_path,
+                             operations=(), layout=layout,
+                             entity_cols=entity_cols, time_col=time_col,
+                             compression=compression, overwrite=overwrite)
+    in_rows = load_table(spark, sf_dir, table).count()
+    out_rows = result["output_info"]["num_rows"]
+    result["verified"] = in_rows == out_rows
+    if not result["verified"]:
+        result["status"] = "verification_failed"
+    return result

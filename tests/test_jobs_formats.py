@@ -1,0 +1,77 @@
+"""Batch-job entry points + source-format breadth (CSV/JSON/ORC round
+trips with explicit schemas) + approx-vs-exact percentile validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipeline_spark.plans.jobs import convert_dataset, process_dataset
+from climate_data_pipeline_spark.sources.io import load_table
+
+
+def test_process_dataset_end_to_end(spark, sf_small, tmp_path):
+    out = str(tmp_path / "monthly")
+    result = process_dataset(
+        spark, sf_small, "lineitem", out,
+        operations=[
+            {"op": "slice_time", "column": "l_shipdate",
+             "start": "1996-01-01", "end": "1997-12-31"},
+            {"op": "resample", "freq": "month", "column": "l_shipdate",
+             "keys": ["l_returnflag"],
+             "aggs": {"avg_qty": "mean(l_quantity)", "n": "count(l_quantity)"}},
+        ],
+        layout="balanced", entity_cols=["l_returnflag"], time_col="period")
+    assert result["status"] == "completed"
+    assert result["operations_applied"] == 2
+    back = spark.read.parquet(out)
+    assert back.count() == result["output_info"]["num_rows"] > 0
+    assert set(back.columns) == {"period", "l_returnflag", "avg_qty", "n"}
+
+
+def test_convert_dataset_verifies(spark, sf_small, tmp_path):
+    out = str(tmp_path / "conv")
+    result = convert_dataset(spark, sf_small, "orders", out,
+                             layout="timeseries", entity_cols=["o_custkey"],
+                             time_col="o_orderdate")
+    assert result["status"] == "completed" and result["verified"]
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_format_round_trips(spark, sf_small, tmp_path, fmt):
+    """The reference reads one format (NetCDF) and writes one (Zarr);
+    Spark's source breadth is a freebie — verify CSV/JSON/ORC round-trip
+    with explicit schemas (never inferSchema in production paths)."""
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / f"orders_{fmt}")
+    writer = orders.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+        back = (spark.read.schema(orders.schema)
+                .option("header", True).csv(path))
+    elif fmt == "json":
+        writer.json(path)
+        back = spark.read.schema(orders.schema).json(path)
+    else:
+        writer.orc(path)
+        back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    got = back.agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))).first()[0]
+    want = orders.agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))).first()[0]
+    assert got == want  # exact content parity via scaled-int checksum
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """The documented 100 TB path (approx_percentile sketch) must sit
+    within tolerance of the exact oracle-parity path."""
+    from climate_data_pipeline_spark.operators.percentiles import grouped_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = grouped_percentiles(li, "l_shipdate", "l_extendedprice",
+                                groupby=None, exact=True, long_format=False)
+    approx = grouped_percentiles(li, "l_shipdate", "l_extendedprice",
+                                 groupby=None, exact=False, long_format=False)
+    e, a = exact.first(), approx.first()
+    for p in (10, 25, 50, 75, 90, 95, 99):
+        rel = abs(a[f"p{p}"] - e[f"p{p}"]) / abs(e[f"p{p}"])
+        assert rel < 0.01, f"p{p}: approx {a[f'p{p}']} vs exact {e[f'p{p}']}"
