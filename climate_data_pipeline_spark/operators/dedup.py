@@ -110,11 +110,26 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        n: int = 3, min_jaccard: float = 0.5) -> DataFrame:
+                        n: int = 3, min_jaccard: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the inverted index:
     pairs sharing ≥1 shingle are generated by the shingle equi-join
-    (never |docs|²), then J = |∩| / (|A| + |B| − |∩|) filters exactly."""
-    ds = _doc_shingles(df, text_col, id_col, n).cache()
+    (never |docs|²), then J = |∩| / (|A| + |B| − |∩|) filters exactly.
+
+    ``max_df`` enables the standard similarity-join scale fix: shingles
+    appearing in more than ``max_df`` documents are dropped *before* the
+    join (a shingle shared by k docs contributes k² candidate pairs but
+    near-zero discrimination). Jaccard is then computed over the capped
+    shingle universe — a documented variant, consistent on both sides of
+    the oracle. The driver corpus has no hot shingles (max df 25 at
+    sf0.1) so the cap is inert there; on real corpora with boilerplate
+    phrases the join volume term Σ df² is exactly what it bounds."""
+    ds = _doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (ds.groupBy("shingle").agg(F.count("*").alias("__df"))
+                  .where(F.col("__df") <= max_df).select("shingle"))
+        ds = ds.join(rare, "shingle")
+    ds = ds.cache()
     sizes = ds.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = ds.alias("a"), ds.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

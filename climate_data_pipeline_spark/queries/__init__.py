@@ -6,6 +6,7 @@ Importing this package registers every query into ``registry.REGISTRY``.
 from . import (  # noqa: F401
     anomalies,
     asof_q,
+    merge_q,
     percentiles,
     plans_q,
     relational,

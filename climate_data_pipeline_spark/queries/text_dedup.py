@@ -208,3 +208,34 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching it proves the banding loses nothing."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
+
+
+@query("dedup_ngram_jaccard_dfcap", oracle=f"""
+WITH {_SHINGLES_CTE.strip()},
+capped AS (
+  SELECT ds.id, ds.shingle FROM ds
+  JOIN (SELECT shingle FROM ds GROUP BY shingle HAVING count(*) <= 20) r
+    ON r.shingle = ds.shingle
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM capped GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       c.n_common / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+""")
+def ngram_jaccard_dfcap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale variant of the Jaccard similarity join: shingles in
+    more than 20 documents are dropped before the inverted-index join
+    (hot common shingles contribute k² candidates and ~0 discrimination).
+    Jaccard is over the capped universe — identical definition in the
+    oracle, so the scale optimization is itself correctness-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                 min_jaccard=0.5, max_df=20)
