@@ -145,6 +145,50 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   .select("id_a", "id_b", "n_common", "jaccard"))
 
 
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", max_rounds: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list → one row per
+    member ``(id, cluster_id, is_canonical)`` where ``cluster_id`` is the
+    minimum id reachable through pair edges (the canonical survivor).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the minimum label among itself and its neighbors; fixpoint is
+    detected by counting label changes. Rounds cost one shuffle each
+    (join on the edge endpoint + groupBy node), and ``localCheckpoint``
+    truncates the lineage so round N's plan doesn't replay rounds 1..N-1.
+
+    Scale note: propagation converges in O(graph diameter) rounds. For
+    near-duplicate graphs this is the *right* trade — similarity clusters
+    are quasi-cliques (every member pairs with most others), so the
+    diameter is 1-3 and the loop exits after ~3 cheap shuffles; the
+    O(log n) large-star/small-star alternative only pays off on
+    long-chain topologies that near-dup thresholds (J ≥ 0.5) cannot
+    produce. ``max_rounds`` bounds the adversarial case.
+    """
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+                  .union(pairs.select(F.col(id_b).alias("u"),
+                                      F.col(id_a).alias("v")))
+                  .distinct()
+                  .localCheckpoint())
+    labels = (edges.select("u").distinct()
+                   .select(F.col("u").alias("id"), F.col("u").alias("label")))
+    for _ in range(max_rounds):
+        neigh = (edges.join(labels.withColumnRenamed("id", "v"), "v")
+                      .groupBy("u").agg(F.min("label").alias("nmin")))
+        new = (labels.join(neigh.withColumnRenamed("u", "id"), "id", "left")
+                     .select("id", F.least("label", F.coalesce("nmin", "label"))
+                              .alias("label"))
+                     .localCheckpoint())
+        changed = (new.alias("n")
+                      .join(labels.alias("o"), "id")
+                      .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"),
+                         (F.col("id") == F.col("label")).alias("is_canonical"))
+
+
 def _hex_to_long(hex_col: Column) -> Column:
     """First-8-hex-chars → bigint (stable 32-bit word hash)."""
     return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")

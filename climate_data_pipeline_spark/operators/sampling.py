@@ -1,0 +1,94 @@
+"""Deterministic sampling and dataset splitting (beyond-reference
+extension for training-data pipelines).
+
+Training pipelines need train/val/test assignment that is (a) stable
+across runs and cluster sizes — re-running on 10 or 1000 executors must
+give byte-identical splits, (b) a pure per-row map — no shuffle, no
+global state, streams through 100 TB — and (c) portable, so any engine
+(here: DuckDB as the oracle) derives the same assignment.
+
+Spark's ``df.sample``/``sampleBy`` fail (a) and (c): they draw from a
+partition-seeded RNG, so results change with partitioning. Instead we
+bucket each row by a cryptographic hash of its id — ``md5`` is available
+and bit-identical in Spark, DuckDB, and every warehouse engine — and cut
+bucket ranges per split. Hash quality makes bucket occupancy uniform to
+within sampling noise, so split sizes track the requested weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = N_BUCKETS,
+                salt: str = "") -> Column:
+    """Uniform bucket in [0, n_buckets) from md5 of the id (+ optional
+    salt — distinct salts give independent assignments). First 8 hex
+    chars → 32-bit int → mod: portable SQL is
+    ``('0x' || substr(md5(id::VARCHAR || salt), 1, 8))::BIGINT % n``."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt)) \
+        if isinstance(id_col, str) else F.concat(id_col.cast("string"),
+                                                 F.lit(salt))
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+             .cast("long") % n_buckets)
+
+
+def sql_hash_bucket(id_expr: str, n_buckets: int = N_BUCKETS,
+                    salt: str = "") -> str:
+    """The DuckDB-side expression equivalent to :func:`hash_bucket` —
+    kept adjacent so the two definitions can't drift."""
+    key = f"CAST({id_expr} AS VARCHAR) || '{salt}'" if salt \
+        else f"CAST({id_expr} AS VARCHAR)"
+    return f"CAST(('0x' || substr(md5({key}), 1, 8)) AS BIGINT) % {n_buckets}"
+
+
+def deterministic_split(df: DataFrame, id_col: str,
+                        weights: dict[str, float],
+                        salt: str = "") -> DataFrame:
+    """Assign every row to a named split by hash-bucket range; weights
+    must sum to 1. Adds a ``split`` column; narrow (no shuffle), stable
+    under any partitioning, and re-derivable by any engine."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, salt=salt)
+    cuts, acc = [], 0.0
+    for name, w in weights.items():
+        acc += w
+        cuts.append((name, int(round(acc * N_BUCKETS))))
+    case = None
+    for name, hi in cuts:
+        cond = bucket < hi
+        case = F.when(cond, F.lit(name)) if case is None \
+            else case.when(cond, F.lit(name))
+    return df.withColumn("split", case)
+
+
+def sql_split_case(id_expr: str, weights: dict[str, float],
+                   salt: str = "") -> str:
+    """DuckDB CASE expression mirroring :func:`deterministic_split`."""
+    b = sql_hash_bucket(id_expr, salt=salt)
+    acc, arms = 0.0, []
+    for name, w in weights.items():
+        acc += w
+        arms.append(f"WHEN {b} < {int(round(acc * N_BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float,
+                         salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash bucket — deterministic,
+    partition-independent, and consistent across tables sharing the id
+    (sampling users samples *all* rows of each kept user if keyed on the
+    user id — the standard correlated-sampling trick)."""
+    return df.where(hash_bucket(id_col, salt=salt)
+                    < int(round(fraction * N_BUCKETS)))
+
+
+def sql_sample_pred(id_expr: str, fraction: float, salt: str = "") -> str:
+    """DuckDB predicate mirroring :func:`deterministic_sample`."""
+    return (f"{sql_hash_bucket(id_expr, salt=salt)} "
+            f"< {int(round(fraction * N_BUCKETS))}")

@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     percentiles,
     plans_q,
     relational,
+    sampling_q,
     similarity_mm,
     stats,
     stats_extra,

@@ -210,6 +210,48 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
 
 
+@query("dedup_clusters", oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()},
+sizes AS (SELECT id, count(*) AS n_sh FROM ds GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(src, dst) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+)
+SELECT src AS id, min(dst) AS cluster_id,
+       (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src
+""")
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the exact
+    Jaccard ≥ 0.5 pair graph via iterative min-label propagation
+    (``operators/dedup.duplicate_clusters``). The oracle computes the full
+    reachability closure with a recursive CTE and takes the min reachable
+    id — matching it proves the propagation converged to true components,
+    not just 1-hop neighborhoods."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                  n=3, min_jaccard=0.5)
+    return D.duplicate_clusters(pairs)
+
+
 @query("dedup_ngram_jaccard_dfcap", oracle=f"""
 WITH {_SHINGLES_CTE.strip()},
 capped AS (

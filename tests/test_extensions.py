@@ -157,3 +157,52 @@ def test_ivf_ann_recall_beats_random(emb):
     recall = len(exact & ivf) / len(exact)
     # probing 2/8 cells examines ~25% of the corpus; recall must beat that
     assert recall > 0.25
+
+
+def test_duplicate_clusters_chain_converges(spark):
+    # A 6-node path graph (worst case for label propagation: diameter 5)
+    # must still collapse to a single component rooted at the minimum id.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        ["id_a", "id_b"])
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"])
+           for r in D.duplicate_clusters(pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (1, False), 5: (1, False), 6: (1, False),
+                   10: (10, True), 11: (10, False)}
+
+
+def test_deterministic_split_partition_invariant(spark, sf_dir):
+    from climate_data_pipeline_spark.operators import sampling as S
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = S.deterministic_split(docs, "doc_id", w).select("doc_id", "split")
+    b = S.deterministic_split(docs.repartition(13), "doc_id", w) \
+         .select("doc_id", "split")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    # exhaustive and disjoint: every doc in exactly one split
+    assert a.count() == docs.count()
+    assert a.select("doc_id").distinct().count() == docs.count()
+
+
+def test_deterministic_split_weights_validated(spark, sf_dir):
+    from climate_data_pipeline_spark.operators import sampling as S
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        S.deterministic_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_correlated_sample_all_or_nothing_per_key(spark, sf_dir):
+    from climate_data_pipeline_spark.operators import sampling as S
+    orders = load_table(spark, sf_dir, "orders")
+    kept = S.deterministic_sample(orders, "o_custkey", 0.25)
+    # every sampled customer keeps their FULL order history
+    full = orders.groupBy("o_custkey").count().withColumnRenamed("count", "n_all")
+    samp = kept.groupBy("o_custkey").count().withColumnRenamed("count", "n_kept")
+    broken = samp.join(full, "o_custkey") \
+                 .where(F.col("n_kept") != F.col("n_all")).count()
+    assert broken == 0
+    # fraction lands near 25% (hash uniformity)
+    n_cust = full.count()
+    n_samp = samp.count()
+    assert abs(n_samp / n_cust - 0.25) < 0.05
