@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     anomalies,
     asof_q,
     merge_q,
+    packing_q,
     percentiles,
     plans_q,
     relational,

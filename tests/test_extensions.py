@@ -206,3 +206,23 @@ def test_correlated_sample_all_or_nothing_per_key(spark, sf_dir):
     n_cust = full.count()
     n_samp = samp.count()
     assert abs(n_samp / n_cust - 0.25) < 0.05
+
+
+def test_pack_sequences_invariants(spark):
+    from climate_data_pipeline_spark.operators import packing as PK
+    rows = [(i, (i * 37) % 300 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    packed = PK.pack_sequences(df, "doc_id", "n_tok",
+                               budget=256, n_groups=4).cache()
+    stats = PK.chunk_stats(packed, budget=256)
+    # only single-doc chunks may exceed the budget (oversized docs)
+    over = stats.where((F.col("chunk_tokens") > 256) & (F.col("n_docs") > 1))
+    assert over.count() == 0
+    # greedy tightness: chunk k+1's first doc would NOT have fit in chunk k
+    pdf = packed.toPandas().sort_values(["pack_group", "id"])
+    for g, grp in pdf.groupby("pack_group"):
+        toks = grp.groupby("chunk_id")["n_tokens"].sum()
+        firsts = grp.drop_duplicates("chunk_id").set_index("chunk_id")["n_tokens"]
+        for k in range(len(toks) - 1):
+            assert toks.iloc[k] + firsts.iloc[k + 1] > 256
+    assert packed.count() == 200
