@@ -40,6 +40,7 @@ HEADLINE = [
     "asof_join_events",       # as-of join (union + last-ignore-nulls window)
     "dedup_minhash",          # shingle explode + signature agg + band join
     "sim_cosine_topk",        # broadcast NL + vector fold
+    "pack_sequences",         # Arrow applyInPandas greedy kernel
 ]
 
 

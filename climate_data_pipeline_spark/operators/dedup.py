@@ -165,26 +165,31 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     long-chain topologies that near-dup thresholds (J ≥ 0.5) cannot
     produce. ``max_rounds`` bounds the adversarial case.
     """
+    # duplicate edges don't affect a min-aggregation, so no distinct()
+    # (saves a full shuffle of the edge list before the loop)
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
                   .union(pairs.select(F.col(id_b).alias("u"),
                                       F.col(id_a).alias("v")))
-                  .distinct()
                   .localCheckpoint())
     labels = (edges.select("u").distinct()
                    .select(F.col("u").alias("id"), F.col("u").alias("label")))
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neigh = (edges.join(labels.withColumnRenamed("id", "v"), "v")
                       .groupBy("u").agg(F.min("label").alias("nmin")))
         new = (labels.join(neigh.withColumnRenamed("u", "id"), "id", "left")
                      .select("id", F.least("label", F.coalesce("nmin", "label"))
                               .alias("label"))
                      .localCheckpoint())
-        changed = (new.alias("n")
-                      .join(labels.alias("o"), "id")
-                      .where(F.col("n.label") != F.col("o.label")).count())
+        # round 1 always changes labels on any non-empty edge set — only
+        # pay the convergence-count job from round 2 on
+        if rnd > 0:
+            changed = (new.alias("n")
+                          .join(labels.alias("o"), "id")
+                          .where(F.col("n.label") != F.col("o.label")).count())
+            if changed == 0:
+                labels = new
+                break
         labels = new
-        if changed == 0:
-            break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"),
                          (F.col("id") == F.col("label")).alias("is_canonical"))
 
