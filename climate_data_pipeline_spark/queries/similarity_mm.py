@@ -120,3 +120,45 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(F.col("vec_id").alias("q_id"),
                           F.col("embedding").alias("q_vec")))
     return SIM.ivf_ann(queries, emb, k=3, n_lists=8, n_probe=2)
+
+
+_COSINE_PAIRS_CTE = """
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY 1, 2
+  HAVING round(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(a.embedding[i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(b.embedding[i] AS DOUBLE), 2)))), 6) >= 0.4
+)
+"""
+
+
+@query("dedup_semantic_clusters", oracle=f"""
+WITH RECURSIVE {_COSINE_PAIRS_CTE.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(src, dst) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+)
+SELECT src AS id, min(dst) AS cluster_id,
+       (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src
+""")
+def semantic_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clusters: cosine ≥ 0.4 pair graph →
+    connected components (same propagation operator as the text path —
+    the pair generator is pluggable). Cosine is rounded to 6 dp before
+    thresholding in both engines so the edge sets — and therefore the
+    components — are identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_pairs(emb, threshold=0.4)
+    from ..operators import dedup as D
+    return D.duplicate_clusters(pairs)

@@ -34,22 +34,29 @@ def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars_text", "n_words", "n_tokens_bpe")
 
 
+_STOPLIST = ", ".join(f"'{s}'" for s in TX.ENGLISH_STOPWORDS)
+
+# the fixed-weight quality blend, shared by text_quality and the
+# keep-best-canonical dedup oracle so the two cannot drift
+_QUALITY_SQL = f"""round(0.4 * (len(list_filter({_W}, x -> list_contains(
+                 [{_STOPLIST}], x)))
+                 / greatest(len({_W}), 1))
+           + 0.3 * least((list_sum(list_transform({_W}, x -> length(x)))
+                 / greatest(len({_W}), 1)) / 8.0, 1.0)
+           + 0.3 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                 / greatest(length(text), 1)), 6)"""
+
+
 @query("text_quality", oracle=f"""
 SELECT doc_id,
        round(len(list_filter({_W}, x -> list_contains(
-             [{", ".join(f"'{s}'" for s in TX.ENGLISH_STOPWORDS)}], x)))
+             [{_STOPLIST}], x)))
              / greatest(len({_W}), 1), 6) AS stopword_ratio,
        round(list_sum(list_transform({_W}, x -> length(x)))
              / greatest(len({_W}), 1), 6) AS avg_word_len,
        round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
              / greatest(length(text), 1), 6) AS punct_ratio,
-       round(0.4 * (len(list_filter({_W}, x -> list_contains(
-                 [{", ".join(f"'{s}'" for s in TX.ENGLISH_STOPWORDS)}], x)))
-                 / greatest(len({_W}), 1))
-           + 0.3 * least((list_sum(list_transform({_W}, x -> length(x)))
-                 / greatest(len({_W}), 1)) / 8.0, 1.0)
-           + 0.3 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
-                 / greatest(length(text), 1)), 6) AS quality_score
+       {_QUALITY_SQL} AS quality_score
 FROM documents
 """)
 def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,8 +217,7 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
 
 
-@query("dedup_clusters", oracle=f"""
-WITH RECURSIVE {_SHINGLES_CTE.strip()},
+_CLUSTER_CTES = f"""{_SHINGLES_CTE.strip()},
 sizes AS (SELECT id, count(*) AS n_sh FROM ds GROUP BY id),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
@@ -234,7 +240,11 @@ reach(src, dst) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
   UNION
   SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
-)
+)"""
+
+
+@query("dedup_clusters", oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES}
 SELECT src AS id, min(dst) AS cluster_id,
        (src = min(dst)) AS is_canonical
 FROM reach GROUP BY src
@@ -281,3 +291,44 @@ def ngram_jaccard_dfcap_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
                                  min_jaccard=0.5, max_df=20)
+
+
+@query("dedup_keep_best", oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+members AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+ranked AS (
+  SELECT m.cluster_id, m.id, q.quality,
+         row_number() OVER (PARTITION BY m.cluster_id
+                            ORDER BY q.quality DESC, m.id ASC) AS rn
+  FROM members m JOIN q ON q.doc_id = m.id
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       max(CASE WHEN rn = 1 THEN id END) AS keep_id,
+       max(CASE WHEN rn = 1 THEN quality END) AS best_quality
+FROM ranked GROUP BY 1
+""")
+def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by *quality*, not id: within each duplicate
+    cluster keep the member with the highest quality score (ties → lower
+    id). This is the policy real corpus dedup uses — survivors should be
+    the cleanest copy, not an arbitrary one. Quality is rounded to 6 dp in
+    both engines *before* ranking so the selected set is identical."""
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                  n=3, min_jaccard=0.5)
+    members = D.duplicate_clusters(pairs).select("id", "cluster_id")
+    quality = (TX.quality_score(docs, "text")
+               .select(F.col("doc_id").alias("id"),
+                       F.round("quality_score", 6).alias("quality")))
+    w = (Window.partitionBy("cluster_id")
+               .orderBy(F.col("quality").desc(), F.col("id").asc()))
+    ranked = (members.join(quality, "id")
+                     .withColumn("rn", F.row_number().over(w)))
+    return (ranked.groupBy("cluster_id")
+                  .agg(F.count("*").alias("n_members"),
+                       F.max(F.when(F.col("rn") == 1, F.col("id")))
+                        .alias("keep_id"),
+                       F.max(F.when(F.col("rn") == 1, F.col("quality")))
+                        .alias("best_quality")))

@@ -95,3 +95,61 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("n_name").alias("nation"))
              .agg((F.sum(rev_scaled) / 10000.0).alias("revenue"),
                   F.count("*").alias("n_items")))
+
+
+@query("tpch_q18_large_orders", oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       SUM(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250)
+GROUP BY 1, 2, 3, 4, 5
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: IN-subquery on an aggregate (orders whose total quantity
+    exceeds a threshold) feeding a 3-way join. The subquery compiles to an
+    aggregate + left-semi join — at scale the semi side is tiny (top
+    fraction of orders), so AQE broadcasts it into the fact scan.
+    Quantity sums are integer-valued doubles: exact in IEEE, no scaling
+    needed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("tq"))
+            .where(F.col("tq") > 250).select("l_orderkey"))
+    return (o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "o_orderkey", "left_semi")
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(l, F.col("o_orderkey") == l.l_orderkey)
+             .groupBy("c_name", "c_custkey", "o_orderkey",
+                      "o_orderdate", "o_totalprice")
+             .agg(F.sum("l_quantity").alias("total_qty")))
+
+
+@query("tpch_q4_order_priority", oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY 1
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS → left-semi join, then a tiny group-agg.
+    (The synthetic lineitem lacks commit/receipt dates, so the EXISTS
+    predicate is quantity > 45 — same plan shape as TPC-H Q4.) The date
+    filter prunes orders before the semi join; the semi probe never
+    duplicates order rows regardless of matching lineitem count."""
+    o = (load_table(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")))
+    l = (load_table(spark, sf_dir, "lineitem")
+         .where(F.col("l_quantity") > 45)
+         .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (o.join(l, "o_orderkey", "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").alias("order_count")))
