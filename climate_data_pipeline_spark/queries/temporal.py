@@ -169,3 +169,31 @@ def rolling_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          center=True, order_cols=["ts", "event_id"],
                          decimal_scale=2)
     return out.select("event_id", "user_id", "ts", "value", "rolling_mean")
+
+
+@query("hopping_window", oracle="""
+SELECT make_timestamp(gs) AS window_start, event_type,
+       count(*) AS n,
+       (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0) AS sum_value
+FROM events e,
+LATERAL (SELECT unnest(generate_series(
+           ((epoch_us(ts) - 600000000) // 300000000 + 1) * 300000000,
+           (epoch_us(ts) // 300000000) * 300000000,
+           300000000)) AS gs) t
+GROUP BY 1, 2
+""")
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate: 10-minute windows every 5
+    minutes over the event stream — each event lands in size/slide = 2
+    windows. Spark's ``window(ts, size, slide)`` explodes rows into their
+    windows JVM-side; the oracle derives the same window starts with
+    epoch-microsecond arithmetic (windows are epoch-aligned in both
+    engines). Value sums use the scaled-integer exact form."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (ev.groupBy(w.alias("w"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   (F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / 100.0).alias("sum_value"))
+              .select(F.col("w.start").alias("window_start"),
+                      "event_type", "n", "sum_value"))

@@ -133,3 +133,19 @@ def streaming_running_zscore(spark: SparkSession, sf_dir: str,
               .applyInPandasWithState(detect, out_schema, state_schema,
                                       "append",
                                       GroupStateTimeout.NoTimeout))
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the incremental form of
+    ``operators/dedup.exact_dedup`` for at-least-once delivery: the input
+    stream is unioned with itself (every event delivered twice) and
+    ``dropDuplicatesWithinWatermark`` on the event key recovers each
+    exactly once. State = one entry per key seen within the watermark
+    horizon, evicted as event time advances — bounded regardless of
+    stream length, which is the property that makes streaming dedup
+    viable at all (an unbounded key set would OOM any executor)."""
+    ev = _read_events_stream(spark, sf_dir)
+    dup = ev.union(ev)
+    return (dup.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["event_id"]))

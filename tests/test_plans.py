@@ -172,3 +172,17 @@ def test_streaming_stateful_zscore(spark, sf_dir):
     # single micro-batch → every row scored against empty history = null z
     assert res.where(F.col("zscore").isNotNull()).count() == 0
     assert res.where(F.col("history_n") != 0).count() == 0
+
+
+def test_streaming_dedup_recovers_exactly_once(spark, sf_dir):
+    from climate_data_pipeline_spark.sources.io import load_table
+    from climate_data_pipeline_spark.streaming.rollup import (
+        run_stream_to_memory, streaming_dedup)
+
+    deduped = streaming_dedup(spark, sf_dir)
+    run_stream_to_memory(deduped, "dedup_out", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+                    "FROM dedup_out").collect()[0]
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert got["n"] == n_batch      # doubled input, each recovered once
+    assert got["d"] == n_batch
