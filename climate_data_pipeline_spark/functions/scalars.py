@@ -90,3 +90,34 @@ def percentile_bin(value: Column | str, thresholds: dict[int, Column | str]) -> 
         cond = v >= thr
         result = F.when(cond, p) if result is None else result.when(cond, p)
     return (result.otherwise(0)).cast("int")
+
+
+# Abramowitz & Stegun 7.1.26 rational erfc approximation (|err| ≤ 1.5e-7).
+# Used for the Mann-Kendall z→p step so BOTH engines run the *identical*
+# polynomial — math.erfc differs from any SQL reimplementation in the last
+# ulps, but the same closed-form arithmetic is bit-reproducible anywhere.
+_AS_COEFFS = (0.254829592, -0.284496736, 1.421413741,
+              -1.453152027, 1.061405429)
+_AS_P = 0.3275911
+
+
+def normal_sf_two_sided(z: Column | str) -> Column:
+    """Two-tailed normal survival p = erfc(|z|/√2) via A&S 7.1.26."""
+    zc = F.col(z) if isinstance(z, str) else z
+    x = F.abs(zc) / F.lit(2.0 ** 0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    a1, a2, a3, a4, a5 = _AS_COEFFS
+    poly = (F.lit(a1) * t + F.lit(a2) * t**2 + F.lit(a3) * t**3
+            + F.lit(a4) * t**4 + F.lit(a5) * t**5)
+    return poly * F.exp(-(x * x))
+
+
+def sql_normal_sf_two_sided(z_expr: str) -> str:
+    """DuckDB mirror of :func:`normal_sf_two_sided` (same coefficients,
+    same association order)."""
+    a1, a2, a3, a4, a5 = _AS_COEFFS
+    x = f"(abs({z_expr}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    return (f"(({a1} * {t} + {a2} * pow({t}, 2) + {a3} * pow({t}, 3) "
+            f"+ {a4} * pow({t}, 4) + {a5} * pow({t}, 5)) "
+            f"* exp(-({x} * {x})))")

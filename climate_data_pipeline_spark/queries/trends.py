@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import temporal as T
+from ..functions import scalars as SC
 from ..operators import trends as TR
 from ..registry import query
 from ..sources.io import load_table
@@ -140,3 +141,66 @@ def mk_s_stat_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                           keys=["l_returnflag", "l_linestatus"])
     return out.select("l_returnflag", "l_linestatus", "s_stat", "var_s",
                       F.round("sen_slope", 8).alias("sen_slope"), "n")
+
+
+@query("a9_mk_z_p", oracle=f"""
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         date_trunc('month', l_shipdate) AS mo,
+         AVG(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.l_returnflag, a.l_linestatus,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM m a JOIN m b
+    ON a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
+   AND a.mo < b.mo
+),
+s AS (
+  SELECT l_returnflag, l_linestatus, CAST(SUM(sgn) AS DOUBLE) AS s_stat
+  FROM pairs GROUP BY 1, 2
+),
+ties AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS t
+  FROM m GROUP BY l_returnflag, l_linestatus, v HAVING count(*) > 1
+),
+vars AS (
+  SELECT m.l_returnflag, m.l_linestatus,
+         (count(*) * (count(*) - 1) * (2 * count(*) + 5)
+          - COALESCE((SELECT SUM(t * (t - 1) * (2 * t + 5)) FROM ties
+                      WHERE ties.l_returnflag = m.l_returnflag
+                        AND ties.l_linestatus = m.l_linestatus), 0)) / 18.0
+         AS var_s
+  FROM m GROUP BY 1, 2
+),
+z AS (
+  SELECT s.l_returnflag, s.l_linestatus,
+         CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt(vars.var_s)
+              WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt(vars.var_s)
+              ELSE 0.0 END AS z
+  FROM s JOIN vars USING (l_returnflag, l_linestatus)
+)
+SELECT l_returnflag, l_linestatus, round(z, 6) AS z,
+       round({SC.sql_normal_sf_two_sided('z')}, 6) AS p_value,
+       (round({SC.sql_normal_sf_two_sided('z')}, 6) < 0.05) AS significant
+FROM z
+""")
+def mk_z_p_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (z and p oracle-checked): the kernel's continuity-corrected Z is
+    compared directly (exact given S and Var(S)); the z→p step runs the
+    identical A&S 7.1.26 erfc polynomial in both engines (math.erfc and
+    any SQL rebuild differ in final ulps; the shared closed form is
+    reproducible everywhere — a unit test pins it within 1.5e-7 of
+    math.erfc). With this, every Mann-Kendall output is value-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = T.monthly_mean(li, "l_shipdate", "l_quantity",
+                             keys=["l_returnflag", "l_linestatus"],
+                             alias="avg_qty")
+    out = TR.mann_kendall(monthly, "month_start", "avg_qty",
+                          keys=["l_returnflag", "l_linestatus"])
+    p_approx = F.round(SC.normal_sf_two_sided(F.col("z")), 6)
+    return out.select("l_returnflag", "l_linestatus",
+                      F.round("z", 6).alias("z"),
+                      p_approx.alias("p_value"),
+                      (p_approx < 0.05).alias("significant"))

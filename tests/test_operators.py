@@ -141,3 +141,16 @@ def test_detect_time_column(spark, sf_dir):
     assert S.detect_time_column(ev) == "ts"
     li = load_table(spark, sf_dir, "lineitem")
     assert S.detect_time_column(li) == "l_shipdate"
+
+
+def test_normal_sf_approx_matches_erfc(spark):
+    import math
+    from climate_data_pipeline_spark.functions import scalars as SC
+    from pyspark.sql import functions as F
+    zs = [0.0, 0.5, 1.0, 1.64, 1.96, 2.58, 4.0, -2.0]
+    df = spark.createDataFrame([(z,) for z in zs], ["z"])
+    got = {r["z"]: r["p"] for r in
+           df.select("z", SC.normal_sf_two_sided("z").alias("p")).collect()}
+    for z in zs:
+        exact = math.erfc(abs(z) / math.sqrt(2))
+        assert abs(got[z] - exact) < 1.5e-7, (z, got[z], exact)
