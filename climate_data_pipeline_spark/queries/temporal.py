@@ -197,3 +197,30 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / 100.0).alias("sum_value"))
               .select(F.col("w.start").alias("window_start"),
                       "event_type", "n", "sum_value"))
+
+
+@query("rolling_time_range", oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS trailing_sum,
+       CAST(COUNT(value) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+""")
+def rolling_time_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames (vs W1's row-count frames): per-user
+    trailing 1-hour sum/count. Spark's rangeBetween runs on microsecond
+    epochs so the frame boundary is bit-identical to DuckDB's INTERVAL
+    arithmetic (timestamps are micros in both after the nanos loader).
+    Same single-shuffle shape as every window op: partition by series
+    key, sort within partition."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+               .orderBy(F.unix_micros("ts"))
+               .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0)
+            .alias("trailing_sum"),
+        F.count("value").over(w).alias("n_window"))
