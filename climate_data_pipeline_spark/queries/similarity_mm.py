@@ -70,11 +70,59 @@ def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs(emb, threshold=0.4)
 
 
-@query("sim_lsh_ann", oracle=None)  # approximate by design → rows-only check
+@query("sim_lsh_ann", oracle=f"""
+WITH planes AS (
+  SELECT p, i,
+         ((CAST(('0x' || substr(md5('cdps:' || CAST(p AS VARCHAR) || ':'
+                                 || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2001) - 1000) / 1000.0 AS w
+  FROM generate_series(0, 5) tp(p), generate_series(1, 64) ti(i)
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS d
+  FROM embeddings e, planes pl
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY 1
+),
+cand AS (
+  SELECT qb.vec_id AS q_id, cb.vec_id AS vec_id, qb.bucket
+  FROM buckets qb
+  JOIN buckets cb ON qb.bucket = cb.bucket
+  WHERE qb.vec_id < 20 AND cb.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id, cand.bucket,
+         round(SUM(CAST(q.embedding[t.i] AS DOUBLE)
+                   * CAST(c.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(q.embedding[t.i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(c.embedding[t.i] AS DOUBLE), 2)))), 6)
+           AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.q_id
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+  CROSS JOIN generate_series(1, 64) t(i)
+  GROUP BY 1, 2, 3
+)
+SELECT q_id, vec_id, bucket, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= 3
+""")
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: deterministic md5-derived planes bucket
     the corpus; candidates come from bucket collisions only. Approximate
-    recall by construction — validated by shape + the recall unit test."""
+    *recall* by construction, but fully deterministic — so the oracle
+    re-derives the identical planes (same md5 → [-1,1) quantization),
+    buckets, candidate set, and ranking in SQL, and the whole approximate
+    pipeline is value-checked, not just row-counted."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 20)
                   .select(F.col("vec_id").alias("q_id"),
