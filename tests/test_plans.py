@@ -186,3 +186,22 @@ def test_streaming_dedup_recovers_exactly_once(spark, sf_dir):
     n_batch = load_table(spark, sf_dir, "events").count()
     assert got["n"] == n_batch      # doubled input, each recovered once
     assert got["d"] == n_batch
+
+
+def test_streaming_ingest_once_idempotent(spark, sf_dir, tmp_path):
+    from climate_data_pipeline_spark.sources.io import load_table
+    from climate_data_pipeline_spark.streaming.rollup import streaming_ingest_once
+
+    target = str(tmp_path / "ingested")
+    n_batch = load_table(spark, sf_dir, "events").count()
+    for rerun in range(2):  # second run = full source replay, no checkpoint
+        q = streaming_ingest_once(spark, sf_dir, target)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        import shutil
+        shutil.rmtree(target + "_chk", ignore_errors=True)
+        got = spark.read.parquet(target)
+        assert got.count() == n_batch, f"rerun {rerun}"
+        assert got.select("event_id").distinct().count() == n_batch
