@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     plans_q,
     relational,
     sampling_q,
+    scale_q,
     similarity_mm,
     stats,
     stats_extra,
