@@ -129,6 +129,45 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum("l_quantity").alias("total_qty")))
 
 
+@query("tpch_q10_returned_items", oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_exact_sum(_REV, 4)} AS revenue,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: lost-revenue ranking of customers whose items came back.
+    The returnflag filter prunes lineitem at the scan; nation broadcasts;
+    the top-20 ranks on the exact scaled-integer revenue with custkey as
+    tie-break, so the selected set is deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")))
+    l = (load_table(spark, sf_dir, "lineitem")
+         .where(F.col("l_returnflag") == "R"))
+    n = load_table(spark, sf_dir, "nation")
+    rev_scaled = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+    ).cast("long")
+    agg = (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+            .agg((F.sum(rev_scaled) / 10000.0).alias("revenue")))
+    return (top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20)
+            .select("c_custkey", "c_name", "revenue", "nation"))
+
+
 @query("tpch_q4_order_priority", oracle="""
 SELECT o.o_orderpriority, count(*) AS order_count
 FROM orders o

@@ -3,21 +3,14 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-import pytest
 
 from climate_data_pipeline_spark.operators import incremental as I
 from climate_data_pipeline_spark.operators import zorder as Z
-from climate_data_pipeline_spark.registry import oracle_sql, queries
 from climate_data_pipeline_spark.sources.io import load_table
 from climate_data_pipeline_spark.sources.synthetic import climate_grid
 
-from .oracle import assert_parity
-
-
-@pytest.mark.parametrize("name", ["incremental_rollup", "zorder_cluster_key"])
-def test_query_oracle_parity(spark, sf_dir, name):
-    assert_parity(queries()[name](spark, sf_dir), oracle_sql()[name],
-                  sf_dir, name)
+# oracle parity for incremental_rollup / zorder_cluster_key runs in
+# test_oracle_parity.py with every other registered query
 
 
 def test_merge_partials_equals_full_recompute(spark, sf_dir):
