@@ -262,6 +262,25 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters(pairs)
 
 
+@query("dedup_clusters_star", oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT src AS id, min(dst) AS cluster_id,
+       (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src
+""")
+def dedup_clusters_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component assignment as ``dedup_clusters``, computed with the
+    O(log n)-round large-star/small-star rewiring
+    (``operators/dedup.duplicate_clusters_star``) — the variant that stays
+    fast on long-chain pair graphs where label propagation's round count
+    is the graph diameter. Checked against the same reachability-closure
+    oracle, so both algorithms are proven to produce identical clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                  n=3, min_jaccard=0.5)
+    return D.duplicate_clusters_star(pairs)
+
+
 @query("dedup_ngram_jaccard_dfcap", oracle=f"""
 WITH {_SHINGLES_CTE.strip()},
 capped AS (

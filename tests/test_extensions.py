@@ -172,6 +172,33 @@ def test_duplicate_clusters_chain_converges(spark):
                    10: (10, True), 11: (10, False)}
 
 
+def test_star_clusters_match_propagation_on_long_chain(spark):
+    # 40-node path (diameter 39) + a triangle + an isolated pair. The
+    # star variant must converge in O(log n) rounds — max_rounds=8 would
+    # be far too few for per-hop propagation (39 hops) but is ample for
+    # large-star/small-star doubling.
+    chain = [(i, i + 1) for i in range(1, 40)]
+    extra = [(100, 101), (101, 102), (100, 102), (200, 201)]
+    pairs = spark.createDataFrame(chain + extra, ["id_a", "id_b"])
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"])
+           for r in D.duplicate_clusters_star(pairs, max_rounds=8).collect()}
+    want = {i: (1, i == 1) for i in range(1, 41)}
+    want |= {100: (100, True), 101: (100, False), 102: (100, False),
+             200: (200, True), 201: (200, False)}
+    assert got == want
+
+
+def test_star_clusters_equal_propagation_on_corpus_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                  n=3, min_jaccard=0.5)
+    prop = {(r["id"], r["cluster_id"])
+            for r in D.duplicate_clusters(pairs).collect()}
+    star = {(r["id"], r["cluster_id"])
+            for r in D.duplicate_clusters_star(pairs).collect()}
+    assert prop == star
+
+
 def test_deterministic_split_partition_invariant(spark, sf_dir):
     from climate_data_pipeline_spark.operators import sampling as S
     docs = load_table(spark, sf_dir, "documents")
