@@ -68,6 +68,18 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str,
                       "user_id", "n_events"))
 
 
+def streaming_enrich(spark: SparkSession, sf_dir: str,
+                     dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the events
+    stream joins against a static (slowly-changing) dimension. Spark
+    plans this as a broadcast hash join per micro-batch — no stream
+    state, no watermark needed, and the static side is re-resolvable
+    (swap the dim table between batches for SCD-style refresh). The
+    semantics are proven equal to the batch join in test_plans."""
+    ev = _read_events_stream(spark, sf_dir)
+    return ev.join(F.broadcast(dim), on, "left")
+
+
 def run_stream_to_memory(df: DataFrame, name: str,
                          output_mode: str = "append") -> None:
     """Drive a streaming DataFrame to completion against the memory sink

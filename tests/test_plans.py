@@ -188,6 +188,26 @@ def test_streaming_dedup_recovers_exactly_once(spark, sf_dir):
     assert got["d"] == n_batch
 
 
+def test_streaming_enrich_matches_batch_join(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from climate_data_pipeline_spark.sources.io import load_table
+    from climate_data_pipeline_spark.streaming.rollup import (
+        run_stream_to_memory, streaming_enrich)
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (ev.select("event_type").distinct()
+             .withColumn("category", F.upper("event_type")))
+    run_stream_to_memory(streaming_enrich(spark, sf_dir, dim), "enriched")
+    got = {(r["category"], r["n"]) for r in
+           spark.table("enriched").groupBy("category")
+                .agg(F.count("*").alias("n")).collect()}
+    want = {(r["category"], r["n"]) for r in
+            ev.join(dim, "event_type", "left").groupBy("category")
+              .agg(F.count("*").alias("n")).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_ingest_once_idempotent(spark, sf_dir, tmp_path):
     from climate_data_pipeline_spark.sources.io import load_table
     from climate_data_pipeline_spark.streaming.rollup import streaming_ingest_once
