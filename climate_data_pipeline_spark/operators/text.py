@@ -55,6 +55,50 @@ def token_stats(df: DataFrame, text_col: str) -> DataFrame:
                                          F.lit(BPE_PIECE)).cast("long")))
 
 
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Repetition-based quality signals in the style of the public Gopher
+    filtering rules (Rae et al. 2021): the share of a document taken by
+    its most frequent word / most frequent word-bigram, and the fraction
+    of word occurrences that are repeats. High values flag boilerplate
+    and template spam before training.
+
+    Shape at scale: explode → count per (doc, gram) → per-doc max/sum.
+    Shuffle volume ∝ distinct (doc, gram) pairs — the gram counting never
+    leaves the doc key, so there is no hot global key and no |corpus|²
+    term. All outputs are ratios of exact integer counts (single double
+    division), so the whole thing is DuckDB-oracle-checkable.
+    """
+    w = words(text_col)
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    bigrams = F.when(F.size(w) >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(w, i),
+                                   F.element_at(w, i + 1)))) \
+               .otherwise(F.array().cast("array<string>"))
+
+    def per_doc(gram_col, top_alias, extra=()):
+        g = df.select(F.col(id_col).alias("id"),
+                      F.explode(gram_col).alias("g"))
+        counts = g.groupBy("id", "g").agg(F.count("*").alias("c"))
+        aggs = [(F.max("c") / F.sum("c")).alias(top_alias), *extra]
+        return counts.groupBy("id").agg(*aggs)
+
+    wagg = per_doc(w, "top_word_share",
+                   extra=[F.sum("c").alias("n_words"),
+                          ((F.sum("c") - F.count("*")) / F.sum("c"))
+                          .alias("dup_word_frac")])
+    bagg = per_doc(bigrams, "top_bigram_share")
+    return (df.select(F.col(id_col).alias("id"))
+              .join(wagg, "id", "left").join(bagg, "id", "left")
+              .select(F.col("id").alias(id_col),
+                      F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                      F.coalesce("dup_word_frac", F.lit(0.0))
+                       .alias("dup_word_frac"),
+                      F.coalesce("top_word_share", F.lit(0.0))
+                       .alias("top_word_share"),
+                      F.coalesce("top_bigram_share", F.lit(0.0))
+                       .alias("top_bigram_share")))
+
+
 def quality_score(df: DataFrame, text_col: str,
                   alias: str = "quality_score") -> DataFrame:
     """Heuristic document quality in [0,1]: favors stopword-bearing prose

@@ -87,6 +87,40 @@ def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lang_pred")
 
 
+@query("text_repetition", oracle=f"""
+WITH words AS (SELECT doc_id AS id, {_W} AS w FROM documents),
+wx AS (SELECT id, unnest(w) AS g FROM words),
+wc AS (SELECT id, g, count(*) AS c FROM wx GROUP BY 1, 2),
+wagg AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_words,
+         (CAST(sum(c) AS BIGINT) - count(*)) / CAST(sum(c) AS DOUBLE)
+           AS dup_word_frac,
+         max(c) / CAST(sum(c) AS DOUBLE) AS top_word_share
+  FROM wc GROUP BY id),
+bx AS (SELECT id, unnest(list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i+1])) AS g
+       FROM words WHERE len(w) >= 2),
+bc AS (SELECT id, g, count(*) AS c FROM bx GROUP BY 1, 2),
+bagg AS (SELECT id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_share
+         FROM bc GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(w.n_words, 0) AS n_words,
+       COALESCE(w.dup_word_frac, 0.0) AS dup_word_frac,
+       COALESCE(w.top_word_share, 0.0) AS top_word_share,
+       COALESCE(b.top_bigram_share, 0.0) AS top_bigram_share
+FROM documents d
+LEFT JOIN wagg w ON w.id = d.doc_id
+LEFT JOIN bagg b ON b.id = d.doc_id
+""")
+def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-word share, top-bigram share,
+    duplicate-word fraction) — the boilerplate/template-spam filters a
+    training-data pipeline applies before dedup. Ratios of exact integer
+    counts, so values hash-match without rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs, "text", "doc_id")
+
+
 @query("text_fingerprint", oracle=f"""
 SELECT doc_id, md5(array_to_string({_W}, ' ')) AS fingerprint
 FROM documents

@@ -199,6 +199,24 @@ def test_star_clusters_equal_propagation_on_corpus_pairs(spark, sf_dir):
     assert prop == star
 
 
+def test_repetition_stats_hand_computed(spark):
+    from climate_data_pipeline_spark.operators.text import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam eggs"),   # words 4/2 distinct; bigrams: (spam spam)x2, (spam eggs)
+         (2, "all unique words here"),
+         (3, "")],                     # empty → zero-filled
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           repetition_stats(docs, "text", "doc_id").collect()}
+    assert got[1]["n_words"] == 4
+    assert got[1]["dup_word_frac"] == 0.5          # 2 repeats of 4
+    assert got[1]["top_word_share"] == 0.75        # spam 3/4
+    assert got[1]["top_bigram_share"] == 2 / 3     # "spam spam" 2/3
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_word_share"] == 0.25
+    assert got[3]["n_words"] == 0 and got[3]["top_bigram_share"] == 0.0
+
+
 def test_deterministic_split_partition_invariant(spark, sf_dir):
     from climate_data_pipeline_spark.operators import sampling as S
     docs = load_table(spark, sf_dir, "documents")
