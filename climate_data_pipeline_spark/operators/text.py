@@ -99,6 +99,35 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                        .alias("top_bigram_share")))
 
 
+# PII-ish patterns, kept to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "url": "https?://[^\\s]+",
+    "number_run": "[0-9]{4,}",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str,
+             patterns: dict[str, str] = PII_PATTERNS) -> DataFrame:
+    """Per-document PII-ish pattern counts plus the redacted length — the
+    scrub-before-training pass. Pure ``regexp_count``/``regexp_replace``
+    column expressions (whole-stage codegen, no shuffle at all until a
+    consumer aggregates); patterns are applied to the lowercased text so
+    both engines share one case rule. ``n_chars_redacted`` binds the
+    *positions* of every match, not just the counts: it only hash-matches
+    if both engines matched the same spans."""
+    lower = F.lower(F.col(text_col))
+    redacted = lower
+    for name, p in patterns.items():
+        redacted = F.regexp_replace(redacted, p, f"<{name}>")
+    return df.select(F.col(id_col),
+                     *[F.regexp_count(lower, F.lit(p)).cast("long")
+                        .alias(f"n_{name}") for name, p in patterns.items()],
+                     F.length(redacted).cast("long")
+                      .alias("n_chars_redacted"))
+
+
 def quality_score(df: DataFrame, text_col: str,
                   alias: str = "quality_score") -> DataFrame:
     """Heuristic document quality in [0,1]: favors stopword-bearing prose

@@ -121,6 +121,29 @@ def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_stats(docs, "text", "doc_id")
 
 
+def _pii_oracle() -> str:
+    counts = []
+    redacted = "lower(text)"
+    for name, pat in TX.PII_PATTERNS.items():
+        counts.append("CAST(len(regexp_extract_all(lower(text), '" + pat
+                      + "')) AS BIGINT) AS n_" + name)
+        redacted = ("regexp_replace(" + redacted + ", '" + pat
+                    + "', '<" + name + ">', 'g')")
+    return ("SELECT doc_id, " + ", ".join(counts)
+            + ", CAST(length(" + redacted + ") AS BIGINT) AS n_chars_redacted"
+            + " FROM documents")
+
+
+@query("text_pii_scan", oracle=_pii_oracle())
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish pattern scan (emails / URLs / long digit runs) + redacted
+    length. The redacted-length column binds match *spans*, so the hash
+    check proves both engines found identical occurrences, not just equal
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pii_scan(docs, "text", "doc_id")
+
+
 @query("text_fingerprint", oracle=f"""
 SELECT doc_id, md5(array_to_string({_W}, ' ')) AS fingerprint
 FROM documents

@@ -217,6 +217,23 @@ def test_repetition_stats_hand_computed(spark):
     assert got[3]["n_words"] == 0 and got[3]["top_bigram_share"] == 0.0
 
 
+def test_pii_scan_detects_and_redacts(spark):
+    from climate_data_pipeline_spark.operators.text import pii_scan
+    docs = spark.createDataFrame(
+        [(1, "Mail Bob.Smith+x@example.co.uk or visit https://a.example/x?q=1 ref 123456"),
+         (2, "clean text, no identifiers")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scan(docs, "text", "doc_id").collect()}
+    assert got[1]["n_email"] == 1
+    assert got[1]["n_url"] == 1
+    assert got[1]["n_number_run"] == 1
+    # redaction shortened the text (spans replaced by markers)
+    assert got[1]["n_chars_redacted"] < len(
+        "mail bob.smith+x@example.co.uk or visit https://a.example/x?q=1 ref 123456")
+    assert got[2]["n_email"] == got[2]["n_url"] == got[2]["n_number_run"] == 0
+    assert got[2]["n_chars_redacted"] == len("clean text, no identifiers")
+
+
 def test_deterministic_split_partition_invariant(spark, sf_dir):
     from climate_data_pipeline_spark.operators import sampling as S
     docs = load_table(spark, sf_dir, "documents")
