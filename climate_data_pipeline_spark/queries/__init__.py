@@ -19,5 +19,6 @@ from . import (  # noqa: F401
     temporal,
     text_dedup,
     tpch_like,
+    tpch_like2,
     trends,
 )
