@@ -4,6 +4,7 @@ Importing this package registers every query into ``registry.REGISTRY``.
 """
 
 from . import (  # noqa: F401
+    analytic_extra,
     anomalies,
     asof_q,
     merge_q,
