@@ -96,3 +96,34 @@ def test_scan_query_prunes_columns(spark, sf_small):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_extendedprice" not in read_schema  # unprojected column pruned
     assert "PushedFilters: [" in plan and "IsNotNull" in plan
+
+
+def test_q6_is_scan_plus_single_reduce(spark, sf_small):
+    """Q6 shape: all three predicates reach the Parquet scan; the only
+    Exchange is the 1-row final-aggregate gather — no join, no sort."""
+    plan = _plan(spark, sf_small, "tpch_q6_forecast_revenue")
+    assert plan.count("Exchange ") == 1
+    assert "Join" not in plan
+    assert "partial_" in plan
+    pushed = plan.split("PushedFilters: [")[1]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_q19_derives_pushable_disjunction(spark, sf_small):
+    """The OR straddles the join, but Catalyst extracts the
+    lineitem-only disjunction (quantity ranges) and pushes it into the
+    fact scan — without that, 100 TB of lineitem reaches the join."""
+    plan = _plan(spark, sf_small, "tpch_q19_disjunctive_revenue")
+    li_scan = [s for s in plan.split("PushedFilters: [")[1:]
+               if "l_quantity" in s.split("]")[0]]
+    assert li_scan, "no derived l_quantity disjunction pushed to lineitem scan"
+    assert "Or(" in li_scan[0].split("]")[0]
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_q7_pushes_pair_filter_to_both_nation_roles(spark, sf_small):
+    """The symmetric nation-pair predicate references both role copies,
+    yet each nation scan gets the derived single-side IN-disjunction."""
+    plan = _plan(spark, sf_small, "tpch_q7_nation_volume")
+    assert plan.count("EqualTo(n_name,") >= 4  # 2 names × 2 role scans
+    assert "SortMergeJoin" not in plan
