@@ -6,7 +6,9 @@ Importing this package registers every query into ``registry.REGISTRY``.
 from . import (  # noqa: F401
     analytic_extra,
     anomalies,
+    arrays_nulls,
     asof_q,
+    histogram_q,
     merge_q,
     packing_q,
     percentiles,
