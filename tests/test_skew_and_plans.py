@@ -127,3 +127,34 @@ def test_q7_pushes_pair_filter_to_both_nation_roles(spark, sf_small):
     plan = _plan(spark, sf_small, "tpch_q7_nation_volume")
     assert plan.count("EqualTo(n_name,") >= 4  # 2 names × 2 role scans
     assert "SortMergeJoin" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_small):
+    """The engine exposes Catalyst's per-join strategy control: MERGE
+    forces sort-merge where broadcast would win by size; SHUFFLE_HASH
+    builds a hash table instead of sorting. At 100 TB these hints are
+    how a pipeline pins the strategy when statistics mislead AQE."""
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer")
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_small):
+    """<=> must not degrade to a nested-loop plan."""
+    plan = _plan(spark, sf_small, "null_safe_join")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_array_hof_has_no_shuffle(spark, sf_small):
+    """The higher-order-function query is a pure projection — any
+    Exchange means the fold escaped into a join/agg formulation."""
+    plan = _plan(spark, sf_small, "array_hof_stats")
+    assert "Exchange " not in plan
