@@ -199,3 +199,83 @@ def parquet_info(spark: SparkSession, path: str) -> dict:
         "bytes_stored": size,
         "num_rows": df.count(),
     }
+
+
+def compact_parquet(spark: SparkSession, path: str, *,
+                    target_file_mb: int = 128,
+                    target_files: int | None = None,
+                    sort_cols: Sequence[str] = (),
+                    compression: str = "zstd") -> dict:
+    """Rewrite a parquet directory into ~target_file_mb files — the
+    small-files compaction every long-running ingest needs (streaming
+    sinks and per-batch appends accumulate KB-scale files whose
+    open/footer overhead dominates scans at scale; mirrors the
+    reference's rechunk-on-convert, `ingest/arco_converter.py:110-160`).
+
+    Sizing uses the *current on-disk bytes* (already compressed), so the
+    target is honest about output size. With ``sort_cols`` the rewrite
+    also re-sorts within files (repartitionByRange + sortWithinPartitions)
+    to restore min/max row-group pruning that interleaved appends destroy.
+    The rewrite goes to a temp sibling then swaps, so readers never see a
+    half-written store."""
+    import math
+    import os
+    import shutil
+
+    info = parquet_info(spark, path)
+    n_files = target_files or max(
+        1, math.ceil(info["bytes_stored"] / (target_file_mb << 20)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = (df.repartitionByRange(n_files, *sort_cols)
+                 .sortWithinPartitions(*sort_cols))
+    else:
+        out = df.repartition(n_files)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    (out.write.option("compression", compression)
+        .mode("overwrite").parquet(tmp))
+    old = path.rstrip("/") + ".__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = parquet_info(spark, path)
+    return {"files_before": info["num_files"], "files_after": after["num_files"],
+            "bytes_before": info["bytes_stored"], "bytes_after": after["bytes_stored"],
+            "num_rows": after["num_rows"]}
+
+
+def pruning_report(path: str, column: str, lo, hi) -> dict:
+    """Data-skipping audit from parquet footers: what fraction of row
+    groups would a ``column BETWEEN lo AND hi`` scan actually read?
+
+    This is the observability half of the layout presets: after
+    ``write_parquet(layout='timeseries')`` a time-range predicate should
+    skip most row groups (footer min/max disjoint from [lo, hi]); if the
+    skipped fraction is ~0 the sort order didn't survive the write and
+    the layout needs fixing. Pure footer metadata — no data read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+    total = kept = no_stats = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            ci = [md.schema.column(i).name for i in range(md.num_columns)].index(column)
+        except ValueError:
+            raise KeyError(f"column {column!r} not in {f}")
+        for rg in range(md.num_row_groups):
+            total += 1
+            stats = md.row_group(rg).column(ci).statistics
+            if stats is None or not stats.has_min_max:
+                no_stats += 1
+                kept += 1  # must read when stats are absent
+                continue
+            if not (stats.max < lo or stats.min > hi):
+                kept += 1
+    return {"row_groups": total, "read": kept, "skipped": total - kept,
+            "no_stats": no_stats,
+            "skip_fraction": round((total - kept) / total, 4) if total else 0.0}

@@ -75,3 +75,44 @@ def test_write_layout_balanced_and_overwrite_protection(spark, events, tmp_path)
 def test_unknown_layout_rejected(events, tmp_path):
     with pytest.raises(ValueError, match="unknown layout"):
         write_parquet(events, str(tmp_path / "x"), layout="zarr")
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, events, tmp_path):
+    from climate_data_pipeline_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    events.repartition(64).write.parquet(path)  # simulate append fragmentation
+    before = spark.read.parquet(path)
+    n_rows, sum_val = before.count(), before.agg(F.sum("event_id")).first()[0]
+
+    rep = compact_parquet(spark, path, target_file_mb=128)
+    assert rep["files_before"] == 64 and rep["files_after"] < 8
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("event_id")).first()[0] == sum_val
+    assert not [p for p in tmp_path.iterdir() if "__compact" in p.name]
+
+
+def test_compact_with_sort_restores_pruning(spark, events, tmp_path):
+    from climate_data_pipeline_spark.sources.io import (
+        compact_parquet, pruning_report)
+
+    path = str(tmp_path / "interleaved")
+    # unsorted write: every row group spans the full user_id range
+    events.repartition(16).write.parquet(path)
+    scrambled = pruning_report(path, "user_id", 0, 5)
+    assert scrambled["skip_fraction"] == 0.0
+
+    compact_parquet(spark, path, target_files=8, sort_cols=["user_id"])
+    sorted_rep = pruning_report(path, "user_id", 0, 5)
+    assert sorted_rep["skipped"] > 0  # narrow key range now skips row groups
+    assert sorted_rep["row_groups"] >= 2
+
+
+def test_pruning_report_unknown_column(spark, events, tmp_path):
+    from climate_data_pipeline_spark.sources.io import pruning_report
+
+    path = str(tmp_path / "pr")
+    events.limit(100).write.parquet(path)
+    with pytest.raises(KeyError):
+        pruning_report(path, "nope", 0, 1)
