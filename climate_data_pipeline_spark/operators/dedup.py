@@ -325,3 +325,29 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                      F.col("b.simhash").alias("simhash_b"),
                      ham.cast("long").alias("hamming"))
              .distinct())
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Train/eval contamination scan: for each benchmark document, the
+    fraction of its word n-gram shingles that appear *anywhere* in the
+    training corpus. The standard decontamination gate before a
+    training run (cf. n-gram overlap checks in GPT-3/PaLM data work).
+
+    Shape: inverted-index left-semi join — corpus shingles are
+    deduplicated (set semantics), benchmark shingles probe the set, and
+    the hit count per document divides by its shingle count. Cost is
+    ∝ distinct shingles, never |bench| × |corpus|; the corpus side
+    shuffles once on shingle and would be bucketed on shingle in a
+    persisted decontamination service."""
+    c_sh = (_doc_shingles(corpus, text_col, id_col, n)
+            .select("shingle").distinct())
+    b_sh = _doc_shingles(benchmark, text_col, id_col, n)
+    per_doc = b_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    hits = (b_sh.join(c_sh, "shingle", "left_semi")
+                .groupBy("id").agg(F.count("*").alias("n_hit")))
+    return (per_doc.join(hits, "id", "left")
+            .select(F.col("id").alias(id_col), "n_shingles",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0))
+                            / F.col("n_shingles"), 9).alias("contamination")))

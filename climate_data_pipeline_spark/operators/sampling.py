@@ -92,3 +92,34 @@ def sql_sample_pred(id_expr: str, fraction: float, salt: str = "") -> str:
     """DuckDB predicate mirroring :func:`deterministic_sample`."""
     return (f"{sql_hash_bucket(id_expr, salt=salt)} "
             f"< {int(round(fraction * N_BUCKETS))}")
+
+
+def quota_sample(df: DataFrame, key_cols: list[str], id_col: str,
+                 n_per_key: int, salt: str = "") -> DataFrame:
+    """Exactly min(n, group size) rows per key — balanced-quota sampling
+    (e.g. capping each language/source at N documents so head groups
+    don't drown the tail in a training mix).
+
+    Rows are ranked inside each key by md5 of their id: a deterministic,
+    engine-portable pseudo-random order (same discipline as
+    :func:`hash_bucket`), so the selected set is stable across runs,
+    partitionings, and engines — ``df.sampleBy`` can promise none of
+    those, and can't promise exact quotas either. One shuffle on the
+    key columns; the rank window never materializes more than a
+    partition."""
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = (Window.partitionBy(*key_cols)
+               .orderBy(order_key.asc(), F.col(id_col).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= n_per_key).drop("__rn"))
+
+
+def sql_quota_pred(id_expr: str, key_cols: list[str], n_per_key: int,
+                   salt: str = "") -> str:
+    """DuckDB QUALIFY clause mirroring :func:`quota_sample`."""
+    key = f"CAST({id_expr} AS VARCHAR) || '{salt}'" if salt \
+        else f"CAST({id_expr} AS VARCHAR)"
+    return (f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {', '.join(key_cols)} "
+            f"ORDER BY md5({key}) ASC, {id_expr} ASC) <= {n_per_key}")

@@ -62,3 +62,18 @@ def sample_orders_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.count("*").alias("n_orders"),
                         F.countDistinct("o_custkey").alias("n_customers"),
                         exact_sum("o_totalprice").alias("total_price")))
+
+
+@query("sample_quota_per_lang", oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+{S.sql_quota_pred("doc_id", ["lang"], 20)}
+""")
+def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced quota: exactly 20 documents per language, selected by
+    deterministic md5 rank — the language-balancing primitive for a
+    training mix. Full row identity is hash-compared, so both engines
+    must pick the *same* 20 per language, not just the same count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (S.quota_sample(docs, ["lang"], "doc_id", 20)
+            .select("doc_id", "lang", "n_chars"))

@@ -408,3 +408,24 @@ def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("keep_id"),
                        F.max(F.when(F.col("rn") == 1, F.col("quality")))
                         .alias("best_quality")))
+
+
+@query("text_contamination", oracle=f"""
+WITH {_SHINGLES_CTE.strip()},
+corpus AS (SELECT DISTINCT shingle FROM ds WHERE id % 97 <> 0),
+bench AS (SELECT * FROM ds WHERE id % 97 = 0),
+per AS (SELECT id, count(*) AS n_shingles FROM bench GROUP BY 1),
+hits AS (SELECT b.id, count(*) AS n_hit
+         FROM bench b JOIN corpus c USING (shingle) GROUP BY 1)
+SELECT p.id AS doc_id, p.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+       round(COALESCE(h.n_hit, 0) / p.n_shingles, 9) AS contamination
+FROM per p LEFT JOIN hits h ON p.id = h.id
+""")
+def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: every ~97th document plays the held-out
+    benchmark; its 3-gram shingles probe the rest of the corpus via the
+    inverted-index semi join (`operators/dedup.contamination_check`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return D.contamination_check(corpus, bench, "text", "doc_id", n=3)

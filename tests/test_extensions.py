@@ -288,3 +288,50 @@ def test_pack_sequences_invariants(spark):
         for k in range(len(toks) - 1):
             assert toks.iloc[k] + firsts.iloc[k + 1] > 256
     assert packed.count() == 200
+
+
+def test_quota_sample_exact_and_stable(spark, docs):
+    from climate_data_pipeline_spark.operators.sampling import quota_sample
+
+    out = quota_sample(docs, ["lang"], "doc_id", 20)
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(20, avail[lang])
+    # stable under repartitioning: identical selected ids
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               quota_sample(docs.repartition(17), ["lang"], "doc_id", 20)
+               .collect())
+    assert a == b
+
+
+def test_quota_smaller_group_returned_whole(spark):
+    from climate_data_pipeline_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(3)] + [("b", i) for i in range(30)],
+        "k string, id int")
+    out = quota_sample(df, ["k"], "id", 10)
+    sizes = {r["k"]: r["n"] for r in
+             out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"a": 3, "b": 10}
+
+
+def test_contamination_bounds_and_exact_copy(spark):
+    from climate_data_pipeline_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different sentence about spark engines")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),  # exact copy
+         (101, "completely novel words nowhere else appearing ever")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["contamination"]
+           for r in contamination_check(corpus, bench, "text", "doc_id").collect()}
+    assert out[100] == 1.0   # every shingle of the copy is in the corpus
+    assert out[101] == 0.0   # none of the novel doc's shingles appear
