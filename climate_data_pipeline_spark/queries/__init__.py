@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     packing_q,
     percentiles,
     plans_q,
+    quality_q,
     relational,
     sampling_q,
     scale_q,
