@@ -41,6 +41,11 @@ HEADLINE = [
     "dedup_minhash",          # shingle explode + signature agg + band join
     "sim_cosine_topk",        # broadcast NL + vector fold
     "pack_sequences",         # Arrow applyInPandas greedy kernel
+    "tpch_q6_forecast_revenue",     # pure pushdown scan-agg
+    "tpch_q19_disjunctive_revenue", # OR-predicate join w/ derived pushdown
+    "hist_quantile_sketch",   # mergeable histogram partials + cum walk
+    "array_hof_stats",        # higher-order array fold, shuffle-free
+    "text_contamination",     # inverted-index semi join over shingles
 ]
 
 
