@@ -111,3 +111,45 @@ def rolling_mean(df: DataFrame, time_col: str, value_col: str,
         mean = (F.sum(scaled).over(w) / factor) / F.count(value_col).over(w)
     guarded = F.when(F.count(value_col).over(w) >= min_periods, mean)
     return df.withColumn(alias, guarded)
+
+
+def resample_ffill(df: DataFrame, time_col: str, value_col: str,
+                   keys: Sequence[str], freq: str = "day") -> DataFrame:
+    """Gap-filling resample: a dense per-entity time grid at ``freq``
+    with the last observation carried forward — the row-model analogue
+    of xarray's ``resample(...).ffill()`` (the reference's resample
+    family, `metrics/temporal.py:21-117`, only needs ``.mean()``; the
+    forward-fill completes it for sparse/irregular series).
+
+    Three steps, each shuffle-minimal:
+    1. last observation per (entity, bucket) — ties on the timestamp
+       resolve by the larger value via a lexicographic struct max, so
+       the result is partition-order independent;
+    2. dense bucket spine per entity via `sequence()` + explode between
+       that entity's min and max bucket — generated, never shuffled
+       (the explode multiplies rows map-side);
+    3. forward fill = `last(value, ignorenulls=True)` over an
+       unbounded-preceding window per entity.
+    Shuffles: one for the bucket agg, one window sort per entity —
+    both on the same (keys) partitioning, which AQE reuses.
+
+    Output: (keys..., bucket, <value_col> (filled), observed flag)."""
+    klist = list(keys)
+    bucket = F.date_trunc(freq, F.col(time_col)).alias("bucket")
+    obs = (df.groupBy(*_cols(klist), bucket)
+             .agg(F.max(F.struct(F.col(time_col).alias("t"),
+                                 F.col(value_col).alias("v"))).alias("s"))
+             .select(*klist, "bucket", F.col("s.v").alias("__obs")))
+    step = F.expr(f"interval 1 {freq}")
+    spine = (df.groupBy(*_cols(klist))
+               .agg(F.date_trunc(freq, F.min(time_col)).alias("lo"),
+                    F.date_trunc(freq, F.max(time_col)).alias("hi"))
+               .select(*klist, F.explode(
+                   F.sequence(F.col("lo"), F.col("hi"), step)).alias("bucket")))
+    joined = spine.join(obs, [*klist, "bucket"], "left")
+    w = (Window.partitionBy(*klist).orderBy("bucket")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        *klist, "bucket",
+        F.last("__obs", ignorenulls=True).over(w).alias(value_col),
+        F.col("__obs").isNotNull().alias("observed"))

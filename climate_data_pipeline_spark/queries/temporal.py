@@ -224,3 +224,33 @@ def rolling_time_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0)
             .alias("trailing_sum"),
         F.count("value").over(w).alias("n_window"))
+
+
+@query("w4_resample_ffill", oracle="""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         (max({'t': ts, 'v': value})).v AS v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT s.user_id, s.bucket,
+       last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       o.v IS NOT NULL AS observed
+FROM spine s LEFT JOIN obs o USING (user_id, bucket)
+""")
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled per-user series: dense spine + last-observation
+    carried forward (`operators/temporal.resample_ffill`). Roughly half
+    the hourly buckets have no event at sf0.01, so the fill is doing
+    real work; the `observed` flag keeps imputed rows distinguishable
+    downstream."""
+    e = load_table(spark, sf_dir, "events")
+    return T.resample_ffill(e, "ts", "value", ["user_id"], freq="hour")

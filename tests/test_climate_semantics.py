@@ -151,3 +151,26 @@ def test_bbox_normalizes_0_360(spark, grid):
     # normalized lon space: matches the same cells as the native query
     native = bbox_filter(grid, "lat", "lon", (-20.0, -10.0, 10.0, 10.0))
     assert out.count() == native.count()
+
+
+def test_resample_ffill_fills_gaps_and_flags(spark):
+    from datetime import datetime
+
+    from climate_data_pipeline_spark.operators.temporal import resample_ffill
+
+    rows = [  # user 1: events on day 1 and day 4 only
+        (1, datetime(2024, 1, 1, 5), 10.0),
+        (1, datetime(2024, 1, 1, 9), 11.0),   # later same day wins
+        (1, datetime(2024, 1, 4, 0), 40.0),
+        (2, datetime(2024, 1, 2, 0), 99.0),   # single-day user: no gaps
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = {(r["user_id"], str(r["bucket"])): (r["value"], r["observed"])
+           for r in resample_ffill(df, "ts", "value", ["user_id"],
+                                   freq="day").collect()}
+    assert out[(1, "2024-01-01 00:00:00")] == (11.0, True)   # last obs of day
+    assert out[(1, "2024-01-02 00:00:00")] == (11.0, False)  # carried forward
+    assert out[(1, "2024-01-03 00:00:00")] == (11.0, False)
+    assert out[(1, "2024-01-04 00:00:00")] == (40.0, True)
+    assert out[(2, "2024-01-02 00:00:00")] == (99.0, True)
+    assert len(out) == 5  # dense spine: 4 days for user 1, 1 for user 2
