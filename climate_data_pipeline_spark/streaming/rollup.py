@@ -192,3 +192,42 @@ def streaming_ingest_once(spark: SparkSession, sf_dir: str,
               .writeStream.foreachBatch(upsert)
               .option("checkpointLocation", target_dir + "_chk")
               .start())
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str,
+                            tolerance: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: clicks attributed to the views they
+    followed within ``tolerance``, both sides unbounded streams.
+
+    This is the join family batch can't fake incrementally: both inputs
+    grow forever, so Spark buffers each side in state and the join is
+    only feasible because (a) both sides carry watermarks and (b) the
+    join condition bounds event-time distance — together they give the
+    state store a provable eviction horizon (a view older than
+    watermark + tolerance can never match a future click and is
+    dropped). Without the time bound the state is unbounded and Spark
+    rejects the query in append mode.
+
+    Semantics are proven equal to the batch join with the identical
+    condition in test_plans."""
+    views = (_read_events_stream(spark, sf_dir)
+             .where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id"))
+             .withWatermark("view_ts", watermark))
+    clicks = (_read_events_stream(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("click_ts", watermark))
+    cond = F.expr(f"""
+        v_user = c_user
+        AND click_ts >= view_ts
+        AND click_ts <= view_ts + interval {tolerance}
+    """)
+    return (views.join(clicks, cond)
+            .select(F.col("v_user").alias("user_id"),
+                    "view_id", "click_id", "view_ts", "click_ts"))

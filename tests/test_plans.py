@@ -225,3 +225,27 @@ def test_streaming_ingest_once_idempotent(spark, sf_dir, tmp_path):
         got = spark.read.parquet(target)
         assert got.count() == n_batch, f"rerun {rerun}"
         assert got.select("event_id").distinct().count() == n_batch
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    from climate_data_pipeline_spark.sources.io import load_table
+    from climate_data_pipeline_spark.streaming.rollup import (
+        run_stream_to_memory, streaming_interval_join)
+
+    out = streaming_interval_join(spark, sf_dir, tolerance="1 hour")
+    run_stream_to_memory(out, "ssj_out", output_mode="append")
+    got = sorted(map(tuple, spark.table("ssj_out")
+                 .select("user_id", "view_id", "click_id").collect()))
+
+    e = load_table(spark, sf_dir, "events")
+    v = (e.where(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("vu"), F.col("ts").alias("vt"),
+                 F.col("event_id").alias("view_id")))
+    c = (e.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"), F.col("ts").alias("ct"),
+                 F.col("event_id").alias("click_id")))
+    batch = (v.join(c, F.expr(
+        "vu = cu AND ct >= vt AND ct <= vt + interval 1 hour"))
+        .select(F.col("vu").alias("user_id"), "view_id", "click_id"))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
