@@ -107,3 +107,33 @@ def percentile_rank(df: DataFrame, time_col: str, value_col: str,
     rank = F.when(v >= F.col(f"__t{ps[-1]}"), F.lit(float(ps[-1]))).otherwise(rank)
     out = out.withColumn(alias, rank)
     return out.drop(*[f"__t{p}" for p in ps])
+
+
+def robust_zscore(df: DataFrame, time_col: str, value_col: str,
+                  keys: Sequence[str] = (), groupby: str = "month",
+                  alias: str = "robust_z") -> DataFrame:
+    """Median/MAD standardization — the outlier-resistant variant of
+    :func:`zscore` (engine addition): z = (x − median) / (1.4826·MAD),
+    MAD = median(|x − median|). One contaminated reading shifts a mean
+    z-score everywhere in its group; it moves the median/MAD version by
+    ~1/n. The 1.4826 factor makes MAD a consistent σ estimator under
+    normality, so thresholds transfer (|z| > 3 etc.).
+
+    Two grouped exact-percentile passes (median, then MAD) + a broadcast
+    join back — same join-not-reshuffle shape as the climatology
+    anomaly; at scale swap exact `percentile` for `approx_percentile`
+    like A5 does (the oracle-parity/production flag pair)."""
+    key_expr, key_name = _group_key(time_col, groupby)
+    with_key = df.withColumn(key_name, key_expr)
+    med = (with_key.groupBy(key_name, *keys)
+           .agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med")))
+    mad = (with_key.join(F.broadcast(med), [key_name, *keys])
+           .groupBy(key_name, *keys)
+           .agg(F.expr(f"percentile(abs({value_col} - __med), 0.5)")
+                .alias("__mad")))
+    stats = med.join(mad, [key_name, *keys])
+    return (with_key.join(F.broadcast(stats), [key_name, *keys], "left")
+            .withColumn(alias,
+                        (F.col(value_col) - F.col("__med"))
+                        / (F.lit(1.4826) * F.col("__mad")))
+            .drop("__med", "__mad"))

@@ -214,3 +214,65 @@ def sql_lang_pred(prefix: str = "score_") -> str:
                              for other in langs if other != lang)
         lines.append(f"WHEN {conds} THEN '{lang}'")
     return "CASE " + " ".join(lines) + f" ELSE '{langs[-1]}' END"
+
+
+def chunk_text(df: DataFrame, text_col: str, id_col: str,
+               chunk_size: int = 64, stride: int = 48) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitter a
+    training/RAG pipeline runs over every document (fixed token budget
+    per chunk, ``chunk_size - stride`` words of overlap to avoid cutting
+    context at boundaries).
+
+    Pure built-ins: word starts via `sequence(1, n, stride)`, each chunk
+    a `slice` + `concat_ws` — one projection + one explode, no Python,
+    no shuffle; the words array is materialized once per document (the
+    tokenize-once discipline, see `dedup.shingles_from_words`).
+    Output: (id, chunk_idx 0-based, n_words, chunk_text)."""
+    if stride < 1 or chunk_size < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    pre = (df.select(F.col(id_col).alias("id"), words(text_col).alias("__w"))
+             .where(F.size("__w") >= 1))
+    starts = F.sequence(F.lit(1), F.size("__w"), F.lit(stride))
+    chunk = F.explode(
+        F.transform(starts, lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(F.col("__w"), s, chunk_size).alias("cw"))))
+    return (pre.select("id", chunk.alias("c"))
+               .select(F.col("id").alias(id_col),
+                       F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+                       F.size("c.cw").cast("long").alias("n_words"),
+                       F.concat_ws(" ", F.col("c.cw")).alias("chunk_text")))
+
+
+def chunk_text_udtf(spark, df: DataFrame, text_col: str, id_col: str,
+                    chunk_size: int = 64, stride: int = 48) -> DataFrame:
+    """The same chunker as a Python UDTF (Spark 4 user-defined *table*
+    function) — one input row → N output rows from imperative code.
+
+    This exists to prove the extension seam, not to replace
+    :func:`chunk_text`: the built-in expression form stays JVM-side in
+    codegen while a UDTF crosses the Python boundary per row. Use the
+    UDTF shape only when chunk logic genuinely can't be expressed with
+    sequence/slice/transform (e.g. a real tokenizer model). Tested
+    row-identical to the built-in path."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx bigint, n_words bigint, chunk_text string")
+    class Chunker:
+        def eval(self, text: str, size: int, step: int):
+            import re
+
+            ws = [w for w in re.split(r"[^a-z0-9]+", (text or "").lower())
+                  if w]
+            for idx, s in enumerate(range(0, len(ws), step)):
+                piece = ws[s:s + size]
+                yield idx, len(piece), " ".join(piece)
+
+    spark.udtf.register("__chunk_udtf", Chunker)
+    df.select(F.col(id_col), F.col(text_col).alias("__text")) \
+      .createOrReplaceTempView("__chunk_in")
+    return spark.sql(f"""
+        SELECT i.{id_col}, c.chunk_idx, c.n_words, c.chunk_text
+        FROM __chunk_in i, LATERAL __chunk_udtf(i.__text, {int(chunk_size)},
+                                                {int(stride)}) c
+    """)

@@ -157,3 +157,37 @@ def anomaly_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sev.withColumn("label", anomaly_label("severity"))
                .groupBy("severity", "label")
                .agg(F.count("*").alias("n")))
+
+
+@query("w2_robust_zscore", oracle="""
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(month(l_shipdate) AS INTEGER) AS month,
+         l_returnflag, l_quantity
+  FROM lineitem
+), med AS (
+  SELECT month, l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS med
+  FROM keyed GROUP BY 1, 2
+), mad AS (
+  SELECT k.month, k.l_returnflag,
+         quantile_cont(abs(k.l_quantity - m.med), 0.5) AS mad
+  FROM keyed k JOIN med m USING (month, l_returnflag)
+  GROUP BY 1, 2
+)
+SELECT k.l_orderkey, k.l_linenumber, k.month, k.l_returnflag, k.l_quantity,
+       round((k.l_quantity - m.med) / (1.4826 * d.mad), 4) AS robust_z
+FROM keyed k
+JOIN med m USING (month, l_returnflag)
+JOIN mad d USING (month, l_returnflag)
+""")
+def robust_zscore_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust standardization (engine addition beyond the
+    reference's mean/std z-score): immune to the contaminated readings
+    a 100 TB ingest inevitably contains. Exact percentile = DuckDB
+    quantile_cont (linear interpolation, same estimator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = A.robust_zscore(li, "l_shipdate", "l_quantity",
+                          keys=["l_returnflag"], groupby="month")
+    return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
+                      "l_quantity", F.round("robust_z", 4).alias("robust_z"))

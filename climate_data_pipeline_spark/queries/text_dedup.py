@@ -429,3 +429,25 @@ def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return D.contamination_check(corpus, bench, "text", "doc_id", n=3)
+
+
+@query("text_chunk_windows", oracle=f"""
+WITH w AS (SELECT doc_id, {_W} AS w FROM documents),
+starts AS (
+  SELECT doc_id, w,
+         unnest(list_transform(range(1, len(w) + 1, 24),
+                               (s, i) -> {{'s': s, 'idx': i - 1}})) AS st
+  FROM w WHERE len(w) >= 1
+)
+SELECT doc_id, CAST(st['idx'] AS BIGINT) AS chunk_idx,
+       CAST(len(w[st['s'] : st['s'] + 31]) AS BIGINT) AS n_words,
+       array_to_string(w[st['s'] : st['s'] + 31], ' ') AS chunk_text
+FROM starts
+""")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 32, stride 24 → 8-word overlap):
+    the context-window splitter for training/RAG ingestion
+    (`operators/text.chunk_text`). One explode, no shuffle; the oracle
+    re-derives windows via DuckDB list slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_text(docs, "text", "doc_id", chunk_size=32, stride=24)

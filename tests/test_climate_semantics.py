@@ -174,3 +174,27 @@ def test_resample_ffill_fills_gaps_and_flags(spark):
     assert out[(1, "2024-01-04 00:00:00")] == (40.0, True)
     assert out[(2, "2024-01-02 00:00:00")] == (99.0, True)
     assert len(out) == 5  # dense spine: 4 days for user 1, 1 for user 2
+
+
+def test_robust_zscore_resists_outliers(spark):
+    """One 1000× outlier wrecks mean/std z-scores but barely moves the
+    median/MAD version — the property that justifies the operator."""
+    from datetime import datetime
+
+    from climate_data_pipeline_spark.operators.anomalies import (
+        robust_zscore, zscore)
+
+    rows = [(datetime(2024, 1, 1 + i % 28), float(10 + (i % 5))) for i in range(100)]
+    rows.append((datetime(2024, 1, 15), 10000.0))  # contamination
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+
+    z = {r["v"]: r["zscore"] for r in zscore(df, "ts", "v").collect()}
+    rz = {r["v"]: r["robust_z"] for r in robust_zscore(df, "ts", "v").collect()}
+
+    # a clean typical reading: classic z crushed toward 0 by the inflated
+    # std; robust z unaffected
+    assert abs(z[14.0]) < 0.1          # distorted
+    assert 0.5 < abs(rz[14.0]) < 2.5   # sane
+    # the outlier itself: flagged extreme by both, but robust score is
+    # orders of magnitude clearer
+    assert rz[10000.0] > 100

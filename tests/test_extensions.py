@@ -335,3 +335,30 @@ def test_contamination_bounds_and_exact_copy(spark):
            for r in contamination_check(corpus, bench, "text", "doc_id").collect()}
     assert out[100] == 1.0   # every shingle of the copy is in the corpus
     assert out[101] == 0.0   # none of the novel doc's shingles appear
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    from climate_data_pipeline_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string")
+    rows = {r["chunk_idx"]: r for r in
+            chunk_text(df, "text", "doc_id", chunk_size=4, stride=3).collect()}
+    assert len(rows) == 4  # starts at words 0,3,6,9
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-word overlap
+    assert rows[3]["chunk_text"] == "w9" and rows[3]["n_words"] == 1
+    with pytest.raises(ValueError):
+        chunk_text(df, "text", "doc_id", chunk_size=0)
+
+
+def test_chunk_udtf_matches_builtin(spark, docs):
+    from climate_data_pipeline_spark.operators.text import (
+        chunk_text, chunk_text_udtf)
+
+    sub = docs.limit(50)
+    built = sorted(map(tuple, chunk_text(
+        sub, "text", "doc_id", chunk_size=32, stride=24).collect()))
+    via_udtf = sorted(map(tuple, chunk_text_udtf(
+        spark, sub, "text", "doc_id", chunk_size=32, stride=24).collect()))
+    assert built == via_udtf and len(built) > 0
