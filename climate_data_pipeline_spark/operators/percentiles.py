@@ -128,3 +128,37 @@ def percentile_bins(df: DataFrame, time_col: str, value_col: str,
     out = out.withColumn(
         alias, percentile_bin(value_col, {p: f"p{p}" for p in percentiles}))
     return out.drop(*[f"p{p}" for p in percentiles])
+
+
+def doy_window_percentiles(df: DataFrame, time_col: str, value_col: str,
+                           keys: Sequence[str] = (),
+                           percentiles: Sequence[int] = (90,),
+                           window: int = 2, exact: bool = True) -> DataFrame:
+    """Day-of-year percentiles pooled over a centered ±``window``-day
+    calendar window — the smoothing the climate community's standard
+    index definitions (ETCCDI percentile indices) apply on top of the
+    reference's plain per-day grouping (`metrics/percentiles.py:54-59`,
+    `groupby='dayofyear'`): with only N-years samples per calendar day,
+    a raw daily p90 is noisy; pooling each day with its ±w neighbours
+    multiplies the sample (2w+1)-fold.
+
+    Relational formulation: each observation *contributes to* the 2w+1
+    day-bins it falls inside, so project a literal offset array, explode
+    (map-side row multiplication, bounded ×(2w+1) — no join against a
+    calendar table), wrap at the year boundary with modular arithmetic,
+    and run the usual grouped percentile agg. Feb-29 folds into day 365
+    (`least(dayofyear, 365)`) so bins are a stable 1..365. One shuffle.
+    At 100 TB scale flip ``exact=False`` for the sketch percentile, as
+    with A5."""
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    if not all(0 < p < 100 for p in percentiles):
+        raise ValueError("percentiles must be in (0, 100)")
+    doy0 = F.least(F.dayofyear(time_col), F.lit(365)) - 1
+    off = F.explode(F.sequence(F.lit(-window), F.lit(window))).alias("__off")
+    binned = (df.select(doy0.alias("__doy0"), *keys, value_col)
+                .select("*", off)
+                .select((F.pmod(F.col("__doy0") + F.col("__off"), F.lit(365))
+                         + 1).cast("int").alias("doy_bin"), *keys, value_col))
+    return binned.groupBy("doy_bin", *keys).agg(
+        *[_pct(value_col, p / 100.0, exact).alias(f"p{p}") for p in percentiles])

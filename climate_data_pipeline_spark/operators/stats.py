@@ -89,3 +89,37 @@ def detect_time_column(df: DataFrame,
         if isinstance(f.dataType, (T.TimestampType, T.DateType, T.TimestampNTZType)):
             return f.name
     return None
+
+
+def weighted_mean(df: DataFrame, value_col: str, weight_col: str | Column,
+                  keys: Sequence[str] = (), alias: str = "wmean",
+                  decimal_scale: int | None = None) -> DataFrame:
+    """Weighted mean Σwx/Σw per group — the aggregation a *correct*
+    global/zonal climate statistic needs: on a regular lat-lon grid,
+    cells shrink with cos(latitude), so the reference's flat
+    `calculate_metrics` mean (`src/arco_demo.py:234-260`) over-weights
+    the poles; weighting by cos(lat) is the standard fix (pass
+    ``weight_col=F.cos(F.radians('lat'))``). Also serves any
+    frequency/size weighting (tokens per doc, quantity per line item).
+
+    Two partial-aggregable sums, one shuffle, nulls in either column
+    drop the row (both sums guard on the pair being present).
+    ``decimal_scale`` makes both sums exact scaled-long arithmetic —
+    partition-order independent, the registry's float-determinism
+    discipline — when value·weight is exactly representable at that
+    scale; leave ``None`` for true-float weights like cos(lat)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pair_ok = F.col(value_col).isNotNull() & w.isNotNull()
+    if decimal_scale is None:
+        num = F.sum(F.when(pair_ok, F.col(value_col) * w))
+        den = F.sum(F.when(pair_ok, w))
+    else:
+        factor = float(10 ** decimal_scale)
+        num = (F.sum(F.when(pair_ok, F.round(F.col(value_col) * w * factor)
+                            .cast("long"))) / factor)
+        den = (F.sum(F.when(pair_ok, F.round(w * factor).cast("long")))
+               / factor)
+    grouped = df.groupBy(*[F.col(k) if isinstance(k, str) else k for k in keys])
+    return grouped.agg((num / den).alias(alias),
+                       den.alias("weight_sum"),
+                       F.count(F.when(pair_ok, F.lit(1))).alias("n"))

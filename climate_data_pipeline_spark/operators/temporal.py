@@ -18,6 +18,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.scalars import season, season_year
 
@@ -153,3 +154,137 @@ def resample_ffill(df: DataFrame, time_col: str, value_col: str,
         *klist, "bucket",
         F.last("__obs", ignorenulls=True).over(w).alias(value_col),
         F.col("__obs").isNotNull().alias("observed"))
+
+
+_FREQ_SECONDS = {"hour": 3600, "day": 86400, "week": 604800}
+
+
+def spells(df: DataFrame, time_col: str, cond: Column,
+           keys: Sequence[str], freq: str = "day") -> DataFrame:
+    """Consecutive-exceedance runs ("spells") per entity — the temporal
+    clustering behind standard climate indices (warm-spell duration,
+    consecutive dry days): the reference computes *how often* a threshold
+    is exceeded (`metrics/percentiles.py:80-112`); this computes *how
+    long* exceedances persist, which is what heatwave/drought definitions
+    actually need.
+
+    Classic gaps-and-islands, fully relational:
+    1. bucket to ``freq`` and mark a bucket "hit" when any row satisfies
+       ``cond`` (one hash agg — the only data shuffle);
+    2. island id = bucket ordinal − row_number(): constant within each
+       maximal run of consecutive hit buckets (needs the per-entity sort
+       the agg partitioning already provides);
+    3. one more agg per (entity, island) → spell start/end/length.
+    Both window and final agg reuse the (keys) partitioning, so at scale
+    this is bucket-agg shuffle + AQE-coalesced same-key stages.
+
+    Output: (keys..., spell_start, spell_end, spell_len) — one row per
+    maximal run of consecutive hit buckets."""
+    if freq not in _FREQ_SECONDS:
+        raise ValueError(f"freq must be one of {sorted(_FREQ_SECONDS)}")
+    klist = list(keys)
+    bucket = F.date_trunc(freq, F.col(time_col)).alias("bucket")
+    hits = (df.groupBy(*_cols(klist), bucket)
+              .agg(F.max(cond.cast("int")).alias("__hit"))
+              .where(F.col("__hit") == 1))
+    ordinal = (F.unix_timestamp("bucket") / F.lit(_FREQ_SECONDS[freq])).cast("long")
+    rn = F.row_number().over(Window.partitionBy(*klist).orderBy("bucket"))
+    islands = hits.withColumn("__island", ordinal - rn)
+    return (islands.groupBy(*klist, "__island")
+            .agg(F.min("bucket").alias("spell_start"),
+                 F.max("bucket").alias("spell_end"),
+                 F.count("*").cast("long").alias("spell_len"))
+            .drop("__island"))
+
+
+def spell_summary(df: DataFrame, time_col: str, cond: Column,
+                  keys: Sequence[str], freq: str = "day") -> DataFrame:
+    """Per-entity spell digest: number of spells, longest spell, total hit
+    buckets. The per-entity scalar a drought/heatwave index reports
+    (e.g. ETCCDI-style CDD = max consecutive dry days)."""
+    return (spells(df, time_col, cond, keys, freq)
+            .groupBy(*_cols(list(keys)))
+            .agg(F.count("*").cast("long").alias("n_spells"),
+                 F.max("spell_len").alias("max_spell"),
+                 F.sum("spell_len").alias("hit_buckets")))
+
+
+def resample_interp(df: DataFrame, time_col: str, value_col: str,
+                    keys: Sequence[str], freq: str = "day") -> DataFrame:
+    """Gap-filling resample with *linear interpolation* — the row-model
+    analogue of xarray's ``interpolate_na`` over a resampled series
+    (complements :func:`resample_ffill`; the reference's rank kernel
+    already leans on `np.interp`, `metrics/anomalies.py:162-170`).
+
+    Same dense-spine construction as :func:`resample_ffill` (tie-safe
+    struct max per bucket, `sequence()` spine, one agg shuffle), then the
+    bracketing observations via two ignore-nulls windows — previous obs
+    with `last()` over the preceding frame, next obs with `first()` over
+    the following frame — and the interpolation weight from the bucket's
+    position between them. The spine spans each entity's own [min, max]
+    bucket, so every gap is interior: both brackets always exist.
+
+    Output: (keys..., bucket, <value_col> interpolated, observed)."""
+    klist = list(keys)
+    bucket = F.date_trunc(freq, F.col(time_col)).alias("bucket")
+    obs = (df.groupBy(*_cols(klist), bucket)
+             .agg(F.max(F.struct(F.col(time_col).alias("t"),
+                                 F.col(value_col).alias("v"))).alias("s"))
+             .select(*klist, "bucket", F.col("s.v").alias("__obs")))
+    step = F.expr(f"interval 1 {freq}")
+    spine = (df.groupBy(*_cols(klist))
+               .agg(F.date_trunc(freq, F.min(time_col)).alias("lo"),
+                    F.date_trunc(freq, F.max(time_col)).alias("hi"))
+               .select(*klist, F.explode(
+                   F.sequence(F.col("lo"), F.col("hi"), step)).alias("bucket")))
+    joined = spine.join(obs, [*klist, "bucket"], "left")
+    back = (Window.partitionBy(*klist).orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy(*klist).orderBy("bucket")
+                 .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_bucket = F.when(F.col("__obs").isNotNull(), F.col("bucket"))
+    prev_v = F.last("__obs", ignorenulls=True).over(back)
+    prev_t = F.last(obs_bucket, ignorenulls=True).over(back)
+    next_v = F.first("__obs", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_bucket, ignorenulls=True).over(fwd)
+    span = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+    frac = (F.unix_timestamp("bucket") - F.unix_timestamp(prev_t)) / span
+    filled = F.when(F.col("__obs").isNotNull(), F.col("__obs")).otherwise(
+        prev_v + (next_v - prev_v) * frac)
+    return joined.select(
+        *klist, "bucket", filled.alias(value_col),
+        F.col("__obs").isNotNull().alias("observed"))
+
+
+def ewma(df: DataFrame, time_col: str, value_col: str,
+         keys: Sequence[str], alpha: float,
+         order_cols: Sequence[str] | None = None,
+         alias: str = "ewma") -> DataFrame:
+    """Exponentially weighted moving average per entity series — the
+    O(1)-state smoother a streaming/trend pipeline wants where the
+    reference uses a flat rolling mean (`metrics/temporal.py:162-192`).
+    Weights follow pandas ``ewm(adjust=True)``:
+    ``y_t = Σ_i (1-α)^(t-i)·x_i / Σ_i (1-α)^(t-i)``.
+
+    The recurrence is inherently sequential per series, so this is the
+    same grouped-map Arrow kernel shape as Mann-Kendall (A9,
+    `trends.mann_kendall`): one shuffle onto ``keys``, then an O(n)
+    numpy/pandas pass per series — no O(n²) window, no driver collect.
+    Sort inside the kernel is by ``order_cols`` (default ``[time_col]``;
+    pass a unique tiebreak column for deterministic output on tied
+    timestamps)."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    import pandas as pd  # noqa: F401  (Arrow kernel dependency)
+
+    klist = list(keys)
+    order = list(order_cols) if order_cols is not None else [time_col]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(alias, T.DoubleType())])
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[alias] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(*_cols(klist)).applyInPandas(kernel, schema=out_schema)

@@ -110,3 +110,30 @@ def percentile_bins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                             keys=["l_returnflag"])
     return out.select("l_orderkey", "l_linenumber", "month", "l_returnflag",
                       "l_quantity", "percentile_bin")
+
+
+@query("a5_doy_window_percentiles", oracle="""
+WITH binned AS (
+  SELECT CAST((least(dayofyear(l_shipdate), 365) - 1 + off.o + 365) % 365 + 1
+              AS INTEGER) AS doy_bin,
+         l_returnflag, l_quantity
+  FROM lineitem, (SELECT unnest(range(-2, 3)) AS o) AS off
+)
+SELECT doy_bin, l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90
+FROM binned GROUP BY 1, 2
+""")
+def doy_window_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-year percentiles pooled over a centered ±2-day calendar
+    window (ETCCDI-style smoothing of the reference's raw
+    `groupby='dayofyear'` percentiles) — explode-into-bins, one shuffle
+    (`operators/percentiles.doy_window_percentiles`). The oracle
+    re-derives the bin contribution lateral-style in DuckDB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = P.doy_window_percentiles(li, "l_shipdate", "l_quantity",
+                                   keys=["l_returnflag"],
+                                   percentiles=(50, 90), window=2)
+    return out.select("doy_bin", "l_returnflag",
+                      F.round("p50", 6).alias("p50"),
+                      F.round("p90", 6).alias("p90"))

@@ -63,3 +63,27 @@ def region_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("p10", 4).alias("p10"),
                       F.round("p50", 4).alias("p50"),
                       F.round("p90", 4).alias("p90"))
+
+
+@query("weighted_mean_groups", oracle="""
+SELECT l_returnflag,
+       round((SUM(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT))
+              / 100.0)
+             / (SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0),
+             6) AS wmean,
+       SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS weight_sum,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY 1
+""")
+def weighted_mean_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean (Σwx/Σw) per group — quantity-weighted average unit
+    price per return flag (`operators/stats.weighted_mean`). The climate
+    use is cos(lat) area weighting (tested on the synthetic grid); here
+    the exact scaled-long sums keep the check partition-order
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = S.weighted_mean(li, "l_extendedprice", "l_quantity",
+                          keys=["l_returnflag"], decimal_scale=2)
+    return out.select("l_returnflag", F.round("wmean", 6).alias("wmean"),
+                      "weight_sum", "n")

@@ -254,3 +254,110 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream."""
     e = load_table(spark, sf_dir, "events")
     return T.resample_ffill(e, "ts", "value", ["user_id"], freq="hour")
+
+
+@query("spell_summary_users", oracle="""
+WITH hits AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket
+  FROM events GROUP BY 1, 2
+  HAVING max(CASE WHEN value > 60 THEN 1 ELSE 0 END) = 1
+), islands AS (
+  SELECT user_id, bucket,
+         CAST(epoch(bucket) // 86400 AS BIGINT)
+         - row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS island
+  FROM hits
+), sp AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS spell_len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_spells,
+       max(spell_len) AS max_spell,
+       CAST(sum(spell_len) AS BIGINT) AS hit_buckets
+FROM sp GROUP BY 1
+""")
+def spell_summary_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-exceedance spells (gaps-and-islands) per user: days
+    whose max event value exceeds 60, grouped into maximal consecutive
+    runs — the ETCCDI warm-spell/consecutive-dry-days index shape
+    (`operators/temporal.spells`). Summary = count/longest/total."""
+    e = load_table(spark, sf_dir, "events")
+    return T.spell_summary(e, "ts", F.col("value") > 60, ["user_id"],
+                           freq="day")
+
+
+@query("w5_resample_interp", oracle="""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         (max({'t': ts, 'v': value})).v AS v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+), j AS (
+  SELECT s.user_id, s.bucket, o.v
+  FROM spine s LEFT JOIN obs o USING (user_id, bucket)
+), br AS (
+  SELECT user_id, bucket, v,
+    last_value(v IGNORE NULLS) OVER pre AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER pre AS pt,
+    first_value(v IGNORE NULLS) OVER post AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER post AS nt
+  FROM j
+  WINDOW pre AS (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         post AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+       CAST(floor((CASE WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv) * ((epoch(bucket) - epoch(pt))
+                                  / (epoch(nt) - epoch(pt))) END) * 1e6)
+            AS BIGINT) AS value_micro,
+       v IS NOT NULL AS observed
+FROM br
+""")
+def resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled per-user series with *linear interpolation*
+    between the bracketing observations (`operators/temporal.
+    resample_interp`) — xarray `interpolate_na` semantics in the row
+    model; compare `w4_resample_ffill` for the carry-forward variant.
+
+    Output quantized via floor(value·1e6): interpolated midpoints of
+    1e-6-quantized inputs land exactly on decimal round-half boundaries,
+    where Spark (BigDecimal HALF_UP) and DuckDB (fp-multiply) `round`
+    disagree; floor over the bit-identical IEEE product is tie-free."""
+    e = load_table(spark, sf_dir, "events")
+    out = T.resample_interp(e, "ts", "value", ["user_id"], freq="hour")
+    return out.select("user_id", "bucket",
+                      F.floor(F.col("value") * 1e6).cast("long")
+                       .alias("value_micro"), "observed")
+
+
+@query("ewma_user_series", oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+       round(sum(power(0.7, a.i - b.i) * b.value)
+             / sum(power(0.7, a.i - b.i)), 4) AS ewma
+FROM seq a JOIN seq b ON a.user_id = b.user_id AND b.i <= a.i
+GROUP BY a.user_id, a.event_id
+""")
+def ewma_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.3, adjust-style normalized weights) per user event
+    series — the sequential-recurrence kernel via the A9 grouped-map
+    Arrow shape (`operators/temporal.ewma`), O(n) per series. The oracle
+    expands the closed-form weighted sum O(n²)-laterally, which only the
+    oracle can afford; equality of the two formulations is the check."""
+    e = load_table(spark, sf_dir, "events")
+    out = T.ewma(e, "ts", "value", ["user_id"], alpha=0.3,
+                 order_cols=["ts", "event_id"])
+    return out.select("user_id", "event_id", F.round("ewma", 4).alias("ewma"))

@@ -198,3 +198,79 @@ def test_robust_zscore_resists_outliers(spark):
     # the outlier itself: flagged extreme by both, but robust score is
     # orders of magnitude clearer
     assert rz[10000.0] > 100
+
+
+def test_spells_gaps_and_islands(spark):
+    """Known run structure: hits on days 1-3 and 5 → two spells (3, 1)."""
+    from datetime import datetime
+
+    rows = [(1, datetime(2024, 1, d, h), v)
+            for d, h, v in [(1, 3, 80.0), (1, 9, 10.0), (2, 1, 70.0),
+                            (3, 5, 90.0), (4, 2, 10.0), (5, 6, 65.0)]]
+    rows += [(2, datetime(2024, 1, 1, 1), 10.0)]  # user 2: never hits
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, v double")
+
+    sp = {(r["user_id"], r["spell_start"].day): r["spell_len"]
+          for r in T.spells(df, "ts", F.col("v") > 60, ["user_id"]).collect()}
+    assert sp == {(1, 1): 3, (1, 5): 1}
+
+    summ = {r["user_id"]: (r["n_spells"], r["max_spell"], r["hit_buckets"])
+            for r in T.spell_summary(df, "ts", F.col("v") > 60,
+                                     ["user_id"]).collect()}
+    assert summ == {1: (2, 3, 4)}  # user 2 absent: no hit days at all
+
+
+def test_resample_interp_linear_and_flags(spark):
+    """Obs at day 1 = 10 and day 4 = 40 → days 2, 3 interpolate to 20, 30."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12), 10.0), (1, datetime(2024, 1, 4, 3), 40.0)],
+        "user_id long, ts timestamp, v double")
+    out = {r["bucket"].day: (r["v"], r["observed"])
+           for r in T.resample_interp(df, "ts", "v", ["user_id"]).collect()}
+    assert out == {1: (10.0, True), 2: (20.0, False),
+                   3: (30.0, False), 4: (40.0, True)}
+
+
+def test_ewma_adjusted_weights(spark):
+    """α=0.5 over [1,2,3]: y = 1, 5/3, 17/7 (normalized geometric weights)."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1 + i), float(v)) for i, v in enumerate([1, 2, 3])],
+        "user_id long, ts timestamp, v double")
+    out = sorted(r["ewma"] for r in
+                 T.ewma(df, "ts", "v", ["user_id"], alpha=0.5).collect())
+    assert out == pytest.approx([1.0, 5 / 3, 17 / 7])
+    with pytest.raises(ValueError):
+        T.ewma(df, "ts", "v", ["user_id"], alpha=0.0)
+
+
+def test_doy_window_wraps_year_boundary(spark):
+    """window=1: a Dec-31 (doy 365) obs pools into bins 364, 365 and 1."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(datetime(2023, 12, 31), 7.0), (datetime(2024, 1, 1), 1.0)],
+        "ts timestamp, v double")
+    out = {r["doy_bin"]: r["p50"] for r in P.doy_window_percentiles(
+        df, "ts", "v", percentiles=(50,), window=1).collect()}
+    # doy 365 contributes to {364, 365, 1}; doy 1 to {365, 1, 2}
+    assert set(out) == {364, 365, 1, 2}
+    assert out[364] == 7.0 and out[2] == 1.0
+    assert out[365] == 4.0 and out[1] == 4.0  # pooled median of {7, 1}
+
+
+def test_weighted_mean_cos_lat_weights(spark, grid=None):
+    """Area weighting on the synthetic grid: temperature peaks at the
+    equator, so the cos(lat)-weighted global mean must exceed the flat
+    mean (poles over-weighted in the naive average)."""
+    from climate_data_pipeline_spark.operators.stats import weighted_mean
+    from climate_data_pipeline_spark.sources.synthetic import climate_grid
+
+    g = climate_grid(spark, start="2020-01-01", days=30)
+    flat = g.agg(F.avg("temperature")).first()[0]
+    w = weighted_mean(g, "temperature", F.cos(F.radians("lat"))).first()
+    assert w["wmean"] > flat + 5  # equator-weighted, poles discounted
+    assert w["n"] == 30 * 19 * 36
