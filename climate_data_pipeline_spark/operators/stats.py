@@ -123,3 +123,80 @@ def weighted_mean(df: DataFrame, value_col: str, weight_col: str | Column,
     return grouped.agg((num / den).alias(alias),
                        den.alias("weight_sum"),
                        F.count(F.when(pair_ok, F.lit(1))).alias("n"))
+
+
+def winsorize(df: DataFrame, value_col: str, keys: Sequence[str] = (),
+              lower: float = 0.01, upper: float = 0.99,
+              alias: str | None = None) -> DataFrame:
+    """Percentile clipping (winsorization) per group — the standard
+    outlier treatment before training-statistics aggregation: values
+    below the group's p_lower clamp up, above p_upper clamp down.
+    Exact grouped percentiles (oracle-parity; swap to approx at 100 TB
+    like A5) broadcast-joined back — facts never reshuffle."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    out_col = alias or f"{value_col}_wins"
+    klist = list(keys)
+    bounds = (df.groupBy(*klist)
+                .agg(F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
+                     F.expr(f"percentile({value_col}, {upper})").alias("__hi")))
+    joined = (df.join(F.broadcast(bounds), klist) if klist
+              else df.crossJoin(F.broadcast(bounds)))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
+
+
+def weighted_median_udaf():
+    """Weighted (lower) median as a *grouped-aggregate pandas UDF* — the
+    one UDF shape the engine hadn't exercised (scalar pandas_udf,
+    grouped-map `applyInPandas`, `mapInPandas`, UDTF and
+    `applyInPandasWithState` all appear elsewhere). Use where a custom
+    reduction genuinely can't be a built-in aggregate; Arrow batches keep
+    the transfer columnar.
+
+    Rule: smallest v whose cumulative weight reaches half the total —
+    the discrete lower weighted median, deterministic (no interpolation),
+    so an exact SQL oracle exists (cumulative-weight window).
+
+    Usage: ``df.groupBy(k).agg(weighted_median_udaf()(col_v, col_w))``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def weighted_median(v, w):
+        order = v.sort_values().index
+        vv, ww = v[order].to_numpy(), w[order].to_numpy()
+        cum = ww.cumsum()
+        return float(vv[int(np.searchsorted(cum, cum[-1] / 2.0))])
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf can't infer from
+    weighted_median.__annotations__ = {"v": pd.Series, "w": pd.Series,
+                                       "return": float}
+    return pandas_udf(weighted_median, "double")
+
+
+def coarsen(df: DataFrame, x_col: str, y_col: str, value_col: str,
+            x_step: float, y_step: float,
+            agg: str = "avg") -> DataFrame:
+    """Block-aggregate regrid — xarray's ``coarsen`` on the row model:
+    quantize both grid coordinates to ``step``-sized blocks, aggregate
+    each block, report block centers. The standard downsample before
+    serving a coarse-zoom map tile or a reduced-resolution export
+    (reference's chunk-layout docs motivate exactly this access pattern,
+    `docs/chunking-strategy.md`).
+
+    floor-quantization keeps every input row in exactly one block (no
+    overlap, no row multiplication); one hash-agg shuffle on the block
+    key; at 100 TB the blocks inherit partition pruning when the table
+    is laid out/Z-ordered on (x, y)."""
+    fn = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+          "count": F.count}[agg]
+    bx = F.floor(F.col(x_col) / x_step)
+    by = F.floor(F.col(y_col) / y_step)
+    return (df.groupBy(bx.alias("__bx"), by.alias("__by"))
+              .agg(fn(value_col).alias(f"{agg}_{value_col}"),
+                   F.count("*").alias("n_cells"))
+              .select(((F.col("__bx") + 0.5) * x_step).alias(f"{x_col}_center"),
+                      ((F.col("__by") + 0.5) * y_step).alias(f"{y_col}_center"),
+                      f"{agg}_{value_col}", "n_cells"))

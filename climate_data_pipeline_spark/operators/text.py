@@ -11,7 +11,9 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_SPLIT = "[^a-z0-9]+"
@@ -276,3 +278,65 @@ def chunk_text_udtf(spark, df: DataFrame, text_col: str, id_col: str,
         FROM __chunk_in i, LATERAL __chunk_udtf(i.__text, {int(chunk_size)},
                                                 {int(stride)}) c
     """)
+
+
+def vocabulary(df: DataFrame, text_col: str, id_col: str,
+               min_df: int = 1, max_df_frac: float = 1.0,
+               top_k: int | None = None) -> DataFrame:
+    """Corpus vocabulary with term/document frequencies — the heavy-hitter
+    scan every tokenizer/vocab-building stage of a training pipeline runs
+    first. ``min_df``/``max_df_frac`` are the classic pruning knobs (drop
+    hapaxes, drop stopword-like terms present in nearly every document);
+    ``top_k`` keeps the most frequent survivors with a deterministic
+    (−tf, term) tie-break.
+
+    Tokenize once per document (the `shingles_from_words` discipline),
+    explode, then ONE aggregation computes both tf (Σ occurrences) and
+    df (distinct docs) — df via count(DISTINCT id) inside the same
+    groupBy, no second shuffle. The total-documents denominator for
+    ``max_df_frac`` is a scalar broadcast, not a join. Top-k uses a
+    global TakeOrderedAndProject only when k is small; unbounded keeps
+    the full distributed result.
+
+    Output: (term, tf, df) [+ rank when top_k]."""
+    n_docs = df.select(id_col).distinct().count()
+    tokens = (df.select(F.col(id_col).alias("__id"),
+                        F.explode(words(text_col)).alias("term")))
+    vocab = (tokens.groupBy("term")
+             .agg(F.count("*").alias("tf"),
+                  F.countDistinct("__id").alias("df"))
+             .where((F.col("df") >= min_df)
+                    & (F.col("df") <= int(max_df_frac * n_docs))))
+    if top_k is None:
+        return vocab
+    ranked = vocab.orderBy(F.col("tf").desc(), "term").limit(top_k)
+    w = Window.orderBy(F.col("tf").desc(), "term")
+    return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
+                    k: int = 3, min_df: int = 1) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic relevance weighting
+    (tf · smoothed idf, `ln((N+1)/(df+1)) + 1`, scikit-learn's smooth_idf
+    formulation) as a pure DataFrame pipeline: tokenize once → per-(doc,
+    term) counts → document frequencies → join → ranking window.
+
+    Shuffle budget: one agg on (doc, term), one agg on term, one join
+    back (term df table is vocabulary-sized — broadcastable), one window
+    partitioned by doc. Ties break deterministically by (−tfidf, term).
+
+    Output: (id, term, tf, df, tfidf, rank ≤ k)."""
+    n_docs = df.select(id_col).distinct().count()
+    tokens = (df.select(F.col(id_col).alias(id_col),
+                        F.explode(words(text_col)).alias("term")))
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+               .where(F.col("df") >= min_df))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    scored = (tf.join(F.broadcast(dfreq), "term")
+                .withColumn("tfidf", F.col("tf") * idf))
+    w = (Window.partitionBy(id_col)
+               .orderBy(F.col("tfidf").desc(), "term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(id_col, "term", "tf", "df", "tfidf", "rank"))

@@ -87,3 +87,79 @@ def weighted_mean_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                           keys=["l_returnflag"], decimal_scale=2)
     return out.select("l_returnflag", F.round("wmean", 6).alias("wmean"),
                       "weight_sum", "n")
+
+
+@query("weighted_median_groups", oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, min(v) AS wmedian
+FROM ranked WHERE cum >= tot / 2.0
+GROUP BY 1
+""")
+def weighted_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median price per return flag via the
+    grouped-aggregate pandas UDF (`operators/stats.weighted_median_udaf`)
+    — the custom-reduction UDF shape. The oracle re-derives it with a
+    cumulative-weight window; the discrete lower-median rule makes the
+    crossing value order-independent even across price ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wm = S.weighted_median_udaf()
+    return (li.groupBy("l_returnflag")
+              .agg(wm(F.col("l_extendedprice"),
+                      F.col("l_quantity")).alias("wmedian")))
+
+
+@query("coarsen_blocks", oracle="""
+SELECT (floor(l_extendedprice / 5000) + 0.5) * 5000 AS l_extendedprice_center,
+       (floor(l_discount / 0.02) + 0.5) * 0.02 AS l_discount_center,
+       CAST(floor(avg(l_quantity) * 1e6) AS BIGINT) AS avg_qty_micro,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM lineitem
+GROUP BY floor(l_extendedprice / 5000), floor(l_discount / 0.02)
+""")
+def coarsen_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-aggregate regrid (xarray `coarsen` analogue,
+    `operators/stats.coarsen`): quantize a 2-D numeric domain into
+    blocks, one hash-agg, block centers out. Micro-int output for the
+    tie-free float compare (quantity sums are exact integers, so the
+    average is bit-identical in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = S.coarsen(li, "l_extendedprice", "l_discount", "l_quantity",
+                    5000, 0.02, agg="avg")
+    return out.select("l_extendedprice_center", "l_discount_center",
+                      F.floor(F.col("avg_l_quantity") * 1e6).cast("long")
+                       .alias("avg_qty_micro"), "n_cells")
+
+
+@query("winsorized_stats", oracle="""
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+         AS mean_wins,
+       count(*) AS n
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+GROUP BY 1
+""")
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping (`operators/stats.winsorize`) at p5/p95 per
+    return flag, then a mean over the clipped values — the standard
+    outlier-robust pre-training statistic. Exact grouped percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`, both linear
+    interpolation) broadcast back onto the facts; no fact reshuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = S.winsorize(li, "l_extendedprice", keys=["l_returnflag"],
+                      lower=0.05, upper=0.95, alias="wins")
+    return (out.groupBy("l_returnflag")
+               .agg(F.round(F.avg("wins"), 4).alias("mean_wins"),
+                    F.count("*").alias("n")))

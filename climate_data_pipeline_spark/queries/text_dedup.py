@@ -451,3 +451,62 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives windows via DuckDB list slicing."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.chunk_text(docs, "text", "doc_id", chunk_size=32, stride=24)
+
+
+@query("text_vocabulary", oracle=f"""
+WITH tokens AS (
+  SELECT doc_id, unnest({_W}) AS term FROM documents
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+v AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tokens GROUP BY 1
+)
+SELECT term, tf, df,
+       CAST(row_number() OVER (ORDER BY tf DESC, term) AS INTEGER) AS rank
+FROM v, nd
+WHERE df >= 2 AND df <= CAST(0.5 * nd.n AS BIGINT)
+ORDER BY tf DESC, term LIMIT 100
+""")
+def vocabulary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (heavy hitters) with the classic min_df/max_df
+    pruning knobs and a deterministic top-100
+    (`operators/text.vocabulary`): tf and df come out of ONE aggregation
+    over the exploded tokens; max_df drops stopword-like terms in over
+    half the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.vocabulary(docs, "text", "doc_id",
+                        min_df=2, max_df_frac=0.5, top_k=100)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query("text_tfidf_top", oracle=f"""
+WITH tokens AS (
+  SELECT doc_id, unnest({_W}) AS term FROM documents
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * (ln((nd.n + 1.0) / (d.df + 1)) + 1) AS tfidf
+  FROM tf t JOIN dfreq d USING (term), nd
+)
+SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+""")
+def tfidf_top_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf, scikit-learn
+    formulation) — per-(doc, term) agg, broadcast df join, per-doc
+    ranking window (`operators/text.tfidf_top_terms`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.tfidf_top_terms(docs, "text", "doc_id", k=3, min_df=1)
+    return out.select("doc_id", "term", "tf", "df",
+                      F.round("tfidf", 6).alias("tfidf"),
+                      F.col("rank").cast("int").alias("rank"))
