@@ -340,3 +340,56 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select(id_col, "term", "tf", "df", "tfidf", "rank"))
+
+
+def clean_text(df: DataFrame, text_col: str, min_line_words: int = 1,
+               require_terminal_punct: bool = False,
+               alias: str | None = None) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    method): split into lines, collapse internal whitespace, drop lines
+    with fewer than ``min_line_words`` words (and, optionally, lines not
+    ending in terminal punctuation — the C4 rule), reassemble.
+
+    Entirely array higher-order functions on one row — shuffle-free,
+    whole-stage-codegen'd, trivially parallel at 100 TB. Output adds
+    ``<col>_clean`` plus line-count diagnostics (n_lines,
+    n_lines_kept)."""
+    out_col = alias or f"{text_col}_clean"
+    norm = F.transform(
+        F.split(F.col(text_col), "\n"),
+        lambda x: F.trim(F.regexp_replace(x, "\\s+", " ")))
+
+    def keep(x):
+        ok = (F.length(x) > 0) & (F.size(F.split(x, " ")) >= min_line_words)
+        if require_terminal_punct:
+            ok = ok & x.rlike("[.!?]\"?$")
+        return ok
+
+    kept = F.filter(norm, keep)
+    return (df.withColumn(out_col, F.array_join(kept, "\n"))
+              .withColumn("n_lines", F.size(norm))
+              .withColumn("n_lines_kept", F.size(kept)))
+
+
+def char_entropy(df: DataFrame, text_col: str,
+                 alias: str = "char_entropy") -> DataFrame:
+    """Shannon entropy (nats) of the per-document character
+    distribution — the cheap randomness/quality signal that separates
+    prose from padding, mojibake and base64 blobs.
+
+    Shuffle-free: the histogram is built per row with array HOFs
+    (sorted distinct chars → counts via filter), so cost is
+    O(alphabet × len) per document with zero exchanges — at 100 TB this
+    beats the explode-and-aggregate formulation (which shuffles every
+    character) by the full corpus volume. The distinct list is sorted so
+    the entropy fold visits terms in identical order in any engine
+    (bit-stable parity)."""
+    chars = F.regexp_extract_all(F.col(text_col), F.lit("[\\s\\S]"), 0)
+    uniq = F.array_sort(F.array_distinct(chars))
+    n = F.size(chars)
+    counts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    ent = -F.aggregate(counts, F.lit(0.0),
+                       lambda acc, c: acc + (c / n) * F.log(c / n))
+    return (df.withColumn("n_chars", n)
+              .withColumn("n_distinct_chars", F.size(uniq))
+              .withColumn(alias, F.when(n > 0, ent).otherwise(F.lit(0.0))))

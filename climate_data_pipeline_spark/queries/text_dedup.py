@@ -510,3 +510,99 @@ def tfidf_top_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "term", "tf", "df",
                       F.round("tfidf", 6).alias("tfidf"),
                       F.col("rank").cast("int").alias("rank"))
+
+
+@query("text_clean_normalize", oracle="""
+WITH l AS (
+  SELECT doc_id,
+         list_transform(string_split(text, chr(10)),
+                        x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))) AS lines
+  FROM documents
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x -> length(x) > 0
+                     AND len(string_split(x, ' ')) >= 3) AS kept
+  FROM l
+)
+SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_lines_kept
+FROM k
+""")
+def clean_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (`operators/text.clean_text`) in
+    whitespace-normalization mode (the corpus is single-line, so the
+    terminal-punctuation rule is exercised in test_extensions instead):
+    per-row array HOFs, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.clean_text(docs, "text", min_line_words=3,
+                        require_terminal_punct=False, alias="text_clean")
+    return out.select("doc_id", "text_clean", "n_lines", "n_lines_kept")
+
+
+_ENTROPY_SQL = """round(-list_sum(list_transform(
+         list_sort(list_distinct(regexp_extract_all(text, '[\\s\\S]'))),
+         c -> (len(list_filter(regexp_extract_all(text, '[\\s\\S]'), x -> x = c))
+               / len(regexp_extract_all(text, '[\\s\\S]')))
+              * ln(len(list_filter(regexp_extract_all(text, '[\\s\\S]'), x -> x = c))
+                   / len(regexp_extract_all(text, '[\\s\\S]'))))), 6)"""
+
+
+@query("text_char_entropy", oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[\\s\\S]')) AS INTEGER) AS n_chars,
+       CAST(len(list_distinct(regexp_extract_all(text, '[\\s\\S]'))) AS INTEGER)
+         AS n_distinct_chars,
+       {_ENTROPY_SQL} AS char_entropy
+FROM documents
+""")
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (`operators/text.char_entropy`) — shuffle-free HOF histogram; the
+    sorted distinct list pins the fold order so both engines sum
+    identical terms in identical order."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.char_entropy(docs, "text")
+    return out.select("doc_id", "n_chars", "n_distinct_chars",
+                      F.round("char_entropy", 6).alias("char_entropy"))
+
+
+@query("text_keep_filter", oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len({_W}) AS BIGINT) AS n_words,
+         {_QUALITY_SQL} AS q,
+         {_ENTROPY_SQL} AS ent
+  FROM documents
+)
+SELECT doc_id, n_words,
+       (q >= 0.49 AND n_words BETWEEN 25 AND 90 AND ent >= 2.8) AS keep,
+       coalesce(array_to_string(list_filter(
+           [CASE WHEN q < 0.49 THEN 'low_quality' END,
+            CASE WHEN n_words < 25 THEN 'too_short' END,
+            CASE WHEN n_words > 90 THEN 'too_long' END,
+            CASE WHEN ent < 2.8 THEN 'low_entropy' END],
+           x -> x IS NOT NULL), ','), '') AS reasons
+FROM m
+""")
+def keep_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop gate — the decision every training-data
+    pipeline makes per document, composed from the engine's own quality
+    blend, token counting and char entropy, with an auditable comma-joined
+    reason list (kept scalar so every comparator handles it). Both engines compare the *round-6* metric values, so the
+    threshold comparisons are bit-identical (raw-float thresholding
+    across engines would be a parity trap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = TX.char_entropy(TX.quality_score(docs, "text"), "text")
+    q = F.round("quality_score", 6)
+    ent = F.round("char_entropy", 6)
+    n_words = F.size(TX.words("text")).cast("long")
+    reasons = F.filter(F.array(
+        F.when(q < 0.49, F.lit("low_quality")),
+        F.when(n_words < 25, F.lit("too_short")),
+        F.when(n_words > 90, F.lit("too_long")),
+        F.when(ent < 2.8, F.lit("low_entropy"))), lambda x: x.isNotNull())
+    reasons = F.array_join(reasons, ",")
+    keep = ((q >= 0.49) & n_words.between(25, 90) & (ent >= 2.8))
+    return m.select("doc_id", n_words.alias("n_words"), keep.alias("keep"),
+                    reasons.alias("reasons"))

@@ -362,3 +362,44 @@ def test_chunk_udtf_matches_builtin(spark, docs):
     via_udtf = sorted(map(tuple, chunk_text_udtf(
         spark, sub, "text", "doc_id", chunk_size=32, stride=24).collect()))
     assert built == via_udtf and len(built) > 0
+
+
+def test_clean_text_c4_rules(spark):
+    from climate_data_pipeline_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [("Good long sentence here.\nshort\nAnother full line stays!\n"
+          "   spaced   out   line.   \nno terminal punct line here",)],
+        "text string")
+    row = clean_text(df, "text", min_line_words=3,
+                     require_terminal_punct=True).first()
+    kept = row["text_clean"].split("\n")
+    assert kept == ["Good long sentence here.", "Another full line stays!",
+                    "spaced out line."]
+    assert row["n_lines"] == 5 and row["n_lines_kept"] == 3
+    # without the punct rule the no-punct line survives
+    row2 = clean_text(df, "text", min_line_words=3).first()
+    assert row2["n_lines_kept"] == 4
+
+
+def test_clean_text_drops_empty_lines(spark):
+    from climate_data_pipeline_spark.operators.text import clean_text
+
+    row = clean_text(spark.createDataFrame([("a\n\n\nb",)], "text string"),
+                     "text", min_line_words=1).first()
+    assert row["text_clean"] == "a\nb"
+    assert row["n_lines"] == 4 and row["n_lines_kept"] == 2
+
+
+def test_char_entropy_bounds(spark):
+    from climate_data_pipeline_spark.operators.text import char_entropy
+
+    import math
+    rows = {r["text"]: r for r in char_entropy(
+        spark.createDataFrame([("aaaa",), ("abcd",), ("aabb",)],
+                              "text string"), "text").collect()}
+    assert rows["aaaa"]["char_entropy"] == pytest.approx(0.0)
+    # uniform over 4 symbols → ln(4); max for that alphabet size
+    assert rows["abcd"]["char_entropy"] == pytest.approx(math.log(4))
+    assert rows["aabb"]["char_entropy"] == pytest.approx(math.log(2))
+    assert rows["abcd"]["n_distinct_chars"] == 4

@@ -6,6 +6,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 
@@ -42,6 +43,9 @@ def canon_hash(pdf: pd.DataFrame) -> str:
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("datetime64[ns]")
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     pdf = pdf.sort_values(by=list(pdf.columns), na_position="last").reset_index(drop=True)
     return hashlib.sha256(pdf.to_csv(index=False, float_format="%.17g").encode()).hexdigest()[:16]
 
