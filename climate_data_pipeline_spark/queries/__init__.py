@@ -25,5 +25,6 @@ from . import (  # noqa: F401
     text_dedup,
     tpch_like,
     tpch_like2,
+    tpch_like3,
     trends,
 )

@@ -158,3 +158,33 @@ def test_array_hof_has_no_shuffle(spark, sf_small):
     Exchange means the fold escaped into a join/agg formulation."""
     plan = _plan(spark, sf_small, "array_hof_stats")
     assert "Exchange " not in plan
+
+
+def test_q20_semi_join_chain_all_broadcast(spark, sf_small):
+    """Q20's nested IN-subqueries must compile to broadcast semi joins
+    with the date window pushed into the lineitem scan — the shape
+    where 100 TB of lineitem is filtered before its only Exchange (the
+    ≤#suppliers aggregate)."""
+    plan = _plan(spark, sf_small, "tpch_q20_excess_shippers")
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = [s.split("]")[0] for s in plan.split("PushedFilters: [")[1:]]
+    assert any("l_shipdate" in s for s in pushed)
+
+
+def test_q21_residual_inequality_stays_hash_join(spark, sf_small):
+    """Q21's EXISTS/NOT-EXISTS with `suppkey <>` residuals must hash on
+    l_orderkey (residual applied post-probe), never degrade to a
+    nested-loop over the fact table."""
+    plan = _plan(spark, sf_small, "tpch_q21_waiting_orders")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q2_window_reuses_dedup_shuffle(spark, sf_small):
+    """Q2's dimension joins (part/supplier/nation/region) must all
+    broadcast — the only exchanges allowed are the pair-dedup, the
+    p_partkey window repartition, and the final top-k gather."""
+    plan = _plan(spark, sf_small, "tpch_q2_min_cost_supplier")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
