@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     sampling_q,
     scale_q,
     similarity_mm,
+    spatial_q,
     stats,
     stats_extra,
     temporal,
