@@ -40,8 +40,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     """
     by = list(by)
     lcols = left.columns
+    on_type = dict(left.dtypes)[on]  # timestamp or timestamp_ntz — keep it
     tagged_left = (left.withColumn("__side", F.lit(1))
-                       .withColumn("__r_ts", F.lit(None).cast("timestamp")))
+                       .withColumn("__r_ts", F.lit(None).cast(on_type)))
     for c in right_cols:
         tagged_left = tagged_left.withColumn(f"__r_{c}", F.lit(None)
                                              .cast(dict(right.dtypes)[c]))
@@ -71,8 +72,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     out = matched.where(F.col("__side") == 1)
     if tolerance_us is not None:
-        fresh = (F.unix_micros(F.col(on)) - F.unix_micros(F.col("__m_ts"))
-                 <= tolerance_us)
+        # unix_micros requires TIMESTAMP; NTZ columns cast first. Both sides
+        # get the same session-zone shift, so the difference is invariant.
+        def _us(c):
+            return F.unix_micros(c.cast("timestamp"))
+        fresh = _us(F.col(on)) - _us(F.col("__m_ts")) <= tolerance_us
         out = out.withColumn("__m_ts", F.when(fresh, F.col("__m_ts")))
         for c in right_cols:
             out = out.withColumn(f"__m_{c}", F.when(fresh, F.col(f"__m_{c}")))

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     anomalies,
     arrays_nulls,
     asof_q,
+    behavioral,
     drift_q,
     histogram_q,
     merge_q,

@@ -40,8 +40,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in ns_cols:
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c) if c in df.columns else None
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # newer Spark reads parquet TIMESTAMP(NANOS) natively as NTZ
+            # (µs-truncated, same as DuckDB); keep the loader invariant that
+            # event time is TIMESTAMP so watermarks/unix_micros work. The
+            # NTZ→LTZ cast interprets wall-clock in the session zone and all
+            # calendar functions read it back in the same zone — results are
+            # tz-invariant for every query in the registry.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -33,9 +33,15 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
     for c in _NANOS_TS_COLS.get("events", ()):
-        if dict(stream.dtypes).get(c) == "bigint":
+        dt = dict(stream.dtypes).get(c)
+        if dt == "bigint":
             stream = stream.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # newer Spark reads parquet TIMESTAMP(NANOS) natively as NTZ;
+            # event-time watermarks require TIMESTAMP — cast (session tz
+            # is pinned UTC in the package session, so wall-clock is kept)
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream
 
 

@@ -188,3 +188,27 @@ def test_q2_window_reuses_dedup_shuffle(spark, sf_small):
     plan = _plan(spark, sf_small, "tpch_q2_min_cost_supplier")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_funnel_single_data_shuffle(spark, sf_small):
+    """Funnel stages are chained entire-partition window minima plus a
+    per-user collapse that must REUSE the window's hashpartitioning —
+    one data exchange on user_id, one single-row final gather, and no
+    Expand (the per-user pre-agg replaces COUNT(DISTINCT …))."""
+    plan = _plan(spark, sf_small, "funnel_conversion")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("Exchange ") == 2
+    assert "Expand" not in plan and "Join" not in plan
+
+
+def test_twap_window_feeds_agg_without_reshuffle(spark, sf_small):
+    """lead(ts) window and the per-user aggregation share one shuffle."""
+    plan = _plan(spark, sf_small, "twap_user_value")
+    assert plan.count("Exchange ") == 1
+    assert "partial_" in plan
+
+
+def test_degree_days_single_shuffle_with_partials(spark, sf_small):
+    plan = _plan(spark, sf_small, "degree_days")
+    assert plan.count("Exchange ") == 1
+    assert "partial_" in plan
