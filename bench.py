@@ -13,7 +13,8 @@ collect — so timings measure the engine, not result serialization.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
-     BENCH_ITERATIONS / BENCH_WARMUP (default 3 / 1).
+     BENCH_ITERATIONS / BENCH_WARMUP (default 3 / 2 — the reference harness
+     uses 3 warmups + 20 iterations, src/benchmark_suite.py:55).
 """
 
 from __future__ import annotations
@@ -46,13 +47,15 @@ HEADLINE = [
     "hist_quantile_sketch",   # mergeable histogram partials + cum walk
     "array_hof_stats",        # higher-order array fold, shuffle-free
     "text_contamination",     # inverted-index semi join over shingles
+    "funnel_conversion",      # chained entire-partition window minima
+    "harmonic_seasonal_fit",  # closed-form 2-regressor OLS from co-moments
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iterations = int(os.environ.get("BENCH_ITERATIONS", "3"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -393,3 +393,30 @@ def char_entropy(df: DataFrame, text_col: str,
     return (df.withColumn("n_chars", n)
               .withColumn("n_distinct_chars", F.size(uniq))
               .withColumn(alias, F.when(n > 0, ent).otherwise(F.lit(0.0))))
+
+
+def unicode_profile(df: DataFrame, text_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Encoding-health profile per document: counts of non-ASCII,
+    control and U+FFFD replacement characters (the mojibake signature of
+    a bad decode step upstream), plus the ASCII ratio. Web-scale corpora
+    gate on these before tokenization — a burst of replacement chars
+    means the source bytes were mis-decoded and the text is garbage.
+
+    Pure projection over built-in string/regex functions: no UDF, no
+    shuffle, stays in whole-stage codegen. The char-class regexes use
+    only portable escapes (``\\x00-\\x7F``) so Java regex (Spark) and
+    RE2-style engines (oracle) agree byte-for-byte."""
+    t = F.col(text_col)
+    n = F.length(t)
+    non_ascii = F.length(F.regexp_replace(t, "[\\x00-\\x7F]", ""))
+    control = n - F.length(F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+    replacement = n - F.length(F.regexp_replace(t, "�", ""))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        non_ascii.cast("long").alias("n_non_ascii"),
+        control.cast("long").alias("n_control"),
+        replacement.cast("long").alias("n_replacement"),
+        F.round((n - non_ascii) * 1.0 / F.greatest(n, F.lit(1)), 6)
+         .alias("ascii_ratio"))

@@ -149,3 +149,47 @@ def mann_kendall(df: DataFrame, time_col: str, value_col: str,
         return pd.DataFrame(out)
 
     return df.groupBy(*keys).applyInPandas(kernel, schema=schema)
+
+
+def harmonic_fit(df: DataFrame, time_col: str, value_col: str,
+                 group_cols: Sequence[str],
+                 period_days: float = 365.25,
+                 round_to: int | None = 6) -> DataFrame:
+    """Seasonal-cycle fit y ≈ a + b·sin(ωd) + c·cos(ωd), ω = 2π/period,
+    d = fractional day-of-year — the parametric counterpart of the
+    reference's monthly climatology (`metrics/temporal.py:120-159`):
+    amplitude = sqrt(b² + c²) is half the seasonal swing.
+
+    Two-regressor OLS solved in CLOSED FORM from the normal equations —
+    five var/covar aggregates per group, one scan, one shuffle with
+    map-side partials; no iterative fitter, no UDF. The n-divisors of
+    var_pop/covar_pop cancel in every ratio, so population moments are
+    exact substitutes for centered sums. Day-of-year comes from
+    wall-clock calendar parts only → session-timezone invariant.
+    """
+    ts = F.col(time_col)
+    doy = (F.dayofyear(ts)
+           + (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts))
+           / 86400.0)
+    ang = F.lit(2.0 * math.pi) * doy / period_days
+    d = df.select(*group_cols, F.col(value_col).alias("y"),
+                  F.sin(ang).alias("x1"), F.cos(ang).alias("x2"))
+    m = d.groupBy(*group_cols).agg(
+        F.var_pop("x1").alias("v1"), F.var_pop("x2").alias("v2"),
+        F.covar_pop("x1", "x2").alias("c12"),
+        F.covar_pop("x1", "y").alias("c1y"),
+        F.covar_pop("x2", "y").alias("c2y"),
+        F.avg("y").alias("my"), F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"), F.count(F.lit(1)).alias("n"))
+    det = F.col("v1") * F.col("v2") - F.col("c12") * F.col("c12")
+    b = (F.col("c1y") * F.col("v2") - F.col("c2y") * F.col("c12")) / det
+    c = (F.col("c2y") * F.col("v1") - F.col("c1y") * F.col("c12")) / det
+    a = F.col("my") - b * F.col("m1") - c * F.col("m2")
+    amp = F.sqrt(b * b + c * c)
+    rnd = (lambda col: F.round(col, round_to)) if round_to is not None \
+        else (lambda col: col)
+    return m.select(
+        *group_cols,
+        rnd(b).alias("b_sin"), rnd(c).alias("b_cos"),
+        rnd(a).alias("intercept"), rnd(amp).alias("amplitude"),
+        "n")

@@ -29,4 +29,5 @@ from . import (  # noqa: F401
     tpch_like2,
     tpch_like3,
     trends,
+    tsmodel,
 )

@@ -489,3 +489,18 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wide.unpivot("l_returnflag", ["qty_o", "qty_f"],
                          "status_col", "qty")
                 .where(F.col("qty").isNotNull()))
+
+
+@query("j_cross_join", oracle="""
+SELECT n.n_name, r.r_name
+FROM nation n CROSS JOIN region r
+""")
+def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (the one join shape the rest of the
+    suite deliberately avoids) — legitimate only between tiny dimension
+    tables, where Catalyst plans a BroadcastNestedLoopJoin. Guard rails
+    at scale: anything larger should hit
+    ``spark.sql.crossJoin.enabled`` checks or be rewritten with keys."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(r).select("n_name", "r_name")

@@ -606,3 +606,24 @@ def keep_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = ((q >= 0.49) & n_words.between(25, 90) & (ent >= 2.8))
     return m.select("doc_id", n_words.alias("n_words"), keep.alias("keep"),
                     reasons.alias("reasons"))
+
+
+@query("text_unicode_profile", oracle="""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS n_non_ascii,
+       length(text) - length(regexp_replace(text,
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS n_control,
+       length(text) - length(replace(text, chr(65533), '')) AS n_replacement,
+       round((length(text)
+              - length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')))
+             * 1.0 / greatest(length(text), 1), 6) AS ascii_ratio
+FROM documents
+""")
+def text_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health gate: non-ASCII / control / U+FFFD-replacement
+    counts per document (mojibake detection before tokenization).
+    Shuffle-free whole-stage-codegen projection."""
+    from ..operators.text import unicode_profile
+    docs = load_table(spark, sf_dir, "documents")
+    return unicode_profile(docs, "text")

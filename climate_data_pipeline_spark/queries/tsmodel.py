@@ -1,0 +1,117 @@
+"""Time-series model fits in closed form — pure SQL, no UDFs.
+
+The reference fits one model family (per-cell linear trend,
+`metrics/trends.py:12-65`) and describes the seasonal cycle only
+non-parametrically (climatology means, `metrics/temporal.py:120-159`).
+These queries add the two classical companions, each as a single-shuffle
+aggregate:
+
+- ``acf_lag_autocorr``      — lag-1/lag-2 autocorrelation per series
+  (persistence, the first thing a climate analyst checks before trusting
+  a trend's significance; cf. the reference's Mann-Kendall discussion,
+  `metrics/trends.py:68-167`).
+- ``harmonic_seasonal_fit`` — amplitude/phase of the annual cycle via a
+  two-regressor OLS on (sin, cos) of day-of-year, solved in closed form
+  from var/covar aggregates (normal equations), not an iterative fitter.
+
+Determinism: moment aggregates are rounded at 1e-6 — far above fp
+accumulation error at these magnitudes (|y| ≤ 500, n ≤ 10⁴ per group),
+far below data variation. Day-of-year time uses wall-clock calendar
+parts only, so results are session-timezone invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+
+# 2π as an explicit literal so Spark and the oracle feed *identical*
+# doubles to sin/cos (pi() could differ in printing, not value — but the
+# literal removes the question entirely).
+_TWO_PI = "6.283185307179586"
+# fractional day-of-year from calendar parts (timezone-invariant)
+_DOY_SQL = ("(dayofyear(ts) + (hour(ts) * 3600 + minute(ts) * 60"
+            " + second(ts)) / 86400.0)")
+
+
+@query("acf_lag_autocorr", oracle="""
+WITH d AS (
+  SELECT user_id, value,
+         lag(value, 1) OVER w AS lag1,
+         lag(value, 2) OVER w AS lag2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       round(corr(value, lag1), 6) AS acf1,
+       round(corr(value, lag2), 6) AS acf2,
+       COUNT(*) AS n
+FROM d
+GROUP BY user_id
+""")
+def acf_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-2 autocorrelation per user series: lag() over the
+    series window, then corr() against the shifted copy (null lag rows
+    drop out of corr in both engines). The window and the aggregation
+    share one shuffle on user_id — the same single-exchange shape as
+    the rolling/EWMA operators. At scale the state is two lagged values
+    per row; nothing materializes beyond the series partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    d = (e.withColumn("lag1", F.lag("value", 1).over(w))
+          .withColumn("lag2", F.lag("value", 2).over(w)))
+    return (d.groupBy("user_id")
+             .agg(F.round(F.corr("value", "lag1"), 6).alias("acf1"),
+                  F.round(F.corr("value", "lag2"), 6).alias("acf2"),
+                  F.count(F.lit(1)).alias("n")))
+
+
+@query("harmonic_seasonal_fit", oracle=f"""
+WITH d AS (
+  SELECT event_type, value AS y,
+         sin({_TWO_PI} * {_DOY_SQL} / 365.25) AS x1,
+         cos({_TWO_PI} * {_DOY_SQL} / 365.25) AS x2
+  FROM events
+), m AS (
+  SELECT event_type,
+         var_pop(x1) AS v1, var_pop(x2) AS v2, covar_pop(x1, x2) AS c12,
+         covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
+         avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2,
+         COUNT(*) AS n
+  FROM d
+  GROUP BY event_type
+)
+SELECT event_type,
+       round((c1y * v2 - c2y * c12) / (v1 * v2 - c12 * c12), 6) AS b_sin,
+       round((c2y * v1 - c1y * c12) / (v1 * v2 - c12 * c12), 6) AS b_cos,
+       round(my - (c1y * v2 - c2y * c12) / (v1 * v2 - c12 * c12) * m1
+                - (c2y * v1 - c1y * c12) / (v1 * v2 - c12 * c12) * m2,
+             6) AS intercept,
+       round(sqrt(((c1y * v2 - c2y * c12) / (v1 * v2 - c12 * c12))
+                  * ((c1y * v2 - c2y * c12) / (v1 * v2 - c12 * c12))
+                + ((c2y * v1 - c1y * c12) / (v1 * v2 - c12 * c12))
+                  * ((c2y * v1 - c1y * c12) / (v1 * v2 - c12 * c12))),
+             6) AS amplitude,
+       n
+FROM m
+""")
+def harmonic_seasonal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annual-cycle fit y ≈ a + b·sin(ωd) + c·cos(ωd), ω = 2π/365.25,
+    d = fractional day-of-year — the parametric counterpart of the
+    reference's monthly climatology (`metrics/temporal.py:120-159`):
+    amplitude = half the seasonal swing, (b, c) encode the phase.
+
+    Solved in CLOSED FORM from the normal equations of two-regressor
+    OLS — five var/covar aggregates per group, one scan, one shuffle,
+    map-side partials; no iterative fitting, no UDF. The n-divisors of
+    var_pop/covar_pop cancel in every ratio, so population moments are
+    exact substitutes for the centered sums. sin/cos may differ from
+    the oracle's libm by an ulp; the 1e-6 rounding sits ~10 orders of
+    magnitude above that and the fp accumulation error."""
+    from ..operators.trends import harmonic_fit
+    e = load_table(spark, sf_dir, "events")
+    return harmonic_fit(e, "ts", "value", ["event_type"])

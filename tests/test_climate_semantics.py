@@ -274,3 +274,19 @@ def test_weighted_mean_cos_lat_weights(spark, grid=None):
     w = weighted_mean(g, "temperature", F.cos(F.radians("lat"))).first()
     assert w["wmean"] > flat + 5  # equator-weighted, poles discounted
     assert w["n"] == 30 * 19 * 36
+
+
+def test_harmonic_fit_recovers_seasonal_amplitude(grid):
+    """The synthetic grid's seasonal term is 10·sin(2π(doy−80)/365) +
+    N(0,2) noise: the closed-form harmonic fit must recover amplitude
+    ≈ 10 and the latitude-independent intercept 288 − 40·|lat|/90 at
+    each latitude band (noise SE over ~26k rows/band is ~0.02)."""
+    from climate_data_pipeline_spark.operators.trends import harmonic_fit
+
+    fit = harmonic_fit(grid, "ts", "temperature", ["lat"],
+                       period_days=365.0).collect()
+    assert len(fit) == 19
+    for r in fit:
+        assert abs(r["amplitude"] - 10.0) < 0.25, r
+        expected_mean = 288.0 - 40.0 * abs(r["lat"]) / 90.0
+        assert abs(r["intercept"] - expected_mean) < 0.25, r

@@ -212,3 +212,46 @@ def test_degree_days_single_shuffle_with_partials(spark, sf_small):
     plan = _plan(spark, sf_small, "degree_days")
     assert plan.count("Exchange ") == 1
     assert "partial_" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Selective fact-fact join with broadcast disabled: with runtime
+    filters enabled (aggressive thresholds to trigger on test data), the
+    optimizer must build bloom_filter_agg over the filtered orders keys
+    and push a might_contain probe into the lineitem side — semi-join
+    reduction before the shuffle, the 100 TB fact-join pattern. Results
+    must be identical with and without the rewrite."""
+    from climate_data_pipeline_spark.session import enable_runtime_filters
+
+    keep = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+
+    def q():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = (load_table(spark, sf_dir, "orders")
+             .where(F.col("o_totalprice") > 400000))
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .groupBy("o_orderpriority")
+                  .agg(F.count("*").alias("n")))
+
+    baseline = {(r["o_orderpriority"], r["n"]) for r in q().collect()}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_filters(spark, creation_threshold="10GB",
+                               application_threshold="0")
+        plan = q()._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom build not injected"
+        assert "might_contain" in plan, "scan-side probe not injected"
+        got = {(r["o_orderpriority"], r["n"]) for r in q().collect()}
+        assert got == baseline
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
