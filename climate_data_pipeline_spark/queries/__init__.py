@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     behavioral,
     drift_q,
     histogram_q,
+    interval_q,
     merge_q,
     packing_q,
     percentiles,
