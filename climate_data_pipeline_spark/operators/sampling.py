@@ -123,3 +123,79 @@ def sql_quota_pred(id_expr: str, key_cols: list[str], n_per_key: int,
         else f"CAST({id_expr} AS VARCHAR)"
     return (f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {', '.join(key_cols)} "
             f"ORDER BY md5({key}) ASC, {id_expr} ASC) <= {n_per_key}")
+
+
+def weighted_sample(df: DataFrame, key_cols: list[str], id_col: str,
+                    weight_col: str, n_per_key: int,
+                    salt: str = "") -> DataFrame:
+    """Exactly min(n, group size) rows per key with inclusion probability
+    proportional to weight — weighted reservoir sampling in its
+    one-shot form (Efraimidis-Spirakis A-Res): each row draws a
+    deterministic uniform u from md5 of its id and ranks by
+    ln(u)/w (equivalent to u^(1/w)); the top n per key are exactly a
+    w-weighted sample without replacement.
+
+    Same engine-portability discipline as :func:`quota_sample`: u comes
+    from the hash, not an RNG, so the selection is stable across runs,
+    partitionings and engines. Rows with non-positive weight are
+    excluded (they have zero inclusion probability). One shuffle on the
+    key columns. Rank keys are well-separated random doubles, so libm
+    vs JVM ulp differences in ln() cannot realistically reorder them;
+    the id tie-break pins the order regardless."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    # 52 hash bits → uniform in (0, 1), strictly inside the open interval
+    u = ((F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0)
+         / float((1 << 52) + 2))
+    rank_key = F.log(u) / F.col(weight_col)
+    w = (Window.partitionBy(*key_cols)
+               .orderBy(rank_key.desc(), F.col(id_col).asc()))
+    return (df.where(F.col(weight_col) > 0)
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= n_per_key).drop("__rn"))
+
+
+def sql_weighted_pred(id_expr: str, key_cols: list[str], weight_expr: str,
+                      n_per_key: int, salt: str = "") -> str:
+    """DuckDB QUALIFY clause mirroring :func:`weighted_sample` (pair with
+    ``WHERE {weight_expr} > 0``)."""
+    key = f"CAST({id_expr} AS VARCHAR) || '{salt}'" if salt \
+        else f"CAST({id_expr} AS VARCHAR)"
+    u = (f"(CAST(('0x' || substr(md5({key}), 1, 13)) AS BIGINT) + 1.0)"
+         f" / {float((1 << 52) + 2)}")
+    return (f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {', '.join(key_cols)} "
+            f"ORDER BY ln({u}) / ({weight_expr}) DESC, {id_expr} ASC)"
+            f" <= {n_per_key}")
+
+
+def token_budget_mix(df: DataFrame, source_col: str, id_col: str,
+                     token_col: str, budgets: dict[str, int],
+                     salt: str = "") -> DataFrame:
+    """Deterministic corpus mixing to per-source token budgets: within
+    each source, documents are taken in md5 order until the running
+    token total would exceed the source's budget (the overflowing
+    document is dropped, not truncated). Sources absent from
+    ``budgets`` are excluded.
+
+    This is the standard "mix N billion tokens of web + code + books"
+    step of a training-data pipeline, made reproducible: md5 order means
+    the same documents are chosen on any engine, cluster size, or rerun.
+    One shuffle on the source column; the running sum is a window over
+    the same partitioning."""
+    from pyspark.sql import Window
+
+    budget = None
+    for src, b in sorted(budgets.items()):
+        clause = F.when(F.col(source_col) == src, F.lit(int(b)))
+        budget = clause if budget is None else budget.when(
+            F.col(source_col) == src, F.lit(int(b)))
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = (Window.partitionBy(source_col)
+               .orderBy(order_key.asc(), F.col(id_col).asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("__budget", budget)
+              .where(F.col("__budget").isNotNull())
+              .withColumn("__cum", F.sum(F.col(token_col)).over(w))
+              .where(F.col("__cum") <= F.col("__budget"))
+              .drop("__budget", "__cum"))

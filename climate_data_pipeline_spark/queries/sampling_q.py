@@ -77,3 +77,50 @@ def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (S.quota_sample(docs, ["lang"], "doc_id", 20)
             .select("doc_id", "lang", "n_chars"))
+
+
+@query("sample_weighted_per_lang", oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars > 0
+{S.sql_weighted_pred("doc_id", ["lang"], "n_chars", 15)}
+""")
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling: 15 documents per language with
+    inclusion probability ∝ n_chars (Efraimidis-Spirakis rank
+    ln(u)/w on a deterministic md5 uniform). The exact selected set is
+    hash-compared across engines — rank keys, tie-breaks, everything."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (S.weighted_sample(docs, ["lang"], "doc_id", "n_chars", 15)
+            .select("doc_id", "lang", "n_chars"))
+
+
+@query("corpus_token_budget_mix", oracle="""
+WITH capped AS (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 10000
+                   WHEN 'fr' THEN 10000 END AS budget
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM capped
+WHERE budget IS NOT NULL AND cum <= budget
+GROUP BY lang
+""")
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-to-budget: cap each source language at a token budget
+    (en 30k / de 10k / fr 10k chars; es/zh excluded), documents taken in
+    deterministic md5 order until the next one would overflow. The
+    summary (docs kept, tokens kept per source) is oracle-checked; the
+    underlying per-document selection is the same windowed cumulative
+    sum in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = S.token_budget_mix(docs, "lang", "doc_id", "n_chars",
+                               {"en": 30000, "de": 10000, "fr": 10000})
+    return (mixed.groupBy("lang")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_chars").alias("sum_chars")))

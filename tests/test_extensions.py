@@ -403,3 +403,79 @@ def test_char_entropy_bounds(spark):
     assert rows["abcd"]["char_entropy"] == pytest.approx(math.log(4))
     assert rows["aabb"]["char_entropy"] == pytest.approx(math.log(2))
     assert rows["abcd"]["n_distinct_chars"] == 4
+
+
+def test_weighted_sample_properties(spark, docs):
+    from climate_data_pipeline_spark.operators import sampling as S
+
+    out = S.weighted_sample(docs, ["lang"], "doc_id", "n_chars", 15)
+    got = out.groupBy("lang").count().collect()
+    sizes = {r["lang"]: r["count"] for r in got}
+    full = {r["lang"]: r["count"]
+            for r in docs.where("n_chars > 0").groupBy("lang").count().collect()}
+    for lang, n in full.items():
+        assert sizes[lang] == min(15, n)
+    # partition-invariant selection (same ids, any layout)
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in S.weighted_sample(
+        docs.repartition(17), ["lang"], "doc_id", "n_chars", 15).collect()}
+    assert a == b
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """A row with 50x the weight of its 99 peers must be selected far
+    more often across independent salts (inclusion probability ∝ w)."""
+    from pyspark.sql import functions as F
+    from climate_data_pipeline_spark.operators.sampling import weighted_sample
+
+    base = spark.range(100).select(
+        F.col("id"), F.lit("g").alias("g"),
+        F.when(F.col("id") == 0, 500.0).otherwise(10.0).alias("w")).cache()
+    heavy_hits = light_hits = 0
+    for salt in map(str, range(30)):
+        chosen = {r["id"] for r in
+                  weighted_sample(base, ["g"], "id", "w", 10,
+                                  salt=salt).collect()}
+        heavy_hits += 0 in chosen
+        light_hits += 1 in chosen
+    assert heavy_hits >= 25          # p(select) ≈ 1 for the heavy row
+    assert light_hits <= heavy_hits  # and clearly above any light row
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from pyspark.sql import functions as F
+    from climate_data_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.range(20).select(
+        F.col("id"), F.lit("g").alias("g"),
+        F.when(F.col("id") < 5, -1.0)
+         .when(F.col("id") < 10, 0.0).otherwise(1.0).alias("w"))
+    got = {r["id"] for r in weighted_sample(df, ["g"], "id", "w", 50).collect()}
+    assert got == set(range(10, 20))
+
+
+def test_token_budget_mix_maximal_and_capped(spark, docs):
+    from pyspark.sql import functions as F
+    from climate_data_pipeline_spark.operators.sampling import token_budget_mix
+
+    budgets = {"en": 30000, "de": 10000}
+    mixed = token_budget_mix(docs, "lang", "doc_id", "n_chars", budgets)
+    sums = {r["lang"]: r["s"] for r in
+            mixed.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()}
+    assert set(sums) <= set(budgets)          # other sources excluded
+    for lang, budget in budgets.items():
+        assert sums[lang] <= budget
+    # maximality: the first md5-ordered document NOT selected would
+    # overflow the budget
+    kept = {r["doc_id"] for r in mixed.collect()}
+    ordered = (docs.where(F.col("lang") == "en")
+                   .select("doc_id", "n_chars",
+                           F.md5(F.col("doc_id").cast("string")).alias("h"))
+                   .orderBy("h", "doc_id").collect())
+    run = 0
+    for r in ordered:
+        if r["doc_id"] in kept:
+            run += r["n_chars"]
+        else:
+            assert run + r["n_chars"] > budgets["en"]
+            break

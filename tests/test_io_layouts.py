@@ -116,3 +116,22 @@ def test_pruning_report_unknown_column(spark, events, tmp_path):
     events.limit(100).write.parquet(path)
     with pytest.raises(KeyError):
         pruning_report(path, "nope", 0, 1)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Appended batches may add columns (schema evolution): reading with
+    mergeSchema unifies old and new footers; old rows surface NULL for
+    the added column — no rewrite of existing files required."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select("id", F.lit(1.0).alias("v")) \
+         .write.parquet(base)
+    spark.range(5, 8).select("id", F.lit(2.0).alias("v"),
+                             F.lit("new").alias("tag")) \
+         .write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    rows = {r["id"]: r["tag"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == "new"
+    assert merged.count() == 8
