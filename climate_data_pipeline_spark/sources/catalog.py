@@ -12,6 +12,7 @@ live in a JSON sidecar dict here — metadata never blocks queries
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,16 @@ class Catalog:
 
     def load(self, name: str) -> DataFrame:
         entry = self._require(name)
+        # format dispatch: the registry serves parquet stores, classic
+        # NetCDF files and Zarr/ARCO stores through one interface (the
+        # reference's dataset registry, `api/routes/data.py:12-40`)
+        if entry.path.endswith(".nc"):
+            from .netcdf import read_netcdf_long
+            return read_netcdf_long(self.spark, entry.path)
+        if entry.path.rstrip("/").endswith(".zarr") or os.path.exists(
+                os.path.join(entry.path, ".zmetadata")):
+            from .zarr2 import read_zarr_long
+            return read_zarr_long(self.spark, entry.path)
         # reuse the nanos-aware loader for known table names
         if entry.path.endswith(f"/{name}.parquet") and name in TABLES:
             return load_table(self.spark, entry.path.rsplit("/", 1)[0], name)

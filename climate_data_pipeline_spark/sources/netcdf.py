@@ -248,6 +248,26 @@ def long_to_netcdf3(df: DataFrame, path: str,
     cross product of observed coordinate values; missing cells become
     NaN. A datetime64 leading dimension is CF-encoded as
     'hours since <min>'."""
+    coords, variables = _long_to_grid(df, dim_cols, var_cols)
+    nc_dims: dict[str, int | None] = {list(dim_cols)[0]: None}
+    for d in list(dim_cols)[1:]:
+        nc_dims[d] = len(coords[d][1])
+
+    from . import netcdf3
+    return netcdf3.write_netcdf3(
+        path,
+        nc_dims,
+        {**{d: ([d], vals, vattrs) for d, (vattrs, vals) in coords.items()},
+         **variables},
+        attrs=attrs or {})
+
+
+def _long_to_grid(df: DataFrame, dim_cols: Sequence[str],
+                  var_cols: Sequence[str] | None):
+    """Collect long rows and densify to coordinate vectors + N-D arrays
+    (shared by the NetCDF and Zarr exporters). Returns
+    (``{dim: (attrs, values)}``, ``{var: (dims, array, attrs)}``); a
+    datetime64 dimension is CF-encoded as 'hours since <min>'."""
     import pandas as pd
 
     dim_cols = list(dim_cols)
@@ -255,34 +275,70 @@ def long_to_netcdf3(df: DataFrame, path: str,
         var_cols = [c for c in df.columns if c not in dim_cols]
     pdf = df.select(*dim_cols, *var_cols).toPandas()
 
-    coords: dict[str, np.ndarray] = {}
+    raw: dict[str, np.ndarray] = {}
     for d in dim_cols:
-        coords[d] = np.sort(pd.unique(pdf[d].to_numpy()))
-    sizes = [len(coords[d]) for d in dim_cols]
-    idx = [np.searchsorted(coords[d], pdf[d].to_numpy()) for d in dim_cols]
+        raw[d] = np.sort(pd.unique(pdf[d].to_numpy()))
+    sizes = [len(raw[d]) for d in dim_cols]
+    idx = [np.searchsorted(raw[d], pdf[d].to_numpy()) for d in dim_cols]
 
-    nc_dims: dict[str, int | None] = {dim_cols[0]: None}
-    for d, s in zip(dim_cols[1:], sizes[1:]):
-        nc_dims[d] = s
-
-    variables: dict[str, tuple[list[str], np.ndarray, dict]] = {}
-    for i, d in enumerate(dim_cols):
-        vals = coords[d]
+    coords: dict[str, tuple[dict, np.ndarray]] = {}
+    for d in dim_cols:
+        vals = raw[d]
         vattrs: dict = {}
         if np.issubdtype(vals.dtype, np.datetime64):
             epoch = vals.min()
-            units = f"hours since {np.datetime_as_string(epoch, unit='s').replace('T', ' ')}"
+            units = (f"hours since "
+                     f"{np.datetime_as_string(epoch, unit='s').replace('T', ' ')}")
             vals = ((vals - epoch) // np.timedelta64(1, "h")).astype(np.int32)
             vattrs["units"] = units
         elif vals.dtype == object:
             raise ValueError(f"dimension {d!r} is not numeric/datetime")
         else:
             vals = vals.astype(np.float64)
-        variables[d] = ([d], vals, vattrs)
+        coords[d] = (vattrs, vals)
+
+    variables: dict[str, tuple[list[str], np.ndarray, dict]] = {}
     for v in var_cols:
         arr = np.full(sizes, np.nan, dtype=np.float64)
         arr[tuple(idx)] = pdf[v].to_numpy().astype(np.float64)
         variables[v] = (dim_cols, arr, {})
+    return coords, variables
 
-    from . import netcdf3
-    return netcdf3.write_netcdf3(path, nc_dims, variables, attrs=attrs or {})
+
+def long_to_zarr(df: DataFrame, path: str,
+                 dim_cols: Sequence[str] = ("time", "lat", "lon"),
+                 var_cols: Sequence[str] | None = None,
+                 chunks: dict[str, list[int]] | None = None,
+                 attrs: dict | None = None) -> str:
+    """Export long rows to an ARCO Zarr v2 store (blosc-zstd chunks) —
+    the engine-side `convert_to_zarr` sink
+    (`ingest/arco_converter.py:110-160`), same driver-side derived-
+    product scope as `long_to_netcdf3`."""
+    from . import zarr2
+
+    coords, variables = _long_to_grid(df, dim_cols, var_cols)
+    store = zarr2.write_zarr(
+        path,
+        dims={d: vals for d, (vattrs, vals) in coords.items()},
+        variables=variables,
+        chunks=chunks,
+        attrs=attrs or {})
+    # re-attach CF units on encoded time coords (write_zarr sets only
+    # _ARRAY_DIMENSIONS for dims)
+    import json
+    import os
+    for d, (vattrs, _) in coords.items():
+        if vattrs:
+            p = os.path.join(path, d, ".zattrs")
+            with open(p) as fh:
+                z = json.load(fh)
+            z.update(vattrs)
+            with open(p, "w") as fh:
+                json.dump(z, fh)
+            mp = os.path.join(path, ".zmetadata")
+            with open(mp) as fh:
+                m = json.load(fh)
+            m["metadata"][f"{d}/.zattrs"].update(vattrs)
+            with open(mp, "w") as fh:
+                json.dump(m, fh)
+    return store

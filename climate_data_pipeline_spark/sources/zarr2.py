@@ -1,0 +1,435 @@
+"""Zarr v2 store reader/writer with Blosc frame decode — pure
+numpy + pyarrow codecs, no zarr/numcodecs packages.
+
+The reference's storage format is Zarr ("ARCO",
+`ingest/arco_converter.py:110-160`): one directory per variable holding
+``.zarray`` JSON metadata plus compressed C-order chunk files named
+``i.j.k``; xarray adds ``_ARRAY_DIMENSIONS`` to ``.zattrs`` and a
+consolidated ``.zmetadata``. Every piece is publicly specified (Zarr v2
+spec; c-blosc1 header format), so the engine can read the reference's
+actual stores — a user can point this engine at their existing ARCO
+data without converting it first.
+
+Codec support (what the reference writes by default is covered):
+- ``compressor: null`` (raw), numcodecs ``zlib`` / ``gzip``,
+- Blosc frames with inner zstd (the reference's default, zstd level 3)
+  or zlib — including the byte-shuffle filter and multi-block frames.
+  Blosc's *split* block layout (used by its lz4/blosclz defaults) is
+  detected and reported, not silently misread.
+
+Chunks ↔ tasks: ``read_zarr_long_distributed`` hands each chunk of the
+store to a Spark task (`mapInPandas` over the chunk-key list with
+broadcast coordinates) — the Spark shape of the reference's Dask
+chunk graph (`processing/chunking.py`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import struct
+from itertools import product as iproduct
+
+import numpy as np
+
+_BLOSC_CODECS = {0: "blosclz", 1: "lz4", 2: "lz4hc", 3: "snappy",
+                 4: "zlib", 5: "zstd"}
+_ARROW_CODEC = {"zstd": "zstd", "zlib": "gzip", "snappy": "snappy"}
+
+
+def _unshuffle(buf: bytes, typesize: int) -> bytes:
+    if typesize <= 1:
+        return buf
+    n = len(buf) - len(buf) % typesize
+    if n == 0:
+        return buf
+    arr = np.frombuffer(buf[:n], dtype=np.uint8)
+    un = arr.reshape(typesize, n // typesize).T.reshape(-1).tobytes()
+    return un + buf[n:]
+
+
+def _shuffle(buf: bytes, typesize: int) -> bytes:
+    if typesize <= 1:
+        return buf
+    n = len(buf) - len(buf) % typesize
+    if n == 0:
+        return buf
+    arr = np.frombuffer(buf[:n], dtype=np.uint8)
+    sh = arr.reshape(n // typesize, typesize).T.reshape(-1).tobytes()
+    return sh + buf[n:]
+
+
+def blosc_decompress(frame: bytes) -> bytes:
+    """Decode a c-blosc1 frame (16-byte header, optional block-offset
+    table, per-block inner-codec streams, optional byte-shuffle)."""
+    if len(frame) < 16:
+        raise ValueError("truncated blosc frame")
+    flags, typesize = frame[2], frame[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<III", frame, 4)
+    shuffled = bool(flags & 0x1)
+    memcpyed = bool(flags & 0x2)
+    bit_shuffled = bool(flags & 0x4)
+    codec_id = flags >> 5
+    if bit_shuffled:
+        raise NotImplementedError("blosc bit-shuffle filter not supported")
+    if memcpyed:
+        out = frame[16:16 + nbytes]
+        return _unshuffle(out, typesize) if shuffled else out
+
+    codec_name = _BLOSC_CODECS.get(codec_id, f"id{codec_id}")
+    if codec_name not in _ARROW_CODEC:
+        raise NotImplementedError(
+            f"blosc inner codec {codec_name!r} not supported (its default "
+            "block layout is split; re-write the store with zstd/zlib)")
+    from pyarrow import Codec
+    codec = Codec(_ARROW_CODEC[codec_name])
+
+    nblocks = max(1, math.ceil(nbytes / blocksize)) if blocksize else 1
+    starts = struct.unpack_from(f"<{nblocks}i", frame, 16)
+    pieces = []
+    for b in range(nblocks):
+        dsize = blocksize if b < nblocks - 1 else nbytes - blocksize * (nblocks - 1)
+        off = starts[b]
+        # each stream's compressed length = distance to the next offset
+        # (or frame end); arrow needs only the output size
+        end = starts[b + 1] if b + 1 < nblocks else cbytes
+        raw = codec.decompress(bytes(frame[off:end]), dsize)
+        pieces.append(_unshuffle(raw, typesize) if shuffled else raw)
+    return b"".join(pieces)
+
+
+def blosc_compress(data: bytes, typesize: int, cname: str = "zstd",
+                   shuffle: bool = True, blocksize: int | None = None) -> bytes:
+    """Encode a c-blosc1 frame (inner zstd/zlib via pyarrow). Used by
+    the writer and tests; one stream per block, never the split layout."""
+    from pyarrow import Codec
+    rev = {v: k for k, v in _BLOSC_CODECS.items()}
+    if cname not in _ARROW_CODEC:
+        raise NotImplementedError(f"unsupported blosc cname {cname!r}")
+    codec = Codec(_ARROW_CODEC[cname])
+    nbytes = len(data)
+    blocksize = blocksize or max(typesize, nbytes) or 1
+    nblocks = max(1, math.ceil(nbytes / blocksize))
+    flags = (rev[cname] << 5) | (0x1 if shuffle else 0)
+
+    blocks = []
+    for b in range(nblocks):
+        chunk = data[b * blocksize:(b + 1) * blocksize]
+        if shuffle:
+            chunk = _shuffle(chunk, typesize)
+        blocks.append(bytes(codec.compress(chunk)))
+    header_len = 16 + 4 * nblocks
+    starts, off = [], header_len
+    for blk in blocks:
+        starts.append(off)
+        off += len(blk)
+    frame = bytearray()
+    frame += bytes([2, 2, flags, typesize])
+    frame += struct.pack("<III", nbytes, blocksize, off)
+    frame += struct.pack(f"<{nblocks}i", *starts)
+    for blk in blocks:
+        frame += blk
+    return bytes(frame)
+
+
+def _decode_chunk(raw: bytes, compressor: dict | None,
+                  dtype: np.dtype, chunk_shape: tuple[int, ...],
+                  order: str) -> np.ndarray:
+    cid = (compressor or {}).get("id")
+    if compressor is None:
+        buf = raw
+    elif cid == "blosc":
+        buf = blosc_decompress(raw)
+    elif cid in ("zlib", "gzip"):
+        import zlib
+        buf = zlib.decompress(raw, 47)  # auto-detect zlib/gzip wrapper
+    else:
+        raise NotImplementedError(f"compressor {cid!r} not supported")
+    arr = np.frombuffer(buf, dtype=dtype)
+    return arr.reshape(chunk_shape, order=order)
+
+
+def open_zarr_store(path: str) -> dict[str, dict]:
+    """Array name → metadata (``.zarray`` + ``attrs``). Uses consolidated
+    ``.zmetadata`` when present, else walks the directory."""
+    meta: dict[str, dict] = {}
+    zmeta = os.path.join(path, ".zmetadata")
+    if os.path.exists(zmeta):
+        with open(zmeta) as fh:
+            entries = json.load(fh)["metadata"]
+        for key, val in entries.items():
+            if key.endswith("/.zarray"):
+                name = key[: -len("/.zarray")]
+                meta.setdefault(name, {})["zarray"] = val
+            elif key.endswith("/.zattrs"):
+                name = key[: -len("/.zattrs")]
+                meta.setdefault(name, {})["attrs"] = val
+        return {n: m for n, m in meta.items() if "zarray" in m}
+    for entry in sorted(os.listdir(path)):
+        za = os.path.join(path, entry, ".zarray")
+        if os.path.isfile(za):
+            with open(za) as fh:
+                meta[entry] = {"zarray": json.load(fh)}
+            attrs = os.path.join(path, entry, ".zattrs")
+            if os.path.isfile(attrs):
+                with open(attrs) as fh:
+                    meta[entry]["attrs"] = json.load(fh)
+    if not meta:
+        raise ValueError(f"no zarr arrays under {path}")
+    return meta
+
+
+def _chunk_grid(shape, chunks):
+    return [math.ceil(s / c) for s, c in zip(shape, chunks)]
+
+
+def read_zarr_array(path: str, name: str, meta: dict) -> np.ndarray:
+    """Materialize one array: decode every chunk file, crop edge chunks,
+    fill missing chunks with fill_value."""
+    za = meta["zarray"]
+    shape, chunks = za["shape"], za["chunks"]
+    dtype = np.dtype(za["dtype"])
+    order = za.get("order", "C")
+    fill = za.get("fill_value")
+    out = np.full(shape, np.nan if fill is None else fill, dtype=dtype) \
+        if shape else np.zeros((), dtype=dtype)
+    sep = za.get("dimension_separator", ".")
+    for idx in iproduct(*[range(n) for n in _chunk_grid(shape, chunks)]):
+        fname = os.path.join(path, name, sep.join(map(str, idx)) or "0")
+        if not os.path.exists(fname):
+            continue
+        with open(fname, "rb") as fh:
+            arr = _decode_chunk(fh.read(), za.get("compressor"),
+                                dtype, tuple(chunks), order)
+        sel = tuple(slice(i * c, min((i + 1) * c, s))
+                    for i, c, s in zip(idx, chunks, shape))
+        crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        out[sel] = arr[crop]
+    return out
+
+
+def write_zarr(path: str, dims: dict[str, np.ndarray],
+               variables: dict[str, tuple[list[str], np.ndarray, dict]],
+               chunks: dict[str, list[int]] | None = None,
+               cname: str = "zstd", shuffle: bool = True,
+               attrs: dict | None = None) -> str:
+    """Write an xarray-convention Zarr v2 store (coordinates as 1-D
+    arrays, ``_ARRAY_DIMENSIONS`` attrs, consolidated metadata), chunks
+    Blosc-compressed — the reference's output format
+    (`ingest/arco_converter.py:110-160`)."""
+    os.makedirs(path, exist_ok=True)
+    consolidated: dict[str, dict] = {".zgroup": {"zarr_format": 2},
+                                     ".zattrs": attrs or {}}
+
+    def put(name, vdims, arr, vattrs, chunk=None):
+        adir = os.path.join(path, name)
+        os.makedirs(adir, exist_ok=True)
+        chunk = list(chunk or arr.shape or [1])
+        fill = float("nan") if arr.dtype.kind == "f" else 0
+        zarray = {"zarr_format": 2, "shape": list(arr.shape),
+                  "chunks": chunk, "dtype": arr.dtype.str,
+                  "compressor": {"id": "blosc", "cname": cname,
+                                 "clevel": 3,
+                                 "shuffle": 1 if shuffle else 0},
+                  "fill_value": fill if arr.dtype.kind == "f" else 0,
+                  "filters": None, "order": "C"}
+        zattrs = dict(vattrs)
+        zattrs["_ARRAY_DIMENSIONS"] = list(vdims)
+        with open(os.path.join(adir, ".zarray"), "w") as fh:
+            json.dump(zarray, fh)
+        with open(os.path.join(adir, ".zattrs"), "w") as fh:
+            json.dump(zattrs, fh)
+        consolidated[f"{name}/.zarray"] = zarray
+        consolidated[f"{name}/.zattrs"] = zattrs
+        for idx in iproduct(*[range(n) for n in
+                              _chunk_grid(arr.shape, chunk)]):
+            sel = tuple(slice(i * c, min((i + 1) * c, s))
+                        for i, c, s in zip(idx, chunk, arr.shape))
+            block = np.zeros(chunk, dtype=arr.dtype)
+            piece = arr[sel]
+            block[tuple(slice(0, p) for p in piece.shape)] = piece
+            frame = blosc_compress(np.ascontiguousarray(block).tobytes(),
+                                   arr.dtype.itemsize, cname=cname,
+                                   shuffle=shuffle)
+            with open(os.path.join(adir, ".".join(map(str, idx)) or "0"),
+                      "wb") as fh:
+                fh.write(frame)
+
+    for d, vals in dims.items():
+        put(d, [d], np.asarray(vals), {})
+    for name, (vdims, arr, vattrs) in variables.items():
+        put(name, vdims, arr, vattrs, (chunks or {}).get(name))
+
+    with open(os.path.join(path, ".zgroup"), "w") as fh:
+        json.dump({"zarr_format": 2}, fh)
+    with open(os.path.join(path, ".zattrs"), "w") as fh:
+        json.dump(attrs or {}, fh)
+    with open(os.path.join(path, ".zmetadata"), "w") as fh:
+        json.dump({"zarr_format": 2, "metadata": consolidated}, fh)
+    return path
+
+
+def zarr_info(path: str) -> dict:
+    """Store stats — the reference's `get_zarr_info`
+    (`ingest/arco_converter.py:214-246`): per-array shape, chunks,
+    dtype, compressor, stored bytes."""
+    meta = open_zarr_store(path)
+    out = {"path": path, "arrays": {}}
+    total = 0
+    for name, m in meta.items():
+        za = m["zarray"]
+        adir = os.path.join(path, name)
+        nbytes = sum(
+            os.path.getsize(os.path.join(adir, f))
+            for f in os.listdir(adir) if not f.startswith("."))
+        total += nbytes
+        out["arrays"][name] = {
+            "shape": za["shape"], "chunks": za["chunks"],
+            "dtype": za["dtype"],
+            "compressor": (za.get("compressor") or {}).get("id"),
+            "stored_bytes": nbytes,
+        }
+    out["total_stored_bytes"] = total
+    return out
+
+
+def _grid_from_store(path: str, variables=None, time_range=None):
+    """Store → (coords, arrays, dim_order, detected dims) with CF time
+    decode and read-time slicing — mirrors `netcdf._grid_from_nc3`."""
+    from .netcdf import detect_dims
+
+    meta = open_zarr_store(path)
+    dim_like = {n for n, m in meta.items()
+                if m.get("attrs", {}).get("_ARRAY_DIMENSIONS") == [n]}
+    data_names = [n for n in meta if n not in dim_like]
+    if variables:
+        missing = [v for v in variables if v not in data_names]
+        if missing:
+            raise ValueError(f"variables not found: {missing}")
+        data_names = list(variables)
+    if not data_names:
+        raise ValueError("no data variables in store")
+    dim_order = meta[data_names[0]]["attrs"]["_ARRAY_DIMENSIONS"]
+
+    coords = {}
+    for d in dim_order:
+        if d in meta:
+            vals = read_zarr_array(path, d, meta[d])
+            units = meta[d].get("attrs", {}).get("units", "")
+            if isinstance(units, str) and " since " in units:
+                from .netcdf3 import decode_cf_time
+                vals = decode_cf_time(vals, units)
+            coords[d] = vals
+        else:
+            size = dict(zip(dim_order,
+                            meta[data_names[0]]["zarray"]["shape"]))[d]
+            coords[d] = np.arange(size)
+    arrays = {n: read_zarr_array(path, n, meta[n]) for n in data_names}
+
+    dims = detect_dims(dim_order, {d: str(coords[d].dtype)
+                                   for d in dim_order})
+    if time_range and dims["time"]:
+        t = coords[dims["time"]]
+        conv = (np.datetime64 if np.issubdtype(t.dtype, np.datetime64)
+                else float)
+        keep = np.where((t >= conv(time_range[0]))
+                        & (t <= conv(time_range[1])))[0]
+        axis = dim_order.index(dims["time"])
+        coords[dims["time"]] = t[keep]
+        arrays = {n: np.take(a, keep, axis=axis)
+                  for n, a in arrays.items()}
+    return coords, arrays, dim_order, dims
+
+
+def read_zarr_long(spark, path: str, variables=None, time_range=None,
+                   bbox=None):
+    """Open a Zarr v2 / ARCO store into the long row model — the
+    engine-side `open_zarr` (`ingest/arco_converter.py:198-211`) with
+    read-time projection/predicates."""
+    from .netcdf import grid_to_long
+
+    coords, arrays, dim_order, dims = _grid_from_store(
+        path, variables, time_range)
+    df = grid_to_long(spark, coords, arrays, dim_order=dim_order)
+    if bbox and dims["lat"] and dims["lon"]:
+        from .io import bbox_filter
+        df = bbox_filter(df, dims["lat"], dims["lon"], bbox)
+    return df
+
+
+def read_zarr_long_distributed(spark, path: str, variables=None):
+    """Chunk ↔ task: every store chunk becomes one Spark task that
+    decodes its own compressed bytes executor-side (`mapInPandas` over
+    the chunk-key list; the small coordinate vectors ride along in the
+    task closure). This is the Spark shape of the reference's Dask
+    chunk graph — horizontal scale without a central decode step.
+    Requires all data variables to share one chunk grid (the layout the
+    reference's converter produces)."""
+    import pandas as pd
+
+    meta = open_zarr_store(path)
+    dim_like = {n for n, m in meta.items()
+                if m.get("attrs", {}).get("_ARRAY_DIMENSIONS") == [n]}
+    data_names = [n for n in meta if n not in dim_like]
+    if variables:
+        data_names = [v for v in variables if v in data_names]
+    if not data_names:
+        raise ValueError("no data variables in store")
+    dim_order = meta[data_names[0]]["attrs"]["_ARRAY_DIMENSIONS"]
+    za0 = meta[data_names[0]]["zarray"]
+    for n in data_names[1:]:
+        if meta[n]["zarray"]["chunks"] != za0["chunks"] \
+                or meta[n]["zarray"]["shape"] != za0["shape"]:
+            raise ValueError("data variables must share one chunk grid")
+
+    coords, _, _, _ = _grid_from_store(path, variables=data_names[:1])
+    shape, chunks = za0["shape"], za0["chunks"]
+    grid = _chunk_grid(shape, chunks)
+    keys = [list(idx) for idx in iproduct(*[range(n) for n in grid])]
+    keys_df = spark.createDataFrame(
+        pd.DataFrame({"cid": [".".join(map(str, k)) for k in keys]}))
+
+    metas = {n: meta[n] for n in data_names}
+
+    def gen(batches):
+        from .netcdf import _chunk_frames
+        for pdf in batches:
+            for cid in pdf["cid"]:
+                idx = tuple(int(x) for x in cid.split("."))
+                sel = tuple(slice(i * c, min((i + 1) * c, s))
+                            for i, c, s in zip(idx, chunks, shape))
+                local_coords = {d: coords[d][sl]
+                                for d, sl in zip(dim_order, sel)}
+                arrays = {}
+                for n in data_names:
+                    za = metas[n]["zarray"]
+                    sep = za.get("dimension_separator", ".")
+                    fname = os.path.join(path, n, sep.join(map(str, idx)))
+                    if os.path.exists(fname):
+                        with open(fname, "rb") as fh:
+                            arr = _decode_chunk(
+                                fh.read(), za.get("compressor"),
+                                np.dtype(za["dtype"]), tuple(chunks),
+                                za.get("order", "C"))
+                        crop = tuple(slice(0, sl.stop - sl.start)
+                                     for sl in sel)
+                        arrays[n] = arr[crop]
+                    else:
+                        fill = za.get("fill_value")
+                        arrays[n] = np.full(
+                            [sl.stop - sl.start for sl in sel],
+                            np.nan if fill is None else fill,
+                            dtype=np.dtype(za["dtype"]))
+                yield from _chunk_frames(local_coords, arrays, dim_order,
+                                         time_chunk=len(
+                                             local_coords[dim_order[0]]))
+
+    sample_coords = {d: coords[d][:1] for d in dim_order}
+    sample_arrays = {n: np.zeros([1] * len(dim_order),
+                                 dtype=np.dtype(metas[n]["zarray"]["dtype"]))
+                     for n in data_names}
+    from .netcdf import _chunk_frames as _cf
+    schema = spark.createDataFrame(
+        next(_cf(sample_coords, sample_arrays, dim_order))).schema
+    return keys_df.mapInPandas(gen, schema=schema)
