@@ -199,3 +199,32 @@ def token_budget_mix(df: DataFrame, source_col: str, id_col: str,
               .withColumn("__cum", F.sum(F.col(token_col)).over(w))
               .where(F.col("__cum") <= F.col("__budget"))
               .drop("__budget", "__cum"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, group_col: Column | str,
+                       weights: dict[str, float],
+                       salt: str = "") -> DataFrame:
+    """Deterministic split with a leakage guarantee: all rows sharing a
+    duplicate-group key land in the SAME split, so near-identical
+    documents can never sit on both sides of a train/eval boundary
+    (the contamination mode that inflates evals silently).
+
+    The split key is the group's minimum id (a stable representative,
+    computed with one aggregation + broadcast-friendly join back), then
+    the usual hash-bucket assignment. ``group_col`` is any duplicate
+    key: a content fingerprint for exact dups, a MinHash/SimHash
+    cluster id for near-dups (compose with `dedup.duplicate_clusters`).
+    Two shuffles total (group-min agg + join); at 100 TB the group table
+    is #distinct-groups rows — usually broadcastable."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    keyed = df.withColumn("__g", gcol)
+    reps = keyed.groupBy("__g").agg(F.min(id_col).alias("__rep"))
+    joined = keyed.join(reps, "__g")
+    out = deterministic_split(joined.withColumnRenamed(id_col, "__id_tmp")
+                              .withColumnRenamed("__rep", id_col),
+                              id_col, weights, salt=salt)
+    return (out.withColumnRenamed(id_col, "__rep")
+               .withColumnRenamed("__id_tmp", id_col)
+               .drop("__g", "__rep"))

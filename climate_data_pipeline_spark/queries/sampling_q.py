@@ -124,3 +124,30 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (mixed.groupBy("lang")
                  .agg(F.count(F.lit(1)).alias("n_docs"),
                       F.sum("n_chars").alias("sum_chars")))
+
+
+@query("split_leakage_safe", oracle=f"""
+WITH reps AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+)
+SELECT CASE WHEN {S.sql_hash_bucket("rep")} < 8000 THEN 'train'
+            ELSE 'eval' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_groups
+FROM reps
+GROUP BY 1
+""")
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split where exact-duplicate documents (same text
+    fingerprint) always land together — split keyed on the duplicate
+    group's representative id, not the row id. The oracle recomputes
+    the same representative + bucket arithmetic; per-split doc and
+    group counts are hash-compared."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = S.leakage_safe_split(docs, "doc_id", F.md5("text"),
+                               {"train": 0.8, "eval": 0.2})
+    return (out.groupBy("split")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.countDistinct(F.md5("text")).alias("n_groups")))

@@ -479,3 +479,27 @@ def test_token_budget_mix_maximal_and_capped(spark, docs):
         else:
             assert run + r["n_chars"] > budgets["en"]
             break
+
+
+def test_leakage_safe_split_keeps_groups_together(spark, docs):
+    """No duplicate group may straddle the train/eval boundary, and the
+    assignment must be partition-invariant."""
+    from pyspark.sql import functions as F
+    from climate_data_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    out = leakage_safe_split(docs, "doc_id", F.md5("text"),
+                             {"train": 0.8, "eval": 0.2})
+    straddlers = (out.groupBy(F.md5("text"))
+                     .agg(F.countDistinct("split").alias("k"))
+                     .where("k > 1").count())
+    assert straddlers == 0
+    assert set(out.columns) == set(docs.columns) | {"split"}
+    assert out.count() == docs.count()
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in leakage_safe_split(docs.repartition(13), "doc_id",
+                                     F.md5("text"),
+                                     {"train": 0.8, "eval": 0.2}).collect()}
+    assert a == b
