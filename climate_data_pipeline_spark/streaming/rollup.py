@@ -237,3 +237,66 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str,
     return (views.join(clicks, cond)
             .select(F.col("v_user").alias("user_id"),
                     "view_id", "click_id", "view_ts", "click_ts"))
+
+
+def streaming_running_zscore_tws(spark: SparkSession, sf_dir: str,
+                                 min_history: int = 5) -> DataFrame:
+    """The same per-user running anomaly detector as
+    `streaming_running_zscore`, on the `transformWithStateInPandas`
+    API (StatefulProcessor + typed ValueState): the arbitrary-state
+    successor to `applyInPandasWithState`, with composable named state
+    variables and timers. Requires the RocksDB state-store provider
+    (`spark.sql.streaming.stateStore.providerClass`) and the
+    ``protobuf`` package (the state-server protocol); the equivalence
+    test auto-skips where protobuf isn't installed."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = _read_events_stream(spark, sf_dir)
+    out_schema = ("user_id long, event_id long, value double, "
+                  "history_n long, zscore double")
+
+    class Detector(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "welford", "n long, mean double, m2 double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd
+
+            (user_id,) = key
+            cur = self._state.get()
+            n, mean, m2 = (cur[0], cur[1], cur[2]) if cur is not None \
+                else (0, 0.0, 0.0)
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                pre_n, pre_mean, pre_m2 = n, mean, m2
+                std = (math.sqrt(pre_m2 / (pre_n - 1))
+                       if pre_n > 1 else float("nan"))
+                z = ((pdf["value"] - pre_mean) / std
+                     if pre_n >= min_history and std and std > 0
+                     else pd.Series([float("nan")] * len(pdf),
+                                    index=pdf.index))
+                yield pd.DataFrame({
+                    "user_id": user_id, "event_id": pdf["event_id"],
+                    "value": pdf["value"],
+                    "history_n": pre_n, "zscore": z})
+                for v in pdf["value"]:      # Welford fold
+                    n += 1
+                    delta = v - mean
+                    mean += delta / n
+                    m2 += delta * (v - mean)
+            self._state.update((n, mean, m2))
+
+        def close(self) -> None:
+            pass
+
+    return (ev.groupBy("user_id")
+              .transformWithStateInPandas(statefulProcessor=Detector(),
+                                          outputStructType=out_schema,
+                                          outputMode="append",
+                                          timeMode="None"))

@@ -249,3 +249,43 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
         .select(F.col("vu").alias("user_id"), "view_id", "click_id"))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_tws_zscore_equals_applyinpandas(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) and
+    applyInPandasWithState must produce identical anomaly rows."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state protocol needs protobuf, "
+               "not shipped in this environment")
+    from climate_data_pipeline_spark.streaming.rollup import (
+        run_stream_to_memory,
+        streaming_running_zscore,
+        streaming_running_zscore_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    rocks = ("org.apache.spark.sql.execution.streaming."
+             "state.RocksDBStateStoreProvider")
+    try:
+        spark.conf.set(key, rocks)
+        run_stream_to_memory(
+            streaming_running_zscore_tws(spark, sf_dir, min_history=5),
+            "tws_out", output_mode="append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    run_stream_to_memory(
+        streaming_running_zscore(spark, sf_dir, min_history=5),
+        "apws_out", output_mode="append")
+
+    def rows(view):
+        return {(r["user_id"], r["event_id"], r["history_n"],
+                 None if r["zscore"] is None else round(r["zscore"], 9))
+                for r in spark.sql(f"SELECT * FROM {view}").collect()}
+
+    a, b = rows("tws_out"), rows("apws_out")
+    assert a == b and len(a) > 0
