@@ -241,3 +241,21 @@ def test_convert_netcdf_job(spark, tmp_path):
     assert res["output_info"]["num_rows"] == 4 * 2 * 2
     got = spark.read.parquet(out)
     assert got.count() == 16
+
+
+def test_nc3_array_valued_attributes_roundtrip(tmp_path):
+    from climate_data_pipeline_spark.sources import netcdf3
+
+    p = str(tmp_path / "attrs.nc")
+    netcdf3.write_netcdf3(
+        p, {"x": 3},
+        {"v": (["x"], np.array([1., 2., 3.]),
+               {"valid_range": np.array([0.0, 100.0]),
+                "scale": np.float64(2.5), "name": "velocity"})},
+        attrs={"levels": np.array([1, 2, 3], dtype=np.int32)})
+    buf = open(p, "rb").read()
+    f = netcdf3.parse_netcdf3(buf)
+    va = f.variables["v"].attrs
+    np.testing.assert_array_equal(va["valid_range"], [0.0, 100.0])
+    assert va["scale"] == 2.5 and va["name"] == "velocity"
+    np.testing.assert_array_equal(f.attrs["levels"], [1, 2, 3])

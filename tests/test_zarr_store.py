@@ -153,3 +153,19 @@ def test_catalog_serves_netcdf_and_zarr(spark, store, tmp_path):
     assert cat.load("arco_like").count() == 90
     assert set(cat.load("arco_like").columns) == {
         "time", "lat", "lon", "temperature"}
+
+
+def test_blosc_memcpy_frame_decode():
+    """Blosc writes incompressible blocks as verbatim memcpy frames
+    (flags bit 1); the decoder must handle them, shuffled or not."""
+    import struct
+
+    payload = bytes(range(64))
+    hdr = bytes([2, 2, 0x2 | (5 << 5), 1]) + struct.pack(
+        "<III", len(payload), len(payload), 16 + len(payload))
+    assert zarr2.blosc_decompress(hdr + payload) == payload
+    # shuffled memcpy: shuffle(typesize=4) then expect the inverse
+    shuffled = zarr2._shuffle(payload, 4)
+    hdr = bytes([2, 2, 0x3 | (5 << 5), 4]) + struct.pack(
+        "<III", len(payload), len(payload), 16 + len(payload))
+    assert zarr2.blosc_decompress(hdr + shuffled) == payload
