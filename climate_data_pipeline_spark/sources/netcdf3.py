@@ -231,11 +231,17 @@ def _w_attrs(attrs: dict) -> bytes:
 
 def write_netcdf3(path: str, dims: dict[str, int | None],
                   variables: dict[str, tuple[list[str], np.ndarray, dict]],
-                  attrs: dict | None = None) -> str:
-    """Write a classic CDF-1 file. ``dims`` maps name → size (None for
-    the record dimension); ``variables`` maps name → (dim names, array,
-    attrs). Record variables put the record dim first. Used by tests and
-    by jobs that must emit the reference's input format."""
+                  attrs: dict | None = None, version: int = 1) -> str:
+    """Write a classic CDF-1 file (``version=2`` → CDF-2, 64-bit data
+    offsets — required once fixed-section data passes 2 GiB; same
+    layout otherwise). ``dims`` maps name → size (None for the record
+    dimension); ``variables`` maps name → (dim names, array, attrs).
+    Record variables put the record dim first. Used by tests and by
+    jobs that must emit the reference's input format."""
+    if version not in (1, 2):
+        raise ValueError("version must be 1 (CDF-1) or 2 (CDF-2)")
+    magic = _MAGIC1 if version == 1 else _MAGIC2
+    begin_fmt = ">I" if version == 1 else ">Q"
     dim_names = list(dims)
     dim_ids = {d: i for i, d in enumerate(dim_names)}
     rec_dim = next((d for d, s in dims.items() if s is None), None)
@@ -247,7 +253,7 @@ def write_netcdf3(path: str, dims: dict[str, int | None],
 
     # header with placeholder offsets first, to learn its length
     def header(begins: dict[str, int]) -> bytes:
-        out = [_MAGIC1, struct.pack(">I", numrecs),
+        out = [magic, struct.pack(">I", numrecs),
                struct.pack(">II", _NC_DIMENSION, len(dims))]
         for d in dim_names:
             out.append(_w_name(d)
@@ -264,8 +270,8 @@ def write_netcdf3(path: str, dims: dict[str, int | None],
             out.append(_w_name(name) + struct.pack(">I", len(vdims)))
             out.extend(struct.pack(">I", dim_ids[d]) for d in vdims)
             out.append(_w_attrs(vattrs))
-            out.append(struct.pack(">III", nc_type, vsize,
-                                   begins.get(name, 0)))
+            out.append(struct.pack(">II", nc_type, vsize)
+                       + struct.pack(begin_fmt, begins.get(name, 0)))
         return b"".join(out)
 
     hlen = len(header({}))

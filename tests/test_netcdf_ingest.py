@@ -259,3 +259,28 @@ def test_nc3_array_valued_attributes_roundtrip(tmp_path):
     np.testing.assert_array_equal(va["valid_range"], [0.0, 100.0])
     assert va["scale"] == 2.5 and va["name"] == "velocity"
     np.testing.assert_array_equal(f.attrs["levels"], [1, 2, 3])
+
+
+def test_nc3_cdf2_64bit_offsets_roundtrip(spark, tmp_path):
+    """CDF-2 (64-bit offset) variant — the format large files require —
+    round-trips through the same parser and the Spark ingest."""
+    from climate_data_pipeline_spark.sources import netcdf3
+
+    p = str(tmp_path / "wide.nc")
+    t = np.arange(4, dtype=np.int32)
+    v = np.arange(16, dtype=np.float64).reshape(4, 2, 2)
+    netcdf3.write_netcdf3(
+        p, {"time": None, "lat": 2, "lon": 2},
+        {"time": (["time"], t, {"units": "days since 2020-01-01"}),
+         "lat": (["lat"], np.array([0., 1.]), {}),
+         "lon": (["lon"], np.array([0., 1.]), {}),
+         "v": (["time", "lat", "lon"], v, {})},
+        version=2)
+    buf = open(p, "rb").read()
+    assert buf[:4] == b"CDF\x02"
+    f = netcdf3.parse_netcdf3(buf)
+    np.testing.assert_array_equal(netcdf3.read_var(buf, f, "v"), v)
+    assert read_netcdf_long(spark, p).count() == 16
+    with pytest.raises(ValueError, match="version"):
+        netcdf3.write_netcdf3(p, {"x": 1},
+                              {"v": (["x"], np.zeros(1), {})}, version=3)
