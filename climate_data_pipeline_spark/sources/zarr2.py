@@ -358,14 +358,22 @@ def read_zarr_long(spark, path: str, variables=None, time_range=None,
     return df
 
 
-def read_zarr_long_distributed(spark, path: str, variables=None):
+def read_zarr_long_distributed(spark, path: str, variables=None,
+                               time_range=None, bbox=None):
     """Chunk ↔ task: every store chunk becomes one Spark task that
     decodes its own compressed bytes executor-side (`mapInPandas` over
     the chunk-key list; the small coordinate vectors ride along in the
     task closure). This is the Spark shape of the reference's Dask
     chunk graph — horizontal scale without a central decode step.
     Requires all data variables to share one chunk grid (the layout the
-    reference's converter produces)."""
+    reference's converter produces).
+
+    ``time_range``/``bbox`` prune at the CHUNK INDEX: only chunks whose
+    coordinate spans intersect the predicate are ever read or decoded —
+    the engine-side equivalent of xarray's lazy chunk selection
+    (`ingest/netcdf_reader.py:67-75` narrowing the Dask graph), and the
+    property that makes point/slice queries on a huge store cheap. The
+    exact row-level predicate is applied after decode."""
     import pandas as pd
 
     meta = open_zarr_store(path)
@@ -383,12 +391,40 @@ def read_zarr_long_distributed(spark, path: str, variables=None):
                 or meta[n]["zarray"]["shape"] != za0["shape"]:
             raise ValueError("data variables must share one chunk grid")
 
-    coords, _, _, _ = _grid_from_store(path, variables=data_names[:1])
+    coords, _, _, dims = _grid_from_store(path, variables=data_names[:1])
     shape, chunks = za0["shape"], za0["chunks"]
     grid = _chunk_grid(shape, chunks)
-    keys = [list(idx) for idx in iproduct(*[range(n) for n in grid])]
+
+    # chunk-index pruning: per-dimension coordinate interval constraints
+    intervals: dict[str, tuple] = {}
+    if time_range and dims["time"]:
+        t = coords[dims["time"]]
+        conv = (np.datetime64 if np.issubdtype(t.dtype, np.datetime64)
+                else float)
+        intervals[dims["time"]] = (conv(time_range[0]), conv(time_range[1]))
+    if bbox and dims["lat"] and dims["lon"]:
+        w, s, e, n = bbox
+        intervals[dims["lat"]] = (s, n)
+        if w <= e:               # antimeridian crossings skip lon pruning
+            intervals[dims["lon"]] = (w, e)
+
+    def chunk_ok(idx) -> bool:
+        for axis, (d, i) in enumerate(zip(dim_order, idx)):
+            if d not in intervals:
+                continue
+            lo, hi = intervals[d]
+            span = coords[d][i * chunks[axis]:(i + 1) * chunks[axis]]
+            if len(span) == 0 or span.max() < lo or span.min() > hi:
+                return False
+        return True
+
+    keys = [list(idx) for idx in iproduct(*[range(n) for n in grid])
+            if chunk_ok(idx)]
+    if not keys:
+        keys = []            # empty selection still yields an empty frame
     keys_df = spark.createDataFrame(
-        pd.DataFrame({"cid": [".".join(map(str, k)) for k in keys]}))
+        pd.DataFrame({"cid": [".".join(map(str, k)) for k in keys]}),
+        schema="cid string")
 
     metas = {n: meta[n] for n in data_names}
 
@@ -432,4 +468,18 @@ def read_zarr_long_distributed(spark, path: str, variables=None):
     from .netcdf import _chunk_frames as _cf
     schema = spark.createDataFrame(
         next(_cf(sample_coords, sample_arrays, dim_order))).schema
-    return keys_df.mapInPandas(gen, schema=schema)
+    out = keys_df.mapInPandas(gen, schema=schema)
+    # exact row-level predicates on top of the chunk-level pruning
+    from pyspark.sql import functions as F
+    if time_range and dims["time"]:
+        out = out.where(F.col(dims["time"]).between(
+            F.lit(time_range[0]).cast("timestamp")
+            if np.issubdtype(coords[dims["time"]].dtype, np.datetime64)
+            else F.lit(float(time_range[0])),
+            F.lit(time_range[1]).cast("timestamp")
+            if np.issubdtype(coords[dims["time"]].dtype, np.datetime64)
+            else F.lit(float(time_range[1]))))
+    if bbox and dims["lat"] and dims["lon"]:
+        from .io import bbox_filter
+        out = bbox_filter(out, dims["lat"], dims["lon"], bbox)
+    return out

@@ -169,3 +169,20 @@ def test_blosc_memcpy_frame_decode():
     hdr = bytes([2, 2, 0x3 | (5 << 5), 4]) + struct.pack(
         "<III", len(payload), len(payload), 16 + len(payload))
     assert zarr2.blosc_decompress(hdr + shuffled) == payload
+
+
+def test_distributed_read_chunk_pruning(spark, store):
+    """Predicates prune at the chunk index AND filter exactly at the
+    row level: results equal the driver-side filtered read."""
+    want = {(str(r["time"]), r["lat"], r["lon"], r["temperature"])
+            for r in zarr2.read_zarr_long(
+                spark, store, time_range=("2020-01-03", "2020-01-06"),
+                bbox=(105.0, -5.0, 125.0, 90.0)).collect()}
+    got = {(str(r["time"]), r["lat"], r["lon"], r["temperature"])
+           for r in zarr2.read_zarr_long_distributed(
+               spark, store, time_range=("2020-01-03", "2020-01-06"),
+               bbox=(105.0, -5.0, 125.0, 90.0)).collect()}
+    assert got == want and len(got) == 16
+    # out-of-range predicate selects zero chunks and zero rows
+    assert zarr2.read_zarr_long_distributed(
+        spark, store, time_range=("2031-01-01", "2031-12-31")).count() == 0

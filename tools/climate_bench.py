@@ -39,9 +39,47 @@ SCALES = {  # reference benchmark_suite.py:280-284
 }
 
 
+def _build_zarr_store(cfg: dict, store: str) -> int:
+    """Dense numpy grid → ARCO store with the reference's benchmark
+    chunking (50×50×50 Blosc zstd-3, `src/benchmark_suite.py:307-323`)."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources.zarr2 import write_zarr
+
+    days = cfg["days"]
+    lat = -90.0 + np.arange(int(180 / cfg["lat_step"]) + 1) * cfg["lat_step"]
+    lon = -180.0 + np.arange(int(360 / cfg["lon_step"])) * cfg["lon_step"]
+    t = np.arange(days, dtype=np.int32)
+    doy = t + 1
+    rng = np.random.default_rng(42)
+    temp = (288.0 - 40.0 * np.abs(lat)[None, :, None] / 90.0
+            + 10.0 * np.sin(2 * np.pi * (doy - 80) / 365.0)[:, None, None]
+            + rng.normal(0, 2, (days, len(lat), len(lon)))
+            ).astype(np.float32)
+    write_zarr(store,
+               dims={"time": t, "lat": lat, "lon": lon},
+               variables={"temperature": (["time", "lat", "lon"], temp, {})},
+               chunks={"temperature": [50, 50, 50]})
+    # CF-encode time like xarray would
+    for fname in (os.path.join(store, "time", ".zattrs"),):
+        with open(fname) as fh:
+            z = json.load(fh)
+        z["units"] = "days since 2020-01-01"
+        with open(fname, "w") as fh:
+            json.dump(z, fh)
+    with open(os.path.join(store, ".zmetadata")) as fh:
+        m = json.load(fh)
+    m["metadata"]["time/.zattrs"]["units"] = "days since 2020-01-01"
+    with open(os.path.join(store, ".zmetadata"), "w") as fh:
+        json.dump(m, fh)
+    return int(temp.size)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="medium", choices=sorted(SCALES))
+    ap.add_argument("--store", default="parquet",
+                    choices=["parquet", "zarr"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     args = ap.parse_args()
@@ -56,14 +94,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cfg = SCALES[args.scale]
-    grid = climate_grid(spark, start="2020-01-01", **cfg)
     store = os.path.join(tempfile.mkdtemp(prefix="climate_bench_"), "grid")
-    t0 = time.perf_counter()
-    write_parquet(grid, store, layout="spatial", entity_cols=["lat", "lon"],
-                  time_col="ts", overwrite=True)
-    build_s = time.perf_counter() - t0
-    df = spark.read.parquet(store)
-    n_rows = df.count()
+    if args.store == "zarr":
+        t0 = time.perf_counter()
+        n_rows = _build_zarr_store(cfg, store)
+        build_s = time.perf_counter() - t0
+        df = None  # zarr patterns construct pruned reads per query
+    else:
+        grid = climate_grid(spark, start="2020-01-01", **cfg)
+        t0 = time.perf_counter()
+        write_parquet(grid, store, layout="spatial",
+                      entity_cols=["lat", "lon"],
+                      time_col="ts", overwrite=True)
+        build_s = time.perf_counter() - t0
+        df = spark.read.parquet(store)
+        n_rows = df.count()
 
     import random
     rng = random.Random(42)
@@ -76,6 +121,42 @@ def main() -> None:
     def ts_of(day: int) -> str:
         import datetime
         return str(datetime.date(2020, 1, 1) + datetime.timedelta(days=day))
+
+    if args.store == "zarr":
+        from climate_data_pipeline_spark.sources.zarr2 import (
+            read_zarr_long_distributed,
+        )
+
+        def zread(**kw):
+            return read_zarr_long_distributed(spark, store, **kw)
+
+        benchmarks = {
+            # same four access patterns, chunk-index-pruned zarr reads
+            "single_timestep": lambda: (lambda d: zread(
+                time_range=(ts_of(d), ts_of(d)))
+                .select("lat", "lon", "temperature"))(rng.randrange(days)),
+            "spatial_subset": lambda: (lambda d, lat0, lon0: zread(
+                time_range=(ts_of(d), ts_of(d)),
+                bbox=(lon0, lat0, lon0 + 20 * cfg["lon_step"],
+                      lat0 + 20 * cfg["lat_step"]))
+                .select("lat", "lon", "temperature"))(
+                    rng.randrange(days), rng.uniform(-90, 60),
+                    rng.uniform(-180, 140)),
+            "time_series_point": lambda: (lambda lat, lon: zread(
+                bbox=(lon, lat, lon, lat))
+                .select("time", "temperature"))(
+                    -90.0 + cfg["lat_step"]
+                    * rng.randrange(int(180 / cfg["lat_step"])),
+                    -180.0 + cfg["lon_step"]
+                    * rng.randrange(int(360 / cfg["lon_step"]))),
+            "monthly_mean": lambda: (lambda d0: zread(
+                time_range=(ts_of(d0), ts_of(d0 + 29)))
+                .groupBy("lat", "lon")
+                .agg(F.avg("temperature").alias("mean_t")))(
+                    rng.randrange(days - 30)),
+        }
+        run_report(args, n_rows, build_s, benchmarks)
+        return
 
     benchmarks = {
         # full spatial slice at one time (benchmark_suite.py:124-126)
@@ -103,6 +184,10 @@ def main() -> None:
                 rng.randrange(days - 30)),
     }
 
+    run_report(args, n_rows, build_s, benchmarks)
+
+
+def run_report(args, n_rows: int, build_s: float, benchmarks: dict) -> None:
     report = {}
     for name, build in benchmarks.items():
         for _ in range(args.warmup):
@@ -126,6 +211,7 @@ def main() -> None:
 
     print(json.dumps({
         "scale": args.scale,
+        "store": args.store,
         "grid_rows": n_rows,
         "store_build_s": round(build_s, 1),
         "iterations": args.iters,
