@@ -361,3 +361,53 @@ def ewma_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = T.ewma(e, "ts", "value", ["user_id"], alpha=0.3,
                  order_cols=["ts", "event_id"])
     return out.select("user_id", "event_id", F.round("ewma", 4).alias("ewma"))
+
+
+@query("wsdi_warm_spell_index", oracle="""
+WITH thr AS (
+  SELECT user_id, round(quantile_cont(value, 0.9), 6) AS p90
+  FROM events GROUP BY 1
+), hits AS (
+  SELECT e.user_id, date_trunc('day', e.ts) AS bucket
+  FROM events e JOIN thr USING (user_id)
+  GROUP BY 1, 2
+  HAVING max(CASE WHEN e.value > p90 THEN 1 ELSE 0 END) = 1
+), islands AS (
+  SELECT user_id, bucket,
+         CAST(epoch(bucket) // 86400 AS BIGINT)
+         - row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS island
+  FROM hits
+), sp AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS spell_len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_warm_spells,
+       CAST(sum(spell_len) AS BIGINT) AS wsdi_days,
+       max(spell_len) AS longest
+FROM sp
+WHERE spell_len >= 3
+GROUP BY user_id
+""")
+def wsdi_warm_spell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI WSDI shape — warm-spell duration index: per entity, total
+    days inside runs of ≥3 consecutive days whose daily max exceeds the
+    entity's own 90th percentile. A pure composition of the engine's
+    operators: exact grouped percentile (A5) → broadcast threshold join
+    (J2) → gaps-and-islands spells → length filter + digest. Thresholds
+    round at 1e-6 in BOTH engines before the strict comparison (values
+    are 1e-2-quantized, so the rounding can never cross a data value —
+    it just removes interpolation ulp risk between engines). Plan: one
+    percentile-agg shuffle, broadcast join (thresholds = one row per
+    entity), spell windows reusing the entity partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    thr = (e.groupBy("user_id")
+            .agg(F.round(F.percentile("value", 0.9), 6).alias("p90")))
+    d = e.join(F.broadcast(thr), "user_id")
+    sp = T.spells(d, "ts", F.col("value") > F.col("p90"), ["user_id"],
+                  freq="day")
+    return (sp.where(F.col("spell_len") >= 3)
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_warm_spells"),
+                   F.sum("spell_len").cast("long").alias("wsdi_days"),
+                   F.max("spell_len").alias("longest")))
