@@ -411,3 +411,43 @@ def wsdi_warm_spell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).cast("long").alias("n_warm_spells"),
                    F.sum("spell_len").cast("long").alias("wsdi_days"),
                    F.max("spell_len").alias("longest")))
+
+
+@query("etccdi_day_counts", oracle="""
+WITH thr AS (
+  SELECT user_id, round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.1), 6) AS p10
+  FROM events GROUP BY 1
+), days AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         max(value) AS dmax, min(value) AS dmin
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, date_trunc('month', d) AS month,
+       CAST(sum(CASE WHEN dmax > p90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_warm_days,
+       CAST(sum(CASE WHEN dmin < p10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cold_days,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM days JOIN thr USING (user_id)
+GROUP BY 1, 2
+""")
+def etccdi_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI percentile-day counts (TX90p/TN10p shape): per entity and
+    month, how many days' maximum exceeded the entity's p90 and how many
+    days' minimum undercut its p10. Two hash aggs (daily digest, monthly
+    counts) + a broadcast threshold join; thresholds round at 1e-6 in
+    both engines (same ulp discipline as the WSDI query)."""
+    e = load_table(spark, sf_dir, "events")
+    thr = (e.groupBy("user_id")
+            .agg(F.round(F.percentile("value", 0.9), 6).alias("p90"),
+                 F.round(F.percentile("value", 0.1), 6).alias("p10")))
+    days = (e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+             .agg(F.max("value").alias("dmax"), F.min("value").alias("dmin")))
+    return (days.join(F.broadcast(thr), "user_id")
+                .groupBy("user_id", F.date_trunc("month", "d").alias("month"))
+                .agg(F.sum(F.when(F.col("dmax") > F.col("p90"), 1)
+                            .otherwise(0)).cast("long").alias("n_warm_days"),
+                     F.sum(F.when(F.col("dmin") < F.col("p10"), 1)
+                            .otherwise(0)).cast("long").alias("n_cold_days"),
+                     F.count(F.lit(1)).alias("n_days")))

@@ -95,3 +95,77 @@ def test_dsl_resample_mean_bounded(spark, values, buckets):
     lo, hi = min(values), max(values)
     for r in out:
         assert lo - 1e-9 <= r["m"] <= hi + 1e-9
+
+
+# --- binary format codecs (no Spark session: pure numpy round trips) -------
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2000),
+       st.sampled_from([1, 2, 4, 8]),
+       st.sampled_from(["zstd", "zlib"]),
+       st.booleans(),
+       st.one_of(st.none(), st.integers(min_value=1, max_value=300)))
+def test_blosc_frame_roundtrip_fuzz(data, typesize, cname, shuffle,
+                                    blocksize):
+    from climate_data_pipeline_spark.sources import zarr2
+
+    frame = zarr2.blosc_compress(data, typesize=typesize, cname=cname,
+                                 shuffle=shuffle, blocksize=blocksize)
+    assert zarr2.blosc_decompress(frame) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sampled_from(["int8", "int16", "int32", "float32", "float64"]),
+       st.integers(min_value=1, max_value=7),   # records
+       st.integers(min_value=1, max_value=5),   # fixed dim
+       st.booleans(),                           # record variable?
+       st.sampled_from([1, 2]))                 # CDF version
+def test_netcdf3_roundtrip_fuzz(tmp_path_factory, dtype, n_rec, n_x,
+                                as_record, version):
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources import netcdf3
+
+    p = str(tmp_path_factory.mktemp("nc") / "f.nc")
+    rng = np.random.default_rng(n_rec * 31 + n_x)
+    if dtype.startswith("float"):
+        arr = rng.normal(0, 50, (n_rec, n_x)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, (n_rec, n_x),
+                           dtype=dtype, endpoint=False)
+    if as_record:
+        dims = {"t": None, "x": n_x}
+    else:
+        dims = {"t": n_rec, "x": n_x}
+    netcdf3.write_netcdf3(p, dims, {"v": (["t", "x"], arr, {})},
+                          version=version)
+    buf = open(p, "rb").read()
+    f = netcdf3.parse_netcdf3(buf)
+    np.testing.assert_array_equal(netcdf3.read_var(buf, f, "v"), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=9),   # shape t
+       st.integers(min_value=1, max_value=6),   # shape x
+       st.integers(min_value=1, max_value=9),   # chunk t
+       st.integers(min_value=1, max_value=6),   # chunk x
+       st.booleans())                           # shuffle
+def test_zarr_array_roundtrip_fuzz(tmp_path_factory, nt, nx, ct, cx,
+                                   shuffle):
+    """Any chunk geometry (incl. edge chunks and chunks larger than the
+    array) round-trips bit-exactly."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources import zarr2
+
+    path = str(tmp_path_factory.mktemp("z") / "s.zarr")
+    rng = np.random.default_rng(nt * 100 + nx * 10 + ct + cx)
+    arr = rng.normal(0, 1, (nt, nx)).astype(np.float64)
+    zarr2.write_zarr(path,
+                     dims={"t": np.arange(nt), "x": np.arange(nx)},
+                     variables={"v": (["t", "x"], arr, {})},
+                     chunks={"v": [ct, cx]}, shuffle=shuffle)
+    meta = zarr2.open_zarr_store(path)
+    got = zarr2.read_zarr_array(path, "v", meta["v"])
+    np.testing.assert_array_equal(got, arr)
