@@ -70,8 +70,13 @@ def climatology(df: DataFrame, time_col: str, value_col: str,
         key = F.dayofyear(time_col).cast("int").alias("dayofyear")
     elif groupby == "season":
         key = season(time_col).alias("season")
+    elif groupby == "hour":
+        # diurnal-cycle climatology (engine addition: sub-daily data,
+        # which the reference's month/doy/season groupers can't resolve)
+        key = F.hour(time_col).cast("int").alias("hour")
     else:
-        raise ValueError(f"groupby must be month|dayofyear|season, got {groupby!r}")
+        raise ValueError(
+            f"groupby must be month|dayofyear|season|hour, got {groupby!r}")
     return df.groupBy(key, *_cols(keys)).agg(F.avg(value_col).alias(alias))
 
 

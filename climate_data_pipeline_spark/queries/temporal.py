@@ -451,3 +451,19 @@ def etccdi_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum(F.when(F.col("dmin") < F.col("p10"), 1)
                             .otherwise(0)).cast("long").alias("n_cold_days"),
                      F.count(F.lit(1)).alias("n_days")))
+
+
+@query("a4_climatology_hour", oracle=f"""
+SELECT CAST(hour(ts) AS INTEGER) AS hour, event_type,
+       {sql_exact_avg('value')} AS clim_value
+FROM events
+GROUP BY 1, 2
+""")
+def climatology_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal-cycle climatology: hour-of-day long-term mean per
+    event_type — the sub-daily grouper the reference's month/doy/season
+    set lacks (A4 family, engine addition). Single hash-agg shuffle,
+    exact scaled-long mean."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.hour("ts").cast("int").alias("hour"), "event_type")
+             .agg(exact_avg("value").alias("clim_value")))
