@@ -467,3 +467,53 @@ def climatology_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (e.groupBy(F.hour("ts").cast("int").alias("hour"), "event_type")
              .agg(exact_avg("value").alias("clim_value")))
+
+
+@query("seasonal_decompose", oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 / COUNT(*) AS dval
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, d, dval,
+         avg(dval) OVER (PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM daily
+), s AS (
+  SELECT *, dval - trend AS detr,
+         avg(dval - trend) OVER (PARTITION BY user_id, dayofweek(d))
+           AS seasonal
+  FROM t
+)
+SELECT user_id, d,
+       round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(detr - seasonal, 6) AS residual
+FROM s
+""")
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of each daily series into trend + weekly
+    seasonal + residual (classical-decomposition / STL-lite shape):
+    trend = centered 7-day rolling mean; seasonal = day-of-week mean of
+    the detrended series (an entire-partition window — no join);
+    residual = the rest, so trend + seasonal + residual == daily value
+    exactly. One shuffle on the series key feeds daily agg, trend frame,
+    and seasonal window alike. Day-of-week labels differ between engines
+    (Spark 1-7, DuckDB 0-6) but induce the same partition classes, which
+    is all the window needs."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+              .agg((F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / 100.0 / F.count(F.lit(1))).alias("dval")))
+    from pyspark.sql import Window
+    wt = (Window.partitionBy("user_id").orderBy("d")
+                .rowsBetween(-3, 3))
+    t = daily.withColumn("trend", F.avg("dval").over(wt))
+    ws = Window.partitionBy("user_id", F.dayofweek("d"))
+    s = (t.withColumn("detr", F.col("dval") - F.col("trend"))
+          .withColumn("seasonal", F.avg("detr").over(ws)))
+    return s.select(
+        "user_id", "d",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"))
