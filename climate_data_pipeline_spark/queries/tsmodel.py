@@ -3,7 +3,7 @@
 The reference fits one model family (per-cell linear trend,
 `metrics/trends.py:12-65`) and describes the seasonal cycle only
 non-parametrically (climatology means, `metrics/temporal.py:120-159`).
-These queries add the two classical companions, each as a single-shuffle
+These queries add the classical companions, each as a one-or-two-shuffle
 aggregate:
 
 - ``acf_lag_autocorr``      — lag-1/lag-2 autocorrelation per series
@@ -13,6 +13,8 @@ aggregate:
 - ``harmonic_seasonal_fit`` — amplitude/phase of the annual cycle via a
   two-regressor OLS on (sin, cos) of day-of-year, solved in closed form
   from var/covar aggregates (normal equations), not an iterative fitter.
+- ``series_correlation_matrix`` — pairwise (and lag-1 cross-) Pearson
+  correlation between entity series, the teleconnection-matrix shape.
 
 Determinism: moment aggregates are rounded at 1e-6 — far above fp
 accumulation error at these magnitudes (|y| ≤ 500, n ≤ 10⁴ per group),
@@ -115,3 +117,49 @@ def harmonic_seasonal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.trends import harmonic_fit
     e = load_table(spark, sf_dir, "events")
     return harmonic_fit(e, "ts", "value", ["event_type"])
+
+
+@query("series_correlation_matrix", oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 / COUNT(*) AS dval
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round(corr(a.dval, b.dval), 6) AS corr0,
+       round(corr(a.dval, lb.dval), 6) AS corr_lag1,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM daily a
+JOIN daily b  ON a.d = b.d AND a.event_type < b.event_type
+JOIN daily lb ON lb.event_type = b.event_type
+             AND lb.d = a.d + INTERVAL 1 DAY
+GROUP BY 1, 2
+""")
+def series_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teleconnection-style correlation matrix between entity series:
+    daily-mean series per event type, then Pearson correlation for every
+    unordered pair at lag 0 and lag 1 day (does series A today predict
+    series B tomorrow?). The climate analogue correlates index series
+    between regions; here event types stand in for grid cells. Daily
+    digests are tiny (days × types), so both self-joins broadcast; corr
+    rounds at 1e-6 over its co-moment accumulation error. Rows where the
+    lagged day is missing drop from BOTH correlations (inner join), so
+    n_days is the common sample size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+              .agg((F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / 100.0 / F.count(F.lit(1))).alias("dval")))
+    a = daily.select(F.col("event_type").alias("type_a"),
+                     F.col("d").alias("da"), F.col("dval").alias("va"))
+    b = daily.select(F.col("event_type").alias("type_b"),
+                     F.col("d").alias("db"), F.col("dval").alias("vb"))
+    lb = daily.select(F.col("event_type").alias("type_lb"),
+                      F.col("d").alias("dlb"), F.col("dval").alias("vlb"))
+    j = (a.join(b, (F.col("da") == F.col("db"))
+                & (F.col("type_a") < F.col("type_b")))
+          .join(lb, (F.col("type_lb") == F.col("type_b"))
+                & (F.col("dlb") == F.col("da") + F.expr("INTERVAL 1 DAY"))))
+    return (j.groupBy("type_a", "type_b")
+             .agg(F.round(F.corr("va", "vb"), 6).alias("corr0"),
+                  F.round(F.corr("va", "vlb"), 6).alias("corr_lag1"),
+                  F.count(F.lit(1)).alias("n_days")))
