@@ -517,3 +517,48 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"))
+
+
+@query("csdi_cold_spell_index", oracle="""
+WITH thr AS (
+  SELECT user_id, round(quantile_cont(value, 0.1), 6) AS p10
+  FROM events GROUP BY 1
+), hits AS (
+  SELECT e.user_id, date_trunc('day', e.ts) AS bucket
+  FROM events e JOIN thr USING (user_id)
+  GROUP BY 1, 2
+  HAVING min(CASE WHEN e.value < p10 THEN e.value ELSE NULL END) IS NOT NULL
+), islands AS (
+  SELECT user_id, bucket,
+         CAST(epoch(bucket) // 86400 AS BIGINT)
+         - row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS island
+  FROM hits
+), sp AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS spell_len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_cold_spells,
+       CAST(sum(spell_len) AS BIGINT) AS csdi_days,
+       max(spell_len) AS longest
+FROM sp
+WHERE spell_len >= 3
+GROUP BY user_id
+""")
+def csdi_cold_spell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI CSDI — the cold counterpart of `wsdi_warm_spell_index`:
+    days inside runs of ≥3 consecutive days with any value below the
+    entity's 10th percentile. Same plan shape (percentile agg →
+    broadcast threshold → gaps-and-islands) and the same 1e-6 threshold
+    rounding discipline."""
+    e = load_table(spark, sf_dir, "events")
+    thr = (e.groupBy("user_id")
+            .agg(F.round(F.percentile("value", 0.1), 6).alias("p10")))
+    d = e.join(F.broadcast(thr), "user_id")
+    sp = T.spells(d, "ts", F.col("value") < F.col("p10"), ["user_id"],
+                  freq="day")
+    return (sp.where(F.col("spell_len") >= 3)
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_cold_spells"),
+                   F.sum("spell_len").cast("long").alias("csdi_days"),
+                   F.max("spell_len").alias("longest")))
