@@ -562,3 +562,41 @@ def csdi_cold_spell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).cast("long").alias("n_cold_spells"),
                    F.sum("spell_len").cast("long").alias("csdi_days"),
                    F.max("spell_len").alias("longest")))
+
+
+@query("season_onset_date", oracle="""
+WITH hits AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket
+  FROM events GROUP BY 1, 2
+  HAVING max(CASE WHEN value > 60 THEN 1 ELSE 0 END) = 1
+), islands AS (
+  SELECT user_id, bucket,
+         CAST(epoch(bucket) // 86400 AS BIGINT)
+         - row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS island
+  FROM hits
+), sp AS (
+  SELECT user_id, island, min(bucket) AS spell_start,
+         CAST(count(*) AS BIGINT) AS spell_len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(year(spell_start) AS INTEGER) AS yr,
+       min(spell_start) AS onset,
+       CAST(count(*) AS BIGINT) AS n_spells
+FROM sp
+WHERE spell_len >= 3
+GROUP BY 1, 2
+""")
+def season_onset_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing-season-onset shape (GSL family): per entity and year, the
+    start date of the first run of ≥3 consecutive exceedance days — the
+    date-valued counterpart of the spell digests (the reference's
+    exceedance machinery answers *whether*; this answers *when the
+    season starts*). Spells crossing New Year belong to their start
+    year in both engines (grouped on year(spell_start))."""
+    e = load_table(spark, sf_dir, "events")
+    sp = T.spells(e, "ts", F.col("value") > 60, ["user_id"], freq="day")
+    return (sp.where(F.col("spell_len") >= 3)
+              .groupBy("user_id",
+                       F.year("spell_start").cast("int").alias("yr"))
+              .agg(F.min("spell_start").alias("onset"),
+                   F.count(F.lit(1)).alias("n_spells")))
