@@ -99,3 +99,49 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n"),
                    F.grouping("l_returnflag").cast("int").alias("g_flag"),
                    F.grouping("l_linestatus").cast("int").alias("g_status")))
+
+
+@query("contribution_shares", oracle="""
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS bal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       bal / 100.0 AS total_bal,
+       round(bal * 1.0 / SUM(bal) OVER (PARTITION BY region), 6)
+         AS region_share,
+       round(bal * 1.0 / SUM(bal) OVER (), 6) AS global_share
+FROM nat
+""")
+def contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution analysis: each nation's share of
+    its region's and of the global customer balance — the
+    share-of-parent window family (value / SUM OVER partition).
+    Numerators and window denominators are the SAME exact scaled-long
+    sums, so the ratios are bit-deterministic before the 1e-6 rounding.
+    Plan: broadcast dim joins → one hash agg → two window sums over the
+    25-row aggregate (driver-trivial at any scale: window input is
+    #groups, never facts)."""
+    from ..sources.io import load_table as _lt
+
+    c = _lt(spark, sf_dir, "customer")
+    n = _lt(spark, sf_dir, "nation")
+    r = _lt(spark, sf_dir, "region")
+    nat = (c.join(n, c.c_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"),
+                     F.col("n_name").alias("nation"))
+            .agg(F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                  .alias("bal")))
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "region", "nation",
+        (F.col("bal") / 100.0).alias("total_bal"),
+        F.round(F.col("bal") * 1.0 / F.sum("bal").over(w_region), 6)
+         .alias("region_share"),
+        F.round(F.col("bal") * 1.0 / F.sum("bal").over(w_all), 6)
+         .alias("global_share"))
