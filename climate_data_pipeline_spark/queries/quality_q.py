@@ -12,14 +12,17 @@ from ..sources.io import load_table
 
 @query("dq_lineitem_report", oracle="""
 WITH base AS (
+  -- CAST: DuckDB SUM(int) is HUGEINT, which pandas renders as float64;
+  -- Spark emits int64. BIGINT keeps the hash comparison dtype-stable.
   SELECT COUNT(*) AS n_rows,
-    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS c1,
-    SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) OR l_discount IS NULL
-        THEN 1 ELSE 0 END) AS c2,
-    SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
-        THEN 1 ELSE 0 END) AS c3,
-    SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS c4,
-    SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS c5
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) OR l_discount IS NULL
+        THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
+        THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+        AS BIGINT) AS c4,
+    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c5
   FROM lineitem
 )
 SELECT t.check, t.n_violations, base.n_rows,
