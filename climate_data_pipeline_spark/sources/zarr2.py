@@ -11,9 +11,13 @@ actual stores — a user can point this engine at their existing ARCO
 data without converting it first.
 
 Codec support (what the reference writes by default is covered):
-- ``compressor: null`` (raw), numcodecs ``zlib`` / ``gzip``,
-- Blosc frames with inner zstd (the reference's default, zstd level 3)
-  or zlib — including the byte-shuffle filter and multi-block frames.
+- raw numcodecs ``zstd`` (the reference's primary default — its
+  ``_get_compressor`` tries ``Zstd(level)`` first), ``lz4`` (uint32
+  size prefix + block stream), ``zlib`` / ``gzip``, ``compressor:
+  null``,
+- Blosc frames (the reference's fallback) with inner zstd or zlib —
+  per-block ``int32 csize`` prefixes, stored-uncompressed blocks,
+  whole-frame memcpy fallback, byte-shuffle, multi-block frames.
   Blosc's *split* block layout (used by its lz4/blosclz defaults) is
   detected and reported, not silently misread.
 
@@ -61,8 +65,17 @@ def _shuffle(buf: bytes, typesize: int) -> bytes:
 
 
 def blosc_decompress(frame: bytes) -> bytes:
-    """Decode a c-blosc1 frame (16-byte header, optional block-offset
-    table, per-block inner-codec streams, optional byte-shuffle)."""
+    """Decode a c-blosc1 frame (16-byte header, block-offset table,
+    per-block ``int32 csize``-prefixed inner-codec streams, optional
+    byte-shuffle) — the exact layout c-blosc/numcodecs writes.
+
+    Per the public c-blosc1 format (``blosc.c:blosc_d``): each block
+    offset points at a little-endian int32 *compressed size*, followed
+    by that many payload bytes. A block whose csize equals its
+    decompressed size is STORED (not compressed) and must be memcpy'd,
+    not handed to the inner codec. Non-split codecs (zstd/zlib — what
+    the reference writes) have exactly one such stream per block; the
+    split layout used by blosclz/lz4 defaults is detected and refused."""
     if len(frame) < 16:
         raise ValueError("truncated blosc frame")
     flags, typesize = frame[2], frame[3]
@@ -74,8 +87,9 @@ def blosc_decompress(frame: bytes) -> bytes:
     if bit_shuffled:
         raise NotImplementedError("blosc bit-shuffle filter not supported")
     if memcpyed:
-        out = frame[16:16 + nbytes]
-        return _unshuffle(out, typesize) if shuffled else out
+        # c-blosc stores the ORIGINAL buffer on memcpy fallback — the
+        # shuffle flag may still be set, but no unshuffle is applied.
+        return frame[16:16 + nbytes]
 
     codec_name = _BLOSC_CODECS.get(codec_id, f"id{codec_id}")
     if codec_name not in _ARROW_CODEC:
@@ -91,10 +105,14 @@ def blosc_decompress(frame: bytes) -> bytes:
     for b in range(nblocks):
         dsize = blocksize if b < nblocks - 1 else nbytes - blocksize * (nblocks - 1)
         off = starts[b]
-        # each stream's compressed length = distance to the next offset
-        # (or frame end); arrow needs only the output size
-        end = starts[b + 1] if b + 1 < nblocks else cbytes
-        raw = codec.decompress(bytes(frame[off:end]), dsize)
+        csize = struct.unpack_from("<i", frame, off)[0]
+        if csize < 0 or off + 4 + csize > len(frame):
+            raise ValueError("corrupt blosc frame: bad block csize")
+        payload = bytes(frame[off + 4:off + 4 + csize])
+        if csize == dsize:
+            raw = payload            # stored block (incompressible)
+        else:
+            raw = codec.decompress(payload, dsize)
         pieces.append(_unshuffle(raw, typesize) if shuffled else raw)
     return b"".join(pieces)
 
@@ -118,14 +136,18 @@ def blosc_compress(data: bytes, typesize: int, cname: str = "zstd",
         chunk = data[b * blocksize:(b + 1) * blocksize]
         if shuffle:
             chunk = _shuffle(chunk, typesize)
-        blocks.append(bytes(codec.compress(chunk)))
+        comp = bytes(codec.compress(chunk))
+        if len(comp) >= len(chunk):
+            comp = chunk             # store incompressible block raw
+        # per-block int32 csize prefix, as real c-blosc readers expect
+        blocks.append(struct.pack("<i", len(comp)) + comp)
     header_len = 16 + 4 * nblocks
     starts, off = [], header_len
     for blk in blocks:
         starts.append(off)
         off += len(blk)
     frame = bytearray()
-    frame += bytes([2, 2, flags, typesize])
+    frame += bytes([2, 1, flags, typesize])
     frame += struct.pack("<III", nbytes, blocksize, off)
     frame += struct.pack(f"<{nblocks}i", *starts)
     for blk in blocks:
@@ -144,10 +166,29 @@ def _decode_chunk(raw: bytes, compressor: dict | None,
     elif cid in ("zlib", "gzip"):
         import zlib
         buf = zlib.decompress(raw, 47)  # auto-detect zlib/gzip wrapper
+    elif cid == "zstd":
+        # raw numcodecs Zstd stream — the reference's _get_compressor
+        # default (it only falls back to Blosc when zstd is missing)
+        from pyarrow import Codec
+        dsize = int(np.prod(chunk_shape)) * dtype.itemsize
+        buf = Codec("zstd").decompress(raw, dsize)
+    elif cid == "lz4":
+        # numcodecs LZ4: uint32 original-size prefix + LZ4 block stream
+        from pyarrow import Codec
+        (dsize,) = struct.unpack_from("<I", raw, 0)
+        buf = Codec("lz4_raw").decompress(raw[4:], dsize)
     else:
         raise NotImplementedError(f"compressor {cid!r} not supported")
     arr = np.frombuffer(buf, dtype=dtype)
     return arr.reshape(chunk_shape, order=order)
+
+
+def _fill_for(fill, dtype: np.dtype):
+    """Zarr v2 ``fill_value: null`` → NaN for floats, 0 for other
+    dtypes (zarr's conventional default; NaN would crash an int full)."""
+    if fill is not None:
+        return fill
+    return np.nan if dtype.kind == "f" else 0
 
 
 def open_zarr_store(path: str) -> dict[str, dict]:
@@ -191,8 +232,8 @@ def read_zarr_array(path: str, name: str, meta: dict) -> np.ndarray:
     shape, chunks = za["shape"], za["chunks"]
     dtype = np.dtype(za["dtype"])
     order = za.get("order", "C")
-    fill = za.get("fill_value")
-    out = np.full(shape, np.nan if fill is None else fill, dtype=dtype) \
+    fill = _fill_for(za.get("fill_value"), dtype)
+    out = np.full(shape, fill, dtype=dtype) \
         if shape else np.zeros((), dtype=dtype)
     sep = za.get("dimension_separator", ".")
     for idx in iproduct(*[range(n) for n in _chunk_grid(shape, chunks)]):
@@ -213,11 +254,16 @@ def write_zarr(path: str, dims: dict[str, np.ndarray],
                variables: dict[str, tuple[list[str], np.ndarray, dict]],
                chunks: dict[str, list[int]] | None = None,
                cname: str = "zstd", shuffle: bool = True,
-               attrs: dict | None = None) -> str:
+               attrs: dict | None = None,
+               compressor_id: str = "blosc") -> str:
     """Write an xarray-convention Zarr v2 store (coordinates as 1-D
-    arrays, ``_ARRAY_DIMENSIONS`` attrs, consolidated metadata), chunks
-    Blosc-compressed — the reference's output format
-    (`ingest/arco_converter.py:110-160`)."""
+    arrays, ``_ARRAY_DIMENSIONS`` attrs, consolidated metadata).
+    ``compressor_id='blosc'`` wraps chunks in Blosc frames (the
+    reference's Blosc fallback, `ingest/arco_converter.py:110-160`);
+    ``'zstd'`` writes raw numcodecs-Zstd streams (the reference's
+    primary default from its ``_get_compressor``)."""
+    if compressor_id not in ("blosc", "zstd", None):
+        raise ValueError(f"unsupported compressor_id {compressor_id!r}")
     os.makedirs(path, exist_ok=True)
     consolidated: dict[str, dict] = {".zgroup": {"zarr_format": 2},
                                      ".zattrs": attrs or {}}
@@ -227,11 +273,16 @@ def write_zarr(path: str, dims: dict[str, np.ndarray],
         os.makedirs(adir, exist_ok=True)
         chunk = list(chunk or arr.shape or [1])
         fill = float("nan") if arr.dtype.kind == "f" else 0
+        if compressor_id == "blosc":
+            comp_meta = {"id": "blosc", "cname": cname, "clevel": 3,
+                         "shuffle": 1 if shuffle else 0}
+        elif compressor_id == "zstd":
+            comp_meta = {"id": "zstd", "level": 3}
+        else:
+            comp_meta = None
         zarray = {"zarr_format": 2, "shape": list(arr.shape),
                   "chunks": chunk, "dtype": arr.dtype.str,
-                  "compressor": {"id": "blosc", "cname": cname,
-                                 "clevel": 3,
-                                 "shuffle": 1 if shuffle else 0},
+                  "compressor": comp_meta,
                   "fill_value": fill if arr.dtype.kind == "f" else 0,
                   "filters": None, "order": "C"}
         zattrs = dict(vattrs)
@@ -249,9 +300,15 @@ def write_zarr(path: str, dims: dict[str, np.ndarray],
             block = np.zeros(chunk, dtype=arr.dtype)
             piece = arr[sel]
             block[tuple(slice(0, p) for p in piece.shape)] = piece
-            frame = blosc_compress(np.ascontiguousarray(block).tobytes(),
-                                   arr.dtype.itemsize, cname=cname,
-                                   shuffle=shuffle)
+            payload = np.ascontiguousarray(block).tobytes()
+            if compressor_id == "blosc":
+                frame = blosc_compress(payload, arr.dtype.itemsize,
+                                       cname=cname, shuffle=shuffle)
+            elif compressor_id == "zstd":
+                from pyarrow import Codec
+                frame = bytes(Codec("zstd").compress(payload))
+            else:
+                frame = payload
             with open(os.path.join(adir, ".".join(map(str, idx)) or "0"),
                       "wb") as fh:
                 fh.write(frame)
@@ -452,11 +509,10 @@ def read_zarr_long_distributed(spark, path: str, variables=None,
                                      for sl in sel)
                         arrays[n] = arr[crop]
                     else:
-                        fill = za.get("fill_value")
+                        dt = np.dtype(za["dtype"])
                         arrays[n] = np.full(
                             [sl.stop - sl.start for sl in sel],
-                            np.nan if fill is None else fill,
-                            dtype=np.dtype(za["dtype"]))
+                            _fill_for(za.get("fill_value"), dt), dtype=dt)
                 yield from _chunk_frames(local_coords, arrays, dim_order,
                                          time_chunk=len(
                                              local_coords[dim_order[0]]))

@@ -156,19 +156,150 @@ def test_catalog_serves_netcdf_and_zarr(spark, store, tmp_path):
 
 
 def test_blosc_memcpy_frame_decode():
-    """Blosc writes incompressible blocks as verbatim memcpy frames
-    (flags bit 1); the decoder must handle them, shuffled or not."""
+    """Blosc's whole-frame memcpy fallback stores the ORIGINAL buffer
+    (c-blosc copies src verbatim and never unshuffles on decode, even
+    when the shuffle flag bit is still set from the request)."""
     import struct
 
     payload = bytes(range(64))
     hdr = bytes([2, 2, 0x2 | (5 << 5), 1]) + struct.pack(
         "<III", len(payload), len(payload), 16 + len(payload))
     assert zarr2.blosc_decompress(hdr + payload) == payload
-    # shuffled memcpy: shuffle(typesize=4) then expect the inverse
-    shuffled = zarr2._shuffle(payload, 4)
     hdr = bytes([2, 2, 0x3 | (5 << 5), 4]) + struct.pack(
         "<III", len(payload), len(payload), 16 + len(payload))
-    assert zarr2.blosc_decompress(hdr + shuffled) == payload
+    assert zarr2.blosc_decompress(hdr + payload) == payload
+
+
+def _build_real_blosc_frame(data: bytes, typesize: int, blocksize: int,
+                            shuffle: bool, force_store: set[int] = ()):
+    """Hand-build a c-blosc1 frame byte-for-byte per the PUBLIC spec
+    (header, block-offset table, per-block int32 csize prefix, inner
+    zstd streams, stored blocks when csize == block size) —
+    independently of zarr2.blosc_compress, so the decoder is checked
+    against the wire format real numcodecs/c-blosc emits."""
+    import struct
+
+    from pyarrow import Codec
+
+    codec = Codec("zstd")
+    nbytes = len(data)
+    nblocks = max(1, -(-nbytes // blocksize))
+    flags = (5 << 5) | (0x1 if shuffle else 0)
+    blocks = []
+    for b in range(nblocks):
+        chunk = data[b * blocksize:(b + 1) * blocksize]
+        if shuffle:
+            chunk = zarr2._shuffle(chunk, typesize)
+        comp = bytes(codec.compress(chunk))
+        if b in force_store or len(comp) >= len(chunk):
+            comp = chunk
+        blocks.append(struct.pack("<i", len(comp)) + comp)
+    starts, off = [], 16 + 4 * nblocks
+    for blk in blocks:
+        starts.append(off)
+        off += len(blk)
+    return (bytes([2, 1, flags, typesize])
+            + struct.pack("<III", nbytes, blocksize, off)
+            + struct.pack(f"<{nblocks}i", *starts)
+            + b"".join(blocks))
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_blosc_decodes_real_cblosc_framing(shuffle):
+    """Frames with the real per-block int32 csize prefix decode; a
+    deliberately STORED block (csize == dsize, how c-blosc marks an
+    incompressible block) is memcpy'd, not fed to zstd."""
+    rng = np.random.default_rng(7)
+    data = np.arange(400, dtype="<f8").tobytes()
+    frame = _build_real_blosc_frame(data, 8, 800, shuffle)
+    assert zarr2.blosc_decompress(frame) == data
+    # random bytes don't compress: every block stored
+    noisy = rng.integers(0, 256, 3200, dtype=np.uint8).tobytes()
+    frame = _build_real_blosc_frame(noisy, 8, 800, shuffle)
+    assert zarr2.blosc_decompress(frame) == noisy
+    # mixed: force-store a compressible middle block
+    frame = _build_real_blosc_frame(data, 8, 800, shuffle, force_store={1})
+    assert zarr2.blosc_decompress(frame) == data
+
+
+def test_blosc_compress_emits_real_framing():
+    """Our writer's frames parse under the independent spec model:
+    offsets point at int32 csize prefixes whose streams zstd-decode."""
+    import struct
+
+    from pyarrow import Codec
+
+    data = np.arange(500, dtype="<i4").tobytes()
+    frame = zarr2.blosc_compress(data, typesize=4, cname="zstd",
+                                 shuffle=True, blocksize=800)
+    nbytes, blocksize, cbytes = struct.unpack_from("<III", frame, 4)
+    nblocks = -(-nbytes // blocksize)
+    starts = struct.unpack_from(f"<{nblocks}i", frame, 16)
+    out = b""
+    for b, off in enumerate(starts):
+        dsize = min(blocksize, nbytes - b * blocksize)
+        (csize,) = struct.unpack_from("<i", frame, off)
+        payload = frame[off + 4:off + 4 + csize]
+        raw = payload if csize == dsize else \
+            Codec("zstd").decompress(payload, dsize)
+        out += zarr2._unshuffle(raw, 4)
+    assert out == data and cbytes == len(frame)
+
+
+def test_decode_raw_zstd_and_lz4_chunks(tmp_path):
+    """Raw numcodecs Zstd (the reference's primary default compressor)
+    and numcodecs LZ4 (uint32 size prefix + block stream) chunks."""
+    import struct
+
+    from pyarrow import Codec
+
+    arr = np.arange(24, dtype="<f4").reshape(4, 6)
+    z = zarr2._decode_chunk(bytes(Codec("zstd").compress(arr.tobytes())),
+                            {"id": "zstd", "level": 3},
+                            np.dtype("<f4"), (4, 6), "C")
+    np.testing.assert_array_equal(z, arr)
+    lz = struct.pack("<I", arr.nbytes) + bytes(
+        Codec("lz4_raw").compress(arr.tobytes()))
+    l4 = zarr2._decode_chunk(lz, {"id": "lz4", "acceleration": 1},
+                             np.dtype("<f4"), (4, 6), "C")
+    np.testing.assert_array_equal(l4, arr)
+
+
+def test_zstd_raw_store_roundtrip(tmp_path):
+    """A store written with compressor_id='zstd' (raw numcodecs-Zstd
+    chunks — the reference's default) reads back identically."""
+    t = np.arange("2021-01", "2021-04", dtype="datetime64[D]")[:10]
+    temp = np.arange(10 * 3, dtype="<f8").reshape(10, 3)
+    path = zarr2.write_zarr(
+        str(tmp_path / "zs"), {"time": t, "lat": np.array([0., 1., 2.])},
+        {"temperature": (["time", "lat"], temp, {})},
+        chunks={"temperature": [4, 2]}, compressor_id="zstd")
+    meta = zarr2.open_zarr_store(path)
+    assert meta["temperature"]["zarray"]["compressor"]["id"] == "zstd"
+    got = zarr2.read_zarr_array(path, "temperature", meta["temperature"])
+    np.testing.assert_array_equal(got, temp)
+
+
+def test_integer_null_fill_value(tmp_path):
+    """Legal zarr v2: integer dtype with fill_value null — missing
+    chunks fill with 0 instead of crashing on float NaN."""
+    import json
+    import os
+
+    adir = tmp_path / "s" / "counts"
+    os.makedirs(adir)
+    with open(adir / ".zarray", "w") as fh:
+        json.dump({"zarr_format": 2, "shape": [4], "chunks": [2],
+                   "dtype": "<i8", "compressor": None, "fill_value": None,
+                   "filters": None, "order": "C"}, fh)
+    with open(adir / ".zattrs", "w") as fh:
+        json.dump({"_ARRAY_DIMENSIONS": ["counts"]}, fh)
+    with open(adir / "0", "wb") as fh:   # chunk 1 missing
+        fh.write(np.array([7, 8], dtype="<i8").tobytes())
+    meta = zarr2.open_zarr_store(str(tmp_path / "s"))
+    got = zarr2.read_zarr_array(str(tmp_path / "s"), "counts",
+                                meta["counts"])
+    np.testing.assert_array_equal(got, np.array([7, 8, 0, 0]))
 
 
 def test_distributed_read_chunk_pruning(spark, store):
