@@ -287,9 +287,31 @@ def _long_to_grid(df: DataFrame, dim_cols: Sequence[str],
         vattrs: dict = {}
         if np.issubdtype(vals.dtype, np.datetime64):
             epoch = vals.min()
-            units = (f"hours since "
-                     f"{np.datetime_as_string(epoch, unit='s').replace('T', ' ')}")
-            vals = ((vals - epoch) // np.timedelta64(1, "h")).astype(np.int32)
+            # CF-encode at the coarsest resolution that divides every
+            # offset EXACTLY — a fixed 'hours since' floor-divide would
+            # silently truncate sub-hour timestamps and collapse
+            # distinct coordinates on re-read.
+            off_ns = (vals - epoch).astype("timedelta64[ns]").astype(np.int64)
+            for unit, nanos in (("hours", 3_600_000_000_000),
+                                ("minutes", 60_000_000_000),
+                                ("seconds", 1_000_000_000),
+                                ("milliseconds", 1_000_000),
+                                ("microseconds", 1_000)):
+                if not (off_ns % nanos).any():
+                    break
+            else:
+                raise ValueError(
+                    f"dimension {d!r} has sub-microsecond timestamps; "
+                    "not representable in CF integer time units")
+            epoch_unit = ("s" if epoch == epoch.astype("datetime64[s]")
+                          .astype(epoch.dtype) else "us")
+            units = (f"{unit} since "
+                     f"{np.datetime_as_string(epoch, unit=epoch_unit).replace('T', ' ')}")
+            off = off_ns // nanos
+            # classic NetCDF has no 64-bit int: spill to exact float64
+            # when fine-resolution offsets overflow int32
+            vals = (off.astype(np.int32) if off.max(initial=0) <= 2**31 - 1
+                    else off.astype(np.float64))
             vattrs["units"] = units
         elif vals.dtype == object:
             raise ValueError(f"dimension {d!r} is not numeric/datetime")

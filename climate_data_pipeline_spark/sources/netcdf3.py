@@ -40,7 +40,9 @@ _REV_TYPES = {"int8": 1, "|S1": 2, "int16": 3, "int32": 4,
               "float32": 5, "float64": 6}
 
 _CF_UNITS = {"second": "s", "seconds": "s", "minute": "m", "minutes": "m",
-             "hour": "h", "hours": "h", "day": "D", "days": "D"}
+             "hour": "h", "hours": "h", "day": "D", "days": "D",
+             "millisecond": "ms", "milliseconds": "ms",
+             "microsecond": "us", "microseconds": "us"}
 
 
 @dataclass
@@ -250,6 +252,8 @@ def write_netcdf3(path: str, dims: dict[str, int | None],
     for _, (vdims, arr, _) in variables.items():
         if vdims and vdims[0] == rec_dim:
             numrecs = max(numrecs, arr.shape[0])
+    n_rec_vars = sum(1 for vdims, _, _ in variables.values()
+                     if vdims and vdims[0] == rec_dim)
 
     # header with placeholder offsets first, to learn its length
     def header(begins: dict[str, int]) -> bytes:
@@ -262,11 +266,16 @@ def write_netcdf3(path: str, dims: dict[str, int | None],
         out.append(struct.pack(">II", _NC_VARIABLE, len(variables)))
         for name, (vdims, arr, vattrs) in variables.items():
             nc_type = _REV_TYPES[str(arr.dtype)]
-            slab = arr.shape[1:] if (vdims and vdims[0] == rec_dim) \
-                else arr.shape
+            is_rec = bool(vdims and vdims[0] == rec_dim)
+            slab = arr.shape[1:] if is_rec else arr.shape
             vsize = int(np.prod(slab, dtype=np.int64)) * _SIZES[nc_type] \
                 if slab else _SIZES[nc_type]
-            vsize = (vsize + 3) & ~3
+            # classic-spec exception (same rule scipy.io.netcdf uses):
+            # a SOLE record variable's vsize is the UNPADDED slab size —
+            # records are written back-to-back, and external readers
+            # stride by header vsize
+            if not (is_rec and n_rec_vars == 1):
+                vsize = (vsize + 3) & ~3
             out.append(_w_name(name) + struct.pack(">I", len(vdims)))
             out.extend(struct.pack(">I", dim_ids[d]) for d in vdims)
             out.append(_w_attrs(vattrs))

@@ -284,3 +284,75 @@ def test_nc3_cdf2_64bit_offsets_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="version"):
         netcdf3.write_netcdf3(p, {"x": 1},
                               {"v": (["x"], np.zeros(1), {})}, version=3)
+
+
+def test_nc3_single_short_record_var_vsize_unpadded(tmp_path):
+    """Classic-spec exception: with exactly ONE record variable whose
+    slab size is not a multiple of 4, header vsize must be the UNPADDED
+    slab size (records are packed back-to-back) — external readers like
+    scipy.io.netcdf stride by header vsize."""
+    import struct
+
+    from climate_data_pipeline_spark.sources import netcdf3
+
+    p = str(tmp_path / "short.nc")
+    vals = np.arange(5 * 3, dtype=np.int16).reshape(5, 3)  # slab = 6 bytes
+    netcdf3.write_netcdf3(p, {"time": None, "x": 3},
+                          {"v": (["time", "x"], vals, {})})
+    buf = open(p, "rb").read()
+    f = netcdf3.parse_netcdf3(buf)
+    assert f.variables["v"].vsize == 6          # not rounded up to 8
+    np.testing.assert_array_equal(netcdf3.read_var(buf, f, "v"), vals)
+    # byte-exact stride check: records occupy begin + r*6
+    begin = f.variables["v"].begin
+    rec1 = np.frombuffer(buf, dtype=">i2", count=3, offset=begin + 6)
+    np.testing.assert_array_equal(rec1.astype("i2"), vals[1])
+    # with TWO record variables padding applies again
+    p2 = str(tmp_path / "two.nc")
+    netcdf3.write_netcdf3(p2, {"time": None, "x": 3},
+                          {"v": (["time", "x"], vals, {}),
+                           "w": (["time", "x"], vals + 100, {})})
+    buf2 = open(p2, "rb").read()
+    f2 = netcdf3.parse_netcdf3(buf2)
+    assert f2.variables["v"].vsize == 8 and f2.variables["w"].vsize == 8
+    np.testing.assert_array_equal(netcdf3.read_var(buf2, f2, "w"),
+                                  vals + 100)
+
+
+def test_cf_time_encoding_keeps_subhour_resolution(spark, tmp_path):
+    """Sub-hour timestamps survive export → re-read (the old fixed
+    'hours since' floor-divide truncated them): 15-minute cadence
+    round-trips bit-exact through long_to_netcdf3."""
+    import pandas as pd
+
+    from climate_data_pipeline_spark.sources import netcdf3
+    from climate_data_pipeline_spark.sources.netcdf import long_to_netcdf3
+
+    times = pd.date_range("2021-06-01 00:15:00", periods=8, freq="15min")
+    rows = [(t.to_pydatetime(), float(la), 0.0, float(i))
+            for i, t in enumerate(times) for la in (0.0, 10.0)]
+    df = spark.createDataFrame(rows, "time timestamp, lat double, "
+                                     "lon double, v double")
+    out = str(tmp_path / "subhour.nc")
+    long_to_netcdf3(df, out, dim_cols=["time", "lat", "lon"])
+    buf = open(out, "rb").read()
+    f = netcdf3.parse_netcdf3(buf)
+    units = f.variables["time"].attrs["units"]
+    assert units.startswith("minutes since")
+    ts = netcdf3.decode_cf_time(netcdf3.read_var(buf, f, "time"), units)
+    np.testing.assert_array_equal(
+        ts.astype("datetime64[ns]"), times.values)
+    # second-level cadence falls through to 'seconds since'
+    times_s = pd.date_range("2021-06-01 00:00:07", periods=4, freq="13s")
+    rows = [(t.to_pydatetime(), 0.0, 0.0, 1.0) for t in times_s]
+    df2 = spark.createDataFrame(rows, "time timestamp, lat double, "
+                                      "lon double, v double")
+    out2 = str(tmp_path / "subhour2.nc")
+    long_to_netcdf3(df2, out2, dim_cols=["time", "lat", "lon"])
+    buf2 = open(out2, "rb").read()
+    f2 = netcdf3.parse_netcdf3(buf2)
+    u2 = f2.variables["time"].attrs["units"]
+    assert u2.startswith("seconds since")
+    ts2 = netcdf3.decode_cf_time(netcdf3.read_var(buf2, f2, "time"), u2)
+    np.testing.assert_array_equal(ts2.astype("datetime64[ns]"),
+                                  times_s.values)
