@@ -73,15 +73,53 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
              .select("id_a", "id_b", "cosine"))
 
 
+def plane_matrix(seed: str, n_planes: int, dim: int) -> list[list[float]]:
+    """Driver-side hyperplane derivation: component (p, i) is
+    ``((int(md5(f"{seed}:{p}:{i}")[:8], 16) % 2001) - 1000) / 1000`` —
+    byte-identical to the SQL form ``(conv(substring(md5(...),1,8),16,10)
+    % 2001 - 1000) / 1000`` both engines can re-derive, but computed
+    ONCE here instead of n_planes × dim md5 evaluations per row."""
+    import hashlib
+
+    def comp(p: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
+        return ((int(h, 16) % 2001) - 1000) / 1000.0
+
+    return [[comp(p, i) for i in range(dim)] for p in range(n_planes)]
+
+
+def _sign_bit(v: Column, plane: list[float]) -> Column:
+    """1 if v · plane >= 0 else 0, with the plane as an array literal —
+    the per-row cost is one fold, no hashing."""
+    lit = F.array(*[F.lit(w) for w in plane])
+    return F.when(dot(v, lit) >= 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+
+
 def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding", n_planes: int = 8,
-                seed: str = "cdps") -> DataFrame:
+                seed: str = "cdps", dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign bits of the dot product with
     ``n_planes`` pseudo-random hyperplanes. Planes are derived
     deterministically from md5(seed:plane:dim) — reproducible across
-    runs/engines, no RNG state to ship. One pass over the corpus."""
-    dim = F.size(F.col(vec_col))
+    runs/engines, no RNG state to ship. One pass over the corpus.
+
+    Pass ``dim`` (the embedding dimensionality) to precompute the plane
+    matrix driver-side and ship it as array literals — identical bits,
+    but the per-row work collapses from n_planes × dim md5+conv calls
+    to n_planes dot products. Without ``dim`` (ragged/unknown vectors)
+    the planes are derived per-row in the expression."""
     v = _as_double(F.col(vec_col))
+
+    if dim is not None:
+        planes = plane_matrix(seed, n_planes, dim)
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            bucket = bucket + _sign_bit(v, planes[p]) * F.lit(1 << p)
+        return df.select(F.col(id_col), F.col(vec_col),
+                         bucket.cast("long").alias("bucket"))
+
+    size = F.size(F.col(vec_col))
 
     def plane_component(p: int):
         # uniform in [-1, 1): ((md5-derived int) % 2001 - 1000) / 1000
@@ -92,13 +130,60 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
 
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        idx = F.sequence(F.lit(1), dim)
+        idx = F.sequence(F.lit(1), size)
         plane = F.transform(idx, plane_component(p))
         d = dot(v, plane)
         bucket = bucket + F.when(d >= 0, F.lit(1 << p).cast("long")) \
                            .otherwise(F.lit(0).cast("long"))
     return df.select(F.col(id_col), F.col(vec_col),
                      bucket.alias("bucket"))
+
+
+def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.4,
+                   n_bands: int = 16, band_bits: int = 2,
+                   seed: str = "cdps-pairs", dim: int = 64,
+                   round_dp: int = 6) -> DataFrame:
+    """Near-dup pairs at scale: banded random-hyperplane LSH candidate
+    generation + exact cosine within candidates — the shipped
+    replacement for the O(n²) ``cosine_pairs`` theta join.
+
+    Shape: one corpus scan computes ``n_bands`` band values per row
+    (``band_bits`` sign bits each, planes precomputed driver-side),
+    posexplode to (band, value), self equi-join on (band, value) —
+    a shuffle-hash/bucket join whose cost is ∝ collisions, never
+    |n|² — then exact cosine ≥ threshold on the DISTINCT candidate
+    pairs. Band-OR recall for a pair at cosine s is
+    ``1 - (1 - p^band_bits)^n_bands`` with ``p = 1 - arccos(s)/π``
+    (≈ 0.98 at s = 0.4 for 16×2; → 1 fast as s grows). Deterministic
+    end-to-end, so an oracle can re-derive the identical candidate set.
+    Brute force stays available as ``cosine_pairs`` for verification."""
+    n_planes = n_bands * band_bits
+    planes = plane_matrix(seed, n_planes, dim)
+    v = _as_double(F.col(vec_col))
+
+    band_vals = []
+    for b in range(n_bands):
+        val = F.lit(0).cast("long")
+        for j in range(band_bits):
+            val = val + _sign_bit(v, planes[b * band_bits + j]) \
+                * F.lit(1 << j)
+        band_vals.append(val)
+    banded = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(F.array(*band_vals)).alias("band", "val"))
+
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"), "band", "val")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"), "band", "val")
+    cand = (a.join(b, ["band", "val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), round_dp)
+    return (cand.withColumn("cosine", cos)
+                .where(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine"))
 
 
 def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -151,13 +236,14 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
             query_id: str = "q_id", corpus_id: str = "vec_id",
             query_vec: str = "q_vec", corpus_vec: str = "embedding",
-            n_planes: int = 8) -> DataFrame:
+            n_planes: int = 8, dim: int | None = None) -> DataFrame:
     """Approximate top-k: hash both sides into hyperplane buckets, join on
     bucket, rank within candidates only. Recall < 1 by construction (the
-    approximation); cost ∝ bucket collisions instead of |Q|×|corpus|."""
-    cb = lsh_buckets(corpus, corpus_id, corpus_vec, n_planes)
+    approximation); cost ∝ bucket collisions instead of |Q|×|corpus|.
+    ``dim`` enables the precomputed-plane fast path (same bits)."""
+    cb = lsh_buckets(corpus, corpus_id, corpus_vec, n_planes, dim=dim)
     qb = (lsh_buckets(queries.withColumnRenamed(query_vec, corpus_vec),
-                      query_id, corpus_vec, n_planes)
+                      query_id, corpus_vec, n_planes, dim=dim)
           .withColumnRenamed(corpus_vec, query_vec))
     cand = (cb.join(qb.select(query_id, query_vec, "bucket"), "bucket")
               .where(F.col(query_id) != F.col(corpus_id)))

@@ -50,24 +50,70 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(queries, emb, k=5)
 
 
+# Banded-LSH candidate generation shared by sim_cosine_pairs and
+# dedup_semantic_clusters: 32 deterministic hyperplanes (seed
+# 'cdps-pairs'), 16 bands x 2 sign bits, candidates = band-value
+# collisions, exact cosine within candidates. The oracle re-derives the
+# identical planes/bands/candidates in SQL, so the whole approximate
+# pipeline is value-checked end-to-end.
+_BANDED_PAIRS_CTE = """
+planes AS (
+  SELECT p, i,
+         ((CAST(('0x' || substr(md5('cdps-pairs:' || CAST(p AS VARCHAR) || ':'
+                                 || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2001) - 1000) / 1000.0 AS w
+  FROM generate_series(0, 31) tp(p), generate_series(1, 64) ti(i)
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS d
+  FROM embeddings e, planes pl
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id, p // 2 AS band,
+         CAST(SUM(CASE WHEN d >= 0 THEN (1 << (p % 2)) ELSE 0 END) AS BIGINT)
+           AS val
+  FROM dots GROUP BY vec_id, p // 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT cand.id_a, cand.id_b,
+         round(SUM(CAST(a.embedding[t.i] AS DOUBLE)
+                   * CAST(b.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(a.embedding[t.i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(b.embedding[t.i] AS DOUBLE), 2)))), 6)
+           AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b
+  CROSS JOIN generate_series(1, 64) t(i)
+  GROUP BY 1, 2
+  HAVING round(SUM(CAST(a.embedding[t.i] AS DOUBLE)
+                   * CAST(b.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(a.embedding[t.i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(b.embedding[t.i] AS DOUBLE), 2)))), 6)
+          >= 0.4
+)
+"""
+
+
 @query("sim_cosine_pairs", oracle=f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-             / (sqrt(SUM(pow(CAST(a.embedding[i] AS DOUBLE), 2)))
-                * sqrt(SUM(pow(CAST(b.embedding[i] AS DOUBLE), 2)))), 6) AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
-CROSS JOIN generate_series(1, 64) AS t(i)
-GROUP BY 1, 2
-HAVING round(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-             / (sqrt(SUM(pow(CAST(a.embedding[i] AS DOUBLE), 2)))
-                * sqrt(SUM(pow(CAST(b.embedding[i] AS DOUBLE), 2)))), 6) >= 0.4
+WITH {_BANDED_PAIRS_CTE.strip()}
+SELECT id_a, id_b, cosine FROM pairs
 """)
 def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.4) — brute-force exact here;
-    the scale path is lsh_ann (bucket first, compare within buckets)."""
+    """Embedding near-dup pairs (cosine ≥ 0.4) via banded LSH candidate
+    generation — a (band, value) equi-join whose cost tracks collisions,
+    never |n|². Band-OR recall ≈ 0.98 at the 0.4 threshold and → 1 for
+    closer pairs; the brute-force form stays in tests as the recall
+    verifier (`SIM.cosine_pairs`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_pairs(emb, threshold=0.4)
+    return SIM.lsh_band_pairs(emb, threshold=0.4, dim=64)
 
 
 @query("sim_lsh_ann", oracle=f"""
@@ -127,7 +173,7 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.where(F.col("vec_id") < 20)
                   .select(F.col("vec_id").alias("q_id"),
                           F.col("embedding").alias("q_vec")))
-    return SIM.lsh_ann(queries, emb, k=3, n_planes=6)
+    return SIM.lsh_ann(queries, emb, k=3, n_planes=6, dim=64)
 
 
 # --- multimodal plumbing (binary payloads; rows-only checks) ------------------
@@ -170,22 +216,8 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann(queries, emb, k=3, n_lists=8, n_probe=2)
 
 
-_COSINE_PAIRS_CTE = """
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a
-  JOIN embeddings b ON a.vec_id < b.vec_id
-  CROSS JOIN generate_series(1, 64) AS t(i)
-  GROUP BY 1, 2
-  HAVING round(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-               / (sqrt(SUM(pow(CAST(a.embedding[i] AS DOUBLE), 2)))
-                  * sqrt(SUM(pow(CAST(b.embedding[i] AS DOUBLE), 2)))), 6) >= 0.4
-)
-"""
-
-
 @query("dedup_semantic_clusters", oracle=f"""
-WITH RECURSIVE {_COSINE_PAIRS_CTE.strip()},
+WITH RECURSIVE {_BANDED_PAIRS_CTE.strip()},
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -201,12 +233,13 @@ SELECT src AS id, min(dst) AS cluster_id,
 FROM reach GROUP BY src
 """)
 def semantic_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space duplicate clusters: cosine ≥ 0.4 pair graph →
-    connected components (same propagation operator as the text path —
-    the pair generator is pluggable). Cosine is rounded to 6 dp before
-    thresholding in both engines so the edge sets — and therefore the
-    components — are identical."""
+    """Embedding-space duplicate clusters: banded-LSH cosine ≥ 0.4 pair
+    graph → connected components (same propagation operator as the text
+    path — the pair generator is pluggable). Cosine is rounded to 6 dp
+    before thresholding in both engines so the edge sets — and therefore
+    the components — are identical; candidate generation is the
+    (band, value) equi-join, never all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.cosine_pairs(emb, threshold=0.4)
+    pairs = SIM.lsh_band_pairs(emb, threshold=0.4, dim=64)
     from ..operators import dedup as D
     return D.duplicate_clusters(pairs)

@@ -503,3 +503,32 @@ def test_leakage_safe_split_keeps_groups_together(spark, docs):
                                      F.md5("text"),
                                      {"train": 0.8, "eval": 0.2}).collect()}
     assert a == b
+
+
+def test_lsh_band_pairs_matches_brute_force(emb):
+    """Banded-LSH pair generation vs the brute-force verifier: exact
+    cosine inside candidates means NO false positives (strict subset),
+    and band-OR recall is 1.0 for confidently-similar pairs (the
+    theory bound at cosine 0.6 with 16x2 bands is ~1 - 1e-5)."""
+    brute = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in SIM.cosine_pairs(emb, threshold=0.4).collect()}
+    band = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in SIM.lsh_band_pairs(emb, threshold=0.4,
+                                        dim=64).collect()}
+    assert set(band) <= set(brute)
+    for k, v in band.items():
+        assert brute[k] == v        # identical rounded cosine values
+    strong = {k for k, v in brute.items() if v >= 0.6}
+    assert strong <= set(band)
+    # overall recall at the loose 0.4 threshold still high
+    assert len(band) / max(1, len(brute)) >= 0.9
+
+
+def test_lsh_bucket_fast_path_same_bits(emb):
+    """Precomputed-plane literals must reproduce the per-row md5
+    derivation bit-for-bit (same buckets for every vector)."""
+    slow = {r["vec_id"]: r["bucket"]
+            for r in SIM.lsh_buckets(emb, n_planes=6).collect()}
+    fast = {r["vec_id"]: r["bucket"]
+            for r in SIM.lsh_buckets(emb, n_planes=6, dim=64).collect()}
+    assert slow == fast

@@ -255,3 +255,19 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sim_pair_queries_have_no_all_pairs_join(spark, sf_small):
+    """The shipped near-dup pair paths must candidate-generate via the
+    (band, value) equi-join — an O(n²) theta join (NestedLoop /
+    Cartesian) here is the 100 TB scale-killer the banding removes."""
+    for name in ("sim_cosine_pairs", "dedup_semantic_clusters"):
+        plan = _plan(spark, sf_small, name)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_lsh_planes_not_derived_per_row(spark, sf_small):
+    """sim_lsh_ann with a known dim must ship plane literals — an md5
+    call in the plan means the planes are being re-derived per row."""
+    plan = _plan(spark, sf_small, "sim_lsh_ann")
+    assert "md5" not in plan
