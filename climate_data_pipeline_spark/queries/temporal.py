@@ -475,15 +475,21 @@ WITH daily AS (
          SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 / COUNT(*) AS dval
   FROM events GROUP BY 1, 2
 ), t AS (
+  -- scaled-long window sums: FP summation order inside a window frame
+  -- is engine- and partition-dependent; integer sums are associative,
+  -- so trend/seasonal are bit-identical under any partitioning
   SELECT user_id, d, dval,
-         avg(dval) OVER (PARTITION BY user_id ORDER BY d
-                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+         (SUM(CAST(round(dval * 1000000000) AS BIGINT)) OVER w7
+            / 1000000000.0) / COUNT(*) OVER w7 AS trend
   FROM daily
+  WINDOW w7 AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ), s AS (
   SELECT *, dval - trend AS detr,
-         avg(dval - trend) OVER (PARTITION BY user_id, dayofweek(d))
-           AS seasonal
+         (SUM(CAST(round((dval - trend) * 1000000000) AS BIGINT)) OVER wd
+            / 1000000000.0) / COUNT(*) OVER wd AS seasonal
   FROM t
+  WINDOW wd AS (PARTITION BY user_id, dayofweek(d))
 )
 SELECT user_id, d,
        round(trend, 6) AS trend,
@@ -500,18 +506,25 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. One shuffle on the series key feeds daily agg, trend frame,
     and seasonal window alike. Day-of-week labels differ between engines
     (Spark 1-7, DuckDB 0-6) but induce the same partition classes, which
-    is all the window needs."""
+    is all the window needs. Window averages accumulate as scale-9
+    longs (`functions/exact.py` discipline): double summation order in
+    a window frame is partition-dependent, integer sums are not."""
     e = load_table(spark, sf_dir, "events")
     daily = (e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
               .agg((F.sum(F.round(F.col("value") * 100).cast("long"))
                     / 100.0 / F.count(F.lit(1))).alias("dval")))
     from pyspark.sql import Window
+
+    def exact_wavg(col, w):
+        q = F.round(F.col(col) * 1e9).cast("long")
+        return (F.sum(q).over(w) / 1e9) / F.count(F.lit(1)).over(w)
+
     wt = (Window.partitionBy("user_id").orderBy("d")
                 .rowsBetween(-3, 3))
-    t = daily.withColumn("trend", F.avg("dval").over(wt))
+    t = daily.withColumn("trend", exact_wavg("dval", wt))
     ws = Window.partitionBy("user_id", F.dayofweek("d"))
     s = (t.withColumn("detr", F.col("dval") - F.col("trend"))
-          .withColumn("seasonal", F.avg("detr").over(ws)))
+          .withColumn("seasonal", exact_wavg("detr", ws)))
     return s.select(
         "user_id", "d",
         F.round("trend", 6).alias("trend"),
