@@ -11,10 +11,12 @@ Scale design (the point of each algorithm):
   band keys, so cost scales with the number of colliding docs, never
   all-pairs. Signature hashes are min-of-md5 *strings* — portable to any
   SQL engine, no 64-bit arithmetic required.
-- **SimHash**: 32-bit signature from duplicate-weighted word hashes; the
-  4-byte band pigeonhole guarantees any pair within Hamming ≤ 3 collides
+- **SimHash**: signature from duplicate-weighted word hashes; the byte
+  band pigeonhole guarantees any pair within Hamming < bands collides
   on at least one band, so the banded join finds exactly the brute-force
-  result set.
+  result set. 32-bit (`simhash`) for compatibility; 64-bit as two
+  32-bit halves (`simhash64`, 8×8 bands, Hamming ≤ 7) for corpora at
+  ≥10⁹ docs where 32-bit signatures band-collide heavily.
 - **n-gram Jaccard**: the sparse similarity join — explode distinct
   shingles, equi-join on shingle, count matches per pair; cost ∝ shared-shingle
   pairs (inverted-index join), not |docs|².
@@ -27,8 +29,28 @@ from pyspark.sql import functions as F
 
 from .text import fingerprint, words
 
-DEFAULT_NUM_PERM = 12
-DEFAULT_BANDS = 4
+# 64 permutations / 16 bands of 4: estimator std sqrt(J(1-J))/8 ≈ 0.06
+# at J=0.5 — production-grade threshold resolution. (The registry's
+# `dedup_minhash` pins the original 12/4 config explicitly for oracle
+# stability; these defaults govern direct operator use.)
+DEFAULT_NUM_PERM = 64
+DEFAULT_BANDS = 16
+
+# affine-permutation scheme constants: p Mersenne 2^31-1 keeps a*h+b
+# inside signed-64 range for h < 2^31; (a_i, b_i) are md5-derived so
+# any SQL engine can re-derive them
+_MERSENNE_P = 2_147_483_647
+
+
+def _affine_coeffs(num_perm: int, seed: str = "cdps-mh") -> list[tuple[int, int]]:
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [(h32(f"{seed}:a:{i}") % (_MERSENNE_P - 1) + 1,
+             h32(f"{seed}:b:{i}") % _MERSENNE_P)
+            for i in range(num_perm)]
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -122,20 +144,40 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_perm: int = DEFAULT_NUM_PERM,
-                       n: int = 3) -> DataFrame:
-    """MinHash signature per document: component i = min over shingles of
-    md5('i:' || shingle), compared as hex strings (each md5 keyed by the
-    permutation index is an independent pseudo-random order on the shingle
-    universe — min-of-hash is the classic MinHash estimator)."""
+                       n: int = 3, scheme: str = "md5") -> DataFrame:
+    """MinHash signature per document (min-of-hash per permutation —
+    the classic estimator; each permutation is an independent
+    pseudo-random order on the shingle universe).
+
+    ``scheme='md5'``: component i = min over shingles of
+    md5('i:' || shingle) hex strings — num_perm md5 evaluations per
+    shingle, trivially portable to any SQL engine.
+    ``scheme='affine'``: ONE md5 per shingle → 31-bit int h, then
+    component i = min of (a_i·h + b_i) mod (2³¹−1) — the standard
+    universal-hash family. At 64 permutations this replaces 64 md5
+    evaluations per shingle with 64 multiply-adds, the right trade for
+    a 100 TB corpus; coefficients are md5-derived constants, so SQL
+    engines can still re-derive the pipeline."""
     ds = _doc_shingles(df, text_col, id_col, n)
-    aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))))
-             .alias(f"mh{i}") for i in range(num_perm)]
+    if scheme == "affine":
+        h = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10)
+              .cast("long"))  # 28 bits < 2^31-1
+        coeffs = _affine_coeffs(num_perm)
+        aggs = [F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P))
+                 .alias(f"mh{i}") for i, (a, b) in enumerate(coeffs)]
+    elif scheme == "md5":
+        aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)),
+                                        F.col("shingle"))))
+                 .alias(f"mh{i}") for i in range(num_perm)]
+    else:
+        raise ValueError(f"unknown minhash scheme {scheme!r}")
     return ds.groupBy("id").agg(*aggs)
 
 
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS,
-                  n: int = 3, min_est: float = 0.5) -> DataFrame:
+                  n: int = 3, min_est: float = 0.5,
+                  scheme: str = "md5") -> DataFrame:
     """LSH candidate pairs + MinHash Jaccard estimate ≥ ``min_est``.
 
     Signatures are banded (num_perm/bands rows per band); docs sharing any
@@ -143,10 +185,12 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
     pairs); the estimate is the fraction of matching signature components.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, n).cache()
+    sig = minhash_signatures(df, text_col, id_col, num_perm, n,
+                             scheme=scheme).cache()
     band_entries = F.array(*[
         F.struct(F.lit(b).cast("int").alias("band"),
                  F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
+                                          .cast("string")
                                           for r in range(rows)])).alias("key"))
         for b in range(bands)
     ])
@@ -385,6 +429,81 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                      F.col("a.simhash").alias("simhash_a"),
                      F.col("b.simhash").alias("simhash_b"),
+                     ham.cast("long").alias("hamming"))
+             .distinct())
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str,
+              hash_fn: str = "md5") -> DataFrame:
+    """64-bit SimHash as TWO 32-bit halves (sim_hi, sim_lo): 32-bit
+    signatures band-collide heavily at ≥10⁹ docs (the 100 TB regime);
+    64 bits restore selectivity. The two-half representation keeps every
+    intermediate in non-negative signed-64 range — no sign-extension or
+    (1<<63) overflow games — and is expressible in any SQL engine.
+
+    ``hash_fn='md5'``: word hash halves = first/second 8 hex chars of
+    md5(word) (oracle-checkable). ``hash_fn='xxhash64'``: Spark's native
+    xxhash64 split into halves — one 64-bit hash per word, the faster
+    production default (not SQL-portable; property-tested instead)."""
+    w = df.select(F.col(id_col).alias("id"),
+                  F.explode(words(text_col)).alias("word"))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("word"))
+        hi = F.shiftrightunsigned(h, 32)
+        lo = h.bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+    elif hash_fn == "md5":
+        hexd = F.md5(F.col("word"))
+        hi = F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    w = w.withColumn("hi", hi).withColumn("lo", lo)
+    votes = [F.sum(F.when(F.shiftright(F.col(c), b).bitwiseAND(1) == 1, 1)
+                    .otherwise(-1)).alias(f"{c}v{b}")
+             for c in ("hi", "lo") for b in range(32)]
+    agg = w.groupBy("id").agg(*votes)
+    sig_hi = sum(F.when(F.col(f"hiv{b}") > 0, F.lit(1 << b).cast("long"))
+                  .otherwise(F.lit(0).cast("long")) for b in range(32))
+    sig_lo = sum(F.when(F.col(f"lov{b}") > 0, F.lit(1 << b).cast("long"))
+                  .otherwise(F.lit(0).cast("long")) for b in range(32))
+    return agg.select("id", sig_hi.alias("sim_hi"), sig_lo.alias("sim_lo"))
+
+
+def simhash64_pairs(df: DataFrame, text_col: str, id_col: str,
+                    max_hamming: int = 7, bands: int = 8,
+                    hash_fn: str = "md5") -> DataFrame:
+    """64-bit near-dup pairs via 8×8-bit band LSH: any pair within
+    Hamming ≤ 7 shares at least one intact byte band (pigeonhole), so
+    the banded equi-join finds exactly the brute-force result set —
+    losslessness holds whenever ``max_hamming < bands``."""
+    if max_hamming >= bands:
+        raise ValueError("banding is lossless only for max_hamming < bands")
+    sig = simhash64(df, text_col, id_col, hash_fn=hash_fn).cache()
+    half_bands = bands // 2
+    band_arr = F.array(*(
+        [F.struct(F.lit(b).cast("int").alias("band"),
+                  F.shiftright(F.col("sim_lo"), b * 8).bitwiseAND(255)
+                   .alias("val")) for b in range(half_bands)]
+        + [F.struct(F.lit(half_bands + b).cast("int").alias("band"),
+                    F.shiftright(F.col("sim_hi"), b * 8).bitwiseAND(255)
+                     .alias("val")) for b in range(bands - half_bands)]))
+    banded = (sig.select("id", "sim_hi", "sim_lo",
+                         F.explode(band_arr).alias("bk"))
+                 .select("id", "sim_hi", "sim_lo",
+                         F.col("bk.band").alias("band"),
+                         F.col("bk.val").alias("val")))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+           + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                      & (F.col("a.val") == F.col("b.val"))
+                      & (F.col("a.id") < F.col("b.id")))
+             .where(ham <= max_hamming)
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sim_hi").alias("sim_hi_a"),
+                     F.col("a.sim_lo").alias("sim_lo_a"),
+                     F.col("b.sim_hi").alias("sim_hi_b"),
+                     F.col("b.sim_lo").alias("sim_lo_b"),
                      ham.cast("long").alias("hamming"))
              .distinct())
 

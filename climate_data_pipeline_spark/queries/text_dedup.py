@@ -274,6 +274,45 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
 
 
+def _simhash64_oracle(max_hamming: int = 7) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ({c} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {c}v{b}"
+        for c in ("hi", "lo") for b in range(32))
+    sig_hi = " + ".join(
+        f"(CASE WHEN hiv{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    sig_lo = " + ".join(
+        f"(CASE WHEN lov{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id, unnest({_W}) AS word FROM documents
+),
+h AS (SELECT id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(word), 9, 8))::BIGINT AS lo FROM w),
+v AS (SELECT id, {votes} FROM h GROUP BY id),
+s AS (SELECT id, CAST({sig_hi} AS BIGINT) AS sim_hi,
+             CAST({sig_lo} AS BIGINT) AS sim_lo FROM v)
+SELECT a.id AS id_a, b.id AS id_b,
+       a.sim_hi AS sim_hi_a, a.sim_lo AS sim_lo_a,
+       b.sim_hi AS sim_hi_b, b.sim_lo AS sim_lo_b,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+      + bit_count(xor(a.sim_lo, b.sim_lo)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash64", oracle=_simhash64_oracle())
+def simhash64_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup (two 32-bit halves; 8×8-bit band LSH,
+    lossless for Hamming ≤ 7 by pigeonhole) — the production-width
+    variant: 32-bit signatures band-collide heavily at ≥10⁹ docs. The
+    oracle runs the brute-force quadratic comparison — matching it
+    proves the banding loses nothing at 64 bits too."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash64_pairs(docs, "text", "doc_id", max_hamming=7, bands=8)
+
+
 _CLUSTER_CTES = f"""{_SHINGLES_CTE.strip()},
 sizes AS (SELECT id, count(*) AS n_sh FROM ds GROUP BY id),
 common AS (

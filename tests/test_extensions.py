@@ -532,3 +532,47 @@ def test_lsh_bucket_fast_path_same_bits(emb):
     fast = {r["vec_id"]: r["bucket"]
             for r in SIM.lsh_buckets(emb, n_planes=6, dim=64).collect()}
     assert slow == fast
+
+
+def test_simhash64_banding_is_lossless(docs, spark):
+    """8x8-bit banding at 64 bits: banded join == brute force for
+    Hamming <= 7, for both the md5 and xxhash64 word-hash variants."""
+    for fn in ("md5", "xxhash64"):
+        banded = D.simhash64_pairs(docs, "text", "doc_id",
+                                   max_hamming=7, bands=8, hash_fn=fn)
+        sig = D.simhash64(docs, "text", "doc_id", hash_fn=fn)
+        a = sig.select(F.col("id").alias("id_a"),
+                       F.col("sim_hi").alias("ha"),
+                       F.col("sim_lo").alias("la"))
+        b = sig.select(F.col("id").alias("id_b"),
+                       F.col("sim_hi").alias("hb"),
+                       F.col("sim_lo").alias("lb"))
+        ham = (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+               + F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))))
+        brute = (a.join(b, F.col("id_a") < F.col("id_b")).where(ham <= 7))
+        assert banded.count() == brute.count()
+    with pytest.raises(ValueError, match="lossless"):
+        D.simhash64_pairs(docs, "text", "doc_id", max_hamming=8, bands=8)
+
+
+def test_minhash64_estimator_error(docs):
+    """At the raised 64-permutation default the Jaccard estimator's
+    std is sqrt(J(1-J))/8 <= 0.0625: every estimate for a
+    non-trivially-similar pair lands within 4 sigma of exact, and both
+    signature schemes (64 md5s vs 1 md5 + affine mixes) obey the bound."""
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                            min_jaccard=0.3).collect()}
+    assert exact
+    for scheme in ("md5", "affine"):
+        est = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+               for r in D.minhash_pairs(docs, "text", "doc_id",
+                                        min_est=0.3,
+                                        scheme=scheme).collect()}
+        hits = set(exact) & set(est)
+        assert hits, f"no overlapping pairs for scheme {scheme}"
+        for k in hits:
+            assert abs(est[k] - exact[k]) <= 0.25, (scheme, k)
+        # strong pairs (J >= 0.8) must all be caught at 16x4 banding
+        strong = {k for k, v in exact.items() if v >= 0.8}
+        assert strong <= set(est)
