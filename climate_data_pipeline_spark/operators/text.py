@@ -294,19 +294,24 @@ def vocabulary(df: DataFrame, text_col: str, id_col: str,
     explode, then ONE aggregation computes both tf (Σ occurrences) and
     df (distinct docs) — df via count(DISTINCT id) inside the same
     groupBy, no second shuffle. The total-documents denominator for
-    ``max_df_frac`` is a scalar broadcast, not a join. Top-k uses a
-    global TakeOrderedAndProject only when k is small; unbounded keeps
-    the full distributed result.
+    ``max_df_frac`` is a broadcast one-row aggregate folded into the
+    plan (the tpch_q22 scalar pattern) — NOT a driver-side count(),
+    which would run an extra eager job per invocation and break
+    laziness. Top-k uses a global TakeOrderedAndProject only when k is
+    small; unbounded keeps the full distributed result.
 
     Output: (term, tf, df) [+ rank when top_k]."""
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n_docs"))
     tokens = (df.select(F.col(id_col).alias("__id"),
                         F.explode(words(text_col)).alias("term")))
     vocab = (tokens.groupBy("term")
              .agg(F.count("*").alias("tf"),
                   F.countDistinct("__id").alias("df"))
+             .crossJoin(F.broadcast(n_docs))
              .where((F.col("df") >= min_df)
-                    & (F.col("df") <= int(max_df_frac * n_docs))))
+                    & (F.col("df") <= F.floor(F.lit(max_df_frac)
+                                              * F.col("__n_docs"))))
+             .drop("__n_docs"))
     if top_k is None:
         return vocab
     ranked = vocab.orderBy(F.col("tf").desc(), "term").limit(top_k)
@@ -323,18 +328,21 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
 
     Shuffle budget: one agg on (doc, term), one agg on term, one join
     back (term df table is vocabulary-sized — broadcastable), one window
-    partitioned by doc. Ties break deterministically by (−tfidf, term).
+    partitioned by doc; N comes from a broadcast one-row aggregate, not
+    a driver-side count. Ties break deterministically by (−tfidf, term).
 
     Output: (id, term, tf, df, tfidf, rank ≤ k)."""
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n_docs"))
     tokens = (df.select(F.col(id_col).alias(id_col),
                         F.explode(words(text_col)).alias("term")))
     tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
                .where(F.col("df") >= min_df))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    idf = (F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("df") + 1)) + 1)
     scored = (tf.join(F.broadcast(dfreq), "term")
-                .withColumn("tfidf", F.col("tf") * idf))
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn("tfidf", F.col("tf") * idf)
+                .drop("__n_docs"))
     w = (Window.partitionBy(id_col)
                .orderBy(F.col("tfidf").desc(), "term"))
     return (scored.withColumn("rank", F.row_number().over(w))

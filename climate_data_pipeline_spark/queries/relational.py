@@ -242,15 +242,27 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_rows")))
 
 
-@query("approx_distinct", oracle=None)  # HLL sketches differ per engine → rows-only
+@query("approx_distinct", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem GROUP BY 1
+""")
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB path for cardinality (HLL++,
-    single pass, fixed memory). Engine-specific sketch values can't match
-    a DuckDB oracle; the rows-only check validates shape."""
+    single pass, fixed memory). Raw sketch estimates are engine-specific
+    and can't hash-match an oracle, so the contract checked instead is
+    the HLL's accuracy bound: the Spark side emits
+    |hll − exact| / exact ≤ 5% computed from the REAL sketch, and the
+    oracle asserts that bound holds (TRUE) next to the exact counts —
+    a sketch regression flips the value and the hash."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
+    exact = F.countDistinct("l_partkey")
     return (li.groupBy("l_returnflag")
-              .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-                   F.countDistinct("l_partkey").alias("exact_parts")))
+              .agg(exact.alias("exact_parts"),
+                   (F.abs(approx - exact) / exact <= 0.05)
+                   .alias("approx_within_5pct")))
 
 
 # --- ranking / analytic windows + sessionization ------------------------------
