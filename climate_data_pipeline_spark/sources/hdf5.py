@@ -1,0 +1,981 @@
+"""Pure-python HDF5 / NetCDF-4 container reader+writer — the same
+no-external-libs approach as ``netcdf3.py`` (classic format) and
+``zarr2.py`` (ARCO stores), built from the public *HDF5 File Format
+Specification* (version 0 superblock, v1 object headers).
+
+Closes the S1 gap: the reference's primary ingest is
+``xr.open_dataset(..., engine="netcdf4")``
+(`src/climate_pipeline/ingest/netcdf_reader.py`), and real ERA5/CMIP
+archives are overwhelmingly NetCDF4/HDF5. libnetcdf writes the
+"earliest" HDF5 profile — superblock v0, v1 object headers, symbol-table
+groups, contiguous or chunked(+deflate/shuffle) dataset layouts — which
+is exactly the subset implemented here. Features outside that profile
+(v2/v3 superblocks, compound types, szip, ...) raise a crisp
+``NotImplementedError`` naming the feature.
+
+Reader semantics (the netCDF-4 data model):
+- dimension order per variable from the ``DIMENSION_LIST`` attribute
+  (vlen object references, dereferenced through the global heap); falls
+  back to matching 1-D coordinate sizes when absent,
+- CF time decode (``units = '<u> since <epoch>'``) via
+  `netcdf3.decode_cf_time`,
+- ``scale_factor`` / ``add_offset`` / ``_FillValue`` unpacking.
+
+The writer emits the same profile (used for fixtures and as a derived-
+product sink) including DIMENSION_SCALE/DIMENSION_LIST markers, so a
+round trip through real netCDF-4 conventions is testable without h5py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from itertools import product as iproduct
+
+import numpy as np
+
+MAGIC = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# message type ids
+MSG_NIL = 0x0000
+MSG_DATASPACE = 0x0001
+MSG_LINK_INFO = 0x0002
+MSG_DATATYPE = 0x0003
+MSG_FILL_OLD = 0x0004
+MSG_FILL = 0x0005
+MSG_LINK = 0x0006
+MSG_LAYOUT = 0x0008
+MSG_GROUP_INFO = 0x000A
+MSG_FILTERS = 0x000B
+MSG_ATTRIBUTE = 0x000C
+MSG_CONTINUATION = 0x0010
+MSG_SYMBOL_TABLE = 0x0011
+
+FILTER_DEFLATE = 1
+FILTER_SHUFFLE = 2
+FILTER_FLETCHER32 = 3
+
+
+class H5Unsupported(NotImplementedError):
+    """An HDF5 feature outside the libnetcdf 'earliest' profile."""
+
+
+def _pad8(n: int) -> int:
+    return (n + 7) & ~7
+
+
+# =========================== reader =========================================
+
+class H5Dataset:
+    """One dataset: shape/dtype/attrs + enough layout info to read."""
+
+    def __init__(self, name: str, addr: int):
+        self.name = name
+        self.addr = addr                      # object header address
+        self.shape: tuple[int, ...] = ()
+        self.dtype: np.dtype | None = None
+        self.dtype_info: dict = {}
+        self.attrs: dict = {}
+        self.layout: dict = {}                # class/addr/size/chunks
+        self.filters: list[tuple[int, tuple]] = []
+
+
+class H5File:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        if buf[:8] != MAGIC:
+            raise ValueError("not an HDF5 file (bad signature)")
+        self._parse_superblock()
+        self.datasets: dict[str, H5Dataset] = {}
+        self.addr_to_name: dict[int, str] = {}
+        self._walk_group(self.root_btree, self.root_heap, prefix="")
+
+    # --- superblock ---------------------------------------------------------
+
+    def _parse_superblock(self):
+        b = self.buf
+        version = b[8]
+        if version not in (0, 1):
+            raise H5Unsupported(
+                f"HDF5 superblock version {version} (libver-latest file); "
+                "only the libnetcdf 'earliest' profile (v0/v1) is "
+                "supported")
+        self.off_size = b[13]
+        self.len_size = b[14]
+        if self.off_size != 8 or self.len_size != 8:
+            raise H5Unsupported(
+                f"size-of-offsets {self.off_size} / size-of-lengths "
+                f"{self.len_size}; only 8/8 supported")
+        # v1 inserts a 2-byte indexed-storage k + 2 reserved before the
+        # file addresses; entry layout after the addresses is identical
+        pos = (24 if version == 0 else 28) + 4 * 8
+        # root group symbol table entry:
+        # name-offset(8) oh-addr(8) cache-type(4) reserved(4) scratch(16)
+        (self.root_name_off, self.root_oh_addr, cache_type) = \
+            struct.unpack_from("<QQI", b, pos)
+        scratch = pos + 24
+        if cache_type == 1:
+            self.root_btree, self.root_heap = struct.unpack_from(
+                "<QQ", b, scratch)
+        else:
+            # no cached btree/heap: read from the root object header
+            msgs = self._object_header(self.root_oh_addr)
+            st = [m for t, m in msgs if t == MSG_SYMBOL_TABLE]
+            if not st:
+                raise H5Unsupported("root group without symbol table "
+                                    "(link-message group; v2 profile)")
+            self.root_btree, self.root_heap = struct.unpack_from(
+                "<QQ", st[0], 0)
+
+    # --- group traversal ----------------------------------------------------
+
+    def _heap_name(self, heap_addr: int, offset: int) -> str:
+        b = self.buf
+        if b[heap_addr:heap_addr + 4] != b"HEAP":
+            raise ValueError("bad local heap signature")
+        (data_addr,) = struct.unpack_from("<Q", b, heap_addr + 24)
+        end = b.index(b"\x00", data_addr + offset)
+        return b[data_addr + offset:end].decode()
+
+    def _walk_group(self, btree_addr: int, heap_addr: int, prefix: str):
+        for snod in self._btree_group_leaves(btree_addr):
+            b = self.buf
+            if b[snod:snod + 4] != b"SNOD":
+                raise ValueError("bad symbol table node signature")
+            (nsym,) = struct.unpack_from("<H", b, snod + 6)
+            pos = snod + 8
+            for _ in range(nsym):
+                name_off, oh_addr, cache_type = struct.unpack_from(
+                    "<QQI", b, pos)
+                name = prefix + self._heap_name(heap_addr, name_off)
+                scratch = pos + 24
+                pos += 40
+                msgs = self._object_header(oh_addr)
+                st = [m for t, m in msgs if t == MSG_SYMBOL_TABLE]
+                if st or cache_type == 1:
+                    if st:
+                        cb, ch = struct.unpack_from("<QQ", st[0], 0)
+                    else:
+                        cb, ch = struct.unpack_from("<QQ", b, scratch)
+                    self._walk_group(cb, ch, prefix=name + "/")
+                else:
+                    self._load_dataset(name, oh_addr, msgs)
+
+    def _btree_group_leaves(self, addr: int):
+        """Yield SNOD addresses under a v1 group B-tree."""
+        b = self.buf
+        if b[addr:addr + 4] != b"TREE":
+            raise ValueError("bad v1 B-tree signature")
+        node_type, level = b[addr + 4], b[addr + 5]
+        (nused,) = struct.unpack_from("<H", b, addr + 6)
+        if node_type != 0:
+            raise ValueError("expected group B-tree (type 0)")
+        pos = addr + 8 + 16                   # skip siblings
+        children = []
+        pos += 8                              # key 0
+        for _ in range(nused):
+            (child,) = struct.unpack_from("<Q", b, pos)
+            children.append(child)
+            pos += 16                         # child + next key
+        for child in children:
+            if level == 0:
+                yield child
+            else:
+                yield from self._btree_group_leaves(child)
+
+    # --- object headers -----------------------------------------------------
+
+    def _object_header(self, addr: int) -> list[tuple[int, bytes]]:
+        b = self.buf
+        version = b[addr]
+        if version != 1:
+            if b[addr:addr + 4] == b"OHDR":
+                raise H5Unsupported(
+                    "v2 object header (libver-latest file); only the "
+                    "libnetcdf 'earliest' profile is supported")
+            raise ValueError(f"bad object header version {version}")
+        (nmsgs,) = struct.unpack_from("<H", b, addr + 2)
+        (hdr_size,) = struct.unpack_from("<I", b, addr + 8)
+        msgs: list[tuple[int, bytes]] = []
+        blocks = [(addr + 16, hdr_size)]
+        while blocks and len(msgs) < nmsgs:
+            start, size = blocks.pop(0)
+            pos, end = start, start + size
+            while pos + 8 <= end and len(msgs) < nmsgs:
+                mtype, msize = struct.unpack_from("<HH", b, pos)
+                body = b[pos + 8:pos + 8 + msize]
+                pos += 8 + msize
+                if mtype == MSG_CONTINUATION:
+                    c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                    blocks.append((c_off, c_len))
+                elif mtype != MSG_NIL:
+                    msgs.append((mtype, body))
+        return msgs
+
+    # --- message parsing ----------------------------------------------------
+
+    @staticmethod
+    def _parse_dataspace(body: bytes) -> tuple[int, ...]:
+        version = body[0]
+        rank = body[1]
+        if version == 1:
+            pos = 8
+        elif version == 2:
+            pos = 4
+        else:
+            raise H5Unsupported(f"dataspace version {version}")
+        return tuple(struct.unpack_from(f"<{rank}Q", body, pos)) \
+            if rank else ()
+
+    @staticmethod
+    def _parse_datatype(body: bytes, pos: int = 0) -> tuple[dict, int]:
+        """→ (info, bytes consumed). info: {kind, size, dtype?, base?}"""
+        cls_ver = body[pos]
+        cls, version = cls_ver & 0x0F, cls_ver >> 4
+        bits = body[pos + 1:pos + 4]
+        (size,) = struct.unpack_from("<I", body, pos + 4)
+        if cls == 0:                          # fixed point
+            signed = bool(bits[0] & 0x08)
+            be = bool(bits[0] & 0x01)
+            code = f"{'>' if be else '<'}{'i' if signed else 'u'}{size}"
+            return ({"kind": "int", "size": size,
+                     "dtype": np.dtype(code)}, 8 + 4)
+        if cls == 1:                          # IEEE float
+            be = bool(bits[0] & 0x01)
+            return ({"kind": "float", "size": size,
+                     "dtype": np.dtype(f"{'>' if be else '<'}f{size}")},
+                    8 + 12)
+        if cls == 3:                          # fixed-length string
+            return ({"kind": "string", "size": size}, 8)
+        if cls == 7:                          # reference
+            return ({"kind": "reference", "size": size}, 8)
+        if cls == 9:                          # variable length
+            vtype = bits[0] & 0x0F
+            base, used = H5File._parse_datatype(body, pos + 8)
+            return ({"kind": "vlen_string" if vtype == 1 else "vlen",
+                     "size": size, "base": base}, 8 + used)
+        names = {2: "time", 4: "bitfield", 5: "opaque", 6: "compound",
+                 8: "enum", 10: "array"}
+        raise H5Unsupported(
+            f"HDF5 datatype class {cls} ({names.get(cls, '?')}) not "
+            "supported (outside the netCDF-4 classic-model profile)")
+
+    def _parse_attribute(self, body: bytes) -> tuple[str, object]:
+        version = body[0]
+        if version == 1:
+            name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+            pos = 8
+            name = body[pos:pos + name_size].split(b"\x00")[0].decode()
+            pos += _pad8(name_size)
+            dt, _ = self._parse_datatype(body, pos)
+            dt_block = body[pos:pos + dt_size]
+            pos += _pad8(dt_size)
+            shape = self._parse_dataspace(body[pos:pos + ds_size])
+            pos += _pad8(ds_size)
+        elif version == 3:
+            name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+            pos = 9
+            name = body[pos:pos + name_size].split(b"\x00")[0].decode()
+            pos += name_size
+            dt, _ = self._parse_datatype(body, pos)
+            dt_block = body[pos:pos + dt_size]
+            pos += dt_size
+            shape = self._parse_dataspace(body[pos:pos + ds_size])
+            pos += ds_size
+        else:
+            raise H5Unsupported(f"attribute message version {version}")
+        del dt_block
+        value = self._read_typed(body[pos:], dt, shape)
+        return name, value
+
+    def _read_typed(self, raw: bytes, dt: dict, shape: tuple[int, ...]):
+        n = int(np.prod(shape)) if shape else 1
+        if dt["kind"] in ("int", "float"):
+            arr = np.frombuffer(raw, dtype=dt["dtype"], count=n)
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+            if not shape:
+                return arr[0].item()
+            return arr.reshape(shape)
+        if dt["kind"] == "string":
+            vals = [raw[i * dt["size"]:(i + 1) * dt["size"]]
+                    .split(b"\x00")[0].decode("utf-8", "replace")
+                    for i in range(n)]
+            return vals[0] if not shape else vals
+        if dt["kind"] == "vlen_string":
+            vals = [self._vlen_bytes(raw, i * 16)
+                    .decode("utf-8", "replace") for i in range(n)]
+            return vals[0] if not shape else vals
+        if dt["kind"] == "vlen":
+            base = dt["base"]
+            out = []
+            for i in range(n):
+                (cnt,) = struct.unpack_from("<I", raw, i * 16)
+                data = self._vlen_bytes(raw, i * 16, count_hint=cnt)
+                if base["kind"] == "reference":
+                    out.append(list(struct.unpack_from(f"<{cnt}Q", data, 0)))
+                else:
+                    out.append(self._read_typed(data, base, (cnt,)))
+            return out[0] if not shape else out
+        if dt["kind"] == "reference":
+            refs = list(struct.unpack_from(f"<{n}Q", raw, 0))
+            return refs[0] if not shape else refs
+        raise H5Unsupported(f"attribute datatype {dt['kind']}")
+
+    def _vlen_bytes(self, raw: bytes, pos: int, count_hint: int | None = None
+                    ) -> bytes:
+        """Dereference one 16-byte vlen descriptor via the global heap."""
+        length, gcol_addr, index = struct.unpack_from("<IQI", raw, pos)
+        b = self.buf
+        if b[gcol_addr:gcol_addr + 4] != b"GCOL":
+            raise ValueError("bad global heap signature")
+        pos2 = gcol_addr + 8 + self.len_size
+        (gcol_size,) = struct.unpack_from("<Q", b, gcol_addr + 8)
+        end = gcol_addr + gcol_size
+        while pos2 + 16 <= end:
+            idx, _refc = struct.unpack_from("<HH", b, pos2)
+            (osize,) = struct.unpack_from("<Q", b, pos2 + 8)
+            if idx == index:
+                return b[pos2 + 16:pos2 + 16 + osize]
+            if idx == 0:
+                break
+            pos2 += 16 + _pad8(osize)
+        raise ValueError(f"global heap object {index} not found")
+
+    # --- datasets -----------------------------------------------------------
+
+    def _load_dataset(self, name: str, addr: int,
+                      msgs: list[tuple[int, bytes]]):
+        ds = H5Dataset(name, addr)
+        for mtype, body in msgs:
+            if mtype == MSG_DATASPACE:
+                ds.shape = self._parse_dataspace(body)
+            elif mtype == MSG_DATATYPE:
+                ds.dtype_info, _ = self._parse_datatype(body)
+                ds.dtype = ds.dtype_info.get("dtype")
+            elif mtype == MSG_LAYOUT:
+                ds.layout = self._parse_layout(body)
+            elif mtype == MSG_FILTERS:
+                ds.filters = self._parse_filters(body)
+            elif mtype == MSG_ATTRIBUTE:
+                k, v = self._parse_attribute(body)
+                ds.attrs[k] = v
+        self.datasets[name] = ds
+        self.addr_to_name[addr] = name
+
+    @staticmethod
+    def _parse_layout(body: bytes) -> dict:
+        version = body[0]
+        if version == 3:
+            cls = body[1]
+            if cls == 0:                      # compact
+                (size,) = struct.unpack_from("<H", body, 2)
+                return {"class": "compact", "data": body[4:4 + size]}
+            if cls == 1:                      # contiguous
+                addr, size = struct.unpack_from("<QQ", body, 2)
+                return {"class": "contiguous", "addr": addr, "size": size}
+            if cls == 2:                      # chunked
+                rank = body[2]                # = dataset rank + 1
+                (btree,) = struct.unpack_from("<Q", body, 3)
+                dims = struct.unpack_from(f"<{rank}I", body, 11)
+                return {"class": "chunked", "btree": btree,
+                        "chunks": tuple(dims[:-1]),
+                        "elem_size": dims[-1]}
+            raise H5Unsupported(f"layout class {cls}")
+        if version in (1, 2):
+            rank, cls = body[1], body[2]
+            pos = 8
+            if cls == 1:
+                (addr,) = struct.unpack_from("<Q", body, pos)
+                dims = struct.unpack_from(f"<{rank}I", body, pos + 8)
+                return {"class": "contiguous", "addr": addr,
+                        "size": int(np.prod(dims))}
+            if cls == 2:
+                (btree,) = struct.unpack_from("<Q", body, pos)
+                dims = struct.unpack_from(f"<{rank}I", body, pos + 8)
+                return {"class": "chunked", "btree": btree,
+                        "chunks": tuple(dims[:-1]), "elem_size": dims[-1]}
+            raise H5Unsupported(f"layout v{version} class {cls}")
+        raise H5Unsupported(f"layout message version {version}")
+
+    @staticmethod
+    def _parse_filters(body: bytes) -> list[tuple[int, tuple]]:
+        version = body[0]
+        nfilters = body[1]
+        out = []
+        if version == 1:
+            pos = 8
+            for _ in range(nfilters):
+                fid, name_len, _flags, nvals = struct.unpack_from(
+                    "<HHHH", body, pos)
+                pos += 8 + _pad8(name_len)
+                vals = struct.unpack_from(f"<{nvals}i", body, pos)
+                pos += 4 * nvals
+                if nvals % 2:
+                    pos += 4
+                out.append((fid, vals))
+        elif version == 2:
+            pos = 2
+            for _ in range(nfilters):
+                (fid,) = struct.unpack_from("<H", body, pos)
+                pos += 2
+                name_len = 0
+                if fid >= 256:
+                    (name_len,) = struct.unpack_from("<H", body, pos)
+                    pos += 2
+                _flags, nvals = struct.unpack_from("<HH", body, pos)
+                pos += 4 + name_len
+                vals = struct.unpack_from(f"<{nvals}i", body, pos)
+                pos += 4 * nvals
+                out.append((fid, vals))
+        else:
+            raise H5Unsupported(f"filter pipeline version {version}")
+        return out
+
+    def _defilter(self, raw: bytes, filters, typesize: int) -> bytes:
+        from .zarr2 import _unshuffle
+        for fid, _vals in reversed(filters):
+            if fid == FILTER_FLETCHER32:
+                raw = raw[:-4]
+            elif fid == FILTER_DEFLATE:
+                raw = zlib.decompress(raw)
+            elif fid == FILTER_SHUFFLE:
+                raw = _unshuffle(raw, typesize)
+            else:
+                names = {4: "szip", 5: "nbit", 6: "scaleoffset"}
+                raise H5Unsupported(
+                    f"HDF5 filter {fid} ({names.get(fid, 'unknown')}) "
+                    "not supported; re-write with deflate/shuffle")
+        return raw
+
+    def read(self, name: str) -> np.ndarray:
+        """Materialize one dataset (contiguous, compact or chunked)."""
+        ds = self.datasets[name]
+        if ds.dtype is None:
+            if ds.dtype_info.get("kind") == "string":
+                return self._read_strings(ds)
+            raise H5Unsupported(
+                f"dataset {name!r} has non-numeric datatype "
+                f"{ds.dtype_info.get('kind')}")
+        dtype = ds.dtype
+        lay = ds.layout
+        if lay.get("class") == "compact":
+            arr = np.frombuffer(lay["data"], dtype=dtype,
+                                count=int(np.prod(ds.shape)) or 1)
+            return arr.astype(dtype.newbyteorder("=")).reshape(ds.shape)
+        if lay.get("class") == "contiguous":
+            n = int(np.prod(ds.shape)) if ds.shape else 1
+            if lay["addr"] == UNDEF:          # never allocated
+                return np.zeros(ds.shape, dtype=dtype.newbyteorder("="))
+            arr = np.frombuffer(self.buf, dtype=dtype, count=n,
+                                offset=lay["addr"])
+            return arr.astype(dtype.newbyteorder("=")).reshape(ds.shape)
+        if lay.get("class") == "chunked":
+            return self._read_chunked(ds)
+        raise H5Unsupported(f"layout {lay.get('class')!r}")
+
+    def _read_strings(self, ds: H5Dataset) -> np.ndarray:
+        lay = ds.layout
+        if lay.get("class") != "contiguous":
+            raise H5Unsupported("non-contiguous string dataset")
+        n = int(np.prod(ds.shape)) if ds.shape else 1
+        sz = ds.dtype_info["size"]
+        raw = self.buf[lay["addr"]:lay["addr"] + n * sz]
+        vals = [raw[i * sz:(i + 1) * sz].split(b"\x00")[0].decode()
+                for i in range(n)]
+        return np.array(vals).reshape(ds.shape)
+
+    def _chunk_btree(self, addr: int, rank: int):
+        """Yield (offsets, size, filter_mask, data_addr) for each chunk."""
+        b = self.buf
+        if b[addr:addr + 4] != b"TREE":
+            raise ValueError("bad chunk B-tree signature")
+        node_type, level = b[addr + 4], b[addr + 5]
+        (nused,) = struct.unpack_from("<H", b, addr + 6)
+        if node_type != 1:
+            raise ValueError("expected chunk B-tree (type 1)")
+        key_size = 8 + 8 * (rank + 1)
+        pos = addr + 24
+        for _ in range(nused):
+            size, mask = struct.unpack_from("<II", b, pos)
+            offs = struct.unpack_from(f"<{rank}Q", b, pos + 8)
+            (child,) = struct.unpack_from("<Q", b, pos + key_size)
+            if level == 0:
+                yield offs, size, mask, child
+            else:
+                yield from self._chunk_btree(child, rank)
+            pos += key_size + 8
+
+    def _read_chunked(self, ds: H5Dataset) -> np.ndarray:
+        dtype = ds.dtype
+        chunks = ds.layout["chunks"]
+        rank = len(ds.shape)
+        fill = ds.attrs.get("_FillValue")
+        if fill is None:
+            fill = np.nan if dtype.kind == "f" else 0
+        out = np.full(ds.shape, fill, dtype=dtype.newbyteorder("="))
+        for offs, size, mask, data_addr in self._chunk_btree(
+                ds.layout["btree"], rank):
+            raw = self.buf[data_addr:data_addr + size]
+            if ds.filters and mask == 0:
+                raw = self._defilter(raw, ds.filters, dtype.itemsize)
+            arr = np.frombuffer(raw, dtype=dtype,
+                                count=int(np.prod(chunks)))
+            arr = arr.astype(dtype.newbyteorder("=")).reshape(chunks)
+            sel = tuple(slice(o, min(o + c, s))
+                        for o, c, s in zip(offs, chunks, ds.shape))
+            crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+            out[sel] = arr[crop]
+        return out
+
+
+def open_hdf5(path_or_buf) -> H5File:
+    if isinstance(path_or_buf, (bytes, bytearray)):
+        return H5File(bytes(path_or_buf))
+    with open(path_or_buf, "rb") as fh:
+        return H5File(fh.read())
+
+
+# ====================== netCDF-4 model on top ================================
+
+def _is_dim_scale(ds: H5Dataset) -> bool:
+    return ds.attrs.get("CLASS") == "DIMENSION_SCALE"
+
+
+def hdf5_to_grid(buf: bytes, variables=None, time_range=None):
+    """HDF5/netCDF-4 bytes → (coords, arrays, dim_order, dims) — the
+    container-agnostic grid the ingest pipeline shares with
+    `netcdf._grid_from_nc3` and `zarr2._grid_from_store`."""
+    from .netcdf import detect_dims
+    from .netcdf3 import decode_cf_time
+
+    f = H5File(buf)
+    dim_like = {n for n, d in f.datasets.items() if _is_dim_scale(d)}
+    if not dim_like:           # plain HDF5: 1-D datasets act as coords
+        dim_like = {n for n, d in f.datasets.items()
+                    if len(d.shape) == 1}
+    data_names = [n for n, d in f.datasets.items()
+                  if n not in dim_like and d.shape]
+    if variables:
+        missing = [v for v in variables if v not in data_names]
+        if missing:
+            raise ValueError(f"variables not found: {missing}")
+        data_names = list(variables)
+    if not data_names:
+        raise ValueError("no data variables in HDF5 file")
+
+    ref = f.datasets[data_names[0]]
+    dim_order = _dim_order_for(f, ref, dim_like)
+
+    coords: dict[str, np.ndarray] = {}
+    for i, d in enumerate(dim_order):
+        if d in f.datasets:
+            vals = f.read(d)
+            units = f.datasets[d].attrs.get("units", "")
+            if isinstance(units, str) and " since " in units:
+                vals = decode_cf_time(vals, units)
+            coords[d] = vals
+        else:
+            coords[d] = np.arange(ref.shape[i])
+
+    arrays = {}
+    for n in data_names:
+        arr = f.read(n)
+        a = f.datasets[n].attrs
+        if a.get("_FillValue") is not None and arr.dtype.kind == "f":
+            arr = np.where(arr == a["_FillValue"], np.nan, arr)
+        if "scale_factor" in a or "add_offset" in a:
+            arr = (arr.astype(np.float64) * a.get("scale_factor", 1.0)
+                   + a.get("add_offset", 0.0))
+        arrays[n] = arr
+
+    dims = detect_dims(dim_order, {d: str(coords[d].dtype)
+                                   for d in dim_order})
+    if time_range and dims["time"]:
+        t = coords[dims["time"]]
+        conv = (np.datetime64 if np.issubdtype(t.dtype, np.datetime64)
+                else float)
+        keep = np.where((t >= conv(time_range[0]))
+                        & (t <= conv(time_range[1])))[0]
+        axis = dim_order.index(dims["time"])
+        coords[dims["time"]] = t[keep]
+        arrays = {n: np.take(a, keep, axis=axis)
+                  for n, a in arrays.items()}
+    return coords, arrays, dim_order, dims
+
+
+def _dim_order_for(f: H5File, ds: H5Dataset, dim_like: set[str]
+                   ) -> list[str]:
+    """Dimension names per axis: DIMENSION_LIST object references when
+    present (the netCDF-4 contract), else 1-D coordinate size match."""
+    dl = ds.attrs.get("DIMENSION_LIST")
+    if dl is not None:
+        out = []
+        for axis_refs in dl:
+            refs = axis_refs if isinstance(axis_refs, list) else [axis_refs]
+            name = f.addr_to_name.get(refs[0]) if refs else None
+            if name is None:
+                raise ValueError("DIMENSION_LIST reference does not "
+                                 "resolve to a dataset")
+            out.append(name)
+        return out
+    by_size: dict[int, list[str]] = {}
+    for n in sorted(dim_like):
+        by_size.setdefault(f.datasets[n].shape[0], []).append(n)
+    out, used = [], set()
+    for i, size in enumerate(ds.shape):
+        cands = [n for n in by_size.get(size, []) if n not in used]
+        if not cands:
+            out.append(f"dim_{i}")
+        else:
+            out.append(cands[0])
+            used.add(cands[0])
+    return out
+
+
+# =========================== writer =========================================
+
+class _Writer:
+    """Minimal v0-superblock HDF5 writer (the libnetcdf 'earliest'
+    profile): root symbol-table group, v1 object headers, contiguous or
+    chunked+deflate(+shuffle) layouts, v1 attributes, DIMENSION_SCALE /
+    DIMENSION_LIST netCDF-4 markers via a global heap."""
+
+    def __init__(self):
+        self.chunks_out: list[bytes] = []
+
+    # -- low-level builders --------------------------------------------------
+
+    @staticmethod
+    def _dt_msg(arr_dtype: np.dtype | None, str_size: int | None = None,
+                vlen_ref: bool = False) -> bytes:
+        if vlen_ref:
+            # vlen(sequence) of object references
+            inner = bytes([0x07 | (1 << 4)]) + bytes([0, 0, 0]) \
+                + struct.pack("<I", 8)
+            return bytes([0x09 | (1 << 4), 0x00, 0, 0]) \
+                + struct.pack("<I", 16) + inner
+        if str_size is not None:
+            return bytes([0x03 | (1 << 4), 0x00, 0, 0]) \
+                + struct.pack("<I", str_size)
+        dt = arr_dtype
+        if dt.kind in ("i", "u"):
+            bits0 = (0x08 if dt.kind == "i" else 0) \
+                | (0x01 if dt.byteorder == ">" else 0)
+            return bytes([0x00 | (1 << 4), bits0, 0, 0]) \
+                + struct.pack("<I", dt.itemsize) \
+                + struct.pack("<HH", 0, dt.itemsize * 8)
+        if dt.kind == "f":
+            if dt.itemsize == 4:
+                props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+            else:
+                props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+            return bytes([0x01 | (1 << 4), 0x20, 0x3F, 0]) \
+                + struct.pack("<I", dt.itemsize) + props
+        raise ValueError(f"unsupported dtype {dt}")
+
+    @staticmethod
+    def _ds_msg(shape: tuple[int, ...]) -> bytes:
+        rank = len(shape)
+        return bytes([1, rank, 0, 0]) + b"\x00" * 4 \
+            + b"".join(struct.pack("<Q", s) for s in shape)
+
+    @staticmethod
+    def _attr_msg(name: str, value) -> bytes:
+        nb = name.encode() + b"\x00"
+        if isinstance(value, str):
+            vb = value.encode() + b"\x00"
+            dt = _Writer._dt_msg(None, str_size=len(vb))
+            ds = _Writer._ds_msg(())
+            data = vb
+        else:
+            arr = np.asarray(value)
+            if arr.dtype.kind not in ("i", "u", "f"):
+                raise ValueError(f"unsupported attribute type for "
+                                 f"{name!r}: {arr.dtype}")
+            if arr.dtype.byteorder == ">":
+                arr = arr.astype(arr.dtype.newbyteorder("<"))
+            dt = _Writer._dt_msg(arr.dtype)
+            ds = _Writer._ds_msg(arr.shape)
+            data = arr.tobytes()
+        body = bytes([1, 0]) + struct.pack("<HHH", len(nb), len(dt),
+                                           len(ds))
+        body += nb + b"\x00" * (_pad8(len(nb)) - len(nb))
+        body += dt + b"\x00" * (_pad8(len(dt)) - len(dt))
+        body += ds + b"\x00" * (_pad8(len(ds)) - len(ds))
+        body += data
+        return body
+
+    @staticmethod
+    def _attr_msg_raw(name: str, dt: bytes, ds: bytes,
+                      data: bytes) -> bytes:
+        nb = name.encode() + b"\x00"
+        body = bytes([1, 0]) + struct.pack("<HHH", len(nb), len(dt),
+                                           len(ds))
+        body += nb + b"\x00" * (_pad8(len(nb)) - len(nb))
+        body += dt + b"\x00" * (_pad8(len(dt)) - len(dt))
+        body += ds + b"\x00" * (_pad8(len(ds)) - len(ds))
+        body += data
+        return body
+
+    @staticmethod
+    def _messages_block(msgs: list[tuple[int, bytes]]) -> bytes:
+        out = bytearray()
+        for mtype, body in msgs:
+            padded = body + b"\x00" * (_pad8(len(body)) - len(body))
+            out += struct.pack("<HHB3x", mtype, len(padded), 0)
+            out += padded
+        return bytes(out)
+
+    @staticmethod
+    def _object_header(msgs: list[tuple[int, bytes]]) -> bytes:
+        block = _Writer._messages_block(msgs)
+        return (bytes([1, 0]) + struct.pack("<H", len(msgs))
+                + struct.pack("<I", 1) + struct.pack("<I", len(block))
+                + b"\x00" * 4 + block)
+
+
+def write_hdf5(path: str, dims: dict[str, np.ndarray],
+               variables: dict[str, tuple[list[str], np.ndarray, dict]],
+               attrs: dict | None = None,
+               chunks: dict[str, tuple[int, ...]] | None = None,
+               compress: bool = False) -> str:
+    """Write a netCDF-4-flavoured HDF5 file (v0 superblock profile):
+    coordinate datasets carry CLASS=DIMENSION_SCALE/NAME, data variables
+    carry DIMENSION_LIST object references; optional chunked layout with
+    shuffle+deflate. Readable by any HDF5 library and by `H5File`."""
+    W = _Writer
+    chunks = chunks or {}
+    # each dims value: array OR (array, attrs) tuple (e.g. CF units)
+    dim_attrs = {k: (v[1] if isinstance(v, tuple) else {})
+                 for k, v in dims.items()}
+    dims = {k: (v[0] if isinstance(v, tuple) else v)
+            for k, v in dims.items()}
+    names = sorted(list(dims) + list(variables))
+    # ---- plan layout: superblock, heap, btree, snod, OHs, data, gcol ----
+    sb_size = 96
+    heap_data = bytearray(b"\x00" * 8)
+    name_off = {}
+    for n in names:
+        name_off[n] = len(heap_data)
+        nb = n.encode() + b"\x00"
+        heap_data += nb + b"\x00" * (_pad8(len(nb)) - len(nb))
+    heap_hdr = 32
+    heap_addr = sb_size
+    heap_data_addr = heap_addr + heap_hdr
+    btree_addr = heap_data_addr + len(heap_data)
+    btree_size = 24 + 8 + 16          # one key + one child + final key
+    snod_addr = btree_addr + btree_size
+    snod_size = 8 + 40 * len(names)
+
+    # normalize to little-endian once; sizes then never depend on values
+    dims = {k: np.ascontiguousarray(
+                np.asarray(v).astype(np.asarray(v).dtype.newbyteorder("<"))
+                if np.asarray(v).dtype.byteorder == ">" else np.asarray(v))
+            for k, v in dims.items()}
+    variables = {k: (vd, np.ascontiguousarray(
+                         np.asarray(a).astype(
+                             np.asarray(a).dtype.newbyteorder("<"))
+                         if np.asarray(a).dtype.byteorder == ">"
+                         else np.asarray(a)), at)
+                 for k, (vd, a, at) in variables.items()}
+
+    # two passes: sizes don't depend on addresses (all fields fixed width)
+    def build_objects(data_addr_of: dict,
+                      btree_of: dict, gcol_addr: int, gcol_index: dict):
+        headers = {}
+        for n in names:
+            if n in dims:
+                arr = np.asarray(dims[n])
+                vdims, vattrs = [n], dim_attrs.get(n, {})
+            else:
+                vdims, arr, vattrs = variables[n]
+                arr = np.asarray(arr)
+            msgs = [(MSG_DATASPACE, W._ds_msg(arr.shape)),
+                    (MSG_DATATYPE, W._dt_msg(arr.dtype))]
+            ch = chunks.get(n)
+            if ch:
+                rank = len(arr.shape)
+                body = bytes([3, 2, rank + 1]) \
+                    + struct.pack("<Q", btree_of.get(n, UNDEF)) \
+                    + b"".join(struct.pack("<I", c) for c in ch) \
+                    + struct.pack("<I", arr.dtype.itemsize)
+                msgs.append((MSG_LAYOUT, body))
+                if compress:
+                    filt = bytes([1, 2]) + b"\x00" * 6
+                    filt += struct.pack("<HHHH", FILTER_SHUFFLE, 0, 0, 1) \
+                        + struct.pack("<i", arr.dtype.itemsize) \
+                        + b"\x00" * 4
+                    filt += struct.pack("<HHHH", FILTER_DEFLATE, 0, 0, 1) \
+                        + struct.pack("<i", 4) + b"\x00" * 4
+                    msgs.append((MSG_FILTERS, filt))
+            else:
+                body = bytes([3, 1]) \
+                    + struct.pack("<QQ", data_addr_of.get(n, UNDEF),
+                                  arr.nbytes)
+                msgs.append((MSG_LAYOUT, body))
+            if n in dims:
+                msgs.append((MSG_ATTRIBUTE,
+                             W._attr_msg("CLASS", "DIMENSION_SCALE")))
+                msgs.append((MSG_ATTRIBUTE, W._attr_msg("NAME", n)))
+            else:
+                dt = W._dt_msg(None, vlen_ref=True)
+                ds_sp = W._ds_msg((len(vdims),))
+                data = b"".join(
+                    struct.pack("<IQI", 1, gcol_addr,
+                                gcol_index.get((n, i), 1))
+                    for i in range(len(vdims)))
+                msgs.append((MSG_ATTRIBUTE,
+                             W._attr_msg_raw("DIMENSION_LIST", dt,
+                                             ds_sp, data)))
+            for k, v in (vattrs or {}).items():
+                msgs.append((MSG_ATTRIBUTE, W._attr_msg(k, v)))
+            headers[n] = W._object_header(msgs)
+        return headers
+
+    # pass 1: sizes
+    dummy = build_objects({}, {}, 0, {})
+    oh_addr, pos = {}, snod_addr + snod_size
+    for n in names:
+        pos = _pad8(pos)
+        oh_addr[n] = pos
+        pos += len(dummy[n])
+    root_oh_addr = _pad8(pos)
+    root_oh = W._object_header(
+        [(MSG_SYMBOL_TABLE, struct.pack("<QQ", btree_addr, snod_addr))]
+        + [(MSG_ATTRIBUTE, W._attr_msg(k, v))
+           for k, v in (attrs or {}).items()])
+    pos = root_oh_addr + len(root_oh)
+
+    # data segments (and chunk payloads)
+    data_addr_of, btree_of, chunk_plan = {}, {}, {}
+    for n in names:
+        arr = np.asarray(dims[n]) if n in dims else \
+            np.asarray(variables[n][1])
+        ch = chunks.get(n)
+        if ch:
+            payloads = []
+            grid = [range(0, s, c) for s, c in zip(arr.shape, ch)]
+            for offs in iproduct(*grid):
+                sel = tuple(slice(o, min(o + c, s))
+                            for o, c, s in zip(offs, ch, arr.shape))
+                block = np.zeros(ch, dtype=arr.dtype)
+                piece = arr[sel]
+                block[tuple(slice(0, p) for p in piece.shape)] = piece
+                raw = np.ascontiguousarray(block).tobytes()
+                if compress:
+                    from .zarr2 import _shuffle
+                    raw = zlib.compress(_shuffle(raw, arr.dtype.itemsize),
+                                        4)
+                payloads.append((offs, raw))
+            addrs = []
+            for offs, raw in payloads:
+                pos = _pad8(pos)
+                addrs.append((offs, pos, len(raw)))
+                pos += len(raw)
+            pos = _pad8(pos)
+            btree_of[n] = pos
+            rank = len(arr.shape)
+            key_size = 8 + 8 * (rank + 1)
+            pos += 24 + (len(addrs) + 1) * key_size + len(addrs) * 8
+            chunk_plan[n] = (payloads, addrs, rank)
+        else:
+            pos = _pad8(pos)
+            data_addr_of[n] = pos
+            pos += arr.nbytes
+    gcol_addr = _pad8(pos)
+    gcol_index = {}
+    gcol_objs = []
+    idx = 1
+    for n in names:
+        if n in dims:
+            continue
+        vdims = variables[n][0]
+        for i, d in enumerate(vdims):
+            gcol_index[(n, i)] = idx
+            gcol_objs.append(struct.pack("<Q", oh_addr[d]))
+            idx += 1
+    gcol_body = bytearray()
+    for i, obj in enumerate(gcol_objs, start=1):
+        gcol_body += struct.pack("<HHI", i, 0, 0)
+        gcol_body += struct.pack("<Q", len(obj))
+        gcol_body += obj + b"\x00" * (_pad8(len(obj)) - len(obj))
+    gcol_size = 16 + len(gcol_body) + 16
+    eof = gcol_addr + gcol_size
+
+    # pass 2: real bytes
+    headers = build_objects(data_addr_of, btree_of,
+                            gcol_addr, gcol_index)
+    out = bytearray(b"\x00" * eof)
+    sb = bytearray()
+    sb += MAGIC
+    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])      # versions + offset sizes
+    sb += struct.pack("<HH", 4, 16)            # leaf k, internal k
+    sb += struct.pack("<I", 0)                 # consistency flags
+    sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+    sb += struct.pack("<QQI", 0, root_oh_addr, 1)   # root entry
+    sb += struct.pack("<I", 0)                 # reserved
+    sb += struct.pack("<QQ", btree_addr, heap_addr)  # scratch cache
+    out[0:len(sb)] = sb
+
+    heap = bytearray(b"HEAP")
+    heap += bytes([0, 0, 0, 0])
+    heap += struct.pack("<QQQ", len(heap_data), len(heap_data),
+                        heap_data_addr)
+    out[heap_addr:heap_addr + heap_hdr] = heap[:heap_hdr]
+    out[heap_data_addr:heap_data_addr + len(heap_data)] = heap_data
+
+    bt = bytearray(b"TREE")
+    bt += bytes([0, 0]) + struct.pack("<H", 1)
+    bt += struct.pack("<QQ", UNDEF, UNDEF)
+    bt += struct.pack("<Q", 0)                 # key 0
+    bt += struct.pack("<Q", snod_addr)         # child 0
+    bt += struct.pack("<Q", name_off[names[-1]])   # final key
+    out[btree_addr:btree_addr + len(bt)] = bt
+
+    sn = bytearray(b"SNOD")
+    sn += bytes([1, 0]) + struct.pack("<H", len(names))
+    for n in names:
+        sn += struct.pack("<QQI", name_off[n], oh_addr[n], 0)
+        sn += struct.pack("<I", 0) + b"\x00" * 16
+    out[snod_addr:snod_addr + len(sn)] = sn
+
+    for n in names:
+        out[oh_addr[n]:oh_addr[n] + len(headers[n])] = headers[n]
+    out[root_oh_addr:root_oh_addr + len(root_oh)] = root_oh
+
+    for n in names:
+        arr = np.asarray(dims[n]) if n in dims else \
+            np.asarray(variables[n][1])
+        if n in chunk_plan:
+            payloads, addrs, rank = chunk_plan[n]
+            for (offs, raw), (_o, a, sz) in zip(payloads, addrs):
+                out[a:a + sz] = raw
+            bt = bytearray(b"TREE")
+            bt += bytes([1, 0]) + struct.pack("<H", len(addrs))
+            bt += struct.pack("<QQ", UNDEF, UNDEF)
+            for (offs, a, sz) in addrs:
+                bt += struct.pack("<II", sz, 0)
+                bt += b"".join(struct.pack("<Q", o) for o in offs)
+                bt += struct.pack("<Q", 0)     # element offset
+                bt += struct.pack("<Q", a)
+            end_offs = tuple(((s + c - 1) // c) * c
+                             for s, c in zip(arr.shape, chunks[n]))
+            bt += struct.pack("<II", 0, 0)
+            bt += b"".join(struct.pack("<Q", o) for o in end_offs)
+            bt += struct.pack("<Q", 0)
+            out[btree_of[n]:btree_of[n] + len(bt)] = bt
+        else:
+            a = data_addr_of[n]
+            out[a:a + arr.nbytes] = np.ascontiguousarray(arr).tobytes()
+
+    gc = bytearray(b"GCOL")
+    gc += bytes([1, 0, 0, 0])
+    gc += struct.pack("<Q", gcol_size)
+    gc += gcol_body
+    gc += struct.pack("<HHI", 0, 0, 0) + struct.pack("<Q", 0)
+    out[gcol_addr:gcol_addr + len(gc)] = gc
+
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return path

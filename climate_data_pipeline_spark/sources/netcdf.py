@@ -161,32 +161,41 @@ def read_netcdf_long(spark: SparkSession, path: str,
     `ingest/netcdf_reader.py:34-77`).
 
     Classic-format files (CDF-1/CDF-2) are read by the built-in
-    pure-numpy parser (`sources/netcdf3.py`) — no external libraries.
-    NetCDF4/HDF5 containers fall back to xarray when present and raise a
-    clear error otherwise."""
+    pure-numpy parser (`sources/netcdf3.py`); NetCDF4/HDF5 containers by
+    the built-in HDF5 parser (`sources/hdf5.py` — the libnetcdf
+    'earliest' profile: v0 superblock, contiguous/chunked+deflate
+    layouts, DIMENSION_LIST semantics). Files using HDF5 features
+    outside that profile fall back to xarray when present and raise a
+    clear feature-naming error otherwise — no external libraries on the
+    common path."""
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:4] == b"\x89HDF":
+        from .hdf5 import H5Unsupported, hdf5_to_grid
         try:
-            import xarray as xr
-        except ImportError as exc:
-            raise NotImplementedError(
-                "NetCDF4/HDF5 file: requires xarray/netCDF4 (not in this "
-                "environment). Classic CDF-1/CDF-2 files are supported "
-                "natively.") from exc
-        ds = xr.open_dataset(path, chunks="auto")
-        if variables:
-            missing = [v for v in variables if v not in ds.data_vars]
-            if missing:
-                raise ValueError(f"variables not found: {missing}")
-            ds = ds[list(variables)]
-        dims = detect_dims(list(ds.dims),
-                           {d: str(ds[d].dtype) for d in ds.dims})
-        if time_range and dims["time"]:
-            ds = ds.sel({dims["time"]: slice(*time_range)})
-        coords = {d: ds[d].values for d in ds.dims}
-        arrays = {v: ds[v].values for v in ds.data_vars}
-        dim_order = list(ds.dims)
+            coords, arrays, dim_order, dims = hdf5_to_grid(
+                buf, variables, time_range)
+        except H5Unsupported as unsupported:
+            try:
+                import xarray as xr
+            except ImportError:
+                raise NotImplementedError(
+                    f"NetCDF4/HDF5 file uses an unsupported feature "
+                    f"({unsupported}); xarray/netCDF4 fallback not in "
+                    "this environment") from unsupported
+            ds = xr.open_dataset(path, chunks="auto")
+            if variables:
+                missing = [v for v in variables if v not in ds.data_vars]
+                if missing:
+                    raise ValueError(f"variables not found: {missing}")
+                ds = ds[list(variables)]
+            dims = detect_dims(list(ds.dims),
+                               {d: str(ds[d].dtype) for d in ds.dims})
+            if time_range and dims["time"]:
+                ds = ds.sel({dims["time"]: slice(*time_range)})
+            coords = {d: ds[d].values for d in ds.dims}
+            arrays = {v: ds[v].values for v in ds.data_vars}
+            dim_order = list(ds.dims)
     else:
         coords, arrays, dim_order, dims = _grid_from_nc3(
             buf, variables, time_range)
@@ -197,10 +206,20 @@ def read_netcdf_long(spark: SparkSession, path: str,
     return df
 
 
+def _grid_from_bytes(buf: bytes, variables=None, time_range=None):
+    """Container-agnostic grid load: sniff the magic and route to the
+    classic (CDF-1/2) or HDF5/NetCDF-4 parser."""
+    if buf[:4] == b"\x89HDF":
+        from .hdf5 import hdf5_to_grid
+        return hdf5_to_grid(buf, variables, time_range)
+    return _grid_from_nc3(buf, variables, time_range)
+
+
 def read_netcdf3_many(spark: SparkSession, path_glob: str,
                       variables: Sequence[str] | None = None,
                       ) -> DataFrame:
-    """Distributed multi-file ingest: one task per classic-NetCDF file.
+    """Distributed multi-file ingest: one task per NetCDF file (classic
+    CDF-1/2 or NetCDF4/HDF5 container — sniffed per file).
 
     `binaryFile` ships each file's bytes to an executor; `mapInPandas`
     parses and emits the long rows in leading-dimension chunks (Arrow
@@ -215,7 +234,7 @@ def read_netcdf3_many(spark: SparkSession, path_glob: str,
              .select("content").head())
     if first is None:
         raise ValueError(f"no files match {path_glob}")
-    coords, arrays, dim_order, _ = _grid_from_nc3(
+    coords, arrays, dim_order, _ = _grid_from_bytes(
         bytes(first["content"]), variables)
     probe = _chunk_frames(coords, arrays, dim_order, time_chunk=1)
     schema_df = spark.createDataFrame(next(probe))
@@ -226,7 +245,7 @@ def read_netcdf3_many(spark: SparkSession, path_glob: str,
     def gen(batches):
         for pdf in batches:
             for raw in pdf["content"]:
-                c, a, order, _ = _grid_from_nc3(bytes(raw), want)
+                c, a, order, _ = _grid_from_bytes(bytes(raw), want)
                 yield from _chunk_frames(c, a, order)
 
     files = spark.read.format("binaryFile").load(path_glob) \
@@ -260,6 +279,25 @@ def long_to_netcdf3(df: DataFrame, path: str,
         {**{d: ([d], vals, vattrs) for d, (vattrs, vals) in coords.items()},
          **variables},
         attrs=attrs or {})
+
+
+def long_to_hdf5(df: DataFrame, path: str,
+                 dim_cols: Sequence[str] = ("time", "lat", "lon"),
+                 var_cols: Sequence[str] | None = None,
+                 attrs: dict | None = None,
+                 chunks: dict[str, tuple[int, ...]] | None = None,
+                 compress: bool = False) -> str:
+    """Export long rows to a NetCDF4/HDF5 file (the modern container the
+    reference's users actually exchange) — same derived-product scope
+    as `long_to_netcdf3`, writing DIMENSION_SCALE/DIMENSION_LIST
+    markers so any netCDF-4 reader maps dimensions correctly."""
+    coords, variables = _long_to_grid(df, dim_cols, var_cols)
+    from .hdf5 import write_hdf5
+    return write_hdf5(
+        path,
+        {d: (vals, vattrs) for d, (vattrs, vals) in coords.items()},
+        dict(variables),
+        attrs=attrs or {}, chunks=chunks, compress=compress)
 
 
 def _long_to_grid(df: DataFrame, dim_cols: Sequence[str],
