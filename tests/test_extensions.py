@@ -576,3 +576,18 @@ def test_minhash64_estimator_error(docs):
         # strong pairs (J >= 0.8) must all be caught at 16x4 banding
         strong = {k for k, v in exact.items() if v >= 0.8}
         assert strong <= set(est)
+
+
+def test_suggest_bands_theory():
+    """The (B, r) advisor: returned config must reach the target
+    band-OR recall at the threshold, with the most selective r that
+    fits the plane budget (selectivity grows with r)."""
+    import math
+
+    for t in (0.5, 0.8, 0.9):
+        B, r = SIM.suggest_bands(t, target_recall=0.95, max_planes=256)
+        p = 1 - math.acos(t) / math.pi
+        recall = 1 - (1 - p ** r) ** B
+        assert recall >= 0.95 and B * r <= 256
+    # higher thresholds afford more selective (wider) bands
+    assert SIM.suggest_bands(0.95)[1] > SIM.suggest_bands(0.5)[1]
