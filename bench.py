@@ -50,7 +50,6 @@ HEADLINE = [
     "funnel_conversion",      # chained entire-partition window minima
     "harmonic_seasonal_fit",  # closed-form 2-regressor OLS from co-moments
     "sim_lsh_ann",            # precomputed-plane LSH bucket join ANN
-    "dedup_simhash64",        # 64-bit simhash, 8x8-band lossless LSH
 ]
 
 

@@ -458,13 +458,18 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     w = w.withColumn("hi", hi).withColumn("lo", lo)
-    votes = [F.sum(F.when(F.shiftright(F.col(c), b).bitwiseAND(1) == 1, 1)
-                    .otherwise(-1)).alias(f"{c}v{b}")
+    # vote sum of ±1 per bit == 2·(count of set bits) − n_words, so sum
+    # the raw bits (no per-row CASE branch) and compare 2s > n — same
+    # signature, ~half the per-row aggregate work
+    votes = [F.sum(F.shiftright(F.col(c), b).bitwiseAND(1))
+              .alias(f"{c}v{b}")
              for c in ("hi", "lo") for b in range(32)]
-    agg = w.groupBy("id").agg(*votes)
-    sig_hi = sum(F.when(F.col(f"hiv{b}") > 0, F.lit(1 << b).cast("long"))
+    agg = w.groupBy("id").agg(*votes, F.count("*").alias("__n"))
+    sig_hi = sum(F.when(F.col(f"hiv{b}") * 2 > F.col("__n"),
+                        F.lit(1 << b).cast("long"))
                   .otherwise(F.lit(0).cast("long")) for b in range(32))
-    sig_lo = sum(F.when(F.col(f"lov{b}") > 0, F.lit(1 << b).cast("long"))
+    sig_lo = sum(F.when(F.col(f"lov{b}") * 2 > F.col("__n"),
+                        F.lit(1 << b).cast("long"))
                   .otherwise(F.lit(0).cast("long")) for b in range(32))
     return agg.select("id", sig_hi.alias("sim_hi"), sig_lo.alias("sim_lo"))
 

@@ -320,7 +320,7 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
           .withColumnRenamed(corpus_vec, query_vec))
     cand = (cb.join(qb.select(query_id, query_vec, "bucket"), "bucket")
               .where(F.col(query_id) != F.col(corpus_id)))
-    cos = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6)
+    cos = F.round(cosine_batch(F.col(query_vec), F.col(corpus_vec)), 6)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(corpus_id).asc())
     return (cand.withColumn("cosine", cos)
