@@ -135,8 +135,8 @@ class H5File:
         if b[heap_addr:heap_addr + 4] != b"HEAP":
             raise ValueError("bad local heap signature")
         (data_addr,) = struct.unpack_from("<Q", b, heap_addr + 24)
-        end = b.index(b"\x00", data_addr + offset)
-        return b[data_addr + offset:end].decode()
+        end = b.find(b"\x00", data_addr + offset)   # mmap has no .index
+        return bytes(b[data_addr + offset:end]).decode()
 
     def _walk_group(self, btree_addr: int, heap_addr: int, prefix: str):
         for snod in self._btree_group_leaves(btree_addr):
@@ -631,6 +631,254 @@ def _dim_order_for(f: H5File, ds: H5Dataset, dim_like: set[str]
             out.append(cands[0])
             used.add(cands[0])
     return out
+
+
+def dataset_chunk_index(f: H5File, name: str) -> list[tuple]:
+    """(chunk offsets, file addr, stored size, filter mask) for every
+    stored chunk of a chunked dataset — the metadata an executor task
+    needs to read its chunk bytes directly, without the driver."""
+    ds = f.datasets[name]
+    if ds.layout.get("class") != "chunked":
+        raise ValueError(f"dataset {name!r} is not chunked")
+    rank = len(ds.shape)
+    return [(tuple(offs), addr, size, mask)
+            for offs, size, mask, addr in f._chunk_btree(
+                ds.layout["btree"], rank)]
+
+
+def read_hdf5_long_distributed(spark, path: str, variables=None,
+                               time_range=None, bbox=None):
+    """Chunk ↔ task for a single (large) NetCDF4/HDF5 file — the HDF5
+    analogue of `zarr2.read_zarr_long_distributed`: every stored chunk
+    becomes one Spark task that seeks, reads and defilters its own
+    bytes executor-side, so a multi-TB archive file never materializes
+    on the driver. Contiguous (unfiltered) datasets are split into
+    leading-dimension row blocks by byte range — same chunk-per-task
+    plan, synthesized.
+
+    ``time_range``/``bbox`` prune at the CHUNK INDEX: only chunks whose
+    coordinate spans intersect the predicate are ever read or decoded
+    (the property that makes point/slice queries on a huge archive
+    cheap); exact row-level predicates apply after decode. All selected
+    data variables must share one chunk grid (what libnetcdf emits for
+    same-shaped variables); select a subset via ``variables`` if not.
+
+    Executors open ``path`` directly — a shared filesystem in cluster
+    mode (for object stores, swap the ``open``/seek for a ranged GET in
+    ``fetch``)."""
+    import pandas as pd
+
+    from .netcdf import _chunk_frames, detect_dims
+    from .netcdf3 import decode_cf_time
+
+    import mmap
+
+    fh_meta = open(path, "rb")
+    # mmap: the driver's metadata walk pages in only the headers/btrees
+    # it touches — a multi-TB archive file never loads driver-side
+    buf = mmap.mmap(fh_meta.fileno(), 0, access=mmap.ACCESS_READ)
+    f = H5File(buf)
+    dim_like = {n for n, d in f.datasets.items() if _is_dim_scale(d)}
+    if not dim_like:
+        dim_like = {n for n, d in f.datasets.items()
+                    if len(d.shape) == 1}
+    data_names = [n for n, d in f.datasets.items()
+                  if n not in dim_like and d.shape]
+    if variables:
+        missing = [v for v in variables if v not in data_names]
+        if missing:
+            raise ValueError(f"variables not found: {missing}")
+        data_names = list(variables)
+    if not data_names:
+        raise ValueError("no data variables in HDF5 file")
+
+    ref = f.datasets[data_names[0]]
+    dim_order = _dim_order_for(f, ref, dim_like)
+    shape = tuple(ref.shape)
+
+    # one shared chunk grid across selected variables
+    if ref.layout.get("class") == "chunked":
+        chunks = tuple(ref.layout["chunks"])
+    else:
+        # contiguous: synthesize leading-dim row blocks (~4 MB each)
+        row_bytes = int(np.prod(shape[1:]) or 1) * ref.dtype.itemsize
+        lead = max(1, min(shape[0], (4 << 20) // max(1, row_bytes)))
+        chunks = (lead,) + shape[1:]
+    for n in data_names[1:]:
+        d = f.datasets[n]
+        if tuple(d.shape) != shape:
+            raise ValueError("data variables must share one shape; "
+                             f"{n!r} differs — pass variables=[...]")
+        ch = (tuple(d.layout["chunks"])
+              if d.layout.get("class") == "chunked" else chunks)
+        if ch != chunks:
+            raise ValueError("data variables must share one chunk grid")
+
+    # coordinates (small, driver-side) + CF decode
+    coords = {}
+    for i, d in enumerate(dim_order):
+        if d in f.datasets:
+            vals = f.read(d)
+            units = f.datasets[d].attrs.get("units", "")
+            if isinstance(units, str) and " since " in units:
+                vals = decode_cf_time(vals, units)
+            coords[d] = vals
+        else:
+            coords[d] = np.arange(shape[i])
+    dims = detect_dims(dim_order, {d: str(coords[d].dtype)
+                                   for d in dim_order})
+
+    intervals: dict[str, tuple] = {}
+    if time_range and dims["time"]:
+        t = coords[dims["time"]]
+        conv = (np.datetime64 if np.issubdtype(t.dtype, np.datetime64)
+                else float)
+        intervals[dims["time"]] = (conv(time_range[0]),
+                                   conv(time_range[1]))
+    if bbox and dims["lat"] and dims["lon"]:
+        w, s, e, n_ = bbox
+        intervals[dims["lat"]] = (s, n_)
+        if w <= e:
+            intervals[dims["lon"]] = (w, e)
+
+    def chunk_ok(offs) -> bool:
+        for axis, d in enumerate(dim_order):
+            if d not in intervals:
+                continue
+            lo, hi = intervals[d]
+            span = coords[d][offs[axis]:offs[axis] + chunks[axis]]
+            if len(span) == 0 or span.max() < lo or span.min() > hi:
+                return False
+        return True
+
+    # per-variable chunk location maps keyed by chunk offsets
+    per_var: dict[str, dict] = {}
+    for n in data_names:
+        d = f.datasets[n]
+        if d.layout.get("class") == "chunked":
+            per_var[n] = {offs: (addr, size, mask) for offs, addr, size,
+                          mask in dataset_chunk_index(f, n)}
+        else:
+            base = d.layout["addr"]
+            row_bytes = int(np.prod(shape[1:]) or 1) * d.dtype.itemsize
+            per_var[n] = {
+                (r,) + (0,) * (len(shape) - 1):
+                    (base + r * row_bytes,
+                     min(chunks[0], shape[0] - r) * row_bytes, 0)
+                for r in range(0, shape[0], chunks[0])}
+
+    grid = [range(0, s, c) for s, c in zip(shape, chunks)]
+    keys = [offs for offs in iproduct(*grid) if chunk_ok(offs)]
+    keys_df = spark.createDataFrame(
+        pd.DataFrame({"cid": [",".join(map(str, k)) for k in keys]}),
+        schema="cid string")
+
+    meta = {n: {"dtype": str(f.datasets[n].dtype),
+                "filters": f.datasets[n].filters,
+                "fill": f.datasets[n].attrs.get("_FillValue"),
+                "scale": f.datasets[n].attrs.get("scale_factor"),
+                "offset": f.datasets[n].attrs.get("add_offset"),
+                "chunked": f.datasets[n].layout.get("class") == "chunked",
+                "locs": per_var[n]} for n in data_names}
+
+    def gen(batches):
+        fh = open(path, "rb")
+        for pdf in batches:
+            for cid in pdf["cid"]:
+                offs = tuple(int(x) for x in cid.split(","))
+                sel = tuple(slice(o, min(o + c, s))
+                            for o, c, s in zip(offs, chunks, shape))
+                local_coords = {d: coords[d][sl]
+                                for d, sl in zip(dim_order, sel)}
+                arrays = {}
+                for n in data_names:
+                    m = meta[n]
+                    dtype = np.dtype(m["dtype"])
+                    loc = m["locs"].get(offs)
+                    if loc is None:            # never-written chunk
+                        fill = m["fill"]
+                        if fill is None:
+                            fill = np.nan if dtype.kind == "f" else 0
+                        arr = np.full(chunks, fill,
+                                      dtype=dtype.newbyteorder("="))
+                    else:
+                        addr, size, mask = loc
+                        fh.seek(addr)
+                        raw = fh.read(size)
+                        if m["chunked"] and m["filters"] and mask == 0:
+                            raw = _defilter_static(raw, m["filters"],
+                                                   dtype.itemsize)
+                        count = (int(np.prod(chunks)) if m["chunked"]
+                                 else len(raw) // dtype.itemsize)
+                        arr = np.frombuffer(raw, dtype=dtype, count=count)
+                        arr = arr.astype(dtype.newbyteorder("="))
+                        if m["chunked"]:
+                            arr = arr.reshape(chunks)
+                        else:
+                            arr = arr.reshape(
+                                (count // int(np.prod(chunks[1:]) or 1),)
+                                + chunks[1:])
+                    crop = tuple(slice(0, sl.stop - sl.start)
+                                 for sl in sel)
+                    arr = arr[crop]
+                    if m["fill"] is not None and dtype.kind == "f":
+                        arr = np.where(arr == m["fill"], np.nan, arr)
+                    if m["scale"] is not None or m["offset"] is not None:
+                        arr = (arr.astype(np.float64)
+                               * (m["scale"] if m["scale"] is not None
+                                  else 1.0)
+                               + (m["offset"] if m["offset"] is not None
+                                  else 0.0))
+                    arrays[n] = arr
+                yield from _chunk_frames(
+                    local_coords, arrays, dim_order,
+                    time_chunk=len(local_coords[dim_order[0]]))
+
+    sample_coords = {d: coords[d][:1] for d in dim_order}
+
+    def _out_dtype(m):
+        if m["scale"] is not None or m["offset"] is not None \
+                or (m["fill"] is not None
+                    and np.dtype(m["dtype"]).kind == "f"):
+            return np.dtype("float64")
+        return np.dtype(m["dtype"]).newbyteorder("=")
+
+    sample_arrays = {n: np.zeros([1] * len(dim_order),
+                                 dtype=_out_dtype(meta[n]))
+                     for n in data_names}
+    schema = spark.createDataFrame(
+        next(_chunk_frames(sample_coords, sample_arrays,
+                           dim_order))).schema
+    out = keys_df.mapInPandas(gen, schema=schema)
+
+    from pyspark.sql import functions as F
+    if time_range and dims["time"]:
+        tcol = dims["time"]
+        is_dt = np.issubdtype(coords[tcol].dtype, np.datetime64)
+        lo = (F.lit(time_range[0]).cast("timestamp") if is_dt
+              else F.lit(float(time_range[0])))
+        hi = (F.lit(time_range[1]).cast("timestamp") if is_dt
+              else F.lit(float(time_range[1])))
+        out = out.where(F.col(tcol).between(lo, hi))
+    if bbox and dims["lat"] and dims["lon"]:
+        from .io import bbox_filter
+        out = bbox_filter(out, dims["lat"], dims["lon"], bbox)
+    return out
+
+
+def _defilter_static(raw: bytes, filters, typesize: int) -> bytes:
+    """Module-level defilter (picklable for executor closures)."""
+    from .zarr2 import _unshuffle
+    for fid, _vals in reversed(filters):
+        if fid == FILTER_FLETCHER32:
+            raw = raw[:-4]
+        elif fid == FILTER_DEFLATE:
+            raw = zlib.decompress(raw)
+        elif fid == FILTER_SHUFFLE:
+            raw = _unshuffle(raw, typesize)
+        else:
+            raise H5Unsupported(f"HDF5 filter {fid} not supported")
+    return raw
 
 
 # =========================== writer =========================================

@@ -198,3 +198,91 @@ def test_read_many_mixed_containers(spark, tmp_path):
     total = df.agg(F.sum("v")).first()[0]
     assert total == float(v1.sum() + v2.sum())
     assert df.select(F.min("time"), F.max("time")).first() is not None
+
+
+def test_distributed_read_equals_driver_side(spark, tmp_path):
+    """Chunk-per-task HDF5 read: executor-side seek+defilter yields
+    exactly the driver-side rows, for chunked+compressed AND contiguous
+    layouts, with chunk-index pruning under predicates."""
+    from climate_data_pipeline_spark.sources.hdf5 import (
+        read_hdf5_long_distributed,
+    )
+
+    t = np.arange(0, 24 * 12, 24, dtype="<i4")
+    lat = np.array([-10.0, 0.0, 10.0])
+    lon = np.array([0.0, 90.0])
+    temp = np.arange(72, dtype="<f8").reshape(12, 3, 2) + 250.0
+    pr = np.arange(72, dtype="<f8").reshape(12, 3, 2) * 0.1
+    for label, chunks, compress in (
+            ("chunked", {"temperature": (5, 2, 2),
+                         "precip": (5, 2, 2)}, True),
+            ("contig", None, False)):
+        path = write_hdf5(
+            str(tmp_path / f"{label}.nc"),
+            {"time": (t, {"units": "hours since 2023-01-01"}),
+             "lat": lat, "lon": lon},
+            {"temperature": (["time", "lat", "lon"], temp, {}),
+             "precip": (["time", "lat", "lon"], pr, {})},
+            chunks=chunks, compress=compress)
+        want = {(str(r["time"]), r["lat"], r["lon"], r["temperature"],
+                 r["precip"])
+                for r in read_netcdf_long(spark, path).collect()}
+        got = {(str(r["time"]), r["lat"], r["lon"], r["temperature"],
+                r["precip"])
+               for r in read_hdf5_long_distributed(spark, path).collect()}
+        assert got == want and len(got) == 72, label
+        # predicate pruning + exact row filter
+        sliced = read_hdf5_long_distributed(
+            spark, path, time_range=("2023-01-03", "2023-01-06"),
+            bbox=(50.0, -5.0, 100.0, 90.0))
+        rows = sliced.collect()
+        assert len(rows) == 4 * 2 * 1, label
+        assert all(r["lon"] == 90.0 for r in rows)
+    # out-of-range predicate selects zero chunks and zero rows
+    assert read_hdf5_long_distributed(
+        spark, str(tmp_path / "chunked.nc"),
+        time_range=("2031-01-01", "2031-12-31")).count() == 0
+
+
+def test_distributed_read_variable_subset_and_mismatch(spark, tmp_path):
+    from climate_data_pipeline_spark.sources.hdf5 import (
+        read_hdf5_long_distributed,
+    )
+
+    t = np.arange(4, dtype="<i4")
+    a = np.arange(8, dtype="<f8").reshape(4, 2)
+    b = np.arange(12, dtype="<f8").reshape(4, 3)
+    path = write_hdf5(
+        str(tmp_path / "mix.nc"),
+        {"time": t, "x": np.array([0.0, 1.0]),
+         "y": np.array([0.0, 1.0, 2.0])},
+        {"va": (["time", "x"], a, {}), "vb": (["time", "y"], b, {})})
+    with pytest.raises(ValueError, match="share one shape"):
+        read_hdf5_long_distributed(spark, path)
+    df = read_hdf5_long_distributed(spark, path, variables=["va"])
+    assert df.count() == 8
+    assert set(df.columns) == {"time", "x", "va"}
+
+
+def test_long_to_hdf5_round_trip(spark, tmp_path):
+    """Derived-product sink: long rows → NetCDF4/HDF5 → re-read equals
+    the original frame (CF time units carried on the coordinate)."""
+    import pandas as pd
+
+    times = pd.date_range("2024-02-01", periods=6, freq="D")
+    rows = [(t.to_pydatetime(), float(la), float(lo), float(i))
+            for i, t in enumerate(times)
+            for la in (0.0, 10.0) for lo in (5.0,)]
+    df = spark.createDataFrame(rows, "time timestamp, lat double, "
+                                     "lon double, clim double")
+    out = str(tmp_path / "derived.nc")
+    long_to_hdf5(df, out, dim_cols=["time", "lat", "lon"],
+                 attrs={"title": "derived"})
+    f = open_hdf5(out)
+    assert "since" in f.datasets["time"].attrs["units"]
+    back = read_netcdf_long(spark, out)
+    want = {(str(r["time"]), r["lat"], r["lon"], r["clim"])
+            for r in df.collect()}
+    got = {(str(r["time"]), r["lat"], r["lon"], r["clim"])
+           for r in back.collect()}
+    assert got == want
