@@ -288,3 +288,128 @@ def pruning_report(path: str, column: str, lo, hi) -> dict:
     return {"row_groups": total, "read": kept, "skipped": total - kept,
             "no_stats": no_stats,
             "skip_fraction": round((total - kept) / total, 4) if total else 0.0}
+
+
+# Layout advisor — the Spark re-expression of the reference's chunk-size
+# advisor (`processing/chunking.py:17-104` determine_optimal_chunks,
+# `:144-183` estimate_chunk_memory, `:186-223` suggest_chunks_for_workflow).
+# In the long/tall table world "chunks" become (a) parquet file/row-group
+# layout for the table sinks and (b) grid chunk dims for the Zarr/HDF5
+# sinks — both advised here from the same workflow-scoring rules.
+# ---------------------------------------------------------------------------
+
+_ROW_BYTES = {"long": 8, "double": 8, "integer": 4, "float": 4,
+              "timestamp": 8, "timestamp_ntz": 8, "date": 4, "short": 2,
+              "byte": 1, "boolean": 1, "string": 24}
+
+
+def estimate_row_bytes(df: DataFrame) -> int:
+    """Schema-derived bytes/row (strings estimated at 24 B; arrays at
+    8 B x a nominal 16 elements) — the memory-estimator input."""
+    total = 0
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t == "array":
+            total += 8 * 16
+        else:
+            total += _ROW_BYTES.get(t, 16)
+    return max(total, 1)
+
+
+def classify_workflow(workflow: Sequence[str]) -> str:
+    """Score planned operations into an access pattern — the reference's
+    keyword rules verbatim (`processing/chunking.py:203-219`): temporal
+    words push 'timeseries', spatial words push 'spatial', point/series
+    extraction counts double for time continuity."""
+    time_priority = spatial_priority = 0
+    for op in workflow:
+        s = op.lower()
+        if any(w in s for w in ("temporal", "time", "annual", "monthly",
+                                "trend")):
+            time_priority += 1
+        if any(w in s for w in ("spatial", "map", "region", "bbox")):
+            spatial_priority += 1
+        if any(w in s for w in ("point", "timeseries", "extract")):
+            time_priority += 2
+    if time_priority > spatial_priority * 1.5:
+        return "timeseries"
+    if spatial_priority > time_priority * 1.5:
+        return "spatial"
+    return "balanced"
+
+
+def suggest_layout(df: DataFrame, workflow: Sequence[str], *,
+                   row_count: int | None = None,
+                   entity_cols: Sequence[str] = (),
+                   time_col: str | None = None,
+                   target_file_mb: int = 128) -> dict:
+    """Advise a `write_parquet` layout for a planned workflow: the
+    access pattern from :func:`classify_workflow`, a target file count
+    sized so each file is ~``target_file_mb`` of row data (the parquet
+    analogue of the reference's 4 MB-chunk target, scaled to
+    Spark-task-sized files), and ready-to-splat ``write_kwargs``.
+
+    An OFFLINE diagnostic like `parquet_info` — passing no
+    ``row_count`` runs one count() job."""
+    n = row_count if row_count is not None else df.count()
+    rb = estimate_row_bytes(df)
+    total_mb = n * rb / (1 << 20)
+    files = max(1, round(total_mb / target_file_mb))
+    pattern = classify_workflow(workflow)
+    kwargs = {"layout": pattern, "entity_cols": list(entity_cols),
+              "time_col": time_col, "target_files": files}
+    return {"layout": pattern, "estimated_total_mb": round(total_mb, 2),
+            "estimated_row_bytes": rb, "target_files": files,
+            "estimated_file_mb": round(total_mb / files, 2),
+            "write_kwargs": kwargs}
+
+
+def suggest_grid_chunks(dim_sizes: dict[str, int],
+                        workflow: Sequence[str],
+                        dtype_bytes: int = 8,
+                        target_mb: float = 4.0,
+                        dims_roles: dict[str, str] | None = None) -> dict:
+    """Chunk dims for the Zarr/HDF5 grid sinks — the reference's
+    `determine_optimal_chunks` rules (`processing/chunking.py:51-93`):
+    'timeseries' = long time x ~100 spatial points; 'spatial' = one
+    timestep x sqrt-side spatial tiles; 'balanced' = cube-root split of
+    the byte target. Feed the result to `long_to_zarr(chunks=...)` /
+    `long_to_hdf5(chunks=...)`."""
+    from .netcdf import detect_dims
+
+    roles = dims_roles or detect_dims(
+        list(dim_sizes), {d: "float64" for d in dim_sizes})
+    tdim, latd, lond = roles.get("time"), roles.get("lat"), roles.get("lon")
+    pattern = classify_workflow(workflow)
+    target = int(target_mb * (1 << 20))
+    chunks: dict[str, int] = {}
+    if pattern == "timeseries":
+        if tdim:
+            chunks[tdim] = min(dim_sizes[tdim],
+                               max(1, target // (dtype_bytes * 100)))
+        for d in (latd, lond):
+            if d:
+                chunks[d] = min(dim_sizes[d], 10)
+    elif pattern == "spatial":
+        if tdim:
+            chunks[tdim] = 1
+        side = int((target // dtype_bytes) ** 0.5)
+        for d in (latd, lond):
+            if d:
+                chunks[d] = min(dim_sizes[d], side)
+    else:
+        known = [d for d in (tdim, latd, lond) if d]
+        if known:
+            per_dim = int((target // dtype_bytes) ** (1 / len(known)))
+            for d in known:
+                chunks[d] = min(dim_sizes[d], max(1, per_dim))
+    for d, size in dim_sizes.items():
+        if d not in chunks:
+            chunks[d] = size if size <= 100 else min(size, 100)
+    elems = 1
+    for d, c in chunks.items():
+        elems *= c
+    return {"pattern": pattern, "chunks": chunks,
+            "chunk_mb": round(elems * dtype_bytes / (1 << 20), 3),
+            "n_chunks": int(__import__("math").prod(
+                -(-dim_sizes[d] // chunks[d]) for d in dim_sizes))}

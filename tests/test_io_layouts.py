@@ -135,3 +135,36 @@ def test_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r["tag"] for r in merged.collect()}
     assert rows[0] is None and rows[7] == "new"
     assert merged.count() == 8
+
+
+def test_layout_advisor(spark, sf_small):
+    """The chunk-size-advisor analogue: workflow scoring matches the
+    reference's keyword rules; estimates size files to the target."""
+    from climate_data_pipeline_spark.sources.io import (
+        classify_workflow,
+        estimate_row_bytes,
+        load_table,
+        suggest_grid_chunks,
+        suggest_layout,
+    )
+
+    assert classify_workflow(["timeseries_extract", "trend"]) == "timeseries"
+    assert classify_workflow(["spatial_slice", "region_map"]) == "spatial"
+    assert classify_workflow(["temporal_mean", "bbox_map"]) == "balanced"
+
+    li = load_table(spark, sf_small, "lineitem")
+    assert estimate_row_bytes(li) > 50
+    out = suggest_layout(li, ["point timeseries"], row_count=10_000_000,
+                         entity_cols=["l_orderkey"], time_col="l_shipdate",
+                         target_file_mb=128)
+    assert out["layout"] == "timeseries" and out["target_files"] >= 1
+    assert abs(out["estimated_file_mb"] - 128) / 128 < 0.5
+    assert out["write_kwargs"]["layout"] == "timeseries"
+
+    g = suggest_grid_chunks({"time": 10_000, "lat": 721, "lon": 1440},
+                            ["spatial maps"], dtype_bytes=4)
+    assert g["pattern"] == "spatial" and g["chunks"]["time"] == 1
+    assert g["chunks"]["lat"] > 100 and g["chunk_mb"] <= 8
+    ts = suggest_grid_chunks({"time": 10_000, "lat": 721, "lon": 1440},
+                             ["point extract"], dtype_bytes=4)
+    assert ts["chunks"]["lat"] == 10 and ts["chunks"]["time"] > 1000
