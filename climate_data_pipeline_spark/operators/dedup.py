@@ -513,6 +513,90 @@ def simhash64_pairs(df: DataFrame, text_col: str, id_col: str,
              .distinct())
 
 
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
+                k: int = 5) -> DataFrame:
+    """Distributed Bloom-filter build: a (word_idx, bits) bitmap table of
+    ≤ ``m_bits/64`` rows covering every value of ``key_col``. Each key
+    contributes ``k`` bit positions (``xxhash64(key, j) mod m``); partial
+    ``bit_or`` aggregation makes the build map-side combinable, and the
+    result is a fixed-size sketch (128 KiB of longs at the default m=2²⁰)
+    regardless of input volume — the broadcastable summary of a key set
+    that is itself too large to broadcast. No driver-side state: the
+    bitmap stays a DataFrame and is consumed via broadcast hash joins
+    (`bloom_prune`), never collected."""
+    pos = F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
+        for j in range(k)])).alias("__p")
+    return (keys.select(pos)
+            .select((F.col("__p") / 64).cast("long").alias("word_idx"),
+                    F.expr("shiftleft(1L, cast(__p % 64 as int))").alias("__b"))
+            .groupBy("word_idx").agg(F.bit_or("__b").alias("bits")))
+
+
+def bloom_prune(df: DataFrame, key_col: str, bloom: DataFrame,
+                m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Map-side Bloom prune: keep only rows whose ``key_col`` *may* be in
+    the set ``bloom`` was built from (superset semantics — false
+    positives pass, never false negatives; follow with an exact join on
+    the survivors for exact results).
+
+    Shape: ``k`` broadcast hash joins of the fixed-size bitmap table —
+    each is a pipelined hash-probe lookup inside the probe side's scan
+    stage, so the probe side (the 100 TB side) is never shuffled and
+    drops to the bloom's false-positive rate before any exact check.
+    An inner join on each word index is correct: a missing bitmap word
+    means no key ever set bits there, so the candidate is definitely
+    absent."""
+    out = df
+    for j in range(k):
+        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
+        out = (out.withColumn(f"__w{j}", (p / 64).cast("long"))
+                  .withColumn(f"__t{j}", (p % 64).cast("int")))
+        bj = bloom.select(F.col("word_idx").alias(f"__w{j}"),
+                          F.col("bits").alias(f"__bits{j}"))
+        out = (out.join(F.broadcast(bj), f"__w{j}", "inner")
+                  .where(F.bit_get(F.col(f"__bits{j}"),
+                                   F.col(f"__t{j}")) == 1))
+    drop = [c for j in range(k) for c in (f"__w{j}", f"__t{j}", f"__bits{j}")]
+    return out.drop(*drop)
+
+
+def contamination_check_bloom(corpus: DataFrame, benchmark: DataFrame,
+                              text_col: str, id_col: str, n: int = 3,
+                              m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """`contamination_check` for benchmark shingle sets too large to
+    broadcast as an exact hash set (the documented ~1 GiB switch point):
+    identical results, different candidate path.
+
+    The benchmark shingles build a fixed-size Bloom bitmap (128 KiB —
+    broadcastable at any benchmark size); corpus shingles are pruned
+    map-side against it (`bloom_prune` — the corpus is still never
+    shuffled in full), and only the tiny bloom-surviving fraction goes
+    through the exact semi join that removes false positives. Bloom
+    prune + exact confirm ≡ exact semi join, so this shares
+    `text_contamination`'s oracle."""
+    b_sh = _doc_shingles(benchmark, text_col, id_col, n)
+    per_doc = b_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    b_set = b_sh.select("shingle").distinct()
+    bloom = bloom_build(b_set, "shingle", m_bits, k)
+    c_sh = (_spread(corpus).select(words(text_col).alias("__w"))
+                  .where(F.size("__w") >= n)
+                  .select(F.explode(
+                      shingles_from_words(F.col("__w"), n)).alias("shingle")))
+    survivors = bloom_prune(c_sh, "shingle", bloom, m_bits, k)
+    # exact confirm on the pruned stream; no broadcast hint — at real
+    # scale b_set exceeds the broadcast threshold and AQE plans a
+    # shuffled semi join of survivors (tiny) against it
+    matched = survivors.join(b_set, "shingle", "left_semi").distinct()
+    hits = (b_sh.join(F.broadcast(matched), "shingle", "left_semi")
+                .groupBy("id").agg(F.count("*").alias("n_hit")))
+    return (per_doc.join(hits, "id", "left")
+            .select(F.col("id").alias(id_col), "n_shingles",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0))
+                            / F.col("n_shingles"), 9).alias("contamination")))
+
+
 def contamination_check(corpus: DataFrame, benchmark: DataFrame,
                         text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Train/eval contamination scan: for each benchmark document, the

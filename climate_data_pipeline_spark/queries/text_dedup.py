@@ -470,6 +470,32 @@ def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(corpus, bench, "text", "doc_id", n=3)
 
 
+@query("text_contamination_bloom", oracle=f"""
+WITH {_SHINGLES_CTE.strip()},
+corpus AS (SELECT DISTINCT shingle FROM ds WHERE id % 97 <> 0),
+bench AS (SELECT * FROM ds WHERE id % 97 = 0),
+per AS (SELECT id, count(*) AS n_shingles FROM bench GROUP BY 1),
+hits AS (SELECT b.id, count(*) AS n_hit
+         FROM bench b JOIN corpus c USING (shingle) GROUP BY 1)
+SELECT p.id AS doc_id, p.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+       round(COALESCE(h.n_hit, 0) / p.n_shingles, 9) AS contamination
+FROM per p LEFT JOIN hits h ON p.id = h.id
+""")
+def contamination_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination scan's large-benchmark path: a fixed-size Bloom
+    bitmap (built distributed, probed via broadcast hash joins inside the
+    corpus scan stage) prunes corpus shingles map-side before the exact
+    confirm — identical results to `text_contamination` (bloom prune +
+    exact confirm ≡ exact semi join), so both share one oracle. The
+    corpus — the 100 TB side at scale — is never shuffled in full under
+    either plan; this variant removes the need to broadcast the exact
+    benchmark shingle set."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return D.contamination_check_bloom(corpus, bench, "text", "doc_id", n=3)
+
+
 @query("text_chunk_windows", oracle=f"""
 WITH w AS (SELECT doc_id, {_W} AS w FROM documents),
 starts AS (

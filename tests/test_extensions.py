@@ -337,6 +337,42 @@ def test_contamination_bounds_and_exact_copy(spark):
     assert out[101] == 0.0   # none of the novel doc's shingles appear
 
 
+def test_contamination_bloom_equals_exact(spark):
+    """Bloom prune + exact confirm must reproduce the exact semi-join
+    result bit-for-bit (bloom is a superset prefilter, never lossy)."""
+    from climate_data_pipeline_spark.operators.dedup import (
+        contamination_check, contamination_check_bloom)
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    exact = sorted(map(tuple, contamination_check(
+        corpus, bench, "text", "doc_id").collect()))
+    bloom = sorted(map(tuple, contamination_check_bloom(
+        corpus, bench, "text", "doc_id").collect()))
+    assert bloom == exact
+    assert any(r[3] > 0 for r in exact)  # scan actually found overlap
+
+
+def test_bloom_prune_superset_and_tiny_filter(spark):
+    """A deliberately undersized bloom (high FP rate) still never drops a
+    true member; with a roomy bloom most non-members are pruned."""
+    from climate_data_pipeline_spark.operators.dedup import (
+        bloom_build, bloom_prune)
+
+    members = spark.range(200).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    probes = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"))  # 200 hits
+    bloom = bloom_build(members, "k", m_bits=1 << 14, k=4)
+    kept = {r["k"] for r in bloom_prune(probes, "k", bloom,
+                                        m_bits=1 << 14, k=4).collect()}
+    truth = {f"key-{i}" for i in range(200)}
+    assert truth <= kept                      # no false negatives, ever
+    assert len(kept) < 600                    # FP rate well under control
+
+
 def test_chunk_text_windows_and_overlap(spark):
     from climate_data_pipeline_spark.operators.text import chunk_text
 
