@@ -174,6 +174,85 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return ds.groupBy("id").agg(*aggs)
 
 
+def band_table(sig: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
+               bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(id, band, key) LSH band table from a signature table — the
+    persistable *signature store* of an incremental dedup pipeline:
+    append each ingested batch's rows and new batches join against it
+    without re-reading (or re-shingling) the historical corpus."""
+    rows = num_perm // bands
+    band_entries = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
+                                          .cast("string")
+                                          for r in range(rows)])).alias("key"))
+        for b in range(bands)
+    ])
+    return (sig.select("id", F.explode(band_entries).alias("bk"))
+               .select("id", F.col("bk.band").alias("band"),
+                       F.col("bk.key").alias("key")))
+
+
+def incremental_dedup(corpus: DataFrame, batch: DataFrame, text_col: str,
+                      id_col: str, num_perm: int = 12, bands: int = 4,
+                      n: int = 3, min_est: float = 0.5,
+                      scheme: str = "md5") -> DataFrame:
+    """Near-dup screen for a NEW batch of documents against an existing
+    corpus — the steady-state form of corpus dedup (you never re-dedup
+    100 TB from scratch; you dedup each day's arrivals against the
+    store). A batch document is a duplicate if its MinHash estimate
+    reaches ``min_est`` against any corpus document or any
+    earlier-in-batch document (earlier = lower id; ids must be globally
+    unique across corpus and batch).
+
+    Returns one row per batch document: (id, n_matches, best_est,
+    matched_corpus, is_dup).
+
+    Scale shape: the corpus contributes only its band table —
+    O(bands) skinny rows per document, the thing a production pipeline
+    materializes once per batch and appends (`band_table`) — so the
+    historical text is never re-read. Candidates come from the band
+    equi-join (cost ∝ collisions); only candidates pay the
+    signature-compare verify."""
+    sigc = minhash_signatures(corpus, text_col, id_col, num_perm, n, scheme)
+    sigb = minhash_signatures(batch, text_col, id_col, num_perm, n,
+                              scheme).cache()
+    pool = (band_table(sigc, num_perm, bands)
+            .withColumn("is_corpus", F.lit(True))
+            .unionByName(band_table(sigb, num_perm, bands)
+                         .withColumn("is_corpus", F.lit(False))))
+    probe = band_table(sigb, num_perm, bands)
+    cand = (probe.alias("a")
+            .join(pool.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("b.is_corpus") | (F.col("b.id") < F.col("a.id"))))
+            .select(F.col("a.id").alias("id"),
+                    F.col("b.id").alias("match_id"),
+                    F.col("b.is_corpus").alias("is_corpus"))
+            .distinct())
+    sigs = sigc.unionByName(sigb)
+    sa = sigb.select(F.col("id"),
+                     *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
+    sb = sigs.select(F.col("id").alias("match_id"),
+                     *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
+    est = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+              for i in range(num_perm)) / F.lit(float(num_perm))
+    ver = (cand.join(sa, "id").join(sb, "match_id")
+               .withColumn("est", est).where(F.col("est") >= min_est))
+    per = ver.groupBy("id").agg(
+        F.count("*").alias("n_matches"),
+        F.max("est").alias("best_est"),
+        F.expr("bool_or(is_corpus)").alias("matched_corpus"))
+    return (sigb.select("id").join(per, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+                    F.coalesce("best_est", F.lit(0.0)).alias("best_est"),
+                    F.coalesce("matched_corpus",
+                               F.lit(False)).alias("matched_corpus"),
+                    F.col("n_matches").isNotNull().alias("is_dup")))
+
+
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS,
                   n: int = 3, min_est: float = 0.5,
@@ -184,19 +263,9 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
     full band key become candidates (join on the band hash, not all
     pairs); the estimate is the fraction of matching signature components.
     """
-    rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, n,
                              scheme=scheme).cache()
-    band_entries = F.array(*[
-        F.struct(F.lit(b).cast("int").alias("band"),
-                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
-                                          .cast("string")
-                                          for r in range(rows)])).alias("key"))
-        for b in range(bands)
-    ])
-    banded = (sig.select("id", F.explode(band_entries).alias("bk"))
-                 .select("id", F.col("bk.band").alias("band"),
-                         F.col("bk.key").alias("key")))
+    banded = band_table(sig, num_perm, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                       & (F.col("a.key") == F.col("b.key"))
@@ -511,6 +580,53 @@ def simhash64_pairs(df: DataFrame, text_col: str, id_col: str,
                      F.col("b.sim_lo").alias("sim_lo_b"),
                      ham.cast("long").alias("hamming"))
              .distinct())
+
+
+def segment_dedup(df: DataFrame, text_col: str, id_col: str,
+                  seg_words: int = 10) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (the C4 "deduplicate at the
+    paragraph/line level" step, on word-window granularity): split every
+    document into consecutive ``seg_words``-word segments, keep only the
+    globally-first occurrence of each distinct segment text (first =
+    lowest (doc id, position) — deterministic on any engine), and
+    reassemble each document from its surviving segments in order.
+
+    Returns (id, n_segs, n_kept, text_dedup); a fully-duplicated document
+    comes back with ``n_kept = 0`` and empty text — the downstream filter
+    decides whether to drop it.
+
+    Scale shape: the per-doc explode is bounded (n_words / seg_words rows
+    per document); first-occurrence selection is one ``row_number``
+    window partitioned by segment *content* (uniform hash key — no skew
+    beyond genuinely viral segments, which is exactly the data this
+    removes); reassembly is one groupBy on the doc id. Two shuffles
+    total, both on uniform keys, nothing all-pairs."""
+    from pyspark.sql import Window
+
+    pre = (_spread(df).select(F.col(id_col).alias("id"),
+                              words(text_col).alias("__w"))
+                      .where(F.size("__w") >= 1))
+    n = F.ceil(F.size("__w") / F.lit(seg_words)).cast("int")
+    segs = pre.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(
+                F.slice("__w", i * seg_words + 1, F.lit(seg_words)), " "))
+        ).alias("seg_idx", "seg"))
+    first = Window.partitionBy("seg").orderBy("id", "seg_idx")
+    kept = (segs.withColumn("__rn", F.row_number().over(first))
+                .where(F.col("__rn") == 1))
+    tot = segs.groupBy("id").agg(F.count("*").alias("n_segs"))
+    ked = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+            lambda x: x["seg"]), " ").alias("text_dedup"))
+    return (tot.join(ked, "id", "left")
+            .select(F.col("id").alias(id_col), "n_segs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))
 
 
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,

@@ -107,6 +107,62 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
              .select("id_a", "id_b", "cosine"))
 
 
+def with_quantized(df: DataFrame, vec_col: str, scale_col: str,
+                   q_col: str) -> DataFrame:
+    """Symmetric per-vector int8-range quantization: ``scale = max|x|/127``
+    (materialized as a real column FIRST — referencing it inside the
+    per-element lambda must not re-inline the array_max, cf. the
+    expression-inlining rule in PERFORMANCE.md), ``q[i] = round(x[i]/scale)``
+    as integers. An all-zero vector quantizes to zeros. Integer codes are
+    engine-portable (no FP accumulation ambiguity) and 4× smaller than
+    float32 — the storage/bandwidth form for a 100 TB embedding corpus."""
+    d = _as_double(F.col(vec_col))
+    df = df.withColumn(scale_col,
+                       F.array_max(F.transform(d, F.abs)) / F.lit(127.0))
+    q = (F.when(F.col(scale_col) == 0,
+                F.transform(d, lambda x: F.lit(0).cast("long")))
+          .otherwise(F.transform(
+              d, lambda x: F.round(x / F.col(scale_col)).cast("long"))))
+    return df.withColumn(q_col, q)
+
+
+def quantized_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   oversample: int = 4, query_id: str = "q_id",
+                   corpus_id: str = "vec_id", query_vec: str = "q_vec",
+                   corpus_vec: str = "embedding",
+                   round_dp: int = 6) -> DataFrame:
+    """Two-stage ANN: shortlist by quantized integer dot product, rerank
+    the shortlist with exact cosine. The production pattern for
+    billion-vector search — the wide float vectors stay in storage;
+    the scan computes an integer dot (SIMD-friendly, exactly
+    reproducible on any engine) against int8-range codes, and only
+    ``k × oversample`` candidates per query pay the exact float path.
+
+    ``approx_score = scale_q · scale_c · Σ q_q[i]·q_c[i]`` approximates
+    the raw dot product; both stages rank with deterministic tiebreaks
+    (score desc, corpus id asc) and 6-dp rounding so the selected sets
+    are identical across engines."""
+    qq = with_quantized(queries, query_vec, "__qs", "__qq")
+    cc = with_quantized(corpus, corpus_vec, "__cs", "__cq")
+    idot = F.aggregate(F.zip_with("__qq", "__cq", lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    approx = F.round((F.col("__qs") * F.col("__cs")) * idot.cast("double"),
+                     round_dp)
+    cand = (cc.join(F.broadcast(qq), F.col(query_id) != F.col(corpus_id))
+              .withColumn("approx_score", approx))
+    wa = Window.partitionBy(query_id).orderBy(F.col("approx_score").desc(),
+                                              F.col(corpus_id).asc())
+    shortlist = (cand.withColumn("__arank", F.row_number().over(wa))
+                     .where(F.col("__arank") <= k * oversample))
+    cos = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_dp)
+    wr = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                              F.col(corpus_id).asc())
+    return (shortlist.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(wr).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(query_id, corpus_id, "approx_score", "cosine", "rank"))
+
+
 def plane_matrix(seed: str, n_planes: int, dim: int) -> list[list[float]]:
     """Driver-side hyperplane derivation: component (p, i) is
     ``((int(md5(f"{seed}:{p}:{i}")[:8], 16) % 2001) - 1000) / 1000`` —

@@ -50,6 +50,70 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(queries, emb, k=5)
 
 
+@query("sim_quantized_topk", oracle=f"""
+WITH z AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127 AS s
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, embedding, s,
+         CASE WHEN s = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT))
+         END AS q
+  FROM z
+),
+qs AS (SELECT vec_id AS q_id, embedding AS q_vec, s AS q_s, q AS q_q
+       FROM qz WHERE vec_id < 5),
+cand AS (
+  SELECT q.q_id, c.vec_id, c.embedding AS c_vec, q.q_vec,
+         round(q.q_s * c.s * CAST(SUM(q.q_q[i] * c.q[i]) AS DOUBLE), 6)
+           AS approx_score
+  FROM qs q CROSS JOIN qz c CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE q.q_id <> c.vec_id
+  GROUP BY q.q_id, c.vec_id, c.embedding, q.q_vec, q.q_s, c.s
+),
+shortlist AS (
+  SELECT q_id, vec_id, c_vec, q_vec, approx_score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY approx_score DESC, vec_id ASC) AS arank
+  FROM cand
+),
+rr AS (
+  SELECT s.q_id, s.vec_id, s.approx_score,
+         round(SUM(CAST(s.c_vec[i] AS DOUBLE) * CAST(s.q_vec[i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(s.c_vec[i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(s.q_vec[i] AS DOUBLE), 2)))), 6)
+           AS cosine
+  FROM shortlist s CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE s.arank <= 20
+  GROUP BY s.q_id, s.vec_id, s.approx_score
+),
+ranked AS (
+  SELECT q_id, vec_id, approx_score, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rr
+)
+SELECT q_id, vec_id, approx_score, cosine, rank FROM ranked WHERE rank <= 5
+""")
+def quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8-range quantized dot-product shortlist (4×
+    oversample), exact cosine rerank — the storage/bandwidth-efficient
+    search shape for billion-vector corpora
+    (`operators/similarity.quantized_topk`). Integer shortlist scores
+    are exactly reproducible cross-engine; the oracle re-derives the
+    full quantize → shortlist → rerank pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return SIM.quantized_topk(queries, emb, k=5, oversample=4)
+
+
 # Banded-LSH candidate generation shared by sim_cosine_pairs and
 # dedup_semantic_clusters: 32 deterministic hyperplanes (seed
 # 'cdps-pairs'), 16 bands x 2 sign bits, candidates = band-value

@@ -221,6 +221,66 @@ def minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            num_perm=12, bands=4, min_est=0.5)
 
 
+def _incremental_oracle(num_perm: int = 12, bands: int = 4,
+                        min_est: float = 0.5, mod: int = 5) -> str:
+    rows = num_perm // bands
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_perm))
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS key{b}" for b in range(bands))
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band, key{b} AS key FROM keys" for b in range(bands))
+    est = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm))
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT id, {sig_cols} FROM ds GROUP BY id),
+keys AS (SELECT id, {band_keys} FROM sig),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.id AS id, b.id AS match_id, (b.id % {mod} <> 0) AS is_corpus
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key
+   AND a.id % {mod} = 0
+   AND ((b.id % {mod} <> 0) OR (b.id < a.id))
+),
+ver AS (
+  SELECT c.id, c.match_id, c.is_corpus, ({est}) / {float(num_perm)} AS est
+  FROM cand c
+  JOIN sig sa ON sa.id = c.id
+  JOIN sig sb ON sb.id = c.match_id
+  WHERE ({est}) / {float(num_perm)} >= {min_est}
+),
+per AS (
+  SELECT id, count(*) AS n_matches, max(est) AS best_est,
+         bool_or(is_corpus) AS matched_corpus
+  FROM ver GROUP BY 1
+)
+SELECT s.id AS doc_id, COALESCE(p.n_matches, 0) AS n_matches,
+       COALESCE(p.best_est, 0.0) AS best_est,
+       COALESCE(p.matched_corpus, FALSE) AS matched_corpus,
+       p.id IS NOT NULL AS is_dup
+FROM (SELECT id FROM sig WHERE id % {mod} = 0) s
+LEFT JOIN per p USING (id)
+"""
+
+
+@query("dedup_incremental", oracle=_incremental_oracle())
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state dedup: every 5th document plays the newly-arrived
+    batch, screened against the rest (the standing corpus, represented
+    by its appendable band-signature store) plus earlier batch arrivals
+    (`operators/dedup.incremental_dedup`). The historical text is never
+    re-shingled — only its skinny band table joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return D.incremental_dedup(corpus, batch, "text", "doc_id",
+                               num_perm=12, bands=4, min_est=0.5)
+
+
 @query("dedup_ngram_jaccard", oracle=f"""
 WITH {_SHINGLES_CTE.strip()},
 sizes AS (SELECT id, count(*) AS n_sh FROM ds GROUP BY id),
@@ -468,6 +528,37 @@ def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return D.contamination_check(corpus, bench, "text", "doc_id", n=3)
+
+
+@query("text_segment_dedup", oracle=f"""
+WITH w AS (SELECT doc_id, {_W} AS w FROM documents),
+segs AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS seg_idx,
+         unnest(list_transform(range(CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                i -> array_to_string(w[i*10 + 1 : i*10 + 10], ' '))) AS seg
+  FROM w WHERE len(w) >= 1
+),
+kept AS (
+  SELECT doc_id, seg_idx, seg FROM segs
+  QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+),
+tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY 1),
+ked AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+        FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_segs, COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.text_dedup, '') AS text_dedup
+FROM tot t LEFT JOIN ked k USING (doc_id)
+""")
+def segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide segment dedup: 10-word windows, keep the
+    globally-first occurrence of each distinct segment, reassemble the
+    documents (`operators/dedup.segment_dedup`). The scalable stand-in
+    for exact-substring dedup: bounded explode, two uniform-key
+    shuffles, no pairwise comparison anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.segment_dedup(docs, "text", "doc_id", seg_words=10)
 
 
 @query("text_contamination_bloom", oracle=f"""

@@ -96,6 +96,27 @@ def test_cosine_topk_matches_numpy(emb):
         assert r["vec_id"] == want_id
 
 
+def test_quantized_topk_high_recall_and_zero_vec_safe(emb, spark):
+    queries = (emb.where(F.col("vec_id") < 20)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    exact = {(r["q_id"], r["vec_id"])
+             for r in SIM.cosine_topk(queries, emb, k=3).collect()}
+    quant = {(r["q_id"], r["vec_id"])
+             for r in SIM.quantized_topk(queries, emb, k=3,
+                                         oversample=4).collect()}
+    # int8-range quantization keeps ~0.4% relative dot-product error:
+    # unlike bucketed ANN, the shortlist almost always contains the
+    # exact winners
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9
+    # an all-zero vector must quantize to zeros, not divide by zero
+    z = spark.createDataFrame([(999, [0.0] * 64)],
+                              "vec_id long, embedding array<float>")
+    out = SIM.with_quantized(z, "embedding", "s", "q").first()
+    assert out["s"] == 0.0 and set(out["q"]) == {0}
+
+
 def test_lsh_ann_recall(emb):
     queries = (emb.where(F.col("vec_id") < 20)
                   .select(F.col("vec_id").alias("q_id"),
@@ -335,6 +356,57 @@ def test_contamination_bounds_and_exact_copy(spark):
            for r in contamination_check(corpus, bench, "text", "doc_id").collect()}
     assert out[100] == 1.0   # every shingle of the copy is in the corpus
     assert out[101] == 0.0   # none of the novel doc's shingles appear
+
+
+def test_incremental_dedup_corpus_and_within_batch(spark):
+    from climate_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, base),      # dup of corpus doc
+         (11, other),     # novel, but duplicated at id 12
+         (12, other),     # dup of earlier batch doc 11 only
+         (13, "completely unrelated words appearing nowhere else at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in incremental_dedup(
+        corpus, batch, "text", "doc_id").collect()}
+    assert out[10]["is_dup"] and out[10]["matched_corpus"]
+    assert not out[11]["is_dup"]          # first occurrence survives
+    assert out[12]["is_dup"] and not out[12]["matched_corpus"]
+    assert not out[13]["is_dup"]
+    assert out[10]["best_est"] == 1.0
+
+
+def test_segment_dedup_copy_and_reassembly(spark):
+    from climate_data_pipeline_spark.operators.dedup import segment_dedup
+
+    a = " ".join(f"w{i}" for i in range(25))         # 3 segments (10/10/5)
+    b = " ".join(f"x{i}" for i in range(12))         # 2 segments, unique
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           segment_dedup(df, "text", "doc_id", seg_words=10).collect()}
+    # doc 1 is first: keeps everything, reassembles to the original text
+    assert out[1]["n_segs"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["text_dedup"] == a
+    # doc 2 is an exact copy: every segment already seen -> emptied
+    assert out[2]["n_segs"] == 3 and out[2]["n_kept"] == 0
+    assert out[2]["text_dedup"] == ""
+    # doc 3 shares nothing: untouched
+    assert out[3]["n_kept"] == 2 and out[3]["text_dedup"] == b
+
+
+def test_segment_dedup_idempotent(spark):
+    """Re-running on the deduped text removes nothing further."""
+    from climate_data_pipeline_spark.operators.dedup import segment_dedup
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    once = segment_dedup(docs, "text", "doc_id").where("n_kept > 0")
+    twice = segment_dedup(once, "text_dedup", "doc_id")
+    assert twice.where("n_kept <> n_segs").count() == 0
 
 
 def test_contamination_bloom_equals_exact(spark):
