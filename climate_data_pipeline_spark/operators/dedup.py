@@ -732,15 +732,20 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
                   .where(F.size("__w") >= n)
                   .select(F.explode(
                       shingles_from_words(F.col("__w"), n)).alias("shingle")))
-    b_sh = _doc_shingles(benchmark, text_col, id_col, n)
-    per_doc = b_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    # benchmark shingles feed both the probe set and the final score —
+    # cache so the (small) benchmark tokenizes once, not three times
+    b_sh = _doc_shingles(benchmark, text_col, id_col, n).cache()
     b_set = b_sh.select("shingle").distinct()
     matched = (c_sh.join(F.broadcast(b_set), "shingle", "left_semi")
                    .distinct())
-    hits = (b_sh.join(F.broadcast(matched), "shingle", "left_semi")
-                .groupBy("id").agg(F.count("*").alias("n_hit")))
-    return (per_doc.join(hits, "id", "left")
-            .select(F.col("id").alias(id_col), "n_shingles",
-                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-                    F.round(F.coalesce("n_hit", F.lit(0))
+    # single aggregation scores each benchmark doc: total shingles and
+    # matched shingles in one pass (count of the broadcast-left-join hit
+    # marker), replacing the former per_doc ⋈ hits two-agg shape
+    flagged = b_sh.join(F.broadcast(matched.withColumn("__hit", F.lit(1))),
+                        "shingle", "left")
+    return (flagged.groupBy("id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("__hit").alias("n_hit"))
+            .select(F.col("id").alias(id_col), "n_shingles", "n_hit",
+                    F.round(F.col("n_hit")
                             / F.col("n_shingles"), 9).alias("contamination")))

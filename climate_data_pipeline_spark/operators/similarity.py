@@ -186,6 +186,62 @@ def _sign_bit(v: Column, plane: list[float]) -> Column:
             .otherwise(F.lit(0).cast("long"))
 
 
+def _sign_matrix(v, planes: list[list[float]]):
+    """Shared kernel for the Arrow bucket/band paths: per-plane sign bits
+    with the accumulation replaying the JVM fold exactly — acc built by
+    sequential per-dimension adds (vectorized ACROSS rows), so the sign
+    of every near-zero dot lands on the same side as `_sign_bit`."""
+    import numpy as np
+
+    V = np.stack(v.to_numpy()).astype(np.float64)
+    bits = np.zeros((V.shape[0], len(planes)), dtype=np.int64)
+    for p, plane in enumerate(planes):
+        acc = np.zeros(V.shape[0])
+        for i, w in enumerate(plane):     # left-fold order per row
+            acc = acc + V[:, i] * w
+        bits[:, p] = acc >= 0
+    return bits
+
+
+def _bucket_batch(vec: Column, planes: list[list[float]]) -> Column:
+    """Arrow-vectorized LSH bucket id, bit-identical to the `_sign_bit`
+    fold chain. The interpreted HOF fold costs n_planes × dim lambda
+    evaluations per row (CodegenFallback); this computes the same bits at
+    numpy batch throughput — the bucket-assignment analogue of
+    `cosine_batch`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _b(v: pd.Series) -> pd.Series:
+        import numpy as np
+        bits = _sign_matrix(v, planes)
+        return pd.Series(bits @ (1 << np.arange(len(planes), dtype=np.int64)))
+
+    _b.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_b, "long")(vec)
+
+
+def _band_vals_batch(vec: Column, planes: list[list[float]],
+                     n_bands: int, band_bits: int) -> Column:
+    """Arrow-vectorized per-band LSH values (array<long>, one element per
+    band), bit-identical to the `_sign_bit` composition in
+    `lsh_band_pairs`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _b(v: pd.Series) -> pd.Series:
+        import numpy as np
+        bits = _sign_matrix(v, planes)
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+        vals = np.stack([
+            bits[:, b * band_bits:(b + 1) * band_bits] @ weights
+            for b in range(n_bands)], axis=1)
+        return pd.Series(list(vals))
+
+    _b.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_b, "array<long>")(vec)
+
+
 def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding", n_planes: int = 8,
                 seed: str = "cdps", dim: int | None = None) -> DataFrame:
@@ -203,11 +259,9 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
 
     if dim is not None:
         planes = plane_matrix(seed, n_planes, dim)
-        bucket = F.lit(0).cast("long")
-        for p in range(n_planes):
-            bucket = bucket + _sign_bit(v, planes[p]) * F.lit(1 << p)
         return df.select(F.col(id_col), F.col(vec_col),
-                         bucket.cast("long").alias("bucket"))
+                         _bucket_batch(F.col(vec_col), planes)
+                         .alias("bucket"))
 
     size = F.size(F.col(vec_col))
 
@@ -262,18 +316,11 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
     ships."""
     n_planes = n_bands * band_bits
     planes = plane_matrix(seed, n_planes, dim)
-    v = _as_double(F.col(vec_col))
-
-    band_vals = []
-    for b in range(n_bands):
-        val = F.lit(0).cast("long")
-        for j in range(band_bits):
-            val = val + _sign_bit(v, planes[b * band_bits + j]) \
-                * F.lit(1 << j)
-        band_vals.append(val)
     banded = df.select(
         F.col(id_col),
-        F.posexplode(F.array(*band_vals)).alias("band", "val"))
+        F.posexplode(_band_vals_batch(F.col(vec_col), planes,
+                                      n_bands, band_bits))
+         .alias("band", "val"))
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "val")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "val")
