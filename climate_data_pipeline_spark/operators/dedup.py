@@ -596,13 +596,13 @@ def segment_dedup(df: DataFrame, text_col: str, id_col: str,
     decides whether to drop it.
 
     Scale shape: the per-doc explode is bounded (n_words / seg_words rows
-    per document); first-occurrence selection is one ``row_number``
-    window partitioned by segment *content* (uniform hash key — no skew
-    beyond genuinely viral segments, which is exactly the data this
-    removes); reassembly is one groupBy on the doc id. Two shuffles
-    total, both on uniform keys, nothing all-pairs."""
-    from pyspark.sql import Window
-
+    per document); first-occurrence selection is ``groupBy(segment)
+    .agg(min(struct(id, pos)))`` — a *combinable* aggregate, so a
+    viral segment duplicated a billion times collapses map-side to one
+    row per task before the shuffle (a row_number window over the same
+    key would ship every copy to one reducer); reassembly is one
+    groupBy on the doc id. Two shuffles total, both on uniform keys,
+    nothing all-pairs."""
     pre = (_spread(df).select(F.col(id_col).alias("id"),
                               words(text_col).alias("__w"))
                       .where(F.size("__w") >= 1))
@@ -614,9 +614,10 @@ def segment_dedup(df: DataFrame, text_col: str, id_col: str,
             lambda i: F.array_join(
                 F.slice("__w", i * seg_words + 1, F.lit(seg_words)), " "))
         ).alias("seg_idx", "seg"))
-    first = Window.partitionBy("seg").orderBy("id", "seg_idx")
-    kept = (segs.withColumn("__rn", F.row_number().over(first))
-                .where(F.col("__rn") == 1))
+    kept = (segs.groupBy("seg")
+                .agg(F.min(F.struct("id", "seg_idx")).alias("__f"))
+                .select(F.col("__f.id").alias("id"),
+                        F.col("__f.seg_idx").alias("seg_idx"), "seg"))
     tot = segs.groupBy("id").agg(F.count("*").alias("n_segs"))
     ked = kept.groupBy("id").agg(
         F.count("*").alias("n_kept"),
