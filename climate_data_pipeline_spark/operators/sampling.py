@@ -201,6 +201,33 @@ def token_budget_mix(df: DataFrame, source_col: str, id_col: str,
               .drop("__budget", "__cum"))
 
 
+def training_shards(df: DataFrame, id_col: str, n_shards: int,
+                    salt: str = "") -> DataFrame:
+    """The final deterministic shuffle before training: assign every row
+    a shard in [0, n_shards) and a position within its shard, both
+    md5-derived — the same (shard, pos) on any engine, cluster size, or
+    rerun, so a training run is exactly reproducible from the manifest.
+    Ordering by an independent md5 key *within* the shard interleaves
+    sources/languages/time uniformly (the "global shuffle" data loaders
+    need) without any global sort.
+
+    Scale shape: one shuffle onto the shard key; per-shard sort is the
+    write-side ``repartition(n_shards, shard).sortWithinPartitions``
+    unit — shard count is chosen as the write parallelism (hundreds to
+    thousands at 100 TB), so the window partitioning is exactly the
+    layout the files need anyway. Distinct salts give independent
+    epochs."""
+    from pyspark.sql import Window
+
+    shard = hash_bucket(id_col, n_shards, salt + ":shard")
+    okey = F.md5(F.concat(F.col(id_col).cast("string"),
+                          F.lit(salt + ":pos")))
+    w = (Window.partitionBy("shard")
+               .orderBy(okey.asc(), F.col(id_col).asc()))
+    return (df.withColumn("shard", shard.cast("int"))
+              .withColumn("pos", F.row_number().over(w).cast("long")))
+
+
 def leakage_safe_split(df: DataFrame, id_col: str, group_col: Column | str,
                        weights: dict[str, float],
                        salt: str = "") -> DataFrame:

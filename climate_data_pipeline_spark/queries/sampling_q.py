@@ -19,6 +19,29 @@ from ..sources.io import load_table
 _WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
+@query("train_shard_manifest", oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST({S.sql_hash_bucket("doc_id", 8, ":shard")} AS INTEGER) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':pos') AS okey
+  FROM documents
+)
+SELECT doc_id, source, shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY okey ASC, doc_id ASC) AS pos
+FROM keyed
+""")
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training shard manifest: every document gets a
+    deterministic (shard, pos) — md5 shard assignment, md5-ordered
+    position interleaving sources within the shard
+    (`operators/sampling.training_shards`). Full row-level assignment is
+    value-checked, so both engines agree on the exact training order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (S.training_shards(docs, "doc_id", n_shards=8)
+            .select("doc_id", "source", "shard", "pos"))
+
+
 @query("split_deterministic", oracle=f"""
 SELECT {S.sql_split_case("doc_id", _WEIGHTS)} AS split,
        count(*) AS n_docs,

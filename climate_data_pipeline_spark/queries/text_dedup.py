@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as TX
+from ..functions.exact import exact_avg, sql_exact_avg
 from ..registry import query
 from ..sources.io import load_table
 
@@ -528,6 +529,47 @@ def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return D.contamination_check(corpus, bench, "text", "doc_id", n=3)
+
+
+_REPORT_ORACLE = f"""
+WITH per AS (
+  SELECT doc_id, source, lang, md5(text) AS fp, len({_W}) AS n_words,
+         {{quality}} AS quality
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+       round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_rate,
+       {sql_exact_avg('quality', 6)} AS avg_quality,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM per GROUP BY source
+"""
+
+
+@query("corpus_source_report",
+       oracle=_REPORT_ORACLE.replace("{quality}", _QUALITY_SQL))
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline dashboard: per-source document/word counts, exact-dup
+    rate (distinct content fingerprints), language spread, and mean
+    quality — one scan plus one grouped aggregate with exact
+    (partition-order-invariant) numerators. The roll-up a data-curation
+    team reads before every mix decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(docs, "text")
+    return (q.select("source", "lang", F.md5("text").alias("fp"),
+                     F.size(TX.words("text")).alias("n_words"),
+                     F.round(F.col("quality_score"), 6).alias("quality"))
+             .groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_words").alias("n_words"),
+                  F.countDistinct("fp").alias("n_distinct_texts"),
+                  F.round(F.lit(1.0)
+                          - F.countDistinct("fp") / F.count("*"), 6)
+                   .alias("dup_rate"),
+                  exact_avg("quality", 6).alias("avg_quality"),
+                  F.countDistinct("lang").alias("n_langs")))
 
 
 @query("text_segment_dedup", oracle=f"""

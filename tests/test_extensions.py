@@ -358,6 +358,25 @@ def test_contamination_bounds_and_exact_copy(spark):
     assert out[101] == 0.0   # none of the novel doc's shingles appear
 
 
+def test_training_shards_deterministic_uniform_interleaved(spark):
+    from climate_data_pipeline_spark.operators.sampling import training_shards
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = training_shards(docs, "doc_id", 4).select("doc_id", "shard", "pos")
+    b = training_shards(docs.repartition(13), "doc_id", 4) \
+        .select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    sizes = [r["n"] for r in a.groupBy("shard")
+             .agg(F.count("*").alias("n")).collect()]
+    n = sum(sizes)
+    assert max(sizes) < 2 * n / 4       # no shard hogs the corpus
+    # a different salt is an independent epoch: order actually changes
+    e2 = training_shards(docs, "doc_id", 4, salt="epoch2") \
+        .select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, e2.collect()))
+
+
 def test_incremental_dedup_corpus_and_within_batch(spark):
     from climate_data_pipeline_spark.operators.dedup import incremental_dedup
 
