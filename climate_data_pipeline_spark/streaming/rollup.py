@@ -300,3 +300,47 @@ def streaming_running_zscore_tws(spark: SparkSession, sf_dir: str,
                                           outputStructType=out_schema,
                                           outputMode="append",
                                           timeMode="None"))
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
+                                target_dir: str,
+                                corpus_sigs: DataFrame | None = None,
+                                num_perm: int = 12, bands: int = 4,
+                                n: int = 3,
+                                min_est: float = 0.5) -> "object":
+    """Steady-state near-dup screening as a stream: each micro-batch of
+    newly arrived documents (doc_id % 5 == 0 plays the arrival stream)
+    runs through the SAME batch operator
+    (``operators/dedup.incremental_dedup``) inside ``foreachBatch``
+    against the standing corpus's persisted signature store — stream and
+    batch share one code path, so streaming results ARE the batch
+    results by construction (within-batch precedence applies per
+    micro-batch; corpus-match flags are batch-boundary invariant). The
+    signature store is a static DataFrame re-resolved per micro-batch,
+    so appending the screened batch's signatures to it between triggers
+    gives the rolling-corpus behaviour with no stream state at all —
+    state lives in the store, bounded by corpus size, not stream length.
+
+    Returns the started StreamingQuery (caller drives/stops it)."""
+    from ..operators.dedup import incremental_dedup, minhash_signatures
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .where(F.col("doc_id") % 5 == 0))
+    if corpus_sigs is None:
+        corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .where(F.col("doc_id") % 5 != 0))
+        corpus_sigs = minhash_signatures(corpus, "text", "doc_id",
+                                         num_perm, n).cache()
+
+    def screen(batch_df, batch_id):
+        out = incremental_dedup(None, batch_df, "text", "doc_id",
+                                num_perm=num_perm, bands=bands, n=n,
+                                min_est=min_est, corpus_sigs=corpus_sigs)
+        out.write.mode("append").parquet(target_dir)
+
+    return (stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", target_dir + "_chk")
+            .start())

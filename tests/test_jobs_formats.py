@@ -75,3 +75,26 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     for p in (10, 25, 50, 75, 90, 95, 99):
         rel = abs(a[f"p{p}"] - e[f"p{p}"]) / abs(e[f"p{p}"])
         assert rel < 0.01, f"p{p}: approx {a[f'p{p}']} vs exact {e[f'p{p}']}"
+
+
+def test_write_training_shards_round_trip(spark, sf_small, tmp_path):
+    from climate_data_pipeline_spark.operators.sampling import training_shards
+    from climate_data_pipeline_spark.plans.jobs import write_training_shards
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "shards")
+    result = write_training_shards(docs, out, "doc_id", n_shards=4)
+    assert result["status"] == "completed" and result["verified"]
+    assert result["rows"] == docs.count()
+    # the written files reproduce the manifest order exactly
+    manifest = sorted(map(tuple, training_shards(docs, "doc_id", 4)
+                          .select("doc_id", "shard", "pos").collect()))
+    back = sorted(map(tuple, spark.read.parquet(out)
+                      .select("doc_id", "shard", "pos").collect()))
+    assert back == manifest
+    # one directory per shard, exactly one file in each
+    import glob
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 4
+    for d in dirs:
+        assert len(glob.glob(d + "/part-*.parquet")) == 1

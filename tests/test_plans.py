@@ -227,6 +227,33 @@ def test_streaming_ingest_once_idempotent(spark, sf_dir, tmp_path):
         assert got.select("event_id").distinct().count() == n_batch
 
 
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir):
+    """The stream twin runs the batch operator per micro-batch against the
+    same signature store — with a single micro-batch (the whole file is
+    one trigger here) the results must be byte-equal to the batch op."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.operators.dedup import incremental_dedup
+    from climate_data_pipeline_spark.streaming.rollup import (
+        streaming_incremental_dedup)
+
+    import tempfile
+    target = tempfile.mkdtemp() + "/screened"
+    q = streaming_incremental_dedup(spark, sf_dir, target)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(map(tuple, incremental_dedup(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        "text", "doc_id").collect()))
+    assert got == want and len(got) > 0
+
+
 def test_streaming_interval_join_matches_batch(spark, sf_dir):
     from climate_data_pipeline_spark.sources.io import load_table
     from climate_data_pipeline_spark.streaming.rollup import (
