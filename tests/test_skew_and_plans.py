@@ -271,3 +271,34 @@ def test_lsh_planes_not_derived_per_row(spark, sf_small):
     call in the plan means the planes are being re-derived per row."""
     plan = _plan(spark, sf_small, "sim_lsh_ann")
     assert "md5" not in plan
+
+
+def test_segment_dedup_uses_combinable_agg_not_window(spark, sf_small):
+    """First-occurrence selection must be a partial-aggregated groupBy
+    (viral segments collapse map-side), never a row_number window over
+    segment content."""
+    plan = _plan(spark, sf_small, "text_segment_dedup")
+    assert "partial_min" in plan or "partial_" in plan
+    assert "row_number" not in plan
+
+
+def test_contamination_bloom_probe_is_broadcast_only(spark, sf_small):
+    """The bloom bitmap must enter the corpus scan as broadcast hash
+    probes; no nested-loop/cartesian anywhere."""
+    plan = _plan(spark, sf_small, "text_contamination_bloom")
+    assert plan.count("BroadcastHashJoin") >= 5  # k=5 bitmap probes
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantized_topk_no_nested_loop_on_corpus(spark, sf_small):
+    """Query side broadcasts into the corpus scan (theta join on ids is
+    broadcast-NL by design — the *small* side is broadcast); the exact
+    rerank must not re-scan the corpus."""
+    plan = _plan(spark, sf_small, "sim_quantized_topk")
+    assert plan.count("Scan parquet") <= 2  # corpus once + query subset
+
+
+def test_train_shard_manifest_single_shuffle(spark, sf_small):
+    plan = _plan(spark, sf_small, "train_shard_manifest")
+    assert plan.count("Exchange ") == 1  # shard key only; no global sort
