@@ -169,3 +169,53 @@ def test_zarr_array_roundtrip_fuzz(tmp_path_factory, nt, nx, ct, cx,
     meta = zarr2.open_zarr_store(path)
     got = zarr2.read_zarr_array(path, "v", meta["v"])
     np.testing.assert_array_equal(got, arr)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from("ab"), min_size=1, max_size=30)
+                .map(lambda ws: " ".join(ws)),
+                min_size=1, max_size=8))
+def test_segment_dedup_invariants(spark, docs):
+    """The engine must agree exactly with a sequential Python reference:
+    process docs in id order, segments in order, keep each distinct
+    segment only at its first global occurrence, reassemble in order."""
+    from climate_data_pipeline_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           segment_dedup(df, "text", "doc_id", seg_words=3).collect()}
+    seen: set[str] = set()
+    for i, t in enumerate(docs):
+        ws = t.split()
+        own = [" ".join(ws[j:j + 3]) for j in range(0, len(ws), 3)]
+        kept = []
+        for seg in own:
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        assert out[i]["n_segs"] == len(own)
+        assert out[i]["n_kept"] == len(kept)
+        assert out[i]["text_dedup"] == " ".join(kept)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.sets(st.integers(min_value=0, max_value=10_000), min_size=1,
+               max_size=60),
+       st.sets(st.integers(min_value=0, max_value=10_000), min_size=1,
+               max_size=60))
+def test_bloom_never_drops_members(spark, members, probes):
+    """Bloom prune keeps every true member for ANY key sets (the property
+    exact-confirm correctness rests on)."""
+    from climate_data_pipeline_spark.operators.dedup import (
+        bloom_build, bloom_prune)
+
+    m = spark.createDataFrame([(f"k{v}",) for v in members], "k string")
+    p = spark.createDataFrame([(f"k{v}",) for v in probes], "k string")
+    bloom = bloom_build(m, "k", m_bits=1 << 12, k=3)
+    kept = {r["k"] for r in bloom_prune(p, "k", bloom,
+                                        m_bits=1 << 12, k=3).collect()}
+    truth = {f"k{v}" for v in members & probes}
+    assert truth <= kept

@@ -27,6 +27,10 @@ SENSITIVE = [
     "drift_psi",              # ratio-of-count aggregates
     "harmonic_seasonal_fit",  # closed-form OLS from co-moments
     "sim_cosine_pairs",       # Arrow cosine kernel + banded join
+    "sim_quantized_topk",     # quantized shortlist + exact rerank (r2)
+    "dedup_incremental",      # minhash estimate max aggregation (r2)
+    "corpus_source_report",   # exact-avg quality + dup-rate ratios (r2)
+    "text_segment_dedup",     # min-struct first occurrence + reassembly (r2)
 ]
 
 
