@@ -213,6 +213,61 @@ WHERE ({est}) / {float(num_perm)} >= {min_est}
 """
 
 
+def _minhash_affine_oracle(num_perm: int = 12, bands: int = 4,
+                           min_est: float = 0.5) -> str:
+    """Oracle for the affine (universal-hash) MinHash scheme: ONE md5 per
+    shingle → 28-bit int h, then component i = min((a_i·h + b_i) mod p)
+    with the same md5-derived coefficients the engine uses
+    (`operators/dedup._affine_coeffs`) — re-derived here so both engines
+    express the identical algorithm definition."""
+    from ..operators.dedup import _MERSENNE_P, _affine_coeffs
+
+    rows = num_perm // bands
+    coeffs = _affine_coeffs(num_perm)
+    h = "CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT)"
+    sig_cols = ",\n         ".join(
+        f"min(({a} * {h} + {b}) % {_MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs))
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS key{b}" for b in range(bands))
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band, key{b} AS key FROM keys" for b in range(bands))
+    est = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm))
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT id, {sig_cols} FROM ds GROUP BY id),
+keys AS (SELECT id, {band_keys} FROM sig),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, ({est}) / {float(num_perm)} AS jaccard_est
+FROM cand c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b
+WHERE ({est}) / {float(num_perm)} >= {min_est}
+"""
+
+
+@query("dedup_minhash_affine", oracle=_minhash_affine_oracle())
+def minhash_affine_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup on the `scheme='affine'` signature path — 1
+    md5 + num_perm multiply-adds per shingle instead of num_perm md5
+    evaluations (the CPU trade for a 100 TB corpus), value-checked
+    end-to-end by an oracle that re-derives the identical universal-hash
+    family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_pairs(docs, "text", "doc_id",
+                           num_perm=12, bands=4, min_est=0.5,
+                           scheme="affine")
+
+
 @query("dedup_minhash", oracle=_minhash_oracle())
 def minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup: md5-keyed min-hash signatures over word

@@ -358,6 +358,27 @@ def test_contamination_bounds_and_exact_copy(spark):
     assert out[101] == 0.0   # none of the novel doc's shingles appear
 
 
+def test_text_family_null_and_empty_safe(spark):
+    """Null / empty / whitespace-only text must flow through the text and
+    dedup operators without crashing and with sensible outputs."""
+    from climate_data_pipeline_spark.operators import text as TX
+    from climate_data_pipeline_spark.operators.dedup import (
+        exact_dedup, minhash_signatures, segment_dedup)
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real words here")],
+        "doc_id long, text string")
+    ts = {r["doc_id"]: r for r in TX.token_stats(df, "text").collect()}
+    assert ts[2]["n_words"] == 0 and ts[3]["n_words"] == 0
+    assert ts[4]["n_words"] == 3
+    q = {r["doc_id"]: r for r in TX.quality_score(df, "text").collect()}
+    assert q[2]["quality_score"] is not None  # guards avoid div-by-zero
+    # dedup paths: null/empty docs are excluded, not crashed on
+    assert segment_dedup(df, "text", "doc_id").count() == 1
+    assert minhash_signatures(df, "text", "doc_id", 4).count() == 1
+    assert exact_dedup(df, "text", "doc_id").count() >= 1
+
+
 def test_training_shards_deterministic_uniform_interleaved(spark):
     from climate_data_pipeline_spark.operators.sampling import training_shards
     from climate_data_pipeline_spark.sources.io import load_table
