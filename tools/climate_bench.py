@@ -75,11 +75,39 @@ def _build_zarr_store(cfg: dict, store: str) -> int:
     return int(temp.size)
 
 
+def _build_hdf5_store(cfg: dict, store: str) -> int:
+    """Same dense grid → a netCDF-4-flavoured HDF5 file with the
+    reference's benchmark chunking (50×50×50, shuffle+deflate) — the
+    reference's PRIMARY on-disk format, read back through the
+    chunk-per-task distributed reader with chunk-index pruning."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources.hdf5 import write_hdf5
+
+    days = cfg["days"]
+    lat = -90.0 + np.arange(int(180 / cfg["lat_step"]) + 1) * cfg["lat_step"]
+    lon = -180.0 + np.arange(int(360 / cfg["lon_step"])) * cfg["lon_step"]
+    t = np.arange(days, dtype=np.int32)
+    doy = t + 1
+    rng = np.random.default_rng(42)
+    temp = (288.0 - 40.0 * np.abs(lat)[None, :, None] / 90.0
+            + 10.0 * np.sin(2 * np.pi * (doy - 80) / 365.0)[:, None, None]
+            + rng.normal(0, 2, (days, len(lat), len(lon)))
+            ).astype(np.float32)
+    write_hdf5(store,
+               dims={"time": (t, {"units": "days since 2020-01-01"}),
+                     "lat": lat, "lon": lon},
+               variables={"temperature": (["time", "lat", "lon"], temp, {})},
+               chunks={"temperature": (50, 50, 50)},
+               compress=True)
+    return int(temp.size)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="medium", choices=sorted(SCALES))
     ap.add_argument("--store", default="parquet",
-                    choices=["parquet", "zarr"])
+                    choices=["parquet", "zarr", "hdf5"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     args = ap.parse_args()
@@ -100,6 +128,12 @@ def main() -> None:
         n_rows = _build_zarr_store(cfg, store)
         build_s = time.perf_counter() - t0
         df = None  # zarr patterns construct pruned reads per query
+    elif args.store == "hdf5":
+        store += ".nc"
+        t0 = time.perf_counter()
+        n_rows = _build_hdf5_store(cfg, store)
+        build_s = time.perf_counter() - t0
+        df = None  # hdf5 patterns construct pruned reads per query
     else:
         grid = climate_grid(spark, start="2020-01-01", **cfg)
         t0 = time.perf_counter()
@@ -122,13 +156,21 @@ def main() -> None:
         import datetime
         return str(datetime.date(2020, 1, 1) + datetime.timedelta(days=day))
 
-    if args.store == "zarr":
-        from climate_data_pipeline_spark.sources.zarr2 import (
-            read_zarr_long_distributed,
-        )
+    if args.store in ("zarr", "hdf5"):
+        if args.store == "zarr":
+            from climate_data_pipeline_spark.sources.zarr2 import (
+                read_zarr_long_distributed,
+            )
 
-        def zread(**kw):
-            return read_zarr_long_distributed(spark, store, **kw)
+            def zread(**kw):
+                return read_zarr_long_distributed(spark, store, **kw)
+        else:
+            from climate_data_pipeline_spark.sources.hdf5 import (
+                read_hdf5_long_distributed,
+            )
+
+            def zread(**kw):
+                return read_hdf5_long_distributed(spark, store, **kw)
 
         benchmarks = {
             # same four access patterns, chunk-index-pruned zarr reads
