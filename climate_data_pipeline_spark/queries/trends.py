@@ -71,18 +71,80 @@ def trend_confidence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("margin", 8).alias("margin"), "n")
 
 
-@query("a9_mann_kendall", oracle=None)  # non-SQL-expressible → rows-only check
+_MK_FULL_ORACLE_TMPL = """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         date_trunc('month', l_shipdate) AS mo,
+         AVG(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.l_returnflag, a.l_linestatus,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+         (b.v - a.v) / ((epoch(b.mo) - epoch(a.mo)) / (365.25 * 86400))
+           AS slope
+  FROM m a JOIN m b
+    ON a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
+   AND a.mo < b.mo
+),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(sgn) AS DOUBLE) AS s_stat,
+         round(quantile_cont(slope, 0.5), 8) AS sen_slope
+  FROM pairs GROUP BY 1, 2
+),
+ties AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS t
+  FROM m GROUP BY l_returnflag, l_linestatus, v HAVING count(*) > 1
+),
+vars AS (
+  SELECT m.l_returnflag, m.l_linestatus, count(*) AS n,
+         (count(*) * (count(*) - 1) * (2 * count(*) + 5)
+          - COALESCE((SELECT SUM(t * (t - 1) * (2 * t + 5)) FROM ties
+                      WHERE ties.l_returnflag = m.l_returnflag
+                        AND ties.l_linestatus = m.l_linestatus), 0)) / 18.0
+         AS var_s
+  FROM m GROUP BY 1, 2
+),
+z AS (
+  SELECT s.l_returnflag, s.l_linestatus, s.s_stat, s.sen_slope,
+         vars.var_s, vars.n,
+         CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt(vars.var_s)
+              WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt(vars.var_s)
+              ELSE 0.0 END AS z
+  FROM s JOIN vars USING (l_returnflag, l_linestatus)
+)
+SELECT l_returnflag, l_linestatus, s_stat, var_s, sen_slope, n,
+       round(z, 6) AS z,
+       round({p_expr}, 6) AS p_value,
+       (round({p_expr}, 6) < 0.05) AS significant
+FROM z
+"""
+
+
+@query("a9_mann_kendall",
+       oracle=_MK_FULL_ORACLE_TMPL.format(
+           p_expr=SC.sql_normal_sf_two_sided("z")))
 def mann_kendall_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — Mann-Kendall + Sen's slope per series over *monthly-aggregated*
     values (reference `metrics/trends.py:68-167` runs per grid cell on the
     time series, not raw observations — aggregate first, then the O(n²)
-    kernel sees ~80 points/series)."""
+    kernel sees ~80 points/series). Every output is value-checked: the
+    oracle re-derives S, tie-corrected Var(S), Sen's slope, the
+    continuity-corrected Z, and the shared-polynomial p — the full
+    combination of the a9_mk_* component oracles."""
     li = load_table(spark, sf_dir, "lineitem")
     monthly = T.monthly_mean(li, "l_shipdate", "l_quantity",
                              keys=["l_returnflag", "l_linestatus"],
                              alias="avg_qty")
-    return TR.mann_kendall(monthly, "month_start", "avg_qty",
-                           keys=["l_returnflag", "l_linestatus"], alpha=0.05)
+    out = TR.mann_kendall(monthly, "month_start", "avg_qty",
+                          keys=["l_returnflag", "l_linestatus"], alpha=0.05)
+    p_approx = F.round(SC.normal_sf_two_sided(F.col("z")), 6)
+    return out.select("l_returnflag", "l_linestatus", "s_stat", "var_s",
+                      F.round("sen_slope", 8).alias("sen_slope"), "n",
+                      F.round("z", 6).alias("z"),
+                      p_approx.alias("p_value"),
+                      (p_approx < 0.05).alias("significant"))
 
 
 # Mann-Kendall core statistics ARE SQL-expressible on the aggregated
