@@ -409,6 +409,56 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
                         "cosine", "rank"))
 
 
+def ivf_ann_seeded(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   query_id: str = "q_id", corpus_id: str = "vec_id",
+                   query_vec: str = "q_vec", corpus_vec: str = "embedding",
+                   n_lists: int = 16, n_probe: int = 2,
+                   round_dp: int = 6) -> DataFrame:
+    """IVF-flat with deterministic seeding: the first ``n_lists`` corpus
+    vectors (by id) ARE the cell centroids — no training pass, no RNG,
+    no partition-order dependence — so the entire pipeline (assignment,
+    probe selection, candidate join, ranking) is reproducible on any
+    engine and value-checkable end-to-end. Same bucket-join plan as the
+    learned-KMeans `ivf_ann` (which buys adaptive cells at the cost of
+    a training job and a rows-only check); on corpora with real cluster
+    structure, seed vectors land inside clusters and this is the cheap
+    first cut.
+
+    Assignment = argmax cosine over the broadcast centroid table
+    (deterministic tiebreak on centroid id); queries probe their
+    ``n_probe`` nearest cells; candidates come from the cell equi-join;
+    exact cosine ranks within candidates only."""
+    cents = (corpus.orderBy(F.col(corpus_id).asc()).limit(n_lists)
+             .select(F.col(corpus_id).alias("__cell"),
+                     F.col(corpus_vec).alias("__cvec")))
+    sim = F.round(cosine(F.col(corpus_vec), F.col("__cvec")), round_dp)
+    aw = Window.partitionBy(corpus_id).orderBy(F.col("__sim").desc(),
+                                               F.col("__cell").asc())
+    assigned = (corpus.join(F.broadcast(cents))
+                .withColumn("__sim", sim)
+                .withColumn("__r", F.row_number().over(aw))
+                .where(F.col("__r") == 1)
+                .select(corpus_id, corpus_vec, "__cell"))
+    qsim = F.round(cosine(F.col(query_vec), F.col("__cvec")), round_dp)
+    qw = Window.partitionBy(query_id).orderBy(F.col("__sim").desc(),
+                                              F.col("__cell").asc())
+    probes = (queries.join(F.broadcast(cents))
+              .withColumn("__sim", qsim)
+              .withColumn("__r", F.row_number().over(qw))
+              .where(F.col("__r") <= n_probe)
+              .select(query_id, query_vec, "__cell"))
+    cand = (assigned.join(probes, "__cell")
+                    .where(F.col(query_id) != F.col(corpus_id)))
+    cos = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_dp)
+    rw = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                              F.col(corpus_id).asc())
+    return (cand.withColumn("cosine", cos)
+                .withColumn("rank", F.row_number().over(rw).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(query_id, corpus_id, F.col("__cell").alias("cell"),
+                        "cosine", "rank"))
+
+
 def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
             query_id: str = "q_id", corpus_id: str = "vec_id",
             query_vec: str = "q_vec", corpus_vec: str = "embedding",

@@ -50,6 +50,66 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(queries, emb, k=5)
 
 
+_COS_EC = ("round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))"
+           " / (sqrt(SUM(pow(CAST(e.embedding[i] AS DOUBLE), 2)))"
+           " * sqrt(SUM(pow(CAST(c.cvec[i] AS DOUBLE), 2)))), 6)")
+
+
+@query("sim_ivf_seeded", oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT 16
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cell, {_COS_EC} AS sim
+  FROM embeddings e CROSS JOIN cents c
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id, e.embedding, c.cell
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM asg
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell ASC) = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cell FROM asg
+  WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell ASC) <= 3
+),
+cand AS (
+  SELECT p.q_id, p.q_vec, a.vec_id, a.cell, a.embedding AS c_vec
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE p.q_id <> a.vec_id
+),
+rr AS (
+  SELECT d.q_id, d.vec_id, d.cell,
+         round(SUM(CAST(d.c_vec[i] AS DOUBLE) * CAST(d.q_vec[i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(d.c_vec[i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(d.q_vec[i] AS DOUBLE), 2)))), 6)
+           AS cosine
+  FROM cand d CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY d.q_id, d.vec_id, d.cell
+)
+SELECT q_id, vec_id, cell, cosine,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM rr
+QUALIFY rank <= 5
+""")
+def ivf_seeded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF-flat ANN (seed-vector centroids, no training
+    pass): assignment, probe selection, candidate join and ranking are
+    all value-checked by an oracle re-deriving the identical pipeline —
+    the oracle-green counterpart of the learned-KMeans `sim_ivf_ann`
+    (same bucket-join plan, rows-only by contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return SIM.ivf_ann_seeded(queries, emb, k=5, n_lists=16, n_probe=3)
+
+
 @query("sim_quantized_topk", oracle=f"""
 WITH z AS (
   SELECT vec_id, embedding,
