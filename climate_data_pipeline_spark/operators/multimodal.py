@@ -35,14 +35,160 @@ def attach_payload(df: DataFrame, id_col: str, source_col: str,
                      F.length(payload).cast("long").alias("n_bytes"))
 
 
+def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build REAL media payloads deterministically from text rows — even
+    ids become 16×16 8-bit PGM images (pixel = repeated text bytes), odd
+    ids become 16-bit mono WAV clips (samples from scaled char codes) —
+    so the real-codec path has genuine containers to decode without any
+    external media library."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def pgm(text: str) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            px = np.frombuffer(raw, dtype=np.uint8)
+            px = np.resize(px, 256).reshape(16, 16)
+            return b"P5\n16 16\n255\n" + px.tobytes()
+
+        def wav(text: str) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            samples = (np.frombuffer(raw, dtype=np.uint8)
+                       .astype(np.int16) - 64) * 256
+            samples = np.resize(samples, 400)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(samples.astype("<i2").tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads, types = [], []
+            for i, t in zip(ids, pdf[text_col].fillna("")):
+                if int(i) % 2 == 0:
+                    payloads.append(pgm(t))
+                    types.append("image/x-portable-graymap")
+                else:
+                    payloads.append(wav(t))
+                    types.append("audio/wav")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": types,
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (df.select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
+def decode_media_real(df: DataFrame) -> DataFrame:
+    """REAL codec path — pure-python decoders for the stdlib-decodable
+    containers (binary netpbm P5/P6 images; RIFF/WAVE PCM audio),
+    dispatched on magic bytes inside the same Arrow ``mapInPandas``
+    plan as the fake decoder. Image rows fill (width, height,
+    mean_value from actual pixels); audio rows fill (n_channels,
+    sample_rate, n_samples, mean_value = RMS amplitude from actual
+    samples). Anything else (JPEG/PNG/MP4 — codecs this container
+    lacks) raises a clear per-payload error; swapping in PIL/ffmpeg
+    extends the dispatch, not the plan."""
+    out_schema = ("media_id long, media_type string, n_bytes long, "
+                  "kind string, width int, height int, n_channels int, "
+                  "sample_rate int, n_samples long, mean_value double")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def decode_pgm(p: bytes) -> dict:
+            # binary netpbm: P5 (gray) / P6 (rgb); whitespace-separated
+            # header tokens, optional comments
+            toks, i, ntok = [], 2, 0
+            while ntok < 3 and i < len(p):
+                while i < len(p) and p[i:i + 1].isspace():
+                    i += 1
+                if p[i:i + 1] == b"#":
+                    while i < len(p) and p[i:i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(p) and not p[j:j + 1].isspace():
+                    j += 1
+                toks.append(int(p[i:j]))
+                ntok += 1
+                i = j
+            i += 1  # single whitespace after maxval
+            w, h, _maxval = toks
+            ch = 3 if p[:2] == b"P6" else 1
+            px = np.frombuffer(p, dtype=np.uint8,
+                               count=w * h * ch, offset=i)
+            return {"kind": "image", "width": w, "height": h,
+                    "n_channels": ch, "sample_rate": None,
+                    "n_samples": None,
+                    "mean_value": float(px.mean())}
+
+        def decode_wav(p: bytes) -> dict:
+            with wave.open(io.BytesIO(p), "rb") as f:
+                nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
+                                      f.getframerate(), f.getnframes())
+                raw = f.readframes(nfr)
+            dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
+            s = np.frombuffer(raw, dtype=dt).astype(np.float64)
+            rms = float(np.sqrt((s * s).mean())) if s.size else 0.0
+            return {"kind": "audio", "width": None, "height": None,
+                    "n_channels": nch, "sample_rate": rate,
+                    "n_samples": nfr, "mean_value": rms}
+
+        for pdf in batches:
+            metas = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:2] in (b"P5", b"P6"):
+                    metas.append(decode_pgm(b))
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    metas.append(decode_wav(b))
+                else:
+                    raise NotImplementedError(
+                        f"no pure-python codec for payload magic "
+                        f"{b[:4]!r}; extend decode_media_real's dispatch")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["n_bytes"].astype("int64"),
+                "kind": [m["kind"] for m in metas],
+                "width": pd.Series([m["width"] for m in metas],
+                                   dtype="Int32"),
+                "height": pd.Series([m["height"] for m in metas],
+                                    dtype="Int32"),
+                "n_channels": pd.Series([m["n_channels"] for m in metas],
+                                        dtype="Int32"),
+                "sample_rate": pd.Series([m["sample_rate"] for m in metas],
+                                         dtype="Int32"),
+                "n_samples": pd.Series([m["n_samples"] for m in metas],
+                                       dtype="Int64"),
+                "mean_value": [m["mean_value"] for m in metas],
+            })
+
+    return df.mapInPandas(_decode, schema=out_schema)
+
+
 def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
     """Decode payloads to typed metadata via ``mapInPandas`` (per-partition
     Arrow batches — the multimodal hot path never serializes row-at-a-time).
-    ``real=True`` is the stubbed codec seam."""
+    ``real=True`` dispatches the pure-python codecs (netpbm/WAV —
+    `decode_media_real`); formats needing PIL/ffmpeg raise per payload."""
     if real:
-        raise NotImplementedError(
-            "STUB: real media decode requires PIL/librosa/ffmpeg, not "
-            "available in this environment; wire the codec into _decode_batch")
+        return decode_media_real(df)
 
     out_schema = ("media_id long, media_type string, n_bytes long, "
                   "width int, height int, mean_intensity double")

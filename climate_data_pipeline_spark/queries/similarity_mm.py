@@ -311,6 +311,19 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media(media)
 
 
+@query("mm_decode_real", oracle=None)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip, no external media libraries: documents are
+    rendered into genuine containers (even ids → binary PGM images, odd
+    ids → 16-bit PCM WAV clips) and decoded back by the pure-python
+    netpbm/WAVE parsers (`operators/multimodal.decode_media_real`) —
+    actual pixel means and RMS amplitudes, not byte statistics. The
+    decode plan is the same Arrow mapInPandas shape as the stub."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs, "doc_id", "text")
+    return MM.decode_media_real(media)
+
+
 @query("mm_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature vectors (array<double>) from binary payloads

@@ -142,8 +142,10 @@ def test_multimodal_decode_stub_and_fake(spark, docs):
     assert out.count() == docs.count()
     row = out.first()
     assert row["width"] >= 16 and row["mean_intensity"] > 0
-    with pytest.raises(NotImplementedError, match="STUB"):
-        MM.decode_media(media, real=True)
+    # real=True dispatches actual codecs; these payloads are raw UTF-8
+    # text (no container magic), so the decode fails loudly per payload
+    with pytest.raises(Exception, match="no pure-python codec"):
+        MM.decode_media(media, real=True).collect()
 
 
 def test_multimodal_features_shape(spark, docs):
@@ -356,6 +358,40 @@ def test_contamination_bounds_and_exact_copy(spark):
            for r in contamination_check(corpus, bench, "text", "doc_id").collect()}
     assert out[100] == 1.0   # every shingle of the copy is in the corpus
     assert out[101] == 0.0   # none of the novel doc's shingles appear
+
+
+def test_real_media_codecs_round_trip(spark):
+    """PGM and WAV payloads decode to the exact pixel/sample statistics a
+    local reference computes — the codec path is real, not a byte fake."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_media)
+
+    df = spark.createDataFrame(
+        [(0, "an image text payload"), (1, "an audio text payload")],
+        "doc_id long, text string")
+    out = {r["media_id"]: r for r in
+           decode_media_real(synthesize_media(df, "doc_id", "text"))
+           .collect()}
+    img, aud = out[0], out[1]
+    assert img["kind"] == "image" and (img["width"], img["height"]) == (16, 16)
+    px = np.resize(np.frombuffer(b"an image text payload", np.uint8), 256)
+    assert abs(img["mean_value"] - float(px.mean())) < 1e-9
+    assert aud["kind"] == "audio"
+    assert aud["sample_rate"] == 8000 and aud["n_samples"] == 400
+    s = np.resize((np.frombuffer(b"an audio text payload", np.uint8)
+                   .astype(np.int16) - 64) * 256, 400).astype(np.float64)
+    assert abs(aud["mean_value"] - float(np.sqrt((s * s).mean()))) < 1e-6
+    # unsupported magic fails loudly, per payload
+    import pytest as _pt
+    from pyspark.sql import functions as _F
+    bad = spark.createDataFrame([(9, "image/png", bytearray(b"\x89PNG___"),
+                                  8)],
+                                "media_id long, media_type string, "
+                                "payload binary, n_bytes long")
+    with _pt.raises(Exception, match="no pure-python codec"):
+        decode_media_real(bad).collect()
 
 
 def test_text_family_null_and_empty_safe(spark):
