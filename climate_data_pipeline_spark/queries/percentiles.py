@@ -137,3 +137,41 @@ def doy_window_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("doy_bin", "l_returnflag",
                       F.round("p50", 6).alias("p50"),
                       F.round("p90", 6).alias("p90"))
+
+
+@query("a5_approx_percentile_check", oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.50), 6) AS exact_p50,
+       round(quantile_cont(l_quantity, 0.90), 6) AS exact_p90,
+       TRUE AS approx_p50_in_rank_window,
+       TRUE AS approx_p90_in_rank_window
+FROM lineitem GROUP BY 1
+""")
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A5 production mode (`approx_percentile` — single-pass sketch,
+    fixed memory; the `exact=False` flag at 100 TB) given a real check,
+    the `approx_distinct` pattern: the sketch's guarantee is RANK error,
+    so the Spark side asserts each approximate quantile lands between
+    the exact ±5-rank-point neighbors (p45..p55 for the median) computed
+    in the same aggregation, and the oracle pins that bound TRUE next to
+    the exact values — a sketch regression flips the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    exact = F.expr(
+        "percentile(CAST(l_quantity AS DOUBLE), "
+        "array(0.45, 0.50, 0.55, 0.85, 0.90, 0.95))")
+    approx = F.expr(
+        "approx_percentile(CAST(l_quantity AS DOUBLE), "
+        "array(0.50, 0.90), 1000)")
+    agg = (li.groupBy("l_returnflag")
+             .agg(exact.alias("__e"), approx.alias("__a")))
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("__e")[1], 6).alias("exact_p50"),
+        F.round(F.col("__e")[4], 6).alias("exact_p90"),
+        ((F.col("__a")[0] >= F.col("__e")[0])
+         & (F.col("__a")[0] <= F.col("__e")[2]))
+        .alias("approx_p50_in_rank_window"),
+        ((F.col("__a")[1] >= F.col("__e")[3])
+         & (F.col("__a")[1] <= F.col("__e")[5]))
+        .alias("approx_p90_in_rank_window"))
