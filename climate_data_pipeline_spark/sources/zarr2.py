@@ -191,10 +191,99 @@ def _fill_for(fill, dtype: np.dtype):
     return np.nan if dtype.kind == "f" else 0
 
 
+# zarr v3 data_type names → numpy dtype strings (little-endian base;
+# the bytes codec's endian flips it)
+_V3_DTYPES = {
+    "bool": "|b1", "int8": "|i1", "uint8": "|u1",
+    "int16": "<i2", "uint16": "<u2", "int32": "<i4", "uint32": "<u4",
+    "int64": "<i8", "uint64": "<u8", "float32": "<f4", "float64": "<f8",
+}
+
+
+def _v3_to_v2_meta(node: dict) -> dict:
+    """Normalize a zarr v3 array node (``zarr.json``) to the v2-shaped
+    metadata dict the rest of this module consumes — one read path for
+    both format versions. Unsupported v3 codecs (sharding, transpose,
+    crc32c) raise with a clear message."""
+    endian = "little"
+    compressor = None
+    for c in node.get("codecs", []):
+        nm = c.get("name")
+        cfg = c.get("configuration") or {}
+        if nm == "bytes":
+            endian = cfg.get("endian", "little")
+        elif nm == "blosc":
+            # frames self-describe cname/shuffle; config needed only to write
+            compressor = {"id": "blosc", **cfg}
+        elif nm == "zstd":
+            compressor = {"id": "zstd", "level": cfg.get("level", 0)}
+        elif nm == "gzip":
+            compressor = {"id": "gzip", "level": cfg.get("level", 6)}
+        else:
+            raise NotImplementedError(
+                f"zarr v3 codec {nm!r} not supported (supported: bytes, "
+                f"blosc, zstd, gzip; sharded stores need rewriting "
+                f"unsharded)")
+    dt = _V3_DTYPES.get(node["data_type"])
+    if dt is None:
+        raise NotImplementedError(
+            f"zarr v3 data_type {node['data_type']!r} not supported")
+    if endian == "big" and dt[0] == "<":
+        dt = ">" + dt[1:]
+    cke = node.get("chunk_key_encoding") or {}
+    fill = node.get("fill_value")
+    if fill in ("NaN", "Infinity", "-Infinity"):
+        fill = float(fill)
+    za = {
+        "shape": list(node["shape"]),
+        "chunks": list(node["chunk_grid"]["configuration"]["chunk_shape"]),
+        "dtype": dt, "order": "C", "fill_value": fill,
+        "compressor": compressor,
+        "dimension_separator": (cke.get("configuration") or {})
+        .get("separator", "/"),
+        "_v3": True, "_key_encoding": cke.get("name", "default"),
+    }
+    attrs = dict(node.get("attributes") or {})
+    if node.get("dimension_names"):
+        attrs["_ARRAY_DIMENSIONS"] = list(node["dimension_names"])
+    return {"zarray": za, "attrs": attrs}
+
+
+def _chunk_path(path: str, name: str, za: dict, idx: tuple) -> str:
+    """Chunk file path for either format version: v2 keys are
+    ``sep.join(idx)``; v3 default encoding prefixes ``c``."""
+    sep = za.get("dimension_separator", ".")
+    if za.get("_v3") and za.get("_key_encoding", "default") != "v2":
+        key = "c" + (sep + sep.join(map(str, idx)) if idx else "")
+    else:
+        key = sep.join(map(str, idx)) or "0"
+    return os.path.join(path, name, key)
+
+
 def open_zarr_store(path: str) -> dict[str, dict]:
     """Array name → metadata (``.zarray`` + ``attrs``). Uses consolidated
-    ``.zmetadata`` when present, else walks the directory."""
+    ``.zmetadata`` when present, else walks the directory. Zarr v3
+    stores (root ``zarr.json`` group — what zarr-python ≥ 3 writes by
+    default) are detected and normalized to the same shape."""
     meta: dict[str, dict] = {}
+    v3root = os.path.join(path, "zarr.json")
+    if os.path.exists(v3root):
+        with open(v3root) as fh:
+            root = json.load(fh)
+        if root.get("node_type") == "array":
+            raise ValueError(
+                "path is a single zarr v3 array, not a group store; "
+                "point at the containing group")
+        for entry in sorted(os.listdir(path)):
+            aj = os.path.join(path, entry, "zarr.json")
+            if os.path.isfile(aj):
+                with open(aj) as fh:
+                    node = json.load(fh)
+                if node.get("node_type") == "array":
+                    meta[entry] = _v3_to_v2_meta(node)
+        if not meta:
+            raise ValueError(f"no zarr v3 arrays under {path}")
+        return meta
     zmeta = os.path.join(path, ".zmetadata")
     if os.path.exists(zmeta):
         with open(zmeta) as fh:
@@ -235,9 +324,8 @@ def read_zarr_array(path: str, name: str, meta: dict) -> np.ndarray:
     fill = _fill_for(za.get("fill_value"), dtype)
     out = np.full(shape, fill, dtype=dtype) \
         if shape else np.zeros((), dtype=dtype)
-    sep = za.get("dimension_separator", ".")
     for idx in iproduct(*[range(n) for n in _chunk_grid(shape, chunks)]):
-        fname = os.path.join(path, name, sep.join(map(str, idx)) or "0")
+        fname = _chunk_path(path, name, za, idx)
         if not os.path.exists(fname):
             continue
         with open(fname, "rb") as fh:
@@ -497,8 +585,7 @@ def read_zarr_long_distributed(spark, path: str, variables=None,
                 arrays = {}
                 for n in data_names:
                     za = metas[n]["zarray"]
-                    sep = za.get("dimension_separator", ".")
-                    fname = os.path.join(path, n, sep.join(map(str, idx)))
+                    fname = _chunk_path(path, n, za, idx)
                     if os.path.exists(fname):
                         with open(fname, "rb") as fh:
                             arr = _decode_chunk(
@@ -539,3 +626,117 @@ def read_zarr_long_distributed(spark, path: str, variables=None,
         from .io import bbox_filter
         out = bbox_filter(out, dims["lat"], dims["lon"], bbox)
     return out
+
+
+_V3_DTYPE_NAMES = {v: k for k, v in _V3_DTYPES.items()}
+
+
+def write_zarr3(path: str, dims: dict[str, np.ndarray],
+                variables: dict[str, tuple[list[str], np.ndarray, dict]],
+                chunks: dict[str, list[int]] | None = None,
+                codec: str = "zstd",
+                attrs: dict | None = None) -> str:
+    """Write a Zarr v3 group store (what zarr-python ≥ 3 / new xarray
+    write by default): root ``zarr.json`` group, per-array ``zarr.json``
+    with bytes+compression codec chain, default ``c/``-prefixed chunk
+    keys, ``dimension_names`` carrying the xarray dimension mapping.
+    ``codec`` ∈ zstd | gzip | blosc | none. Primarily the fixture/export
+    twin of the v3 read path; chunking semantics mirror `write_zarr`."""
+    import gzip as _gzip
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "zarr.json"), "w") as fh:
+        json.dump({"zarr_format": 3, "node_type": "group",
+                   "attributes": attrs or {}}, fh)
+
+    def codec_chain():
+        chain = [{"name": "bytes", "configuration": {"endian": "little"}}]
+        if codec == "zstd":
+            chain.append({"name": "zstd", "configuration": {"level": 3}})
+        elif codec == "gzip":
+            chain.append({"name": "gzip", "configuration": {"level": 6}})
+        elif codec == "blosc":
+            chain.append({"name": "blosc", "configuration": {
+                "cname": "zstd", "clevel": 3, "shuffle": "shuffle"}})
+        elif codec != "none":
+            raise ValueError(f"unknown codec {codec!r}")
+        return chain
+
+    def compress(buf: bytes, typesize: int) -> bytes:
+        if codec == "zstd":
+            from pyarrow import Codec
+            return Codec("zstd", 3).compress(buf, asbytes=True)
+        if codec == "gzip":
+            return _gzip.compress(buf, 6)
+        if codec == "blosc":
+            return blosc_compress(buf, typesize, cname="zstd", shuffle=True)
+        return buf
+
+    def write_array(name: str, arr: np.ndarray, dim_names: list[str],
+                    a_attrs: dict, chunk_shape: list[int]) -> None:
+        arr = np.ascontiguousarray(arr)
+        le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+        canon = le.dtype.str
+        if canon[0] in "=>":
+            canon = "<" + canon[1:]
+        dt_name = _V3_DTYPE_NAMES.get(canon)
+        if dt_name is None:
+            raise NotImplementedError(
+                f"dtype {arr.dtype} not supported by the v3 writer")
+        fill = float("nan") if arr.dtype.kind == "f" else 0
+        node = {
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(arr.shape), "data_type": dt_name,
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": chunk_shape}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": ("NaN" if arr.dtype.kind == "f" and fill != fill
+                           else fill),
+            "codecs": codec_chain(),
+            "dimension_names": dim_names,
+            "attributes": a_attrs,
+        }
+        adir = os.path.join(path, name)
+        os.makedirs(adir, exist_ok=True)
+        with open(os.path.join(adir, "zarr.json"), "w") as fh:
+            json.dump(node, fh)
+        grid = _chunk_grid(arr.shape, chunk_shape)
+        for idx in iproduct(*[range(n) for n in grid]):
+            sel = tuple(slice(i * c, min((i + 1) * c, s))
+                        for i, c, s in zip(idx, chunk_shape, arr.shape))
+            block = np.full(chunk_shape, node["fill_value"]
+                            if not isinstance(node["fill_value"], str)
+                            else np.nan, dtype=le.dtype)
+            piece = le[sel]
+            block[tuple(slice(0, p) for p in piece.shape)] = piece
+            key = "c" + ("/" + "/".join(map(str, idx)) if idx else "")
+            fname = os.path.join(adir, key)
+            os.makedirs(os.path.dirname(fname), exist_ok=True)
+            with open(fname, "wb") as fh:
+                fh.write(compress(block.tobytes(), le.dtype.itemsize))
+
+    for dname, dvals in dims.items():
+        dvals = np.asarray(dvals)
+        d_attrs = {}
+        if np.issubdtype(dvals.dtype, np.datetime64):
+            # CF-encode at a resolution that divides every offset exactly
+            epoch = dvals.min()
+            off_ns = ((dvals - epoch).astype("timedelta64[ns]")
+                      .astype(np.int64))
+            if (off_ns % 1_000_000_000).any():
+                unit, div = "microseconds", 1_000
+            else:
+                unit, div = "seconds", 1_000_000_000
+            eu = ("s" if epoch == epoch.astype("datetime64[s]")
+                  .astype(epoch.dtype) else "us")
+            d_attrs["units"] = (
+                f"{unit} since "
+                f"{np.datetime_as_string(epoch, unit=eu).replace('T', ' ')}")
+            dvals = off_ns // div
+        write_array(dname, dvals, [dname], d_attrs, [len(dvals) or 1])
+    for vname, (dim_names, arr, v_attrs) in variables.items():
+        cshape = list((chunks or {}).get(vname, list(np.asarray(arr).shape)))
+        write_array(vname, np.asarray(arr), list(dim_names),
+                    dict(v_attrs or {}), cshape)
+    return path

@@ -317,3 +317,78 @@ def test_distributed_read_chunk_pruning(spark, store):
     # out-of-range predicate selects zero chunks and zero rows
     assert zarr2.read_zarr_long_distributed(
         spark, store, time_range=("2031-01-01", "2031-12-31")).count() == 0
+
+
+# ---- zarr v3 (zarr-python >= 3 default format) -------------------------------
+
+@pytest.fixture()
+def v3_store(tmp_path):
+    t = (np.arange("2021-01-01", "2021-01-11", dtype="datetime64[D]")
+         .astype("datetime64[ns]"))
+    temp = np.arange(90, dtype=np.float32).reshape(10, 3, 3) + 250.0
+    path = str(tmp_path / "store_v3.zarr")
+    zarr2.write_zarr3(
+        path,
+        dims={"time": t, "lat": np.array([-10., 0., 10.]),
+              "lon": np.array([100., 110., 120.])},
+        variables={"temperature": (["time", "lat", "lon"], temp,
+                                   {"units": "K"})},
+        chunks={"temperature": [4, 2, 3]}, codec="zstd")
+    return path, temp
+
+
+@pytest.mark.parametrize("codec", ["zstd", "gzip", "blosc", "none"])
+def test_v3_roundtrip_all_codecs(tmp_path, codec):
+    arr = np.random.default_rng(3).normal(0, 1, (5, 4)).astype(np.float64)
+    path = str(tmp_path / f"v3_{codec}")
+    zarr2.write_zarr3(path, dims={"x": np.arange(5.0), "y": np.arange(4.0)},
+                      variables={"v": (["x", "y"], arr, {})},
+                      chunks={"v": [2, 3]}, codec=codec)
+    meta = zarr2.open_zarr_store(path)
+    assert meta["v"]["zarray"]["_v3"] is True
+    back = zarr2.read_zarr_array(path, "v", meta["v"])
+    assert np.array_equal(back, arr)
+
+
+def test_v3_long_read_with_cf_time(spark, v3_store):
+    path, temp = v3_store
+    df = zarr2.read_zarr_long(spark, path)
+    assert df.count() == 90
+    row = df.orderBy("time", "lat", "lon").first()
+    assert str(row["time"]).startswith("2021-01-01")
+    assert abs(row["temperature"] - float(temp[0, 0, 0])) < 1e-6
+    # time-range predicate prunes to 3 days
+    sel = zarr2.read_zarr_long(spark, path,
+                               time_range=("2021-01-02", "2021-01-04"))
+    assert sel.count() == 27
+
+
+def test_v3_distributed_read_matches_eager(spark, v3_store):
+    path, _ = v3_store
+    eager = sorted(map(tuple, zarr2.read_zarr_long(spark, path).collect()))
+    dist = sorted(map(tuple, zarr2.read_zarr_long_distributed(
+        spark, path).collect()))
+    assert dist == eager
+
+
+def test_v3_info_and_unsupported_codecs(tmp_path, v3_store):
+    path, _ = v3_store
+    info = zarr2.zarr_info(path)
+    assert "temperature" in info["arrays"]
+    # a sharded/transposed store fails loudly, not silently wrong
+    import json as _json
+    bad = str(tmp_path / "sharded")
+    os.makedirs(bad + "/v")
+    _json.dump({"zarr_format": 3, "node_type": "group"},
+               open(bad + "/zarr.json", "w"))
+    _json.dump({"zarr_format": 3, "node_type": "array", "shape": [4],
+                "data_type": "float32",
+                "chunk_grid": {"name": "regular",
+                               "configuration": {"chunk_shape": [4]}},
+                "chunk_key_encoding": {"name": "default"},
+                "fill_value": 0.0,
+                "codecs": [{"name": "sharding_indexed",
+                            "configuration": {}}]},
+               open(bad + "/v/zarr.json", "w"))
+    with pytest.raises(NotImplementedError, match="sharded"):
+        zarr2.open_zarr_store(bad)
