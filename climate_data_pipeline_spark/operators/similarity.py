@@ -92,6 +92,79 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                   .select(query_id, corpus_id, "cosine", "rank"))
 
 
+def cosine_topk_blocked(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                        query_id: str = "q_id", corpus_id: str = "vec_id",
+                        query_vec: str = "q_vec",
+                        corpus_vec: str = "embedding",
+                        round_dp: int = 6) -> DataFrame:
+    """Exact top-k for MANY queries — the path `cosine_topk`'s
+    broadcast-NL caveat points to. The query matrix broadcasts once
+    (bounded driver state: q × dim doubles — 25 MB at 50k × 64); each
+    corpus partition scores its rows against ALL queries in one Arrow
+    kernel (numpy across rows/queries, per-dimension left-fold order so
+    every cosine is bit-identical to the JVM fold) and emits only its
+    LOCAL top-k per query; a final per-query selection over the
+    k × n_partitions candidates gives the global answer. No row
+    explosion anywhere: the NL join's |Q|·|C| intermediate never
+    materializes — it lives inside the matmul loop."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf  # noqa: F401 (doc aid)
+
+    import numpy as np
+
+    qrows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[query_id] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[query_vec], dtype=np.float64)
+                  for r in qrows])
+    qn = np.zeros(Q.shape[0])
+    for i in range(Q.shape[1]):                   # fold-order query norms
+        qn = qn + Q[:, i] * Q[:, i]
+    qn = np.sqrt(qn)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, Q, qn))
+
+    out_schema = f"{query_id} long, {corpus_id} long, cosine double"
+
+    def score(batches):
+        ids_q, Qm, qnorm = bq.value
+        nq, d = Qm.shape
+        for pdf in batches:
+            V = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            cids = pdf[corpus_id].to_numpy().astype(np.int64)
+            dot_ = np.zeros((V.shape[0], nq))
+            vn = np.zeros(V.shape[0])
+            for i in range(d):                    # left-fold order per row
+                dot_ = dot_ + V[:, i, None] * Qm[None, :, i]
+                vn = vn + V[:, i] * V[:, i]
+            raw = dot_ / (np.sqrt(vn)[:, None] * qnorm[None, :])
+            # half-away-from-zero, matching Spark round()/DuckDB round()
+            # (np.round is half-to-even — a different function)
+            f = 10.0 ** round_dp
+            cos = np.copysign(np.floor(np.abs(raw) * f + 0.5), raw) / f
+            rows = {query_id: [], corpus_id: [], "cosine": []}
+            for j in range(nq):
+                col = cos[:, j].copy()
+                mask = cids == ids_q[j]
+                col[mask] = -np.inf               # exclude self-match
+                # local top-k with the global tiebreak (cos desc, id asc)
+                order = np.lexsort((cids, -col))[:k]
+                for t in order:
+                    if col[t] == -np.inf:
+                        continue
+                    rows[query_id].append(int(ids_q[j]))
+                    rows[corpus_id].append(int(cids[t]))
+                    rows["cosine"].append(float(col[t]))
+            yield pd.DataFrame(rows)
+
+    cand = corpus.select(corpus_id, corpus_vec) \
+                 .mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(query_id, corpus_id, "cosine", "rank"))
+
+
 def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", threshold: float = 0.4,
                  round_dp: int = 6) -> DataFrame:

@@ -50,6 +50,40 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(queries, emb, k=5)
 
 
+@query("sim_cosine_topk_many", oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         round({_DOT} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+  FROM q
+  CROSS JOIN embeddings c
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE q.q_id <> c.vec_id
+  GROUP BY q.q_id, c.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+""")
+def cosine_topk_many_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 for a LARGE query set (every 10th vector) via the
+    blocked matrix kernel (`operators/similarity.cosine_topk_blocked`):
+    the query matrix broadcasts, each corpus partition emits only its
+    local top-k per query, and no |Q|x|C| row set ever materializes —
+    the exact-search shape that survives when the query side is too big
+    for the broadcast-NL plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") % 10 == 0)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return SIM.cosine_topk_blocked(queries, emb, k=3)
+
+
 _COS_EC = ("round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))"
            " / (sqrt(SUM(pow(CAST(e.embedding[i] AS DOUBLE), 2)))"
            " * sqrt(SUM(pow(CAST(c.cvec[i] AS DOUBLE), 2)))), 6)")

@@ -96,6 +96,22 @@ def test_cosine_topk_matches_numpy(emb):
         assert r["vec_id"] == want_id
 
 
+def test_blocked_topk_equals_broadcast_nl(emb):
+    """The blocked matrix kernel is the same exact search as the
+    broadcast-NL plan — identical (q_id, vec_id, cosine, rank) sets."""
+    queries = (emb.where(F.col("vec_id") % 7 == 0)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    nl = sorted(map(tuple, SIM.cosine_topk(queries, emb, k=4).collect()))
+    blocked = sorted(map(tuple, SIM.cosine_topk_blocked(
+        queries, emb.repartition(5), k=4).collect()))
+    assert blocked == nl and len(nl) > 0
+    # partition count must not leak into the result (local top-k merge)
+    blocked1 = sorted(map(tuple, SIM.cosine_topk_blocked(
+        queries, emb.coalesce(1), k=4).collect()))
+    assert blocked1 == blocked
+
+
 def test_quantized_topk_high_recall_and_zero_vec_safe(emb, spark):
     queries = (emb.where(F.col("vec_id") < 20)
                   .select(F.col("vec_id").alias("q_id"),
