@@ -165,6 +165,50 @@ def cosine_topk_blocked(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 .select(query_id, corpus_id, "cosine", "rank"))
 
 
+def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   query_id: str = "q_id", corpus_id: str = "vec_id",
+                   query_vec: str = "q_vec", corpus_vec: str = "embedding",
+                   query_label: str = "q_label", corpus_label: str = "label",
+                   round_dp: int = 6) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    most-similar corpus vectors with a DIFFERENT label — maximally
+    confusable negatives. Same plan as `cosine_topk` (broadcast the
+    query block, rank within candidates) with the label-mismatch
+    predicate applied before ranking; for huge query sets compose with
+    the blocked kernel instead."""
+    cos = F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_dp)
+    scored = (corpus.join(F.broadcast(queries),
+                          (F.col(query_id) != F.col(corpus_id))
+                          & (F.col(query_label) != F.col(corpus_label)))
+                    .withColumn("cosine", cos))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= k)
+                  .select(query_id, corpus_id,
+                          F.col(corpus_label).alias("neg_label"),
+                          "cosine", "rank"))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    round_dp: int = 6) -> DataFrame:
+    """Per-label centroid vectors in long form (label, dim_idx,
+    centroid) — the class-prototype building block (centroid-based
+    dedup/classification, cluster drift). One posexplode (bounded ×dim)
+    and one grouped average; output rounded so partition-order ulps in
+    the float sums can't leak into the hash. Long form by design: it
+    joins/pivots freely and needs no array-reassembly ordering."""
+    return (df.select(F.col(label_col).alias("label"),
+                      F.posexplode(_as_double(F.col(vec_col)))
+                       .alias("dim_idx", "__v"))
+              .groupBy("label", "dim_idx")
+              .agg(F.round(F.avg("__v"), round_dp).alias("centroid"),
+                   F.count("*").alias("n_vectors"))
+              .select("label", F.col("dim_idx").cast("int").alias("dim_idx"),
+                      "centroid", "n_vectors"))
+
+
 def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", threshold: float = 0.4,
                  round_dp: int = 6) -> DataFrame:

@@ -50,6 +50,59 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(queries, emb, k=5)
 
 
+@query("sim_hard_negatives", oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, c.vec_id, c.label AS neg_label,
+         round({_DOT} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+  FROM q
+  CROSS JOIN embeddings c
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE q.q_id <> c.vec_id AND q.q_label <> c.label
+  GROUP BY q.q_id, c.vec_id, c.label
+),
+ranked AS (
+  SELECT q_id, vec_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, neg_label, cosine, rank FROM ranked WHERE rank <= 3
+""")
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query, the 3 most-similar vectors with a
+    DIFFERENT label (`operators/similarity.hard_negatives`) — the
+    contrastive-training batch-construction step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 8)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec"),
+                          F.col("label").alias("q_label")))
+    return SIM.hard_negatives(queries, emb, k=3)
+
+
+@query("emb_label_centroids", oracle="""
+WITH flat AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim_idx,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+)
+SELECT label, CAST(dim_idx AS INTEGER) AS dim_idx,
+       round(AVG(v), 6) AS centroid,
+       count(*) AS n_vectors
+FROM flat GROUP BY 1, 2
+""")
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, long form
+    (`operators/similarity.label_centroids`) — class prototypes for
+    centroid classification, cluster-drift monitoring, and
+    prototype-based dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.label_centroids(emb)
+
+
 @query("sim_cosine_topk_many", oracle=f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id % 10 = 0),

@@ -96,6 +96,43 @@ def test_cosine_topk_matches_numpy(emb):
         assert r["vec_id"] == want_id
 
 
+def test_hard_negatives_labels_differ_and_are_hardest(emb):
+    queries = (emb.where(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec"),
+                          F.col("label").alias("q_label")))
+    out = SIM.hard_negatives(queries, emb, k=3).collect()
+    qlab = {r["q_id"]: r["q_label"] for r in queries.collect()}
+    assert len(out) > 0
+    for r in out:
+        assert r["neg_label"] != qlab[r["q_id"]]
+    # the rank-1 negative beats every other different-label candidate
+    top = {r["q_id"]: r["cosine"] for r in out if r["rank"] == 1}
+    full = SIM.cosine_topk(queries, emb, k=100).collect()
+    lab = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in full:
+        if lab[r["vec_id"]] != qlab[r["q_id"]]:
+            assert r["cosine"] <= top[r["q_id"]] + 1e-9
+
+
+def test_label_centroids_match_numpy(emb):
+    import numpy as np
+    out = SIM.label_centroids(emb).collect()
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64))
+    got = {(r["label"], r["dim_idx"]): (r["centroid"], r["n_vectors"])
+           for r in out}
+    for lbl, vecs in by_label.items():
+        mean = np.stack(vecs).mean(axis=0)
+        for d in range(len(mean)):
+            c, n = got[(lbl, d)]
+            assert n == len(vecs)
+            assert abs(c - round(mean[d], 6)) <= 1e-6
+
+
 def test_blocked_topk_equals_broadcast_nl(emb):
     """The blocked matrix kernel is the same exact search as the
     broadcast-NL plan — identical (q_id, vec_id, cosine, rank) sets."""

@@ -31,6 +31,8 @@ SENSITIVE = [
     "dedup_incremental",      # minhash estimate max aggregation (r2)
     "corpus_source_report",   # exact-avg quality + dup-rate ratios (r2)
     "text_segment_dedup",     # min-struct first occurrence + reassembly (r2)
+    "emb_label_centroids",    # float avg rounded — sum-order absorption (r2)
+    "sim_cosine_topk_many",   # per-partition local top-k merge (r2)
 ]
 
 
