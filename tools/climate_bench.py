@@ -75,6 +75,32 @@ def _build_zarr_store(cfg: dict, store: str) -> int:
     return int(temp.size)
 
 
+def _build_zarr3_store(cfg: dict, store: str) -> int:
+    """Same dense grid as a Zarr v3 group store (zarr-python >= 3's
+    default format) with the benchmark chunking; read back through the
+    v3-normalized chunk-per-task distributed reader."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources.zarr2 import write_zarr3
+
+    days = cfg["days"]
+    lat = -90.0 + np.arange(int(180 / cfg["lat_step"]) + 1) * cfg["lat_step"]
+    lon = -180.0 + np.arange(int(360 / cfg["lon_step"])) * cfg["lon_step"]
+    t = (np.datetime64("2020-01-01")
+         + np.arange(days).astype("timedelta64[D]")).astype("datetime64[ns]")
+    doy = np.arange(days) + 1
+    rng = np.random.default_rng(42)
+    temp = (288.0 - 40.0 * np.abs(lat)[None, :, None] / 90.0
+            + 10.0 * np.sin(2 * np.pi * (doy - 80) / 365.0)[:, None, None]
+            + rng.normal(0, 2, (days, len(lat), len(lon)))
+            ).astype(np.float32)
+    write_zarr3(store,
+                dims={"time": t, "lat": lat, "lon": lon},
+                variables={"temperature": (["time", "lat", "lon"], temp, {})},
+                chunks={"temperature": [50, 50, 50]}, codec="zstd")
+    return int(temp.size)
+
+
 def _build_hdf5_store(cfg: dict, store: str) -> int:
     """Same dense grid → a netCDF-4-flavoured HDF5 file with the
     reference's benchmark chunking (50×50×50, shuffle+deflate) — the
@@ -107,7 +133,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="medium", choices=sorted(SCALES))
     ap.add_argument("--store", default="parquet",
-                    choices=["parquet", "zarr", "hdf5"])
+                    choices=["parquet", "zarr", "zarr3", "hdf5"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     args = ap.parse_args()
@@ -123,9 +149,10 @@ def main() -> None:
 
     cfg = SCALES[args.scale]
     store = os.path.join(tempfile.mkdtemp(prefix="climate_bench_"), "grid")
-    if args.store == "zarr":
+    if args.store in ("zarr", "zarr3"):
         t0 = time.perf_counter()
-        n_rows = _build_zarr_store(cfg, store)
+        n_rows = (_build_zarr_store(cfg, store) if args.store == "zarr"
+                  else _build_zarr3_store(cfg, store))
         build_s = time.perf_counter() - t0
         df = None  # zarr patterns construct pruned reads per query
     elif args.store == "hdf5":
@@ -156,8 +183,8 @@ def main() -> None:
         import datetime
         return str(datetime.date(2020, 1, 1) + datetime.timedelta(days=day))
 
-    if args.store in ("zarr", "hdf5"):
-        if args.store == "zarr":
+    if args.store in ("zarr", "zarr3", "hdf5"):
+        if args.store in ("zarr", "zarr3"):
             from climate_data_pipeline_spark.sources.zarr2 import (
                 read_zarr_long_distributed,
             )
