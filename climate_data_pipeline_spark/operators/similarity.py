@@ -209,6 +209,34 @@ def label_centroids(df: DataFrame, label_col: str = "label",
                       "centroid", "n_vectors"))
 
 
+def centroid_classify(df: DataFrame, label_col: str = "label",
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_dp: int = 6) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: build per-label
+    prototypes (`label_centroids`), assign every vector to its
+    most-cosine-similar centroid (deterministic tiebreak on label), and
+    aggregate (true_label, predicted_label) counts — the standard
+    embedding-quality / label-noise diagnostic. The centroid table is
+    O(labels × dim) and broadcasts; the corpus scans once."""
+    cents = (label_centroids(df, label_col, vec_col, round_dp)
+             .groupBy("label")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("dim_idx", "centroid"))).alias("__s"))
+             .select(F.col("label").alias("__plabel"),
+                     F.transform("__s", lambda x: x["centroid"])
+                      .alias("__cvec")))
+    sim = F.round(cosine(F.col(vec_col), F.col("__cvec")), round_dp)
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(),
+                                           F.col("__plabel").asc())
+    assigned = (df.join(F.broadcast(cents))
+                .withColumn("__sim", sim)
+                .withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") == 1))
+    return (assigned.groupBy(F.col(label_col).alias("true_label"),
+                             F.col("__plabel").alias("predicted_label"))
+            .agg(F.count("*").alias("n")))
+
+
 def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", threshold: float = 0.4,
                  round_dp: int = 6) -> DataFrame:

@@ -103,6 +103,46 @@ def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.label_centroids(emb)
 
 
+@query("emb_centroid_classify", oracle="""
+WITH flat AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim_idx,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim_idx, round(AVG(v), 6) AS c
+  FROM flat GROUP BY 1, 2
+),
+cvecs AS (
+  SELECT label AS plabel, list(c ORDER BY dim_idx) AS cvec
+  FROM cent GROUP BY 1
+),
+scored AS (
+  SELECT e.vec_id, e.label AS true_label, c.plabel,
+         round(SUM(CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])
+               / (sqrt(SUM(pow(CAST(e.embedding[i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(c.cvec[i], 2)))), 6) AS sim
+  FROM embeddings e CROSS JOIN cvecs c
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id, e.label, c.plabel
+),
+assigned AS (
+  SELECT vec_id, true_label, plabel FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, plabel ASC) = 1
+)
+SELECT true_label, plabel AS predicted_label, count(*) AS n
+FROM assigned GROUP BY 1, 2
+""")
+def centroid_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the embeddings table
+    (`operators/similarity.centroid_classify`) — the embedding-quality /
+    label-noise diagnostic; prototypes broadcast, corpus scans once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.centroid_classify(emb)
+
+
 @query("sim_cosine_topk_many", oracle=f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id % 10 = 0),

@@ -32,6 +32,7 @@ SENSITIVE = [
     "corpus_source_report",   # exact-avg quality + dup-rate ratios (r2)
     "text_segment_dedup",     # min-struct first occurrence + reassembly (r2)
     "emb_label_centroids",    # float avg rounded — sum-order absorption (r2)
+    "emb_centroid_classify",  # centroid build + argmax assignment (r2)
     "sim_cosine_topk_many",   # per-partition local top-k merge (r2)
 ]
 
