@@ -175,3 +175,42 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("__a")[1] >= F.col("__e")[3])
          & (F.col("__a")[1] <= F.col("__e")[5]))
         .alias("approx_p90_in_rank_window"))
+
+
+@query("a6_exceedance_transitions", oracle="""
+WITH thr AS (SELECT quantile_cont(value, 0.9) AS t FROM events),
+st AS (
+  SELECT user_id,
+         (value > (SELECT t FROM thr)) AS cur,
+         lag(value > (SELECT t FROM thr))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+tr AS (SELECT prev, cur, count(*) AS n FROM st WHERE prev IS NOT NULL
+       GROUP BY 1, 2)
+SELECT prev AS from_state, cur AS to_state, CAST(n AS BIGINT) AS n,
+       round(n / SUM(n) OVER (PARTITION BY prev), 6) AS p
+FROM tr
+""")
+def exceedance_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exceedance persistence (the spell-statistics Markov view): per-user
+    event series are classified against the global p90 threshold and the
+    2×2 state-transition matrix — P(exceed next | exceed now) — is
+    aggregated. The climate question "do extremes cluster?" as one lag
+    window plus a conditional-count aggregate; the threshold is a scalar
+    broadcast, the only data shuffle is the per-user series
+    partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.agg(F.expr("percentile(value, 0.9)").alias("t"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = (ev.join(F.broadcast(thr))
+            .withColumn("cur", F.col("value") > F.col("t"))
+            .withColumn("prev", F.lag("cur").over(w))
+            .where(F.col("prev").isNotNull()))
+    tr = st.groupBy("prev", "cur").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev")
+    return tr.select(F.col("prev").alias("from_state"),
+                     F.col("cur").alias("to_state"), "n",
+                     F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"))

@@ -880,3 +880,88 @@ def text_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import unicode_profile
     docs = load_table(spark, sf_dir, "documents")
     return unicode_profile(docs, "text")
+
+
+@query("text_bpe_pair_counts", oracle=f"""
+WITH w AS (
+  SELECT unnest({_W}) AS word FROM documents
+),
+wc AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+pairs AS (
+  SELECT unnest(list_transform(range(length(word) - 1),
+                               i -> substr(word, CAST(i + 1 AS INTEGER), 2)))
+           AS pair,
+         n
+  FROM wc WHERE length(word) >= 2
+),
+agg AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1)
+SELECT pair, n_pairs,
+       row_number() OVER (ORDER BY n_pairs DESC, pair ASC) AS rank
+FROM agg
+QUALIFY rank <= 20
+""")
+def bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training, distributed: count
+    adjacent character pairs across the corpus weighted by word
+    frequency and rank the top merge candidates. Word counts pre-
+    aggregate first (the corpus dedup that makes BPE training feasible
+    at scale — pair explosion runs over the VOCABULARY, not the raw
+    token stream); one bounded explode, two shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(TX.words("text")).alias("word"))
+              .groupBy("word").agg(F.count("*").alias("n")))
+    pair = F.explode(F.transform(
+        F.sequence(F.lit(0), F.length("word") - 2),
+        lambda i: F.substr(F.col("word"), i + 1, F.lit(2)))).alias("pair")
+    agg = (wc.where(F.length("word") >= 2)
+             .select(pair, "n")
+             .groupBy("pair").agg(F.sum("n").alias("n_pairs")))
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
+               .where(F.col("rank") <= 20))
+
+
+@query("text_bigram_lm", oracle=f"""
+WITH w AS (SELECT doc_id, {_W} AS w FROM documents WHERE len({_W}) >= 2),
+big AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> {{'cur': w[i], 'nxt': w[i + 1]}})) AS p
+  FROM w
+),
+pc AS (SELECT p.cur AS cur, p.nxt AS nxt, count(*) AS c FROM big GROUP BY 1, 2),
+cc AS (SELECT cur, SUM(c) AS total FROM pc GROUP BY 1)
+SELECT pc.cur, pc.nxt, CAST(pc.c AS BIGINT) AS c,
+       round(pc.c / cc.total, 6) AS p_next,
+       row_number() OVER (PARTITION BY pc.cur
+                          ORDER BY pc.c DESC, pc.nxt ASC) AS rank
+FROM pc JOIN cc USING (cur)
+QUALIFY rank <= 3
+""")
+def bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A corpus bigram language model: conditional next-word
+    probabilities with the top-3 continuations per word — the
+    count-based LM shape (one bounded pair explode, one pair agg, a
+    window share + ranking reusing the same partitioning)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = (docs.select(TX.words("text").alias("w"))
+              .where(F.size("w") >= 2))
+    pairs = ws.select(F.explode(F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.struct(F.col("w")[i].alias("cur"),
+                           F.col("w")[i + 1].alias("nxt")))).alias("p"))
+    pc = (pairs.select(F.col("p.cur").alias("cur"),
+                       F.col("p.nxt").alias("nxt"))
+               .groupBy("cur", "nxt").agg(F.count("*").alias("c")))
+    wt = Window.partitionBy("cur")
+    wr = Window.partitionBy("cur").orderBy(F.col("c").desc(),
+                                           F.col("nxt").asc())
+    return (pc.withColumn("p_next", F.round(F.col("c")
+                                            / F.sum("c").over(wt), 6))
+              .withColumn("rank", F.row_number().over(wr).cast("long"))
+              .where(F.col("rank") <= 3)
+              .select("cur", "nxt", "c", "p_next", "rank"))
