@@ -428,3 +428,73 @@ def unicode_profile(df: DataFrame, text_col: str,
         replacement.cast("long").alias("n_replacement"),
         F.round((n - non_ascii) * 1.0 / F.greatest(n, F.lit(1)), 6)
          .alias("ascii_ratio"))
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 20,
+              checkpoint_every: int = 8) -> tuple[list[tuple[str, str]],
+                                                  DataFrame]:
+    """Distributed BPE tokenizer training — the full iterative loop, not
+    just one pair count. Returns (ordered merge list, final vocabulary
+    DataFrame of (word, n, symbols)).
+
+    The corpus collapses FIRST to its frequency-weighted vocabulary
+    (one groupBy — at 100 TB the vocab is millions of rows, not
+    trillions of tokens), and every merge iteration runs over that
+    table: count adjacent symbol pairs weighted by word frequency (one
+    bounded explode + agg), pick the argmax (count desc, pair asc —
+    deterministic), and apply the merge with a left-to-right
+    non-overlapping pass in an Arrow kernel. Driver state per round is
+    ONE (pair, count) row — the same bounded-scalar iteration contract
+    as `duplicate_clusters`; lineage is truncated by periodic
+    localCheckpoint so late rounds don't replay early ones."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = (df.select(F.explode(words(text_col)).alias("word"))
+               .groupBy("word").agg(F.count("*").alias("n"))
+               .withColumn("symbols",
+                           F.array_join(F.split("word", ""), " "))
+               .localCheckpoint())
+
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        # project the split ONCE (never pass a compound expression into
+        # a higher-order lambda — the expression-inlining rule)
+        toks = (vocab.select(F.split("symbols", " ").alias("__t"), "n")
+                     .where(F.size("__t") >= 2))
+        pair_col = F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("__t") - 2),
+            lambda i: F.struct(F.col("__t")[i].alias("a"),
+                               F.col("__t")[i + 1].alias("b")))).alias("p")
+        top = (toks.select(pair_col, "n")
+               .groupBy("p.a", "p.b").agg(F.sum("n").alias("c"))
+               .orderBy(F.col("c").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+
+        def apply_merge(s: pd.Series) -> pd.Series:
+            out = []
+            for sym in s:
+                toks = sym.split(" ")
+                res, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                out.append(" ".join(res))
+            return pd.Series(out)
+
+        apply_merge.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        vocab = vocab.withColumn(
+            "symbols", pandas_udf(apply_merge, "string")(F.col("symbols")))
+        if (it + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges, vocab

@@ -965,3 +965,20 @@ def bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("rank", F.row_number().over(wr).cast("long"))
               .where(F.col("rank") <= 3)
               .select("cur", "nxt", "c", "p_next", "rank"))
+
+
+@query("text_bpe_train", oracle=None)  # iterative, data-dependent merges —
+# non-SQL-expressible (RE2 oracles can't replay the left-to-right merge
+# pass); proven merge-for-merge identical to a sequential reference BPE
+# in tests/test_extensions.py::test_bpe_train_matches_reference_impl
+def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (`operators/text.bpe_train`):
+    12 merge rounds over the frequency-weighted vocabulary; returns the
+    ordered merge table. One bounded-explode aggregation plus a
+    one-row driver scalar per round — the iterative-operator contract
+    of `duplicate_clusters`."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = TX.bpe_train(docs, "text", n_merges=12)
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank long, left string, right string, merged string")

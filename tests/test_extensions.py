@@ -413,6 +413,54 @@ def test_contamination_bounds_and_exact_copy(spark):
     assert out[101] == 0.0   # none of the novel doc's shingles appear
 
 
+def test_bpe_train_matches_reference_impl(spark):
+    """The distributed trainer reproduces a sequential reference BPE
+    (same tokenization, same weighting, same deterministic tiebreak)
+    merge-for-merge, including the merged symbol table."""
+    import re
+    from collections import Counter
+
+    from climate_data_pipeline_spark.operators.text import (
+        WORD_SPLIT, bpe_train)
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges, vocab = bpe_train(docs, "text", n_merges=12)
+
+    # sequential reference on the same corpus
+    wc = Counter()
+    for r in docs.select("text").collect():
+        for w in re.split(WORD_SPLIT, (r["text"] or "").lower()):
+            if w:
+                wc[w] += 1
+    sym = {w: list(w) for w in wc}
+    ref_merges = []
+    for _ in range(12):
+        pc = Counter()
+        for w, n in wc.items():
+            t = sym[w]
+            for i in range(len(t) - 1):
+                pc[(t[i], t[i + 1])] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref_merges.append(best)
+        a, b = best
+        for w in sym:
+            t, res, i = sym[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(t[i])
+                    i += 1
+            sym[w] = res
+    assert merges == ref_merges
+    got = {r["word"]: r["symbols"] for r in vocab.collect()}
+    assert got == {w: " ".join(t) for w, t in sym.items()}
+
+
 def test_real_media_codecs_round_trip(spark):
     """PGM and WAV payloads decode to the exact pixel/sample statistics a
     local reference computes — the codec path is real, not a byte fake."""
