@@ -498,3 +498,54 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 20,
         if (it + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()
     return merges, vocab
+
+
+def bpe_encode(df: DataFrame, text_col: str,
+               merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a trained BPE merge list to text — the inference side of
+    `bpe_train`. Adds ``tokens`` (array<string>) and ``n_tokens``.
+    The merge list broadcasts in the closure; each Arrow batch memoizes
+    per distinct word, so the per-row cost is amortized toward the
+    batch's vocabulary size (the same vocabulary-not-token-stream
+    economics as training)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ms = list(merges)
+    word_re = WORD_SPLIT
+
+    def _enc(s: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            t = memo.get(w)
+            if t is None:
+                t = list(w)
+                for a, b in ms:
+                    res, i = [], 0
+                    while i < len(t):
+                        if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(t[i])
+                            i += 1
+                    t = res
+                memo[w] = t
+            return t
+
+        out = []
+        for txt in s:
+            toks: list[str] = []
+            for w in re.split(word_re, (txt or "").lower()):
+                if w:
+                    toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    enc = pandas_udf(_enc, "array<string>")(F.col(text_col))
+    return (df.withColumn("tokens", enc)
+              .withColumn("n_tokens", F.size("tokens").cast("long")))

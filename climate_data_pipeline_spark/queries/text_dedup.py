@@ -982,3 +982,18 @@ def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "merge_rank long, left string, right string, merged string")
+
+
+@query("text_bpe_encode", oracle=None)  # tokens depend on the trained
+# (data-dependent) merges — checked instead by the reconstruction
+# property test (tokens rebuild every word) and trainer equality
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with merges trained on it
+    (`operators/text.bpe_encode` after `bpe_train`) — the inference side
+    of the tokenizer: per-batch word memoization keeps the cost near the
+    vocabulary size, and the output is the training-ready token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = TX.bpe_train(docs, "text", n_merges=12)
+    return (TX.bpe_encode(docs, "text", merges)
+            .select("doc_id", "n_tokens",
+                    F.slice("tokens", 1, 12).alias("tokens_head")))

@@ -876,3 +876,27 @@ def test_suggest_bands_theory():
         assert recall >= 0.95 and B * r <= 256
     # higher thresholds afford more selective (wider) bands
     assert SIM.suggest_bands(0.95)[1] > SIM.suggest_bands(0.5)[1]
+
+
+def test_bpe_encode_reconstructs_words(spark):
+    """Every document's token stream must rebuild its exact word
+    sequence (token concatenation per word), and match the trained
+    vocabulary's symbol table."""
+    from climate_data_pipeline_spark.operators.text import (
+        bpe_encode, bpe_train, words)
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges, vocab = bpe_train(docs, "text", n_merges=10)
+    sym = {r["word"]: r["symbols"].split(" ") for r in vocab.collect()}
+    enc = bpe_encode(docs, "text", merges)
+    rows = enc.select("doc_id", "tokens",
+                      words("text").alias("ws")).collect()
+    assert len(rows) > 0
+    for r in rows:
+        toks = list(r["tokens"])
+        for w in r["ws"]:
+            expect = sym[w]
+            got, toks = toks[:len(expect)], toks[len(expect):]
+            assert got == expect, (w, got, expect)
+        assert toks == []  # nothing left over
