@@ -163,3 +163,59 @@ def series_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.round(F.corr("va", "vb"), 6).alias("corr0"),
                   F.round(F.corr("va", "vlb"), 6).alias("corr_lag1"),
                   F.count(F.lit(1)).alias("n_days")))
+
+
+@query("ts_changepoint_cusum", oracle="""
+WITH st AS (
+  SELECT event_type, ts, event_id, value,
+         AVG(value) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(value) OVER (PARTITION BY event_type) AS sd,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+cum AS (
+  SELECT event_type, ts, n,
+         round(abs(SUM(value - mu) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               / (sd * sqrt(n)), 6) AS stat,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS idx
+  FROM st
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, ts AS cp_ts,
+       CAST(idx AS BIGINT) AS cp_index, stat AS max_stat
+FROM cum
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY stat DESC, ts ASC) = 1
+""")
+def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series: the standardized cumulative
+    deviation |Σ(x−x̄)| / (σ√n) peaks where the series' mean shifts; the
+    peak row is the changepoint estimate and its height the test
+    statistic (Page's CUSUM / the KPSS numerator shape). One running
+    window over the series partitioning plus whole-partition moments —
+    no extra shuffle beyond the per-series key; moments round at 1e-6
+    per the module's determinism rule."""
+    from ..sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wa = Window.partitionBy("event_type")
+    wr = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    wi = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    st = (ev.withColumn("mu", F.avg("value").over(wa))
+            .withColumn("sd", F.stddev_pop("value").over(wa))
+            .withColumn("n", F.count("*").over(wa))
+            .withColumn("stat", F.round(
+                F.abs(F.sum(F.col("value") - F.col("mu")).over(wr))
+                / (F.col("sd") * F.sqrt("n")), 6))
+            .withColumn("idx", F.row_number().over(wi)))
+    pick = Window.partitionBy("event_type").orderBy(F.col("stat").desc(),
+                                                    F.col("ts").asc())
+    return (st.withColumn("__r", F.row_number().over(pick))
+              .where(F.col("__r") == 1)
+              .select("event_type", F.col("n").cast("long").alias("n"),
+                      F.col("ts").alias("cp_ts"),
+                      F.col("idx").cast("long").alias("cp_index"),
+                      F.col("stat").alias("max_stat")))

@@ -290,3 +290,40 @@ def test_harmonic_fit_recovers_seasonal_amplitude(grid):
         assert abs(r["amplitude"] - 10.0) < 0.25, r
         expected_mean = 288.0 - 40.0 * abs(r["lat"]) / 90.0
         assert abs(r["intercept"] - expected_mean) < 0.25, r
+
+
+def test_cusum_finds_injected_mean_shift(spark):
+    """A series with a mean jump at index 60/100 must put the CUSUM peak
+    at (or adjacent to) the shift with a large statistic; a flat series
+    scores low."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        rows.append(("shift", i, base + timedelta(hours=i),
+                     10.0 + (5.0 if i >= 60 else 0.0) + (i % 3) * 0.01))
+        rows.append(("flat", i, base + timedelta(hours=i),
+                     10.0 + (i % 3) * 0.01))
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double")
+    wa = Window.partitionBy("event_type")
+    wr = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    wi = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    st = (ev.withColumn("mu", F.avg("value").over(wa))
+            .withColumn("sd", F.stddev_pop("value").over(wa))
+            .withColumn("n", F.count("*").over(wa))
+            .withColumn("stat", F.abs(
+                F.sum(F.col("value") - F.col("mu")).over(wr))
+                / (F.col("sd") * F.sqrt("n")))
+            .withColumn("idx", F.row_number().over(wi)))
+    pick = Window.partitionBy("event_type").orderBy(F.col("stat").desc())
+    cp = {r["event_type"]: r for r in
+          st.withColumn("r", F.row_number().over(pick))
+            .where("r = 1").collect()}
+    assert abs(cp["shift"]["idx"] - 60) <= 1
+    assert cp["shift"]["stat"] > 3 * cp["flat"]["stat"]
