@@ -1,0 +1,144 @@
+"""Versioned parquet tables: snapshot isolation + time travel without a
+table format dependency (the Delta-less counterpart of
+`operators/merge.py`'s Delta-less MERGE).
+
+Design = the manifest core of every table format (Delta/Iceberg): data
+files are immutable and write-once under ``data/``; a numbered JSON
+manifest lists exactly the files that make up each version; readers
+resolve a manifest (latest or pinned) and load ONLY its files. Commits
+are atomic via write-temp + ``os.rename`` of the manifest, so a reader
+never sees a half-written version; old versions stay readable until
+explicitly vacuumed. Single-writer by design (multi-writer needs a
+coordination service — documented, not half-implemented).
+
+At scale this is exactly how the real formats behave on an object
+store: data-file writes are the big parallel job; the commit is one
+tiny metadata operation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def table_versions(table_dir: str) -> list[int]:
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def _commit(table_dir: str, version: int, files: list[str],
+            parent: int | None, operation: str) -> dict:
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": operation,
+        "files": sorted(files),
+    }
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = _manifest_path(table_dir, version)
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent commit detected for version {version} — this "
+            "layer is single-writer; serialize writers externally")
+    os.rename(tmp, final)  # atomic publish
+    return manifest
+
+
+def snapshot_write(df: DataFrame, table_dir: str,
+                   mode: str = "append") -> dict:
+    """Commit a new table version. ``mode='append'`` adds the batch's
+    files to the parent version's list; ``'overwrite'`` starts the list
+    fresh (the old files stay on disk — previous versions remain
+    readable). Returns the committed manifest."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    batch_dir = os.path.join(table_dir, _DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("errorifexists").parquet(batch_dir)
+    new_files = sorted(
+        os.path.join(batch_dir, f) for f in os.listdir(batch_dir)
+        if f.endswith(".parquet"))
+    versions = table_versions(table_dir)
+    parent = versions[-1] if versions else None
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files += _read_manifest(table_dir, parent)["files"]
+    return _commit(table_dir, (parent or 0) + 1 if parent else 1,
+                   files, parent, mode)
+
+
+def snapshot_read(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> DataFrame:
+    """Read the table at a version (default: latest). Loads exactly the
+    manifest's file list — files committed later (or never committed)
+    are invisible, which IS the snapshot-isolation guarantee."""
+    versions = table_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed versions under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not found (have {versions})")
+    files = _read_manifest(table_dir, v)["files"]
+    if not files:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*files)
+
+
+def snapshot_rollback(table_dir: str, version: int) -> dict:
+    """Commit a NEW version whose file list equals an older version's —
+    roll-forward semantics (history is append-only; nothing is
+    deleted), the same rollback model as the real table formats."""
+    versions = table_versions(table_dir)
+    if version not in versions:
+        raise ValueError(f"version {version} not found (have {versions})")
+    files = _read_manifest(table_dir, version)["files"]
+    return _commit(table_dir, versions[-1] + 1, files, versions[-1],
+                   f"rollback-to-v{version}")
+
+
+def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced ONLY by expired versions (all but
+    the newest ``keep_versions`` manifests, which are also dropped).
+    Returns the deleted file paths. The one destructive operation, kept
+    separate and explicit like the formats it mirrors."""
+    versions = table_versions(table_dir)
+    if len(versions) <= keep_versions:
+        return []
+    keep, drop = versions[-keep_versions:], versions[:-keep_versions]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(table_dir, v)["files"])
+    deleted = []
+    for v in drop:
+        for f in _read_manifest(table_dir, v)["files"]:
+            if f not in live and os.path.exists(f):
+                os.remove(f)
+                deleted.append(f)
+        os.remove(_manifest_path(table_dir, v))
+    return deleted

@@ -1,0 +1,71 @@
+"""Versioned-parquet snapshot layer: isolation, time travel, rollback,
+vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climate_data_pipeline_spark.sources.snapshots import (
+    snapshot_read,
+    snapshot_rollback,
+    snapshot_write,
+    table_versions,
+    vacuum,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"),
+                                      (F.col("id") * 2).alias("v"))
+
+
+def test_append_versions_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    m1 = snapshot_write(_df(spark, 0, 10), t)
+    m2 = snapshot_write(_df(spark, 10, 15), t)
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert snapshot_read(spark, t).count() == 15          # latest
+    assert snapshot_read(spark, t, version=1).count() == 10  # time travel
+    assert table_versions(t) == [1, 2]
+
+
+def test_overwrite_keeps_old_version_readable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 10), t)
+    snapshot_write(_df(spark, 100, 103), t, mode="overwrite")
+    assert snapshot_read(spark, t).count() == 3
+    assert snapshot_read(spark, t, version=1).count() == 10
+
+
+def test_uncommitted_files_invisible(spark, tmp_path):
+    """Snapshot isolation: parquet dropped into data/ without a commit
+    never appears."""
+    import os
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 5), t)
+    rogue = os.path.join(t, "data", "rogue")
+    _df(spark, 1000, 2000).write.parquet(rogue)
+    assert snapshot_read(spark, t).count() == 5
+
+
+def test_rollback_is_roll_forward(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 10), t)
+    snapshot_write(_df(spark, 10, 20), t)
+    m = snapshot_rollback(t, 1)
+    assert m["version"] == 3 and m["operation"] == "rollback-to-v1"
+    assert snapshot_read(spark, t).count() == 10
+    assert snapshot_read(spark, t, version=2).count() == 20  # history intact
+
+
+def test_vacuum_drops_only_expired_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 10), t)
+    snapshot_write(_df(spark, 100, 103), t, mode="overwrite")
+    deleted = vacuum(t, keep_versions=1)
+    assert deleted                                  # v1-only files removed
+    assert table_versions(t) == [2]
+    assert snapshot_read(spark, t).count() == 3     # live version untouched
+    with pytest.raises(ValueError):
+        snapshot_read(spark, t, version=1)
