@@ -142,3 +142,34 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
                 deleted.append(f)
         os.remove(_manifest_path(table_dir, v))
     return deleted
+
+
+def snapshot_merge(spark: SparkSession, table_dir: str, updates: DataFrame,
+                   keys: list[str]) -> dict:
+    """MERGE-into-table: read the latest version, upsert ``updates`` on
+    ``keys`` (`operators/merge.merge_upsert` — updates win on
+    collision), commit the result as a new overwrite version. The full
+    Delta-style `MERGE INTO` loop with history: the pre-merge version
+    stays readable/rollback-able. Rewrites the whole table — at scale,
+    partition-restrict the read (merge only affected partitions) the
+    same way the formats' file-pruning does."""
+    from ..operators.merge import merge_upsert
+
+    current = snapshot_read(spark, table_dir)
+    merged = merge_upsert(current, updates, keys)
+    return snapshot_write(merged, table_dir, mode="overwrite")
+
+
+def snapshot_diff(spark: SparkSession, table_dir: str,
+                  v_old: int, v_new: int) -> DataFrame:
+    """Row-level change feed between two versions: full-row comparison
+    yielding ``change ∈ {insert, delete}`` (an update appears as
+    delete+insert of the row's two states) — the CDC read the real
+    formats expose, derived purely from the manifests' file sets."""
+    from pyspark.sql import functions as F
+
+    old = snapshot_read(spark, table_dir, v_old)
+    new = snapshot_read(spark, table_dir, v_new)
+    ins = new.exceptAll(old).withColumn("change", F.lit("insert"))
+    dels = old.exceptAll(new).withColumn("change", F.lit("delete"))
+    return ins.unionByName(dels)

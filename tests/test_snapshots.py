@@ -69,3 +69,21 @@ def test_vacuum_drops_only_expired_files(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 3     # live version untouched
     with pytest.raises(ValueError):
         snapshot_read(spark, t, version=1)
+
+
+def test_snapshot_merge_and_diff(spark, tmp_path):
+    from climate_data_pipeline_spark.sources.snapshots import (
+        snapshot_diff, snapshot_merge)
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(_df(spark, 0, 5), t)                      # ids 0..4, v=2id
+    upd = spark.createDataFrame([(3, 999), (100, 7)], "id long, v long")
+    m = snapshot_merge(spark, t, upd, keys=["id"])
+    assert m["version"] == 2
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    assert got[3] == 999 and got[100] == 7 and got[0] == 0 and len(got) == 6
+    # CDC between v1 and v2: update = delete+insert, plus the new row
+    changes = {(r["id"], r["v"], r["change"])
+               for r in snapshot_diff(spark, t, 1, 2).collect()}
+    assert changes == {(3, 999, "insert"), (100, 7, "insert"),
+                       (3, 6, "delete")}
