@@ -591,6 +591,32 @@ def simhash64_pairs(df: DataFrame, text_col: str, id_col: str,
              .distinct())
 
 
+def blocked_link_pairs(df: DataFrame, id_col: str, name_col: str,
+                       block_cols: list[str],
+                       max_distance: int = 2) -> DataFrame:
+    """Entity-resolution candidate links: records are compared ONLY
+    within blocking-key groups (the standard ER blocking step — pair
+    volume is Σ per-block n², never corpus²), and a pair links when the
+    name edit distance is ≤ ``max_distance``. Levenshtein is a built-in
+    in both engines, so the whole pipeline is oracle-checkable; feed
+    the output to `duplicate_clusters` for entity ids.
+
+    Skew note: a hot blocking key degenerates toward n² — pick blocks
+    with bounded cardinality (or add a discriminating second key), the
+    ER equivalent of `ngram_jaccard_pairs`' max_df cap."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(name_col).alias("__na"),
+                  *[F.col(c) for c in block_cols])
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(name_col).alias("__nb"),
+                  *[F.col(c).alias(f"__b_{c}") for c in block_cols])
+    cond = [F.col(c) == F.col(f"__b_{c}") for c in block_cols]
+    return (a.join(b, cond + [F.col("id_a") < F.col("id_b")])
+             .withColumn("distance", F.levenshtein("__na", "__nb"))
+             .where(F.col("distance") <= max_distance)
+             .select("id_a", "id_b", "distance"))
+
+
 def segment_dedup(df: DataFrame, text_col: str, id_col: str,
                   seg_words: int = 10) -> DataFrame:
     """Corpus-wide segment-level exact dedup (the C4 "deduplicate at the

@@ -997,3 +997,40 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (TX.bpe_encode(docs, "text", merges)
             .select("doc_id", "n_tokens",
                     F.slice("tokens", 1, 12).alias("tokens_head")))
+
+
+@query("er_customer_clusters", oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT DISTINCT id_a, id_a FROM pairs
+  UNION SELECT DISTINCT id_b, id_b FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, min(dst) AS cluster_id,
+       (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src
+""")
+def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on the customer table: blocking on
+    (nation, market segment), name edit-distance ≤ 2 links
+    (`operators/dedup.blocked_link_pairs`), connected-component entity
+    ids via min-label propagation — the master-data dedup pipeline,
+    closure-checked by a recursive-CTE oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = D.blocked_link_pairs(cust, "c_custkey", "c_name",
+                                 ["c_nationkey", "c_mktsegment"],
+                                 max_distance=2)
+    return D.duplicate_clusters(pairs.select("id_a", "id_b"))

@@ -900,3 +900,17 @@ def test_bpe_encode_reconstructs_words(spark):
             got, toks = toks[:len(expect)], toks[len(expect):]
             assert got == expect, (w, got, expect)
         assert toks == []  # nothing left over
+
+
+def test_blocked_link_pairs_respects_blocks_and_distance(spark):
+    from climate_data_pipeline_spark.operators.dedup import blocked_link_pairs
+
+    df = spark.createDataFrame(
+        [(1, "smith john", "US"), (2, "smith jon", "US"),
+         (3, "smith john", "DE"),        # same name, other block: no link
+         (4, "totally different", "US")],
+        "id long, name string, country string")
+    out = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in blocked_link_pairs(df, "id", "name", ["country"],
+                                       max_distance=2).collect()}
+    assert out == {(1, 2): 1}
