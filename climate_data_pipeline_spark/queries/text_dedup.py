@@ -1034,3 +1034,86 @@ def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ["c_nationkey", "c_mktsegment"],
                                  max_distance=2)
     return D.duplicate_clusters(pairs.select("id_a", "id_b"))
+
+
+@query("dedup_minhash_eval", oracle=f"""
+WITH {_SHINGLES_CTE.strip()},
+sizes AS (SELECT id, count(*) AS n_sh FROM ds GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT c.id_a, c.id_b
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+),
+sig AS (SELECT id, min(md5('0:' || shingle)) AS mh0,
+         min(md5('1:' || shingle)) AS mh1,
+         min(md5('2:' || shingle)) AS mh2,
+         min(md5('3:' || shingle)) AS mh3,
+         min(md5('4:' || shingle)) AS mh4,
+         min(md5('5:' || shingle)) AS mh5,
+         min(md5('6:' || shingle)) AS mh6,
+         min(md5('7:' || shingle)) AS mh7,
+         min(md5('8:' || shingle)) AS mh8,
+         min(md5('9:' || shingle)) AS mh9,
+         min(md5('10:' || shingle)) AS mh10,
+         min(md5('11:' || shingle)) AS mh11 FROM ds GROUP BY id),
+keys AS (SELECT id, md5(mh0 || '|' || mh1 || '|' || mh2) AS key0, md5(mh3 || '|' || mh4 || '|' || mh5) AS key1, md5(mh6 || '|' || mh7 || '|' || mh8) AS key2, md5(mh9 || '|' || mh10 || '|' || mh11) AS key3 FROM sig),
+banded AS (SELECT id, 0 AS band, key0 AS key FROM keys
+UNION ALL
+SELECT id, 1 AS band, key1 AS key FROM keys
+UNION ALL
+SELECT id, 2 AS band, key2 AS key FROM keys
+UNION ALL
+SELECT id, 3 AS band, key3 AS key FROM keys),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+approx AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig sa ON sa.id = c.id_a
+  JOIN sig sb ON sb.id = c.id_b
+  WHERE ((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh8 = sb.mh8 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh9 = sb.mh9 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh10 = sb.mh10 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh11 = sb.mh11 THEN 1 ELSE 0 END)) / 12.0 >= 0.5
+)
+SELECT
+  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+  CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+  CAST((SELECT count(*) FROM exact e JOIN approx a
+        ON e.id_a = a.id_a AND e.id_b = a.id_b) AS BIGINT) AS n_true_pos,
+  round((SELECT count(*) FROM exact e JOIN approx a
+         ON e.id_a = a.id_a AND e.id_b = a.id_b)
+        / greatest((SELECT count(*) FROM exact), 1), 6) AS recall,
+  round((SELECT count(*) FROM exact e JOIN approx a
+         ON e.id_a = a.id_a AND e.id_b = a.id_b)
+        / greatest((SELECT count(*) FROM approx), 1), 6) AS precision
+""")
+def minhash_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning dashboard: the MinHash pipeline's precision/recall
+    against the exact Jaccard ≥ 0.5 pair set on the same corpus — the
+    measurement that justifies a (num_perm, bands) choice before a
+    production run. Both pipelines are deterministic, so even this
+    meta-evaluation hash-matches an oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                   min_jaccard=0.5)
+             .select("id_a", "id_b"))
+    approx = (D.minhash_pairs(docs, "text", "doc_id", num_perm=12,
+                              bands=4, min_est=0.5)
+              .select("id_a", "id_b"))
+    tp = exact.join(approx, ["id_a", "id_b"])
+    n_e = exact.count()
+    n_a = approx.count()
+    n_tp = tp.count()
+    return spark.createDataFrame(
+        [(n_e, n_a, n_tp,
+          round(n_tp / max(n_e, 1), 6), round(n_tp / max(n_a, 1), 6))],
+        "n_exact long, n_approx long, n_true_pos long, "
+        "recall double, precision double")
