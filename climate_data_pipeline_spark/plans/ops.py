@@ -19,6 +19,15 @@ Supported ops (a superset of the reference's four):
   {"op": "resample",     "freq": "month|year|day|...", "column": ts,
                          "keys": [...], "aggs": {out: "mean|sum|min|max|count(col)"}}
   {"op": "compute_mean", "keys": [...], "values": [...]}
+
+Pipeline verbs (engine additions — the dedup/sampling/sharding steps a
+training-data job plans the same declarative way):
+
+  {"op": "dedup_exact",  "id": id_col, "text": text_col}
+  {"op": "sample",       "id": id_col, "fraction": f, "salt": "..."}
+  {"op": "split",        "id": id_col, "weights": {name: w, ...},
+                         "keep": "train"}
+  {"op": "shard",        "id": id_col, "n_shards": n, "salt": "..."}
 """
 
 from __future__ import annotations
@@ -71,6 +80,23 @@ def _apply_op(df: DataFrame, op: dict) -> DataFrame:
         aggs = [F.avg(v).alias(f"avg_{v}") for v in op["values"]]
         keys = op.get("keys", ())
         return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    if kind == "dedup_exact":
+        from ..operators.dedup import exact_dedup
+        keep = exact_dedup(df, op["text"], op["id"]) \
+            .select(F.col("keep_id").alias(op["id"]))
+        return df.join(keep, op["id"], "left_semi")
+    if kind == "sample":
+        from ..operators.sampling import deterministic_sample
+        return deterministic_sample(df, op["id"], op["fraction"],
+                                    salt=op.get("salt", ""))
+    if kind == "split":
+        from ..operators.sampling import deterministic_split
+        out = deterministic_split(df, op["id"], op["weights"])
+        return out.where(F.col("split") == op["keep"]).drop("split")
+    if kind == "shard":
+        from ..operators.sampling import training_shards
+        return training_shards(df, op["id"], op["n_shards"],
+                               salt=op.get("salt", ""))
     raise ValueError(f"unknown op {kind!r}")
 
 

@@ -316,3 +316,45 @@ def test_streaming_tws_zscore_equals_applyinpandas(spark, sf_dir):
 
     a, b = rows("tws_out"), rows("apws_out")
     assert a == b and len(a) > 0
+
+
+def test_dsl_pipeline_verbs(spark, sf_dir):
+    """The op-dict DSL's training-pipeline verbs compose with the
+    reference's original four and mirror the operators they wrap."""
+    from climate_data_pipeline_spark.operators.dedup import exact_dedup
+    from climate_data_pipeline_spark.operators.sampling import (
+        deterministic_sample, deterministic_split, training_shards)
+    from climate_data_pipeline_spark.plans.ops import run_ops
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # dedup_exact keeps exactly the canonical ids
+    out = run_ops(docs, [{"op": "dedup_exact", "id": "doc_id",
+                          "text": "text"}])
+    keep = {r["keep_id"] for r in
+            exact_dedup(docs, "text", "doc_id").collect()}
+    assert {r["doc_id"] for r in out.collect()} == keep
+    # sample == operator
+    s_dsl = {r["doc_id"] for r in run_ops(
+        docs, [{"op": "sample", "id": "doc_id",
+                "fraction": 0.3, "salt": "x"}]).collect()}
+    s_op = {r["doc_id"] for r in deterministic_sample(
+        docs, "doc_id", 0.3, salt="x").collect()}
+    assert s_dsl == s_op and 0 < len(s_dsl) < docs.count()
+    # split keeps one named split
+    w = {"train": 0.8, "val": 0.2}
+    tr = {r["doc_id"] for r in run_ops(
+        docs, [{"op": "split", "id": "doc_id", "weights": w,
+                "keep": "train"}]).collect()}
+    full = {r["doc_id"]: r["split"] for r in
+            deterministic_split(docs, "doc_id", w).collect()}
+    assert tr == {k for k, v in full.items() if v == "train"}
+    # shard chains after a filter, matches the operator
+    got = sorted(map(tuple, run_ops(
+        docs, [{"op": "filter", "expr": "doc_id % 2 = 0"},
+               {"op": "shard", "id": "doc_id", "n_shards": 4}])
+        .select("doc_id", "shard", "pos").collect()))
+    want = sorted(map(tuple, training_shards(
+        docs.where("doc_id % 2 = 0"), "doc_id", 4)
+        .select("doc_id", "shard", "pos").collect()))
+    assert got == want
