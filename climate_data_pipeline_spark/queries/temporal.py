@@ -613,3 +613,80 @@ def season_onset_date(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.year("spell_start").cast("int").alias("yr"))
               .agg(F.min("spell_start").alias("onset"),
                    F.count(F.lit(1)).alias("n_spells")))
+
+
+@query("etccdi_rx5day", oracle="""
+WITH days AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         round(SUM(value), 6) AS dsum
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT user_id, d, dsum,
+         round(SUM(dsum) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS r5,
+         COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nwin
+  FROM days
+)
+SELECT user_id, max(r5) AS rx5day, CAST(count(*) AS BIGINT) AS n_windows
+FROM win WHERE nwin = 5
+GROUP BY 1
+""")
+def etccdi_rx5day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI Rx5day: the maximum 5-consecutive-day accumulation per
+    entity — daily digest, a 5-row running-sum frame (full windows
+    only), one max. The daily sums round at 1e-6 BEFORE the running
+    window so both engines accumulate identical values; at scale this
+    is the single-shuffle daily-digest + series-window shape of
+    w1_rolling_mean."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = (e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+             .agg(F.round(F.sum("value"), 6).alias("dsum")))
+    w = (Window.partitionBy("user_id").orderBy("d")
+               .rowsBetween(-4, 0))
+    win = (days.withColumn("r5", F.round(F.sum("dsum").over(w), 6))
+               .withColumn("nwin", F.count("*").over(w))
+               .where(F.col("nwin") == 5))
+    return (win.groupBy("user_id")
+               .agg(F.max("r5").alias("rx5day"),
+                    F.count(F.lit(1)).alias("n_windows")))
+
+
+@query("etccdi_r95ptot", oracle="""
+WITH thr AS (
+  SELECT user_id, round(quantile_cont(value, 0.95), 6) AS p95
+  FROM events GROUP BY 1
+)
+SELECT e.user_id,
+       round(SUM(CASE WHEN e.value > t.p95 THEN e.value ELSE 0 END), 6)
+         AS r95_sum,
+       round(SUM(e.value), 6) AS total_sum,
+       round(SUM(CASE WHEN e.value > t.p95 THEN e.value ELSE 0 END)
+             / SUM(e.value), 6) AS r95ptot,
+       CAST(SUM(CASE WHEN e.value > t.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_extreme
+FROM events e JOIN thr t USING (user_id)
+GROUP BY 1
+""")
+def etccdi_r95ptot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI R95pTOT: the share of an entity's total accumulation
+    contributed by its > p95 extremes — the "how concentrated are the
+    extremes" index. Broadcast per-entity threshold + one conditional
+    aggregation; sums round at 1e-6 against partition-order ulps in
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    thr = (e.groupBy("user_id")
+            .agg(F.round(F.percentile("value", 0.95), 6).alias("p95")))
+    j = e.join(F.broadcast(thr), "user_id")
+    ext = F.when(F.col("value") > F.col("p95"), F.col("value")).otherwise(0.0)
+    return (j.groupBy("user_id")
+             .agg(F.round(F.sum(ext), 6).alias("r95_sum"),
+                  F.round(F.sum("value"), 6).alias("total_sum"),
+                  F.round(F.sum(ext) / F.sum("value"), 6).alias("r95ptot"),
+                  F.sum(F.when(F.col("value") > F.col("p95"), 1)
+                         .otherwise(0)).cast("long").alias("n_extreme")))

@@ -219,3 +219,29 @@ def test_bloom_never_drops_members(spark, members, probes):
                                         m_bits=1 << 12, k=3).collect()}
     truth = {f"k{v}" for v in members & probes}
     assert truth <= kept
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=9),   # shape t
+       st.integers(min_value=1, max_value=6),   # shape x
+       st.integers(min_value=1, max_value=9),   # chunk t
+       st.integers(min_value=1, max_value=6),   # chunk x
+       st.sampled_from(["zstd", "gzip", "blosc", "none"]))
+def test_zarr3_roundtrip_fuzz(tmp_path_factory, nt, nx, ct, cx, codec):
+    """Zarr v3: any chunk geometry × codec round-trips bit-exactly
+    through the v3 writer and the v3-normalized reader."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources import zarr2
+
+    path = str(tmp_path_factory.mktemp("z3") / "s.zarr")
+    rng = np.random.default_rng(nt * 1000 + nx * 100 + ct * 10 + cx)
+    arr = rng.normal(0, 1, (nt, nx)).astype(np.float64)
+    zarr2.write_zarr3(path,
+                      dims={"t": np.arange(float(nt)),
+                            "x": np.arange(float(nx))},
+                      variables={"v": (["t", "x"], arr, {})},
+                      chunks={"v": [ct, cx]}, codec=codec)
+    meta = zarr2.open_zarr_store(path)
+    got = zarr2.read_zarr_array(path, "v", meta["v"])
+    np.testing.assert_array_equal(got, arr)
