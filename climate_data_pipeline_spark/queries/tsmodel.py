@@ -219,3 +219,87 @@ def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("ts").alias("cp_ts"),
                       F.col("idx").cast("long").alias("cp_index"),
                       F.col("stat").alias("max_stat")))
+
+
+@query("forecast_baseline_eval", oracle="""
+WITH days AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         round(SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+               / count(*), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, d, v,
+         lag(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS naive,
+         lag(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS snaive,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS idx,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM days
+),
+holdout AS (
+  SELECT * FROM lagged
+  WHERE idx > CAST(0.8 * n AS BIGINT) AND snaive IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+       round(SUM(CAST(round(abs(v - naive) * 1000000) AS BIGINT))
+             / count(*)) / 1000000.0 AS mae_naive,
+       round(SUM(CAST(round(abs(v - snaive) * 1000000) AS BIGINT))
+             / count(*)) / 1000000.0 AS mae_seasonal_naive,
+       round(sqrt(SUM(CAST(round((v - naive) * (v - naive) * 1000000000000)
+                           AS BIGINT)) / 1000000000000.0 / count(*)), 6)
+         AS rmse_naive,
+       round(sqrt(SUM(CAST(round((v - snaive) * (v - snaive)
+                                 * 1000000000000)
+                           AS BIGINT)) / 1000000000000.0 / count(*)), 6)
+         AS rmse_seasonal_naive
+FROM holdout GROUP BY 1
+""")
+def forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline scorecard: naive (lag-1) and seasonal-naive
+    (lag-7) predictions evaluated on each series' last 20% — MAE/RMSE
+    per series, the floor every real forecasting model must beat before
+    it earns a deployment. Daily digest + two lag windows + one holdout
+    aggregate, all on the series partitioning; digests round at 1e-6
+    per the module's determinism rule."""
+    from ..sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+              .agg(F.round(
+                  F.sum(F.round(F.col("value") * 1e6).cast("long")) / 1e6
+                  / F.count(F.lit(1)), 6).alias("v")))
+    w = Window.partitionBy("event_type").orderBy("d")
+    wa = Window.partitionBy("event_type")
+    lagged = (days.withColumn("naive", F.lag("v", 1).over(w))
+                  .withColumn("snaive", F.lag("v", 7).over(w))
+                  .withColumn("idx", F.row_number().over(w))
+                  .withColumn("n", F.count("*").over(wa)))
+    hold = lagged.where((F.col("idx") > (F.lit(0.8) * F.col("n"))
+                         .cast("long"))
+                        & F.col("snaive").isNotNull())
+    # exact scaled-long error sums (the registry's float-determinism
+    # discipline): abs errors at 1e-6, squared errors at 1e-12
+    err = lambda p: F.col("v") - F.col(p)  # noqa: E731
+
+    def ex_avg(col, scale):
+        f = float(10 ** scale)
+        return (F.sum(F.round(col * f).cast("long")) / f
+                / F.count(F.lit(1)))
+
+    def micro_avg(col):
+        # rounding happens in integer micro-units, where a decimal tie
+        # is an exactly-representable .5 both engines resolve identically
+        # (half away from zero) — round(x, 6) ties at the 7th digit are
+        # algorithm-dependent across engines
+        return (F.round(F.sum(F.round(col * 1e6).cast("long"))
+                        / F.count(F.lit(1))) / F.lit(1e6))
+
+    return (hold.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_eval"),
+                 micro_avg(F.abs(err("naive"))).alias("mae_naive"),
+                 micro_avg(F.abs(err("snaive")))
+                  .alias("mae_seasonal_naive"),
+                 F.round(F.sqrt(ex_avg(err("naive") * err("naive"), 12)), 6)
+                  .alias("rmse_naive"),
+                 F.round(F.sqrt(ex_avg(err("snaive") * err("snaive"), 12)),
+                         6).alias("rmse_seasonal_naive")))

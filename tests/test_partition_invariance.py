@@ -33,6 +33,7 @@ SENSITIVE = [
     "text_segment_dedup",     # min-struct first occurrence + reassembly (r2)
     "emb_label_centroids",    # float avg rounded — sum-order absorption (r2)
     "emb_centroid_classify",  # centroid build + argmax assignment (r2)
+    "forecast_baseline_eval", # micro-unit tie rounding (r2)
     "sim_cosine_topk_many",   # per-partition local top-k merge (r2)
 ]
 
