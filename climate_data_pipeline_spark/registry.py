@@ -12,7 +12,15 @@ across partitionings:
   ~2× faster than DECIMAL aggregation — then divide back to double;
 - inherently order-sensitive float aggregates (stddev, correlation,
   regression slopes, interpolated percentiles) are rounded to a precision
-  far above the accumulation error but far below data variation.
+  far above the accumulation error but far below data variation;
+- when a rounded value can land EXACTLY on a decimal tie (e.g. an
+  average of scaled-integer sums divisible to ...5), ``round(x, 6)`` is
+  NOT portable: Spark rounds the double's shortest decimal form
+  (BigDecimal HALF_UP) while DuckDB multiplies-and-rounds in binary —
+  the tie can break differently. Round in INTEGER units instead
+  (``round(sum_micro / n) / 1e6``): the tie is then an
+  exactly-representable .5 both engines resolve identically
+  (cf. forecast_baseline_eval).
 
 Register with the ``@query(name, oracle=...)`` decorator; ``oracle=None``
 marks a non-SQL-expressible op (driver records a weaker rows-only check).
