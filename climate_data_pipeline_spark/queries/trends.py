@@ -266,3 +266,107 @@ def mk_z_p_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("z", 6).alias("z"),
                       p_approx.alias("p_value"),
                       (p_approx < 0.05).alias("significant"))
+
+
+@query("a9_seasonal_mann_kendall",
+       oracle=f"""
+WITH m AS (
+  SELECT l_returnflag, CAST(month(l_shipdate) AS INTEGER) AS mon,
+         date_trunc('month', l_shipdate) AS mo,
+         AVG(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.l_returnflag, a.mon,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM m a JOIN m b
+    ON a.l_returnflag = b.l_returnflag AND a.mon = b.mon AND a.mo < b.mo
+),
+s_by_season AS (
+  SELECT l_returnflag, mon, CAST(SUM(sgn) AS DOUBLE) AS s_m
+  FROM pairs GROUP BY 1, 2
+),
+ties AS (
+  SELECT l_returnflag, mon, count(*) AS t
+  FROM m GROUP BY l_returnflag, mon, v HAVING count(*) > 1
+),
+var_by_season AS (
+  SELECT m.l_returnflag, m.mon,
+         (count(*) * (count(*) - 1) * (2 * count(*) + 5)
+          - COALESCE((SELECT SUM(t * (t - 1) * (2 * t + 5)) FROM ties
+                      WHERE ties.l_returnflag = m.l_returnflag
+                        AND ties.mon = m.mon), 0)) / 18.0 AS var_m
+  FROM m GROUP BY 1, 2
+),
+tot AS (
+  SELECT s.l_returnflag,
+         SUM(s.s_m) AS s_total, SUM(v.var_m) AS var_total,
+         CAST(count(*) AS BIGINT) AS n_seasons
+  FROM s_by_season s
+  JOIN var_by_season v USING (l_returnflag, mon)
+  GROUP BY 1
+),
+z AS (
+  SELECT l_returnflag, s_total, var_total, n_seasons,
+         CASE WHEN s_total > 0 THEN (s_total - 1) / sqrt(var_total)
+              WHEN s_total < 0 THEN (s_total + 1) / sqrt(var_total)
+              ELSE 0.0 END AS z
+  FROM tot
+)
+SELECT l_returnflag, s_total, var_total, n_seasons, round(z, 6) AS z,
+       round({SC.sql_normal_sf_two_sided('z')}, 6) AS p_value,
+       (round({SC.sql_normal_sf_two_sided('z')}, 6) < 0.05) AS significant
+FROM z
+""")
+def seasonal_mann_kendall_lineitem(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack): the MK S statistic and
+    variance are computed WITHIN each calendar month (so the annual
+    cycle can't masquerade as trend — the hydrology-standard variant)
+    and summed across seasons before the Z/p step. Pure SQL end-to-end:
+    the per-season pairwise sums are bounded (n_years² per season), and
+    the same pairwise-join + tie-correction machinery as a9 applies
+    per (series, month)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (li.groupBy("l_returnflag",
+                    F.month("l_shipdate").cast("int").alias("mon"),
+                    F.date_trunc("month", "l_shipdate").alias("mo"))
+           .agg(F.avg("l_quantity").alias("v")))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (a.join(b, (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
+                    & (F.col("a.mon") == F.col("b.mon"))
+                    & (F.col("a.mo") < F.col("b.mo")))
+             .select(F.col("a.l_returnflag").alias("l_returnflag"),
+                     F.col("a.mon").alias("mon"),
+                     F.when(F.col("b.v") > F.col("a.v"), 1)
+                      .when(F.col("b.v") < F.col("a.v"), -1)
+                      .otherwise(0).alias("sgn")))
+    s_season = (pairs.groupBy("l_returnflag", "mon")
+                .agg(F.sum("sgn").cast("double").alias("s_m")))
+    nm = m.groupBy("l_returnflag", "mon").agg(F.count("*").alias("nn"))
+    tie = (m.groupBy("l_returnflag", "mon", "v")
+            .agg(F.count("*").alias("t")).where(F.col("t") > 1)
+            .groupBy("l_returnflag", "mon")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tsum")))
+    var_season = (nm.join(tie, ["l_returnflag", "mon"], "left")
+                  .select("l_returnflag", "mon",
+                          ((F.col("nn") * (F.col("nn") - 1)
+                            * (2 * F.col("nn") + 5)
+                            - F.coalesce("tsum", F.lit(0))) / 18.0)
+                          .alias("var_m")))
+    tot = (s_season.join(var_season, ["l_returnflag", "mon"])
+           .groupBy("l_returnflag")
+           .agg(F.sum("s_m").alias("s_total"),
+                F.sum("var_m").alias("var_total"),
+                F.count(F.lit(1)).alias("n_seasons")))
+    z = (F.when(F.col("s_total") > 0,
+                (F.col("s_total") - 1) / F.sqrt("var_total"))
+          .when(F.col("s_total") < 0,
+                (F.col("s_total") + 1) / F.sqrt("var_total"))
+          .otherwise(0.0))
+    out = tot.withColumn("z_raw", z)
+    p = F.round(SC.normal_sf_two_sided(F.col("z_raw")), 6)
+    return out.select("l_returnflag", "s_total", "var_total", "n_seasons",
+                      F.round("z_raw", 6).alias("z"),
+                      p.alias("p_value"), (p < 0.05).alias("significant"))
