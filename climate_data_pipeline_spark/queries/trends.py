@@ -370,3 +370,115 @@ def seasonal_mann_kendall_lineitem(spark: SparkSession,
     return out.select("l_returnflag", "s_total", "var_total", "n_seasons",
                       F.round("z_raw", 6).alias("z"),
                       p.alias("p_value"), (p < 0.05).alias("significant"))
+
+
+@query("trend_field_significance", oracle=f"""
+WITH days AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         round(SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+               / count(*), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.user_id,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM days a JOIN days b ON a.user_id = b.user_id AND a.d < b.d
+),
+s AS (SELECT user_id, CAST(SUM(sgn) AS DOUBLE) AS s_stat
+      FROM pairs GROUP BY 1),
+ties AS (SELECT user_id, count(*) AS t FROM days
+         GROUP BY user_id, v HAVING count(*) > 1),
+vars AS (
+  SELECT d.user_id, count(*) AS n,
+         (count(*) * (count(*) - 1) * (2 * count(*) + 5)
+          - COALESCE((SELECT SUM(t * (t - 1) * (2 * t + 5)) FROM ties
+                      WHERE ties.user_id = d.user_id), 0)) / 18.0 AS var_s
+  FROM days d GROUP BY 1
+),
+p AS (
+  SELECT s.user_id,
+         round({{p_expr}}, 6) AS p_value
+  FROM (SELECT s.user_id, s.s_stat, vars.var_s,
+               CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt(vars.var_s)
+                    WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt(vars.var_s)
+                    ELSE 0.0 END AS z
+        FROM s JOIN vars USING (user_id)) s
+),
+ranked AS (
+  SELECT user_id, p_value,
+         row_number() OVER (ORDER BY p_value ASC, user_id ASC) AS rk,
+         count(*) OVER () AS m
+  FROM p
+),
+bh AS (
+  SELECT *, (p_value * m <= 0.05 * rk) AS passes
+  FROM ranked
+),
+cut AS (SELECT COALESCE(max(rk), 0) AS kmax FROM bh WHERE passes)
+SELECT CAST((SELECT m FROM ranked LIMIT 1) AS BIGINT) AS n_series,
+       CAST((SELECT count(*) FROM p WHERE p_value < 0.05) AS BIGINT)
+         AS n_raw_significant,
+       CAST((SELECT kmax FROM cut) AS BIGINT) AS n_fdr_significant,
+       round((SELECT count(*) FROM p WHERE p_value < 0.05)
+             / CAST((SELECT m FROM ranked LIMIT 1) AS DOUBLE), 6)
+         AS raw_fraction
+""".format(p_expr=SC.sql_normal_sf_two_sided("z")))
+def trend_field_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field significance for a trend field: per-series Mann-Kendall
+    p-values (pure-SQL pairwise form over daily digests) corrected for
+    multiple testing with Benjamini-Hochberg — the count of
+    FDR-surviving series is what distinguishes a real climate signal
+    from 5% of cells passing by chance. Pairwise volume is bounded at
+    n_days² per series; the BH step is one global ranking window over
+    #series rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+              .agg(F.round(
+                  F.sum(F.round(F.col("value") * 1e6).cast("long")) / 1e6
+                  / F.count(F.lit(1)), 6).alias("v")))
+    a, b = days.alias("a"), days.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.d") < F.col("b.d")))
+             .select(F.col("a.user_id").alias("user_id"),
+                     F.when(F.col("b.v") > F.col("a.v"), 1)
+                      .when(F.col("b.v") < F.col("a.v"), -1)
+                      .otherwise(0).alias("sgn")))
+    s = pairs.groupBy("user_id").agg(F.sum("sgn").cast("double")
+                                     .alias("s_stat"))
+    nn = days.groupBy("user_id").agg(F.count("*").alias("n"))
+    tie = (days.groupBy("user_id", "v").agg(F.count("*").alias("t"))
+               .where(F.col("t") > 1)
+               .groupBy("user_id")
+               .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                          * (2 * F.col("t") + 5)).alias("tsum")))
+    var = (nn.join(tie, "user_id", "left")
+           .select("user_id",
+                   ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                     - F.coalesce("tsum", F.lit(0))) / 18.0).alias("var_s")))
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt("var_s"))
+          .when(F.col("s_stat") < 0,
+                (F.col("s_stat") + 1) / F.sqrt("var_s"))
+          .otherwise(0.0))
+    p = (s.join(var, "user_id")
+          .withColumn("p_value",
+                      F.round(SC.normal_sf_two_sided(z), 6))
+          .select("user_id", "p_value"))
+    w = Window.orderBy(F.col("p_value").asc(), F.col("user_id").asc())
+    ranked = (p.withColumn("rk", F.row_number().over(w))
+               .withColumn("m", F.count("*").over(
+                   Window.partitionBy())))
+    bh = ranked.withColumn(
+        "passes", F.col("p_value") * F.col("m") <= 0.05 * F.col("rk"))
+    agg = bh.agg(
+        F.max("m").cast("long").alias("n_series"),
+        F.sum(F.when(F.col("p_value") < 0.05, 1).otherwise(0))
+         .cast("long").alias("n_raw_significant"),
+        F.coalesce(F.max(F.when(F.col("passes"), F.col("rk"))),
+                   F.lit(0)).cast("long").alias("n_fdr_significant"))
+    return agg.withColumn(
+        "raw_fraction",
+        F.round(F.col("n_raw_significant")
+                / F.col("n_series").cast("double"), 6))
