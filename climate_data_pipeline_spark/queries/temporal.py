@@ -690,3 +690,53 @@ def etccdi_r95ptot(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum(ext) / F.sum("value"), 6).alias("r95ptot"),
                   F.sum(F.when(F.col("value") > F.col("p95"), 1)
                          .otherwise(0)).cast("long").alias("n_extreme")))
+
+
+@query("etccdi_dtr_sdii", oracle="""
+WITH days AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         max(value) AS dmax, min(value) AS dmin,
+         round(SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+           AS dsum,
+         count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       round(SUM(CAST(round((dmax - dmin) * 1000000) AS BIGINT))
+             / 1000000.0 / count(*), 6) AS dtr,
+       round(SUM(CASE WHEN dsum > 50 THEN CAST(round(dsum * 1000000)
+                                              AS BIGINT) ELSE 0 END)
+             / 1000000.0
+             / greatest(SUM(CASE WHEN dsum > 50 THEN 1 ELSE 0 END), 1), 6)
+         AS sdii,
+       CAST(SUM(CASE WHEN dsum > 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_wet_days,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM days GROUP BY 1
+""")
+def etccdi_dtr_sdii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two simple-index staples on the daily digest: DTR (mean diurnal
+    range, max−min per day) and SDII (mean accumulation on "wet" days —
+    daily sum above a threshold). One digest aggregation + one
+    per-entity roll-up; exact micro-unit sums everywhere a float
+    average crosses a group boundary."""
+    e = load_table(spark, sf_dir, "events")
+    micro = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
+    days = (e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+             .agg(F.max("value").alias("dmax"),
+                  F.min("value").alias("dmin"),
+                  F.round(F.sum(micro(F.col("value"))) / 1e6, 6)
+                   .alias("dsum"),
+                  F.count(F.lit(1)).alias("n_obs")))
+    wet = F.col("dsum") > 50
+    return (days.groupBy("user_id")
+            .agg(F.round(F.sum(micro(F.col("dmax") - F.col("dmin"))) / 1e6
+                         / F.count(F.lit(1)), 6).alias("dtr"),
+                 F.round(F.sum(F.when(wet, micro(F.col("dsum")))
+                                .otherwise(0)) / 1e6
+                         / F.greatest(
+                             F.sum(F.when(wet, 1).otherwise(0)), F.lit(1)),
+                         6).alias("sdii"),
+                 F.sum(F.when(wet, 1).otherwise(0)).cast("long")
+                  .alias("n_wet_days"),
+                 F.count(F.lit(1)).alias("n_days")))
