@@ -273,7 +273,8 @@ def mk_z_p_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT l_returnflag, CAST(month(l_shipdate) AS INTEGER) AS mon,
          date_trunc('month', l_shipdate) AS mo,
-         AVG(l_quantity) AS v
+         round(SUM(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0
+               / count(*), 6) AS v
   FROM lineitem GROUP BY 1, 2, 3
 ),
 pairs AS (
@@ -313,7 +314,8 @@ z AS (
               ELSE 0.0 END AS z
   FROM tot
 )
-SELECT l_returnflag, s_total, var_total, n_seasons, round(z, 6) AS z,
+SELECT l_returnflag, s_total, round(var_total, 6) AS var_total,
+       n_seasons, round(z, 6) AS z,
        round({SC.sql_normal_sf_two_sided('z')}, 6) AS p_value,
        (round({SC.sql_normal_sf_two_sided('z')}, 6) < 0.05) AS significant
 FROM z
@@ -328,10 +330,14 @@ def seasonal_mann_kendall_lineitem(spark: SparkSession,
     the same pairwise-join + tie-correction machinery as a9 applies
     per (series, month)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # exact micro-unit digest: a raw float AVG here is partition-order
+    # sensitive, and a single-ulp shift can flip a pairwise sign
     m = (li.groupBy("l_returnflag",
                     F.month("l_shipdate").cast("int").alias("mon"),
                     F.date_trunc("month", "l_shipdate").alias("mo"))
-           .agg(F.avg("l_quantity").alias("v")))
+           .agg(F.round(
+               F.sum(F.round(F.col("l_quantity") * 1e6).cast("long")) / 1e6
+               / F.count(F.lit(1)), 6).alias("v")))
     a, b = m.alias("a"), m.alias("b")
     pairs = (a.join(b, (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
                     & (F.col("a.mon") == F.col("b.mon"))
@@ -367,7 +373,11 @@ def seasonal_mann_kendall_lineitem(spark: SparkSession,
           .otherwise(0.0))
     out = tot.withColumn("z_raw", z)
     p = F.round(SC.normal_sf_two_sided(F.col("z_raw")), 6)
-    return out.select("l_returnflag", "s_total", "var_total", "n_seasons",
+    # var_total sums 12 inexact rationals (…/18) — round against
+    # partition-order ulps; z/p round at 6 and absorb the same ulps
+    return out.select("l_returnflag", "s_total",
+                      F.round("var_total", 6).alias("var_total"),
+                      "n_seasons",
                       F.round("z_raw", 6).alias("z"),
                       p.alias("p_value"), (p < 0.05).alias("significant"))
 

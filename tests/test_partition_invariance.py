@@ -1,7 +1,7 @@
 """Partition-invariance guards: results of FP-sensitive queries must be
 BIT-identical under different shuffle-partition counts — the property
 that keeps the DuckDB oracle hashes stable under driver sample rotation
-(full 152-oracle sweeps verified at partitions 1/3/7/64; this test
+(full oracle sweeps verified at several partition counts; this test
 locks the cheapest regression signal into CI)."""
 
 from __future__ import annotations
@@ -34,6 +34,7 @@ SENSITIVE = [
     "emb_label_centroids",    # float avg rounded — sum-order absorption (r2)
     "emb_centroid_classify",  # centroid build + argmax assignment (r2)
     "forecast_baseline_eval", # micro-unit tie rounding (r2)
+    "a9_seasonal_mann_kendall",  # Σ of /18 rationals — rounded (r2)
     "sim_cosine_topk_many",   # per-partition local top-k merge (r2)
 ]
 
