@@ -1,7 +1,7 @@
 """Partition-invariance guards: results of FP-sensitive queries must be
 BIT-identical under different shuffle-partition counts — the property
 that keeps the DuckDB oracle hashes stable under driver sample rotation
-(full oracle sweeps verified at several partition counts; this test
+(full 179-oracle sweeps verified at shuffle partitions 1/7/32; this test
 locks the cheapest regression signal into CI)."""
 
 from __future__ import annotations
