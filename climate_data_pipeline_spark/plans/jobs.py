@@ -142,3 +142,42 @@ def write_training_shards(df, output_path: str, id_col: str,
         "rows": n_out,
         "n_shards": shards_seen,
     }
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  split_weights: dict | None = None,
+                  keep_split: str = "train", n_shards: int = 8,
+                  salt: str = "") -> dict:
+    """The full training-data curation job in one call: load documents →
+    exact dedup → deterministic split (keep one named split) → shard
+    manifest → one-file-per-shard write (`write_training_shards`) — each
+    stage the same op the DSL/operators expose, composed lazily so
+    Catalyst sees one plan until the write. Returns stage row counts so
+    the job's yield (what dedup and the split removed) is auditable."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_in = docs.count()
+    keep = exact_dedup(docs, text_col, id_col) \
+        .select(F.col("keep_id").alias(id_col))
+    deduped = docs.join(keep, id_col, "left_semi")
+    n_dedup = deduped.count()
+    weights = split_weights or {"train": 0.9, "holdout": 0.1}
+    split = deterministic_split(deduped, id_col, weights)
+    kept = split.where(F.col("split") == keep_split).drop("split")
+    n_split = kept.count()
+    result = write_training_shards(kept, output_dir, id_col, n_shards,
+                                   salt=salt, overwrite=True)
+    result.update({
+        "n_input": n_in,
+        "n_after_dedup": n_dedup,
+        "n_written": n_split,
+        "dedup_removed": n_in - n_dedup,
+        "split_removed": n_dedup - n_split,
+        "kept_split": keep_split,
+    })
+    return result

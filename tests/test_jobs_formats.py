@@ -98,3 +98,18 @@ def test_write_training_shards_round_trip(spark, sf_small, tmp_path):
     assert len(dirs) == 4
     for d in dirs:
         assert len(glob.glob(d + "/part-*.parquet")) == 1
+
+
+def test_curate_corpus_end_to_end(spark, sf_small, tmp_path):
+    from climate_data_pipeline_spark.plans.jobs import curate_corpus
+
+    out = str(tmp_path / "curated")
+    r = curate_corpus(spark, sf_small, out, n_shards=4)
+    assert r["status"] == "completed" and r["verified"]
+    assert r["n_input"] >= r["n_after_dedup"] >= r["n_written"] > 0
+    assert r["rows"] == r["n_written"]
+    back = spark.read.parquet(out)
+    # every written row is train-split, deduped, sharded with positions
+    assert back.select("doc_id").distinct().count() == r["n_written"]
+    assert set(back.columns) >= {"doc_id", "text", "shard", "pos"}
+    assert back.select("shard").distinct().count() <= 4
