@@ -103,3 +103,63 @@ def moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(var, 8).alias("var_pop"),
                     F.round(skew, 8).alias("skewness"),
                     F.round(kurt, 8).alias("kurtosis_excess"))
+
+
+def _profile_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       round(1.0 - count({col}) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+       (SELECT CAST({col} AS VARCHAR) FROM lineitem
+        WHERE {col} IS NOT NULL
+        GROUP BY {col} ORDER BY count(*) DESC, {col} ASC LIMIT 1)
+         AS top_value,
+       round((SELECT count(*) FROM lineitem t
+              WHERE CAST(t.{col} AS VARCHAR) =
+                    (SELECT CAST({col} AS VARCHAR) FROM lineitem
+                     WHERE {col} IS NOT NULL
+                     GROUP BY {col} ORDER BY count(*) DESC, {col} ASC
+                     LIMIT 1))
+             / CAST(count(*) AS DOUBLE), 6) AS top_share
+FROM lineitem"""
+
+
+_PROFILE_COLS = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+
+
+@query("profile_table_columns",
+       oracle="\nUNION ALL\n".join(_profile_col_sql(c)
+                                   for c in _PROFILE_COLS))
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the `DESCRIBE`-on-steroids every curation run
+    starts with): per column — row count, distinct count, null
+    fraction, modal value and its share (deterministic min-value
+    tiebreak). One aggregation per profiled column over the same
+    cached scan, unioned; at scale the per-column aggs run as
+    independent jobs over one shared scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _PROFILE_COLS:
+        top = (li.where(F.col(c).isNotNull())
+                 .groupBy(c).agg(F.count("*").alias("__c"))
+                 .orderBy(F.col("__c").desc(), F.col(c).asc())
+                 .limit(1)
+                 .select(F.col(c).cast("string").alias("top_value"),
+                         F.col("__c").alias("__topc")))
+        agg = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.lit(1.0) - F.count(c) / F.count(F.lit(1))
+                    .cast("double"), 6).alias("null_frac"))
+        parts.append(
+            agg.join(F.broadcast(top))
+               .select(F.lit(c).alias("column_name"), "n_rows",
+                       "n_distinct", "null_frac", "top_value",
+                       F.round(F.col("__topc")
+                               / F.col("n_rows").cast("double"), 6)
+                        .alias("top_share")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
