@@ -785,3 +785,52 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
             .select(F.col("id").alias(id_col), "n_shingles", "n_hit",
                     F.round(F.col("n_hit")
                             / F.col("n_shingles"), 9).alias("contamination")))
+
+
+def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
+                          n: int = 3) -> DataFrame:
+    """Pairwise content overlap between corpus sources: for every source
+    pair, how many distinct word n-gram shingles they share, and the
+    overlap coefficient |A∩B| / min(|A|, |B|). The provenance audit a
+    curation team runs to find mirrored / scraped-twice feeds *before*
+    document-level dedup (two sources with high overlap are one crawl
+    wearing two names).
+
+    Never a source×source document join: the (source, shingle) relation
+    is deduplicated, then ONE shingle-keyed aggregation collects each
+    shingle's (sorted, distinct) source set — bounded by |sources| — and
+    a map-side transform explodes that set's ordered pairs. Cost is
+    Σ_shingle |sources(shingle)|², bounded by #shingles × |sources|²
+    regardless of corpus size; the shingle key is uniform by
+    construction. Per-source shingle totals ride the same relation.
+
+    Output: (source_a, source_b, n_shared, n_a, n_b, overlap) a < b."""
+    ss = (_spread(df).select(F.col(source_col).alias("__src"),
+                             words(text_col).alias("__w"))
+            .where(F.size("__w") >= n)
+            .select("__src", F.explode(
+                shingles_from_words(F.col("__w"), n)).alias("shingle"))
+            .distinct())
+    totals = ss.groupBy("__src").agg(F.count("*").alias("n_total"))
+    srcs = (ss.groupBy("shingle")
+              .agg(F.array_sort(F.collect_set("__src")).alias("__set"))
+              .where(F.size("__set") >= 2))
+    pairs = F.flatten(F.transform(
+        F.slice(F.col("__set"), 1, F.size("__set") - 1),
+        lambda a, i: F.transform(
+            F.slice(F.col("__set"), i + 2, F.size("__set")),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+    shared = (srcs.select(F.explode(pairs).alias("p"))
+                  .groupBy(F.col("p.a").alias("source_a"),
+                           F.col("p.b").alias("source_b"))
+                  .agg(F.count("*").alias("n_shared")))
+    ta = totals.select(F.col("__src").alias("source_a"),
+                       F.col("n_total").alias("n_a"))
+    tb = totals.select(F.col("__src").alias("source_b"),
+                       F.col("n_total").alias("n_b"))
+    return (shared.join(F.broadcast(ta), "source_a")
+                  .join(F.broadcast(tb), "source_b")
+                  .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+                          F.round(F.col("n_shared")
+                                  / F.least("n_a", "n_b"), 9)
+                           .alias("overlap")))

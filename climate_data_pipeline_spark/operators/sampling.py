@@ -201,6 +201,41 @@ def token_budget_mix(df: DataFrame, source_col: str, id_col: str,
               .drop("__budget", "__cum"))
 
 
+def temperature_weights(df: DataFrame, group_col: str, token_col: str,
+                        alpha: float = 0.3) -> DataFrame:
+    """Temperature-scaled sampling weights per group (the mBERT/XLM-R
+    multilingual rebalancing rule): with p_g = group's token share,
+    sample groups proportionally to p_g^α, α < 1 flattening the
+    distribution so head languages/sources stop drowning the tail.
+    ``factor`` (= q_g / p_g) is the per-document up/down-sampling
+    multiplier a mixing stage applies.
+
+    One grouped aggregation; the corpus total and the Σ p^α partition
+    function fold in as broadcast one-row aggregates (no driver-side
+    counts, fully lazy). Exponentiation happens on round-9 shares, and
+    the partition function sums those shares as exact nano-scaled
+    integers, so every number is partition-order invariant and
+    engine-portable.
+
+    Output: (group, n_docs, n_tokens, p, q, factor)."""
+    g = (df.groupBy(F.col(group_col).alias("group"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(token_col).alias("n_tokens")))
+    tot = g.agg(F.sum("n_tokens").alias("__tot"))
+    p = F.round(F.col("n_tokens") / F.col("__tot"), 9)
+    shares = (g.crossJoin(F.broadcast(tot))
+                .withColumn("p", p)
+                .withColumn("__pa", F.round(F.pow("p", F.lit(alpha)), 9)))
+    z = shares.agg(F.sum(F.round(F.col("__pa") * 1e9).cast("long"))
+                    .alias("__zn"))
+    q = F.round(F.col("__pa") / (F.col("__zn") / 1e9), 9)
+    return (shares.crossJoin(F.broadcast(z))
+                  .withColumn("q", q)
+                  .select("group", "n_docs", "n_tokens", "p", "q",
+                          F.round(F.col("q") / F.col("p"), 6)
+                           .alias("factor")))
+
+
 def training_shards(df: DataFrame, id_col: str, n_shards: int,
                     salt: str = "") -> DataFrame:
     """The final deterministic shuffle before training: assign every row

@@ -237,6 +237,48 @@ def centroid_classify(df: DataFrame, label_col: str = "label",
             .agg(F.count("*").alias("n")))
 
 
+def centroid_outliers(df: DataFrame, label_col: str = "label",
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      prune_frac: float = 0.1,
+                      round_dp: int = 6) -> DataFrame:
+    """Prototype-distance pruning (the SSL-prototypes / SemDeDup-family
+    curation signal): score every vector's cosine to its OWN class
+    centroid and flag the least-typical ``prune_frac`` of each class —
+    the cheap embedding-space filter for mislabeled / off-topic /
+    junk examples that runs before any expensive pairwise dedup.
+
+    Same plan skeleton as :func:`centroid_classify` — the centroid
+    table is O(labels × dim) and broadcasts; the corpus scans once and
+    joins only to its own label's prototype (equi join, not the
+    classify cross join) — plus one window per label for the
+    typicality rank. Ranking uses the round-``round_dp`` similarity
+    with an id tiebreak, so the cut line is engine-portable; the class
+    size feeds the cutoff via a count window on the same partitioning
+    (no extra shuffle).
+
+    Output: (id, label, sim, rank, prune) — rank 1 = least typical."""
+    cents = (label_centroids(df, label_col, vec_col, round_dp)
+             .groupBy("label")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("dim_idx", "centroid"))).alias("__s"))
+             .select(F.col("label").alias("__clabel"),
+                     F.transform("__s", lambda x: x["centroid"])
+                      .alias("__cvec")))
+    sim = F.round(cosine(F.col(vec_col), F.col("__cvec")), round_dp)
+    w_rank = Window.partitionBy(label_col).orderBy(F.col("sim").asc(),
+                                                   F.col(id_col).asc())
+    w_n = Window.partitionBy(label_col)
+    return (df.join(F.broadcast(cents),
+                    F.col(label_col) == F.col("__clabel"))
+              .withColumn("sim", sim)
+              .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+              .withColumn("__n", F.count("*").over(w_n))
+              .select(id_col, label_col, "sim", "rank",
+                      (F.col("rank")
+                       <= F.ceil(F.lit(prune_frac) * F.col("__n")))
+                      .alias("prune")))
+
+
 def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", threshold: float = 0.4,
                  round_dp: int = 6) -> DataFrame:

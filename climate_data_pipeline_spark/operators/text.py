@@ -350,6 +350,58 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
                   .select(id_col, "term", "tf", "df", "tfidf", "rank"))
 
 
+def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
+                  nll_keep_threshold: float = 3.4) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-one
+    smoothed bigram LM on the corpus itself, score every document's
+    average per-bigram negative log-likelihood, and flag fluent
+    documents (low NLL = text that looks like the corpus — the signal
+    CCNet/RedPajama use to tier web text by LM perplexity).
+
+    p(nxt|cur) = (c(cur,nxt) + 1) / (total(cur) + V), V = corpus
+    vocabulary size. Per-bigram log-probs are rounded to integer
+    micro-nats BEFORE the per-document sum (the scaled-long exact-sum
+    discipline), so the document score is partition-order invariant and
+    engine-portable; the keep flag compares the round-6 average, never
+    a raw float.
+
+    Plan shape: tokenize once, one bounded bigram explode reused for
+    BOTH the LM counts and the scoring stream; the conditional-total
+    table derives from the pair counts (no second pass over the data);
+    V is a broadcast one-row aggregate. Scoring is two uniform-key
+    equi joins (pair table, context table — vocabulary-sized, far
+    smaller than the token stream) + one grouped sum. No UDFs, no
+    driver-side state; every stage is a hash agg or equi join that
+    scales linearly with corpus tokens.
+
+    Output: (id, n_bigrams, sum_logp_micro, avg_nll, keep)."""
+    w = (df.select(F.col(id_col).alias("__id"),
+                   words(text_col).alias("__w"))
+           .where(F.size("__w") >= 2))
+    bigrams = (w.select("__id", F.explode(F.transform(
+        F.sequence(F.lit(0), F.size("__w") - 2),
+        lambda i: F.struct(F.col("__w")[i].alias("cur"),
+                           F.col("__w")[i + 1].alias("nxt")))).alias("p"))
+                .select("__id", "p.cur", "p.nxt"))
+    pc = bigrams.groupBy("cur", "nxt").agg(F.count("*").alias("__c"))
+    cc = pc.groupBy("cur").agg(F.sum("__c").alias("__total"))
+    vocab = (df.select(F.explode(words(text_col)).alias("__t"))
+               .agg(F.countDistinct("__t").alias("__v")))
+    logp = F.log((F.col("__c") + F.lit(1.0))
+                 / (F.col("__total") + F.col("__v")))
+    scored = (bigrams.join(pc, ["cur", "nxt"])
+              .join(cc, "cur")
+              .crossJoin(F.broadcast(vocab))
+              .select("__id", F.round(logp * 1e6).cast("long").alias("__lp")))
+    agg = (scored.groupBy("__id")
+           .agg(F.count("*").alias("n_bigrams"),
+                F.sum("__lp").alias("sum_logp_micro")))
+    avg_nll = F.round(-F.col("sum_logp_micro") / 1e6 / F.col("n_bigrams"), 6)
+    return agg.select(F.col("__id").alias(id_col), "n_bigrams",
+                      "sum_logp_micro", avg_nll.alias("avg_nll"),
+                      (avg_nll <= F.lit(nll_keep_threshold)).alias("keep"))
+
+
 def clean_text(df: DataFrame, text_col: str, min_line_words: int = 1,
                require_terminal_punct: bool = False,
                alias: str | None = None) -> DataFrame:

@@ -148,20 +148,45 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
                   text_col: str = "text", id_col: str = "doc_id",
                   split_weights: dict | None = None,
                   keep_split: str = "train", n_shards: int = 8,
-                  salt: str = "") -> dict:
+                  salt: str = "", quality_filter: bool = False,
+                  lm_filter: bool = False) -> dict:
     """The full training-data curation job in one call: load documents →
+    [optional heuristic quality gate] → [optional LM-perplexity gate] →
     exact dedup → deterministic split (keep one named split) → shard
     manifest → one-file-per-shard write (`write_training_shards`) — each
     stage the same op the DSL/operators expose, composed lazily so
     Catalyst sees one plan until the write. Returns stage row counts so
-    the job's yield (what dedup and the split removed) is auditable."""
+    the job's yield (what each gate, dedup and the split removed) is
+    auditable.
+
+    ``quality_filter`` applies the composite heuristic gate of
+    `text_keep_filter` (quality blend ≥ 0.49, 25–90 words, char entropy
+    ≥ 2.8); ``lm_filter`` applies `operators/text.lm_perplexity`'s
+    fluency flag. Gates run before dedup so every later stage pays for
+    surviving documents only."""
     from pyspark.sql import functions as F
 
+    from ..operators import text as TX
     from ..operators.dedup import exact_dedup
     from ..operators.sampling import deterministic_split
 
     docs = load_table(spark, sf_dir, "documents")
+    doc_cols = docs.columns
     n_in = docs.count()
+    n_quality = n_lm = None
+    if quality_filter:
+        m = TX.char_entropy(TX.quality_score(docs, text_col), text_col)
+        nw = F.size(TX.words(text_col))
+        docs = (m.where((F.round("quality_score", 6) >= 0.49)
+                        & nw.between(25, 90)
+                        & (F.round("char_entropy", 6) >= 2.8))
+                 .select(*doc_cols))
+        n_quality = docs.count()
+    if lm_filter:
+        keep_ids = (TX.lm_perplexity(docs, text_col, id_col)
+                    .where("keep").select(id_col))
+        docs = docs.join(keep_ids, id_col, "left_semi")
+        n_lm = docs.count()
     keep = exact_dedup(docs, text_col, id_col) \
         .select(F.col("keep_id").alias(id_col))
     deduped = docs.join(keep, id_col, "left_semi")
@@ -172,11 +197,19 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
     n_split = kept.count()
     result = write_training_shards(kept, output_dir, id_col, n_shards,
                                    salt=salt, overwrite=True)
+    n_pre_dedup = (n_lm if n_lm is not None
+                   else n_quality if n_quality is not None else n_in)
     result.update({
         "n_input": n_in,
+        "n_after_quality": n_quality,
+        "n_after_lm": n_lm,
         "n_after_dedup": n_dedup,
         "n_written": n_split,
-        "dedup_removed": n_in - n_dedup,
+        "quality_removed": (n_in - n_quality
+                            if n_quality is not None else 0),
+        "lm_removed": ((n_quality if n_quality is not None else n_in)
+                       - n_lm if n_lm is not None else 0),
+        "dedup_removed": n_pre_dedup - n_dedup,
         "split_removed": n_dedup - n_split,
         "kept_split": keep_split,
     })

@@ -174,3 +174,37 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy("split")
                .agg(F.count(F.lit(1)).alias("n_docs"),
                     F.countDistinct(F.md5("text")).alias("n_groups")))
+
+
+@query("lang_temperature_weights", oracle="""
+WITH d AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+g AS (SELECT lang AS "group", count(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM g),
+s AS (SELECT g.*, round(n_tokens / t, 9) AS p,
+             round(pow(round(n_tokens / t, 9), 0.3), 9) AS pa
+      FROM g, tot),
+z AS (SELECT SUM(CAST(round(pa * 1000000000) AS BIGINT)) AS zn FROM s)
+SELECT "group", n_docs, n_tokens, p,
+       round(pa / (zn / 1000000000.0), 9) AS q,
+       round(round(pa / (zn / 1000000000.0), 9) / p, 6) AS factor
+FROM s, z
+""")
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 0.3) language rebalancing weights — the
+    mBERT/XLM-R sampling rule (`operators/sampling.temperature_weights`):
+    per-language token shares flattened by p^α, with the per-document
+    up/down-sampling factor a mixing stage applies. One grouped agg plus
+    two broadcast one-row scalars; the row-level multiplier joins back
+    on a 5-row table."""
+    from ..operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", F.size(words("text")).alias("n_tok"))
+    return S.temperature_weights(d, "lang", "n_tok")

@@ -143,6 +143,54 @@ def centroid_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.centroid_classify(emb)
 
 
+@query("emb_centroid_outliers", oracle="""
+WITH flat AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim_idx,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim_idx, round(AVG(v), 6) AS c
+  FROM flat GROUP BY 1, 2
+),
+cvecs AS (
+  SELECT label AS clabel, list(c ORDER BY dim_idx) AS cvec
+  FROM cent GROUP BY 1
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(SUM(CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])
+               / (sqrt(SUM(pow(CAST(e.embedding[i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(c.cvec[i], 2)))), 6) AS sim
+  FROM embeddings e JOIN cvecs c ON e.label = c.clabel
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id, e.label
+),
+n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+ranked AS (
+  SELECT s.vec_id, s.label, s.sim,
+         CAST(row_number() OVER (PARTITION BY s.label
+                                 ORDER BY s.sim ASC, s.vec_id ASC)
+              AS BIGINT) AS rank,
+         n.n
+  FROM scored s JOIN n USING (label)
+)
+SELECT vec_id, label, sim, rank,
+       rank <= CAST(ceil(0.1 * n) AS BIGINT) AS prune
+FROM ranked
+""")
+def centroid_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance pruning over the embeddings table
+    (`operators/similarity.centroid_outliers`): each vector's cosine to
+    its own class centroid, least-typical 10% of every class flagged —
+    the embedding-space curation filter (SSL-prototypes / SemDeDup
+    family) that catches mislabeled and off-topic examples before any
+    pairwise stage. Centroids broadcast; corpus scans once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.centroid_outliers(emb)
+
+
 @query("sim_cosine_topk_many", oracle=f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id % 10 = 0),

@@ -967,6 +967,79 @@ def bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("cur", "nxt", "c", "p_next", "rank"))
 
 
+@query("corpus_source_overlap", oracle=f"""
+WITH words AS (SELECT source, {_W} AS w FROM documents),
+ds AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+tot AS (SELECT source, count(*) AS n FROM ds GROUP BY 1),
+sh AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS n_shared
+       FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       round(n_shared / least(ta.n, tb.n), 9) AS overlap
+FROM sh
+JOIN tot ta ON sh.source_a = ta.source
+JOIN tot tb ON sh.source_b = tb.source
+""")
+def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair content overlap audit
+    (`operators/dedup.source_overlap_matrix`): distinct 3-gram shingles
+    shared between every pair of corpus sources plus the overlap
+    coefficient — the mirrored-feed detector. The engine never joins
+    source-to-source: one shingle-keyed agg collects each shingle's
+    source set (≤ |sources|) and explodes ordered pairs map-side; the
+    oracle re-derives the same matrix with a naive self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.source_overlap_matrix(docs, "text", "source")
+
+
+@query("text_perplexity", oracle=f"""
+WITH w AS (SELECT doc_id, {_W} AS w FROM documents),
+vocab AS (SELECT count(DISTINCT word) AS v
+          FROM (SELECT unnest(w) AS word FROM w)),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> {{'cur': w[i], 'nxt': w[i + 1]}})) AS p
+  FROM w WHERE len(w) >= 2
+),
+b2 AS (SELECT doc_id, p.cur AS cur, p.nxt AS nxt FROM big),
+pc AS (SELECT cur, nxt, count(*) AS c FROM b2 GROUP BY 1, 2),
+cc AS (SELECT cur, SUM(c) AS total FROM pc GROUP BY 1),
+scored AS (
+  SELECT b2.doc_id,
+         CAST(round(ln((pc.c + 1.0) / (cc.total + vocab.v)) * 1000000)
+              AS BIGINT) AS lp
+  FROM b2 JOIN pc USING (cur, nxt) JOIN cc USING (cur), vocab
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(lp) AS BIGINT) AS sum_logp_micro
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, sum_logp_micro,
+       round(-sum_logp_micro / 1000000.0 / n_bigrams, 6) AS avg_nll,
+       round(-sum_logp_micro / 1000000.0 / n_bigrams, 6) <= 3.4 AS keep
+FROM agg
+""")
+def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality tiering (`operators/text.lm_perplexity`):
+    an add-one bigram LM trained on the corpus scores every document's
+    average negative log-likelihood; fluent documents (low NLL) get the
+    keep flag. Per-bigram log-probs round to integer micro-nats before
+    summing, so the document scores are partition-order exact; the LM
+    tables are vocabulary-sized equi-join sides, never the token
+    stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.lm_perplexity(docs, "text", "doc_id")
+
+
 @query("text_bpe_train", oracle=None)  # iterative, data-dependent merges —
 # non-SQL-expressible (RE2 oracles can't replay the left-to-right merge
 # pass); proven merge-for-merge identical to a sequential reference BPE

@@ -914,3 +914,93 @@ def test_blocked_link_pairs_respects_blocks_and_distance(spark):
            for r in blocked_link_pairs(df, "id", "name", ["country"],
                                        max_distance=2).collect()}
     assert out == {(1, 2): 1}
+
+
+def test_lm_perplexity_scores_fluent_text_lower(spark):
+    # corpus dominated by one repeated pattern; the odd doc out gets a
+    # strictly higher per-bigram NLL than the in-distribution docs
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows.append((99, "zq xv qj kw pz vx"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           TX.lm_perplexity(df, "text", "doc_id").collect()}
+    common = [out[i]["avg_nll"] for i in range(8)]
+    assert len(set(common)) == 1                 # identical docs, one score
+    assert out[99]["avg_nll"] > common[0]        # junk scores worse
+    # exact-sum invariant: avg reconstructs from the integer micro sum
+    r = out[99]
+    assert abs(r["avg_nll"]
+               - round(-r["sum_logp_micro"] / 1e6 / r["n_bigrams"], 6)) == 0
+
+
+def test_lm_perplexity_counts_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "only"), (3, "x y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bigrams"]
+           for r in TX.lm_perplexity(df, "text", "doc_id").collect()}
+    assert out == {1: 3, 3: 1}   # single-word doc has no bigram row
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    # 7 tight vectors + 1 anti-correlated one in a single class: the
+    # planted outlier must be rank 1 and the only pruned row (ceil(.1*8)=1)
+    base = [1.0, 0.0, 0.5, 0.25]
+    rows = [(i, [v + 0.01 * i for v in base], 0) for i in range(7)]
+    rows.append((99, [-1.0, 0.5, -0.5, 0.0], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = SIM.centroid_outliers(df)
+    got = {r["vec_id"]: (r["rank"], r["prune"]) for r in out.collect()}
+    assert got[99] == (1, True)
+    assert sum(1 for _, (rk, p) in got.items() if p) == 1
+
+
+def test_centroid_outliers_prune_frac_per_class(emb):
+    out = SIM.centroid_outliers(emb, prune_frac=0.2).cache()
+    per = (out.groupBy("label")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("prune").cast("int")).alias("npruned"))
+           .collect())
+    import math
+    for r in per:
+        assert r["npruned"] == math.ceil(0.2 * r["n"])
+
+
+def test_source_overlap_matrix_counts_shared_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s1"),
+         (2, "alpha beta gamma epsilon", "s2"),   # shares 'alpha beta gamma'
+         (3, "totally unrelated words here", "s3")],
+        "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in D.source_overlap_matrix(df, "text", "source").collect()}
+    assert set(out) == {("s1", "s2")}            # s3 shares nothing
+    r = out[("s1", "s2")]
+    assert r["n_shared"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
+    assert r["overlap"] == 0.5
+
+
+def test_source_overlap_pairs_are_ordered_and_complete(docs):
+    out = D.source_overlap_matrix(docs, "text", "source").collect()
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 <= r["overlap"] <= 1.0
+        assert r["n_shared"] <= min(r["n_a"], r["n_b"])
+
+
+def test_temperature_weights_flattens_distribution(spark):
+    from climate_data_pipeline_spark.operators.sampling import (
+        temperature_weights)
+
+    df = spark.createDataFrame(
+        [("en", 900), ("de", 90), ("zh", 10)], "lang string, n_tok int")
+    out = {r["group"]: r for r in
+           temperature_weights(df, "lang", "n_tok").collect()}
+    # q sums to ~1 and sits between uniform and raw shares
+    assert abs(sum(r["q"] for r in out.values()) - 1.0) < 1e-6
+    assert out["en"]["q"] < out["en"]["p"]       # head downweighted
+    assert out["zh"]["q"] > out["zh"]["p"]       # tail upweighted
+    assert out["en"]["factor"] < 1.0 < out["zh"]["factor"]
+    # order preserved: flattened, not inverted
+    assert out["en"]["q"] > out["de"]["q"] > out["zh"]["q"]

@@ -113,3 +113,17 @@ def test_curate_corpus_end_to_end(spark, sf_small, tmp_path):
     assert back.select("doc_id").distinct().count() == r["n_written"]
     assert set(back.columns) >= {"doc_id", "text", "shard", "pos"}
     assert back.select("shard").distinct().count() <= 4
+
+def test_curate_corpus_with_quality_and_lm_gates(spark, sf_small, tmp_path):
+    from climate_data_pipeline_spark.plans.jobs import curate_corpus
+
+    out = str(tmp_path / "curated_gated")
+    r = curate_corpus(spark, sf_small, out, n_shards=2,
+                      quality_filter=True, lm_filter=True)
+    assert r["status"] == "completed" and r["verified"]
+    # gate ordering: input >= quality >= lm >= dedup >= written
+    assert (r["n_input"] >= r["n_after_quality"] >= r["n_after_lm"]
+            >= r["n_after_dedup"] >= r["n_written"] > 0)
+    assert r["quality_removed"] == r["n_input"] - r["n_after_quality"]
+    assert r["lm_removed"] == r["n_after_quality"] - r["n_after_lm"]
+    assert r["dedup_removed"] == r["n_after_lm"] - r["n_after_dedup"]
