@@ -796,25 +796,27 @@ def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
     document-level dedup (two sources with high overlap are one crawl
     wearing two names).
 
-    Never a source×source document join: the (source, shingle) relation
-    is deduplicated, then ONE shingle-keyed aggregation collects each
-    shingle's (sorted, distinct) source set — bounded by |sources| — and
-    a map-side transform explodes that set's ordered pairs. Cost is
-    Σ_shingle |sources(shingle)|², bounded by #shingles × |sources|²
-    regardless of corpus size; the shingle key is uniform by
-    construction. Per-source shingle totals ride the same relation.
+    Never a source×source document join: ONE shingle-keyed aggregation
+    collects each shingle's (sorted, distinct) source set — bounded by
+    |sources| — and a map-side transform explodes that set's ordered
+    pairs. Cost is Σ_shingle |sources(shingle)|², bounded by #shingles
+    × |sources|² regardless of corpus size; the shingle key is uniform
+    by construction. The raw shingle stream shuffles exactly once:
+    ``collect_set``'s map-side partial aggregation IS the dedup (no
+    separate ``distinct()`` shuffle), and the per-source totals derive
+    from the collected sets (input = distinct pairs, not the stream).
 
     Output: (source_a, source_b, n_shared, n_a, n_b, overlap) a < b."""
     ss = (_spread(df).select(F.col(source_col).alias("__src"),
                              words(text_col).alias("__w"))
             .where(F.size("__w") >= n)
             .select("__src", F.explode(
-                shingles_from_words(F.col("__w"), n)).alias("shingle"))
-            .distinct())
-    totals = ss.groupBy("__src").agg(F.count("*").alias("n_total"))
-    srcs = (ss.groupBy("shingle")
-              .agg(F.array_sort(F.collect_set("__src")).alias("__set"))
-              .where(F.size("__set") >= 2))
+                shingles_from_words(F.col("__w"), n)).alias("shingle")))
+    sets = (ss.groupBy("shingle")
+              .agg(F.array_sort(F.collect_set("__src")).alias("__set")))
+    totals = (sets.select(F.explode("__set").alias("__src"))
+                  .groupBy("__src").agg(F.count("*").alias("n_total")))
+    srcs = sets.where(F.size("__set") >= 2)
     pairs = F.flatten(F.transform(
         F.slice(F.col("__set"), 1, F.size("__set") - 1),
         lambda a, i: F.transform(

@@ -368,11 +368,12 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
     Plan shape: tokenize once, one bounded bigram explode reused for
     BOTH the LM counts and the scoring stream; the conditional-total
     table derives from the pair counts (no second pass over the data);
-    V is a broadcast one-row aggregate. Scoring is two uniform-key
-    equi joins (pair table, context table — vocabulary-sized, far
-    smaller than the token stream) + one grouped sum. No UDFs, no
-    driver-side state; every stage is a hash agg or equi join that
-    scales linearly with corpus tokens.
+    V is a broadcast one-row aggregate. The fully-scored LM — pair
+    count ⋈ context total ⋈ V, with the micro-nat log-prob already
+    computed — is assembled on the vocabulary-sized side FIRST, so the
+    token stream pays exactly ONE equi join + one grouped sum. No
+    UDFs, no driver-side state; every stage is a hash agg or equi join
+    that scales linearly with corpus tokens.
 
     Output: (id, n_bigrams, sum_logp_micro, avg_nll, keep)."""
     w = (df.select(F.col(id_col).alias("__id"),
@@ -389,10 +390,11 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
                .agg(F.countDistinct("__t").alias("__v")))
     logp = F.log((F.col("__c") + F.lit(1.0))
                  / (F.col("__total") + F.col("__v")))
-    scored = (bigrams.join(pc, ["cur", "nxt"])
-              .join(cc, "cur")
-              .crossJoin(F.broadcast(vocab))
-              .select("__id", F.round(logp * 1e6).cast("long").alias("__lp")))
+    lm = (pc.join(cc, "cur")
+            .crossJoin(F.broadcast(vocab))
+            .select("cur", "nxt",
+                    F.round(logp * 1e6).cast("long").alias("__lp")))
+    scored = bigrams.join(lm, ["cur", "nxt"]).select("__id", "__lp")
     agg = (scored.groupBy("__id")
            .agg(F.count("*").alias("n_bigrams"),
                 F.sum("__lp").alias("sum_logp_micro")))
