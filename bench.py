@@ -52,6 +52,8 @@ HEADLINE = [
     "sim_lsh_ann",            # precomputed-plane LSH bucket join ANN
     "text_segment_dedup",     # combinable first-occurrence agg + reassembly
     "sim_quantized_topk",     # int8 integer-dot shortlist + exact rerank
+    "text_perplexity",        # self-trained bigram LM scoring (1 stream join)
+    "corpus_source_overlap",  # single-shuffle shingle→source-set pair matrix
 ]
 
 

@@ -64,6 +64,60 @@ def merge_rollups(*rollups: DataFrame) -> DataFrame:
                         F.max("max_v").alias("max_v")))
 
 
+GROUP_STATE_COLS = ("sum_scaled", "n")
+
+
+def cdc_delta_state(cdc: DataFrame, keys: Sequence[str], value_col: str,
+                    scale: int = 2, change_col: str = "change") -> DataFrame:
+    """Signed mergeable state from a row-level change feed
+    (``change ∈ {insert, delete}`` — the `sources/snapshots.snapshot_diff`
+    contract, where an update is delete+insert). Inserts contribute
+    +value/+1, deletes −value/−1, so the per-group state is an element
+    of the *group* (invertible monoid) ℤ² — the algebra every
+    incremental-view-maintenance engine leans on. min/max are
+    deliberately absent: they are not invertible under deletion (a
+    deleted extremum forces a per-group rescan), so the CDC path
+    maintains the sum/count/avg family only."""
+    factor = 10 ** scale
+    sign = (F.when(F.col(change_col) == "insert", F.lit(1))
+             .otherwise(F.lit(-1)))
+    v = F.col(value_col)
+    return (cdc.groupBy(*keys)
+               .agg(F.sum(sign * F.round(v * factor).cast("long"))
+                     .alias("sum_scaled"),
+                    F.sum(sign).alias("n")))
+
+
+def apply_cdc_delta(state: DataFrame, delta: DataFrame,
+                    keys: Sequence[str]) -> DataFrame:
+    """Refresh invertible rollup state with a signed CDC delta: one
+    union + one group-sum; groups whose live count reaches zero vanish
+    from the view (the `n > 0` guard). Cost is O(#changed rows) to
+    reduce the delta + O(#groups) to merge — the base fact history is
+    never re-read. ``state`` may carry extra non-state columns only if
+    listed in ``keys``."""
+    unioned = (state.select(*keys, *GROUP_STATE_COLS)
+               .unionByName(delta.select(*keys, *GROUP_STATE_COLS)))
+    return (unioned.groupBy(*keys)
+                   .agg(F.sum("sum_scaled").alias("sum_scaled"),
+                        F.sum("n").alias("n"))
+                   .where(F.col("n") > 0))
+
+
+def finalize_group_state(state: DataFrame, scale: int = 2,
+                         prefix: str = "") -> DataFrame:
+    """Presentation columns for the invertible (sum, n) state; same
+    fixed division order as :func:`finalize_rollup`."""
+    factor = float(10 ** scale)
+    keys = [c for c in state.columns if c not in GROUP_STATE_COLS]
+    return state.select(
+        *keys,
+        F.col("n").alias(f"{prefix}n"),
+        (F.col("sum_scaled") / factor).alias(f"{prefix}sum"),
+        ((F.col("sum_scaled") / factor) / F.col("n")).alias(f"{prefix}avg"),
+    )
+
+
 def finalize_rollup(rollup: DataFrame, scale: int = 2,
                     prefix: str = "") -> DataFrame:
     """Derive presentation columns from merged state. Division order is

@@ -350,6 +350,47 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
                   .select(id_col, "term", "tf", "df", "tfidf", "rank"))
 
 
+def _ngrams(w: Column, n: int) -> Column:
+    """Word n-grams from a materialized words array (n=1 → the array).
+    Same projection discipline as `dedup.shingles_from_words`."""
+    if n == 1:
+        return w
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)])
+    return F.when(F.size(w) >= n, F.transform(idx, gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def lexical_diversity(df: DataFrame, text_col: str, group_col: str,
+                      ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Distinct-n lexical diversity per group — the corpus-health
+    metric (distinct-1/distinct-2/... type-token ratios) that catches
+    template-generated and near-duplicated feeds before any pairwise
+    dedup: a source emitting boilerplate shows a cratered distinct-2/3
+    ratio at normal distinct-1.
+
+    One explode + one (group, count, count-distinct) aggregation per n
+    — uniform n-gram keys, map-side partials — joined on the tiny group
+    dimension (broadcast). Ratios round to 9 dp.
+
+    Output: (group, total_1, distinct_1, ttr_1, ... per n)."""
+    out = None
+    for n in ns:
+        grams = (df.select(F.col(group_col).alias("group"),
+                           words(text_col).alias("__w"))
+                   .select("group",
+                           F.explode(_ngrams(F.col("__w"), n)).alias("g")))
+        agg = (grams.groupBy("group")
+               .agg(F.count("*").alias(f"total_{n}"),
+                    F.countDistinct("g").alias(f"distinct_{n}"))
+               .withColumn(f"ttr_{n}",
+                           F.round(F.col(f"distinct_{n}")
+                                   / F.col(f"total_{n}"), 9)))
+        out = agg if out is None else out.join(F.broadcast(agg), "group")
+    return out
+
+
 def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
                   nll_keep_threshold: float = 3.4) -> DataFrame:
     """CCNet-style language-model quality scoring: train an add-one

@@ -47,6 +47,46 @@ def incremental_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return I.finalize_rollup(merged, prefix="price_")
 
 
+@query("incremental_cdc_refresh", oracle=f"""
+WITH vnew AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS amt
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT o_orderpriority,
+       COUNT(*) AS price_n,
+       {sql_exact_sum('amt', 2)} AS price_sum,
+       {sql_exact_avg('amt', 2)} AS price_avg
+FROM vnew GROUP BY 1
+""")
+def incremental_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh from a CDC feed, never re-reading the
+    base: version A of orders (keys %7≠0) is rolled up once; version B
+    (keys %5≠0, prices doubled on %3==0 — deletes, inserts AND updates
+    vs A) is reached by applying the row-level change feed
+    (delete+insert pairs, the `snapshot_diff` contract) as signed
+    invertible state (`operators/incremental.cdc_delta_state` /
+    `apply_cdc_delta`). The oracle computes version B's rollup from
+    scratch — the incremental path must land on the exact same bits,
+    including groups that shrink or vanish."""
+    orders = load_table(spark, sf_dir, "orders")
+    amt = (F.when(F.col("o_orderkey") % 3 == 0,
+                  F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")).alias("amt"))
+    v_old = (orders.where(F.col("o_orderkey") % 7 != 0)
+                   .select("o_orderpriority", F.col("o_totalprice").alias("amt")))
+    v_new = (orders.where(F.col("o_orderkey") % 5 != 0)
+                   .select("o_orderpriority", amt))
+    cdc = (v_new.exceptAll(v_old).withColumn("change", F.lit("insert"))
+           .unionByName(
+               v_old.exceptAll(v_new).withColumn("change", F.lit("delete"))))
+    state = I.rollup_partials(v_old, ["o_orderpriority"], "amt")
+    delta = I.cdc_delta_state(cdc, ["o_orderpriority"], "amt")
+    refreshed = I.apply_cdc_delta(state, delta, ["o_orderpriority"])
+    return I.finalize_group_state(refreshed, prefix="price_")
+
+
 _ZBITS = 10
 _ZX = "l_partkey & 1023"
 _ZY = "l_suppkey & 1023"

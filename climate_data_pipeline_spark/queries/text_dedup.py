@@ -1190,3 +1190,121 @@ def minhash_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
           round(n_tp / max(n_e, 1), 6), round(n_tp / max(n_a, 1), 6))],
         "n_exact long, n_approx long, n_true_pos long, "
         "recall double, precision double")
+
+
+def _sql_ngram(n: int) -> str:
+    if n == 1:
+        return "w"
+    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return (f"CASE WHEN len(w) >= {n} THEN "
+            f"list_transform(range(1, len(w) - {n - 2}), i -> {joined}) "
+            f"ELSE [] END")
+
+
+def _diversity_cte(n: int) -> str:
+    return f"""d{n} AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS total_{n},
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_{n},
+         round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 9) AS ttr_{n}
+  FROM (SELECT source, unnest({_sql_ngram(n)}) AS g
+        FROM (SELECT source, {_W} AS w FROM documents))
+  GROUP BY 1
+)"""
+
+
+@query("text_lexical_diversity", oracle=f"""
+WITH {_diversity_cte(1)}, {_diversity_cte(2)}, {_diversity_cte(3)}
+SELECT d1.source AS "group",
+       total_1, distinct_1, ttr_1,
+       total_2, distinct_2, ttr_2,
+       total_3, distinct_3, ttr_3
+FROM d1 JOIN d2 ON d1.source = d2.source
+        JOIN d3 ON d1.source = d3.source
+""")
+def lexical_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n type-token ratios per source
+    (`operators/text.lexical_diversity`) — the template/boilerplate
+    detector: one uniform-key aggregation per n joined on the tiny
+    source dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.lexical_diversity(docs, "text", "source")
+
+
+@query("text_tokenizer_fertility", oracle=f"""
+WITH per AS (
+  SELECT lang,
+         len({_W}) AS n_words,
+         list_sum(list_transform({_W}, x -> length(x))) AS n_word_chars,
+         len(regexp_extract_all(lower(text), '{TX.BPE_PIECE}')) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(n_word_chars, 0)) AS BIGINT) AS n_word_chars,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+       round(SUM(n_bpe) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
+       round(SUM(COALESCE(n_word_chars, 0))
+             / CAST(SUM(n_bpe) AS DOUBLE), 6) AS chars_per_token
+FROM per GROUP BY 1
+""")
+def tokenizer_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (sub-word tokens per word, chars
+    per token) — the multilingual tokenizer-efficiency diagnostic
+    (high-fertility languages burn context window). Pure per-row
+    counting + one grouped exact-integer aggregation; no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = TX.words("text")
+    per = docs.select(
+        "lang",
+        F.size(w).alias("n_words"),
+        F.coalesce(F.aggregate(TX.words("text"),
+                               F.lit(0),
+                               lambda a, x: a + F.length(x)),
+                   F.lit(0)).alias("n_word_chars"),
+        F.size(F.regexp_extract_all(F.lower("text"),
+                                    F.lit(TX.BPE_PIECE), 0)).alias("n_bpe"))
+    return (per.groupBy("lang")
+            .agg(F.sum("n_words").alias("n_words"),
+                 F.sum("n_word_chars").cast("long").alias("n_word_chars"),
+                 F.sum("n_bpe").alias("n_tokens"),
+                 F.round(F.sum("n_bpe")
+                         / F.sum("n_words").cast("double"), 6)
+                  .alias("fertility"),
+                 F.round(F.sum("n_word_chars")
+                         / F.sum("n_bpe").cast("double"), 6)
+                  .alias("chars_per_token")))
+
+
+@query("text_zipf_slope", oracle=f"""
+WITH tokens AS (SELECT unnest({_W}) AS term FROM documents),
+v AS (SELECT term, count(*) AS tf FROM tokens GROUP BY 1),
+ranked AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+  FROM v QUALIFY rank <= 100
+)
+SELECT round(regr_slope(ln(CAST(tf AS DOUBLE)),
+                        ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+       round(regr_r2(ln(CAST(tf AS DOUBLE)),
+                     ln(CAST(rank AS DOUBLE))), 6) AS r2,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM ranked
+""")
+def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-100 vocabulary — natural
+    corpora sit near −1; template spam and shuffled/synthetic text
+    drift off. Heavy-hitter agg (deterministic tf/term ranking) + one
+    co-moment regression aggregate, single row out."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(TX.words("text")).alias("term"))
+    v = tokens.groupBy("term").agg(F.count("*").alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    ranked = (v.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 100))
+    ln_tf = F.log(F.col("tf").cast("double"))
+    ln_rank = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ln_tf, ln_rank), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_tf, ln_rank), 6).alias("r2"),
+        F.count("*").alias("n_terms"))

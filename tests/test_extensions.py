@@ -1004,3 +1004,27 @@ def test_temperature_weights_flattens_distribution(spark):
     assert out["en"]["factor"] < 1.0 < out["zh"]["factor"]
     # order preserved: flattened, not inverted
     assert out["en"]["q"] > out["de"]["q"] > out["zh"]["q"]
+
+
+def test_lexical_diversity_detects_boilerplate(spark):
+    tpl = "click here to subscribe now"
+    rows = [(i, tpl, "spam") for i in range(10)]
+    rows += [(100 + i, t, "organic") for i, t in enumerate(
+        ["the quick brown fox jumps", "pack my box with jugs",
+         "how vexingly daft zebras jump", "five boxing wizards leap"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["group"]: r for r in
+           TX.lexical_diversity(df, "text", "source").collect()}
+    # boilerplate source: every n-gram repeated 10x -> tiny ratios
+    assert out["spam"]["ttr_2"] == 0.1
+    assert out["organic"]["ttr_2"] == 1.0
+    assert out["spam"]["ttr_1"] < out["organic"]["ttr_1"]
+
+
+def test_lexical_diversity_short_docs_no_higher_grams(spark):
+    df = spark.createDataFrame([(1, "two words", "s")],
+                               "doc_id long, text string, source string")
+    out = TX.lexical_diversity(df, "text", "source").collect()
+    # docs shorter than n contribute nothing at that n; source with no
+    # 3-grams at all drops from the inner join (matching the oracle)
+    assert out == []

@@ -245,3 +245,74 @@ def test_zarr3_roundtrip_fuzz(tmp_path_factory, nt, nx, ct, cx, codec):
     meta = zarr2.open_zarr_store(path)
     got = zarr2.read_zarr_array(path, "v", meta["v"])
     np.testing.assert_array_equal(got, arr)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from("abcd"),
+                          st.integers(0, 400).map(lambda c: c / 4.0)),
+                min_size=0, max_size=12),
+       st.lists(st.tuples(st.sampled_from("abcd"),
+                          st.integers(0, 400).map(lambda c: c / 4.0)),
+                min_size=0, max_size=12))
+def test_cdc_refresh_equals_full_recompute_fuzz(spark, old_rows, new_rows):
+    """IVM algebra under arbitrary multiset transitions: applying the
+    exceptAll change feed to version-A partials lands bit-exactly on
+    version-B's full recompute — groups may grow, shrink, appear,
+    vanish."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.operators.incremental import (
+        apply_cdc_delta, cdc_delta_state, finalize_group_state,
+        rollup_partials)
+
+    schema = "k string, v double"
+    old = spark.createDataFrame(old_rows, schema) if old_rows \
+        else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows \
+        else spark.createDataFrame([], schema)
+    cdc = (new.exceptAll(old).withColumn("change", F.lit("insert"))
+           .unionByName(old.exceptAll(new)
+                        .withColumn("change", F.lit("delete"))))
+    got = {r["k"]: (r["n"], r["sum"]) for r in finalize_group_state(
+        apply_cdc_delta(rollup_partials(old, ["k"], "v"),
+                        cdc_delta_state(cdc, ["k"], "v"), ["k"])).collect()}
+    want = {r["k"]: (r["n"], r["sum"]) for r in finalize_group_state(
+        rollup_partials(new, ["k"], "v")
+        .select("k", "sum_scaled", "n")).collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+                          st.lists(st.sampled_from("abcdef"),
+                                   min_size=0, max_size=8)),
+                min_size=0, max_size=10))
+def test_source_overlap_matches_naive_pair_join(spark, rows):
+    """The set-collect + pair-explode plan == the naive source×source
+    self-join on every generated corpus (shared-shingle counts, totals,
+    ordering a < b)."""
+    from itertools import combinations
+
+    from climate_data_pipeline_spark.operators.dedup import (
+        source_overlap_matrix)
+    from climate_data_pipeline_spark.operators.text import WORD_SPLIT  # noqa
+
+    data = [(i, " ".join(ws), src) for i, (src, ws) in enumerate(rows)]
+    df = spark.createDataFrame(data or [(0, "", "s1")],
+                               "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+           for r in source_overlap_matrix(df, "text", "source").collect()}
+    # python reference: distinct 3-gram shingles per source
+    per: dict[str, set] = {}
+    for _, text, src in data:
+        ws = [w for w in re.split(WORD_SPLIT, text.lower()) if w]
+        for i in range(len(ws) - 2):
+            per.setdefault(src, set()).add(" ".join(ws[i:i + 3]))
+    want = {}
+    for a, b in combinations(sorted(per), 2):
+        shared = len(per[a] & per[b])
+        if shared:
+            want[(a, b)] = (shared, len(per[a]), len(per[b]))
+    assert got == want

@@ -92,3 +92,33 @@ def test_zorder_layout_files_cover_rectangles(spark, tmp_path):
     assert z_dlat < 90.0
     assert z_dlon < 180.0
     assert z_dlon < l_dlon / 2
+
+
+def test_cdc_delta_refresh_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.operators.incremental import (
+        apply_cdc_delta, cdc_delta_state, finalize_group_state,
+        rollup_partials)
+
+    old = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.50), ("b", 4.00), ("c", 9.99)],
+        "k string, v double")
+    # new: 'a' updated (one row changed), 'b' grew, 'c' fully deleted,
+    # 'd' brand new — exercises every CDC case including group vanish
+    new = spark.createDataFrame(
+        [("a", 1.25), ("a", 3.75), ("b", 4.00), ("b", 1.00), ("d", 7.00)],
+        "k string, v double")
+    cdc = (new.exceptAll(old).withColumn("change", F.lit("insert"))
+           .unionByName(old.exceptAll(new)
+                        .withColumn("change", F.lit("delete"))))
+    refreshed = apply_cdc_delta(rollup_partials(old, ["k"], "v"),
+                                cdc_delta_state(cdc, ["k"], "v"), ["k"])
+    got = {r["k"]: (r["n"], r["sum"], r["avg"])
+           for r in finalize_group_state(refreshed).collect()}
+    want = {r["k"]: (r["n"], r["sum"], r["avg"])
+            for r in finalize_group_state(
+                rollup_partials(new, ["k"], "v")
+                .select("k", "sum_scaled", "n")).collect()}
+    assert got == want
+    assert "c" not in got          # vanished group dropped, not zero-row
