@@ -667,3 +667,39 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 .withColumn("rank", F.row_number().over(w).cast("long"))
                 .where(F.col("rank") <= k)
                 .select(query_id, corpus_id, "bucket", "cosine", "rank"))
+
+
+def lsh_ann_multiprobe(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                       query_id: str = "q_id", corpus_id: str = "vec_id",
+                       query_vec: str = "q_vec",
+                       corpus_vec: str = "embedding",
+                       n_planes: int = 8,
+                       dim: int | None = None) -> DataFrame:
+    """Multi-probe LSH ANN — the standard recall lever for
+    :func:`lsh_ann`: each query probes its own bucket PLUS every bucket
+    at Hamming distance 1 (one flipped sign bit), catching neighbors
+    that fell just across a hyperplane. Candidate volume grows by at
+    most ×(n_planes + 1) on the QUERY side only — the corpus is hashed
+    once and never re-scanned, and since a corpus vector owns exactly
+    one bucket and the probe set is distinct, each (query, candidate)
+    pair arises at most once: no dedup shuffle. Same bucket-equi-join
+    plan, deterministic end to end (oracle re-derives the probe set)."""
+    cb = lsh_buckets(corpus, corpus_id, corpus_vec, n_planes, dim=dim)
+    qb = (lsh_buckets(queries.withColumnRenamed(query_vec, corpus_vec),
+                      query_id, corpus_vec, n_planes, dim=dim)
+          .withColumnRenamed(corpus_vec, query_vec))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+          for p in range(n_planes)])
+    qp = qb.select(query_id, query_vec,
+                   F.explode(probes).alias("bucket"))
+    cand = (cb.join(qp, "bucket")
+              .where(F.col(query_id) != F.col(corpus_id)))
+    cos = F.round(cosine_batch(F.col(query_vec), F.col(corpus_vec)), 6)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (cand.withColumn("cosine", cos)
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(query_id, corpus_id, "cosine", "rank"))

@@ -28,6 +28,8 @@ training-data job plans the same declarative way):
   {"op": "split",        "id": id_col, "weights": {name: w, ...},
                          "keep": "train"}
   {"op": "shard",        "id": id_col, "n_shards": n, "salt": "..."}
+  {"op": "lm_filter",    "id": id_col, "text": text_col,
+                         "nll_threshold": 3.4}
 """
 
 from __future__ import annotations
@@ -97,6 +99,12 @@ def _apply_op(df: DataFrame, op: dict) -> DataFrame:
         from ..operators.sampling import training_shards
         return training_shards(df, op["id"], op["n_shards"],
                                salt=op.get("salt", ""))
+    if kind == "lm_filter":
+        from ..operators.text import lm_perplexity
+        keep = (lm_perplexity(df, op["text"], op["id"],
+                              op.get("nll_threshold", 3.4))
+                .where("keep").select(op["id"]))
+        return df.join(keep, op["id"], "left_semi")
     raise ValueError(f"unknown op {kind!r}")
 
 

@@ -415,8 +415,7 @@ def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_band_pairs(emb, threshold=0.4, dim=64)
 
 
-@query("sim_lsh_ann", oracle=f"""
-WITH planes AS (
+_LSH_BUCKET_CTES = """planes AS (
   SELECT p, i,
          ((CAST(('0x' || substr(md5('cdps:' || CAST(p AS VARCHAR) || ':'
                                  || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -434,7 +433,9 @@ buckets AS (
          CAST(SUM(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
            AS bucket
   FROM dots GROUP BY 1
-),
+)"""
+
+_LSH_CTES = _LSH_BUCKET_CTES + """,
 cand AS (
   SELECT qb.vec_id AS q_id, cb.vec_id AS vec_id, qb.bucket
   FROM buckets qb
@@ -453,7 +454,11 @@ scored AS (
   JOIN embeddings c ON c.vec_id = cand.vec_id
   CROSS JOIN generate_series(1, 64) t(i)
   GROUP BY 1, 2, 3
-)
+)"""
+
+
+@query("sim_lsh_ann", oracle=f"""
+WITH {_LSH_CTES}
 SELECT q_id, vec_id, bucket, cosine,
        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                                ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
@@ -473,6 +478,112 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(F.col("vec_id").alias("q_id"),
                           F.col("embedding").alias("q_vec")))
     return SIM.lsh_ann(queries, emb, k=3, n_planes=6, dim=64)
+
+
+@query("sim_lsh_multiprobe", oracle=f"""
+WITH {_LSH_BUCKET_CTES},
+probes AS (
+  SELECT vec_id AS q_id,
+         unnest(list_prepend(bucket,
+                list_transform(range(6), p -> xor(bucket, 1 << p))))
+           AS bucket
+  FROM buckets WHERE vec_id < 20
+),
+cand AS (
+  SELECT p.q_id, cb.vec_id
+  FROM probes p
+  JOIN buckets cb ON p.bucket = cb.bucket
+  WHERE cb.vec_id <> p.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         round(SUM(CAST(q.embedding[t.i] AS DOUBLE)
+                   * CAST(c.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(q.embedding[t.i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(c.embedding[t.i] AS DOUBLE), 2)))), 6)
+           AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.q_id
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+  CROSS JOIN generate_series(1, 64) t(i)
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= 3
+""")
+def lsh_multiprobe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (`operators/similarity.lsh_ann_multiprobe`):
+    every query also probes the n_planes Hamming-1 buckets, closing
+    most of single-probe's recall gap for one extra bucket-join fan-out
+    on the query side only. Deterministic probe set — the oracle
+    re-derives planes, buckets, probes, candidates and ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 20)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return SIM.lsh_ann_multiprobe(queries, emb, k=3, n_planes=6, dim=64)
+
+
+@query("sim_lsh_recall_eval", oracle=f"""
+WITH {_LSH_CTES},
+ann AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM scored QUALIFY r <= 3
+),
+exact_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id,
+         round(SUM(CAST(q.embedding[t.i] AS DOUBLE)
+                   * CAST(c.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(q.embedding[t.i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(c.embedding[t.i] AS DOUBLE), 2)))), 6)
+           AS cosine
+  FROM embeddings q
+  CROSS JOIN embeddings c
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM exact_scored QUALIFY r <= 3
+)
+SELECT e.q_id,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       CAST(3 AS BIGINT) AS k,
+       round(count(a.vec_id) / 3.0, 6) AS recall
+FROM exact e
+LEFT JOIN ann a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+GROUP BY 1
+""")
+def lsh_recall_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH ANN path against the exact broadcast top-k,
+    per query — the evaluation harness an ANN deployment runs before
+    trading exactness for scale (the `dedup_minhash_eval` pattern
+    applied to vectors). Both pipelines are deterministic, so even the
+    *approximation quality* is value-checked: the oracle re-derives
+    planes, buckets, candidates, both rankings and the recall join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 20)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    ann = (SIM.lsh_ann(queries, emb, k=3, n_planes=6, dim=64)
+           .select("q_id", "vec_id"))
+    exact = (SIM.cosine_topk(queries, emb, k=3)
+             .select("q_id", "vec_id"))
+    hit = exact.join(ann.withColumn("__hit", F.lit(1)),
+                     ["q_id", "vec_id"], "left")
+    return (hit.groupBy("q_id")
+            .agg(F.count("__hit").alias("n_hit"),
+                 F.lit(3).cast("long").alias("k"),
+                 F.round(F.count("__hit") / 3.0, 6).alias("recall")))
 
 
 # --- multimodal plumbing (binary payloads; rows-only checks) ------------------

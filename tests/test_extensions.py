@@ -1028,3 +1028,26 @@ def test_lexical_diversity_short_docs_no_higher_grams(spark):
     # docs shorter than n contribute nothing at that n; source with no
     # 3-grams at all drops from the inner join (matching the oracle)
     assert out == []
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    # multiprobe candidates are a superset (own bucket always probed),
+    # so recall@k vs the exact top-k can only improve
+    queries = (emb.where(F.col("vec_id") < 20)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    exact = {(r["q_id"], r["vec_id"])
+             for r in SIM.cosine_topk(queries, emb, k=3).collect()}
+    single = {(r["q_id"], r["vec_id"])
+              for r in SIM.lsh_ann(queries, emb, k=3,
+                                   n_planes=6, dim=64).collect()}
+    multi = {(r["q_id"], r["vec_id"])
+             for r in SIM.lsh_ann_multiprobe(queries, emb, k=3,
+                                             n_planes=6, dim=64).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    # near-uniform synthetic vectors are LSH's worst case; the probe
+    # fan-out must still find strictly more than nothing and beat the
+    # single bucket's floor
+    assert r_multi >= 0.2

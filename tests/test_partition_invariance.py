@@ -36,6 +36,11 @@ SENSITIVE = [
     "forecast_baseline_eval", # micro-unit tie rounding (r2)
     "a9_seasonal_mann_kendall",  # Σ of /18 rationals — rounded (r2)
     "sim_cosine_topk_many",   # per-partition local top-k merge (r2)
+    "text_perplexity",        # micro-nat exact log-prob sums (r2 session)
+    "lang_temperature_weights",  # p^α on round-9 shares, nano-int Z (r2)
+    "text_zipf_slope",        # regr co-moments over doubles, rounded (r2)
+    "emb_centroid_outliers",  # centroid build + rank cut (r2 session)
+    "incremental_cdc_refresh",   # signed scaled-int IVM state (r2)
 ]
 
 

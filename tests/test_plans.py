@@ -358,3 +358,19 @@ def test_dsl_pipeline_verbs(spark, sf_dir):
         docs.where("doc_id % 2 = 0"), "doc_id", 4)
         .select("doc_id", "shard", "pos").collect()))
     assert got == want
+
+
+def test_dsl_lm_filter_verb(spark, sf_dir):
+    from climate_data_pipeline_spark.operators.text import lm_perplexity
+    from climate_data_pipeline_spark.plans.ops import run_ops
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["doc_id"] for r in run_ops(
+        docs, [{"op": "lm_filter", "id": "doc_id",
+                "text": "text", "nll_threshold": 3.35}]).collect()}
+    want = {r["doc_id"] for r in
+            lm_perplexity(docs, "text", "doc_id", 3.35)
+            .where("keep").collect()}
+    assert out == want
+    assert 0 < len(out) < docs.count()   # threshold actually splits
