@@ -236,6 +236,41 @@ def temperature_weights(df: DataFrame, group_col: str, token_col: str,
                            .alias("factor")))
 
 
+def temperature_resample(df: DataFrame, group_col: str, id_col: str,
+                         token_col: str, alpha: float = 0.3,
+                         salt: str = "") -> DataFrame:
+    """Materialize the temperature-scaled mix: every document is kept
+    ``floor(factor)`` times plus one more with probability
+    ``frac(factor)``, where factor is its group's up/down-sampling
+    multiplier from :func:`temperature_weights`. The stochastic part
+    uses the md5 uniform (id + salt), so the exact replicated corpus —
+    which rows, how many copies — is deterministic on any engine or
+    cluster size, and E[group tokens] matches the α-flattened target.
+
+    Plan: the 6-row factor table broadcast-joins back onto the corpus;
+    copies come from one bounded ``sequence`` explode (≤ ⌈factor⌉ per
+    row). Rows in downweighted groups drop when their uniform falls
+    above frac(factor) and floor = 0.
+
+    Output: input columns + (n_copies, repeat_idx), one row per copy."""
+    wts = (temperature_weights(
+        df.select(F.col(group_col).alias("group"),
+                  F.col(token_col)), "group", token_col, alpha)
+        .select(F.col("group").alias("__g"), "factor"))
+    u = hash_bucket(F.col(id_col), 1_000_000, salt + ":tmp") / 1.0e6
+    frac = F.col("factor") - F.floor("factor")
+    n_copies = (F.floor("factor")
+                + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))) \
+        .cast("long")
+    out_cols = df.columns
+    return (df.join(F.broadcast(wts), F.col(group_col) == F.col("__g"))
+              .withColumn("n_copies", n_copies)
+              .where(F.col("n_copies") >= 1)
+              .select(*out_cols, "n_copies",
+                      F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+                       .alias("repeat_idx")))
+
+
 def training_shards(df: DataFrame, id_col: str, n_shards: int,
                     salt: str = "") -> DataFrame:
     """The final deterministic shuffle before training: assign every row

@@ -391,8 +391,21 @@ def lexical_diversity(df: DataFrame, text_col: str, group_col: str,
     return out
 
 
+def _bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, cur, nxt) adjacent-word pairs, tokenizing once per doc."""
+    w = (df.select(F.col(id_col).alias("__id"),
+                   words(text_col).alias("__w"))
+           .where(F.size("__w") >= 2))
+    return (w.select("__id", F.explode(F.transform(
+        F.sequence(F.lit(0), F.size("__w") - 2),
+        lambda i: F.struct(F.col("__w")[i].alias("cur"),
+                           F.col("__w")[i + 1].alias("nxt")))).alias("p"))
+             .select("__id", "p.cur", "p.nxt"))
+
+
 def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
-                  nll_keep_threshold: float = 3.4) -> DataFrame:
+                  nll_keep_threshold: float = 3.4,
+                  ref: DataFrame | None = None) -> DataFrame:
     """CCNet-style language-model quality scoring: train an add-one
     smoothed bigram LM on the corpus itself, score every document's
     average per-bigram negative log-likelihood, and flag fluent
@@ -416,26 +429,41 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
     UDFs, no driver-side state; every stage is a hash agg or equi join
     that scales linearly with corpus tokens.
 
+    With ``ref`` (a separate training corpus — the streaming-gate /
+    score-new-data-against-standing-LM mode) the LM trains on ``ref``
+    and scores ``df``; bigrams unseen in the reference fall back to the
+    same add-one formula with c = 0 (and total = 0 for unseen
+    contexts), i.e. p = 1/(total+V), via left joins — never silently
+    dropped.
+
     Output: (id, n_bigrams, sum_logp_micro, avg_nll, keep)."""
-    w = (df.select(F.col(id_col).alias("__id"),
-                   words(text_col).alias("__w"))
-           .where(F.size("__w") >= 2))
-    bigrams = (w.select("__id", F.explode(F.transform(
-        F.sequence(F.lit(0), F.size("__w") - 2),
-        lambda i: F.struct(F.col("__w")[i].alias("cur"),
-                           F.col("__w")[i + 1].alias("nxt")))).alias("p"))
-                .select("__id", "p.cur", "p.nxt"))
-    pc = bigrams.groupBy("cur", "nxt").agg(F.count("*").alias("__c"))
+    train = ref if ref is not None else df
+    bigrams = _bigram_stream(df, text_col, id_col)
+    pc = (_bigram_stream(train, text_col, id_col)
+          .groupBy("cur", "nxt").agg(F.count("*").alias("__c")))
     cc = pc.groupBy("cur").agg(F.sum("__c").alias("__total"))
-    vocab = (df.select(F.explode(words(text_col)).alias("__t"))
-               .agg(F.countDistinct("__t").alias("__v")))
-    logp = F.log((F.col("__c") + F.lit(1.0))
-                 / (F.col("__total") + F.col("__v")))
-    lm = (pc.join(cc, "cur")
-            .crossJoin(F.broadcast(vocab))
-            .select("cur", "nxt",
-                    F.round(logp * 1e6).cast("long").alias("__lp")))
-    scored = bigrams.join(lm, ["cur", "nxt"]).select("__id", "__lp")
+    vocab = (train.select(F.explode(words(text_col)).alias("__t"))
+                  .agg(F.countDistinct("__t").alias("__v")))
+    if ref is None:
+        # self-trained: every scored bigram exists in the LM, so the
+        # fully-scored LM assembles vocabulary-side and the token
+        # stream pays exactly ONE equi join
+        logp = F.log((F.col("__c") + F.lit(1.0))
+                     / (F.col("__total") + F.col("__v")))
+        lm = (pc.join(cc, "cur")
+                .crossJoin(F.broadcast(vocab))
+                .select("cur", "nxt",
+                        F.round(logp * 1e6).cast("long").alias("__lp")))
+        scored = bigrams.join(lm, ["cur", "nxt"]).select("__id", "__lp")
+    else:
+        logp = F.log((F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1.0))
+                     / (F.coalesce(F.col("__total"), F.lit(0))
+                        + F.col("__v")))
+        scored = (bigrams.join(pc, ["cur", "nxt"], "left")
+                  .join(cc, "cur", "left")
+                  .crossJoin(F.broadcast(vocab))
+                  .select("__id",
+                          F.round(logp * 1e6).cast("long").alias("__lp")))
     agg = (scored.groupBy("__id")
            .agg(F.count("*").alias("n_bigrams"),
                 F.sum("__lp").alias("sum_logp_micro")))

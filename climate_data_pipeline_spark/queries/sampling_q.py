@@ -208,3 +208,47 @@ def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("lang", F.size(words("text")).alias("n_tok"))
     return S.temperature_weights(d, "lang", "n_tok")
+
+
+@query("lang_temperature_resample", oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+g AS (SELECT lang, count(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM g),
+s AS (SELECT g.lang, round(n_tokens / t, 9) AS p,
+             round(pow(round(n_tokens / t, 9), 0.3), 9) AS pa
+      FROM g, tot),
+z AS (SELECT SUM(CAST(round(pa * 1000000000) AS BIGINT)) AS zn FROM s),
+f AS (SELECT lang,
+             round(round(pa / (zn / 1000000000.0), 9) / p, 6) AS factor
+      FROM s, z),
+c AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(f.factor)
+              + CASE WHEN ({S.sql_hash_bucket('doc_id', 1_000_000, ':tmp')})
+                          / 1000000.0 < f.factor - floor(f.factor)
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM d JOIN f USING (lang)
+)
+SELECT doc_id, lang, n_copies,
+       unnest(range(1, n_copies + 1)) AS repeat_idx
+FROM c WHERE n_copies >= 1
+""")
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized α = 0.3 language mix
+    (`operators/sampling.temperature_resample`): head languages thin
+    out (md5-uniform keep on the fractional factor), tail languages
+    replicate — exact copy multiset hash-compared row for row, so both
+    engines agree on every kept copy of every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import words
+
+    d = docs.select("doc_id", "lang", F.size(words("text")).alias("n_tok"))
+    return (S.temperature_resample(d, "lang", "doc_id", "n_tok")
+            .select("doc_id", "lang", "n_copies", "repeat_idx"))

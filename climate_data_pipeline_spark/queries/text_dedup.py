@@ -1308,3 +1308,41 @@ def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_tf, ln_rank), 6).alias("zipf_slope"),
         F.round(F.regr_r2(ln_tf, ln_rank), 6).alias("r2"),
         F.count("*").alias("n_terms"))
+
+
+@query("quality_calibrated_rank", oracle=f"""
+WITH q AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS q
+  FROM documents
+)
+SELECT doc_id, source, q,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY q ASC, doc_id ASC), 9)
+         AS q_calibrated,
+       round(percent_rank() OVER (ORDER BY q ASC, doc_id ASC), 9)
+         AS q_global
+FROM q
+""")
+def quality_calibrated_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration (the FineWeb-style fix for
+    cross-domain threshold bias): each document's heuristic quality
+    score becomes its percent-rank WITHIN its source, so one keep
+    threshold means the same thing for every feed regardless of that
+    feed's score distribution; the global rank rides along for
+    comparison. One scan + two windows (the per-source one reuses the
+    source shuffle); both engines rank the round-6 score with a
+    deterministic (q, id) tie-break. Shares `_QUALITY_SQL` with
+    text_quality so the blends cannot drift."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (TX.quality_score(docs, "text")
+         .select("doc_id", "source",
+                 F.round("quality_score", 6).alias("q")))
+    w_src = (Window.partitionBy("source")
+                   .orderBy(F.col("q").asc(), F.col("doc_id").asc()))
+    w_all = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    return q.select(
+        "doc_id", "source", "q",
+        F.round(F.percent_rank().over(w_src), 9).alias("q_calibrated"),
+        F.round(F.percent_rank().over(w_all), 9).alias("q_global"))

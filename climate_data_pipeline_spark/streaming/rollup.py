@@ -344,3 +344,37 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     return (stream.writeStream.foreachBatch(screen)
             .option("checkpointLocation", target_dir + "_chk")
             .start())
+
+
+def streaming_lm_gate(spark: SparkSession, sf_dir: str, target_dir: str,
+                      nll_keep_threshold: float = 3.4) -> "object":
+    """LM quality gate on an ingest stream: the bigram LM trains ONCE
+    on the standing corpus (doc_id % 5 != 0), and every arriving
+    micro-batch (doc_id % 5 == 0 plays the stream) is scored against it
+    by the SAME batch operator (``operators/text.lm_perplexity`` with
+    ``ref=``) inside ``foreachBatch`` — stream and batch share one code
+    path, so the gate's decisions are micro-batch-boundary invariant by
+    construction (each document's score depends only on the static LM
+    and its own text). Unseen bigrams fall back to the add-one floor,
+    never dropped. State lives in the static LM, bounded by vocabulary,
+    not stream length.
+
+    Returns the started StreamingQuery (caller drives/stops it)."""
+    from ..operators.text import lm_perplexity
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .where(F.col("doc_id") % 5 == 0))
+    corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .where(F.col("doc_id") % 5 != 0).cache())
+
+    def gate(batch_df, batch_id):
+        out = lm_perplexity(batch_df, "text", "doc_id",
+                            nll_keep_threshold, ref=corpus)
+        out.write.mode("append").parquet(target_dir)
+
+    return (stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", target_dir + "_chk")
+            .start())

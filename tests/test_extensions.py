@@ -1051,3 +1051,41 @@ def test_multiprobe_recall_dominates_single_probe(spark, emb):
     # fan-out must still find strictly more than nothing and beat the
     # single bucket's floor
     assert r_multi >= 0.2
+
+
+def test_temperature_resample_moves_toward_target_shares(spark):
+    from climate_data_pipeline_spark.operators.sampling import (
+        temperature_resample, temperature_weights)
+
+    rows = ([(i, "en", 100) for i in range(400)]
+            + [(1000 + i, "zh", 100) for i in range(25)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+    out = temperature_resample(df, "lang", "doc_id", "n_tok")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    wts = {r["group"]: r for r in
+           temperature_weights(df, "lang", "n_tok").collect()}
+    # per-group copy count tracks n_in * factor within rounding noise
+    for lang, n_in in (("en", 400), ("zh", 25)):
+        expect = n_in * wts[lang]["factor"]
+        assert abs(counts[lang] - expect) <= max(3, 0.2 * expect)
+    # tail upsampled: every zh doc appears >= floor(factor) times
+    assert counts["zh"] >= 25 * int(wts["zh"]["factor"])
+    # determinism: same input -> same multiset
+    again = {r["lang"]: r["n"] for r in
+             temperature_resample(df, "lang", "doc_id", "n_tok")
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+
+
+def test_quality_calibration_uniform_within_source(docs, spark):
+    from climate_data_pipeline_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    out = (REGISTRY["quality_calibrated_rank"]
+           .fn(spark, "/root/testdata/sf0.001").toPandas())
+    # percent_rank spans [0, 1] within every source with distinct ranks
+    for src, grp in out.groupby("source"):
+        assert grp.q_calibrated.min() == 0.0
+        assert grp.q_calibrated.max() <= 1.0
+        assert grp.q_calibrated.nunique() == len(grp)

@@ -374,3 +374,34 @@ def test_dsl_lm_filter_verb(spark, sf_dir):
             .where("keep").collect()}
     assert out == want
     assert 0 < len(out) < docs.count()   # threshold actually splits
+
+
+def test_streaming_lm_gate_matches_batch(spark, sf_dir):
+    """The streaming LM gate scores each micro-batch against the static
+    corpus LM through the same batch operator — single-trigger results
+    must equal the batch ref= call, and unseen-bigram fallback must not
+    drop any arriving document with >= 2 words."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.operators.text import (
+        lm_perplexity, words)
+    from climate_data_pipeline_spark.streaming.rollup import (
+        streaming_lm_gate)
+
+    import tempfile
+    target = tempfile.mkdtemp() + "/gated"
+    q = streaming_lm_gate(spark, sf_dir, target)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(map(tuple, lm_perplexity(
+        docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id",
+        ref=docs.where(F.col("doc_id") % 5 != 0)).collect()))
+    assert got == want and len(got) > 0
+    n_scoreable = (docs.where(F.col("doc_id") % 5 == 0)
+                   .where(F.size(words("text")) >= 2).count())
+    assert len(got) == n_scoreable
