@@ -302,3 +302,43 @@ def test_quantized_topk_no_nested_loop_on_corpus(spark, sf_small):
 def test_train_shard_manifest_single_shuffle(spark, sf_small):
     plan = _plan(spark, sf_small, "train_shard_manifest")
     assert plan.count("Exchange ") == 1  # shard key only; no global sort
+
+
+def test_perplexity_stream_single_join_and_no_cartesian(spark, sf_small):
+    """Self-trained LM: the scored LM assembles vocabulary-side, so the
+    token stream joins exactly once; the vocab scalar is a one-row
+    broadcast NL (fine) and nothing is a CartesianProduct."""
+    plan = _plan(spark, sf_small, "text_perplexity")
+    assert "CartesianProduct" not in plan
+    # exactly one join keyed on (cur, nxt) touches the bigram stream
+    assert plan.count("[cur") >= 1
+
+
+def test_source_overlap_no_distinct_before_collect_set(spark, sf_small):
+    """collect_set's partial aggregation IS the dedup — a separate
+    distinct() would add a full-stream shuffle. The pair explode must
+    be an ordinary Generate, never a self-join of the stream."""
+    plan = _plan(spark, sf_small, "corpus_source_overlap")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("partial_collect_set") >= 1
+
+
+def test_multiprobe_is_bucket_equi_join(spark, sf_small):
+    plan = _plan(spark, sf_small, "sim_lsh_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "md5" not in plan            # planes precomputed, not per-row
+
+
+def test_cdc_refresh_no_base_rescan_shape(spark, sf_small):
+    """The refresh plan is unions + hash aggregates; no join back to the
+    base fact table, no window, no cartesian."""
+    plan = _plan(spark, sf_small, "incremental_cdc_refresh")
+    assert "CartesianProduct" not in plan
+    assert "row_number" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_temperature_resample_broadcasts_factor_table(spark, sf_small):
+    plan = _plan(spark, sf_small, "lang_temperature_resample")
+    assert "BroadcastHashJoin" in plan      # 5-row factor dim
+    assert "CartesianProduct" not in plan
