@@ -230,8 +230,7 @@ _COS_EC = ("round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)
            " * sqrt(SUM(pow(CAST(c.cvec[i] AS DOUBLE), 2)))), 6)")
 
 
-@query("sim_ivf_seeded", oracle=f"""
-WITH cents AS (
+_IVF_CTES = f"""cents AS (
   SELECT vec_id AS cell, embedding AS cvec FROM embeddings
   ORDER BY vec_id LIMIT 16
 ),
@@ -265,7 +264,11 @@ rr AS (
            AS cosine
   FROM cand d CROSS JOIN generate_series(1, 64) AS t(i)
   GROUP BY d.q_id, d.vec_id, d.cell
-)
+)"""
+
+
+@query("sim_ivf_seeded", oracle=f"""
+WITH {_IVF_CTES}
 SELECT q_id, vec_id, cell, cosine,
        row_number() OVER (PARTITION BY q_id
                           ORDER BY cosine DESC, vec_id ASC) AS rank
@@ -283,6 +286,63 @@ def ivf_seeded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(F.col("vec_id").alias("q_id"),
                           F.col("embedding").alias("q_vec")))
     return SIM.ivf_ann_seeded(queries, emb, k=5, n_lists=16, n_probe=3)
+
+
+@query("sim_ivf_recall_eval", oracle=f"""
+WITH {_IVF_CTES},
+ann AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM rr QUALIFY r <= 5
+),
+exact_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id,
+         round(SUM(CAST(q.embedding[t.i] AS DOUBLE)
+                   * CAST(c.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(q.embedding[t.i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(c.embedding[t.i] AS DOUBLE), 2)))), 6)
+           AS cosine
+  FROM embeddings q
+  CROSS JOIN embeddings c
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM exact_scored QUALIFY r <= 5
+)
+SELECT e.q_id,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       CAST(5 AS BIGINT) AS k,
+       round(count(a.vec_id) / 5.0, 6) AS recall
+FROM exact e
+LEFT JOIN ann a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+GROUP BY 1
+""")
+def ivf_recall_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the seeded-IVF ANN (n_probe = 3 of 16 cells) against
+    the exact top-k — the IVF counterpart of `sim_lsh_recall_eval`,
+    fully value-checked: the oracle re-derives centroids, assignment,
+    probes, both rankings and the hit join. The recall number itself is
+    the n_probe tuning signal an IVF deployment watches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    ann = (SIM.ivf_ann_seeded(queries, emb, k=5, n_lists=16, n_probe=3)
+           .select("q_id", "vec_id"))
+    exact = (SIM.cosine_topk(queries, emb, k=5)
+             .select("q_id", "vec_id"))
+    hit = exact.join(ann.withColumn("__hit", F.lit(1)),
+                     ["q_id", "vec_id"], "left")
+    return (hit.groupBy("q_id")
+            .agg(F.count("__hit").alias("n_hit"),
+                 F.lit(5).cast("long").alias("k"),
+                 F.round(F.count("__hit") / 5.0, 6).alias("recall")))
 
 
 @query("sim_quantized_topk", oracle=f"""
