@@ -806,7 +806,13 @@ def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
     separate ``distinct()`` shuffle), and the per-source totals derive
     from the collected sets (input = distinct pairs, not the stream).
 
-    Output: (source_a, source_b, n_shared, n_a, n_b, overlap) a < b."""
+    Output: (source_a, source_b, n_shared, n_a, n_b, overlap) a < b.
+
+    Measured alternative, rejected: collapsing shingles by identical
+    source-set signature before the pair explode (weighted pair counts)
+    ADDS an array-keyed shuffle that costs more than the explode it
+    saves at every tested scale (A/B at sf0.1: 1.4 s vs 1.8 s) — the
+    pair stream's map-side partial SUM already absorbs the volume."""
     ss = (_spread(df).select(F.col(source_col).alias("__src"),
                              words(text_col).alias("__w"))
             .where(F.size("__w") >= n)
