@@ -13,8 +13,8 @@ collect — so timings measure the engine, not result serialization.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
-     BENCH_ITERATIONS / BENCH_WARMUP (default 3 / 2 — the reference harness
-     uses 3 warmups + 20 iterations, src/benchmark_suite.py:55).
+     BENCH_ITERATIONS / BENCH_WARMUP (default 3 / 3 — matching the reference
+     harness's 3 warmups, src/benchmark_suite.py:55).
 """
 
 from __future__ import annotations
@@ -60,7 +60,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iterations = int(os.environ.get("BENCH_ITERATIONS", "3"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -214,3 +214,76 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
         "kept_split": keep_split,
     })
     return result
+
+
+def build_lsh_index(corpus, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_planes: int = 6,
+                    dim: int = 64, seed: str = "cdps",
+                    overwrite: bool = False) -> dict:
+    """Persist an LSH ANN index: the corpus's (id, vector, bucket)
+    table written as parquet PARTITIONED BY bucket, so a probe touches
+    only its buckets' directories — the partition-pruned disk layout is
+    the at-rest form of the bucket equi-join. Build cost is one corpus
+    scan + one shuffle onto the bucket key (each bucket lands in one
+    task → one file per bucket directory); planes are seed-derived, so
+    the index needs no side metadata beyond (seed, n_planes, dim) —
+    recorded in the returned manifest for the query side to reuse."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import lsh_buckets
+
+    b = lsh_buckets(corpus, id_col, vec_col, n_planes, seed=seed, dim=dim)
+    mode = "overwrite" if overwrite else "errorifexists"
+    (b.repartition(F.col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(path))
+    n = corpus.sparkSession.read.parquet(path).count()
+    return {"status": "completed", "path": path, "rows": n,
+            "n_planes": n_planes, "dim": dim, "seed": seed}
+
+
+def query_lsh_index(spark, path: str, queries, k: int = 3,
+                    query_id: str = "q_id", query_vec: str = "q_vec",
+                    corpus_id: str = "vec_id",
+                    corpus_vec: str = "embedding", n_planes: int = 6,
+                    dim: int = 64, seed: str = "cdps",
+                    multiprobe: bool = True):
+    """Search a persisted LSH index with static partition pruning: the
+    query set's probe buckets (own bucket + Hamming-1 neighbors when
+    ``multiprobe``) collect driver-side — bounded by |Q|×(n_planes+1),
+    and |Q| is small by the contract of this path — and push into the
+    index read as a partition-column IN-filter, so only the probed
+    bucket directories are ever scanned (PartitionFilters in the plan;
+    asserted in tests). Results are identical to
+    `operators/similarity.lsh_ann_multiprobe` (or `lsh_ann`) against
+    the in-memory corpus — same planes, same candidates, same
+    ranking."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import cosine_batch, lsh_buckets
+
+    qb = (lsh_buckets(queries.withColumnRenamed(query_vec, corpus_vec),
+                      query_id, corpus_vec, n_planes, seed=seed, dim=dim)
+          .withColumnRenamed(corpus_vec, query_vec))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+              for p in range(n_planes)])
+        qp = qb.select(query_id, query_vec,
+                       F.explode(probes).alias("bucket"))
+    else:
+        qp = qb.select(query_id, query_vec, "bucket")
+    probe_buckets = [r["bucket"] for r in
+                     qp.select("bucket").distinct().collect()]
+    idx = (spark.read.parquet(path)
+           .where(F.col("bucket").isin(probe_buckets)))
+    cand = (idx.join(qp, "bucket")
+               .where(F.col(query_id) != F.col(corpus_id)))
+    cos = F.round(cosine_batch(F.col(query_vec), F.col(corpus_vec)), 6)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (cand.withColumn("cosine", cos)
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(query_id, corpus_id, "cosine", "rank"))

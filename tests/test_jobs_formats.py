@@ -127,3 +127,29 @@ def test_curate_corpus_with_quality_and_lm_gates(spark, sf_small, tmp_path):
     assert r["quality_removed"] == r["n_input"] - r["n_after_quality"]
     assert r["lm_removed"] == r["n_after_quality"] - r["n_after_lm"]
     assert r["dedup_removed"] == r["n_after_lm"] - r["n_after_dedup"]
+
+def test_lsh_index_build_query_roundtrip(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.operators.similarity import (
+        lsh_ann_multiprobe)
+    from climate_data_pipeline_spark.plans.jobs import (
+        build_lsh_index, query_lsh_index)
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "lsh_index")
+    m = build_lsh_index(emb, path, n_planes=6, dim=64)
+    assert m["status"] == "completed" and m["rows"] == emb.count()
+
+    queries = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    got = query_lsh_index(spark, path, queries, k=3)
+    want = lsh_ann_multiprobe(queries, emb, k=3, n_planes=6, dim=64)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    # the probe read must prune to the probed bucket partitions
+    probed = spark.read.parquet(path).where(F.col("bucket").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
