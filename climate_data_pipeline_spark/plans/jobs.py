@@ -287,3 +287,24 @@ def query_lsh_index(spark, path: str, queries, k: int = 3,
                 .withColumn("rank", F.row_number().over(w).cast("long"))
                 .where(F.col("rank") <= k)
                 .select(query_id, corpus_id, "cosine", "rank"))
+
+
+def append_lsh_index(batch, path: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_planes: int = 6,
+                     dim: int = 64, seed: str = "cdps") -> dict:
+    """Incremental index maintenance: hash ONLY the new vectors with the
+    index's (seed, n_planes, dim) and append partition-wise — existing
+    bucket directories gain one file per touched bucket, untouched
+    buckets are never rewritten or read. Cost ∝ batch size, zero base
+    re-hash; queries see old + new rows through the same
+    partition-pruned read with no coordination (parquet appends are
+    atomic at file granularity)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import lsh_buckets
+
+    b = lsh_buckets(batch, id_col, vec_col, n_planes, seed=seed, dim=dim)
+    (b.repartition(F.col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path))
+    return {"status": "completed", "path": path,
+            "rows_appended": batch.count()}

@@ -153,3 +153,28 @@ def test_lsh_index_build_query_roundtrip(spark, sf_small, tmp_path):
     probed = spark.read.parquet(path).where(F.col("bucket").isin([0, 1]))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+def test_lsh_index_incremental_append(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.operators.similarity import (
+        lsh_ann_multiprobe)
+    from climate_data_pipeline_spark.plans.jobs import (
+        append_lsh_index, build_lsh_index, query_lsh_index)
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    path = str(tmp_path / "lsh_grow")
+    build_lsh_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    r = append_lsh_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    assert r["rows_appended"] > 0
+    assert spark.read.parquet(path).count() == emb.count()
+
+    queries = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    got = sorted(map(tuple,
+                     query_lsh_index(spark, path, queries, k=3).collect()))
+    want = sorted(map(tuple, lsh_ann_multiprobe(
+        queries, emb, k=3, n_planes=6, dim=64).collect()))
+    assert got == want

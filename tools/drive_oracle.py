@@ -27,7 +27,7 @@ rows = df.collect()
 print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
 assert len(rows) > 0
 
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 qs, oracles = mod.queries(), mod.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 assert set(oracles) <= set(qs)
