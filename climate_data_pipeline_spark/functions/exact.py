@@ -47,3 +47,27 @@ def sql_exact_avg(expr: str, scale: int = 2) -> str:
     factor = 10 ** scale
     return (f"(SUM(CAST(round(({expr}) * {factor}) AS BIGINT)) / {factor}.0)"
             f" / COUNT({expr})")
+
+
+def round_port(col: Column | str, scale: int = 6) -> Column:
+    """Tie-portable decimal rounding for RATIONAL-valued doubles.
+
+    ``round(x, s)`` is not engine-portable when x can land exactly on a
+    decimal tie (integer ratios, scaled-integer averages, cents × rate):
+    Spark rounds the double's exact binary expansion via BigDecimal
+    HALF_UP while DuckDB's decimal round takes a different path, and the
+    tie breaks differently (observed only at sf0.1+: more rows → some
+    row hits the boundary). Rounding in INTEGER units — round(x·10^s)
+    at scale 0, then divide — makes the tie an exactly-representable
+    .5 that both engines resolve half-away-from-zero. Transcendental
+    values (ln/sqrt/cos outputs) cannot tie and keep plain round."""
+    c = F.col(col) if isinstance(col, str) else col
+    factor = float(10 ** scale)
+    return F.round(c * factor) / factor
+
+
+def sql_round_port(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of :func:`round_port` — kept adjacent so the two
+    definitions cannot drift."""
+    factor = 10 ** scale
+    return f"round(({expr}) * {factor}) / {factor}.0"

@@ -467,7 +467,10 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
     agg = (scored.groupBy("__id")
            .agg(F.count("*").alias("n_bigrams"),
                 F.sum("__lp").alias("sum_logp_micro")))
-    avg_nll = F.round(-F.col("sum_logp_micro") / 1e6 / F.col("n_bigrams"), 6)
+    # integer-unit tie-portable rounding: -sum_micro/n is rational, so
+    # round(x, 6) can hit an exact decimal tie engines break differently
+    avg_nll = (F.round(-F.col("sum_logp_micro")
+                       / F.col("n_bigrams").cast("double")) / 1e6)
     return agg.select(F.col("__id").alias(id_col), "n_bigrams",
                       "sum_logp_micro", avg_nll.alias("avg_nll"),
                       (avg_nll <= F.lit(nll_keep_threshold)).alias("keep"))

@@ -177,7 +177,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
     if quality_filter:
         m = TX.char_entropy(TX.quality_score(docs, text_col), text_col)
         nw = F.size(TX.words(text_col))
-        docs = (m.where((F.round("quality_score", 6) >= 0.49)
+        docs = (m.where(((F.round(F.col("quality_score") * 1e6) / 1e6) >= 0.49)
                         & nw.between(25, 90)
                         & (F.round("char_entropy", 6) >= 2.8))
                  .select(*doc_cols))

@@ -16,7 +16,7 @@ from ..sources.io import load_table
 @query("merge_upsert_customers", oracle="""
 WITH updates AS (
   SELECT c_custkey, c_name, c_nationkey,
-         round(c_acctbal * 1.1, 2) AS c_acctbal,
+         round(c_acctbal * 1.1 * 100) / 100.0 AS c_acctbal,
          'UPGRADED' AS c_mktsegment
   FROM customer WHERE c_custkey % 10 = 0
 ),
@@ -36,7 +36,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     of MERGE."""
     c = load_table(spark, sf_dir, "customer")
     updates = (c.where(F.col("c_custkey") % 10 == 0)
-                .withColumn("c_acctbal", F.round(F.col("c_acctbal") * 1.1, 2))
+                .withColumn("c_acctbal", F.round(F.col("c_acctbal") * 1.1 * 100) / 100)
                 .withColumn("c_mktsegment", F.lit("UPGRADED")))
     merged = merge_upsert(c, updates, keys=["c_custkey"])
     return (merged.groupBy("c_mktsegment")

@@ -492,9 +492,11 @@ WITH daily AS (
   WINDOW wd AS (PARTITION BY user_id, dayofweek(d))
 )
 SELECT user_id, d,
-       round(trend, 6) AS trend,
-       round(seasonal, 6) AS seasonal,
-       round(detr - seasonal, 6) AS residual
+       -- + 0.0 collapses IEEE -0.0 (DuckDB round keeps the sign of a
+       -- rounded-away negative; Spark's BigDecimal path does not)
+       round(trend * 1000000) / 1000000.0 + 0.0 AS trend,
+       round(seasonal * 1000000) / 1000000.0 + 0.0 AS seasonal,
+       round((detr - seasonal) * 1000000) / 1000000.0 + 0.0 AS residual
 FROM s
 """)
 def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,9 +529,10 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("seasonal", exact_wavg("detr", ws)))
     return s.select(
         "user_id", "d",
-        F.round("trend", 6).alias("trend"),
-        F.round("seasonal", 6).alias("seasonal"),
-        F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"))
+        (F.round(F.col("trend") * 1e6) / 1e6 + 0.0).alias("trend"),
+        (F.round(F.col("seasonal") * 1e6) / 1e6 + 0.0).alias("seasonal"),
+        (F.round((F.col("detr") - F.col("seasonal")) * 1e6) / 1e6 + 0.0)
+        .alias("residual"))
 
 
 @query("csdi_cold_spell_index", oracle="""

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as TX
-from ..functions.exact import exact_avg, sql_exact_avg
+from ..functions.exact import exact_avg, round_port, sql_exact_avg
 from ..registry import query
 from ..sources.io import load_table
 
@@ -39,37 +39,45 @@ _STOPLIST = ", ".join(f"'{s}'" for s in TX.ENGLISH_STOPWORDS)
 
 # the fixed-weight quality blend, shared by text_quality and the
 # keep-best-canonical dedup oracle so the two cannot drift
-_QUALITY_SQL = f"""round(0.4 * (len(list_filter({_W}, x -> list_contains(
+# integer-unit rounding (round(x*1e6)/1e6, functions/exact.round_port):
+# the blend is RATIONAL (integer ratios), so round(x, 6) can land on an
+# exact decimal tie that Spark and DuckDB break differently — observed
+# at sf0.1 (8/5000 docs), invisible at sf0.01
+_QUALITY_SQL = f"""(round((0.4 * (len(list_filter({_W}, x -> list_contains(
                  [{_STOPLIST}], x)))
                  / greatest(len({_W}), 1))
            + 0.3 * least((list_sum(list_transform({_W}, x -> length(x)))
                  / greatest(len({_W}), 1)) / 8.0, 1.0)
            + 0.3 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
-                 / greatest(length(text), 1)), 6)"""
+                 / greatest(length(text), 1))) * 1000000) / 1000000.0)"""
 
 
 @query("text_quality", oracle=f"""
 SELECT doc_id,
-       round(len(list_filter({_W}, x -> list_contains(
+       round((len(list_filter({_W}, x -> list_contains(
              [{_STOPLIST}], x)))
-             / greatest(len({_W}), 1), 6) AS stopword_ratio,
-       round(list_sum(list_transform({_W}, x -> length(x)))
-             / greatest(len({_W}), 1), 6) AS avg_word_len,
-       round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
-             / greatest(length(text), 1), 6) AS punct_ratio,
+             / greatest(len({_W}), 1)) * 1000000) / 1000000.0
+         AS stopword_ratio,
+       round((list_sum(list_transform({_W}, x -> length(x)))
+             / greatest(len({_W}), 1)) * 1000000) / 1000000.0
+         AS avg_word_len,
+       round((length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1)) * 1000000) / 1000000.0
+         AS punct_ratio,
        {_QUALITY_SQL} AS quality_score
 FROM documents
 """)
 def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, mean word length, punctuation
-    ratio, fixed-weight blend."""
+    ratio, fixed-weight blend. All four metrics are rational (integer
+    ratios), so rounding uses the integer-unit tie-portable form."""
     docs = load_table(spark, sf_dir, "documents")
     out = TX.quality_score(docs, "text")
     return out.select("doc_id",
-                      F.round("stopword_ratio", 6).alias("stopword_ratio"),
-                      F.round("avg_word_len", 6).alias("avg_word_len"),
-                      F.round("punct_ratio", 6).alias("punct_ratio"),
-                      F.round("quality_score", 6).alias("quality_score"))
+                      round_port("stopword_ratio").alias("stopword_ratio"),
+                      round_port("avg_word_len").alias("avg_word_len"),
+                      round_port("punct_ratio").alias("punct_ratio"),
+                      round_port("quality_score").alias("quality_score"))
 
 
 @query("text_language_id", oracle=f"""
@@ -552,7 +560,7 @@ def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = D.duplicate_clusters(pairs).select("id", "cluster_id")
     quality = (TX.quality_score(docs, "text")
                .select(F.col("doc_id").alias("id"),
-                       F.round("quality_score", 6).alias("quality")))
+                       round_port("quality_score").alias("quality")))
     w = (Window.partitionBy("cluster_id")
                .orderBy(F.col("quality").desc(), F.col("id").asc()))
     ranked = (members.join(quality, "id")
@@ -596,7 +604,8 @@ SELECT source,
        count(*) AS n_docs,
        CAST(SUM(n_words) AS BIGINT) AS n_words,
        CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
-       round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_rate,
+       round((1.0 - count(DISTINCT fp) / count(*)) * 1000000)
+         / 1000000.0 AS dup_rate,
        {sql_exact_avg('quality', 6)} AS avg_quality,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 FROM per GROUP BY source
@@ -615,13 +624,13 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = TX.quality_score(docs, "text")
     return (q.select("source", "lang", F.md5("text").alias("fp"),
                      F.size(TX.words("text")).alias("n_words"),
-                     F.round(F.col("quality_score"), 6).alias("quality"))
+                     round_port("quality_score").alias("quality"))
              .groupBy("source")
              .agg(F.count("*").alias("n_docs"),
                   F.sum("n_words").alias("n_words"),
                   F.countDistinct("fp").alias("n_distinct_texts"),
-                  F.round(F.lit(1.0)
-                          - F.countDistinct("fp") / F.count("*"), 6)
+                  round_port(F.lit(1.0)
+                             - F.countDistinct("fp") / F.count("*"))
                    .alias("dup_rate"),
                   exact_avg("quality", 6).alias("avg_quality"),
                   F.countDistinct("lang").alias("n_langs")))
@@ -847,7 +856,7 @@ def keep_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines would be a parity trap)."""
     docs = load_table(spark, sf_dir, "documents")
     m = TX.char_entropy(TX.quality_score(docs, "text"), "text")
-    q = F.round("quality_score", 6)
+    q = round_port("quality_score")
     ent = F.round("char_entropy", 6)
     n_words = F.size(TX.words("text")).cast("long")
     reasons = F.filter(F.array(
@@ -1024,8 +1033,10 @@ agg AS (
   FROM scored GROUP BY 1
 )
 SELECT doc_id, n_bigrams, sum_logp_micro,
-       round(-sum_logp_micro / 1000000.0 / n_bigrams, 6) AS avg_nll,
-       round(-sum_logp_micro / 1000000.0 / n_bigrams, 6) <= 3.4 AS keep
+       round(-sum_logp_micro / CAST(n_bigrams AS DOUBLE)) / 1000000.0
+         AS avg_nll,
+       round(-sum_logp_micro / CAST(n_bigrams AS DOUBLE)) / 1000000.0
+         <= 3.4 AS keep
 FROM agg
 """)
 def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,10 +1328,10 @@ WITH q AS (
 )
 SELECT doc_id, source, q,
        round(percent_rank() OVER (PARTITION BY source
-                                  ORDER BY q ASC, doc_id ASC), 9)
-         AS q_calibrated,
-       round(percent_rank() OVER (ORDER BY q ASC, doc_id ASC), 9)
-         AS q_global
+                                  ORDER BY q ASC, doc_id ASC)
+             * 1000000000) / 1000000000.0 AS q_calibrated,
+       round(percent_rank() OVER (ORDER BY q ASC, doc_id ASC)
+             * 1000000000) / 1000000000.0 AS q_global
 FROM q
 """)
 def quality_calibrated_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,11 +1349,11 @@ def quality_calibrated_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = (TX.quality_score(docs, "text")
          .select("doc_id", "source",
-                 F.round("quality_score", 6).alias("q")))
+                 round_port("quality_score").alias("q")))
     w_src = (Window.partitionBy("source")
                    .orderBy(F.col("q").asc(), F.col("doc_id").asc()))
     w_all = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
     return q.select(
         "doc_id", "source", "q",
-        F.round(F.percent_rank().over(w_src), 9).alias("q_calibrated"),
-        F.round(F.percent_rank().over(w_all), 9).alias("q_global"))
+        round_port(F.percent_rank().over(w_src), 9).alias("q_calibrated"),
+        round_port(F.percent_rank().over(w_all), 9).alias("q_global"))

@@ -18,9 +18,17 @@ across partitionings:
   NOT portable: Spark rounds the double's shortest decimal form
   (BigDecimal HALF_UP) while DuckDB multiplies-and-rounds in binary —
   the tie can break differently. Round in INTEGER units instead
-  (``round(sum_micro / n) / 1e6``): the tie is then an
-  exactly-representable .5 both engines resolve identically
-  (cf. forecast_baseline_eval).
+  (``functions.exact.round_port`` / ``sql_round_port``, i.e.
+  ``round(x·10^s)/10^s``): the tie is then an exactly-representable .5
+  both engines resolve identically. Applies to every RATIONAL-valued
+  round — integer ratios, scaled-sum averages, cents × rate, window
+  percent_rank — and was validated by a full 200-query parity sweep at
+  sf0.1 (10× the driver's scale: more rows → boundary rows appear that
+  sf0.01 never hits). Transcendental outputs (ln/sqrt/cos) cannot tie
+  and keep plain round. One more sf0.1-only find: DuckDB's round keeps
+  IEEE ``-0.0`` where Spark's BigDecimal path does not — append
+  ``+ 0.0`` on both sides when a rounded value can be a negative
+  epsilon (cf. seasonal_decompose).
 
 Register with the ``@query(name, oracle=...)`` decorator; ``oracle=None``
 marks a non-SQL-expressible op (driver records a weaker rows-only check).

@@ -316,3 +316,31 @@ def test_source_overlap_matches_naive_pair_join(spark, rows):
         if shared:
             want[(a, b)] = (shared, len(per[a]), len(per[b]))
     assert got == want
+
+
+@given(nums=st.lists(st.integers(min_value=-10_000_000, max_value=10_000_000),
+                     min_size=1, max_size=30),
+       den=st.integers(min_value=1, max_value=2_000_000))
+@settings(**_SETTINGS)
+def test_round_port_matches_duckdb_on_rationals(spark, nums, den):
+    """Tie-portable rounding: round_port (Spark) and sql_round_port
+    (DuckDB) agree bit-for-bit on RATIONAL inputs n/d — the class where
+    plain round(x, 6) diverges between Spark's BigDecimal HALF_UP and
+    DuckDB's decimal path (observed at sf0.1: 6 queries, boundary rows).
+    Integer ratios deliberately include exact 6th-decimal ties
+    (e.g. n/d = k.0000005)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.functions.exact import (
+        round_port,
+        sql_round_port,
+    )
+
+    df = spark.createDataFrame([(n,) for n in nums], "n long")
+    got = sorted(r.v for r in df.select(
+        (round_port(F.col("n") / float(den)) + 0.0).alias("v")).collect())
+    want = sorted(r[0] for r in duckdb.sql(
+        "SELECT " + sql_round_port(f"n / {den}.0") + " + 0.0 AS v FROM "
+        "(SELECT unnest($nums) AS n)", params={"nums": nums}).fetchall())
+    assert got == want
