@@ -325,3 +325,70 @@ def leakage_safe_split(df: DataFrame, id_col: str, group_col: Column | str,
     return (out.withColumnRenamed(id_col, "__rep")
                .withColumnRenamed("__id_tmp", id_col)
                .drop("__g", "__rep"))
+
+
+def dsir_importance_weights(df: DataFrame, text_col: str, id_col: str,
+                            is_target: Column,
+                            n_features: int = 4096) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    fit bag-of-hashed-bigram unigram models for a small TARGET corpus p
+    and the RAW pool q, then score every raw document with
+
+        log w(x) = Σ_grams log p̂(bucket) − log q̂(bucket)
+
+    using add-one smoothing over ``n_features`` hash buckets. High
+    weight = looks like the target distribution; resample the pool by
+    weight to skew a 100 TB crawl toward a curated domain.
+
+    Plan shape: ONE bigram explode feeds both feature-count aggs (each
+    bounded at ``n_features`` rows — broadcastable however big the
+    corpus is); totals are broadcast one-row aggregates (never an eager
+    ``.count()``); the token stream then pays exactly one broadcast
+    equi-join + one grouped sum. Per-gram log-ratios are rounded to
+    integer micro-nats BEFORE the per-document sum (the scaled-long
+    exact-sum discipline), so scores are partition-order invariant and
+    engine-portable. No UDFs; linear in corpus tokens.
+
+    Returns (id, n_grams, sum_logw_micro, logw) for every RAW (i.e.
+    non-target) document.
+    """
+    from .text import words
+
+    w = words(text_col)
+    grams = (df.withColumn("__ws", w)
+               .withColumn("__t", is_target)
+               .select(F.col(id_col).alias("__id"), "__t",
+                       F.explode(F.zip_with(
+                           F.slice("__ws", 1, F.greatest(
+                               F.size("__ws") - 1, F.lit(0))),
+                           F.slice("__ws", 2, F.greatest(
+                               F.size("__ws") - 1, F.lit(0))),
+                           lambda a, b: F.concat(a, F.lit(" "), b)))
+                       .alias("__g")))
+    feat = grams.withColumn("__f", hash_bucket(F.col("__g"), n_features,
+                                               salt=":dsir"))
+    tcnt = (feat.where("__t").groupBy("__f")
+                .agg(F.count("*").alias("__tc")))
+    rcnt = (feat.where(~F.col("__t")).groupBy("__f")
+                .agg(F.count("*").alias("__rc")))
+    ttot = tcnt.agg(F.sum("__tc").alias("__tt"))
+    rtot = rcnt.agg(F.sum("__rc").alias("__rt"))
+    logratio = (F.log((F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(1.0))
+                      / (F.col("__tt") + F.lit(float(n_features))))
+                - F.log((F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("__rt") + F.lit(float(n_features)))))
+    buckets = (df.sparkSession.range(n_features)
+                 .select(F.col("id").cast("long").alias("__f")))
+    lm = (buckets.join(tcnt, "__f", "left").join(rcnt, "__f", "left")
+                 .crossJoin(F.broadcast(ttot)).crossJoin(F.broadcast(rtot))
+                 .select("__f", F.round(logratio * 1e6).cast("long")
+                         .alias("__lw")))
+    scored = (feat.where(~F.col("__t"))
+                  .join(F.broadcast(lm), "__f")
+                  .groupBy("__id")
+                  .agg(F.count("*").alias("n_grams"),
+                       F.sum("__lw").alias("sum_logw_micro")))
+    return scored.select(F.col("__id").alias(id_col), "n_grams",
+                         "sum_logw_micro",
+                         (F.col("sum_logw_micro") / 1e6).alias("logw"))

@@ -505,6 +505,70 @@ def clean_text(df: DataFrame, text_col: str, min_line_words: int = 1,
               .withColumn("n_lines_kept", F.size(kept)))
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021 §A1.1.1, public
+    method): word-count bounds, mean word length in [3, 10],
+    symbol-to-word ratio (#/ellipsis) < 0.1, < 90 % bullet-started
+    lines, < 30 % ellipsis-ended lines, ≥ 80 % words with an alphabetic
+    character, and ≥ ``min_stop_hits`` distinct mandatory stopwords.
+
+    Every rule is evaluated in EXACT INTEGER arithmetic by
+    cross-multiplication (e.g. ratio < 0.1 becomes ``10·n < d``), so no
+    float rounding exists to diverge across engines or partitionings —
+    the strongest form of the repo's tie-portable-rounding rule is to
+    never materialize the ratio at all. One narrow projection per row:
+    shuffle-free, whole-stage-codegen'd, embarrassingly parallel at
+    100 TB. Returns per-rule booleans plus the conjunction ``pass``.
+    """
+    w = words(text_col)
+    n_words = F.size(w).cast("long")
+    word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    n_symbols = (F.regexp_count(F.col(text_col), F.lit("#"))
+                 + F.regexp_count(F.col(text_col), F.lit("\\.\\.\\."))
+                 + F.regexp_count(F.col(text_col), F.lit("…"))).cast("long")
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda x: x.rlike("^\\s*[-*•]"))).cast("long")
+    n_ellipsis = F.size(F.filter(
+        lines, lambda x: x.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    n_alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(w, s))).cast("long")
+
+    r_word_count = n_words.between(min_words, max_words)
+    # 3 ≤ word_chars/n_words ≤ 10, cross-multiplied (guard empty docs)
+    r_mean_word_len = ((word_chars >= 3 * n_words)
+                       & (word_chars <= 10 * n_words) & (n_words > 0))
+    r_symbol_ratio = 10 * n_symbols < n_words
+    r_bullet_lines = 10 * n_bullet < 9 * F.greatest(n_lines, F.lit(1))
+    r_ellipsis_lines = 10 * n_ellipsis < 3 * F.greatest(n_lines, F.lit(1))
+    r_alpha_words = 5 * n_alpha_words >= 4 * n_words
+    r_stopwords = n_stop_hits >= min_stop_hits
+    passed = (r_word_count & r_mean_word_len & r_symbol_ratio
+              & r_bullet_lines & r_ellipsis_lines & r_alpha_words
+              & r_stopwords)
+    return df.select(
+        F.col(id_col), n_words.alias("n_words"),
+        word_chars.alias("word_chars"), n_lines.alias("n_lines"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_bullet_lines.alias("r_bullet_lines"),
+        r_ellipsis_lines.alias("r_ellipsis_lines"),
+        r_alpha_words.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        passed.alias("pass"))
+
+
 def char_entropy(df: DataFrame, text_col: str,
                  alias: str = "char_entropy") -> DataFrame:
     """Shannon entropy (nats) of the per-document character

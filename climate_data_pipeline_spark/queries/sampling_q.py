@@ -252,3 +252,52 @@ def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", "lang", F.size(words("text")).alias("n_tok"))
     return (S.temperature_resample(d, "lang", "doc_id", "n_tok")
             .select("doc_id", "lang", "n_copies", "repeat_idx"))
+
+
+from ..operators.text import SQL_WORDS as _SQL_WORDS  # noqa: E402
+
+_WORDS_SQL = _SQL_WORDS.format(t="text")
+
+
+@query("dsir_importance_weights", oracle=f"""
+WITH w AS (
+  SELECT doc_id, source = 'src0' AS t,
+         {_WORDS_SQL} AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM w WHERE len(w) >= 2
+),
+f AS (
+  SELECT doc_id, t,
+         {S.sql_hash_bucket("gram", 4096, salt=":dsir")} AS f
+  FROM g
+),
+tc AS (SELECT f, count(*) AS tc FROM f WHERE t GROUP BY 1),
+rc AS (SELECT f, count(*) AS rc FROM f WHERE NOT t GROUP BY 1),
+tt AS (SELECT SUM(tc) AS tt FROM tc),
+rt AS (SELECT SUM(rc) AS rt FROM rc),
+lm AS (
+  SELECT b.f,
+         CAST(round((ln((coalesce(tc.tc, 0) + 1.0) / (tt.tt + 4096.0))
+                    - ln((coalesce(rc.rc, 0) + 1.0) / (rt.rt + 4096.0)))
+                    * 1000000) AS BIGINT) AS lw
+  FROM (SELECT unnest(range(0, 4096)) AS f) b
+  LEFT JOIN tc USING (f) LEFT JOIN rc USING (f), tt, rt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(lw) AS BIGINT) AS sum_logw_micro,
+       SUM(lw) / 1000000.0 AS logw
+FROM f JOIN lm USING (f) WHERE NOT t
+GROUP BY 1
+""")
+def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for raw documents against the 'src0'
+    target slice (Xie et al. 2023) — hashed-bigram likelihood ratios
+    with micro-nat exact integer sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.dsir_importance_weights(
+        docs, "text", "doc_id", F.col("source") == "src0")

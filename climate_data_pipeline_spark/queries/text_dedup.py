@@ -80,6 +80,61 @@ def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                       round_port("quality_score").alias("quality_score"))
 
 
+_GOPHER_STOPS = ", ".join(f"'{s}'" for s in TX.GOPHER_STOPWORDS)
+
+
+@query("text_gopher_rules", oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len({_W}) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform({_W}, x -> length(x))), 0)
+              AS BIGINT) AS word_chars,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.'))
+              + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> trim(l) <> '')) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> trim(l) <> '' AND regexp_matches(l, '^\\s*[-*•]')))
+              AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> trim(l) <> '' AND regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+              AS BIGINT) AS n_ellipsis,
+         CAST(len(list_filter({_W}, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter([{_GOPHER_STOPS}],
+              s -> list_contains({_W}, s))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words, word_chars, n_lines,
+       n_words BETWEEN 30 AND 100000 AS r_word_count,
+       word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+         AND n_words > 0 AS r_mean_word_len,
+       10 * n_symbols < n_words AS r_symbol_ratio,
+       10 * n_bullet < 9 * greatest(n_lines, 1) AS r_bullet_lines,
+       10 * n_ellipsis < 3 * greatest(n_lines, 1) AS r_ellipsis_lines,
+       5 * n_alpha >= 4 * n_words AS r_alpha_words,
+       n_stop >= 2 AS r_stopwords,
+       (n_words BETWEEN 30 AND 100000)
+         AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+              AND n_words > 0)
+         AND (10 * n_symbols < n_words)
+         AND (10 * n_bullet < 9 * greatest(n_lines, 1))
+         AND (10 * n_ellipsis < 3 * greatest(n_lines, 1))
+         AND (5 * n_alpha >= 4 * n_words)
+         AND (n_stop >= 2) AS pass
+FROM c
+""")
+def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021 §A1.1.1): the
+    seven-rule composite, evaluated in exact integer arithmetic by
+    cross-multiplication so no float ratio ever materializes — engine-
+    and partitioning-portable by construction. min_words adapted to the
+    synthetic corpus (30; canonical 50 would reject most of it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.gopher_rules(docs, "text", "doc_id", min_words=30)
+
+
 @query("text_language_id", oracle=f"""
 SELECT doc_id, lang,
        {TX.sql_lang_scores("text")},

@@ -1089,3 +1089,47 @@ def test_quality_calibration_uniform_within_source(docs, spark):
         assert grp.q_calibrated.min() == 0.0
         assert grp.q_calibrated.max() <= 1.0
         assert grp.q_calibrated.nunique() == len(grp)
+
+
+def test_gopher_rules_crafted_cases(spark):
+    """Rules the synthetic corpus never exercises: bullets, ellipses,
+    symbol ratio, non-alpha words, missing mandatory stopwords."""
+    good = ("the data to be of and that have with more " * 6).strip()
+    rows = [
+        (1, good),                                      # passes everything
+        (2, "short of the and"),                        # word-count fail
+        (3, "- a\n- b\n- c\n" + good),                  # >90% bullets? 3/3+? depends
+        (4, good + " ######### ### ## # # # # # # # # # # # # # #"),
+        (5, ("one... two... three...\nfour... five...\n" * 3) + good),
+        (6, " ".join(["123"] * 60)),                    # non-alpha + no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           TX.gopher_rules(df, "text", "doc_id", min_words=30).collect()}
+    assert out[1]["pass"]
+    assert not out[2]["r_word_count"] and not out[2]["pass"]
+    assert not out[4]["r_symbol_ratio"] and not out[4]["pass"]
+    assert not out[5]["r_ellipsis_lines"] and not out[5]["pass"]
+    assert not out[6]["r_alpha_words"] and not out[6]["r_stopwords"]
+    # bullet rule: 3 of 4 non-empty lines bulleted = 75% < 90% → passes rule
+    assert out[3]["r_bullet_lines"]
+    all_bullets = spark.createDataFrame(
+        [(7, "- a b c\n- d e f\n- g h i")], "doc_id long, text string")
+    r7 = TX.gopher_rules(all_bullets, "text", "doc_id").first()
+    assert not r7["r_bullet_lines"]
+
+
+def test_dsir_weights_rank_targetlike_higher(spark):
+    """DSIR log-weight must rank a raw doc sharing the target's bigrams
+    above one with disjoint vocabulary."""
+    from climate_data_pipeline_spark.operators import sampling as S
+
+    target_text = "the model of the data and the code of the work"
+    rows = ([(i, target_text, "tgt") for i in range(5)]
+            + [(10, "the model of the data and the code", "raw"),
+               (11, "zebra quark lemon violet ember octave", "raw")])
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r["doc_id"]: r["logw"] for r in S.dsir_importance_weights(
+        df, "text", "doc_id", F.col("src") == "tgt").collect()}
+    assert set(out) == {10, 11}
+    assert out[10] > out[11]
