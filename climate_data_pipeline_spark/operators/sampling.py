@@ -341,18 +341,23 @@ def dsir_importance_weights(df: DataFrame, text_col: str, id_col: str,
     weight = looks like the target distribution; resample the pool by
     weight to skew a 100 TB crawl toward a curated domain.
 
-    Plan shape: ONE bigram explode feeds both feature-count aggs (each
-    bounded at ``n_features`` rows — broadcastable however big the
-    corpus is); totals are broadcast one-row aggregates (never an eager
-    ``.count()``); the token stream then pays exactly one broadcast
-    equi-join + one grouped sum. Per-gram log-ratios are rounded to
-    integer micro-nats BEFORE the per-document sum (the scaled-long
-    exact-sum discipline), so scores are partition-order invariant and
+    Plan shape: the corpus is scanned exactly TWICE — once through a
+    single conditional-count hash agg (target and raw counts in the
+    same pass, bounded at ``n_features`` rows however big the corpus
+    is) and once for the scoring stream. Totals come from a
+    single-partition window over the ``n_features``-row count table
+    (never a second corpus pass, never an eager ``.count()``); the
+    token stream then pays exactly one broadcast equi-join + one
+    grouped sum. Per-gram log-ratios are rounded to integer micro-nats
+    BEFORE the per-document sum (the scaled-long exact-sum
+    discipline), so scores are partition-order invariant and
     engine-portable. No UDFs; linear in corpus tokens.
 
     Returns (id, n_grams, sum_logw_micro, logw) for every RAW (i.e.
     non-target) document.
     """
+    from pyspark.sql import Window
+
     from .text import words
 
     w = words(text_col)
@@ -368,22 +373,28 @@ def dsir_importance_weights(df: DataFrame, text_col: str, id_col: str,
                        .alias("__g")))
     feat = grams.withColumn("__f", hash_bucket(F.col("__g"), n_features,
                                                salt=":dsir"))
-    tcnt = (feat.where("__t").groupBy("__f")
-                .agg(F.count("*").alias("__tc")))
-    rcnt = (feat.where(~F.col("__t")).groupBy("__f")
-                .agg(F.count("*").alias("__rc")))
-    ttot = tcnt.agg(F.sum("__tc").alias("__tt"))
-    rtot = rcnt.agg(F.sum("__rc").alias("__rt"))
-    logratio = (F.log((F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(1.0))
-                      / (F.col("__tt") + F.lit(float(n_features))))
-                - F.log((F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("__rt") + F.lit(float(n_features)))))
+    counts = (feat.groupBy("__f")
+                  .agg(F.sum(F.when(F.col("__t"), 1).otherwise(0))
+                        .alias("__tc"),
+                       F.sum(F.when(~F.col("__t"), 1).otherwise(0))
+                        .alias("__rc")))
     buckets = (df.sparkSession.range(n_features)
                  .select(F.col("id").cast("long").alias("__f")))
-    lm = (buckets.join(tcnt, "__f", "left").join(rcnt, "__f", "left")
-                 .crossJoin(F.broadcast(ttot)).crossJoin(F.broadcast(rtot))
-                 .select("__f", F.round(logratio * 1e6).cast("long")
-                         .alias("__lw")))
+    # totals via a window over the n_features-row count table: the
+    # corpus-derived agg is consumed once, never recomputed per scalar
+    wall = Window.partitionBy()
+    filled = (buckets.join(counts, "__f", "left")
+                     .select("__f",
+                             F.coalesce("__tc", F.lit(0)).alias("__tc"),
+                             F.coalesce("__rc", F.lit(0)).alias("__rc"))
+                     .withColumn("__tt", F.sum("__tc").over(wall))
+                     .withColumn("__rt", F.sum("__rc").over(wall)))
+    logratio = (F.log((F.col("__tc") + F.lit(1.0))
+                      / (F.col("__tt") + F.lit(float(n_features))))
+                - F.log((F.col("__rc") + F.lit(1.0))
+                        / (F.col("__rt") + F.lit(float(n_features)))))
+    lm = filled.select("__f", F.round(logratio * 1e6).cast("long")
+                       .alias("__lw"))
     scored = (feat.where(~F.col("__t"))
                   .join(F.broadcast(lm), "__f")
                   .groupBy("__id")
