@@ -54,6 +54,8 @@ HEADLINE = [
     "sim_quantized_topk",     # int8 integer-dot shortlist + exact rerank
     "text_perplexity",        # self-trained bigram LM scoring (1 stream join)
     "corpus_source_overlap",  # single-shuffle shingle→source-set pair matrix
+    "text_gopher_rules",      # 7-rule integer-arithmetic filter, shuffle-free
+    "dsir_importance_weights", # hashed-bigram likelihood ratios, 2 scans
 ]
 
 

@@ -510,7 +510,8 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 def gopher_rules(df: DataFrame, text_col: str, id_col: str,
                  min_words: int = 50, max_words: int = 100_000,
-                 min_stop_hits: int = 2) -> DataFrame:
+                 min_stop_hits: int = 2,
+                 stopwords: tuple[str, ...] = GOPHER_STOPWORDS) -> DataFrame:
     """Gopher quality-rule filter (Rae et al. 2021 §A1.1.1, public
     method): word-count bounds, mean word length in [3, 10],
     symbol-to-word ratio (#/ellipsis) < 0.1, < 90 % bullet-started
@@ -525,15 +526,21 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str,
     shuffle-free, whole-stage-codegen'd, embarrassingly parallel at
     100 TB. Returns per-rule booleans plus the conjunction ``pass``.
     """
-    w = words(text_col)
+    # project the tokenizer ONCE into real columns: raw expressions
+    # inline at every use site (the documented 15x shingle trap), and
+    # this function would otherwise re-run the regex split ~20x/row
+    staged = df.withColumn("__ws", words(text_col)) \
+               .withColumn("__lines", F.filter(
+                   F.split(F.col(text_col), "\n"),
+                   lambda x: F.trim(x) != ""))
+    w = F.col("__ws")
+    lines = F.col("__lines")
     n_words = F.size(w).cast("long")
     word_chars = F.aggregate(
         w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
     n_symbols = (F.regexp_count(F.col(text_col), F.lit("#"))
                  + F.regexp_count(F.col(text_col), F.lit("\\.\\.\\."))
                  + F.regexp_count(F.col(text_col), F.lit("…"))).cast("long")
-    lines = F.filter(F.split(F.col(text_col), "\n"),
-                     lambda x: F.trim(x) != "")
     n_lines = F.size(lines).cast("long")
     n_bullet = F.size(F.filter(
         lines, lambda x: x.rlike("^\\s*[-*•]"))).cast("long")
@@ -541,7 +548,7 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str,
         lines, lambda x: x.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
     n_alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
     n_stop_hits = F.size(F.filter(
-        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        F.array(*[F.lit(s) for s in stopwords]),
         lambda s: F.array_contains(w, s))).cast("long")
 
     r_word_count = n_words.between(min_words, max_words)
@@ -556,7 +563,7 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str,
     passed = (r_word_count & r_mean_word_len & r_symbol_ratio
               & r_bullet_lines & r_ellipsis_lines & r_alpha_words
               & r_stopwords)
-    return df.select(
+    return staged.select(
         F.col(id_col), n_words.alias("n_words"),
         word_chars.alias("word_chars"), n_lines.alias("n_lines"),
         r_word_count.alias("r_word_count"),

@@ -30,6 +30,8 @@ training-data job plans the same declarative way):
   {"op": "shard",        "id": id_col, "n_shards": n, "salt": "..."}
   {"op": "lm_filter",    "id": id_col, "text": text_col,
                          "nll_threshold": 3.4}
+  {"op": "gopher_filter", "id": id_col, "text": text_col,
+                         "min_words": 50}
 """
 
 from __future__ import annotations
@@ -104,6 +106,16 @@ def _apply_op(df: DataFrame, op: dict) -> DataFrame:
         keep = (lm_perplexity(df, op["text"], op["id"],
                               op.get("nll_threshold", 3.4))
                 .where("keep").select(op["id"]))
+        return df.join(keep, op["id"], "left_semi")
+    if kind == "gopher_filter":
+        from ..operators.text import GOPHER_STOPWORDS, gopher_rules
+        keep = (gopher_rules(df, op["text"], op["id"],
+                             min_words=op.get("min_words", 50),
+                             max_words=op.get("max_words", 100_000),
+                             min_stop_hits=op.get("min_stop_hits", 2),
+                             stopwords=tuple(op.get(
+                                 "stopwords", GOPHER_STOPWORDS)))
+                .where("pass").select(op["id"]))
         return df.join(keep, op["id"], "left_semi")
     raise ValueError(f"unknown op {kind!r}")
 

@@ -80,7 +80,11 @@ def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                       round_port("quality_score").alias("quality_score"))
 
 
-_GOPHER_STOPS = ", ".join(f"'{s}'" for s in TX.GOPHER_STOPWORDS)
+# the corpus vocabulary only contains 'the'/'a' from common stoplists,
+# so the canonical Gopher 8-word list would be degenerately false on
+# every document; the repo's English stoplist keeps the rule
+# discriminative here (the operator default stays canonical)
+_GOPHER_STOPS = ", ".join(f"'{s}'" for s in TX.ENGLISH_STOPWORDS)
 
 
 @query("text_gopher_rules", oracle=f"""
@@ -132,7 +136,8 @@ def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partitioning-portable by construction. min_words adapted to the
     synthetic corpus (30; canonical 50 would reject most of it)."""
     docs = load_table(spark, sf_dir, "documents")
-    return TX.gopher_rules(docs, "text", "doc_id", min_words=30)
+    return TX.gopher_rules(docs, "text", "doc_id", min_words=30,
+                           stopwords=TX.ENGLISH_STOPWORDS)
 
 
 @query("text_language_id", oracle=f"""

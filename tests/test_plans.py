@@ -376,6 +376,25 @@ def test_dsl_lm_filter_verb(spark, sf_dir):
     assert 0 < len(out) < docs.count()   # threshold actually splits
 
 
+def test_dsl_gopher_filter_verb(spark, sf_dir):
+    from climate_data_pipeline_spark.operators.text import gopher_rules
+    from climate_data_pipeline_spark.plans.ops import run_ops
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    from climate_data_pipeline_spark.operators.text import ENGLISH_STOPWORDS
+    out = {r["doc_id"] for r in run_ops(
+        docs, [{"op": "gopher_filter", "id": "doc_id", "text": "text",
+                "min_words": 30,
+                "stopwords": list(ENGLISH_STOPWORDS)}]).collect()}
+    want = {r["doc_id"] for r in
+            gopher_rules(docs, "text", "doc_id", min_words=30,
+                         stopwords=ENGLISH_STOPWORDS)
+            .where("pass").collect()}
+    assert out == want
+    assert 0 < len(out) < docs.count()   # rules actually split the corpus
+
+
 def test_streaming_lm_gate_matches_batch(spark, sf_dir):
     """The streaming LM gate scores each micro-batch against the static
     corpus LM through the same batch operator — single-trigger results
