@@ -135,7 +135,10 @@ def quality_score(df: DataFrame, text_col: str,
     """Heuristic document quality in [0,1]: favors stopword-bearing prose
     of moderate word length with little punctuation. Components are exact
     integer ratios; the blend is fixed-weight rational arithmetic."""
-    w = words(text_col)
+    # stage the tokenizer once (see gopher_rules/char_entropy: raw
+    # expressions re-inline at every use site)
+    staged = df.withColumn("__ws", words(text_col))
+    w = F.col("__ws")
     lower = F.lower(F.col(text_col))
     n_words = F.size(w)
     n_stop = F.size(F.filter(
@@ -148,10 +151,11 @@ def quality_score(df: DataFrame, text_col: str,
     score = (F.lit(0.4) * stop_ratio
              + F.lit(0.3) * F.least(avg_word_len / F.lit(8.0), F.lit(1.0))
              + F.lit(0.3) * (F.lit(1.0) - punct_ratio))
-    return (df.withColumn("stopword_ratio", stop_ratio)
-              .withColumn("avg_word_len", avg_word_len)
-              .withColumn("punct_ratio", punct_ratio)
-              .withColumn(alias, score))
+    return (staged.withColumn("stopword_ratio", stop_ratio)
+                  .withColumn("avg_word_len", avg_word_len)
+                  .withColumn("punct_ratio", punct_ratio)
+                  .withColumn(alias, score)
+                  .drop("__ws"))
 
 
 def language_id(df: DataFrame, text_col: str,
@@ -589,15 +593,42 @@ def char_entropy(df: DataFrame, text_col: str,
     character) by the full corpus volume. The distinct list is sorted so
     the entropy fold visits terms in identical order in any engine
     (bit-stable parity)."""
-    chars = F.regexp_extract_all(F.col(text_col), F.lit("[\\s\\S]"), 0)
-    uniq = F.array_sort(F.array_distinct(chars))
-    n = F.size(chars)
-    counts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)))
-    ent = -F.aggregate(counts, F.lit(0.0),
-                       lambda acc, c: acc + (c / n) * F.log(c / n))
-    return (df.withColumn("n_chars", n)
-              .withColumn("n_distinct_chars", F.size(uniq))
-              .withColumn(alias, F.when(n > 0, ent).otherwise(F.lit(0.0))))
+    # Stage the char array / sorted copy / length as real columns (raw
+    # expressions re-inline at every use site — the documented trap),
+    # then count runs in the SORTED array with one O(len) aggregate
+    # instead of a distinct×len filter-per-unique-char loop (which also
+    # re-ran regexp_extract_all per distinct char: ~16 s at sf0.1,
+    # now ~1 s). Runs are visited in sorted-char order, i.e. the exact
+    # term order of the previous sorted-distinct formulation and of the
+    # SQL oracle — bit-identical sums.
+    staged = (df.withColumn("__chars", F.regexp_extract_all(
+                    F.col(text_col), F.lit("[\\s\\S]"), 0))
+                .withColumn("__sorted", F.array_sort(F.col("__chars")))
+                .withColumn("__nch", F.size(F.col("__chars"))))
+    srt, n = F.col("__sorted"), F.col("__nch")
+    nd = n.cast("double")
+
+    def term(run):
+        return F.when(run > 0,
+                      (run.cast("double") / nd) * F.log(run.cast("double") / nd))                 .otherwise(F.lit(0.0))
+
+    st0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                   F.lit(0.0).alias("acc"))
+    folded = F.aggregate(
+        srt, st0,
+        lambda st, c: F.struct(
+            c.alias("prev"),
+            F.when(c == st["prev"], st["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.when(c == st["prev"], st["acc"])
+             .otherwise(st["acc"] + term(st["run"])).alias("acc")),
+        lambda st: st["acc"] + term(st["run"]))
+    ent = -folded
+    return (staged.withColumn("n_chars", n)
+                  .withColumn("n_distinct_chars",
+                              F.size(F.array_distinct(F.col("__chars"))))
+                  .withColumn(alias, F.when(n > 0, ent).otherwise(F.lit(0.0)))
+                  .drop("__chars", "__sorted", "__nch"))
 
 
 def unicode_profile(df: DataFrame, text_col: str,

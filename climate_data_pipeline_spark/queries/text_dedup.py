@@ -915,10 +915,11 @@ def keep_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comparisons are bit-identical (raw-float thresholding
     across engines would be a parity trap)."""
     docs = load_table(spark, sf_dir, "documents")
-    m = TX.char_entropy(TX.quality_score(docs, "text"), "text")
+    m = (TX.char_entropy(TX.quality_score(docs, "text"), "text")
+           .withColumn("__nw", F.size(TX.words("text")).cast("long")))
     q = round_port("quality_score")
     ent = F.round("char_entropy", 6)
-    n_words = F.size(TX.words("text")).cast("long")
+    n_words = F.col("__nw")
     reasons = F.filter(F.array(
         F.when(q < 0.49, F.lit("low_quality")),
         F.when(n_words < 25, F.lit("too_short")),
