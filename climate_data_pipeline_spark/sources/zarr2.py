@@ -15,11 +15,15 @@ Codec support (what the reference writes by default is covered):
   ``_get_compressor`` tries ``Zstd(level)`` first), ``lz4`` (uint32
   size prefix + block stream), ``zlib`` / ``gzip``, ``compressor:
   null``,
-- Blosc frames (the reference's fallback) with inner zstd or zlib —
-  per-block ``int32 csize`` prefixes, stored-uncompressed blocks,
-  whole-frame memcpy fallback, byte-shuffle, multi-block frames.
-  Blosc's *split* block layout (used by its lz4/blosclz defaults) is
-  detected and reported, not silently misread.
+- Blosc frames (the reference's fallback) with inner zstd, zlib, lz4
+  or lz4hc — per-stream ``int32 csize`` prefixes, stored-uncompressed
+  streams, whole-frame memcpy fallback, byte-shuffle, multi-block
+  frames, AND the *split* block layout (one stream per shuffled byte
+  lane) that c-blosc's lz4/blosclz defaults write — so the reference's
+  documented ``Blosc(cname="lz4")`` option
+  (`ingest/arco_converter.py:172-174`) round-trips. blosclz payloads
+  themselves remain unsupported (no public pure-python decoder here)
+  and are refused loudly.
 
 Chunks ↔ tasks: ``read_zarr_long_distributed`` hands each chunk of the
 store to a Spark task (`mapInPandas` over the chunk-key list with
@@ -39,7 +43,17 @@ import numpy as np
 
 _BLOSC_CODECS = {0: "blosclz", 1: "lz4", 2: "lz4hc", 3: "snappy",
                  4: "zlib", 5: "zstd"}
-_ARROW_CODEC = {"zstd": "zstd", "zlib": "gzip", "snappy": "snappy"}
+# lz4hc streams are plain LZ4 block format (HC only changes the match
+# search at compression time), so both decode through lz4_raw.
+_ARROW_CODEC = {"zstd": "zstd", "zlib": "gzip", "snappy": "snappy",
+                "lz4": "lz4_raw", "lz4hc": "lz4_raw"}
+# c-blosc1 constants (blosc.h): header flag bits and split limits.
+_BLOSC_DOSHUFFLE = 0x1
+_BLOSC_MEMCPYED = 0x2
+_BLOSC_DOBITSHUFFLE = 0x4
+_BLOSC_DONT_SPLIT = 0x10
+_BLOSC_MAX_SPLITS = 16       # MAX_SPLITS
+_BLOSC_MIN_BUFFERSIZE = 128  # MIN_BUFFERSIZE
 
 
 def _unshuffle(buf: bytes, typesize: int) -> bytes:
@@ -67,22 +81,34 @@ def _shuffle(buf: bytes, typesize: int) -> bytes:
 def blosc_decompress(frame: bytes) -> bytes:
     """Decode a c-blosc1 frame (16-byte header, block-offset table,
     per-block ``int32 csize``-prefixed inner-codec streams, optional
-    byte-shuffle) — the exact layout c-blosc/numcodecs writes.
+    byte-shuffle) — the exact layout c-blosc/numcodecs writes,
+    INCLUDING the *split* block layout its lz4/blosclz defaults use.
 
     Per the public c-blosc1 format (``blosc.c:blosc_d``): each block
-    offset points at a little-endian int32 *compressed size*, followed
-    by that many payload bytes. A block whose csize equals its
-    decompressed size is STORED (not compressed) and must be memcpy'd,
-    not handed to the inner codec. Non-split codecs (zstd/zlib — what
-    the reference writes) have exactly one such stream per block; the
-    split layout used by blosclz/lz4 defaults is detected and refused."""
+    offset points at one or more little-endian int32 *compressed size*
+    prefixes, each followed by that many payload bytes. A stream whose
+    csize equals its decompressed size is STORED (not compressed) and
+    must be memcpy'd, not handed to the inner codec.
+
+    Split layout (c-blosc ≥ 1.14, what numcodecs vendors): the frame
+    header's 0x10 flag is BLOSC_DONT_SPLIT. When it is CLEAR and the
+    byte-shuffle flag is set with ``typesize <= MAX_SPLITS`` (16), each
+    block holds ``typesize`` independent streams — one per shuffled
+    byte lane, each ``blocksize/typesize`` long — instead of one.
+    c-blosc only ever splits for blosclz/lz4/lz4hc
+    (``blosc.c:split_block``), which is why the reference's documented
+    lz4 option (``ingest/arco_converter.py:172-174`` returns
+    ``Blosc(cname="lz4")``) produces split frames while its zstd
+    default does not. Concatenated lane streams reconstruct the
+    shuffled block; unshuffle then applies blockwise as usual."""
     if len(frame) < 16:
         raise ValueError("truncated blosc frame")
     flags, typesize = frame[2], frame[3]
     nbytes, blocksize, cbytes = struct.unpack_from("<III", frame, 4)
-    shuffled = bool(flags & 0x1)
-    memcpyed = bool(flags & 0x2)
-    bit_shuffled = bool(flags & 0x4)
+    shuffled = bool(flags & _BLOSC_DOSHUFFLE)
+    memcpyed = bool(flags & _BLOSC_MEMCPYED)
+    bit_shuffled = bool(flags & _BLOSC_DOBITSHUFFLE)
+    dont_split = bool(flags & _BLOSC_DONT_SPLIT)
     codec_id = flags >> 5
     if bit_shuffled:
         raise NotImplementedError("blosc bit-shuffle filter not supported")
@@ -94,33 +120,53 @@ def blosc_decompress(frame: bytes) -> bytes:
     codec_name = _BLOSC_CODECS.get(codec_id, f"id{codec_id}")
     if codec_name not in _ARROW_CODEC:
         raise NotImplementedError(
-            f"blosc inner codec {codec_name!r} not supported (its default "
-            "block layout is split; re-write the store with zstd/zlib)")
+            f"blosc inner codec {codec_name!r} not supported "
+            "(re-write the store with zstd, lz4, or zlib)")
     from pyarrow import Codec
     codec = Codec(_ARROW_CODEC[codec_name])
+
+    # Mirror blosc.c:blosc_d's nsplits decision: pre-1.14 frames never
+    # carry DONT_SPLIT, so split is keyed on shuffle + typesize alone
+    # once the flag is clear.
+    nsplits = (typesize if (shuffled and not dont_split
+                            and 1 < typesize <= _BLOSC_MAX_SPLITS)
+               else 1)
 
     nblocks = max(1, math.ceil(nbytes / blocksize)) if blocksize else 1
     starts = struct.unpack_from(f"<{nblocks}i", frame, 16)
     pieces = []
     for b in range(nblocks):
-        dsize = blocksize if b < nblocks - 1 else nbytes - blocksize * (nblocks - 1)
+        bsize = blocksize if b < nblocks - 1 else nbytes - blocksize * (nblocks - 1)
+        if bsize % nsplits:
+            raise ValueError(
+                f"corrupt blosc frame: block size {bsize} not divisible "
+                f"into {nsplits} split streams")
+        neblock = bsize // nsplits
         off = starts[b]
-        csize = struct.unpack_from("<i", frame, off)[0]
-        if csize < 0 or off + 4 + csize > len(frame):
-            raise ValueError("corrupt blosc frame: bad block csize")
-        payload = bytes(frame[off + 4:off + 4 + csize])
-        if csize == dsize:
-            raw = payload            # stored block (incompressible)
-        else:
-            raw = codec.decompress(payload, dsize)
+        parts = []
+        for _ in range(nsplits):
+            csize = struct.unpack_from("<i", frame, off)[0]
+            if csize < 0 or off + 4 + csize > len(frame):
+                raise ValueError("corrupt blosc frame: bad stream csize")
+            payload = bytes(frame[off + 4:off + 4 + csize])
+            off += 4 + csize
+            if csize == neblock:
+                parts.append(payload)    # stored stream (incompressible)
+            else:
+                parts.append(codec.decompress(payload, neblock))
+        raw = parts[0] if nsplits == 1 else b"".join(parts)
         pieces.append(_unshuffle(raw, typesize) if shuffled else raw)
     return b"".join(pieces)
 
 
 def blosc_compress(data: bytes, typesize: int, cname: str = "zstd",
                    shuffle: bool = True, blocksize: int | None = None) -> bytes:
-    """Encode a c-blosc1 frame (inner zstd/zlib via pyarrow). Used by
-    the writer and tests; one stream per block, never the split layout."""
+    """Encode a c-blosc1 frame (inner zstd/zlib/lz4 via pyarrow). Used
+    by the writer and tests. Mirrors ``blosc.c:split_block``: lz4
+    frames use the split layout (one stream per shuffled byte lane)
+    when ``typesize <= 16`` and ``blocksize/typesize >= 128``; all
+    other frames carry the BLOSC_DONT_SPLIT header bit so real c-blosc
+    readers parse them as single-stream blocks."""
     from pyarrow import Codec
     rev = {v: k for k, v in _BLOSC_CODECS.items()}
     if cname not in _ARROW_CODEC:
@@ -129,18 +175,37 @@ def blosc_compress(data: bytes, typesize: int, cname: str = "zstd",
     nbytes = len(data)
     blocksize = blocksize or max(typesize, nbytes) or 1
     nblocks = max(1, math.ceil(nbytes / blocksize))
-    flags = (rev[cname] << 5) | (0x1 if shuffle else 0)
+    # c-blosc's frame-level split decision (blosc.c:split_block):
+    # codec is blosclz/lz4 family AND lanes are big enough. The header
+    # flag records the decision; actual splitting additionally needs
+    # the shuffle filter active (blosc_c's nsplits condition).
+    would_split = (cname in ("lz4", "lz4hc", "blosclz")
+                   and 1 < typesize <= _BLOSC_MAX_SPLITS
+                   and blocksize // typesize >= _BLOSC_MIN_BUFFERSIZE
+                   # splitting needs every block (incl. the leftover) to
+                   # divide into typesize equal lanes — always true for
+                   # zarr chunk payloads, guarded for arbitrary buffers
+                   and nbytes % typesize == 0 and blocksize % typesize == 0)
+    do_split = would_split and shuffle
+    flags = (rev[cname] << 5) | (_BLOSC_DOSHUFFLE if shuffle else 0) \
+        | (0 if would_split else _BLOSC_DONT_SPLIT)
 
     blocks = []
     for b in range(nblocks):
         chunk = data[b * blocksize:(b + 1) * blocksize]
         if shuffle:
             chunk = _shuffle(chunk, typesize)
-        comp = bytes(codec.compress(chunk))
-        if len(comp) >= len(chunk):
-            comp = chunk             # store incompressible block raw
-        # per-block int32 csize prefix, as real c-blosc readers expect
-        blocks.append(struct.pack("<i", len(comp)) + comp)
+        nsplits = typesize if do_split else 1
+        neblock = len(chunk) // nsplits
+        streams = []
+        for s in range(nsplits):
+            lane = chunk[s * neblock:(s + 1) * neblock]
+            comp = bytes(codec.compress(lane))
+            if len(comp) >= len(lane):
+                comp = lane          # store incompressible stream raw
+            # per-stream int32 csize prefix, as real c-blosc readers expect
+            streams.append(struct.pack("<i", len(comp)) + comp)
+        blocks.append(b"".join(streams))
     header_len = 16 + 4 * nblocks
     starts, off = [], header_len
     for blk in blocks:

@@ -12,7 +12,7 @@ import pytest
 from climate_data_pipeline_spark.sources import zarr2
 
 
-@pytest.mark.parametrize("cname", ["zstd", "zlib"])
+@pytest.mark.parametrize("cname", ["zstd", "zlib", "lz4"])
 @pytest.mark.parametrize("shuffle", [True, False])
 @pytest.mark.parametrize("blocksize", [None, 64, 100])
 def test_blosc_frame_roundtrip(cname, shuffle, blocksize):
@@ -22,14 +22,14 @@ def test_blosc_frame_roundtrip(cname, shuffle, blocksize):
     assert zarr2.blosc_decompress(frame) == data
 
 
-def test_blosc_rejects_split_codecs_and_bitshuffle():
+def test_blosc_rejects_blosclz_and_bitshuffle():
     with pytest.raises(NotImplementedError, match="cname"):
-        zarr2.blosc_compress(b"x" * 32, 4, cname="lz4")
-    # hand-build a frame claiming blosclz (split layout) and one with
-    # the bit-shuffle flag
+        zarr2.blosc_compress(b"x" * 32, 4, cname="blosclz")
+    # hand-build a frame claiming blosclz (no pure-python decoder) and
+    # one with the bit-shuffle flag
     import struct
     hdr = bytes([2, 2, 0 << 5, 4]) + struct.pack("<III", 32, 32, 52)
-    with pytest.raises(NotImplementedError, match="split"):
+    with pytest.raises(NotImplementedError, match="blosclz"):
         zarr2.blosc_decompress(hdr + b"\x00" * 36)
     hdr = bytes([2, 2, (5 << 5) | 0x4, 4]) + struct.pack("<III", 32, 32, 52)
     with pytest.raises(NotImplementedError, match="bit-shuffle"):
@@ -171,29 +171,42 @@ def test_blosc_memcpy_frame_decode():
 
 
 def _build_real_blosc_frame(data: bytes, typesize: int, blocksize: int,
-                            shuffle: bool, force_store: set[int] = ()):
+                            shuffle: bool, force_store: set[int] = (),
+                            cname: str = "zstd", split: bool = False):
     """Hand-build a c-blosc1 frame byte-for-byte per the PUBLIC spec
-    (header, block-offset table, per-block int32 csize prefix, inner
-    zstd streams, stored blocks when csize == block size) —
+    (header, block-offset table, per-stream int32 csize prefix, inner
+    codec streams, stored streams when csize == stream size) —
     independently of zarr2.blosc_compress, so the decoder is checked
-    against the wire format real numcodecs/c-blosc emits."""
+    against the wire format real numcodecs/c-blosc emits. ``split``
+    models the lz4/blosclz layout (DONT_SPLIT clear, one stream per
+    shuffled byte lane); otherwise the 0x10 DONT_SPLIT bit is set as
+    real c-blosc ≥ 1.14 does for zstd/zlib."""
     import struct
 
     from pyarrow import Codec
 
-    codec = Codec("zstd")
+    codec_ids = {"zstd": 5, "lz4": 1}
+    arrow = {"zstd": "zstd", "lz4": "lz4_raw"}
+    codec = Codec(arrow[cname])
     nbytes = len(data)
     nblocks = max(1, -(-nbytes // blocksize))
-    flags = (5 << 5) | (0x1 if shuffle else 0)
+    flags = (codec_ids[cname] << 5) | (0x1 if shuffle else 0) \
+        | (0 if split else 0x10)
     blocks = []
     for b in range(nblocks):
         chunk = data[b * blocksize:(b + 1) * blocksize]
         if shuffle:
             chunk = zarr2._shuffle(chunk, typesize)
-        comp = bytes(codec.compress(chunk))
-        if b in force_store or len(comp) >= len(chunk):
-            comp = chunk
-        blocks.append(struct.pack("<i", len(comp)) + comp)
+        nsplits = typesize if (split and shuffle) else 1
+        neblock = len(chunk) // nsplits
+        streams = b""
+        for s in range(nsplits):
+            lane = chunk[s * neblock:(s + 1) * neblock]
+            comp = bytes(codec.compress(lane))
+            if b in force_store or len(comp) >= len(lane):
+                comp = lane
+            streams += struct.pack("<i", len(comp)) + comp
+        blocks.append(streams)
     starts, off = [], 16 + 4 * nblocks
     for blk in blocks:
         starts.append(off)
@@ -220,6 +233,79 @@ def test_blosc_decodes_real_cblosc_framing(shuffle):
     # mixed: force-store a compressible middle block
     frame = _build_real_blosc_frame(data, 8, 800, shuffle, force_store={1})
     assert zarr2.blosc_decompress(frame) == data
+
+
+@pytest.mark.parametrize("typesize,dtype", [(4, "<f4"), (8, "<f8"),
+                                            (2, "<i2")])
+def test_blosc_decodes_split_lz4_frames(typesize, dtype):
+    """The split block layout c-blosc writes for its lz4/blosclz
+    defaults (``blosc.c:split_block``): DONT_SPLIT header bit clear,
+    each block holding ``typesize`` independently-compressed streams —
+    one per shuffled byte lane — each with its own int32 csize prefix.
+    This is the exact layout the reference's documented
+    ``Blosc(cname="lz4")`` option emits (arco_converter.py:172-174)."""
+    data = np.arange(1600 // typesize, dtype=dtype).tobytes()
+    frame = _build_real_blosc_frame(data, typesize, 800, shuffle=True,
+                                    cname="lz4", split=True)
+    assert zarr2.blosc_decompress(frame) == data
+    # stored (incompressible) lanes inside a split block
+    rng = np.random.default_rng(11)
+    noisy = rng.integers(0, 256, 1600, dtype=np.uint8).tobytes()
+    frame = _build_real_blosc_frame(noisy, typesize, 800, shuffle=True,
+                                    cname="lz4", split=True)
+    assert zarr2.blosc_decompress(frame) == noisy
+    # force-store an entire middle block's lanes
+    frame = _build_real_blosc_frame(data, typesize, 800, shuffle=True,
+                                    cname="lz4", split=True,
+                                    force_store={1})
+    assert zarr2.blosc_decompress(frame) == data
+
+
+def test_blosc_decodes_pre114_zstd_split_frames():
+    """Pre-1.14 c-blosc has no DONT_SPLIT bit and split on
+    shuffle+typesize alone for EVERY codec — a legacy shuffled zstd
+    frame therefore carries split streams and must decode that way."""
+    data = np.arange(400, dtype="<f8").tobytes()
+    frame = _build_real_blosc_frame(data, 8, 800, shuffle=True,
+                                    cname="zstd", split=True)
+    assert zarr2.blosc_decompress(frame) == data
+
+
+def test_blosc_lz4_unshuffled_single_stream():
+    """lz4 with shuffle off: c-blosc still clears DONT_SPLIT (the
+    split decision ignores shuffle) but blosc_d's nsplits condition
+    requires the shuffle flag, so blocks hold ONE stream."""
+    data = np.arange(400, dtype="<f8").tobytes()
+    frame = _build_real_blosc_frame(data, 8, 800, shuffle=False,
+                                    cname="lz4", split=True)
+    assert not (frame[2] & 0x10) and zarr2.blosc_decompress(frame) == data
+
+
+def test_lz4_blosc_store_roundtrip(tmp_path):
+    """End-to-end: an ARCO store written with the reference's lz4
+    option (split blosc frames on disk) reads back exactly."""
+    t = np.arange(8, dtype=np.int32)
+    lat = np.linspace(-60., 60., 16)
+    lon = np.linspace(0., 150., 16)
+    temp = np.arange(8 * 16 * 16, dtype=np.float32).reshape(8, 16, 16)
+    path = str(tmp_path / "lz4.zarr")
+    zarr2.write_zarr(
+        path,
+        dims={"time": t, "lat": lat, "lon": lon},
+        variables={"temperature": (["time", "lat", "lon"], temp, {})},
+        chunks={"temperature": [8, 16, 16]},
+        attrs={}, cname="lz4")
+    import struct
+    meta = json.load(open(os.path.join(path, "temperature", ".zarray")))
+    assert meta["compressor"]["cname"] == "lz4"
+    raw = open(os.path.join(path, "temperature", "0.0.0"), "rb").read()
+    flags = raw[2]
+    assert flags >> 5 == 1 and not (flags & 0x10)  # lz4, split
+    (nbytes_hdr,) = struct.unpack_from("<I", raw, 4)
+    assert nbytes_hdr == temp.nbytes
+    meta = zarr2.open_zarr_store(path)
+    got = zarr2.read_zarr_array(path, "temperature", meta["temperature"])
+    np.testing.assert_array_equal(got, temp)
 
 
 def test_blosc_compress_emits_real_framing():
