@@ -60,14 +60,20 @@ def round_port(col: Column | str, scale: int = 6) -> Column:
     row hits the boundary). Rounding in INTEGER units — round(x·10^s)
     at scale 0, then divide — makes the tie an exactly-representable
     .5 that both engines resolve half-away-from-zero. Transcendental
-    values (ln/sqrt/cos outputs) cannot tie and keep plain round."""
+    values (ln/sqrt/cos outputs) cannot tie and keep plain round.
+
+    The trailing ``+ 0.0`` normalizes IEEE −0.0 (a negative value that
+    rounds to zero yields −0.0 here, which Spark prints as 0.0 but
+    DuckDB keeps as −0.0) — folded in so the helper is safe for
+    possibly-negative inputs by construction."""
     c = F.col(col) if isinstance(col, str) else col
     factor = float(10 ** scale)
-    return F.round(c * factor) / factor
+    return F.round(c * factor) / factor + F.lit(0.0)
 
 
 def sql_round_port(expr: str, scale: int = 6) -> str:
     """DuckDB mirror of :func:`round_port` — kept adjacent so the two
-    definitions cannot drift."""
+    definitions cannot drift (including the −0.0-normalizing
+    ``+ 0.0``)."""
     factor = 10 ** scale
-    return f"round(({expr}) * {factor}) / {factor}.0"
+    return f"(round(({expr}) * {factor}) / {factor}.0 + 0.0)"

@@ -70,6 +70,7 @@ def _spread(df: DataFrame) -> DataFrame:
     fall through untouched (conservative: never add a shuffle we can't
     size)."""
     import os
+    import re
     from urllib.parse import urlparse
 
     sc = df.sparkSession.sparkContext
@@ -80,7 +81,14 @@ def _spread(df: DataFrame) -> DataFrame:
             return df
         raw = df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728b")
-        mpb = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+        # the conf surfaces with a size suffix ("4m", "128MB",
+        # "134217728b") — parse it as Spark does; a bare-digit strip
+        # would read "4m" as 4 BYTES and silently no-op the rebalance
+        mm = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?",
+                          str(raw).strip().lower())
+        if not mm:
+            return df
+        mpb = int(mm.group(1)) * (1024 ** " kmgtp".index(mm.group(2) or " "))
         splits = 0
         for f in files:
             p = urlparse(f)
@@ -350,29 +358,43 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     produce. ``max_rounds`` bounds the adversarial case.
     """
     # duplicate edges don't affect a min-aggregation, so no distinct()
-    # (saves a full shuffle of the edge list before the loop)
-    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-                  .union(pairs.select(F.col(id_b).alias("u"),
-                                      F.col(id_a).alias("v")))
-                  .localCheckpoint())
+    # (saves a full shuffle of the edge list before the loop).
+    # Checkpoint the pair list BEFORE mirroring: a union of two selects
+    # over the raw input would execute the (often expensive) pair
+    # generation twice.
+    p = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+              .localCheckpoint())
+    edges = p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (edges.select("u").distinct()
                    .select(F.col("u").alias("id"), F.col("u").alias("label")))
+    prev_fp = None
     for rnd in range(max_rounds):
         neigh = (edges.join(labels.withColumnRenamed("id", "v"), "v")
                       .groupBy("u").agg(F.min("label").alias("nmin")))
+        # LAZY checkpoint + always-on fingerprint probe: the probe —
+        # a one-row (count, order-independent hash sum) agg — is the
+        # action that materializes the checkpoint, so each round is
+        # ONE Spark job (eager checkpoint + a separate probe job
+        # doubles the per-round scheduling cost, which dominates on
+        # converged/small label sets). Only a repeated fingerprint
+        # pays the exact changed-label join, so that shuffle runs
+        # once per clustering; a fingerprint collision merely wastes
+        # one exact check — it can never cause an early exit.
         new = (labels.join(neigh.withColumnRenamed("u", "id"), "id", "left")
                      .select("id", F.least("label", F.coalesce("nmin", "label"))
                               .alias("label"))
-                     .localCheckpoint())
-        # round 1 always changes labels on any non-empty edge set — only
-        # pay the convergence-count job from round 2 on
-        if rnd > 0:
+                     .localCheckpoint(eager=False))
+        fp = new.agg(F.count("*"),
+                     F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
+        if rnd > 0 and fp == prev_fp:
             changed = (new.alias("n")
                           .join(labels.alias("o"), "id")
-                          .where(F.col("n.label") != F.col("o.label")).count())
+                          .where(F.col("n.label") != F.col("o.label"))
+                          .count())
             if changed == 0:
                 labels = new
                 break
+        prev_fp = fp
         labels = new
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"),
                          (F.col("id") == F.col("label")).alias("is_canonical"))
@@ -411,13 +433,14 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                   .distinct().localCheckpoint())
     nodes = (edges.select(F.col("lo").alias("id"))
                   .union(edges.select(F.col("hi").alias("id")))
-                  .distinct().localCheckpoint())
+                  .distinct())
 
     def sym(e: DataFrame) -> DataFrame:
         return (e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
                  .union(e.select(F.col("hi").alias("u"),
                                  F.col("lo").alias("v"))))
 
+    prev_fp = None
     for _ in range(max_rounds):
         s = sym(edges)
         # large-star: from each edge's smaller endpoint u, re-attach v>u
@@ -439,11 +462,20 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                           .select(F.col("mv").alias("lo"),
                                   F.col("v").alias("hi")))
         selfed = mins.select(F.col("mv").alias("lo"), F.col("u").alias("hi"))
-        new = rewired.union(selfed).distinct().localCheckpoint()
-        if (new.count() == edges.count()
-                and new.exceptAll(edges).count() == 0):
+        # LAZY checkpoint + convergence probe in ONE job per round:
+        # the probe — a one-row (count, order-independent hash sum)
+        # agg — is the action that materializes the checkpoint. Only
+        # when the fingerprint repeats do we pay the exact
+        # set-equality check, so the O(|E|) exceptAll shuffle runs
+        # once per clustering, not once per round. Fingerprint
+        # collisions merely trigger a wasted exact check; they can
+        # never cause an early exit.
+        new = rewired.union(selfed).distinct().localCheckpoint(eager=False)
+        fp = new.agg(F.count("*"), F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)"))).first()
+        if fp == prev_fp and new.exceptAll(edges).count() == 0:
             edges = new
             break
+        prev_fp = fp
         edges = new
 
     # fixpoint edge set is a star forest: (root, member) per non-root
@@ -604,17 +636,100 @@ def blocked_link_pairs(df: DataFrame, id_col: str, name_col: str,
     Skew note: a hot blocking key degenerates toward n² — pick blocks
     with bounded cardinality (or add a discriminating second key), the
     ER equivalent of `ngram_jaccard_pairs`' max_df cap."""
-    a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(name_col).alias("__na"),
-                  *[F.col(c) for c in block_cols])
+    # _spread: small compacted inputs scan as ONE task, and a broadcast
+    # block-join would then run every levenshtein on that single core —
+    # rebalance the probe side to the cluster's slots first (no-op when
+    # the scan already has enough splits, i.e. at scale)
+    a = _spread(df).select(F.col(id_col).alias("id_a"),
+                           F.col(name_col).alias("__na"),
+                           *[F.col(c) for c in block_cols])
     b = df.select(F.col(id_col).alias("id_b"),
                   F.col(name_col).alias("__nb"),
                   *[F.col(c).alias(f"__b_{c}") for c in block_cols])
     cond = [F.col(c) == F.col(f"__b_{c}") for c in block_cols]
+    # bounded levenshtein (Spark 3.5+): returns -1 past the threshold
+    # and early-exits on length mismatch, so the per-pair cost is
+    # O(min_len · max_distance) instead of O(len²) — kept distances
+    # are identical to the unbounded form, so the oracle still matches
     return (a.join(b, cond + [F.col("id_a") < F.col("id_b")])
-             .withColumn("distance", F.levenshtein("__na", "__nb"))
-             .where(F.col("distance") <= max_distance)
+             .withColumn("distance",
+                         F.levenshtein("__na", "__nb", max_distance))
+             .where(F.col("distance").between(0, max_distance))
              .select("id_a", "id_b", "distance"))
+
+
+def blocked_entity_clusters(df: DataFrame, id_col: str, name_col: str,
+                            block_cols: list[str],
+                            max_distance: int = 2) -> DataFrame:
+    """One-shuffle entity resolution: ``blocked_link_pairs`` link
+    generation fused with per-block connected components.
+
+    Because candidate links only ever form INSIDE a blocking group (a
+    record carries one blocking key), components can never span blocks
+    — so the global graph problem decomposes into independent
+    per-block union-finds. The blocking join is keyed on
+    ``block_cols`` and the groupBy reuses that partitioning, so the
+    whole pipeline is a single shuffle + one Arrow-batched union-find
+    per block (bounded work: blocks are capped by construction, see
+    ``blocked_link_pairs``'s skew note). Compare O(log n) shuffle
+    rounds for ``duplicate_clusters_star`` on the same input — this is
+    the production path whenever links are block-local; the iterative
+    operators remain for cross-cutting edge sets (MinHash bands,
+    contamination links) where no such locality exists.
+
+    Output contract matches ``duplicate_clusters``: one row per id
+    appearing in any link, ``cluster_id`` = minimum id reachable,
+    ``is_canonical`` = id == cluster_id. Proven equal to the iterative
+    operators in tests.
+    """
+    import pandas as pd
+
+    # _spread: small compacted inputs scan as ONE task, and a broadcast
+    # block-join would then run every levenshtein on that single core —
+    # rebalance the probe side to the cluster's slots first (no-op when
+    # the scan already has enough splits, i.e. at scale)
+    a = _spread(df).select(F.col(id_col).alias("id_a"),
+                           F.col(name_col).alias("__na"),
+                           *[F.col(c) for c in block_cols])
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(name_col).alias("__nb"),
+                  *[F.col(c).alias(f"__b_{c}") for c in block_cols])
+    cond = [F.col(c) == F.col(f"__b_{c}") for c in block_cols]
+    pairs = (a.join(b, cond + [F.col("id_a") < F.col("id_b")])
+              .where(F.levenshtein("__na", "__nb", max_distance)
+                      .between(0, max_distance))
+              .select(*block_cols, "id_a", "id_b"))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _components(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:          # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in zip(pdf["id_a"], pdf["id_b"]):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # roots are already the component minimum: unions always hang
+        # the larger root under the smaller one
+        ids = list(parent)
+        labels = [find(x) for x in ids]
+        return pd.DataFrame({"id": ids, "cluster_id": labels,
+                             "is_canonical": [i == l for i, l in
+                                              zip(ids, labels)]})
+
+    return pairs.groupBy(*block_cols).applyInPandas(
+        _components,
+        schema=f"id {id_type}, cluster_id {id_type}, is_canonical boolean")
 
 
 def segment_dedup(df: DataFrame, text_col: str, id_col: str,

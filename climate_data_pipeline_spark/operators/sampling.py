@@ -212,27 +212,33 @@ def temperature_weights(df: DataFrame, group_col: str, token_col: str,
 
     One grouped aggregation; the corpus total and the Σ p^α partition
     function fold in as broadcast one-row aggregates (no driver-side
-    counts, fully lazy). Exponentiation happens on round-9 shares, and
+    counts, fully lazy). Exponentiation happens on rounded shares, and
     the partition function sums those shares as exact nano-scaled
-    integers, so every number is partition-order invariant and
-    engine-portable.
+    integers; every rounded value is a RATIONAL (ratios of integer
+    sums), so the tie-portable ``round_port`` (integer-unit rounding)
+    is used throughout — plain round(x, s) diverges between engines on
+    exact decimal ties, and a p/q/factor tie would cascade into
+    ``temperature_resample``'s copy multiset.
 
     Output: (group, n_docs, n_tokens, p, q, factor)."""
+    from ..functions.exact import round_port
+
     g = (df.groupBy(F.col(group_col).alias("group"))
            .agg(F.count("*").alias("n_docs"),
                 F.sum(token_col).alias("n_tokens")))
     tot = g.agg(F.sum("n_tokens").alias("__tot"))
-    p = F.round(F.col("n_tokens") / F.col("__tot"), 9)
+    p = round_port(F.col("n_tokens") / F.col("__tot"), 9)
     shares = (g.crossJoin(F.broadcast(tot))
                 .withColumn("p", p)
-                .withColumn("__pa", F.round(F.pow("p", F.lit(alpha)), 9)))
+                .withColumn("__pa",
+                            round_port(F.pow("p", F.lit(alpha)), 9)))
     z = shares.agg(F.sum(F.round(F.col("__pa") * 1e9).cast("long"))
                     .alias("__zn"))
-    q = F.round(F.col("__pa") / (F.col("__zn") / 1e9), 9)
+    q = round_port(F.col("__pa") / (F.col("__zn") / 1e9), 9)
     return (shares.crossJoin(F.broadcast(z))
                   .withColumn("q", q)
                   .select("group", "n_docs", "n_tokens", "p", "q",
-                          F.round(F.col("q") / F.col("p"), 6)
+                          round_port(F.col("q") / F.col("p"), 6)
                            .alias("factor")))
 
 

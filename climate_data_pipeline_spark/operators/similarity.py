@@ -474,7 +474,8 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.4,
                    n_bands: int = 16, band_bits: int = 2,
                    seed: str = "cdps-pairs", dim: int = 64,
-                   round_dp: int = 6) -> DataFrame:
+                   round_dp: int = 6,
+                   prefilter_margin: float | None = None) -> DataFrame:
     """Near-dup pairs at scale: banded random-hyperplane LSH candidate
     generation + exact cosine within candidates — the shipped
     replacement for the O(n²) ``cosine_pairs`` theta join.
@@ -500,21 +501,79 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
     and strongly pruning; pick via :func:`suggest_bands`. At production
     dedup thresholds (≥0.8) selective bands (r 8–16) prune by orders
     of magnitude with recall ≥0.99 — that regime is why this shape
-    ships."""
+    ships.
+
+    ``prefilter_margin``: when set, the full ``n_bands·band_bits``-bit
+    signature (already computed for banding) doubles as a cosine
+    SKETCH before the exact rerank: for a candidate pair the sign-bit
+    Hamming distance h estimates cos(π·h/n_planes), so pairs with
+    ``h > n_planes·arccos(threshold − margin)/π`` (an INTEGER cutoff —
+    deterministic and engine-portable) are dropped without touching
+    the vectors. On near-uniform corpora this collapses the
+    background-collision candidate stream by ~100× (the exact-cosine
+    join then runs on a trivial survivor set), at a documented recall
+    cost: a true pair whose sketch underestimates by more than
+    ``margin`` is lost (≈4σ at 238 planes / margin 0.3). The distinct
+    moves AFTER the sketch filter — duplicates from multi-band
+    collisions are cheaper to re-sketch than to shuffle."""
+    import math
+
     n_planes = n_bands * band_bits
     planes = plane_matrix(seed, n_planes, dim)
+    band_vals = _band_vals_batch(F.col(vec_col), planes,
+                                 n_bands, band_bits)
     banded = df.select(
         F.col(id_col),
-        F.posexplode(_band_vals_batch(F.col(vec_col), planes,
-                                      n_bands, band_bits))
-         .alias("band", "val"))
+        F.posexplode(band_vals).alias("band", "val"))
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "val")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "val")
     cand = (a.join(b, ["band", "val"])
              .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b")
-             .distinct())
+             .select("id_a", "id_b"))
+    if prefilter_margin is not None:
+        h_max = int(n_planes * math.acos(
+            min(max(threshold - prefilter_margin, -1.0), 1.0)) / math.pi)
+        # pack the band values (band_bits-wide fields) into 64-bit words
+        # so the Hamming distance is whole-stage-codegen xor+bit_count —
+        # an interpreted zip_with/aggregate over the value arrays
+        # measures SLOWER than the Arrow rerank it is meant to avoid.
+        # Fields are disjoint, so bit_count(xor(packed)) ≡
+        # Σ bit_count(xor(field)) — lossless, oracle re-derives it
+        # directly from the per-band values.
+        per_word = 63 // band_bits
+        n_words = -(-n_bands // per_word)
+        vals = band_vals
+
+        def packed_word(w: int):
+            word = F.lit(0).cast("long")
+            for j in range(w * per_word, min((w + 1) * per_word, n_bands)):
+                word = word + F.shiftleft(
+                    F.element_at(vals, j + 1).cast("long"),
+                    band_bits * (j - w * per_word))
+            return word
+
+        sigs = df.select(F.col(id_col),
+                         *[packed_word(w).alias(f"__sig{w}")
+                           for w in range(n_words)])
+        sa = sigs.select(F.col(id_col).alias("id_a"),
+                         *[F.col(f"__sig{w}").alias(f"__a{w}")
+                           for w in range(n_words)])
+        sb = sigs.select(F.col(id_col).alias("id_b"),
+                         *[F.col(f"__sig{w}").alias(f"__b{w}")
+                           for w in range(n_words)])
+        ham = sum((F.bit_count(F.col(f"__a{w}")
+                    .bitwiseXOR(F.col(f"__b{w}")))
+                   for w in range(n_words)), F.lit(0))
+        # one signature row per input vector (bounded like the rerank
+        # sides below) — broadcast, so the high-volume candidate stream
+        # never shuffles; the Pandas-UDF lineage otherwise defeats
+        # Catalyst's size estimate
+        cand = (cand.join(F.broadcast(sa), "id_a")
+                    .join(F.broadcast(sb), "id_b")
+                    .where(ham <= h_max)
+                    .select("id_a", "id_b"))
+    cand = cand.distinct()
     ea = df.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("va"))
     eb = df.select(F.col(id_col).alias("id_b"),

@@ -12,12 +12,56 @@ contract is the deterministic plan in the middle.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import time
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import SparkSession
 
 from ..sources.io import load_table, parquet_info, write_parquet
 from .ops import run_ops
+
+# progress callback signature: (state, step, elapsed_seconds) — the
+# engine-side mirror of Celery's ``self.update_state(state="PROCESSING",
+# meta={"step": ...})`` protocol (`tasks/celery_tasks.py:53-68`)
+ProgressFn = Callable[[str, str, float], None]
+
+
+class JobTimeLimitExceeded(Exception):
+    """Raised between job stages when ``time_limit`` (the analogue of
+    the reference's ``task_time_limit=3600``, `celery_tasks.py:28`) is
+    exhausted; the job entry points catch it and return the
+    reference-shaped failed result dict."""
+
+
+class _Progress:
+    """Stage clock for the batch jobs: emits (PROCESSING, step,
+    elapsed) to the caller's callback, records the step sequence for
+    the result manifest, and enforces the soft time limit at stage
+    boundaries (Spark actions are coarse, so between-stage checks are
+    the natural preemption points — a hard kill is the scheduler's
+    job, as with Celery's SIGKILL at the hard limit)."""
+
+    def __init__(self, callback: ProgressFn | None,
+                 time_limit: float | None):
+        self._cb = callback
+        self._limit = time_limit
+        self._t0 = time.monotonic()
+        self.steps: list[str] = []
+
+    def step(self, name: str) -> None:
+        elapsed = time.monotonic() - self._t0
+        if self._limit is not None and elapsed > self._limit:
+            raise JobTimeLimitExceeded(
+                f"time limit {self._limit}s exceeded after "
+                f"{elapsed:.1f}s at step {name!r}")
+        self.steps.append(name)
+        if self._cb is not None:
+            self._cb("PROCESSING", name, elapsed)
+
+
+def _failed(exc: Exception, **extra) -> dict:
+    # the reference's failed-result shape (`celery_tasks.py:77-81`)
+    return {"status": "failed", "error": str(exc), **extra}
 
 
 def process_dataset(spark: SparkSession, sf_dir: str, table: str,
@@ -26,25 +70,48 @@ def process_dataset(spark: SparkSession, sf_dir: str, table: str,
                     entity_cols: Sequence[str] = (),
                     time_col: str | None = None,
                     compression: str = "zstd",
-                    overwrite: bool = False) -> dict:
+                    overwrite: bool = False,
+                    progress: ProgressFn | None = None,
+                    time_limit: float | None = 3600.0) -> dict:
     """load → op-dict plan → layout-preset write → verify.
 
     Returns the reference's result-dict shape
-    (`celery_tasks.py:70-77`): status, output path, output info.
-    """
-    df = load_table(spark, sf_dir, table)
-    if operations:
-        df = run_ops(df, operations)
-    write_parquet(df, output_path, layout=layout, entity_cols=entity_cols,
-                  time_col=time_col, compression=compression,
-                  overwrite=overwrite)
-    info = parquet_info(spark, output_path)
+    (`celery_tasks.py:70-77`): status, output path, output info —
+    plus the emitted ``steps`` sequence. ``progress`` receives
+    ``("PROCESSING", step, elapsed_s)`` per stage — loading, one step
+    per operation (named like the reference's
+    ``op.get("name", f"operation_{i}")``), saving, verifying — the
+    state protocol of `celery_tasks.py:53-68`; ``time_limit`` is the
+    soft analogue of the reference's 1 h ``task_time_limit``, checked
+    at stage boundaries, returning the failed-result shape when
+    exhausted."""
+    prog = _Progress(progress, time_limit)
+    # compile-time validation of the WHOLE plan up front (op names,
+    # aggregate specs) — per-op application below is only for progress
+    # granularity; everything stays lazy until the write
+    from .ops import compile_ops
+    compile_ops(list(operations))
+    try:
+        prog.step("loading")
+        df = load_table(spark, sf_dir, table)
+        for i, op in enumerate(operations):
+            prog.step(op.get("name", op.get("op", f"operation_{i}")))
+            df = run_ops(df, [op])
+        prog.step("saving")
+        write_parquet(df, output_path, layout=layout,
+                      entity_cols=entity_cols, time_col=time_col,
+                      compression=compression, overwrite=overwrite)
+        prog.step("verifying")
+        info = parquet_info(spark, output_path)
+    except JobTimeLimitExceeded as exc:
+        return _failed(exc, output_path=output_path, steps=prog.steps)
     return {
         "status": "completed",
         "input": f"{sf_dir}/{table}.parquet",
         "output_path": output_path,
         "operations_applied": len(operations),
         "output_info": info,
+        "steps": prog.steps,
     }
 
 
@@ -149,7 +216,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
                   split_weights: dict | None = None,
                   keep_split: str = "train", n_shards: int = 8,
                   salt: str = "", quality_filter: bool = False,
-                  lm_filter: bool = False) -> dict:
+                  lm_filter: bool = False,
+                  progress: ProgressFn | None = None,
+                  time_limit: float | None = 3600.0) -> dict:
     """The full training-data curation job in one call: load documents →
     [optional heuristic quality gate] → [optional LM-perplexity gate] →
     exact dedup → deterministic split (keep one named split) → shard
@@ -163,18 +232,48 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
     `text_keep_filter` (quality blend ≥ 0.49, 25–90 words, char entropy
     ≥ 2.8); ``lm_filter`` applies `operators/text.lm_perplexity`'s
     fluency flag. Gates run before dedup so every later stage pays for
-    surviving documents only."""
+    surviving documents only.
+
+    ``progress``/``time_limit`` follow the same Celery-state protocol
+    as `process_dataset`: each stage emits ("PROCESSING", step,
+    elapsed) and the soft limit is checked at stage boundaries; on
+    exhaustion the reference-shaped failed dict (with the steps run so
+    far) is returned."""
     from pyspark.sql import functions as F
 
     from ..operators import text as TX
     from ..operators.dedup import exact_dedup
     from ..operators.sampling import deterministic_split
 
+    prog = _Progress(progress, time_limit)
+    try:
+        return _curate_corpus_staged(
+            spark, sf_dir, output_dir, text_col, id_col, split_weights,
+            keep_split, n_shards, salt, quality_filter, lm_filter, prog)
+    except JobTimeLimitExceeded as exc:
+        return _failed(exc, output_dir=output_dir, steps=prog.steps)
+
+
+def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
+                          split_weights, keep_split, n_shards, salt,
+                          quality_filter, lm_filter,
+                          prog: _Progress) -> dict:
+    from pyspark.sql import functions as F
+
+    from ..operators import text as TX
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import deterministic_split
+
+    prog.step("loading")
     docs = load_table(spark, sf_dir, "documents")
     doc_cols = docs.columns
     n_in = docs.count()
-    n_quality = n_lm = None
+    # disabled gates report the pass-through count (the previous
+    # stage's n) so every stage count in the manifest is uniformly an
+    # integer — consumers doing arithmetic/serialization never see a
+    # null
     if quality_filter:
+        prog.step("quality_filter")
         m = TX.char_entropy(TX.quality_score(docs, text_col), text_col)
         nw = F.size(TX.words(text_col))
         docs = (m.where(((F.round(F.col("quality_score") * 1e6) / 1e6) >= 0.49)
@@ -182,36 +281,41 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
                         & (F.round("char_entropy", 6) >= 2.8))
                  .select(*doc_cols))
         n_quality = docs.count()
+    else:
+        n_quality = n_in
     if lm_filter:
+        prog.step("lm_filter")
         keep_ids = (TX.lm_perplexity(docs, text_col, id_col)
                     .where("keep").select(id_col))
         docs = docs.join(keep_ids, id_col, "left_semi")
         n_lm = docs.count()
+    else:
+        n_lm = n_quality
+    prog.step("dedup")
     keep = exact_dedup(docs, text_col, id_col) \
         .select(F.col("keep_id").alias(id_col))
     deduped = docs.join(keep, id_col, "left_semi")
     n_dedup = deduped.count()
+    prog.step("split")
     weights = split_weights or {"train": 0.9, "holdout": 0.1}
     split = deterministic_split(deduped, id_col, weights)
     kept = split.where(F.col("split") == keep_split).drop("split")
     n_split = kept.count()
+    prog.step("writing")
     result = write_training_shards(kept, output_dir, id_col, n_shards,
                                    salt=salt, overwrite=True)
-    n_pre_dedup = (n_lm if n_lm is not None
-                   else n_quality if n_quality is not None else n_in)
     result.update({
         "n_input": n_in,
         "n_after_quality": n_quality,
         "n_after_lm": n_lm,
         "n_after_dedup": n_dedup,
         "n_written": n_split,
-        "quality_removed": (n_in - n_quality
-                            if n_quality is not None else 0),
-        "lm_removed": ((n_quality if n_quality is not None else n_in)
-                       - n_lm if n_lm is not None else 0),
-        "dedup_removed": n_pre_dedup - n_dedup,
+        "quality_removed": n_in - n_quality,
+        "lm_removed": n_quality - n_lm,
+        "dedup_removed": n_lm - n_dedup,
         "split_removed": n_dedup - n_split,
         "kept_split": keep_split,
+        "steps": prog.steps,
     })
     return result
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_sum, sql_exact_sum
+from ..functions.exact import exact_sum, sql_exact_sum, sql_round_port
 from ..operators import sampling as S
 from ..registry import query
 from ..sources.io import load_table
@@ -176,7 +176,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.countDistinct(F.md5("text")).alias("n_groups")))
 
 
-@query("lang_temperature_weights", oracle="""
+@query("lang_temperature_weights", oracle=f"""
 WITH d AS (
   SELECT lang,
          len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -187,13 +187,16 @@ g AS (SELECT lang AS "group", count(*) AS n_docs,
              CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       FROM d GROUP BY 1),
 tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM g),
-s AS (SELECT g.*, round(n_tokens / t, 9) AS p,
-             round(pow(round(n_tokens / t, 9), 0.3), 9) AS pa
+s AS (SELECT g.*, {sql_round_port('n_tokens / t', 9)} AS p,
+             {sql_round_port(
+                 f"pow({sql_round_port('n_tokens / t', 9)}, 0.3)", 9)} AS pa
       FROM g, tot),
 z AS (SELECT SUM(CAST(round(pa * 1000000000) AS BIGINT)) AS zn FROM s)
 SELECT "group", n_docs, n_tokens, p,
-       round(pa / (zn / 1000000000.0), 9) AS q,
-       round(round(pa / (zn / 1000000000.0), 9) / p, 6) AS factor
+       {sql_round_port('pa / (zn / 1000000000.0)', 9)} AS q,
+       {sql_round_port(
+           sql_round_port('pa / (zn / 1000000000.0)', 9) + ' / p', 6)}
+         AS factor
 FROM s, z
 """)
 def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,12 +224,15 @@ g AS (SELECT lang, count(*) AS n_docs,
              CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       FROM d GROUP BY 1),
 tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM g),
-s AS (SELECT g.lang, round(n_tokens / t, 9) AS p,
-             round(pow(round(n_tokens / t, 9), 0.3), 9) AS pa
+s AS (SELECT g.lang, {sql_round_port('n_tokens / t', 9)} AS p,
+             {sql_round_port(
+                 f"pow({sql_round_port('n_tokens / t', 9)}, 0.3)", 9)} AS pa
       FROM g, tot),
 z AS (SELECT SUM(CAST(round(pa * 1000000000) AS BIGINT)) AS zn FROM s),
 f AS (SELECT lang,
-             round(round(pa / (zn / 1000000000.0), 9) / p, 6) AS factor
+             {sql_round_port(
+                 sql_round_port('pa / (zn / 1000000000.0)', 9) + ' / p', 6)}
+               AS factor
       FROM s, z),
 c AS (
   SELECT d.doc_id, d.lang,

@@ -409,19 +409,35 @@ def quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_topk(queries, emb, k=5, oversample=4)
 
 
-# Banded-LSH candidate generation shared by sim_cosine_pairs and
-# dedup_semantic_clusters: 32 deterministic hyperplanes (seed
-# 'cdps-pairs'), 16 bands x 2 sign bits, candidates = band-value
+# Banded-LSH candidate generation shared by sim_cosine_pairs and the
+# dedup_semantic_clusters family: deterministic hyperplanes (seed
+# 'cdps-pairs'), n_bands × band_bits sign bits, candidates = band-value
 # collisions, exact cosine within candidates. The oracle re-derives the
 # identical planes/bands/candidates in SQL, so the whole approximate
 # pipeline is value-checked end-to-end.
-_BANDED_PAIRS_CTE = """
+def _banded_pairs_cte(n_bands: int, band_bits: int, threshold: float,
+                      h_max: int | None = None) -> str:
+    n_planes = n_bands * band_bits
+    # optional sign-bit Hamming sketch prefilter (mirrors
+    # lsh_band_pairs(prefilter_margin=...): integer cutoff, exact in
+    # both engines)
+    ham_cte = "" if h_max is None else f""",
+candh AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN bands ba ON ba.vec_id = c.id_a
+  JOIN bands bb ON bb.vec_id = c.id_b AND bb.band = ba.band
+  GROUP BY 1, 2
+  HAVING SUM(bit_count(xor(ba.val, bb.val))) <= {h_max}
+)"""
+    cand_src = "cand" if h_max is None else "candh"
+    return f"""
 planes AS (
   SELECT p, i,
          ((CAST(('0x' || substr(md5('cdps-pairs:' || CAST(p AS VARCHAR) || ':'
                                  || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
            % 2001) - 1000) / 1000.0 AS w
-  FROM generate_series(0, 31) tp(p), generate_series(1, 64) ti(i)
+  FROM generate_series(0, {n_planes - 1}) tp(p), generate_series(1, 64) ti(i)
 ),
 dots AS (
   SELECT e.vec_id, pl.p,
@@ -430,16 +446,16 @@ dots AS (
   GROUP BY 1, 2
 ),
 bands AS (
-  SELECT vec_id, p // 2 AS band,
-         CAST(SUM(CASE WHEN d >= 0 THEN (1 << (p % 2)) ELSE 0 END) AS BIGINT)
-           AS val
-  FROM dots GROUP BY vec_id, p // 2
+  SELECT vec_id, p // {band_bits} AS band,
+         CAST(SUM(CASE WHEN d >= 0 THEN (1 << (p % {band_bits})) ELSE 0 END)
+              AS BIGINT) AS val
+  FROM dots GROUP BY vec_id, p // {band_bits}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
   WHERE a.vec_id < b.vec_id
-),
+){ham_cte},
 pairs AS (
   SELECT cand.id_a, cand.id_b,
          round(SUM(CAST(a.embedding[t.i] AS DOUBLE)
@@ -447,7 +463,7 @@ pairs AS (
                / (sqrt(SUM(pow(CAST(a.embedding[t.i] AS DOUBLE), 2)))
                   * sqrt(SUM(pow(CAST(b.embedding[t.i] AS DOUBLE), 2)))), 6)
            AS cosine
-  FROM cand
+  FROM {cand_src} AS cand
   JOIN embeddings a ON a.vec_id = cand.id_a
   JOIN embeddings b ON b.vec_id = cand.id_b
   CROSS JOIN generate_series(1, 64) t(i)
@@ -456,9 +472,19 @@ pairs AS (
                    * CAST(b.embedding[t.i] AS DOUBLE))
                / (sqrt(SUM(pow(CAST(a.embedding[t.i] AS DOUBLE), 2)))
                   * sqrt(SUM(pow(CAST(b.embedding[t.i] AS DOUBLE), 2)))), 6)
-          >= 0.4
+          >= {threshold}
 )
 """
+
+
+_BANDED_PAIRS_CTE = _banded_pairs_cte(16, 2, 0.4)
+# production-dedup parameterization: suggest_bands(0.6) → 34 bands of
+# 7 sign bits (238 planes) — the selective-band regime (background
+# collision rate 2^-7 per band vs 2^-2 above) — plus the sign-bit
+# Hamming sketch prefilter at margin 0.3:
+# h_max = floor(238·acos(0.6−0.3)/π) = 95. Pinned literally for
+# oracle stability.
+_BANDED_PAIRS_CTE_SELECTIVE = _banded_pairs_cte(34, 7, 0.6, h_max=95)
 
 
 @query("sim_cosine_pairs", oracle=f"""
@@ -699,8 +725,7 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann(queries, emb, k=3, n_lists=8, n_probe=2)
 
 
-@query("dedup_semantic_clusters", oracle=f"""
-WITH RECURSIVE {_BANDED_PAIRS_CTE.strip()},
+_SEMANTIC_CLUSTER_TAIL = """
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -714,14 +739,46 @@ reach(src, dst) AS (
 SELECT src AS id, min(dst) AS cluster_id,
        (src = min(dst)) AS is_canonical
 FROM reach GROUP BY src
+"""
+
+
+@query("dedup_semantic_clusters", oracle=f"""
+WITH RECURSIVE {_BANDED_PAIRS_CTE_SELECTIVE.strip()},
+{_SEMANTIC_CLUSTER_TAIL.strip()}
 """)
 def semantic_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space duplicate clusters: banded-LSH cosine ≥ 0.4 pair
-    graph → connected components (same propagation operator as the text
-    path — the pair generator is pluggable). Cosine is rounded to 6 dp
-    before thresholding in both engines so the edge sets — and therefore
-    the components — are identical; candidate generation is the
-    (band, value) equi-join, never all-pairs."""
+    """Embedding-space duplicate clusters at a PRODUCTION dedup
+    threshold: banded-LSH cosine ≥ 0.6 pair graph → connected
+    components. Banding is `suggest_bands(0.6)` = 34 bands × 7 sign
+    bits — the selective regime (background collision 2⁻⁷ per band,
+    recall ≥ 0.95 at the threshold), plus the 238-bit sign-sketch
+    Hamming prefilter (margin 0.3 → integer cutoff h ≤ 95) that drops
+    background collisions before any vector is touched — the
+    parameterization whose candidate volume stays far from all-pairs
+    as the corpus grows. The low-threshold exploratory case lives in
+    `dedup_semantic_eval` / `sim_cosine_pairs`; every step (planes,
+    bands, Hamming cutoff, 6-dp cosine rounding) is re-derived
+    identically by the oracle, so edge sets — and therefore
+    components — are value-checked end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_band_pairs(emb, threshold=0.6, n_bands=34,
+                               band_bits=7, dim=64,
+                               prefilter_margin=0.3)
+    from ..operators import dedup as D
+    return D.duplicate_clusters(pairs)
+
+
+@query("dedup_semantic_eval", oracle=f"""
+WITH RECURSIVE {_BANDED_PAIRS_CTE.strip()},
+{_SEMANTIC_CLUSTER_TAIL.strip()}
+""")
+def semantic_clusters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-threshold (cosine ≥ 0.4, 16×2 bands) variant of
+    `dedup_semantic_clusters` — an exploratory/evaluator
+    parameterization: at thresholds this low the hyperplane collision
+    gap gives little pruning (see `lsh_band_pairs`'s cost-honesty
+    note), so this regime is for recall studies on samples, not the
+    production dedup path."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = SIM.lsh_band_pairs(emb, threshold=0.4, dim=64)
     from ..operators import dedup as D

@@ -1170,15 +1170,18 @@ FROM reach GROUP BY src
 """)
 def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution on the customer table: blocking on
-    (nation, market segment), name edit-distance ≤ 2 links
-    (`operators/dedup.blocked_link_pairs`), connected-component entity
-    ids via min-label propagation — the master-data dedup pipeline,
-    closure-checked by a recursive-CTE oracle."""
+    (nation, market segment), name edit-distance ≤ 2 links, entity ids
+    via `operators/dedup.blocked_entity_clusters` — links never cross
+    a blocking group, so connected components decompose into
+    independent per-block union-finds fused onto the blocking join's
+    own partitioning (ONE shuffle total, vs O(log n) iterative rounds
+    for the general-topology `duplicate_clusters_star`).
+    Closure-checked by a recursive-CTE oracle; proven equal to the
+    iterative cluster operators in tests."""
     cust = load_table(spark, sf_dir, "customer")
-    pairs = D.blocked_link_pairs(cust, "c_custkey", "c_name",
-                                 ["c_nationkey", "c_mktsegment"],
-                                 max_distance=2)
-    return D.duplicate_clusters(pairs.select("id_a", "id_b"))
+    return D.blocked_entity_clusters(cust, "c_custkey", "c_name",
+                                     ["c_nationkey", "c_mktsegment"],
+                                     max_distance=2)
 
 
 @query("dedup_minhash_eval", oracle=f"""

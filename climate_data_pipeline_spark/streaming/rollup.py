@@ -359,6 +359,12 @@ def streaming_lm_gate(spark: SparkSession, sf_dir: str, target_dir: str,
     never dropped. State lives in the static LM, bounded by vocabulary,
     not stream length.
 
+    Every arriving document gets a decision row: documents too short
+    to score (< 2 words → no bigrams, so ``lm_perplexity`` emits
+    nothing) are left-joined back and pass the gate by default with
+    ``n_bigrams = 0`` and NULL ``avg_nll`` — a consumer filtering on
+    ``keep`` never silently loses a document.
+
     Returns the started StreamingQuery (caller drives/stops it)."""
     from ..operators.text import lm_perplexity
 
@@ -371,8 +377,17 @@ def streaming_lm_gate(spark: SparkSession, sf_dir: str, target_dir: str,
               .where(F.col("doc_id") % 5 != 0).cache())
 
     def gate(batch_df, batch_id):
-        out = lm_perplexity(batch_df, "text", "doc_id",
-                            nll_keep_threshold, ref=corpus)
+        scores = lm_perplexity(batch_df, "text", "doc_id",
+                               nll_keep_threshold, ref=corpus)
+        out = (batch_df.select("doc_id")
+               .join(scores, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("n_bigrams", F.lit(0))
+                        .cast("long").alias("n_bigrams"),
+                       F.coalesce("sum_logp_micro", F.lit(0))
+                        .cast("long").alias("sum_logp_micro"),
+                       "avg_nll",
+                       F.coalesce("keep", F.lit(True)).alias("keep")))
         out.write.mode("append").parquet(target_dir)
 
     return (stream.writeStream.foreachBatch(gate)

@@ -275,6 +275,34 @@ def test_star_clusters_equal_propagation_on_corpus_pairs(spark, sf_dir):
     assert prop == star
 
 
+def test_blocked_entity_clusters_equal_iterative(spark, sf_dir):
+    # the fused per-block union-find must produce exactly the clusters
+    # the generic iterative operators find on the same link set
+    cust = load_table(spark, sf_dir, "customer")
+    blocks = ["c_nationkey", "c_mktsegment"]
+    fused = {(r["id"], r["cluster_id"], r["is_canonical"]) for r in
+             D.blocked_entity_clusters(cust, "c_custkey", "c_name",
+                                       blocks, max_distance=2).collect()}
+    pairs = D.blocked_link_pairs(cust, "c_custkey", "c_name", blocks,
+                                 max_distance=2).select("id_a", "id_b")
+    star = {(r["id"], r["cluster_id"], r["is_canonical"]) for r in
+            D.duplicate_clusters_star(pairs).collect()}
+    assert fused == star
+
+
+def test_blocked_entity_clusters_chain_within_block(spark):
+    # transitive chain inside one block + cross-block same-name pair
+    # that must NOT merge; ids absent from any link don't appear
+    df = spark.createDataFrame(
+        [(1, "ann a", "US"), (2, "ann b", "US"), (3, "ann c", "US"),
+         (4, "ann a", "DE"), (5, "zzzz", "US")],
+        "id long, name string, country string")
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"]) for r in
+           D.blocked_entity_clusters(df, "id", "name", ["country"],
+                                     max_distance=1).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False)}
+
+
 def test_repetition_stats_hand_computed(spark):
     from climate_data_pipeline_spark.operators.text import repetition_stats
     docs = spark.createDataFrame(
@@ -424,8 +452,15 @@ def test_bpe_train_matches_reference_impl(spark):
         WORD_SPLIT, bpe_train)
     from climate_data_pipeline_spark.sources.io import load_table
 
+    N_MERGES = 200
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    merges, vocab = bpe_train(docs, "text", n_merges=12)
+    stats = {}
+    merges, vocab = bpe_train(docs, "text", n_merges=N_MERGES,
+                              stats=stats)
+    # exact mode batches where merge-chain structure allows — round
+    # count must stay well under one per merge
+    assert stats["rounds"] < N_MERGES * 0.4
+    assert sum(stats["merges_per_round"]) == len(merges)
 
     # sequential reference on the same corpus
     wc = Counter()
@@ -435,7 +470,7 @@ def test_bpe_train_matches_reference_impl(spark):
                 wc[w] += 1
     sym = {w: list(w) for w in wc}
     ref_merges = []
-    for _ in range(12):
+    for _ in range(N_MERGES):
         pc = Counter()
         for w, n in wc.items():
             t = sym[w]
@@ -459,6 +494,32 @@ def test_bpe_train_matches_reference_impl(spark):
     assert merges == ref_merges
     got = {r["word"]: r["symbols"] for r in vocab.collect()}
     assert got == {w: " ".join(t) for w, t in sym.items()}
+
+
+def test_bpe_train_fast_mode_round_count(spark):
+    """The production-vocab path: fast mode batches every compatible
+    top pair per round (one Spark job each), so 200 merges take a
+    handful of rounds — the 30k-jobs-for-30k-merges ceiling fix. The
+    merge list is order-approximate but must still be a valid
+    tokenizer: every merge's parts are reachable (either single chars
+    or earlier merge products), the encode path reconstructs words."""
+    from climate_data_pipeline_spark.operators.text import (
+        bpe_encode, bpe_train)
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    stats = {}
+    merges, _ = bpe_train(docs, "text", n_merges=80, mode="fast",
+                          stats=stats)
+    assert len(merges) == 80
+    assert stats["rounds"] <= 5          # ~1 job per round, << 80 jobs
+    produced = set()
+    for a, b in merges:
+        assert all(len(t) == 1 or t in produced for t in (a, b))
+        produced.add(a + b)
+    enc = bpe_encode(docs.limit(50), "text", merges)
+    row = enc.where(F.col("n_tokens") > 0).first()
+    assert row is not None and "".join(row["tokens"]).isalnum()
 
 
 def test_real_media_codecs_round_trip(spark):

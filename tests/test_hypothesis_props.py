@@ -328,7 +328,8 @@ def test_round_port_matches_duckdb_on_rationals(spark, nums, den):
     plain round(x, 6) diverges between Spark's BigDecimal HALF_UP and
     DuckDB's decimal path (observed at sf0.1: 6 queries, boundary rows).
     Integer ratios deliberately include exact 6th-decimal ties
-    (e.g. n/d = k.0000005)."""
+    (e.g. n/d = k.0000005). Negative inputs exercise the helpers' own
+    −0.0 normalization (no external '+ 0.0' — it must be built in)."""
     import duckdb
     from pyspark.sql import functions as F
 
@@ -339,8 +340,8 @@ def test_round_port_matches_duckdb_on_rationals(spark, nums, den):
 
     df = spark.createDataFrame([(n,) for n in nums], "n long")
     got = sorted(r.v for r in df.select(
-        (round_port(F.col("n") / float(den)) + 0.0).alias("v")).collect())
+        round_port(F.col("n") / float(den)).alias("v")).collect())
     want = sorted(r[0] for r in duckdb.sql(
-        "SELECT " + sql_round_port(f"n / {den}.0") + " + 0.0 AS v FROM "
+        "SELECT " + sql_round_port(f"n / {den}.0") + " AS v FROM "
         "(SELECT unnest($nums) AS n)", params={"nums": nums}).fetchall())
     assert got == want

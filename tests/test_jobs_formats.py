@@ -114,6 +114,48 @@ def test_curate_corpus_end_to_end(spark, sf_small, tmp_path):
     assert set(back.columns) >= {"doc_id", "text", "shard", "pos"}
     assert back.select("shard").distinct().count() <= 4
 
+
+def test_job_progress_protocol_and_time_limit(spark, sf_small, tmp_path):
+    """The Celery-state analogue: multi-stage jobs emit
+    ("PROCESSING", step, elapsed) per stage in order, record the step
+    sequence in the manifest, and honor the soft time limit by
+    returning the reference-shaped failed dict."""
+    from climate_data_pipeline_spark.plans.jobs import curate_corpus
+
+    events = []
+    out = str(tmp_path / "prog")
+    r = process_dataset(
+        spark, sf_small, "lineitem", out,
+        operations=[
+            {"op": "slice_time", "column": "l_shipdate",
+             "start": "1996-01-01", "end": "1997-12-31"},
+            {"op": "resample", "freq": "month", "column": "l_shipdate",
+             "keys": ["l_returnflag"],
+             "aggs": {"avg_qty": "mean(l_quantity)"},
+             "name": "monthly_rollup"},
+        ],
+        progress=lambda st, step, el: events.append((st, step, el)))
+    assert r["status"] == "completed"
+    assert [e[1] for e in events] == r["steps"] == [
+        "loading", "slice_time", "monthly_rollup", "saving", "verifying"]
+    assert all(st == "PROCESSING" for st, _, _ in events)
+    assert all(b[2] >= a[2] for a, b in zip(events, events[1:]))
+
+    # exhausted time limit → failed result with the steps run so far
+    r = process_dataset(spark, sf_small, "lineitem",
+                        str(tmp_path / "never"), time_limit=-1.0)
+    assert r["status"] == "failed" and "time limit" in r["error"]
+    assert r["steps"] == []
+
+    steps = []
+    r = curate_corpus(spark, sf_small, str(tmp_path / "cur_prog"),
+                      n_shards=2, quality_filter=True,
+                      progress=lambda st, step, el: steps.append(step))
+    assert r["status"] == "completed"
+    assert steps == r["steps"] == [
+        "loading", "quality_filter", "dedup", "split", "writing"]
+
+
 def test_curate_corpus_with_quality_and_lm_gates(spark, sf_small, tmp_path):
     from climate_data_pipeline_spark.plans.jobs import curate_corpus
 
@@ -127,6 +169,7 @@ def test_curate_corpus_with_quality_and_lm_gates(spark, sf_small, tmp_path):
     assert r["quality_removed"] == r["n_input"] - r["n_after_quality"]
     assert r["lm_removed"] == r["n_after_quality"] - r["n_after_lm"]
     assert r["dedup_removed"] == r["n_after_lm"] - r["n_after_dedup"]
+
 
 def test_lsh_index_build_query_roundtrip(spark, sf_small, tmp_path):
     from pyspark.sql import functions as F
@@ -153,6 +196,7 @@ def test_lsh_index_build_query_roundtrip(spark, sf_small, tmp_path):
     probed = spark.read.parquet(path).where(F.col("bucket").isin([0, 1]))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
 
 def test_lsh_index_incremental_append(spark, sf_small, tmp_path):
     from pyspark.sql import functions as F
