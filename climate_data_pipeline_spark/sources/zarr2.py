@@ -17,13 +17,13 @@ Codec support (what the reference writes by default is covered):
   null``,
 - Blosc frames (the reference's fallback) with inner zstd, zlib, lz4
   or lz4hc — per-stream ``int32 csize`` prefixes, stored-uncompressed
-  streams, whole-frame memcpy fallback, byte-shuffle, multi-block
-  frames, AND the *split* block layout (one stream per shuffled byte
-  lane) that c-blosc's lz4/blosclz defaults write — so the reference's
-  documented ``Blosc(cname="lz4")`` option
-  (`ingest/arco_converter.py:172-174`) round-trips. blosclz payloads
-  themselves remain unsupported (no public pure-python decoder here)
-  and are refused loudly.
+  streams, whole-frame memcpy fallback, byte-shuffle AND bit-shuffle
+  filters, multi-block frames, AND the *split* block layout (one
+  stream per byte lane, leftover block unsplit) that c-blosc's
+  lz4/blosclz defaults write — so the reference's documented
+  ``Blosc(cname="lz4")`` option (`ingest/arco_converter.py:172-174`)
+  round-trips. blosclz payloads themselves remain unsupported (no
+  public pure-python decoder here) and are refused loudly.
 
 Chunks ↔ tasks: ``read_zarr_long_distributed`` hands each chunk of the
 store to a Spark task (`mapInPandas` over the chunk-key list with
@@ -78,6 +78,48 @@ def _shuffle(buf: bytes, typesize: int) -> bytes:
     return sh + buf[n:]
 
 
+def _bit_unshuffle(buf: bytes, typesize: int) -> bytes:
+    """Inverse of c-blosc's per-block BITSHUFFLE filter.
+
+    c-blosc1's ``bitunshuffle`` (shuffle.c) delegates to the bitshuffle
+    library's ``bshuf_untrans_bit_elem`` for the largest multiple of 8
+    elements and memcpys the leftover bytes verbatim. The shuffled
+    layout is a full bit transpose: bit ``k`` (little-endian) of byte
+    ``j`` of element ``i`` lives in bit-plane ``j*8 + k`` at bit
+    position ``i`` (planes concatenated, each ``nelem/8`` bytes,
+    element bits packed little-endian) — see bitshuffle's scalar
+    reference ``bshuf_trans_bit_byte_scal``."""
+    if typesize < 1:
+        return buf
+    nelem = len(buf) // typesize
+    nelem8 = nelem - nelem % 8
+    n = nelem8 * typesize
+    if n == 0:
+        return buf
+    planes = np.frombuffer(buf[:n], dtype=np.uint8).reshape(
+        typesize * 8, nelem8 // 8)
+    bits = np.unpackbits(planes, axis=1, bitorder="little")  # (t*8, nelem8)
+    elems = np.packbits(bits.T, axis=1, bitorder="little")   # (nelem8, t)
+    return elems.tobytes() + buf[n:]
+
+
+def _bit_shuffle(buf: bytes, typesize: int) -> bytes:
+    """Forward BITSHUFFLE (bit-plane transpose), mirroring c-blosc's
+    ``bitshuffle()``: transpose the largest multiple of 8 elements,
+    memcpy the leftover bytes."""
+    if typesize < 1:
+        return buf
+    nelem = len(buf) // typesize
+    nelem8 = nelem - nelem % 8
+    n = nelem8 * typesize
+    if n == 0:
+        return buf
+    elems = np.frombuffer(buf[:n], dtype=np.uint8).reshape(nelem8, typesize)
+    bits = np.unpackbits(elems, axis=1, bitorder="little")   # (nelem8, t*8)
+    planes = np.packbits(bits.T, axis=1, bitorder="little")  # (t*8, nelem8/8)
+    return planes.tobytes() + buf[n:]
+
+
 def blosc_decompress(frame: bytes) -> bytes:
     """Decode a c-blosc1 frame (16-byte header, block-offset table,
     per-block ``int32 csize``-prefixed inner-codec streams, optional
@@ -91,16 +133,19 @@ def blosc_decompress(frame: bytes) -> bytes:
     must be memcpy'd, not handed to the inner codec.
 
     Split layout (c-blosc ≥ 1.14, what numcodecs vendors): the frame
-    header's 0x10 flag is BLOSC_DONT_SPLIT. When it is CLEAR and the
-    byte-shuffle flag is set with ``typesize <= MAX_SPLITS`` (16), each
-    block holds ``typesize`` independent streams — one per shuffled
-    byte lane, each ``blocksize/typesize`` long — instead of one.
-    c-blosc only ever splits for blosclz/lz4/lz4hc
+    header's 0x10 flag is BLOSC_DONT_SPLIT. When it is CLEAR, each
+    FULL block holds ``typesize`` independent streams — one per byte
+    lane, each ``blocksize/typesize`` long — instead of one; the final
+    partial (leftover) block is NEVER split (the ``!leftoverblock``
+    term in ``blosc_d``'s nsplits condition), and the decision does
+    not consult the shuffle filter. c-blosc's default
+    FORWARD_COMPAT_SPLIT mode only splits for blosclz/lz4
     (``blosc.c:split_block``), which is why the reference's documented
     lz4 option (``ingest/arco_converter.py:172-174`` returns
     ``Blosc(cname="lz4")``) produces split frames while its zstd
     default does not. Concatenated lane streams reconstruct the
-    shuffled block; unshuffle then applies blockwise as usual."""
+    (possibly shuffled) block; byte- or bit-unshuffle then applies
+    blockwise as usual."""
     if len(frame) < 16:
         raise ValueError("truncated blosc frame")
     flags, typesize = frame[2], frame[3]
@@ -110,8 +155,6 @@ def blosc_decompress(frame: bytes) -> bytes:
     bit_shuffled = bool(flags & _BLOSC_DOBITSHUFFLE)
     dont_split = bool(flags & _BLOSC_DONT_SPLIT)
     codec_id = flags >> 5
-    if bit_shuffled:
-        raise NotImplementedError("blosc bit-shuffle filter not supported")
     if memcpyed:
         # c-blosc stores the ORIGINAL buffer on memcpy fallback — the
         # shuffle flag may still be set, but no unshuffle is applied.
@@ -125,18 +168,24 @@ def blosc_decompress(frame: bytes) -> bytes:
     from pyarrow import Codec
     codec = Codec(_ARROW_CODEC[codec_name])
 
-    # Mirror blosc.c:blosc_d's nsplits decision: pre-1.14 frames never
-    # carry DONT_SPLIT, so split is keyed on shuffle + typesize alone
-    # once the flag is clear.
-    nsplits = (typesize if (shuffled and not dont_split
-                            and 1 < typesize <= _BLOSC_MAX_SPLITS)
-               else 1)
+    # Mirror blosc.c:blosc_d's nsplits decision verbatim: post-1.14 it
+    # keys ONLY on the DONT_SPLIT flag + leftoverblock — it consults
+    # neither the shuffle filter nor the lane-size bound (split_block
+    # applies those at compress time and records the outcome in the
+    # flag). Modern c-blosc reads pre-1.14 small-block frames the same
+    # (occasionally wrong) way; matching it exactly is the compatible
+    # choice.
+    frame_splits = typesize if (not dont_split and typesize > 1) else 1
 
     nblocks = max(1, math.ceil(nbytes / blocksize)) if blocksize else 1
     starts = struct.unpack_from(f"<{nblocks}i", frame, 16)
     pieces = []
     for b in range(nblocks):
         bsize = blocksize if b < nblocks - 1 else nbytes - blocksize * (nblocks - 1)
+        # c-blosc's blosc_d never splits the final partial block
+        # (the `!leftoverblock` term in its nsplits condition).
+        leftover = b == nblocks - 1 and bsize != blocksize
+        nsplits = 1 if leftover else frame_splits
         if bsize % nsplits:
             raise ValueError(
                 f"corrupt blosc frame: block size {bsize} not divisible "
@@ -155,47 +204,63 @@ def blosc_decompress(frame: bytes) -> bytes:
             else:
                 parts.append(codec.decompress(payload, neblock))
         raw = parts[0] if nsplits == 1 else b"".join(parts)
-        pieces.append(_unshuffle(raw, typesize) if shuffled else raw)
+        if bit_shuffled:
+            raw = _bit_unshuffle(raw, typesize)
+        elif shuffled:
+            raw = _unshuffle(raw, typesize)
+        pieces.append(raw)
     return b"".join(pieces)
 
 
 def blosc_compress(data: bytes, typesize: int, cname: str = "zstd",
-                   shuffle: bool = True, blocksize: int | None = None) -> bytes:
+                   shuffle: bool | str = True,
+                   blocksize: int | None = None) -> bytes:
     """Encode a c-blosc1 frame (inner zstd/zlib/lz4 via pyarrow). Used
-    by the writer and tests. Mirrors ``blosc.c:split_block``: lz4
-    frames use the split layout (one stream per shuffled byte lane)
-    when ``typesize <= 16`` and ``blocksize/typesize >= 128``; all
-    other frames carry the BLOSC_DONT_SPLIT header bit so real c-blosc
-    readers parse them as single-stream blocks."""
+    by the writer and tests. Mirrors ``blosc.c:split_block`` under the
+    default BLOSC_FORWARD_COMPAT_SPLIT mode: blosclz/lz4 frames use
+    the split layout when ``typesize <= 16`` and ``blocksize/typesize
+    >= 128`` (lz4hc/zlib/zstd never split); all other frames carry the
+    BLOSC_DONT_SPLIT header bit so real c-blosc readers parse them as
+    single-stream blocks. Like blosc_c, the final partial (leftover)
+    block is never split, and the split decision does not consult the
+    shuffle filter. ``shuffle`` may be True (byte-shuffle), False, or
+    ``"bit"`` (BITSHUFFLE)."""
     from pyarrow import Codec
     rev = {v: k for k, v in _BLOSC_CODECS.items()}
     if cname not in _ARROW_CODEC:
         raise NotImplementedError(f"unsupported blosc cname {cname!r}")
     codec = Codec(_ARROW_CODEC[cname])
+    bitshuffle = shuffle == "bit"
+    byteshuffle = bool(shuffle) and not bitshuffle
     nbytes = len(data)
     blocksize = blocksize or max(typesize, nbytes) or 1
     nblocks = max(1, math.ceil(nbytes / blocksize))
-    # c-blosc's frame-level split decision (blosc.c:split_block):
-    # codec is blosclz/lz4 family AND lanes are big enough. The header
-    # flag records the decision; actual splitting additionally needs
-    # the shuffle filter active (blosc_c's nsplits condition).
-    would_split = (cname in ("lz4", "lz4hc", "blosclz")
+    # c-blosc's frame-level split decision (blosc.c:split_block,
+    # FORWARD_COMPAT mode): blosclz/lz4 AND lanes big enough. The
+    # header flag records the decision; blosc_c's per-block nsplits
+    # additionally excludes the leftover block (never the shuffle
+    # filter — unshuffled split frames are legal and real).
+    would_split = (cname in ("lz4", "blosclz")
                    and 1 < typesize <= _BLOSC_MAX_SPLITS
                    and blocksize // typesize >= _BLOSC_MIN_BUFFERSIZE
-                   # splitting needs every block (incl. the leftover) to
-                   # divide into typesize equal lanes — always true for
-                   # zarr chunk payloads, guarded for arbitrary buffers
-                   and nbytes % typesize == 0 and blocksize % typesize == 0)
-    do_split = would_split and shuffle
-    flags = (rev[cname] << 5) | (_BLOSC_DOSHUFFLE if shuffle else 0) \
+                   # full blocks must divide into typesize equal lanes —
+                   # c-blosc pads blocksize to a typesize multiple;
+                   # guarded here for arbitrary buffers
+                   and blocksize % typesize == 0)
+    flags = (rev[cname] << 5) \
+        | (_BLOSC_DOSHUFFLE if byteshuffle else 0) \
+        | (_BLOSC_DOBITSHUFFLE if bitshuffle else 0) \
         | (0 if would_split else _BLOSC_DONT_SPLIT)
 
     blocks = []
     for b in range(nblocks):
         chunk = data[b * blocksize:(b + 1) * blocksize]
-        if shuffle:
+        if bitshuffle:
+            chunk = _bit_shuffle(chunk, typesize)
+        elif byteshuffle:
             chunk = _shuffle(chunk, typesize)
-        nsplits = typesize if do_split else 1
+        leftover = b == nblocks - 1 and len(chunk) != blocksize
+        nsplits = typesize if (would_split and not leftover) else 1
         neblock = len(chunk) // nsplits
         streams = []
         for s in range(nsplits):

@@ -99,11 +99,11 @@ def test_dsl_resample_mean_bounded(spark, values, buckets):
 
 # --- binary format codecs (no Spark session: pure numpy round trips) -------
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(st.binary(min_size=0, max_size=2000),
        st.sampled_from([1, 2, 4, 8]),
-       st.sampled_from(["zstd", "zlib"]),
-       st.booleans(),
+       st.sampled_from(["zstd", "zlib", "lz4"]),
+       st.sampled_from([False, True, "bit"]),
        st.one_of(st.none(), st.integers(min_value=1, max_value=300)))
 def test_blosc_frame_roundtrip_fuzz(data, typesize, cname, shuffle,
                                     blocksize):

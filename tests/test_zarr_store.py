@@ -22,17 +22,13 @@ def test_blosc_frame_roundtrip(cname, shuffle, blocksize):
     assert zarr2.blosc_decompress(frame) == data
 
 
-def test_blosc_rejects_blosclz_and_bitshuffle():
+def test_blosc_rejects_blosclz():
     with pytest.raises(NotImplementedError, match="cname"):
         zarr2.blosc_compress(b"x" * 32, 4, cname="blosclz")
-    # hand-build a frame claiming blosclz (no pure-python decoder) and
-    # one with the bit-shuffle flag
+    # hand-build a frame claiming blosclz (no pure-python decoder)
     import struct
     hdr = bytes([2, 2, 0 << 5, 4]) + struct.pack("<III", 32, 32, 52)
     with pytest.raises(NotImplementedError, match="blosclz"):
-        zarr2.blosc_decompress(hdr + b"\x00" * 36)
-    hdr = bytes([2, 2, (5 << 5) | 0x4, 4]) + struct.pack("<III", 32, 32, 52)
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
         zarr2.blosc_decompress(hdr + b"\x00" * 36)
 
 
@@ -171,7 +167,7 @@ def test_blosc_memcpy_frame_decode():
 
 
 def _build_real_blosc_frame(data: bytes, typesize: int, blocksize: int,
-                            shuffle: bool, force_store: set[int] = (),
+                            shuffle, force_store: set[int] = (),
                             cname: str = "zstd", split: bool = False):
     """Hand-build a c-blosc1 frame byte-for-byte per the PUBLIC spec
     (header, block-offset table, per-stream int32 csize prefix, inner
@@ -179,8 +175,10 @@ def _build_real_blosc_frame(data: bytes, typesize: int, blocksize: int,
     independently of zarr2.blosc_compress, so the decoder is checked
     against the wire format real numcodecs/c-blosc emits. ``split``
     models the lz4/blosclz layout (DONT_SPLIT clear, one stream per
-    shuffled byte lane); otherwise the 0x10 DONT_SPLIT bit is set as
-    real c-blosc ≥ 1.14 does for zstd/zlib."""
+    byte lane on FULL blocks — blosc_c never splits the final partial
+    block and ignores the shuffle filter in the decision); otherwise
+    the 0x10 DONT_SPLIT bit is set as real c-blosc ≥ 1.14 does for
+    zstd/zlib. ``shuffle`` is False/True/"bit"."""
     import struct
 
     from pyarrow import Codec
@@ -190,14 +188,18 @@ def _build_real_blosc_frame(data: bytes, typesize: int, blocksize: int,
     codec = Codec(arrow[cname])
     nbytes = len(data)
     nblocks = max(1, -(-nbytes // blocksize))
-    flags = (codec_ids[cname] << 5) | (0x1 if shuffle else 0) \
+    flags = (codec_ids[cname] << 5) \
+        | ({False: 0, True: 0x1, "bit": 0x4}[shuffle]) \
         | (0 if split else 0x10)
     blocks = []
     for b in range(nblocks):
         chunk = data[b * blocksize:(b + 1) * blocksize]
-        if shuffle:
+        if shuffle == "bit":
+            chunk = zarr2._bit_shuffle(chunk, typesize)
+        elif shuffle:
             chunk = zarr2._shuffle(chunk, typesize)
-        nsplits = typesize if (split and shuffle) else 1
+        leftover = b == nblocks - 1 and len(chunk) != blocksize
+        nsplits = typesize if (split and not leftover) else 1
         neblock = len(chunk) // nsplits
         streams = b""
         for s in range(nsplits):
@@ -271,14 +273,67 @@ def test_blosc_decodes_pre114_zstd_split_frames():
     assert zarr2.blosc_decompress(frame) == data
 
 
-def test_blosc_lz4_unshuffled_single_stream():
-    """lz4 with shuffle off: c-blosc still clears DONT_SPLIT (the
-    split decision ignores shuffle) but blosc_d's nsplits condition
-    requires the shuffle flag, so blocks hold ONE stream."""
+def test_blosc_lz4_unshuffled_split_streams():
+    """lz4 with shuffle off: c-blosc still clears DONT_SPLIT and its
+    blosc_c/blosc_d nsplits condition does NOT consult the shuffle
+    filter, so full blocks hold typesize streams of UNSHUFFLED lanes."""
     data = np.arange(400, dtype="<f8").tobytes()
     frame = _build_real_blosc_frame(data, 8, 800, shuffle=False,
                                     cname="lz4", split=True)
     assert not (frame[2] & 0x10) and zarr2.blosc_decompress(frame) == data
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+@pytest.mark.parametrize("nbytes", [1032, 2056, 296])
+def test_blosc_leftover_block_never_split(shuffle, nbytes):
+    """A frame whose nbytes is not a multiple of blocksize stores its
+    final (leftover) block as ONE stream even when DONT_SPLIT is clear
+    — the ``!leftoverblock`` term in blosc_c/blosc_d. Both the decoder
+    (real-frame builder) and the writer round-trip must honor it.
+    blocksize 1024 / typesize 8 = 128 lanes, exactly c-blosc's
+    MIN_BUFFERSIZE split bound, so real c-blosc would split too."""
+    data = np.arange(nbytes // 8, dtype="<f8").tobytes()
+    frame = _build_real_blosc_frame(data, 8, 1024, shuffle=shuffle,
+                                    cname="lz4", split=True)
+    assert zarr2.blosc_decompress(frame) == data
+    # writer side: zarr2.blosc_compress must emit the same layout
+    ours = zarr2.blosc_compress(data, typesize=8, cname="lz4",
+                                shuffle=shuffle, blocksize=1024)
+    assert zarr2.blosc_decompress(ours) == data
+    if nbytes > 1024:
+        assert not (ours[2] & 0x10)       # split frame
+        # cross-check: the independent builder produces byte-identical
+        # framing for the same inputs (stored-stream decisions match
+        # because both store only when compression does not shrink)
+        assert ours == frame
+
+
+@pytest.mark.parametrize("cname", ["zstd", "lz4"])
+@pytest.mark.parametrize("typesize,dtype", [(4, "<f4"), (8, "<f8"),
+                                            (1, "|u1")])
+def test_blosc_bitshuffle_roundtrip(cname, typesize, dtype):
+    """BITSHUFFLE frames (flag 0x4) decode: bit-plane transpose per
+    block, leftover elements beyond a multiple of 8 memcpy'd — the
+    bitshuffle-library layout c-blosc vendors."""
+    data = np.arange(1600 // typesize, dtype=dtype).tobytes()
+    frame = _build_real_blosc_frame(data, typesize, 800, shuffle="bit",
+                                    cname=cname, split=cname == "lz4")
+    assert zarr2.blosc_decompress(frame) == data
+    # writer round-trip, including a non-multiple-of-8-elements tail
+    tail = data + b"\x01\x02\x03"
+    ours = zarr2.blosc_compress(tail, typesize=1, cname=cname,
+                                shuffle="bit", blocksize=800)
+    assert zarr2.blosc_decompress(ours) == tail
+
+
+def test_bit_shuffle_inverse_property():
+    rng = np.random.default_rng(3)
+    for typesize in (1, 2, 4, 8):
+        for n in (0, 8 * typesize, 800, 803):
+            buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            sh = zarr2._bit_shuffle(buf, typesize)
+            assert len(sh) == len(buf)
+            assert zarr2._bit_unshuffle(sh, typesize) == buf
 
 
 def test_lz4_blosc_store_roundtrip(tmp_path):
