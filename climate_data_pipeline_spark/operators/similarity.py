@@ -585,6 +585,43 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
                 .select("id_a", "id_b", "cosine"))
 
 
+def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", n_seed: int = 40,
+                         offset: int = 1000000, eps: float = 0.05,
+                         seed: str = "cdps-twin") -> DataFrame:
+    """Union the corpus with ``n_seed`` deterministic near-duplicate
+    twins — planted positives that make an approximate-dedup pipeline's
+    output NON-VACUOUS at any corpus scale (an empty pair graph and a
+    broken pipeline are otherwise indistinguishable).
+
+    Twin of row ``i`` (for id < n_seed) gets id ``i + offset`` and
+    embedding ``x_j · (1 + eps·s_ij)`` with ``s_ij ∈ {-1,+1}`` derived
+    from ``md5(seed:i:j)`` — so cos(x, twin) ≥ (1-eps)/(1+eps) ≈ 0.905
+    at eps 0.05 REGARDLESS of the data (numerator ≥ (1-eps)·‖x‖²,
+    denominator ≤ (1+eps)·‖x‖²), i.e. guaranteed above any production
+    dedup threshold, while sign bits near zero crossings still flip —
+    the banding and sketch paths are exercised non-trivially, unlike
+    exact copies. Every arithmetic step (double mul, cast back to
+    float) is IEEE-exact and re-derivable in SQL, so value-level
+    oracles still hash-match."""
+    def twin_component(x, j):
+        s = F.when(
+            (F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed),
+                                  F.col(id_col).cast("string"),
+                                  j.cast("string"))), 1, 8), 16, 10)
+             .cast("long") % 2) == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+        return (x.cast("double") * (F.lit(1.0) + F.lit(eps) * s)) \
+            .cast("float")
+
+    twins = (df.where(F.col(id_col) < n_seed)
+               .select((F.col(id_col) + offset).alias(id_col),
+                       F.transform(F.col(vec_col), twin_component)
+                        .alias(vec_col)))
+    return df.select(id_col, vec_col).unionByName(twins)
+
+
 def suggest_bands(threshold: float, target_recall: float = 0.95,
                   n_rows: int | None = None,
                   max_planes: int = 256) -> tuple[int, int]:

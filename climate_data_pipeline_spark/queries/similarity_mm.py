@@ -416,7 +416,8 @@ def quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical planes/bands/candidates in SQL, so the whole approximate
 # pipeline is value-checked end-to-end.
 def _banded_pairs_cte(n_bands: int, band_bits: int, threshold: float,
-                      h_max: int | None = None) -> str:
+                      h_max: int | None = None,
+                      table: str = "embeddings") -> str:
     n_planes = n_bands * band_bits
     # optional sign-bit Hamming sketch prefilter (mirrors
     # lsh_band_pairs(prefilter_margin=...): integer cutoff, exact in
@@ -442,7 +443,7 @@ planes AS (
 dots AS (
   SELECT e.vec_id, pl.p,
          SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS d
-  FROM embeddings e, planes pl
+  FROM {table} e, planes pl
   GROUP BY 1, 2
 ),
 bands AS (
@@ -464,8 +465,8 @@ pairs AS (
                   * sqrt(SUM(pow(CAST(b.embedding[t.i] AS DOUBLE), 2)))), 6)
            AS cosine
   FROM {cand_src} AS cand
-  JOIN embeddings a ON a.vec_id = cand.id_a
-  JOIN embeddings b ON b.vec_id = cand.id_b
+  JOIN {table} a ON a.vec_id = cand.id_a
+  JOIN {table} b ON b.vec_id = cand.id_b
   CROSS JOIN generate_series(1, 64) t(i)
   GROUP BY 1, 2
   HAVING round(SUM(CAST(a.embedding[t.i] AS DOUBLE)
@@ -477,6 +478,32 @@ pairs AS (
 """
 
 
+# Deterministic near-duplicate twins (operators/similarity.py
+# seed_near_duplicates): id + 1000000, each float component scaled by
+# (1 ± 0.05) with the sign from md5('cdps-twin:id:j'), j 0-based, cast
+# back to FLOAT — guaranteed cos ≥ (1-ε)/(1+ε) ≈ 0.905 vs the source
+# row, every step IEEE-exact in both engines.
+_SEEDED_EMB_CTE = """seeded AS (
+  SELECT e.vec_id + 1000000 AS vec_id,
+         list(CAST(CAST(e.embedding[t.i] AS DOUBLE)
+                   * (1.0 + 0.05 * (CASE WHEN
+                        CAST(('0x' || substr(md5('cdps-twin:'
+                             || CAST(e.vec_id AS VARCHAR) || ':'
+                             || CAST(t.i - 1 AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END))
+              AS FLOAT) ORDER BY t.i) AS embedding
+  FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+  WHERE e.vec_id < 40
+  GROUP BY e.vec_id
+),
+emb_seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding FROM seeded
+)"""
+
+
 _BANDED_PAIRS_CTE = _banded_pairs_cte(16, 2, 0.4)
 # production-dedup parameterization: suggest_bands(0.6) → 34 bands of
 # 7 sign bits (238 planes) — the selective-band regime (background
@@ -484,7 +511,8 @@ _BANDED_PAIRS_CTE = _banded_pairs_cte(16, 2, 0.4)
 # Hamming sketch prefilter at margin 0.3:
 # h_max = floor(238·acos(0.6−0.3)/π) = 95. Pinned literally for
 # oracle stability.
-_BANDED_PAIRS_CTE_SELECTIVE = _banded_pairs_cte(34, 7, 0.6, h_max=95)
+_BANDED_PAIRS_CTE_SELECTIVE = _banded_pairs_cte(34, 7, 0.6, h_max=95,
+                                                table="emb_seeded")
 
 
 @query("sim_cosine_pairs", oracle=f"""
@@ -743,7 +771,8 @@ FROM reach GROUP BY src
 
 
 @query("dedup_semantic_clusters", oracle=f"""
-WITH RECURSIVE {_BANDED_PAIRS_CTE_SELECTIVE.strip()},
+WITH RECURSIVE {_SEEDED_EMB_CTE.strip()},
+{_BANDED_PAIRS_CTE_SELECTIVE.strip()},
 {_SEMANTIC_CLUSTER_TAIL.strip()}
 """)
 def semantic_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,13 +784,21 @@ def semantic_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming prefilter (margin 0.3 → integer cutoff h ≤ 95) that drops
     background collisions before any vector is touched — the
     parameterization whose candidate volume stays far from all-pairs
-    as the corpus grows. The low-threshold exploratory case lives in
-    `dedup_semantic_eval` / `sim_cosine_pairs`; every step (planes,
-    bands, Hamming cutoff, 6-dp cosine rounding) is re-derived
-    identically by the oracle, so edge sets — and therefore
-    components — are value-checked end-to-end."""
+    as the corpus grows.
+
+    The corpus is salted with 40 deterministic near-duplicate twins
+    (`seed_near_duplicates`, cos ≥ 0.905 by construction) so the
+    output is NON-VACUOUS at every scale factor: a correctness check
+    against an empty pair graph proves nothing, while the planted
+    pairs must traverse banding, the Hamming sketch, the exact rerank,
+    and clustering to appear — and the oracle re-derives the identical
+    twins, planes, bands, cutoff, and 6-dp cosine rounding in SQL, so
+    edge sets — and therefore components — are value-checked
+    end-to-end. The low-threshold exploratory case lives in
+    `dedup_semantic_eval` / `sim_cosine_pairs`."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.lsh_band_pairs(emb, threshold=0.6, n_bands=34,
+    corpus = SIM.seed_near_duplicates(emb, n_seed=40)
+    pairs = SIM.lsh_band_pairs(corpus, threshold=0.6, n_bands=34,
                                band_bits=7, dim=64,
                                prefilter_margin=0.3)
     from ..operators import dedup as D

@@ -50,8 +50,11 @@ def canon_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256(pdf.to_csv(index=False, float_format="%.17g").encode()).hexdigest()[:16]
 
 
+only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 fails = 0
 for name, fn in sorted(qs.items()):
+    if only is not None and name not in only:
+        continue
     got = fn(spark, SF).toPandas()
     if name not in oracles:
         print(f"  {name}: rows-only, {len(got)} rows")
