@@ -361,16 +361,32 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # (saves a full shuffle of the edge list before the loop).
     # Checkpoint the pair list BEFORE mirroring: a union of two selects
     # over the raw input would execute the (often expensive) pair
-    # generation twice.
+    # generation twice. Eager, NOT lazy: the mirrored/self-loop union
+    # reads p four times, and a lazy checkpoint materializing inside
+    # the round-0 job can recompute the (expensive) pair pipeline per
+    # branch before its blocks land in the block manager.
     p = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
               .localCheckpoint())
-    edges = p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = (edges.select("u").distinct()
-                   .select(F.col("u").alias("id"), F.col("u").alias("label")))
-    prev_fp = None
-    for rnd in range(max_rounds):
-        neigh = (edges.join(labels.withColumnRenamed("id", "v"), "v")
-                      .groupBy("u").agg(F.min("label").alias("nmin")))
+    # Self-loops fold each node's OWN label into the neighbor-min, so a
+    # round is ONE join + ONE aggregation (min over Γ(u) ∪ {u}) — the
+    # old labels-rejoin (+ its exchange and AQE scheduling round-trip)
+    # disappears. Duplicate self-loops from both endpoints are harmless
+    # under min.
+    edges = (p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+              .union(p.select("u", F.col("u").alias("v")))
+              .union(p.select(F.col("v").alias("u"), "v")))
+    # Round 0 needs no labels join: labels start as the identity, so
+    # min(label(Γ(u) ∪ {u})) is just min(Γ_sl(u)) — one aggregation
+    # over the edge list replaces a join + aggregation, saving a
+    # shuffle and (on quasi-clique near-dup graphs that converge
+    # immediately) a whole round's scheduling.
+    labels = (edges.groupBy("u").agg(F.min("v").alias("label"))
+                   .select(F.col("u").alias("id"), "label")
+                   .localCheckpoint(eager=False))
+    prev_fp = labels.agg(
+        F.count("*"),
+        F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
+    for rnd in range(1, max_rounds):
         # LAZY checkpoint + always-on fingerprint probe: the probe —
         # a one-row (count, order-independent hash sum) agg — is the
         # action that materializes the checkpoint, so each round is
@@ -380,10 +396,10 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         # pays the exact changed-label join, so that shuffle runs
         # once per clustering; a fingerprint collision merely wastes
         # one exact check — it can never cause an early exit.
-        new = (labels.join(neigh.withColumnRenamed("u", "id"), "id", "left")
-                     .select("id", F.least("label", F.coalesce("nmin", "label"))
-                              .alias("label"))
-                     .localCheckpoint(eager=False))
+        new = (edges.join(labels.withColumnRenamed("id", "v"), "v")
+                    .groupBy("u").agg(F.min("label").alias("label"))
+                    .select(F.col("u").alias("id"), "label")
+                    .localCheckpoint(eager=False))
         fp = new.agg(F.count("*"),
                      F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
         if rnd > 0 and fp == prev_fp:

@@ -518,14 +518,50 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
     collisions are cheaper to re-sketch than to shuffle."""
     import math
 
+    from pyspark import StorageLevel
+
     n_planes = n_bands * band_bits
     planes = plane_matrix(seed, n_planes, dim)
     band_vals = _band_vals_batch(F.col(vec_col), planes,
                                  n_bands, band_bits)
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(band_vals).alias("band", "val"))
 
+    per_word = 63 // band_bits
+    n_words = -(-n_bands // per_word)
+
+    def packed_word(w: int):
+        # pack the band values (band_bits-wide fields) into 64-bit words
+        # so the Hamming distance is whole-stage-codegen xor+bit_count —
+        # an interpreted zip_with/aggregate over the value arrays
+        # measures SLOWER than the Arrow rerank it is meant to avoid.
+        # Fields are disjoint, so bit_count(xor(packed)) ≡
+        # Σ bit_count(xor(field)) — lossless, oracle re-derives it
+        # directly from the per-band values.
+        word = F.lit(0).cast("long")
+        for j in range(w * per_word, min((w + 1) * per_word, n_bands)):
+            word = word + F.shiftleft(
+                F.element_at(F.col("__vals"), j + 1).cast("long"),
+                band_bits * (j - w * per_word))
+        return word
+
+    # ONE projection computes everything downstream needs (band values,
+    # packed sketch words, the vector for the rerank) and is persisted:
+    # the banded self-join, both sketch sides, and both rerank sides
+    # would otherwise each re-scan the source and re-run the Arrow
+    # sign-bit UDF — 4-6 corpus scans collapse to one. Spill-safe
+    # (MEMORY_AND_DISK) and ~the source's own width, the standard trade
+    # for a multi-use intermediate; Spark evicts it LRU once the query
+    # finishes consuming it.
+    base = df.select(F.col(id_col), F.col(vec_col),
+                     band_vals.alias("__vals"))
+    if prefilter_margin is not None:
+        base = base.select(
+            id_col, vec_col, "__vals",
+            *[packed_word(w).alias(f"__sig{w}") for w in range(n_words)])
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    banded = base.select(
+        F.col(id_col),
+        F.posexplode(F.col("__vals")).alias("band", "val"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "val")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "val")
     cand = (a.join(b, ["band", "val"])
@@ -534,50 +570,29 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
     if prefilter_margin is not None:
         h_max = int(n_planes * math.acos(
             min(max(threshold - prefilter_margin, -1.0), 1.0)) / math.pi)
-        # pack the band values (band_bits-wide fields) into 64-bit words
-        # so the Hamming distance is whole-stage-codegen xor+bit_count —
-        # an interpreted zip_with/aggregate over the value arrays
-        # measures SLOWER than the Arrow rerank it is meant to avoid.
-        # Fields are disjoint, so bit_count(xor(packed)) ≡
-        # Σ bit_count(xor(field)) — lossless, oracle re-derives it
-        # directly from the per-band values.
-        per_word = 63 // band_bits
-        n_words = -(-n_bands // per_word)
-        vals = band_vals
-
-        def packed_word(w: int):
-            word = F.lit(0).cast("long")
-            for j in range(w * per_word, min((w + 1) * per_word, n_bands)):
-                word = word + F.shiftleft(
-                    F.element_at(vals, j + 1).cast("long"),
-                    band_bits * (j - w * per_word))
-            return word
-
-        sigs = df.select(F.col(id_col),
-                         *[packed_word(w).alias(f"__sig{w}")
-                           for w in range(n_words)])
-        sa = sigs.select(F.col(id_col).alias("id_a"),
-                         *[F.col(f"__sig{w}").alias(f"__a{w}")
-                           for w in range(n_words)])
-        sb = sigs.select(F.col(id_col).alias("id_b"),
-                         *[F.col(f"__sig{w}").alias(f"__b{w}")
-                           for w in range(n_words)])
-        ham = sum((F.bit_count(F.col(f"__a{w}")
-                    .bitwiseXOR(F.col(f"__b{w}")))
+        # ONE signature projection joined under two aliases: the
+        # broadcast exchange child plans canonicalize identically, so
+        # ReuseExchange builds the (bounded, one row per vector)
+        # broadcast once and probes it from both endpoints — and the
+        # high-volume candidate stream never shuffles; the Pandas-UDF
+        # lineage otherwise defeats Catalyst's size estimate.
+        sigs = base.select(F.col(id_col).alias("__sid"),
+                           *[F.col(f"__sig{w}") for w in range(n_words)])
+        s1, s2 = sigs.alias("__s1"), sigs.alias("__s2")
+        ham = sum((F.bit_count(F.col(f"__s1.__sig{w}")
+                    .bitwiseXOR(F.col(f"__s2.__sig{w}")))
                    for w in range(n_words)), F.lit(0))
-        # one signature row per input vector (bounded like the rerank
-        # sides below) — broadcast, so the high-volume candidate stream
-        # never shuffles; the Pandas-UDF lineage otherwise defeats
-        # Catalyst's size estimate
-        cand = (cand.join(F.broadcast(sa), "id_a")
-                    .join(F.broadcast(sb), "id_b")
+        cand = (cand.join(F.broadcast(s1),
+                          F.col("id_a") == F.col("__s1.__sid"))
+                    .join(F.broadcast(s2),
+                          F.col("id_b") == F.col("__s2.__sid"))
                     .where(ham <= h_max)
                     .select("id_a", "id_b"))
     cand = cand.distinct()
-    ea = df.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("va"))
-    eb = df.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("vb"))
+    ea = base.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"))
+    eb = base.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"))
     cos = F.round(cosine_batch(F.col("va"), F.col("vb")), round_dp)
     return (cand.join(ea, "id_a").join(eb, "id_b")
                 .withColumn("cosine", cos)
