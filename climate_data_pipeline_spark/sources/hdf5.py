@@ -9,9 +9,14 @@ Closes the S1 gap: the reference's primary ingest is
 archives are overwhelmingly NetCDF4/HDF5. libnetcdf writes the
 "earliest" HDF5 profile — superblock v0, v1 object headers, symbol-table
 groups, contiguous or chunked(+deflate/shuffle) dataset layouts — which
-is exactly the subset implemented here. Features outside that profile
-(v2/v3 superblocks, compound types, szip, ...) raise a crisp
-``NotImplementedError`` naming the feature.
+is fully implemented here. The 1.10+ "latest" profile (h5py with
+``libver='latest'``/track-order features) is also read: superblock
+v2/v3, 'OHDR' v2 object headers with 'OCHK' continuations, compact
+LINK-message groups, and layout-v4 chunk indexes (Single Chunk,
+Implicit, Fixed Array). Features beyond that (compound types, szip,
+fractal-heap dense links/attributes, extensible-array / v2-B-tree
+chunk indexes, ...) raise a crisp ``NotImplementedError`` naming the
+feature.
 
 Reader semantics (the netCDF-4 data model):
 - dimension order per variable from the ``DIMENSION_LIST`` attribute
@@ -51,6 +56,7 @@ MSG_FILTERS = 0x000B
 MSG_ATTRIBUTE = 0x000C
 MSG_CONTINUATION = 0x0010
 MSG_SYMBOL_TABLE = 0x0011
+MSG_ATTR_INFO = 0x0015
 
 FILTER_DEFLATE = 1
 FILTER_SHUFFLE = 2
@@ -89,17 +95,35 @@ class H5File:
         self._parse_superblock()
         self.datasets: dict[str, H5Dataset] = {}
         self.addr_to_name: dict[int, str] = {}
-        self._walk_group(self.root_btree, self.root_heap, prefix="")
+        if self.sb_version >= 2:
+            self._walk_group_links(self.root_oh_addr, prefix="")
+        else:
+            self._walk_group(self.root_btree, self.root_heap, prefix="")
 
     # --- superblock ---------------------------------------------------------
 
     def _parse_superblock(self):
         b = self.buf
         version = b[8]
+        self.sb_version = version
+        if version in (2, 3):
+            # v2/v3 superblock (spec II.A.2): version(1), size-of-
+            # offsets(1), size-of-lengths(1), flags(1), base addr(8),
+            # superblock-extension addr(8), EOF addr(8), root group
+            # object header addr(8), checksum(4). v3 only redefines the
+            # flags byte (SWMR bits); the layout is identical.
+            self.off_size, self.len_size = b[9], b[10]
+            if self.off_size != 8 or self.len_size != 8:
+                raise H5Unsupported(
+                    f"size-of-offsets {self.off_size} / size-of-lengths "
+                    f"{self.len_size}; only 8/8 supported")
+            _base, _ext, _eof, self.root_oh_addr = struct.unpack_from(
+                "<QQQQ", b, 12)
+            return
         if version not in (0, 1):
             raise H5Unsupported(
-                f"HDF5 superblock version {version} (libver-latest file); "
-                "only the libnetcdf 'earliest' profile (v0/v1) is "
+                f"HDF5 superblock version {version}; only v0/v1 "
+                "(libnetcdf 'earliest') and v2/v3 (1.10+ 'latest') are "
                 "supported")
         self.off_size = b[13]
         self.len_size = b[14]
@@ -184,6 +208,62 @@ class H5File:
             else:
                 yield from self._btree_group_leaves(child)
 
+    # --- link-message (v2 'latest') group traversal --------------------------
+
+    def _walk_group_links(self, oh_addr: int, prefix: str):
+        """Traverse a 1.10+ 'latest'-format group: children are compact
+        LINK messages in the v2 object header (spec IV.A.2.g). Dense
+        link storage (links spilled to a fractal heap, signalled by a
+        defined heap address in the LINK_INFO message) is outside the
+        supported profile and raises loudly."""
+        msgs = self._object_header(oh_addr)
+        for t, body in msgs:
+            if t == MSG_LINK_INFO:
+                # version(1), flags(1), [max corder(8) if flags bit0],
+                # fractal heap addr(8), name-index v2 B-tree addr(8)
+                flags = body[1]
+                pos = 2 + (8 if flags & 0x1 else 0)
+                (fheap,) = struct.unpack_from("<Q", body, pos)
+                if fheap != UNDEF:
+                    raise H5Unsupported(
+                        "dense link storage (fractal heap) not "
+                        "supported; re-write with compact links")
+        for name, child_addr in (self._parse_link(body)
+                                 for t, body in msgs if t == MSG_LINK):
+            if child_addr is None:
+                continue                       # soft/external link
+            child = prefix + name
+            cmsgs = self._object_header(child_addr)
+            if any(t == MSG_DATASPACE for t, _ in cmsgs):
+                self._load_dataset(child, child_addr, cmsgs)
+            else:
+                self._walk_group_links(child_addr, prefix=child + "/")
+
+    @staticmethod
+    def _parse_link(body: bytes) -> tuple[str, int | None]:
+        """LINK message (spec IV.A.2.g): → (name, object header addr)
+        for hard links, (name, None) otherwise."""
+        version, flags = body[0], body[1]
+        if version != 1:
+            raise H5Unsupported(f"link message version {version}")
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[pos]; pos += 1
+        if flags & 0x04:                       # creation order
+            pos += 8
+        if flags & 0x10:                       # charset
+            pos += 1
+        nlen_size = 1 << (flags & 0x03)
+        nlen = int.from_bytes(body[pos:pos + nlen_size], "little")
+        pos += nlen_size
+        name = body[pos:pos + nlen].decode()
+        pos += nlen
+        if ltype == 0:                         # hard link
+            (addr,) = struct.unpack_from("<Q", body, pos)
+            return name, addr
+        return name, None
+
     # --- object headers -----------------------------------------------------
 
     def _object_header(self, addr: int) -> list[tuple[int, bytes]]:
@@ -191,9 +271,7 @@ class H5File:
         version = b[addr]
         if version != 1:
             if b[addr:addr + 4] == b"OHDR":
-                raise H5Unsupported(
-                    "v2 object header (libver-latest file); only the "
-                    "libnetcdf 'earliest' profile is supported")
+                return self._object_header_v2(addr)
             raise ValueError(f"bad object header version {version}")
         (nmsgs,) = struct.unpack_from("<H", b, addr + 2)
         (hdr_size,) = struct.unpack_from("<I", b, addr + 8)
@@ -209,6 +287,56 @@ class H5File:
                 if mtype == MSG_CONTINUATION:
                     c_off, c_len = struct.unpack_from("<QQ", body, 0)
                     blocks.append((c_off, c_len))
+                elif mtype != MSG_NIL:
+                    msgs.append((mtype, body))
+        return msgs
+
+    def _object_header_v2(self, addr: int) -> list[tuple[int, bytes]]:
+        """v2 ('OHDR') object header (spec IV.A.1.b): variable-width
+        chunk-0 size, optional times/phase-change fields, 1-byte
+        message type + 2-byte size + 1-byte flags (+2 creation order
+        when tracked), Jenkins checksum per chunk (not verified),
+        'OCHK'-signed continuation blocks."""
+        b = self.buf
+        if b[addr:addr + 4] != b"OHDR":
+            raise ValueError("bad v2 object header signature")
+        version, flags = b[addr + 4], b[addr + 5]
+        if version != 2:
+            raise H5Unsupported(f"object header v2 sub-version {version}")
+        pos = addr + 6
+        if flags & 0x20:                       # times stored
+            pos += 16
+        if flags & 0x10:                       # phase-change values
+            pos += 4
+        c0_width = 1 << (flags & 0x03)
+        chunk0 = int.from_bytes(b[pos:pos + c0_width], "little")
+        pos += c0_width
+        corder = 2 if flags & 0x04 else 0      # per-message creation order
+        msgs: list[tuple[int, bytes]] = []
+        blocks = [(pos, chunk0)]               # size excludes checksum
+        while blocks:
+            start, size = blocks.pop(0)
+            p, end = start, start + size
+            # stop when fewer bytes than a message header remain (gap)
+            while p + 4 + corder <= end:
+                mtype = b[p]
+                (msize,) = struct.unpack_from("<H", b, p + 1)
+                p += 4 + corder
+                body = b[p:p + msize]
+                p += msize
+                if mtype == MSG_CONTINUATION:
+                    c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                    if b[c_off:c_off + 4] != b"OCHK":
+                        raise ValueError("bad OCHK continuation signature")
+                    # length spans signature + messages + checksum
+                    blocks.append((c_off + 4, c_len - 8))
+                elif mtype == MSG_ATTR_INFO:
+                    fheap = struct.unpack_from(
+                        "<Q", body, 2 + (2 if body[1] & 0x1 else 0))[0]
+                    if fheap != UNDEF:
+                        raise H5Unsupported(
+                            "dense attribute storage (fractal heap) "
+                            "not supported")
                 elif mtype != MSG_NIL:
                     msgs.append((mtype, body))
         return msgs
@@ -382,6 +510,47 @@ class H5File:
                         "chunks": tuple(dims[:-1]),
                         "elem_size": dims[-1]}
             raise H5Unsupported(f"layout class {cls}")
+        if version == 4:
+            # 1.10+ 'latest' layout (spec IV.A.2.i). Chunked dims
+            # include the trailing element-size dimension, as in v3.
+            cls = body[1]
+            if cls == 1:                       # contiguous: addr + size
+                addr, size = struct.unpack_from("<QQ", body, 2)
+                return {"class": "contiguous", "addr": addr, "size": size}
+            if cls == 2:                       # chunked
+                cflags = body[2]
+                rank = body[3]
+                enc = body[4]
+                pos = 5
+                dims = tuple(
+                    int.from_bytes(body[pos + i * enc:pos + (i + 1) * enc],
+                                   "little") for i in range(rank))
+                pos += rank * enc
+                itype = body[pos]
+                pos += 1
+                out = {"class": "chunked", "chunks": dims[:-1],
+                       "elem_size": dims[-1], "index": itype,
+                       "flags": cflags}
+                if itype == 1:                 # single chunk
+                    if cflags & 0x02:          # filtered single chunk
+                        (fsize,) = struct.unpack_from("<Q", body, pos)
+                        (fmask,) = struct.unpack_from("<I", body, pos + 8)
+                        pos += 12
+                        out["filtered_size"] = fsize
+                        out["filter_mask"] = fmask
+                elif itype == 2:               # implicit
+                    pass
+                elif itype == 3:               # fixed array
+                    out["page_bits"] = body[pos]
+                    pos += 1
+                else:
+                    names = {4: "extensible array", 5: "v2 B-tree"}
+                    raise H5Unsupported(
+                        f"chunk index type {itype} "
+                        f"({names.get(itype, '?')}) not supported")
+                (out["addr"],) = struct.unpack_from("<Q", body, pos)
+                return out
+            raise H5Unsupported(f"layout v4 class {cls}")
         if version in (1, 2):
             rank, cls = body[1], body[2]
             pos = 8
@@ -506,16 +675,81 @@ class H5File:
                 yield from self._chunk_btree(child, rank)
             pos += key_size + 8
 
+    def _chunk_grid(self, ds: H5Dataset):
+        """Row-major chunk offsets over the dataset's chunk grid."""
+        chunks = ds.layout["chunks"]
+        counts = [max(1, -(-s // c)) for s, c in zip(ds.shape, chunks)]
+        for idx in iproduct(*[range(n) for n in counts]):
+            yield tuple(i * c for i, c in zip(idx, chunks))
+
+    def _chunks(self, ds: H5Dataset):
+        """Yield (offsets, stored size, filter mask, file addr) for every
+        stored chunk, across all supported chunk indexes: the v1 B-tree
+        (libnetcdf 'earliest'), and the 1.10+ Single Chunk / Implicit /
+        Fixed Array indexes that layout v4 references."""
+        lay = ds.layout
+        rank = len(ds.shape)
+        if "btree" in lay:                     # layout v1-v3: v1 B-tree
+            for offs, size, mask, addr in self._chunk_btree(
+                    lay["btree"], rank):
+                yield offs, size, mask, addr
+            return
+        if lay["addr"] == UNDEF:               # never allocated
+            return
+        chunk_bytes = int(np.prod(lay["chunks"])) * lay["elem_size"]
+        itype = lay["index"]
+        if itype == 1:                         # single chunk
+            size = lay.get("filtered_size", chunk_bytes)
+            mask = lay.get("filter_mask", 0)
+            yield (0,) * rank, size, mask, lay["addr"]
+            return
+        if itype == 2:                         # implicit: dense, unfiltered
+            for i, offs in enumerate(self._chunk_grid(ds)):
+                yield offs, chunk_bytes, 0, lay["addr"] + i * chunk_bytes
+            return
+        if itype == 3:                         # fixed array (spec III.K)
+            yield from self._fixed_array_chunks(ds, chunk_bytes)
+            return
+        raise H5Unsupported(f"chunk index type {itype}")
+
+    def _fixed_array_chunks(self, ds: H5Dataset, chunk_bytes: int):
+        b = self.buf
+        addr = ds.layout["addr"]
+        if b[addr:addr + 4] != b"FAHD":
+            raise ValueError("bad fixed-array header signature")
+        client, entry_size, page_bits = b[addr + 5], b[addr + 6], b[addr + 7]
+        (nelmts,) = struct.unpack_from("<Q", b, addr + 8)
+        (dblock,) = struct.unpack_from("<Q", b, addr + 16)
+        if dblock == UNDEF:
+            return
+        if b[dblock:dblock + 4] != b"FADB":
+            raise ValueError("bad fixed-array data block signature")
+        if nelmts > (1 << page_bits):
+            raise H5Unsupported(
+                "paged fixed-array chunk index not supported")
+        pos = dblock + 4 + 2 + 8               # sig, version+client, hdr addr
+        filtered = client == 1
+        for offs in self._chunk_grid(ds):
+            if filtered:
+                (caddr,) = struct.unpack_from("<Q", b, pos)
+                csize = int.from_bytes(
+                    b[pos + 8:pos + entry_size - 4], "little")
+                (mask,) = struct.unpack_from("<I", b, pos + entry_size - 4)
+            else:
+                (caddr,) = struct.unpack_from("<Q", b, pos)
+                csize, mask = chunk_bytes, 0
+            pos += entry_size
+            if caddr != UNDEF:
+                yield offs, csize, mask, caddr
+
     def _read_chunked(self, ds: H5Dataset) -> np.ndarray:
         dtype = ds.dtype
         chunks = ds.layout["chunks"]
-        rank = len(ds.shape)
         fill = ds.attrs.get("_FillValue")
         if fill is None:
             fill = np.nan if dtype.kind == "f" else 0
         out = np.full(ds.shape, fill, dtype=dtype.newbyteorder("="))
-        for offs, size, mask, data_addr in self._chunk_btree(
-                ds.layout["btree"], rank):
+        for offs, size, mask, data_addr in self._chunks(ds):
             raw = self.buf[data_addr:data_addr + size]
             if ds.filters and mask == 0:
                 raw = self._defilter(raw, ds.filters, dtype.itemsize)
@@ -640,10 +874,8 @@ def dataset_chunk_index(f: H5File, name: str) -> list[tuple]:
     ds = f.datasets[name]
     if ds.layout.get("class") != "chunked":
         raise ValueError(f"dataset {name!r} is not chunked")
-    rank = len(ds.shape)
     return [(tuple(offs), addr, size, mask)
-            for offs, size, mask, addr in f._chunk_btree(
-                ds.layout["btree"], rank)]
+            for offs, size, mask, addr in f._chunks(ds)]
 
 
 def read_hdf5_long_distributed(spark, path: str, variables=None,
