@@ -86,12 +86,12 @@ def process_dataset(spark: SparkSession, sf_dir: str, table: str,
     at stage boundaries, returning the failed-result shape when
     exhausted."""
     prog = _Progress(progress, time_limit)
-    # compile-time validation of the WHOLE plan up front (op names,
-    # aggregate specs) — per-op application below is only for progress
-    # granularity; everything stays lazy until the write
-    from .ops import compile_ops
-    compile_ops(list(operations))
     try:
+        # compile-time validation of the WHOLE plan up front (op names,
+        # aggregate specs) — per-op application below is only for
+        # progress granularity; everything stays lazy until the write
+        from .ops import compile_ops
+        compile_ops(list(operations))
         prog.step("loading")
         df = load_table(spark, sf_dir, table)
         for i, op in enumerate(operations):
@@ -103,7 +103,10 @@ def process_dataset(spark: SparkSession, sf_dir: str, table: str,
                       compression=compression, overwrite=overwrite)
         prog.step("verifying")
         info = parquet_info(spark, output_path)
-    except JobTimeLimitExceeded as exc:
+    except Exception as exc:
+        # the reference task catches ANY exception and returns the
+        # failed-result dict instead of raising (`celery_tasks.py:77-81`)
+        # — op/IO/engine errors included, not just the time limit
         return _failed(exc, output_path=output_path, steps=prog.steps)
     return {
         "status": "completed",
@@ -171,7 +174,9 @@ def convert_netcdf(spark: SparkSession, nc_path: str, output_path: str,
 def write_training_shards(df, output_path: str, id_col: str,
                           n_shards: int, salt: str = "",
                           compression: str = "zstd",
-                          overwrite: bool = False) -> dict:
+                          overwrite: bool = False,
+                          progress: ProgressFn | None = None,
+                          time_limit: float | None = None) -> dict:
     """Materialize the pre-training corpus as ``shard=K/`` directories in
     the deterministic interleaved order of
     `operators/sampling.training_shards`: one shuffle onto the shard key
@@ -184,30 +189,43 @@ def write_training_shards(df, output_path: str, id_col: str,
     written files.
 
     Scale: shard count IS the write parallelism; no global sort, no
-    driver-side state, identical output for any input partitioning."""
+    driver-side state, identical output for any input partitioning.
+
+    ``progress``/``time_limit`` follow the Celery-state protocol of
+    `process_dataset` — ("PROCESSING", step, elapsed) per stage
+    (sharding → writing → verifying), soft limit at stage boundaries,
+    any-exception → the reference-shaped failed dict."""
     from pyspark.sql import functions as F
 
     from ..operators.sampling import training_shards
 
-    spark = df.sparkSession
-    sharded = training_shards(df, id_col, n_shards, salt)
-    mode = "overwrite" if overwrite else "errorifexists"
-    (sharded.repartition(n_shards, F.col("shard"))
-            .sortWithinPartitions("shard", "pos")
-            .write.mode(mode).option("compression", compression)
-            .partitionBy("shard")
-            .parquet(output_path))
-    out = spark.read.parquet(output_path)
-    n_in = df.count()
-    n_out = out.count()
-    shards_seen = out.select("shard").distinct().count()
-    ok = n_in == n_out and shards_seen <= n_shards
+    prog = _Progress(progress, time_limit)
+    try:
+        spark = df.sparkSession
+        prog.step("sharding")
+        sharded = training_shards(df, id_col, n_shards, salt)
+        mode = "overwrite" if overwrite else "errorifexists"
+        prog.step("writing")
+        (sharded.repartition(n_shards, F.col("shard"))
+                .sortWithinPartitions("shard", "pos")
+                .write.mode(mode).option("compression", compression)
+                .partitionBy("shard")
+                .parquet(output_path))
+        prog.step("verifying")
+        out = spark.read.parquet(output_path)
+        n_in = df.count()
+        n_out = out.count()
+        shards_seen = out.select("shard").distinct().count()
+        ok = n_in == n_out and shards_seen <= n_shards
+    except Exception as exc:
+        return _failed(exc, output=output_path, steps=prog.steps)
     return {
         "status": "completed" if ok else "verification_failed",
         "output": output_path,
         "verified": ok,
         "rows": n_out,
         "n_shards": shards_seen,
+        "steps": prog.steps,
     }
 
 
@@ -250,7 +268,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
         return _curate_corpus_staged(
             spark, sf_dir, output_dir, text_col, id_col, split_weights,
             keep_split, n_shards, salt, quality_filter, lm_filter, prog)
-    except JobTimeLimitExceeded as exc:
+    except Exception as exc:
+        # any-exception → failed dict, mirroring celery_tasks.py:77-81
         return _failed(exc, output_dir=output_dir, steps=prog.steps)
 
 
@@ -323,7 +342,9 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
 def build_lsh_index(corpus, path: str, id_col: str = "vec_id",
                     vec_col: str = "embedding", n_planes: int = 6,
                     dim: int = 64, seed: str = "cdps",
-                    overwrite: bool = False) -> dict:
+                    overwrite: bool = False,
+                    progress: ProgressFn | None = None,
+                    time_limit: float | None = None) -> dict:
     """Persist an LSH ANN index: the corpus's (id, vector, bucket)
     table written as parquet PARTITIONED BY bucket, so a probe touches
     only its buckets' directories — the partition-pruned disk layout is
@@ -331,18 +352,32 @@ def build_lsh_index(corpus, path: str, id_col: str = "vec_id",
     scan + one shuffle onto the bucket key (each bucket lands in one
     task → one file per bucket directory); planes are seed-derived, so
     the index needs no side metadata beyond (seed, n_planes, dim) —
-    recorded in the returned manifest for the query side to reuse."""
+    recorded in the returned manifest for the query side to reuse.
+
+    ``progress``/``time_limit``: Celery-state protocol of
+    `process_dataset` — ("PROCESSING", step, elapsed) per stage
+    (hashing → writing → verifying), soft limit at stage boundaries,
+    any-exception → the reference-shaped failed dict."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import lsh_buckets
 
-    b = lsh_buckets(corpus, id_col, vec_col, n_planes, seed=seed, dim=dim)
-    mode = "overwrite" if overwrite else "errorifexists"
-    (b.repartition(F.col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(path))
-    n = corpus.sparkSession.read.parquet(path).count()
+    prog = _Progress(progress, time_limit)
+    try:
+        prog.step("hashing")
+        b = lsh_buckets(corpus, id_col, vec_col, n_planes, seed=seed,
+                        dim=dim)
+        mode = "overwrite" if overwrite else "errorifexists"
+        prog.step("writing")
+        (b.repartition(F.col("bucket"))
+          .write.mode(mode).partitionBy("bucket").parquet(path))
+        prog.step("verifying")
+        n = corpus.sparkSession.read.parquet(path).count()
+    except Exception as exc:
+        return _failed(exc, path=path, steps=prog.steps)
     return {"status": "completed", "path": path, "rows": n,
-            "n_planes": n_planes, "dim": dim, "seed": seed}
+            "n_planes": n_planes, "dim": dim, "seed": seed,
+            "steps": prog.steps}
 
 
 def query_lsh_index(spark, path: str, queries, k: int = 3,

@@ -155,6 +155,46 @@ def test_job_progress_protocol_and_time_limit(spark, sf_small, tmp_path):
     assert steps == r["steps"] == [
         "loading", "quality_filter", "dedup", "split", "writing"]
 
+    # any-exception → reference-shaped failed dict, not a raise
+    # (celery_tasks.py:77-81 catches Exception)
+    r = process_dataset(spark, sf_small, "lineitem",
+                        str(tmp_path / "badop"),
+                        operations=[{"op": "no_such_op"}])
+    assert r["status"] == "failed" and "no_such_op" in r["error"]
+
+
+def test_index_and_shard_jobs_progress_protocol(spark, sf_small, tmp_path):
+    """build_lsh_index / write_training_shards follow the same
+    Celery-state step protocol as process_dataset."""
+    from climate_data_pipeline_spark.plans.jobs import (
+        build_lsh_index,
+        write_training_shards,
+    )
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    steps = []
+    m = build_lsh_index(emb, str(tmp_path / "idx"), n_planes=6, dim=64,
+                        progress=lambda st, step, el: steps.append(step))
+    assert m["status"] == "completed"
+    assert steps == m["steps"] == ["hashing", "writing", "verifying"]
+    # soft limit at stage boundaries → failed dict with steps so far
+    m = build_lsh_index(emb, str(tmp_path / "idx2"), time_limit=-1.0)
+    assert m["status"] == "failed" and m["steps"] == []
+
+    docs = load_table(spark, sf_small, "documents")
+    steps = []
+    m = write_training_shards(
+        docs, str(tmp_path / "shards"), "doc_id", n_shards=4,
+        progress=lambda st, step, el: steps.append(step))
+    assert m["status"] == "completed" and m["verified"]
+    assert steps == m["steps"] == ["sharding", "writing", "verifying"]
+    # an existing output dir is an ordinary error → failed dict
+    m = write_training_shards(docs, str(tmp_path / "shards"), "doc_id",
+                              n_shards=4)
+    assert m["status"] == "failed" and m["steps"] == ["sharding",
+                                                      "writing"]
+
 
 def test_curate_corpus_with_quality_and_lm_gates(spark, sf_small, tmp_path):
     from climate_data_pipeline_spark.plans.jobs import curate_corpus
