@@ -717,32 +717,41 @@ def _bpe_truncate_batch(batch: list[tuple[str, str, int]],
             return bound + orig_counts.get(tok_pair, horizon)
         return bound
 
-    # candidates: (born_step, (tok_a, tok_b), count_upper_bound)
-    cands: list[tuple[int, tuple[str, str], int]] = []
+    # candidates: token-string pair → [(born_step, count_upper_bound)].
+    # DISTINCT origins can spell the SAME merged token strings (e.g.
+    # ('a','bc') and ('ab','c') both producing 'abc'), and one pair can
+    # arise from several disjoint trigram keys — the true count of a
+    # token-string pair is bounded by the SUM of bounds across all its
+    # origins born so far, with the existing-pair top-up applied ONCE,
+    # not by any single row's bound.
+    cands: dict[tuple[str, str], list[tuple[int, int]]] = {}
     for r in trigrams:
         x, y, z, t = r["x"], r["y"], r["z"], r["t"]
         i = pos.get((y, z))
         if i is not None:
-            tp = (x, y + z)
-            cands.append((i + 1, tp, eff(tp, t)))
+            cands.setdefault((x, y + z), []).append((i + 1, t))
             for j in rights.get(x, ()):
                 aj, bj, _ = batch[j]
-                tp = (aj + bj, y + z)
-                cands.append((max(i, j) + 1, tp, eff(tp, t)))
+                cands.setdefault((aj + bj, y + z), []).append(
+                    (max(i, j) + 1, t))
         i = pos.get((x, y))
         if i is not None:
-            tp = (x + y, z)
-            cands.append((i + 1, tp, eff(tp, t)))
+            cands.setdefault((x + y, z), []).append((i + 1, t))
             for j in lefts.get(z, ()):
                 aj, bj, _ = batch[j]
-                tp = (x + y, aj + bj)
-                cands.append((max(i, j) + 1, tp, eff(tp, t)))
+                cands.setdefault((x + y, aj + bj), []).append(
+                    (max(i, j) + 1, t))
     for m, (a, b, c) in enumerate(batch):
         if m == 0:
             continue            # the argmax itself — always exact
-        for born, tok_pair, bound in cands:
-            if born <= m and tok_pair != (a, b) and (
-                    bound > c or (bound == c and tok_pair < (a, b))):
+        for tok_pair, origins in cands.items():
+            if tok_pair == (a, b):
+                continue        # extra occurrences of itself only help
+            total = sum(bd for born, bd in origins if born <= m)
+            if total == 0:
+                continue        # nothing creating this pair has run yet
+            total = eff(tok_pair, total)
+            if total > c or (total == c and tok_pair < (a, b)):
                 return batch[:m]
     return batch
 

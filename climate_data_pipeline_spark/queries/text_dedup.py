@@ -1129,17 +1129,60 @@ def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "merge_rank long, left string, right string, merged string")
 
 
-@query("text_bpe_encode", oracle=None)  # tokens depend on the trained
-# (data-dependent) merges — checked instead by the reconstruction
-# property test (tokens rebuild every word) and trainer equality
+# Pinned tokenizer for the encode query: the 12 merges bpe_train
+# produces on the sf0.01 documents corpus, frozen as a constant —
+# inference in production always applies a FIXED published merge list,
+# and a fixed list is what makes the encode path SQL-oracle-checkable
+# (training itself stays covered by text_bpe_train + the sequential-
+# equality test).
+_BPE_PINNED_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+
+
+def _bpe_encode_oracle(merges) -> str:
+    """DuckDB replay of the left-to-right non-overlapping merge pass:
+    each word becomes sentinel-delimited symbols ␂c␃␂c␃…, and each
+    merge (a,b) is one string `replace` of ␂a␃␂b␃ → ␂ab␃ — replace
+    scans left-to-right and continues AFTER the replacement, exactly
+    the BPE pass's i += 2. Sentinels make token boundaries exact, so a
+    pattern can never match inside a longer symbol."""
+    s = "regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')"
+    for a, b in merges:
+        pat = f"chr(2)||'{a}'||chr(3)||chr(2)||'{b}'||chr(3)"
+        rep = f"chr(2)||'{a}{b}'||chr(3)"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                             '[^a-z0-9]+'),
+                       x -> x <> ''),
+           w -> list_transform(string_split({s}, chr(3) || chr(2)),
+                               t -> trim(t, chr(2) || chr(3)))
+         )) AS tokens
+  FROM documents
+)
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       tokens[1:12] AS tokens_head
+FROM enc
+"""
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(_BPE_PINNED_MERGES))
 def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize the corpus with merges trained on it
-    (`operators/text.bpe_encode` after `bpe_train`) — the inference side
-    of the tokenizer: per-batch word memoization keeps the cost near the
-    vocabulary size, and the output is the training-ready token stream."""
+    """Tokenize the corpus with a pinned merge list
+    (`operators/text.bpe_encode`) — the inference side of the
+    tokenizer: per-batch word memoization keeps the cost near the
+    vocabulary size, and the output is the training-ready token
+    stream. The oracle replays the exact merge passes as sentinel-
+    delimited string rewrites, so tokens are value-checked
+    end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = TX.bpe_train(docs, "text", n_merges=12)
-    return (TX.bpe_encode(docs, "text", merges)
+    return (TX.bpe_encode(docs, "text", _BPE_PINNED_MERGES)
             .select("doc_id", "n_tokens",
                     F.slice("tokens", 1, 12).alias("tokens_head")))
 
