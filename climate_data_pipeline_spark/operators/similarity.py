@@ -630,10 +630,16 @@ def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
         return (x.cast("double") * (F.lit(1.0) + F.lit(eps) * s)) \
             .cast("float")
 
+    # two steps: putting the `id + offset` alias in the same select
+    # would LATERALLY shadow the input id inside the transform lambda
+    # (Spark resolves the name to the lateral column alias), silently
+    # deriving every sign from the offset id
     twins = (df.where(F.col(id_col) < n_seed)
-               .select((F.col(id_col) + offset).alias(id_col),
+               .select(F.col(id_col),
                        F.transform(F.col(vec_col), twin_component)
-                        .alias(vec_col)))
+                        .alias(vec_col))
+               .select((F.col(id_col) + offset).alias(id_col),
+                       F.col(vec_col)))
     return df.select(id_col, vec_col).unionByName(twins)
 
 

@@ -515,18 +515,38 @@ _BANDED_PAIRS_CTE_SELECTIVE = _banded_pairs_cte(34, 7, 0.6, h_max=95,
                                                 table="emb_seeded")
 
 
+# sim_cosine_pairs parameterization: suggest_bands(0.5) → 33 bands ×
+# 6 sign bits (198 planes), sign-sketch Hamming prefilter at margin
+# 0.3 → h_max = floor(198·acos(0.5−0.3)/π) = 86. Pinned literally for
+# oracle stability. The corpus is salted with the deterministic twins
+# so the check has teeth at every sf.
+_BANDED_PAIRS_CTE_05 = _banded_pairs_cte(33, 6, 0.5, h_max=86,
+                                         table="emb_seeded")
+
+
 @query("sim_cosine_pairs", oracle=f"""
-WITH {_BANDED_PAIRS_CTE.strip()}
+WITH {_SEEDED_EMB_CTE.strip()},
+{_BANDED_PAIRS_CTE_05.strip()}
 SELECT id_a, id_b, cosine FROM pairs
 """)
 def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.4) via banded LSH candidate
+    """Embedding near-dup pairs (cosine ≥ 0.5) via banded LSH candidate
     generation — a (band, value) equi-join whose cost tracks collisions,
-    never |n|². Band-OR recall ≈ 0.98 at the 0.4 threshold and → 1 for
-    closer pairs; the brute-force form stays in tests as the recall
-    verifier (`SIM.cosine_pairs`)."""
+    never |n|². The banding is the SELECTIVE regime `suggest_bands(0.5)`
+    picks (33 bands × 6 bits: background collision 2⁻⁶ per band, recall
+    ≥ 0.95 at the threshold) plus the packed sign-sketch Hamming
+    prefilter — the parameterization whose candidate volume stays far
+    from all-pairs as the corpus grows; the old exploratory θ=0.4 16×2
+    case (which `lsh_band_pairs`' cost-honesty note warns degrades
+    toward all-pairs) lives on only as the `dedup_semantic_eval`
+    evaluator. Deterministic near-dup twins
+    (`seed_near_duplicates`, cos ≥ 0.905) keep the oracle row
+    non-vacuous at every scale factor; brute force stays in tests as
+    the recall verifier (`SIM.cosine_pairs`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.lsh_band_pairs(emb, threshold=0.4, dim=64)
+    corpus = SIM.seed_near_duplicates(emb, n_seed=40)
+    return SIM.lsh_band_pairs(corpus, threshold=0.5, n_bands=33,
+                              band_bits=6, dim=64, prefilter_margin=0.3)
 
 
 _LSH_BUCKET_CTES = """planes AS (
