@@ -347,10 +347,12 @@ def dsir_importance_weights(df: DataFrame, text_col: str, id_col: str,
     weight = looks like the target distribution; resample the pool by
     weight to skew a 100 TB crawl toward a curated domain.
 
-    Plan shape: the corpus is scanned exactly TWICE — once through a
-    single conditional-count hash agg (target and raw counts in the
-    same pass, bounded at ``n_features`` rows however big the corpus
-    is) and once for the scoring stream. Totals come from a
+    Plan shape: the corpus is TOKENIZED exactly ONCE — the hashed
+    bigram stream (doc id, target flag, bucket) persists
+    (MEMORY_AND_DISK, the classic write-features-once DSIR shape) and
+    feeds both the conditional-count hash agg (target and raw counts
+    in the same pass, bounded at ``n_features`` rows however big the
+    corpus is) and the scoring stream. Totals come from a
     single-partition window over the ``n_features``-row count table
     (never a second corpus pass, never an eager ``.count()``); the
     token stream then pays exactly one broadcast equi-join + one
@@ -377,8 +379,11 @@ def dsir_importance_weights(df: DataFrame, text_col: str, id_col: str,
                                F.size("__ws") - 1, F.lit(0))),
                            lambda a, b: F.concat(a, F.lit(" "), b)))
                        .alias("__g")))
-    feat = grams.withColumn("__f", hash_bucket(F.col("__g"), n_features,
-                                               salt=":dsir"))
+    from pyspark import StorageLevel
+    feat = (grams.withColumn("__f", hash_bucket(F.col("__g"), n_features,
+                                                salt=":dsir"))
+                 .select("__id", "__t", "__f")
+                 .persist(StorageLevel.MEMORY_AND_DISK))
     counts = (feat.groupBy("__f")
                   .agg(F.sum(F.when(F.col("__t"), 1).otherwise(0))
                         .alias("__tc"),
