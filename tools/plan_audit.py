@@ -41,7 +41,12 @@ def main() -> None:
     print("join column lists strategy×count; `partial` = map-side")
     print("partial aggregation present; `py` = Arrow/Python stages")
     print("(ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas);")
-    print("`wscg` = WholeStageCodegen span count.")
+    print("`wscg` = WholeStageCodegen span count. Counts are textual")
+    print("occurrences in the executed-plan printout: queries that")
+    print("persist an intermediate (e.g. the LSH signature base) repeat")
+    print("the cached relation's child plan under every InMemoryTableScan,")
+    print("so their `py` column overstates actual UDF executions (the")
+    print("kernel runs once, at cache materialization).")
     print()
     print("| query | exchanges | joins | partial | py | wscg |")
     print("|---|---|---|---|---|---|")
