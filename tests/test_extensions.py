@@ -883,6 +883,24 @@ def test_lsh_band_pairs_matches_brute_force(emb):
     assert len(band) / max(1, len(brute)) >= 0.9
 
 
+def test_seed_near_duplicates_properties(emb):
+    """Planted twins: ids offset by 1e6, every twin's cosine to its
+    source row >= (1-eps)/(1+eps) (data-independent bound; measured
+    ~0.9988 on this corpus), corpus rows untouched, and the selective
+    production banding (33x6 + Hamming sketch) recovers EVERY planted
+    pair — the falsifiability contract behind the seeded queries."""
+    corpus = SIM.seed_near_duplicates(emb, n_seed=25)
+    n0 = emb.count()
+    assert corpus.count() == n0 + 25
+    tw = {r["id_b"] - 1000000: r["cosine"] for r in SIM.lsh_band_pairs(
+        corpus, threshold=0.5, n_bands=33, band_bits=6, dim=64,
+        prefilter_margin=0.3).collect() if r["id_b"] >= 1000000
+        and r["id_a"] == r["id_b"] - 1000000}
+    assert set(tw) == set(range(25))          # every twin pair found
+    bound = (1 - 0.05) / (1 + 0.05)
+    assert all(v >= bound for v in tw.values())
+
+
 def test_lsh_bucket_fast_path_same_bits(emb):
     """Precomputed-plane literals must reproduce the per-row md5
     derivation bit-for-bit (same buckets for every vector)."""
