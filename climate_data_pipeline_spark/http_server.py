@@ -78,15 +78,40 @@ class ServingHttpServer:
     """Routes HTTP requests onto a `Catalog` + `ServingApi`."""
 
     def __init__(self, catalog, data_lake_path: str = "/data"):
+        from .serving import ServingApi
+
         self.catalog = catalog
         self.data_lake_path = data_lake_path
         self.metrics = Metrics()
+        self.api = ServingApi(catalog.spark)
         self._httpd: ThreadingHTTPServer | None = None
 
     # --- route handlers (return (status, payload)) --------------------------
 
     def handle(self, method: str, path: str, query: dict,
                body: dict | None) -> tuple[int, object]:
+        # the reference mounts its data router under /api/v1/data
+        # (api/routes/data.py:9); accept both the prefixed (reference-
+        # exact) and bare forms
+        if path.startswith("/api/v1/data/"):
+            path = path[len("/api/v1/data"):]
+        if method == "GET" and path.startswith("/datasets/"):
+            parts = path.split("/")
+            if len(parts) == 4 and parts[3] in ("point", "region",
+                                                "stats"):
+                fn = {"point": self._point_route,
+                      "region": self._region_route,
+                      "stats": self._stats_route}[parts[3]]
+                return 200, fn(parts[2], query)
+        if method == "GET" and path.startswith("/api/v1/metrics/"):
+            parts = path.split("/")
+            if len(parts) == 6:
+                fn = {"temporal": self._metric_temporal,
+                      "percentiles": self._metric_percentiles,
+                      "trend": self._metric_trend,
+                      "anomaly": self._metric_anomaly}.get(parts[4])
+                if fn is not None:
+                    return 200, fn(parts[5], query)
         if method == "GET" and path == "/health":
             return 200, {"status": "healthy", "version": VERSION,
                          "data_lake_path": self.data_lake_path}
@@ -186,6 +211,380 @@ class ServingHttpServer:
                 "compression": "zstd", "compression_level": 3,
                 "attrs": {k: v for k, v in d["variables"][variable].items()
                           if k != "dtype"}}
+
+    # --- climate data/metrics routes (REAL computation) ---------------------
+    # The reference declares these endpoints but returns hardcoded
+    # samples ("Sample data - connect to actual data store", routes/
+    # data.py:125, metrics.py:46); here the same contract (paths, query
+    # params, payload keys) is served by actual Spark queries over the
+    # catalog dataset. All collects are bounded: coordinate lists by
+    # the grid resolution, point series by ServingApi.MAX_TIMESTEPS,
+    # region grids by ServingApi.MAX_POINTS, everything else is
+    # single-row aggregates.
+
+    @staticmethod
+    def _q(query: dict, key: str, cast=str, default=None, required=False):
+        raw = (query.get(key) or [None])[0]
+        if raw is None:
+            if required:
+                raise ApiError(422, f"query parameter {key!r} is required")
+            return default
+        try:
+            return cast(raw)
+        except (TypeError, ValueError):
+            raise ApiError(422, f"invalid value for {key!r}: {raw!r}")
+
+    def _grid_dataset(self, name: str, query: dict):
+        """→ (df, time_col, lat_col, lon_col, value_col) or 404/422."""
+        if name not in self.catalog.list_datasets():
+            raise ApiError(404, f"Dataset {name} not found")
+        df = self.catalog.load(name)
+        tcol = next((f.name for f in df.schema.fields
+                     if f.dataType.simpleString().startswith("timestamp")),
+                    None)
+        latc = next((c for c in df.columns
+                     if c.lower() in ("lat", "latitude")), None)
+        lonc = next((c for c in df.columns
+                     if c.lower() in ("lon", "longitude")), None)
+        var = self._q(query, "variable")
+        if var is None:
+            var = next((f.name for f in df.schema.fields
+                        if f.dataType.simpleString() in ("double", "float")
+                        and f.name not in (latc, lonc)), None)
+        if var is not None and var not in df.columns:
+            raise ApiError(404, f"variable {var!r} not in dataset {name}")
+        if not all((tcol, latc, lonc, var)):
+            raise ApiError(422, f"dataset {name} is not a (time, lat, "
+                                "lon, value) grid")
+        return df, tcol, latc, lonc, var
+
+    def _nearest(self, name: str, df, latc: str, lonc: str,
+                 lat: float, lon: float) -> tuple[float, float]:
+        """Nearest grid coordinates (xarray .sel(method='nearest')
+        semantics). The distinct coordinate lists are bounded by the
+        grid resolution and cached per dataset."""
+        from .serving import cache_key
+
+        def build():
+            lats = [r[0] for r in df.select(latc).distinct().collect()]
+            lons = [r[0] for r in df.select(lonc).distinct().collect()]
+            return [sorted(lats), sorted(lons)]
+
+        hit = self.api.cache.get(cache_key("coords", dataset=name))
+        if hit is None:
+            hit = build()
+            self.api.cache.set(cache_key("coords", dataset=name), hit)
+        lats, lons = hit
+        if not lats or not lons:
+            raise ApiError(404, f"dataset {name} has no data")
+        return (min(lats, key=lambda v: (abs(v - lat), v)),
+                min(lons, key=lambda v: (abs(v - lon), v)))
+
+    @staticmethod
+    def _trange(query: dict, start_key: str = "start_date",
+                end_key: str = "end_date"):
+        start = (query.get(start_key) or [None])[0]
+        end = (query.get(end_key) or [None])[0]
+        if start is None and end is None:
+            return None
+        return (start or "0001-01-01", (end or "9999-12-31")
+                + " 23:59:59.999999")
+
+    def _point_route(self, name: str, query: dict) -> dict:
+        """`GET /datasets/{id}/point` (routes/data.py:88-127)."""
+        import datetime as _dt
+
+        lat = self._q(query, "lat", float, required=True)
+        lon = self._q(query, "lon", float, required=True)
+        df, tcol, latc, lonc, var = self._grid_dataset(name, query)
+        nlat, nlon = self._nearest(name, df, latc, lonc, lat, lon)
+        tr = self._trange(query)
+        rows = self.api.point_timeseries(
+            df, tcol, var, keys={latc: nlat, lonc: nlon},
+            time_range=tr, dataset=name)
+        return {
+            "dataset": name,
+            "location": {"lat": nlat, "lon": nlon,
+                         "requested": {"lat": lat, "lon": lon}},
+            "time_range": {"start": (query.get("start_date") or [None])[0],
+                           "end": (query.get("end_date") or [None])[0]},
+            "variable": var,
+            "data": {"times": [r["ts"] for r in rows],
+                     "values": [r["value"] for r in rows]},
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+
+    def _region_route(self, name: str, query: dict) -> dict:
+        """`GET /datasets/{id}/region` (routes/data.py:130-171): the
+        spatial field in a bbox at one time slice (default: latest),
+        pivoted to the reference's lats × lons value matrix."""
+        import datetime as _dt
+
+        from .serving import cache_key
+
+        bbox = tuple(self._q(query, k, float, required=True)
+                     for k in ("west", "south", "east", "north"))
+        df, tcol, latc, lonc, var = self._grid_dataset(name, query)
+        at = (query.get("time") or [None])[0]
+        if at is None:
+            hit = self.api.cache.get(cache_key("latest", dataset=name))
+            if hit is None:
+                from pyspark.sql import functions as F
+                hit = str(df.agg(F.max(tcol)).first()[0])
+                self.api.cache.set(cache_key("latest", dataset=name), hit)
+            at = hit
+        sl = (at, at + (" 23:59:59.999999" if len(at) == 10 else ""))
+        pts = self.api.region_grid(df, latc, lonc, var, bbox, at=sl,
+                                   time_col=tcol,
+                                   dataset=f"{name}@{at}")
+        lats = sorted({p["lat"] for p in pts})
+        lons = sorted({p["lon"] for p in pts})
+        cell = {(p["lat"], p["lon"]): p["value"] for p in pts}
+        values = [[cell.get((la, lo)) for lo in lons] for la in lats]
+        return {
+            "dataset": name,
+            "bbox": {"west": bbox[0], "south": bbox[1],
+                     "east": bbox[2], "north": bbox[3]},
+            "time": at, "variable": var,
+            "grid": {"lats": lats, "lons": lons, "values": values},
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+
+    def _stats_route(self, name: str, query: dict) -> dict:
+        """`GET /datasets/{id}/stats` (routes/data.py:172-214)."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        bbox = tuple(self._q(query, k, float, required=True)
+                     for k in ("west", "south", "east", "north"))
+        df, tcol, latc, lonc, var = self._grid_dataset(name, query)
+        tr = self._trange(query)
+        if tr is not None:
+            df = df.where(F.col(tcol).between(*tr))
+        stats = self.api.region_summary(
+            df, latc, lonc, var, bbox,
+            dataset=f"{name}@{tr[0]}:{tr[1]}" if tr else name)
+        return {
+            "dataset": name,
+            "bbox": {"west": bbox[0], "south": bbox[1],
+                     "east": bbox[2], "north": bbox[3]},
+            "time_range": {"start": (query.get("start_date") or [None])[0],
+                           "end": (query.get("end_date") or [None])[0]},
+            "statistics": {k: stats[k] for k in
+                           ("mean", "std", "min", "max", "p10", "p50",
+                            "p90")},
+            "n": stats["n"],
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+
+    def _point_slice(self, name: str, query: dict,
+                     start_key="start_year", end_key="end_year"):
+        """Common metrics-route setup: nearest-point filter plus an
+        optional year-range filter; returns (sliced df, cols, nearest)."""
+        from pyspark.sql import functions as F
+
+        lat = self._q(query, "lat", float, required=True)
+        lon = self._q(query, "lon", float, required=True)
+        df, tcol, latc, lonc, var = self._grid_dataset(name, query)
+        nlat, nlon = self._nearest(name, df, latc, lonc, lat, lon)
+        out = df.where((F.col(latc) == nlat) & (F.col(lonc) == nlon))
+        y0 = self._q(query, start_key, int)
+        y1 = self._q(query, end_key, int)
+        if y0 is not None:
+            out = out.where(F.year(tcol) >= y0)
+        if y1 is not None:
+            out = out.where(F.year(tcol) <= y1)
+        return out, tcol, var, (nlat, nlon), (y0, y1)
+
+    def _metric_temporal(self, name: str, query: dict) -> dict:
+        """`GET /api/v1/metrics/temporal/{id}` (routes/metrics.py:11-46):
+        real monthly/seasonal/annual means at the nearest grid point."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        metric = self._q(query, "metric", required=True)
+        if metric not in ("monthly", "seasonal", "annual"):
+            raise ApiError(422, "metric must be monthly|seasonal|annual")
+        out, tcol, var, loc, (y0, y1) = self._point_slice(name, query)
+        if metric == "monthly":
+            labels = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul",
+                      "Aug", "Sep", "Oct", "Nov", "Dec"]
+            key = F.month(tcol)
+        elif metric == "seasonal":
+            # DJF/MAM/JJA/SON, the reference's season labels
+            # (metrics/temporal.py:73-83)
+            labels = ["DJF", "MAM", "JJA", "SON"]
+            key = F.floor((F.month(tcol) % 12) / 3)
+        else:
+            labels = None
+            key = F.year(tcol)
+        rows = (out.groupBy(key.alias("__k"))
+                   .agg(F.avg(var).alias("__m")).orderBy("__k").collect())
+        if metric == "annual":
+            labels = [str(r["__k"]) for r in rows]
+            values = [r["__m"] for r in rows]
+        else:
+            by_k = {r["__k"]: r["__m"] for r in rows}
+            first = 1 if metric == "monthly" else 0
+            values = [by_k.get(k) for k in range(first,
+                                                 first + len(labels))]
+        return {
+            "dataset": name, "metric": f"{metric}_mean",
+            "location": {"lat": loc[0], "lon": loc[1]},
+            "period": {"start_year": y0, "end_year": y1},
+            "values": {"labels": labels, "values": values},
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+
+    def _metric_percentiles(self, name: str, query: dict) -> dict:
+        """`GET /api/v1/metrics/percentiles/{id}`
+        (routes/metrics.py:70-117): per-month climatological
+        percentiles at the nearest grid point."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        raw = self._q(query, "percentiles", default="10,25,50,75,90,95,99")
+        try:
+            pcts = [int(p.strip()) for p in raw.split(",") if p.strip()]
+        except ValueError:
+            raise ApiError(422, f"invalid percentiles list: {raw!r}")
+        out, tcol, var, loc, (y0, y1) = self._point_slice(
+            name, query, "reference_start", "reference_end")
+        rows = (out.groupBy(F.month(tcol).alias("__m"))
+                   .agg(F.percentile(var, F.array(
+                       *[F.lit(p / 100.0) for p in pcts])).alias("__p"))
+                   .orderBy("__m").collect())
+        by_m = {r["__m"]: r["__p"] for r in rows}
+        return {
+            "dataset": name,
+            "location": {"lat": loc[0], "lon": loc[1]},
+            "reference_period": {"start": y0, "end": y1},
+            "percentiles": pcts,
+            "values": {"months": list(range(1, 13)),
+                       **{f"p{p}": [by_m.get(m, [None] * len(pcts))[i]
+                                    for m in range(1, 13)]
+                          for i, p in enumerate(pcts)}},
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+
+    def _metric_trend(self, name: str, query: dict) -> dict:
+        """`GET /api/v1/metrics/trend/{id}` (routes/metrics.py:119-162):
+        OLS slope + significance at the nearest grid point, via the A10
+        closed-form stderr operator (scipy.linregress parity)."""
+        import datetime as _dt
+        import math
+
+        from .operators.trends import trend_with_confidence
+
+        conf = self._q(query, "confidence", float, default=0.95)
+        out, tcol, var, loc, (y0, y1) = self._point_slice(name, query)
+        r = trend_with_confidence(out, tcol, var,
+                                  confidence=conf).first()
+        if r is None or r["n"] < 3:
+            raise ApiError(404, "not enough data for a trend")
+        # two-sided p-value from the t statistic via the normal CDF
+        # (n is large for climate series; documented approximation).
+        # A perfectly-linear series makes the closed-form residual
+        # variance a tiny negative number → NaN stderr; clamp to the
+        # exact-fit limit (zero residual, p = 0).
+        se, margin = r["std_err"], r["margin"]
+        if se is None or se != se or se <= 0:
+            se, margin = 0.0, 0.0
+        if se == 0:
+            p_value = 0.0 if r["slope"] else 1.0
+        else:
+            tstat = r["slope"] / se
+            p_value = 2 * (1 - 0.5 * (1 + math.erf(abs(tstat)
+                                                   / math.sqrt(2))))
+        years = ((y1 or 9999) - (y0 or 0))
+        return {
+            "dataset": name,
+            "location": {"lat": loc[0], "lon": loc[1]},
+            "period": {"start": y0, "end": y1},
+            "trend": {
+                "slope": r["slope"], "slope_units": "units per year",
+                "total_change": (r["slope"] * years
+                                 if y0 and y1 else None),
+                "p_value": p_value,
+                "significant": p_value < (1 - conf),
+                "confidence_level": conf,
+                "confidence_interval": {
+                    "lower": r["slope"] - margin,
+                    "upper": r["slope"] + margin},
+            },
+            "method": "ordinary_least_squares",
+            "n": r["n"],
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+
+    def _metric_anomaly(self, name: str, query: dict) -> dict:
+        """`GET /api/v1/metrics/anomaly/{id}` (routes/metrics.py:164-218):
+        anomaly vs the month's climatology at the nearest grid point,
+        absolute or standardized, with the reference's severity
+        classification (metrics.py:221-247)."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        at = self._q(query, "time", required=True)
+        kind = self._q(query, "anomaly_type", default="absolute")
+        if kind not in ("absolute", "standardized"):
+            raise ApiError(422, "anomaly_type must be "
+                                "absolute|standardized")
+        out, tcol, var, loc, (y0, y1) = self._point_slice(
+            name, query, "reference_start", "reference_end")
+        month = int(at.split("-")[1])
+        clim = (out.where(F.month(tcol) == month)
+                   .agg(F.avg(var).alias("m"),
+                        F.stddev_pop(var).alias("s")).first())
+        obs = (out.where(F.to_date(F.col(tcol)) == at)
+                  .agg(F.avg(var).alias("v")).first())
+        if clim["m"] is None or obs["v"] is None:
+            raise ApiError(404, f"no data at {at} for {name}")
+        if kind == "absolute":
+            value, units, cstd = obs["v"] - clim["m"], "units", None
+        else:
+            if not clim["s"]:
+                raise ApiError(422, "zero climatological variance")
+            value = (obs["v"] - clim["m"]) / clim["s"]
+            units, cstd = "standard deviations", clim["s"]
+        return {
+            "dataset": name,
+            "location": {"lat": loc[0], "lon": loc[1]},
+            "time": at,
+            "reference_period": {"start": y0, "end": y1},
+            "anomaly": {"type": kind, "value": value, "units": units,
+                        "climatology_month": month,
+                        "climatological_mean": clim["m"],
+                        "climatological_std": cstd},
+            "classification": self._classify_anomaly(value, kind),
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+
+    @staticmethod
+    def _classify_anomaly(value: float, anomaly_type: str) -> dict:
+        """The reference's severity bands (routes/metrics.py:221-247)."""
+        if anomaly_type == "standardized":
+            bands = [(-2, -3, "Extremely below normal"),
+                     (-1.5, -2, "Severely below normal"),
+                     (-1, -1, "Moderately below normal"),
+                     (1, 0, "Near normal"),
+                     (1.5, 1, "Moderately above normal"),
+                     (2, 2, "Severely above normal")]
+            top = (3, "Extremely above normal")
+        else:
+            bands = [(-5, -2, "Much below normal"),
+                     (-2, -1, "Below normal"),
+                     (2, 0, "Near normal"),
+                     (5, 1, "Above normal")]
+            top = (2, "Much above normal")
+        for bound, level, label in bands:
+            if value < bound or (bound > 0 and value <= bound):
+                return {"level": level, "label": label}
+        return {"level": top[0], "label": top[1]}
 
     # --- plumbing -----------------------------------------------------------
 
