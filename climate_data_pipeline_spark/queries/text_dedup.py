@@ -1112,6 +1112,47 @@ def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lm_perplexity(docs, "text", "doc_id")
 
 
+@query("text_nfc_normalize", oracle="""
+WITH salted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                      ELSE '' END AS t
+  FROM documents
+),
+norm AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM salted)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_before,
+       CAST(length(nt) AS BIGINT) AS n_chars_after,
+       t <> nt AS changed,
+       substr(nt, greatest(length(nt) - 15, 1), 16) AS norm_tail
+FROM norm
+""")
+def nfc_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (`operators/text.nfc_normalize`) —
+    decomposed accent sequences (e + U+0301) collapse to their
+    composed forms so downstream exact/fuzzy dedup hashes agree. The
+    testdata corpus is ASCII, which would make this check vacuous, so
+    every third document is salted with decomposed sequences in BOTH
+    engines (the seeded-twins discipline); DuckDB's `nfc_normalize`
+    re-derives the kernel's `unicodedata.normalize("NFC", ...)` — the
+    same Unicode algorithm — and the normalized tail, char counts and
+    changed flags are value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    # DECOMPOSED sequences (e + U+0301, i + U+0308) as explicit escapes
+    # (a source-normalizing editor would silently compose raw chars),
+    # matching the oracle's chr() construction — NFC must change them
+    salt = F.when(F.col("doc_id") % 3 == 0,
+                  F.lit(" cafe\u0301 nai\u0308ve")).otherwise(F.lit(""))
+    salted = docs.select("doc_id",
+                         F.concat(F.col("text"), salt).alias("t"))
+    out = TX.nfc_normalize(salted, "t")
+    tail = F.col("t_norm").substr(
+        F.greatest(F.length("t_norm") - 15, F.lit(1)), F.lit(16))
+    return out.select("doc_id", "n_chars_before", "n_chars_after",
+                      "changed", tail.alias("norm_tail"))
+
+
 @query("text_bpe_train", oracle=None)  # iterative, data-dependent merges —
 # non-SQL-expressible (RE2 oracles can't replay the left-to-right merge
 # pass); proven merge-for-merge identical to a sequential reference BPE
