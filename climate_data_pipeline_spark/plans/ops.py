@@ -28,6 +28,7 @@ training-data job plans the same declarative way):
   {"op": "split",        "id": id_col, "weights": {name: w, ...},
                          "keep": "train"}
   {"op": "shard",        "id": id_col, "n_shards": n, "salt": "..."}
+  {"op": "nfc_normalize", "text": text_col, "form": "NFC|NFKC|..."}
   {"op": "lm_filter",    "id": id_col, "text": text_col,
                          "nll_threshold": 3.4}
   {"op": "gopher_filter", "id": id_col, "text": text_col,
@@ -107,6 +108,13 @@ def _apply_op(df: DataFrame, op: dict) -> DataFrame:
                               op.get("nll_threshold", 3.4))
                 .where("keep").select(op["id"]))
         return df.join(keep, op["id"], "left_semi")
+    if kind == "nfc_normalize":
+        from ..operators.text import nfc_normalize
+        out = nfc_normalize(df, op["text"], form=op.get("form", "NFC"),
+                            alias="__norm")
+        return (out.withColumn(op["text"], F.col("__norm"))
+                   .drop("__norm", "n_chars_before", "n_chars_after",
+                         "changed"))
     if kind == "gopher_filter":
         from ..operators.text import GOPHER_STOPWORDS, gopher_rules
         keep = (gopher_rules(df, op["text"], op["id"],

@@ -424,3 +424,18 @@ def test_streaming_lm_gate_matches_batch(spark, sf_dir):
     n_scoreable = (docs.where(F.col("doc_id") % 5 == 0)
                    .where(F.size(words("text")) >= 2).count())
     assert len(got) == n_scoreable
+
+
+def test_dsl_nfc_normalize_verb(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.plans.ops import run_ops
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20).select(
+        "doc_id", F.concat(F.col("text"),
+                           F.lit(" café")).alias("text"))
+    out = run_ops(docs, [{"op": "nfc_normalize", "text": "text"}])
+    assert out.columns == ["doc_id", "text"]     # in-place, no extras
+    rows = out.collect()
+    assert all(r["text"].endswith(" café") for r in rows)
