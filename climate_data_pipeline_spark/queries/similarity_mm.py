@@ -720,18 +720,89 @@ def lsh_recall_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.count("__hit") / 3.0, 6).alias("recall")))
 
 
-# --- multimodal plumbing (binary payloads; rows-only checks) ------------------
+# --- multimodal plumbing (binary payloads) ----------------------------------
 
-@query("mm_decode", oracle=None)
+@query("mm_decode", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS bytes
+  FROM pay
+)
+SELECT media_id, 'image/fake' AS media_type,
+       CAST(len(bytes) AS BIGINT) AS n_bytes,
+       CAST(16 + len(bytes) % 64 AS INTEGER) AS width,
+       CAST(16 + (len(bytes) // 64) % 64 AS INTEGER) AS height,
+       CASE WHEN len(bytes) = 0 THEN 0.0
+            ELSE CAST(list_sum(bytes) AS DOUBLE) / len(bytes) END
+         AS mean_intensity
+FROM pb
+""")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode via mapInPandas (stubbed codec, real
-    distributed plumbing): documents → opaque payloads → typed metadata."""
+    distributed plumbing): documents → opaque payloads → typed
+    metadata. The stub's outputs are deterministic byte arithmetic, so
+    the oracle re-derives them from hex(encode(text)) and the decode
+    path is value-checked end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload(docs, "doc_id", "text", media_type="image/fake")
     return MM.decode_media(media)
 
 
-@query("mm_decode_real", oracle=None)
+@query("mm_decode_real", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (  -- synthesize_media substitutes b'\\x00' for empty text
+  SELECT media_id,
+         CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+sig AS (
+  SELECT media_id, bytes,
+         -- np.resize cycles the byte array to the target length
+         list_transform(range(256),
+           i -> bytes[CAST(i % len(bytes) AS INT) + 1]) AS px,
+         list_transform(range(400),
+           i -> (bytes[CAST(i % len(bytes) AS INT) + 1] - 64) * 256)
+           AS samples
+  FROM b
+)
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'image/x-portable-graymap'
+            ELSE 'audio/wav' END AS media_type,
+       -- PGM: 13-byte header + 256 pixels; WAV: 44-byte RIFF header
+       -- + 400 i16 samples
+       CASE WHEN media_id % 2 = 0 THEN CAST(269 AS BIGINT)
+            ELSE CAST(844 AS BIGINT) END AS n_bytes,
+       CASE WHEN media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CASE WHEN media_id % 2 = 0 THEN 16 END AS width,
+       CASE WHEN media_id % 2 = 0 THEN 16 END AS height,
+       CASE WHEN media_id % 2 = 0 THEN 1 ELSE 1 END AS n_channels,
+       CASE WHEN media_id % 2 = 1 THEN 8000 END AS sample_rate,
+       CASE WHEN media_id % 2 = 1 THEN CAST(400 AS BIGINT) END
+         AS n_samples,
+       CASE WHEN media_id % 2 = 0
+            THEN CAST(list_sum(px) AS DOUBLE) / 256.0
+            ELSE sqrt(CAST(list_sum(list_transform(samples, x -> x * x))
+                           AS DOUBLE) / 400.0) END AS mean_value
+FROM sig
+""")
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round trip, no external media libraries: documents are
     rendered into genuine containers (even ids → binary PGM images, odd
@@ -744,19 +815,67 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media_real(media)
 
 
-@query("mm_features", oracle=None)
+# Payload bytes re-derived in SQL: the demo payload is the UTF-8
+# encoding of the text (attach_payload), and DuckDB's hex(encode(t))
+# exposes every byte as two hex chars — so byte-level operators
+# (histograms, frame windows, checksums) get full value oracles.
+_PAYLOAD_BYTES_CTE = """pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS bytes
+  FROM pay
+)"""
+
+
+@query("mm_features", oracle=f"""
+WITH {_PAYLOAD_BYTES_CTE.strip()}
+SELECT media_id,
+       list_transform(range(16),
+         k -> len(list_filter(bytes, b -> b // 16 = k))
+              / greatest(len(bytes), 1)) AS features
+FROM pb
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature vectors (array<double>) from binary payloads
-    — the encoder-model stand-in, Arrow-batched."""
+    — the encoder-model stand-in, Arrow-batched. The oracle re-derives
+    every byte from hex(encode(text)) and the same count/total
+    division, so the feature vectors are value-checked, not
+    rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload(docs, "doc_id", "text")
     return MM.byte_histogram_features(media)
 
 
-@query("mm_frame_sample", oracle=None)
+@query("mm_frame_sample", oracle=f"""
+WITH {_PAYLOAD_BYTES_CTE.strip()},
+frames AS (
+  SELECT media_id,
+         unnest(list_transform(range(CAST(ceil(len(bytes) / 64.0)
+                                          AS BIGINT)),
+           f -> struct_pack(
+             idx := CAST(f AS INTEGER),
+             off := CAST(f * 64 AS BIGINT),
+             ck := CAST(list_sum(bytes[CAST(f*64+1 AS INT):
+                                       CAST(least((f+1)*64, len(bytes))
+                                            AS INT)]) AS BIGINT))),
+           recursive := true)
+  FROM pb
+)
+SELECT media_id, idx AS frame_idx, off AS frame_offset,
+       ck AS frame_checksum
+FROM frames
+""")
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one output row per sampled byte-window 'frame' —
-    the row-multiplying UDTF shape video pipelines need."""
+    the row-multiplying UDTF shape video pipelines need. The oracle
+    replays the byte windows and their checksums from
+    hex(encode(text))."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload(docs, "doc_id", "text", media_type="video/fake")
     return MM.frame_sample(media, every_n=64)
