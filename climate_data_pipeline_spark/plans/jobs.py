@@ -234,11 +234,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
                   split_weights: dict | None = None,
                   keep_split: str = "train", n_shards: int = 8,
                   salt: str = "", quality_filter: bool = False,
-                  lm_filter: bool = False,
+                  lm_filter: bool = False, normalize: bool = False,
                   progress: ProgressFn | None = None,
                   time_limit: float | None = 3600.0) -> dict:
     """The full training-data curation job in one call: load documents →
-    [optional heuristic quality gate] → [optional LM-perplexity gate] →
+    [optional Unicode NFC normalization] → [optional heuristic quality
+    gate] → [optional LM-perplexity gate] →
     exact dedup → deterministic split (keep one named split) → shard
     manifest → one-file-per-shard write (`write_training_shards`) — each
     stage the same op the DSL/operators expose, composed lazily so
@@ -246,7 +247,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
     the job's yield (what each gate, dedup and the split removed) is
     auditable.
 
-    ``quality_filter`` applies the composite heuristic gate of
+    ``normalize`` NFC-canonicalizes the text column FIRST
+    (`operators/text.nfc_normalize`) so that visually-identical
+    decomposed/composed variants hash identically through every later
+    gate and the dedup itself. ``quality_filter`` applies the composite heuristic gate of
     `text_keep_filter` (quality blend ≥ 0.49, 25–90 words, char entropy
     ≥ 2.8); ``lm_filter`` applies `operators/text.lm_perplexity`'s
     fluency flag. Gates run before dedup so every later stage pays for
@@ -267,7 +271,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
     try:
         return _curate_corpus_staged(
             spark, sf_dir, output_dir, text_col, id_col, split_weights,
-            keep_split, n_shards, salt, quality_filter, lm_filter, prog)
+            keep_split, n_shards, salt, quality_filter, lm_filter,
+            normalize, prog)
     except Exception as exc:
         # any-exception → failed dict, mirroring celery_tasks.py:77-81
         return _failed(exc, output_dir=output_dir, steps=prog.steps)
@@ -275,7 +280,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
 
 def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
                           split_weights, keep_split, n_shards, salt,
-                          quality_filter, lm_filter,
+                          quality_filter, lm_filter, normalize,
                           prog: _Progress) -> dict:
     from pyspark.sql import functions as F
 
@@ -287,6 +292,11 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
     docs = load_table(spark, sf_dir, "documents")
     doc_cols = docs.columns
     n_in = docs.count()
+    if normalize:
+        prog.step("normalize")
+        docs = (TX.nfc_normalize(docs, text_col, alias="__norm")
+                  .withColumn(text_col, F.col("__norm"))
+                  .select(*doc_cols))
     # disabled gates report the pass-through count (the previous
     # stage's n) so every stage count in the manifest is uniformly an
     # integer — consumers doing arithmetic/serialization never see a

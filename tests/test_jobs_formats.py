@@ -262,3 +262,17 @@ def test_lsh_index_incremental_append(spark, sf_small, tmp_path):
     want = sorted(map(tuple, lsh_ann_multiprobe(
         queries, emb, k=3, n_planes=6, dim=64).collect()))
     assert got == want
+
+
+def test_curate_corpus_normalize_stage(spark, sf_small, tmp_path):
+    """normalize=True NFC-canonicalizes text before the gates: step
+    sequence includes the stage and the job completes."""
+    from climate_data_pipeline_spark.plans.jobs import curate_corpus
+
+    steps = []
+    r = curate_corpus(spark, sf_small, str(tmp_path / "norm"),
+                      n_shards=2, normalize=True,
+                      progress=lambda st, step, el: steps.append(step))
+    assert r["status"] == "completed"
+    assert steps[:2] == ["loading", "normalize"]
+    assert r["n_after_dedup"] <= r["n_input"]
