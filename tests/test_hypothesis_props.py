@@ -345,3 +345,27 @@ def test_round_port_matches_duckdb_on_rationals(spark, nums, den):
         "SELECT " + sql_round_port(f"n / {den}.0") + " AS v FROM "
         "(SELECT unnest($nums) AS n)", params={"nums": nums}).fetchall())
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=40),    # rows
+       st.integers(min_value=1, max_value=9),     # dim
+       st.sampled_from(["<f4", "<f8", "<f2", "<i4", "u1"]),
+       st.booleans())                             # bf16 storage
+def test_safetensors_roundtrip_fuzz(tmp_path_factory, n, d, dtype, bf16):
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources import safetensors as sft
+
+    if bf16 and dtype != "<f4":
+        return
+    rng = np.random.default_rng(n * 100 + d)
+    arr = (rng.normal(size=(n, d)) * 100).astype(dtype)
+    p = str(tmp_path_factory.mktemp("sft") / "t.safetensors")
+    sft.write_safetensors(p, {"t": arr}, bf16=("t",) if bf16 else ())
+    out = sft.read_safetensors(p)["t"]
+    if bf16:
+        want = ((arr.view(np.uint32) >> 16) << 16).view(np.float32)
+        np.testing.assert_array_equal(out, want)
+    else:
+        np.testing.assert_array_equal(out, arr)
