@@ -786,6 +786,37 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 .select(query_id, corpus_id, "bucket", "cosine", "rank"))
 
 
+def knn_graph(df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k: int = 4,
+              n_planes: int = 6, seed: str = "cdps",
+              dim: int | None = None) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus — the
+    curation primitive behind SemDeDup-style semantic pruning, cluster
+    sampling and graph-propagated quality labels: every vector gets
+    edges to its ``k`` most-cosine-similar bucket-mates.
+
+    ONE hashing pass (the corpus is both sides of its own bucket
+    self-join), candidates ∝ Σ bucket-size² (hyperplane buckets are
+    near-uniform on real embeddings), exact cosine + per-source rank
+    within candidates only — never |n|². Returns (src, dst, cosine,
+    rank); recall follows the single-probe LSH curve, and
+    `lsh_ann_multiprobe` is the recall lever when the graph must be
+    denser."""
+    b = lsh_buckets(df, id_col, vec_col, n_planes, seed=seed, dim=dim)
+    a = b.select(F.col(id_col).alias("src"),
+                 F.col(vec_col).alias("__va"), "bucket")
+    c = b.select(F.col(id_col).alias("dst"),
+                 F.col(vec_col).alias("__vb"), "bucket")
+    cand = a.join(c, "bucket").where(F.col("src") != F.col("dst"))
+    cos = F.round(cosine_batch(F.col("__va"), F.col("__vb")), 6)
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(),
+                                          F.col("dst").asc())
+    return (cand.withColumn("cosine", cos)
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select("src", "dst", "cosine", "rank"))
+
+
 def lsh_ann_multiprobe(queries: DataFrame, corpus: DataFrame, k: int = 5,
                        query_id: str = "q_id", corpus_id: str = "vec_id",
                        query_vec: str = "q_vec",

@@ -614,6 +614,44 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann(queries, emb, k=3, n_planes=6, dim=64)
 
 
+@query("sim_knn_graph", oracle=f"""
+WITH {_LSH_BUCKET_CTES},
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT cand.src, cand.dst,
+         round(SUM(CAST(q.embedding[t.i] AS DOUBLE)
+                   * CAST(c.embedding[t.i] AS DOUBLE))
+               / (sqrt(SUM(pow(CAST(q.embedding[t.i] AS DOUBLE), 2)))
+                  * sqrt(SUM(pow(CAST(c.embedding[t.i] AS DOUBLE), 2)))), 6)
+           AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.src
+  JOIN embeddings c ON c.vec_id = cand.dst
+  CROSS JOIN generate_series(1, 64) t(i)
+  GROUP BY 1, 2
+)
+SELECT src, dst, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY src
+                               ORDER BY cosine DESC, dst ASC) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= 4
+""")
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (`operators/similarity.
+    knn_graph`): one hashing pass, a bucket SELF-join (the corpus is
+    both sides), exact cosine + per-source ranking within candidates —
+    the SemDeDup-style curation primitive. Deterministic hyperplanes
+    (seed 'cdps', 6 planes) let the oracle re-derive buckets, candidate
+    edges, cosines and ranks identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, k=4, n_planes=6, dim=64)
+
+
 @query("sim_lsh_multiprobe", oracle=f"""
 WITH {_LSH_BUCKET_CTES},
 probes AS (
