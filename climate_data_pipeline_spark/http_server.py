@@ -287,8 +287,10 @@ class ServingHttpServer:
         end = (query.get(end_key) or [None])[0]
         if start is None and end is None:
             return None
-        return (start or "0001-01-01", (end or "9999-12-31")
-                + " 23:59:59.999999")
+        end = end or "9999-12-31"
+        if len(end) == 10:  # date-only bound is inclusive of the whole day
+            end += " 23:59:59.999999"
+        return (start or "0001-01-01", end)
 
     def _point_route(self, name: str, query: dict) -> dict:
         """`GET /datasets/{id}/point` (routes/data.py:88-127)."""
@@ -534,9 +536,14 @@ class ServingHttpServer:
         if kind not in ("absolute", "standardized"):
             raise ApiError(422, "anomaly_type must be "
                                 "absolute|standardized")
+        try:
+            month = int(at.split("-")[1])
+            if not 1 <= month <= 12:
+                raise ValueError(at)
+        except (IndexError, ValueError):
+            raise ApiError(422, f"time must be YYYY-MM-DD, got {at!r}")
         out, tcol, var, loc, (y0, y1) = self._point_slice(
             name, query, "reference_start", "reference_end")
-        month = int(at.split("-")[1])
         clim = (out.where(F.month(tcol) == month)
                    .agg(F.avg(var).alias("m"),
                         F.stddev_pop(var).alias("s")).first())

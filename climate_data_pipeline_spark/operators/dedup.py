@@ -386,7 +386,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     prev_fp = labels.agg(
         F.count("*"),
         F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
-    for rnd in range(1, max_rounds):
+    for _rnd in range(1, max_rounds):
         # LAZY checkpoint + always-on fingerprint probe: the probe —
         # a one-row (count, order-independent hash sum) agg — is the
         # action that materializes the checkpoint, so each round is
@@ -402,7 +402,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                     .localCheckpoint(eager=False))
         fp = new.agg(F.count("*"),
                      F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
-        if rnd > 0 and fp == prev_fp:
+        if fp == prev_fp:
             changed = (new.alias("n")
                           .join(labels.alias("o"), "id")
                           .where(F.col("n.label") != F.col("o.label"))

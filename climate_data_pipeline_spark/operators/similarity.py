@@ -602,14 +602,17 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
 
 def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", n_seed: int = 40,
-                         offset: int = 1000000, eps: float = 0.05,
+                         offset: int | None = None, eps: float = 0.05,
                          seed: str = "cdps-twin") -> DataFrame:
     """Union the corpus with ``n_seed`` deterministic near-duplicate
     twins — planted positives that make an approximate-dedup pipeline's
     output NON-VACUOUS at any corpus scale (an empty pair graph and a
     broken pipeline are otherwise indistinguishable).
 
-    Twin of row ``i`` (for id < n_seed) gets id ``i + offset`` and
+    Twin of row ``i`` (for id < n_seed) gets id ``i + offset``
+    (``offset`` None → ``1 + max(id)`` via a broadcast scalar, so twin
+    ids can never collide with real ids at ANY corpus size — a fixed
+    literal would silently alias once the corpus grows past it) and
     embedding ``x_j · (1 + eps·s_ij)`` with ``s_ij ∈ {-1,+1}`` derived
     from ``md5(seed:i:j)`` — so cos(x, twin) ≥ (1-eps)/(1+eps) ≈ 0.905
     at eps 0.05 REGARDLESS of the data (numerator ≥ (1-eps)·‖x‖²,
@@ -637,9 +640,18 @@ def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     twins = (df.where(F.col(id_col) < n_seed)
                .select(F.col(id_col),
                        F.transform(F.col(vec_col), twin_component)
-                        .alias(vec_col))
-               .select((F.col(id_col) + offset).alias(id_col),
-                       F.col(vec_col)))
+                        .alias(vec_col)))
+    if offset is None:
+        # id-column-only agg, broadcast as a 1-row scalar: one pruned
+        # columnar scan, no shuffle of the corpus itself
+        off = df.agg((F.max(F.col(id_col)).cast("long") + 1)
+                     .alias("__twin_off"))
+        twins = (twins.crossJoin(F.broadcast(off))
+                      .select((F.col(id_col) + F.col("__twin_off"))
+                              .alias(id_col), F.col(vec_col)))
+    else:
+        twins = twins.select((F.col(id_col) + offset).alias(id_col),
+                             F.col(vec_col))
     return df.select(id_col, vec_col).unionByName(twins)
 
 

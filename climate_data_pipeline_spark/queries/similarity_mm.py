@@ -479,12 +479,14 @@ pairs AS (
 
 
 # Deterministic near-duplicate twins (operators/similarity.py
-# seed_near_duplicates): id + 1000000, each float component scaled by
-# (1 ± 0.05) with the sign from md5('cdps-twin:id:j'), j 0-based, cast
-# back to FLOAT — guaranteed cos ≥ (1-ε)/(1+ε) ≈ 0.905 vs the source
-# row, every step IEEE-exact in both engines.
+# seed_near_duplicates): id + (1 + max corpus id) — the same broadcast
+# scalar the engine derives, so twin ids never collide with real ids
+# at any corpus scale — each float component scaled by (1 ± 0.05) with
+# the sign from md5('cdps-twin:id:j'), j 0-based, cast back to FLOAT —
+# guaranteed cos ≥ (1-ε)/(1+ε) ≈ 0.905 vs the source row, every step
+# IEEE-exact in both engines.
 _SEEDED_EMB_CTE = """seeded AS (
-  SELECT e.vec_id + 1000000 AS vec_id,
+  SELECT e.vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
          list(CAST(CAST(e.embedding[t.i] AS DOUBLE)
                    * (1.0 + 0.05 * (CASE WHEN
                         CAST(('0x' || substr(md5('cdps-twin:'

@@ -103,7 +103,8 @@ class ServingApi:
                          dataset: str = "") -> list[dict]:
         """`/datasets/{id}/point` (`api/routes/data.py:88-127`): the series
         at one entity/grid point, optionally time-sliced (P4 + P2)."""
-        key = cache_key("point", dataset=dataset, keys=keys, tr=time_range)
+        key = cache_key("point", dataset=dataset, var=value_col, keys=keys,
+                        tr=time_range)
 
         def build():
             out = df
@@ -128,7 +129,8 @@ class ServingApi:
         """`/datasets/{id}/region` (`api/routes/data.py:130-169`): the
         spatial field inside a bbox, optionally at one time slice (P3+P4),
         capped at MAX_POINTS."""
-        key = cache_key("region", dataset=dataset, bbox=bbox, at=at)
+        key = cache_key("region", dataset=dataset, var=value_col, bbox=bbox,
+                        at=at)
 
         def build():
             out = bbox_filter(df, lat_col, lon_col, bbox)
@@ -146,7 +148,7 @@ class ServingApi:
                        bbox: tuple[float, float, float, float],
                        dataset: str = "") -> dict:
         """`/datasets/{id}/stats` (`api/routes/data.py:172-214`) → A12."""
-        key = cache_key("stats", dataset=dataset, bbox=bbox)
+        key = cache_key("stats", dataset=dataset, var=value_col, bbox=bbox)
 
         def build():
             out = bbox_filter(df, lat_col, lon_col, bbox)
@@ -163,7 +165,7 @@ class ServingApi:
         """`/api/v1/metrics/{...}` (`api/routes/metrics.py:11-218`) → O5
         dispatcher, JSON-shaped rows."""
         key = cache_key("metric", dataset=dataset, metric=metric_type,
-                        keys=list(keys), params=params)
+                        var=value_col, keys=list(keys), params=params)
 
         def build():
             out = run_metric(df, metric_type, time_col, value_col, keys,

@@ -36,7 +36,9 @@ import numpy as np
 _ST_DTYPES = {
     "F64": np.dtype("<f8"), "F32": np.dtype("<f4"), "F16": np.dtype("<f2"),
     "I64": np.dtype("<i8"), "I32": np.dtype("<i4"), "I16": np.dtype("<i2"),
-    "I8": np.dtype("i1"), "U8": np.dtype("u1"), "BOOL": np.dtype("?"),
+    "I8": np.dtype("i1"), "BOOL": np.dtype("?"),
+    "U64": np.dtype("<u8"), "U32": np.dtype("<u4"), "U16": np.dtype("<u2"),
+    "U8": np.dtype("u1"),
     # BF16: stored as raw u16, decoded specially
     "BF16": np.dtype("<u2"),
 }
@@ -44,6 +46,8 @@ _ST_NAMES = {np.dtype("<f8"): "F64", np.dtype("<f4"): "F32",
              np.dtype("<f2"): "F16", np.dtype("<i8"): "I64",
              np.dtype("<i4"): "I32", np.dtype("<i2"): "I16",
              np.dtype("i1"): "I8", np.dtype("u1"): "U8",
+             np.dtype("<u8"): "U64", np.dtype("<u4"): "U32",
+             np.dtype("<u2"): "U16",
              np.dtype("?"): "BOOL"}
 
 
@@ -151,20 +155,11 @@ def _embedding_batches(path: str, base: int, ent: dict, id_base: int,
             })
 
 
-def read_safetensors_embeddings(spark, path: str, tensor: str = "embedding",
-                                id_base: int = 0,
-                                rows_per_task: int = 65536):
-    """A 2-D float tensor → DataFrame(vec_id BIGINT, embedding
-    ARRAY<FLOAT>), one task per ``rows_per_task`` row slice (each task
-    seeks/reads only its own bytes). F16/BF16 upcast to float32
-    exactly; vec_id = id_base + row index."""
-    header, base = read_safetensors_header(path)
-    if tensor not in header:
-        raise ValueError(f"tensor {tensor!r} not in {sorted(header)}")
-    ent = header[tensor]
-    if len(ent["shape"]) != 2:
-        raise ValueError(f"tensor {tensor!r} is not 2-D: {ent['shape']}")
-    _st_dtype(ent)                        # loud on unsupported dtypes
+def _spanned_embedding_df(spark, path: str, base: int, ent: dict,
+                          id_base: int, rows_per_task: int):
+    """One Spark task per ``rows_per_task`` row slice of a 2-D matrix;
+    each task seeks/reads only its own byte range (shared by the
+    safetensors and .npy readers)."""
     n_rows = ent["shape"][0]
     spans = [(r, min(r + rows_per_task, n_rows))
              for r in range(0, max(n_rows, 1), rows_per_task)]
@@ -179,6 +174,24 @@ def read_safetensors_embeddings(spark, path: str, tensor: str = "embedding",
                  .repartition(len(spans))
     return specs.mapInPandas(
         gen, "vec_id long, embedding array<float>")
+
+
+def read_safetensors_embeddings(spark, path: str, tensor: str = "embedding",
+                                id_base: int = 0,
+                                rows_per_task: int = 65536):
+    """A 2-D float tensor → DataFrame(vec_id BIGINT, embedding
+    ARRAY<FLOAT>), one task per ``rows_per_task`` row slice (each task
+    seeks/reads only its own bytes). F16/BF16 upcast to float32
+    exactly; vec_id = id_base + row index."""
+    header, base = read_safetensors_header(path)
+    if tensor not in header:
+        raise ValueError(f"tensor {tensor!r} not in {sorted(header)}")
+    ent = header[tensor]
+    if len(ent["shape"]) != 2:
+        raise ValueError(f"tensor {tensor!r} is not 2-D: {ent['shape']}")
+    _st_dtype(ent)                        # loud on unsupported dtypes
+    return _spanned_embedding_df(spark, path, base, ent, id_base,
+                                 rows_per_task)
 
 
 # ------------------------------ .npy ----------------------------------------
@@ -217,23 +230,14 @@ def read_npy_embeddings(spark, path: str, id_base: int = 0,
         raise NotImplementedError(f".npy dtype {dt} not supported")
     if dt.byteorder == ">":
         raise NotImplementedError("big-endian .npy not supported")
-    ent = {"dtype": {2: "F16", 4: "F32", 8: "F64"}.get(
-        dt.itemsize if dt.kind == "f" else -1, None),
-        "shape": list(shape), "data_offsets": [0, 0]}
-    # reuse the safetensors slicer by describing the matrix the same way
-    if ent["dtype"] is None:
-        ent["dtype"] = {1: "I8", 2: "I16", 4: "I32", 8: "I64"}[dt.itemsize]
-    n_rows = shape[0]
-    spans = [(r, min(r + rows_per_task, n_rows))
-             for r in range(0, max(n_rows, 1), rows_per_task)]
-
-    def gen(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                yield from _embedding_batches(
-                    path, base, ent, id_base, [(int(row.r0), int(row.r1))])
-
-    specs = spark.createDataFrame(spans, "r0 long, r1 long") \
-                 .repartition(len(spans))
-    return specs.mapInPandas(
-        gen, "vec_id long, embedding array<float>")
+    # reuse the safetensors slicer by describing the matrix the same way;
+    # the sign-aware name keeps unsigned values exact (u2 60000 stays 60000)
+    name = {"f": {2: "F16", 4: "F32", 8: "F64"},
+            "i": {1: "I8", 2: "I16", 4: "I32", 8: "I64"},
+            "u": {1: "U8", 2: "U16", 4: "U32", 8: "U64"}}[dt.kind].get(
+        dt.itemsize)
+    if name is None:
+        raise NotImplementedError(f".npy dtype {dt} not supported")
+    ent = {"dtype": name, "shape": list(shape), "data_offsets": [0, 0]}
+    return _spanned_embedding_df(spark, path, base, ent, id_base,
+                                 rows_per_task)

@@ -884,18 +884,21 @@ def test_lsh_band_pairs_matches_brute_force(emb):
 
 
 def test_seed_near_duplicates_properties(emb):
-    """Planted twins: ids offset by 1e6, every twin's cosine to its
-    source row >= (1-eps)/(1+eps) (data-independent bound; measured
-    ~0.9988 on this corpus), corpus rows untouched, and the selective
-    production banding (33x6 + Hamming sketch) recovers EVERY planted
-    pair — the falsifiability contract behind the seeded queries."""
+    """Planted twins: ids offset by 1 + max corpus id (collision-free
+    at any scale), every twin's cosine to its source row >=
+    (1-eps)/(1+eps) (data-independent bound; measured ~0.9988 on this
+    corpus), corpus rows untouched, and the selective production
+    banding (33x6 + Hamming sketch) recovers EVERY planted pair — the
+    falsifiability contract behind the seeded queries."""
+    from pyspark.sql import functions as F
     corpus = SIM.seed_near_duplicates(emb, n_seed=25)
     n0 = emb.count()
+    off = emb.agg(F.max("vec_id")).first()[0] + 1
     assert corpus.count() == n0 + 25
-    tw = {r["id_b"] - 1000000: r["cosine"] for r in SIM.lsh_band_pairs(
+    tw = {r["id_b"] - off: r["cosine"] for r in SIM.lsh_band_pairs(
         corpus, threshold=0.5, n_bands=33, band_bits=6, dim=64,
-        prefilter_margin=0.3).collect() if r["id_b"] >= 1000000
-        and r["id_a"] == r["id_b"] - 1000000}
+        prefilter_margin=0.3).collect() if r["id_b"] >= off
+        and r["id_a"] == r["id_b"] - off}
     assert set(tw) == set(range(25))          # every twin pair found
     bound = (1 - 0.05) / (1 + 0.05)
     assert all(v >= bound for v in tw.values())

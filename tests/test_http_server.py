@@ -269,3 +269,58 @@ def test_metric_anomaly_real_climatology(climate_server):
     assert st == 200 \
         and body["anomaly"]["units"] == "standard deviations" \
         and body["anomaly"]["climatological_std"] is not None
+
+
+def test_metric_anomaly_malformed_time_is_422(climate_server):
+    """Regression: a non-date `time` must be a 422 validation error,
+    not a 500 from int() blowing up inside the handler."""
+    url, _rows = climate_server
+    for bad in ("foo", "2020", "2020-xx-01", "2020-13-01"):
+        with pytest.raises(HTTPError) as e:
+            _get(f"{url}/api/v1/metrics/anomaly/era5-like"
+                 f"?lat=0&lon=100&time={bad}")
+        assert e.value.code == 422, bad
+
+
+def test_cache_key_includes_variable(climate_server):
+    """Regression: point/region/stats cache keys must carry the
+    variable — a precipitation request right after the same-location
+    temperature request must NOT be served the temperature values from
+    cache."""
+    url, rows = climate_server
+    q = "lat=9&lon=104&start_date=2020-01-05&end_date=2020-01-08"
+    _, t = _get(f"{url}/datasets/era5-like/point?{q}&variable=temperature")
+    _, p = _get(f"{url}/datasets/era5-like/point"
+                f"?{q}&variable=precipitation")
+    want_p = [pv for (ts, la, lo, _v, pv) in rows
+              if la == 10.0 and lo == 100.0
+              and "2020-01-05" <= str(ts) <= "2020-01-09"]
+    assert p["data"]["values"] == want_p
+    assert t["data"]["values"] != p["data"]["values"]
+    b = ("west=95&south=-5&east=115&north=25"
+         "&start_date=2020-01-01&end_date=2020-01-31")
+    _, s_t = _get(f"{url}/datasets/era5-like/stats?{b}")
+    _, s_p = _get(f"{url}/datasets/era5-like/stats"
+                  f"?{b}&variable=precipitation")
+    assert s_t["statistics"]["mean"] != s_p["statistics"]["mean"]
+    r = "west=95&south=-5&east=115&north=15&time=2020-01-03"
+    _, g_t = _get(f"{url}/datasets/era5-like/region?{r}")
+    _, g_p = _get(f"{url}/datasets/era5-like/region"
+                  f"?{r}&variable=precipitation")
+    assert g_t["grid"]["values"] != g_p["grid"]["values"]
+
+
+def test_end_date_with_time_component(climate_server):
+    """Regression: an end_date that already carries a time component
+    must be used as-is — appending ' 23:59:59.999999' makes the cast
+    NULL and silently empties the result."""
+    url, _rows = climate_server
+    st, body = _get(f"{url}/datasets/era5-like/point?lat=9&lon=104"
+                    "&start_date=2020-01-05"
+                    "&end_date=2020-01-08T00:00:00")
+    assert st == 200
+    assert len(body["data"]["values"]) == 4      # 05..08 inclusive
+    st, body = _get(f"{url}/datasets/era5-like/stats?west=95&south=-5"
+                    "&east=115&north=25&start_date=2020-01-01"
+                    "&end_date=2020-01-31T12:00:00")
+    assert st == 200 and body["n"] > 0

@@ -114,6 +114,34 @@ def test_npy_distributed_read(spark, tmp_path):
         st.read_npy_header(bad)
 
 
+def test_npy_unsigned_dtypes_decode_exact(spark, tmp_path):
+    """Regression: unsigned .npy values above the signed range must
+    NOT be reinterpreted as negative (u2 60000 stays 60000.0)."""
+    for dt, vals in (("u1", [255, 128, 1]),
+                     ("<u2", [60000, 1, 40000]),
+                     ("<u4", [2**31 + 5, 2, 7])):
+        p = str(tmp_path / f"emb_{np.dtype(dt).name}.npy")
+        np.save(p, np.array([vals], dtype=dt))
+        got = {r["vec_id"]: r["embedding"] for r in
+               st.read_npy_embeddings(spark, p).collect()}
+        np.testing.assert_array_equal(
+            np.array(got[0]), np.array(vals, dtype="f8").astype("f4"))
+
+
+def test_unsigned_safetensors_round_trip(tmp_path):
+    """U16/U32/U64 are official safetensors dtypes — write+read must
+    preserve full-range unsigned values."""
+    p = str(tmp_path / "u.safetensors")
+    tensors = {"u16": np.array([0, 60000, 65535], dtype="<u2"),
+               "u32": np.array([2**31 + 1, 3], dtype="<u4"),
+               "u64": np.array([2**63 + 9], dtype="<u8")}
+    st.write_safetensors(p, tensors)
+    out = st.read_safetensors(p)
+    for k, v in tensors.items():
+        np.testing.assert_array_equal(out[k], v)
+        assert out[k].dtype == v.dtype
+
+
 def test_ann_operators_run_on_safetensors_source(spark, tmp_path):
     """Integration: vectors loaded from safetensors drive the same ANN
     operator as the parquet embeddings table, with identical results

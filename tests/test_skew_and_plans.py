@@ -260,10 +260,18 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
 def test_sim_pair_queries_have_no_all_pairs_join(spark, sf_small):
     """The shipped near-dup pair paths must candidate-generate via the
     (band, value) equi-join — an O(n²) theta join (NestedLoop /
-    Cartesian) here is the 100 TB scale-killer the banding removes."""
+    Cartesian) here is the 100 TB scale-killer the banding removes.
+    The ONLY nested-loop allowed is seed_near_duplicates' twin-id
+    offset: a 1-row broadcast of the global max(id) scalar joined onto
+    the ≤ n_seed twin rows — O(n_seed · 1), not O(n²)."""
     for name in ("sim_cosine_pairs", "dedup_semantic_clusters"):
         plan = _plan(spark, sf_small, name)
-        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "CartesianProduct" not in plan
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        n_scalar_off = plan.count("output=[__twin_off")
+        assert n_bnlj == n_scalar_off, \
+            f"{name}: {n_bnlj} nested loops vs {n_scalar_off} " \
+            "one-row twin-offset scalars"
 
 
 def test_lsh_planes_not_derived_per_row(spark, sf_small):
