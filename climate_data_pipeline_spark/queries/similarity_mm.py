@@ -932,7 +932,7 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann(queries, emb, k=3, n_lists=8, n_probe=2)
 
 
-_SEMANTIC_CLUSTER_TAIL = """
+_SEMANTIC_CLUSTER_CTES = """
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -942,10 +942,15 @@ reach(src, dst) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
   UNION
   SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
-)
-SELECT src AS id, min(dst) AS cluster_id,
-       (src = min(dst)) AS is_canonical
-FROM reach GROUP BY src
+),
+clusters AS (
+  SELECT src AS id, min(dst) AS cluster_id,
+         (src = min(dst)) AS is_canonical
+  FROM reach GROUP BY src
+)"""
+
+_SEMANTIC_CLUSTER_TAIL = _SEMANTIC_CLUSTER_CTES + """
+SELECT id, cluster_id, is_canonical FROM clusters
 """
 
 
@@ -982,6 +987,48 @@ def semantic_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                                prefilter_margin=0.3)
     from ..operators import dedup as D
     return D.duplicate_clusters(pairs)
+
+
+@query("dedup_semantic_prune", oracle=f"""
+WITH RECURSIVE {_SEEDED_EMB_CTE.strip()},
+{_BANDED_PAIRS_CTE_SELECTIVE.strip()},
+{_SEMANTIC_CLUSTER_CTES.strip()}
+SELECT c.vec_id, (cl.id IS NOT NULL) AS was_clustered
+FROM emb_seeded c
+LEFT JOIN clusters cl ON cl.id = c.vec_id AND cl.is_canonical
+WHERE NOT EXISTS (SELECT 1 FROM clusters d
+                  WHERE d.id = c.vec_id AND NOT d.is_canonical)
+""")
+def semantic_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style corpus PRUNE — the end-to-end curation
+    composition: `dedup_semantic_clusters`' pair graph → connected
+    components → keep exactly ONE canonical member (min id) per
+    cluster, pass every unclustered row through untouched. Returns the
+    SURVIVING corpus ids with ``was_clustered`` marking rows that won
+    their cluster (vs. never having a near-duplicate). The embedding
+    side's analogue of `dedup_keep_best` (`queries/text_dedup.py`).
+
+    Scale shape: the cluster table is ∝ duplicate NODES (tiny vs the
+    corpus), so the anti/left joins broadcast under AQE at any
+    realistic dup rate; the corpus itself is scanned once past the
+    pair machinery."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = SIM.seed_near_duplicates(emb, n_seed=40)
+    pairs = SIM.lsh_band_pairs(corpus, threshold=0.6, n_bands=34,
+                               band_bits=7, dim=64,
+                               prefilter_margin=0.3)
+    from ..operators import dedup as D
+    clusters = D.duplicate_clusters(pairs)
+    non_canon = (clusters.where(~F.col("is_canonical"))
+                         .select(F.col("id").alias("vec_id")))
+    canon = (clusters.where(F.col("is_canonical"))
+                     .select(F.col("id").alias("__cid")))
+    return (corpus.select("vec_id")
+                  .join(non_canon, "vec_id", "left_anti")
+                  .join(canon, F.col("vec_id") == F.col("__cid"), "left")
+                  .select("vec_id",
+                          F.col("__cid").isNotNull()
+                           .alias("was_clustered")))
 
 
 @query("dedup_semantic_eval", oracle=f"""

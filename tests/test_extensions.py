@@ -904,6 +904,20 @@ def test_seed_near_duplicates_properties(emb):
     assert all(v >= bound for v in tw.values())
 
 
+def test_semantic_prune_keeps_corpus_drops_twins(emb, spark, sf_dir):
+    """`dedup_semantic_prune`: every original corpus row survives (its
+    id is the cluster min vs its planted twin), every planted twin is
+    pruned, and the seed sources are flagged was_clustered."""
+    import climate_data_pipeline_spark.queries  # noqa: F401 — registers
+    from climate_data_pipeline_spark.registry import REGISTRY
+    out = REGISTRY["dedup_semantic_prune"].fn(spark, sf_dir).collect()
+    survivors = {r["vec_id"] for r in out}
+    corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert survivors == corpus_ids            # twins gone, corpus intact
+    clustered = {r["vec_id"] for r in out if r["was_clustered"]}
+    assert set(range(40)) <= clustered        # each seed won its cluster
+
+
 def test_lsh_bucket_fast_path_same_bits(emb):
     """Precomputed-plane literals must reproduce the per-row md5
     derivation bit-for-bit (same buckets for every vector)."""

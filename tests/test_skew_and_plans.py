@@ -264,7 +264,8 @@ def test_sim_pair_queries_have_no_all_pairs_join(spark, sf_small):
     The ONLY nested-loop allowed is seed_near_duplicates' twin-id
     offset: a 1-row broadcast of the global max(id) scalar joined onto
     the ≤ n_seed twin rows — O(n_seed · 1), not O(n²)."""
-    for name in ("sim_cosine_pairs", "dedup_semantic_clusters"):
+    for name in ("sim_cosine_pairs", "dedup_semantic_clusters",
+                 "dedup_semantic_prune"):
         plan = _plan(spark, sf_small, name)
         assert "CartesianProduct" not in plan
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
