@@ -235,12 +235,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
                   keep_split: str = "train", n_shards: int = 8,
                   salt: str = "", quality_filter: bool = False,
                   lm_filter: bool = False, normalize: bool = False,
+                  near_dedup: bool = False,
                   progress: ProgressFn | None = None,
                   time_limit: float | None = 3600.0) -> dict:
     """The full training-data curation job in one call: load documents →
     [optional Unicode NFC normalization] → [optional heuristic quality
     gate] → [optional LM-perplexity gate] →
-    exact dedup → deterministic split (keep one named split) → shard
+    exact dedup → [optional MinHash-LSH near-dedup] →
+    deterministic split (keep one named split) → shard
     manifest → one-file-per-shard write (`write_training_shards`) — each
     stage the same op the DSL/operators expose, composed lazily so
     Catalyst sees one plan until the write. Returns stage row counts so
@@ -254,7 +256,13 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
     `text_keep_filter` (quality blend ≥ 0.49, 25–90 words, char entropy
     ≥ 2.8); ``lm_filter`` applies `operators/text.lm_perplexity`'s
     fluency flag. Gates run before dedup so every later stage pays for
-    surviving documents only.
+    surviving documents only. ``near_dedup`` adds a MinHash-LSH pass
+    AFTER exact dedup (`operators/dedup.minhash_pairs` banded
+    candidates at jaccard_est ≥ 0.5 → `duplicate_clusters` → keep the
+    canonical member per cluster) — the C4/RefinedWeb-style near-dup
+    stage, banded so candidate volume never approaches all-pairs; it
+    runs after the exact pass so signatures are computed only for
+    byte-unique survivors.
 
     ``progress``/``time_limit`` follow the same Celery-state protocol
     as `process_dataset`: each stage emits ("PROCESSING", step,
@@ -272,7 +280,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
         return _curate_corpus_staged(
             spark, sf_dir, output_dir, text_col, id_col, split_weights,
             keep_split, n_shards, salt, quality_filter, lm_filter,
-            normalize, prog)
+            normalize, near_dedup, prog)
     except Exception as exc:
         # any-exception → failed dict, mirroring celery_tasks.py:77-81
         return _failed(exc, output_dir=output_dir, steps=prog.steps)
@@ -281,7 +289,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
 def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
                           split_weights, keep_split, n_shards, salt,
                           quality_filter, lm_filter, normalize,
-                          prog: _Progress) -> dict:
+                          near_dedup, prog: _Progress) -> dict:
     from pyspark.sql import functions as F
 
     from ..operators import text as TX
@@ -325,6 +333,17 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
         .select(F.col("keep_id").alias(id_col))
     deduped = docs.join(keep, id_col, "left_semi")
     n_dedup = deduped.count()
+    if near_dedup:
+        prog.step("near_dedup")
+        from ..operators.dedup import duplicate_clusters, minhash_pairs
+        pairs = minhash_pairs(deduped, text_col, id_col)
+        drop = (duplicate_clusters(pairs)
+                .where(~F.col("is_canonical"))
+                .select(F.col("id").alias(id_col)))
+        deduped = deduped.join(drop, id_col, "left_anti")
+        n_near = deduped.count()
+    else:
+        n_near = n_dedup
     prog.step("split")
     weights = split_weights or {"train": 0.9, "holdout": 0.1}
     split = deterministic_split(deduped, id_col, weights)
@@ -338,11 +357,13 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
         "n_after_quality": n_quality,
         "n_after_lm": n_lm,
         "n_after_dedup": n_dedup,
+        "n_after_near_dedup": n_near,
         "n_written": n_split,
         "quality_removed": n_in - n_quality,
         "lm_removed": n_quality - n_lm,
         "dedup_removed": n_lm - n_dedup,
-        "split_removed": n_dedup - n_split,
+        "near_dedup_removed": n_dedup - n_near,
+        "split_removed": n_near - n_split,
         "kept_split": keep_split,
         "steps": prog.steps,
     })

@@ -115,6 +115,27 @@ def test_curate_corpus_end_to_end(spark, sf_small, tmp_path):
     assert back.select("shard").distinct().count() <= 4
 
 
+def test_curate_corpus_near_dedup_stage(spark, sf_small, tmp_path):
+    """near_dedup=True adds the MinHash-LSH pass after exact dedup:
+    manifest arithmetic must hold through the extra stage and the
+    written corpus must carry no surviving near-dup pair at the
+    jaccard_est >= 0.5 gate the stage prunes at."""
+    from climate_data_pipeline_spark.operators.dedup import minhash_pairs
+    from climate_data_pipeline_spark.plans.jobs import curate_corpus
+
+    out = str(tmp_path / "curated_nd")
+    r = curate_corpus(spark, sf_small, out, n_shards=2, near_dedup=True,
+                      split_weights={"train": 1.0})
+    assert r["status"] == "completed" and r["verified"]
+    assert "near_dedup" in r["steps"]
+    assert (r["n_after_dedup"] >= r["n_after_near_dedup"]
+            == r["n_written"] > 0)
+    assert r["near_dedup_removed"] == \
+        r["n_after_dedup"] - r["n_after_near_dedup"]
+    back = spark.read.parquet(out)
+    assert minhash_pairs(back, "text", "doc_id").count() == 0
+
+
 def test_job_progress_protocol_and_time_limit(spark, sf_small, tmp_path):
     """The Celery-state analogue: multi-stage jobs emit
     ("PROCESSING", step, elapsed) per stage in order, record the step
