@@ -601,9 +601,17 @@ class H5File:
             raise H5Unsupported(f"filter pipeline version {version}")
         return out
 
-    def _defilter(self, raw: bytes, filters, typesize: int) -> bytes:
+    def _defilter(self, raw: bytes, filters, typesize: int,
+                  mask: int = 0) -> bytes:
+        """Undo the pipeline in reverse. ``mask`` is the chunk's filter
+        mask: bit i set = pipeline filter i was SKIPPED for this chunk
+        (spec IV.A.2.l) — e.g. an optional deflate that didn't shrink an
+        incompressible chunk — so only unmasked filters are undone."""
         from .zarr2 import _unshuffle
-        for fid, _vals in reversed(filters):
+        for i in reversed(range(len(filters))):
+            if mask & (1 << i):
+                continue
+            fid, _vals = filters[i]
             if fid == FILTER_FLETCHER32:
                 raw = raw[:-4]
             elif fid == FILTER_DEFLATE:
@@ -751,8 +759,8 @@ class H5File:
         out = np.full(ds.shape, fill, dtype=dtype.newbyteorder("="))
         for offs, size, mask, data_addr in self._chunks(ds):
             raw = self.buf[data_addr:data_addr + size]
-            if ds.filters and mask == 0:
-                raw = self._defilter(raw, ds.filters, dtype.itemsize)
+            if ds.filters:
+                raw = self._defilter(raw, ds.filters, dtype.itemsize, mask)
             arr = np.frombuffer(raw, dtype=dtype,
                                 count=int(np.prod(chunks)))
             arr = arr.astype(dtype.newbyteorder("=")).reshape(chunks)
@@ -814,14 +822,10 @@ def hdf5_to_grid(buf: bytes, variables=None, time_range=None):
 
     arrays = {}
     for n in data_names:
-        arr = f.read(n)
         a = f.datasets[n].attrs
-        if a.get("_FillValue") is not None and arr.dtype.kind == "f":
-            arr = np.where(arr == a["_FillValue"], np.nan, arr)
-        if "scale_factor" in a or "add_offset" in a:
-            arr = (arr.astype(np.float64) * a.get("scale_factor", 1.0)
-                   + a.get("add_offset", 0.0))
-        arrays[n] = arr
+        arrays[n] = _mask_and_scale(f.read(n), a.get("_FillValue"),
+                                    a.get("scale_factor"),
+                                    a.get("add_offset"))
 
     dims = detect_dims(dim_order, {d: str(coords[d].dtype)
                                    for d in dim_order})
@@ -990,6 +994,10 @@ def read_hdf5_long_distributed(spark, path: str, variables=None,
         if d.layout.get("class") == "chunked":
             per_var[n] = {offs: (addr, size, mask) for offs, addr, size,
                           mask in dataset_chunk_index(f, n)}
+        elif d.layout["addr"] == UNDEF:
+            # never-allocated contiguous dataset: no byte ranges exist;
+            # every chunk takes the loc-None fill path below
+            per_var[n] = {}
         else:
             base = d.layout["addr"]
             row_bytes = int(np.prod(shape[1:]) or 1) * d.dtype.itemsize
@@ -1037,9 +1045,9 @@ def read_hdf5_long_distributed(spark, path: str, variables=None,
                         addr, size, mask = loc
                         fh.seek(addr)
                         raw = fh.read(size)
-                        if m["chunked"] and m["filters"] and mask == 0:
+                        if m["chunked"] and m["filters"]:
                             raw = _defilter_static(raw, m["filters"],
-                                                   dtype.itemsize)
+                                                   dtype.itemsize, mask)
                         count = (int(np.prod(chunks)) if m["chunked"]
                                  else len(raw) // dtype.itemsize)
                         arr = np.frombuffer(raw, dtype=dtype, count=count)
@@ -1052,16 +1060,8 @@ def read_hdf5_long_distributed(spark, path: str, variables=None,
                                 + chunks[1:])
                     crop = tuple(slice(0, sl.stop - sl.start)
                                  for sl in sel)
-                    arr = arr[crop]
-                    if m["fill"] is not None and dtype.kind == "f":
-                        arr = np.where(arr == m["fill"], np.nan, arr)
-                    if m["scale"] is not None or m["offset"] is not None:
-                        arr = (arr.astype(np.float64)
-                               * (m["scale"] if m["scale"] is not None
-                                  else 1.0)
-                               + (m["offset"] if m["offset"] is not None
-                                  else 0.0))
-                    arrays[n] = arr
+                    arrays[n] = _mask_and_scale(
+                        arr[crop], m["fill"], m["scale"], m["offset"])
                 yield from _chunk_frames(
                     local_coords, arrays, dim_order,
                     time_chunk=len(local_coords[dim_order[0]]))
@@ -1069,9 +1069,10 @@ def read_hdf5_long_distributed(spark, path: str, variables=None,
     sample_coords = {d: coords[d][:1] for d in dim_order}
 
     def _out_dtype(m):
+        # mirror _mask_and_scale: a present fill OR any packing attr
+        # promotes to float64 (static per variable)
         if m["scale"] is not None or m["offset"] is not None \
-                or (m["fill"] is not None
-                    and np.dtype(m["dtype"]).kind == "f"):
+                or m["fill"] is not None:
             return np.dtype("float64")
         return np.dtype(m["dtype"]).newbyteorder("=")
 
@@ -1098,10 +1099,16 @@ def read_hdf5_long_distributed(spark, path: str, variables=None,
     return out
 
 
-def _defilter_static(raw: bytes, filters, typesize: int) -> bytes:
-    """Module-level defilter (picklable for executor closures)."""
+def _defilter_static(raw: bytes, filters, typesize: int,
+                     mask: int = 0) -> bytes:
+    """Module-level defilter (picklable for executor closures). ``mask``
+    bit i set = pipeline filter i was skipped for this chunk — undo
+    only the unmasked ones (mirrors `H5File._defilter`)."""
     from .zarr2 import _unshuffle
-    for fid, _vals in reversed(filters):
+    for i in reversed(range(len(filters))):
+        if mask & (1 << i):
+            continue
+        fid, _vals = filters[i]
         if fid == FILTER_FLETCHER32:
             raw = raw[:-4]
         elif fid == FILTER_DEFLATE:
@@ -1111,6 +1118,24 @@ def _defilter_static(raw: bytes, filters, typesize: int) -> bytes:
         else:
             raise H5Unsupported(f"HDF5 filter {fid} not supported")
     return raw
+
+
+def _mask_and_scale(arr: np.ndarray, fill, scale, offset) -> np.ndarray:
+    """CF unpack order: mask ``_FillValue`` FIRST — in the PACKED
+    domain, whatever the dtype — then apply scale_factor/add_offset.
+    A present fill always promotes to float64 so fill cells become NaN
+    instead of unpacking into plausible-looking fake values (packed
+    int16 ERA5/CMIP data is the canonical case); output dtype is
+    therefore static per variable, never data-dependent."""
+    if fill is not None:
+        mask = arr == fill
+        arr = arr.astype(np.float64)
+        arr[mask] = np.nan
+    if scale is not None or offset is not None:
+        arr = (arr.astype(np.float64)
+               * (scale if scale is not None else 1.0)
+               + (offset if offset is not None else 0.0))
+    return arr
 
 
 # =========================== writer =========================================
@@ -1146,11 +1171,16 @@ class _Writer:
                 + struct.pack("<I", dt.itemsize) \
                 + struct.pack("<HH", 0, dt.itemsize * 8)
         if dt.kind == "f":
+            # bit-field byte 1 = sign-bit location: bit 31 for f4,
+            # bit 63 for f8 (a fixed 0x3F here is out of range for f4
+            # and rejected by libhdf5 even though our reader ignores it)
             if dt.itemsize == 4:
                 props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+                sign_loc = 31
             else:
                 props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
-            return bytes([0x01 | (1 << 4), 0x20, 0x3F, 0]) \
+                sign_loc = 63
+            return bytes([0x01 | (1 << 4), 0x20, sign_loc, 0]) \
                 + struct.pack("<I", dt.itemsize) + props
         raise ValueError(f"unsupported dtype {dt}")
 

@@ -197,9 +197,18 @@ def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
         raise ValueError(f"unsupported CF time units: {units!r}")
     code = _CF_UNITS[m.group(1).lower()]
     epoch = np.datetime64(m.group(2).strip().replace(" ", "T"), "ns")
-    step = np.timedelta64(1, code).astype("timedelta64[ns]")
-    return (epoch + (np.asarray(values).astype("int64")
-                     * step.astype("int64")).astype("timedelta64[ns]"))
+    step_ns = np.timedelta64(1, code).astype("timedelta64[ns]") \
+                .astype("int64")
+    vals = np.asarray(values)
+    if vals.dtype.kind == "f":
+        # fractional CF coordinates ('0.5 days since ...') are legal
+        # and common — scale in float64, round to the nearest ns
+        # (truncating via int64 would floor every timestamp by up to
+        # one whole unit)
+        ns = np.round(vals.astype(np.float64) * step_ns).astype("int64")
+    else:
+        ns = vals.astype("int64") * step_ns
+    return epoch + ns.astype("timedelta64[ns]")
 
 
 # --- writer -----------------------------------------------------------------
@@ -224,7 +233,19 @@ def _w_attrs(attrs: dict) -> bytes:
             out.append(struct.pack(">II", 2, len(raw)) + _pad4(raw))
         else:
             arr = np.atleast_1d(np.asarray(v))
-            nc_type = _REV_TYPES[str(arr.dtype)]
+            if str(arr.dtype) not in _REV_TYPES and arr.dtype.kind == "i":
+                # plain python ints arrive as int64; classic netCDF has
+                # no 64-bit attribute type — downcast when lossless
+                as32 = arr.astype("int32")
+                if not np.array_equal(as32.astype(arr.dtype), arr):
+                    raise ValueError(
+                        f"attribute {k!r} exceeds the classic-format "
+                        f"int32 range: {v!r}")
+                arr = as32
+            nc_type = _REV_TYPES.get(str(arr.dtype))
+            if nc_type is None:
+                raise ValueError(f"unsupported attribute dtype "
+                                 f"{arr.dtype} for {k!r}")
             be = arr.astype(arr.dtype.newbyteorder(">"))
             out.append(struct.pack(">II", nc_type, arr.size)
                        + _pad4(be.tobytes()))

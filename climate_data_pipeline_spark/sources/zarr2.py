@@ -555,9 +555,13 @@ def zarr_info(path: str) -> dict:
     for name, m in meta.items():
         za = m["zarray"]
         adir = os.path.join(path, name)
+        # walk: v3 (and v2 with '/' separators) nest chunks in
+        # subdirectories — a flat listdir would count directory inodes
+        # and metadata instead of chunk bytes
         nbytes = sum(
-            os.path.getsize(os.path.join(adir, f))
-            for f in os.listdir(adir) if not f.startswith("."))
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(adir)
+            for f in files if not f.startswith(".") and f != "zarr.json")
         total += nbytes
         out["arrays"][name] = {
             "shape": za["shape"], "chunks": za["chunks"],
@@ -569,10 +573,31 @@ def zarr_info(path: str) -> dict:
     return out
 
 
+def _store_coords(path: str, meta: dict, dim_order, ref_shape):
+    """Decode ONLY the (small, 1-D) coordinate arrays of a store plus
+    CF time, and detect dim roles — never touches a data variable, so
+    it is safe to call driver-side on a multi-TB store."""
+    from .netcdf import detect_dims
+
+    coords = {}
+    for i, d in enumerate(dim_order):
+        if d in meta:
+            vals = read_zarr_array(path, d, meta[d])
+            units = meta[d].get("attrs", {}).get("units", "")
+            if isinstance(units, str) and " since " in units:
+                from .netcdf3 import decode_cf_time
+                vals = decode_cf_time(vals, units)
+            coords[d] = vals
+        else:
+            coords[d] = np.arange(ref_shape[i])
+    dims = detect_dims(dim_order, {d: str(coords[d].dtype)
+                                   for d in dim_order})
+    return coords, dims
+
+
 def _grid_from_store(path: str, variables=None, time_range=None):
     """Store → (coords, arrays, dim_order, detected dims) with CF time
     decode and read-time slicing — mirrors `netcdf._grid_from_nc3`."""
-    from .netcdf import detect_dims
 
     meta = open_zarr_store(path)
     dim_like = {n for n, m in meta.items()
@@ -587,23 +612,9 @@ def _grid_from_store(path: str, variables=None, time_range=None):
         raise ValueError("no data variables in store")
     dim_order = meta[data_names[0]]["attrs"]["_ARRAY_DIMENSIONS"]
 
-    coords = {}
-    for d in dim_order:
-        if d in meta:
-            vals = read_zarr_array(path, d, meta[d])
-            units = meta[d].get("attrs", {}).get("units", "")
-            if isinstance(units, str) and " since " in units:
-                from .netcdf3 import decode_cf_time
-                vals = decode_cf_time(vals, units)
-            coords[d] = vals
-        else:
-            size = dict(zip(dim_order,
-                            meta[data_names[0]]["zarray"]["shape"]))[d]
-            coords[d] = np.arange(size)
+    coords, dims = _store_coords(path, meta, dim_order,
+                                 meta[data_names[0]]["zarray"]["shape"])
     arrays = {n: read_zarr_array(path, n, meta[n]) for n in data_names}
-
-    dims = detect_dims(dim_order, {d: str(coords[d].dtype)
-                                   for d in dim_order})
     if time_range and dims["time"]:
         t = coords[dims["time"]]
         conv = (np.datetime64 if np.issubdtype(t.dtype, np.datetime64)
@@ -656,7 +667,10 @@ def read_zarr_long_distributed(spark, path: str, variables=None,
                 if m.get("attrs", {}).get("_ARRAY_DIMENSIONS") == [n]}
     data_names = [n for n in meta if n not in dim_like]
     if variables:
-        data_names = [v for v in variables if v in data_names]
+        missing = [v for v in variables if v not in data_names]
+        if missing:                    # loud, like every other read path
+            raise ValueError(f"variables not found: {missing}")
+        data_names = list(variables)
     if not data_names:
         raise ValueError("no data variables in store")
     dim_order = meta[data_names[0]]["attrs"]["_ARRAY_DIMENSIONS"]
@@ -666,7 +680,9 @@ def read_zarr_long_distributed(spark, path: str, variables=None,
                 or meta[n]["zarray"]["shape"] != za0["shape"]:
             raise ValueError("data variables must share one chunk grid")
 
-    coords, _, _, dims = _grid_from_store(path, variables=data_names[:1])
+    # coords only — decoding a full data variable driver-side would
+    # defeat this function's no-central-decode contract
+    coords, dims = _store_coords(path, meta, dim_order, za0["shape"])
     shape, chunks = za0["shape"], za0["chunks"]
     grid = _chunk_grid(shape, chunks)
 
@@ -854,10 +870,17 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
             epoch = dvals.min()
             off_ns = ((dvals - epoch).astype("timedelta64[ns]")
                       .astype(np.int64))
-            if (off_ns % 1_000_000_000).any():
+            if not (off_ns % 1_000_000_000).any():
+                unit, div = "seconds", 1_000_000_000
+            elif not (off_ns % 1_000).any():
                 unit, div = "microseconds", 1_000
             else:
-                unit, div = "seconds", 1_000_000_000
+                # CF's finest unit here is microseconds — flooring
+                # sub-µs offsets would silently collapse distinct
+                # timestamps (same contract as netcdf._long_to_grid)
+                raise ValueError(
+                    "time coordinates carry sub-microsecond offsets; "
+                    "CF encoding would lose precision")
             eu = ("s" if epoch == epoch.astype("datetime64[s]")
                   .astype(epoch.dtype) else "us")
             d_attrs["units"] = (

@@ -134,10 +134,11 @@ def test_hdf5_to_grid_netcdf4_semantics(tmp_path):
     assert str(coords["time"][1]) == "2020-03-01T06:00:00.000000000"
     got = arrays["tas"]
     assert got[0, 0] == 10 * 0.5 + 100.0
-    # integer fill is unpacked too (scale applied after NaN masking is
-    # only for float sources; int fill value scales like data — assert
-    # the sentinel is NOT silently kept)
-    assert got[1, 1] == -99 * 0.5 + 100.0 or np.isnan(got[1, 1])
+    # CF order: fill is masked in the PACKED domain before unpacking —
+    # an integer sentinel must become NaN, never the plausible-looking
+    # -99*0.5+100.0 = 50.5 (ERA5/CMIP int16 packing is this exact case)
+    assert np.isnan(got[1, 1])
+    assert got.dtype == np.float64
     # time_range slicing at the grid level
     _, arrays2, _, _ = hdf5.hdf5_to_grid(
         open(path, "rb").read(),
@@ -242,6 +243,65 @@ def test_distributed_read_equals_driver_side(spark, tmp_path):
     assert read_hdf5_long_distributed(
         spark, str(tmp_path / "chunked.nc"),
         time_range=("2031-01-01", "2031-12-31")).count() == 0
+
+
+def test_distributed_packed_fill_masks_to_nan(spark, tmp_path):
+    """Regression: packed int16 _FillValue must mask to NaN BEFORE
+    scale/offset in the distributed path too — not unpack into a
+    plausible fake value."""
+    from climate_data_pipeline_spark.sources.hdf5 import (
+        read_hdf5_long_distributed,
+    )
+
+    t = np.arange(3, dtype="<i4")
+    packed = np.array([[10, 20], [30, -99], [50, 60]], dtype="<i2")
+    path = write_hdf5(
+        str(tmp_path / "fill.nc"),
+        {"time": (t, {"units": "hours since 2020-01-01"}),
+         "lat": np.array([0.0, 10.0])},
+        {"tas": (["time", "lat"], packed,
+                 {"scale_factor": 0.5, "add_offset": 100.0,
+                  "_FillValue": np.int16(-99)})},
+        chunks={"tas": (2, 2)}, compress=True)
+    rows = {(str(r["time"]), r["lat"]): r["tas"]
+            for r in read_hdf5_long_distributed(spark, path).collect()}
+    assert rows[("2020-01-01 00:00:00", 0.0)] == 10 * 0.5 + 100.0
+    fill_cell = rows[("2020-01-01 01:00:00", 10.0)]
+    assert fill_cell is None or np.isnan(fill_cell)
+
+
+def test_defilter_honors_filter_mask():
+    """Regression: filter-mask bit i set = pipeline filter i was
+    SKIPPED for that chunk; only the remaining filters are undone
+    (the optional-deflate-didn't-shrink case)."""
+    import zlib
+
+    from climate_data_pipeline_spark.sources.hdf5 import (
+        FILTER_DEFLATE,
+        FILTER_SHUFFLE,
+        _defilter_static,
+    )
+    from climate_data_pipeline_spark.sources.zarr2 import _shuffle
+
+    data = np.arange(16, dtype="<f4").tobytes()
+    filters = [(FILTER_SHUFFLE, ()), (FILTER_DEFLATE, ())]
+    both = zlib.compress(_shuffle(data, 4))
+    assert _defilter_static(both, filters, 4) == data
+    # deflate (pipeline index 1) skipped for this chunk → mask 0b10
+    shuffled_only = _shuffle(data, 4)
+    assert _defilter_static(shuffled_only, filters, 4, mask=0b10) == data
+    # both skipped → raw passthrough
+    assert _defilter_static(data, filters, 4, mask=0b11) == data
+
+
+def test_writer_float_sign_bit_location():
+    """Regression: the float datatype message must place the sign bit
+    at 31 for f4 (63 is out of range and rejected by libhdf5)."""
+    from climate_data_pipeline_spark.sources.hdf5 import _Writer
+
+    f4 = _Writer._dt_msg(np.dtype("<f4"))
+    f8 = _Writer._dt_msg(np.dtype("<f8"))
+    assert f4[2] == 31 and f8[2] == 63
 
 
 def test_distributed_read_variable_subset_and_mismatch(spark, tmp_path):

@@ -261,6 +261,41 @@ def test_nc3_array_valued_attributes_roundtrip(tmp_path):
     np.testing.assert_array_equal(f.attrs["levels"], [1, 2, 3])
 
 
+def test_nc3_python_int_attr_roundtrip(tmp_path):
+    """Regression: plain python int attrs arrive as int64 — the writer
+    must downcast losslessly to the classic int32 attr type (read →
+    write of any integer attribute used to crash with KeyError), and
+    refuse values outside int32 loudly."""
+    from climate_data_pipeline_spark.sources import netcdf3
+
+    p = str(tmp_path / "pyint.nc")
+    netcdf3.write_netcdf3(
+        p, {"x": 2}, {"v": (["x"], np.array([1., 2.]), {"n_members": 5})},
+        attrs={"revision": 7})
+    f = netcdf3.parse_netcdf3(open(p, "rb").read())
+    assert f.attrs["revision"] == 7
+    assert f.variables["v"].attrs["n_members"] == 5
+    with pytest.raises(ValueError, match="int32 range"):
+        netcdf3.write_netcdf3(str(tmp_path / "big.nc"), {"x": 2},
+                              {"v": (["x"], np.array([1., 2.]), {})},
+                              attrs={"huge": 2**40})
+
+
+def test_cf_time_fractional_values_decode_exact(tmp_path):
+    """Regression: float CF coordinates ('0.5 days since …') decode to
+    the half-unit instants, not floored whole units."""
+    from climate_data_pipeline_spark.sources import netcdf3
+
+    got = netcdf3.decode_cf_time(np.array([0.5, 1.5]),
+                                 "days since 2000-01-01")
+    assert str(got[0]) == "2000-01-01T12:00:00.000000000"
+    assert str(got[1]) == "2000-01-02T12:00:00.000000000"
+    # integer axes keep the exact int64 path
+    gi = netcdf3.decode_cf_time(np.array([3], dtype="<i4"),
+                                "hours since 2000-01-01")
+    assert str(gi[0]) == "2000-01-01T03:00:00.000000000"
+
+
 def test_nc3_cdf2_64bit_offsets_roundtrip(spark, tmp_path):
     """CDF-2 (64-bit offset) variant — the format large files require —
     round-trips through the same parser and the Spark ingest."""

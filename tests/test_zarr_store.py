@@ -512,6 +512,70 @@ def test_v3_distributed_read_matches_eager(spark, v3_store):
     assert dist == eager
 
 
+def test_distributed_read_missing_variable_is_loud(spark, v3_store):
+    """Regression: a typo'd variable must raise like every other read
+    path, not be silently dropped from the result."""
+    path, _ = v3_store
+    with pytest.raises(ValueError, match="not found"):
+        zarr2.read_zarr_long_distributed(spark, path,
+                                         variables=["temperatrue"])
+
+
+def test_distributed_read_never_decodes_data_driver_side(
+        spark, v3_store, monkeypatch):
+    """Regression: building the task list must touch only the 1-D
+    coordinate arrays — decoding a data variable on the driver defeats
+    the no-central-decode contract on a multi-TB store."""
+    path, _ = v3_store
+    seen = []
+    orig = zarr2.read_zarr_array
+
+    def spy(p, name, m, **kw):
+        seen.append(name)
+        return orig(p, name, m, **kw)
+
+    monkeypatch.setattr(zarr2, "read_zarr_array", spy)
+    df = zarr2.read_zarr_long_distributed(spark, path)
+    assert "temperature" not in seen          # coords only, pre-action
+    assert df.count() == 90                   # the data still arrives
+
+
+def test_zarr_info_counts_chunk_bytes_not_inodes(v3_store):
+    """Regression: stored_bytes must sum nested chunk FILES (v3 keys
+    live under c/…), not directory inodes + metadata."""
+    path, _ = v3_store
+    info = zarr2.zarr_info(path)
+    adir = os.path.join(path, "temperature")
+    want = sum(os.path.getsize(os.path.join(root, f))
+               for root, _d, files in os.walk(adir)
+               for f in files if f != "zarr.json")
+    got = info["arrays"]["temperature"]["stored_bytes"]
+    assert got == want > 0        # chunk bytes only: no metadata,
+    #                               no directory inodes
+
+
+def test_v3_time_encoding_microseconds_and_sub_us_raise(tmp_path):
+    """Regression: µs-resolution offsets round-trip exactly; sub-µs
+    offsets raise instead of silently flooring to equal timestamps."""
+    base = np.datetime64("2020-01-01T00:00:00", "ns")
+    us = base + np.array([0, 1_000, 2_500_000]).astype("timedelta64[us]")
+    path = str(tmp_path / "us_store")
+    zarr2.write_zarr3(path, dims={"time": us.astype("datetime64[ns]")},
+                      variables={"v": (["time"],
+                                       np.arange(3.0), {})})
+    meta = zarr2.open_zarr_store(path)
+    from climate_data_pipeline_spark.sources.netcdf3 import decode_cf_time
+    back = decode_cf_time(zarr2.read_zarr_array(path, "time", meta["time"]),
+                          meta["time"]["attrs"]["units"])
+    np.testing.assert_array_equal(back, us.astype("datetime64[ns]"))
+    ns = base + np.array([0, 1, 2]).astype("timedelta64[ns]")
+    with pytest.raises(ValueError, match="sub-microsecond"):
+        zarr2.write_zarr3(str(tmp_path / "ns_store"),
+                          dims={"time": ns},
+                          variables={"v": (["time"],
+                                           np.arange(3.0), {})})
+
+
 def test_v3_info_and_unsupported_codecs(tmp_path, v3_store):
     path, _ = v3_store
     info = zarr2.zarr_info(path)
