@@ -411,9 +411,24 @@ def _bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
              .select("__id", "p.cur", "p.nxt"))
 
 
+def train_bigram_lm(train: DataFrame, text_col: str,
+                    id_col: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train `lm_perplexity`'s add-one bigram LM once and return its
+    three tables (pair counts, context totals, vocab size) — persist
+    them and pass as ``lm=`` to score many batches/streams against one
+    standing LM without re-aggregating the corpus per call."""
+    pc = (_bigram_stream(train, text_col, id_col)
+          .groupBy("cur", "nxt").agg(F.count("*").alias("__c")))
+    cc = pc.groupBy("cur").agg(F.sum("__c").alias("__total"))
+    vocab = (train.select(F.explode(words(text_col)).alias("__t"))
+                  .agg(F.countDistinct("__t").alias("__v")))
+    return pc, cc, vocab
+
+
 def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
                   nll_keep_threshold: float = 3.4,
-                  ref: DataFrame | None = None) -> DataFrame:
+                  ref: DataFrame | None = None,
+                  lm: tuple | None = None) -> DataFrame:
     """CCNet-style language-model quality scoring: train an add-one
     smoothed bigram LM on the corpus itself, score every document's
     average per-bigram negative log-likelihood, and flag fluent
@@ -442,17 +457,18 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
     and scores ``df``; bigrams unseen in the reference fall back to the
     same add-one formula with c = 0 (and total = 0 for unseen
     contexts), i.e. p = 1/(total+V), via left joins — never silently
-    dropped.
+    dropped. ``lm`` (a `train_bigram_lm` result, usually persisted)
+    skips training entirely — the score-many-batches mode where
+    re-aggregating the standing corpus per call would dominate.
 
     Output: (id, n_bigrams, sum_logp_micro, avg_nll, keep)."""
-    train = ref if ref is not None else df
     bigrams = _bigram_stream(df, text_col, id_col)
-    pc = (_bigram_stream(train, text_col, id_col)
-          .groupBy("cur", "nxt").agg(F.count("*").alias("__c")))
-    cc = pc.groupBy("cur").agg(F.sum("__c").alias("__total"))
-    vocab = (train.select(F.explode(words(text_col)).alias("__t"))
-                  .agg(F.countDistinct("__t").alias("__v")))
-    if ref is None:
+    if lm is not None:
+        pc, cc, vocab = lm
+    else:
+        pc, cc, vocab = train_bigram_lm(ref if ref is not None else df,
+                                        text_col, id_col)
+    if ref is None and lm is None:
         # self-trained: every scored bigram exists in the LM, so the
         # fully-scored LM assembles vocabulary-side and the token
         # stream pays exactly ONE equi join

@@ -130,6 +130,9 @@ def convert_dataset(spark: SparkSession, sf_dir: str, table: str,
                              operations=(), layout=layout,
                              entity_cols=entity_cols, time_col=time_col,
                              compression=compression, overwrite=overwrite)
+    if result.get("status") != "completed":
+        return result          # failed dict: nothing to verify (and no
+        #                        output_info key to crash on)
     in_rows = load_table(spark, sf_dir, table).count()
     out_rows = result["output_info"]["num_rows"]
     result["verified"] = in_rows == out_rows
@@ -269,12 +272,6 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
     elapsed) and the soft limit is checked at stage boundaries; on
     exhaustion the reference-shaped failed dict (with the steps run so
     far) is returned."""
-    from pyspark.sql import functions as F
-
-    from ..operators import text as TX
-    from ..operators.dedup import exact_dedup
-    from ..operators.sampling import deterministic_split
-
     prog = _Progress(progress, time_limit)
     try:
         return _curate_corpus_staged(
@@ -292,9 +289,22 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
                           near_dedup, prog: _Progress) -> dict:
     from pyspark.sql import functions as F
 
+    from pyspark import StorageLevel
+
     from ..operators import text as TX
     from ..operators.dedup import exact_dedup
     from ..operators.sampling import deterministic_split
+
+    # every stage count is an action — pin each counted frame so the
+    # count that audits a stage ALSO materializes it, and later stages
+    # (and the final write) read the cache instead of re-running every
+    # upstream gate/dedup (un-pinned, the job cost ~6 end-to-end passes)
+    pinned: list = []
+
+    def pin(frame):
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(frame)
+        return frame
 
     prog.step("loading")
     docs = load_table(spark, sf_dir, "documents")
@@ -317,6 +327,7 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
                         & nw.between(25, 90)
                         & (F.round("char_entropy", 6) >= 2.8))
                  .select(*doc_cols))
+        docs = pin(docs)
         n_quality = docs.count()
     else:
         n_quality = n_in
@@ -324,14 +335,14 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
         prog.step("lm_filter")
         keep_ids = (TX.lm_perplexity(docs, text_col, id_col)
                     .where("keep").select(id_col))
-        docs = docs.join(keep_ids, id_col, "left_semi")
+        docs = pin(docs.join(keep_ids, id_col, "left_semi"))
         n_lm = docs.count()
     else:
         n_lm = n_quality
     prog.step("dedup")
     keep = exact_dedup(docs, text_col, id_col) \
         .select(F.col("keep_id").alias(id_col))
-    deduped = docs.join(keep, id_col, "left_semi")
+    deduped = pin(docs.join(keep, id_col, "left_semi"))
     n_dedup = deduped.count()
     if near_dedup:
         prog.step("near_dedup")
@@ -340,18 +351,22 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
         drop = (duplicate_clusters(pairs)
                 .where(~F.col("is_canonical"))
                 .select(F.col("id").alias(id_col)))
-        deduped = deduped.join(drop, id_col, "left_anti")
+        deduped = pin(deduped.join(drop, id_col, "left_anti"))
         n_near = deduped.count()
     else:
         n_near = n_dedup
     prog.step("split")
     weights = split_weights or {"train": 0.9, "holdout": 0.1}
     split = deterministic_split(deduped, id_col, weights)
-    kept = split.where(F.col("split") == keep_split).drop("split")
+    kept = pin(split.where(F.col("split") == keep_split).drop("split"))
     n_split = kept.count()
     prog.step("writing")
-    result = write_training_shards(kept, output_dir, id_col, n_shards,
-                                   salt=salt, overwrite=True)
+    try:
+        result = write_training_shards(kept, output_dir, id_col, n_shards,
+                                       salt=salt, overwrite=True)
+    finally:
+        for frame in pinned:
+            frame.unpersist()
     result.update({
         "n_input": n_in,
         "n_after_quality": n_quality,

@@ -128,6 +128,13 @@ def _apply_op(df: DataFrame, op: dict) -> DataFrame:
     raise ValueError(f"unknown op {kind!r}")
 
 
+KNOWN_OPS = frozenset({
+    "slice_time", "slice_region", "select", "filter", "with_column",
+    "resample", "compute_mean", "dedup_exact", "sample", "split",
+    "shard", "lm_filter", "nfc_normalize", "gopher_filter",
+})
+
+
 def compile_ops(ops: Sequence[dict]) -> Callable[[DataFrame], DataFrame]:
     """Compile an op list into a single DataFrame → DataFrame transform.
     Validation of op names/aggregates happens at compile time; column
@@ -135,6 +142,11 @@ def compile_ops(ops: Sequence[dict]) -> Callable[[DataFrame], DataFrame]:
     for op in ops:
         if "op" not in op:
             raise ValueError(f"op dict missing 'op' key: {op}")
+        if op["op"] not in KNOWN_OPS:
+            # a typo must fail BEFORE the job runs earlier ops/loads —
+            # that is the whole point of the up-front compile
+            raise ValueError(f"unknown op {op['op']!r} "
+                             f"(known: {sorted(KNOWN_OPS)})")
         if op["op"] == "resample":
             for spec in op.get("aggs", {}).values():
                 _parse_agg(spec)

@@ -69,7 +69,12 @@ class Catalog:
         # reuse the nanos-aware loader for known table names
         if entry.path.endswith(f"/{name}.parquet") and name in TABLES:
             return load_table(self.spark, entry.path.rsplit("/", 1)[0], name)
-        return self.spark.read.parquet(entry.path)
+        # any other parquet: footer-detected TIMESTAMP(NANOS)
+        # normalization — an ALIASED registration of a nanos store must
+        # not crash the vectorized reader (or, with nanosAsLong already
+        # set session-wide, silently surface raw int64 nanoseconds)
+        from .io import load_parquet
+        return load_parquet(self.spark, entry.path)
 
     def describe(self, name: str, compute_extents: bool = False) -> dict:
         """Dataset info — schema, attrs, optional data extents (the

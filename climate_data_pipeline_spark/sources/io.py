@@ -35,10 +35,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan via Catalyst (predicate pushdown + column pruning) — the Spark
     analogue of the reference's read-time variable/time/bbox selection
     (`ingest/netcdf_reader.py:34-77`)."""
-    ns_cols = _NANOS_TS_COLS.get(name, ())
+    return _load_parquet_ns(spark, f"{sf_dir}/{name}.parquet",
+                            _NANOS_TS_COLS.get(name, ()))
+
+
+def _load_parquet_ns(spark: SparkSession, path: str,
+                     ns_cols: Sequence[str]) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     for c in ns_cols:
         dt = dict(df.dtypes).get(c) if c in df.columns else None
         if dt == "bigint":
@@ -52,6 +57,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # tz-invariant for every query in the registry.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def ntz_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns a parquet store encodes as tz-naive timestamps
+    (isAdjustedToUTC=false — Spark surfaces them as TIMESTAMP_NTZ, and
+    the NANOS unit needs the legacy conf) — read from ONE data file's
+    footer (pyarrow, driver-side metadata only). Lets arbitrary
+    registrations normalize event time exactly like the named testdata
+    tables, instead of keying on file names."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+    if not files:
+        return ()
+    schema = pq.read_schema(files[0])
+    return tuple(f.name for f in schema
+                 if pa.types.is_timestamp(f.type) and f.type.tz is None)
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet load for ANY store: tz-naive timestamp columns (NTZ or
+    legacy NANOS) are detected from the footer and normalized to
+    TimestampType the same way `load_table` does for the named
+    tables."""
+    return _load_parquet_ns(spark, path, ntz_timestamp_columns(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
@@ -150,7 +188,11 @@ def write_parquet(df: DataFrame, path: str, *,
     - ``spatial``: co-locate each timestamp's cross-section — directory
       partition by a coarse time bucket when time_col given, sort by entity
       within → a single-time snapshot prunes to one directory
-      (reference `arco_converter.py:45-52`).
+      (reference `arco_converter.py:45-52`). The bucket is a REAL,
+      documented partition column ``t_bucket`` (month of ``time_col``)
+      that readers of the store see like any lake-style ``date=``
+      partition key — it is derivable from ``time_col``, so dropping it
+      is always safe.
     - ``balanced``: range-partition by (entity, time) mixed (reference
       `arco_converter.py:53-60`).
 
@@ -170,9 +212,10 @@ def write_parquet(df: DataFrame, path: str, *,
         if time_col:
             writer_df = writer_df.sortWithinPartitions(*entity, time_col)
     elif layout == "spatial" and time_col:
-        bucket = F.date_trunc("month", F.col(time_col)).cast("date").alias("__t_bucket")
-        writer_df = df.withColumn("__t_bucket", bucket)
-        part_cols = ["__t_bucket", *part_cols]
+        bucket = F.date_trunc("month", F.col(time_col)).cast("date") \
+                  .alias("t_bucket")
+        writer_df = df.withColumn("t_bucket", bucket)
+        part_cols = ["t_bucket", *part_cols]
         if entity:
             writer_df = writer_df.sortWithinPartitions(*entity)
     else:  # balanced
@@ -210,6 +253,22 @@ def parquet_info(spark: SparkSession, path: str) -> dict:
     }
 
 
+def _hive_partition_keys(path: str) -> list[str]:
+    """Partition column names of a hive-layout store: one ``key=value``
+    directory level per key, walked down the first branch."""
+    import os
+
+    keys: list[str] = []
+    cur = path
+    while True:
+        subs = sorted(d for d in os.listdir(cur)
+                      if "=" in d and os.path.isdir(os.path.join(cur, d)))
+        if not subs:
+            return keys
+        keys.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+
+
 def compact_parquet(spark: SparkSession, path: str, *,
                     target_file_mb: int = 128,
                     target_files: int | None = None,
@@ -225,25 +284,41 @@ def compact_parquet(spark: SparkSession, path: str, *,
     target is honest about output size. With ``sort_cols`` the rewrite
     also re-sorts within files (repartitionByRange + sortWithinPartitions)
     to restore min/max row-group pruning that interleaved appends destroy.
-    The rewrite goes to a temp sibling then swaps, so readers never see a
-    half-written store."""
+    A hive-partitioned store (``key=value`` directories — the LSH index,
+    training shards, spatial layouts) is rewritten WITH the same
+    partitionBy so pruning contracts survive compaction. The rewrite
+    goes to a temp sibling then swaps; a crash between the two renames
+    is recovered on the next call (the backup is restored if the live
+    path vanished, discarded if the swap completed)."""
     import math
     import os
     import shutil
 
+    old = path.rstrip("/") + ".__compact_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)    # prior swap completed; stale backup
+        else:
+            os.rename(old, path)  # prior run died mid-swap: recover
+
     info = parquet_info(spark, path)
+    part_keys = _hive_partition_keys(path)
     n_files = target_files or max(
         1, math.ceil(info["bytes_stored"] / (target_file_mb << 20)))
     df = spark.read.parquet(path)
     if sort_cols:
         out = (df.repartitionByRange(n_files, *sort_cols)
                  .sortWithinPartitions(*sort_cols))
+    elif part_keys:
+        # one task per partition value → one compacted file per dir
+        out = df.repartition(*part_keys)
     else:
         out = df.repartition(n_files)
     tmp = path.rstrip("/") + ".__compact_tmp"
-    (out.write.option("compression", compression)
-        .mode("overwrite").parquet(tmp))
-    old = path.rstrip("/") + ".__compact_old"
+    writer = out.write.option("compression", compression).mode("overwrite")
+    if part_keys:
+        writer = writer.partitionBy(*part_keys)
+    writer.parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

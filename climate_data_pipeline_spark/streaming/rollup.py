@@ -185,13 +185,20 @@ def streaming_ingest_once(spark: SparkSession, sf_dir: str,
     ev = _read_events_stream(spark, sf_dir)
 
     def upsert(batch_df, batch_id):
+        import os
+
         batch = batch_df.dropDuplicates(["event_id"])
-        try:
+        # explicit existence probe, not try/except Exception: a
+        # transient read error (torn footer, permission, FS hiccup)
+        # must FAIL the batch — swallowing it would append without the
+        # anti-join and permanently duplicate replayed events, which is
+        # the exact guarantee this sink exists to provide
+        if os.path.isdir(target_dir) and any(
+                not f.startswith((".", "_"))
+                for f in os.listdir(target_dir)):
             existing = (batch_df.sparkSession.read.parquet(target_dir)
                         .select("event_id"))
             batch = batch.join(existing, "event_id", "left_anti")
-        except Exception:
-            pass  # first batch: target doesn't exist yet
         batch.write.mode("append").parquet(target_dir)
 
     return (ev.union(ev)  # at-least-once delivery simulation
@@ -366,7 +373,7 @@ def streaming_lm_gate(spark: SparkSession, sf_dir: str, target_dir: str,
     ``keep`` never silently loses a document.
 
     Returns the started StreamingQuery (caller drives/stops it)."""
-    from ..operators.text import lm_perplexity
+    from ..operators.text import lm_perplexity, train_bigram_lm
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (spark.readStream.schema(schema)
@@ -374,11 +381,15 @@ def streaming_lm_gate(spark: SparkSession, sf_dir: str, target_dir: str,
               .parquet(sf_dir)
               .where(F.col("doc_id") % 5 == 0))
     corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-              .where(F.col("doc_id") % 5 != 0).cache())
+              .where(F.col("doc_id") % 5 != 0))
+    # train the LM ONCE and persist its three tables — scoring a
+    # micro-batch must not re-aggregate the standing corpus per trigger
+    lm = tuple(t.cache() for t in train_bigram_lm(corpus, "text",
+                                                  "doc_id"))
 
     def gate(batch_df, batch_id):
         scores = lm_perplexity(batch_df, "text", "doc_id",
-                               nll_keep_threshold, ref=corpus)
+                               nll_keep_threshold, ref=corpus, lm=lm)
         out = (batch_df.select("doc_id")
                .join(scores, "doc_id", "left")
                .select("doc_id",

@@ -54,10 +54,10 @@ def test_write_layout_spatial(spark, events, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == events.count()
     # directory-partitioned by time bucket → time-slice reads prune dirs
-    assert "__t_bucket" in back.columns
-    pruned = back.where(F.col("__t_bucket") == "2024-01-01")
+    assert "t_bucket" in back.columns
+    pruned = back.where(F.col("t_bucket") == "2024-01-01")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(__t_bucket" in plan
+    assert "PartitionFilters: [isnotnull(t_bucket" in plan
 
 
 def test_write_layout_balanced_and_overwrite_protection(spark, events, tmp_path):
@@ -107,6 +107,65 @@ def test_compact_with_sort_restores_pruning(spark, events, tmp_path):
     sorted_rep = pruning_report(path, "user_id", 0, 5)
     assert sorted_rep["skipped"] > 0  # narrow key range now skips row groups
     assert sorted_rep["row_groups"] >= 2
+
+
+def test_compact_preserves_hive_partitions_and_recovers(spark, events,
+                                                        tmp_path):
+    """Regression: compacting a hive-partitioned store must keep the
+    key=value directory layout (the LSH index / shard contract), and a
+    stale .__compact_old from a crashed swap must be recovered, not
+    block the next run."""
+    import os
+
+    from climate_data_pipeline_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "parts")
+    (events.withColumn("bucket", F.col("user_id") % 4)
+           .repartition(16).write.partitionBy("bucket").parquet(path))
+    n = spark.read.parquet(path).count()
+    compact_parquet(spark, path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("bucket="))
+    assert dirs == [f"bucket={i}" for i in range(4)]   # layout intact
+    assert spark.read.parquet(path).count() == n
+    # crashed-mid-swap recovery: live path gone, backup present
+    os.rename(path, path + ".__compact_old")
+    compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == n
+    # completed-swap stale backup: discarded, compaction proceeds
+    os.makedirs(path + ".__compact_old/junk")
+    compact_parquet(spark, path)
+    assert not os.path.exists(path + ".__compact_old")
+    assert spark.read.parquet(path).count() == n
+
+
+def test_convert_dataset_failed_path_returns_failed_dict(spark, sf_small,
+                                                         tmp_path):
+    """Regression: when the underlying job fails (output exists,
+    overwrite=False), convert_dataset must return the reference-shaped
+    failed dict — not crash on the missing output_info key."""
+    from climate_data_pipeline_spark.plans.jobs import convert_dataset
+
+    out = str(tmp_path / "occupied")
+    assert convert_dataset(spark, sf_small, "region", out)["verified"]
+    r = convert_dataset(spark, sf_small, "region", out)  # second run
+    assert r["status"] == "failed" and "error" in r
+    assert "verified" not in r
+
+
+def test_catalog_aliased_nanos_parquet_normalizes(spark, sf_small):
+    """Regression: a nanos-timestamp parquet registered under an alias
+    (path basename != name) must load with ts as TIMESTAMP — not crash
+    the vectorized reader or surface raw int64 nanoseconds."""
+    from climate_data_pipeline_spark.sources.catalog import Catalog
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    cat = Catalog(spark)
+    cat.register("era5_events", f"{sf_small}/events.parquet")
+    df = cat.load("era5_events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    want = load_table(spark, sf_small, "events") \
+        .agg(F.max("ts")).first()[0]
+    assert df.agg(F.max("ts")).first()[0] == want
 
 
 def test_pruning_report_unknown_column(spark, events, tmp_path):

@@ -30,6 +30,24 @@ def test_ops_compiler_validates_eagerly():
                       "aggs": {"x": "median(v)"}}])
     with pytest.raises(ValueError, match="missing 'op'"):
         compile_ops([{"column": "ts"}])
+    # regression: a typo'd op NAME must fail at compile time too —
+    # before any load/earlier op runs, which is the point of the
+    # up-front compile in process_dataset
+    with pytest.raises(ValueError, match="unknown op 'fliter'"):
+        compile_ops([{"op": "fliter", "expr": "x > 0"}])
+
+
+def test_known_ops_matches_apply_op_dispatch():
+    """KNOWN_OPS (the compile-time whitelist) must stay in sync with
+    the `kind ==` dispatch in _apply_op — parse the source."""
+    import inspect
+    import re
+
+    from climate_data_pipeline_spark.plans import ops as ops_mod
+
+    src = inspect.getsource(ops_mod._apply_op)
+    handled = set(re.findall(r'kind == "([a-z_]+)"', src))
+    assert handled == set(ops_mod.KNOWN_OPS)
 
 
 def test_ops_unknown_column_raises(lineitem):
