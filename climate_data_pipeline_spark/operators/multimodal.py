@@ -57,8 +57,12 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
         def wav(text: str) -> bytes:
             raw = (text.encode("utf-8") or b"\x00")
+            # (b - 128) * 256 spans exactly [-32768, 32512]: every
+            # UTF-8 byte maps into int16 without wrap (a -64 bias
+            # overflowed for bytes >= 192, silently corrupting samples
+            # for any non-ASCII text)
             samples = (np.frombuffer(raw, dtype=np.uint8)
-                       .astype(np.int16) - 64) * 256
+                       .astype(np.int16) - 128) * 256
             samples = np.resize(samples, 400)
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:
@@ -220,8 +224,13 @@ def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
 def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     """Feature extraction: normalized byte histogram as a fixed-size
     ``array<double>`` embedding — the deterministic fake for an encoder
-    model; the plumbing (binary → vector column) is the real pattern."""
-    out_schema = f"media_id long, features array<double>"
+    model; the plumbing (binary → vector column) is the real pattern.
+    ``n_bins`` must divide 256: a non-divisor would spill byte 255
+    into a phantom extra bin (variable-length vectors break every
+    downstream cosine/kNN consumer), so it is rejected loudly."""
+    if not 1 <= n_bins <= 256 or 256 % n_bins:
+        raise ValueError(f"n_bins must be a divisor of 256, got {n_bins}")
+    out_schema = "media_id long, features array<double>"
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

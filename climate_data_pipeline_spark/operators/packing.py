@@ -40,7 +40,11 @@ def pack_sequences(df: DataFrame, id_col: str, n_tokens_col: str,
         pdf = pdf.sort_values("id").reset_index(drop=True)
         chunk, cum, out = 0, 0, []
         for t in pdf["n_tokens"]:
-            if cum > 0 and cum + t > budget:
+            # guard on "not the first doc", NOT on cum > 0: a stream
+            # opening with zero-token docs must still start a new chunk
+            # when an oversized doc follows (the exact recurrence the
+            # SQL oracle pins — `cum > 0` diverged there)
+            if out and cum + t > budget:
                 chunk, cum = chunk + 1, 0
             cum += t
             out.append(chunk)

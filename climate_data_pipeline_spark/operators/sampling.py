@@ -187,9 +187,9 @@ def token_budget_mix(df: DataFrame, source_col: str, id_col: str,
 
     budget = None
     for src, b in sorted(budgets.items()):
-        clause = F.when(F.col(source_col) == src, F.lit(int(b)))
-        budget = clause if budget is None else budget.when(
-            F.col(source_col) == src, F.lit(int(b)))
+        cond = F.col(source_col) == src
+        budget = (F.when(cond, F.lit(int(b))) if budget is None
+                  else budget.when(cond, F.lit(int(b))))
     order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = (Window.partitionBy(source_col)
                .orderBy(order_key.asc(), F.col(id_col).asc())
@@ -322,7 +322,11 @@ def leakage_safe_split(df: DataFrame, id_col: str, group_col: Column | str,
     from pyspark.sql import functions as F  # noqa: F811
 
     gcol = F.col(group_col) if isinstance(group_col, str) else group_col
-    keyed = df.withColumn("__g", gcol)
+    # null keys (e.g. md5 of a null text) form ONE group, like SQL's
+    # PARTITION BY — a plain equi-join would drop them (null != null),
+    # silently losing rows from both splits
+    keyed = df.withColumn(
+        "__g", F.coalesce(gcol.cast("string"), F.lit("\x00__null__")))
     reps = keyed.groupBy("__g").agg(F.min(id_col).alias("__rep"))
     joined = keyed.join(reps, "__g")
     out = deterministic_split(joined.withColumnRenamed(id_col, "__id_tmp")
@@ -361,8 +365,12 @@ def dsir_importance_weights(df: DataFrame, text_col: str, id_col: str,
     discipline), so scores are partition-order invariant and
     engine-portable. No UDFs; linear in corpus tokens.
 
-    Returns (id, n_grams, sum_logw_micro, logw) for every RAW (i.e.
-    non-target) document.
+    Returns (id, n_grams, sum_logw_micro, logw) for EVERY raw (i.e.
+    non-target) document — including those with fewer than 2 words,
+    which carry no bigram evidence and get the neutral weight
+    (n_grams 0, logw 0.0) instead of silently vanishing from the
+    output (a downstream resampler inner-joining weights back must
+    never lose short documents).
     """
     from pyspark.sql import Window
 
@@ -380,6 +388,11 @@ def dsir_importance_weights(df: DataFrame, text_col: str, id_col: str,
                            lambda a, b: F.concat(a, F.lit(" "), b)))
                        .alias("__g")))
     from pyspark import StorageLevel
+    # session-scoped cache: the feature stream feeds BOTH the count agg
+    # and the scoring join, so the corpus is tokenized exactly once; it
+    # stays registered until the session ends (or storage-pressure
+    # eviction) — callers scoring many corpora in one long-lived
+    # session should spark.catalog.clearCache() between runs
     feat = (grams.withColumn("__f", hash_bucket(F.col("__g"), n_features,
                                                 salt=":dsir"))
                  .select("__id", "__t", "__f")
@@ -411,6 +424,13 @@ def dsir_importance_weights(df: DataFrame, text_col: str, id_col: str,
                   .groupBy("__id")
                   .agg(F.count("*").alias("n_grams"),
                        F.sum("__lw").alias("sum_logw_micro")))
-    return scored.select(F.col("__id").alias(id_col), "n_grams",
-                         "sum_logw_micro",
-                         (F.col("sum_logw_micro") / 1e6).alias("logw"))
+    raw_ids = (df.withColumn("__t", is_target).where(~F.col("__t"))
+                 .select(F.col(id_col).alias("__id")))
+    return (raw_ids.join(scored, "__id", "left")
+                   .select(F.col("__id").alias(id_col),
+                           F.coalesce("n_grams", F.lit(0))
+                            .cast("long").alias("n_grams"),
+                           F.coalesce("sum_logw_micro", F.lit(0))
+                            .cast("long").alias("sum_logw_micro"),
+                           (F.coalesce("sum_logw_micro", F.lit(0)) / 1e6)
+                           .alias("logw")))

@@ -75,11 +75,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # bigram, each re-running the regex split) — 11 s -> ~1.5 s at sf0.1
     staged = df.withColumn("__ws", words(text_col))
     w = F.col("__ws")
-    idx = F.sequence(F.lit(1), F.size(w) - 1)
-    bigrams = F.when(F.size(w) >= 2, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(w, i),
-                                   F.element_at(w, i + 1)))) \
-               .otherwise(F.array().cast("array<string>"))
+    bigrams = _ngrams(w, 2)   # one shared adjacent-pair construction
 
     def per_doc(gram_col, top_alias, extra=()):
         g = staged.select(F.col(id_col).alias("id"),
@@ -254,6 +250,9 @@ def chunk_text(df: DataFrame, text_col: str, id_col: str,
                        F.concat_ws(" ", F.col("c.cw")).alias("chunk_text")))
 
 
+_CHUNK_SEQ = 0
+
+
 def chunk_text_udtf(spark, df: DataFrame, text_col: str, id_col: str,
                     chunk_size: int = 64, stride: int = 48) -> DataFrame:
     """The same chunker as a Python UDTF (Spark 4 user-defined *table*
@@ -278,13 +277,21 @@ def chunk_text_udtf(spark, df: DataFrame, text_col: str, id_col: str,
                 piece = ws[s:s + size]
                 yield idx, len(piece), " ".join(piece)
 
-    spark.udtf.register("__chunk_udtf", Chunker)
+    # unique per-invocation names: fixed session-global names let a
+    # second chunking job clobber the first's temp view before its lazy
+    # plan executes (silently chunking the wrong table); the id column
+    # is backtick-quoted, never spliced bare into SQL
+    global _CHUNK_SEQ
+    _CHUNK_SEQ += 1
+    fn, view = f"__chunk_udtf_{_CHUNK_SEQ}", f"__chunk_in_{_CHUNK_SEQ}"
+    spark.udtf.register(fn, Chunker)
     df.select(F.col(id_col), F.col(text_col).alias("__text")) \
-      .createOrReplaceTempView("__chunk_in")
+      .createOrReplaceTempView(view)
+    qid = id_col.replace("`", "``")
     return spark.sql(f"""
-        SELECT i.{id_col}, c.chunk_idx, c.n_words, c.chunk_text
-        FROM __chunk_in i, LATERAL __chunk_udtf(i.__text, {int(chunk_size)},
-                                                {int(stride)}) c
+        SELECT i.`{qid}`, c.chunk_idx, c.n_words, c.chunk_text
+        FROM {view} i, LATERAL {fn}(i.__text, {int(chunk_size)},
+                                    {int(stride)}) c
     """)
 
 
@@ -379,11 +386,14 @@ def lexical_diversity(df: DataFrame, text_col: str, group_col: str,
     ratio at normal distinct-1.
 
     One explode + one (group, count, count-distinct) aggregation per n
-    — uniform n-gram keys, map-side partials — joined on the tiny group
-    dimension (broadcast). Ratios round to 9 dp.
+    — uniform n-gram keys, map-side partials — LEFT-joined onto the
+    distinct group dimension (broadcast): a group whose documents are
+    all shorter than n still appears, with zero counts and NULL ttr —
+    the degenerate source this metric exists to catch must never be
+    the one silently missing from the report. Ratios round to 9 dp.
 
     Output: (group, total_1, distinct_1, ttr_1, ... per n)."""
-    out = None
+    out = df.select(F.col(group_col).alias("group")).distinct()
     for n in ns:
         grams = (df.select(F.col(group_col).alias("group"),
                            words(text_col).alias("__w"))
@@ -395,7 +405,8 @@ def lexical_diversity(df: DataFrame, text_col: str, group_col: str,
                .withColumn(f"ttr_{n}",
                            F.round(F.col(f"distinct_{n}")
                                    / F.col(f"total_{n}"), 9)))
-        out = agg if out is None else out.join(F.broadcast(agg), "group")
+        out = (out.join(F.broadcast(agg), "group", "left")
+                  .fillna(0, [f"total_{n}", f"distinct_{n}"]))
     return out
 
 

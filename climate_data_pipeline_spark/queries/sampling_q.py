@@ -294,11 +294,20 @@ lm AS (
   FROM (SELECT unnest(range(0, 4096)) AS f) b
   LEFT JOIN tc USING (f) LEFT JOIN rc USING (f), tt, rt
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       CAST(SUM(lw) AS BIGINT) AS sum_logw_micro,
-       SUM(lw) / 1000000.0 AS logw
-FROM f JOIN lm USING (f) WHERE NOT t
-GROUP BY 1
+,
+s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(SUM(lw) AS BIGINT) AS sum_logw_micro
+  FROM f JOIN lm USING (f) WHERE NOT t
+  GROUP BY 1
+)
+-- every raw doc appears: < 2 words → neutral weight, never dropped
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.sum_logw_micro, 0) AS sum_logw_micro,
+       coalesce(s.sum_logw_micro, 0) / 1000000.0 AS logw
+FROM (SELECT doc_id FROM documents WHERE NOT (source = 'src0')) d
+LEFT JOIN s USING (doc_id)
 """)
 def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights for raw documents against the 'src0'

@@ -819,7 +819,7 @@ sig AS (
          list_transform(range(256),
            i -> bytes[CAST(i % len(bytes) AS INT) + 1]) AS px,
          list_transform(range(400),
-           i -> (bytes[CAST(i % len(bytes) AS INT) + 1] - 64) * 256)
+           i -> (bytes[CAST(i % len(bytes) AS INT) + 1] - 128) * 256)
            AS samples
   FROM b
 )

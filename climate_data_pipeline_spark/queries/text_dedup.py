@@ -1372,13 +1372,18 @@ def _diversity_cte(n: int) -> str:
 
 
 @query("text_lexical_diversity", oracle=f"""
-WITH {_diversity_cte(1)}, {_diversity_cte(2)}, {_diversity_cte(3)}
-SELECT d1.source AS "group",
-       total_1, distinct_1, ttr_1,
-       total_2, distinct_2, ttr_2,
-       total_3, distinct_3, ttr_3
-FROM d1 JOIN d2 ON d1.source = d2.source
-        JOIN d3 ON d1.source = d3.source
+WITH {_diversity_cte(1)}, {_diversity_cte(2)}, {_diversity_cte(3)},
+g AS (SELECT DISTINCT source FROM documents)
+SELECT g.source AS "group",
+       coalesce(total_1, 0) AS total_1,
+       coalesce(distinct_1, 0) AS distinct_1, ttr_1,
+       coalesce(total_2, 0) AS total_2,
+       coalesce(distinct_2, 0) AS distinct_2, ttr_2,
+       coalesce(total_3, 0) AS total_3,
+       coalesce(distinct_3, 0) AS distinct_3, ttr_3
+FROM g LEFT JOIN d1 ON g.source = d1.source
+       LEFT JOIN d2 ON g.source = d2.source
+       LEFT JOIN d3 ON g.source = d3.source
 """)
 def lexical_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-n type-token ratios per source

@@ -394,6 +394,70 @@ def test_pack_sequences_invariants(spark):
     assert packed.count() == 200
 
 
+def test_pack_zero_token_prefix_matches_oracle_recurrence(spark):
+    """Regression: a stream opening with zero-token docs must still
+    start a new chunk when an oversized doc follows — the SQL oracle's
+    unconditional `cum + t > budget` recurrence (the old `cum > 0`
+    guard kept the oversized doc in chunk 0)."""
+    from climate_data_pipeline_spark.operators import packing as PK
+    df = spark.createDataFrame([(0, 0), (8, 600), (16, 10)],
+                               ["doc_id", "n_tok"])   # one pack group
+    got = {r["id"]: r["chunk_id"] for r in PK.pack_sequences(
+        df, "doc_id", "n_tok", budget=512, n_groups=8).collect()}
+    assert got == {0: 0, 8: 1, 16: 2}
+
+
+def test_leakage_safe_split_keeps_null_groups(spark):
+    """Regression: rows whose group key is null form ONE group (SQL
+    PARTITION BY semantics) and land in exactly one split — the plain
+    equi-join silently dropped them from every split."""
+    from climate_data_pipeline_spark.operators import sampling as S
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], ["id", "fp"])
+    out = S.leakage_safe_split(df, "id", F.col("fp"),
+                               {"train": 0.5, "eval": 0.5})
+    rows = out.collect()
+    assert len(rows) == 4                       # nothing dropped
+    null_splits = {r["split"] for r in rows if r["id"] in (2, 3)}
+    assert len(null_splits) == 1                # nulls co-assigned
+
+
+def test_lexical_diversity_keeps_short_groups(spark):
+    """Regression: a group whose docs are all shorter than n must
+    appear with zero counts, not vanish from the health report."""
+    from climate_data_pipeline_spark.operators import text as TX
+    df = spark.createDataFrame(
+        [(1, "one", "short"), (2, "two", "short"),
+         (3, "three words here now", "long")],
+        ["doc_id", "text", "source"])
+    out = {r["group"]: r for r in TX.lexical_diversity(
+        df, "text", "source").collect()}
+    assert set(out) == {"short", "long"}
+    assert out["short"]["total_1"] == 2 and out["short"]["total_2"] == 0
+    assert out["short"]["ttr_2"] is None
+
+
+def test_dsir_short_docs_get_neutral_weight(spark):
+    """Regression: a raw doc with < 2 words has no bigram evidence and
+    must appear with the neutral weight, never vanish."""
+    from climate_data_pipeline_spark.operators import sampling as S
+    df = spark.createDataFrame(
+        [(1, "target text sample here", "t"), (2, "word", "r"),
+         (3, "two words plus more", "r")],
+        ["doc_id", "text", "src"])
+    out = {r["doc_id"]: r for r in S.dsir_importance_weights(
+        df, "text", "doc_id", F.col("src") == "t").collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["n_grams"] == 0 and out[2]["logw"] == 0.0
+    assert out[3]["n_grams"] == 3
+
+
+def test_byte_histogram_rejects_non_divisor_bins(spark, docs):
+    from climate_data_pipeline_spark.operators import multimodal as MM
+    with pytest.raises(ValueError, match="divisor of 256"):
+        MM.byte_histogram_features(docs.limit(1), n_bins=12)
+
+
 def test_quota_sample_exact_and_stable(spark, docs):
     from climate_data_pipeline_spark.operators.sampling import quota_sample
 
@@ -556,8 +620,16 @@ def test_real_media_codecs_round_trip(spark):
     assert aud["kind"] == "audio"
     assert aud["sample_rate"] == 8000 and aud["n_samples"] == 400
     s = np.resize((np.frombuffer(b"an audio text payload", np.uint8)
-                   .astype(np.int16) - 64) * 256, 400).astype(np.float64)
+                   .astype(np.int16) - 128) * 256, 400).astype(np.float64)
     assert abs(aud["mean_value"] - float(np.sqrt((s * s).mean()))) < 1e-6
+    # non-ASCII bytes (>= 192) must not wrap in the stored samples
+    df_nl = spark.createDataFrame([(1, "café au lait")],
+                                  "doc_id long, text string")
+    got = decode_media_real(synthesize_media(df_nl, "doc_id", "text")) \
+        .first()["mean_value"]
+    sn = np.resize((np.frombuffer("café au lait".encode(), np.uint8)
+                    .astype(np.int64) - 128) * 256, 400).astype(np.float64)
+    assert abs(got - float(np.sqrt((sn * sn).mean()))) < 1e-6
     # unsupported magic fails loudly, per payload
     import pytest as _pt
     from pyspark.sql import functions as _F
@@ -1134,9 +1206,12 @@ def test_lexical_diversity_short_docs_no_higher_grams(spark):
     df = spark.createDataFrame([(1, "two words", "s")],
                                "doc_id long, text string, source string")
     out = TX.lexical_diversity(df, "text", "source").collect()
-    # docs shorter than n contribute nothing at that n; source with no
-    # 3-grams at all drops from the inner join (matching the oracle)
-    assert out == []
+    # docs shorter than n contribute nothing at that n, but the source
+    # still appears (zero counts, NULL ttr) — it must never vanish
+    assert len(out) == 1
+    r = out[0]
+    assert r["total_2"] == 1 and r["total_3"] == 0
+    assert r["ttr_3"] is None and r["distinct_3"] == 0
 
 
 def test_multiprobe_recall_dominates_single_probe(spark, emb):
