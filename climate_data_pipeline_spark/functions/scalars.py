@@ -48,10 +48,15 @@ def fractional_years(ts: Column | str, t0: str) -> Column:
 def severity_from_z(z: Column | str) -> Column:
     """7-level z-score banding, int8-style — exact thresholds from the
     reference (`metrics/anomalies.py:232-237`):
-    z<-2→-3, z<-1.5→-2, z<-1→-1, z<=1→0, z<=1.5→1, z<=2→2, else 3."""
+    z<-2→-3, z<-1.5→-2, z<-1→-1, z<=1→0, z<=1.5→1, z<=2→2, else 3.
+    A NULL z (single-row group, zero variance, null value) stays NULL —
+    the when() chain's conditions are all null→false, so without the
+    guard an unknown z would fall to otherwise(3) and be reported as
+    an extreme high anomaly."""
     z = F.col(z) if isinstance(z, str) else z
     return (
-        F.when(z < -2.0, -3)
+        F.when(z.isNull(), F.lit(None))
+        .when(z < -2.0, -3)
         .when(z < -1.5, -2)
         .when(z < -1.0, -1)
         .when(z <= 1.0, 0)
@@ -66,7 +71,8 @@ def anomaly_label(level: Column | str) -> Column:
     """Severity level → human label (`api/routes/metrics.py:221-250`)."""
     lv = F.col(level) if isinstance(level, str) else level
     return (
-        F.when(lv == -3, "extreme_low")
+        F.when(lv.isNull(), F.lit(None))
+        .when(lv == -3, "extreme_low")
         .when(lv == -2, "severe_low")
         .when(lv == -1, "moderate_low")
         .when(lv == 0, "normal")

@@ -105,6 +105,13 @@ def percentile_rank(df: DataFrame, time_col: str, value_col: str,
         seg = F.lit(float(lo)) + frac * F.lit(float(hi - lo))
         rank = F.when((v >= t_lo) & (v < t_hi) & (t_hi > t_lo), seg).otherwise(rank)
     rank = F.when(v >= F.col(f"__t{ps[-1]}"), F.lit(float(ps[-1]))).otherwise(rank)
+    # a null value, or a month with no reference thresholds (the left
+    # join misses), must rank NULL — the when() chain's conditions are
+    # all null→false, so without this guard it bottoms out at the
+    # lowest percentile and reports e.g. "10th" for unknown
+    # (np.interp in the reference yields NaN here)
+    rank = F.when(v.isNull() | F.col(f"__t{ps[0]}").isNull(),
+                  F.lit(None).cast("double")).otherwise(rank)
     out = out.withColumn(alias, rank)
     return out.drop(*[f"__t{p}" for p in ps])
 

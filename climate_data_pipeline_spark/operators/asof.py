@@ -72,8 +72,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     out = matched.where(F.col("__side") == 1)
     if tolerance_us is not None:
-        # unix_micros requires TIMESTAMP; NTZ columns cast first. Both sides
-        # get the same session-zone shift, so the difference is invariant.
+        # unix_micros requires TIMESTAMP; NTZ columns cast first. Both
+        # sides get the same session-zone shift, so the difference is
+        # invariant — EXCEPT when the two instants straddle a DST
+        # transition of a DST-observing session zone (the shifts then
+        # differ by the DST offset). NTZ data should be joined under a
+        # fixed-offset session zone (UTC — the engine default) for
+        # exact wall-clock tolerance semantics.
         def _us(c):
             return F.unix_micros(c.cast("timestamp"))
         fresh = _us(F.col(on)) - _us(F.col("__m_ts")) <= tolerance_us

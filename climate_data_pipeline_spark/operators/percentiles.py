@@ -60,8 +60,11 @@ def grouped_percentiles(df: DataFrame, time_col: str, value_col: str,
                  F.col(f"p{p}").alias("threshold"))
         for p in percentiles
     ])
+    pcols = {f"p{p}" for p in percentiles}
+    # drop exactly the percentile columns — a startswith("p") filter
+    # would silently delete group keys like 'plant_id'
     return (wide.withColumn("__pair", F.explode(pairs))
-                .select(*[c for c in wide.columns if not c.startswith("p")],
+                .select(*[c for c in wide.columns if c not in pcols],
                         F.col("__pair.percentile").alias("percentile"),
                         F.col("__pair.threshold").alias("threshold")))
 
@@ -146,15 +149,22 @@ def doy_window_percentiles(df: DataFrame, time_col: str, value_col: str,
     day-bins it falls inside, so project a literal offset array, explode
     (map-side row multiplication, bounded ×(2w+1) — no join against a
     calendar table), wrap at the year boundary with modular arithmetic,
-    and run the usual grouped percentile agg. Feb-29 folds into day 365
-    (`least(dayofyear, 365)`) so bins are a stable 1..365. One shuffle.
+    and run the usual grouped percentile agg. Leap years fold
+    calendar-day-correctly: Feb 29 merges into Feb 28's bin and every
+    later day shifts down one, so "Mar 1" is bin 60 in EVERY year — a
+    plain `least(doy, 365)` would misbin all post-February days of
+    leap years by one, the exact cross-year misalignment ETCCDI
+    pooling exists to avoid. Bins are a stable 1..365. One shuffle.
     At 100 TB scale flip ``exact=False`` for the sketch percentile, as
     with A5."""
     if window < 0:
         raise ValueError("window must be >= 0")
     if not all(0 < p < 100 for p in percentiles):
         raise ValueError("percentiles must be in (0, 100)")
-    doy0 = F.least(F.dayofyear(time_col), F.lit(365)) - 1
+    y = F.year(time_col)
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    doy = F.dayofyear(time_col)
+    doy0 = F.when(leap & (doy >= 60), doy - 1).otherwise(doy) - 1
     off = F.explode(F.sequence(F.lit(-window), F.lit(window))).alias("__off")
     binned = (df.select(doy0.alias("__doy0"), *keys, value_col)
                 .select("*", off)

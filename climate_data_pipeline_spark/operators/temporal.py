@@ -192,7 +192,11 @@ def spells(df: DataFrame, time_col: str, cond: Column,
     hits = (df.groupBy(*_cols(klist), bucket)
               .agg(F.max(cond.cast("int")).alias("__hit"))
               .where(F.col("__hit") == 1))
-    ordinal = (F.unix_timestamp("bucket") / F.lit(_FREQ_SECONDS[freq])).cast("long")
+    # floor, not cast: truncation-toward-zero gives pre-epoch buckets
+    # (unix < 0 — 1950s-60s climate baselines, or any positive-offset
+    # session zone around 1970) duplicate ordinals across the epoch,
+    # breaking the ordinal − row_number island constant
+    ordinal = F.floor(F.unix_timestamp("bucket") / F.lit(_FREQ_SECONDS[freq]))
     rn = F.row_number().over(Window.partitionBy(*klist).orderBy("bucket"))
     islands = hits.withColumn("__island", ordinal - rn)
     return (islands.groupBy(*klist, "__island")

@@ -58,7 +58,8 @@ def zscore_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("f4_severity", oracle=f"""
 SELECT l_orderkey, l_linenumber, month, l_returnflag, zscore,
-       CAST(CASE WHEN zscore < -2.0 THEN -3
+       CAST(CASE WHEN zscore IS NULL THEN NULL
+                 WHEN zscore < -2.0 THEN -3
                  WHEN zscore < -1.5 THEN -2
                  WHEN zscore < -1.0 THEN -1
                  WHEN zscore <= 1.0 THEN 0
@@ -91,6 +92,7 @@ WITH thr AS (
 )
 SELECT l.l_orderkey, l.l_linenumber, thr.month, l.l_returnflag, l.l_quantity,
        round(CASE
+         WHEN l.l_quantity IS NULL OR t10 IS NULL THEN NULL
          WHEN l.l_quantity >= t99 THEN 99.0
          WHEN l.l_quantity >= t95 AND l.l_quantity < t99 AND t99 > t95
               THEN 95.0 + (l.l_quantity - t95) / (t99 - t95) * 4.0
@@ -123,7 +125,8 @@ def percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("f5_anomaly_labels", oracle=f"""
 WITH sev AS (
   SELECT l_orderkey, l_linenumber, month, l_returnflag, zscore,
-         CAST(CASE WHEN zscore < -2.0 THEN -3
+         CAST(CASE WHEN zscore IS NULL THEN NULL
+                   WHEN zscore < -2.0 THEN -3
                    WHEN zscore < -1.5 THEN -2
                    WHEN zscore < -1.0 THEN -1
                    WHEN zscore <= 1.0 THEN 0

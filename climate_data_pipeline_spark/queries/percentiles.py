@@ -114,8 +114,16 @@ def percentile_bins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("a5_doy_window_percentiles", oracle="""
 WITH binned AS (
-  SELECT CAST((least(dayofyear(l_shipdate), 365) - 1 + off.o + 365) % 365 + 1
-              AS INTEGER) AS doy_bin,
+  -- leap-aware calendar fold: Feb 29 merges into Feb 28's bin and all
+  -- later days shift down one, so each bin is the same calendar day
+  -- in every year (mirrors operators/percentiles.doy_window_percentiles)
+  SELECT CAST(((CASE WHEN ((year(l_shipdate) % 4 = 0
+                            AND year(l_shipdate) % 100 <> 0)
+                           OR year(l_shipdate) % 400 = 0)
+                          AND dayofyear(l_shipdate) >= 60
+                     THEN dayofyear(l_shipdate) - 1
+                     ELSE dayofyear(l_shipdate) END) - 1 + off.o + 365)
+              % 365 + 1 AS INTEGER) AS doy_bin,
          l_returnflag, l_quantity
   FROM lineitem, (SELECT unnest(range(-2, 3)) AS o) AS off
 )

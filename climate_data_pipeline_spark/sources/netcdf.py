@@ -60,14 +60,21 @@ def grid_to_long(spark: SparkSession,
     """Dense (d1, d2, ..., dk) grids → long DataFrame with one row per
     cell and one column per variable (the §1.5 mapping decision).
 
-    Chunked along the leading dimension: each chunk is flattened to a
-    pandas frame and shipped as its own Arrow batch, so peak driver
-    memory is one chunk's rows, not the full grid. (With xarray present,
-    pass ``ds[v].values`` per chunk — identical code path.)
+    Chunked along the leading dimension: each chunk is flattened and
+    Arrow-encoded separately, then unioned — this avoids holding a
+    SECOND full long-table pandas copy next to the dense grid (the old
+    single pd.concat doubled peak driver memory). The dense grid itself
+    is driver-resident by this function's contract; for stores too big
+    for that, use the distributed readers (`read_netcdf3_many`,
+    `hdf5.read_hdf5_long_distributed`, `zarr2.read_zarr_long_distributed`)
+    whose executors decode their own chunks. (With xarray present, pass
+    ``ds[v].values`` per chunk — identical code path.)
     """
-    pdf = pd.concat(_chunk_frames(coords, variables, dim_order, time_chunk),
-                    ignore_index=True)
-    return spark.createDataFrame(pdf)
+    out = None
+    for chunk in _chunk_frames(coords, variables, dim_order, time_chunk):
+        part = spark.createDataFrame(chunk)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _chunk_frames(coords: dict[str, np.ndarray],
@@ -189,13 +196,21 @@ def read_netcdf_long(spark: SparkSession, path: str,
                 if missing:
                     raise ValueError(f"variables not found: {missing}")
                 ds = ds[list(variables)]
-            dims = detect_dims(list(ds.dims),
-                               {d: str(ds[d].dtype) for d in ds.dims})
+            # dim_order must come from the VARIABLE's own axis order —
+            # Dataset.dims is an unordered mapping (often alphabetical),
+            # so using it mislabels axes whenever the array layout is
+            # e.g. (time, lat, lon); coordinate-less dims (bounds
+            # dims like 'nv') get positional indices like the NC3 path
+            first = next(iter(ds.data_vars))
+            dim_order = list(ds[first].dims)
+            coords = {d: (ds[d].values if d in ds.coords
+                          else np.arange(ds.sizes[d])) for d in dim_order}
+            dims = detect_dims(dim_order,
+                               {d: str(coords[d].dtype) for d in dim_order})
             if time_range and dims["time"]:
                 ds = ds.sel({dims["time"]: slice(*time_range)})
-            coords = {d: ds[d].values for d in ds.dims}
+                coords[dims["time"]] = ds[dims["time"]].values
             arrays = {v: ds[v].values for v in ds.data_vars}
-            dim_order = list(ds.dims)
     else:
         coords, arrays, dim_order, dims = _grid_from_nc3(
             buf, variables, time_range)

@@ -154,3 +154,96 @@ def test_normal_sf_approx_matches_erfc(spark):
     for z in zs:
         exact = math.erfc(abs(z) / math.sqrt(2))
         assert abs(got[z] - exact) < 1.5e-7, (z, got[z], exact)
+
+
+def test_grouped_percentiles_keeps_p_prefixed_keys(spark):
+    """Regression: long_format must drop exactly the percentile
+    columns, not every column starting with 'p' (a key named plant_id
+    used to vanish, merging rows across plants)."""
+    df = spark.createDataFrame(
+        [("2020-01-05", "pA", 1.0), ("2020-01-06", "pA", 3.0),
+         ("2020-01-05", "pB", 10.0)],
+        ["ts", "plant_id", "v"]).withColumn("ts", F.to_timestamp("ts"))
+    out = P.grouped_percentiles(df, "ts", "v", keys=["plant_id"],
+                                percentiles=(50,), long_format=True)
+    assert "plant_id" in out.columns
+    got = {r["plant_id"]: r["threshold"] for r in out.collect()}
+    assert got["pA"] == 2.0 and got["pB"] == 10.0
+
+
+def test_severity_and_rank_null_safe(spark):
+    """Regression: NULL z-scores stay NULL (not 'extreme_high'), and a
+    value outside the reference months ranks NULL (not 10th pct)."""
+    from climate_data_pipeline_spark.functions import scalars as SC
+    df = spark.createDataFrame([(None,), (2.5,)], "z double")
+    got = {r["z"]: (r["sev"], r["lbl"]) for r in df.select(
+        "z", SC.severity_from_z("z").alias("sev"),
+        SC.anomaly_label(SC.severity_from_z("z")).alias("lbl")).collect()}
+    assert got[None] == (None, None) and got[2.5] == (3, "extreme_high")
+    obs = spark.createDataFrame(
+        [("2020-06-01", 1.0), ("2020-06-02", 2.0), ("2020-06-03", 3.0),
+         ("2020-01-15", 2.0)], ["ts", "v"]) \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r["month"]: r["percentile_rank"] for r in A.percentile_rank(
+        obs, "ts", "v", percentiles=(25, 75),
+        reference_period=("2020-06-01", "2020-06-30")).collect()}
+    assert out[1] is None            # January has no reference curve
+    assert out[6] is not None
+
+
+def test_doy_window_bins_are_calendar_stable_across_leap(spark):
+    """Regression: Mar 1 must land in the SAME bin (60) in leap and
+    non-leap years; Feb 29 merges into Feb 28's bin (59)."""
+    df = spark.createDataFrame(
+        [("2023-03-01", 1.0), ("2024-03-01", 2.0), ("2024-02-29", 3.0),
+         ("2024-02-28", 4.0), ("2024-12-31", 5.0), ("2023-12-31", 6.0)],
+        ["ts", "v"]).withColumn("ts", F.to_timestamp("ts"))
+    out = P.doy_window_percentiles(df, "ts", "v", percentiles=(50,),
+                                   window=0)
+    binned = {r["doy_bin"]: float(r["p50"]) for r in out.collect()}
+    # pooled medians prove co-binning: Mar 1 of both years -> bin 60,
+    # Feb 29 folds into Feb 28's bin 59, Dec 31 of both years -> 365
+    assert binned == {60: 1.5, 59: 3.5, 365: 5.5}
+
+
+def test_mann_kendall_ignores_nulls(spark):
+    """Regression: one NULL must not poison the series — the test runs
+    on the valid points (reference filters NaN; min length 4)."""
+    rows = [("2020-%02d-01" % m, float(m)) for m in range(1, 11)]
+    clean = spark.createDataFrame(rows, ["ts", "v"]) \
+        .withColumn("ts", F.to_timestamp("ts")).withColumn("k", F.lit("a"))
+    dirty = clean.unionByName(
+        spark.createDataFrame([("2020-11-01", None)], "ts string, v double")
+        .withColumn("ts", F.to_timestamp("ts")).withColumn("k", F.lit("a")))
+    want = TR.mann_kendall(clean, "ts", "v", ["k"]).first()
+    got = TR.mann_kendall(dirty, "ts", "v", ["k"]).first()
+    assert got["n"] == want["n"] == 10
+    assert got["s_stat"] == want["s_stat"] and got["z"] == want["z"]
+    assert got["significant"] and got["sen_slope"] == want["sen_slope"]
+    # short valid series (n < 4) -> the no-trend NaN result
+    short = spark.createDataFrame(
+        [("2020-01-01", 1.0), ("2020-02-01", 2.0), ("2020-03-01", 3.0)],
+        ["ts", "v"]).withColumn("ts", F.to_timestamp("ts")) \
+        .withColumn("k", F.lit("a"))
+    r = TR.mann_kendall(short, "ts", "v", ["k"]).first()
+    assert r["n"] == 3 and not r["significant"]
+
+
+def test_normal_quantile_tail_branch():
+    from climate_data_pipeline_spark.operators.trends import (
+        _normal_quantile,
+    )
+    assert abs(_normal_quantile(0.9995) - 3.29052673) < 1e-6
+    assert abs(_normal_quantile(0.0005) + 3.29052673) < 1e-6
+    assert abs(_normal_quantile(0.6) - 0.25334710) < 1e-6
+
+
+def test_spells_span_the_epoch(spark):
+    """Regression: daily bucket ordinals must FLOOR, not truncate —
+    a spell crossing 1970-01-01 (or any pre-epoch data) used to split
+    because two days shared ordinal 0."""
+    days = ["1969-12-30", "1969-12-31", "1970-01-01", "1970-01-02"]
+    df = spark.createDataFrame([(d, 1.0) for d in days], ["ts", "v"]) \
+        .withColumn("ts", F.to_timestamp("ts")).withColumn("k", F.lit("a"))
+    out = T.spells(df, "ts", F.col("v") > 0, ["k"]).collect()
+    assert len(out) == 1 and out[0]["spell_len"] == 4
