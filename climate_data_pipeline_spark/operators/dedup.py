@@ -215,7 +215,10 @@ def incremental_dedup(corpus: DataFrame | None, batch: DataFrame,
     unique across corpus and batch).
 
     Returns one row per batch document: (id, n_matches, best_est,
-    matched_corpus, is_dup).
+    matched_corpus, is_dup) — INCLUDING documents shorter than the
+    shingle width, which carry no MinHash evidence and screen as
+    is_dup = false (anchoring on the signature table instead used to
+    silently drop them from the decision stream).
 
     Scale shape: the corpus contributes only its band table —
     O(bands) skinny rows per document, the thing a production pipeline
@@ -234,11 +237,11 @@ def incremental_dedup(corpus: DataFrame | None, batch: DataFrame,
     sigc = corpus_sigs
     sigb = minhash_signatures(batch, text_col, id_col, num_perm, n,
                               scheme).cache()
+    bb = band_table(sigb, num_perm, bands)   # derive the batch bands once
     pool = (band_table(sigc, num_perm, bands)
             .withColumn("is_corpus", F.lit(True))
-            .unionByName(band_table(sigb, num_perm, bands)
-                         .withColumn("is_corpus", F.lit(False))))
-    probe = band_table(sigb, num_perm, bands)
+            .unionByName(bb.withColumn("is_corpus", F.lit(False))))
+    probe = bb
     cand = (probe.alias("a")
             .join(pool.alias("b"),
                   (F.col("a.band") == F.col("b.band"))
@@ -261,7 +264,7 @@ def incremental_dedup(corpus: DataFrame | None, batch: DataFrame,
         F.count("*").alias("n_matches"),
         F.max("est").alias("best_est"),
         F.expr("bool_or(is_corpus)").alias("matched_corpus"))
-    return (sigb.select("id").join(per, "id", "left")
+    return (batch.select(F.col(id_col).alias("id")).join(per, "id", "left")
             .select(F.col("id").alias(id_col),
                     F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
                     F.coalesce("best_est", F.lit(0.0)).alias("best_est"),
@@ -386,6 +389,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     prev_fp = labels.agg(
         F.count("*"),
         F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
+    converged = False
     for _rnd in range(1, max_rounds):
         # LAZY checkpoint + always-on fingerprint probe: the probe —
         # a one-row (count, order-independent hash sum) agg — is the
@@ -409,9 +413,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                           .count())
             if changed == 0:
                 labels = new
+                converged = True
                 break
         prev_fp = fp
         labels = new
+    if not converged:
+        # returning part-propagated labels would be a plausible-looking
+        # WRONG clustering (multiple canonicals per component) with no
+        # way to detect it — refuse instead
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the round budget); raise "
+            "max_rounds or use duplicate_clusters_star (O(log n) rounds "
+            "on any topology)")
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"),
                          (F.col("id") == F.col("label")).alias("is_canonical"))
 
@@ -457,6 +471,7 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                                  F.col("lo").alias("v"))))
 
     prev_fp = None
+    converged = False
     for _ in range(max_rounds):
         s = sym(edges)
         # large-star: from each edge's smaller endpoint u, re-attach v>u
@@ -490,9 +505,15 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
         fp = new.agg(F.count("*"), F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)"))).first()
         if fp == prev_fp and new.exceptAll(edges).count() == 0:
             edges = new
+            converged = True
             break
         prev_fp = fp
         edges = new
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_rounds} "
+            "rounds — raise max_rounds (O(log n) rounds suffice on any "
+            "topology, so this indicates an extreme component count)")
 
     # fixpoint edge set is a star forest: (root, member) per non-root
     members = edges.groupBy(F.col("hi").alias("id")) \
@@ -535,7 +556,14 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   max_hamming: int = 3, bands: int = 4) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming`` via byte-band
     LSH: with 4 bands and ≤3 differing bits, at least one 8-bit band is
-    identical (pigeonhole), so the banded join is lossless vs brute force."""
+    identical (pigeonhole), so the banded join is lossless vs brute force.
+    The pigeonhole needs max_hamming < bands — a looser radius would
+    silently miss true pairs, so it is rejected loudly (same guard as
+    `simhash64_pairs`)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"losslessness needs max_hamming < bands (pigeonhole): "
+            f"got max_hamming={max_hamming}, bands={bands}")
     sig = simhash(df, text_col, id_col).cache()
     band_arr = F.array(*[
         F.struct(F.lit(b).cast("int").alias("band"),
@@ -652,6 +680,15 @@ def blocked_link_pairs(df: DataFrame, id_col: str, name_col: str,
     Skew note: a hot blocking key degenerates toward n² — pick blocks
     with bounded cardinality (or add a discriminating second key), the
     ER equivalent of `ngram_jaccard_pairs`' max_df cap."""
+    return _blocked_pairs(df, id_col, name_col, block_cols,
+                          max_distance).select("id_a", "id_b", "distance")
+
+
+def _blocked_pairs(df: DataFrame, id_col: str, name_col: str,
+                   block_cols: list[str], max_distance: int) -> DataFrame:
+    """Shared pair generation of `blocked_link_pairs` /
+    `blocked_entity_clusters`: (block_cols..., id_a, id_b, distance)
+    candidate links inside each blocking group."""
     # _spread: small compacted inputs scan as ONE task, and a broadcast
     # block-join would then run every levenshtein on that single core —
     # rebalance the probe side to the cluster's slots first (no-op when
@@ -671,7 +708,7 @@ def blocked_link_pairs(df: DataFrame, id_col: str, name_col: str,
              .withColumn("distance",
                          F.levenshtein("__na", "__nb", max_distance))
              .where(F.col("distance").between(0, max_distance))
-             .select("id_a", "id_b", "distance"))
+             .select(*block_cols, "id_a", "id_b", "distance"))
 
 
 def blocked_entity_clusters(df: DataFrame, id_col: str, name_col: str,
@@ -700,21 +737,8 @@ def blocked_entity_clusters(df: DataFrame, id_col: str, name_col: str,
     """
     import pandas as pd
 
-    # _spread: small compacted inputs scan as ONE task, and a broadcast
-    # block-join would then run every levenshtein on that single core —
-    # rebalance the probe side to the cluster's slots first (no-op when
-    # the scan already has enough splits, i.e. at scale)
-    a = _spread(df).select(F.col(id_col).alias("id_a"),
-                           F.col(name_col).alias("__na"),
-                           *[F.col(c) for c in block_cols])
-    b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(name_col).alias("__nb"),
-                  *[F.col(c).alias(f"__b_{c}") for c in block_cols])
-    cond = [F.col(c) == F.col(f"__b_{c}") for c in block_cols]
-    pairs = (a.join(b, cond + [F.col("id_a") < F.col("id_b")])
-              .where(F.levenshtein("__na", "__nb", max_distance)
-                      .between(0, max_distance))
-              .select(*block_cols, "id_a", "id_b"))
+    pairs = _blocked_pairs(df, id_col, name_col, block_cols,
+                           max_distance).select(*block_cols, "id_a", "id_b")
 
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -858,7 +882,10 @@ def contamination_check_bloom(corpus: DataFrame, benchmark: DataFrame,
     through the exact semi join that removes false positives. Bloom
     prune + exact confirm ≡ exact semi join, so this shares
     `text_contamination`'s oracle."""
-    b_sh = _doc_shingles(benchmark, text_col, id_col, n)
+    # cache: the (small) benchmark shingle stream feeds per_doc, the
+    # Bloom build AND the hit count — tokenize it once, not three times
+    # (same discipline as contamination_check)
+    b_sh = _doc_shingles(benchmark, text_col, id_col, n).cache()
     per_doc = b_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     b_set = b_sh.select("shingle").distinct()
     bloom = bloom_build(b_set, "shingle", m_bits, k)

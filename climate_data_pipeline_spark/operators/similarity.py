@@ -146,8 +146,13 @@ def cosine_topk_blocked(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 col = cos[:, j].copy()
                 mask = cids == ids_q[j]
                 col[mask] = -np.inf               # exclude self-match
+                # NaN (zero-norm vector) ranks GREATEST — Spark's window
+                # order and DuckDB's total order both put NaN above every
+                # double, so the local top-k must too or the blocked path
+                # diverges from cosine_topk on degenerate vectors
+                key = np.where(np.isnan(col), np.inf, col)
                 # local top-k with the global tiebreak (cos desc, id asc)
-                order = np.lexsort((cids, -col))[:k]
+                order = np.lexsort((cids, -key))[:k]
                 for t in order:
                     if col[t] == -np.inf:
                         continue
@@ -609,7 +614,9 @@ def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     output NON-VACUOUS at any corpus scale (an empty pair graph and a
     broken pipeline are otherwise indistinguishable).
 
-    Twin of row ``i`` (for id < n_seed) gets id ``i + offset``
+    Twin of row ``i`` (for id < min(id) + n_seed — anchored at the
+    corpus's own smallest id, so a corpus whose ids start at 10⁹ still
+    gets its planted positives) gets id ``i + offset``
     (``offset`` None → ``1 + max(id)`` via a broadcast scalar, so twin
     ids can never collide with real ids at ANY corpus size — a fixed
     literal would silently alias once the corpus grows past it) and
@@ -637,18 +644,24 @@ def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     # would LATERALLY shadow the input id inside the transform lambda
     # (Spark resolves the name to the lateral column alias), silently
     # deriving every sign from the offset id
-    twins = (df.where(F.col(id_col) < n_seed)
-               .select(F.col(id_col),
+    # seed the rows with id < min(id) + n_seed — NOT id < n_seed, which
+    # plants ZERO twins for any corpus whose ids don't start near 0,
+    # silently voiding the non-vacuity guarantee; both bounds come from
+    # one id-column-only agg, broadcast as a 1-row scalar (one pruned
+    # columnar scan, no shuffle of the corpus itself)
+    bounds = df.agg((F.max(F.col(id_col)).cast("long") + 1)
+                    .alias("__twin_off"),
+                    (F.min(F.col(id_col)).cast("long") + n_seed)
+                    .alias("__twin_lo"))
+    twins = (df.select(id_col, vec_col)
+               .crossJoin(F.broadcast(bounds))
+               .where(F.col(id_col) < F.col("__twin_lo"))
+               .select(F.col(id_col), F.col("__twin_off"),
                        F.transform(F.col(vec_col), twin_component)
                         .alias(vec_col)))
     if offset is None:
-        # id-column-only agg, broadcast as a 1-row scalar: one pruned
-        # columnar scan, no shuffle of the corpus itself
-        off = df.agg((F.max(F.col(id_col)).cast("long") + 1)
-                     .alias("__twin_off"))
-        twins = (twins.crossJoin(F.broadcast(off))
-                      .select((F.col(id_col) + F.col("__twin_off"))
-                              .alias(id_col), F.col(vec_col)))
+        twins = twins.select((F.col(id_col) + F.col("__twin_off"))
+                             .alias(id_col), F.col(vec_col))
     else:
         twins = twins.select((F.col(id_col) + offset).alias(id_col),
                              F.col(vec_col))
@@ -671,6 +684,11 @@ def suggest_bands(threshold: float, target_recall: float = 0.95,
         pr = p ** r
         if pr <= 1e-12:
             continue
+        if pr >= 1.0:
+            # threshold 1.0 → identical sign patterns collide with
+            # certainty: ONE band of the most selective width reaches
+            # any recall (log(1-pr) would be log 0)
+            return (1, r)
         b_needed = math.ceil(math.log(max(1e-12, 1.0 - target_recall))
                              / math.log(1.0 - pr))
         if b_needed * r <= max_planes:

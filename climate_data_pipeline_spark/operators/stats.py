@@ -164,6 +164,14 @@ def weighted_median_udaf():
     from pyspark.sql.functions import pandas_udf
 
     def weighted_median(v, w):
+        # nulls arrive as NaN: drop the PAIR — counting a null value's
+        # weight in the total shifts the selected element (and can
+        # return NaN itself), where every built-in aggregate and the
+        # cumulative-weight SQL oracle operate on non-null rows only
+        keep = v.notna() & w.notna()
+        v, w = v[keep], w[keep]
+        if v.empty:
+            return None
         order = v.sort_values().index
         vv, ww = v[order].to_numpy(), w[order].to_numpy()
         cum = ww.cumsum()

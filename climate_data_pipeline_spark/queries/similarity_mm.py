@@ -496,7 +496,7 @@ _SEEDED_EMB_CTE = """seeded AS (
                         THEN 1.0 ELSE -1.0 END))
               AS FLOAT) ORDER BY t.i) AS embedding
   FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
-  WHERE e.vec_id < 40
+  WHERE e.vec_id < (SELECT MIN(vec_id) + 40 FROM embeddings)
   GROUP BY e.vec_id
 ),
 emb_seeded AS (

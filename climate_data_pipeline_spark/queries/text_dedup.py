@@ -386,7 +386,7 @@ SELECT s.id AS doc_id, COALESCE(p.n_matches, 0) AS n_matches,
        COALESCE(p.best_est, 0.0) AS best_est,
        COALESCE(p.matched_corpus, FALSE) AS matched_corpus,
        p.id IS NOT NULL AS is_dup
-FROM (SELECT id FROM sig WHERE id % {mod} = 0) s
+FROM (SELECT doc_id AS id FROM documents WHERE doc_id % {mod} = 0) s
 LEFT JOIN per p USING (id)
 """
 

@@ -1317,3 +1317,82 @@ def test_dsir_weights_rank_targetlike_higher(spark):
         df, "text", "doc_id", F.col("src") == "tgt").collect()}
     assert set(out) == {10, 11}
     assert out[10] > out[11]
+
+
+def test_suggest_bands_threshold_one(spark):
+    """Regression: threshold=1.0 (exact-duplicate tuning) used to crash
+    with math domain error; identical sign patterns collide with
+    certainty so one selective band suffices."""
+    bands, bits = SIM.suggest_bands(1.0)
+    assert bands == 1 and bits >= 8
+    assert SIM.suggest_bands(0.6) == (34, 7)      # unchanged elsewhere
+
+
+def test_simhash_pairs_rejects_lossy_radius(docs):
+    """Regression: max_hamming >= bands breaks the pigeonhole
+    losslessness silently — must raise like simhash64_pairs."""
+    import pytest as _pt
+    from climate_data_pipeline_spark.operators import dedup as D
+    with _pt.raises(ValueError, match="max_hamming < bands"):
+        D.simhash_pairs(docs, "text", "doc_id", max_hamming=4, bands=4)
+
+
+def test_incremental_dedup_screens_short_docs(spark):
+    """Regression: a batch doc shorter than the shingle width must get
+    a decision row (is_dup=false), not vanish from the stream."""
+    from climate_data_pipeline_spark.operators import dedup as D
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "too short")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.incremental_dedup(
+        corpus, batch, "text", "doc_id").collect()}
+    assert set(out) == {10, 11}
+    assert out[10]["is_dup"] and out[10]["matched_corpus"]
+    assert not out[11]["is_dup"] and out[11]["n_matches"] == 0
+
+
+def test_duplicate_clusters_raises_on_round_exhaustion(spark):
+    """Regression: hitting max_rounds without convergence must raise —
+    part-propagated labels are a plausible-looking WRONG clustering."""
+    import pytest as _pt
+    from climate_data_pipeline_spark.operators import dedup as D
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    with _pt.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(chain, max_rounds=3)
+    ok = D.duplicate_clusters(chain, max_rounds=20).collect()
+    assert all(r["cluster_id"] == 0 for r in ok)
+
+
+def test_seed_twins_follow_corpus_id_range(spark):
+    """Regression: twins anchor at min(id)+n_seed — a corpus whose ids
+    start at 1e9 still gets planted positives."""
+    import numpy as np
+    base = 1_000_000_000
+    rng = np.random.default_rng(7)
+    rows = [(base + i, rng.normal(size=8).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = SIM.seed_near_duplicates(df, n_seed=10)
+    assert corpus.count() == 60
+    off = (base + 49) + 1                    # 1 + max corpus id
+    twin_ids = {r["vec_id"] for r in corpus.collect()} - \
+        {base + i for i in range(50)}
+    # twins mirror the 10 SMALLEST corpus ids, shifted by the offset
+    assert twin_ids == {base + i + off for i in range(10)}
+
+
+def test_weighted_median_udaf_null_safe(spark):
+    """Regression: a null value's weight must not count toward the
+    cumulative total (it shifted the selected median)."""
+    from climate_data_pipeline_spark.operators.stats import (
+        weighted_median_udaf,
+    )
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", None, 9.0), ("b", None, 1.0)],
+        "k string, v double, w double")
+    wm = weighted_median_udaf()
+    got = {r["k"]: r["m"] for r in
+           df.groupBy("k").agg(wm("v", "w").alias("m")).collect()}
+    assert got["a"] == 1.0 and got["b"] is None
