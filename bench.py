@@ -77,9 +77,7 @@ def bench_serving(spark, sf_dir: str, iters: int = 20) -> dict:
     events = load_table(spark, sf_dir, "events")
     api = ServingApi(spark)
 
-    def p95(samples: list[float]) -> float:
-        s = sorted(samples)
-        return s[min(len(s) - 1, int(0.95 * len(s)))]
+    p95 = lambda samples: percentile(samples, 0.95)  # noqa: E731
 
     def timed(fn) -> float:
         t0 = time.perf_counter()
@@ -131,11 +129,27 @@ def bench_serving(spark, sf_dir: str, iters: int = 20) -> dict:
     return out
 
 
+def percentile(samples: list[float], q: float) -> float:
+    """Nearest-rank percentile: smallest value with at least q of the
+    sample at or below it (index ceil(q·n) − 1). The naive int(q·n)
+    overshoots by one — at n=3 it made p95 == p99 == max."""
+    import math
+
+    s = sorted(samples)
+    return s[max(0, min(len(s) - 1, math.ceil(q * len(s)) - 1))]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iterations = int(os.environ.get("BENCH_ITERATIONS", "3"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        # a non-sfN dir name must not crash AFTER all benchmarks ran
+        # (the ValueError used to land inside the final print, losing
+        # the one stdout JSON line the driver reads)
+        sf = None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from climate_data_pipeline_spark import registry
@@ -162,11 +176,8 @@ def main() -> None:
             "median_s": round(statistics.median(times), 4),
             "min_s": round(times[0], 4),
             "max_s": round(times[-1], 4),
-            # index form of p95/p99 per reference benchmark_suite.py:104-117
-            "p95_s": round(times[min(len(times) - 1,
-                                     int(0.95 * len(times)))], 4),
-            "p99_s": round(times[min(len(times) - 1,
-                                     int(0.99 * len(times)))], 4),
+            "p95_s": round(percentile(times, 0.95), 4),
+            "p99_s": round(percentile(times, 0.99), 4),
             "meets_2s_target": times[-1] < 2.0,
         }
 
@@ -181,7 +192,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "serving_ms": serving,
-        "sf": float(sf),
+        "sf": sf,
     }))
 
 

@@ -53,6 +53,12 @@ REGISTRY: dict[str, Entry] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # with 200+ entries across 27 modules a silent overwrite
+            # would validate the WRONG implementation — fail at import
+            raise ValueError(f"duplicate query name {name!r} "
+                             f"(first registered by "
+                             f"{REGISTRY[name].fn.__module__})")
         REGISTRY[name] = Entry(fn, oracle)
         return fn
     return deco

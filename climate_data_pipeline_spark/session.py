@@ -23,7 +23,10 @@ def get_spark(app_name: str = "climate_data_pipeline_spark",
         try:
             shuffle_partitions = max(int(str(cpus)), 8)
         except ValueError:
-            shuffle_partitions = 32
+            # '*' (all cores): use the actual core count — a fixed 32
+            # here would cap every shuffle at 32 tasks on bigger hosts
+            # (AQE only coalesces down, never up)
+            shuffle_partitions = max(os.cpu_count() or 8, 8)
     return (
         SparkSession.builder
         .master(f"local[{cpus}]")

@@ -62,12 +62,18 @@ def _commit(table_dir: str, version: int, files: list[str],
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     final = _manifest_path(table_dir, version)
-    if os.path.exists(final):
-        os.remove(tmp)
+    try:
+        # os.link is atomic AND exclusive (EEXIST if final exists) —
+        # an exists() check before rename() is a TOCTOU race where two
+        # writers both pass the check and rename() silently clobbers
+        # the loser's manifest
+        os.link(tmp, final)
+    except FileExistsError:
         raise RuntimeError(
             f"concurrent commit detected for version {version} — this "
             "layer is single-writer; serialize writers externally")
-    os.rename(tmp, final)  # atomic publish
+    finally:
+        os.remove(tmp)
     return manifest
 
 
@@ -89,7 +95,7 @@ def snapshot_write(df: DataFrame, table_dir: str,
     files = list(new_files)
     if mode == "append" and parent is not None:
         files += _read_manifest(table_dir, parent)["files"]
-    return _commit(table_dir, (parent or 0) + 1 if parent else 1,
+    return _commit(table_dir, parent + 1 if parent is not None else 1,
                    files, parent, mode)
 
 
@@ -122,15 +128,27 @@ def snapshot_rollback(table_dir: str, version: int) -> dict:
                    f"rollback-to-v{version}")
 
 
-def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+def vacuum(table_dir: str, keep_versions: int = 1,
+           remove_orphans: bool = False) -> list[str]:
     """Delete data files referenced ONLY by expired versions (all but
-    the newest ``keep_versions`` manifests, which are also dropped).
-    Returns the deleted file paths. The one destructive operation, kept
-    separate and explicit like the formats it mirrors."""
+    the newest ``keep_versions`` manifests, which are also dropped;
+    ``keep_versions=0`` drops everything). Returns the deleted file
+    paths. The one destructive operation, kept separate and explicit
+    like the formats it mirrors.
+
+    ``remove_orphans=True`` additionally deletes data files no kept
+    manifest references — batch dirs from writers that crashed before
+    their commit, stale ``.tmp-*`` manifests, and emptied batch dirs.
+    Only safe when no write is in flight (the table is single-writer;
+    run orphan removal from the writer's own maintenance window, the
+    retention discipline every real table format documents)."""
+    import shutil
+
     versions = table_versions(table_dir)
-    if len(versions) <= keep_versions:
+    if keep_versions > 0 and len(versions) <= keep_versions:
         return []
-    keep, drop = versions[-keep_versions:], versions[:-keep_versions]
+    cut = len(versions) - keep_versions
+    keep, drop = versions[cut:], versions[:cut]
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(table_dir, v)["files"])
@@ -141,6 +159,24 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
                 os.remove(f)
                 deleted.append(f)
         os.remove(_manifest_path(table_dir, v))
+    if remove_orphans:
+        mdir = os.path.join(table_dir, _MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            for f in os.listdir(mdir):
+                if f.startswith(".tmp-"):
+                    os.remove(os.path.join(mdir, f))
+                    deleted.append(os.path.join(mdir, f))
+        ddir = os.path.join(table_dir, _DATA_DIR)
+        if os.path.isdir(ddir):
+            for batch in os.listdir(ddir):
+                bdir = os.path.join(ddir, batch)
+                refd = any(f.startswith(bdir + os.sep) for f in live)
+                if not refd:
+                    for root, _d, fs in os.walk(bdir):
+                        deleted += [os.path.join(root, x) for x in fs]
+                    shutil.rmtree(bdir)
+                elif not os.listdir(bdir):
+                    shutil.rmtree(bdir)
     return deleted
 
 

@@ -30,8 +30,14 @@ def climate_grid(spark: SparkSession,
     """Daily (ts, lat, lon, temperature, precipitation) grid matching the
     reference's `sample_dataset` fixture: 731 days × 19 lats × 36 lons by
     default (≈500k rows). Fully distributed: one `spark.range` over the
-    row space, coordinates derived arithmetically, `randn`/`rand` seeded
-    for reproducibility."""
+    row space, coordinates derived arithmetically. Noise is derived
+    from ``xxhash64(id, seed)`` (Box-Muller for the normal, inverse-CDF
+    for the exponential) rather than `F.randn`/`F.rand`, whose values
+    depend on the PARTITION INDEX — the same seed on local[8] vs
+    local[32] would assign different noise to the same (ts, lat, lon)
+    row, silently breaking any cached baseline or cross-machine
+    comparison built on "seeded" data."""
+    import math
     n_lat = int(180 / lat_step) + 1          # -90 … 90 inclusive
     n_lon = int(360 / lon_step)              # -180 … 170
     total = days * n_lat * n_lon
@@ -44,12 +50,22 @@ def climate_grid(spark: SparkSession,
         F.unix_timestamp(F.lit(start).cast("timestamp")) + day * 86400)
     doy = F.dayofyear(ts)
 
-    seasonal = 10.0 * F.sin(2.0 * float(__import__("math").pi)
-                            * (doy - 80) / 365.0)
+    m = 1 << 30
+
+    def unif(s: int) -> F.Column:
+        # id-derived uniform in the OPEN interval (0, 1): deterministic
+        # for a given (id, seed) on any partitioning / core count
+        return ((F.pmod(F.xxhash64(F.col("id"), F.lit(s)), F.lit(m))
+                 .cast("double") + 0.5) / float(m))
+
+    seasonal = 10.0 * F.sin(2.0 * math.pi * (doy - 80) / 365.0)
+    # Box-Muller standard normal from two id-derived uniforms
+    gauss = (F.sqrt(-2.0 * F.log(unif(seed)))
+             * F.cos(2.0 * math.pi * unif(seed + 1)))
     temperature = (288.0 - 40.0 * F.abs(lat) / 90.0 + seasonal
-                   + 2.0 * F.randn(seed))
+                   + 2.0 * gauss)
     # inverse-CDF exponential: Exp(scale) = -scale·ln(1-U)
-    precipitation = -0.001 * F.log(1.0 - F.rand(seed + 1))
+    precipitation = -0.001 * F.log(1.0 - unif(seed + 2))
 
     return idx.select(
         ts.alias("ts"),

@@ -247,3 +247,50 @@ def test_spells_span_the_epoch(spark):
         .withColumn("ts", F.to_timestamp("ts")).withColumn("k", F.lit("a"))
     out = T.spells(df, "ts", F.col("v") > 0, ["k"]).collect()
     assert len(out) == 1 and out[0]["spell_len"] == 4
+
+
+def test_registry_rejects_duplicate_names():
+    import pytest as _pt
+
+    from climate_data_pipeline_spark import registry as R
+
+    @R.query("__dup_probe__")
+    def _one(spark, sf):          # pragma: no cover - registration only
+        return None
+
+    try:
+        with _pt.raises(ValueError, match="duplicate query name"):
+            @R.query("__dup_probe__")
+            def _two(spark, sf):  # pragma: no cover
+                return None
+    finally:
+        R.REGISTRY.pop("__dup_probe__", None)
+
+
+def test_bench_percentile_nearest_rank():
+    """Regression: int(q*n) overshot nearest-rank by one, making
+    p95 == p99 == max at n=3 and p95 == the 100th pct at n=20."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    xs20 = list(range(1, 21))
+    assert bench.percentile(xs20, 0.95) == 19     # not 20 (the max)
+    assert bench.percentile([1.0, 2.0, 3.0], 0.95) == 3.0
+    assert bench.percentile([1.0, 2.0, 3.0], 0.5) == 2.0
+
+
+def test_climate_grid_noise_partition_invariant(spark):
+    """Regression: seeded noise must be a pure function of the row id —
+    F.randn/F.rand depend on the partition index, so the same seed on
+    different core counts produced different data."""
+    from climate_data_pipeline_spark.sources.synthetic import climate_grid
+
+    a = climate_grid(spark, days=3).coalesce(1) \
+        .orderBy("ts", "lat", "lon").collect()
+    b = climate_grid(spark, days=3).repartition(7) \
+        .orderBy("ts", "lat", "lon").collect()
+    assert a == b

@@ -87,3 +87,45 @@ def test_snapshot_merge_and_diff(spark, tmp_path):
                for r in snapshot_diff(spark, t, 1, 2).collect()}
     assert changes == {(3, 999, "insert"), (100, 7, "insert"),
                        (3, 6, "delete")}
+
+
+def test_vacuum_zero_keep_and_orphans(spark, tmp_path):
+    """Regression: keep_versions=0 drops EVERYTHING (the [:-0] empty
+    slice made it a silent no-op), and remove_orphans reclaims crashed
+    writers' unreferenced batch dirs and stale .tmp manifests."""
+    import os
+
+    from climate_data_pipeline_spark.sources import snapshots as SN
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    SN.snapshot_write(df, t)
+    SN.snapshot_write(df, t)
+    # simulate a crashed writer: an uncommitted batch dir + tmp manifest
+    orphan = os.path.join(t, "data", "deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-x.parquet"), "wb").write(b"x")
+    open(os.path.join(t, "manifests", ".tmp-crashed"), "w").write("{}")
+    deleted = SN.vacuum(t, keep_versions=1, remove_orphans=True)
+    assert any("deadbeef" in f for f in deleted)
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(t, "manifests", ".tmp-crashed"))
+    assert SN.table_versions(t) == [2]          # newest kept, readable
+    assert SN.snapshot_read(spark, t).count() == 10
+    # keep_versions=0: every manifest goes
+    deleted = SN.vacuum(t, keep_versions=0, remove_orphans=True)
+    assert SN.table_versions(t) == []
+    assert deleted
+
+
+def test_commit_publish_is_exclusive(tmp_path):
+    """The manifest publish must be atomic AND exclusive — a second
+    commit of the same version number raises instead of clobbering."""
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.sources.snapshots import _commit
+
+    t = str(tmp_path / "tbl2")
+    _commit(t, 1, ["a.parquet"], None, "append")
+    with _pt.raises(RuntimeError, match="concurrent commit"):
+        _commit(t, 1, ["b.parquet"], None, "append")
