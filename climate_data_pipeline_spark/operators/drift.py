@@ -51,7 +51,11 @@ def ks_statistic(df: DataFrame, value_col: str, ref_cond: Column,
         v = F.floor(v / bin_width) * bin_width
     is_ref = F.when(ref_cond, 1).otherwise(0)
     klist = list(keys)
-    per_value = (df.groupBy(*klist, v.alias("__v"))
+    # NULLs are missing data, not the lowest value: an unfiltered NULL
+    # group sorts first (nulls-first) and injects a phantom CDF step at
+    # the bottom — a 20% null rate would read as low-tail drift
+    per_value = (df.where(F.col(value_col).isNotNull())
+                   .groupBy(*klist, v.alias("__v"))
                    .agg(F.sum(is_ref).alias("__ca"),
                         F.sum(1 - is_ref).alias("__cb")))
     w_cum = (Window.partitionBy(*klist).orderBy("__v")
@@ -86,7 +90,8 @@ def psi_bins(df: DataFrame, value_col: str, ref_cond: Column,
     bp = (df.where(ref_cond)
             .agg(F.expr(f"percentile({value_col}, array({', '.join(map(str, qs))}))")
                  .alias("__bp")))
-    binned = (df.crossJoin(F.broadcast(bp))
+    binned = (df.where(v.isNotNull())   # NULL is missing data, not bin 0
+                .crossJoin(F.broadcast(bp))
                 .select(F.aggregate(
                             "__bp", F.lit(0),
                             lambda acc, b: acc + F.when(v > b, 1).otherwise(0))

@@ -44,8 +44,12 @@ def histogram_partials(df: DataFrame, value_col: str,
 
     At scale this is what lands in the metrics store per ingest batch:
     ``(keys..., bin, cnt)``, n_groups × ≤n_bins rows regardless of
-    input size."""
-    return (df.groupBy(*keys, _bin_expr(value_col, lo, hi, n_bins))
+    input size. NULL values are excluded BEFORE binning — Spark's
+    greatest/least skip nulls, so an unfiltered null would silently
+    land in bin 0 and skew every downstream quantile (exact
+    percentiles ignore nulls; the mergeable complement must agree)."""
+    return (df.where(F.col(value_col).isNotNull())
+              .groupBy(*keys, _bin_expr(value_col, lo, hi, n_bins))
               .agg(F.count("*").alias("cnt")))
 
 
@@ -109,7 +113,7 @@ WITH hist AS (
                     / ({hi} - ({lo})) * {n_bins}), 0), {n_bins - 1}) AS INTEGER)
            AS bin,
          COUNT(*) AS cnt
-  FROM {table} WHERE {where}
+  FROM {table} WHERE ({where}) AND ({value_expr}) IS NOT NULL
   GROUP BY ALL
 ), cum AS (
   SELECT *, SUM(cnt) OVER (PARTITION BY {kcols} ORDER BY bin) AS cum,

@@ -52,15 +52,21 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
     pb = points.withColumn("__bin",
-                           F.floor(F.col(point_col) / bin_width))
+                           F.floor(F.col(point_col) / bin_width)) \
+               .alias("__p")
     ib = intervals.withColumn(
         "__bin",
         F.explode(F.sequence(F.floor(F.col(start_col) / bin_width),
-                             F.floor(F.col(end_col) / bin_width))))
-    out = (pb.join(ib, "__bin", how)
-             .where(F.col(point_col).between(F.col(start_col),
-                                             F.col(end_col))))
-    return out.drop("__bin")
+                             F.floor(F.col(end_col) / bin_width)))) \
+        .alias("__i")
+    # the exact predicate lives IN the join condition, not a residual
+    # .where: a residual filter evaluates NULL on left-join's
+    # null-extended rows and silently drops them (left degrades to
+    # inner), and references unresolvable columns under semi/anti
+    cond = ((F.col("__p.__bin") == F.col("__i.__bin"))
+            & F.col(f"__p.{point_col}").between(
+                F.col(f"__i.{start_col}"), F.col(f"__i.{end_col}")))
+    return pb.join(ib, cond, how).drop("__bin")
 
 
 def interval_overlap_join(left: DataFrame, right: DataFrame,

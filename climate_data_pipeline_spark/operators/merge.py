@@ -42,20 +42,32 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, keys: Sequence[str],
                effective_ts: str = "2024-01-01 00:00:00") -> DataFrame:
     """SCD type 2: for each changed key, close the current version
     (``valid_to`` = effective_ts, ``is_current`` = false) and append the
-    new version. Unchanged and historical rows pass through untouched.
+    new version; a change row whose key has NO current dim version
+    (brand-new entity, or all versions closed) is INSERTED as a fresh
+    current version — standard SCD2 semantics (an inner-join-only
+    implementation silently loses new keys). Unchanged and historical
+    rows pass through untouched.
 
     ``dim`` must carry (keys, compare_cols, valid_from, valid_to,
     is_current); ``changes`` carries (keys, compare_cols).
     """
     keys = list(keys)
+    if not compare_cols:
+        raise ValueError("compare_cols must name at least one column")
     ts = F.lit(effective_ts).cast("timestamp")
 
+    current = dim.where(F.col(current_flag))
     changed_keys = (changes.alias("c")
-                    .join(dim.where(F.col(current_flag)).alias("d"), on=keys)
+                    .join(current.alias("d"), on=keys)
                     .where(" OR ".join(
                         f"NOT (c.{c} <=> d.{c})" for c in compare_cols))
                     .select(*[F.col(f"c.{k}") for k in keys])
                     .distinct())
+    # keys appearing in changes with no current version at all
+    new_keys = (changes.select(*keys).distinct()
+                       .join(current.select(*keys), on=keys,
+                             how="left_anti"))
+    inserting_keys = changed_keys.unionByName(new_keys).distinct()
 
     closing = (dim.join(F.broadcast(changed_keys), on=keys, how="left_semi")
                   .where(F.col(current_flag))
@@ -65,7 +77,7 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, keys: Sequence[str],
                             .join(changed_keys, on=keys, how="left_anti"))
     history = dim.where(~F.col(current_flag))
 
-    new_versions = (changes.join(F.broadcast(changed_keys), on=keys,
+    new_versions = (changes.join(F.broadcast(inserting_keys), on=keys,
                                  how="left_semi")
                     .withColumn(effective_col, ts)
                     .withColumn(end_col, F.lit(None).cast("timestamp"))

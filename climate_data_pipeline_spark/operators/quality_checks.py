@@ -40,10 +40,13 @@ def in_range(col: str, lo, hi) -> Check:
 
 
 def matches(col: str, pattern: str) -> Check:
+    """NULL values do not violate a pattern check (their predicate is
+    NULL → not counted) — compose with `not_null` to forbid them."""
     return Check(f"matches:{col}", ~F.col(col).rlike(pattern))
 
 
 def one_of(col: str, values) -> Check:
+    """NULL values do not violate membership — compose with `not_null`."""
     return Check(f"one_of:{col}", ~F.col(col).isin(*values))
 
 
@@ -53,8 +56,19 @@ def expression(name: str, violated_when: Column) -> Check:
 
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     """All row-level checks in one scan: per check, rows violated.
-    Output: (check, n_violations, n_rows, pass)."""
-    aggs = [F.sum(c.violated.cast("long")).alias(c.name) for c in checks]
+    Output: (check, n_violations, n_rows, pass). An empty input passes
+    every check (0 violations — sum() of no rows is NULL, coalesced);
+    duplicate check names are rejected (the report columns would be
+    ambiguous)."""
+    seen: set[str] = set()
+    for c in checks:
+        if c.name in seen:
+            raise ValueError(
+                f"duplicate check name {c.name!r} — wrap one in "
+                "expression() with a distinct name")
+        seen.add(c.name)
+    aggs = [F.coalesce(F.sum(c.violated.cast("long")), F.lit(0))
+            .alias(c.name) for c in checks]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     names = F.array(*[F.lit(c.name) for c in checks])
     viols = F.array(*[F.col(c.name) for c in checks])

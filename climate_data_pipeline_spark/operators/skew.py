@@ -47,7 +47,19 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     """Skew-safe equi-join: big side gets a random salt ∈ [0, n_salts);
     small side is replicated once per salt value; join on (key, salt).
     Each output row appears exactly once (each big row matches exactly
-    its own salt copy), so the result equals the unsalted join."""
+    its own salt copy), so the result equals the unsalted join.
+
+    Only ``inner`` and ``left`` (big side preserved) are supported:
+    under right/full the small side's n_salts replicas each emit their
+    OWN null-extended row for salt values no big row landed on — up to
+    n_salts spurious rows per key — so those modes are rejected rather
+    than silently wrong (flip the sides and use left, or pre-aggregate
+    the small side)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — "
+            "right/full would duplicate null-extended small-side rows "
+            "once per salt")
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     small_rep = small.withColumn("__salt", salts)
     big_salted = big.withColumn("__salt",
@@ -58,9 +70,14 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
 
 def skew_report(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
     """Key-distribution diagnostic: top-N hottest keys with their share of
-    rows — decides whether salting / AQE skew thresholds are needed."""
-    total = df.count()
-    return (df.groupBy(key).count()
-              .withColumn("share", F.col("count") / F.lit(float(total)))
-              .orderBy(F.col("count").desc(), F.col(key).asc())
-              .limit(top_n))
+    rows — decides whether salting / AQE skew thresholds are needed.
+    ONE scan: the total is a window sum over the (tiny, n_keys-row)
+    aggregated counts — a separate df.count() action would read the
+    full table a second time just for the denominator."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).count()
+    total = F.sum("count").over(Window.partitionBy())
+    return (counts.withColumn("share", F.col("count") / total)
+                  .orderBy(F.col("count").desc(), F.col(key).asc())
+                  .limit(top_n))

@@ -66,10 +66,18 @@ def nearest_neighbor(targets: DataFrame, stations: DataFrame,
     The station side is broadcast; the arg-min is a struct-min
     aggregation (one map-side-combinable agg, no window sort). With
     ``band_deg`` set, candidate pairs are restricted to stations within
-    that latitude band of the target before scoring."""
-    st = stations.select(F.col(station_id).alias("__sid"),
-                         F.col(lat_col).alias("__slat"),
-                         F.col(lon_col).alias("__slon"))
+    that latitude band of the target before scoring — a target with NO
+    station in its band is absent from the output (size the band to the
+    worst-case station spacing). Stations with NULL coordinates are
+    excluded (a NULL distance would win the struct arg-min)."""
+    # a station with NULL coordinates yields a NULL distance, and a
+    # NULL struct field sorts BELOW every real value in the arg-min —
+    # it would win "nearest" for every target; exclude it up front
+    st = (stations.where(F.col(lat_col).isNotNull()
+                         & F.col(lon_col).isNotNull())
+                  .select(F.col(station_id).alias("__sid"),
+                          F.col(lat_col).alias("__slat"),
+                          F.col(lon_col).alias("__slon")))
     cond = F.lit(True)
     if band_deg is not None:
         cond = (F.abs(F.col(lat_col) - F.col("__slat")) <= band_deg)
@@ -99,7 +107,11 @@ def bilinear_regrid(grid: DataFrame, targets: DataFrame,
     its 4 surrounding corners with weights
     ``(1-fy)(1-fx), (1-fy)fx, fy(1-fx), fy·fx`` where fy/fx are the
     fractional offsets inside the cell; corners join the grid on the
-    exact quantized coordinate. The 4 corner keys are always distinct,
+    INTEGER cell index (round(coord/step)) — joining on recomputed
+    float coordinates silently drops corners whenever the step is not
+    binary-exact (0.1, 0.05: ``0.2 + 0.1 != 0.3``), returning
+    plausible-looking edge-renormalized wrong values with no error.
+    The 4 corner keys are always distinct,
     so no pre-join dedup shuffle is needed — a point ON a grid line
     simply carries zero weight on its far corners (exact: 1-fy is
     exactly 1.0 when fy is exactly 0.0), which reproduces exact-node
@@ -110,21 +122,22 @@ def bilinear_regrid(grid: DataFrame, targets: DataFrame,
     the available corners' weights are renormalized by the
     sum-of-weights denominator)."""
     out_col = alias or f"{value_col}_interp"
-    g = grid.select(F.col(lat_col).alias("__glat"),
-                    F.col(lon_col).alias("__glon"),
-                    F.col(value_col).alias("__gval"))
+    g = grid.select(
+        F.round(F.col(lat_col) / lat_step).cast("long").alias("__giy"),
+        F.round(F.col(lon_col) / lon_step).cast("long").alias("__gix"),
+        F.col(value_col).alias("__gval"))
 
-    lat0 = F.floor(F.col(lat_col) / lat_step) * lat_step
-    lon0 = F.floor(F.col(lon_col) / lon_step) * lon_step
-    fy = (F.col(lat_col) - lat0) / lat_step
-    fx = (F.col(lon_col) - lon0) / lon_step
+    iy0 = F.floor(F.col(lat_col) / lat_step).cast("long")
+    ix0 = F.floor(F.col(lon_col) / lon_step).cast("long")
+    fy = F.col(lat_col) / lat_step - iy0
+    fx = F.col(lon_col) / lon_step - ix0
 
     def corner(dy: int, dx: int) -> F.Column:
         wy = fy if dy else (1.0 - fy)
         wx = fx if dx else (1.0 - fx)
         return F.struct(
-            (lat0 + dy * lat_step).alias("clat"),
-            (lon0 + dx * lon_step).alias("clon"),
+            (iy0 + dy).alias("ciy"),
+            (ix0 + dx).alias("cix"),
             (wy * wx).alias("w"))
 
     corners = (targets
@@ -132,14 +145,14 @@ def bilinear_regrid(grid: DataFrame, targets: DataFrame,
                    corner(0, 0), corner(0, 1),
                    corner(1, 0), corner(1, 1))).alias("__c"))
                .select(*target_keys,
-                       F.col("__c.clat").alias("__clat"),
-                       F.col("__c.clon").alias("__clon"),
+                       F.col("__c.ciy").alias("__ciy"),
+                       F.col("__c.cix").alias("__cix"),
                        F.col("__c.w").alias("__w")))
 
     joined = corners.join(
         F.broadcast(g),
-        (F.col("__clat") == F.col("__glat"))
-        & (F.col("__clon") == F.col("__glon")))
+        (F.col("__ciy") == F.col("__giy"))
+        & (F.col("__cix") == F.col("__gix")))
     return (joined.groupBy(*target_keys)
                   .agg((F.sum(F.col("__w") * F.col("__gval"))
                         / F.sum("__w")).alias(out_col),

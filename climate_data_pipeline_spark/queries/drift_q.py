@@ -21,7 +21,7 @@ WITH pv AS (
   SELECT l_returnflag AS k, l_extendedprice AS v,
          sum(CASE WHEN {_REF} THEN 1 ELSE 0 END) AS ca,
          sum(CASE WHEN {_REF} THEN 0 ELSE 1 END) AS cb
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
 ), cum AS (
   SELECT k,
          CAST(sum(ca) OVER (PARTITION BY k ORDER BY v) AS DOUBLE)
@@ -52,7 +52,7 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("drift_psi", oracle=f"""
 WITH ab AS (
   SELECT l_quantity AS v, CASE WHEN {_REF} THEN 1 ELSE 0 END AS ir
-  FROM lineitem
+  FROM lineitem WHERE l_quantity IS NOT NULL
 ), bp AS (
   SELECT unnest(quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
          AS b

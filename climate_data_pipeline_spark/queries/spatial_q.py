@@ -85,29 +85,33 @@ def nearest_station_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("spatial_bilinear_regrid", oracle=f"""
 WITH grid AS (
-  SELECT (l_partkey % 19) * 10.0 - 90.0 AS glat,
-         (l_partkey % 36) * 10.0 - 180.0 AS glon,
+  -- integer cell indices, mirroring the engine's round(coord/step)
+  -- join keys (float-coordinate equality breaks for non-binary steps)
+  SELECT CAST(round(((l_partkey % 19) * 10.0 - 90.0) / 10.0) AS BIGINT)
+           AS giy,
+         CAST(round(((l_partkey % 36) * 10.0 - 180.0) / 10.0) AS BIGINT)
+           AS gix,
          avg(l_quantity) AS gval
   FROM lineitem GROUP BY 1, 2
 ), {_TARGETS_SQL},
 base AS (
   SELECT c_custkey,
-         floor(tlat / 10.0) * 10.0 AS lat0,
-         floor(tlon / 10.0) * 10.0 AS lon0,
-         (tlat - floor(tlat / 10.0) * 10.0) / 10.0 AS fy,
-         (tlon - floor(tlon / 10.0) * 10.0) / 10.0 AS fx
+         CAST(floor(tlat / 10.0) AS BIGINT) AS iy0,
+         CAST(floor(tlon / 10.0) AS BIGINT) AS ix0,
+         tlat / 10.0 - floor(tlat / 10.0) AS fy,
+         tlon / 10.0 - floor(tlon / 10.0) AS fx
   FROM targets
 ), corners AS (
-  SELECT c_custkey, lat0 AS clat, lon0 AS clon,
+  SELECT c_custkey, iy0 AS ciy, ix0 AS cix,
          (1.0 - fy) * (1.0 - fx) AS w FROM base
-  UNION ALL SELECT c_custkey, lat0, lon0 + 10.0, (1.0 - fy) * fx FROM base
-  UNION ALL SELECT c_custkey, lat0 + 10.0, lon0, fy * (1.0 - fx) FROM base
-  UNION ALL SELECT c_custkey, lat0 + 10.0, lon0 + 10.0, fy * fx FROM base
+  UNION ALL SELECT c_custkey, iy0, ix0 + 1, (1.0 - fy) * fx FROM base
+  UNION ALL SELECT c_custkey, iy0 + 1, ix0, fy * (1.0 - fx) FROM base
+  UNION ALL SELECT c_custkey, iy0 + 1, ix0 + 1, fy * fx FROM base
 )
 SELECT c.c_custkey,
        round(sum(c.w * g.gval) / sum(c.w), 6) AS qty_interp,
        count(*) AS n_corners
-FROM corners c JOIN grid g ON g.glat = c.clat AND g.glon = c.clon
+FROM corners c JOIN grid g ON g.giy = c.ciy AND g.gix = c.cix
 GROUP BY 1
 """)
 def bilinear_regrid_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

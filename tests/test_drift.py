@@ -99,3 +99,25 @@ def test_chi2_total_association_is_n(spark):
     row = D.chi2_drift(df, "cat", F.col("lbl") == 1).first()
     assert row["chi2"] == pytest.approx(100.0)
     assert row["dof"] == 1
+
+
+def test_drift_excludes_nulls(spark):
+    """Regression: NULLs are missing data, not low-tail values — a 20%
+    null rate in the current slice must not read as distribution
+    drift at the bottom of the CDF / PSI bin 0."""
+    from climate_data_pipeline_spark.operators import drift as D
+    clean = [(float(i % 50), i < 500) for i in range(1000)]
+    df = spark.createDataFrame(clean, "v double, is_ref boolean")
+    nulls = spark.createDataFrame([(None, False)] * 200,
+                                  "v double, is_ref boolean")
+    d0 = D.ks_statistic(df, "v", F.col("is_ref")).first()
+    d1 = D.ks_statistic(df.unionByName(nulls), "v",
+                        F.col("is_ref")).first()
+    assert abs(d0["ks_d"] - d1["ks_d"]) < 1e-12   # nulls changed nothing
+    assert d1["n_cur"] == d0["n_cur"]              # and aren't counted
+    p0 = {r["bin"]: r["n_cur"] for r in
+          D.psi_bins(df, "v", F.col("is_ref")).collect()}
+    p1 = {r["bin"]: r["n_cur"] for r in
+          D.psi_bins(df.unionByName(nulls), "v",
+                     F.col("is_ref")).collect()}
+    assert p0 == p1

@@ -72,3 +72,16 @@ def test_rejects_bad_quantiles(events):
     with pytest.raises(ValueError):
         histogram_quantile(hist, ["event_type"], [0.0, 0.5],
                            lo=LO, hi=HI, n_bins=BINS)
+
+
+def test_histogram_partials_exclude_nulls(spark):
+    """Regression: NULL values used to land in bin 0 (greatest/least
+    skip nulls), inflating the lowest bin and skewing quantiles."""
+    from climate_data_pipeline_spark.operators.histogram import (
+        histogram_partials,
+    )
+    df = spark.createDataFrame(
+        [("a", 50.0), ("a", None), ("a", None)], "k string, v double")
+    parts = histogram_partials(df, "v", ["k"], lo=0.0, hi=100.0, n_bins=10)
+    got = {r["bin"]: r["cnt"] for r in parts.collect()}
+    assert got == {5: 1}                       # nulls contribute nothing

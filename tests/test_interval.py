@@ -79,3 +79,23 @@ def test_binned_plans_avoid_nested_loops(spark, sf_dir):
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_point_in_interval_left_join_keeps_unmatched(spark):
+    """Regression: how='left' must keep points with no interval (the
+    residual .where used to null-filter them away, degrading to inner);
+    semi/anti must not crash on unresolvable columns."""
+    from climate_data_pipeline_spark.operators.interval import (
+        point_in_interval_join,
+    )
+    pts = spark.createDataFrame([(1, 5.0), (2, 99.0)], ["pid", "p"])
+    iv = spark.createDataFrame([(10, 0.0, 10.0)], ["iid", "s", "e"])
+    left = point_in_interval_join(pts, iv, "p", "s", "e", 5.0, how="left")
+    rows = {r["pid"]: r["iid"] for r in left.collect()}
+    assert rows == {1: 10, 2: None}            # unmatched point kept
+    semi = point_in_interval_join(pts, iv, "p", "s", "e", 5.0,
+                                  how="left_semi")
+    assert [r["pid"] for r in semi.collect()] == [1]
+    anti = point_in_interval_join(pts, iv, "p", "s", "e", 5.0,
+                                  how="left_anti")
+    assert [r["pid"] for r in anti.collect()] == [2]

@@ -51,3 +51,25 @@ def test_scd2_apply(spark):
     assert new["is_current"] and new["valid_to"] is None
     hist = rows[(2, "old")]
     assert not hist["is_current"]
+
+
+def test_scd2_inserts_brand_new_keys(spark):
+    """Regression: a change row whose key has no current dim version is
+    INSERTED as a fresh current version, not silently dropped."""
+    from climate_data_pipeline_spark.operators.merge import scd2_apply
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01 00:00:00", None, True)],
+        "id long, attr string, valid_from string, valid_to string, "
+        "is_current boolean") \
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp")) \
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    changes = spark.createDataFrame([(1, "a"), (5, "z")],
+                                    "id long, attr string")
+    out = scd2_apply(dim, changes, keys=["id"], compare_cols=["attr"])
+    rows = {(r["id"], r["is_current"]): r["attr"] for r in out.collect()}
+    assert rows[(5, True)] == "z"              # new key inserted
+    assert rows[(1, True)] == "a"              # unchanged key untouched
+    assert len(rows) == 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="compare_cols"):
+        scd2_apply(dim, changes, keys=["id"], compare_cols=[])

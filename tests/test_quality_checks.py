@@ -48,3 +48,20 @@ def test_referential_violations(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
     orphans = Q.referential_violations(child, "fk", parent, "pk").collect()
     assert [r["fk"] for r in orphans] == [99]
+
+
+def test_run_checks_empty_input_passes(spark):
+    """Regression: an empty slice must PASS every check (0 violations),
+    not report NULL/neither-pass-nor-fail."""
+    from climate_data_pipeline_spark.operators import quality_checks as Q
+    df = spark.createDataFrame([], "v double")
+    out = Q.run_checks(df.where("v > 999"), [Q.in_range("v", 0, 10)])
+    r = out.first()
+    assert r["n_violations"] == 0 and r["pass"] is True
+
+
+def test_run_checks_rejects_duplicate_names(spark):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="duplicate check name"):
+        Q.run_checks(_dirty(spark), [Q.in_range("v", -90, 60),
+                                     Q.in_range("v", 0, 50)])

@@ -351,3 +351,15 @@ def test_temperature_resample_broadcasts_factor_table(spark, sf_small):
     plan = _plan(spark, sf_small, "lang_temperature_resample")
     assert "BroadcastHashJoin" in plan      # 5-row factor dim
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_rejects_right_and_full(spark, sf_small):
+    """Regression: right/full salted joins emit up to n_salts
+    null-extended copies per small-side key — rejected loudly."""
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, "k", how="full")
+    # left keeps unmatched big rows exactly once
+    out = salted_join(big, small.where("k < 2"), "k", how="left")
+    assert out.count() == 10

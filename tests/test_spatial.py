@@ -121,3 +121,36 @@ def test_bilinear_edge_renormalizes_missing_corners(spark):
     assert row["n_corners"] == 2
     # renormalized over the two found corners -> plain lon interpolation
     assert row["value_interp"] == pytest.approx(15.0, abs=1e-12)
+
+
+def test_bilinear_fractional_step_joins_all_corners(spark):
+    """Regression: step 0.1 is not binary-exact — the float-coordinate
+    equality join silently dropped corners (n_corners 2-3) and returned
+    edge-renormalized wrong values; integer cell indices join exactly."""
+    from climate_data_pipeline_spark.operators.spatial import (
+        bilinear_regrid,
+    )
+    pts = [(la / 10.0, lo / 10.0, float(la + lo))
+           for la in range(0, 11) for lo in range(0, 11)]
+    grid = spark.createDataFrame(pts, "lat double, lon double, value double")
+    tgt = spark.createDataFrame([(1, 0.27, 0.33)],
+                                "tid long, lat double, lon double")
+    r = bilinear_regrid(grid, tgt, ["tid"], value_col="value",
+                        lat_step=0.1, lon_step=0.1).first()
+    assert r["n_corners"] == 4
+    # value is linear in (lat, lon): interpolation is exact
+    assert abs(r["value_interp"] - (2.7 + 3.3)) < 1e-9
+
+
+def test_nearest_neighbor_ignores_null_coord_stations(spark):
+    from climate_data_pipeline_spark.operators.spatial import (
+        nearest_neighbor,
+    )
+    tgt = spark.createDataFrame([(1, 0.0, 0.0)],
+                                "tid long, lat double, lon double")
+    st = spark.createDataFrame(
+        [(100, 1.0, 1.0), (999, None, None)],
+        "station_id long, lat double, lon double")
+    r = nearest_neighbor(tgt, st, ["tid"]).first()
+    assert r["nearest_station_id"] == 100
+    assert r["distance_km"] is not None
