@@ -125,11 +125,9 @@ def contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: broadcast dim joins → one hash agg → two window sums over the
     25-row aggregate (driver-trivial at any scale: window input is
     #groups, never facts)."""
-    from ..sources.io import load_table as _lt
-
-    c = _lt(spark, sf_dir, "customer")
-    n = _lt(spark, sf_dir, "nation")
-    r = _lt(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
     nat = (c.join(n, c.c_nationkey == n.n_nationkey)
             .join(r, n.n_regionkey == r.r_regionkey)
             .groupBy(F.col("r_name").alias("region"),

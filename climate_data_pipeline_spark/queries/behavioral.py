@@ -205,13 +205,23 @@ def series_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("degree_days", oracle="""
-SELECT date_trunc('month', ts) AS month,
-       SUM(CAST(round(GREATEST(value - 10.0, 0) * 100) AS BIGINT)) / 100.0
-         AS cooling_dd,
-       SUM(CAST(round(GREATEST(10.0 - value, 0) * 100) AS BIGINT)) / 100.0
-         AS heating_dd,
-       COUNT(*) AS n_obs
-FROM events
+WITH days AS (
+  -- degree days integrate the DAILY-MEAN excess: summing per event
+  -- would weight each day by its observation count (24 readings of
+  -- +10 must contribute 10 degree-days, not 240)
+  SELECT date_trunc('day', ts) AS d,
+         round(SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+               / count(*), 6) AS dmean,
+         count(*) AS n_obs
+  FROM events GROUP BY 1
+)
+SELECT date_trunc('month', d) AS month,
+       SUM(CAST(round(GREATEST(dmean - 10.0, 0) * 1000000) AS BIGINT))
+         / 1000000.0 AS cooling_dd,
+       SUM(CAST(round(GREATEST(10.0 - dmean, 0) * 1000000) AS BIGINT))
+         / 1000000.0 AS heating_dd,
+       CAST(SUM(n_obs) AS BIGINT) AS n_obs
+FROM days
 GROUP BY 1
 """)
 def degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,14 +229,23 @@ def degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the ETCCDI climate-index family (the reference's exceedance
     machinery, `metrics/percentiles.py:80-112`, counts threshold
     crossings; degree days integrate the excess). value stands in for
-    temperature with base 10. Positive parts of a 2-decimal column stay
-    2-decimal, so the scaled-long exact sum applies — one scan, one
-    tiny hash aggregate, bit-stable under any partitioning."""
+    temperature with base 10. The excess is taken of the DAILY MEAN
+    (digest first, like every degree-day definition): summing per raw
+    event would scale the index with observation density rather than
+    integrated daily excess. Exact scaled-long sums at each stage —
+    two tiny hash aggregates, bit-stable under any partitioning."""
     e = load_table(spark, sf_dir, "events")
+    days = (e.groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.round(
+                 F.sum(F.round(F.col("value") * 1e6).cast("long")) / 1e6
+                 / F.count(F.lit(1)), 6).alias("dmean"),
+                  F.count(F.lit(1)).alias("n_obs")))
+
     def dd(expr):  # Σ max(expr, 0) exactly, scaled-long accumulation
         pos = F.greatest(expr, F.lit(0.0))
-        return F.sum(F.round(pos * 100).cast("long")) / 100.0
-    return (e.groupBy(F.date_trunc("month", "ts").alias("month"))
-             .agg(dd(F.col("value") - 10.0).alias("cooling_dd"),
-                  dd(F.lit(10.0) - F.col("value")).alias("heating_dd"),
-                  F.count(F.lit(1)).alias("n_obs")))
+        return F.sum(F.round(pos * 1e6).cast("long")) / 1e6
+
+    return (days.groupBy(F.date_trunc("month", "d").alias("month"))
+                .agg(dd(F.col("dmean") - 10.0).alias("cooling_dd"),
+                     dd(F.lit(10.0) - F.col("dmean")).alias("heating_dd"),
+                     F.sum("n_obs").cast("long").alias("n_obs")))

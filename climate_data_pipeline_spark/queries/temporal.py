@@ -477,13 +477,16 @@ WITH daily AS (
 ), t AS (
   -- scaled-long window sums: FP summation order inside a window frame
   -- is engine- and partition-dependent; integer sums are associative,
-  -- so trend/seasonal are bit-identical under any partitioning
+  -- so trend/seasonal are bit-identical under any partitioning.
+  -- RANGE over the integer day ordinal = a CALENDAR ±3-day frame: a
+  -- ROWS frame would span arbitrarily many calendar days across gaps
   SELECT user_id, d, dval,
          (SUM(CAST(round(dval * 1000000000) AS BIGINT)) OVER w7
             / 1000000000.0) / COUNT(*) OVER w7 AS trend
   FROM daily
-  WINDOW w7 AS (PARTITION BY user_id ORDER BY d
-                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+  WINDOW w7 AS (PARTITION BY user_id
+                ORDER BY CAST(epoch(d) // 86400 AS BIGINT)
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ), s AS (
   SELECT *, dval - trend AS detr,
          (SUM(CAST(round((dval - trend) * 1000000000) AS BIGINT)) OVER wd
@@ -502,7 +505,11 @@ FROM s
 def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive decomposition of each daily series into trend + weekly
     seasonal + residual (classical-decomposition / STL-lite shape):
-    trend = centered 7-day rolling mean; seasonal = day-of-week mean of
+    trend = centered 7-CALENDAR-day rolling mean (a RANGE frame over
+    the day ordinal: missing days contribute nothing, so a gap never
+    stretches the window across non-adjacent dates the way a ROWS
+    frame would; series edges average the days available, the standard
+    centered-rolling boundary behavior); seasonal = day-of-week mean of
     the detrended series (an entire-partition window — no join);
     residual = the rest, so trend + seasonal + residual == daily value
     exactly. One shuffle on the series key feeds daily agg, trend frame,
@@ -521,9 +528,11 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = F.round(F.col(col) * 1e9).cast("long")
         return (F.sum(q).over(w) / 1e9) / F.count(F.lit(1)).over(w)
 
-    wt = (Window.partitionBy("user_id").orderBy("d")
-                .rowsBetween(-3, 3))
-    t = daily.withColumn("trend", exact_wavg("dval", wt))
+    daily = daily.withColumn(
+        "__dord", F.floor(F.unix_timestamp("d") / 86400))
+    wt = (Window.partitionBy("user_id").orderBy("__dord")
+                .rangeBetween(-3, 3))
+    t = daily.withColumn("trend", exact_wavg("dval", wt)).drop("__dord")
     ws = Window.partitionBy("user_id", F.dayofweek("d"))
     s = (t.withColumn("detr", F.col("dval") - F.col("trend"))
           .withColumn("seasonal", exact_wavg("detr", ws)))
@@ -625,36 +634,41 @@ WITH days AS (
   FROM events GROUP BY 1, 2
 ),
 win AS (
+  -- RANGE over the day ordinal = a CALENDAR 5-day window: days absent
+  -- from the series contribute 0 (no accumulation), where a ROWS frame
+  -- would stitch 5 OBSERVED days spanning arbitrarily many calendar
+  -- days across gaps and mislabel the result "5 consecutive days"
   SELECT user_id, d, dsum,
          round(SUM(dsum) OVER (
-             PARTITION BY user_id ORDER BY d
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS r5,
-         COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY d
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nwin
+             PARTITION BY user_id
+             ORDER BY CAST(epoch(d) // 86400 AS BIGINT)
+             RANGE BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS r5
   FROM days
 )
 SELECT user_id, max(r5) AS rx5day, CAST(count(*) AS BIGINT) AS n_windows
-FROM win WHERE nwin = 5
+FROM win
 GROUP BY 1
 """)
 def etccdi_rx5day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ETCCDI Rx5day: the maximum 5-consecutive-day accumulation per
-    entity — daily digest, a 5-row running-sum frame (full windows
-    only), one max. The daily sums round at 1e-6 BEFORE the running
-    window so both engines accumulate identical values; at scale this
-    is the single-shuffle daily-digest + series-window shape of
-    w1_rolling_mean."""
+    """ETCCDI Rx5day: the maximum accumulation over any 5 CONSECUTIVE
+    CALENDAR days per entity — daily digest, a calendar-RANGE running
+    frame over the day ordinal (days with no events accumulate 0; a
+    ROWS frame over observed days would silently span gaps), one max.
+    Windows are anchored at observed days, which is lossless: a window
+    ending on an unobserved day contains a subset of the observed days
+    of the window ending on its last observed day. The daily sums round
+    at 1e-6 BEFORE the running window so both engines accumulate
+    identical values; at scale this is the single-shuffle daily-digest
+    + series-window shape of w1_rolling_mean."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
     days = (e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
-             .agg(F.round(F.sum("value"), 6).alias("dsum")))
-    w = (Window.partitionBy("user_id").orderBy("d")
-               .rowsBetween(-4, 0))
-    win = (days.withColumn("r5", F.round(F.sum("dsum").over(w), 6))
-               .withColumn("nwin", F.count("*").over(w))
-               .where(F.col("nwin") == 5))
+             .agg(F.round(F.sum("value"), 6).alias("dsum"))
+             .withColumn("__dord", F.floor(F.unix_timestamp("d") / 86400)))
+    w = (Window.partitionBy("user_id").orderBy("__dord")
+               .rangeBetween(-4, 0))
+    win = days.withColumn("r5", F.round(F.sum("dsum").over(w), 6))
     return (win.groupBy("user_id")
                .agg(F.max("r5").alias("rx5day"),
                     F.count(F.lit(1)).alias("n_windows")))
@@ -707,11 +721,14 @@ WITH days AS (
 SELECT user_id,
        round(SUM(CAST(round((dmax - dmin) * 1000000) AS BIGINT))
              / 1000000.0 / count(*), 6) AS dtr,
-       round(SUM(CASE WHEN dsum > 50 THEN CAST(round(dsum * 1000000)
-                                              AS BIGINT) ELSE 0 END)
-             / 1000000.0
-             / greatest(SUM(CASE WHEN dsum > 50 THEN 1 ELSE 0 END), 1), 6)
-         AS sdii,
+       -- zero wet days -> NULL (undefined intensity), never a fake 0
+       CASE WHEN SUM(CASE WHEN dsum > 50 THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE round(SUM(CASE WHEN dsum > 50
+                                THEN CAST(round(dsum * 1000000) AS BIGINT)
+                                ELSE 0 END)
+                       / 1000000.0
+                       / SUM(CASE WHEN dsum > 50 THEN 1 ELSE 0 END), 6)
+       END AS sdii,
        CAST(SUM(CASE WHEN dsum > 50 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_wet_days,
        CAST(count(*) AS BIGINT) AS n_days
@@ -720,9 +737,10 @@ FROM days GROUP BY 1
 def etccdi_dtr_sdii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two simple-index staples on the daily digest: DTR (mean diurnal
     range, max−min per day) and SDII (mean accumulation on "wet" days —
-    daily sum above a threshold). One digest aggregation + one
-    per-entity roll-up; exact micro-unit sums everywhere a float
-    average crosses a group boundary."""
+    daily sum above a threshold; NULL when an entity has NO wet days —
+    an undefined intensity must not masquerade as a real 0). One digest
+    aggregation + one per-entity roll-up; exact micro-unit sums
+    everywhere a float average crosses a group boundary."""
     e = load_table(spark, sf_dir, "events")
     micro = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
     days = (e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
@@ -735,11 +753,12 @@ def etccdi_dtr_sdii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (days.groupBy("user_id")
             .agg(F.round(F.sum(micro(F.col("dmax") - F.col("dmin"))) / 1e6
                          / F.count(F.lit(1)), 6).alias("dtr"),
-                 F.round(F.sum(F.when(wet, micro(F.col("dsum")))
-                                .otherwise(0)) / 1e6
-                         / F.greatest(
-                             F.sum(F.when(wet, 1).otherwise(0)), F.lit(1)),
-                         6).alias("sdii"),
+                 F.when(F.sum(F.when(wet, 1).otherwise(0)) == 0,
+                        F.lit(None)).otherwise(
+                     F.round(F.sum(F.when(wet, micro(F.col("dsum")))
+                                    .otherwise(0)) / 1e6
+                             / F.sum(F.when(wet, 1).otherwise(0)), 6))
+                  .alias("sdii"),
                  F.sum(F.when(wet, 1).otherwise(0)).cast("long")
                   .alias("n_wet_days"),
                  F.count(F.lit(1)).alias("n_days")))

@@ -187,7 +187,7 @@ SELECT event_type, CAST(n AS BIGINT) AS n, ts AS cp_ts,
        CAST(idx AS BIGINT) AS cp_index, stat AS max_stat
 FROM cum
 QUALIFY row_number() OVER (PARTITION BY event_type
-                           ORDER BY stat DESC, ts ASC) = 1
+                           ORDER BY stat DESC, ts ASC, idx ASC) = 1
 """)
 def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection per series: the standardized cumulative
@@ -197,8 +197,6 @@ def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the series partitioning plus whole-partition moments —
     no extra shuffle beyond the per-series key; moments round at 1e-6
     per the module's determinism rule."""
-    from ..sources.io import load_table
-
     ev = load_table(spark, sf_dir, "events")
     wa = Window.partitionBy("event_type")
     wr = (Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -211,8 +209,11 @@ def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.sum(F.col("value") - F.col("mu")).over(wr))
                 / (F.col("sd") * F.sqrt("n")), 6))
             .withColumn("idx", F.row_number().over(wi)))
+    # idx is unique within the partition — without it, two rows tying
+    # on (rounded stat, ts) make the picked changepoint nondeterministic
     pick = Window.partitionBy("event_type").orderBy(F.col("stat").desc(),
-                                                    F.col("ts").asc())
+                                                    F.col("ts").asc(),
+                                                    F.col("idx").asc())
     return (st.withColumn("__r", F.row_number().over(pick))
               .where(F.col("__r") == 1)
               .select("event_type", F.col("n").cast("long").alias("n"),
@@ -229,16 +230,26 @@ WITH days AS (
   FROM events GROUP BY 1, 2
 ),
 lagged AS (
-  SELECT event_type, d, v,
-         lag(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS naive,
-         lag(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS snaive,
-         row_number() OVER (PARTITION BY event_type ORDER BY d) AS idx,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM days
+  -- CALENDAR-keyed baselines: naive = the value on d-1, seasonal =
+  -- the value on d-7 (same weekday last week). A row-offset lag would
+  -- silently misalign both baselines after any missing day.
+  SELECT l.event_type, l.d, l.v, n1.v AS naive, n7.v AS snaive,
+         row_number() OVER (PARTITION BY l.event_type ORDER BY l.d)
+           AS idx,
+         count(*) OVER (PARTITION BY l.event_type) AS n
+  FROM days l
+  LEFT JOIN days n1 ON n1.event_type = l.event_type
+                   AND n1.d = l.d - INTERVAL 1 DAY
+  LEFT JOIN days n7 ON n7.event_type = l.event_type
+                   AND n7.d = l.d - INTERVAL 7 DAY
 ),
 holdout AS (
+  -- round BEFORE the integer cast: DuckDB's double->BIGINT cast
+  -- rounds while Spark's truncates (functions/exact.py:14-17), so a
+  -- bare CAST(0.8*n) diverges for n = 11, 16, 17, ...
   SELECT * FROM lagged
-  WHERE idx > CAST(0.8 * n AS BIGINT) AND snaive IS NOT NULL
+  WHERE idx > CAST(round(0.8 * n) AS BIGINT)
+    AND naive IS NOT NULL AND snaive IS NOT NULL
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
        round(SUM(CAST(round(abs(v - naive) * 1000000) AS BIGINT))
@@ -255,42 +266,52 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
 FROM holdout GROUP BY 1
 """)
 def forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forecast-baseline scorecard: naive (lag-1) and seasonal-naive
-    (lag-7) predictions evaluated on each series' last 20% — MAE/RMSE
-    per series, the floor every real forecasting model must beat before
-    it earns a deployment. Daily digest + two lag windows + one holdout
-    aggregate, all on the series partitioning; digests round at 1e-6
-    per the module's determinism rule."""
-    from ..sources.io import load_table
+    """Forecast-baseline scorecard: naive (yesterday's value) and
+    seasonal-naive (same weekday last week) predictions evaluated on
+    each series' last 20% — MAE/RMSE per series, the floor every real
+    forecasting model must beat before it earns a deployment. Both
+    baselines are CALENDAR-keyed self-joins on d−1 / d−7, not row-offset
+    lags — a missing day would silently shift a row lag onto the wrong
+    weekday for every later row. Daily digest + one holdout aggregate,
+    all on the series partitioning; digests round at 1e-6 per the
+    module's determinism rule; the 80% cutoff rounds before its integer
+    cast (the engines' bare double→int casts disagree)."""
+    from ..functions.exact import exact_avg
 
     ev = load_table(spark, sf_dir, "events")
     days = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
               .agg(F.round(
                   F.sum(F.round(F.col("value") * 1e6).cast("long")) / 1e6
                   / F.count(F.lit(1)), 6).alias("v")))
+    n1 = days.select(F.col("event_type").alias("t1"),
+                     F.col("d").alias("d1"), F.col("v").alias("naive"))
+    n7 = days.select(F.col("event_type").alias("t7"),
+                     F.col("d").alias("d7"), F.col("v").alias("snaive"))
     w = Window.partitionBy("event_type").orderBy("d")
     wa = Window.partitionBy("event_type")
-    lagged = (days.withColumn("naive", F.lag("v", 1).over(w))
-                  .withColumn("snaive", F.lag("v", 7).over(w))
-                  .withColumn("idx", F.row_number().over(w))
-                  .withColumn("n", F.count("*").over(wa)))
-    hold = lagged.where((F.col("idx") > (F.lit(0.8) * F.col("n"))
-                         .cast("long"))
+    lagged = (days
+              .join(n1, (F.col("t1") == F.col("event_type"))
+                    & (F.col("d1") == F.col("d")
+                       - F.expr("INTERVAL 1 DAY")), "left")
+              .join(n7, (F.col("t7") == F.col("event_type"))
+                    & (F.col("d7") == F.col("d")
+                       - F.expr("INTERVAL 7 DAY")), "left")
+              .select("event_type", "d", "v", "naive", "snaive")
+              .withColumn("idx", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(wa)))
+    hold = lagged.where((F.col("idx")
+                         > F.round(F.lit(0.8) * F.col("n")).cast("long"))
+                        & F.col("naive").isNotNull()
                         & F.col("snaive").isNotNull())
     # exact scaled-long error sums (the registry's float-determinism
     # discipline): abs errors at 1e-6, squared errors at 1e-12
     err = lambda p: F.col("v") - F.col(p)  # noqa: E731
 
-    def ex_avg(col, scale):
-        f = float(10 ** scale)
-        return (F.sum(F.round(col * f).cast("long")) / f
-                / F.count(F.lit(1)))
-
     def micro_avg(col):
-        # rounding happens in integer micro-units, where a decimal tie
-        # is an exactly-representable .5 both engines resolve identically
-        # (half away from zero) — round(x, 6) ties at the 7th digit are
-        # algorithm-dependent across engines
+        # round in integer micro-units with the ORACLE'S exact operation
+        # order (round(sum_micro / count) / 1e6) — composing
+        # round_port(exact_avg(...)) would interpose a /1e6·1e6 round
+        # trip whose last-ulp drift can flip a .5 tie
         return (F.round(F.sum(F.round(col * 1e6).cast("long"))
                         / F.count(F.lit(1))) / F.lit(1e6))
 
@@ -299,7 +320,9 @@ def forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  micro_avg(F.abs(err("naive"))).alias("mae_naive"),
                  micro_avg(F.abs(err("snaive")))
                   .alias("mae_seasonal_naive"),
-                 F.round(F.sqrt(ex_avg(err("naive") * err("naive"), 12)), 6)
+                 F.round(F.sqrt(
+                     exact_avg(err("naive") * err("naive"), 12)), 6)
                   .alias("rmse_naive"),
-                 F.round(F.sqrt(ex_avg(err("snaive") * err("snaive"), 12)),
-                         6).alias("rmse_seasonal_naive")))
+                 F.round(F.sqrt(
+                     exact_avg(err("snaive") * err("snaive"), 12)), 6)
+                  .alias("rmse_seasonal_naive")))
