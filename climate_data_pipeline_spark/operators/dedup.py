@@ -390,7 +390,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         F.count("*"),
         F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
     converged = False
-    for _rnd in range(1, max_rounds):
+    for _rnd in range(1, max_rounds + 1):
         # LAZY checkpoint + always-on fingerprint probe: the probe —
         # a one-row (count, order-independent hash sum) agg — is the
         # action that materializes the checkpoint, so each round is

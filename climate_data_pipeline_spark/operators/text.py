@@ -11,6 +11,7 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -250,7 +251,9 @@ def chunk_text(df: DataFrame, text_col: str, id_col: str,
                        F.concat_ws(" ", F.col("c.cw")).alias("chunk_text")))
 
 
-_CHUNK_SEQ = 0
+# itertools.count().__next__ is atomic under the GIL, so concurrent
+# chunker invocations in one session can never draw the same name
+_CHUNK_SEQ = itertools.count(1).__next__
 
 
 def chunk_text_udtf(spark, df: DataFrame, text_col: str, id_col: str,
@@ -281,9 +284,8 @@ def chunk_text_udtf(spark, df: DataFrame, text_col: str, id_col: str,
     # second chunking job clobber the first's temp view before its lazy
     # plan executes (silently chunking the wrong table); the id column
     # is backtick-quoted, never spliced bare into SQL
-    global _CHUNK_SEQ
-    _CHUNK_SEQ += 1
-    fn, view = f"__chunk_udtf_{_CHUNK_SEQ}", f"__chunk_in_{_CHUNK_SEQ}"
+    seq = _CHUNK_SEQ()
+    fn, view = f"__chunk_udtf_{seq}", f"__chunk_in_{seq}"
     spark.udtf.register(fn, Chunker)
     df.select(F.col(id_col), F.col(text_col).alias("__text")) \
       .createOrReplaceTempView(view)

@@ -273,20 +273,29 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
     exhaustion the reference-shaped failed dict (with the steps run so
     far) is returned."""
     prog = _Progress(progress, time_limit)
+    # pinned frames are unpersisted here, not inside the staged body,
+    # so a failure in ANY stage (not just the final write) releases
+    # the MEMORY_AND_DISK caches instead of leaking them for the
+    # session
+    pinned: list = []
     try:
         return _curate_corpus_staged(
             spark, sf_dir, output_dir, text_col, id_col, split_weights,
             keep_split, n_shards, salt, quality_filter, lm_filter,
-            normalize, near_dedup, prog)
+            normalize, near_dedup, prog, pinned)
     except Exception as exc:
         # any-exception → failed dict, mirroring celery_tasks.py:77-81
         return _failed(exc, output_dir=output_dir, steps=prog.steps)
+    finally:
+        for frame in pinned:
+            frame.unpersist()
 
 
 def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
                           split_weights, keep_split, n_shards, salt,
                           quality_filter, lm_filter, normalize,
-                          near_dedup, prog: _Progress) -> dict:
+                          near_dedup, prog: _Progress,
+                          pinned: list) -> dict:
     from pyspark.sql import functions as F
 
     from pyspark import StorageLevel
@@ -299,7 +308,6 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
     # count that audits a stage ALSO materializes it, and later stages
     # (and the final write) read the cache instead of re-running every
     # upstream gate/dedup (un-pinned, the job cost ~6 end-to-end passes)
-    pinned: list = []
 
     def pin(frame):
         frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
@@ -361,12 +369,8 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
     kept = pin(split.where(F.col("split") == keep_split).drop("split"))
     n_split = kept.count()
     prog.step("writing")
-    try:
-        result = write_training_shards(kept, output_dir, id_col, n_shards,
-                                       salt=salt, overwrite=True)
-    finally:
-        for frame in pinned:
-            frame.unpersist()
+    result = write_training_shards(kept, output_dir, id_col, n_shards,
+                                   salt=salt, overwrite=True)
     result.update({
         "n_input": n_in,
         "n_after_quality": n_quality,

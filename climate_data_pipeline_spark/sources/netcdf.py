@@ -74,6 +74,12 @@ def grid_to_long(spark: SparkSession,
     for chunk in _chunk_frames(coords, variables, dim_order, time_chunk):
         part = spark.createDataFrame(chunk)
         out = part if out is None else out.unionByName(part)
+    if out is None:
+        # zero-length leading dimension: build an empty frame with the
+        # expected schema instead of silently returning None
+        cols = {d: pd.Series(coords[d][:0]) for d in dim_order}
+        cols.update({v: pd.Series(a.ravel()[:0]) for v, a in variables.items()})
+        out = spark.createDataFrame(pd.DataFrame(cols))
     return out
 
 

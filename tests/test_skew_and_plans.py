@@ -208,9 +208,14 @@ def test_twap_window_feeds_agg_without_reshuffle(spark, sf_small):
     assert "partial_" in plan
 
 
-def test_degree_days_single_shuffle_with_partials(spark, sf_small):
+def test_degree_days_two_stage_aggregate(spark, sf_small):
+    """degree_days is a two-stage aggregate (daily digest -> monthly
+    roll-up, queries/behavioral.py) so the plan legitimately carries
+    TWO exchanges — one per grouping key change — each with map-side
+    partial aggregation. Per-event summing (the old 1-Exchange shape)
+    scaled with observation density and was semantically wrong."""
     plan = _plan(spark, sf_small, "degree_days")
-    assert plan.count("Exchange ") == 1
+    assert plan.count("Exchange ") == 2
     assert "partial_" in plan
 
 
