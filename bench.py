@@ -13,8 +13,13 @@ collect — so timings measure the engine, not result serialization.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
-     BENCH_ITERATIONS / BENCH_WARMUP (default 3 / 3 — matching the reference
-     harness's 3 warmups, src/benchmark_suite.py:55).
+     BENCH_ITERATIONS / BENCH_WARMUP (default 20 / 3 — the reference
+     harness's methodology: >= 20 timed iterations after 3 warmups,
+     src/benchmark_suite.py:55-120; p95/p99 are meaningless at n < 20),
+     BENCH_OFFHEADLINE_ITERATIONS (default 3) for the off-headline
+     section: the known-heavy queries (ground-truth evaluators, the
+     clustering family) are benched at few iterations so their
+     round-over-round trend is recorded without dominating wall time.
 """
 
 from __future__ import annotations
@@ -56,6 +61,20 @@ HEADLINE = [
     "corpus_source_overlap",  # single-shuffle shingle→source-set pair matrix
     "text_gopher_rules",      # 7-rule integer-arithmetic filter, shuffle-free
     "dsir_importance_weights", # hashed-bigram likelihood ratios, 2 scans
+]
+
+# Heavy-by-design queries benched separately (fewer iterations) so their
+# trend is visible in BENCH JSON round-over-round instead of only in
+# prose. The *_eval entries are brute-force ground-truth evaluators
+# (all-pairs by construction, exempt from the < 2 s envelope);
+# dedup_clusters is pinned to its exact-Jaccard ground-truth pair join.
+OFF_HEADLINE = [
+    "sim_cosine_pairs",        # banded LSH + sketch prefilter + rerank
+    "dedup_semantic_clusters", # LSH pair graph -> connected components
+    "dedup_semantic_prune",    # SemDeDup corpus prune end-to-end
+    "dedup_clusters",          # exact-Jaccard ground-truth clustering
+    "dedup_minhash_eval",      # brute-force recall evaluator
+    "dedup_semantic_eval",     # low-threshold exploratory evaluator
 ]
 
 
@@ -141,8 +160,9 @@ def percentile(samples: list[float], q: float) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    iterations = int(os.environ.get("BENCH_ITERATIONS", "3"))
+    iterations = int(os.environ.get("BENCH_ITERATIONS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    off_iters = int(os.environ.get("BENCH_OFFHEADLINE_ITERATIONS", "3"))
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -181,6 +201,17 @@ def main() -> None:
             "meets_2s_target": times[-1] < 2.0,
         }
 
+    off_headline: dict[str, dict] = {}
+    for name in OFF_HEADLINE:
+        run_once(name)  # one warmup: these queries run seconds each
+        times = sorted(run_once(name) for _ in range(off_iters))
+        off_headline[name] = {
+            "mean_s": round(statistics.mean(times), 4),
+            "median_s": round(statistics.median(times), 4),
+            "min_s": round(times[0], 4),
+            "n": off_iters,
+        }
+
     serving = bench_serving(spark, sf_dir)
 
     total = round(sum(per_query.values()), 4)
@@ -190,7 +221,9 @@ def main() -> None:
         "metric": "headline_query_mean_runtime_total",
         "value": total,
         "unit": "sec",
+        "n": iterations,
         "queries": per_query,
+        "off_headline": off_headline,
         "serving_ms": serving,
         "sf": sf,
     }))

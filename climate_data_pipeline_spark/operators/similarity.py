@@ -480,7 +480,8 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
                    n_bands: int = 16, band_bits: int = 2,
                    seed: str = "cdps-pairs", dim: int = 64,
                    round_dp: int = 6,
-                   prefilter_margin: float | None = None) -> DataFrame:
+                   prefilter_margin: float | None = None,
+                   prefilter_sigma: float | None = None) -> DataFrame:
     """Near-dup pairs at scale: banded random-hyperplane LSH candidate
     generation + exact cosine within candidates — the shipped
     replacement for the O(n²) ``cosine_pairs`` theta join.
@@ -508,19 +509,33 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
     of magnitude with recall ≥0.99 — that regime is why this shape
     ships.
 
-    ``prefilter_margin``: when set, the full ``n_bands·band_bits``-bit
-    signature (already computed for banding) doubles as a cosine
-    SKETCH before the exact rerank: for a candidate pair the sign-bit
-    Hamming distance h estimates cos(π·h/n_planes), so pairs with
-    ``h > n_planes·arccos(threshold − margin)/π`` (an INTEGER cutoff —
-    deterministic and engine-portable) are dropped without touching
-    the vectors. On near-uniform corpora this collapses the
-    background-collision candidate stream by ~100× (the exact-cosine
-    join then runs on a trivial survivor set), at a documented recall
-    cost: a true pair whose sketch underestimates by more than
-    ``margin`` is lost (≈4σ at 238 planes / margin 0.3). The distinct
-    moves AFTER the sketch filter — duplicates from multi-band
-    collisions are cheaper to re-sketch than to shuffle."""
+    ``prefilter_margin`` / ``prefilter_sigma``: when set, the full
+    ``n_bands·band_bits``-bit signature (already computed for banding)
+    doubles as a cosine SKETCH before the exact rerank: a candidate
+    pair's sign-bit Hamming distance h estimates cos(π·h/n_planes),
+    and pairs above an INTEGER cutoff (deterministic and
+    engine-portable — an oracle re-derives it exactly) are dropped
+    without touching the vectors. Two ways to state the cutoff:
+
+    - ``prefilter_margin=m``: ``h_max = ⌊n_planes·arccos(θ−m)/π⌋`` — a
+      fixed cosine slack. Simple, but the slack a sketch actually
+      needs scales with the BINOMIAL noise of h, not with cosine
+      units: at 198 planes a 0.3 margin is ≈3σ of headroom yet lets
+      through every background pair whose true cosine sits within
+      ~0.3 of θ — on mean-zero corpora that's most of the collision
+      mass, and the exact rerank pays for all of it.
+    - ``prefilter_sigma=k`` (preferred): ``h_max = ⌊E[h|θ] + k·σ[h|θ]⌋``
+      with ``E = n·arccos(θ)/π`` and ``σ = √(n·p(1−p))`` — the cutoff
+      placed k standard deviations of SKETCH NOISE above the
+      threshold's own expected Hamming. k = 2.33 loses ~1% of pairs
+      sitting EXACTLY at θ (one-sided normal tail; pairs above θ
+      vanish exponentially faster) while admitting only the
+      background whose true cosine is within ~k·σ_cos of θ — at 198
+      planes that's an est-cos floor ≈ θ − 0.19 instead of θ − 0.3,
+      an ~8× smaller rerank on mean-zero corpora.
+
+    The distinct moves AFTER the sketch filter — duplicates from
+    multi-band collisions are cheaper to re-sketch than to shuffle."""
     import math
 
     from pyspark import StorageLevel
@@ -541,12 +556,16 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
         # Fields are disjoint, so bit_count(xor(packed)) ≡
         # Σ bit_count(xor(field)) — lossless, oracle re-derives it
         # directly from the per-band values.
-        word = F.lit(0).cast("long")
-        for j in range(w * per_word, min((w + 1) * per_word, n_bands)):
-            word = word + F.shiftleft(
-                F.element_at(F.col("__vals"), j + 1).cast("long"),
-                band_bits * (j - w * per_word))
-        return word
+        # Built as ONE parsed expr: constructing the ~130 Column ops
+        # through py4j costs ~0.4 s of DRIVER time per query build
+        # (one JVM round-trip per op) — a measured third of the whole
+        # query's warm latency; the parser builds the identical
+        # left-associative tree in one call.
+        return F.expr(" + ".join(
+            f"shiftleft(CAST(element_at(__vals, {j + 1}) AS BIGINT), "
+            f"{band_bits * (j - w * per_word)})"
+            for j in range(w * per_word,
+                           min((w + 1) * per_word, n_bands))))
 
     # ONE projection computes everything downstream needs (band values,
     # packed sketch words, the vector for the rerank) and is persisted:
@@ -556,44 +575,52 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
     # (MEMORY_AND_DISK) and ~the source's own width, the standard trade
     # for a multi-use intermediate; Spark evicts it LRU once the query
     # finishes consuming it.
+    if prefilter_margin is not None and prefilter_sigma is not None:
+        raise ValueError("pass prefilter_margin OR prefilter_sigma, "
+                         "not both")
+    h_max: int | None = None
+    if prefilter_margin is not None:
+        h_max = int(n_planes * math.acos(
+            min(max(threshold - prefilter_margin, -1.0), 1.0)) / math.pi)
+    elif prefilter_sigma is not None:
+        p_theta = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        h_max = int(n_planes * p_theta + prefilter_sigma
+                    * math.sqrt(n_planes * p_theta * (1.0 - p_theta)))
+
     base = df.select(F.col(id_col), F.col(vec_col),
                      band_vals.alias("__vals"))
-    if prefilter_margin is not None:
+    if h_max is not None:
         base = base.select(
             id_col, vec_col, "__vals",
             *[packed_word(w).alias(f"__sig{w}") for w in range(n_words)])
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # the packed sketch words RIDE the exploded (band, value) stream —
+    # +8·n_words bytes per exploded row — so the sketch filter runs
+    # INSIDE the band self-join's output with plain xor+bit_count
+    # projections and no further join. The alternative (joining the
+    # candidates back to a per-vector signature table) either
+    # broadcasts one row per CORPUS vector — O(n) broadcast, dead at
+    # cluster scale — or shuffles the candidate stream twice; both
+    # also pay broadcast/shuffle-build jobs that dominate small-scale
+    # latency. Filtering before the distinct keeps multi-band dups
+    # cheaper to re-sketch than to shuffle.
+    sig_cols = [f"__sig{w}" for w in range(n_words)] \
+        if h_max is not None else []
     banded = base.select(
         F.col(id_col),
-        F.posexplode(F.col("__vals")).alias("band", "val"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "val")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "val")
+        F.posexplode(F.col("__vals")).alias("band", "val"), *sig_cols)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "val",
+                      *[F.col(c).alias(f"__a{c}") for c in sig_cols])
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "val",
+                      *[F.col(c).alias(f"__b{c}") for c in sig_cols])
     cand = (a.join(b, ["band", "val"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b"))
-    if prefilter_margin is not None:
-        h_max = int(n_planes * math.acos(
-            min(max(threshold - prefilter_margin, -1.0), 1.0)) / math.pi)
-        # ONE signature projection joined under two aliases: the
-        # broadcast exchange child plans canonicalize identically, so
-        # ReuseExchange builds the (bounded, one row per vector)
-        # broadcast once and probes it from both endpoints — and the
-        # high-volume candidate stream never shuffles; the Pandas-UDF
-        # lineage otherwise defeats Catalyst's size estimate.
-        sigs = base.select(F.col(id_col).alias("__sid"),
-                           *[F.col(f"__sig{w}") for w in range(n_words)])
-        s1, s2 = sigs.alias("__s1"), sigs.alias("__s2")
-        ham = sum((F.bit_count(F.col(f"__s1.__sig{w}")
-                    .bitwiseXOR(F.col(f"__s2.__sig{w}")))
-                   for w in range(n_words)), F.lit(0))
-        cand = (cand.join(F.broadcast(s1),
-                          F.col("id_a") == F.col("__s1.__sid"))
-                    .join(F.broadcast(s2),
-                          F.col("id_b") == F.col("__s2.__sid"))
-                    .where(ham <= h_max)
-                    .select("id_a", "id_b"))
-    cand = cand.distinct()
+             .where(F.col("id_a") < F.col("id_b")))
+    if h_max is not None:
+        ham = " + ".join(f"bit_count(__a__sig{w} ^ __b__sig{w})"
+                         for w in range(n_words))
+        cand = cand.where(F.expr(f"({ham}) <= {h_max}"))
+    cand = cand.select("id_a", "id_b").distinct()
     ea = base.select(F.col(id_col).alias("id_a"),
                      F.col(vec_col).alias("va"))
     eb = base.select(F.col(id_col).alias("id_b"),
@@ -629,16 +656,20 @@ def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     exact copies. Every arithmetic step (double mul, cast back to
     float) is IEEE-exact and re-derivable in SQL, so value-level
     oracles still hash-match."""
-    def twin_component(x, j):
-        s = F.when(
-            (F.conv(F.substring(
-                F.md5(F.concat_ws(":", F.lit(seed),
-                                  F.col(id_col).cast("string"),
-                                  j.cast("string"))), 1, 8), 16, 10)
-             .cast("long") % 2) == 0,
-            F.lit(1.0)).otherwise(F.lit(-1.0))
-        return (x.cast("double") * (F.lit(1.0) + F.lit(eps) * s)) \
-            .cast("float")
+    # one parsed expr instead of a py4j-built lambda tree: the ~40
+    # Column round-trips cost ~0.25 s of driver time per query build.
+    # Literals carry the D suffix so they parse as DOUBLE (a bare 0.05
+    # parses as DECIMAL and would change the arithmetic the oracle
+    # re-derives); the CASE/md5/conv chain is the same expression the
+    # lambda built.
+    qid = id_col.replace("`", "``")
+    qvec = vec_col.replace("`", "``")
+    twin_transform = F.expr(
+        f"transform(`{qvec}`, (x, j) -> CAST(CAST(x AS DOUBLE) * "
+        f"({1.0!r}D + {eps!r}D * (CASE WHEN CAST(conv(substring(md5("
+        f"concat_ws(':', '{seed}', CAST(`{qid}` AS STRING), "
+        f"CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 "
+        f"THEN {1.0!r}D ELSE {-1.0!r}D END)) AS FLOAT))")
 
     # two steps: putting the `id + offset` alias in the same select
     # would LATERALLY shadow the input id inside the transform lambda
@@ -657,8 +688,7 @@ def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
                .crossJoin(F.broadcast(bounds))
                .where(F.col(id_col) < F.col("__twin_lo"))
                .select(F.col(id_col), F.col("__twin_off"),
-                       F.transform(F.col(vec_col), twin_component)
-                        .alias(vec_col)))
+                       twin_transform.alias(vec_col)))
     if offset is None:
         twins = twins.select((F.col(id_col) + F.col("__twin_off"))
                              .alias(id_col), F.col(vec_col))

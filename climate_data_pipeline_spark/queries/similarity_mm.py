@@ -510,19 +510,21 @@ _BANDED_PAIRS_CTE = _banded_pairs_cte(16, 2, 0.4)
 # production-dedup parameterization: suggest_bands(0.6) → 34 bands of
 # 7 sign bits (238 planes) — the selective-band regime (background
 # collision rate 2^-7 per band vs 2^-2 above) — plus the sign-bit
-# Hamming sketch prefilter at margin 0.3:
-# h_max = floor(238·acos(0.6−0.3)/π) = 95. Pinned literally for
-# oracle stability.
-_BANDED_PAIRS_CTE_SELECTIVE = _banded_pairs_cte(34, 7, 0.6, h_max=95,
+# Hamming sketch prefilter at 2.33σ of sketch noise above the
+# threshold's expected Hamming:
+# h_max = floor(238·acos(0.6)/π + 2.33·sqrt(238·p·(1−p))) = 86
+# (p = acos(0.6)/π; ~1% one-sided loss for pairs EXACTLY at θ, nil
+# above). Pinned literally for oracle stability.
+_BANDED_PAIRS_CTE_SELECTIVE = _banded_pairs_cte(34, 7, 0.6, h_max=86,
                                                 table="emb_seeded")
 
 
 # sim_cosine_pairs parameterization: suggest_bands(0.5) → 33 bands ×
-# 6 sign bits (198 planes), sign-sketch Hamming prefilter at margin
-# 0.3 → h_max = floor(198·acos(0.5−0.3)/π) = 86. Pinned literally for
-# oracle stability. The corpus is salted with the deterministic twins
-# so the check has teeth at every sf.
-_BANDED_PAIRS_CTE_05 = _banded_pairs_cte(33, 6, 0.5, h_max=86,
+# 6 sign bits (198 planes), sign-sketch Hamming prefilter at 2.33σ →
+# h_max = floor(198·acos(0.5)/π + 2.33·sqrt(198·(1/3)(2/3))) = 81.
+# Pinned literally for oracle stability. The corpus is salted with
+# the deterministic twins so the check has teeth at every sf.
+_BANDED_PAIRS_CTE_05 = _banded_pairs_cte(33, 6, 0.5, h_max=81,
                                          table="emb_seeded")
 
 
@@ -548,7 +550,7 @@ def cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = SIM.seed_near_duplicates(emb, n_seed=40)
     return SIM.lsh_band_pairs(corpus, threshold=0.5, n_bands=33,
-                              band_bits=6, dim=64, prefilter_margin=0.3)
+                              band_bits=6, dim=64, prefilter_sigma=2.33)
 
 
 _LSH_BUCKET_CTES = """planes AS (
@@ -965,7 +967,8 @@ def semantic_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     components. Banding is `suggest_bands(0.6)` = 34 bands × 7 sign
     bits — the selective regime (background collision 2⁻⁷ per band,
     recall ≥ 0.95 at the threshold), plus the 238-bit sign-sketch
-    Hamming prefilter (margin 0.3 → integer cutoff h ≤ 95) that drops
+    Hamming prefilter (2.33σ of sketch noise above the
+    threshold's expected Hamming → integer cutoff h ≤ 86) that drops
     background collisions before any vector is touched — the
     parameterization whose candidate volume stays far from all-pairs
     as the corpus grows.
@@ -984,7 +987,7 @@ def semantic_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = SIM.seed_near_duplicates(emb, n_seed=40)
     pairs = SIM.lsh_band_pairs(corpus, threshold=0.6, n_bands=34,
                                band_bits=7, dim=64,
-                               prefilter_margin=0.3)
+                               prefilter_sigma=2.33)
     from ..operators import dedup as D
     return D.duplicate_clusters(pairs)
 
@@ -1016,7 +1019,7 @@ def semantic_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = SIM.seed_near_duplicates(emb, n_seed=40)
     pairs = SIM.lsh_band_pairs(corpus, threshold=0.6, n_bands=34,
                                band_bits=7, dim=64,
-                               prefilter_margin=0.3)
+                               prefilter_sigma=2.33)
     from ..operators import dedup as D
     clusters = D.duplicate_clusters(pairs)
     non_canon = (clusters.where(~F.col("is_canonical"))

@@ -34,6 +34,14 @@ def get_spark(app_name: str = "climate_data_pipeline_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # the 1MB default floor folds any few-MB shuffle into 1-2
+        # tasks, serializing CPU-heavy post-shuffle stages (Arrow
+        # rerank kernels most of all) on a 32-core host; 128k keeps
+        # parallelismFirst actually parallel on small-but-hot
+        # exchanges. At cluster scale partitions sit at the 64MB
+        # advisory size, so the floor never binds there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # local test files are single ~1-20MB parquets; the 128MB default
         # split packs each table into 1-3 tasks and starves the cores.

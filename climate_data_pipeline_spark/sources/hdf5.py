@@ -12,11 +12,12 @@ groups, contiguous or chunked(+deflate/shuffle) dataset layouts — which
 is fully implemented here. The 1.10+ "latest" profile (h5py with
 ``libver='latest'``/track-order features) is also read: superblock
 v2/v3, 'OHDR' v2 object headers with 'OCHK' continuations, compact
-LINK-message groups, and layout-v4 chunk indexes (Single Chunk,
-Implicit, Fixed Array). Features beyond that (compound types, szip,
-fractal-heap dense links/attributes, extensible-array / v2-B-tree
-chunk indexes, ...) raise a crisp ``NotImplementedError`` naming the
-feature.
+LINK-message groups, layout-v4 chunk indexes (Single Chunk, Implicit,
+Fixed Array, Extensible Array for appendable unlimited-dimension
+datasets, v2 B-tree), and dense link storage (fractal heap + name
+v2 B-tree). Features beyond that (compound types, szip, dense
+attributes, paged/indirect heap & array shapes, ...) raise a crisp
+``NotImplementedError`` naming the feature.
 
 Reader semantics (the netCDF-4 data model):
 - dimension order per variable from the ``DIMENSION_LIST`` attribute
@@ -212,24 +213,28 @@ class H5File:
 
     def _walk_group_links(self, oh_addr: int, prefix: str):
         """Traverse a 1.10+ 'latest'-format group: children are compact
-        LINK messages in the v2 object header (spec IV.A.2.g). Dense
-        link storage (links spilled to a fractal heap, signalled by a
-        defined heap address in the LINK_INFO message) is outside the
-        supported profile and raises loudly."""
+        LINK messages in the v2 object header (spec IV.A.2.g), or —
+        once a group outgrows the compact-message limit — DENSE link
+        storage: link messages as fractal-heap objects, indexed by a
+        name v2 B-tree whose records carry (name hash, heap ID)
+        (spec III.A.2 record type 5 + III.F)."""
         msgs = self._object_header(oh_addr)
+        link_bodies = [body for t, body in msgs if t == MSG_LINK]
         for t, body in msgs:
             if t == MSG_LINK_INFO:
                 # version(1), flags(1), [max corder(8) if flags bit0],
                 # fractal heap addr(8), name-index v2 B-tree addr(8)
                 flags = body[1]
                 pos = 2 + (8 if flags & 0x1 else 0)
-                (fheap,) = struct.unpack_from("<Q", body, pos)
-                if fheap != UNDEF:
-                    raise H5Unsupported(
-                        "dense link storage (fractal heap) not "
-                        "supported; re-write with compact links")
+                (fheap_addr, name_bt) = struct.unpack_from(
+                    "<QQ", body, pos)
+                if fheap_addr != UNDEF:
+                    heap = self._fractal_heap(fheap_addr)
+                    link_bodies.extend(
+                        self._fheap_object(heap, rec[4:])
+                        for rec in self._v2btree_leaf_records(name_bt))
         for name, child_addr in (self._parse_link(body)
-                                 for t, body in msgs if t == MSG_LINK):
+                                 for body in link_bodies):
             if child_addr is None:
                 continue                       # soft/external link
             child = prefix + name
@@ -238,6 +243,111 @@ class H5File:
                 self._load_dataset(child, child_addr, cmsgs)
             else:
                 self._walk_group_links(child_addr, prefix=child + "/")
+
+    # --- fractal heap + generic v2 B-tree (dense link storage) ---------------
+
+    def _fractal_heap(self, addr: int) -> dict:
+        """Parse a fractal heap header (spec III.F) far enough to
+        resolve MANAGED heap IDs. Supported shape: root is a single
+        direct block (current-rows == 0) and no I/O filters — exactly
+        what dense link/attribute storage produces until a group grows
+        past the starting block size; indirect roots raise loudly."""
+        b = self.buf
+        if b[addr:addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap signature")
+        (heap_id_len,) = struct.unpack_from("<H", b, addr + 5)
+        (filter_len,) = struct.unpack_from("<H", b, addr + 7)
+        flags = b[addr + 9]
+        # fixed-width middle section: max managed size(4), next huge
+        # id(8), huge btree(8), free space(8), fs manager(8), managed
+        # space(8), alloc managed(8), iterator offset(8), n managed(8),
+        # huge size(8), n huge(8), tiny size(8), n tiny(8)
+        pos = addr + 10 + 4 + 12 * 8
+        (table_width,) = struct.unpack_from("<H", b, pos)
+        (start_block, max_direct) = struct.unpack_from("<QQ", b, pos + 2)
+        (max_heap_bits,) = struct.unpack_from("<H", b, pos + 18)
+        (start_rows,) = struct.unpack_from("<H", b, pos + 20)
+        (root_block,) = struct.unpack_from("<Q", b, pos + 22)
+        (cur_rows,) = struct.unpack_from("<H", b, pos + 30)
+        if filter_len:
+            raise H5Unsupported("filtered fractal heap not supported")
+        if cur_rows != 0:
+            raise H5Unsupported(
+                "fractal heap with indirect root block not supported "
+                "(group outgrew the starting direct block)")
+        off_size = -(-max_heap_bits // 8)
+        return {"heap_id_len": heap_id_len, "off_size": off_size,
+                "root_block": root_block, "flags": flags,
+                "block_size": start_block}
+
+    def _fheap_object(self, heap: dict, heap_id: bytes) -> bytes:
+        """Resolve a managed heap ID → object bytes. ID layout:
+        version/type byte, heap offset (off_size bytes), object length
+        (the remaining ID bytes)."""
+        vt = heap_id[0]
+        if (vt >> 4) & 0x3 != 0:
+            raise H5Unsupported(
+                f"non-managed fractal heap object (type {(vt >> 4) & 0x3})")
+        off_size = heap["off_size"]
+        off = int.from_bytes(heap_id[1:1 + off_size], "little")
+        length = int.from_bytes(heap_id[1 + off_size:], "little")
+        dblock = heap["root_block"]
+        b = self.buf
+        if b[dblock:dblock + 4] != b"FHDB":
+            raise ValueError("bad fractal heap direct block signature")
+        # heap offsets address the managed space INCLUDING block
+        # headers; the root direct block starts at heap offset 0, so
+        # the object sits at dblock + offset
+        if off >= heap["block_size"]:
+            raise H5Unsupported(
+                "fractal heap object beyond the root direct block")
+        return b[dblock + off:dblock + off + length]
+
+    def _v2btree_leaf_records(self, addr: int):
+        """Yield the raw records of a v2 B-tree in leaf order (depth
+        <= 1; the generic record walk used for dense-link name
+        indexes, where each record is hash(4) + heap ID)."""
+        b = self.buf
+        if b[addr:addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        (node_size,) = struct.unpack_from("<I", b, addr + 6)
+        (rec_size,) = struct.unpack_from("<H", b, addr + 10)
+        (depth,) = struct.unpack_from("<H", b, addr + 12)
+        (root, root_nrec) = struct.unpack_from("<QH", b, addr + 16)
+        if root == UNDEF:
+            return
+
+        def leaf(pos: int, nrec: int):
+            for i in range(nrec):
+                yield b[pos + i * rec_size:pos + (i + 1) * rec_size]
+
+        if depth == 0:
+            if b[root:root + 4] != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf signature")
+            yield from leaf(root + 6, root_nrec)
+            return
+        if depth > 1:
+            raise H5Unsupported(
+                f"v2 B-tree of depth {depth} (> 1) not supported")
+        if b[root:root + 4] != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node signature")
+        max_leaf_rec = (node_size - 10) // rec_size
+        nrec_len = max(1, (max_leaf_rec.bit_length() + 7) // 8)
+        pos = root + 6
+        for _ in range(root_nrec):
+            (caddr,) = struct.unpack_from("<Q", b, pos)
+            cnrec = int.from_bytes(b[pos + 8:pos + 8 + nrec_len], "little")
+            pos += 8 + nrec_len
+            if b[caddr:caddr + 4] != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf signature")
+            yield from leaf(caddr + 6, cnrec)
+            yield b[pos:pos + rec_size]
+            pos += rec_size
+        (caddr,) = struct.unpack_from("<Q", b, pos)
+        cnrec = int.from_bytes(b[pos + 8:pos + 8 + nrec_len], "little")
+        if b[caddr:caddr + 4] != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf signature")
+        yield from leaf(caddr + 6, cnrec)
 
     @staticmethod
     def _parse_link(body: bytes) -> tuple[str, int | None]:
@@ -543,11 +653,23 @@ class H5File:
                 elif itype == 3:               # fixed array
                     out["page_bits"] = body[pos]
                     pos += 1
+                elif itype == 4:
+                    # extensible array (1 unlimited dim): 5 creation
+                    # params, 1 byte each (spec IV.A.2.i; H5O layout
+                    # encoding order: max-bits, index-elements,
+                    # super-block-min-pointers, data-block-min-
+                    # elements, max-data-block-page-bits)
+                    out["ea_params"] = tuple(body[pos:pos + 5])
+                    pos += 5
+                elif itype == 5:
+                    # v2 B-tree (>1 unlimited dim): node size(4),
+                    # split %(1), merge %(1)
+                    (out["node_size"],) = struct.unpack_from(
+                        "<I", body, pos)
+                    pos += 6
                 else:
-                    names = {4: "extensible array", 5: "v2 B-tree"}
                     raise H5Unsupported(
-                        f"chunk index type {itype} "
-                        f"({names.get(itype, '?')}) not supported")
+                        f"chunk index type {itype} not supported")
                 (out["addr"],) = struct.unpack_from("<Q", body, pos)
                 return out
             raise H5Unsupported(f"layout v4 class {cls}")
@@ -718,6 +840,12 @@ class H5File:
         if itype == 3:                         # fixed array (spec III.K)
             yield from self._fixed_array_chunks(ds, chunk_bytes)
             return
+        if itype == 4:                         # extensible array (III.G)
+            yield from self._extensible_array_chunks(ds, chunk_bytes)
+            return
+        if itype == 5:                         # v2 B-tree (III.A.2)
+            yield from self._v2btree_chunks(ds, chunk_bytes)
+            return
         raise H5Unsupported(f"chunk index type {itype}")
 
     def _fixed_array_chunks(self, ds: H5Dataset, chunk_bytes: int):
@@ -749,6 +877,161 @@ class H5File:
             pos += entry_size
             if caddr != UNDEF:
                 yield offs, csize, mask, caddr
+
+    # --- extensible-array chunk index (spec III.G) --------------------------
+    #
+    # Used by 1.10+ for chunked datasets with exactly ONE unlimited
+    # dimension — the appendable-time-series shape (h5py maxshape=
+    # (None, ...) under libver='latest'; reference capability:
+    # ingest/netcdf_reader.py:56 reads these through libhdf5). The
+    # array grows by super blocks: super block s holds 2^floor(s/2)
+    # data blocks of data_blk_min_elmts·2^ceil(s/2) elements each
+    # (so super block s covers min·2^s elements). The index block
+    # stores the first idx_blk_elmts elements inline, then direct
+    # pointers to the data blocks of every super block with fewer
+    # than sup_blk_min_data_ptrs data blocks, then pointers to the
+    # remaining super blocks themselves.
+
+    @staticmethod
+    def _ea_sblk_geometry(idx_elmts: int, min_elmts: int, min_ptrs: int,
+                          max_bits: int):
+        """(ndblks, nelmts_per_dblk) per super block + how many super
+        blocks keep their data-block pointers inline in the index
+        block. nsblks per the format: 1 + (max_bits − log2(min))."""
+        nsblks = 1 + (max_bits - (min_elmts.bit_length() - 1))
+        geo = [(1 << (s // 2), min_elmts << ((s + 1) // 2))
+               for s in range(nsblks)]
+        n_inline = sum(1 for nd, _ in geo if nd < min_ptrs)
+        return geo, n_inline
+
+    def _ea_parse_element(self, raw: bytes, elt_size: int, filtered: bool,
+                          chunk_bytes: int):
+        """→ (addr, stored size, filter mask) or None for an unset slot."""
+        (addr,) = struct.unpack_from("<Q", raw, 0)
+        if addr == UNDEF or (not filtered and addr == 0):
+            return None
+        if filtered:
+            csize = int.from_bytes(raw[8:elt_size - 4], "little")
+            (mask,) = struct.unpack_from("<I", raw, elt_size - 4)
+            return addr, csize, mask
+        return addr, chunk_bytes, 0
+
+    def _extensible_array_chunks(self, ds: H5Dataset, chunk_bytes: int):
+        b = self.buf
+        addr = ds.layout["addr"]
+        if b[addr:addr + 4] != b"EAHD":
+            raise ValueError("bad extensible-array header signature")
+        client = b[addr + 5]
+        elt_size = b[addr + 6]
+        max_bits = b[addr + 7]
+        idx_elmts = b[addr + 8]
+        min_elmts = b[addr + 9]
+        min_ptrs = b[addr + 10]
+        page_bits = b[addr + 11]
+        # 6 Length stats fields precede the index block address
+        (iblock,) = struct.unpack_from("<Q", b, addr + 12 + 6 * 8)
+        if iblock == UNDEF:
+            return
+        if b[iblock:iblock + 4] != b"EAIB":
+            raise ValueError("bad extensible-array index block signature")
+        filtered = client == 1
+        geo, n_inline = self._ea_sblk_geometry(idx_elmts, min_elmts,
+                                               min_ptrs, max_bits)
+        ndblk_inline = sum(nd for nd, _ in geo[:n_inline])
+        off_size = -(-max_bits // 8)           # data/super block offset
+        elems_pos = iblock + 4 + 1 + 1 + 8
+        dblk_ptr_pos = elems_pos + idx_elmts * elt_size
+        sblk_ptr_pos = dblk_ptr_pos + ndblk_inline * 8
+
+        def dblock_elements(dblk_addr: int, nelmts: int):
+            """Element byte-blobs stored in one data block."""
+            if dblk_addr == UNDEF:
+                return [None] * nelmts
+            if nelmts > (1 << page_bits):
+                raise H5Unsupported(
+                    "paged extensible-array data block not supported")
+            if b[dblk_addr:dblk_addr + 4] != b"EADB":
+                raise ValueError(
+                    "bad extensible-array data block signature")
+            pos = dblk_addr + 4 + 1 + 1 + 8 + off_size
+            return [b[pos + i * elt_size:pos + (i + 1) * elt_size]
+                    for i in range(nelmts)]
+
+        # stream elements in index order: inline, then per super block
+        grid = list(self._chunk_grid(ds))
+
+        def all_elements():
+            for i in range(idx_elmts):
+                yield b[elems_pos + i * elt_size:
+                        elems_pos + (i + 1) * elt_size]
+            dptr = dblk_ptr_pos
+            for s, (ndblks, nelmts) in enumerate(geo):
+                if s < n_inline:
+                    for _ in range(ndblks):
+                        (daddr,) = struct.unpack_from("<Q", b, dptr)
+                        dptr += 8
+                        yield from dblock_elements(daddr, nelmts)
+                else:
+                    (saddr,) = struct.unpack_from(
+                        "<Q", b, sblk_ptr_pos + (s - n_inline) * 8)
+                    if saddr == UNDEF:
+                        for _ in range(ndblks * nelmts):
+                            yield None
+                        continue
+                    if b[saddr:saddr + 4] != b"EASB":
+                        raise ValueError(
+                            "bad extensible-array super block signature")
+                    spos = saddr + 4 + 1 + 1 + 8 + off_size
+                    if nelmts > (1 << page_bits):
+                        raise H5Unsupported(
+                            "paged extensible-array data block "
+                            "(super-block bitmap) not supported")
+                    for d in range(ndblks):
+                        (daddr,) = struct.unpack_from("<Q", b, spos + d * 8)
+                        yield from dblock_elements(daddr, nelmts)
+
+        for offs, raw in zip(grid, all_elements()):
+            if raw is None:
+                continue
+            parsed = self._ea_parse_element(raw, elt_size, filtered,
+                                            chunk_bytes)
+            if parsed is not None:
+                yield offs, parsed[1], parsed[2], parsed[0]
+
+    # --- v2 B-tree chunk index (spec III.A.2) --------------------------------
+    #
+    # Used by 1.10+ for chunked datasets with MORE than one unlimited
+    # dimension. Record type 10 = unfiltered chunks (address + scaled
+    # offsets), type 11 = filtered (address + variable-width stored
+    # size + filter mask + scaled offsets). Scaled offsets are chunk
+    # GRID coordinates — multiplied back by the chunk dims here.
+
+    def _v2btree_chunks(self, ds: H5Dataset, chunk_bytes: int):
+        b = self.buf
+        addr = ds.layout["addr"]
+        if b[addr:addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        rtype = b[addr + 5]
+        (rec_size,) = struct.unpack_from("<H", b, addr + 10)
+        if rtype not in (10, 11):
+            raise H5Unsupported(
+                f"v2 B-tree record type {rtype} as chunk index")
+        rank = len(ds.shape)
+        chunks = ds.layout["chunks"]
+        filtered = rtype == 11
+        size_len = rec_size - 8 - 4 - 8 * rank if filtered else 0
+        for rec in self._v2btree_leaf_records(addr):
+            (caddr,) = struct.unpack_from("<Q", rec, 0)
+            p = 8
+            if filtered:
+                csize = int.from_bytes(rec[p:p + size_len], "little")
+                (mask,) = struct.unpack_from("<I", rec, p + size_len)
+                p += size_len + 4
+            else:
+                csize, mask = chunk_bytes, 0
+            scaled = struct.unpack_from(f"<{rank}Q", rec, p)
+            offs = tuple(s * c for s, c in zip(scaled, chunks))
+            yield offs, csize, mask, caddr
 
     def _read_chunked(self, ds: H5Dataset) -> np.ndarray:
         dtype = ds.dtype

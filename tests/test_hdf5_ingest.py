@@ -581,22 +581,252 @@ def test_v2_profile_grid_and_long_table(spark, tmp_path):
     assert abs(got - want) < 1e-4
 
 
-def test_v2_profile_loud_unsupported_paths():
+def _build_appendable_profile_hdf5():
+    """Hand-assemble (per the PUBLIC File Format Specification, like
+    `_build_v2_profile_hdf5`) the 1.10+ shapes the r4 reader still
+    refused: an appendable dataset indexed by an EXTENSIBLE ARRAY
+    (spec III.G — index-block elements, inline data blocks, and one
+    real super block all populated), a filtered dataset indexed by a
+    V2 B-TREE (spec III.A.2 record type 11), and a DENSE-LINK root
+    group (links as fractal-heap objects + name-index v2 B-tree,
+    spec III.F). This is what h5py emits for maxshape=(None, ...)
+    under libver='latest' and for groups past the compact-link limit.
+    Checksums are placeholders (the reader does not verify them) and
+    back-pointer "header address" fields are zeroed (ditto)."""
+    import zlib
+
     UNDEF = 0xFFFFFFFFFFFFFFFF
-    # dense links (fractal heap defined): a crafted root group whose
-    # LINK_INFO carries a defined heap address must refuse loudly
-    li_dense = bytes([0, 0]) + struct.pack("<QQ", 4096, UNDEF)
-    ohdr = (b"OHDR" + bytes([2, 0x02])
-            + struct.pack("<I", 4 + len(li_dense))
-            + bytes([0x02]) + struct.pack("<H", len(li_dense)) + bytes([0])
-            + li_dense + bytes(4))
-    crafted = (b"\x89HDF\r\n\x1a\n" + bytes([3, 8, 8, 0])
-               + struct.pack("<QQQQ", 0, UNDEF, 48 + len(ohdr), 48)
-               + bytes(4) + ohdr)
-    with pytest.raises(H5Unsupported, match="dense link"):
-        H5File(crafted)
-    # unsupported chunk index types name themselves
-    lay_ea = (bytes([4, 2, 0, 2, 4]) + struct.pack("<II", 5, 4)
-              + bytes([4]))
-    with pytest.raises(H5Unsupported, match="extensible array"):
-        H5File._parse_layout(lay_ea)
+    alloc: list[bytes] = []
+    pos_of: dict[str, int] = {}
+    cur = [48]
+
+    def place(name: str, blob: bytes) -> int:
+        pos_of[name] = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos_of[name]
+
+    def dt_msg(dtype: np.dtype) -> bytes:
+        dt = np.dtype(dtype)
+        if dt.itemsize == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        else:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        return (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+                + struct.pack("<I", dt.itemsize) + props)
+
+    def ds_msg_v2(shape) -> bytes:
+        return (bytes([2, len(shape), 0, 1])
+                + b"".join(struct.pack("<Q", s) for s in shape))
+
+    def attr_v3(name: str, value: str) -> bytes:
+        nb = name.encode() + b"\x00"
+        vb = value.encode() + b"\x00"
+        dt = (bytes([0x03 | (1 << 4), 0x00, 0, 0])
+              + struct.pack("<I", len(vb)))
+        ds = ds_msg_v2(())
+        return (bytes([3, 0]) + struct.pack("<HHH", len(nb), len(dt),
+                                            len(ds))
+                + bytes([0]) + nb + dt + ds + vb)
+
+    def link_msg(name: str, addr: int) -> bytes:
+        nb = name.encode()
+        return bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", addr)
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(body))
+                         + bytes([0]) + body for t, body in msgs)
+        return (b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(block))
+                + block + bytes(4))
+
+    rng = np.random.default_rng(7)
+    t = np.arange(56, dtype="<f8")
+    lev = np.array([1.0, 2.0, 3.0])
+    series = np.round(rng.normal(10, 3, (56, 3)), 3).astype("<f8")
+    temp = np.round(rng.normal(250, 5, (56, 3)), 2).astype("<f4")
+
+    # --- series: extensible-array index, unfiltered, chunks (4, 3) ---
+    # tiny creation params so every EA structure is exercised:
+    # idx_blk_elmts=2, data_blk_min_elmts=2, sup_blk_min_data_ptrs=2,
+    # max_nelmts_bits=8, page_bits=4. Super block s holds
+    # 2^floor(s/2) data blocks of 2*2^ceil(s/2) elements; blocks with
+    # < 2 data blocks stay inline in the index block. 14 chunks land:
+    # 2 in the index block, 2 in the s0 data block, 4 in the s1 data
+    # block, 6 across super block s2's two 4-element data blocks
+    # (last two slots unset).
+    chunks = (4, 3)
+    cgrid = [tuple(range(0, s, c)) for s, c in zip(series.shape, chunks)]
+    from itertools import product as iproduct
+    caddrs = []
+    for offs in iproduct(*cgrid):
+        sel = tuple(slice(o, o + c) for o, c in zip(offs, chunks))
+        caddrs.append(place(f"schunk{offs}", series[sel].tobytes()))
+    assert len(caddrs) == 14
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+    elems = [Q(a) for a in caddrs] + [Q(UNDEF)] * 2   # 16 slots total
+    dblk = lambda els: (b"EADB" + bytes([0, 0]) + Q(0) + bytes([0])
+                        + b"".join(els) + bytes(4))  # noqa: E731
+    d_s0 = place("ea_d0", dblk(elems[2:4]))
+    d_s1 = place("ea_d1", dblk(elems[4:8]))
+    d_s2a = place("ea_d2a", dblk(elems[8:12]))
+    d_s2b = place("ea_d2b", dblk(elems[12:16]))
+    sblk = place("ea_sb2", b"EASB" + bytes([0, 0]) + Q(0) + bytes([0])
+                 + Q(d_s2a) + Q(d_s2b) + bytes(4))
+    # index block: 2 inline elements, 2 inline dblk ptrs (s0, s1),
+    # then 6 super-block slots (nsblks=1+(8-1)=8, minus 2 inline)
+    iblk = place("ea_ib", b"EAIB" + bytes([0, 0]) + Q(0)
+                 + b"".join(elems[0:2]) + Q(d_s0) + Q(d_s1)
+                 + Q(sblk) + Q(UNDEF) * 5 + bytes(4))
+    eahd = place("ea_hd", b"EAHD"
+                 + bytes([0, 0, 8, 8, 2, 2, 2, 4])  # ver client elt
+                 + Q(1) + Q(0) + Q(4) + Q(0) + Q(14) + Q(14)  # stats
+                 + Q(iblk) + bytes(4))
+    lay_ea = (bytes([4, 2, 0, 3, 4])
+              + struct.pack("<III", *chunks, series.dtype.itemsize)
+              + bytes([4]) + bytes([8, 2, 2, 2, 4]) + Q(eahd))
+    series_oh = place("series_oh", ohdr(
+        [(0x0001, ds_msg_v2(series.shape)), (0x0003, dt_msg(series.dtype)),
+         (0x0008, lay_ea), (0x000C, attr_v3("units", "W/m2"))]))
+
+    # --- temperature: v2 B-tree index, deflate-filtered, chunks (8,3)
+    tchunks = (8, 3)
+    recs = []
+    for offs in iproduct(*[tuple(range(0, s, c))
+                           for s, c in zip(temp.shape, tchunks)]):
+        sel = tuple(slice(o, min(o + c, s))
+                    for o, c, s in zip(offs, tchunks, temp.shape))
+        blk = np.zeros(tchunks, dtype=temp.dtype)
+        crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        blk[crop] = temp[sel]
+        comp = zlib.compress(blk.tobytes())
+        caddr = place(f"tchunk{offs}", comp)
+        scaled = tuple(o // c for o, c in zip(offs, tchunks))
+        # record type 11: addr(8) + size(8) + mask(4) + scaled offs
+        recs.append(Q(caddr) + struct.pack("<Q", len(comp))
+                    + struct.pack("<I", 0) + Q(scaled[0]) + Q(scaled[1]))
+    btlf = place("bt_lf", b"BTLF" + bytes([0, 11]) + b"".join(recs)
+                 + bytes(4))
+    bthd = place("bt_hd", b"BTHD" + bytes([0, 11])
+                 + struct.pack("<IHH", 512, 36, 0) + bytes([100, 40])
+                 + Q(btlf) + struct.pack("<H", len(recs)) + Q(len(recs))
+                 + bytes(4))
+    lay_bt = (bytes([4, 2, 0, 3, 4])
+              + struct.pack("<III", *tchunks, temp.dtype.itemsize)
+              + bytes([5]) + struct.pack("<I", 512) + bytes([100, 40])
+              + Q(bthd))
+    filt = bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<i", 6)
+    temp_oh = place("temp_oh", ohdr(
+        [(0x0001, ds_msg_v2(temp.shape)), (0x0003, dt_msg(temp.dtype)),
+         (0x0008, lay_bt), (0x000B, filt)]))
+
+    # --- coordinates: contiguous ---
+    coords_oh = {}
+    for name, arr, extra in (("time", t, [attr_v3(
+            "units", "days since 2021-01-01")]), ("level", lev, [])):
+        daddr = place(f"{name}_data", arr.tobytes())
+        lay = bytes([3, 1]) + struct.pack("<QQ", daddr, arr.nbytes)
+        coords_oh[name] = place(f"{name}_oh", ohdr(
+            [(0x0001, ds_msg_v2(arr.shape)), (0x0003, dt_msg(arr.dtype)),
+             (0x0008, lay)] + [(0x000C, a) for a in extra]))
+
+    # --- dense root group: links live in a fractal heap, indexed by a
+    # name v2 B-tree (record type 5: hash + 7-byte heap ID) ---
+    links = [link_msg("time", coords_oh["time"]),
+             link_msg("level", coords_oh["level"]),
+             link_msg("series", series_oh),
+             link_msg("temperature", temp_oh)]
+    hdr_len = 4 + 1 + 8 + 4                     # FHDB header (no cksum)
+    heap_ids, objs, off = [], b"", hdr_len
+    for lm in links:
+        heap_ids.append(bytes([0]) + struct.pack("<I", off)[:4]
+                        + struct.pack("<H", len(lm)))
+        objs += lm
+        off += len(lm)
+    block_size = 512
+    fhdb = place("fhdb", (b"FHDB" + bytes([0]) + Q(0) + bytes(4) + objs
+                          ).ljust(block_size, b"\x00"))
+    nrecs = [struct.pack("<I", i) + hid for i, hid in enumerate(heap_ids)]
+    nlf = place("name_lf", b"BTLF" + bytes([0, 5]) + b"".join(nrecs)
+                + bytes(4))
+    nhd = place("name_hd", b"BTHD" + bytes([0, 5])
+                + struct.pack("<IHH", 512, 11, 0) + bytes([100, 40])
+                + Q(nlf) + struct.pack("<H", len(nrecs)) + Q(len(nrecs))
+                + bytes(4))
+    frhp = place("frhp", b"FRHP" + bytes([0])
+                 + struct.pack("<HH", 7, 0) + bytes([0])
+                 + struct.pack("<I", 512) + Q(0) + Q(UNDEF) + Q(0)
+                 + Q(UNDEF) + Q(off) + Q(block_size) + Q(off)
+                 + Q(len(links)) + Q(0) + Q(0) + Q(0) + Q(0)
+                 + struct.pack("<H", 4) + Q(block_size) + Q(4096)
+                 + struct.pack("<HH", 32, 1) + Q(fhdb)
+                 + struct.pack("<H", 0) + bytes(4))
+    li = bytes([0, 0]) + Q(frhp) + Q(nhd)
+    root = place("root_oh", ohdr([(0x0002, li)]))
+
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    buf = sb + b"".join(alloc)
+    assert len(buf) == cur[0]
+    return buf, series, temp, t, lev
+
+
+MAGIC_SIG = b"\x89HDF\r\n\x1a\n"
+
+
+def test_appendable_profile_extensible_array_and_v2btree():
+    """EA-indexed appendable dataset + v2-B-tree-indexed filtered
+    dataset + dense-link root group all read exactly."""
+    buf, series, temp, t, lev = _build_appendable_profile_hdf5()
+    f = H5File(buf)
+    assert set(f.datasets) == {"time", "level", "series", "temperature"}
+    np.testing.assert_array_equal(f.read("series"), series)
+    np.testing.assert_allclose(f.read("temperature"), temp, rtol=1e-6)
+    np.testing.assert_array_equal(f.read("time"), t)
+    assert f.datasets["series"].attrs["units"] == "W/m2"
+
+
+def test_appendable_profile_grid_and_distributed(spark, tmp_path):
+    """The appendable (EA-indexed) file reads through hdf5_to_grid
+    (CF time decode) and the distributed chunk-per-task path."""
+    from climate_data_pipeline_spark.sources.hdf5 import (
+        read_hdf5_long_distributed,
+    )
+
+    buf, series, temp, t, lev = _build_appendable_profile_hdf5()
+    coords, arrays, dim_order, dims = hdf5.hdf5_to_grid(
+        buf, variables=["series"])
+    assert dim_order[0] == "time"
+    assert str(coords["time"][1]).startswith("2021-01-02")
+    np.testing.assert_array_equal(arrays["series"], series)
+
+    path = str(tmp_path / "appendable.nc")
+    open(path, "wb").write(buf)
+    ddf = read_hdf5_long_distributed(spark, path, variables=["series"])
+    assert ddf.count() == series.size
+    got = ddf.agg(F.sum("series")).first()[0]
+    assert abs(got - float(series.sum())) < 1e-6
+    # time-range pruning still works against the EA chunk index
+    pruned = read_hdf5_long_distributed(
+        spark, path, variables=["series"],
+        time_range=("2021-01-01", "2021-01-08"))
+    assert pruned.count() == 8 * 3
+
+
+def test_latest_profile_loud_unsupported_paths():
+    # depth-2 v2 B-trees refuse loudly
+    deep = (b"BTHD" + bytes([0, 10]) + struct.pack("<IHH", 512, 32, 2)
+            + bytes([100, 40]) + struct.pack("<Q", 4096)
+            + struct.pack("<H", 1) + struct.pack("<Q", 1) + bytes(4))
+    f = H5File.__new__(H5File)
+    f.buf = deep
+    with pytest.raises(H5Unsupported, match="depth"):
+        list(f._v2btree_leaf_records(0))
+    # indirect fractal-heap root blocks refuse loudly
+    frhp = (b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 0) + bytes([0])
+            + struct.pack("<I", 512) + b"\x00" * 96
+            + struct.pack("<H", 4) + struct.pack("<QQ", 512, 4096)
+            + struct.pack("<HH", 32, 1) + struct.pack("<Q", 4096)
+            + struct.pack("<H", 2) + bytes(4))
+    f.buf = frhp
+    with pytest.raises(H5Unsupported, match="indirect root"):
+        f._fractal_heap(0)
