@@ -435,7 +435,9 @@ def query_lsh_index(spark, path: str, queries, k: int = 3,
                     corpus_id: str = "vec_id",
                     corpus_vec: str = "embedding", n_planes: int = 6,
                     dim: int = 64, seed: str = "cdps",
-                    multiprobe: bool = True):
+                    multiprobe: bool = True,
+                    progress: ProgressFn | None = None,
+                    time_limit: float | None = None):
     """Search a persisted LSH index with static partition pruning: the
     query set's probe buckets (own bucket + Hamming-1 neighbors when
     ``multiprobe``) collect driver-side — bounded by |Q|×(n_planes+1),
@@ -445,12 +447,20 @@ def query_lsh_index(spark, path: str, queries, k: int = 3,
     asserted in tests). Results are identical to
     `operators/similarity.lsh_ann_multiprobe` (or `lsh_ann`) against
     the in-memory corpus — same planes, same candidates, same
-    ranking."""
+    ranking.
+
+    ``progress``/``time_limit``: unlike the write jobs this returns a
+    lazy DataFrame, but its one driver-side action (collecting the
+    probe-bucket set) runs here — the protocol reports hashing →
+    probing → planning so a scheduler sees the same step stream as
+    every other multi-stage job."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..operators.similarity import cosine_batch, lsh_buckets
 
+    prog = _Progress(progress, time_limit)
+    prog.step("hashing")
     qb = (lsh_buckets(queries.withColumnRenamed(query_vec, corpus_vec),
                       query_id, corpus_vec, n_planes, seed=seed, dim=dim)
           .withColumnRenamed(corpus_vec, query_vec))
@@ -463,8 +473,10 @@ def query_lsh_index(spark, path: str, queries, k: int = 3,
                        F.explode(probes).alias("bucket"))
     else:
         qp = qb.select(query_id, query_vec, "bucket")
+    prog.step("probing")
     probe_buckets = [r["bucket"] for r in
                      qp.select("bucket").distinct().collect()]
+    prog.step("planning")
     idx = (spark.read.parquet(path)
            .where(F.col("bucket").isin(probe_buckets)))
     cand = (idx.join(qp, "bucket")
@@ -480,20 +492,36 @@ def query_lsh_index(spark, path: str, queries, k: int = 3,
 
 def append_lsh_index(batch, path: str, id_col: str = "vec_id",
                      vec_col: str = "embedding", n_planes: int = 6,
-                     dim: int = 64, seed: str = "cdps") -> dict:
+                     dim: int = 64, seed: str = "cdps",
+                     progress: ProgressFn | None = None,
+                     time_limit: float | None = None) -> dict:
     """Incremental index maintenance: hash ONLY the new vectors with the
     index's (seed, n_planes, dim) and append partition-wise — existing
     bucket directories gain one file per touched bucket, untouched
     buckets are never rewritten or read. Cost ∝ batch size, zero base
     re-hash; queries see old + new rows through the same
     partition-pruned read with no coordination (parquet appends are
-    atomic at file granularity)."""
+    atomic at file granularity).
+
+    ``progress``/``time_limit``: the Celery-state protocol of
+    `process_dataset` — ("PROCESSING", step, elapsed) per stage,
+    soft limit at stage boundaries, any-exception → the
+    reference-shaped failed dict."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import lsh_buckets
 
-    b = lsh_buckets(batch, id_col, vec_col, n_planes, seed=seed, dim=dim)
-    (b.repartition(F.col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path))
+    prog = _Progress(progress, time_limit)
+    try:
+        prog.step("hashing")
+        b = lsh_buckets(batch, id_col, vec_col, n_planes, seed=seed,
+                        dim=dim)
+        prog.step("appending")
+        (b.repartition(F.col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(path))
+        prog.step("counting")
+        n = batch.count()
+    except Exception as exc:
+        return _failed(exc, path=path, steps=prog.steps)
     return {"status": "completed", "path": path,
-            "rows_appended": batch.count()}
+            "rows_appended": n, "steps": prog.steps}

@@ -64,13 +64,21 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("j_anti_join", oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
 GROUP BY 1
 """)
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI = NOT EXISTS: customers who never ordered."""
+    """LEFT ANTI = NOT EXISTS: customers who never placed a high-value
+    order. The build side is filtered BEFORE the anti join (Catalyst
+    pushes the predicate into the orders scan), and — unlike the bare
+    "never ordered" variant, which is EMPTY on dense testdata at every
+    sf, making its oracle row a vacuous empty==empty match — some
+    customers always qualify, so the value-level check has teeth."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders") \
+        .where(F.col("o_totalprice") > 300000)
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
              .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
 

@@ -217,6 +217,56 @@ def test_index_and_shard_jobs_progress_protocol(spark, sf_small, tmp_path):
                                                       "writing"]
 
 
+def test_append_and_query_lsh_index_progress_protocol(spark, sf_small,
+                                                      tmp_path):
+    """append_lsh_index / query_lsh_index complete the job-protocol
+    coverage: every multi-stage index job emits its step sequence."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.plans.jobs import (
+        append_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "idx")
+    assert build_lsh_index(emb, idx, n_planes=6,
+                           dim=64)["status"] == "completed"
+
+    batch = (emb.where(F.col("vec_id") < 5)
+                .select((F.col("vec_id") + 100000).alias("vec_id"),
+                        "embedding"))
+    steps = []
+    m = append_lsh_index(batch, idx, n_planes=6, dim=64,
+                         progress=lambda st, step, el: steps.append(step))
+    assert m["status"] == "completed" and m["rows_appended"] == 5
+    assert steps == m["steps"] == ["hashing", "appending", "counting"]
+    # soft limit → failed dict, no partial append visible in the result
+    m = append_lsh_index(batch, idx, n_planes=6, dim=64, time_limit=-1.0)
+    assert m["status"] == "failed" and m["steps"] == []
+
+    queries = (emb.where(F.col("vec_id") < 3)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    steps = []
+    out = query_lsh_index(spark, idx, queries, k=2, n_planes=6, dim=64,
+                          progress=lambda st, step, el: steps.append(step))
+    assert steps == ["hashing", "probing", "planning"]
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 2 for r in rows)
+    # appended rows are immediately visible: a probe identical to an
+    # appended vector (which duplicates base vec_id 0) must find its
+    # exact twin at cosine 1.0
+    probe = (batch.where(F.col("vec_id") == 100000)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    hit = query_lsh_index(spark, idx, probe, k=1, n_planes=6, dim=64)
+    top = hit.first()
+    assert top["cosine"] == 1.0 and top["vec_id"] == 0
+
+
 def test_curate_corpus_with_quality_and_lm_gates(spark, sf_small, tmp_path):
     from climate_data_pipeline_spark.plans.jobs import curate_corpus
 
