@@ -313,6 +313,52 @@ def _decode_chunk(raw: bytes, compressor: dict | None,
     return arr.reshape(chunk_shape, order=order)
 
 
+def _decode_shard(raw: bytes, za: dict, dtype: np.dtype,
+                  shard_shape: tuple[int, ...], order: str) -> np.ndarray:
+    """Decode one ``sharding_indexed`` shard object (zarr v3 spec): a
+    binary index of (offset, nbytes) uint64-LE pairs — one per inner
+    chunk, row-major over the shard's inner grid, (2⁶⁴−1, 2⁶⁴−1) for
+    missing — at the start or end of the shard (plus a CRC-32C when
+    the index chain includes it), each present inner chunk decoded
+    with the INNER codec chain and placed at its grid offset. Missing
+    inner chunks stay at fill_value."""
+    sh = za["_shard"]
+    inner = tuple(sh["inner_chunks"])
+    grid = [math.ceil(c / i) for c, i in zip(shard_shape, inner)]
+    n = int(np.prod(grid))
+    idx_size = n * 16 + (4 if sh.get("index_crc") else 0)
+    idx_raw = raw[-idx_size:] if sh.get("index_location", "end") == "end" \
+        else raw[:idx_size]
+    if sh.get("index_crc"):
+        (stored,) = struct.unpack_from("<I", idx_raw, n * 16)
+        if stored != crc32c(idx_raw[:n * 16]):
+            raise ValueError("shard index CRC-32C mismatch")
+    pairs = struct.unpack_from(f"<{2 * n}Q", idx_raw, 0)
+    fill = _fill_for(za.get("fill_value"), dtype)
+    out = np.full(shard_shape, fill, dtype=dtype)
+    missing = (1 << 64) - 1
+    for k, idx in enumerate(iproduct(*[range(g) for g in grid])):
+        off, nbytes = pairs[2 * k], pairs[2 * k + 1]
+        if off == missing:
+            continue
+        arr = _decode_chunk(raw[off:off + nbytes], sh.get("compressor"),
+                            dtype, inner, order)
+        sel = tuple(slice(i * c, min((i + 1) * c, s))
+                    for i, c, s in zip(idx, inner, shard_shape))
+        crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        out[sel] = arr[crop]
+    return out
+
+
+def _decode_chunk_file(raw: bytes, za: dict, dtype: np.dtype,
+                       chunks: tuple[int, ...], order: str) -> np.ndarray:
+    """One stored object → one (outer) chunk array, for both plain
+    chunks and v3 shards."""
+    if "_shard" in za:
+        return _decode_shard(raw, za, dtype, chunks, order)
+    return _decode_chunk(raw, za.get("compressor"), dtype, chunks, order)
+
+
 def _fill_for(fill, dtype: np.dtype):
     """Zarr v2 ``fill_value: null`` → NaN for floats, 0 for other
     dtypes (zarr's conventional default; NaN would crash an int full)."""
@@ -330,14 +376,36 @@ _V3_DTYPES = {
 }
 
 
-def _v3_to_v2_meta(node: dict) -> dict:
-    """Normalize a zarr v3 array node (``zarr.json``) to the v2-shaped
-    metadata dict the rest of this module consumes — one read path for
-    both format versions. Unsupported v3 codecs (sharding, transpose,
-    crc32c) raise with a clear message."""
+_CRC32C_TABLE = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    zarr v3's default shard index codec chain appends; table-driven,
+    stdlib-only (zlib.crc32 is the OTHER polynomial)."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc = _CRC32C_TABLE[(crc ^ byte) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _v3_codec_chain(codecs: list, allow_sharding: bool = True):
+    """→ (endian, compressor-dict | None, shard-config | None) from a
+    v3 codec chain; shared by the array node and the sharding codec's
+    inner chain (where nested sharding is refused)."""
     endian = "little"
     compressor = None
-    for c in node.get("codecs", []):
+    shard = None
+    for c in codecs or []:
         nm = c.get("name")
         cfg = c.get("configuration") or {}
         if nm == "bytes":
@@ -349,11 +417,38 @@ def _v3_to_v2_meta(node: dict) -> dict:
             compressor = {"id": "zstd", "level": cfg.get("level", 0)}
         elif nm == "gzip":
             compressor = {"id": "gzip", "level": cfg.get("level", 6)}
+        elif nm == "sharding_indexed":
+            if not allow_sharding:
+                raise NotImplementedError(
+                    "nested sharding_indexed codecs not supported")
+            i_end, i_comp, _ = _v3_codec_chain(cfg.get("codecs"),
+                                               allow_sharding=False)
+            index_names = [ic.get("name")
+                           for ic in cfg.get("index_codecs") or []]
+            for n in index_names:
+                if n not in ("bytes", "crc32c"):
+                    raise NotImplementedError(
+                        f"shard index codec {n!r} not supported")
+            shard = {"inner_chunks": list(cfg["chunk_shape"]),
+                     "compressor": i_comp, "endian": i_end,
+                     "index_location": cfg.get("index_location", "end"),
+                     "index_crc": "crc32c" in index_names}
         else:
             raise NotImplementedError(
                 f"zarr v3 codec {nm!r} not supported (supported: bytes, "
-                f"blosc, zstd, gzip; sharded stores need rewriting "
-                f"unsharded)")
+                f"blosc, zstd, gzip, sharding_indexed)")
+    return endian, compressor, shard
+
+
+def _v3_to_v2_meta(node: dict) -> dict:
+    """Normalize a zarr v3 array node (``zarr.json``) to the v2-shaped
+    metadata dict the rest of this module consumes — one read path for
+    both format versions. ``sharding_indexed`` is translated to a
+    ``_shard`` sidecar on the v2 dict: the outer chunk grid addresses
+    SHARD objects, each holding an inner-chunk grid + binary index
+    (decoded by `_decode_shard`). Unsupported v3 codecs (transpose,
+    nested sharding, ...) raise with a clear message."""
+    endian, compressor, shard = _v3_codec_chain(node.get("codecs"))
     dt = _V3_DTYPES.get(node["data_type"])
     if dt is None:
         raise NotImplementedError(
@@ -373,6 +468,8 @@ def _v3_to_v2_meta(node: dict) -> dict:
         .get("separator", "/"),
         "_v3": True, "_key_encoding": cke.get("name", "default"),
     }
+    if shard is not None:
+        za["_shard"] = shard
     attrs = dict(node.get("attributes") or {})
     if node.get("dimension_names"):
         attrs["_ARRAY_DIMENSIONS"] = list(node["dimension_names"])
@@ -459,8 +556,8 @@ def read_zarr_array(path: str, name: str, meta: dict) -> np.ndarray:
         if not os.path.exists(fname):
             continue
         with open(fname, "rb") as fh:
-            arr = _decode_chunk(fh.read(), za.get("compressor"),
-                                dtype, tuple(chunks), order)
+            arr = _decode_chunk_file(fh.read(), za, dtype,
+                                     tuple(chunks), order)
         sel = tuple(slice(i * c, min((i + 1) * c, s))
                     for i, c, s in zip(idx, chunks, shape))
         crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
@@ -734,10 +831,9 @@ def read_zarr_long_distributed(spark, path: str, variables=None,
                     fname = _chunk_path(path, n, za, idx)
                     if os.path.exists(fname):
                         with open(fname, "rb") as fh:
-                            arr = _decode_chunk(
-                                fh.read(), za.get("compressor"),
-                                np.dtype(za["dtype"]), tuple(chunks),
-                                za.get("order", "C"))
+                            arr = _decode_chunk_file(
+                                fh.read(), za, np.dtype(za["dtype"]),
+                                tuple(chunks), za.get("order", "C"))
                         crop = tuple(slice(0, sl.stop - sl.start)
                                      for sl in sel)
                         arrays[n] = arr[crop]
@@ -781,13 +877,22 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
                 variables: dict[str, tuple[list[str], np.ndarray, dict]],
                 chunks: dict[str, list[int]] | None = None,
                 codec: str = "zstd",
-                attrs: dict | None = None) -> str:
+                attrs: dict | None = None,
+                shards: dict[str, list[int]] | None = None) -> str:
     """Write a Zarr v3 group store (what zarr-python ≥ 3 / new xarray
     write by default): root ``zarr.json`` group, per-array ``zarr.json``
     with bytes+compression codec chain, default ``c/``-prefixed chunk
     keys, ``dimension_names`` carrying the xarray dimension mapping.
     ``codec`` ∈ zstd | gzip | blosc | none. Primarily the fixture/export
-    twin of the v3 read path; chunking semantics mirror `write_zarr`."""
+    twin of the v3 read path; chunking semantics mirror `write_zarr`.
+
+    ``shards``: per-variable SHARD shape enabling the
+    ``sharding_indexed`` codec (zarr-python 3's shards=...): the chunk
+    grid then addresses shard objects of that shape, each holding the
+    variable's ``chunks`` as inner chunks plus the spec's binary index
+    ((offset, nbytes) uint64-LE per inner chunk, CRC-32C-checksummed,
+    index at the end). The shard shape must be a multiple of the chunk
+    shape, per the spec."""
     import gzip as _gzip
 
     os.makedirs(path, exist_ok=True)
@@ -819,7 +924,8 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
         return buf
 
     def write_array(name: str, arr: np.ndarray, dim_names: list[str],
-                    a_attrs: dict, chunk_shape: list[int]) -> None:
+                    a_attrs: dict, chunk_shape: list[int],
+                    shard_shape: list[int] | None = None) -> None:
         arr = np.ascontiguousarray(arr)
         le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
         canon = le.dtype.str
@@ -830,16 +936,30 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
             raise NotImplementedError(
                 f"dtype {arr.dtype} not supported by the v3 writer")
         fill = float("nan") if arr.dtype.kind == "f" else 0
+        codecs = codec_chain()
+        outer = list(shard_shape) if shard_shape else list(chunk_shape)
+        if shard_shape:
+            if any(s % c for s, c in zip(shard_shape, chunk_shape)):
+                raise ValueError(
+                    f"shard shape {shard_shape} must be a multiple of "
+                    f"the chunk shape {chunk_shape}")
+            codecs = [{"name": "sharding_indexed", "configuration": {
+                "chunk_shape": list(chunk_shape), "codecs": codecs,
+                "index_codecs": [
+                    {"name": "bytes",
+                     "configuration": {"endian": "little"}},
+                    {"name": "crc32c"}],
+                "index_location": "end"}}]
         node = {
             "zarr_format": 3, "node_type": "array",
             "shape": list(arr.shape), "data_type": dt_name,
             "chunk_grid": {"name": "regular",
-                           "configuration": {"chunk_shape": chunk_shape}},
+                           "configuration": {"chunk_shape": outer}},
             "chunk_key_encoding": {"name": "default",
                                    "configuration": {"separator": "/"}},
             "fill_value": ("NaN" if arr.dtype.kind == "f" and fill != fill
                            else fill),
-            "codecs": codec_chain(),
+            "codecs": codecs,
             "dimension_names": dim_names,
             "attributes": a_attrs,
         }
@@ -847,20 +967,51 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
         os.makedirs(adir, exist_ok=True)
         with open(os.path.join(adir, "zarr.json"), "w") as fh:
             json.dump(node, fh)
-        grid = _chunk_grid(arr.shape, chunk_shape)
-        for idx in iproduct(*[range(n) for n in grid]):
-            sel = tuple(slice(i * c, min((i + 1) * c, s))
-                        for i, c, s in zip(idx, chunk_shape, arr.shape))
-            block = np.full(chunk_shape, node["fill_value"]
-                            if not isinstance(node["fill_value"], str)
-                            else np.nan, dtype=le.dtype)
-            piece = le[sel]
+        np_fill = (np.nan if isinstance(node["fill_value"], str)
+                   else node["fill_value"])
+
+        def chunk_blob(block_sel) -> bytes:
+            """Compressed bytes of one chunk_shape-sized block."""
+            block = np.full(chunk_shape, np_fill, dtype=le.dtype)
+            piece = le[block_sel]
             block[tuple(slice(0, p) for p in piece.shape)] = piece
+            return compress(block.tobytes(), le.dtype.itemsize)
+
+        grid = _chunk_grid(arr.shape, outer)
+        for idx in iproduct(*[range(n) for n in grid]):
             key = "c" + ("/" + "/".join(map(str, idx)) if idx else "")
             fname = os.path.join(adir, key)
             os.makedirs(os.path.dirname(fname), exist_ok=True)
+            base = [i * o for i, o in zip(idx, outer)]
+            if not shard_shape:
+                sel = tuple(slice(b, min(b + c, s)) for b, c, s
+                            in zip(base, chunk_shape, arr.shape))
+                with open(fname, "wb") as fh:
+                    fh.write(chunk_blob(sel))
+                continue
+            # shard object: inner chunks back-to-back + (offset,
+            # nbytes) index + CRC-32C, index at the end (spec default)
+            igrid = [math.ceil(o / c) for o, c in zip(outer, chunk_shape)]
+            blobs, index = [], []
+            off = 0
+            missing = (1 << 64) - 1
+            for iidx in iproduct(*[range(g) for g in igrid]):
+                start = [b + i * c for b, i, c
+                         in zip(base, iidx, chunk_shape)]
+                if any(st >= s for st, s in zip(start, arr.shape)):
+                    index.append((missing, missing))  # edge: no data
+                    continue
+                sel = tuple(slice(st, min(st + c, s)) for st, c, s
+                            in zip(start, chunk_shape, arr.shape))
+                blob = chunk_blob(sel)
+                blobs.append(blob)
+                index.append((off, len(blob)))
+                off += len(blob)
+            idx_raw = b"".join(struct.pack("<QQ", o, n)
+                               for o, n in index)
             with open(fname, "wb") as fh:
-                fh.write(compress(block.tobytes(), le.dtype.itemsize))
+                fh.write(b"".join(blobs) + idx_raw
+                         + struct.pack("<I", crc32c(idx_raw)))
 
     for dname, dvals in dims.items():
         dvals = np.asarray(dvals)
@@ -890,6 +1041,8 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
         write_array(dname, dvals, [dname], d_attrs, [len(dvals) or 1])
     for vname, (dim_names, arr, v_attrs) in variables.items():
         cshape = list((chunks or {}).get(vname, list(np.asarray(arr).shape)))
+        sshape = (shards or {}).get(vname)
         write_array(vname, np.asarray(arr), list(dim_names),
-                    dict(v_attrs or {}), cshape)
+                    dict(v_attrs or {}), cshape,
+                    shard_shape=list(sshape) if sshape else None)
     return path

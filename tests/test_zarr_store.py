@@ -580,9 +580,9 @@ def test_v3_info_and_unsupported_codecs(tmp_path, v3_store):
     path, _ = v3_store
     info = zarr2.zarr_info(path)
     assert "temperature" in info["arrays"]
-    # a sharded/transposed store fails loudly, not silently wrong
+    # a transposed store fails loudly, not silently wrong
     import json as _json
-    bad = str(tmp_path / "sharded")
+    bad = str(tmp_path / "transposed")
     os.makedirs(bad + "/v")
     _json.dump({"zarr_format": 3, "node_type": "group"},
                open(bad + "/zarr.json", "w"))
@@ -592,8 +592,80 @@ def test_v3_info_and_unsupported_codecs(tmp_path, v3_store):
                                "configuration": {"chunk_shape": [4]}},
                 "chunk_key_encoding": {"name": "default"},
                 "fill_value": 0.0,
-                "codecs": [{"name": "sharding_indexed",
-                            "configuration": {}}]},
+                "codecs": [{"name": "transpose",
+                            "configuration": {"order": [0]}}]},
                open(bad + "/v/zarr.json", "w"))
-    with pytest.raises(NotImplementedError, match="sharded"):
+    with pytest.raises(NotImplementedError, match="transpose"):
         zarr2.open_zarr_store(bad)
+
+
+# ---- zarr v3 sharding_indexed ------------------------------------------------
+
+@pytest.mark.parametrize("codec", ["zstd", "none"])
+def test_v3_sharded_roundtrip(tmp_path, codec):
+    """sharding_indexed: outer grid addresses shard objects, each
+    holding inner chunks + the (offset, nbytes) index + CRC-32C. Edge
+    shards with absent inner chunks must read back as fill."""
+    arr = np.random.default_rng(5).normal(0, 1, (10, 7)).astype("<f8")
+    path = str(tmp_path / f"v3_sharded_{codec}")
+    zarr2.write_zarr3(path, dims={"x": np.arange(10.0),
+                                  "y": np.arange(7.0)},
+                      variables={"v": (["x", "y"], arr, {})},
+                      chunks={"v": [2, 3]}, shards={"v": [4, 6]},
+                      codec=codec)
+    meta = zarr2.open_zarr_store(path)
+    za = meta["v"]["zarray"]
+    assert za["chunks"] == [4, 6] and za["_shard"]["inner_chunks"] == [2, 3]
+    # shard objects exist on the OUTER grid only (3 x 2)
+    import glob
+    files = glob.glob(path + "/v/c/*/*")
+    assert len(files) == 6
+    back = zarr2.read_zarr_array(path, "v", meta["v"])
+    assert np.array_equal(back, arr)
+
+
+def test_v3_sharded_index_crc_is_verified(tmp_path):
+    arr = np.arange(16, dtype="<f8").reshape(4, 4)
+    path = str(tmp_path / "v3_crc")
+    zarr2.write_zarr3(path, dims={"x": np.arange(4.0),
+                                  "y": np.arange(4.0)},
+                      variables={"v": (["x", "y"], arr, {})},
+                      chunks={"v": [2, 2]}, shards={"v": [4, 4]},
+                      codec="none")
+    shard = path + "/v/c/0/0"
+    raw = bytearray(open(shard, "rb").read())
+    raw[-1] ^= 0xFF                       # corrupt the stored CRC
+    open(shard, "wb").write(bytes(raw))
+    meta = zarr2.open_zarr_store(path)
+    with pytest.raises(ValueError, match="CRC-32C"):
+        zarr2.read_zarr_array(path, "v", meta["v"])
+
+
+def test_v3_sharded_distributed_matches_eager(spark, tmp_path):
+    """The chunk-per-task distributed read maps 1:1 onto shards (one
+    shard = one task) and must equal the eager read exactly."""
+    t = (np.arange("2022-01-01", "2022-01-13", dtype="datetime64[D]")
+         .astype("datetime64[ns]"))
+    temp = (np.arange(12 * 4, dtype=np.float32).reshape(12, 4) * 0.5
+            + 260.0)
+    path = str(tmp_path / "sharded_ts.zarr")
+    zarr2.write_zarr3(
+        path, dims={"time": t, "lat": np.array([-5., 0., 5., 10.])},
+        variables={"temperature": (["time", "lat"], temp, {"units": "K"})},
+        chunks={"temperature": [2, 4]}, shards={"temperature": [6, 4]},
+        codec="zstd")
+    eager = sorted(map(tuple, zarr2.read_zarr_long(spark, path).collect()))
+    dist = sorted(map(tuple, zarr2.read_zarr_long_distributed(
+        spark, path).collect()))
+    assert dist == eager and len(dist) == 48
+    # time-range pruning operates on the outer (shard) grid
+    sel = zarr2.read_zarr_long_distributed(
+        spark, path, time_range=("2022-01-01", "2022-01-06"))
+    assert sel.count() == 6 * 4
+
+
+def test_crc32c_known_vectors():
+    """Public test vectors (RFC 3720 appendix B / Castagnoli)."""
+    assert zarr2.crc32c(b"") == 0
+    assert zarr2.crc32c(b"123456789") == 0xE3069283
+    assert zarr2.crc32c(bytes(32)) == 0x8A9136AA
