@@ -94,16 +94,92 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
               .mapInPandas(_synth, schema=out_schema))
 
 
+def synthesize_png(df: DataFrame, id_col: str, text_col: str,
+                   rgb_every: int = 3) -> DataFrame:
+    """Build REAL PNG payloads deterministically from text rows: 16×16
+    images whose pixels are the cycled UTF-8 bytes of the text (every
+    ``rgb_every``-th id truecolor, others grayscale), zlib-compressed
+    through a genuine scanline-filter pass — the per-row filter type
+    cycles through None/Sub/Up/Average/Paeth on ``media_id % 5``, so a
+    decoder with a wrong unfilter produces wrong PIXELS, not just a
+    wrong container. Because the pixels are the cycled text bytes, a
+    SQL oracle can re-derive the decoded mean without touching zlib."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as st
+        import zlib
+
+        import numpy as np
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (st.pack(">I", len(data)) + typ + data
+                    + st.pack(">I", zlib.crc32(typ + data)))
+
+        def png(text: str, media_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            ch = 3 if media_id % rgb_every == 0 else 1
+            px = np.resize(np.frombuffer(raw, dtype=np.uint8),
+                           256 * ch).reshape(16, 16 * ch).astype(np.int32)
+            f = media_id % 5
+            lines = []
+            for y in range(16):
+                row = px[y]
+                prev = px[y - 1] if y else np.zeros_like(row)
+                left = np.concatenate([np.zeros(ch, np.int32),
+                                       row[:-ch]])
+                upleft = np.concatenate([np.zeros(ch, np.int32),
+                                         prev[:-ch]])
+                if f == 0:
+                    enc = row
+                elif f == 1:
+                    enc = row - left
+                elif f == 2:
+                    enc = row - prev
+                elif f == 3:
+                    enc = row - (left + prev) // 2
+                else:
+                    pa = np.abs(prev - upleft)
+                    pb = np.abs(left - upleft)
+                    pc = np.abs(left + prev - 2 * upleft)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, prev, upleft))
+                    enc = row - pred
+                lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8)
+                             .tobytes())
+            ihdr = st.pack(">IIBBBBB", 16, 16, 8,
+                           2 if ch == 3 else 0, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+                    + chunk(b"IEND", b""))
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [png(t, int(i))
+                        for i, t in zip(ids, pdf[text_col].fillna(""))]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image/png"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (df.select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
     """REAL codec path — pure-python decoders for the stdlib-decodable
-    containers (binary netpbm P5/P6 images; RIFF/WAVE PCM audio),
-    dispatched on magic bytes inside the same Arrow ``mapInPandas``
-    plan as the fake decoder. Image rows fill (width, height,
-    mean_value from actual pixels); audio rows fill (n_channels,
-    sample_rate, n_samples, mean_value = RMS amplitude from actual
-    samples). Anything else (JPEG/PNG/MP4 — codecs this container
-    lacks) raises a clear per-payload error; swapping in PIL/ffmpeg
-    extends the dispatch, not the plan."""
+    containers (binary netpbm P5/P6 images; PNG with full scanline
+    unfiltering, zlib is stdlib; RIFF/WAVE PCM audio), dispatched on
+    magic bytes inside the same Arrow ``mapInPandas`` plan as the fake
+    decoder. Image rows fill (width, height, mean_value from actual
+    pixels); audio rows fill (n_channels, sample_rate, n_samples,
+    mean_value = RMS amplitude from actual samples). Anything else
+    (JPEG/MP4 — entropy codecs this container lacks) raises a clear
+    per-payload error; swapping in PIL/ffmpeg extends the dispatch,
+    not the plan."""
     out_schema = ("media_id long, media_type string, n_bytes long, "
                   "kind string, width int, height int, n_channels int, "
                   "sample_rate int, n_samples long, mean_value double")
@@ -141,6 +217,82 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "n_samples": None,
                     "mean_value": float(px.mean())}
 
+        def decode_png(p: bytes) -> dict:
+            # PNG (public spec, stdlib-only): 8-byte signature, then
+            # length/type/data/crc chunks. Supported: bit depth 8,
+            # color types 0 (gray) / 2 (rgb) / 4 (gray+alpha) /
+            # 6 (rgba), non-interlaced — what any encoder emits for
+            # plain truecolor/grayscale. Palette, 16-bit, and Adam7
+            # raise loudly.
+            import zlib
+
+            pos, idat = 8, []
+            w = h = depth = ctype = interlace = None
+            while pos + 8 <= len(p):
+                (ln,) = __import__("struct").unpack_from(">I", p, pos)
+                typ = p[pos + 4:pos + 8]
+                data = p[pos + 8:pos + 8 + ln]
+                if typ == b"IHDR":
+                    st = __import__("struct")
+                    w, h = st.unpack_from(">II", data, 0)
+                    depth, ctype = data[8], data[9]
+                    interlace = data[12]
+                elif typ == b"IDAT":
+                    idat.append(data)
+                elif typ == b"IEND":
+                    break
+                pos += 12 + ln
+            if depth != 8:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} not supported (only 8)")
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if ch is None:
+                raise NotImplementedError(
+                    f"PNG color type {ctype} not supported "
+                    "(palette needs PLTE handling)")
+            if interlace:
+                raise NotImplementedError(
+                    "Adam7-interlaced PNG not supported")
+            stream = zlib.decompress(b"".join(idat))
+            stride = w * ch
+            out = np.zeros((h, stride), dtype=np.int32)
+            for y in range(h):
+                f = stream[y * (stride + 1)]
+                row = np.frombuffer(
+                    stream, dtype=np.uint8, count=stride,
+                    offset=y * (stride + 1) + 1).astype(np.int32)
+                prev = out[y - 1] if y else np.zeros(stride, np.int32)
+                if f == 0:
+                    cur = row
+                elif f == 2:                     # up — vectorizable
+                    cur = (row + prev) & 0xFF
+                elif f in (1, 3, 4):
+                    # left-referencing filters carry a serial
+                    # dependency; the per-pixel loop is fine for the
+                    # thumbnail-scale payloads this path decodes
+                    cur = np.zeros(stride, np.int32)
+                    for x in range(stride):
+                        a = cur[x - ch] if x >= ch else 0
+                        b = prev[x]
+                        if f == 1:
+                            pred = a
+                        elif f == 3:
+                            pred = (a + b) // 2
+                        else:
+                            c = prev[x - ch] if x >= ch else 0
+                            pa, pb, pc = (abs(b - c), abs(a - c),
+                                          abs(a + b - 2 * c))
+                            pred = (a if pa <= pb and pa <= pc
+                                    else b if pb <= pc else c)
+                        cur[x] = (row[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+                out[y] = cur
+            return {"kind": "image", "width": int(w), "height": int(h),
+                    "n_channels": ch, "sample_rate": None,
+                    "n_samples": None,
+                    "mean_value": float(out.mean())}
+
         def decode_wav(p: bytes) -> dict:
             with wave.open(io.BytesIO(p), "rb") as f:
                 nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
@@ -159,6 +311,8 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                 b = bytes(p)
                 if b[:2] in (b"P5", b"P6"):
                     metas.append(decode_pgm(b))
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    metas.append(decode_png(b))
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     metas.append(decode_wav(b))
                 else:

@@ -857,6 +857,55 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media_real(media)
 
 
+@query("mm_decode_png", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+px AS (
+  SELECT media_id,
+         CASE WHEN media_id % 3 = 0 THEN 3 ELSE 1 END AS ch,
+         list_transform(
+           range(256 * (CASE WHEN media_id % 3 = 0 THEN 3 ELSE 1 END)),
+           i -> bytes[CAST(i % len(bytes) AS INT) + 1]) AS pixels
+  FROM b
+)
+SELECT media_id, 'image/png' AS media_type, 'image' AS kind,
+       16 AS width, 16 AS height, CAST(ch AS INTEGER) AS n_channels,
+       CAST(list_sum(pixels) AS DOUBLE) / (256.0 * ch) AS mean_value
+FROM px
+""")
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG round trip through a REAL compressed container, no external
+    media libraries: documents render into genuine PNGs (pixels = the
+    cycled text bytes; every third id truecolor; scanline filter type
+    cycles None/Sub/Up/Average/Paeth on media_id % 5) and decode back
+    through zlib + full unfiltering (`operators/multimodal.decode_png`).
+    The oracle re-derives the decoded pixel mean straight from the text
+    bytes — if any of the four non-trivial unfilters were wrong, the
+    pixels (hence the mean, hence the hash) would differ. n_bytes is
+    excluded from the projection: the zlib-compressed container length
+    is not SQL-re-derivable, and the value check should pin pixels,
+    not compressor versions."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_png(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "media_type", "kind", "width",
+                      "height", "n_channels", "mean_value"))
+
+
 # Payload bytes re-derived in SQL: the demo payload is the UTF-8
 # encoding of the text (attach_payload), and DuckDB's hex(encode(t))
 # exposes every byte as two hex chars — so byte-level operators

@@ -641,6 +641,58 @@ def test_real_media_codecs_round_trip(spark):
         decode_media_real(bad).collect()
 
 
+def test_png_codec_all_filters_and_loud_paths(spark):
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth, cycled on
+    media_id % 5) must unfilter back to the exact source pixels in both
+    gray and truecolor; unsupported PNG shapes raise loudly."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_png)
+
+    rows = [(i, f"text for image {i} " * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["media_id"]: r for r in
+           decode_media_real(synthesize_png(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        ch = 3 if i % 3 == 0 else 1
+        px = np.resize(np.frombuffer(text.encode(), np.uint8), 256 * ch)
+        got = out[i]
+        assert (got["width"], got["height"], got["n_channels"]) == \
+            (16, 16, ch), i
+        assert abs(got["mean_value"] - float(px.mean())) < 1e-9, \
+            f"filter {i % 5} round-trip broke pixels"
+
+    def png_with(depth=8, ctype=0, interlace=0):
+        ihdr = st.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        stride = 2 * {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        body = zlib.compress((b"\x00" + bytes(stride)) * 2)
+        def chunk(t, d):
+            return (st.pack(">I", len(d)) + t + d
+                    + st.pack(">I", zlib.crc32(t + d)))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", body) + chunk(b"IEND", b""))
+
+    def decode_one(payload):
+        bad = spark.createDataFrame(
+            [(1, "image/png", bytearray(payload), len(payload))],
+            "media_id long, media_type string, payload binary, "
+            "n_bytes long")
+        return decode_media_real(bad).collect()
+
+    with _pt.raises(Exception, match="bit depth 16"):
+        decode_one(png_with(depth=16))
+    with _pt.raises(Exception, match="color type 3"):
+        decode_one(png_with(ctype=3))
+    with _pt.raises(Exception, match="interlaced"):
+        decode_one(png_with(interlace=1))
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
