@@ -14,9 +14,9 @@ is fully implemented here. The 1.10+ "latest" profile (h5py with
 v2/v3, 'OHDR' v2 object headers with 'OCHK' continuations, compact
 LINK-message groups, layout-v4 chunk indexes (Single Chunk, Implicit,
 Fixed Array, Extensible Array for appendable unlimited-dimension
-datasets, v2 B-tree), and dense link storage (fractal heap + name
-v2 B-tree). Features beyond that (compound types, szip, dense
-attributes, paged/indirect heap & array shapes, ...) raise a crisp
+datasets, v2 B-tree), and dense link AND attribute storage (fractal
+heap + name v2 B-trees). Features beyond that (compound types, szip,
+paged/indirect heap & array shapes, ...) raise a crisp
 ``NotImplementedError`` naming the feature.
 
 Reader semantics (the netCDF-4 data model):
@@ -441,12 +441,21 @@ class H5File:
                     # length spans signature + messages + checksum
                     blocks.append((c_off + 4, c_len - 8))
                 elif mtype == MSG_ATTR_INFO:
-                    fheap = struct.unpack_from(
-                        "<Q", body, 2 + (2 if body[1] & 0x1 else 0))[0]
+                    # dense attribute storage (spec IV.A.2.w): past the
+                    # compact-message limit (or under track_order),
+                    # ATTRIBUTE messages live as fractal-heap objects
+                    # indexed by a name v2 B-tree whose type-8 records
+                    # lead with the 8-byte heap ID
+                    pos_ai = 2 + (2 if body[1] & 0x1 else 0)
+                    fheap, name_bt = struct.unpack_from(
+                        "<QQ", body, pos_ai)
                     if fheap != UNDEF:
-                        raise H5Unsupported(
-                            "dense attribute storage (fractal heap) "
-                            "not supported")
+                        heap = self._fractal_heap(fheap)
+                        msgs.extend(
+                            (MSG_ATTRIBUTE,
+                             self._fheap_object(heap, rec[:8]))
+                            for rec in
+                            self._v2btree_leaf_records(name_bt))
                 elif mtype != MSG_NIL:
                     msgs.append((mtype, body))
         return msgs

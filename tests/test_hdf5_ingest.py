@@ -715,9 +715,56 @@ def _build_appendable_profile_hdf5():
               + bytes([5]) + struct.pack("<I", 512) + bytes([100, 40])
               + Q(bthd))
     filt = bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<i", 6)
+
+    def dense_heap(tag: str, objects: list[bytes], heap_id_len: int,
+                   rec_of) -> tuple[int, int]:
+        """Place a single-direct-block fractal heap holding ``objects``
+        plus a depth-0 name v2 B-tree whose records come from
+        ``rec_of(i, heap_id)`` → (FRHP addr, BTHD addr)."""
+        hdr_len = 4 + 1 + 8 + 4
+        ids, blob, off = [], b"", hdr_len
+        for ob in objects:
+            hid = (bytes([0]) + struct.pack("<I", off)
+                   + len(ob).to_bytes(heap_id_len - 5, "little"))
+            ids.append(hid)
+            blob += ob
+            off += len(ob)
+        block = 512
+        db = place(f"{tag}_fhdb",
+                   (b"FHDB" + bytes([0]) + Q(0) + bytes(4) + blob)
+                   .ljust(block, b"\x00"))
+        recs = [rec_of(i, hid) for i, hid in enumerate(ids)]
+        rsz = len(recs[0])
+        lf = place(f"{tag}_btlf", b"BTLF" + bytes([0, 5 if rsz == 11
+                                                   else 8])
+                   + b"".join(recs) + bytes(4))
+        hd = place(f"{tag}_bthd", b"BTHD"
+                   + bytes([0, 5 if rsz == 11 else 8])
+                   + struct.pack("<IHH", 512, rsz, 0) + bytes([100, 40])
+                   + Q(lf) + struct.pack("<H", len(recs)) + Q(len(recs))
+                   + bytes(4))
+        hp = place(f"{tag}_frhp", b"FRHP" + bytes([0])
+                   + struct.pack("<HH", heap_id_len, 0) + bytes([0])
+                   + struct.pack("<I", 512) + Q(0) + Q(UNDEF) + Q(0)
+                   + Q(UNDEF) + Q(off) + Q(block) + Q(off)
+                   + Q(len(objects)) + Q(0) + Q(0) + Q(0) + Q(0)
+                   + struct.pack("<H", 4) + Q(block) + Q(4096)
+                   + struct.pack("<HH", 32, 1) + Q(db)
+                   + struct.pack("<H", 0) + bytes(4))
+        return hp, hd
+
+    # temperature's attributes are DENSE (ATTR_INFO → fractal heap +
+    # name v2 B-tree, record type 8: 8-byte heap ID first) — the
+    # track_order / >compact-limit shape
+    a_hp, a_hd = dense_heap(
+        "tattr", [attr_v3("units", "K"), attr_v3("long_name", "temp")],
+        heap_id_len=8,
+        rec_of=lambda i, hid: hid + bytes([0]) + struct.pack("<I", i)
+        + struct.pack("<I", 0))
+    attr_info = bytes([0, 0]) + Q(a_hp) + Q(a_hd)
     temp_oh = place("temp_oh", ohdr(
         [(0x0001, ds_msg_v2(temp.shape)), (0x0003, dt_msg(temp.dtype)),
-         (0x0008, lay_bt), (0x000B, filt)]))
+         (0x0008, lay_bt), (0x000B, filt), (0x0015, attr_info)]))
 
     # --- coordinates: contiguous ---
     coords_oh = {}
@@ -735,31 +782,9 @@ def _build_appendable_profile_hdf5():
              link_msg("level", coords_oh["level"]),
              link_msg("series", series_oh),
              link_msg("temperature", temp_oh)]
-    hdr_len = 4 + 1 + 8 + 4                     # FHDB header (no cksum)
-    heap_ids, objs, off = [], b"", hdr_len
-    for lm in links:
-        heap_ids.append(bytes([0]) + struct.pack("<I", off)[:4]
-                        + struct.pack("<H", len(lm)))
-        objs += lm
-        off += len(lm)
-    block_size = 512
-    fhdb = place("fhdb", (b"FHDB" + bytes([0]) + Q(0) + bytes(4) + objs
-                          ).ljust(block_size, b"\x00"))
-    nrecs = [struct.pack("<I", i) + hid for i, hid in enumerate(heap_ids)]
-    nlf = place("name_lf", b"BTLF" + bytes([0, 5]) + b"".join(nrecs)
-                + bytes(4))
-    nhd = place("name_hd", b"BTHD" + bytes([0, 5])
-                + struct.pack("<IHH", 512, 11, 0) + bytes([100, 40])
-                + Q(nlf) + struct.pack("<H", len(nrecs)) + Q(len(nrecs))
-                + bytes(4))
-    frhp = place("frhp", b"FRHP" + bytes([0])
-                 + struct.pack("<HH", 7, 0) + bytes([0])
-                 + struct.pack("<I", 512) + Q(0) + Q(UNDEF) + Q(0)
-                 + Q(UNDEF) + Q(off) + Q(block_size) + Q(off)
-                 + Q(len(links)) + Q(0) + Q(0) + Q(0) + Q(0)
-                 + struct.pack("<H", 4) + Q(block_size) + Q(4096)
-                 + struct.pack("<HH", 32, 1) + Q(fhdb)
-                 + struct.pack("<H", 0) + bytes(4))
+    frhp, nhd = dense_heap(
+        "root", links, heap_id_len=7,
+        rec_of=lambda i, hid: struct.pack("<I", i) + hid)
     li = bytes([0, 0]) + Q(frhp) + Q(nhd)
     root = place("root_oh", ohdr([(0x0002, li)]))
 
@@ -783,6 +808,10 @@ def test_appendable_profile_extensible_array_and_v2btree():
     np.testing.assert_allclose(f.read("temperature"), temp, rtol=1e-6)
     np.testing.assert_array_equal(f.read("time"), t)
     assert f.datasets["series"].attrs["units"] == "W/m2"
+    # temperature's attributes arrive through DENSE storage (ATTR_INFO
+    # -> fractal heap + name v2 B-tree), not compact messages
+    assert f.datasets["temperature"].attrs["units"] == "K"
+    assert f.datasets["temperature"].attrs["long_name"] == "temp"
 
 
 def test_appendable_profile_grid_and_distributed(spark, tmp_path):

@@ -664,6 +664,30 @@ def test_v3_sharded_distributed_matches_eager(spark, tmp_path):
     assert sel.count() == 6 * 4
 
 
+def test_v3_sharded_random_geometries(tmp_path):
+    """Property sweep: random (shape, chunk, shard-multiple) combos —
+    including edge shards with fully-absent inner chunks and shard ==
+    chunk degenerate cases — must round-trip exactly."""
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        nd = int(rng.integers(1, 4))
+        chunk = [int(rng.integers(1, 5)) for _ in range(nd)]
+        shard = [c * int(rng.integers(1, 4)) for c in chunk]
+        shape = [int(rng.integers(1, 3 * s + 1)) for s in shard]
+        arr = rng.normal(0, 1, shape).astype("<f8")
+        dims = {f"d{i}": np.arange(float(n))
+                for i, n in enumerate(shape)}
+        path = str(tmp_path / f"prop{trial}")
+        zarr2.write_zarr3(path, dims=dims,
+                          variables={"v": (list(dims), arr, {})},
+                          chunks={"v": chunk}, shards={"v": shard},
+                          codec="zstd")
+        meta = zarr2.open_zarr_store(path)
+        back = zarr2.read_zarr_array(path, "v", meta["v"])
+        assert np.array_equal(back, arr), \
+            (shape, chunk, shard)
+
+
 def test_crc32c_known_vectors():
     """Public test vectors (RFC 3720 appendix B / Castagnoli)."""
     assert zarr2.crc32c(b"") == 0
