@@ -952,19 +952,42 @@ class H5File:
         dblk_ptr_pos = elems_pos + idx_elmts * elt_size
         sblk_ptr_pos = dblk_ptr_pos + ndblk_inline * 8
 
-        def dblock_elements(dblk_addr: int, nelmts: int):
-            """Element byte-blobs stored in one data block."""
+        page_elmts = 1 << page_bits
+
+        def dblock_elements(dblk_addr: int, nelmts: int,
+                            page_bitmap=None, page_base: int = 0):
+            """Element byte-blobs stored in one data block. Blocks past
+            2^page_bits elements are PAGED: the header carries its own
+            checksum, then pages of page_elmts elements follow, each
+            with a trailing 4-byte checksum; the super block's bitmap
+            says which pages were ever initialized (uninitialized
+            pages are raw garbage, NOT undef-filled — they must read
+            as unset)."""
             if dblk_addr == UNDEF:
                 return [None] * nelmts
-            if nelmts > (1 << page_bits):
-                raise H5Unsupported(
-                    "paged extensible-array data block not supported")
             if b[dblk_addr:dblk_addr + 4] != b"EADB":
                 raise ValueError(
                     "bad extensible-array data block signature")
             pos = dblk_addr + 4 + 1 + 1 + 8 + off_size
-            return [b[pos + i * elt_size:pos + (i + 1) * elt_size]
-                    for i in range(nelmts)]
+            if nelmts <= page_elmts:
+                return [b[pos + i * elt_size:pos + (i + 1) * elt_size]
+                        for i in range(nelmts)]
+            pos += 4                            # paged header checksum
+            out = []
+            npages = -(-nelmts // page_elmts)
+            for p in range(npages):
+                bit = page_base + p
+                live = (page_bitmap is None
+                        or bool(page_bitmap[bit // 8] & (1 << (bit % 8))))
+                k = min(page_elmts, nelmts - p * page_elmts)
+                if live:
+                    out.extend(
+                        b[pos + i * elt_size:pos + (i + 1) * elt_size]
+                        for i in range(k))
+                else:
+                    out.extend([None] * k)
+                pos += page_elmts * elt_size + 4
+            return out
 
         # stream elements in index order: inline, then per super block
         grid = list(self._chunk_grid(ds))
@@ -991,13 +1014,20 @@ class H5File:
                         raise ValueError(
                             "bad extensible-array super block signature")
                     spos = saddr + 4 + 1 + 1 + 8 + off_size
-                    if nelmts > (1 << page_bits):
-                        raise H5Unsupported(
-                            "paged extensible-array data block "
-                            "(super-block bitmap) not supported")
+                    bitmap = None
+                    pages_per = 0
+                    if nelmts > page_elmts:
+                        # paged data blocks → the super block carries
+                        # a page bitmap before the addresses
+                        pages_per = -(-nelmts // page_elmts)
+                        nbytes = -(-(ndblks * pages_per) // 8)
+                        bitmap = b[spos:spos + nbytes]
+                        spos += nbytes
                     for d in range(ndblks):
                         (daddr,) = struct.unpack_from("<Q", b, spos + d * 8)
-                        yield from dblock_elements(daddr, nelmts)
+                        yield from dblock_elements(
+                            daddr, nelmts, page_bitmap=bitmap,
+                            page_base=d * pages_per)
 
         for offs, raw in zip(grid, all_elements()):
             if raw is None:

@@ -859,3 +859,151 @@ def test_latest_profile_loud_unsupported_paths():
     f.buf = frhp
     with pytest.raises(H5Unsupported, match="indirect root"):
         f._fractal_heap(0)
+
+def _build_ea_file(caddr_data: list[bytes], chunk0: int, idx_elmts: int,
+                   min_elmts: int, min_ptrs: int, max_bits: int,
+                   page_bits: int, shape0: int):
+    """Minimal HDF5 file with ONE 1-D float64 dataset whose chunk index
+    is an extensible array of the given creation parameters. The EA
+    geometry here is derived INDEPENDENTLY from the spec's doubling
+    table (super block s: 2^floor(s/2) data blocks of
+    min·2^ceil((s+1)/2)... elements) so a slip in the reader's
+    geometry math cannot cancel out."""
+    import struct
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+    caddrs = [place(d) for d in caddr_data]
+    n = len(caddrs)
+    elems = [Q(a) for a in caddrs]
+
+    # spec doubling table, written out longhand (NOT the reader's
+    # helper): super block s has nd data blocks / ne elements per block
+    nsblks = 1 + (max_bits - (min_elmts.bit_length() - 1))
+    geo = [(2 ** (s // 2), min_elmts << ((s + 1) // 2))
+           for s in range(nsblks)]
+    off_size = -(-max_bits // 8)
+
+    pos_el = 0
+    page_elmts = 1 << page_bits
+
+    def take(k: int) -> list[bytes]:
+        nonlocal pos_el
+        out = elems[pos_el:pos_el + k]
+        pos_el += k
+        return out + [Q(UNDEF)] * (k - len(out))
+
+    iblk_elems = take(idx_elmts)
+
+    def dblock(ne: int) -> int:
+        els = take(ne)
+        hdr = b"EADB" + bytes([0, 0]) + Q(0) + bytes(off_size)
+        if ne <= page_elmts:
+            return place(hdr + b"".join(els) + bytes(4))
+        # paged: header gets its own checksum; pages of page_elmts
+        # elements each followed by a 4-byte checksum (ne is a power-
+        # of-two multiple of page_elmts, so pages divide evenly)
+        body = hdr + bytes(4)
+        for p in range(ne // page_elmts):
+            body += (b"".join(els[p * page_elmts:(p + 1) * page_elmts])
+                     + bytes(4))
+        return place(body)
+
+    inline_dblks, sblks = [], []
+    for s, (nd, ne) in enumerate(geo):
+        if nd < min_ptrs:                       # pointers live inline
+            for _ in range(nd):
+                inline_dblks.append(dblock(ne) if pos_el < n else UNDEF)
+        else:
+            if pos_el < n:
+                daddrs = [dblock(ne) if pos_el < n or i == 0 else UNDEF
+                          for i in range(nd)]
+                blob = (b"EASB" + bytes([0, 0]) + Q(0)
+                        + bytes(off_size))
+                if ne > page_elmts:
+                    # page bitmap: every page of every allocated data
+                    # block marked initialized
+                    pages_per = ne // page_elmts
+                    nbits = nd * pages_per
+                    bm = bytearray(-(-nbits // 8))
+                    for d, a in enumerate(daddrs):
+                        if a != UNDEF:
+                            for p in range(pages_per):
+                                bit = d * pages_per + p
+                                bm[bit // 8] |= 1 << (bit % 8)
+                    blob += bytes(bm)
+                blob += b"".join(Q(a) for a in daddrs) + bytes(4)
+                sblks.append(place(blob))
+            else:
+                sblks.append(UNDEF)
+
+    iblk = place(b"EAIB" + bytes([0, 0]) + Q(0)
+                 + b"".join(iblk_elems)
+                 + b"".join(Q(a) for a in inline_dblks)
+                 + b"".join(Q(a) for a in sblks) + bytes(4))
+    eahd = place(b"EAHD" + bytes([0, 0, 8, max_bits, idx_elmts,
+                                  min_elmts, min_ptrs, page_bits])
+                 + Q(0) * 6 + Q(iblk) + bytes(4))
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(body))
+                         + bytes([0]) + body for t, body in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    dt = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+          + struct.pack("<I", 8) + props)
+    ds = bytes([2, 1, 0, 1]) + Q(shape0)
+    lay = (bytes([4, 2, 0, 2, 4]) + struct.pack("<II", chunk0, 8)
+           + bytes([4]) + bytes([max_bits, idx_elmts, min_ptrs,
+                                 min_elmts, page_bits]) + Q(eahd))
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+    link = bytes([1, 0, 1]) + b"v" + Q(v_oh)
+    li = bytes([0, 0]) + Q(UNDEF) + Q(UNDEF)
+    root = place(ohdr([(0x0002, li), (0x0006, link)]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    return sb + b"".join(alloc)
+
+
+def test_extensible_array_random_geometries():
+    """Property sweep over EA creation parameters and chunk counts —
+    including counts landing exactly on index-block / data-block /
+    super-block boundaries — every geometry must read back exactly."""
+    rng = np.random.default_rng(13)
+    cases = []
+    for _ in range(18):
+        idx = int(2 ** rng.integers(0, 3))        # 1, 2, 4
+        mine = int(2 ** rng.integers(1, 3))       # 2, 4
+        minp = int(2 ** rng.integers(1, 3))       # 2, 4
+        nch = int(rng.integers(1, 120))
+        cases.append((idx, mine, minp, nch))
+    # boundary cases: exactly the index block; one past it; exactly
+    # filling super block 0/1
+    cases += [(2, 2, 2, 2), (2, 2, 2, 3), (2, 2, 2, 4), (2, 2, 2, 8),
+              (4, 2, 4, 1), (1, 2, 2, 119)]
+    for pbits, sub in ((10, cases), (2, cases[-8:])):
+        # pbits=2: data blocks past 4 elements become PAGED (header
+        # checksum + per-page checksums + super-block page bitmaps)
+        for idx, mine, minp, nch in sub:
+            chunk0 = 3
+            vals = np.arange(nch * chunk0, dtype="<f8") * 0.5
+            blobs = [vals[i * chunk0:(i + 1) * chunk0].tobytes()
+                     for i in range(nch)]
+            buf = _build_ea_file(blobs, chunk0, idx, mine, minp,
+                                 max_bits=16, page_bits=pbits,
+                                 shape0=len(vals))
+            f = H5File(buf)
+            got = f.read("v")
+            assert np.array_equal(got, vals), (idx, mine, minp, nch,
+                                               pbits)
