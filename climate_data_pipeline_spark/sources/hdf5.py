@@ -869,21 +869,42 @@ class H5File:
             return
         if b[dblock:dblock + 4] != b"FADB":
             raise ValueError("bad fixed-array data block signature")
-        if nelmts > (1 << page_bits):
-            raise H5Unsupported(
-                "paged fixed-array chunk index not supported")
         pos = dblock + 4 + 2 + 8               # sig, version+client, hdr addr
+        page_elmts = 1 << page_bits
+        if nelmts > page_elmts:
+            # paged data block (spec III.K): page bitmap + header
+            # checksum, then pages of page_elmts entries (last page
+            # partial), each with a trailing 4-byte checksum.
+            # Uninitialized pages read as unset.
+            npages = -(-nelmts // page_elmts)
+            bitmap = b[pos:pos + -(-npages // 8)]
+            pos += -(-npages // 8) + 4
+
+            def entries():
+                p = pos
+                for pg in range(npages):
+                    k = min(page_elmts, nelmts - pg * page_elmts)
+                    live = bool(bitmap[pg // 8] & (1 << (pg % 8)))
+                    for i in range(k):
+                        yield (b[p + i * entry_size:
+                                 p + (i + 1) * entry_size]
+                               if live else None)
+                    p += k * entry_size + 4
+            entry_iter = entries()
+        else:
+            entry_iter = (b[pos + i * entry_size:
+                            pos + (i + 1) * entry_size]
+                          for i in range(nelmts))
         filtered = client == 1
-        for offs in self._chunk_grid(ds):
+        for offs, raw in zip(self._chunk_grid(ds), entry_iter):
+            if raw is None:
+                continue
+            (caddr,) = struct.unpack_from("<Q", raw, 0)
             if filtered:
-                (caddr,) = struct.unpack_from("<Q", b, pos)
-                csize = int.from_bytes(
-                    b[pos + 8:pos + entry_size - 4], "little")
-                (mask,) = struct.unpack_from("<I", b, pos + entry_size - 4)
+                csize = int.from_bytes(raw[8:entry_size - 4], "little")
+                (mask,) = struct.unpack_from("<I", raw, entry_size - 4)
             else:
-                (caddr,) = struct.unpack_from("<Q", b, pos)
                 csize, mask = chunk_bytes, 0
-            pos += entry_size
             if caddr != UNDEF:
                 yield offs, csize, mask, caddr
 

@@ -1007,3 +1007,78 @@ def test_extensible_array_random_geometries():
             got = f.read("v")
             assert np.array_equal(got, vals), (idx, mine, minp, nch,
                                                pbits)
+
+
+def _build_fa_file(caddr_data: list[bytes], chunk0: int, page_bits: int,
+                   shape0: int):
+    """Minimal HDF5 file: one 1-D float64 dataset, Fixed-Array chunk
+    index, PAGED when len(caddr_data) > 2^page_bits (page bitmap +
+    header checksum, pages with trailing checksums, partial last
+    page)."""
+    import struct
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+    caddrs = [place(d) for d in caddr_data]
+    n = len(caddrs)
+    page_elmts = 1 << page_bits
+    hdr = b"FADB" + bytes([0, 0]) + Q(0)
+    if n <= page_elmts:
+        body = hdr + b"".join(Q(a) for a in caddrs) + bytes(4)
+    else:
+        npages = -(-n // page_elmts)
+        bm = bytearray(-(-npages // 8))
+        for pg in range(npages):
+            bm[pg // 8] |= 1 << (pg % 8)
+        body = hdr + bytes(bm) + bytes(4)
+        for pg in range(npages):
+            k = min(page_elmts, n - pg * page_elmts)
+            body += (b"".join(Q(a) for a in
+                              caddrs[pg * page_elmts:pg * page_elmts + k])
+                     + bytes(4))
+    fadb = place(body)
+    fahd = place(b"FAHD" + bytes([0, 0, 8, page_bits])
+                 + Q(n) + Q(fadb) + bytes(4))
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(body))
+                         + bytes([0]) + body for t, body in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    dt = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+          + struct.pack("<I", 8) + props)
+    ds = bytes([2, 1, 0, 1]) + Q(shape0)
+    lay = (bytes([4, 2, 0, 2, 4]) + struct.pack("<II", chunk0, 8)
+           + bytes([3, page_bits]) + Q(fahd))
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+    link = bytes([1, 0, 1]) + b"v" + Q(v_oh)
+    li = bytes([0, 0]) + Q(UNDEF) + Q(UNDEF)
+    root = place(ohdr([(0x0002, li), (0x0006, link)]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    return sb + b"".join(alloc)
+
+
+def test_fixed_array_paged_geometries():
+    """Paged fixed-array chunk indexes (page bitmap + per-page
+    checksums, partial last page) round-trip; boundary at exactly one
+    page stays unpaged."""
+    for page_bits, nch in ((2, 4), (2, 5), (2, 13), (3, 31), (10, 7)):
+        chunk0 = 3
+        vals = np.arange(nch * chunk0, dtype="<f8") * 0.25
+        blobs = [vals[i * chunk0:(i + 1) * chunk0].tobytes()
+                 for i in range(nch)]
+        buf = _build_fa_file(blobs, chunk0, page_bits, len(vals))
+        f = H5File(buf)
+        np.testing.assert_array_equal(f.read("v"), vals), (page_bits, nch)
