@@ -303,10 +303,33 @@ class H5File:
                 "fractal heap object beyond the root direct block")
         return b[dblock + off:dblock + off + length]
 
+    @staticmethod
+    def _v2btree_node_info(node_size: int, rec_size: int, depth: int):
+        """Per-depth (max records, nrec-field size, cumulative-total
+        size) table, exactly the header math libhdf5 derives the
+        child-pointer widths from: a child pointer to a depth-d node
+        is address(8) + #records (enc size of that depth's max) +
+        total #records below (enc size of the cumulative max; present
+        only for d >= 1). enc(x) = floor(log2 x)/8 + 1 bytes."""
+        def enc(x: int) -> int:
+            return (max(x, 1).bit_length() - 1) // 8 + 1
+
+        info = []                               # index = depth
+        leaf_max = (node_size - 10) // rec_size
+        info.append((leaf_max, enc(leaf_max), enc(leaf_max)))
+        cum = leaf_max
+        for d in range(1, depth + 1):
+            cmax, cnsz, ccum = info[d - 1]
+            ptr = 8 + cnsz + (ccum if d - 1 > 0 else 0)
+            imax = (node_size - (10 + ptr)) // (rec_size + ptr)
+            cum = imax + (imax + 1) * cum
+            info.append((imax, enc(imax), enc(cum)))
+        return info
+
     def _v2btree_leaf_records(self, addr: int):
-        """Yield the raw records of a v2 B-tree in leaf order (depth
-        <= 1; the generic record walk used for dense-link name
-        indexes, where each record is hash(4) + heap ID)."""
+        """Yield a v2 B-tree's raw records in key order, any depth —
+        the generic walk shared by the chunk indexes and the
+        dense-link/attribute name indexes."""
         b = self.buf
         if b[addr:addr + 4] != b"BTHD":
             raise ValueError("bad v2 B-tree header signature")
@@ -316,38 +339,34 @@ class H5File:
         (root, root_nrec) = struct.unpack_from("<QH", b, addr + 16)
         if root == UNDEF:
             return
+        info = self._v2btree_node_info(node_size, rec_size, depth)
 
-        def leaf(pos: int, nrec: int):
-            for i in range(nrec):
-                yield b[pos + i * rec_size:pos + (i + 1) * rec_size]
-
-        if depth == 0:
-            if b[root:root + 4] != b"BTLF":
-                raise ValueError("bad v2 B-tree leaf signature")
-            yield from leaf(root + 6, root_nrec)
-            return
-        if depth > 1:
-            raise H5Unsupported(
-                f"v2 B-tree of depth {depth} (> 1) not supported")
-        if b[root:root + 4] != b"BTIN":
-            raise ValueError("bad v2 B-tree internal node signature")
-        max_leaf_rec = (node_size - 10) // rec_size
-        nrec_len = max(1, (max_leaf_rec.bit_length() + 7) // 8)
-        pos = root + 6
-        for _ in range(root_nrec):
+        def walk(naddr: int, nrec: int, d: int):
+            if d == 0:
+                if b[naddr:naddr + 4] != b"BTLF":
+                    raise ValueError("bad v2 B-tree leaf signature")
+                pos = naddr + 6
+                for i in range(nrec):
+                    yield b[pos + i * rec_size:pos + (i + 1) * rec_size]
+                return
+            if b[naddr:naddr + 4] != b"BTIN":
+                raise ValueError("bad v2 B-tree internal node signature")
+            _, cnsz, ccum = info[d - 1]
+            ptr = 8 + cnsz + (ccum if d - 1 > 0 else 0)
+            pos = naddr + 6
+            for _ in range(nrec):
+                (caddr,) = struct.unpack_from("<Q", b, pos)
+                cnrec = int.from_bytes(b[pos + 8:pos + 8 + cnsz],
+                                       "little")
+                yield from walk(caddr, cnrec, d - 1)
+                pos += ptr
+                yield b[pos:pos + rec_size]
+                pos += rec_size
             (caddr,) = struct.unpack_from("<Q", b, pos)
-            cnrec = int.from_bytes(b[pos + 8:pos + 8 + nrec_len], "little")
-            pos += 8 + nrec_len
-            if b[caddr:caddr + 4] != b"BTLF":
-                raise ValueError("bad v2 B-tree leaf signature")
-            yield from leaf(caddr + 6, cnrec)
-            yield b[pos:pos + rec_size]
-            pos += rec_size
-        (caddr,) = struct.unpack_from("<Q", b, pos)
-        cnrec = int.from_bytes(b[pos + 8:pos + 8 + nrec_len], "little")
-        if b[caddr:caddr + 4] != b"BTLF":
-            raise ValueError("bad v2 B-tree leaf signature")
-        yield from leaf(caddr + 6, cnrec)
+            cnrec = int.from_bytes(b[pos + 8:pos + 8 + cnsz], "little")
+            yield from walk(caddr, cnrec, d - 1)
+
+        yield from walk(root, root_nrec, depth)
 
     @staticmethod
     def _parse_link(body: bytes) -> tuple[str, int | None]:

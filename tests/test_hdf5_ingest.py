@@ -1082,3 +1082,90 @@ def test_fixed_array_paged_geometries():
         buf = _build_fa_file(blobs, chunk0, page_bits, len(vals))
         f = H5File(buf)
         np.testing.assert_array_equal(f.read("v"), vals), (page_bits, nch)
+
+
+def test_v2btree_depth2_chunk_index():
+    """Depth-2 v2 B-tree chunk index: child-pointer widths follow the
+    spec's per-depth capacity table (nrec enc size + cumulative-total
+    enc size, present only for internal children). Longhand here:
+    node_size=74, rec_size=16 (type 10, rank 1) => leaf max 4 (enc 1),
+    depth-1 max 2 (enc 1, cum 14 -> enc 1); d1->leaf ptr = 9 bytes,
+    d2->d1 ptr = 10 bytes."""
+    import struct
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+    chunk0 = 2
+    nrec_total = 23
+    vals = np.arange(nrec_total * chunk0, dtype="<f8") * 1.5
+    caddrs = [place(vals[i * chunk0:(i + 1) * chunk0].tobytes())
+              for i in range(nrec_total)]
+    recs = [Q(caddrs[i]) + Q(i) for i in range(nrec_total)]  # type 10
+
+    it = iter(recs)
+
+    def leaf(n):
+        body = b"".join(next(it) for _ in range(n))
+        return place(b"BTLF" + bytes([0, 10]) + body + bytes(4)), n
+
+    def d1node(nrec):
+        # nrec records, nrec+1 leaf children of 3 records each
+        kids, parts = [], []
+        for i in range(nrec + 1):
+            kids.append(leaf(3))
+            if i < nrec:
+                parts.append(next(it))
+        body = b""
+        for i in range(nrec):
+            body += Q(kids[i][0]) + bytes([kids[i][1]]) + parts[i]
+        body += Q(kids[nrec][0]) + bytes([kids[nrec][1]])
+        return (place(b"BTIN" + bytes([0, 10]) + body + bytes(4)),
+                nrec, nrec + (nrec + 1) * 3)
+
+    # root: 1 record, 2 depth-1 children with 2 records each
+    c1 = d1node(2)
+    root_rec = next(it)
+    c2 = d1node(2)
+    assert next(it, None) is None
+    body = (Q(c1[0]) + bytes([c1[1]]) + bytes([c1[2]]) + root_rec
+            + Q(c2[0]) + bytes([c2[1]]) + bytes([c2[2]]))
+    root_in = place(b"BTIN" + bytes([0, 10]) + body + bytes(4))
+    bthd = place(b"BTHD" + bytes([0, 10])
+                 + struct.pack("<IHH", 74, 16, 2) + bytes([100, 40])
+                 + Q(root_in) + struct.pack("<H", 1) + Q(nrec_total)
+                 + bytes(4))
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(b_))
+                         + bytes([0]) + b_ for t, b_ in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    dt = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+          + struct.pack("<I", 8) + props)
+    ds = bytes([2, 1, 0, 1]) + Q(len(vals))
+    lay = (bytes([4, 2, 0, 2, 4]) + struct.pack("<II", chunk0, 8)
+           + bytes([5]) + struct.pack("<I", 74) + bytes([100, 40])
+           + Q(bthd))
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+    link = bytes([1, 0, 1]) + b"v" + Q(v_oh)
+    li = bytes([0, 0]) + Q(UNDEF) + Q(UNDEF)
+    root = place(ohdr([(0x0002, li), (0x0006, link)]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    buf = sb + b"".join(alloc)
+
+    f = H5File(buf)
+    # record ORDER matters: the walker must visit leaf/record/leaf in
+    # key order, and the capacity table must size both pointer widths
+    np.testing.assert_array_equal(f.read("v"), vals)
