@@ -842,14 +842,6 @@ def test_appendable_profile_grid_and_distributed(spark, tmp_path):
 
 
 def test_latest_profile_loud_unsupported_paths():
-    # depth-2 v2 B-trees refuse loudly
-    deep = (b"BTHD" + bytes([0, 10]) + struct.pack("<IHH", 512, 32, 2)
-            + bytes([100, 40]) + struct.pack("<Q", 4096)
-            + struct.pack("<H", 1) + struct.pack("<Q", 1) + bytes(4))
-    f = H5File.__new__(H5File)
-    f.buf = deep
-    with pytest.raises(H5Unsupported, match="depth"):
-        list(f._v2btree_leaf_records(0))
     # indirect fractal-heap root blocks refuse loudly
     frhp = (b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 0) + bytes([0])
             + struct.pack("<I", 512) + b"\x00" * 96
