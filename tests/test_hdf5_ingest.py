@@ -848,9 +848,11 @@ def test_latest_profile_loud_unsupported_paths():
             + struct.pack("<H", 4) + struct.pack("<QQ", 512, 4096)
             + struct.pack("<HH", 32, 1) + struct.pack("<Q", 4096)
             + struct.pack("<H", 2) + bytes(4))
+    f = H5File.__new__(H5File)
     f.buf = frhp
     with pytest.raises(H5Unsupported, match="indirect root"):
         f._fractal_heap(0)
+
 
 def _build_ea_file(caddr_data: list[bytes], chunk0: int, idx_elmts: int,
                    min_elmts: int, min_ptrs: int, max_bits: int,
