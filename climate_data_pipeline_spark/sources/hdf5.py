@@ -271,14 +271,37 @@ class H5File:
         (cur_rows,) = struct.unpack_from("<H", b, pos + 30)
         if filter_len:
             raise H5Unsupported("filtered fractal heap not supported")
-        if cur_rows != 0:
-            raise H5Unsupported(
-                "fractal heap with indirect root block not supported "
-                "(group outgrew the starting direct block)")
         off_size = -(-max_heap_bits // 8)
+        if cur_rows == 0:
+            # root IS a single direct block covering [0, start_block)
+            return {"heap_id_len": heap_id_len, "off_size": off_size,
+                    "flags": flags,
+                    "blocks": [(0, start_block, root_block)]}
+        # root is an INDIRECT block: the doubling table says row 0 and
+        # row 1 hold table_width direct blocks of start_block bytes,
+        # row i>=1 holds table_width blocks of start_block·2^(i-1);
+        # rows past the max-direct size would hold child INDIRECT
+        # blocks — loud until a real producer needs multi-level heaps.
+        max_direct_rows = (max_direct.bit_length()
+                           - start_block.bit_length()) + 2
+        if cur_rows > max_direct_rows:
+            raise H5Unsupported(
+                "multi-level fractal heap (indirect blocks below the "
+                "root) not supported")
+        if b[root_block:root_block + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block signature")
+        pos = root_block + 4 + 1 + 8 + off_size
+        blocks, heap_off = [], 0
+        for row in range(cur_rows):
+            size = start_block * (1 << max(row - 1, 0))
+            for _ in range(table_width):
+                (daddr,) = struct.unpack_from("<Q", b, pos)
+                pos += 8
+                if daddr != UNDEF:
+                    blocks.append((heap_off, size, daddr))
+                heap_off += size
         return {"heap_id_len": heap_id_len, "off_size": off_size,
-                "root_block": root_block, "flags": flags,
-                "block_size": start_block}
+                "flags": flags, "blocks": blocks}
 
     def _fheap_object(self, heap: dict, heap_id: bytes) -> bytes:
         """Resolve a managed heap ID → object bytes. ID layout:
@@ -291,17 +314,20 @@ class H5File:
         off_size = heap["off_size"]
         off = int.from_bytes(heap_id[1:1 + off_size], "little")
         length = int.from_bytes(heap_id[1 + off_size:], "little")
-        dblock = heap["root_block"]
         b = self.buf
-        if b[dblock:dblock + 4] != b"FHDB":
-            raise ValueError("bad fractal heap direct block signature")
         # heap offsets address the managed space INCLUDING block
-        # headers; the root direct block starts at heap offset 0, so
-        # the object sits at dblock + offset
-        if off >= heap["block_size"]:
-            raise H5Unsupported(
-                "fractal heap object beyond the root direct block")
-        return b[dblock + off:dblock + off + length]
+        # headers; each direct block covers [block_off, block_off +
+        # size), so the object sits at daddr + (off − block_off)
+        for block_off, size, daddr in heap["blocks"]:
+            if block_off <= off < block_off + size:
+                if b[daddr:daddr + 4] != b"FHDB":
+                    raise ValueError(
+                        "bad fractal heap direct block signature")
+                return b[daddr + off - block_off:
+                         daddr + off - block_off + length]
+        raise ValueError(
+            f"fractal heap offset {off} outside every allocated "
+            "direct block")
 
     @staticmethod
     def _v2btree_node_info(node_size: int, rec_size: int, depth: int):

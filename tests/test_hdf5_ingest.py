@@ -842,16 +842,108 @@ def test_appendable_profile_grid_and_distributed(spark, tmp_path):
 
 
 def test_latest_profile_loud_unsupported_paths():
-    # indirect fractal-heap root blocks refuse loudly
+    # multi-level fractal heaps (indirect blocks BELOW the root — rows
+    # past the max-direct size) refuse loudly; start=512, max=1024
+    # allows 3 direct rows, so cur_rows=4 implies indirect children
     frhp = (b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 0) + bytes([0])
             + struct.pack("<I", 512) + b"\x00" * 96
-            + struct.pack("<H", 4) + struct.pack("<QQ", 512, 4096)
+            + struct.pack("<H", 4) + struct.pack("<QQ", 512, 1024)
             + struct.pack("<HH", 32, 1) + struct.pack("<Q", 4096)
-            + struct.pack("<H", 2) + bytes(4))
+            + struct.pack("<H", 4) + bytes(4))
     f = H5File.__new__(H5File)
     f.buf = frhp
-    with pytest.raises(H5Unsupported, match="indirect root"):
+    with pytest.raises(H5Unsupported, match="multi-level"):
         f._fractal_heap(0)
+
+
+def test_fractal_heap_indirect_root_dense_links():
+    """A dense-link group whose fractal heap outgrew the starting
+    block: the root is an FHIB indirect block whose doubling-table
+    rows (row 0 and 1 at start size, then doubling) point at direct
+    blocks; links resolve across block boundaries."""
+    import struct
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(b_))
+                         + bytes([0]) + b_ for t, b_ in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    # one tiny contiguous dataset; 15 links (v00..v14) all point to it
+    data = np.array([1.5, 2.5], dtype="<f8")
+    daddr = place(data.tobytes())
+    props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    dt = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+          + struct.pack("<I", 8) + props)
+    ds = bytes([2, 1, 0, 1]) + Q(2)
+    lay = bytes([3, 1]) + struct.pack("<QQ", daddr, data.nbytes)
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+
+    names = [f"v{i:02d}" for i in range(15)]
+    links = [bytes([1, 0, len(n)]) + n.encode() + Q(v_oh)
+             for n in names]
+
+    # heap geometry: start block 128, width 2, rows 0+1 => 4 direct
+    # blocks covering heap offsets [0, 512). Pack ~6 links per block.
+    start, width = 128, 2
+    hdr_len = 4 + 1 + 8 + 4
+    blocks, ids = [], []
+    it = iter(links)
+    done = False
+    for blk in range(4):
+        base = blk * start
+        body, local = b"", hdr_len
+        while not done and local + 20 <= start:
+            try:
+                lm = next(it)
+            except StopIteration:
+                done = True
+                break
+            if local + len(lm) > start:
+                break
+            ids.append(bytes([0]) + struct.pack("<I", base + local)
+                       + struct.pack("<H", len(lm)))
+            body += lm
+            local += len(lm)
+        blocks.append(place((b"FHDB" + bytes([0]) + Q(0) + bytes(4)
+                             + body).ljust(start, b"\x00")))
+    assert len(ids) == 15, len(ids)
+
+    fhib = place(b"FHIB" + bytes([0]) + Q(0) + bytes(4)
+                 + b"".join(Q(a) for a in blocks) + bytes(4))
+    nrecs = [struct.pack("<I", i) + hid for i, hid in enumerate(ids)]
+    nlf = place(b"BTLF" + bytes([0, 5]) + b"".join(nrecs) + bytes(4))
+    nhd = place(b"BTHD" + bytes([0, 5])
+                + struct.pack("<IHH", 2048, 11, 0) + bytes([100, 40])
+                + Q(nlf) + struct.pack("<H", len(nrecs)) + Q(len(nrecs))
+                + bytes(4))
+    frhp = place(b"FRHP" + bytes([0])
+                 + struct.pack("<HH", 7, 0) + bytes([0])
+                 + struct.pack("<I", 512) + Q(0) + Q(UNDEF) + Q(0)
+                 + Q(UNDEF) + Q(512) + Q(512) + Q(512)
+                 + Q(len(ids)) + Q(0) + Q(0) + Q(0) + Q(0)
+                 + struct.pack("<H", width) + Q(start) + Q(256)
+                 + struct.pack("<HH", 32, 1) + Q(fhib)
+                 + struct.pack("<H", 2) + bytes(4))
+    li = bytes([0, 0]) + Q(frhp) + Q(nhd)
+    root = place(ohdr([(0x0002, li)]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    f = H5File(sb + b"".join(alloc))
+    assert sorted(f.datasets) == names
+    np.testing.assert_array_equal(f.read("v07"), data)
 
 
 def _build_ea_file(caddr_data: list[bytes], chunk0: int, idx_elmts: int,
