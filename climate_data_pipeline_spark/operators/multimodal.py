@@ -118,7 +118,9 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
 
         def png(text: str, media_id: int) -> bytes:
             raw = (text.encode("utf-8") or b"\x00")
-            ch = 3 if media_id % rgb_every == 0 else 1
+            # rgb_every <= 0 means "all grayscale" (media_id 0 is a
+            # multiple of everything, so no modulus can express that)
+            ch = 3 if rgb_every > 0 and media_id % rgb_every == 0 else 1
             px = np.resize(np.frombuffer(raw, dtype=np.uint8),
                            256 * ch).reshape(16, 16 * ch).astype(np.int32)
             f = media_id % 5
@@ -338,6 +340,120 @@ def decode_media_real(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(_decode, schema=out_schema)
+
+
+def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize — ``factor×factor`` area (box) downsampling
+    over decoded grayscale payloads (PGM or PNG), the standard
+    anti-aliased thumbnail kernel — emitted in LONG form
+    ``(media_id, y, x, value)`` so a value-level oracle checks every
+    output pixel, not a summary. The kernel is one vectorized
+    ``reshape(h/f, f, w/f, f).mean((1, 3))`` per image inside the same
+    Arrow ``mapInPandas`` plan as the decoders; each mean of f²
+    uint8s is an exact multiple of 1/f², so engines agree bit-for-bit.
+    Color/audio payloads raise — resize is an image op."""
+    out_schema = "media_id long, y int, x int, value double"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        import numpy as np
+
+        def gray_pixels(p: bytes) -> np.ndarray:
+            if p[:2] == b"P5":
+                toks, i, ntok = [], 2, 0
+                while ntok < 3 and i < len(p):
+                    while i < len(p) and p[i:i + 1].isspace():
+                        i += 1
+                    if p[i:i + 1] == b"#":
+                        while i < len(p) and p[i:i + 1] != b"\n":
+                            i += 1
+                        continue
+                    j = i
+                    while j < len(p) and not p[j:j + 1].isspace():
+                        j += 1
+                    toks.append(int(p[i:j]))
+                    ntok += 1
+                    i = j
+                i += 1
+                w, h, _ = toks
+                return np.frombuffer(p, np.uint8, w * h, i).reshape(h, w)
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                import struct as st
+                pos, idat = 8, []
+                w = h = ctype = None
+                while pos + 8 <= len(p):
+                    (ln,) = st.unpack_from(">I", p, pos)
+                    typ = p[pos + 4:pos + 8]
+                    if typ == b"IHDR":
+                        w, h = st.unpack_from(">II", p, pos + 8)
+                        ctype = p[pos + 17]
+                    elif typ == b"IDAT":
+                        idat.append(p[pos + 8:pos + 8 + ln])
+                    pos += 12 + ln
+                if ctype != 0:
+                    raise NotImplementedError(
+                        "resize_image_area takes grayscale payloads; "
+                        f"PNG color type {ctype} is not")
+                stream = zlib.decompress(b"".join(idat))
+                out = np.zeros((h, w), dtype=np.int32)
+                for y in range(h):
+                    f = stream[y * (w + 1)]
+                    row = np.frombuffer(stream, np.uint8, w,
+                                        y * (w + 1) + 1).astype(np.int32)
+                    prev = out[y - 1] if y else np.zeros(w, np.int32)
+                    if f == 0:
+                        cur = row
+                    elif f == 2:
+                        cur = (row + prev) & 0xFF
+                    else:
+                        cur = np.zeros(w, np.int32)
+                        for x in range(w):
+                            a = cur[x - 1] if x else 0
+                            bb = prev[x]
+                            if f == 1:
+                                pred = a
+                            elif f == 3:
+                                pred = (a + bb) // 2
+                            else:
+                                c = prev[x - 1] if x else 0
+                                pa, pb, pc = (abs(bb - c), abs(a - c),
+                                              abs(a + bb - 2 * c))
+                                pred = (a if pa <= pb and pa <= pc
+                                        else bb if pb <= pc else c)
+                            cur[x] = (row[x] + pred) & 0xFF
+                    out[y] = cur
+                return out
+            raise NotImplementedError(
+                f"resize_image_area: no grayscale decoder for magic "
+                f"{p[:4]!r}")
+
+        for pdf in batches:
+            ids, ys, xs, vals = [], [], [], []
+            for mid, p in zip(pdf["media_id"].astype("int64"),
+                              pdf["payload"]):
+                px = gray_pixels(bytes(p)).astype(np.float64)
+                h, w = px.shape
+                if h % factor or w % factor:
+                    raise ValueError(
+                        f"image {h}x{w} not divisible by factor {factor}")
+                small = px.reshape(h // factor, factor,
+                                   w // factor, factor).mean((1, 3))
+                oh, ow = small.shape
+                ids.extend([int(mid)] * (oh * ow))
+                yy, xx = np.meshgrid(np.arange(oh), np.arange(ow),
+                                     indexing="ij")
+                ys.extend(yy.ravel())
+                xs.extend(xx.ravel())
+                vals.extend(small.ravel())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "y": pd.Series(ys, dtype="int32"),
+                "x": pd.Series(xs, dtype="int32"),
+                "value": pd.Series(vals, dtype="float64"),
+            })
+
+    return df.mapInPandas(_resize, schema=out_schema)
 
 
 def decode_media(df: DataFrame, real: bool = False) -> DataFrame:

@@ -906,6 +906,51 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "height", "n_channels", "mean_value"))
 
 
+@query("mm_image_resize", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+px AS (
+  SELECT media_id,
+         list_transform(range(256),
+                        i -> bytes[CAST(i % len(bytes) AS INT) + 1]) AS p
+  FROM b
+),
+grid AS (SELECT y, x FROM range(8) t1(y), range(8) t2(x))
+SELECT media_id, CAST(y AS INTEGER) AS y, CAST(x AS INTEGER) AS x,
+       (p[CAST(32*y + 2*x AS INT) + 1]
+        + p[CAST(32*y + 2*x + 1 AS INT) + 1]
+        + p[CAST(32*y + 16 + 2*x AS INT) + 1]
+        + p[CAST(32*y + 16 + 2*x + 1 AS INT) + 1]) / 4.0 AS value
+FROM px, grid
+""")
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through a real container: documents render
+    into grayscale PNGs, decode through zlib + unfiltering, and 2x2
+    AREA-downsample in one vectorized Arrow kernel
+    (`operators/multimodal.resize_image_area`) — emitted long-form so
+    the oracle value-checks EVERY output pixel (each is an exact
+    multiple of 1/4, so engines agree bit-for-bit). The thumbnail /
+    feature-extraction preprocessing shape of a multimodal training
+    pipeline, with the decode and the kernel both on the hook."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_png(docs, "doc_id", "text", rgb_every=0)
+    return MM.resize_image_area(media, factor=2)
+
+
 # Payload bytes re-derived in SQL: the demo payload is the UTF-8
 # encoding of the text (attach_payload), and DuckDB's hex(encode(t))
 # exposes every byte as two hex chars — so byte-level operators

@@ -1448,3 +1448,41 @@ def test_weighted_median_udaf_null_safe(spark):
     got = {r["k"]: r["m"] for r in
            df.groupBy("k").agg(wm("v", "w").alias("m")).collect()}
     assert got["a"] == 1.0 and got["b"] is None
+
+
+def test_resize_image_area_kernel(spark):
+    """2x2 area downsample over PGM and grayscale-PNG payloads matches
+    numpy's box mean exactly; non-image and color payloads are loud."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        resize_image_area, synthesize_media, synthesize_png)
+
+    df = spark.createDataFrame([(0, "a text that becomes pixels")],
+                               "doc_id long, text string")
+    # PGM path (synthesize_media gives even ids PGM)
+    out = resize_image_area(
+        synthesize_media(df, "doc_id", "text")).collect()
+    assert len(out) == 64
+    px = np.resize(np.frombuffer(b"a text that becomes pixels",
+                                 np.uint8), 256).reshape(16, 16)
+    want = px.reshape(8, 2, 8, 2).mean((1, 3))
+    got = {(r["y"], r["x"]): r["value"] for r in out}
+    for y in range(8):
+        for x in range(8):
+            assert got[(y, x)] == want[y, x]
+    # PNG path agrees with the PGM path (same pixels, different container)
+    out2 = resize_image_area(
+        synthesize_png(df, "doc_id", "text", rgb_every=0)).collect()
+    assert {(r["y"], r["x"]): r["value"] for r in out2} == got
+    # color PNG refuses
+    with _pt.raises(Exception, match="grayscale"):
+        resize_image_area(
+            synthesize_png(df, "doc_id", "text", rgb_every=1)).collect()
+    # audio payload refuses
+    df_odd = spark.createDataFrame([(1, "a wav")],
+                                   "doc_id long, text string")
+    with _pt.raises(Exception, match="no grayscale decoder"):
+        resize_image_area(
+            synthesize_media(df_odd, "doc_id", "text")).collect()
