@@ -192,6 +192,74 @@ def fingerprint(df: DataFrame, text_col: str,
     return df.withColumn(alias, F.md5(F.concat_ws(" ", words(text_col))))
 
 
+# winnowing constants: Karp-Rabin base/modulus picked so every
+# intermediate fits int64 exactly in BOTH engines (h < M = 2^31-1,
+# term ≤ 255·M < 2^39, k-term sum < 2^42)
+_WINNOW_B = 257
+_WINNOW_M = (1 << 31) - 1
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Document fingerprinting by WINNOWING (Schleimer, Wilkerson,
+    Aiken — "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003; the MOSS algorithm): Karp-Rabin hashes of the
+    character ``k``-grams of the normalized text, then the RIGHTMOST
+    MINIMUM of every ``w``-window of consecutive hashes is selected —
+    guaranteeing any shared substring of length ≥ k+w−1 contributes at
+    least one IDENTICAL (hash) fingerprint in both documents, while
+    keeping ~2/(w+1) of positions. The local-match primitive under
+    plagiarism / training-data contamination detection, where
+    whole-document hashes (``fingerprint``) and bag-of-shingles
+    (MinHash) both miss copied REGIONS.
+
+    Spark-first shape: positions explode map-side (bounded ×len), the
+    k-gram hash is the CLOSED FORM of the rolling hash — k explicit
+    ``ascii(substring)·Bᵉ mod M`` terms in whole-stage codegen, no
+    Python — and the window minimum rides ONE shuffle on the id. The
+    rightmost-min tie rule is encoded into a single integer key
+    (``hash·2³² + (2³²−1−pos)``) so plain ``min()`` implements it
+    identically in any engine; only COMPLETE windows select (docs
+    shorter than k+w−1 characters yield no fingerprints, pinned).
+
+    Returns distinct ``(id, pos, hash)`` — pos is the 1-based offset
+    of the selected k-gram in the normalized text."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    B, M = _WINNOW_B, _WINNOW_M
+    terms = " + ".join(
+        f"CAST(ascii(substring(__norm, __p + {j}, 1)) AS BIGINT) "
+        f"* {pow(B, k - 1 - j, M)}"
+        for j in range(k))
+    grams = (df.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+         .alias("__norm"))
+        .where(F.length("__norm") >= k + w - 1)
+        .select(id_col, "__norm",
+                F.explode(F.sequence(
+                    F.lit(1), F.length("__norm") - (k - 1)))
+                 .alias("__p"))
+        .select(id_col, F.col("__p"),
+                F.expr(f"({terms}) % {M}").alias("__h")))
+    key = (F.col("__h") * F.lit(1 << 32)
+           + (F.lit((1 << 32) - 1) - F.col("__p")))
+    win = (Window.partitionBy(id_col).orderBy("__p")
+           .rowsBetween(-(w - 1), 0))
+    sel = (grams.select(
+        id_col,
+        F.min(key).over(win).alias("__mk"),
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("__p")).alias("__rn"))
+        .where(F.col("__rn") >= w))
+    return (sel.select(
+        F.col(id_col),
+        (F.lit((1 << 32) - 1) - F.col("__mk") % F.lit(1 << 32))
+        .alias("pos"),
+        F.expr("__mk DIV 4294967296").alias("hash"))
+        .distinct())
+
+
 # ---------------------------------------------------------------------------
 # Oracle-SQL generators (DuckDB dialect) — kept next to the operators so the
 # two definitions evolve together.

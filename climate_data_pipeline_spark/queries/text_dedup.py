@@ -223,6 +223,103 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(docs, "text").select("doc_id", "fingerprint")
 
 
+_WINNOW_K, _WINNOW_W = 12, 8
+_WINNOW_B, _WINNOW_M = 257, (1 << 31) - 1
+
+
+def _winnow_cte(k: int, w: int) -> str:
+    """DuckDB twin of operators/text.winnow_fingerprints: same
+    normalization, the same closed-form Karp-Rabin k-gram hash (BIGINT
+    throughout — ascii() is 32-bit), the same rightmost-min integer
+    key, complete windows only."""
+    terms = " + ".join(
+        f"CAST(ascii(substring(nm, CAST(p + {j} AS INT), 1)) AS BIGINT)"
+        f" * {pow(_WINNOW_B, k - 1 - j, _WINNOW_M)}"
+        for j in range(k))
+    return f"""norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g')
+           AS nm
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, nm,
+         CAST(unnest(generate_series(1, length(nm) - {k - 1})) AS BIGINT)
+           AS p
+  FROM norm
+  WHERE length(nm) >= {k + w - 1}
+),
+grams AS (
+  SELECT doc_id, p,
+         ({terms}) % {_WINNOW_M} AS h
+  FROM pos
+),
+keyed AS (
+  SELECT doc_id,
+         min(h * 4294967296 + (4294967295 - p)) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS mk,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+  FROM grams
+),
+fp AS (
+  SELECT DISTINCT doc_id, 4294967295 - (mk % 4294967296) AS pos,
+         mk // 4294967296 AS hash
+  FROM keyed WHERE rn >= {w}
+)"""
+
+
+_WINNOW_CTE = _winnow_cte(_WINNOW_K, _WINNOW_W)
+
+
+@query("text_winnow_fingerprints", oracle=f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, pos, hash FROM fp
+""".format(_WINNOW_CTE=_WINNOW_CTE))
+def winnow_fingerprints_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (SIGMOD 2003 / MOSS): rightmost-min
+    Karp-Rabin k-gram hashes per w-window — the LOCAL-match
+    fingerprint that whole-document hashes and bag-of-shingles miss.
+    k=12, w=8 pinned (short gram sizes make common English words
+    collide into a near-complete pair graph; 12-char grams carry real
+    local context); the oracle replays the closed-form rolling hash,
+    the integer tie-break key, and the complete-window rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.winnow_fingerprints(docs, "text", "doc_id",
+                                  k=_WINNOW_K, w=_WINNOW_W)
+
+
+@query("text_winnow_overlap", oracle=f"""
+WITH {_WINNOW_CTE},
+sel AS (SELECT DISTINCT doc_id, hash FROM fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM sel a JOIN sel b ON a.hash = b.hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""".format(_WINNOW_CTE=_WINNOW_CTE))
+def winnow_overlap_documents(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Shared-fingerprint document pairs — winnowing's contamination /
+    plagiarism readout: any shared run of >= k+w-1 normalized
+    characters plants at least one IDENTICAL fingerprint in both
+    documents, so pairs with n_shared >= 3 share real local content.
+    Scale shape: distinct (doc, hash) -> equi self-join on hash (a
+    uniform 31-bit key) -> pair count; candidates track true hash
+    collisions, never doc x doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.winnow_fingerprints(docs, "text", "doc_id",
+                                k=_WINNOW_K, w=_WINNOW_W)
+    sel = fp.select("doc_id", "hash").distinct()
+    a = sel.select(F.col("doc_id").alias("doc_a"), "hash")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "hash")
+    return (a.join(b, "hash")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_shared"))
+             .where(F.col("n_shared") >= 3))
+
+
 # --- dedup -------------------------------------------------------------------
 
 @query("dedup_exact", oracle=f"""

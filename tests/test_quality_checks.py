@@ -65,3 +65,43 @@ def test_run_checks_rejects_duplicate_names(spark):
     with _pt.raises(ValueError, match="duplicate check name"):
         Q.run_checks(_dirty(spark), [Q.in_range("v", -90, 60),
                                      Q.in_range("v", 0, 50)])
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """The winnowing GUARANTEE (SIGMOD 2003): any shared substring of
+    >= k+w-1 normalized characters plants at least one identical
+    fingerprint hash in both documents. Plus: rightmost-min tie rule
+    (selection is deterministic), and too-short docs yield nothing."""
+    from climate_data_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 12, 8
+    shared = "a quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(1, "PREFIX one two three " + shared + " SUFFIX alpha"),
+         (2, "completely different opening words " + shared),
+         (3, "no common content here at all whatsoever in this"),
+         (4, "tiny")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(df, "text", "doc_id", k=k, w=w)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["hash"])
+    # guarantee: docs 1 and 2 share the long substring -> >= 1 shared hash
+    assert by_doc[1] & by_doc[2]
+    # doc 3 shares no >= k+w-1 run with 1 or 2 beyond chance
+    assert not (by_doc[3] & by_doc[1]) and not (by_doc[3] & by_doc[2])
+    # a doc shorter than k+w-1 normalized chars yields NO fingerprints
+    assert 4 not in by_doc
+    # determinism: same input -> identical selected (pos, hash) set
+    again = {(r["doc_id"], r["pos"], r["hash"])
+             for r in winnow_fingerprints(df, "text", "doc_id",
+                                          k=k, w=w).collect()}
+    assert again == {(r["doc_id"], r["pos"], r["hash"]) for r in rows}
+    # density: winnowing keeps ~2/(w+1) of positions, never all of them
+    n_positions = len("".join(c for c in
+                              ("prefixonetwothree" + shared + "suffixalpha")
+                              if c.isalnum())) - k + 1
+    assert 0 < len(by_doc[1]) < n_positions
