@@ -24,7 +24,7 @@ Scale design (the point of each algorithm):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, words
@@ -770,6 +770,64 @@ def blocked_entity_clusters(df: DataFrame, id_col: str, name_col: str,
     return pairs.groupBy(*block_cols).applyInPandas(
         _components,
         schema=f"id {id_type}, cluster_id {id_type}, is_canonical boolean")
+
+
+def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                    min_len: int = 20) -> DataFrame:
+    """EXACT duplicated-substring spans at ``min_len``-gram
+    granularity — the primitive under suffix-array training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public): every position whose ``min_len``
+    normalized characters occur MORE THAN ONCE in the corpus
+    (cross-document or self-repeat) is flagged, and flagged positions
+    merge into maximal per-document spans. Returns
+    ``(id, span_start, span_end, n_grams)`` with 1-based inclusive
+    character offsets into the normalized text — the cut list an
+    exact-substring dedup pass removes.
+
+    Spark-first shape (a distributed suffix array is the wrong tool on
+    an engine with shuffles): positions explode MAP-SIDE (×len, no
+    key), each gram keys on ``md5(substring)`` — uniform by
+    construction, so ONE skew-free shuffle counts occurrences; a
+    semi-join keeps duplicated positions; interval merging is the
+    classic lag/cummax island walk INSIDE the per-document window
+    partitioning (one more shuffle on the id). Nothing is ever
+    corpus × corpus; every stage is linear in total characters."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    grams = (df.select(F.col(id_col), norm.alias("__norm"))
+               .where(F.length("__norm") >= min_len)
+               .select(id_col, "__norm",
+                       F.explode(F.sequence(
+                           F.lit(1),
+                           F.length("__norm") - (min_len - 1)))
+                       .alias("__p"))
+               .select(id_col, "__p",
+                       F.md5(F.expr(
+                           f"substring(__norm, __p, {int(min_len)})"))
+                       .alias("__h")))
+    dup = (grams.groupBy("__h")
+                .agg(F.count("*").alias("__n"))
+                .where(F.col("__n") > 1)
+                .select("__h"))
+    hits = grams.join(dup, "__h", "left_semi").select(id_col, "__p")
+    w = Window.partitionBy(id_col).orderBy("__p")
+    ends = F.col("__p") + (min_len - 1)
+    # island when this gram does not overlap/extend the running span
+    prev_max_end = F.max(ends).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (prev_max_end.isNull()
+                  | (F.col("__p") > prev_max_end + 1)).cast("int")
+    islands = (hits.withColumn("__isl",
+                               F.sum(new_island).over(
+                                   w.rowsBetween(
+                                       Window.unboundedPreceding, 0))))
+    return (islands.groupBy(id_col, "__isl")
+                   .agg(F.min("__p").alias("span_start"),
+                        F.max(ends).alias("span_end"),
+                        F.count("*").alias("n_grams"))
+                   .select(F.col(id_col),
+                           F.col("span_start").cast("long"),
+                           F.col("span_end").cast("long"), "n_grams"))
 
 
 def segment_dedup(df: DataFrame, text_col: str, id_col: str,

@@ -320,6 +320,47 @@ def winnow_overlap_documents(spark: SparkSession,
              .where(F.col("n_shared") >= 3))
 
 
+@query("text_duplicate_spans", oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g')
+           AS nm
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, nm,
+         CAST(unnest(generate_series(1, length(nm) - 19)) AS BIGINT) AS p
+  FROM norm WHERE length(nm) >= 20
+),
+grams AS (
+  SELECT doc_id, p, md5(substring(nm, CAST(p AS INT), 20)) AS h
+  FROM pos
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+hits AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN pme IS NULL OR p > pme + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM (SELECT doc_id, p,
+               MAX(p + 19) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM hits)
+)
+SELECT doc_id, MIN(p) AS span_start, MAX(p + 19) AS span_end,
+       COUNT(*) AS n_grams
+FROM isl GROUP BY doc_id, grp
+""")
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans at 20-gram granularity (the
+    Lee et al. 2022 exact-substring dedup primitive) — every maximal
+    per-document run of normalized characters whose 20-grams occur
+    more than once corpus-wide. One skew-free md5-keyed shuffle + a
+    semi-join + a per-doc island walk; never corpus x corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, "text", "doc_id", min_len=20)
+
+
 # --- dedup -------------------------------------------------------------------
 
 @query("dedup_exact", oracle=f"""

@@ -105,3 +105,33 @@ def test_winnowing_guarantee_and_edges(spark):
                               ("prefixonetwothree" + shared + "suffixalpha")
                               if c.isalnum())) - k + 1
     assert 0 < len(by_doc[1]) < n_positions
+
+
+def test_duplicate_spans_exactness(spark):
+    """duplicate_spans pins exact semantics: a 20+-char run shared by
+    two docs is flagged in BOTH with correct 1-based offsets; adjacent
+    flagged grams merge into one maximal span; unique docs are absent;
+    self-repeats within one document count."""
+    from climate_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    shared = "thisexactrunoftext repeats in both documents verbatim"
+    df = spark.createDataFrame(
+        [(1, "AAA " + shared + " tail one"),
+         (2, "opening words differ " + shared + " zzz"),
+         (3, "entirely unique content with no repeats whatsoever."),
+         (4, "selfrepeatselfrepeatselfrepeatselfrepeat xx")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(df, "text", "doc_id", min_len=20).collect()}
+    # normalized doc1 = "aaa" + norm(shared) + "tailone"
+    norm_shared = "".join(c for c in shared if c.isalnum())
+    assert 1 in out and 2 in out and 3 not in out
+    s1 = out[1]
+    assert s1["span_start"] == 4                  # right after "aaa"
+    assert s1["span_end"] == 3 + len(norm_shared)
+    s2 = out[2]
+    assert (s2["span_end"] - s2["span_start"] + 1) == len(norm_shared)
+    # doc 4: "selfrepeat" x4 -> 20-grams repeat WITHIN the doc
+    assert 4 in out and out[4]["n_grams"] >= 1
