@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, words
+from .text import _spread, fingerprint, words  # noqa: F401  (_spread re-exported: long-time import site)
 
 # 64 permutations / 16 bands of 4: estimator std sqrt(J(1-J))/8 ≈ 0.06
 # at J=0.5 — production-grade threshold resolution. (The registry's
@@ -51,56 +51,6 @@ def _affine_coeffs(num_perm: int, seed: str = "cdps-mh") -> list[tuple[int, int]
     return [(h32(f"{seed}:a:{i}") % (_MERSENNE_P - 1) + 1,
              h32(f"{seed}:b:{i}") % _MERSENNE_P)
             for i in range(num_perm)]
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Rebalance a DataFrame whose scan yields fewer partitions than the
-    cluster has slots — the case for small/compacted inputs (a single
-    parquet row group scans as ONE task, serializing the CPU-heavy
-    tokenize/explode that follows; measured 13× on the sf0.1
-    contamination scan). The shuffle moves only raw rows (tiny next to
-    the shingle explosion downstream) and doubles as doc-length skew
-    balancing; when the source already has enough splits — the 100 TB
-    case — it is a no-op.
-
-    The split estimate comes from ``inputFiles()`` + file sizes — a
-    driver-side metadata peek (the file index is already materialized by
-    the scan). NOT ``df.rdd.getNumPartitions()``: converting the plan to
-    an RDD costs seconds per query build. Non-file or remote sources
-    fall through untouched (conservative: never add a shuffle we can't
-    size)."""
-    import os
-    import re
-    from urllib.parse import urlparse
-
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        files = df.inputFiles()
-        if not files:
-            return df
-        raw = df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728b")
-        # the conf surfaces with a size suffix ("4m", "128MB",
-        # "134217728b") — parse it as Spark does; a bare-digit strip
-        # would read "4m" as 4 BYTES and silently no-op the rebalance
-        mm = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?",
-                          str(raw).strip().lower())
-        if not mm:
-            return df
-        mpb = int(mm.group(1)) * (1024 ** " kmgtp".index(mm.group(2) or " "))
-        splits = 0
-        for f in files:
-            p = urlparse(f)
-            if p.scheme not in ("", "file"):
-                return df
-            size = os.path.getsize(p.path)
-            splits += max(1, -(-size // mpb))
-            if splits >= target:
-                return df
-    except OSError:
-        return df
-    return df.repartition(target)
 
 
 def shingles_from_words(w: Column, n: int = 3) -> Column:
@@ -794,7 +744,7 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     partitioning (one more shuffle on the id). Nothing is ever
     corpus × corpus; every stage is linear in total characters."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    grams = (df.select(F.col(id_col), norm.alias("__norm"))
+    grams = (_spread(df).select(F.col(id_col), norm.alias("__norm"))
                .where(F.length("__norm") >= min_len)
                .select(id_col, "__norm",
                        F.explode(F.sequence(

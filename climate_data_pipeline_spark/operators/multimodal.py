@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text import _spread
+
 MEDIA_SCHEMA = "media_id long, media_type string, payload binary, n_bytes long"
 
 
@@ -90,7 +92,7 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                                      dtype="int64"),
             })
 
-    return (df.select(F.col(id_col), F.col(text_col))
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
               .mapInPandas(_synth, schema=out_schema))
 
 
@@ -167,7 +169,7 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
                                      dtype="int64"),
             })
 
-    return (df.select(F.col(id_col), F.col(text_col))
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
               .mapInPandas(_synth, schema=out_schema))
 
 

@@ -37,6 +37,56 @@ ENGLISH_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
                      "it", "that", "this", "for", "on", "with", "as", "at")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a DataFrame whose scan yields fewer partitions than the
+    cluster has slots — the case for small/compacted inputs (a single
+    parquet row group scans as ONE task, serializing the CPU-heavy
+    tokenize/explode that follows; measured 13× on the sf0.1
+    contamination scan). The shuffle moves only raw rows (tiny next to
+    the shingle explosion downstream) and doubles as doc-length skew
+    balancing; when the source already has enough splits — the 100 TB
+    case — it is a no-op.
+
+    The split estimate comes from ``inputFiles()`` + file sizes — a
+    driver-side metadata peek (the file index is already materialized by
+    the scan). NOT ``df.rdd.getNumPartitions()``: converting the plan to
+    an RDD costs seconds per query build. Non-file or remote sources
+    fall through untouched (conservative: never add a shuffle we can't
+    size)."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files:
+            return df
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b")
+        # the conf surfaces with a size suffix ("4m", "128MB",
+        # "134217728b") — parse it as Spark does; a bare-digit strip
+        # would read "4m" as 4 BYTES and silently no-op the rebalance
+        mm = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?",
+                          str(raw).strip().lower())
+        if not mm:
+            return df
+        mpb = int(mm.group(1)) * (1024 ** " kmgtp".index(mm.group(2) or " "))
+        splits = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return df
+            size = os.path.getsize(p.path)
+            splits += max(1, -(-size // mpb))
+            if splits >= target:
+                return df
+    except OSError:
+        return df
+    return df.repartition(target)
+
+
 def words(text: Column | str) -> Column:
     """Lowercased word array (split on non-alphanumerics, empties dropped)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -231,7 +281,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
         f"CAST(ascii(substring(__norm, __p + {j}, 1)) AS BIGINT) "
         f"* {pow(B, k - 1 - j, M)}"
         for j in range(k))
-    grams = (df.select(
+    grams = (_spread(df).select(
         F.col(id_col),
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
          .alias("__norm"))
