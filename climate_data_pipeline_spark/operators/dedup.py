@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import _spread, fingerprint, words  # noqa: F401  (_spread re-exported: long-time import site)
+from .text import _spread, fingerprint, words
 
 # 64 permutations / 16 bands of 4: estimator std sqrt(J(1-J))/8 ≈ 0.06
 # at J=0.5 — production-grade threshold resolution. (The registry's
@@ -755,11 +755,15 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                        F.md5(F.expr(
                            f"substring(__norm, __p, {int(min_len)})"))
                        .alias("__h")))
-    dup = (grams.groupBy("__h")
-                .agg(F.count("*").alias("__n"))
-                .where(F.col("__n") > 1)
-                .select("__h"))
-    hits = grams.join(dup, "__h", "left_semi").select(id_col, "__p")
+    # duplicated-position flagging via a count window over the gram
+    # hash — ONE shuffle on __h and ONE scan of the explode+md5 stage
+    # (a groupBy + semi-join back reads the dominant linear stage
+    # twice: the two exchange children prune different columns, so
+    # ReuseExchange can't unify them)
+    hits = (grams.withColumn(
+        "__n", F.count("*").over(Window.partitionBy("__h")))
+        .where(F.col("__n") > 1)
+        .select(id_col, "__p"))
     w = Window.partitionBy(id_col).orderBy("__p")
     ends = F.col("__p") + (min_len - 1)
     # island when this gram does not overlap/extend the running span

@@ -384,12 +384,14 @@ def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
                 import struct as st
                 pos, idat = 8, []
                 w = h = ctype = None
+                depth = interlace = None
                 while pos + 8 <= len(p):
                     (ln,) = st.unpack_from(">I", p, pos)
                     typ = p[pos + 4:pos + 8]
                     if typ == b"IHDR":
                         w, h = st.unpack_from(">II", p, pos + 8)
-                        ctype = p[pos + 17]
+                        depth, ctype = p[pos + 16], p[pos + 17]
+                        interlace = p[pos + 20]
                     elif typ == b"IDAT":
                         idat.append(p[pos + 8:pos + 8 + ln])
                     pos += 12 + ln
@@ -397,6 +399,12 @@ def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
                     raise NotImplementedError(
                         "resize_image_area takes grayscale payloads; "
                         f"PNG color type {ctype} is not")
+                if depth != 8 or interlace:
+                    # same guards as decode_png — assuming 1 byte/px
+                    # on 16-bit or Adam7 data would resize garbage
+                    raise NotImplementedError(
+                        f"PNG bit depth {depth} / interlace "
+                        f"{interlace} not supported")
                 stream = zlib.decompress(b"".join(idat))
                 out = np.zeros((h, w), dtype=np.int32)
                 for y in range(h):

@@ -664,10 +664,11 @@ def seed_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     # lambda built.
     qid = id_col.replace("`", "``")
     qvec = vec_col.replace("`", "``")
+    qseed = seed.replace("'", "''")             # SQL string literal
     twin_transform = F.expr(
         f"transform(`{qvec}`, (x, j) -> CAST(CAST(x AS DOUBLE) * "
-        f"({1.0!r}D + {eps!r}D * (CASE WHEN CAST(conv(substring(md5("
-        f"concat_ws(':', '{seed}', CAST(`{qid}` AS STRING), "
+        f"({1.0!r}D + {float(eps)!r}D * (CASE WHEN CAST(conv(substring("
+        f"md5(concat_ws(':', '{qseed}', CAST(`{qid}` AS STRING), "
         f"CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 "
         f"THEN {1.0!r}D ELSE {-1.0!r}D END)) AS FLOAT))")
 

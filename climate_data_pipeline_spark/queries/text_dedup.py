@@ -275,7 +275,7 @@ _WINNOW_CTE = _winnow_cte(_WINNOW_K, _WINNOW_W)
 @query("text_winnow_fingerprints", oracle=f"""
 WITH {_WINNOW_CTE}
 SELECT doc_id, pos, hash FROM fp
-""".format(_WINNOW_CTE=_WINNOW_CTE))
+""")
 def winnow_fingerprints_documents(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (SIGMOD 2003 / MOSS): rightmost-min
@@ -297,7 +297,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
 FROM sel a JOIN sel b ON a.hash = b.hash AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 3
-""".format(_WINNOW_CTE=_WINNOW_CTE))
+""")
 def winnow_overlap_documents(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Shared-fingerprint document pairs — winnowing's contamination /
@@ -310,14 +310,22 @@ def winnow_overlap_documents(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     fp = TX.winnow_fingerprints(docs, "text", "doc_id",
                                 k=_WINNOW_K, w=_WINNOW_W)
-    sel = fp.select("doc_id", "hash").distinct()
-    a = sel.select(F.col("doc_id").alias("doc_a"), "hash")
-    b = sel.select(F.col("doc_id").alias("doc_b"), "hash")
-    return (a.join(b, "hash")
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("n_shared"))
-             .where(F.col("n_shared") >= 3))
+    # ONE scan of the fingerprint stream (a self-join reads it twice):
+    # per-hash sorted doc set, map-side ordered-pair explode — the
+    # source_overlap_matrix shape; pair volume tracks true collisions
+    sets = (fp.groupBy("hash")
+              .agg(F.array_sort(F.collect_set("doc_id")).alias("__ds"))
+              .where(F.size("__ds") >= 2))
+    pairs = F.flatten(F.transform(
+        F.slice(F.col("__ds"), 1, F.size("__ds") - 1),
+        lambda a, i: F.transform(
+            F.slice(F.col("__ds"), i + 2, F.size("__ds")),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+    return (sets.select(F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.a").alias("doc_a"),
+                         F.col("p.b").alias("doc_b"))
+                .agg(F.count("*").alias("n_shared"))
+                .where(F.col("n_shared") >= 3))
 
 
 @query("text_duplicate_spans", oracle="""

@@ -331,31 +331,34 @@ class H5File:
 
     @staticmethod
     def _v2btree_node_info(node_size: int, rec_size: int, depth: int):
-        """Per-depth (max records, nrec-field size, cumulative-total
-        size) table, exactly the header math libhdf5 derives the
-        child-pointer widths from: a child pointer to a depth-d node
-        is address(8) + #records (enc size of that depth's max) +
-        total #records below (enc size of the cumulative max; present
-        only for d >= 1). enc(x) = floor(log2 x)/8 + 1 bytes."""
+        """Per-depth (max records, cumulative-total enc size) table
+        plus the tree-wide #records field width, the header math
+        libhdf5 derives child-pointer widths from: every child pointer
+        is address(8) + #records (enc of the LEAF capacity — one width
+        for the whole tree, H5B2's max_nrec_size) + total #records
+        below (enc of the child depth's cumulative max; present only
+        for internal children). enc(x) = floor(log2 x)/8 + 1 bytes."""
         def enc(x: int) -> int:
             return (max(x, 1).bit_length() - 1) // 8 + 1
 
-        info = []                               # index = depth
         leaf_max = (node_size - 10) // rec_size
-        info.append((leaf_max, enc(leaf_max), enc(leaf_max)))
+        nrec_len = enc(leaf_max)
+        info = [(leaf_max, enc(leaf_max))]      # index = depth
         cum = leaf_max
         for d in range(1, depth + 1):
-            cmax, cnsz, ccum = info[d - 1]
-            ptr = 8 + cnsz + (ccum if d - 1 > 0 else 0)
+            _, ccum = info[d - 1]
+            ptr = 8 + nrec_len + (ccum if d - 1 > 0 else 0)
             imax = (node_size - (10 + ptr)) // (rec_size + ptr)
             cum = imax + (imax + 1) * cum
-            info.append((imax, enc(imax), enc(cum)))
-        return info
+            info.append((imax, enc(cum)))
+        return info, nrec_len
 
     def _v2btree_leaf_records(self, addr: int):
         """Yield a v2 B-tree's raw records in key order, any depth —
         the generic walk shared by the chunk indexes and the
-        dense-link/attribute name indexes."""
+        dense-link/attribute name indexes. Internal nodes store ALL
+        records first, then the child pointers (spec III.A.2 /
+        H5B2cache deserialization order — NOT interleaved)."""
         b = self.buf
         if b[addr:addr + 4] != b"BTHD":
             raise ValueError("bad v2 B-tree header signature")
@@ -365,7 +368,8 @@ class H5File:
         (root, root_nrec) = struct.unpack_from("<QH", b, addr + 16)
         if root == UNDEF:
             return
-        info = self._v2btree_node_info(node_size, rec_size, depth)
+        info, nrec_len = self._v2btree_node_info(node_size, rec_size,
+                                                 depth)
 
         def walk(naddr: int, nrec: int, d: int):
             if d == 0:
@@ -377,20 +381,22 @@ class H5File:
                 return
             if b[naddr:naddr + 4] != b"BTIN":
                 raise ValueError("bad v2 B-tree internal node signature")
-            _, cnsz, ccum = info[d - 1]
-            ptr = 8 + cnsz + (ccum if d - 1 > 0 else 0)
-            pos = naddr + 6
-            for _ in range(nrec):
-                (caddr,) = struct.unpack_from("<Q", b, pos)
-                cnrec = int.from_bytes(b[pos + 8:pos + 8 + cnsz],
+            _, ccum = info[d - 1]
+            ptr = 8 + nrec_len + (ccum if d - 1 > 0 else 0)
+            rec_pos = naddr + 6
+            ptr_pos = rec_pos + nrec * rec_size
+            children = []
+            for i in range(nrec + 1):
+                p = ptr_pos + i * ptr
+                (caddr,) = struct.unpack_from("<Q", b, p)
+                cnrec = int.from_bytes(b[p + 8:p + 8 + nrec_len],
                                        "little")
-                yield from walk(caddr, cnrec, d - 1)
-                pos += ptr
-                yield b[pos:pos + rec_size]
-                pos += rec_size
-            (caddr,) = struct.unpack_from("<Q", b, pos)
-            cnrec = int.from_bytes(b[pos + 8:pos + 8 + cnsz], "little")
-            yield from walk(caddr, cnrec, d - 1)
+                children.append((caddr, cnrec))
+            for i in range(nrec):
+                yield from walk(*children[i], d - 1)
+                yield b[rec_pos + i * rec_size:
+                        rec_pos + (i + 1) * rec_size]
+            yield from walk(*children[nrec], d - 1)
 
         yield from walk(root, root_nrec, depth)
 

@@ -449,6 +449,11 @@ def _v3_to_v2_meta(node: dict) -> dict:
     (decoded by `_decode_shard`). Unsupported v3 codecs (transpose,
     nested sharding, ...) raise with a clear message."""
     endian, compressor, shard = _v3_codec_chain(node.get("codecs"))
+    if shard is not None:
+        # a sharded array's byte order comes from the INNER chain's
+        # bytes codec (the outer chain is just the sharding codec) —
+        # using the outer default silently byte-swaps big-endian data
+        endian = shard["endian"]
     dt = _V3_DTYPES.get(node["data_type"])
     if dt is None:
         raise NotImplementedError(

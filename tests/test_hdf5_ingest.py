@@ -1204,25 +1204,28 @@ def test_v2btree_depth2_chunk_index():
         return place(b"BTLF" + bytes([0, 10]) + body + bytes(4)), n
 
     def d1node(nrec):
-        # nrec records, nrec+1 leaf children of 3 records each
+        # nrec records, nrec+1 leaf children of 3 records each —
+        # internal layout per spec: ALL records first, THEN the child
+        # pointers (addr + nrec, width = enc(leaf capacity) = 1)
         kids, parts = [], []
         for i in range(nrec + 1):
             kids.append(leaf(3))
             if i < nrec:
                 parts.append(next(it))
-        body = b""
-        for i in range(nrec):
-            body += Q(kids[i][0]) + bytes([kids[i][1]]) + parts[i]
-        body += Q(kids[nrec][0]) + bytes([kids[nrec][1]])
+        body = b"".join(parts)
+        for a, n in kids:
+            body += Q(a) + bytes([n])
         return (place(b"BTIN" + bytes([0, 10]) + body + bytes(4)),
                 nrec, nrec + (nrec + 1) * 3)
 
-    # root: 1 record, 2 depth-1 children with 2 records each
+    # root: 1 record, 2 depth-1 children with 2 records each; child
+    # pointers carry (addr, nrec(1 byte), total-below(1 byte))
     c1 = d1node(2)
     root_rec = next(it)
     c2 = d1node(2)
     assert next(it, None) is None
-    body = (Q(c1[0]) + bytes([c1[1]]) + bytes([c1[2]]) + root_rec
+    body = (root_rec
+            + Q(c1[0]) + bytes([c1[1]]) + bytes([c1[2]])
             + Q(c2[0]) + bytes([c2[1]]) + bytes([c2[2]]))
     root_in = place(b"BTIN" + bytes([0, 10]) + body + bytes(4))
     bthd = place(b"BTHD" + bytes([0, 10])

@@ -693,3 +693,48 @@ def test_crc32c_known_vectors():
     assert zarr2.crc32c(b"") == 0
     assert zarr2.crc32c(b"123456789") == 0xE3069283
     assert zarr2.crc32c(bytes(32)) == 0x8A9136AA
+
+
+def test_v3_sharded_big_endian_inner_chain(tmp_path):
+    """Regression: a sharded array's byte order comes from the INNER
+    codec chain — reading it with the outer default silently
+    byte-swapped every value."""
+    import json as _json
+    import struct as _st
+
+    arr = np.arange(16, dtype=">f8").reshape(4, 4)
+    path = str(tmp_path / "be_sharded")
+    os.makedirs(path + "/v/c")
+    _json.dump({"zarr_format": 3, "node_type": "group"},
+               open(path + "/zarr.json", "w"))
+    _json.dump({
+        "zarr_format": 3, "node_type": "array", "shape": [4, 4],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [4, 4]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [2, 2],
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "big"}}],
+            "index_codecs": [{"name": "bytes",
+                              "configuration": {"endian": "little"}},
+                             {"name": "crc32c"}],
+            "index_location": "end"}}],
+    }, open(path + "/v/zarr.json", "w"))
+    blobs, index, off = [], [], 0
+    for iy in range(2):
+        for ix in range(2):
+            blob = arr[iy * 2:iy * 2 + 2, ix * 2:ix * 2 + 2].tobytes()
+            blobs.append(blob)
+            index.append((off, len(blob)))
+            off += len(blob)
+    idx_raw = b"".join(_st.pack("<QQ", o, n) for o, n in index)
+    os.makedirs(path + "/v/c/0", exist_ok=True)
+    open(path + "/v/c/0/0", "wb").write(
+        b"".join(blobs) + idx_raw + _st.pack("<I", zarr2.crc32c(idx_raw)))
+    meta = zarr2.open_zarr_store(path)
+    back = zarr2.read_zarr_array(path, "v", meta["v"])
+    assert np.array_equal(back, arr.astype("<f8"))
