@@ -61,6 +61,9 @@ HEADLINE = [
     "corpus_source_overlap",  # single-shuffle shingle→source-set pair matrix
     "text_gopher_rules",      # 7-rule integer-arithmetic filter, shuffle-free
     "dsir_importance_weights", # hashed-bigram likelihood ratios, 2 scans
+    "text_winnow_fingerprints", # rolling-hash winnowing, 1 window shuffle
+    "text_duplicate_spans",   # exact dup-substring spans, 1 md5 shuffle
+    "mm_image_resize",        # PNG decode + area pool, Arrow kernel
 ]
 
 # Heavy-by-design queries benched separately (fewer iterations) so their
@@ -75,6 +78,7 @@ OFF_HEADLINE = [
     "dedup_clusters",          # exact-Jaccard ground-truth clustering
     "dedup_minhash_eval",      # brute-force recall evaluator
     "dedup_semantic_eval",     # low-threshold exploratory evaluator
+    "text_winnow_overlap",     # shared-fingerprint pair matrix
 ]
 
 
