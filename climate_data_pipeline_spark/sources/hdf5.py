@@ -14,10 +14,11 @@ is fully implemented here. The 1.10+ "latest" profile (h5py with
 v2/v3, 'OHDR' v2 object headers with 'OCHK' continuations, compact
 LINK-message groups, layout-v4 chunk indexes (Single Chunk, Implicit,
 Fixed Array, Extensible Array for appendable unlimited-dimension
-datasets, v2 B-tree), and dense link AND attribute storage (fractal
-heap + name v2 B-trees). Features beyond that (compound types, szip,
-paged/indirect heap & array shapes, ...) raise a crisp
-``NotImplementedError`` naming the feature.
+datasets, v2 B-tree), dense link AND attribute storage (fractal
+heap + name v2 B-trees), and compound datatypes (numpy structured
+arrays; one long-model variable per member). Features beyond that
+(szip, multi-level fractal heaps, array-valued compound members, ...)
+raise a crisp ``NotImplementedError`` naming the feature.
 
 Reader semantics (the netCDF-4 data model):
 - dimension order per variable from the ``DIMENSION_LIST`` attribute
@@ -548,12 +549,58 @@ class H5File:
             return ({"kind": "string", "size": size}, 8)
         if cls == 7:                          # reference
             return ({"kind": "reference", "size": size}, 8)
+        if cls == 6:                          # compound (spec IV.A.2.d)
+            nmembers = bits[0] | (bits[1] << 8)
+            fields, p = [], pos + 8
+            for _ in range(nmembers):
+                if version == 3:
+                    # v3: bare NUL-terminated name, then a byte offset
+                    # sized to the minimum bytes that hold the compound
+                    # size, then the member datatype
+                    end = body.index(0, p)
+                    name = body[p:end].decode()
+                    p = end + 1
+                    osz = max(1, ((size - 1).bit_length() + 7) // 8)
+                    off = int.from_bytes(body[p:p + osz], "little")
+                    p += osz
+                elif version in (1, 2):
+                    # v1/v2: name NUL-terminated, padded to 8; 4-byte
+                    # offset; v1 additionally carries dimensionality/
+                    # permutation/reserved/dims (unsupported unless 0)
+                    end = body.index(0, p)
+                    name = body[p:end].decode()
+                    p += ((end - p) // 8 + 1) * 8
+                    (off,) = struct.unpack_from("<I", body, p)
+                    p += 4
+                    if version == 1:
+                        ndims = body[p]
+                        if ndims:
+                            raise H5Unsupported(
+                                "array-valued compound member (v1 "
+                                "dimensionality) not supported")
+                        p += 1 + 3 + 4 + 4 + 16
+                else:
+                    raise H5Unsupported(
+                        f"compound datatype version {version}")
+                member, used = H5File._parse_datatype(body, p)
+                if member.get("dtype") is None:
+                    raise H5Unsupported(
+                        f"compound member {name!r} of kind "
+                        f"{member['kind']!r} not supported")
+                p += used
+                fields.append((name, off, member["dtype"]))
+            dt = np.dtype({"names": [f[0] for f in fields],
+                           "formats": [f[2] for f in fields],
+                           "offsets": [f[1] for f in fields],
+                           "itemsize": size})
+            return ({"kind": "compound", "size": size, "dtype": dt},
+                    p - pos)
         if cls == 9:                          # variable length
             vtype = bits[0] & 0x0F
             base, used = H5File._parse_datatype(body, pos + 8)
             return ({"kind": "vlen_string" if vtype == 1 else "vlen",
                      "size": size, "base": base}, 8 + used)
-        names = {2: "time", 4: "bitfield", 5: "opaque", 6: "compound",
+        names = {2: "time", 4: "bitfield", 5: "opaque",
                  8: "enum", 10: "array"}
         raise H5Unsupported(
             f"HDF5 datatype class {cls} ({names.get(cls, '?')}) not "
@@ -1188,8 +1235,11 @@ def hdf5_to_grid(buf: bytes, variables=None, time_range=None):
     f = H5File(buf)
     dim_like = {n for n, d in f.datasets.items() if _is_dim_scale(d)}
     if not dim_like:           # plain HDF5: 1-D datasets act as coords
+        # ... except compound-typed ones (a struct per row is an
+        # observation record, never a coordinate axis)
         dim_like = {n for n, d in f.datasets.items()
-                    if len(d.shape) == 1}
+                    if len(d.shape) == 1
+                    and not (d.dtype is not None and d.dtype.names)}
     data_names = [n for n, d in f.datasets.items()
                   if n not in dim_like and d.shape]
     if variables:
@@ -1217,7 +1267,15 @@ def hdf5_to_grid(buf: bytes, variables=None, time_range=None):
     arrays = {}
     for n in data_names:
         a = f.datasets[n].attrs
-        arrays[n] = _mask_and_scale(f.read(n), a.get("_FillValue"),
+        raw = f.read(n)
+        if raw.dtype.names:
+            # compound dataset → one long-model variable per member
+            # ("name_member"); CF packing attrs don't apply to
+            # compound types (netCDF-4 forbids the combination)
+            for m in raw.dtype.names:
+                arrays[f"{n}_{m}"] = np.ascontiguousarray(raw[m])
+            continue
+        arrays[n] = _mask_and_scale(raw, a.get("_FillValue"),
                                     a.get("scale_factor"),
                                     a.get("add_offset"))
 

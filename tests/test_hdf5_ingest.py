@@ -1258,3 +1258,78 @@ def test_v2btree_depth2_chunk_index():
     # record ORDER matters: the walker must visit leaf/record/leaf in
     # key order, and the capacity table must size both pointer widths
     np.testing.assert_array_equal(f.read("v"), vals)
+
+
+def test_compound_datatype_read_and_grid_split():
+    """Compound (class 6) datasets — the station-observation shape —
+    read as numpy structured arrays (v3 member encoding, explicit
+    offsets with padding gaps honored) and split into one long-model
+    variable per member in hdf5_to_grid."""
+    import struct
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(b_))
+                         + bytes([0]) + b_ for t, b_ in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    # itemsize 16: temp <f8 @0, count <i4 @12 (bytes 8-11 are padding)
+    obs = np.zeros(6, dtype={"names": ["temp", "count"],
+                             "formats": ["<f8", "<i4"],
+                             "offsets": [0, 12], "itemsize": 16})
+    obs["temp"] = np.arange(6) * 1.5 + 280.0
+    obs["count"] = np.arange(6) * 7
+    daddr = place(obs.tobytes())
+
+    f8props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    member_f8 = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+                 + struct.pack("<I", 8) + f8props)
+    member_i4 = (bytes([0x00 | (1 << 4), 0x08, 0, 0])
+                 + struct.pack("<I", 4) + struct.pack("<HH", 0, 32))
+    dt = (bytes([0x06 | (3 << 4), 2, 0, 0]) + struct.pack("<I", 16)
+          + b"temp\x00" + bytes([0]) + member_f8
+          + b"count\x00" + bytes([12]) + member_i4)
+    ds = bytes([2, 1, 0, 1]) + Q(6)
+    lay = bytes([3, 1]) + struct.pack("<QQ", daddr, obs.nbytes)
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+
+    t = np.arange(6, dtype="<f8")
+    taddr = place(t.tobytes())
+    tdt = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+           + struct.pack("<I", 8) + f8props)
+    t_oh = place(ohdr([(0x0001, bytes([2, 1, 0, 1]) + Q(6)),
+                       (0x0003, tdt),
+                       (0x0008, bytes([3, 1])
+                        + struct.pack("<QQ", taddr, t.nbytes))]))
+
+    li = bytes([0, 0]) + Q(UNDEF) + Q(UNDEF)
+    links = (bytes([1, 0, 3]) + b"obs" + Q(v_oh)
+             , bytes([1, 0, 4]) + b"time" + Q(t_oh))
+    root = place(ohdr([(0x0002, li)]
+                      + [(0x0006, lk) for lk in links]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    buf = sb + b"".join(alloc)
+
+    f = H5File(buf)
+    got = f.read("obs")
+    assert got.dtype.names == ("temp", "count")
+    np.testing.assert_array_equal(got["temp"], obs["temp"])
+    np.testing.assert_array_equal(got["count"], obs["count"])
+
+    coords, arrays, dim_order, dims = hdf5.hdf5_to_grid(buf)
+    assert set(arrays) == {"obs_temp", "obs_count"}
+    np.testing.assert_array_equal(arrays["obs_temp"], obs["temp"])
+    np.testing.assert_array_equal(arrays["obs_count"], obs["count"])
