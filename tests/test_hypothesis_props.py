@@ -369,3 +369,49 @@ def test_safetensors_roundtrip_fuzz(tmp_path_factory, n, d, dtype, bf16):
         np.testing.assert_array_equal(out, want)
     else:
         np.testing.assert_array_equal(out, arr)
+
+
+def test_winnowing_matches_numpy_reference(spark):
+    """Third derivation: a direct numpy transcription of the SIGMOD
+    2003 algorithm (rolling windows over k-gram hashes, rightmost
+    minimum per window, dedup) must select EXACTLY the engine's
+    (pos, hash) set on random texts — including repeated substrings,
+    unicode, and window-boundary ties."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.text import (
+        _WINNOW_B, _WINNOW_M, winnow_fingerprints)
+
+    k, w = 5, 4
+    rng = np.random.default_rng(23)
+    vocab = ["the", "cat", "sat", "mat", "aaaa", "ab", "Ü", "9"]
+    rows = []
+    for i in range(25):
+        n = int(rng.integers(1, 40))
+        rows.append((i, " ".join(rng.choice(vocab, n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"], r["hash"]) for r in
+           winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()}
+
+    want = set()
+    for i, text in rows:
+        # engine normalization is [^a-z0-9] on the LOWERED text —
+        # non-ascii letters are stripped; replicate exactly
+        import re
+        nm = re.sub("[^a-z0-9]", "", text.lower())
+        if len(nm) < k + w - 1:
+            continue
+        hashes = []
+        for p in range(len(nm) - k + 1):
+            h = 0
+            for j in range(k):
+                h += ord(nm[p + j]) * pow(_WINNOW_B, k - 1 - j, _WINNOW_M)
+            hashes.append(h % _WINNOW_M)
+        for e in range(w - 1, len(hashes)):
+            window = hashes[e - w + 1:e + 1]
+            m = min(window)
+            # rightmost minimum
+            q = e - (w - 1) + max(idx for idx, v in enumerate(window)
+                                  if v == m)
+            want.add((i, q + 1, hashes[q]))       # engine pos is 1-based
+    assert got == want
