@@ -404,3 +404,64 @@ def streaming_lm_gate(spark: SparkSession, sf_dir: str, target_dir: str,
     return (stream.writeStream.foreachBatch(gate)
             .option("checkpointLocation", target_dir + "_chk")
             .start())
+
+
+def streaming_winnow_contamination(spark: SparkSession, sf_dir: str,
+                                   target_dir: str, k: int = 12,
+                                   w: int = 8,
+                                   min_shared: int = 3) -> "object":
+    """Local-match contamination screening on an ingest stream: the
+    standing corpus (doc_id % 5 != 0) is winnow-fingerprinted ONCE
+    (`operators/text.winnow_fingerprints` — the MOSS rolling-hash
+    selection) and cached; every arriving micro-batch (doc_id % 5 == 0
+    plays the stream) is fingerprinted by the SAME batch operator and
+    joined on fingerprint hash against the store. A batch document
+    sharing >= ``min_shared`` distinct fingerprints with any corpus
+    document is flagged with its best-matching corpus doc — catching
+    COPIED REGIONS that whole-document hashes and bag-of-shingles
+    both miss (eval-set paragraphs pasted into training pages).
+
+    Stream and batch share one code path, so decisions are
+    micro-batch-boundary invariant by construction (each document's
+    flags depend only on the static store and its own text). State
+    lives in the fingerprint store — bounded by corpus size, never by
+    stream length; at 100 TB the store is a bucketed parquet table
+    and the per-batch probe is the same equi-join.
+
+    Returns the started StreamingQuery (caller drives/stops it)."""
+    from ..operators.text import winnow_fingerprints
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .where(F.col("doc_id") % 5 == 0))
+    corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .where(F.col("doc_id") % 5 != 0))
+    store = (winnow_fingerprints(corpus, "text", "doc_id", k=k, w=w)
+             .select(F.col("doc_id").alias("corpus_doc"), "hash")
+             .distinct().cache())
+    store.count()                      # materialize once, not per trigger
+
+    def screen(batch_df, batch_id):
+        fp = (winnow_fingerprints(batch_df, "text", "doc_id", k=k, w=w)
+              .select("doc_id", "hash").distinct())
+        hits = (fp.join(store, "hash")
+                  .groupBy("doc_id", "corpus_doc")
+                  .agg(F.count("*").alias("n_shared"))
+                  .where(F.col("n_shared") >= min_shared))
+        best = hits.groupBy("doc_id").agg(
+            F.max(F.struct("n_shared", "corpus_doc")).alias("b"))
+        out = (batch_df.select("doc_id")
+               .join(best, "doc_id", "left")
+               .select("doc_id",
+                       F.col("b.corpus_doc").alias("matched_corpus_doc"),
+                       F.coalesce(F.col("b.n_shared"), F.lit(0))
+                        .cast("long").alias("n_shared"),
+                       F.col("b.n_shared").isNotNull()
+                        .alias("contaminated")))
+        out.write.mode("append").parquet(target_dir)
+
+    return (stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", target_dir + "_chk")
+            .start())

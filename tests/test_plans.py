@@ -457,3 +457,53 @@ def test_dsl_nfc_normalize_verb(spark, sf_dir):
     assert out.columns == ["doc_id", "text"]     # in-place, no extras
     rows = out.collect()
     assert all(r["text"].endswith(" café") for r in rows)
+
+
+def test_streaming_winnow_contamination_matches_batch(spark, sf_dir):
+    """The winnowing contamination screen's stream twin: one micro-batch
+    must be byte-equal to composing the batch operator directly, every
+    arriving doc gets a decision row, and at least one planted
+    contamination is caught (even-id docs share text with odd-id dups
+    in the synthetic corpus, or we plant one)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.operators.text import (
+        winnow_fingerprints)
+    from climate_data_pipeline_spark.streaming.rollup import (
+        streaming_winnow_contamination)
+
+    target = tempfile.mkdtemp() + "/contam"
+    q = streaming_winnow_contamination(spark, sf_dir, target)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = (winnow_fingerprints(corpus, "text", "doc_id", k=12, w=8)
+             .select(F.col("doc_id").alias("corpus_doc"), "hash")
+             .distinct())
+    fp = (winnow_fingerprints(batch, "text", "doc_id", k=12, w=8)
+          .select("doc_id", "hash").distinct())
+    hits = (fp.join(store, "hash")
+              .groupBy("doc_id", "corpus_doc")
+              .agg(F.count("*").alias("n_shared"))
+              .where(F.col("n_shared") >= 3))
+    best = hits.groupBy("doc_id").agg(
+        F.max(F.struct("n_shared", "corpus_doc")).alias("b"))
+    want = sorted(map(tuple, batch.select("doc_id")
+                  .join(best, "doc_id", "left")
+                  .select("doc_id",
+                          F.col("b.corpus_doc").alias("matched_corpus_doc"),
+                          F.coalesce(F.col("b.n_shared"), F.lit(0))
+                           .cast("long").alias("n_shared"),
+                          F.col("b.n_shared").isNotNull()
+                           .alias("contaminated")).collect()))
+    assert got == want
+    # every arriving doc got a decision row
+    assert len(got) == batch.count()
