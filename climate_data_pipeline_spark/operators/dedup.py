@@ -335,38 +335,31 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # immediately) a whole round's scheduling.
     labels = (edges.groupBy("u").agg(F.min("v").alias("label"))
                    .select(F.col("u").alias("id"), "label")
-                   .localCheckpoint(eager=False))
-    prev_fp = labels.agg(
-        F.count("*"),
-        F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
+                   .localCheckpoint())
     converged = False
     for _rnd in range(1, max_rounds + 1):
-        # LAZY checkpoint + always-on fingerprint probe: the probe —
-        # a one-row (count, order-independent hash sum) agg — is the
-        # action that materializes the checkpoint, so each round is
-        # ONE Spark job (eager checkpoint + a separate probe job
-        # doubles the per-round scheduling cost, which dominates on
-        # converged/small label sets). Only a repeated fingerprint
-        # pays the exact changed-label join, so that shuffle runs
-        # once per clustering; a fingerprint collision merely wastes
-        # one exact check — it can never cause an early exit.
+        # LAZY checkpoint + EXACT convergence probe fused into one
+        # action per round: the propagated labels join back to the
+        # previous round's (same node set, inner join) and a single
+        # one-row aggregate counts changed labels — the action that
+        # materializes the checkpoint IS the convergence check, so a
+        # round is ONE Spark job and the exit test is exact (no
+        # fingerprint, nothing probabilistic). The old-labels side of
+        # the probe join is the skinny (id, label) table — at any
+        # scale it is dominated by the edges join the round already
+        # pays.
         new = (edges.join(labels.withColumnRenamed("id", "v"), "v")
                     .groupBy("u").agg(F.min("label").alias("label"))
                     .select(F.col("u").alias("id"), "label")
                     .localCheckpoint(eager=False))
-        fp = new.agg(F.count("*"),
-                     F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))).first()
-        if fp == prev_fp:
-            changed = (new.alias("n")
-                          .join(labels.alias("o"), "id")
-                          .where(F.col("n.label") != F.col("o.label"))
-                          .count())
-            if changed == 0:
-                labels = new
-                converged = True
-                break
-        prev_fp = fp
+        changed = (new.alias("n")
+                      .join(labels.alias("o"), "id")
+                      .agg(F.sum((F.col("n.label") != F.col("o.label"))
+                                 .cast("long"))).first()[0] or 0)
         labels = new
+        if changed == 0:
+            converged = True
+            break
     if not converged:
         # returning part-propagated labels would be a plausible-looking
         # WRONG clustering (multiple canonicals per component) with no
