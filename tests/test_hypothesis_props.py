@@ -415,3 +415,67 @@ def test_winnowing_matches_numpy_reference(spark):
                                   if v == m)
             want.add((i, q + 1, hashes[q]))       # engine pos is 1-based
     assert got == want
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    """duplicate_spans vs a direct transcription: flag every position
+    whose 20-gram occurs more than once corpus-wide, merge
+    overlapping/adjacent flagged intervals per doc — on random corpora
+    with planted shared runs, self-repeats, and near-boundary lengths,
+    the (id, start, end, n_grams) sets must be identical."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    L = 20
+    rng = np.random.default_rng(31)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    shared = "a planted duplicated run of text long enough to flag"
+    rows = []
+    for i in range(20):
+        n = int(rng.integers(0, 12))
+        body = " ".join(rng.choice(words, n))
+        if i % 4 == 0:
+            body += " " + shared
+        if i % 7 == 0:
+            body += " selfrepselfrepselfrepselfrep"
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+           for r in duplicate_spans(df, "text", "doc_id",
+                                    min_len=L).collect()}
+
+    # reference: md5 over normalized L-grams, global counts, merge
+    counts: dict = {}
+    grams: dict = {}
+    for i, text in rows:
+        nm = re.sub("[^a-z0-9]", "", text.lower())
+        g = []
+        for p in range(max(0, len(nm) - L + 1)):
+            h = hashlib.md5(nm[p:p + L].encode()).hexdigest()
+            g.append((p + 1, h))
+            counts[h] = counts.get(h, 0) + 1
+        grams[i] = g
+    want = set()
+    for i, g in grams.items():
+        flagged = [p for p, h in g if counts[h] > 1]
+        if not flagged:
+            continue
+        start = prev_end = None
+        n = 0
+        for p in flagged:
+            if start is None:
+                start, prev_end, n = p, p + L - 1, 1
+            elif p <= prev_end + 1:
+                prev_end = max(prev_end, p + L - 1)
+                n += 1
+            else:
+                want.add((i, start, prev_end, n))
+                start, prev_end, n = p, p + L - 1, 1
+        want.add((i, start, prev_end, n))
+    assert got == want and any(r for r in want)
