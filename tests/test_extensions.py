@@ -1486,3 +1486,32 @@ def test_resize_image_area_kernel(spark):
     with _pt.raises(Exception, match="no grayscale decoder"):
         resize_image_area(
             synthesize_media(df_odd, "doc_id", "text")).collect()
+
+
+def test_png_codec_fuzz_roundtrip(spark):
+    """Fuzz the PNG encode/decode pair: random unicode-heavy texts of
+    many lengths through both channel layouts must reproduce the exact
+    cycled-byte pixel mean (every scanline filter exercised via the
+    id % 5 cycling across 15 ids)."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_png)
+
+    rng = np.random.default_rng(41)
+    pool = "abcXYZ 019 ü é 漢字 🙂 \n\t-_.!"
+    rows = [(i, "".join(rng.choice(list(pool),
+                                   size=int(rng.integers(0, 120)))))
+            for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["media_id"]: r for r in
+           decode_media_real(synthesize_png(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        ch = 3 if i % 3 == 0 else 1
+        raw = text.encode("utf-8") or b"\x00"
+        px = np.resize(np.frombuffer(raw, np.uint8), 256 * ch)
+        got = out[i]
+        assert got["n_channels"] == ch
+        assert abs(got["mean_value"] - float(px.mean())) < 1e-9, \
+            (i, i % 5, text[:20])

@@ -601,7 +601,7 @@ def test_v3_info_and_unsupported_codecs(tmp_path, v3_store):
 
 # ---- zarr v3 sharding_indexed ------------------------------------------------
 
-@pytest.mark.parametrize("codec", ["zstd", "none"])
+@pytest.mark.parametrize("codec", ["zstd", "gzip", "blosc", "none"])
 def test_v3_sharded_roundtrip(tmp_path, codec):
     """sharding_indexed: outer grid addresses shard objects, each
     holding inner chunks + the (offset, nbytes) index + CRC-32C. Edge
