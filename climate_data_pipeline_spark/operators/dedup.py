@@ -731,10 +731,12 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     Spark-first shape (a distributed suffix array is the wrong tool on
     an engine with shuffles): positions explode MAP-SIDE (×len, no
     key), each gram keys on ``md5(substring)`` — uniform by
-    construction, so ONE skew-free shuffle counts occurrences; a
-    semi-join keeps duplicated positions; interval merging is the
-    classic lag/cummax island walk INSIDE the per-document window
-    partitioning (one more shuffle on the id). Nothing is ever
+    construction, so ONE skew-free shuffle; duplicated positions are
+    flagged by a count window over the gram hash (one scan of the
+    dominant explode+md5 stage — the groupBy + semi-join-back
+    alternative reads it twice, see the inline note); interval merging
+    is the classic lag/cummax island walk INSIDE the per-document
+    window partitioning (one more shuffle on the id). Nothing is ever
     corpus × corpus; every stage is linear in total characters."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     grams = (_spread(df).select(F.col(id_col), norm.alias("__norm"))

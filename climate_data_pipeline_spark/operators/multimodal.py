@@ -292,10 +292,16 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                 else:
                     raise ValueError(f"bad PNG filter type {f}")
                 out[y] = cur
+            # mean_value is the mean over COLOR samples only: for
+            # gray+alpha (type 4) and RGBA (6) the alpha plane is
+            # coverage, not intensity — folding it in would shift the
+            # mean of any real-world transparent PNG
+            px = out.reshape(h, w, ch)
+            color = px[:, :, :ch - 1] if ctype in (4, 6) else px
             return {"kind": "image", "width": int(w), "height": int(h),
                     "n_channels": ch, "sample_rate": None,
                     "n_samples": None,
-                    "mean_value": float(out.mean())}
+                    "mean_value": float(color.mean())}
 
         def decode_wav(p: bytes) -> dict:
             with wave.open(io.BytesIO(p), "rb") as f:

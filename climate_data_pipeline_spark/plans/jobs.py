@@ -513,14 +513,17 @@ def append_lsh_index(batch, path: str, id_col: str = "vec_id",
 
     prog = _Progress(progress, time_limit)
     try:
+        prog.step("counting")
+        # Count BEFORE the append: a soft time-limit or failure after
+        # the write has committed must not hand the caller a 'failed'
+        # dict they would retry into a double-append.
+        n = batch.count()
         prog.step("hashing")
         b = lsh_buckets(batch, id_col, vec_col, n_planes, seed=seed,
                         dim=dim)
         prog.step("appending")
         (b.repartition(F.col("bucket"))
           .write.mode("append").partitionBy("bucket").parquet(path))
-        prog.step("counting")
-        n = batch.count()
     except Exception as exc:
         return _failed(exc, path=path, steps=prog.steps)
     return {"status": "completed", "path": path,

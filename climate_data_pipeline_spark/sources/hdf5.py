@@ -555,12 +555,14 @@ class H5File:
             for _ in range(nmembers):
                 if version == 3:
                     # v3: bare NUL-terminated name, then a byte offset
-                    # sized to the minimum bytes that hold the compound
-                    # size, then the member datatype
+                    # sized by libhdf5's H5VM_limit_enc_size — the bytes
+                    # needed to encode the compound SIZE itself, not
+                    # size-1 (they differ exactly at size == 256**k: a
+                    # 256-byte compound carries 2-byte member offsets)
                     end = body.index(0, p)
                     name = body[p:end].decode()
                     p = end + 1
-                    osz = max(1, ((size - 1).bit_length() + 7) // 8)
+                    osz = (size.bit_length() - 1) // 8 + 1
                     off = int.from_bytes(body[p:p + osz], "little")
                     p += osz
                 elif version in (1, 2):

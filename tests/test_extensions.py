@@ -1515,3 +1515,57 @@ def test_png_codec_fuzz_roundtrip(spark):
         assert got["n_channels"] == ch
         assert abs(got["mean_value"] - float(px.mean())) < 1e-9, \
             (i, i % 5, text[:20])
+
+
+def test_png_alpha_channel_excluded_from_mean(spark):
+    """Gray+alpha (color type 4) and RGBA (6) PNGs: mean_value is the
+    mean over COLOR samples only — the alpha plane is coverage, not
+    intensity. Hand-assembled payloads with alpha planes that would
+    shift the mean dramatically if folded in."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    def png(px: np.ndarray, ctype: int) -> bytes:
+        h, w, ch = px.shape
+        # filter types cycle 0/2 so the unfilter pass is exercised too
+        lines = []
+        for y in range(h):
+            row = px[y].reshape(-1).astype(np.int32)
+            if y % 2:
+                prev = px[y - 1].reshape(-1).astype(np.int32)
+                lines.append(b"\x02"
+                             + ((row - prev) & 0xFF).astype(np.uint8)
+                             .tobytes())
+            else:
+                lines.append(b"\x00" + row.astype(np.uint8).tobytes())
+        ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(7)
+    ga = rng.integers(0, 256, (4, 4, 2), dtype=np.uint8)
+    ga[:, :, 1] = 255                      # opaque alpha, gray varies
+    rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+    rgba[:, :, 3] = 0                      # fully transparent alpha
+    rows = [(0, "image", len(png(ga, 4)), bytearray(png(ga, 4))),
+            (1, "image", len(png(rgba, 6)), bytearray(png(rgba, 6)))]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, n_bytes long, "
+              "payload binary")
+    got = {r["media_id"]: r for r in decode_media_real(df).collect()}
+    assert got[0]["n_channels"] == 2
+    assert abs(got[0]["mean_value"]
+               - float(ga[:, :, :1].mean())) < 1e-9
+    assert got[1]["n_channels"] == 4
+    assert abs(got[1]["mean_value"]
+               - float(rgba[:, :, :3].mean())) < 1e-9

@@ -1333,3 +1333,67 @@ def test_compound_datatype_read_and_grid_split():
     assert set(arrays) == {"obs_temp", "obs_count"}
     np.testing.assert_array_equal(arrays["obs_temp"], obs["temp"])
     np.testing.assert_array_equal(arrays["obs_count"], obs["count"])
+
+
+def test_compound_256_byte_offsets_are_two_bytes():
+    """A compound of exactly 256 bytes (32 float64 members — a realistic
+    station-obs record) carries TWO-byte v3 member offsets: libhdf5's
+    H5VM_limit_enc_size counts the bytes needed to encode the compound
+    SIZE itself, not size-1. A size-1-based reader parses these offsets
+    as 1 byte and silently misaligns every member after the first."""
+    import struct
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(b_))
+                         + bytes([0]) + b_ for t, b_ in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    nmem, nrow = 32, 5
+    names = [f"m{i:02d}" for i in range(nmem)]
+    rec = np.zeros(nrow, dtype={"names": names,
+                                "formats": ["<f8"] * nmem,
+                                "offsets": [8 * i for i in range(nmem)],
+                                "itemsize": 256})
+    rng = np.random.default_rng(42)
+    for i, n in enumerate(names):
+        rec[n] = rng.normal(280.0 + i, 3.0, nrow)
+    daddr = place(rec.tobytes())
+
+    f8props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    member_f8 = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+                 + struct.pack("<I", 8) + f8props)
+    body = b""
+    for i, n in enumerate(names):
+        # 2-byte little-endian offset: the field under test
+        body += n.encode() + b"\x00" + struct.pack("<H", 8 * i) + member_f8
+    dt = (bytes([0x06 | (3 << 4), nmem & 0xFF, nmem >> 8, 0])
+          + struct.pack("<I", 256) + body)
+    ds = bytes([2, 1, 0, 1]) + Q(nrow)
+    lay = bytes([3, 1]) + struct.pack("<QQ", daddr, rec.nbytes)
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+
+    li = bytes([0, 0]) + Q(UNDEF) + Q(UNDEF)
+    link = bytes([1, 0, 3]) + b"obs" + Q(v_oh)
+    root = place(ohdr([(0x0002, li), (0x0006, link)]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    buf = sb + b"".join(alloc)
+
+    got = H5File(buf).read("obs")
+    assert got.dtype.names == tuple(names)
+    assert got.dtype.itemsize == 256
+    for n in names:
+        np.testing.assert_array_equal(got[n], rec[n])

@@ -242,7 +242,9 @@ def test_append_and_query_lsh_index_progress_protocol(spark, sf_small,
     m = append_lsh_index(batch, idx, n_planes=6, dim=64,
                          progress=lambda st, step, el: steps.append(step))
     assert m["status"] == "completed" and m["rows_appended"] == 5
-    assert steps == m["steps"] == ["hashing", "appending", "counting"]
+    # counting FIRST: a failure after the write commits must not hand
+    # the caller a retryable 'failed' that double-appends the batch
+    assert steps == m["steps"] == ["counting", "hashing", "appending"]
     # soft limit → failed dict, no partial append visible in the result
     m = append_lsh_index(batch, idx, n_planes=6, dim=64, time_limit=-1.0)
     assert m["status"] == "failed" and m["steps"] == []
