@@ -1,0 +1,561 @@
+"""Baseline JPEG (ITU-T T.81) codec — pure python + numpy, no external
+media libraries, closing the last real-image-codec seam in
+``decode_media_real`` (PGM/PPM/PNG/WAV landed earlier; JPEG was a loud
+``NotImplementedError``).
+
+Scope: baseline DCT, 8-bit, Huffman (SOF0) — the profile virtually every
+camera/web JPEG uses — grayscale and YCbCr at 4:4:4 / 4:2:0, restart
+markers. Progressive (SOF2), arithmetic coding, 12-bit and hierarchical
+modes raise loudly: real seams, not silent wrong pixels.
+
+Everything here is written against the public spec (ITU-T T.81 / ISO
+10918-1): the zigzag order and quantization/Huffman example tables are
+Annex K, the entropy coding is F.1.2/F.2.2, the DCT is A.3.3. The test
+suite pins the canonical-code construction with a hand-assembled golden
+bitstream (known Annex-K codewords) plus encode/decode property sweeps —
+the same spec-fixture pattern as the netcdf3/hdf5/zarr/safetensors
+codecs in ``sources/``.
+
+The encoder exists so the decoder can be exercised against genuinely
+compressed containers (``synthesize_jpeg`` → ``decode_media_real``)
+without shipping binary fixtures; it is a real, general baseline
+encoder (any 8-bit gray/RGB image, any quality), mirrored after the
+``synthesize_png`` pattern in ``multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 zigzag: index in scan order -> flat (row*8+col) position
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 / K.2 example quantization tables (luminance, chrominance)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K.3 example Huffman tables: (BITS[1..16], HUFFVAL)
+HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8-point DCT-II basis per T.81 A.3.3: S = T @ s @ T.T, s = T.T @ S @ T."""
+    n = np.arange(8)
+    T = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0)
+    T[0] *= 1.0 / np.sqrt(2.0)
+    return T
+
+
+_T = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """Symbol -> (code, length) per the canonical construction of C.2."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[huffval[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-at-a-time reader."""
+    return {(ln, c): sym
+            for sym, (c, ln) in _canonical_codes(bits, huffval).items()}
+
+
+def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality scaling: 5000/q below 50, 200-2q above."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing (F.1.2.3)
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def byte_align(self) -> None:
+        if self._n:
+            self.write(0x7F, 8 - self._n)  # pad with 1-bits (B.2.5)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(SSSS category, appended bits) per F.1.2.1.2 / F.1.4."""
+    if v == 0:
+        return 0, 0
+    ssss = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << ssss) - 1
+    return ssss, bits
+
+
+def _encode_block(w: _BitWriter, coef_zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one zigzagged, quantized block; returns new DC pred."""
+    dc = int(coef_zz[0])
+    ssss, bits = _magnitude(dc - pred)
+    code, ln = dc_codes[ssss]
+    w.write(code, ln)
+    if ssss:
+        w.write(bits, ssss)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]      # ZRL
+            w.write(code, ln)
+            run -= 16
+        ssss, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | ssss]
+        w.write(code, ln)
+        w.write(bits, ssss)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]          # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _fdct_quant(plane: np.ndarray, by: int, bx: int,
+                q: np.ndarray) -> np.ndarray:
+    blk = plane[8 * by:8 * by + 8, 8 * bx:8 * bx + 8].astype(np.float64)
+    coef = _T @ (blk - 128.0) @ _T.T
+    # round-half-up symmetric with the decoder's final pixel rounding
+    return np.floor(coef / q + 0.5).astype(np.int64).reshape(-1)[ZIGZAG]
+
+
+def _pad_to_block(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg_baseline(px: np.ndarray, quality: int = 75,
+                         subsampling: str = "444",
+                         restart_interval: int = 0,
+                         quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+                         ) -> bytes:
+    """Encode an 8-bit image — (h, w) grayscale or (h, w, 3) RGB — as a
+    baseline JFIF JPEG with the Annex-K Huffman tables. ``subsampling``
+    is ``"444"`` or ``"420"`` (ignored for grayscale);
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs;
+    ``quant_tables`` overrides the quality-scaled Annex-K tables with
+    explicit (luma, chroma) 8×8 arrays."""
+    px = np.asarray(px)
+    if px.dtype != np.uint8:
+        raise ValueError("encode_jpeg_baseline wants uint8 pixels")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = px.shape[:2]
+
+    if quant_tables is not None:
+        qL, qC = (np.asarray(t, dtype=np.int64) for t in quant_tables)
+    else:
+        qL = scaled_quant(QUANT_LUMA, quality)
+        qC = scaled_quant(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "420":
+            pcb = _pad_to_block(cb, 2)
+            pcr = _pad_to_block(cr, 2)
+            cb = pcb.reshape(pcb.shape[0] // 2, 2,
+                             pcb.shape[1] // 2, 2).mean((1, 3))
+            cr = pcr.reshape(pcr.shape[0] // 2, 2,
+                             pcr.shape[1] // 2, 2).mean((1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "422":
+            pcb = _pad_to_block(cb, 2) if cb.shape[1] % 2 else cb
+            pcr = _pad_to_block(cr, 2) if cr.shape[1] % 2 else cr
+            cb = pcb.reshape(pcb.shape[0], pcb.shape[1] // 2, 2).mean(2)
+            cr = pcr.reshape(pcr.shape[0], pcr.shape[1] // 2, 2).mean(2)
+            samp = [(2, 1), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    planes = [np.clip(np.floor(p + 0.5), 0, 255) for p in planes]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # pad every component to its own block multiple within the MCU grid
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                    mode="edge")
+        padded.append(pp)
+
+    dcL = _canonical_codes(*HUFF_DC_LUMA)
+    acL = _canonical_codes(*HUFF_AC_LUMA)
+    dcC = _canonical_codes(*HUFF_DC_CHROMA)
+    acC = _canonical_codes(*HUFF_AC_CHROMA)
+    dc_codes = [dcL] + [dcC] * (len(planes) - 1)
+    ac_codes = [acL] + [acC] * (len(planes) - 1)
+    qtabs = [qL, qC]
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.byte_align()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for dy in range(sv):
+                    for dx in range(sh):
+                        zz = _fdct_quant(p, my * sv + dy, mx * sh + dx,
+                                         qtabs[qsel[ci]])
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci], dc_codes[ci], ac_codes[ci])
+            mcu_i += 1
+    bw.byte_align()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qtabs[:1 if gray else 2]):
+        out += seg(0xDB, bytes([tq])
+                   + bytes(int(v) for v in q.reshape(-1)[ZIGZAG]))
+    comps = b"".join(
+        bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+        for ci, (sh, sv) in enumerate(samp))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, len(planes)) + comps)
+    hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        hts += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tc_th, (bits, vals) in hts:
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    scomps = b"".join(bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+                      for ci in range(len(planes)))
+    out += seg(0xDA, bytes([len(planes)]) + scomps + b"\x00\x3F\x00")
+    out += bw.out
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise _MarkerHit(self.pos)
+            else:
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self._n = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, pos: int) -> None:
+        self.pos = pos
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, ssss: int) -> int:
+    """EXTEND (F.2.2.1): map magnitude bits back to a signed value."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def decode_jpeg_baseline(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w) grayscale or (h, w, 3) RGB uint8.
+    Supports the profile ``encode_jpeg_baseline`` writes plus the common
+    wild variants: any Huffman tables (read from DHT, not assumed),
+    multiple DQT/DHT segments, DRI/RSTn, 4:4:4 and 4:2:0 (and 4:2:2)
+    sampling, APPn/COM skipped. Progressive / arithmetic / 12-bit
+    raise ``NotImplementedError`` loudly."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_at = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        m = data[pos + 1]
+        if m == 0xD9:                                   # EOI
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + ln]
+        if m == 0xDB:                                   # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, np.int64)
+                tbl[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif m == 0xC4:                                 # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif m == 0xC0 or m == 0xC1:                    # SOF0/1 (Huffman seq.)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{m:02X}: progressive/"
+                "arithmetic/hierarchical)")
+        elif m == 0xDD:                                 # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:                                 # SOS
+            ns = body[0]
+            for s in range(ns):
+                cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
+            scan_at = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_at is None or not comps:
+        raise ValueError("no SOS/SOF in JPEG stream")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["plane"] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                              np.float64)
+        c["pred"] = 0
+
+    br = _BitReader(data, scan_at)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align and consume the RST marker (E.2.4)
+                br.align()
+                while data[br.pos] == 0xFF and data[br.pos + 1] == 0x00:
+                    br.pos += 2   # stray stuffed fill before align
+                if (data[br.pos] == 0xFF
+                        and 0xD0 <= data[br.pos + 1] <= 0xD7):
+                    br.pos += 2
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                dct = huff[(0, c["td"])]
+                act = huff[(1, c["ta"])]
+                q = qt[c["tq"]]
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        ssss = _read_symbol(br, dct)
+                        diff = _extend(br.bits(ssss), ssss)
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:      # ZRL
+                                    k += 16
+                                    continue
+                                break            # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
+                        blk = _T.T @ coef.reshape(8, 8) @ _T + 128.0
+                        by, bx = my * c["v"] + dy, mx * c["h"] + dx
+                        c["plane"][8 * by:8 * by + 8,
+                                   8 * bx:8 * bx + 8] = blk
+            mcu_i += 1
+
+    # upsample to full resolution (sample replication) and crop
+    full = []
+    for c in comps:
+        p = c["plane"]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = full[0]
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=-1)
+    else:
+        raise NotImplementedError(f"{len(full)}-component JPEG")
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .jpeg import decode_jpeg_baseline, encode_jpeg_baseline
 from .text import _spread
 
 MEDIA_SCHEMA = "media_id long, media_type string, payload binary, n_bytes long"
@@ -173,15 +174,60 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
               .mapInPandas(_synth, schema=out_schema))
 
 
+def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
+                    restart_interval: int = 3) -> DataFrame:
+    """Build REAL baseline JPEGs deterministically from text rows: 32×32
+    grayscale images of sixteen 8×8 BLOCK-CONSTANT tiles whose values
+    are the cycled UTF-8 bytes of the text, entropy-coded through the
+    full Annex-K Huffman path with restart markers every
+    ``restart_interval`` MCUs. The DC quantization step is 8, which
+    makes a constant block's round trip EXACT (DC = 8·(v−128) divides
+    evenly; all ACs are zero) — so a SQL oracle can re-derive the
+    decoded mean straight from the text bytes while the decoder still
+    has to get marker parsing, canonical Huffman codes, DC-prediction
+    deltas (and their reset at every RSTn), dequantization and the IDCT
+    scale exactly right to reproduce it."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        q = np.ones((8, 8), np.int64)
+        q[0, 0] = 8
+
+        def jpg(text: str) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            vals = np.resize(np.frombuffer(raw, dtype=np.uint8), 16)
+            px = np.repeat(np.repeat(vals.reshape(4, 4), 8, 0), 8, 1)
+            return encode_jpeg_baseline(
+                px.astype(np.uint8), quant_tables=(q, q),
+                restart_interval=restart_interval)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [jpg(t) for t in pdf[text_col].fillna("")]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image/jpeg"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
-    """REAL codec path — pure-python decoders for the stdlib-decodable
-    containers (binary netpbm P5/P6 images; PNG with full scanline
-    unfiltering, zlib is stdlib; RIFF/WAVE PCM audio), dispatched on
-    magic bytes inside the same Arrow ``mapInPandas`` plan as the fake
-    decoder. Image rows fill (width, height, mean_value from actual
-    pixels); audio rows fill (n_channels, sample_rate, n_samples,
-    mean_value = RMS amplitude from actual samples). Anything else
-    (JPEG/MP4 — entropy codecs this container lacks) raises a clear
+    """REAL codec path — pure-python decoders for every container the
+    suite synthesizes (binary netpbm P5/P6 images; PNG with full
+    scanline unfiltering, zlib is stdlib; baseline JPEG with the full
+    Huffman/DCT path in ``operators/jpeg.py``; RIFF/WAVE PCM audio),
+    dispatched on magic bytes inside the same Arrow ``mapInPandas``
+    plan as the fake decoder. Image rows fill (width, height,
+    mean_value from actual pixels); audio rows fill (n_channels,
+    sample_rate, n_samples, mean_value = RMS amplitude from actual
+    samples). Anything else (MP4/progressive JPEG/…) raises a clear
     per-payload error; swapping in PIL/ffmpeg extends the dispatch,
     not the plan."""
     out_schema = ("media_id long, media_type string, n_bytes long, "
@@ -303,6 +349,15 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "n_samples": None,
                     "mean_value": float(color.mean())}
 
+        def decode_jpg(p: bytes) -> dict:
+            px = decode_jpeg_baseline(p)
+            h, w = px.shape[:2]
+            ch = 1 if px.ndim == 2 else px.shape[2]
+            return {"kind": "image", "width": int(w), "height": int(h),
+                    "n_channels": ch, "sample_rate": None,
+                    "n_samples": None,
+                    "mean_value": float(px.astype(np.float64).mean())}
+
         def decode_wav(p: bytes) -> dict:
             with wave.open(io.BytesIO(p), "rb") as f:
                 nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
@@ -323,6 +378,8 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     metas.append(decode_pgm(b))
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     metas.append(decode_png(b))
+                elif b[:3] == b"\xFF\xD8\xFF":
+                    metas.append(decode_jpg(b))
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     metas.append(decode_wav(b))
                 else:

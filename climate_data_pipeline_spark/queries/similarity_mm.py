@@ -906,6 +906,53 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "height", "n_channels", "mean_value"))
 
 
+@query("mm_decode_jpeg", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+blocks AS (
+  SELECT media_id,
+         list_transform(range(16),
+                        k -> bytes[CAST(k % len(bytes) AS INT) + 1]) AS v
+  FROM b
+)
+SELECT media_id, 'image/jpeg' AS media_type, 'image' AS kind,
+       32 AS width, 32 AS height, CAST(1 AS INTEGER) AS n_channels,
+       CAST(list_sum(v) AS DOUBLE) / 16.0 AS mean_value
+FROM blocks
+""")
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG round trip through a REAL entropy-coded container,
+    no external media libraries: documents render into genuine JFIF
+    JPEGs (sixteen 8×8 block-constant tiles = the cycled text bytes,
+    Annex-K Huffman tables, restart markers every 3 MCUs, DC quant step
+    8 so constant blocks round-trip exactly) and decode back through the
+    full marker-parse → canonical-Huffman → DC-prediction →
+    dequantize → IDCT path (`operators/jpeg.py`). The oracle re-derives
+    the decoded mean straight from the text bytes — a wrong Huffman
+    code, a missed RSTn predictor reset, or a wrong IDCT scale shifts
+    pixels, hence the mean, hence the hash. n_bytes excluded: the
+    entropy-coded length pins the encoder, not the decoder."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_jpeg(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "media_type", "kind", "width",
+                      "height", "n_channels", "mean_value"))
+
+
 @query("mm_image_resize", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
