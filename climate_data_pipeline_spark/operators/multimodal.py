@@ -358,6 +358,17 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "n_samples": None,
                     "mean_value": float(px.astype(np.float64).mean())}
 
+        def decode_avi(p: bytes) -> dict:
+            from .video import parse_avi_mjpeg
+            meta = parse_avi_mjpeg(p)
+            means = [decode_jpeg_baseline(f).astype(np.float64).mean()
+                     for f in meta["frames"]]
+            return {"kind": "video", "width": meta["width"],
+                    "height": meta["height"], "n_channels": None,
+                    "sample_rate": meta["fps"],
+                    "n_samples": len(meta["frames"]),
+                    "mean_value": float(np.mean(means)) if means else 0.0}
+
         def decode_wav(p: bytes) -> dict:
             with wave.open(io.BytesIO(p), "rb") as f:
                 nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
@@ -382,6 +393,8 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     metas.append(decode_jpg(b))
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     metas.append(decode_wav(b))
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    metas.append(decode_avi(b))
                 else:
                     raise NotImplementedError(
                         f"no pure-python codec for payload magic "

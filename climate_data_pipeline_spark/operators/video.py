@@ -1,0 +1,221 @@
+"""Real VIDEO path — MJPEG-in-AVI (RIFF), dependency-free: the AVI
+container is a plain RIFF chunk tree (public Microsoft/OpenDML spec)
+and each frame is a baseline JPEG, so with ``operators/jpeg.py`` in
+the repo the whole video modality graduates from the fake byte-window
+decoder to genuinely decoded frames.
+
+Scope: AVI with one 'vids' stream of 'MJPG' frames ('00dc'/'00db'
+chunks), optional idx1 index. Anything else — other codecs, audio
+streams interleaved, OpenDML extensions — raises loudly per payload,
+same contract as the image/audio decoders in ``multimodal.py``.
+
+Spark shape: frame decode is a row-MULTIPLYING ``mapInPandas`` (one
+output row per sampled frame), the UDTF pattern — partition-parallel
+across payloads, Arrow-batched, no driver involvement. At 100 TB the
+payload column is the dominant I/O; frame sampling drops the decode
+cost by the sampling factor before any pixel work happens.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from .text import _spread
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_len) walking a RIFF level;
+    chunks are word-aligned (odd sizes carry a pad byte)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def build_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                    fps: int = 10, with_index: bool = True) -> bytes:
+    """Assemble a spec-shaped AVI: RIFF('AVI ' LIST(hdrl: avih,
+    LIST(strl: strh 'vids'/'MJPG', strf BITMAPINFOHEADER))
+    LIST(movi: '00dc' per frame) [idx1])."""
+    n = len(frames)
+    avih = struct.pack("<10I", 10 ** 6 // max(fps, 1),
+                       max((len(f) for f in frames), default=0) * fps,
+                       0, 0x10, n, 0, 1, 0, width, height) + bytes(16)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                                            1, fps, 0, n, 0, 10000, -1)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_body))     # offset of ckid from 'movi'
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx = b""
+    if with_index:
+        entries = b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, len(f))
+            for off, f in zip(offsets, frames))
+        idx = chunk(b"idx1", entries)
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx)
+
+
+def parse_avi_mjpeg(data: bytes) -> dict:
+    """Parse an MJPEG AVI into {width, height, fps, frames: [bytes]},
+    validating against both the sequential movi walk and (when present)
+    the idx1 index. Loud on non-MJPEG streams."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    end = 8 + struct.unpack_from("<I", data, 4)[0]
+    width = height = 0
+    usec_per_frame = 0
+    frames: list[bytes] = []
+    idx_entries: list[tuple[int, int]] = []
+    movi_at = None
+    for fourcc, p, ln in _riff_chunks(data, 12, min(end, len(data))):
+        if fourcc == b"LIST":
+            kind = data[p:p + 4]
+            if kind == b"hdrl":
+                for f2, p2, l2 in _riff_chunks(data, p + 4, p + ln):
+                    if f2 == b"avih":
+                        (usec_per_frame,) = struct.unpack_from("<I",
+                                                               data, p2)
+                        width, height = struct.unpack_from("<II",
+                                                           data, p2 + 32)
+                    elif f2 == b"LIST" and data[p2:p2 + 4] == b"strl":
+                        for f3, p3, l3 in _riff_chunks(data, p2 + 4,
+                                                       p2 + l2):
+                            if f3 == b"strh":
+                                if data[p3:p3 + 4] != b"vids":
+                                    raise NotImplementedError(
+                                        "non-video AVI stream "
+                                        f"{data[p3:p3 + 4]!r}")
+                                if data[p3 + 4:p3 + 8] != b"MJPG":
+                                    raise NotImplementedError(
+                                        "AVI codec "
+                                        f"{data[p3 + 4:p3 + 8]!r} (only "
+                                        "MJPG has a pure-python decoder)")
+            elif kind == b"movi":
+                movi_at = p
+                for f2, p2, l2 in _riff_chunks(data, p + 4, p + ln):
+                    if f2 in (b"00dc", b"00db"):
+                        frames.append(data[p2:p2 + l2])
+        elif fourcc == b"idx1":
+            for i in range(0, ln, 16):
+                ck = data[p + i:p + i + 4]
+                _, off, sz = struct.unpack_from("<III", data, p + i + 4)
+                if ck in (b"00dc", b"00db"):
+                    idx_entries.append((off, sz))
+    if movi_at is None:
+        raise ValueError("AVI without a movi list")
+    if idx_entries:
+        if len(idx_entries) != len(frames):
+            raise ValueError("idx1 frame count disagrees with movi walk")
+        for (off, sz), f in zip(idx_entries, frames):
+            got = data[movi_at + off + 8:movi_at + off + 8 + sz]
+            if got != f:
+                raise ValueError("idx1 offset does not point at the "
+                                 "movi chunk it claims")
+    fps = round(10 ** 6 / usec_per_frame) if usec_per_frame else 0
+    return {"width": width, "height": height, "fps": fps,
+            "frames": frames}
+
+
+def synthesize_avi_mjpeg(df: DataFrame, id_col: str, text_col: str,
+                         n_frames: int = 6, fps: int = 10) -> DataFrame:
+    """Build REAL MJPEG videos deterministically from text rows:
+    ``n_frames`` 16×16 grayscale baseline-JPEG frames per document,
+    frame ``f`` made of four 8×8 block-constant tiles whose values are
+    the cycled UTF-8 text bytes at positions ``4f .. 4f+3`` (DC quant
+    step 8 ⇒ every frame round-trips exactly), packed into a
+    spec-shaped AVI with an idx1 index. A SQL oracle can re-derive any
+    sampled frame's pixel mean straight from the text bytes while the
+    decoder has to get the RIFF walk, the index validation and the
+    whole JPEG path right."""
+    out_schema = ("media_id long, media_type string, payload binary, "
+                  "n_bytes long")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = np.ones((8, 8), np.int64)
+        q[0, 0] = 8
+
+        def avi(text: str) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8)
+            frames = []
+            for f in range(n_frames):
+                vals = bts[(4 * f + np.arange(4)) % len(bts)]
+                px = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0), 8, 1)
+                frames.append(encode_jpeg_baseline(
+                    px.astype(np.uint8), quant_tables=(q, q)))
+            return build_avi_mjpeg(frames, 16, 16, fps=fps)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [avi(t) for t in pdf[text_col].fillna("")]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["video/x-msvideo"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
+def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling + decode: walk each AVI's movi list, keep
+    every ``every_n``-th frame, decode it through the baseline-JPEG
+    path, and emit one row per sampled frame (media_id, frame_idx,
+    width, height, frame_mean). Row-multiplying Arrow ``mapInPandas``;
+    skipped frames are never entropy-decoded — at scale the sampling
+    factor divides the decode cost, not just the output size."""
+    out_schema = ("media_id long, frame_idx int, width int, height int, "
+                  "frame_mean double")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "width": [],
+                    "height": [], "frame_mean": []}
+            for mid, p in zip(pdf["media_id"].astype("int64"),
+                              pdf["payload"]):
+                meta = parse_avi_mjpeg(bytes(p))
+                for idx in range(0, len(meta["frames"]), every_n):
+                    px = decode_jpeg_baseline(meta["frames"][idx])
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(px.shape[1])
+                    rows["height"].append(px.shape[0])
+                    rows["frame_mean"].append(
+                        float(px.astype(np.float64).mean()))
+            yield pd.DataFrame({
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "frame_mean": rows["frame_mean"],
+            })
+
+    return df.mapInPandas(_decode, schema=out_schema)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
+from ..operators import video as VID
 from ..registry import query
 from ..sources.io import load_table
 
@@ -951,6 +952,50 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (MM.decode_media_real(media)
               .select("media_id", "media_type", "kind", "width",
                       "height", "n_channels", "mean_value"))
+
+
+@query("mm_video_frames", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+fr AS (SELECT f FROM (VALUES (0), (2), (4)) t(f))
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+       16 AS width, 16 AS height,
+       (bytes[CAST((4*f + 0) % len(bytes) AS INT) + 1]
+        + bytes[CAST((4*f + 1) % len(bytes) AS INT) + 1]
+        + bytes[CAST((4*f + 2) % len(bytes) AS INT) + 1]
+        + bytes[CAST((4*f + 3) % len(bytes) AS INT) + 1]) / 4.0
+         AS frame_mean
+FROM b, fr
+""")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path, no external media libraries: documents render
+    into MJPEG AVIs (six 16×16 block-constant baseline-JPEG frames, the
+    tiles cycling the text bytes; idx1 index present and validated) and
+    every 2nd frame is sampled and DECODED back through the RIFF walk +
+    full JPEG path (`operators/video.py`). Row-multiplying frame
+    sampling — the UDTF shape of a video curation pipeline — with the
+    oracle re-deriving every sampled frame's pixel mean from the text
+    bytes: a wrong movi walk, off-by-one frame sampling, a bad idx1
+    validation or any JPEG-path slip shifts frame_mean and the hash.
+    Skipped frames are never entropy-decoded, so the sampling factor
+    divides decode cost at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = VID.synthesize_avi_mjpeg(docs, "doc_id", "text", n_frames=6)
+    return VID.decode_video_frames(media, every_n=2)
 
 
 @query("mm_image_resize", oracle="""

@@ -1,0 +1,118 @@
+"""MJPEG-in-AVI video path (operators/video.py): RIFF container
+round trips, idx1 validation, loud non-MJPEG seams, and the
+row-multiplying Spark frame-sample/decode plan."""
+
+import numpy as np
+import pytest
+
+from climate_data_pipeline_spark.operators.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
+from climate_data_pipeline_spark.operators.video import (
+    build_avi_mjpeg,
+    parse_avi_mjpeg,
+)
+
+
+def _frames(n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    q = np.ones((8, 8), np.int64)
+    q[0, 0] = 8
+    out = []
+    for _ in range(n):
+        vals = rng.integers(0, 256, 4, dtype=np.int64)
+        px = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0), 8, 1)
+        out.append(encode_jpeg_baseline(px.astype(np.uint8),
+                                        quant_tables=(q, q)))
+    return out
+
+
+def test_container_roundtrip_bytes_exact():
+    frames = _frames(5)
+    for with_index in (True, False):
+        avi = build_avi_mjpeg(frames, 16, 16, fps=12,
+                              with_index=with_index)
+        meta = parse_avi_mjpeg(avi)
+        assert (meta["width"], meta["height"], meta["fps"]) == (16, 16, 12)
+        assert meta["frames"] == frames      # byte-exact through movi
+        # every recovered frame still decodes
+        for f in meta["frames"]:
+            assert decode_jpeg_baseline(f).shape == (16, 16)
+
+
+def test_odd_sized_frames_pad_to_word_boundary():
+    """RIFF chunks are word-aligned; odd-length JPEG payloads must not
+    shift the walk for subsequent frames."""
+    frames = _frames(6, seed=3)
+    odd = [f for f in frames if len(f) & 1]
+    even = [f for f in frames if not len(f) & 1]
+    assert odd and even, [len(f) for f in frames]  # both parities present
+    avi = build_avi_mjpeg(frames, 16, 16)
+    assert parse_avi_mjpeg(avi)["frames"] == frames
+
+
+def test_idx1_mismatch_raises():
+    frames = _frames(3)
+    avi = bytearray(build_avi_mjpeg(frames, 16, 16, with_index=True))
+    i = avi.rfind(b"idx1")
+    # corrupt the first index entry's offset field
+    pos = i + 8 + 8
+    avi[pos] ^= 0xFF
+    with pytest.raises(ValueError, match="idx1"):
+        parse_avi_mjpeg(bytes(avi))
+
+
+def test_non_mjpeg_and_non_video_raise_loudly():
+    avi = build_avi_mjpeg(_frames(2), 16, 16)
+    with pytest.raises(NotImplementedError, match="codec"):
+        parse_avi_mjpeg(avi.replace(b"MJPG", b"H264", 1))
+    with pytest.raises(NotImplementedError, match="stream"):
+        parse_avi_mjpeg(avi.replace(b"vids", b"auds", 1))
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi_mjpeg(b"\x00" + avi)
+
+
+def test_spark_frame_sampling_and_decode(spark):
+    """decode_video_frames(every_n) emits exactly the sampled frames,
+    decoded: frame f's mean equals the mean of its four cycled text
+    bytes; skipped frames appear in no row."""
+    from climate_data_pipeline_spark.operators.video import (
+        decode_video_frames, synthesize_avi_mjpeg)
+
+    rows = [(0, "a video from text"), (1, ""), (2, "ü 漢字 🙂 frames")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = synthesize_avi_mjpeg(df, "doc_id", "text", n_frames=6)
+    out = decode_video_frames(media, every_n=2).collect()
+    assert sorted({r["frame_idx"] for r in out}) == [0, 2, 4]
+    assert len(out) == 3 * 3
+    got = {(r["media_id"], r["frame_idx"]): r for r in out}
+    for i, text in rows:
+        raw = text.encode("utf-8") or b"\x00"
+        bts = np.frombuffer(raw, np.uint8)
+        for f in (0, 2, 4):
+            vals = bts[(4 * f + np.arange(4)) % len(bts)]
+            r = got[(i, f)]
+            assert (r["width"], r["height"]) == (16, 16)
+            assert abs(r["frame_mean"] - float(vals.mean())) < 1e-12
+    # every_n=1 decodes all six
+    assert decode_video_frames(media, every_n=1).count() == 18
+
+
+def test_decode_media_real_dispatch_video(spark):
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real)
+    from climate_data_pipeline_spark.operators.video import (
+        synthesize_avi_mjpeg)
+
+    df = spark.createDataFrame([(7, "dispatch me")],
+                               "doc_id long, text string")
+    media = synthesize_avi_mjpeg(df, "doc_id", "text", n_frames=6, fps=10)
+    r = decode_media_real(media).collect()[0]
+    raw = b"dispatch me"
+    bts = np.frombuffer(raw, np.uint8)
+    want = np.mean([bts[(4 * f + np.arange(4)) % len(bts)].mean()
+                    for f in range(6)])
+    assert (r["kind"], r["width"], r["height"]) == ("video", 16, 16)
+    assert (r["sample_rate"], r["n_samples"]) == (10, 6)
+    assert abs(r["mean_value"] - float(want)) < 1e-12
