@@ -420,6 +420,62 @@ def decode_media_real(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_decode, schema=out_schema)
 
 
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over decoded WAV payloads — the
+    per-clip screening stats an audio curation pipeline filters on:
+    zero-crossing count (voiced/unvoiced + silence heuristic), peak
+    amplitude (clipping detection), exact integer energy, and RMS.
+    Every feature is integer-exact arithmetic on the decoded samples —
+    RMS stays UNROUNDED because sqrt(int/int) is IEEE-deterministic on
+    identical inputs, bit-equal across engines — so a SQL oracle
+    re-derives all of them from the payload source bytes: a wrong
+    sample width, byte order or off-by-one in the decode shifts the
+    values. Zero-crossing uses the sign convention (s ≥ 0), matching
+    what an engine-side CASE expression computes. Non-WAV payloads
+    raise — this is an audio op."""
+    out_schema = ("media_id long, n_samples long, zero_crossings long, "
+                  "peak int, energy long, rms double")
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def feats(p: bytes) -> tuple[int, int, int, int, float]:
+            if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+                raise NotImplementedError(
+                    "audio_features takes WAV payloads; magic "
+                    f"{p[:4]!r} is not")
+            with wave.open(io.BytesIO(p), "rb") as f:
+                sw, nfr = f.getsampwidth(), f.getnframes()
+                raw = f.readframes(nfr)
+            dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
+            s = np.frombuffer(raw, dtype=dt).astype(np.int64)
+            if s.size == 0:
+                return 0, 0, 0, 0, 0.0
+            nonneg = s >= 0
+            zc = int((nonneg[1:] != nonneg[:-1]).sum())
+            energy = int((s * s).sum())
+            rms = float(np.sqrt(energy / s.size))
+            return s.size, zc, int(np.abs(s).max()), energy, rms
+
+        for pdf in batches:
+            rows = [feats(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "n_samples": pd.Series([r[0] for r in rows],
+                                       dtype="int64"),
+                "zero_crossings": pd.Series([r[1] for r in rows],
+                                            dtype="int64"),
+                "peak": pd.Series([r[2] for r in rows], dtype="int32"),
+                "energy": pd.Series([r[3] for r in rows], dtype="int64"),
+                "rms": [r[4] for r in rows],
+            })
+
+    return df.mapInPandas(_feats, schema=out_schema)
+
+
 def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
     """REAL image resize — ``factor×factor`` area (box) downsampling
     over decoded grayscale payloads (PGM or PNG), the standard

@@ -998,6 +998,59 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VID.decode_video_frames(media, every_n=2)
 
 
+@query("mm_audio_features", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents WHERE doc_id % 2 = 1
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+s AS (
+  SELECT media_id,
+         list_transform(range(400),
+           i -> (bytes[CAST(i % len(bytes) AS INT) + 1] - 128) * 256)
+           AS smp
+  FROM b
+)
+SELECT media_id,
+       CAST(400 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(range(399),
+         i -> CASE WHEN (smp[CAST(i AS INT) + 1] >= 0)
+                    <> (smp[CAST(i AS INT) + 2] >= 0)
+              THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS INTEGER)
+         AS peak,
+       CAST(list_sum(list_transform(smp, v -> v * v)) AS BIGINT)
+         AS energy,
+       sqrt(CAST(list_sum(list_transform(smp, v -> v * v)) AS DOUBLE)
+            / 400.0) AS rms
+FROM s
+""")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio screening features through a real WAV container:
+    odd-id documents render to 16-bit PCM clips (samples =
+    (byte−128)·256 cycled to 400, `synthesize_media`) and
+    `audio_features` decodes them back and computes zero-crossing
+    count, peak, exact integer energy and RMS — the per-clip stats an
+    audio curation pass filters on. The oracle re-derives every value
+    from the text bytes; RMS stays unrounded because sqrt(int/400) is
+    IEEE-deterministic on identical integer inputs."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1)
+    media = MM.synthesize_media(docs, "doc_id", "text")
+    return MM.audio_features(media)
+
+
 @query("mm_image_resize", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

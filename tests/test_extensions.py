@@ -1569,3 +1569,35 @@ def test_png_alpha_channel_excluded_from_mean(spark):
     assert got[1]["n_channels"] == 4
     assert abs(got[1]["mean_value"]
                - float(rgba[:, :, :3].mean())) < 1e-9
+
+
+def test_audio_features_values_and_loud_seam(spark):
+    """audio_features: ZCR/peak/energy/RMS equal hand-computed values
+    on the synthesized 16-bit PCM clips; image payloads raise."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        audio_features, synthesize_media)
+
+    rows = [(1, "a wav from text"), (3, ""), (5, "ü 漢字 🙂")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["media_id"]: r for r in
+           audio_features(synthesize_media(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        raw = text.encode("utf-8") or b"\x00"
+        s = np.resize((np.frombuffer(raw, np.uint8).astype(np.int64)
+                       - 128) * 256, 400)
+        nonneg = s >= 0
+        r = got[i]
+        assert r["n_samples"] == 400
+        assert r["zero_crossings"] == int((nonneg[1:] != nonneg[:-1]).sum())
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["energy"] == int((s * s).sum())
+        assert r["rms"] == float(np.sqrt(int((s * s).sum()) / 400))
+    # even ids synthesize PGM images -> loud
+    img = spark.createDataFrame([(2, "an image")],
+                                "doc_id long, text string")
+    with _pt.raises(Exception, match="WAV payloads"):
+        audio_features(synthesize_media(img, "doc_id", "text")).collect()
