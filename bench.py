@@ -64,6 +64,9 @@ HEADLINE = [
     "text_winnow_fingerprints", # rolling-hash winnowing, 1 window shuffle
     "text_duplicate_spans",   # exact dup-substring spans, 1 md5 shuffle
     "mm_image_resize",        # PNG decode + area pool, Arrow kernel
+    "mm_decode_jpeg",         # baseline JPEG Huffman/DCT round trip
+    "mm_video_frames",        # MJPEG AVI walk + sampled-frame decode
+    "mm_audio_features",      # WAV decode + integer-exact clip stats
 ]
 
 # Heavy-by-design queries benched separately (fewer iterations) so their

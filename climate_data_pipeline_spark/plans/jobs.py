@@ -528,3 +528,113 @@ def append_lsh_index(batch, path: str, id_col: str = "vec_id",
         return _failed(exc, path=path, steps=prog.steps)
     return {"status": "completed", "path": path,
             "rows_appended": n, "steps": prog.steps}
+
+
+def curate_media_corpus(spark: SparkSession, sf_dir: str,
+                        output_dir: str, media=None, n_shards: int = 4,
+                        min_dim: int = 8, mean_range: tuple = (5.0, 250.0),
+                        min_samples: int = 100, rms_floor: float = 1.0,
+                        progress: ProgressFn | None = None,
+                        time_limit: float | None = 3600.0) -> dict:
+    """The multimodal curation job end-to-end: media payloads →
+    EXACT byte-level dedup → decode survivors → per-modality quality
+    screen → sharded parquet + audited manifest. The multimodal twin of
+    `curate_corpus`, with the stages ordered for 100 TB: dedup hashes
+    ONLY the payload bytes (one md5 per row, one combinable
+    min-aggregate shuffle) so duplicated payloads are dropped BEFORE
+    any codec work, and the decode — the expensive Arrow stage — runs
+    on byte-unique survivors only.
+
+    Screen rules (the blank/clipped/silence cuts a media curation pass
+    applies): images keep ``min_dim`` ≤ both dimensions and
+    ``mean_range[0]`` ≤ pixel mean ≤ ``mean_range[1]`` (drops blank
+    and saturated frames); audio keeps ≥ ``min_samples`` samples and
+    RMS ≥ ``rms_floor`` (drops stubs and near-silence); video keeps
+    ``min_dim`` and the frame-mean range applied to the clip mean.
+
+    ``media`` defaults to `synthesize_media` over the documents table
+    (even ids PGM, odd ids WAV) so the job is runnable against the
+    driver testdata; pass any (media_id, media_type, payload, n_bytes)
+    frame for a real corpus. Progress/time-limit/failure follow the
+    `process_dataset` Celery-state protocol."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import decode_media_real, synthesize_media
+
+    prog = _Progress(progress, time_limit)
+    pinned: list = []
+
+    def pin(frame):
+        from pyspark import StorageLevel
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(frame)
+        return frame
+
+    try:
+        prog.step("loading")
+        if media is None:
+            docs = load_table(spark, sf_dir, "documents")
+            media = synthesize_media(docs, "doc_id", "text")
+        media = pin(media)
+        n_in = media.count()
+
+        prog.step("dedup_bytes")
+        # combinable min-agg on the payload hash (map-side partials
+        # collapse viral duplicates before the shuffle), then a
+        # broadcast-friendly semi join keeps one canonical row per
+        # distinct payload — the same first-occurrence shape as
+        # segment_dedup, never payload×payload
+        hashed = media.withColumn("__h", F.md5(F.col("payload")))
+        keep = (hashed.groupBy("__h")
+                      .agg(F.min("media_id").alias("media_id")))
+        unique = pin(hashed.join(keep, ["__h", "media_id"], "left_semi")
+                           .drop("__h"))
+        n_unique = unique.count()
+
+        prog.step("decoding")
+        decoded = pin(decode_media_real(unique))
+        n_decoded = decoded.count()
+
+        prog.step("screening")
+        lo, hi = mean_range
+        is_image = F.col("kind") == "image"
+        is_audio = F.col("kind") == "audio"
+        is_video = F.col("kind") == "video"
+        kept = pin(decoded.where(
+            (is_image & (F.col("width") >= min_dim)
+             & (F.col("height") >= min_dim)
+             & F.col("mean_value").between(lo, hi))
+            | (is_audio & (F.col("n_samples") >= min_samples)
+               & (F.col("mean_value") >= rms_floor))
+            | (is_video & (F.col("width") >= min_dim)
+               & (F.col("height") >= min_dim)
+               & F.col("mean_value").between(lo, hi))))
+        by_kind = {r["kind"]: r["n"] for r in
+                   kept.groupBy("kind").agg(F.count("*").alias("n"))
+                       .collect()}
+        n_kept = sum(by_kind.values())
+
+        prog.step("writing")
+        (kept.repartition(n_shards)
+             .write.mode("overwrite").parquet(output_dir))
+        prog.step("verifying")
+        info = parquet_info(spark, output_dir)
+        if info["num_rows"] != n_kept:
+            return _failed(ValueError(
+                f"shard rows {info['num_rows']} != kept {n_kept}"),
+                output_dir=output_dir, steps=prog.steps)
+    except Exception as exc:
+        return _failed(exc, output_dir=output_dir, steps=prog.steps)
+    finally:
+        for frame in pinned:
+            frame.unpersist()
+    return {
+        "status": "completed",
+        "output_dir": output_dir,
+        "stage_counts": {"input": n_in, "unique_payloads": n_unique,
+                         "decoded": n_decoded, "kept": n_kept},
+        "kept_by_kind": by_kind,
+        "n_shards": n_shards,
+        "output_info": info,
+        "steps": prog.steps,
+    }

@@ -349,3 +349,79 @@ def test_curate_corpus_normalize_stage(spark, sf_small, tmp_path):
     assert r["status"] == "completed"
     assert steps[:2] == ["loading", "normalize"]
     assert r["n_after_dedup"] <= r["n_input"]
+
+
+def test_curate_media_corpus_end_to_end(spark, sf_small, tmp_path):
+    """curate_media_corpus: byte-dedup BEFORE decode, per-modality
+    screen, audited manifest, Celery-state step protocol."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from climate_data_pipeline_spark.plans.jobs import curate_media_corpus
+
+    def wav16(samples) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.asarray(samples, "<i2").tobytes())
+        return buf.getvalue()
+
+    def pgm(vals) -> bytes:
+        px = np.resize(np.asarray(vals, np.uint8), 256)
+        return b"P5\n16 16\n255\n" + px.tobytes()
+
+    good_img = pgm([100, 150, 90])
+    blank_img = pgm([0])                       # mean 0 -> screened out
+    good_wav = wav16([3000, -2500] * 200)
+    silent_wav = wav16([0] * 400)              # rms 0 -> screened out
+    rows = [
+        (0, "image/x-portable-graymap", bytearray(good_img), len(good_img)),
+        (1, "image/x-portable-graymap", bytearray(good_img), len(good_img)),
+        (2, "image/x-portable-graymap", bytearray(blank_img), len(blank_img)),
+        (3, "audio/wav", bytearray(good_wav), len(good_wav)),
+        (4, "audio/wav", bytearray(silent_wav), len(silent_wav)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+              "n_bytes long")
+    steps = []
+    out = str(tmp_path / "media")
+    m = curate_media_corpus(
+        spark, sf_small, out, media=media, n_shards=2,
+        progress=lambda st, step, el: steps.append(step))
+    assert m["status"] == "completed"
+    assert steps == m["steps"] == [
+        "loading", "dedup_bytes", "decoding", "screening", "writing",
+        "verifying"]
+    # id 1 duplicates id 0's bytes -> dropped pre-decode; blank image
+    # and silent clip decode but fail the screen
+    assert m["stage_counts"] == {"input": 5, "unique_payloads": 4,
+                                 "decoded": 4, "kept": 2}
+    assert m["kept_by_kind"] == {"image": 1, "audio": 1}
+    got = spark.read.parquet(out)
+    assert sorted(r["media_id"] for r in got.collect()) == [0, 3]
+    assert m["output_info"]["num_rows"] == 2
+
+    # soft time limit -> reference-shaped failed dict
+    m = curate_media_corpus(spark, sf_small, out, media=media,
+                            time_limit=-1.0)
+    assert m["status"] == "failed" and m["steps"] == []
+
+
+def test_curate_media_corpus_default_source(spark, sf_small, tmp_path):
+    """Default media source: synthesize_media over the documents table
+    (even ids PGM, odd WAV) — the job runs end-to-end on driver
+    testdata and keeps a sane fraction of both modalities."""
+    from climate_data_pipeline_spark.plans.jobs import curate_media_corpus
+
+    out = str(tmp_path / "m2")
+    m = curate_media_corpus(spark, sf_small, out, n_shards=2)
+    assert m["status"] == "completed"
+    sc = m["stage_counts"]
+    assert sc["input"] == 500
+    assert 0 < sc["unique_payloads"] <= 500
+    assert sc["kept"] > 0 and set(m["kept_by_kind"]) <= {"image", "audio"}
