@@ -465,3 +465,19 @@ def streaming_winnow_contamination(spark: SparkSession, sf_dir: str,
     return (stream.writeStream.foreachBatch(screen)
             .option("checkpointLocation", target_dir + "_chk")
             .start())
+
+
+def streaming_media_decode(spark: SparkSession, media_dir: str) -> DataFrame:
+    """Streaming twin of the REAL media decode: a file stream of payload
+    rows (the shape a tar-shard ingest or object-store notification feed
+    produces) through the same Arrow ``mapInPandas`` codecs as the batch
+    path (`operators/multimodal.decode_media_real`). Stateless — no
+    watermark, no state store; each micro-batch decodes independently,
+    so the operator scales with arrival rate exactly like the batch plan
+    scales with partitions. Proven batch-equal in test_plans."""
+    from ..operators.multimodal import MEDIA_SCHEMA, decode_media_real
+
+    stream = (spark.readStream.schema(MEDIA_SCHEMA)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(media_dir))
+    return decode_media_real(stream)

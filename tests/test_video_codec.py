@@ -4,6 +4,7 @@ row-multiplying Spark frame-sample/decode plan."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from climate_data_pipeline_spark.operators.jpeg import (
     decode_jpeg_baseline,
@@ -116,3 +117,39 @@ def test_decode_media_real_dispatch_video(spark):
     assert (r["kind"], r["width"], r["height"]) == ("video", 16, 16)
     assert (r["sample_rate"], r["n_samples"]) == (10, 6)
     assert abs(r["mean_value"] - float(want)) < 1e-12
+
+
+def test_streaming_media_decode_equals_batch(spark, tmp_path):
+    """The streaming media decode (file-stream micro-batches through the
+    same Arrow codecs) emits exactly the batch result — stateless twin,
+    every container type represented."""
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_media, synthesize_png)
+    from climate_data_pipeline_spark.operators.video import (
+        synthesize_avi_mjpeg)
+    from climate_data_pipeline_spark.streaming.rollup import (
+        run_stream_to_memory, streaming_media_decode)
+
+    docs = spark.createDataFrame(
+        [(0, "an image doc"), (1, "an audio doc"), (2, "another image")],
+        "doc_id long, text string")
+    media = (synthesize_media(docs, "doc_id", "text")            # PGM+WAV
+             .unionByName(synthesize_png(
+                 docs.select((F.col("doc_id") + 10).alias("doc_id"),
+                             "text"), "doc_id", "text"))          # PNG
+             .unionByName(synthesize_avi_mjpeg(
+                 docs.select((F.col("doc_id") + 20).alias("doc_id"),
+                             "text"), "doc_id", "text")))         # AVI
+    mdir = str(tmp_path / "media_stream")
+    media.write.mode("overwrite").parquet(mdir)
+
+    want = sorted(map(tuple, decode_media_real(
+        spark.read.schema(
+            "media_id long, media_type string, payload binary, "
+            "n_bytes long").parquet(mdir)).collect()))
+    run_stream_to_memory(streaming_media_decode(spark, mdir),
+                         "media_decode_twin")
+    got = sorted(map(tuple,
+                     spark.sql("SELECT * FROM media_decode_twin")
+                     .collect()))
+    assert got == want and len(got) == 9
