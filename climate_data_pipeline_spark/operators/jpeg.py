@@ -127,7 +127,25 @@ _T = _dct_matrix()
 
 
 def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
-    """Symbol -> (code, length) per the canonical construction of C.2."""
+    """Symbol -> (code, length) per the canonical construction of C.2.
+    Memoized on the table contents: rebuilding per payload dominated
+    small-image codec time (the Annex-K tables recur on every call)."""
+    return _canonical_codes_cached(tuple(bits), tuple(huffval))
+
+
+def _memo(fn):
+    cache: dict = {}
+
+    def wrap(*key):
+        hit = cache.get(key)
+        if hit is None:
+            hit = cache[key] = fn(*key)
+        return hit
+    return wrap
+
+
+@_memo
+def _canonical_codes_cached(bits: tuple, huffval: tuple) -> dict:
     codes: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -141,8 +159,14 @@ def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int
 
 def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol, for the bit-at-a-time reader."""
+    return _decode_table_cached(tuple(bits), tuple(huffval))
+
+
+@_memo
+def _decode_table_cached(bits: tuple, huffval: tuple) -> dict:
     return {(ln, c): sym
-            for sym, (c, ln) in _canonical_codes(bits, huffval).items()}
+            for sym, (c, ln) in _canonical_codes_cached(bits,
+                                                        huffval).items()}
 
 
 def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
@@ -216,9 +240,10 @@ def _encode_block(w: _BitWriter, coef_zz: np.ndarray, pred: int,
 def _fdct_quant_batch(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Forward DCT + quantize a whole (n, 8, 8) stack in three numpy
     calls (per-block numpy dispatch dominated encode time ~20×), with
-    per-block quant tables (n, 8, 8). Returns zigzagged (n, 64)."""
-    coef = np.einsum("ij,njk,lk->nil", _T, blocks - 128.0, _T,
-                     optimize=True)
+    per-block quant tables (n, 8, 8). Returns zigzagged (n, 64).
+    Stacked matmul, not einsum — einsum's per-call path search cost
+    more than the contraction itself at these shapes."""
+    coef = _T @ (blocks - 128.0) @ _T.T
     # round-half-up symmetric with the decoder's final pixel rounding
     zz = np.floor(coef / q + 0.5).astype(np.int64).reshape(-1, 64)
     return zz[:, ZIGZAG]
@@ -558,8 +583,7 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             continue
         coef = np.zeros((len(c["coef"]), 64), np.float64)
         coef[:, ZIGZAG] = np.asarray(c["coef"], np.float64)
-        blks = np.einsum("ji,njk,kl->nil", _T, coef.reshape(-1, 8, 8),
-                         _T, optimize=True) + 128.0
+        blks = _T.T @ coef.reshape(-1, 8, 8) @ _T + 128.0
         for (by, bx), blk in zip(c["dest"], blks):
             c["plane"][8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = blk
 
