@@ -25,6 +25,7 @@ encoder (any 8-bit gray/RGB image, any quality), mirrored after the
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -129,22 +130,13 @@ _T = _dct_matrix()
 def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
     """Symbol -> (code, length) per the canonical construction of C.2.
     Memoized on the table contents: rebuilding per payload dominated
-    small-image codec time (the Annex-K tables recur on every call)."""
+    small-image codec time (the Annex-K tables recur on every call).
+    lru_cache bounds the memo — wild corpora carry per-image optimized
+    DHTs, and an unbounded dict would grow for the executor's life."""
     return _canonical_codes_cached(tuple(bits), tuple(huffval))
 
 
-def _memo(fn):
-    cache: dict = {}
-
-    def wrap(*key):
-        hit = cache.get(key)
-        if hit is None:
-            hit = cache[key] = fn(*key)
-        return hit
-    return wrap
-
-
-@_memo
+@functools.lru_cache(maxsize=512)
 def _canonical_codes_cached(bits: tuple, huffval: tuple) -> dict:
     codes: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
@@ -162,7 +154,7 @@ def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], 
     return _decode_table_cached(tuple(bits), tuple(huffval))
 
 
-@_memo
+@functools.lru_cache(maxsize=512)
 def _decode_table_cached(bits: tuple, huffval: tuple) -> dict:
     return {(ln, c): sym
             for sym, (c, ln) in _canonical_codes_cached(bits,
@@ -469,6 +461,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         m = data[pos + 1]
         if m == 0xD9:                                   # EOI
             break
@@ -534,6 +529,55 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         c["dest"] = []
 
     br = _BitReader(data, scan_at)
+    try:
+        _decode_scan(data, br, comps, qt, huff, restart_interval,
+                     mcus_x, mcus_y)
+    except _MarkerHit as hit:
+        raise ValueError(
+            f"entropy stream truncated: marker 0xFF{data[hit.pos + 1]:02X}"
+            f" at byte {hit.pos} before the scan completed") from None
+    except IndexError:
+        raise ValueError("entropy stream ends before the scan "
+                         "completed (truncated JPEG)") from None
+    # dequantized coefficients collected; batch the IDCT per component
+    # (per-block numpy dispatch dominated decode time)
+    for c in comps:
+        if not c["coef"]:
+            continue
+        coef = np.zeros((len(c["coef"]), 64), np.float64)
+        coef[:, ZIGZAG] = np.asarray(c["coef"], np.float64)
+        blks = _T.T @ coef.reshape(-1, 8, 8) @ _T + 128.0
+        for (by, bx), blk in zip(c["dest"], blks):
+            c["plane"][8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = blk
+
+    # upsample to full resolution (sample replication) and crop
+    full = []
+    for c in comps:
+        p = c["plane"]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = full[0]
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=-1)
+    else:
+        raise NotImplementedError(f"{len(full)}-component JPEG")
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(data: bytes, br: _BitReader, comps: list[dict],
+                 qt: dict, huff: dict, restart_interval: int,
+                 mcus_x: int, mcus_y: int) -> None:
+    """Entropy-decode every MCU into per-component coefficient lists
+    (F.2.2): Huffman symbols, DC prediction with RSTn resets, run-length
+    AC expansion. Raises _MarkerHit/IndexError upward for the caller
+    to convert into a loud truncation error."""
     mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -576,33 +620,3 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                         c["coef"].append(zz * q)
                         c["dest"].append((by, bx))
             mcu_i += 1
-    # dequantized coefficients collected; batch the IDCT per component
-    # (per-block numpy dispatch dominated decode time)
-    for c in comps:
-        if not c["coef"]:
-            continue
-        coef = np.zeros((len(c["coef"]), 64), np.float64)
-        coef[:, ZIGZAG] = np.asarray(c["coef"], np.float64)
-        blks = _T.T @ coef.reshape(-1, 8, 8) @ _T + 128.0
-        for (by, bx), blk in zip(c["dest"], blks):
-            c["plane"][8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = blk
-
-    # upsample to full resolution (sample replication) and crop
-    full = []
-    for c in comps:
-        p = c["plane"]
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        out = full[0]
-    elif len(full) == 3:
-        y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        out = np.stack([r, g, b], axis=-1)
-    else:
-        raise NotImplementedError(f"{len(full)}-component JPEG")
-    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)

@@ -376,6 +376,8 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                 raw = f.readframes(nfr)
             dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
             s = np.frombuffer(raw, dtype=dt).astype(np.float64)
+            if sw == 1:
+                s -= 128.0  # 8-bit PCM is unsigned, midpoint 128
             rms = float(np.sqrt((s * s).mean())) if s.size else 0.0
             return {"kind": "audio", "width": None, "height": None,
                     "n_channels": nch, "sample_rate": rate,
@@ -430,11 +432,16 @@ def audio_features(df: DataFrame) -> DataFrame:
     identical inputs, bit-equal across engines — so a SQL oracle
     re-derives all of them from the payload source bytes: a wrong
     sample width, byte order or off-by-one in the decode shifts the
-    values. Zero-crossing uses the sign convention (s ≥ 0), matching
-    what an engine-side CASE expression computes. Non-WAV payloads
-    raise — this is an audio op."""
+    values. Zero-crossing uses the sign convention (s ≥ 0) applied
+    frame-to-frame WITHIN each channel (interleaved stereo never
+    compares L against R), 8-bit PCM is centered on its unsigned
+    midpoint 128 before any stat (else silence reads as RMS 128 and
+    ZCR is identically 0), and ``n_samples`` counts FRAMES, agreeing
+    with ``decode_media_real``'s count for the same payload. 32-bit
+    clips whose exact energy exceeds int64 raise loudly rather than
+    wrap. Non-WAV payloads raise — this is an audio op."""
     out_schema = ("media_id long, n_samples long, zero_crossings long, "
-                  "peak int, energy long, rms double")
+                  "peak long, energy long, rms double")
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -448,17 +455,35 @@ def audio_features(df: DataFrame) -> DataFrame:
                     "audio_features takes WAV payloads; magic "
                     f"{p[:4]!r} is not")
             with wave.open(io.BytesIO(p), "rb") as f:
-                sw, nfr = f.getsampwidth(), f.getnframes()
+                nch, sw, nfr = (f.getnchannels(), f.getsampwidth(),
+                                f.getnframes())
                 raw = f.readframes(nfr)
             dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
             s = np.frombuffer(raw, dtype=dt).astype(np.int64)
+            if sw == 1:
+                s = s - 128   # WAV stores 8-bit PCM unsigned, midpoint 128
             if s.size == 0:
                 return 0, 0, 0, 0, 0.0
-            nonneg = s >= 0
+            # sign flips frame-to-frame WITHIN each channel (interleaved
+            # L,R,... — comparing adjacent flat samples would count the
+            # L/R jump of every stereo frame), summed across channels
+            fr = s.reshape(-1, nch)
+            nonneg = fr >= 0
             zc = int((nonneg[1:] != nonneg[:-1]).sum())
-            energy = int((s * s).sum())
+            if sw == 4:
+                # 32-bit squares overflow int64 after ~2 full-scale
+                # samples — exact python-int sum, then a loud guard on
+                # the int64 output column
+                energy = int((s.astype(object) ** 2).sum())
+                if energy > 2 ** 63 - 1:
+                    raise ValueError(
+                        "exact integer energy exceeds int64 for this "
+                        "32-bit clip; widen the energy column before "
+                        "screening such material")
+            else:
+                energy = int((s * s).sum())
             rms = float(np.sqrt(energy / s.size))
-            return s.size, zc, int(np.abs(s).max()), energy, rms
+            return nfr, zc, int(np.abs(s).max()), energy, rms
 
         for pdf in batches:
             rows = [feats(bytes(p)) for p in pdf["payload"]]
@@ -468,7 +493,7 @@ def audio_features(df: DataFrame) -> DataFrame:
                                        dtype="int64"),
                 "zero_crossings": pd.Series([r[1] for r in rows],
                                             dtype="int64"),
-                "peak": pd.Series([r[2] for r in rows], dtype="int32"),
+                "peak": pd.Series([r[2] for r in rows], dtype="int64"),
                 "energy": pd.Series([r[3] for r in rows], dtype="int64"),
                 "rms": [r[4] for r in rows],
             })

@@ -131,8 +131,20 @@ def parse_avi_mjpeg(data: bytes) -> dict:
     if idx_entries:
         if len(idx_entries) != len(frames):
             raise ValueError("idx1 frame count disagrees with movi walk")
+        # two offset conventions exist in the wild: relative to the
+        # 'movi' fourcc (the common one) and absolute from the start of
+        # the file — probe the first entry's ckid to pick the base
+        off0 = idx_entries[0][0]
+        base = None
+        for cand in (movi_at, 0):
+            if data[cand + off0:cand + off0 + 4] in (b"00dc", b"00db"):
+                base = cand
+                break
+        if base is None:
+            raise ValueError("idx1 offsets match neither movi-relative "
+                             "nor absolute convention")
         for (off, sz), f in zip(idx_entries, frames):
-            got = data[movi_at + off + 8:movi_at + off + 8 + sz]
+            got = data[base + off + 8:base + off + 8 + sz]
             if got != f:
                 raise ValueError("idx1 offset does not point at the "
                                  "movi chunk it claims")

@@ -587,7 +587,11 @@ def curate_media_corpus(spark: SparkSession, sf_dir: str,
         hashed = media.withColumn("__h", F.md5(F.col("payload")))
         keep = (hashed.groupBy("__h")
                       .agg(F.min("media_id").alias("media_id")))
+        # the semi join keeps the min-id row per hash — but a payload
+        # ingested twice UNDER THE SAME id (a re-read shard unioned in)
+        # matches twice, so collapse identical survivors explicitly
         unique = pin(hashed.join(keep, ["__h", "media_id"], "left_semi")
+                           .dropDuplicates(["__h"])
                            .drop("__h"))
         n_unique = unique.count()
 

@@ -1028,7 +1028,7 @@ SELECT media_id,
          i -> CASE WHEN (smp[CAST(i AS INT) + 1] >= 0)
                     <> (smp[CAST(i AS INT) + 2] >= 0)
               THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
-       CAST(list_max(list_transform(smp, v -> abs(v))) AS INTEGER)
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS BIGINT)
          AS peak,
        CAST(list_sum(list_transform(smp, v -> v * v)) AS BIGINT)
          AS energy,

@@ -1601,3 +1601,59 @@ def test_audio_features_values_and_loud_seam(spark):
                                 "doc_id long, text string")
     with _pt.raises(Exception, match="WAV payloads"):
         audio_features(synthesize_media(img, "doc_id", "text")).collect()
+
+
+def test_audio_features_bit_depths_and_stereo(spark):
+    """Review-pinned semantics: 8-bit PCM centered on 128 (silence ->
+    RMS 0, square wave -> max ZCR); stereo ZCR never compares L to R
+    and n_samples counts frames; 32-bit energy is exact python-int
+    arithmetic with a loud int64 guard."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        audio_features)
+
+    def wav(samples, sw, nch=1) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(8000)
+            dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
+            w.writeframes(np.asarray(samples, dt).tobytes())
+        return buf.getvalue()
+
+    silence8 = wav([128] * 50, 1)
+    square8 = wav([255, 0] * 25, 1)
+    # stereo: L constant +1000, R constant -1000 (interleaved) — zero
+    # crossings per channel = 0; flat-sample comparison would say 99
+    stereo = wav([1000, -1000] * 50, 2, nch=2)
+    big = 2 ** 31 - 1
+    one32 = wav([big], 4)
+    rows = [(0, "audio/wav", bytearray(silence8), len(silence8)),
+            (1, "audio/wav", bytearray(square8), len(square8)),
+            (2, "audio/wav", bytearray(stereo), len(stereo)),
+            (3, "audio/wav", bytearray(one32), len(one32))]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+              "n_bytes long")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got[0]["rms"] == 0.0 and got[0]["zero_crossings"] == 0
+    assert got[1]["zero_crossings"] == 49
+    assert got[1]["peak"] == 128          # centered: 0-128 = -128
+    assert got[2]["zero_crossings"] == 0
+    assert got[2]["n_samples"] == 50      # frames, not interleaved count
+    assert got[3]["energy"] == big * big  # exact, no int64 wrap
+    assert got[3]["peak"] == big
+
+    # energy past int64 raises loudly instead of wrapping
+    over = wav([big, big, big], 4)
+    df2 = spark.createDataFrame(
+        [(9, "audio/wav", bytearray(over), len(over))],
+        "media_id long, media_type string, payload binary, n_bytes long")
+    with _pt.raises(Exception, match="int64"):
+        audio_features(df2).collect()

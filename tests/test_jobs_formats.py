@@ -425,3 +425,24 @@ def test_curate_media_corpus_default_source(spark, sf_small, tmp_path):
     assert sc["input"] == 500
     assert 0 < sc["unique_payloads"] <= 500
     assert sc["kept"] > 0 and set(m["kept_by_kind"]) <= {"image", "audio"}
+
+
+def test_curate_media_corpus_same_id_duplicates_collapse(spark, sf_small,
+                                                         tmp_path):
+    """A payload ingested twice under the SAME media_id (a re-read
+    shard unioned into the input) must still collapse to one row —
+    the semi join alone keeps both."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.plans.jobs import curate_media_corpus
+
+    img = b"P5\n16 16\n255\n" + bytes(np.full(256, 120, np.uint8))
+    rows = [(0, "image/x-portable-graymap", bytearray(img), len(img))] * 3
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+              "n_bytes long")
+    out = str(tmp_path / "m3")
+    m = curate_media_corpus(spark, sf_small, out, media=media)
+    assert m["status"] == "completed"
+    assert m["stage_counts"] == {"input": 3, "unique_payloads": 1,
+                                 "decoded": 1, "kept": 1}

@@ -227,3 +227,32 @@ def test_spark_dispatch_and_block_mean(spark):
         assert (r["kind"], r["width"], r["height"], r["n_channels"]) \
             == ("image", 32, 32, 1)
         assert abs(r["mean_value"] - float(vals.mean())) < 1e-12, (i, text)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    the header walk must not parse a length out of the padding."""
+    data, want = _golden_gray_8x8()
+    # inject fill bytes before the DQT marker
+    i = data.index(b"\xFF\xDB")
+    padded = data[:i] + b"\xFF\xFF\xFF" + data[i:]
+    np.testing.assert_array_equal(decode_jpeg_baseline(padded), want)
+
+
+def test_truncated_entropy_stream_raises_loudly():
+    """A scan cut short must surface as a clear ValueError, not the
+    internal _MarkerHit or a bare IndexError."""
+    px = np.arange(64 * 4, dtype=np.uint8).reshape(16, 16)
+    b = encode_jpeg_baseline(px, quality=90)
+    # drop most of the entropy segment but keep the EOI marker
+    sos = b.index(b"\xFF\xDA")
+    cut = b[:sos + 20] + b"\xFF\xD9"
+    with pytest.raises(ValueError, match="truncated|ends before"):
+        decode_jpeg_baseline(cut)
+
+
+def test_huffman_memo_is_bounded():
+    from climate_data_pipeline_spark.operators.jpeg import (
+        _canonical_codes_cached, _decode_table_cached)
+    assert _canonical_codes_cached.cache_info().maxsize == 512
+    assert _decode_table_cached.cache_info().maxsize == 512

@@ -153,3 +153,23 @@ def test_streaming_media_decode_equals_batch(spark, tmp_path):
                      spark.sql("SELECT * FROM media_decode_twin")
                      .collect()))
     assert got == want and len(got) == 9
+
+
+def test_idx1_absolute_offsets_accepted():
+    """The other idx1 convention in the wild: offsets measured from the
+    start of the FILE rather than the movi fourcc — the parser probes
+    the first entry and validates against whichever base matches."""
+    import struct
+
+    frames = _frames(3)
+    avi = bytearray(build_avi_mjpeg(frames, 16, 16, with_index=True))
+    # the movi LIST payload start, the base the parser validates against
+    movi_at = bytes(avi).index(b"movi")
+    i = bytes(avi).rfind(b"idx1")
+    n = struct.unpack_from("<I", avi, i + 4)[0] // 16
+    for e in range(n):
+        pos = i + 8 + 16 * e + 8
+        (rel,) = struct.unpack_from("<I", avi, pos)
+        struct.pack_into("<I", avi, pos, rel + movi_at)
+    meta = parse_avi_mjpeg(bytes(avi))
+    assert meta["frames"] == frames
