@@ -231,3 +231,73 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             })
 
     return df.mapInPandas(_decode, schema=out_schema)
+
+
+def video_frame_hashes(df: DataFrame) -> DataFrame:
+    """Frame-level fingerprints WITHOUT decoding: walk each AVI's movi
+    list and emit ``(media_id, frame_idx, frame_md5, frame_bytes)`` —
+    one row per frame, md5 over the raw entropy-coded JPEG bytes. The
+    primitive under video exact dedup: byte-identical frames (shared
+    intro/outro cards, re-encoded duplicates of the same source, test
+    patterns) are caught by the container walk alone, so the
+    fingerprint pass costs RIFF parsing + one hash per frame — no
+    Huffman, no IDCT, no pixels. Pixel-level near-dup (different
+    encoder settings, same content) belongs to the decode path; this
+    operator is the cheap first cut, exactly like byte-level payload
+    dedup in `curate_media_corpus` runs before any codec work."""
+    out_schema = ("media_id long, frame_idx int, frame_md5 string, "
+                  "frame_bytes long")
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_md5": [],
+                    "frame_bytes": []}
+            for mid, p in zip(pdf["media_id"].astype("int64"),
+                              pdf["payload"]):
+                meta = parse_avi_mjpeg(bytes(p))
+                for idx, fr in enumerate(meta["frames"]):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(idx)
+                    rows["frame_md5"].append(
+                        hashlib.md5(fr).hexdigest())
+                    rows["frame_bytes"].append(len(fr))
+            yield pd.DataFrame({
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "frame_md5": rows["frame_md5"],
+                "frame_bytes": pd.Series(rows["frame_bytes"],
+                                         dtype="int64"),
+            })
+
+    return df.mapInPandas(_hashes, schema=out_schema)
+
+
+def frame_dedup_report(df: DataFrame) -> DataFrame:
+    """Corpus-wide frame-level exact-dup report over AVI payloads:
+    for every video, how many of its frames are byte-duplicated
+    elsewhere in the corpus (ANOTHER video shares the frame, or the
+    same video repeats it), and the count of distinct frames. The
+    filter signal a video curation pass uses to drop slideshows /
+    re-encode twins before the expensive pixel work.
+
+    Plan: one container-walk fingerprint pass (no decode), ONE
+    combinable count-aggregate shuffle on the frame hash (uniform key
+    by construction — md5), and a broadcast-size join back of only the
+    duplicated hashes. Never frame×frame."""
+    from pyspark.sql import Window
+
+    h = video_frame_hashes(df)
+    # count occurrences of each frame hash corpus-wide via a window
+    # over the hash — one shuffle, map-side partials in the agg twin
+    w = Window.partitionBy("frame_md5")
+    flagged = h.withColumn("__n", F.count("*").over(w))
+    return (flagged.groupBy("media_id")
+            .agg(F.count("*").alias("n_frames"),
+                 F.countDistinct("frame_md5").alias("n_distinct"),
+                 F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+                  .alias("n_duplicated"))
+            .select("media_id", "n_frames",
+                    F.col("n_distinct").cast("long"),
+                    F.col("n_duplicated").cast("long")))

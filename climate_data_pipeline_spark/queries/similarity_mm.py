@@ -1051,6 +1051,57 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(media)
 
 
+@query("mm_frame_dedup", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+fr AS (
+  SELECT media_id, f,
+         CAST(list_transform(range(4),
+              k -> bytes[CAST((4*f + k) % len(bytes) AS INT) + 1])
+           AS VARCHAR) AS k
+  FROM b CROSS JOIN range(6) t(f)
+),
+cnt AS (SELECT k, count(*) AS n FROM fr GROUP BY k)
+SELECT fr.media_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(DISTINCT fr.k) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated
+FROM fr JOIN cnt USING (k)
+GROUP BY fr.media_id
+""")
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-level exact-dup report WITHOUT decoding: fingerprint
+    every frame by md5 over its raw entropy-coded bytes straight off
+    the RIFF walk (`operators/video.frame_dedup_report`) and count, per
+    video, how many frames are byte-duplicated anywhere in the corpus —
+    the shared-intro/slideshow/re-encode-twin signal a video curation
+    pass filters on before any pixel work. One combinable shuffle on
+    the (uniform) hash key, never frame×frame. The oracle re-derives
+    frame identity from the text bytes: the deterministic encoder maps
+    equal 8×8-tile tuples to equal JPEG bytes, so two frames collide
+    exactly when their 4-byte tuples match — a fingerprint pass that
+    hashed the wrong byte ranges or walked movi off-by-one would break
+    the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = VID.synthesize_avi_mjpeg(docs, "doc_id", "text", n_frames=6)
+    return VID.frame_dedup_report(media)
+
+
 @query("mm_image_resize", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

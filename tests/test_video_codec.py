@@ -173,3 +173,38 @@ def test_idx1_absolute_offsets_accepted():
         struct.pack_into("<I", avi, pos, rel + movi_at)
     meta = parse_avi_mjpeg(bytes(avi))
     assert meta["frames"] == frames
+
+
+def test_frame_dedup_report_counts(spark):
+    """frame_dedup_report: byte-identical frames (within OR across
+    videos) are counted without any decode; distinct counts are per
+    video, duplicate counts are corpus-wide."""
+    from climate_data_pipeline_spark.operators.video import (
+        frame_dedup_report, video_frame_hashes)
+
+    f = _frames(4, seed=9)
+    # video 0: frames A B A B (2 distinct, all 4 duplicated in-video)
+    # video 1: frames C D    (frame C repeats nowhere; D also in v2)
+    # video 2: frames D A    (D shared with v1, A shared with v0)
+    v0 = build_avi_mjpeg([f[0], f[1], f[0], f[1]], 16, 16)
+    v1 = build_avi_mjpeg([f[2], f[3]], 16, 16)
+    v2 = build_avi_mjpeg([f[3], f[0]], 16, 16)
+    rows = [(0, "video/x-msvideo", bytearray(v0), len(v0)),
+            (1, "video/x-msvideo", bytearray(v1), len(v1)),
+            (2, "video/x-msvideo", bytearray(v2), len(v2))]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+              "n_bytes long")
+    got = {r["media_id"]: r for r in frame_dedup_report(media).collect()}
+    assert (got[0]["n_frames"], got[0]["n_distinct"],
+            got[0]["n_duplicated"]) == (4, 2, 4)
+    assert (got[1]["n_frames"], got[1]["n_distinct"],
+            got[1]["n_duplicated"]) == (2, 2, 1)
+    assert (got[2]["n_frames"], got[2]["n_distinct"],
+            got[2]["n_duplicated"]) == (2, 2, 2)
+    # the fingerprint pass hashes the raw frame bytes, verbatim
+    import hashlib
+    h = {(r["media_id"], r["frame_idx"]): r["frame_md5"]
+         for r in video_frame_hashes(media).collect()}
+    assert h[(0, 0)] == h[(0, 2)] == hashlib.md5(f[0]).hexdigest()
+    assert h[(1, 1)] == h[(2, 0)] == hashlib.md5(f[3]).hexdigest()
