@@ -503,7 +503,8 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
     """REAL image resize — ``factor×factor`` area (box) downsampling
-    over decoded grayscale payloads (PGM or PNG), the standard
+    over decoded grayscale payloads (PGM, PNG or baseline JPEG), the
+    standard
     anti-aliased thumbnail kernel — emitted in LONG form
     ``(media_id, y, x, value)`` so a value-level oracle checks every
     output pixel, not a summary. The kernel is one vectorized
@@ -591,6 +592,13 @@ def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
                             cur[x] = (row[x] + pred) & 0xFF
                     out[y] = cur
                 return out
+            if p[:3] == b"\xFF\xD8\xFF":
+                px = decode_jpeg_baseline(p)
+                if px.ndim != 2:
+                    raise NotImplementedError(
+                        "resize_image_area takes grayscale payloads; "
+                        f"{px.shape[2]}-channel JPEG is not")
+                return px.astype(np.int32)
             raise NotImplementedError(
                 f"resize_image_area: no grayscale decoder for magic "
                 f"{p[:4]!r}")

@@ -256,3 +256,39 @@ def test_huffman_memo_is_bounded():
         _canonical_codes_cached, _decode_table_cached)
     assert _canonical_codes_cached.cache_info().maxsize == 512
     assert _decode_table_cached.cache_info().maxsize == 512
+
+
+def test_resize_over_jpeg_payloads(spark):
+    """resize_image_area accepts grayscale baseline JPEGs: with
+    block-constant synthesis (DC quant 8, exact decode) every 2x2 box
+    mean equals the block value; color JPEGs stay loud."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_baseline)
+    from climate_data_pipeline_spark.operators.multimodal import (
+        resize_image_area)
+
+    q = np.ones((8, 8), np.int64)
+    q[0, 0] = 8
+    vals = np.array([[10, 200], [90, 160]], np.uint8)
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1)        # 16x16, 4 tiles
+    jpg = encode_jpeg_baseline(px, quant_tables=(q, q))
+    media = spark.createDataFrame(
+        [(0, "image/jpeg", bytearray(jpg), len(jpg))],
+        "media_id long, media_type string, payload binary, n_bytes long")
+    out = {(r["y"], r["x"]): r["value"]
+           for r in resize_image_area(media, factor=2).collect()}
+    assert len(out) == 64
+    for y in range(8):
+        for x in range(8):
+            assert out[(y, x)] == float(vals[y // 4, x // 4])
+
+    color = encode_jpeg_baseline(
+        np.zeros((16, 16, 3), np.uint8) + 120, quality=95)
+    media_c = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(color), len(color))],
+        "media_id long, media_type string, payload binary, n_bytes long")
+    with _pt.raises(Exception, match="grayscale"):
+        resize_image_area(media_c).collect()
