@@ -479,3 +479,70 @@ def test_duplicate_spans_matches_python_reference(spark):
                 start, prev_end, n = p, p + L - 1, 1
         want.add((i, start, prev_end, n))
     assert got == want and any(r for r in want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40),
+    quality=st.integers(1, 100),
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "422", "420"]),
+    rst=st.integers(0, 3),
+    seed=st.integers(0, 2 ** 16),
+)
+def test_jpeg_roundtrip_total(h, w, quality, gray, sub, rst, seed):
+    """Total round trip over the whole parameter space: ANY size
+    (including 1×1 and non-MCU multiples), ANY quality, both color
+    layouts, every subsampling, with/without restarts — the decode
+    must return the exact input shape, stay in [0, 255] uint8, and a
+    CONSTANT image is DC-only, so its error is bounded by the DC quant
+    steps alone: ≤ qY/16 for luma plus ≤ 1.772·qC/16 through the
+    chroma inverse transform (+2 for the rounding chain) — hypothesis
+    found the original ±1 claim false at quality=1, where the DC step
+    clips to 255 and a constant legitimately shifts by ~16."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.jpeg import (
+        QUANT_CHROMA, QUANT_LUMA, decode_jpeg_baseline,
+        encode_jpeg_baseline, scaled_quant)
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(
+        px, quality=quality, subsampling=sub, restart_interval=rst))
+    assert out.shape == px.shape and out.dtype == np.uint8
+
+    const = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+    got = decode_jpeg_baseline(encode_jpeg_baseline(
+        const, quality=quality, subsampling=sub, restart_interval=rst))
+    qy = int(scaled_quant(QUANT_LUMA, quality)[0, 0])
+    qc = int(scaled_quant(QUANT_CHROMA, quality)[0, 0])
+    bound = qy / 16 + (0 if gray else 1.772 * qc / 16) + 2
+    assert np.abs(got.astype(int) - const.astype(int)).max() <= bound, \
+        (h, w, quality, sub, rst, bound)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    nf=st.integers(1, 8), fps=st.integers(1, 60),
+    with_index=st.booleans(), seed=st.integers(0, 2 ** 16),
+)
+def test_avi_container_roundtrip_total(nf, fps, with_index, seed):
+    """AVI container totality: any frame count/rate, arbitrary frame
+    byte lengths (odd/even), with/without idx1 — the movi walk must
+    return the exact frame bytes in order."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.video import (
+        build_avi_mjpeg, parse_avi_mjpeg)
+
+    rng = np.random.default_rng(seed)
+    # arbitrary binary frames: the container walk must not care that
+    # these aren't decodable JPEGs
+    frames = [rng.integers(0, 256, int(rng.integers(1, 200)),
+                           dtype=np.uint8).tobytes() for _ in range(nf)]
+    avi = build_avi_mjpeg(frames, 16, 16, fps=fps, with_index=with_index)
+    meta = parse_avi_mjpeg(avi)
+    assert meta["frames"] == frames
+    assert meta["fps"] == fps
