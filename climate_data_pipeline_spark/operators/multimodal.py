@@ -270,14 +270,14 @@ def decode_media_real(df: DataFrame) -> DataFrame:
         def decode_png(p: bytes) -> dict:
             # PNG (public spec, stdlib-only): 8-byte signature, then
             # length/type/data/crc chunks. Supported: bit depth 8,
-            # color types 0 (gray) / 2 (rgb) / 4 (gray+alpha) /
-            # 6 (rgba), non-interlaced — what any encoder emits for
-            # plain truecolor/grayscale. Palette, 16-bit, and Adam7
-            # raise loudly.
+            # color types 0 (gray) / 2 (rgb) / 3 (palette, PLTE
+            # lookup) / 4 (gray+alpha) / 6 (rgba), non-interlaced.
+            # 16-bit, sub-byte palette depths and Adam7 raise loudly.
             import zlib
 
             pos, idat = 8, []
             w = h = depth = ctype = interlace = None
+            plte = None
             while pos + 8 <= len(p):
                 (ln,) = __import__("struct").unpack_from(">I", p, pos)
                 typ = p[pos + 4:pos + 8]
@@ -287,6 +287,8 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     w, h = st.unpack_from(">II", data, 0)
                     depth, ctype = data[8], data[9]
                     interlace = data[12]
+                elif typ == b"PLTE":
+                    plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
                 elif typ == b"IDAT":
                     idat.append(data)
                 elif typ == b"IEND":
@@ -295,11 +297,14 @@ def decode_media_real(df: DataFrame) -> DataFrame:
             if depth != 8:
                 raise NotImplementedError(
                     f"PNG bit depth {depth} not supported (only 8)")
-            ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            # palette rows carry 1 index byte/px through the filter
+            # pass, then expand through PLTE
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
             if ch is None:
                 raise NotImplementedError(
-                    f"PNG color type {ctype} not supported "
-                    "(palette needs PLTE handling)")
+                    f"PNG color type {ctype} not supported")
+            if ctype == 3 and plte is None:
+                raise ValueError("palette PNG without a PLTE chunk")
             if interlace:
                 raise NotImplementedError(
                     "Adam7-interlaced PNG not supported")
@@ -343,7 +348,14 @@ def decode_media_real(df: DataFrame) -> DataFrame:
             # coverage, not intensity — folding it in would shift the
             # mean of any real-world transparent PNG
             px = out.reshape(h, w, ch)
-            color = px[:, :, :ch - 1] if ctype in (4, 6) else px
+            if ctype == 3:
+                idx = px[:, :, 0]
+                if int(idx.max()) >= len(plte):
+                    raise ValueError("palette index out of PLTE range")
+                color = plte[idx].astype(np.int32)   # (h, w, 3) RGB
+                ch = 3
+            else:
+                color = px[:, :, :ch - 1] if ctype in (4, 6) else px
             return {"kind": "image", "width": int(w), "height": int(h),
                     "n_channels": ch, "sample_rate": None,
                     "n_samples": None,

@@ -687,7 +687,9 @@ def test_png_codec_all_filters_and_loud_paths(spark):
 
     with _pt.raises(Exception, match="bit depth 16"):
         decode_one(png_with(depth=16))
-    with _pt.raises(Exception, match="color type 3"):
+    # palette is SUPPORTED now (r6) — but a type-3 stream with no PLTE
+    # chunk is malformed and must stay loud
+    with _pt.raises(Exception, match="without a PLTE"):
         decode_one(png_with(ctype=3))
     with _pt.raises(Exception, match="interlaced"):
         decode_one(png_with(interlace=1))
@@ -1657,3 +1659,49 @@ def test_audio_features_bit_depths_and_stereo(spark):
         "media_id long, media_type string, payload binary, n_bytes long")
     with _pt.raises(Exception, match="int64"):
         audio_features(df2).collect()
+
+
+def test_png_palette_decode(spark):
+    """Color type 3 (PLTE) PNGs decode through the palette lookup:
+    mean_value is the mean of the looked-up RGB triples, reported as
+    3 channels; an index past the palette raises."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real)
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    rng = np.random.default_rng(11)
+    plte = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (4, 6), dtype=np.uint8)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    ihdr = st.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0)
+
+    def png(palette):
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"PLTE", palette.tobytes())
+                + chunk(b"IDAT", zlib.compress(lines))
+                + chunk(b"IEND", b""))
+
+    pay = png(plte)
+    df = spark.createDataFrame(
+        [(0, "image/png", bytearray(pay), len(pay))],
+        "media_id long, media_type string, payload binary, n_bytes long")
+    r = decode_media_real(df).collect()[0]
+    assert (r["width"], r["height"], r["n_channels"]) == (6, 4, 3)
+    assert abs(r["mean_value"]
+               - float(plte[idx].astype(np.float64).mean())) < 1e-9
+
+    short = png(plte[:3])  # indices up to 4 now exceed the palette
+    df2 = spark.createDataFrame(
+        [(1, "image/png", bytearray(short), len(short))],
+        "media_id long, media_type string, payload binary, n_bytes long")
+    with _pt.raises(Exception, match="palette index"):
+        decode_media_real(df2).collect()
