@@ -288,6 +288,10 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     depth, ctype = data[8], data[9]
                     interlace = data[12]
                 elif typ == b"PLTE":
+                    if not data or len(data) % 3:
+                        raise ValueError(
+                            f"malformed PLTE chunk (length {len(data)} "
+                            "is not a positive multiple of 3)")
                     plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
                 elif typ == b"IDAT":
                     idat.append(data)

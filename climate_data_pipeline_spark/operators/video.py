@@ -276,28 +276,44 @@ def video_frame_hashes(df: DataFrame) -> DataFrame:
 
 def frame_dedup_report(df: DataFrame) -> DataFrame:
     """Corpus-wide frame-level exact-dup report over AVI payloads:
-    for every video, how many of its frames are byte-duplicated
-    elsewhere in the corpus (ANOTHER video shares the frame, or the
-    same video repeats it), and the count of distinct frames. The
-    filter signal a video curation pass uses to drop slideshows /
-    re-encode twins before the expensive pixel work.
+    for EVERY video (zero-frame containers included, with all-zero
+    counts), how many of its frames are byte-duplicated elsewhere in
+    the corpus (ANOTHER video shares the frame, or the same video
+    repeats it), and the count of distinct frames. The filter signal a
+    video curation pass uses to drop slideshows / re-encode twins
+    before the expensive pixel work.
 
-    Plan: one container-walk fingerprint pass (no decode), ONE
-    combinable count-aggregate shuffle on the frame hash (uniform key
-    by construction — md5), and a broadcast-size join back of only the
-    duplicated hashes. Never frame×frame."""
-    from pyspark.sql import Window
+    Plan: ONE container-walk fingerprint pass (the narrow hash
+    projection is persisted so the count branch and the score branch
+    don't walk the payloads twice), one COMBINABLE count shuffle on
+    the frame hash — map-side partials collapse a viral frame (a black
+    card duplicated a billion times) to one row per task, where a
+    count-window over the hash would sort the billion rows in a single
+    partition — then a broadcast of only the DUPLICATED hashes back
+    onto the hash stream (map-side, no second hash shuffle) and one
+    final aggregate on media_id. Never frame×frame."""
+    from pyspark import StorageLevel
 
-    h = video_frame_hashes(df)
-    # count occurrences of each frame hash corpus-wide via a window
-    # over the hash — one shuffle, map-side partials in the agg twin
-    w = Window.partitionBy("frame_md5")
-    flagged = h.withColumn("__n", F.count("*").over(w))
-    return (flagged.groupBy("media_id")
-            .agg(F.count("*").alias("n_frames"),
-                 F.countDistinct("frame_md5").alias("n_distinct"),
-                 F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
-                  .alias("n_duplicated"))
-            .select("media_id", "n_frames",
-                    F.col("n_distinct").cast("long"),
-                    F.col("n_duplicated").cast("long")))
+    h = (video_frame_hashes(df).select("media_id", "frame_md5")
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    dup_hashes = (h.groupBy("frame_md5")
+                   .agg(F.count("*").alias("__n"))
+                   .where(F.col("__n") > 1)
+                   .select("frame_md5", F.lit(1).alias("__dup")))
+    flagged = h.join(F.broadcast(dup_hashes), "frame_md5", "left")
+    report = (flagged.groupBy("media_id")
+              .agg(F.count("*").alias("n_frames"),
+                   F.countDistinct("frame_md5").alias("n_distinct"),
+                   F.count("__dup").alias("n_duplicated"))
+              .select("media_id", "n_frames",
+                      F.col("n_distinct").cast("long"),
+                      F.col("n_duplicated").cast("long")))
+    # zero-frame videos produce no hash rows — restore them with
+    # all-zero counts so the report covers every input video
+    ids = df.select("media_id").distinct()
+    return (ids.join(report, "media_id", "left")
+            .select("media_id",
+                    F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                    F.coalesce("n_duplicated",
+                               F.lit(0)).alias("n_duplicated")))

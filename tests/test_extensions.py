@@ -1705,3 +1705,32 @@ def test_png_palette_decode(spark):
         "media_id long, media_type string, payload binary, n_bytes long")
     with _pt.raises(Exception, match="palette index"):
         decode_media_real(df2).collect()
+
+
+def test_png_malformed_plte_is_loud(spark):
+    """PLTE whose length is not a positive multiple of 3 raises a
+    self-describing error, not numpy's reshape message."""
+    import struct as st
+    import zlib
+
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real)
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    lines = zlib.compress(b"\x00\x00\x00" + b"\x00\x00\x00")
+    for bad in (b"", b"\x01\x02"):
+        pay = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", bad) + chunk(b"IDAT", lines)
+               + chunk(b"IEND", b""))
+        df = spark.createDataFrame(
+            [(0, "image/png", bytearray(pay), len(pay))],
+            "media_id long, media_type string, payload binary, "
+            "n_bytes long")
+        with _pt.raises(Exception, match="malformed PLTE|without a PLTE"):
+            decode_media_real(df).collect()

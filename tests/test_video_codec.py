@@ -208,3 +208,21 @@ def test_frame_dedup_report_counts(spark):
          for r in video_frame_hashes(media).collect()}
     assert h[(0, 0)] == h[(0, 2)] == hashlib.md5(f[0]).hexdigest()
     assert h[(1, 1)] == h[(2, 0)] == hashlib.md5(f[3]).hexdigest()
+
+
+def test_frame_dedup_report_covers_zero_frame_videos(spark):
+    """A valid AVI with an empty movi list still gets a report row
+    (all-zero counts) — the curation pass must see every video."""
+    from climate_data_pipeline_spark.operators.video import (
+        frame_dedup_report)
+
+    empty = build_avi_mjpeg([], 16, 16)
+    one = build_avi_mjpeg(_frames(1), 16, 16)
+    media = spark.createDataFrame(
+        [(0, "video/x-msvideo", bytearray(empty), len(empty)),
+         (1, "video/x-msvideo", bytearray(one), len(one))],
+        "media_id long, media_type string, payload binary, n_bytes long")
+    got = {r["media_id"]: r for r in frame_dedup_report(media).collect()}
+    assert (got[0]["n_frames"], got[0]["n_distinct"],
+            got[0]["n_duplicated"]) == (0, 0, 0)
+    assert got[1]["n_frames"] == 1
