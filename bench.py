@@ -67,6 +67,7 @@ HEADLINE = [
     "mm_decode_jpeg",         # baseline JPEG Huffman/DCT round trip
     "mm_video_frames",        # MJPEG AVI walk + sampled-frame decode
     "mm_audio_features",      # WAV decode + integer-exact clip stats
+    "mm_frame_dedup",         # no-decode frame fingerprints + dup counts
 ]
 
 # Heavy-by-design queries benched separately (fewer iterations) so their
