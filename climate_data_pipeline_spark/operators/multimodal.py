@@ -267,12 +267,61 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "n_samples": None,
                     "mean_value": float(px.mean())}
 
+        def _png_unfilter(stream: bytes, pos: int, ph: int, pw: int,
+                          ch: int, sw: int) -> tuple[np.ndarray, int]:
+            # one filtered sub-image (the whole image, or one Adam7
+            # pass): returns the raw BYTE grid (ph, pw*ch*sw) and the
+            # stream position after it. Filters operate bytewise with
+            # the left-reference distance = bpp bytes (PNG 4.5.2/3.4)
+            bpp = ch * sw
+            stride = pw * bpp
+            out = np.zeros((ph, stride), dtype=np.int32)
+            for y in range(ph):
+                f = stream[pos]
+                row = np.frombuffer(
+                    stream, dtype=np.uint8, count=stride,
+                    offset=pos + 1).astype(np.int32)
+                pos += stride + 1
+                prev = out[y - 1] if y else np.zeros(stride, np.int32)
+                if f == 0:
+                    cur = row
+                elif f == 2:                     # up — vectorizable
+                    cur = (row + prev) & 0xFF
+                elif f in (1, 3, 4):
+                    # left-referencing filters carry a serial
+                    # dependency; the per-pixel loop is fine for the
+                    # thumbnail-scale payloads this path decodes
+                    cur = np.zeros(stride, np.int32)
+                    for x in range(stride):
+                        a = cur[x - bpp] if x >= bpp else 0
+                        b = prev[x]
+                        if f == 1:
+                            pred = a
+                        elif f == 3:
+                            pred = (a + b) // 2
+                        else:
+                            c = prev[x - bpp] if x >= bpp else 0
+                            pa, pb, pc = (abs(b - c), abs(a - c),
+                                          abs(a + b - 2 * c))
+                            pred = (a if pa <= pb and pa <= pc
+                                    else b if pb <= pc else c)
+                        cur[x] = (row[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+                out[y] = cur
+            return out, pos
+
+        # Adam7 pass origins/steps (x0, y0, dx, dy — PNG spec 8.2)
+        _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                  (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                  (0, 1, 1, 2))
+
         def decode_png(p: bytes) -> dict:
             # PNG (public spec, stdlib-only): 8-byte signature, then
-            # length/type/data/crc chunks. Supported: bit depth 8,
-            # color types 0 (gray) / 2 (rgb) / 3 (palette, PLTE
-            # lookup) / 4 (gray+alpha) / 6 (rgba), non-interlaced.
-            # 16-bit, sub-byte palette depths and Adam7 raise loudly.
+            # length/type/data/crc chunks. Supported: bit depths 8 and
+            # 16, color types 0 (gray) / 2 (rgb) / 3 (palette, PLTE
+            # lookup) / 4 (gray+alpha) / 6 (rgba), non-interlaced AND
+            # Adam7. Sub-byte depths raise loudly.
             import zlib
 
             pos, idat = 8, []
@@ -298,9 +347,11 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                 elif typ == b"IEND":
                     break
                 pos += 12 + ln
-            if depth != 8:
+            if depth not in (8, 16):
                 raise NotImplementedError(
-                    f"PNG bit depth {depth} not supported (only 8)")
+                    f"PNG bit depth {depth} not supported (8/16 only)")
+            if depth == 16 and ctype == 3:
+                raise ValueError("16-bit palette PNG is not legal")
             # palette rows carry 1 index byte/px through the filter
             # pass, then expand through PLTE
             ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
@@ -309,49 +360,41 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     f"PNG color type {ctype} not supported")
             if ctype == 3 and plte is None:
                 raise ValueError("palette PNG without a PLTE chunk")
-            if interlace:
-                raise NotImplementedError(
-                    "Adam7-interlaced PNG not supported")
+            sw = depth // 8
             stream = zlib.decompress(b"".join(idat))
-            stride = w * ch
-            out = np.zeros((h, stride), dtype=np.int32)
-            for y in range(h):
-                f = stream[y * (stride + 1)]
-                row = np.frombuffer(
-                    stream, dtype=np.uint8, count=stride,
-                    offset=y * (stride + 1) + 1).astype(np.int32)
-                prev = out[y - 1] if y else np.zeros(stride, np.int32)
-                if f == 0:
-                    cur = row
-                elif f == 2:                     # up — vectorizable
-                    cur = (row + prev) & 0xFF
-                elif f in (1, 3, 4):
-                    # left-referencing filters carry a serial
-                    # dependency; the per-pixel loop is fine for the
-                    # thumbnail-scale payloads this path decodes
-                    cur = np.zeros(stride, np.int32)
-                    for x in range(stride):
-                        a = cur[x - ch] if x >= ch else 0
-                        b = prev[x]
-                        if f == 1:
-                            pred = a
-                        elif f == 3:
-                            pred = (a + b) // 2
-                        else:
-                            c = prev[x - ch] if x >= ch else 0
-                            pa, pb, pc = (abs(b - c), abs(a - c),
-                                          abs(a + b - 2 * c))
-                            pred = (a if pa <= pb and pa <= pc
-                                    else b if pb <= pc else c)
-                        cur[x] = (row[x] + pred) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter type {f}")
-                out[y] = cur
+
+            def to_samples(raw: np.ndarray, ph: int, pw: int) -> np.ndarray:
+                # (ph, pw*ch*sw) bytes -> (ph, pw, ch) sample values
+                # (16-bit samples are big-endian per spec 7.1)
+                if sw == 1:
+                    return raw.reshape(ph, pw, ch)
+                b2 = raw.reshape(ph, pw, ch, 2)
+                return (b2[..., 0] << 8) | b2[..., 1]
+
+            if interlace == 0:
+                raw, _ = _png_unfilter(stream, 0, h, w, ch, sw)
+                px = to_samples(raw, h, w)
+            elif interlace == 1:
+                # Adam7: seven independently-filtered sub-images,
+                # concatenated in the same zlib stream; empty passes
+                # contribute no bytes
+                px = np.zeros((h, w, ch), np.int32)
+                spos = 0
+                for (x0, y0, dx, dy) in _ADAM7:
+                    pw = (w - x0 + dx - 1) // dx
+                    ph = (h - y0 + dy - 1) // dy
+                    if pw <= 0 or ph <= 0:
+                        continue
+                    raw, spos = _png_unfilter(stream, spos, ph, pw,
+                                              ch, sw)
+                    px[y0::dy, x0::dx] = to_samples(raw, ph, pw)
+            else:
+                raise ValueError(f"bad PNG interlace method {interlace}")
+
             # mean_value is the mean over COLOR samples only: for
             # gray+alpha (type 4) and RGBA (6) the alpha plane is
             # coverage, not intensity — folding it in would shift the
             # mean of any real-world transparent PNG
-            px = out.reshape(h, w, ch)
             if ctype == 3:
                 idx = px[:, :, 0]
                 if int(idx.max()) >= len(plte):

@@ -685,14 +685,15 @@ def test_png_codec_all_filters_and_loud_paths(spark):
             "n_bytes long")
         return decode_media_real(bad).collect()
 
-    with _pt.raises(Exception, match="bit depth 16"):
-        decode_one(png_with(depth=16))
+    # 16-bit and Adam7 are SUPPORTED now (r6); sub-byte depths stay loud
+    with _pt.raises(Exception, match="bit depth 4"):
+        decode_one(png_with(depth=4))
     # palette is SUPPORTED now (r6) — but a type-3 stream with no PLTE
     # chunk is malformed and must stay loud
     with _pt.raises(Exception, match="without a PLTE"):
         decode_one(png_with(ctype=3))
-    with _pt.raises(Exception, match="interlaced"):
-        decode_one(png_with(interlace=1))
+    with _pt.raises(Exception, match="interlace method 9"):
+        decode_one(png_with(interlace=9))
 
 
 def test_text_family_null_and_empty_safe(spark):
@@ -1734,3 +1735,76 @@ def test_png_malformed_plte_is_loud(spark):
             "n_bytes long")
         with _pt.raises(Exception, match="malformed PLTE|without a PLTE"):
             decode_media_real(df).collect()
+
+
+def test_png_16bit_and_adam7(spark):
+    """The last two PNG seams: 16-bit samples (big-endian, filters
+    operate bytewise with bpp-distance left references) and Adam7
+    interlacing (seven independently-filtered sub-images in one zlib
+    stream). Means re-derived from the raw sample grids."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real)
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    def png(ihdr, idat_raw):
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(idat_raw))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(17)
+
+    # --- 16-bit grayscale, filters None/Up alternating ---
+    g16 = rng.integers(0, 65536, (5, 7), dtype=np.uint16)
+    lines = b""
+    prev = np.zeros(14, np.int32)
+    for y in range(5):
+        rowb = np.frombuffer(g16[y].astype(">u2").tobytes(),
+                             np.uint8).astype(np.int32)
+        if y % 2:
+            lines += b"\x02" + ((rowb - prev) & 0xFF).astype(np.uint8) \
+                .tobytes()
+        else:
+            lines += b"\x00" + rowb.astype(np.uint8).tobytes()
+        prev = rowb
+    pay16 = png(st.pack(">IIBBBBB", 7, 5, 16, 0, 0, 0, 0), lines)
+
+    # --- Adam7 8-bit RGB: per-pass filtering (None + Sub mix) ---
+    rgb = rng.integers(0, 256, (9, 10, 3), dtype=np.uint8)
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+             (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    alines = b""
+    for pi, (x0, y0, dx, dy) in enumerate(ADAM7):
+        sub = rgb[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            row = sub[y].reshape(-1).astype(np.int32)
+            if pi % 2:            # Sub filter, bpp = 3
+                left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+                alines += b"\x01" + ((row - left) & 0xFF) \
+                    .astype(np.uint8).tobytes()
+            else:
+                alines += b"\x00" + row.astype(np.uint8).tobytes()
+    pay_a7 = png(st.pack(">IIBBBBB", 10, 9, 8, 2, 0, 0, 1), alines)
+
+    df = spark.createDataFrame(
+        [(0, "image/png", bytearray(pay16), len(pay16)),
+         (1, "image/png", bytearray(pay_a7), len(pay_a7))],
+        "media_id long, media_type string, payload binary, n_bytes long")
+    got = {r["media_id"]: r for r in decode_media_real(df).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["n_channels"]) \
+        == (7, 5, 1)
+    assert abs(got[0]["mean_value"]
+               - float(g16.astype(np.float64).mean())) < 1e-9
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) \
+        == (10, 9, 3)
+    assert abs(got[1]["mean_value"]
+               - float(rgb.astype(np.float64).mean())) < 1e-9
