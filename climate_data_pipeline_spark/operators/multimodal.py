@@ -98,14 +98,19 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def synthesize_png(df: DataFrame, id_col: str, text_col: str,
-                   rgb_every: int = 3) -> DataFrame:
+                   rgb_every: int = 3, adam7_every: int = 7) -> DataFrame:
     """Build REAL PNG payloads deterministically from text rows: 16×16
     images whose pixels are the cycled UTF-8 bytes of the text (every
     ``rgb_every``-th id truecolor, others grayscale), zlib-compressed
     through a genuine scanline-filter pass — the per-row filter type
     cycles through None/Sub/Up/Average/Paeth on ``media_id % 5``, so a
     decoder with a wrong unfilter produces wrong PIXELS, not just a
-    wrong container. Because the pixels are the cycled text bytes, a
+    wrong container. Every 7th id is additionally written
+    Adam7-INTERLACED (``adam7_every``; 0 disables — the resize query
+    feeds a decoder that keeps interlace a loud seam), same pixels,
+    so the interlace path sits under the same value oracle:
+    interlacing changes the container layout, never the pixels, hence
+    never the mean. Because the pixels are the cycled text bytes, a
     SQL oracle can re-derive the decoded mean without touching zlib."""
     out_schema = MEDIA_SCHEMA
 
@@ -119,18 +124,14 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
             return (st.pack(">I", len(data)) + typ + data
                     + st.pack(">I", zlib.crc32(typ + data)))
 
-        def png(text: str, media_id: int) -> bytes:
-            raw = (text.encode("utf-8") or b"\x00")
-            # rgb_every <= 0 means "all grayscale" (media_id 0 is a
-            # multiple of everything, so no modulus can express that)
-            ch = 3 if rgb_every > 0 and media_id % rgb_every == 0 else 1
-            px = np.resize(np.frombuffer(raw, dtype=np.uint8),
-                           256 * ch).reshape(16, 16 * ch).astype(np.int32)
-            f = media_id % 5
+        def filt_sub(sub: np.ndarray, f: int, ch: int) -> bytes:
+            # filter one (rows, cols*ch) sub-image; prev is the prior
+            # row WITHIN the sub-image (per spec, each Adam7 pass
+            # filters independently)
             lines = []
-            for y in range(16):
-                row = px[y]
-                prev = px[y - 1] if y else np.zeros_like(row)
+            for y in range(sub.shape[0]):
+                row = sub[y]
+                prev = sub[y - 1] if y else np.zeros_like(row)
                 left = np.concatenate([np.zeros(ch, np.int32),
                                        row[:-ch]])
                 upleft = np.concatenate([np.zeros(ch, np.int32),
@@ -152,10 +153,32 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
                     enc = row - pred
                 lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8)
                              .tobytes())
+            return b"".join(lines)
+
+        ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                 (0, 1, 1, 2))
+
+        def png(text: str, media_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            # rgb_every <= 0 means "all grayscale" (media_id 0 is a
+            # multiple of everything, so no modulus can express that)
+            ch = 3 if rgb_every > 0 and media_id % rgb_every == 0 else 1
+            px = np.resize(np.frombuffer(raw, dtype=np.uint8),
+                           256 * ch).reshape(16, 16, ch).astype(np.int32)
+            f = media_id % 5
+            adam7 = adam7_every > 0 and media_id % adam7_every == 3
+            if adam7:
+                body = b"".join(
+                    filt_sub(px[y0::dy, x0::dx].reshape(
+                        px[y0::dy, x0::dx].shape[0], -1), f, ch)
+                    for (x0, y0, dx, dy) in ADAM7)
+            else:
+                body = filt_sub(px.reshape(16, 16 * ch), f, ch)
             ihdr = st.pack(">IIBBBBB", 16, 16, 8,
-                           2 if ch == 3 else 0, 0, 0, 0)
+                           2 if ch == 3 else 0, 0, 0, int(adam7))
             return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                    + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+                    + chunk(b"IDAT", zlib.compress(body, 6))
                     + chunk(b"IEND", b""))
 
         for pdf in batches:

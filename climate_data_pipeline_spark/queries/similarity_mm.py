@@ -892,7 +892,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG round trip through a REAL compressed container, no external
     media libraries: documents render into genuine PNGs (pixels = the
     cycled text bytes; every third id truecolor; scanline filter type
-    cycles None/Sub/Up/Average/Paeth on media_id % 5) and decode back
+    cycles None/Sub/Up/Average/Paeth on media_id % 5; every 7th id
+    Adam7-interlaced — same pixels, so the same oracle pins the
+    interlace path) and decode back
     through zlib + full unfiltering (`operators/multimodal.decode_png`).
     The oracle re-derives the decoded pixel mean straight from the text
     bytes — if any of the four non-trivial unfilters were wrong, the
@@ -1143,7 +1145,8 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-extraction preprocessing shape of a multimodal training
     pipeline, with the decode and the kernel both on the hook."""
     docs = load_table(spark, sf_dir, "documents")
-    media = MM.synthesize_png(docs, "doc_id", "text", rgb_every=0)
+    media = MM.synthesize_png(docs, "doc_id", "text", rgb_every=0,
+                              adam7_every=0)
     return MM.resize_image_area(media, factor=2)
 
 
