@@ -167,12 +167,19 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
             px = np.resize(np.frombuffer(raw, dtype=np.uint8),
                            256 * ch).reshape(16, 16, ch).astype(np.int32)
             f = media_id % 5
-            adam7 = adam7_every > 0 and media_id % adam7_every == 3
+            # residue min(3, N-1) keeps the "every N-th id" contract
+            # honest for N <= 3 (media_id % 1 == 3 is never true)
+            adam7 = (adam7_every > 0
+                     and media_id % adam7_every == min(3, adam7_every - 1))
             if adam7:
-                body = b"".join(
-                    filt_sub(px[y0::dy, x0::dx].reshape(
-                        px[y0::dy, x0::dx].shape[0], -1), f, ch)
-                    for (x0, y0, dx, dy) in ADAM7)
+                parts = []
+                for (x0, y0, dx, dy) in ADAM7:
+                    sub = px[y0::dy, x0::dx]
+                    if sub.size == 0:   # empty pass emits NO bytes
+                        continue
+                    parts.append(filt_sub(sub.reshape(len(sub), -1),
+                                          f, ch))
+                body = b"".join(parts)
             else:
                 body = filt_sub(px.reshape(16, 16 * ch), f, ch)
             ihdr = st.pack(">IIBBBBB", 16, 16, 8,
@@ -383,6 +390,10 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     f"PNG color type {ctype} not supported")
             if ctype == 3 and plte is None:
                 raise ValueError("palette PNG without a PLTE chunk")
+            if interlace not in (0, 1):
+                # validate BEFORE inflating: a hostile payload with a
+                # bad interlace byte must not get a free decompression
+                raise ValueError(f"bad PNG interlace method {interlace}")
             sw = depth // 8
             stream = zlib.decompress(b"".join(idat))
 
@@ -411,8 +422,6 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     raw, spos = _png_unfilter(stream, spos, ph, pw,
                                               ch, sw)
                     px[y0::dy, x0::dx] = to_samples(raw, ph, pw)
-            else:
-                raise ValueError(f"bad PNG interlace method {interlace}")
 
             # mean_value is the mean over COLOR samples only: for
             # gray+alpha (type 4) and RGBA (6) the alpha plane is

@@ -1808,3 +1808,35 @@ def test_png_16bit_and_adam7(spark):
         == (10, 9, 3)
     assert abs(got[1]["mean_value"]
                - float(rgb.astype(np.float64).mean())) < 1e-9
+
+
+def test_synthesize_png_emits_interlaced_payloads(spark):
+    """Encoder-side non-vacuity: the default synthesize_png stream must
+    actually contain Adam7 payloads (IHDR interlace byte 1) on the
+    %7==3 residue ids, and those payloads must still decode to the
+    cycled-byte mean — a regression that silently stops emitting
+    interlace would otherwise be invisible (the oracle mean is
+    interlace-invariant by design)."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_png)
+
+    rows = [(i, f"text for doc {i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = {r["media_id"]: bytes(r["payload"])
+             for r in synthesize_png(df, "doc_id", "text").collect()}
+    # IHDR interlace byte = offset 8(sig)+8(len/type)+12(ihdr fields)
+    interlaced = {i for i, p in media.items() if p[28] == 1}
+    assert interlaced == {3}, interlaced
+    # adam7_every=1 means EVERY id (the %1==3 residue trap)
+    media_all = {r["media_id"]: bytes(r["payload"])
+                 for r in synthesize_png(df, "doc_id", "text",
+                                         adam7_every=1).collect()}
+    assert all(p[28] == 1 for p in media_all.values())
+    got = {r["media_id"]: r for r in decode_media_real(
+        synthesize_png(df, "doc_id", "text", adam7_every=1)).collect()}
+    for i, text in rows:
+        ch = 3 if i % 3 == 0 else 1
+        pxb = np.resize(np.frombuffer(text.encode(), np.uint8), 256 * ch)
+        assert abs(got[i]["mean_value"] - float(pxb.mean())) < 1e-9, i
