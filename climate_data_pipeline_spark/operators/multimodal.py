@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from .png import png_pixels
 from .text import _spread
 
 MEDIA_SCHEMA = "media_id long, media_type string, payload binary, n_bytes long"
@@ -106,9 +107,9 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
     cycles through None/Sub/Up/Average/Paeth on ``media_id % 5``, so a
     decoder with a wrong unfilter produces wrong PIXELS, not just a
     wrong container. Every 7th id is additionally written
-    Adam7-INTERLACED (``adam7_every``; 0 disables — the resize query
-    feeds a decoder that keeps interlace a loud seam), same pixels,
-    so the interlace path sits under the same value oracle:
+    Adam7-INTERLACED (``adam7_every``; 0 disables; N ≤ 3 interlace the
+    ``min(3, N-1)`` residue so N=1 really means every id), same
+    pixels, so the interlace path sits under the same value oracle:
     interlacing changes the container layout, never the pixels, hence
     never the mean. Because the pixels are the cycled text bytes, a
     SQL oracle can re-derive the decoded mean without touching zlib."""
@@ -297,144 +298,17 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "n_samples": None,
                     "mean_value": float(px.mean())}
 
-        def _png_unfilter(stream: bytes, pos: int, ph: int, pw: int,
-                          ch: int, sw: int) -> tuple[np.ndarray, int]:
-            # one filtered sub-image (the whole image, or one Adam7
-            # pass): returns the raw BYTE grid (ph, pw*ch*sw) and the
-            # stream position after it. Filters operate bytewise with
-            # the left-reference distance = bpp bytes (PNG 4.5.2/3.4)
-            bpp = ch * sw
-            stride = pw * bpp
-            out = np.zeros((ph, stride), dtype=np.int32)
-            for y in range(ph):
-                f = stream[pos]
-                row = np.frombuffer(
-                    stream, dtype=np.uint8, count=stride,
-                    offset=pos + 1).astype(np.int32)
-                pos += stride + 1
-                prev = out[y - 1] if y else np.zeros(stride, np.int32)
-                if f == 0:
-                    cur = row
-                elif f == 2:                     # up — vectorizable
-                    cur = (row + prev) & 0xFF
-                elif f in (1, 3, 4):
-                    # left-referencing filters carry a serial
-                    # dependency; the per-pixel loop is fine for the
-                    # thumbnail-scale payloads this path decodes
-                    cur = np.zeros(stride, np.int32)
-                    for x in range(stride):
-                        a = cur[x - bpp] if x >= bpp else 0
-                        b = prev[x]
-                        if f == 1:
-                            pred = a
-                        elif f == 3:
-                            pred = (a + b) // 2
-                        else:
-                            c = prev[x - bpp] if x >= bpp else 0
-                            pa, pb, pc = (abs(b - c), abs(a - c),
-                                          abs(a + b - 2 * c))
-                            pred = (a if pa <= pb and pa <= pc
-                                    else b if pb <= pc else c)
-                        cur[x] = (row[x] + pred) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter type {f}")
-                out[y] = cur
-            return out, pos
-
-        # Adam7 pass origins/steps (x0, y0, dx, dy — PNG spec 8.2)
-        _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
-                  (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
-                  (0, 1, 1, 2))
-
         def decode_png(p: bytes) -> dict:
-            # PNG (public spec, stdlib-only): 8-byte signature, then
-            # length/type/data/crc chunks. Supported: bit depths 8 and
-            # 16, color types 0 (gray) / 2 (rgb) / 3 (palette, PLTE
-            # lookup) / 4 (gray+alpha) / 6 (rgba), non-interlaced AND
-            # Adam7. Sub-byte depths raise loudly.
-            import zlib
-
-            pos, idat = 8, []
-            w = h = depth = ctype = interlace = None
-            plte = None
-            while pos + 8 <= len(p):
-                (ln,) = __import__("struct").unpack_from(">I", p, pos)
-                typ = p[pos + 4:pos + 8]
-                data = p[pos + 8:pos + 8 + ln]
-                if typ == b"IHDR":
-                    st = __import__("struct")
-                    w, h = st.unpack_from(">II", data, 0)
-                    depth, ctype = data[8], data[9]
-                    interlace = data[12]
-                elif typ == b"PLTE":
-                    if not data or len(data) % 3:
-                        raise ValueError(
-                            f"malformed PLTE chunk (length {len(data)} "
-                            "is not a positive multiple of 3)")
-                    plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-                elif typ == b"IDAT":
-                    idat.append(data)
-                elif typ == b"IEND":
-                    break
-                pos += 12 + ln
-            if depth not in (8, 16):
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} not supported (8/16 only)")
-            if depth == 16 and ctype == 3:
-                raise ValueError("16-bit palette PNG is not legal")
-            # palette rows carry 1 index byte/px through the filter
-            # pass, then expand through PLTE
-            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-            if ch is None:
-                raise NotImplementedError(
-                    f"PNG color type {ctype} not supported")
-            if ctype == 3 and plte is None:
-                raise ValueError("palette PNG without a PLTE chunk")
-            if interlace not in (0, 1):
-                # validate BEFORE inflating: a hostile payload with a
-                # bad interlace byte must not get a free decompression
-                raise ValueError(f"bad PNG interlace method {interlace}")
-            sw = depth // 8
-            stream = zlib.decompress(b"".join(idat))
-
-            def to_samples(raw: np.ndarray, ph: int, pw: int) -> np.ndarray:
-                # (ph, pw*ch*sw) bytes -> (ph, pw, ch) sample values
-                # (16-bit samples are big-endian per spec 7.1)
-                if sw == 1:
-                    return raw.reshape(ph, pw, ch)
-                b2 = raw.reshape(ph, pw, ch, 2)
-                return (b2[..., 0] << 8) | b2[..., 1]
-
-            if interlace == 0:
-                raw, _ = _png_unfilter(stream, 0, h, w, ch, sw)
-                px = to_samples(raw, h, w)
-            elif interlace == 1:
-                # Adam7: seven independently-filtered sub-images,
-                # concatenated in the same zlib stream; empty passes
-                # contribute no bytes
-                px = np.zeros((h, w, ch), np.int32)
-                spos = 0
-                for (x0, y0, dx, dy) in _ADAM7:
-                    pw = (w - x0 + dx - 1) // dx
-                    ph = (h - y0 + dy - 1) // dy
-                    if pw <= 0 or ph <= 0:
-                        continue
-                    raw, spos = _png_unfilter(stream, spos, ph, pw,
-                                              ch, sw)
-                    px[y0::dy, x0::dx] = to_samples(raw, ph, pw)
-
+            # shared spec decoder (operators/png.py): depths 8/16,
+            # color types 0/2/3/4/6, non-interlaced + Adam7. Palette
+            # arrives already expanded to RGB.
+            px, ctype = png_pixels(p)
+            h, w, ch = px.shape
             # mean_value is the mean over COLOR samples only: for
             # gray+alpha (type 4) and RGBA (6) the alpha plane is
             # coverage, not intensity — folding it in would shift the
             # mean of any real-world transparent PNG
-            if ctype == 3:
-                idx = px[:, :, 0]
-                if int(idx.max()) >= len(plte):
-                    raise ValueError("palette index out of PLTE range")
-                color = plte[idx].astype(np.int32)   # (h, w, 3) RGB
-                ch = 3
-            else:
-                color = px[:, :, :ch - 1] if ctype in (4, 6) else px
+            color = px[:, :, :ch - 1] if ctype in (4, 6) else px
             return {"kind": "image", "width": int(w), "height": int(h),
                     "n_channels": ch, "sample_rate": None,
                     "n_samples": None,
@@ -606,8 +480,6 @@ def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
     out_schema = "media_id long, y int, x int, value double"
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
-
         import numpy as np
 
         def gray_pixels(p: bytes) -> np.ndarray:
@@ -630,59 +502,15 @@ def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
                 w, h, _ = toks
                 return np.frombuffer(p, np.uint8, w * h, i).reshape(h, w)
             if p[:8] == b"\x89PNG\r\n\x1a\n":
-                import struct as st
-                pos, idat = 8, []
-                w = h = ctype = None
-                depth = interlace = None
-                while pos + 8 <= len(p):
-                    (ln,) = st.unpack_from(">I", p, pos)
-                    typ = p[pos + 4:pos + 8]
-                    if typ == b"IHDR":
-                        w, h = st.unpack_from(">II", p, pos + 8)
-                        depth, ctype = p[pos + 16], p[pos + 17]
-                        interlace = p[pos + 20]
-                    elif typ == b"IDAT":
-                        idat.append(p[pos + 8:pos + 8 + ln])
-                    pos += 12 + ln
+                # shared spec decoder (operators/png.py) — the resize
+                # kernel is grayscale-only, but the container support
+                # (filters, 16-bit, Adam7, palette parse) rides along
+                px, ctype = png_pixels(p)
                 if ctype != 0:
                     raise NotImplementedError(
                         "resize_image_area takes grayscale payloads; "
                         f"PNG color type {ctype} is not")
-                if depth != 8 or interlace:
-                    # same guards as decode_png — assuming 1 byte/px
-                    # on 16-bit or Adam7 data would resize garbage
-                    raise NotImplementedError(
-                        f"PNG bit depth {depth} / interlace "
-                        f"{interlace} not supported")
-                stream = zlib.decompress(b"".join(idat))
-                out = np.zeros((h, w), dtype=np.int32)
-                for y in range(h):
-                    f = stream[y * (w + 1)]
-                    row = np.frombuffer(stream, np.uint8, w,
-                                        y * (w + 1) + 1).astype(np.int32)
-                    prev = out[y - 1] if y else np.zeros(w, np.int32)
-                    if f == 0:
-                        cur = row
-                    elif f == 2:
-                        cur = (row + prev) & 0xFF
-                    else:
-                        cur = np.zeros(w, np.int32)
-                        for x in range(w):
-                            a = cur[x - 1] if x else 0
-                            bb = prev[x]
-                            if f == 1:
-                                pred = a
-                            elif f == 3:
-                                pred = (a + bb) // 2
-                            else:
-                                c = prev[x - 1] if x else 0
-                                pa, pb, pc = (abs(bb - c), abs(a - c),
-                                              abs(a + bb - 2 * c))
-                                pred = (a if pa <= pb and pa <= pc
-                                        else bb if pb <= pc else c)
-                            cur[x] = (row[x] + pred) & 0xFF
-                    out[y] = cur
-                return out
+                return px[:, :, 0]
             if p[:3] == b"\xFF\xD8\xFF":
                 px = decode_jpeg_baseline(p)
                 if px.ndim != 2:

@@ -1145,8 +1145,10 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-extraction preprocessing shape of a multimodal training
     pipeline, with the decode and the kernel both on the hook."""
     docs = load_table(spark, sf_dir, "documents")
-    media = MM.synthesize_png(docs, "doc_id", "text", rgb_every=0,
-                              adam7_every=0)
+    # adam7 slice kept ON: interlacing changes the container, not the
+    # pixels, so this query value-checks the Adam7 decode PER PIXEL
+    # (32,000 values at sf0.01) under the unchanged oracle
+    media = MM.synthesize_png(docs, "doc_id", "text", rgb_every=0)
     return MM.resize_image_area(media, factor=2)
 
 
