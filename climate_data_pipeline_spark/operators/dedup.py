@@ -730,8 +730,11 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
 
     Spark-first shape (a distributed suffix array is the wrong tool on
     an engine with shuffles): positions explode MAP-SIDE (×len, no
-    key), each gram keys on ``md5(substring)`` — uniform by
-    construction, so ONE skew-free shuffle; duplicated positions are
+    key), each gram keys on ``md5(substring)`` — uniform across
+    DISTINCT grams (hot keys still concentrate: a corpus-wide
+    boilerplate gram ships every occurrence to one window partition;
+    when viral grams are expected, pre-aggregate with a combinable
+    groupBy count and join back instead); duplicated positions are
     flagged by a count window over the gram hash (one scan of the
     dominant explode+md5 stage — the groupBy + semi-join-back
     alternative reads it twice, see the inline note); interval merging

@@ -516,6 +516,19 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         pos += 2 + ln
     if scan_at is None or not comps:
         raise ValueError("no SOS/SOF in JPEG stream")
+    # a malformed stream may reference table ids no DQT/DHT defined —
+    # keep the module's loud-ValueError contract instead of a bare
+    # KeyError out of _decode_scan
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG scan references undefined "
+                             f"quantization table {c['tq']}")
+        if "td" not in c or "ta" not in c:
+            raise ValueError(f"SOS lists no entropy tables for "
+                             f"component id {c['id']}")
+        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+            raise ValueError("JPEG scan references undefined Huffman "
+                             f"table (DC {c['td']} / AC {c['ta']})")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -34,6 +34,10 @@ def _unfilter(stream: bytes, pos: int, ph: int, pw: int,
     stride = pw * bpp
     out = np.zeros((ph, stride), dtype=np.int32)
     for y in range(ph):
+        # loud-seam contract (cf. jpeg.py): a short stream is a
+        # descriptive ValueError, not a raw IndexError
+        if pos + 1 + stride > len(stream):
+            raise ValueError("PNG IDAT stream truncated")
         f = stream[pos]
         row = np.frombuffer(stream, dtype=np.uint8, count=stride,
                             offset=pos + 1).astype(np.int32)

@@ -284,18 +284,19 @@ def frame_dedup_report(df: DataFrame) -> DataFrame:
     before the expensive pixel work.
 
     Plan: ONE container-walk fingerprint pass (the narrow hash
-    projection is persisted so the count branch and the score branch
-    don't walk the payloads twice), one COMBINABLE count shuffle on
+    projection is eagerly localCheckpoint-ed so the count branch and
+    the score branch don't walk the payloads twice; unlike a persist()
+    pin — which CacheManager holds for the session unless the caller
+    unpersists — checkpoint blocks are released by the ContextCleaner
+    once the report DataFrame is dropped), one COMBINABLE count shuffle on
     the frame hash — map-side partials collapse a viral frame (a black
     card duplicated a billion times) to one row per task, where a
     count-window over the hash would sort the billion rows in a single
     partition — then a broadcast of only the DUPLICATED hashes back
     onto the hash stream (map-side, no second hash shuffle) and one
     final aggregate on media_id. Never frame×frame."""
-    from pyspark import StorageLevel
-
     h = (video_frame_hashes(df).select("media_id", "frame_md5")
-         .persist(StorageLevel.MEMORY_AND_DISK))
+         .localCheckpoint(eager=True))
     dup_hashes = (h.groupBy("frame_md5")
                    .agg(F.count("*").alias("__n"))
                    .where(F.col("__n") > 1)

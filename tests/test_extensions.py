@@ -696,6 +696,30 @@ def test_png_codec_all_filters_and_loud_paths(spark):
         decode_one(png_with(interlace=9))
 
 
+def test_png_truncated_idat_raises_value_error():
+    """A zlib stream that inflates to fewer bytes than the scanlines
+    need must surface as the loud 'truncated' ValueError (jpeg.py
+    convention), not a raw IndexError out of _unfilter."""
+    import struct as st
+    import zlib
+
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.png import png_pixels
+
+    def chunk(t, d):
+        return (st.pack(">I", len(d)) + t + d
+                + st.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)   # 2x2 gray-8
+    # full stream needs 2 rows x (1 filter + 2 px) = 6 bytes; give 4
+    short = zlib.compress(b"\x00\x01\x02\x00")
+    p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+    with _pt.raises(ValueError, match="IDAT stream truncated"):
+        png_pixels(p)
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""

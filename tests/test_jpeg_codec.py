@@ -209,6 +209,26 @@ def test_non_baseline_and_malformed_raise_loudly():
         decode_jpeg_baseline(data[:2] + b"\xFF\xD9")  # no SOF/SOS
 
 
+def test_undefined_table_references_raise_value_error():
+    """A scan referencing a quant/Huffman table id no DQT/DHT defined
+    must raise the module's documented ValueError, not a bare KeyError
+    out of _decode_scan."""
+    data, _ = _golden_gray_8x8()
+    # SOF0 component tq byte -> table 3 (only table 0 is defined)
+    sof = data.index(b"\xFF\xC0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then cid, hv, tq
+    tq_at = sof + 2 + 2 + 1 + 2 + 2 + 1 + 2
+    bad_q = data[:tq_at] + b"\x03" + data[tq_at + 1:]
+    with pytest.raises(ValueError, match="undefined quantization"):
+        decode_jpeg_baseline(bad_q)
+    # SOS component Td/Ta byte -> tables 3/3 (undefined)
+    sos = data.index(b"\xFF\xDA")
+    tdta_at = sos + 2 + 2 + 1 + 1  # len(2) ns(1) cs(1) then tdta
+    bad_h = data[:tdta_at] + b"\x33" + data[tdta_at + 1:]
+    with pytest.raises(ValueError, match="undefined Huffman"):
+        decode_jpeg_baseline(bad_h)
+
+
 def test_spark_dispatch_and_block_mean(spark):
     """synthesize_jpeg → decode_media_real inside the Arrow plan: the
     decoded mean equals the cycled-byte block mean, per row."""
