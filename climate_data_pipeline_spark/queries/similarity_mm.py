@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as MM
+from ..operators import sampling as SAMP
 from ..operators import similarity as SIM
 from ..operators import video as VID
 from ..registry import query
@@ -507,7 +508,6 @@ emb_seeded AS (
 )"""
 
 
-_BANDED_PAIRS_CTE = _banded_pairs_cte(16, 2, 0.4)
 # production-dedup parameterization: suggest_bands(0.6) → 34 bands of
 # 7 sign bits (238 planes) — the selective-band regime (background
 # collision rate 2^-7 per band vs 2^-2 above) — plus the sign-bit
@@ -1329,8 +1329,21 @@ def semantic_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .alias("was_clustered")))
 
 
+# the evaluator runs on a DETERMINISTIC 20% md5-bucket sample of the
+# corpus (salt 'eval'): at θ=0.4 the 16×2-band collision gap gives
+# little pruning, so cost is quadratic-ish in the evaluated set — the
+# sample bounds it while the hash predicate keeps the oracle exact.
+_EVAL_SAMPLE_FRACTION = 0.2
+_EVAL_SAMPLE_PRED = (f"{SAMP.sql_hash_bucket('vec_id', salt='eval')} "
+                     f"< {int(round(_EVAL_SAMPLE_FRACTION * SAMP.N_BUCKETS))}")
+_BANDED_PAIRS_CTE_EVAL = _banded_pairs_cte(16, 2, 0.4, table="emb_sample")
+
+
 @query("dedup_semantic_eval", oracle=f"""
-WITH RECURSIVE {_BANDED_PAIRS_CTE.strip()},
+WITH RECURSIVE emb_sample AS (
+  SELECT * FROM embeddings WHERE {_EVAL_SAMPLE_PRED}
+),
+{_BANDED_PAIRS_CTE_EVAL.strip()},
 {_SEMANTIC_CLUSTER_TAIL.strip()}
 """)
 def semantic_clusters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,9 +1351,17 @@ def semantic_clusters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_semantic_clusters` — an exploratory/evaluator
     parameterization: at thresholds this low the hyperplane collision
     gap gives little pruning (see `lsh_band_pairs`'s cost-honesty
-    note), so this regime is for recall studies on samples, not the
-    production dedup path."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    note), so this regime is for recall studies ON SAMPLES, never the
+    production dedup path. Accordingly the query evaluates a
+    deterministic 20% md5-bucket sample (`deterministic_sample`, salt
+    'eval') — partition-independent, re-derivable by any engine, and
+    mirrored verbatim into the oracle's WHERE — which bounds the
+    quadratic-ish candidate volume at any corpus scale while leaving
+    the recall-study statistics unbiased (hash buckets are independent
+    of embedding geometry)."""
+    emb = SAMP.deterministic_sample(
+        load_table(spark, sf_dir, "embeddings"), "vec_id",
+        _EVAL_SAMPLE_FRACTION, salt="eval")
     pairs = SIM.lsh_band_pairs(emb, threshold=0.4, dim=64)
     from ..operators import dedup as D
     return D.duplicate_clusters(pairs)

