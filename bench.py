@@ -16,10 +16,15 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_ITERATIONS / BENCH_WARMUP (default 20 / 3 — the reference
      harness's methodology: >= 20 timed iterations after 3 warmups,
      src/benchmark_suite.py:55-120; p95/p99 are meaningless at n < 20),
-     BENCH_OFFHEADLINE_ITERATIONS (default 3) for the off-headline
-     section: the known-heavy queries (ground-truth evaluators, the
-     clustering family) are benched at few iterations so their
-     round-over-round trend is recorded without dominating wall time.
+     BENCH_OFFHEADLINE_ITERATIONS (default 20 — same methodology as the
+     headline set now that the evaluator family is sample-bounded) for
+     the off-headline section (clustering family + ground-truth
+     evaluators), benched separately so their round-over-round trend
+     stays visible.
+
+The final JSON carries a `host` fingerprint (CPU model, loadavg,
+governor, memory) so cross-round deltas are attributable to code vs
+host drift without a same-host A/B.
 """
 
 from __future__ import annotations
@@ -70,11 +75,12 @@ HEADLINE = [
     "mm_frame_dedup",         # no-decode frame fingerprints + dup counts
 ]
 
-# Heavy-by-design queries benched separately (fewer iterations) so their
-# trend is visible in BENCH JSON round-over-round instead of only in
-# prose. The *_eval entries are brute-force ground-truth evaluators
-# (all-pairs by construction, exempt from the < 2 s envelope);
-# dedup_clusters is pinned to its exact-Jaccard ground-truth pair join.
+# Multi-job / clustering-family queries benched in their own section so
+# their trend is visible in BENCH JSON round-over-round. As of round 7
+# every member is inside the < 2 s envelope by design: the ground-truth
+# evaluators (*_eval, winnow_overlap) run on deterministic md5-bucket
+# samples mirrored into their oracles, and the clustering queries pay a
+# bounded number of fixed-cost propagation jobs.
 OFF_HEADLINE = [
     "sim_cosine_pairs",        # banded LSH + sketch prefilter + rerank
     "dedup_semantic_clusters", # LSH pair graph -> connected components
@@ -156,6 +162,41 @@ def bench_serving(spark, sf_dir: str, iters: int = 20) -> dict:
     return out
 
 
+def host_fingerprint() -> dict:
+    """CPU model / core count / load / governor / memory — stamped into
+    the bench JSON so cross-round deltas are interpretable without a
+    same-host A/B each time (rounds 5-6 both burned a session proving
+    apparent 15-40% 'regressions' were host drift)."""
+    fp: dict = {"cpus": os.cpu_count()}
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    fp["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        fp["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/sys/devices/system/cpu/cpu0/cpufreq/"
+                  "scaling_governor") as f:
+            fp["governor"] = f.read().strip()
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    fp["mem_total_kb"] = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return fp
+
+
 def percentile(samples: list[float], q: float) -> float:
     """Nearest-rank percentile: smallest value with at least q of the
     sample at or below it (index ceil(q·n) − 1). The naive int(q·n)
@@ -170,7 +211,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iterations = int(os.environ.get("BENCH_ITERATIONS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    off_iters = int(os.environ.get("BENCH_OFFHEADLINE_ITERATIONS", "3"))
+    off_iters = int(os.environ.get("BENCH_OFFHEADLINE_ITERATIONS", "20"))
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -211,13 +252,17 @@ def main() -> None:
 
     off_headline: dict[str, dict] = {}
     for name in OFF_HEADLINE:
-        run_once(name)  # one warmup: these queries run seconds each
+        for _ in range(warmup):
+            run_once(name)
         times = sorted(run_once(name) for _ in range(off_iters))
         off_headline[name] = {
             "mean_s": round(statistics.mean(times), 4),
             "median_s": round(statistics.median(times), 4),
             "min_s": round(times[0], 4),
+            "max_s": round(times[-1], 4),
+            "p95_s": round(percentile(times, 0.95), 4),
             "n": off_iters,
+            "meets_2s_target": times[-1] < 2.0,
         }
 
     serving = bench_serving(spark, sf_dir)
@@ -233,6 +278,7 @@ def main() -> None:
         "queries": per_query,
         "off_headline": off_headline,
         "serving_ms": serving,
+        "host": host_fingerprint(),
         "sf": sf,
     }))
 
