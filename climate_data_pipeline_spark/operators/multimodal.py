@@ -99,7 +99,8 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def synthesize_png(df: DataFrame, id_col: str, text_col: str,
-                   rgb_every: int = 3, adam7_every: int = 7) -> DataFrame:
+                   rgb_every: int = 3, adam7_every: int = 7,
+                   subbyte_every: int = 0) -> DataFrame:
     """Build REAL PNG payloads deterministically from text rows: 16×16
     images whose pixels are the cycled UTF-8 bytes of the text (every
     ``rgb_every``-th id truecolor, others grayscale), zlib-compressed
@@ -111,7 +112,12 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
     ``min(3, N-1)`` residue so N=1 really means every id), same
     pixels, so the interlace path sits under the same value oracle:
     interlacing changes the container layout, never the pixels, hence
-    never the mean. Because the pixels are the cycled text bytes, a
+    never the mean. With ``subbyte_every`` = N > 0, every GRAYSCALE id
+    with ``media_id % N == 1`` is written 4-BIT (pixels = the high
+    nibble ``byte >> 4``, MSB-first packed rows, same filter cycle
+    applied to the packed bytes with bpp=1) — the common web-scrape
+    palette/sub-byte shape, and the oracle re-derives its mean as
+    ``byte // 16``. Because the pixels are the cycled text bytes, a
     SQL oracle can re-derive the decoded mean without touching zlib."""
     out_schema = MEDIA_SCHEMA
 
@@ -172,18 +178,38 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
             # honest for N <= 3 (media_id % 1 == 3 is never true)
             adam7 = (adam7_every > 0
                      and media_id % adam7_every == min(3, adam7_every - 1))
+            subbyte = (subbyte_every > 0 and ch == 1
+                       and media_id % subbyte_every == 1)
+            if subbyte:
+                px = px >> 4            # 4-bit samples: the high nibble
+
+            def pack4(g: np.ndarray) -> np.ndarray:
+                # (ph, pw) 0..15 values -> MSB-first packed bytes,
+                # rows padded to a whole byte at odd widths
+                if g.shape[1] % 2:
+                    g = np.concatenate(
+                        [g, np.zeros((g.shape[0], 1), np.int32)], axis=1)
+                return (g[:, 0::2] << 4) | g[:, 1::2]
+
+            def rows_of(sub: np.ndarray) -> np.ndarray:
+                # filterable byte grid for one (sub-)image
+                return (pack4(sub[:, :, 0]) if subbyte
+                        else sub.reshape(len(sub), -1))
+
+            # the filter's left-reference distance: bpp bytes,
+            # floored at 1 for packed sub-byte rows (spec 9.2)
+            bpp = 1 if subbyte else ch
             if adam7:
                 parts = []
                 for (x0, y0, dx, dy) in ADAM7:
                     sub = px[y0::dy, x0::dx]
                     if sub.size == 0:   # empty pass emits NO bytes
                         continue
-                    parts.append(filt_sub(sub.reshape(len(sub), -1),
-                                          f, ch))
+                    parts.append(filt_sub(rows_of(sub), f, bpp))
                 body = b"".join(parts)
             else:
-                body = filt_sub(px.reshape(16, 16 * ch), f, ch)
-            ihdr = st.pack(">IIBBBBB", 16, 16, 8,
+                body = filt_sub(rows_of(px), f, bpp)
+            ihdr = st.pack(">IIBBBBB", 16, 16, 4 if subbyte else 8,
                            2 if ch == 3 else 0, 0, 0, int(adam7))
             return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                     + chunk(b"IDAT", zlib.compress(body, 6))

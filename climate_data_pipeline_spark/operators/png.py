@@ -4,11 +4,13 @@ implementation behind both ``decode_media_real``'s metadata path and
 copies; closures reference this module-level code the same way they
 reference ``jpeg.decode_jpeg_baseline``).
 
-Supported: bit depths 8 and 16 (big-endian samples; filters operate
-bytewise with bpp-distance left references), color types 0 (gray) /
-2 (rgb) / 3 (palette via PLTE) / 4 (gray+alpha) / 6 (rgba),
-non-interlaced and Adam7. Sub-byte depths raise loudly; a bad
-interlace byte is rejected BEFORE IDAT decompression.
+Supported: every legal bit depth — 1/2/4 (MSB-first packed samples,
+grayscale and palette only, per spec 11.2.2), 8, and 16 (big-endian
+samples) — with filters operating bytewise (left-reference distance =
+bpp bytes, floored at 1 for sub-byte rows, spec 9.2); color types
+0 (gray) / 2 (rgb) / 3 (palette via PLTE) / 4 (gray+alpha) / 6 (rgba),
+non-interlaced and Adam7. Illegal depth/type combinations raise
+loudly; a bad interlace byte is rejected BEFORE IDAT decompression.
 """
 
 from __future__ import annotations
@@ -24,14 +26,14 @@ ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
          (0, 1, 1, 2))
 
 
-def _unfilter(stream: bytes, pos: int, ph: int, pw: int,
-              ch: int, sw: int) -> tuple[np.ndarray, int]:
+def _unfilter(stream: bytes, pos: int, ph: int, stride: int,
+              bpp: int) -> tuple[np.ndarray, int]:
     """One filtered sub-image (the whole image, or one Adam7 pass):
-    returns the raw BYTE grid (ph, pw*ch*sw) and the stream position
+    returns the raw BYTE grid (ph, stride) and the stream position
     after it. Filters operate bytewise with the left-reference
-    distance = bpp bytes (PNG 4.5.2 / 9.2)."""
-    bpp = ch * sw
-    stride = pw * bpp
+    distance = bpp bytes (PNG 4.5.2 / 9.2); for sub-byte depths the
+    caller passes the PACKED row stride and bpp = 1 (spec 9.2: "bpp is
+    rounded up to one")."""
     out = np.zeros((ph, stride), dtype=np.int32)
     for y in range(ph):
         # loud-seam contract (cf. jpeg.py): a short stream is a
@@ -100,11 +102,14 @@ def png_pixels(p: bytes) -> tuple[np.ndarray, int]:
         elif typ == b"IEND":
             break
         pos += 12 + ln
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} not supported (8/16 only)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal PNG bit depth {depth}")
     if depth == 16 and ctype == 3:
         raise ValueError("16-bit palette PNG is not legal")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {depth} is only legal for grayscale/"
+            f"palette PNG, not color type {ctype} (spec 11.2.2)")
     # palette rows carry 1 index byte/px through the filter pass,
     # then expand through PLTE
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
@@ -116,19 +121,31 @@ def png_pixels(p: bytes) -> tuple[np.ndarray, int]:
         # validate BEFORE inflating: a hostile payload with a bad
         # interlace byte must not get a free decompression
         raise ValueError(f"bad PNG interlace method {interlace}")
-    sw = depth // 8
     stream = zlib.decompress(b"".join(idat))
+    # packed scanline geometry (spec 7.2): stride = ceil(pw·ch·depth/8)
+    # bytes; the filter left-reference distance floors at one byte
+    bpp = max(1, ch * depth // 8)
+
+    def row_stride(pw: int) -> int:
+        return (pw * ch * depth + 7) // 8
 
     def to_samples(raw: np.ndarray, ph: int, pw: int) -> np.ndarray:
-        # (ph, pw*ch*sw) bytes -> (ph, pw, ch) sample values
-        # (16-bit samples are big-endian per spec 7.1)
-        if sw == 1:
+        # (ph, stride) bytes -> (ph, pw, ch) sample values
+        # (16-bit samples big-endian per spec 7.1; sub-byte samples
+        # packed MSB-first within each byte, rows padded to a byte)
+        if depth < 8:
+            bits = np.unpackbits(raw.astype(np.uint8), axis=1)
+            grp = bits[:, :pw * depth].reshape(ph, pw, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+            return (grp * weights).sum(axis=2,
+                                       dtype=np.int32)[:, :, None]
+        if depth == 8:
             return raw.reshape(ph, pw, ch)
         b2 = raw.reshape(ph, pw, ch, 2)
         return (b2[..., 0] << 8) | b2[..., 1]
 
     if interlace == 0:
-        raw, _ = _unfilter(stream, 0, h, w, ch, sw)
+        raw, _ = _unfilter(stream, 0, h, row_stride(w), bpp)
         px = to_samples(raw, h, w)
     else:
         # Adam7: seven independently-filtered sub-images concatenated
@@ -140,7 +157,7 @@ def png_pixels(p: bytes) -> tuple[np.ndarray, int]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            raw, spos = _unfilter(stream, spos, ph, pw, ch, sw)
+            raw, spos = _unfilter(stream, spos, ph, row_stride(pw), bpp)
             px[y0::dy, x0::dx] = to_samples(raw, ph, pw)
 
     if ctype == 3:

@@ -880,7 +880,9 @@ px AS (
          CASE WHEN media_id % 3 = 0 THEN 3 ELSE 1 END AS ch,
          list_transform(
            range(256 * (CASE WHEN media_id % 3 = 0 THEN 3 ELSE 1 END)),
-           i -> bytes[CAST(i % len(bytes) AS INT) + 1]) AS pixels
+           i -> CASE WHEN media_id % 11 = 1 AND media_id % 3 != 0
+                THEN bytes[CAST(i % len(bytes) AS INT) + 1] // 16
+                ELSE bytes[CAST(i % len(bytes) AS INT) + 1] END) AS pixels
   FROM b
 )
 SELECT media_id, 'image/png' AS media_type, 'image' AS kind,
@@ -894,7 +896,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycled text bytes; every third id truecolor; scanline filter type
     cycles None/Sub/Up/Average/Paeth on media_id % 5; every 7th id
     Adam7-interlaced — same pixels, so the same oracle pins the
-    interlace path) and decode back
+    interlace path; every grayscale id with media_id % 11 == 1 written
+    4-BIT with pixels = the high nibble, so the sub-byte unpack path
+    sits under the same value oracle as `byte // 16`) and decode back
     through zlib + full unfiltering (`operators/multimodal.decode_png`).
     The oracle re-derives the decoded pixel mean straight from the text
     bytes — if any of the four non-trivial unfilters were wrong, the
@@ -903,7 +907,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not SQL-re-derivable, and the value check should pin pixels,
     not compressor versions."""
     docs = load_table(spark, sf_dir, "documents")
-    media = MM.synthesize_png(docs, "doc_id", "text")
+    media = MM.synthesize_png(docs, "doc_id", "text", subbyte_every=11)
     return (MM.decode_media_real(media)
               .select("media_id", "media_type", "kind", "width",
                       "height", "n_channels", "mean_value"))

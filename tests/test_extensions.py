@@ -685,9 +685,13 @@ def test_png_codec_all_filters_and_loud_paths(spark):
             "n_bytes long")
         return decode_media_real(bad).collect()
 
-    # 16-bit and Adam7 are SUPPORTED now (r6); sub-byte depths stay loud
-    with _pt.raises(Exception, match="bit depth 4"):
-        decode_one(png_with(depth=4))
+    # 16-bit/Adam7 (r6) and sub-byte depths (r7) are SUPPORTED now;
+    # an ILLEGAL depth must stay loud
+    with _pt.raises(Exception, match="illegal PNG bit depth 3"):
+        decode_one(png_with(depth=3))
+    # sub-byte is grayscale/palette-only per spec 11.2.2
+    with _pt.raises(Exception, match="only legal for grayscale"):
+        decode_one(png_with(depth=4, ctype=2))
     # palette is SUPPORTED now (r6) — but a type-3 stream with no PLTE
     # chunk is malformed and must stay loud
     with _pt.raises(Exception, match="without a PLTE"):
@@ -718,6 +722,109 @@ def test_png_truncated_idat_raises_value_error():
          + chunk(b"IDAT", short) + chunk(b"IEND", b""))
     with _pt.raises(ValueError, match="IDAT stream truncated"):
         png_pixels(p)
+
+
+def test_png_sub_byte_depths_decode_exactly():
+    """1/2/4-bit PNGs (common in web-scrape palette images): MSB-first
+    bit unpacking, byte-padded rows at non-multiple widths, bytewise
+    filters with bpp=1, palette expansion, and Adam7 — all checked
+    against the raw source grid, not a same-codec round trip."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.png import (ADAM7,
+                                                           png_pixels)
+
+    def chunk(t, d):
+        return (st.pack(">I", len(d)) + t + d
+                + st.pack(">I", zlib.crc32(t + d)))
+
+    def pack_rows(px, depth):
+        # (h, w) values -> packed MSB-first scanline bytes per row
+        h, w = px.shape
+        rows = []
+        for y in range(h):
+            bits = []
+            for v in px[y]:
+                bits.extend((int(v) >> (depth - 1 - k)) & 1
+                            for k in range(depth))
+            bits += [0] * (-len(bits) % 8)
+            rows.append(np.packbits(np.array(bits, np.uint8)).tobytes())
+        return rows
+
+    def filt(rows, fs, bpp=1):
+        # bytewise filter per row, cycling filter types fs
+        out, prev = [], b"\x00" * len(rows[0])
+        for y, r in enumerate(rows):
+            f = fs[y % len(fs)]
+            enc = bytearray([f])
+            for x in range(len(r)):
+                a = r[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = (a if pa <= pb and pa <= pc
+                            else b if pb <= pc else c)
+                enc.append((r[x] - pred) & 0xFF)
+            out.append(bytes(enc))
+            prev = r
+        return b"".join(out)
+
+    def png(px, depth, ctype, plte=b"", interlace=0):
+        h, w = px.shape
+        ihdr = st.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        if interlace:
+            parts = []
+            for (x0, y0, dx, dy) in ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                parts.append(filt(pack_rows(sub, depth), fs=[0, 1, 2]))
+            body = b"".join(parts)
+        else:
+            body = filt(pack_rows(px, depth), fs=[0, 1, 2, 3, 4])
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(7)
+    # 4-bit gray, width 5 (odd -> 4 padding bits/row), all filters
+    g4 = rng.integers(0, 16, (7, 5), dtype=np.int32)
+    got, ct = png_pixels(png(g4, 4, 0))
+    assert ct == 0
+    np.testing.assert_array_equal(got[:, :, 0], g4)
+    # 1-bit gray, width 10 (6 padding bits), Paeth in the cycle
+    g1 = rng.integers(0, 2, (6, 10), dtype=np.int32)
+    got, _ = png_pixels(png(g1, 1, 0))
+    np.testing.assert_array_equal(got[:, :, 0], g1)
+    # 2-bit palette -> expands through PLTE to RGB
+    plte = bytes([250, 10, 20, 30, 240, 50, 60, 70, 230, 90, 100, 210])
+    p2 = rng.integers(0, 4, (5, 7), dtype=np.int32)
+    got, ct = png_pixels(png(p2, 2, 3, plte=plte))
+    assert ct == 3 and got.shape == (5, 7, 3)
+    lut = np.frombuffer(plte, np.uint8).reshape(4, 3)
+    np.testing.assert_array_equal(got, lut[p2].astype(np.int32))
+    # 4-bit gray + Adam7: interlacing must not change a single pixel
+    g4i = rng.integers(0, 16, (9, 9), dtype=np.int32)
+    got, _ = png_pixels(png(g4i, 4, 0, interlace=1))
+    np.testing.assert_array_equal(got[:, :, 0], g4i)
+    # palette index beyond PLTE stays loud at sub-byte too
+    bad = np.full((2, 2), 3, np.int32)
+    with _pt.raises(ValueError, match="out of PLTE range"):
+        png_pixels(png(bad, 2, 3, plte=bytes(9)))
 
 
 def test_text_family_null_and_empty_safe(spark):
