@@ -1,12 +1,16 @@
-"""Baseline JPEG (ITU-T T.81) codec — pure python + numpy, no external
-media libraries, closing the last real-image-codec seam in
+"""JPEG (ITU-T T.81) codec — pure python + numpy, no external media
+libraries, closing the last real-image-codec seam in
 ``decode_media_real`` (PGM/PPM/PNG/WAV landed earlier; JPEG was a loud
 ``NotImplementedError``).
 
-Scope: baseline DCT, 8-bit, Huffman (SOF0) — the profile virtually every
-camera/web JPEG uses — grayscale and YCbCr at 4:4:4 / 4:2:0, restart
-markers. Progressive (SOF2), arithmetic coding, 12-bit and hierarchical
-modes raise loudly: real seams, not silent wrong pixels.
+Scope: baseline DCT (SOF0/1) — grayscale and YCbCr at 4:4:4 / 4:2:2 /
+4:2:0, restart markers — AND progressive DCT (SOF2, Annex G): spectral
+selection, successive approximation (DC + AC first/refinement scans),
+EOB-run coding, interleaved DC scans, non-interleaved AC scans, DRI/RSTn
+— together the profiles that cover essentially every camera/web JPEG.
+Arithmetic coding, 12-bit and hierarchical modes raise loudly: real
+seams, not silent wrong pixels. ``decode_jpeg`` dispatches on the SOF
+marker; ``decode_jpeg_baseline`` keeps its strict baseline contract.
 
 Everything here is written against the public spec (ITU-T T.81 / ISO
 10918-1): the zigzag order and quantization/Huffman example tables are
@@ -571,6 +575,13 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
+    return _to_pixels(full)
+
+
+def _to_pixels(full: list[np.ndarray]) -> np.ndarray:
+    """Full-resolution component planes → uint8 pixels (grayscale
+    passthrough or BT.601 YCbCr→RGB), shared by the baseline and
+    progressive decode tails."""
     if len(full) == 1:
         out = full[0]
     elif len(full) == 3:
@@ -633,3 +644,621 @@ def _decode_scan(data: bytes, br: _BitReader, comps: list[dict],
                         c["coef"].append(zz * q)
                         c["dest"].append((by, bx))
             mcu_i += 1
+
+
+# Progressive AC scans emit EOBn symbols (RRRRSSSS with SSSS=0 and
+# RRRR=0..14, G.1.2.2) that Annex K's baseline AC tables have no codes
+# for, so the progressive ENCODER carries its own table: every symbol a
+# progressive AC scan can produce — EOB0..EOB14, ZRL, and all
+# (run, size 1..10) pairs — as a flat canonical table of 8- and 16-bit
+# codes (176 symbols; 175 fit in 8 bits, the spill takes 16). The
+# DECODER assumes nothing: it reads whatever DHT the stream defines.
+_PROG_AC_SYMBOLS = ([r << 4 for r in range(15)] + [0xF0]
+                    + [(r << 4) | s for r in range(16)
+                       for s in range(1, 11)])
+HUFF_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 175, 0, 0, 0, 0, 0, 0, 0, 1],
+                _PROG_AC_SYMBOLS)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a JPEG — baseline (SOF0/1) or progressive (SOF2) — to
+    (h, w) grayscale or (h, w, 3) RGB uint8, dispatching on the frame
+    marker. The general entry ``decode_media_real`` uses; web corpora
+    are majority-progressive, so a media curation pass needs both
+    (reference posture: accept whatever the ecosystem wrote,
+    `ingest/netcdf_reader.py:56`)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 3 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        m = data[pos + 1]
+        if m in (0xC0, 0xC1):
+            return decode_jpeg_baseline(data)
+        if m == 0xC2:
+            return _decode_progressive(data)
+        if m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG mode (SOF marker 0xFF{m:02X}: "
+                "lossless/arithmetic/hierarchical)")
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + ln
+    raise ValueError("no SOF marker in JPEG stream")
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips entropy
+    bytes, stuffed 0xFF00 and fill 0xFFs)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("entropy stream ends without a terminating marker "
+                     "(truncated progressive JPEG)")
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive JPEG decode per ITU-T T.81 Annex G: coefficients
+    accumulate across scans — DC first/refinement (interleaved or not),
+    AC first/refinement (single-component by spec), spectral selection
+    bands, successive-approximation point transforms, EOB runs, restart
+    intervals — then one dequantize + batched IDCT at the end."""
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    saw_eoi = False
+
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        m = data[pos + 1]
+        if m == 0xD9:                                   # EOI
+            saw_eoi = True
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + ln]
+        if m == 0xDB:                                   # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, np.int64)
+                tbl[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], np.uint8)
+                qt[tq] = tbl
+                i += 65
+        elif m == 0xC4:                                 # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif m == 0xC2:                                 # SOF2
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq, "pred": 0})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                # full MCU-padded block grid (interleaved extent) and
+                # the non-interleaved extent (A.2.2): ceil of the
+                # component's own sample dimensions
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["bw_ni"] = (-(-w * c["h"] // hmax) + 7) // 8
+                c["bh_ni"] = (-(-h * c["v"] // vmax) + 7) // 8
+                c["coef"] = np.zeros((c["bh"], c["bw"], 64), np.int64)
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unexpected SOF marker 0xFF{m:02X} in progressive "
+                "decode")
+        elif m == 0xDD:                                 # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:                                 # SOS
+            if not comps:
+                raise ValueError("SOS before SOF2 in progressive JPEG")
+            ns = body[0]
+            scan: list[dict] = []
+            for s in range(ns):
+                cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
+                        scan.append(c)
+                        break
+                else:
+                    raise ValueError(
+                        f"SOS references unknown component id {cs}")
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            br = _BitReader(data, pos + 2 + ln)
+            try:
+                _decode_progressive_scan(
+                    data, br, scan, huff, ss, se, ah, al,
+                    restart_interval, mcus_x, mcus_y)
+            except _MarkerHit as hit:
+                raise ValueError(
+                    "entropy stream truncated: marker "
+                    f"0xFF{data[hit.pos + 1]:02X} at byte {hit.pos} "
+                    "before the scan completed") from None
+            except IndexError:
+                raise ValueError(
+                    "entropy stream ends before the progressive scan "
+                    "completed (truncated JPEG)") from None
+            pos = _next_marker(data, br.pos)
+            continue
+        pos += 2 + ln
+    if not comps:
+        raise ValueError("no SOF2 in progressive JPEG stream")
+    if not saw_eoi:
+        raise ValueError("progressive JPEG stream ends without EOI")
+
+    # dequantize + batched IDCT, then upsample/crop/convert like the
+    # baseline tail
+    full = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG scan references undefined "
+                             f"quantization table {c['tq']}")
+        # qt holds natural-order steps; coefficients are stored in
+        # zigzag order, so permute the steps to match before the
+        # zigzag->natural scatter below
+        qzz = qt[c["tq"]][ZIGZAG]
+        coef = (c["coef"].reshape(-1, 64) * qzz).astype(np.float64)
+        blk = np.zeros((coef.shape[0], 64), np.float64)
+        blk[:, ZIGZAG] = coef
+        px8 = _T.T @ blk.reshape(-1, 8, 8) @ _T + 128.0
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8), np.float64)
+        idx = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                plane[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = px8[idx]
+                idx += 1
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    return _to_pixels(full)
+
+
+def _decode_progressive_scan(data: bytes, br: _BitReader,
+                             scan: list[dict], huff: dict,
+                             ss: int, se: int, ah: int, al: int,
+                             restart_interval: int,
+                             mcus_x: int, mcus_y: int) -> None:
+    """One progressive scan (G.1.2): dispatches DC vs AC × first vs
+    refinement, handles interleaved MCU order for DC scans and
+    row-major non-interleaved block order otherwise, RSTn resets
+    (DC predictions AND the EOB run), and the EOB-run state shared
+    across blocks of an AC scan."""
+    if ss == 0 and se != 0:
+        raise ValueError("illegal progressive scan: Ss=0 requires Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("illegal progressive scan: AC scans are "
+                         "single-component (G.1.1.1.1)")
+    if se > 63 or ss > se:
+        raise ValueError(f"illegal spectral band [{ss}, {se}]")
+    is_dc = ss == 0
+    state = {"eobrun": 0}
+
+    for c in scan:
+        c["pred"] = 0
+
+    def check_restart(unit_i: int) -> None:
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            br.align()
+            while data[br.pos] == 0xFF and data[br.pos + 1] == 0x00:
+                br.pos += 2
+            if (data[br.pos] == 0xFF
+                    and 0xD0 <= data[br.pos + 1] <= 0xD7):
+                br.pos += 2
+            for c in scan:
+                c["pred"] = 0
+            state["eobrun"] = 0
+
+    if is_dc and len(scan) > 1:
+        # interleaved scan (ns > 1 — DC-only in progressive, G.1.1.1.1):
+        # MCU traversal over every component, MCU-padded block grid
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                check_restart(unit)
+                for c in scan:
+                    for dy in range(c["v"]):
+                        for dx in range(c["h"]):
+                            _dc_unit(br, c, huff, ah, al,
+                                     my * c["v"] + dy, mx * c["h"] + dx)
+                unit += 1
+        return
+
+    c = scan[0]
+    if is_dc:
+        # single-component DC scan, non-interleaved block order
+        unit = 0
+        for by in range(c["bh_ni"]):
+            for bx in range(c["bw_ni"]):
+                check_restart(unit)
+                _dc_unit(br, c, huff, ah, al, by, bx)
+                unit += 1
+        return
+
+    # both AC scan kinds need the AC table (refinement still reads
+    # EOBn/ZRL/newly-significant symbols through it)
+    key = (1, c.get("ta", 0))
+    if key not in huff:
+        raise ValueError("JPEG scan references undefined Huffman "
+                         f"table (AC {c.get('ta')})")
+    act = huff[key]
+    unit = 0
+    for by in range(c["bh_ni"]):
+        for bx in range(c["bw_ni"]):
+            check_restart(unit)
+            band = c["coef"][by, bx]
+            if ah == 0:
+                _ac_first(br, band, act, ss, se, al, state)
+            else:
+                _ac_refine(br, band, act, ss, se, al, state)
+            unit += 1
+
+
+def _dc_unit(br: _BitReader, c: dict, huff: dict,
+             ah: int, al: int, by: int, bx: int) -> None:
+    if ah == 0:
+        key = (0, c.get("td", 0))
+        if key not in huff:
+            raise ValueError("JPEG scan references undefined Huffman "
+                             f"table (DC {c.get('td')})")
+        ssss = _read_symbol(br, huff[key])
+        diff = _extend(br.bits(ssss), ssss)
+        c["pred"] += diff
+        c["coef"][by, bx, 0] = c["pred"] << al
+    else:
+        # DC refinement: one raw bit per block (G.1.2.1)
+        if br.bit():
+            c["coef"][by, bx, 0] |= 1 << al
+
+
+def _ac_first(br: _BitReader, band: np.ndarray, act: dict,
+              ss: int, se: int, al: int, state: dict) -> None:
+    """AC first-approximation scan for one block (G.1.2.2): run-length
+    coded coefficients at point transform Al, EOBn run codes."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                     # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past the spectral band end")
+        band[k] = _extend(br.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(br: _BitReader, band: np.ndarray, act: dict,
+               ss: int, se: int, al: int, state: dict) -> None:
+    """AC refinement scan for one block (G.1.2.3): newly-significant
+    coefficients arrive as ±1·2^Al; every already-nonzero coefficient
+    in the band consumes one correction bit (also through ZRL runs and
+    EOB runs); runs count only zero-history positions."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        v = int(band[k])
+        if br.bit() and (v & p1) == 0:
+            band[k] = v + (p1 if v >= 0 else m1)
+
+    if state["eobrun"] > 0:
+        for k in range(ss, se + 1):
+            if band[k]:
+                correct(k)
+        state["eobrun"] -= 1
+        return
+
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        newval = 0
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r)
+                if r:
+                    state["eobrun"] += br.bits(r)
+                break
+            # ZRL: skip 16 zero-history positions (r == 15 below)
+        elif s == 1:
+            newval = p1 if br.bit() else m1
+        else:
+            raise ValueError(
+                "illegal refinement symbol: SSSS must be 0 or 1")
+        # advance past r zero-history positions, correcting nonzero
+        # ones along the way, then place the new coefficient
+        while k <= se:
+            if band[k]:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            band[k] = newval
+        k += 1
+    if state["eobrun"] > 0:
+        # the EOBn symbol ends THIS block too: correction bits for the
+        # remaining nonzero-history coefficients, then count this block
+        # against the run
+        for kk in range(k, se + 1):
+            if band[kk]:
+                correct(kk)
+        state["eobrun"] -= 1
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 75,
+                            quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+                            ) -> bytes:
+    """Encode an 8-bit (h, w) grayscale or (h, w, 3) RGB image as a
+    PROGRESSIVE (SOF2) JPEG at 4:4:4, so the Annex-G decode paths can
+    be exercised against genuinely compressed containers (the
+    ``encode_jpeg_baseline`` rationale). The scan script covers every
+    progressive mechanism: an interleaved DC first scan at Al=1, two
+    spectral AC bands per component at Al=1 (EOB-run coded), a DC
+    refinement scan (raw bits), and AC refinement scans down to Al=0 —
+    so a decode must get successive approximation, spectral selection,
+    EOB runs and correction-bit placement all right to reproduce the
+    pixels. Because both encoders quantize identically, the progressive
+    stream decodes to EXACTLY the pixels of the baseline stream for the
+    same input — the equality the tests pin.
+
+    AC scans use a module-local flat Huffman table (``HUFF_AC_PROG``)
+    because Annex K's baseline AC tables carry no EOBn (r>0, s=0)
+    codewords; the decoder reads whatever DHT the stream defines."""
+    px = np.asarray(px)
+    if px.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive wants uint8 pixels")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+    h, w = px.shape[:2]
+
+    if quant_tables is not None:
+        qL, qC = (np.asarray(t, dtype=np.int64) for t in quant_tables)
+    else:
+        qL = scaled_quant(QUANT_LUMA, quality)
+        qC = scaled_quant(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [px.astype(np.float64)]
+        qsel = [0]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+        qsel = [0, 1, 1]
+    planes = [np.clip(np.floor(p + 0.5), 0, 255) for p in planes]
+    qtabs = [qL, qC]
+
+    # 4:4:4: every component's block grid IS the MCU grid
+    bx_n = -(-w // 8)
+    by_n = -(-h // 8)
+    zz: list[np.ndarray] = []
+    for p, qs in zip(planes, qsel):
+        pp = _pad_to_block(p, 8)
+        blocks = (pp.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+                    .reshape(-1, 8, 8))
+        q = np.broadcast_to(qtabs[qs].astype(np.float64),
+                            (blocks.shape[0], 8, 8))
+        zz.append(_fdct_quant_batch(blocks, q))
+    nblocks = by_n * bx_n
+
+    dc_codes = [_canonical_codes(*HUFF_DC_LUMA)] \
+        + [_canonical_codes(*HUFF_DC_CHROMA)] * (len(planes) - 1)
+    ac_codes = _canonical_codes(*HUFF_AC_PROG)
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        for bi in range(nblocks):
+            for ci in range(len(planes)):
+                v = int(zz[ci][bi, 0]) >> al
+                ssss, bits = _magnitude(v - preds[ci])
+                preds[ci] = v
+                code, ln = dc_codes[ci][ssss]
+                bw.write(code, ln)
+                if ssss:
+                    bw.write(bits, ssss)
+        bw.byte_align()
+        return bytes(bw.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for bi in range(nblocks):
+            for ci in range(len(planes)):
+                bw.write((int(zz[ci][bi, 0]) >> al) & 1, 1)
+        bw.byte_align()
+        return bytes(bw.out)
+
+    def _emit_eobn(bw: _BitWriter, run: int) -> None:
+        r = run.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(run - (1 << r), r)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush() -> None:
+            nonlocal eobrun
+            if eobrun:
+                _emit_eobn(bw, eobrun)
+                eobrun = 0
+
+        for bi in range(nblocks):
+            # G.1.2.1: the AC point transform divides truncating
+            # toward zero (an arithmetic shift would round negatives
+            # the wrong way)
+            band = np.fix(zz[ci][bi, ss:se + 1]
+                          / float(1 << al)).astype(np.int64)
+            nz = np.nonzero(band)[0]
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            prev = 0
+            for k in nz:
+                run = int(k) - prev
+                prev = int(k) + 1
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                ssss, bits = _magnitude(int(band[k]))
+                code, ln = ac_codes[(run << 4) | ssss]
+                bw.write(code, ln)
+                bw.write(bits, ssss)
+            if prev <= se - ss:                 # trailing zeros -> EOB
+                eobrun = 1
+        flush()
+        bw.byte_align()
+        return bytes(bw.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # inverse of G.1.2.3 at Ah = Al + 1: newly-significant
+        # coefficients emit (run-of-zero-history << 4) | 1 + a sign
+        # bit; every history-nonzero coefficient contributes one
+        # correction bit, buffered so EOB-run batching keeps bits in
+        # block order
+        bw = _BitWriter()
+        ah = al + 1
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush() -> None:
+            nonlocal eobrun
+            if eobrun:
+                _emit_eobn(bw, eobrun)
+                for bit in eob_bits:
+                    bw.write(bit, 1)
+                eob_bits.clear()
+                eobrun = 0
+
+        for bi in range(nblocks):
+            band = zz[ci][bi, ss:se + 1]
+            hist = np.fix(band / float(1 << ah)).astype(np.int64)
+            cur = np.fix(band / float(1 << al)).astype(np.int64)
+            newly = (hist == 0) & (cur != 0)
+            if not newly.any():
+                # EOB territory: only correction bits, batchable
+                eobrun += 1
+                for k in np.nonzero(hist)[0]:
+                    eob_bits.append(int(abs(int(band[k]))
+                                        >> al) & 1)
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            pend: list[int] = []
+            for k in range(len(band)):
+                if hist[k]:
+                    pend.append(int(abs(int(band[k])) >> al) & 1)
+                elif newly[k]:
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        for bit in pend:
+                            bw.write(bit, 1)
+                        pend = []
+                        run -= 16
+                    code, ln = ac_codes[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if cur[k] > 0 else 0, 1)
+                    for bit in pend:
+                        bw.write(bit, 1)
+                    pend = []
+                    run = 0
+                else:
+                    run += 1
+            if run or pend:
+                eobrun = 1
+                eob_bits.extend(pend)
+        flush()
+        bw.byte_align()
+        return bytes(bw.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(comps_in_scan: list[int], ss: int, se: int,
+            ah: int, al: int, entropy: bytes) -> bytes:
+        body = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            td = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + entropy
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qtabs[:1 if gray else 2]):
+        out += seg(0xDB, bytes([tq])
+                   + bytes(int(v) for v in q.reshape(-1)[ZIGZAG]))
+    comps = b"".join(bytes([ci + 1, 0x11, qsel[ci]])
+                     for ci in range(len(planes)))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, len(planes)) + comps)
+    hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_PROG)]
+    if not gray:
+        hts.append((0x01, HUFF_DC_CHROMA))
+    for tc_th, (bits, vals) in hts:
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    allc = list(range(len(planes)))
+    out += sos(allc, 0, 0, 0, 1, dc_first_scan(1))
+    for ci in allc:
+        out += sos([ci], 1, 5, 0, 1, ac_first_scan(ci, 1, 5, 1))
+        out += sos([ci], 6, 63, 0, 1, ac_first_scan(ci, 6, 63, 1))
+    out += sos(allc, 0, 0, 1, 0, dc_refine_scan(0))
+    for ci in allc:
+        out += sos([ci], 1, 5, 1, 0, ac_refine_scan(ci, 1, 5, 0))
+        out += sos([ci], 6, 63, 1, 0, ac_refine_scan(ci, 6, 63, 0))
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -20,7 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from .jpeg import (decode_jpeg, decode_jpeg_baseline,
+                   encode_jpeg_baseline, encode_jpeg_progressive)
 from .png import png_pixels
 from .text import _spread
 
@@ -232,7 +233,8 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
 
 
 def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
-                    restart_interval: int = 3) -> DataFrame:
+                    restart_interval: int = 3,
+                    progressive_every: int = 0) -> DataFrame:
     """Build REAL baseline JPEGs deterministically from text rows: 32×32
     grayscale images of sixteen 8×8 BLOCK-CONSTANT tiles whose values
     are the cycled UTF-8 bytes of the text, entropy-coded through the
@@ -243,7 +245,14 @@ def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
     decoded mean straight from the text bytes while the decoder still
     has to get marker parsing, canonical Huffman codes, DC-prediction
     deltas (and their reset at every RSTn), dequantization and the IDCT
-    scale exactly right to reproduce it."""
+    scale exactly right to reproduce it.
+
+    ``progressive_every`` = N > 0 writes every ``media_id % N == 2`` id
+    as a PROGRESSIVE (SOF2) container of the same pixels — interleaved
+    DC-first + refinement scans, two spectral AC bands at Al=1 with
+    EOB-run coding, AC refinement — which round-trips equally exactly
+    (the Annex-G scans reassemble the identical coefficients), so the
+    same text-byte oracle pins the progressive decode path too."""
     out_schema = MEDIA_SCHEMA
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -252,17 +261,21 @@ def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
         q = np.ones((8, 8), np.int64)
         q[0, 0] = 8
 
-        def jpg(text: str) -> bytes:
+        def jpg(text: str, media_id: int) -> bytes:
             raw = (text.encode("utf-8") or b"\x00")
             vals = np.resize(np.frombuffer(raw, dtype=np.uint8), 16)
             px = np.repeat(np.repeat(vals.reshape(4, 4), 8, 0), 8, 1)
+            if progressive_every > 0 and media_id % progressive_every == 2:
+                return encode_jpeg_progressive(
+                    px.astype(np.uint8), quant_tables=(q, q))
             return encode_jpeg_baseline(
                 px.astype(np.uint8), quant_tables=(q, q),
                 restart_interval=restart_interval)
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [jpg(t) for t in pdf[text_col].fillna("")]
+            payloads = [jpg(t, i) for t, i in
+                        zip(pdf[text_col].fillna(""), ids)]
             yield pd.DataFrame({
                 "media_id": ids,
                 "media_type": ["image/jpeg"] * len(payloads),
@@ -278,13 +291,14 @@ def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
 def decode_media_real(df: DataFrame) -> DataFrame:
     """REAL codec path — pure-python decoders for every container the
     suite synthesizes (binary netpbm P5/P6 images; PNG with full
-    scanline unfiltering, zlib is stdlib; baseline JPEG with the full
-    Huffman/DCT path in ``operators/jpeg.py``; RIFF/WAVE PCM audio),
-    dispatched on magic bytes inside the same Arrow ``mapInPandas``
-    plan as the fake decoder. Image rows fill (width, height,
-    mean_value from actual pixels); audio rows fill (n_channels,
-    sample_rate, n_samples, mean_value = RMS amplitude from actual
-    samples). Anything else (MP4/progressive JPEG/…) raises a clear
+    scanline unfiltering at every legal bit depth, zlib is stdlib;
+    baseline AND progressive JPEG with the full Huffman/DCT path in
+    ``operators/jpeg.py``; RIFF/WAVE PCM audio), dispatched on magic
+    bytes inside the same Arrow ``mapInPandas`` plan as the fake
+    decoder. Image rows fill (width, height, mean_value from actual
+    pixels); audio rows fill (n_channels, sample_rate, n_samples,
+    mean_value = RMS amplitude from actual samples). Anything else
+    (arithmetic-coded JPEG, non-MJPEG video codecs, …) raises a clear
     per-payload error; swapping in PIL/ffmpeg extends the dispatch,
     not the plan."""
     out_schema = ("media_id long, media_type string, n_bytes long, "
@@ -341,7 +355,9 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "mean_value": float(color.mean())}
 
         def decode_jpg(p: bytes) -> dict:
-            px = decode_jpeg_baseline(p)
+            # general entry: baseline AND progressive (SOF2) — web
+            # corpora are majority-progressive
+            px = decode_jpeg(p)
             h, w = px.shape[:2]
             ch = 1 if px.ndim == 2 else px.shape[2]
             return {"kind": "image", "width": int(w), "height": int(h),
@@ -538,7 +554,7 @@ def resize_image_area(df: DataFrame, factor: int = 2) -> DataFrame:
                         f"PNG color type {ctype} is not")
                 return px[:, :, 0]
             if p[:3] == b"\xFF\xD8\xFF":
-                px = decode_jpeg_baseline(p)
+                px = decode_jpeg(p)
                 if px.ndim != 2:
                     raise NotImplementedError(
                         "resize_image_area takes grayscale payloads; "

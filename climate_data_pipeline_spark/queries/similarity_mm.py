@@ -942,19 +942,24 @@ SELECT media_id, 'image/jpeg' AS media_type, 'image' AS kind,
 FROM blocks
 """)
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline-JPEG round trip through a REAL entropy-coded container,
-    no external media libraries: documents render into genuine JFIF
+    """JPEG round trip through a REAL entropy-coded container, no
+    external media libraries: documents render into genuine JFIF
     JPEGs (sixteen 8×8 block-constant tiles = the cycled text bytes,
     Annex-K Huffman tables, restart markers every 3 MCUs, DC quant step
-    8 so constant blocks round-trip exactly) and decode back through the
-    full marker-parse → canonical-Huffman → DC-prediction →
-    dequantize → IDCT path (`operators/jpeg.py`). The oracle re-derives
-    the decoded mean straight from the text bytes — a wrong Huffman
-    code, a missed RSTn predictor reset, or a wrong IDCT scale shifts
-    pixels, hence the mean, hence the hash. n_bytes excluded: the
-    entropy-coded length pins the encoder, not the decoder."""
+    8 so constant blocks round-trip exactly; every id with
+    media_id % 5 == 2 written PROGRESSIVE — SOF2 with interleaved DC
+    first/refinement scans, spectral AC bands, EOB runs — same pixels,
+    same exactness) and decode back through the full marker-parse →
+    canonical-Huffman → DC-prediction → dequantize → IDCT path
+    (`operators/jpeg.py`, Annex F baseline + Annex G progressive). The
+    oracle re-derives the decoded mean straight from the text bytes — a
+    wrong Huffman code, a missed RSTn predictor reset, a misplaced
+    refinement bit, or a wrong IDCT scale shifts pixels, hence the
+    mean, hence the hash. n_bytes excluded: the entropy-coded length
+    pins the encoder, not the decoder."""
     docs = load_table(spark, sf_dir, "documents")
-    media = MM.synthesize_jpeg(docs, "doc_id", "text")
+    media = MM.synthesize_jpeg(docs, "doc_id", "text",
+                               progressive_every=5)
     return (MM.decode_media_real(media)
               .select("media_id", "media_type", "kind", "width",
                       "height", "n_channels", "mean_value"))

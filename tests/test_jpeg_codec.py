@@ -209,6 +209,87 @@ def test_non_baseline_and_malformed_raise_loudly():
         decode_jpeg_baseline(data[:2] + b"\xFF\xD9")  # no SOF/SOS
 
 
+def test_progressive_decodes_identical_to_baseline():
+    """The progressive scan script re-assembles the exact quantized
+    coefficients the baseline stream carries, so the two decodes must
+    be BYTE-IDENTICAL for the same input — one equality pins spectral
+    selection, successive approximation (DC and AC first + refinement),
+    EOB-run decoding and correction-bit placement at once."""
+    from climate_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (24, 17), (32, 32, 3), (19, 13, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (25, 75, 95):
+            base = decode_jpeg_baseline(encode_jpeg_baseline(px, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(px, quality=q))
+            np.testing.assert_array_equal(base, prog, err_msg=f"{shape} q{q}")
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A mostly-flat image makes whole AC bands zero across many
+    consecutive blocks, forcing multi-block EOBn codes (and, in the
+    refinement scans, correction bits buffered across the run) — the
+    progressive-only machinery a per-block EOB can't exercise."""
+    from climate_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    px = np.full((64, 48), 128, np.uint8)
+    px[30:34, 20:24] = 200          # one busy patch amid long runs
+    data = encode_jpeg_progressive(px, quality=50)
+    base = decode_jpeg_baseline(encode_jpeg_baseline(px, quality=50))
+    np.testing.assert_array_equal(decode_jpeg(data), base)
+
+
+def test_decode_jpeg_dispatch_and_loud_seams():
+    from climate_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    data, want = _golden_gray_8x8()
+    # baseline streams route through the baseline decoder unchanged
+    np.testing.assert_array_equal(decode_jpeg(data), want)
+    # decode_jpeg_baseline keeps its strict contract on SOF2 ...
+    prog = data.replace(b"\xFF\xC0", b"\xFF\xC2")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_baseline(prog)
+    # ... while decode_jpeg rejects the SAME stream for the real
+    # reason: a baseline scan header (Ss=0, Se=63) is illegal in a
+    # progressive frame
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
+        decode_jpeg(prog)
+    # truncated progressive entropy stream surfaces loudly
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    full = encode_jpeg_progressive(px, quality=75)
+    sos = full.index(b"\xFF\xDA")
+    with pytest.raises(ValueError, match="truncated|ends"):
+        decode_jpeg(full[:sos + 12])
+
+
+def test_spark_progressive_residue_block_mean(spark):
+    """synthesize_jpeg(progressive_every=5) → decode_media_real: the
+    progressive ids decode to the same cycled-byte block means as their
+    baseline siblings (exact round trip either way)."""
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_jpeg)
+
+    rows = [(i, f"progressive payload {i} " * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["media_id"]: r for r in
+           decode_media_real(synthesize_jpeg(df, "doc_id", "text",
+                                             progressive_every=5))
+           .collect()}
+    for i, text in rows:
+        vals = np.resize(np.frombuffer(text.encode(), np.uint8), 16)
+        assert abs(got[i]["mean_value"] - float(vals.mean())) < 1e-12, i
+    # ids 2 and 7 actually took the SOF2 path
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in
+                synthesize_jpeg(df, "doc_id", "text",
+                                progressive_every=5).collect()}
+    assert b"\xFF\xC2" in payloads[2] and b"\xFF\xC2" in payloads[7]
+    assert b"\xFF\xC2" not in payloads[0]
+
+
 def test_undefined_table_references_raise_value_error():
     """A scan referencing a quant/Huffman table id no DQT/DHT defined
     must raise the module's documented ValueError, not a bare KeyError
