@@ -20,8 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .jpeg import (decode_jpeg, decode_jpeg_baseline,
-                   encode_jpeg_baseline, encode_jpeg_progressive)
+from .jpeg import (decode_jpeg, encode_jpeg_baseline,
+                   encode_jpeg_progressive)
 from .png import png_pixels
 from .text import _spread
 
@@ -365,10 +365,11 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "n_samples": None,
                     "mean_value": float(px.astype(np.float64).mean())}
 
-        def decode_avi(p: bytes) -> dict:
-            from .video import parse_avi_mjpeg
-            meta = parse_avi_mjpeg(p)
-            means = [decode_jpeg_baseline(f).astype(np.float64).mean()
+        def decode_video(p: bytes) -> dict:
+            # AVI/RIFF or MP4/ISO-BMFF, dispatched inside parse_video
+            from .video import parse_video
+            meta = parse_video(p)
+            means = [decode_jpeg(f).astype(np.float64).mean()
                      for f in meta["frames"]]
             return {"kind": "video", "width": meta["width"],
                     "height": meta["height"], "n_channels": None,
@@ -403,7 +404,9 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     metas.append(decode_wav(b))
                 elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    metas.append(decode_avi(b))
+                    metas.append(decode_video(b))
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    metas.append(decode_video(b))
                 else:
                     raise NotImplementedError(
                         f"no pure-python codec for payload magic "

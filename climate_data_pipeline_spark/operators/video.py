@@ -1,13 +1,19 @@
-"""Real VIDEO path — MJPEG-in-AVI (RIFF), dependency-free: the AVI
-container is a plain RIFF chunk tree (public Microsoft/OpenDML spec)
-and each frame is a baseline JPEG, so with ``operators/jpeg.py`` in
-the repo the whole video modality graduates from the fake byte-window
-decoder to genuinely decoded frames.
+"""Real VIDEO path — MJPEG in AVI (RIFF) and MP4 (ISO-BMFF),
+dependency-free: both containers are plain struct trees (public
+Microsoft/OpenDML and ISO/IEC 14496-12 specs) and each frame is a
+JPEG, so with ``operators/jpeg.py`` in the repo the whole video
+modality graduates from the fake byte-window decoder to genuinely
+decoded frames. ``parse_video`` dispatches on the container magic;
+every frame-level operator below (sampling, hashing, dedup) accepts
+either container transparently.
 
 Scope: AVI with one 'vids' stream of 'MJPG' frames ('00dc'/'00db'
-chunks), optional idx1 index. Anything else — other codecs, audio
-streams interleaved, OpenDML extensions — raises loudly per payload,
-same contract as the image/audio decoders in ``multimodal.py``.
+chunks, optional idx1 index) and BMFF video tracks with JPEG sample
+entries (``operators/mp4.py`` — box walk + stsd/stts/stsc/stsz/stco
+sample tables; ``mp4_info`` reads metadata for ANY codec). Anything
+needing a real video decoder — H.264/H.265/VP9, interleaved audio,
+OpenDML extensions — raises loudly per payload, same contract as the
+image/audio decoders in ``multimodal.py``.
 
 Spark shape: frame decode is a row-MULTIPLYING ``mapInPandas`` (one
 output row per sampled frame), the UDTF pattern — partition-parallel
@@ -27,7 +33,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from .mp4 import build_mp4_mjpeg, parse_mp4_mjpeg
 from .text import _spread
+
+
+def parse_video(data: bytes) -> dict:
+    """Container dispatch on magic bytes: RIFF/AVI or ISO-BMFF (ftyp),
+    both to the same {width, height, fps, frames} contract."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return parse_avi_mjpeg(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return parse_mp4_mjpeg(data)
+    raise NotImplementedError(
+        f"no pure-python demuxer for video container magic "
+        f"{data[:12]!r} (AVI/RIFF and MP4/ISO-BMFF supported)")
 
 
 def _riff_chunks(data: bytes, start: int, end: int):
@@ -154,16 +173,23 @@ def parse_avi_mjpeg(data: bytes) -> dict:
 
 
 def synthesize_avi_mjpeg(df: DataFrame, id_col: str, text_col: str,
-                         n_frames: int = 6, fps: int = 10) -> DataFrame:
+                         n_frames: int = 6, fps: int = 10,
+                         container: str = "avi") -> DataFrame:
     """Build REAL MJPEG videos deterministically from text rows:
     ``n_frames`` 16×16 grayscale baseline-JPEG frames per document,
     frame ``f`` made of four 8×8 block-constant tiles whose values are
     the cycled UTF-8 text bytes at positions ``4f .. 4f+3`` (DC quant
     step 8 ⇒ every frame round-trips exactly), packed into a
-    spec-shaped AVI with an idx1 index. A SQL oracle can re-derive any
-    sampled frame's pixel mean straight from the text bytes while the
-    decoder has to get the RIFF walk, the index validation and the
-    whole JPEG path right."""
+    spec-shaped container. ``container``: ``"avi"`` (RIFF with a
+    validated idx1 index), ``"mp4"`` (ISO-BMFF, 'jpeg' sample entry,
+    two-samples-per-chunk stsc), or ``"mixed"`` — even ids AVI, odd
+    ids MP4, so one query exercises both demuxers under the SAME
+    oracle (the container never changes the pixels). A SQL oracle can
+    re-derive any sampled frame's pixel mean straight from the text
+    bytes while the decoder has to get the container walk, the index /
+    sample-table validation and the whole JPEG path right."""
+    if container not in ("avi", "mp4", "mixed"):
+        raise ValueError(f"unknown container {container!r}")
     out_schema = ("media_id long, media_type string, payload binary, "
                   "n_bytes long")
 
@@ -171,7 +197,7 @@ def synthesize_avi_mjpeg(df: DataFrame, id_col: str, text_col: str,
         q = np.ones((8, 8), np.int64)
         q[0, 0] = 8
 
-        def avi(text: str) -> bytes:
+        def vid(text: str, media_id: int) -> tuple[bytes, str]:
             raw = (text.encode("utf-8") or b"\x00")
             bts = np.frombuffer(raw, dtype=np.uint8)
             frames = []
@@ -180,14 +206,22 @@ def synthesize_avi_mjpeg(df: DataFrame, id_col: str, text_col: str,
                 px = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0), 8, 1)
                 frames.append(encode_jpeg_baseline(
                     px.astype(np.uint8), quant_tables=(q, q)))
-            return build_avi_mjpeg(frames, 16, 16, fps=fps)
+            use_mp4 = (container == "mp4"
+                       or (container == "mixed" and media_id % 2 == 1))
+            if use_mp4:
+                return (build_mp4_mjpeg(frames, 16, 16, fps=fps),
+                        "video/mp4")
+            return (build_avi_mjpeg(frames, 16, 16, fps=fps),
+                    "video/x-msvideo")
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [avi(t) for t in pdf[text_col].fillna("")]
+            built = [vid(t, i) for t, i in
+                     zip(pdf[text_col].fillna(""), ids)]
+            payloads = [b for b, _ in built]
             yield pd.DataFrame({
                 "media_id": ids,
-                "media_type": ["video/x-msvideo"] * len(payloads),
+                "media_type": [m for _, m in built],
                 "payload": payloads,
                 "n_bytes": pd.Series([len(p) for p in payloads],
                                      dtype="int64"),
@@ -213,7 +247,7 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                     "height": [], "frame_mean": []}
             for mid, p in zip(pdf["media_id"].astype("int64"),
                               pdf["payload"]):
-                meta = parse_avi_mjpeg(bytes(p))
+                meta = parse_video(bytes(p))
                 for idx in range(0, len(meta["frames"]), every_n):
                     px = decode_jpeg_baseline(meta["frames"][idx])
                     rows["media_id"].append(int(mid))
@@ -256,7 +290,7 @@ def video_frame_hashes(df: DataFrame) -> DataFrame:
                     "frame_bytes": []}
             for mid, p in zip(pdf["media_id"].astype("int64"),
                               pdf["payload"]):
-                meta = parse_avi_mjpeg(bytes(p))
+                meta = parse_video(bytes(p))
                 for idx, fr in enumerate(meta["frames"]):
                     rows["media_id"].append(int(mid))
                     rows["frame_idx"].append(idx)

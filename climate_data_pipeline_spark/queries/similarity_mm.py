@@ -1009,6 +1009,52 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VID.decode_video_frames(media, every_n=2)
 
 
+@query("mm_video_frames_mp4", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+fr AS (SELECT f FROM (VALUES (0), (2), (4)) t(f))
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+       16 AS width, 16 AS height,
+       (bytes[CAST((4*f + 0) % len(bytes) AS INT) + 1]
+        + bytes[CAST((4*f + 1) % len(bytes) AS INT) + 1]
+        + bytes[CAST((4*f + 2) % len(bytes) AS INT) + 1]
+        + bytes[CAST((4*f + 3) % len(bytes) AS INT) + 1]) / 4.0
+         AS frame_mean
+FROM b, fr
+""")
+def multimodal_video_frames_mp4(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The `mm_video_frames` pipeline over MIXED containers — even ids
+    MJPEG-AVI, odd ids MJPEG-in-MP4 (ISO-BMFF box walk +
+    stsd/stts/stsc/stsz/stco sample-table expansion,
+    `operators/mp4.py`) — through the same magic-byte `parse_video`
+    dispatch and frame sampling. The oracle is IDENTICAL to the AVI
+    query's because a container changes where the frame bytes live,
+    never what they decode to: a wrong chunk-offset base, a bad stsc
+    run expansion or a misread sample size shifts frame_mean and the
+    hash. Real crawls are overwhelmingly MP4, so the demuxer is the
+    difference between a usable video-dedup pass and a loud error on
+    day one."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = VID.synthesize_avi_mjpeg(docs, "doc_id", "text", n_frames=6,
+                                     container="mixed")
+    return VID.decode_video_frames(media, every_n=2)
+
+
 @query("mm_audio_features", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
