@@ -85,10 +85,13 @@ OFF_HEADLINE = [
     "sim_cosine_pairs",        # banded LSH + sketch prefilter + rerank
     "dedup_semantic_clusters", # LSH pair graph -> connected components
     "dedup_semantic_prune",    # SemDeDup corpus prune end-to-end
-    "dedup_clusters",          # exact-Jaccard ground-truth clustering
-    "dedup_minhash_eval",      # brute-force recall evaluator
-    "dedup_semantic_eval",     # low-threshold exploratory evaluator
-    "text_winnow_overlap",     # shared-fingerprint pair matrix
+    "dedup_clusters",          # exact-Jaccard clustering (prefix-filtered)
+    "dedup_clusters_star",     # O(log n)-round star rewiring (fixed job floor)
+    "dedup_keep_best",         # full dedup pipeline: pairs+CC+quality rank
+    "dedup_minhash_eval",      # sampled precision/recall evaluator
+    "dedup_semantic_eval",     # sampled low-threshold evaluator
+    "text_winnow_overlap",     # sampled shared-fingerprint pair matrix
+    "dedup_incremental",       # batch-vs-corpus band-table screen
 ]
 
 

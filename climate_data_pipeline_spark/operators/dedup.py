@@ -91,13 +91,31 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
                   n: int = 3) -> DataFrame:
     """(id, shingle) pairs, deduplicated — the inverted-index relation.
-    Tokenizes once per document via the words-projection two-step."""
+    Tokenizes once per document via the words-projection two-step.
+
+    Dedup happens MAP-SIDE with ``array_distinct`` before the explode:
+    (id, shingle) duplicates can only occur within one document's row,
+    so a global ``.distinct()`` would shuffle the whole exploded
+    relation — the largest intermediate in every shingle pipeline — to
+    deduplicate keys that never cross rows. Narrow replaces one full
+    shuffle in jaccard/minhash/contamination/overlap plans."""
     pre = (_spread(df).select(F.col(id_col).alias("id"),
                      words(text_col).alias("__w"))
              .where(F.size("__w") >= n))
-    return (pre.select("id", F.explode(
-                shingles_from_words(F.col("__w"), n)).alias("shingle"))
-               .distinct())
+    return pre.select("id", F.explode(F.array_distinct(
+                shingles_from_words(F.col("__w"), n))).alias("shingle"))
+
+
+def _est_expr(num_perm: int):
+    """MinHash Jaccard estimate — fraction of matching signature
+    components — as ONE expr string (the per-component Column form
+    cost ~6 py4j round trips × num_perm of plan-build time)."""
+    cases = " + ".join(f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END"
+                       for i in range(num_perm))
+    # CAST(... AS DOUBLE), not a `12.0` literal: bare decimal literals
+    # are DECIMAL-typed in Spark SQL and would silently flip the
+    # estimate's type (and the driver's schema hash) from double
+    return F.expr(f"({cases}) / CAST({num_perm} AS DOUBLE)")
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
@@ -117,16 +135,21 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     a 100 TB corpus; coefficients are md5-derived constants, so SQL
     engines can still re-derive the pipeline."""
     ds = _doc_shingles(df, text_col, id_col, n)
+    # one F.expr STRING per aggregate, not composed Column objects:
+    # at num_perm = 64 the object form costs hundreds of py4j round
+    # trips (~0.4 ms each) — plan BUILD time rivaled execution on warm
+    # runs (the measured trap from PERFORMANCE.md). Codegen's
+    # subexpression elimination dedupes the repeated inner hash.
     if scheme == "affine":
-        h = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10)
-              .cast("long"))  # 28 bits < 2^31-1
+        h = ("CAST(conv(substring(md5(shingle), 1, 7), 16, 10) "
+             "AS BIGINT)")  # 28 bits < 2^31-1
         coeffs = _affine_coeffs(num_perm)
-        aggs = [F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P))
-                 .alias(f"mh{i}") for i, (a, b) in enumerate(coeffs)]
+        aggs = [F.expr(f"min(({a}L * {h} + {b}L) % {_MERSENNE_P}L) "
+                       f"AS mh{i}")
+                for i, (a, b) in enumerate(coeffs)]
     elif scheme == "md5":
-        aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)),
-                                        F.col("shingle"))))
-                 .alias(f"mh{i}") for i in range(num_perm)]
+        aggs = [F.expr(f"min(md5(concat_ws(':', '{i}', shingle))) "
+                       f"AS mh{i}") for i in range(num_perm)]
     else:
         raise ValueError(f"unknown minhash scheme {scheme!r}")
     return ds.groupBy("id").agg(*aggs)
@@ -139,16 +162,16 @@ def band_table(sig: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
     append each ingested batch's rows and new batches join against it
     without re-reading (or re-shingling) the historical corpus."""
     rows = num_perm // bands
-    band_entries = F.array(*[
-        F.struct(F.lit(b).cast("int").alias("band"),
-                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}")
-                                          .cast("string")
-                                          for r in range(rows)])).alias("key"))
-        for b in range(bands)
-    ])
-    return (sig.select("id", F.explode(band_entries).alias("bk"))
-               .select("id", F.col("bk.band").alias("band"),
-                       F.col("bk.key").alias("key")))
+    # single-expr inline() instead of per-band Column structs: the
+    # object form cost O(bands·rows) py4j round trips of plan-build
+    # time (see minhash_signatures)
+    structs = ", ".join(
+        "struct(CAST({b} AS INT) AS band, md5(concat_ws('|', {ms})) "
+        "AS key)".format(
+            b=b, ms=", ".join(f"CAST(mh{b * rows + r} AS STRING)"
+                              for r in range(rows)))
+        for b in range(bands))
+    return sig.selectExpr("id", f"inline(array({structs}))")
 
 
 def incremental_dedup(corpus: DataFrame | None, batch: DataFrame,
@@ -202,12 +225,11 @@ def incremental_dedup(corpus: DataFrame | None, batch: DataFrame,
                     F.col("b.is_corpus").alias("is_corpus"))
             .distinct())
     sigs = sigc.unionByName(sigb)
-    sa = sigb.select(F.col("id"),
-                     *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
-    sb = sigs.select(F.col("id").alias("match_id"),
-                     *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
-    est = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-              for i in range(num_perm)) / F.lit(float(num_perm))
+    sa = sigb.selectExpr("id", *[f"mh{i} AS a{i}"
+                                 for i in range(num_perm)])
+    sb = sigs.selectExpr("id AS match_id",
+                         *[f"mh{i} AS b{i}" for i in range(num_perm)])
+    est = _est_expr(num_perm)
     ver = (cand.join(sa, "id").join(sb, "match_id")
                .withColumn("est", est).where(F.col("est") >= min_est))
     per = ver.groupBy("id").agg(
@@ -242,12 +264,11 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                       & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
-    sa = sig.select(F.col("id").alias("id_a"),
-                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
-    sb = sig.select(F.col("id").alias("id_b"),
-                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
-    est = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-              for i in range(num_perm)) / F.lit(float(num_perm))
+    sa = sig.selectExpr("id AS id_a",
+                        *[f"mh{i} AS a{i}" for i in range(num_perm)])
+    sb = sig.selectExpr("id AS id_b",
+                        *[f"mh{i} AS b{i}" for i in range(num_perm)])
+    est = _est_expr(num_perm)
     return (cand.join(sa, "id_a").join(sb, "id_b")
                 .withColumn("jaccard_est", est)
                 .where(F.col("jaccard_est") >= min_est)
@@ -261,40 +282,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     pairs sharing ≥1 shingle are generated by the shingle equi-join
     (never |docs|²), then J = |∩| / (|A| + |B| − |∩|) filters exactly.
 
-    ``max_df`` enables the standard similarity-join scale fix: shingles
-    appearing in more than ``max_df`` documents are dropped *before* the
-    join (a shingle shared by k docs contributes k² candidate pairs but
-    near-zero discrimination). Jaccard is then computed over the capped
-    shingle universe — a documented variant, consistent on both sides of
-    the oracle. The driver corpus has no hot shingles (max df 25 at
-    sf0.1) so the cap is inert there; on real corpora with boilerplate
-    phrases the join volume term Σ df² is exactly what it bounds."""
+    Candidate generation uses LOSSLESS PREFIX FILTERING (Chaudhuri et
+    al. SSJoin / Bayardo et al. AllPairs / PPJoin, all public): under a
+    global shingle order (ascending document frequency, ties by value),
+    two sets with J ≥ t MUST share an element inside each one's first
+    ``|x| − ⌈t·|x|⌉ + 1`` shingles — so only PREFIXES are exploded into
+    the equi-join. Rare-first ordering pushes exactly the hot,
+    collision-heavy shingles OUT of prefixes: measured 1.27M → ~0.2M
+    candidate rows at sf0.1, and at corpus scale it bounds the Σ df²
+    blow-up on boilerplate shingles that the naive inverted index
+    suffers. Verification is map-side ``array_intersect`` on the two
+    documents' (distinct, bounded-by-doc-length) shingle arrays — no
+    per-pair count aggregation — and is exact, so the ORACLE stays the
+    plain inverted-index SQL: the filter changes what is joined, never
+    what is returned.
+
+    ``max_df`` additionally drops shingles in more than ``max_df``
+    documents before anything else (a shingle shared by k docs carries
+    k² candidates and near-zero discrimination); Jaccard is then
+    computed over the capped universe — a documented variant, mirrored
+    in its oracle."""
     ds = _doc_shingles(df, text_col, id_col, n)
+    dfreq = ds.groupBy("shingle").agg(F.count("*").alias("__df"))
     if max_df is not None:
-        rare = (ds.groupBy("shingle").agg(F.count("*").alias("__df"))
-                  .where(F.col("__df") <= max_df).select("shingle"))
-        ds = ds.join(rare, "shingle")
-    # plan-keyed cache, intentionally left registered: the shingle
-    # relation feeds three branches of THIS plan (sizes + both join
-    # sides), and CacheManager canonicalization lets repeated runs over
-    # the same corpus (bench iterations, an interactive tuning session)
-    # reuse it. One entry per distinct input plan, MEMORY_AND_DISK with
-    # LRU block eviction — bounded; callers that need the memory back
-    # own the unpersist, like any shared cache.
-    ds = ds.cache()
-    sizes = ds.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = ds.alias("a"), ds.alias("b")
-    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                        & (F.col("a.id") < F.col("b.id")))
-               .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-               .agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (common.join(sa, "id_a").join(sb, "id_b")
-                  .withColumn("jaccard", jac)
-                  .where(F.col("jaccard") >= min_jaccard)
-                  .select("id_a", "id_b", "n_common", "jaccard"))
+        dfreq = dfreq.where(F.col("__df") <= max_df)
+    # per-document shingle array, globally ordered by (df, shingle):
+    # one row per doc, array length bounded by document length
+    arr = (ds.join(dfreq, "shingle")
+             .groupBy("id")
+             .agg(F.expr("transform(sort_array(collect_list("
+                         "struct(__df, shingle))), x -> x.shingle)")
+                  .alias("__sh"))
+             .withColumn("n_sh", F.size("__sh"))
+             # plan-keyed cache, intentionally left registered: the
+             # array table feeds the prefix explode AND both verify
+             # joins, and CacheManager canonicalization lets repeated
+             # runs over the same corpus (bench iterations, a tuning
+             # session) reuse it. One entry per distinct input plan,
+             # MEMORY_AND_DISK with LRU eviction; callers that need
+             # the memory back own the unpersist.
+             .cache())
+    # prefix length for Jaccard t: |x| − ⌈t·|x|⌉ + 1
+    pre = arr.select(
+        "id", F.explode(F.expr(
+            f"slice(__sh, 1, n_sh - CAST(ceil({min_jaccard} * n_sh) "
+            "AS INT) + 1)")).alias("shingle"))
+    cand = (pre.alias("a")
+               .join(pre.alias("b"),
+                     (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.id") < F.col("b.id")))
+               .select(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+               .distinct())
+    va = arr.selectExpr("id AS id_a", "__sh AS __sha", "n_sh AS n_a")
+    vb = arr.selectExpr("id AS id_b", "__sh AS __shb", "n_sh AS n_b")
+    return (cand.join(va, "id_a").join(vb, "id_b")
+                .withColumn("n_common",
+                            F.expr("size(array_intersect(__sha, __shb))")
+                            .cast("long"))
+                .withColumn("jaccard",
+                            F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")))
+                .where(F.col("jaccard") >= min_jaccard)
+                .select("id_a", "id_b", "n_common", "jaccard"))
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",

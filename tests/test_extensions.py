@@ -700,6 +700,47 @@ def test_png_codec_all_filters_and_loud_paths(spark):
         decode_one(png_with(interlace=9))
 
 
+def test_ngram_jaccard_prefix_filter_is_lossless(spark):
+    """Prefix filtering (AllPairs/PPJoin) must return EXACTLY the
+    brute-force Jaccard >= t pair set — rare-first global ordering,
+    per-set prefix |x| - ceil(t|x|) + 1, array_intersect verify. Checked
+    against an all-pairs numpy computation on a corpus salted with
+    exact copies, near-misses and disjoint docs, at two thresholds."""
+    import itertools
+
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for i in range(40):
+        k = rng.integers(5, 30)
+        texts.append(" ".join(rng.choice(vocab, size=k)))
+    texts += [texts[0], texts[1] + " extra tail words here",
+              texts[2], texts[2]]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in rows if len(t.split()) >= 3}
+    for t in (0.5, 0.8):
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= t:
+                want.add((a, b))
+        got = {(r["id_a"], r["id_b"]) for r in
+               ngram_jaccard_pairs(df, "text", "doc_id", n=3,
+                                   min_jaccard=t).collect()}
+        assert got == want, f"t={t}: {got ^ want}"
+
+
 def test_png_truncated_idat_raises_value_error():
     """A zlib stream that inflates to fewer bytes than the scanlines
     need must surface as the loud 'truncated' ValueError (jpeg.py
