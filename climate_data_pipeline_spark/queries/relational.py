@@ -263,9 +263,15 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HLL's accuracy bound: the Spark side emits
     |hll − exact| / exact ≤ 5% computed from the REAL sketch, and the
     oracle asserts that bound holds (TRUE) next to the exact counts —
-    a sketch regression flips the value and the hash."""
+    a sketch regression flips the value and the hash.
+
+    rsd = 0.02 (≈2700 registers), not 0.01: mixing a DISTINCT
+    aggregate with a non-distinct one forces Spark's expand plan, and
+    a 0.01-rsd sketch's 16 KB buffer riding that expand measured 3×
+    the whole query's cost — 2% precision is still 2.5× tighter than
+    the 5% bound under test, in one pass over the fact table."""
     li = load_table(spark, sf_dir, "lineitem")
-    approx = F.approx_count_distinct("l_partkey", 0.01)
+    approx = F.approx_count_distinct("l_partkey", 0.02)
     exact = F.countDistinct("l_partkey")
     return (li.groupBy("l_returnflag")
               .agg(exact.alias("exact_parts"),

@@ -73,14 +73,21 @@ WHERE rn = 1
 """)
 def nearest_station_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest weather station per point (`operators/spatial.
-    nearest_neighbor`): broadcast station dimension, map-side haversine
-    scoring, struct-min arg-min — no shuffle of the target side beyond
-    its own per-key aggregate. The reference serves nearest-point reads
-    as coordinate-index selection (`src/benchmark_suite.py:156-162`);
-    the row-model generalization is this broadcast arg-min join."""
+    nearest_neighbor`): broadcast station dimension, latitude-CELL hash
+    equi-join for candidates, map-side haversine scoring, struct-min
+    arg-min — never a targets × stations pair scan. cell_deg = 10 is
+    lossless for this station layout: stations occupy every 10° of
+    latitude, so a target's nearest station is at most
+    √((5·111)² + (5·111)²) ≈ 785 km away, and any station beyond 10°
+    of latitude (≥ 1110 km) can never beat it — the ±1-cell window
+    (|Δlat| ≤ 10° guaranteed) therefore always contains the true
+    arg-min, which the full-scan oracle confirms by hash. The
+    reference serves nearest-point reads as coordinate-index selection
+    (`src/benchmark_suite.py:156-162`); the row-model generalization
+    is this bucketed arg-min join."""
     return SP.nearest_neighbor(
         _targets(spark, sf_dir), _stations(spark, sf_dir),
-        target_keys=["c_custkey"], round_dp=2)
+        target_keys=["c_custkey"], cell_deg=10.0, round_dp=2)
 
 
 @query("spatial_bilinear_regrid", oracle=f"""
