@@ -98,7 +98,13 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
     so a global ``.distinct()`` would shuffle the whole exploded
     relation — the largest intermediate in every shingle pipeline — to
     deduplicate keys that never cross rows. Narrow replaces one full
-    shuffle in jaccard/minhash/contamination/overlap plans."""
+    shuffle in jaccard/minhash/contamination/overlap plans.
+
+    CONTRACT: the input carries ONE row per document id (what every
+    loader and synthesizer here produces). A caller feeding duplicate
+    id rows (an un-deduplicated join fan-out) gets duplicate (id,
+    shingle) pairs — min-based consumers (minhash) are unaffected, but
+    count-based ones would overcount; dedup such inputs first."""
     pre = (_spread(df).select(F.col(id_col).alias("id"),
                      words(text_col).alias("__w"))
              .where(F.size("__w") >= n))
@@ -308,9 +314,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         dfreq = dfreq.where(F.col("__df") <= max_df)
     # per-document shingle array, globally ordered by (df, shingle):
     # one row per doc, array length bounded by document length
+    # collect_SET, not collect_list: with one row per doc id the sets
+    # are already duplicate-free, but a duplicate-id input (see the
+    # _doc_shingles contract) degrades to the old global-distinct
+    # semantics instead of silently inflating n_sh / prefix lengths
     arr = (ds.join(dfreq, "shingle")
              .groupBy("id")
-             .agg(F.expr("transform(sort_array(collect_list("
+             .agg(F.expr("transform(sort_array(collect_set("
                          "struct(__df, shingle))), x -> x.shingle)")
                   .alias("__sh"))
              .withColumn("n_sh", F.size("__sh"))

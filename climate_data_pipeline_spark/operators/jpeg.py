@@ -446,6 +446,34 @@ def _extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
+
+def _read_dqt(body: bytes, qt: dict) -> None:
+    """Parse one DQT segment into ``qt[tq]`` = NATURAL-order flat-64
+    int64 steps (shared by the baseline and progressive header walks —
+    a single representation so table-handling fixes land once)."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq:
+            raise NotImplementedError("16-bit quant tables")
+        tbl = np.zeros(64, np.int64)
+        tbl[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], np.uint8)
+        qt[tq] = tbl
+        i += 65
+
+
+def _read_dht(body: bytes, huff: dict) -> None:
+    """Parse one DHT segment into ``huff[(tc, th)]`` decode tables."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1:i + 17])
+        nv = sum(bits)
+        vals = list(body[i + 17:i + 17 + nv])
+        huff[(tc, th)] = _decode_table(bits, vals)
+        i += 17 + nv
+
+
 def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to (h, w) grayscale or (h, w, 3) RGB uint8.
     Supports the profile ``encode_jpeg_baseline`` writes plus the common
@@ -474,24 +502,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + ln]
         if m == 0xDB:                                   # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                tbl = np.zeros(64, np.int64)
-                tbl[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], np.uint8)
-                qt[tq] = tbl.reshape(8, 8)
-                i += 65
+            _read_dqt(body, qt)
         elif m == 0xC4:                                 # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17:i + 17 + nv])
-                huff[(tc, th)] = _decode_table(bits, vals)
-                i += 17 + nv
+            _read_dht(body, huff)
         elif m == 0xC0 or m == 0xC1:                    # SOF0/1 (Huffman seq.)
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -618,7 +631,7 @@ def _decode_scan(data: bytes, br: _BitReader, comps: list[dict],
             for c in comps:
                 dct = huff[(0, c["td"])]
                 act = huff[(1, c["ta"])]
-                q = c.setdefault("_qzz", qt[c["tq"]].reshape(-1)[ZIGZAG])
+                q = c.setdefault("_qzz", qt[c["tq"]][ZIGZAG])
                 for dy in range(c["v"]):
                     for dx in range(c["h"]):
                         zz = np.zeros(64, np.int64)
@@ -731,24 +744,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + ln]
         if m == 0xDB:                                   # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                tbl = np.zeros(64, np.int64)
-                tbl[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], np.uint8)
-                qt[tq] = tbl
-                i += 65
+            _read_dqt(body, qt)
         elif m == 0xC4:                                 # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17:i + 17 + nv])
-                huff[(tc, th)] = _decode_table(bits, vals)
-                i += 17 + nv
+            _read_dht(body, huff)
         elif m == 0xC2:                                 # SOF2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -1196,19 +1194,37 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 75,
                     flush()
                 continue
             flush()
+            # positions past the LAST newly-significant coefficient
+            # fold into the EOB run (no ZRL is ever emitted there)
+            last_new = int(np.nonzero(newly)[0][-1])
             run = 0
             pend: list[int] = []
+
+            def zrl_flush() -> None:
+                # G.7 / G.1.2.3 ordering: a pending run > 15 flushes
+                # BEFORE the position at hand is handled — whether it
+                # is newly significant OR history-nonzero — and each
+                # ZRL carries exactly the correction bits buffered up
+                # to it; bits for history coefficients reached after
+                # the 16-zero window follow the NEXT symbol. (Emitting
+                # all buffered bits only at newly-significant symbols
+                # desynchronized the decoder's per-window bit reads.)
+                nonlocal run, pend
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    for bit in pend:
+                        bw.write(bit, 1)
+                    pend = []
+                    run -= 16
+
             for k in range(len(band)):
                 if hist[k]:
+                    if k <= last_new:
+                        zrl_flush()
                     pend.append(int(abs(int(band[k])) >> al) & 1)
                 elif newly[k]:
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        bw.write(code, ln)
-                        for bit in pend:
-                            bw.write(bit, 1)
-                        pend = []
-                        run -= 16
+                    zrl_flush()
                     code, ln = ac_codes[(run << 4) | 1]
                     bw.write(code, ln)
                     bw.write(1 if cur[k] > 0 else 0, 1)

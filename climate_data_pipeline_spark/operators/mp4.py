@@ -87,15 +87,25 @@ def mp4_info(data: bytes) -> dict:
         hdlr = _find(data, *mdia, b"hdlr")
         if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
             continue
-        mdhd = _find(data, *mdia, b"mdhd")
+
+        def need(span, typ):
+            # loud-seam contract: a video track missing a mandatory box
+            # is a descriptive ValueError, never a NoneType TypeError
+            found = _find(data, *span, typ)
+            if found is None:
+                raise ValueError("BMFF video track without a "
+                                 f"{typ.decode('latin-1')} box")
+            return found
+
+        mdhd = need(mdia, b"mdhd")
         ver, _, p = _full(data, mdhd[0])
         if ver == 1:
             timescale, duration = struct.unpack_from(">IQ", data, p + 16)
         else:
             _, _, timescale, duration = struct.unpack_from(">4I", data, p)
-        minf = _find(data, *mdia, b"minf")
-        stbl = _find(data, *minf, b"stbl")
-        stsd = _find(data, *stbl, b"stsd")
+        minf = need(mdia, b"minf")
+        stbl = need(minf, b"stbl")
+        stsd = need(stbl, b"stsd")
         _, _, p = _full(data, stsd[0])
         (n_entries,) = struct.unpack_from(">I", data, p)
         if n_entries < 1:
@@ -106,19 +116,43 @@ def mp4_info(data: bytes) -> dict:
         # the entry (14496-12 12.1.3)
         codec = data[p + 8:p + 12]
         w, hgt = struct.unpack_from(">HH", data, p + 4 + 32)
-        stsz = _find(data, *stbl, b"stsz")
+        stsz = need(stbl, b"stsz")
         _, _, q = _full(data, stsz[0])
         sample_size, n_samples = struct.unpack_from(">II", data, q)
-        stts = _find(data, *stbl, b"stts")
+        stts = need(stbl, b"stts")
         _, _, q = _full(data, stts[0])
         (n_tt,) = struct.unpack_from(">I", data, q)
         delta = struct.unpack_from(">II", data, q + 4)[1] if n_tt else 0
         fps = round(timescale / delta) if delta else 0
+        # pure metadata out — no parser state (callers project this
+        # into rows; a byte-offset tuple would break equality of
+        # otherwise-identical metadata across container layouts)
         return {"codec": codec.decode("latin-1"), "width": w,
                 "height": hgt, "n_samples": n_samples,
                 "timescale": timescale, "duration": duration,
-                "fps": fps, "uniform_sample_size": sample_size,
-                "stbl": stbl}
+                "fps": fps, "uniform_sample_size": sample_size}
+    raise ValueError("BMFF without a video ('vide') track")
+
+
+def _video_stbl(data: bytes) -> tuple[int, int]:
+    """(start, end) of the first video track's sample table box."""
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("BMFF without a moov box")
+    for t, b, e in _boxes(data, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(data, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find(data, *mdia, b"minf")
+        stbl = _find(data, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("BMFF video track without a minf/stbl box")
+        return stbl
     raise ValueError("BMFF without a video ('vide') track")
 
 
@@ -184,7 +218,7 @@ def parse_mp4_mjpeg(data: bytes) -> dict:
             f"BMFF video codec {info['codec']!r} has no pure-python "
             "decoder (only JPEG-coded tracks); mp4_info still reads "
             "its metadata")
-    ranges = _sample_ranges(data, info["stbl"], info["n_samples"],
+    ranges = _sample_ranges(data, _video_stbl(data), info["n_samples"],
                             info["uniform_sample_size"])
     frames = []
     for off, sz in ranges:

@@ -163,10 +163,14 @@ def nearest_neighbor(targets: DataFrame, stations: DataFrame,
         key = (F.round(dist * scale).cast("long") * F.lit(1 << 42)
                + F.col("__sid") + guard)
         out = pairs.groupBy(*target_keys).agg(F.min(key).alias("__key"))
+        # shiftright, NOT floor(key / 2^42): long/long division goes
+        # through double, whose 53-bit mantissa can round a 63-bit key
+        # across the 2^42 boundary (wrong distance by one ulp of the
+        # rounding scale); the shift is exact for the non-negative key
         return out.select(
             *target_keys,
             (F.col("__key") % (1 << 42)).alias("nearest_" + station_id),
-            (F.floor(F.col("__key") / (1 << 42)) / scale)
+            (F.shiftright(F.col("__key"), 42) / scale)
             .alias("distance_km"))
     best = F.min(F.struct(dist.alias("d"),
                           F.col("__sid").alias("sid"))).alias("__best")

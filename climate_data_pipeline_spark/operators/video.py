@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from .jpeg import decode_jpeg, encode_jpeg_baseline
 from .mp4 import build_mp4_mjpeg, parse_mp4_mjpeg
 from .text import _spread
 
@@ -249,7 +249,7 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                               pdf["payload"]):
                 meta = parse_video(bytes(p))
                 for idx in range(0, len(meta["frames"]), every_n):
-                    px = decode_jpeg_baseline(meta["frames"][idx])
+                    px = decode_jpeg(meta["frames"][idx])
                     rows["media_id"].append(int(mid))
                     rows["frame_idx"].append(idx)
                     rows["width"].append(px.shape[1])
@@ -318,7 +318,7 @@ def frame_dedup_report(df: DataFrame) -> DataFrame:
     before the expensive pixel work.
 
     Plan: ONE container-walk fingerprint pass (the narrow hash
-    projection is eagerly localCheckpoint-ed so the count branch and
+    projection is lazily localCheckpoint-ed so the count branch and
     the score branch don't walk the payloads twice; unlike a persist()
     pin — which CacheManager holds for the session unless the caller
     unpersists — checkpoint blocks are released by the ContextCleaner
@@ -329,8 +329,13 @@ def frame_dedup_report(df: DataFrame) -> DataFrame:
     partition — then a broadcast of only the DUPLICATED hashes back
     onto the hash stream (map-side, no second hash shuffle) and one
     final aggregate on media_id. Never frame×frame."""
+    # LAZY checkpoint: materialized by the first action (the broadcast
+    # side's build job lands the blocks before the main branch reads
+    # them), so constructing the report stays side-effect free while
+    # the payload walk still happens once and the blocks are released
+    # with the DataFrame instead of pinned in CacheManager
     h = (video_frame_hashes(df).select("media_id", "frame_md5")
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     dup_hashes = (h.groupBy("frame_md5")
                    .agg(F.count("*").alias("__n"))
                    .where(F.col("__n") > 1)

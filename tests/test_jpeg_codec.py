@@ -242,6 +242,46 @@ def test_progressive_eob_runs_span_blocks():
     np.testing.assert_array_equal(decode_jpeg(data), base)
 
 
+def test_progressive_refine_zrl_correction_bit_order():
+    """G.7 ordering regression: a band with >15 zero-history zeros and
+    a history-nonzero coefficient after the 16-zero window must emit
+    that coefficient's correction bit after the NEXT symbol, not after
+    the first ZRL. The directed case (coefs 4 @ zigzag 30, 1 @ 31,
+    unit quant) plus a sparse-high-band fuzz both desynchronized the
+    decoder before the fix (raised 'illegal refinement symbol' or
+    silently shifted pixels)."""
+    from climate_data_pipeline_spark.operators.jpeg import (
+        _T, decode_jpeg, encode_jpeg_progressive)
+
+    q1 = np.ones((8, 8), np.int64)
+
+    def from_coefs(zzvals):
+        blk = np.zeros(64)
+        blk[ZIGZAG] = zzvals
+        px = _T.T @ blk.reshape(8, 8) @ _T + 128.0
+        return np.clip(np.round(px), 0, 255).astype(np.uint8)
+
+    zz = np.zeros(64)
+    zz[30], zz[31] = 4, 1
+    px = from_coefs(zz)
+    base = decode_jpeg_baseline(encode_jpeg_baseline(px, quant_tables=(q1, q1)))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quant_tables=(q1, q1)))
+    np.testing.assert_array_equal(base, prog)
+    rng = np.random.default_rng(99)
+    for _ in range(60):
+        zz = np.zeros(64)
+        idx = rng.choice(np.arange(1, 64), size=rng.integers(1, 6),
+                         replace=False)
+        zz[idx] = rng.integers(-6, 7, size=len(idx))
+        zz[0] = rng.integers(-40, 40)
+        px = from_coefs(zz)
+        base = decode_jpeg_baseline(
+            encode_jpeg_baseline(px, quant_tables=(q1, q1)))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(px, quant_tables=(q1, q1)))
+        np.testing.assert_array_equal(base, prog)
+
+
 def test_decode_jpeg_dispatch_and_loud_seams():
     from climate_data_pipeline_spark.operators.jpeg import (
         decode_jpeg, encode_jpeg_progressive)
