@@ -76,11 +76,19 @@ HEADLINE = [
 ]
 
 # Multi-job / clustering-family queries benched in their own section so
-# their trend is visible in BENCH JSON round-over-round. As of round 7
-# every member is inside the < 2 s envelope by design: the ground-truth
-# evaluators (*_eval, winnow_overlap) run on deterministic md5-bucket
-# samples mirrored into their oracles, and the clustering queries pay a
-# bounded number of fixed-cost propagation jobs.
+# their trend is visible in BENCH JSON round-over-round. The
+# ground-truth evaluators (*_eval, winnow_overlap) run on deterministic
+# md5-bucket samples mirrored into their oracles; the clustering
+# queries pay a bounded number of fixed-cost propagation jobs. Two
+# members straddle the envelope on a loaded host by construction, not
+# data volume: dedup_clusters_star's O(log n) star-rewiring rounds are
+# ~5 sequential tiny Spark jobs (the ANY-topology scale path — proven
+# output-equal to the in-envelope dedup_clusters, which is the default
+# for near-dup quasi-cliques), and dedup_keep_best is the sequential
+# SUM of two individually in-envelope pipelines (pair generation +
+# clustering, then member-only quality ranking). At cluster scale the
+# per-job scheduling floor amortizes into real work; locally it is the
+# dominant term and tracks host load ~1:1.
 OFF_HEADLINE = [
     "sim_cosine_pairs",        # banded LSH + sketch prefilter + rerank
     "dedup_semantic_clusters", # LSH pair graph -> connected components
@@ -227,6 +235,9 @@ def main() -> None:
     from climate_data_pipeline_spark import registry
     from climate_data_pipeline_spark.session import get_spark
 
+    # capture BEFORE any Spark work: taken at the end it would read the
+    # bench's own 32-core load instead of the ambient host state
+    host = host_fingerprint()
     spark = get_spark(app_name="cdps-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -281,7 +292,7 @@ def main() -> None:
         "queries": per_query,
         "off_headline": off_headline,
         "serving_ms": serving,
-        "host": host_fingerprint(),
+        "host": host,
         "sf": sf,
     }))
 

@@ -308,14 +308,22 @@ def video_frame_hashes(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_hashes, schema=out_schema)
 
 
-def frame_dedup_report(df: DataFrame) -> DataFrame:
-    """Corpus-wide frame-level exact-dup report over AVI payloads:
+def frame_dedup_report(df: DataFrame,
+                       ids: DataFrame | None = None) -> DataFrame:
+    """Corpus-wide frame-level exact-dup report over video payloads:
     for EVERY video (zero-frame containers included, with all-zero
     counts), how many of its frames are byte-duplicated elsewhere in
     the corpus (ANOTHER video shares the frame, or the same video
     repeats it), and the count of distinct frames. The filter signal a
     video curation pass uses to drop slideshows / re-encode twins
     before the expensive pixel work.
+
+    ``ids`` (optional, one ``media_id`` per video): the zero-frame
+    restoration branch needs the id universe, and deriving it from
+    ``df`` costs a second full pass over the payload column (column
+    pruning cannot reach inside a mapInPandas synthesizer or a decode
+    stage). Pass the cheap id source when one exists — the catalog /
+    metadata table the payloads were produced from.
 
     Plan: ONE container-walk fingerprint pass (the narrow hash
     projection is lazily localCheckpoint-ed so the count branch and
@@ -350,7 +358,10 @@ def frame_dedup_report(df: DataFrame) -> DataFrame:
                       F.col("n_duplicated").cast("long")))
     # zero-frame videos produce no hash rows — restore them with
     # all-zero counts so the report covers every input video
-    ids = df.select("media_id").distinct()
+    if ids is None:
+        ids = df.select("media_id").distinct()
+    else:
+        ids = ids.select("media_id").distinct()
     return (ids.join(report, "media_id", "left")
             .select("media_id",
                     F.coalesce("n_frames", F.lit(0)).alias("n_frames"),

@@ -1153,10 +1153,13 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal 8×8-tile tuples to equal JPEG bytes, so two frames collide
     exactly when their 4-byte tuples match — a fingerprint pass that
     hashed the wrong byte ranges or walked movi off-by-one would break
-    the counts."""
+    the counts. The id universe for the zero-frame branch comes from
+    the documents table directly — deriving it from the media stream
+    would synthesize every payload a second time."""
     docs = load_table(spark, sf_dir, "documents")
     media = VID.synthesize_avi_mjpeg(docs, "doc_id", "text", n_frames=6)
-    return VID.frame_dedup_report(media)
+    return VID.frame_dedup_report(
+        media, ids=docs.select(F.col("doc_id").alias("media_id")))
 
 
 @query("mm_image_resize", oracle="""

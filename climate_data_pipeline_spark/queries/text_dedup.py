@@ -786,25 +786,39 @@ def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster keep the member with the highest quality score (ties → lower
     id). This is the policy real corpus dedup uses — survivors should be
     the cleanest copy, not an arbitrary one. Quality is rounded to 6 dp in
-    both engines *before* ranking so the selected set is identical."""
-    from pyspark.sql import Window
+    both engines *before* ranking so the selected set is identical.
+
+    The per-cluster winner is a PACKED arg-min, not a row_number
+    window: quality is a 6-dp value in [0, 1], so (1e6 − q·1e6) fits
+    20 bits and the doc id takes the low 42 — min() over one BIGINT
+    selects (max quality, min id) through a HashAggregate fused with
+    the member count, where the window needed its own per-cluster sort
+    pass (the nearest_neighbor trick; decode is exact because
+    round_port's k/1e6 division is replayed bit-for-bit)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
                                   n=3, min_jaccard=0.5)
     members = D.duplicate_clusters(pairs).select("id", "cluster_id")
-    quality = (TX.quality_score(docs, "text")
+    # score only CLUSTER MEMBERS: the quality pass (regex + stopword
+    # scans over full text) is the expensive projection, and only docs
+    # that have a duplicate need ranking — the semi join runs before
+    # the scoring so the corpus-minus-duplicates majority never pays it
+    member_docs = docs.join(
+        members.select(F.col("id").alias("doc_id")), "doc_id",
+        "left_semi")
+    quality = (TX.quality_score(member_docs, "text")
                .select(F.col("doc_id").alias("id"),
                        round_port("quality_score").alias("quality")))
-    w = (Window.partitionBy("cluster_id")
-               .orderBy(F.col("quality").desc(), F.col("id").asc()))
-    ranked = (members.join(quality, "id")
-                     .withColumn("rn", F.row_number().over(w)))
-    return (ranked.groupBy("cluster_id")
-                  .agg(F.count("*").alias("n_members"),
-                       F.max(F.when(F.col("rn") == 1, F.col("id")))
-                        .alias("keep_id"),
-                       F.max(F.when(F.col("rn") == 1, F.col("quality")))
-                        .alias("best_quality")))
+    key = (F.round((F.lit(1.0) - F.col("quality")) * 1_000_000)
+            .cast("long") * F.lit(1 << 42) + F.col("id"))
+    return (members.join(quality, "id")
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"),
+                 F.min(key).alias("__k"))
+            .select("cluster_id", "n_members",
+                    (F.col("__k") % (1 << 42)).alias("keep_id"),
+                    ((F.lit(1_000_000) - F.shiftright(F.col("__k"), 42))
+                     / 1_000_000 + F.lit(0.0)).alias("best_quality")))
 
 
 @query("text_contamination", oracle=f"""
