@@ -288,6 +288,101 @@ def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
               .mapInPandas(_synth, schema=out_schema))
 
 
+def synthesize_gif(df: DataFrame, id_col: str, text_col: str,
+                   interlace_every: int = 7,
+                   animate_every: int = 5,
+                   n_frames: int = 4) -> DataFrame:
+    """Build REAL GIFs deterministically from text rows: 16×16 images
+    through a 256-entry grayscale palette, pixels = the cycled UTF-8
+    text bytes, LZW-compressed for real (``operators/gif.py``). Every
+    ``interlace_every``-th id is row-INTERLACED (same pixels — the
+    4-pass reorder must round-trip exactly or the mean shifts); every
+    ``animate_every``-th id is an ANIMATED GIF of ``n_frames`` frames,
+    frame f's pixels the text bytes cycled from offset f. Palette
+    round trips are lossless, so a SQL oracle re-derives every decoded
+    mean from the bytes."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .gif import build_gif
+
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+        def gif(text: str, media_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8)
+            nf = (n_frames if animate_every > 0
+                  and media_id % animate_every == 1 else 1)
+            frames = [bts[(f + np.arange(256)) % len(bts)]
+                      .reshape(16, 16) for f in range(nf)]
+            il = (interlace_every > 0
+                  and media_id % interlace_every == 3)
+            return build_gif(frames, gray, interlace=il)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [gif(t, i) for t, i in
+                        zip(pdf[text_col].fillna(""), ids)]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image/gif"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
+def synthesize_bmp(df: DataFrame, id_col: str, text_col: str,
+                   rgb_every: int = 3,
+                   topdown_every: int = 2) -> DataFrame:
+    """Build REAL BMPs deterministically from text rows: 16×16 images,
+    pixels = the cycled UTF-8 text bytes — every ``rgb_every``-th id a
+    24-bit BGR DIB, the others 8-bit through a grayscale palette;
+    every ``topdown_every``-th id stored TOP-DOWN (negative height),
+    the rest bottom-up, so a reader with the row order wrong decodes
+    wrong pixels (caught per pixel, not per mean, in tests; the mean
+    oracle stays orientation-invariant by construction)."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .bmp import build_bmp
+
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+        def bmp(text: str, media_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            td = topdown_every > 0 and media_id % topdown_every == 0
+            if rgb_every > 0 and media_id % rgb_every == 0:
+                px = np.resize(np.frombuffer(raw, np.uint8),
+                               256 * 3).reshape(16, 16, 3)
+                return build_bmp(px, top_down=td)
+            idx = np.resize(np.frombuffer(raw, np.uint8),
+                            256).reshape(16, 16)
+            return build_bmp(idx, palette=gray, top_down=td)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [bmp(t, i) for t, i in
+                        zip(pdf[text_col].fillna(""), ids)]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image/bmp"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
     """REAL codec path — pure-python decoders for every container the
     suite synthesizes (binary netpbm P5/P6 images; PNG with full
@@ -377,6 +472,35 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "n_samples": len(meta["frames"]),
                     "mean_value": float(np.mean(means)) if means else 0.0}
 
+        def decode_gif(p: bytes) -> dict:
+            from .gif import parse_gif
+            meta = parse_gif(p)
+            frames = meta["frames"]
+            if len(frames) == 1:
+                px = frames[0]["px"]
+                return {"kind": "image", "width": meta["width"],
+                        "height": meta["height"], "n_channels": 3,
+                        "sample_rate": None, "n_samples": None,
+                        "mean_value": float(px.astype(np.float64)
+                                            .mean())}
+            # animated GIF: the video contract — per-frame means
+            # averaged, frame count + rate exposed
+            means = [f["px"].astype(np.float64).mean() for f in frames]
+            delay = frames[0]["delay_cs"]
+            return {"kind": "video", "width": meta["width"],
+                    "height": meta["height"], "n_channels": None,
+                    "sample_rate": round(100 / delay) if delay else 0,
+                    "n_samples": len(frames),
+                    "mean_value": float(np.mean(means))}
+
+        def decode_bmp(p: bytes) -> dict:
+            from .bmp import parse_bmp
+            px = parse_bmp(p)
+            return {"kind": "image", "width": int(px.shape[1]),
+                    "height": int(px.shape[0]), "n_channels": 3,
+                    "sample_rate": None, "n_samples": None,
+                    "mean_value": float(px.astype(np.float64).mean())}
+
         def decode_wav(p: bytes) -> dict:
             with wave.open(io.BytesIO(p), "rb") as f:
                 nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
@@ -407,6 +531,10 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     metas.append(decode_video(b))
                 elif len(b) >= 12 and b[4:8] == b"ftyp":
                     metas.append(decode_video(b))
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    metas.append(decode_gif(b))
+                elif b[:2] == b"BM":
+                    metas.append(decode_bmp(b))
                 else:
                     raise NotImplementedError(
                         f"no pure-python codec for payload magic "

@@ -1009,6 +1009,107 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VID.decode_video_frames(media, every_n=2)
 
 
+@query("mm_decode_gif", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+fmean AS (
+  SELECT media_id, f,
+         CAST(list_sum(list_transform(range(256),
+              i -> bytes[CAST((i + f) % len(bytes) AS INT) + 1]))
+              AS DOUBLE) / 256.0 AS fm
+  FROM b, (SELECT unnest(range(4)) AS f) fr
+  WHERE media_id % 5 = 1 OR f = 0
+)
+SELECT b.media_id,
+       CASE WHEN b.media_id % 5 = 1 THEN 'video' ELSE 'image' END AS kind,
+       16 AS width, 16 AS height,
+       CASE WHEN b.media_id % 5 = 1 THEN NULL
+            ELSE CAST(3 AS INTEGER) END AS n_channels,
+       CASE WHEN b.media_id % 5 = 1 THEN CAST(4 AS BIGINT)
+            ELSE NULL END AS n_samples,
+       avg(fm) AS mean_value
+FROM b JOIN fmean ON fmean.media_id = b.media_id
+GROUP BY 1, 2, 3, 4, 5, 6
+""")
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF round trip through REAL LZW compression, no external media
+    libraries: documents render into genuine GIFs (pixels = the cycled
+    text bytes through a 256-gray palette; every 7th id row-INTERLACED
+    — same pixels, so the 4-pass reorder sits under the same mean;
+    every 5th id an ANIMATED 4-frame GIF89a, frame f cycling from
+    offset f) and decode back through the block walk + variable-width
+    LZW + palette path (`operators/gif.py`). Palette round trips are
+    LOSSLESS, so the oracle re-derives every mean exactly — byte sums
+    over 2^8 divisors keep both engines bit-identical. A wrong code-
+    width growth point, a bad KwKwK expansion, a mis-ordered interlace
+    pass or an off-by-one frame offset all shift the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_gif(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "kind", "width", "height",
+                      "n_channels", "n_samples", "mean_value"))
+
+
+@query("mm_decode_bmp", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+px AS (
+  SELECT media_id,
+         CASE WHEN media_id % 3 = 0 THEN 3 ELSE 1 END AS n,
+         list_transform(
+           range(256 * (CASE WHEN media_id % 3 = 0 THEN 3 ELSE 1 END)),
+           i -> bytes[CAST(i % len(bytes) AS INT) + 1]) AS pixels
+  FROM b
+)
+SELECT media_id, 'image' AS kind, 16 AS width, 16 AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(list_sum(pixels) AS DOUBLE) / (256.0 * n) AS mean_value
+FROM px
+""")
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP round trip: documents render into genuine DIBs — every 3rd
+    id 24-bit BGR, the rest 8-bit through a grayscale palette, every
+    2nd id stored TOP-DOWN (the rest bottom-up, so a wrong row order
+    decodes wrong pixels) — and decode back through
+    `operators/bmp.py`. The oracle re-derives the mean from the text
+    bytes; the mean is orientation-invariant by design, so the
+    row-order correctness is pinned per pixel in unit tests while the
+    hash pins palette expansion, BGR ordering and stride padding."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_bmp(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "kind", "width", "height",
+                      "n_channels", "mean_value"))
+
+
 @query("mm_video_frames_mp4", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

@@ -868,6 +868,112 @@ def test_png_sub_byte_depths_decode_exactly():
         png_pixels(png(bad, 2, 3, plte=bytes(9)))
 
 
+def test_gif_codec_roundtrip_and_loud_seams():
+    """GIF build/parse: exact pixels through real LZW (variable code
+    widths, KwKwK, dictionary reset), 4-pass interlace, animation,
+    small palettes; malformed payloads raise loudly."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.gif import (build_gif,
+                                                           parse_gif)
+
+    rng = np.random.default_rng(17)
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    for h, w, nf, il in [(16, 16, 1, False), (23, 31, 1, True),
+                         (9, 40, 4, False), (17, 13, 3, True)]:
+        frames = [rng.integers(0, 256, (h, w)).astype(np.uint8)
+                  for _ in range(nf)]
+        meta = parse_gif(build_gif(frames, gray, interlace=il))
+        assert (meta["width"], meta["height"], len(meta["frames"])) \
+            == (w, h, nf)
+        for f, src in zip(meta["frames"], frames):
+            np.testing.assert_array_equal(f["px"][:, :, 0], src)
+    # 4-color palette forces min code size 2 + real width growth
+    pal4 = np.array([[0, 0, 0], [85, 0, 9], [170, 7, 1],
+                     [255, 255, 255]], np.uint8)
+    big = (np.arange(120 * 77) % 4).reshape(120, 77).astype(np.uint8)
+    np.testing.assert_array_equal(
+        parse_gif(build_gif([big], pal4))["frames"][0]["px"],
+        pal4[big])
+    # dictionary reset at 4096 entries (large random 256-color raster)
+    huge = rng.integers(0, 256, (190, 210)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        parse_gif(build_gif([huge], gray))["frames"][0]["px"][:, :, 0],
+        huge)
+    with _pt.raises(ValueError, match="GIF87a/89a"):
+        parse_gif(b"NOTAGIF!!")
+    g = build_gif([big], pal4)
+    with _pt.raises(ValueError):
+        parse_gif(g[:len(g) // 2])
+
+
+def test_bmp_codec_roundtrip_and_loud_seams():
+    import struct as st
+
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.bmp import (build_bmp,
+                                                           parse_bmp)
+
+    rng = np.random.default_rng(18)
+    for td in (False, True):
+        px = rng.integers(0, 256, (11, 7, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            parse_bmp(build_bmp(px, top_down=td)), px)
+        pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+        idx = rng.integers(0, 256, (5, 9)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            parse_bmp(build_bmp(idx, palette=pal, top_down=td)),
+            pal[idx])
+    with _pt.raises(ValueError, match="BM magic"):
+        parse_bmp(b"XX" + bytes(60))
+    good = build_bmp(np.zeros((4, 4, 3), np.uint8))
+    with _pt.raises(ValueError, match="truncated"):
+        parse_bmp(good[:30])
+    rle = bytearray(good)
+    st.pack_into("<I", rle, 30, 1)
+    with _pt.raises(NotImplementedError, match="compressed"):
+        parse_bmp(bytes(rle))
+
+
+def test_gif_bmp_spark_dispatch_block_means(spark):
+    """synthesize_gif / synthesize_bmp → decode_media_real inside the
+    Arrow plan: decoded means equal the cycled-byte means per row, the
+    animated residue reports the video contract, and the top-down BMP
+    residue still matches (row order cannot shift a mean — pixel-level
+    order is pinned in the codec tests)."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_bmp, synthesize_gif)
+
+    rows = [(i, f"gif bmp payload {i} " * (i + 1)) for i in range(11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gif = {r["media_id"]: r for r in
+           decode_media_real(synthesize_gif(df, "doc_id", "text"))
+           .collect()}
+    bmp = {r["media_id"]: r for r in
+           decode_media_real(synthesize_bmp(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        bts = np.frombuffer(text.encode(), np.uint8)
+        if i % 5 == 1:     # animated: mean over 4 shifted frames
+            want = float(np.mean([
+                bts[(f + np.arange(256)) % len(bts)].mean()
+                for f in range(4)]))
+            assert gif[i]["kind"] == "video" and gif[i]["n_samples"] == 4
+        else:
+            want = float(bts[np.arange(256) % len(bts)].mean())
+            assert gif[i]["kind"] == "image"
+        assert abs(gif[i]["mean_value"] - want) < 1e-12, ("gif", i)
+        ch = 3 if i % 3 == 0 else 1
+        wantb = float(bts[np.arange(256 * ch) % len(bts)].mean())
+        assert abs(bmp[i]["mean_value"] - wantb) < 1e-12, ("bmp", i)
+        assert bmp[i]["n_channels"] == 3
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
