@@ -73,6 +73,7 @@ HEADLINE = [
     "mm_video_frames",        # MJPEG AVI walk + sampled-frame decode
     "mm_audio_features",      # WAV decode + integer-exact clip stats
     "mm_frame_dedup",         # no-decode frame fingerprints + dup counts
+    "mm_decode_tiff",         # TIFF IFD walk + LZW/PackBits/Deflate strips
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

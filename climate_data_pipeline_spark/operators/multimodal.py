@@ -383,6 +383,72 @@ def synthesize_bmp(df: DataFrame, id_col: str, text_col: str,
               .mapInPandas(_synth, schema=out_schema))
 
 
+def synthesize_tiff(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build REAL TIFFs deterministically from text rows: 16×16 images,
+    pixels = the cycled UTF-8 text bytes, through five residue classes
+    of ``media_id % 5`` that together cover the decoder's support
+    matrix (``operators/tiff.py``):
+
+    - 0: RGB chunky, little-endian, uncompressed, one strip
+    - 1: 8-bit gray, little-endian, LZW + horizontal Predictor 2,
+         4-row strips (real variable-width early-change streams)
+    - 2: 8-bit palette-color, PackBits, ColorMap entries ``v*257`` so
+         the standard ``>>8`` expansion returns the byte exactly
+    - 3: 16-bit gray, BIG-endian, Deflate — samples ``byte*257``, so
+         the decoded mean is exactly 257× the byte mean (a wrong byte
+         order or sample width shifts it)
+    - 4: 8-bit gray, big-endian, WhiteIsZero (photometric 0) with the
+         INVERTED samples stored, 5-row strips — a decoder that
+         ignores the photometric reads wrong pixels
+
+    Every class is lossless, so a SQL oracle re-derives each decoded
+    mean from the text bytes."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .tiff import build_tiff
+
+        cmap = np.stack([np.arange(256, dtype=np.uint32) * 257] * 3, 1)
+
+        def tif(text: str, media_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8)
+            c = media_id % 5
+            if c == 0:
+                px = np.resize(bts, 256 * 3).reshape(16, 16, 3)
+                return build_tiff(px, photometric=2)
+            g = np.resize(bts, 256).reshape(16, 16)
+            if c == 1:
+                return build_tiff(g, photometric=1, compression=5,
+                                  predictor=2, rows_per_strip=4)
+            if c == 2:
+                return build_tiff(g, photometric=3, colormap=cmap,
+                                  compression=32773)
+            if c == 3:
+                return build_tiff(g.astype(np.uint16) * 257,
+                                  photometric=1, compression=8,
+                                  big_endian=True)
+            return build_tiff(g, photometric=0, big_endian=True,
+                              rows_per_strip=5)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [tif(t, i) for t, i in
+                        zip(pdf[text_col].fillna(""), ids)]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image/tiff"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
     """REAL codec path — pure-python decoders for every container the
     suite synthesizes (binary netpbm P5/P6 images; PNG with full
@@ -501,6 +567,16 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "sample_rate": None, "n_samples": None,
                     "mean_value": float(px.astype(np.float64).mean())}
 
+        def decode_tiff(p: bytes) -> dict:
+            from .tiff import parse_tiff
+            meta = parse_tiff(p)
+            px = meta["px"]
+            ch = 1 if px.ndim == 2 else px.shape[2]
+            return {"kind": "image", "width": meta["width"],
+                    "height": meta["height"], "n_channels": ch,
+                    "sample_rate": None, "n_samples": None,
+                    "mean_value": float(px.astype(np.float64).mean())}
+
         def decode_wav(p: bytes) -> dict:
             with wave.open(io.BytesIO(p), "rb") as f:
                 nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
@@ -535,6 +611,11 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     metas.append(decode_gif(b))
                 elif b[:2] == b"BM":
                     metas.append(decode_bmp(b))
+                elif b[:4] in (b"II\x2a\x00", b"MM\x00\x2a",
+                               b"II\x2b\x00", b"MM\x00\x2b"):
+                    # classic TIFF both byte orders (BigTIFF magics
+                    # dispatch too so their loud seam names the format)
+                    metas.append(decode_tiff(b))
                 else:
                     raise NotImplementedError(
                         f"no pure-python codec for payload magic "

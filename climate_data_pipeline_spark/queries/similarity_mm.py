@@ -1110,6 +1110,58 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_channels", "mean_value"))
 
 
+@query("mm_decode_tiff", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+px AS (
+  SELECT media_id, media_id % 5 AS c,
+         CASE WHEN media_id % 5 = 0 THEN 768 ELSE 256 END AS n
+  FROM b
+)
+SELECT px.media_id, 'image' AS kind, 16 AS width, 16 AS height,
+       CAST(CASE WHEN c IN (0, 2) THEN 3 ELSE 1 END AS INTEGER)
+         AS n_channels,
+       CASE WHEN c = 3 THEN 257.0 ELSE 1.0 END
+         * CAST(list_sum(list_transform(range(n),
+               i -> bytes[CAST(i % len(bytes) AS INT) + 1])) AS DOUBLE)
+         / n AS mean_value
+FROM px JOIN b ON b.media_id = px.media_id
+""")
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF round trip through the full baseline support matrix, no
+    external media libraries: documents render into genuine classic
+    TIFFs across five residue classes — RGB uncompressed, gray
+    LZW+Predictor-2 in 4-row strips (real early-change variable-width
+    streams), palette PackBits, 16-bit big-endian Deflate (samples
+    byte*257, so the mean is exactly 257× the byte mean — a wrong
+    byte order or sample width shifts it), and WhiteIsZero big-endian
+    (inverted samples stored; ignoring the photometric reads wrong
+    pixels) — and decode back through the IFD walk + strip assembly in
+    ``operators/tiff.py``. All classes are lossless, so the oracle
+    re-derives every mean from the text bytes; a wrong LZW width
+    change point, PackBits run length, predictor cumsum, ColorMap
+    scaling or strip boundary shifts the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_tiff(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "kind", "width", "height",
+                      "n_channels", "mean_value"))
+
+
 @query("mm_video_frames_mp4", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

@@ -974,6 +974,109 @@ def test_gif_bmp_spark_dispatch_block_means(spark):
         assert bmp[i]["n_channels"] == 3
 
 
+def test_tiff_codec_roundtrip_and_loud_seams():
+    """TIFF build/parse: exact pixels through real TIFF-LZW (early
+    code-width change, dictionary reset), PackBits, Deflate,
+    Predictor 2, both byte orders, 8/16-bit, palette ColorMap,
+    WhiteIsZero inversion and multi-strip layouts; unsupported
+    features raise loudly by name."""
+    import struct as st
+
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.tiff import (
+        build_tiff, lzw_decode, lzw_encode, packbits_decode,
+        packbits_encode, parse_tiff)
+
+    rng = np.random.default_rng(19)
+    # LZW: random data crosses the 9→10→11→12-bit width boundaries and
+    # the 4094 dictionary reset; repetitive data exercises KwKwK chains
+    for raw in (rng.integers(0, 256, 200_000, np.uint8).tobytes(),
+                b"abcabcabx" * 9000, bytes(81_000), b"", b"\x42"):
+        assert lzw_decode(lzw_encode(raw), len(raw)) == raw
+    for raw in (b"", b"\x00" * 200 + b"\x01\x02\x03" + b"\x07" * 3,
+                rng.integers(0, 3, 1000, np.uint8).tobytes()):
+        assert packbits_decode(packbits_encode(raw), len(raw)) == raw
+
+    gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    g16 = gray.astype(np.uint16) * 257
+    cmap = np.stack([np.arange(256, dtype=np.uint32) * 257] * 3, 1)
+    cases = [
+        (gray, dict(photometric=1)),
+        (gray, dict(photometric=1, compression=5, predictor=2,
+                    rows_per_strip=4)),
+        (gray, dict(photometric=1, compression=8)),
+        (gray, dict(photometric=1, compression=32773)),
+        (gray, dict(photometric=0, big_endian=True, rows_per_strip=5)),
+        (rgb, dict(photometric=2)),
+        (rgb, dict(photometric=2, compression=5, predictor=2,
+                   big_endian=True)),
+        (g16, dict(photometric=1, compression=8, big_endian=True)),
+        (g16, dict(photometric=1, compression=5, predictor=2)),
+        (g16, dict(photometric=0)),
+    ]
+    for px, kw in cases:
+        got = parse_tiff(build_tiff(px, **kw))["px"]
+        np.testing.assert_array_equal(got, px), kw
+    # palette expands through the ColorMap's >>8
+    got = parse_tiff(build_tiff(gray, photometric=3, colormap=cmap,
+                                compression=32773))["px"]
+    assert got.shape == (16, 16, 3)
+    np.testing.assert_array_equal(got[:, :, 0], gray)
+    # odd sizes + many strips + LZW width growth in one payload
+    big = rng.integers(0, 256, (64, 97), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        parse_tiff(build_tiff(big, photometric=1, compression=5,
+                              predictor=2, rows_per_strip=10))["px"],
+        big)
+    # loud seams
+    with _pt.raises(ValueError, match="byte order"):
+        parse_tiff(b"XX" + bytes(20))
+    with _pt.raises(NotImplementedError, match="BigTIFF"):
+        parse_tiff(b"II" + st.pack("<H", 43) + bytes(12))
+    good = build_tiff(gray, photometric=1, compression=5)
+    with _pt.raises(ValueError):
+        parse_tiff(good[:len(good) // 3])
+    # unsupported compression id is named
+    tampered = bytearray(build_tiff(gray, photometric=1))
+    # find the Compression tag (259) entry and rewrite its value to 7
+    n = st.unpack_from("<H", tampered, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if st.unpack_from("<H", tampered, off)[0] == 259:
+            st.pack_into("<H", tampered, off + 8, 7)
+    with _pt.raises(NotImplementedError, match="compression 7"):
+        parse_tiff(bytes(tampered))
+
+
+def test_tiff_spark_dispatch_block_means(spark):
+    """synthesize_tiff → decode_media_real inside the Arrow plan: each
+    residue class's decoded mean equals the cycled-byte mean (×257 for
+    the 16-bit class), channels report the decoded shape."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_tiff)
+
+    rows = [(i, f"tiff payload {i} " * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["media_id"]: r for r in
+           decode_media_real(synthesize_tiff(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        bts = np.frombuffer(text.encode(), np.uint8)
+        c = i % 5
+        n = 768 if c == 0 else 256
+        want = float(bts[np.arange(n) % len(bts)].mean())
+        if c == 3:
+            want *= 257.0
+        assert abs(got[i]["mean_value"] - want) < 1e-9, i
+        assert got[i]["n_channels"] == (3 if c in (0, 2) else 1), i
+        assert got[i]["kind"] == "image" and got[i]["width"] == 16
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
