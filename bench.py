@@ -74,6 +74,7 @@ HEADLINE = [
     "mm_audio_features",      # WAV decode + integer-exact clip stats
     "mm_frame_dedup",         # no-decode frame fingerprints + dup counts
     "mm_decode_tiff",         # TIFF IFD walk + LZW/PackBits/Deflate strips
+    "mm_decode_webp",         # VP8L prefix codes + cache/LZ77/transforms
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

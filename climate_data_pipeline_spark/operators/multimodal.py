@@ -449,6 +449,76 @@ def synthesize_tiff(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
               .mapInPandas(_synth, schema=out_schema))
 
 
+def synthesize_webp(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build REAL lossless WebPs deterministically from text rows:
+    16×16 images, pixels = the cycled UTF-8 text bytes, through five
+    residue classes of ``media_id % 5`` covering the VP8L decoder's
+    support matrix (``operators/webp.py``):
+
+    - 0: gray literals (r=g=b=byte), plain prefix-coded stream
+    - 1: RGB with per-channel phase shifts (r/g/b cycle from offsets
+         0/1/2) + the SUBTRACT-GREEN transform — the decoder must add
+         green back or every non-gray pixel is wrong
+    - 2: gray + a 4-bit COLOR CACHE — repeated bytes come back as
+         cache references, so a wrong 0x1e35a7bd hash or insertion
+         order shifts pixels
+    - 3: 16-color palette (COLOR-INDEXING transform) with 4-bit pixel
+         BUNDLING and the delta-coded palette; values ``17·(byte%16)``
+    - 4: 16×32 gray with every odd row an LZ77 backward reference
+         (length 16, 2D distance code 1 = one row up)
+
+    VP8L is lossless, so a SQL oracle re-derives every decoded mean
+    from the text bytes."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .webp import build_webp, encode_vp8l
+
+        pal = np.stack([np.arange(16, dtype=np.uint8) * 17] * 3
+                       + [np.full(16, 255, np.uint8)], axis=1)
+
+        def wp(text: str, media_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8)
+            g = bts[np.arange(256) % len(bts)].reshape(16, 16)
+            c = media_id % 5
+            if c == 0:
+                px = np.stack([g, g, g, np.full_like(g, 255)], 2)
+                return build_webp(encode_vp8l(px))
+            if c == 1:
+                r = g
+                gg = bts[(1 + np.arange(256)) % len(bts)].reshape(16, 16)
+                b = bts[(2 + np.arange(256)) % len(bts)].reshape(16, 16)
+                px = np.stack([r, gg, b, np.full_like(g, 255)], 2)
+                return build_webp(encode_vp8l(px, subtract_green=True))
+            if c == 2:
+                px = np.stack([g, g, g, np.full_like(g, 255)], 2)
+                return build_webp(encode_vp8l(px, cache_bits=4))
+            if c == 3:
+                return build_webp(encode_vp8l((g % 16).astype(np.uint8),
+                                              palette=pal))
+            dbl = np.repeat(g, 2, axis=0)
+            px = np.stack([dbl, dbl, dbl, np.full_like(dbl, 255)], 2)
+            return build_webp(encode_vp8l(px, lz77_rows=True))
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [wp(t, i) for t, i in
+                        zip(pdf[text_col].fillna(""), ids)]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image/webp"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
     """REAL codec path — pure-python decoders for every container the
     suite synthesizes (binary netpbm P5/P6 images; PNG with full
@@ -577,6 +647,18 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "sample_rate": None, "n_samples": None,
                     "mean_value": float(px.astype(np.float64).mean())}
 
+        def decode_webp(p: bytes) -> dict:
+            from .webp import parse_webp
+            meta = parse_webp(p)
+            px = meta["px"]
+            # VP8L is inherently ARGB; alpha is coverage, not
+            # intensity — the mean is over RGB only (PNG convention)
+            return {"kind": "image", "width": meta["width"],
+                    "height": meta["height"], "n_channels": 4,
+                    "sample_rate": None, "n_samples": None,
+                    "mean_value": float(px[:, :, :3]
+                                        .astype(np.float64).mean())}
+
         def decode_wav(p: bytes) -> dict:
             with wave.open(io.BytesIO(p), "rb") as f:
                 nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
@@ -605,6 +687,8 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     metas.append(decode_wav(b))
                 elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                     metas.append(decode_video(b))
+                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    metas.append(decode_webp(b))
                 elif len(b) >= 12 and b[4:8] == b"ftyp":
                     metas.append(decode_video(b))
                 elif b[:6] in (b"GIF87a", b"GIF89a"):

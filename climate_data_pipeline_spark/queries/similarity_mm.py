@@ -1162,6 +1162,68 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_channels", "mean_value"))
 
 
+@query("mm_decode_webp", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT media_id, media_id % 5 AS c,
+         CAST(list_sum(list_transform(range(256),
+              i -> bytes[CAST(i % len(bytes) AS INT) + 1]))
+              AS DOUBLE) AS s0,
+         CAST(list_sum(list_transform(range(256),
+              i -> bytes[CAST((i+1) % len(bytes) AS INT) + 1]))
+              AS DOUBLE) AS s1,
+         CAST(list_sum(list_transform(range(256),
+              i -> bytes[CAST((i+2) % len(bytes) AS INT) + 1]))
+              AS DOUBLE) AS s2,
+         CAST(list_sum(list_transform(range(256),
+              i -> 17 * (bytes[CAST(i % len(bytes) AS INT) + 1] % 16)))
+              AS DOUBLE) AS sp
+  FROM b
+)
+SELECT media_id, 'image' AS kind, 16 AS width,
+       CAST(CASE WHEN c = 4 THEN 32 ELSE 16 END AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS n_channels,
+       CASE WHEN c = 1 THEN (s0 + s1 + s2) / 768.0
+            WHEN c = 3 THEN sp / 256.0
+            ELSE s0 / 256.0 END AS mean_value
+FROM m
+""")
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP lossless (VP8L) round trip through genuinely entropy-coded
+    streams, no external media libraries: documents render into real
+    RIFF/WEBP containers across five residue classes — plain prefix-
+    coded literals; SUBTRACT-GREEN with per-channel phase shifts (the
+    inverse transform must add green back); a 4-bit COLOR CACHE
+    (0x1e35a7bd hash hits come back as cache symbols); a 16-color
+    COLOR-INDEXING palette with 4-bit pixel bundling and the
+    delta-coded palette; and LZ77 row copies through 2D distance code
+    1 — then decode back through the canonical-prefix-code machinery
+    in ``operators/webp.py``. VP8L is lossless, so the oracle
+    re-derives every mean from the text bytes; a wrong canonical code
+    assignment, code-length RLE, cache hash, palette cumsum, bundle
+    unpack or backward-reference offset shifts the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_webp(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "kind", "width", "height",
+                      "n_channels", "mean_value"))
+
+
 @query("mm_video_frames_mp4", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

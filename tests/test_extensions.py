@@ -1077,6 +1077,251 @@ def test_tiff_spark_dispatch_block_means(spark):
         assert got[i]["kind"] == "image" and got[i]["width"] == 16
 
 
+def test_webp_codec_roundtrip_and_loud_seams():
+    """VP8L build/parse: exact pixels through real canonical prefix
+    codes (simple + full code-length-coded), subtract-green, color
+    cache, LZ77 row references, palettes at every bundling width, and
+    the RIFF walk; malformed/unsupported payloads raise loudly."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators import webp as W
+
+    rng = np.random.default_rng(29)
+
+    def rt(px, **kw):
+        return W.decode_vp8l(W.encode_vp8l(px, **kw))["px"]
+
+    gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rgba = np.stack([gray, gray, gray, np.full_like(gray, 255)], 2)
+    np.testing.assert_array_equal(rt(rgba), rgba)
+    rnd = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(rt(rnd), rnd)
+    np.testing.assert_array_equal(rt(rnd, subtract_green=True), rnd)
+    np.testing.assert_array_equal(rt(rnd, cache_bits=4), rnd)
+    # LZ77 row copies (2D distance code 1)
+    dbl = np.repeat(gray, 2, axis=0)
+    v = np.stack([dbl, dbl, dbl, np.full_like(dbl, 255)], 2)
+    np.testing.assert_array_equal(rt(v, lz77_rows=True), v)
+    # palettes: 256 (no bundling), 16 (4-bit), 3 (2-bit), 2 (1-bit),
+    # widths not divisible by the bundle factor
+    for n, shape in [(256, (9, 13)), (16, (16, 16)), (3, (7, 11)),
+                     (2, (5, 17))]:
+        idx = rng.integers(0, n, shape).astype(np.uint8)
+        pal = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+        got = W.decode_vp8l(W.encode_vp8l(idx, palette=pal))["px"]
+        np.testing.assert_array_equal(got, pal[idx])
+    # container round trip
+    np.testing.assert_array_equal(
+        W.parse_webp(W.build_webp(W.encode_vp8l(rgba)))["px"], rgba)
+    # degenerate shapes
+    for px in (np.full((16, 16, 4), 7, np.uint8),
+               rng.integers(0, 256, (1, 1, 4), dtype=np.uint8),
+               rng.integers(0, 256, (40, 3, 4), dtype=np.uint8)):
+        np.testing.assert_array_equal(rt(px), px)
+    # the 2D distance map: structural properties + documented prefix
+    assert len(W.DIST_MAP) == 120
+    assert W.DIST_MAP[:10] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2),
+                               (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1)]
+    assert len(set(W.DIST_MAP)) == 120
+    # loud seams
+    with _pt.raises(ValueError, match="RIFF/WEBP"):
+        W.parse_webp(b"NOTRIFF!" + bytes(20))
+    with _pt.raises(NotImplementedError, match="lossy"):
+        W.parse_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00aaaa")
+    with _pt.raises(NotImplementedError, match="animated"):
+        W.parse_webp(b"RIFF\x10\x00\x00\x00WEBPANIM\x04\x00\x00\x00aaaa")
+    with _pt.raises(ValueError, match="signature"):
+        W.decode_vp8l(b"\x00\x01\x02")
+    good = W.encode_vp8l(rgba)
+    with _pt.raises(ValueError):
+        W.decode_vp8l(good[:len(good) // 2])
+
+
+def test_webp_decoder_transform_and_meta_paths():
+    """Decoder-only VP8L paths the encoder never emits, exercised via
+    hand-assembled bitstreams: the predictor transform (all 14 modes,
+    forward-computed residuals mirroring the spec's scan order), the
+    cross-color transform (signed 3.5-fixed deltas, red restored
+    before blue), and meta prefix codes (two entropy groups selected
+    per tile)."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import webp as W
+
+    rng = np.random.default_rng(31)
+    h = w = 16
+    px = rng.integers(0, 256, (h * w,), dtype=np.int64)
+    argb = (0xFF000000 | (px << 16) | (px << 8)
+            | rng.integers(0, 256, h * w)).astype(np.uint32)
+
+    def header(bw):
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+
+    # --- predictor transform, bits=2 → 4×4 tiles, modes 0..13 + reuse
+    bits = 2
+    tw = -(-w // 4)
+    modes = np.array([(i % 14) for i in range(tw * tw)], np.int64)
+    BLACK = 0xFF000000
+
+    def fwd_residual():
+        res = np.zeros(h * w, np.uint32)
+        for pos in range(h * w):
+            x, y = pos % w, pos // w
+            if pos == 0:
+                pred = BLACK
+            elif y == 0:
+                pred = int(argb[pos - 1])
+            elif x == 0:
+                pred = int(argb[pos - w])
+            else:
+                m = int(modes[(y >> bits) * tw + (x >> bits)])
+                L = int(argb[pos - 1])
+                T = int(argb[pos - w])
+                TL = int(argb[pos - w - 1])
+                TR = int(argb[pos - w + 1])
+                pred = [BLACK, L, T, TR, TL,
+                        W._avg2(W._avg2(L, TR), T), W._avg2(L, TL),
+                        W._avg2(L, T), W._avg2(TL, T), W._avg2(T, TR),
+                        W._avg2(W._avg2(L, TL), W._avg2(T, TR)),
+                        W._select(T, L, TL),
+                        W._clamp_add_full(L, T, TL),
+                        W._clamp_add_half(L, T, TL)][m]
+            v = int(argb[pos])
+            out = 0
+            for sh in (0, 8, 16, 24):
+                out |= ((((v >> sh) & 0xFF) - ((pred >> sh) & 0xFF))
+                        & 0xFF) << sh
+            res[pos] = out
+        return res
+
+    bw = W._BitWriter()
+    header(bw)
+    bw.write(1, 1)
+    bw.write(0, 2)                      # predictor
+    bw.write(bits - 2, 3)
+    tile_argb = (0xFF000000 | (modes.astype(np.uint32) << 8))
+    W._write_spatial(bw, W._tokenize(tile_argb, tw, 0, False), 0,
+                     level0=False)
+    bw.write(0, 1)
+    W._write_spatial(bw, W._tokenize(fwd_residual(), w, 0, False), 0)
+    got = W.decode_vp8l(bw.finish())["px"]
+    want = np.stack([(argb >> 16) & 0xFF, (argb >> 8) & 0xFF,
+                     argb & 0xFF, (argb >> 24) & 0xFF],
+                    1).astype(np.uint8).reshape(h, w, 4)
+    np.testing.assert_array_equal(got, want)
+
+    # --- cross-color transform: one 16×16 tile, fixed signed deltas
+    g2r, g2b, r2b = 23, -17, 9
+
+    def signed(v):
+        return v - 256 if v > 127 else v
+
+    res = np.zeros(h * w, np.uint32)
+    for pos in range(h * w):
+        v = int(argb[pos])
+        a, r, g, b = (v >> 24) & 0xFF, (v >> 16) & 0xFF, \
+            (v >> 8) & 0xFF, v & 0xFF
+        gs, rs = signed(g), signed(r)
+        nr = (r - ((g2r * gs) >> 5)) & 0xFF
+        nb = (b - ((g2b * gs) >> 5) - ((r2b * rs) >> 5)) & 0xFF
+        res[pos] = (a << 24) | (nr << 16) | (g << 8) | nb
+    bw = W._BitWriter()
+    header(bw)
+    bw.write(1, 1)
+    bw.write(1, 2)                      # color transform
+    bw.write(4 - 2, 3)                  # 16-px tiles → single tile
+    cte = np.array([0xFF000000 | ((r2b & 0xFF) << 16)
+                    | ((g2b & 0xFF) << 8) | (g2r & 0xFF)], np.uint32)
+    W._write_spatial(bw, W._tokenize(cte, 1, 0, False), 0, level0=False)
+    bw.write(0, 1)
+    W._write_spatial(bw, W._tokenize(res, w, 0, False), 0)
+    got = W.decode_vp8l(bw.finish())["px"]
+    np.testing.assert_array_equal(got, want)
+
+    # --- meta prefix codes: 8-px tiles → 2×2 groups, 2 distinct
+    mbits = 3
+    mw = -(-w // 8)
+    group_idx = np.array([0, 1, 1, 0], np.int64)     # per tile
+    bw = W._BitWriter()
+    header(bw)
+    bw.write(0, 1)                      # no transforms
+    bw.write(0, 1)                      # no cache
+    bw.write(1, 1)                      # meta ON
+    bw.write(mbits - 2, 3)
+    meta_argb = (0xFF000000
+                 | (group_idx.astype(np.uint32) << 8)).astype(np.uint32)
+    W._write_spatial(bw, W._tokenize(meta_argb, mw, 0, False), 0,
+                     level0=False)
+    # two literal-only groups with their own histograms
+    toks = [[], []]
+    for pos in range(h * w):
+        x, y = pos % w, pos // w
+        gi = int(group_idx[(y >> mbits) * mw + (x >> mbits)])
+        v = int(argb[pos])
+        toks[gi].append(("lit", (v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                         (v >> 8) & 0xFF, v & 0xFF))
+    group_codes = []
+    for gi in (0, 1):
+        hists = [{} for _ in range(4)]
+        for _, a, r, g, b in toks[gi]:
+            for hist, s in zip(hists, (g, r, b, a)):
+                hist[s] = hist.get(s, 0) + 1
+        cg = W._write_code(bw, hists[0], 280)
+        cr = W._write_code(bw, hists[1], 256)
+        cb = W._write_code(bw, hists[2], 256)
+        ca = W._write_code(bw, hists[3], 256)
+        cd = W._write_code(bw, {}, 40)
+        group_codes.append((cg, cr, cb, ca))
+    for pos in range(h * w):
+        x, y = pos % w, pos // w
+        gi = int(group_idx[(y >> mbits) * mw + (x >> mbits)])
+        cg, cr, cb, ca = group_codes[gi]
+        v = int(argb[pos])
+        W._emit(bw, cg, (v >> 8) & 0xFF)
+        W._emit(bw, cr, (v >> 16) & 0xFF)
+        W._emit(bw, cb, v & 0xFF)
+        W._emit(bw, ca, (v >> 24) & 0xFF)
+    got = W.decode_vp8l(bw.finish())["px"]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_webp_spark_dispatch_block_means(spark):
+    """synthesize_webp → decode_media_real inside the Arrow plan: each
+    residue class's decoded mean equals the cycled-byte mean (three
+    phase offsets averaged for the subtract-green RGB class, 17·(b%16)
+    for the bundled palette class); the LZ77 class reports height 32."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_webp)
+
+    rows = [(i, f"webp payload {i} " * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["media_id"]: r for r in
+           decode_media_real(synthesize_webp(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        bts = np.frombuffer(text.encode(), np.uint8)
+        c = i % 5
+        if c == 1:
+            want = float(np.mean([
+                bts[(k + np.arange(256)) % len(bts)].mean()
+                for k in range(3)]))
+        elif c == 3:
+            want = float((17 * (bts[np.arange(256) % len(bts)]
+                                % 16)).mean())
+        else:
+            want = float(bts[np.arange(256) % len(bts)].mean())
+        assert abs(got[i]["mean_value"] - want) < 1e-9, i
+        assert got[i]["height"] == (32 if c == 4 else 16), i
+        assert got[i]["n_channels"] == 4 and got[i]["kind"] == "image"
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
