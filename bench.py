@@ -75,6 +75,7 @@ HEADLINE = [
     "mm_frame_dedup",         # no-decode frame fingerprints + dup counts
     "mm_decode_tiff",         # TIFF IFD walk + LZW/PackBits/Deflate strips
     "mm_decode_webp",         # VP8L prefix codes + cache/LZ77/transforms
+    "mm_decode_flac",         # Rice-coded frames + CRC walk + stereo
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

@@ -519,6 +519,67 @@ def synthesize_webp(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
               .mapInPandas(_synth, schema=out_schema))
 
 
+def synthesize_flac(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build REAL FLAC streams deterministically from text rows:
+    16-bit samples ``(byte−128)·256`` from the cycled UTF-8 text
+    bytes, through four residue classes of ``media_id % 4`` covering
+    the decoder's support matrix (``operators/flac.py``):
+
+    - 0: mono, FIXED order-2 prediction, Rice partitions order 2,
+         1024 samples (one frame)
+    - 1: STEREO with LEFT/SIDE decorrelation (right = phase-shifted
+         bytes), FIXED order 1, 1536 samples over two frames
+    - 2: mono, LPC subframes (order 2, coefficients (2,−1)) with
+         ESCAPED raw partitions, 2048 samples
+    - 3: mono CONSTANT subframes (every sample = the first byte's
+         value), 2560 samples over three frames
+
+    FLAC is lossless and every CRC is real, so a SQL oracle
+    re-derives each clip's RMS from the text bytes exactly."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .flac import build_flac
+
+        def flac(text: str, media_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            c = media_id % 4
+            if c == 0:
+                s = (bts[np.arange(512) % len(bts)] - 128) * 256
+                return build_flac(s, block_size=512, porder=2)
+            if c == 1:
+                left = (bts[np.arange(768) % len(bts)] - 128) * 256
+                right = (bts[(1 + np.arange(768)) % len(bts)]
+                         - 128) * 256
+                return build_flac(np.stack([left, right], 1),
+                                  block_size=512, mode="fixed1",
+                                  stereo="left_side")
+            if c == 2:
+                s = (bts[np.arange(1024) % len(bts)] - 128) * 256
+                return build_flac(s, block_size=512, mode="lpc2",
+                                  porder=1)
+            s = np.full(1280, (int(bts[0]) - 128) * 256, np.int64)
+            return build_flac(s, block_size=512, mode="constant")
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [flac(t, i) for t, i in
+                        zip(pdf[text_col].fillna(""), ids)]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["audio/flac"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
     """REAL codec path — pure-python decoders for every container the
     suite synthesizes (binary netpbm P5/P6 images; PNG with full
@@ -659,6 +720,17 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "mean_value": float(px[:, :, :3]
                                         .astype(np.float64).mean())}
 
+        def decode_flac(p: bytes) -> dict:
+            from .flac import decode_flac as _flac
+            meta = _flac(p)
+            s = meta["samples"].astype(np.float64)
+            rms = float(np.sqrt((s * s).mean())) if s.size else 0.0
+            return {"kind": "audio", "width": None, "height": None,
+                    "n_channels": meta["n_channels"],
+                    "sample_rate": meta["sample_rate"],
+                    "n_samples": int(meta["samples"].shape[0]),
+                    "mean_value": rms}
+
         def decode_wav(p: bytes) -> dict:
             with wave.open(io.BytesIO(p), "rb") as f:
                 nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
@@ -689,6 +761,8 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     metas.append(decode_video(b))
                 elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
                     metas.append(decode_webp(b))
+                elif b[:4] == b"fLaC":
+                    metas.append(decode_flac(b))
                 elif len(b) >= 12 and b[4:8] == b"ftyp":
                     metas.append(decode_video(b))
                 elif b[:6] in (b"GIF87a", b"GIF89a"):

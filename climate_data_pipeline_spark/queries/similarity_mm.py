@@ -1224,6 +1224,71 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_channels", "mean_value"))
 
 
+@query("mm_decode_flac", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT media_id, media_id % 4 AS c,
+         CASE media_id % 4 WHEN 0 THEN 512 WHEN 1 THEN 768
+              WHEN 2 THEN 1024 ELSE 1280 END AS n,
+         list_sum(list_transform(range(
+             CASE media_id % 4 WHEN 0 THEN 512 WHEN 1 THEN 768
+                  ELSE 1024 END),
+           i -> (bytes[CAST(i % len(bytes) AS INT) + 1] - 128)
+              * (bytes[CAST(i % len(bytes) AS INT) + 1] - 128)))
+           AS ss0,
+         list_sum(list_transform(range(768),
+           i -> (bytes[CAST((i+1) % len(bytes) AS INT) + 1] - 128)
+              * (bytes[CAST((i+1) % len(bytes) AS INT) + 1] - 128)))
+           AS ss1,
+         (bytes[1] - 128) * (bytes[1] - 128) AS c0sq
+  FROM b
+)
+SELECT media_id, 'audio' AS kind,
+       CAST(CASE WHEN c = 1 THEN 2 ELSE 1 END AS INTEGER)
+         AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CASE WHEN c = 3 THEN sqrt(CAST(65536 * c0sq AS DOUBLE))
+            WHEN c = 1 THEN
+              sqrt(CAST(65536 * (ss0 + ss1) AS DOUBLE) / 1536.0)
+            ELSE sqrt(CAST(65536 * ss0 AS DOUBLE) / n) END
+         AS mean_value
+FROM m
+""")
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC round trip through genuinely Rice-coded frames with real
+    CRC-8/CRC-16 checks, no external audio libraries: documents render
+    into real FLAC streams across four residue classes — mono FIXED-2
+    with Rice partition order 2; stereo LEFT/SIDE decorrelation with
+    FIXED-1 (the side channel carries +1 bit depth); mono LPC
+    subframes with escaped raw partitions; mono CONSTANT subframes —
+    then decode back through the frame walk in ``operators/flac.py``.
+    FLAC is lossless, so the oracle re-derives every clip's RMS from
+    the text bytes: a wrong Rice parameter width, zigzag fold,
+    finite-difference reconstruction, stereo reassembly or coded
+    frame number shifts the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_flac(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "kind", "n_channels", "sample_rate",
+                      "n_samples", "mean_value"))
+
+
 @query("mm_video_frames_mp4", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

@@ -1322,6 +1322,109 @@ def test_webp_spark_dispatch_block_means(spark):
         assert got[i]["n_channels"] == 4 and got[i]["kind"] == "image"
 
 
+def test_flac_codec_roundtrip_and_loud_seams():
+    """FLAC build/parse: exact samples through real Rice coding (all
+    FIXED orders, LPC, escaped partitions, partition orders), all four
+    stereo assignments, CONSTANT/VERBATIM subframes, multi-frame
+    streams with UTF-8-style coded numbers; CRC-8/CRC-16 tampering and
+    malformed payloads raise loudly."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.flac import (build_flac,
+                                                            decode_flac)
+
+    rng = np.random.default_rng(41)
+
+    def rt(s, **kw):
+        return decode_flac(build_flac(s, **kw))
+
+    s = ((rng.integers(0, 256, 2500) - 128) * 256).astype(np.int64)
+    m = rt(s, block_size=1024)
+    np.testing.assert_array_equal(m["samples"][:, 0], s)
+    assert (m["sample_rate"], m["n_channels"], m["bits"]) \
+        == (8000, 1, 16)
+    np.testing.assert_array_equal(
+        rt(s[:2048], block_size=1024, porder=2)["samples"][:, 0],
+        s[:2048])
+    for mode in ("fixed0", "fixed1", "fixed3", "fixed4", "verbatim"):
+        np.testing.assert_array_equal(
+            rt(s[:512], block_size=256, mode=mode)["samples"][:, 0],
+            s[:512])
+    c = np.full(700, -3210, np.int64)
+    np.testing.assert_array_equal(
+        rt(c, mode="constant", block_size=512)["samples"][:, 0], c)
+    # LPC subframes with escaped raw partitions
+    np.testing.assert_array_equal(
+        rt(s[:1024], mode="lpc2", block_size=512,
+           porder=1)["samples"][:, 0], s[:1024])
+    # all four stereo assignments reassemble identically
+    st = np.stack([s[:1500],
+                   ((rng.integers(0, 256, 1500) - 128) * 256)], 1)
+    for mode in (None, "left_side", "right_side", "mid_side"):
+        np.testing.assert_array_equal(
+            rt(st, stereo=mode, block_size=512)["samples"], st)
+    # near-silence: Rice parameter 0 (pure unary)
+    q = rng.integers(-2, 3, 900).astype(np.int64)
+    np.testing.assert_array_equal(
+        rt(q, block_size=256)["samples"][:, 0], q)
+    # >127 frames exercises multi-byte coded numbers
+    long_s = ((rng.integers(0, 256, 200 * 150) - 128)
+              * 256).astype(np.int64)
+    np.testing.assert_array_equal(
+        rt(long_s, block_size=200)["samples"][:, 0], long_s)
+    # loud seams
+    with _pt.raises(ValueError, match="fLaC"):
+        decode_flac(b"RIFFnope" + bytes(20))
+    good = bytearray(build_flac(s[:512], block_size=512))
+    good[-40] ^= 0x10
+    with _pt.raises(ValueError, match="CRC"):
+        decode_flac(bytes(good))
+    hdr_tamper = bytearray(build_flac(s[:512], block_size=512))
+    sync_at = bytes(hdr_tamper).index(b"\xff\xf8")
+    hdr_tamper[sync_at + 4] ^= 0x01     # inside the frame header
+    with _pt.raises(ValueError):
+        decode_flac(bytes(hdr_tamper))
+    with _pt.raises(ValueError):
+        decode_flac(bytes(build_flac(s[:512]))[:60])
+
+
+def test_flac_spark_dispatch_rms(spark):
+    """synthesize_flac → decode_media_real inside the Arrow plan: each
+    residue class's RMS equals the byte-derived value; the stereo
+    class reports 2 channels, the constant class |v0|."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_flac)
+
+    rows = [(i, f"flac payload {i} " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["media_id"]: r for r in
+           decode_media_real(synthesize_flac(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        bts = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+        c = i % 4
+        if c == 3:
+            want = float(abs((bts[0] - 128) * 256))
+            n, ch = 1280, 1
+        elif c == 1:
+            L = (bts[np.arange(768) % len(bts)] - 128) * 256
+            R = (bts[(1 + np.arange(768)) % len(bts)] - 128) * 256
+            want = float(np.sqrt((np.concatenate([L, R]).astype(float)
+                                  ** 2).mean()))
+            n, ch = 768, 2
+        else:
+            n = 512 if c == 0 else 1024
+            v = (bts[np.arange(n) % len(bts)] - 128) * 256
+            want = float(np.sqrt((v.astype(float) ** 2).mean()))
+            ch = 1
+        assert abs(got[i]["mean_value"] - want) < 1e-9, i
+        assert got[i]["n_samples"] == n and got[i]["n_channels"] == ch
+        assert got[i]["kind"] == "audio"
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
