@@ -166,3 +166,26 @@ def png_pixels(p: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("palette index out of PLTE range")
         px = plte[idx].astype(np.int32)          # (h, w, 3) RGB
     return px, ctype
+
+
+def build_gray_png(px: np.ndarray) -> bytes:
+    """Minimal spec-shaped 8-bit grayscale PNG writer (filter 0 rows,
+    one zlib IDAT) — the reusable counterpart of ``png_pixels`` for
+    fixtures and for GRIB2's PNG data-representation template 5.41."""
+    import struct as _st
+    import zlib as _zlib
+
+    px = np.asarray(px, np.uint8)
+    if px.ndim != 2:
+        raise ValueError("build_gray_png wants an (h, w) grid")
+    h, w = px.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (_st.pack(">I", len(body)) + typ + body
+                + _st.pack(">I", _zlib.crc32(typ + body)))
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", _zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))

@@ -530,3 +530,66 @@ def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return n.crossJoin(r).select("n_name", "r_name")
+
+
+@query("s_grib2_ingest", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT msg_id, msg_id % 5 AS c,
+         CAST((msg_id % 121) - 60 AS DOUBLE) AS la1,
+         list_transform(range(64),
+                        i -> bytes[CAST(i % len(bytes) AS INT) + 1])
+           AS cells
+  FROM b
+)
+SELECT msg_id,
+       CASE WHEN c = 4 THEN '5.41' ELSE '5.0' END AS template,
+       CAST(CASE WHEN c = 3 THEN 32 ELSE 64 END AS BIGINT) AS n_present,
+       la1,
+       CASE c
+         WHEN 1 THEN CAST(16 * list_sum(cells) AS DOUBLE) / 64
+         WHEN 2 THEN CAST(list_sum(list_transform(cells,
+                          x -> 200 + (x // 2))) AS DOUBLE) / 128
+         WHEN 3 THEN CAST(list_sum(list_transform(range(32),
+                          i -> cells[2*i + 1])) AS DOUBLE) / 32
+         ELSE CAST(list_sum(cells) AS DOUBLE) / 64
+       END AS mean_value
+FROM m
+""")
+def grib2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 ingest round trip, no eccodes/cfgrib: documents render
+    into REAL WMO GRIB2 messages (8×8 lat/lon grids; five residue
+    classes — 8-bit simple packing, 12-bit, 7-bit with reference 100 +
+    binary scale −1 in exact halves, a bitmap with only even cells
+    present, and PNG data-representation 5.41 decoded through the
+    repo's own PNG codec; ``la1 = msg_id%121 − 60`` exercises the
+    sign-and-magnitude coordinate encoding on both hemispheres) and
+    decode back through ``sources/grib2.py`` into the long climate
+    table, then aggregate per message. Every decoded value is an
+    exact binary fraction, so sums are order-independent and the
+    DuckDB oracle re-derives each message's mean, present-cell count
+    and northern-edge latitude from the text bytes: a wrong bit
+    width, sign-magnitude decode, bitmap walk, PNG unpack or scale
+    application shifts the hash."""
+    from ..sources.grib2 import grib2_long, synthesize_grib2
+    docs = load_table(spark, sf_dir, "documents")
+    long = grib2_long(synthesize_grib2(docs, "doc_id", "text"))
+    return (long.groupBy("msg_id", "template")
+            .agg(F.count("*").alias("n_present"),
+                 F.max("lat").alias("la1"),
+                 F.avg("value").alias("mean_value")))

@@ -1,0 +1,417 @@
+"""GRIB2 codec — pure struct + numpy, no eccodes/cfgrib: the WMO
+gridded-binary format that carries the other half of real
+meteorological archives next to NetCDF (reanalyses, NWP output,
+satellite products). Written against the public WMO FM 92 GRIB
+edition 2 specification (the section/template/octet layout is
+normative and openly published).
+
+Decodes: multi-message files (each ``GRIB…7777`` envelope), section 1
+identification (reference time), section 3 grid definition template
+3.0 (regular latitude/longitude grids, microdegree coordinates in
+GRIB's sign-and-magnitude integer encoding, Ni/Nj, scan modes 0 and
++y), section 4 product definition template 4.0 (parameter
+category/number, forecast time), section 5 data representation
+templates 5.0 (simple packing: IEEE reference value R, binary scale
+E, decimal scale D, any bits-per-value width — values are
+``(R + X·2^E)/10^D``) and 5.41 (PNG packing, decoded through this
+repo's own ``operators/png.py``), section 6 bitmaps (indicator 0 =
+explicit bitmap, 255 = none), and section 7 bit-packed data. Other
+grid/product/representation templates (complex packing, JPEG 2000,
+spectral, Lambert/Gaussian grids) raise a crisp
+``NotImplementedError`` naming the template — the codec-family
+loud-seam convention: never silent wrong values.
+
+The writer exists for fixtures and synthesis (``build_grib2``): real
+MSB-first bit packing at any width, real bitmaps, real PNG-packed
+payloads, correct sign-magnitude fields — so the reader is exercised
+against genuinely packed messages and a SQL oracle can re-derive
+decoded statistics exactly.
+
+Reference parity: the reference ingests gridded climate data through
+libraries (`ingest/netcdf_reader.py` accepts whatever the ecosystem
+wrote); GRIB2 extends the same read-anything posture to the WMO
+format family.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _sm_int(raw: int, nbits: int) -> int:
+    """GRIB sign-and-magnitude: the top bit flags negative."""
+    sign_bit = 1 << (nbits - 1)
+    return -(raw & ~sign_bit) if raw & sign_bit else raw
+
+
+def _sm_enc(val: int, nbits: int) -> int:
+    sign_bit = 1 << (nbits - 1)
+    if val < 0:
+        mag = -val
+        if mag & sign_bit:
+            raise ValueError(f"magnitude {mag} overflows {nbits}-bit "
+                             "sign-magnitude field")
+        return sign_bit | mag
+    return val
+
+
+def _unpack_bits(data: bytes, nbits: int, count: int) -> np.ndarray:
+    """MSB-first fixed-width unpack (section 7 simple packing)."""
+    if nbits == 0:
+        return np.zeros(count, np.int64)
+    total = nbits * count
+    if total > 8 * len(data):
+        raise ValueError("GRIB2 data section shorter than the packed "
+                         "value stream")
+    bits = np.unpackbits(np.frombuffer(data, np.uint8),
+                         count=total).reshape(count, nbits)
+    weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
+    vals = np.asarray(values, np.int64)
+    if nbits == 0:
+        return b""
+    if vals.size and int(vals.max()) >= (1 << nbits):
+        raise ValueError(f"value {int(vals.max())} overflows "
+                         f"{nbits}-bit packing")
+    bits = ((vals[:, None] >> np.arange(nbits - 1, -1, -1)) & 1) \
+        .astype(np.uint8).reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+def parse_grib2(data: bytes) -> list[dict]:
+    """Parse every GRIB2 message in ``data`` → list of dicts with
+    keys: discipline, ref_time (ISO string), param_category,
+    param_number, forecast_hours, ni, nj, la1, lo1, dlat, dlon
+    (degrees), template (packing), values ((nj, ni) float64 with NaN
+    where the bitmap masks)."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 4] != b"GRIB":
+            raise ValueError("GRIB2 message without GRIB magic")
+        discipline = data[pos + 6]
+        edition = data[pos + 7]
+        if edition != 2:
+            raise NotImplementedError(f"GRIB edition {edition} "
+                                      "(edition 2 only)")
+        (total_len,) = struct.unpack_from(">Q", data, pos + 8)
+        msg = data[pos:pos + total_len]
+        if len(msg) < total_len:
+            raise ValueError("GRIB2 message truncated")
+        if msg[-4:] != b"7777":
+            raise ValueError("GRIB2 message missing 7777 trailer")
+        out.append(_parse_message(msg, discipline))
+        pos += total_len
+    if not out:
+        raise ValueError("no GRIB2 messages in payload")
+    return out
+
+
+def _parse_message(msg: bytes, discipline: int) -> dict:
+    p = 16                              # past section 0
+    sec: dict[int, bytes] = {}
+    rec: dict = {"discipline": discipline}
+    grids = None
+    while p < len(msg) - 4:
+        (slen,) = struct.unpack_from(">I", msg, p)
+        snum = msg[p + 4]
+        sec[snum] = msg[p:p + slen]
+        p += slen
+        if snum == 7:
+            break
+    for need in (1, 3, 4, 5, 7):
+        if need not in sec:
+            raise ValueError(f"GRIB2 message missing section {need}")
+
+    s1 = sec[1]
+    year, = struct.unpack_from(">H", s1, 12)
+    rec["ref_time"] = (f"{year:04d}-{s1[14]:02d}-{s1[15]:02d} "
+                       f"{s1[16]:02d}:{s1[17]:02d}:{s1[18]:02d}")
+
+    s3 = sec[3]
+    (gtemplate,) = struct.unpack_from(">H", s3, 12)
+    if gtemplate != 0:
+        raise NotImplementedError(
+            f"GRIB2 grid template 3.{gtemplate} not supported "
+            "(3.0 regular lat/lon only)")
+    ni, nj = struct.unpack_from(">II", s3, 30)
+    la1 = _sm_int(struct.unpack_from(">I", s3, 46)[0], 32) / 1e6
+    lo1 = struct.unpack_from(">I", s3, 50)[0] / 1e6
+    la2 = _sm_int(struct.unpack_from(">I", s3, 55)[0], 32) / 1e6
+    lo2 = struct.unpack_from(">I", s3, 59)[0] / 1e6
+    dlon = struct.unpack_from(">I", s3, 63)[0] / 1e6
+    dlat = struct.unpack_from(">I", s3, 67)[0] / 1e6
+    scan = s3[71]
+    if scan not in (0x00, 0x40):
+        raise NotImplementedError(f"GRIB2 scanning mode 0x{scan:02X} "
+                                  "not supported")
+    rec.update(ni=int(ni), nj=int(nj), la1=la1, lo1=lo1, la2=la2,
+               lo2=lo2, dlat=dlat, dlon=dlon)
+
+    s4 = sec[4]
+    (ptemplate,) = struct.unpack_from(">H", s4, 7)
+    if ptemplate != 0:
+        raise NotImplementedError(
+            f"GRIB2 product template 4.{ptemplate} not supported "
+            "(4.0 analysis/forecast only)")
+    rec["param_category"] = s4[9]
+    rec["param_number"] = s4[10]
+    rec["forecast_hours"] = struct.unpack_from(">I", s4, 18)[0]
+
+    s5 = sec[5]
+    (n_points,) = struct.unpack_from(">I", s5, 5)
+    (dtemplate,) = struct.unpack_from(">H", s5, 9)
+    (ref,) = struct.unpack_from(">f", s5, 11)
+    e = _sm_int(struct.unpack_from(">H", s5, 15)[0], 16)
+    d = _sm_int(struct.unpack_from(">H", s5, 17)[0], 16)
+    nbits = s5[19]
+    rec["template"] = f"5.{dtemplate}"
+
+    bitmap = None
+    if 6 in sec:
+        s6 = sec[6]
+        ind = s6[5]
+        if ind == 0:
+            bitmap = np.unpackbits(
+                np.frombuffer(s6[6:], np.uint8),
+                count=ni * nj).astype(bool)
+        elif ind != 255:
+            raise NotImplementedError(
+                f"GRIB2 bitmap indicator {ind} (0/255 only)")
+    n_data = int(bitmap.sum()) if bitmap is not None else ni * nj
+    if n_points != n_data:
+        raise ValueError("GRIB2 section-5 point count disagrees with "
+                         "grid/bitmap")
+
+    s7 = sec[7]
+    if dtemplate == 0:
+        x = _unpack_bits(s7[5:], nbits, n_data)
+    elif dtemplate == 41:               # PNG packing
+        from ..operators.png import png_pixels
+        px, _ctype = png_pixels(bytes(s7[5:]))
+        x = px[:, :, 0].astype(np.int64).reshape(-1)[:n_data]
+        if x.size < n_data:
+            raise ValueError("GRIB2 PNG-packed field smaller than the "
+                             "point count")
+    else:
+        raise NotImplementedError(
+            f"GRIB2 data representation template 5.{dtemplate} not "
+            "supported (5.0 simple / 5.41 PNG only)")
+    y = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
+
+    values = np.full(ni * nj, np.nan)
+    if bitmap is not None:
+        values[bitmap] = y
+    else:
+        values[:] = y
+    grid = values.reshape(nj, ni)
+    if scan == 0x40:                    # +y scanning: south-to-north
+        grid = grid[::-1]
+    rec["values"] = grid
+    return rec
+
+
+def _section(num: int, body: bytes) -> bytes:
+    return struct.pack(">IB", 5 + len(body), num) + body
+
+
+def build_grib2(values: np.ndarray, ref: float = 0.0,
+                binary_scale: int = 0, decimal_scale: int = 0,
+                nbits: int = 8, la1: float = -60.0, lo1: float = 10.0,
+                dlat: float = 0.5, dlon: float = 0.5,
+                ref_time: tuple = (2020, 1, 1, 0, 0, 0),
+                param: tuple = (0, 0), forecast_hours: int = 0,
+                bitmap: np.ndarray | None = None,
+                png_packed: bool = False,
+                discipline: int = 0) -> bytes:
+    """Assemble one spec-shaped GRIB2 message from an (nj, ni) grid of
+    PACKED integer values X (the stored field is
+    ``(ref + X·2^binary_scale)/10^decimal_scale``). ``bitmap`` is an
+    optional (nj, ni) bool grid of PRESENT cells — X then supplies
+    only the present cells, row-major. ``png_packed`` emits data
+    representation template 5.41 (values as an 8-bit grayscale PNG)
+    instead of 5.0 simple packing."""
+    vals = np.asarray(values, np.int64)
+    nj, ni = (bitmap.shape if bitmap is not None else vals.shape)
+    n_data = int(bitmap.sum()) if bitmap is not None \
+        else int(vals.size)
+    flat = vals.reshape(-1)
+    if bitmap is not None and flat.size != n_data:
+        raise ValueError("values must cover exactly the bitmap's "
+                         "present cells")
+
+    y, mo, dd, hh, mi, ss = ref_time
+    s1 = (struct.pack(">HHBBB", 0, 0, 2, 1, 1)
+          + struct.pack(">HBBBBB", y, mo, dd, hh, mi, ss)
+          + bytes([0, 1]))
+
+    # scan mode 0x00 runs north→south: la1 is the northern edge
+    la2 = la1 - dlat * (nj - 1)
+    lo2 = lo1 + dlon * (ni - 1)
+    g = (bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
+         + struct.pack(">H", 0)                      # template 3.0
+         + bytes([6]) + bytes(15)                    # spherical earth
+         + struct.pack(">II", ni, nj)
+         + struct.pack(">II", 0, 0)                  # basic angle
+         + struct.pack(">I", _sm_enc(round(la1 * 1e6), 32))
+         + struct.pack(">I", round(lo1 * 1e6))
+         + bytes([0x30])                             # resolution flags
+         + struct.pack(">I", _sm_enc(round(la2 * 1e6), 32))
+         + struct.pack(">I", round(lo2 * 1e6))
+         + struct.pack(">I", round(dlon * 1e6))
+         + struct.pack(">I", round(dlat * 1e6))
+         + bytes([0x00]))                            # scan +x, -y
+    s4 = (struct.pack(">H", 0) + struct.pack(">H", 0)
+          + bytes([param[0], param[1], 0, 0, 0]) + struct.pack(">H", 0)
+          + bytes([0, 1]) + struct.pack(">I", forecast_hours)
+          + bytes([1, 0]) + struct.pack(">I", 0)
+          + bytes([255, 0]) + struct.pack(">I", 0))
+    s5 = (struct.pack(">I", n_data)
+          + struct.pack(">H", 41 if png_packed else 0)
+          + struct.pack(">f", ref)
+          + struct.pack(">H", _sm_enc(binary_scale, 16))
+          + struct.pack(">H", _sm_enc(decimal_scale, 16))
+          + bytes([nbits, 0]))
+    if bitmap is not None:
+        s6 = bytes([0]) + np.packbits(
+            bitmap.reshape(-1).astype(np.uint8)).tobytes()
+    else:
+        s6 = bytes([255])
+    if png_packed:
+        from ..operators.png import build_gray_png
+        if flat.size and (int(flat.max()) > 255 or int(flat.min()) < 0):
+            raise ValueError("PNG packing wants 8-bit values")
+        packed = build_gray_png(flat.astype(np.uint8).reshape(1, -1))
+    else:
+        packed = _pack_bits(flat, nbits)
+    s7 = packed
+
+    body = (_section(1, s1) + _section(3, g) + _section(4, s4)
+            + _section(5, s5) + _section(6, s6) + _section(7, s7))
+    total = 16 + len(body) + 4
+    head = (b"GRIB" + bytes([0, 0, discipline, 2])
+            + struct.pack(">Q", total))
+    return head + body + b"7777"
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+GRIB_LONG_SCHEMA = ("msg_id long, template string, ref_time string, "
+                    "param_category int, param_number int, "
+                    "lat double, lon double, value double")
+
+
+def synthesize_grib2(df, id_col: str, text_col: str):
+    """Build REAL GRIB2 messages deterministically from text rows:
+    8×8 regular lat/lon grids whose packed values derive from the
+    cycled UTF-8 text bytes, through five residue classes of
+    ``msg_id % 5`` covering the reader's support matrix:
+
+    - 0: 8-bit simple packing, values = bytes
+    - 1: 12-bit simple packing, values = 16·byte (a wrong bit width
+         or offset shifts every value)
+    - 2: 7-bit simple packing with reference 100 and binary scale −1:
+         decoded field = 100 + (byte>>1)·0.5 — EXACT halves, so sums
+         stay order-independent
+    - 3: BITMAP with only even cells present, 8-bit values
+    - 4: PNG data representation (template 5.41), values = bytes
+
+    ``la1`` = (msg_id % 121) − 60 exercises the sign-and-magnitude
+    microdegree encoding on both hemispheres."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)]
+            la1 = float((msg_id % 121) - 60)
+            c = msg_id % 5
+            if c == 0:
+                return build_grib2(cells.reshape(8, 8), nbits=8,
+                                   la1=la1)
+            if c == 1:
+                return build_grib2((cells * 16).reshape(8, 8),
+                                   nbits=12, la1=la1)
+            if c == 2:
+                return build_grib2((cells >> 1).reshape(8, 8), ref=100.0,
+                                   binary_scale=-1, nbits=7, la1=la1)
+            if c == 3:
+                bm = np.zeros(64, bool)
+                bm[::2] = True
+                return build_grib2(cells[::2], nbits=8,
+                                   bitmap=bm.reshape(8, 8), la1=la1)
+            return build_grib2(cells.reshape(8, 8), png_packed=True,
+                               la1=la1)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def grib2_long(payload_df, id_col: str = "msg_id",
+               payload_col: str = "payload"):
+    """Decode GRIB2 payloads into the long climate-table shape — one
+    row per PRESENT grid cell (bitmap-masked cells are absent, the
+    same contract as a real ingest), decoded inside one Arrow
+    ``mapInPandas`` so payload bytes never leave the executor."""
+    import pandas as pd
+
+    def _decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("msg_id", "template", "ref_time",
+                                    "param_category", "param_number",
+                                    "lat", "lon", "value")}
+            for mid, payload in zip(pdf[id_col].astype("int64"),
+                                    pdf[payload_col]):
+                for m in parse_grib2(bytes(payload)):
+                    vals = m["values"]
+                    nj, ni = vals.shape
+                    lat = m["la1"] - m["dlat"] * np.arange(nj)
+                    lon = m["lo1"] + m["dlon"] * np.arange(ni)
+                    latg, long_ = np.meshgrid(lat, lon, indexing="ij")
+                    mask = ~np.isnan(vals)
+                    n = int(mask.sum())
+                    rows["msg_id"].extend([int(mid)] * n)
+                    rows["template"].extend([m["template"]] * n)
+                    rows["ref_time"].extend([m["ref_time"]] * n)
+                    rows["param_category"].extend(
+                        [m["param_category"]] * n)
+                    rows["param_number"].extend([m["param_number"]] * n)
+                    rows["lat"].extend(latg[mask].tolist())
+                    rows["lon"].extend(long_[mask].tolist())
+                    rows["value"].extend(vals[mask].tolist())
+            yield pd.DataFrame(rows)
+
+    return payload_df.mapInPandas(_decode, schema=GRIB_LONG_SCHEMA)
+
+
+def read_grib2_long(spark, path_glob: str):
+    """Distributed GRIB2 file ingest: ``binaryFile`` ships each file's
+    bytes to an executor, ``grib2_long`` decodes every message there —
+    the netcdf3/hdf5 multi-file pattern applied to the WMO format."""
+    from pyspark.sql import functions as F
+
+    files = (spark.read.format("binaryFile").load(path_glob)
+             .select(F.monotonically_increasing_id().alias("msg_id"),
+                     F.col("content").alias("payload")))
+    return grib2_long(files)
