@@ -77,6 +77,7 @@ HEADLINE = [
     "mm_decode_webp",         # VP8L prefix codes + cache/LZ77/transforms
     "mm_decode_flac",         # Rice-coded frames + CRC walk + stereo
     "s_grib2_ingest",         # WMO GRIB2 sections + bit-packed fields
+    "mm_exif_metadata",       # APP1/IFD metadata walk, zero pixel decode
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

@@ -411,7 +411,9 @@ def decode_flac(data: bytes) -> dict:
             raise ValueError("FLAC frame sync code not found")
         if r.read(1):
             raise ValueError("FLAC frame reserved bit set")
-        variable = r.read(1)
+        r.read(1)   # blocking strategy: the coded number below is
+                    # a frame index (fixed) or sample index (variable);
+                    # both parse identically here
         bs_bits = r.read(4)
         sr_bits = r.read(4)
         ch_bits = r.read(4)
@@ -484,7 +486,6 @@ def decode_flac(data: bytes) -> dict:
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos = body_end + 2
         frames.append(np.stack(subs, axis=1))
-        del variable
     if not frames:
         raise ValueError("FLAC stream with no frames")
     samples = np.concatenate(frames, axis=0)

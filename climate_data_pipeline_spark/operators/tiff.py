@@ -243,6 +243,14 @@ def packbits_encode(raw: bytes) -> bytes:
 def _read_ifd(data: bytes, bo: str) -> dict[int, tuple]:
     """Parse the first IFD into {tag: (type, values tuple)}."""
     (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    return read_ifd_at(data, bo, ifd_off)
+
+
+def read_ifd_at(data: bytes, bo: str, ifd_off: int) -> dict[int, tuple]:
+    """Parse one IFD at an explicit offset — the first image IFD, or
+    an EXIF/GPS sub-IFD reached through a pointer tag. Unknown field
+    types are skipped per spec §7; ASCII/rational/undefined values
+    are kept as raw bytes for the caller to interpret."""
     if ifd_off + 2 > len(data):
         raise ValueError("TIFF IFD offset beyond payload")
     (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)

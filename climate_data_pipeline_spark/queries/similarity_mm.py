@@ -1289,6 +1289,45 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_samples", "mean_value"))
 
 
+@query("mm_exif_metadata", oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+       CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+       'Acme Imaging ' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       'Model X' || CAST(doc_id % 13 AS VARCHAR) AS model,
+       printf('2023:%02d:%02d %02d:00:00',
+              CAST(1 + doc_id % 12 AS INT), CAST(1 + doc_id % 28 AS INT),
+              CAST(doc_id % 24 AS INT)) AS datetime,
+       CAST(100 * (1 + doc_id % 32) AS INTEGER) AS iso,
+       1.0 / (1 + doc_id % 2000) AS exposure_s,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+         * ((doc_id % 90) + ((doc_id % 60) / 60.0)
+            + (((doc_id * 7) % 600) / 10.0) / 3600.0) AS lat,
+       (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE -1 END)
+         * ((doc_id % 180) + (((doc_id * 3) % 60) / 60.0)
+            + (((doc_id * 11) % 600) / 10.0) / 3600.0) AS lon
+FROM documents
+""")
+def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction WITHOUT pixel decode — the screening projection
+    a media curation run filters on (orientation fixing, camera
+    attribution, timestamp bucketing, GPS geofencing) before paying
+    for any decompression. Documents render into real JPEGs, a real
+    APP1 ``Exif\\0\\0`` segment is inserted (TIFF-structured IFD0 →
+    Exif/GPS sub-IFDs, out-of-line ASCII and RATIONAL values, every
+    odd id BIG-endian "MM"), and ``operators/exif.py`` walks the
+    marker stream and IFD chain back out. The oracle re-derives every
+    field arithmetically from the id: a wrong byte order, IFD offset,
+    rational layout, or hemisphere sign shifts the hash."""
+    from ..operators.exif import attach_exif, exif_metadata
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_exif(MM.synthesize_jpeg(docs, "doc_id", "text"))
+    return (exif_metadata(media)
+            .select("media_id", "byte_order", "orientation", "make",
+                    "model", "datetime", "iso", "exposure_s",
+                    "lat", "lon"))
+
+
 @query("mm_video_frames_mp4", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

@@ -116,7 +116,6 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
     p = 16                              # past section 0
     sec: dict[int, bytes] = {}
     rec: dict = {"discipline": discipline}
-    grids = None
     while p < len(msg) - 4:
         (slen,) = struct.unpack_from(">I", msg, p)
         snum = msg[p + 4]

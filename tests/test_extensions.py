@@ -1425,6 +1425,75 @@ def test_flac_spark_dispatch_rms(spark):
         assert got[i]["kind"] == "audio"
 
 
+def test_exif_roundtrip_and_jpeg_insertion():
+    """EXIF build/parse both byte orders: IFD0 + Exif/GPS sub-IFDs,
+    out-of-line ASCII/RATIONAL values, hemisphere signs; the APP1
+    insertion leaves the JPEG pixel decode untouched and non-EXIF
+    JPEGs report None."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.exif import (
+        build_exif_blob, build_exif_jpeg, parse_exif_tiff,
+        parse_jpeg_exif)
+    from climate_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_baseline)
+
+    fields = {
+        "orientation": 6, "make": "Acme Imaging 2", "model": "Model X7",
+        "datetime": "2023:05:14 09:00:00", "iso": 800,
+        "exposure": (1, 250), "pixel_x": 16, "pixel_y": 16,
+        "lat_ref": "S", "lat_dms": ((33, 1), (52, 1), (275, 10)),
+        "lon_ref": "W", "lon_dms": ((151, 1), (12, 1), (333, 10)),
+    }
+    for be in (False, True):
+        m = parse_exif_tiff(build_exif_blob(fields, big_endian=be))
+        assert m["byte_order"] == ("MM" if be else "II")
+        assert (m["orientation"], m["iso"]) == (6, 800)
+        assert m["make"] == "Acme Imaging 2"
+        assert m["datetime"] == "2023:05:14 09:00:00"
+        assert m["lat"] == -(33 + 52 / 60.0 + (275 / 10.0) / 3600.0)
+        assert m["lon"] == -(151 + 12 / 60.0 + (333 / 10.0) / 3600.0)
+        assert (m["exposure_num"], m["exposure_den"]) == (1, 250)
+    q = np.ones((8, 8), np.int64)
+    q[0, 0] = 8
+    j = encode_jpeg_baseline(np.full((16, 16), 99, np.uint8),
+                             quant_tables=(q, q))
+    wj = build_exif_jpeg(j, fields, big_endian=True)
+    assert parse_jpeg_exif(wj)["orientation"] == 6
+    np.testing.assert_array_equal(decode_jpeg(wj), decode_jpeg(j))
+    assert parse_jpeg_exif(j) is None
+    with _pt.raises(ValueError, match="SOI"):
+        parse_jpeg_exif(b"NOTAJPEG")
+    with _pt.raises(ValueError, match="byte order"):
+        parse_exif_tiff(b"XX" + bytes(10))
+
+
+def test_exif_spark_extraction(spark):
+    """attach_exif → exif_metadata inside the Arrow plan: every field
+    re-derives from the id, byte order alternates II/MM."""
+    from climate_data_pipeline_spark.operators.exif import (attach_exif,
+                                                            exif_metadata)
+    from climate_data_pipeline_spark.operators.multimodal import \
+        synthesize_jpeg
+
+    rows = [(i, f"exif payload {i} " * (i + 1)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = attach_exif(synthesize_jpeg(df, "doc_id", "text"))
+    got = {r["media_id"]: r for r in exif_metadata(media).collect()}
+    for i, _ in rows:
+        r = got[i]
+        assert r["byte_order"] == ("MM" if i % 2 else "II")
+        assert r["orientation"] == 1 + i % 8
+        assert r["iso"] == 100 * (1 + i % 32)
+        assert r["make"] == f"Acme Imaging {i % 5}"
+        want_lat = ((1 if i % 2 == 0 else -1)
+                    * ((i % 90) + (i % 60) / 60.0
+                       + ((i * 7 % 600) / 10.0) / 3600.0))
+        assert r["lat"] == want_lat, i
+        assert r["exposure_s"] == 1.0 / (1 + i % 2000)
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
