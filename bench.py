@@ -78,6 +78,7 @@ HEADLINE = [
     "mm_decode_flac",         # Rice-coded frames + CRC walk + stereo
     "s_grib2_ingest",         # WMO GRIB2 sections + bit-packed fields
     "mm_exif_metadata",       # APP1/IFD metadata walk, zero pixel decode
+    "mm_decode_audio_formats",  # G.711 mu/A-law + AIFF + 24-bit PCM
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

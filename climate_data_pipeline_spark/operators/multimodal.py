@@ -580,6 +580,69 @@ def synthesize_flac(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
               .mapInPandas(_synth, schema=out_schema))
 
 
+def synthesize_audio_formats(df: DataFrame, id_col: str,
+                             text_col: str) -> DataFrame:
+    """Build REAL audio payloads beyond plain PCM-16 WAV from text
+    rows, through four residue classes of ``media_id % 4`` covering
+    ``operators/audio.py``:
+
+    - 0: μ-law WAV (G.711 format tag 7) — the code bytes ARE the
+         cycled text bytes; decode applies the CCITT expansion
+    - 1: A-law WAV (tag 6), same construction
+    - 2: AIFF PCM-16 (big-endian FORM/COMM/SSND, real 80-bit
+         extended sample-rate field), samples ``(byte−128)·256``
+    - 3: 24-bit PCM WAV, samples ``(byte−128)·256 + byte`` so all
+         three byte lanes carry signal
+
+    Each decode is integer-exact, so a SQL oracle re-derives every
+    clip's RMS from the text bytes through the same G.711 formulas."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .audio import build_aiff, build_wav
+
+        def clip(text: str, media_id: int) -> tuple[bytes, str]:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            c = media_id % 4
+            if c == 0:
+                codes = bts[np.arange(600) % len(bts)]
+                return build_wav(codes.astype(np.uint8).tobytes(),
+                                 tag=7, nch=1, rate=8000,
+                                 bits=8), "audio/wav;codec=ulaw"
+            if c == 1:
+                codes = bts[np.arange(600) % len(bts)]
+                return build_wav(codes.astype(np.uint8).tobytes(),
+                                 tag=6, nch=1, rate=8000,
+                                 bits=8), "audio/wav;codec=alaw"
+            if c == 2:
+                s = (bts[np.arange(400) % len(bts)] - 128) * 256
+                return build_aiff(s, rate=22050), "audio/aiff"
+            b = bts[np.arange(400) % len(bts)]
+            v = (b - 128) * 256 + b
+            raw24 = b"".join(int(x & 0xFFFFFF).to_bytes(3, "little")
+                             for x in v)
+            return build_wav(raw24, tag=1, nch=1, rate=44100,
+                             bits=24), "audio/wav;bits=24"
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            built = [clip(t, i) for t, i in
+                     zip(pdf[text_col].fillna(""), ids)]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": [t for _, t in built],
+                "payload": [p for p, _ in built],
+                "n_bytes": pd.Series([len(p) for p, _ in built],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
     """REAL codec path — pure-python decoders for every container the
     suite synthesizes (binary netpbm P5/P6 images; PNG with full
@@ -720,6 +783,17 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "mean_value": float(px[:, :, :3]
                                         .astype(np.float64).mean())}
 
+        def decode_aiff(p: bytes) -> dict:
+            from .audio import parse_aiff
+            meta = parse_aiff(p)
+            s = meta["samples"].astype(np.float64)
+            rms = float(np.sqrt((s * s).mean())) if s.size else 0.0
+            return {"kind": "audio", "width": None, "height": None,
+                    "n_channels": meta["n_channels"],
+                    "sample_rate": meta["sample_rate"],
+                    "n_samples": int(meta["samples"].shape[0]),
+                    "mean_value": rms}
+
         def decode_flac(p: bytes) -> dict:
             from .flac import decode_flac as _flac
             meta = _flac(p)
@@ -732,14 +806,15 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "mean_value": rms}
 
         def decode_wav(p: bytes) -> dict:
-            with wave.open(io.BytesIO(p), "rb") as f:
-                nch, sw, rate, nfr = (f.getnchannels(), f.getsampwidth(),
-                                      f.getframerate(), f.getnframes())
-                raw = f.readframes(nfr)
-            dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
-            s = np.frombuffer(raw, dtype=dt).astype(np.float64)
-            if sw == 1:
-                s -= 128.0  # 8-bit PCM is unsigned, midpoint 128
+            # operators/audio.py: PCM 8/16/24/32 AND G.711 mu-law /
+            # A-law (stdlib wave refuses the companded tags). Decoded
+            # samples are ints for every format, so the RMS below is
+            # the same integer-exact quantity the PCM path always had
+            from .audio import parse_wav
+            meta = parse_wav(p)
+            nch, rate = meta["n_channels"], meta["sample_rate"]
+            nfr = int(meta["samples"].shape[0])
+            s = meta["samples"].astype(np.float64)
             rms = float(np.sqrt((s * s).mean())) if s.size else 0.0
             return {"kind": "audio", "width": None, "height": None,
                     "n_channels": nch, "sample_rate": rate,
@@ -763,6 +838,8 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     metas.append(decode_webp(b))
                 elif b[:4] == b"fLaC":
                     metas.append(decode_flac(b))
+                elif b[:4] == b"FORM" and b[8:12] == b"AIFF":
+                    metas.append(decode_aiff(b))
                 elif len(b) >= 12 and b[4:8] == b"ftyp":
                     metas.append(decode_video(b))
                 elif b[:6] in (b"GIF87a", b"GIF89a"):

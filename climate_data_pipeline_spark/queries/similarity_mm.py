@@ -1328,6 +1328,79 @@ def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lat", "lon"))
 
 
+@query("mm_decode_audio_formats", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+codes AS (
+  SELECT media_id, media_id % 4 AS c, i,
+         bytes[CAST(i % len(bytes) AS INT) + 1] AS bv
+  FROM b, (SELECT unnest(range(600)) AS i) r
+  WHERE i < CASE WHEN media_id % 4 <= 1 THEN 600 ELSE 400 END
+),
+expanded AS (
+  SELECT media_id, c, bv, 255 - bv AS uu, xor(bv, 85) AS aa
+  FROM codes
+),
+sval AS (
+  SELECT media_id, c,
+         CASE c
+           WHEN 0 THEN CASE WHEN uu >= 128 THEN 132 - ut
+                            ELSE ut - 132 END
+           WHEN 1 THEN CASE WHEN aa >= 128 THEN at ELSE -at END
+           WHEN 2 THEN (bv - 128) * 256
+           ELSE (bv - 128) * 256 + bv
+         END AS v
+  FROM (SELECT *,
+          ((uu % 16) * 8 + 132) * (1 << ((uu // 16) % 8)) AS ut,
+          CASE WHEN (aa // 16) % 8 = 0 THEN (aa % 16) * 16 + 8
+               WHEN (aa // 16) % 8 = 1 THEN (aa % 16) * 16 + 264
+               ELSE ((aa % 16) * 16 + 264)
+                    * (1 << (((aa // 16) % 8) - 1))
+          END AS at
+        FROM expanded) t
+)
+SELECT media_id, 'audio' AS kind, CAST(1 AS INTEGER) AS n_channels,
+       CAST(CASE c WHEN 2 THEN 22050 WHEN 3 THEN 44100
+            ELSE 8000 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN c <= 1 THEN 600 ELSE 400 END AS BIGINT)
+         AS n_samples,
+       sqrt(CAST(sum(v * v) AS DOUBLE)
+            / CASE WHEN c <= 1 THEN 600 ELSE 400 END) AS mean_value
+FROM sval GROUP BY media_id, c
+""")
+def multimodal_decode_audio_formats(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Audio container breadth round trip: documents render into
+    μ-law WAV (G.711 tag 7 — the code bytes ARE the text bytes),
+    A-law WAV (tag 6), big-endian AIFF PCM-16 (real 80-bit
+    extended sample-rate field), and 24-bit PCM WAV with all three
+    byte lanes carrying signal, then decode back through
+    ``operators/audio.py``. The oracle re-derives each clip's RMS
+    from the text bytes through the SAME CCITT expansion formulas in
+    SQL arithmetic — a wrong bias, segment shift, xor mask, sign
+    convention, byte order or 24-bit sign extension shifts the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_audio_formats(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "kind", "n_channels", "sample_rate",
+                      "n_samples", "mean_value"))
+
+
 @query("mm_video_frames_mp4", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

@@ -1494,6 +1494,96 @@ def test_exif_spark_extraction(spark):
         assert r["exposure_s"] == 1.0 / (1 + i % 2000)
 
 
+def test_audio_formats_codec_and_g711():
+    """operators/audio.py: G.711 μ-law/A-law expansion pinned to the
+    CCITT reference points, PCM 8/16/24/32 WAV, AIFF with the 80-bit
+    extended rate, loud seams for unknown format tags."""
+    import struct as st
+
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.audio import (
+        alaw_to_linear, build_aiff, build_wav, parse_aiff, parse_wav,
+        ulaw_to_linear)
+
+    # reference points (16-bit domain, CCITT/audioop convention)
+    assert ulaw_to_linear(np.array([0xFF]))[0] == 0
+    assert ulaw_to_linear(np.array([0x00]))[0] == -32124
+    assert ulaw_to_linear(np.array([0x80]))[0] == 32124
+    assert alaw_to_linear(np.array([0xD5]))[0] == 8
+    assert alaw_to_linear(np.array([0x55]))[0] == -8
+    # positive μ-law codes decode monotonically
+    pos = ulaw_to_linear(np.arange(0x80, 0x100)[::-1])
+    assert (np.diff(pos) > 0).all()
+
+    rng = np.random.default_rng(53)
+    codes = rng.integers(0, 256, 500, dtype=np.uint8)
+    for tag, expand in ((7, ulaw_to_linear), (6, alaw_to_linear)):
+        m = parse_wav(build_wav(codes.tobytes(), tag=tag, nch=1,
+                                rate=8000, bits=8))
+        np.testing.assert_array_equal(m["samples"][:, 0],
+                                      expand(codes))
+    s24 = rng.integers(-2 ** 23, 2 ** 23, 300).astype(np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little")
+                   for v in s24)
+    np.testing.assert_array_equal(
+        parse_wav(build_wav(raw, 1, 1, 44100, 24))["samples"][:, 0],
+        s24)
+    s16 = rng.integers(-32768, 32768, 300).astype(np.int64)
+    m = parse_wav(build_wav(s16.astype("<i2").tobytes(), 1, 2,
+                            16000, 16))
+    assert m["samples"].shape == (150, 2)
+    st2 = np.stack([s16[:100], s16[100:200]], 1)
+    m = parse_aiff(build_aiff(st2, rate=22050))
+    np.testing.assert_array_equal(m["samples"], st2)
+    assert m["sample_rate"] == 22050 and m["n_channels"] == 2
+    with _pt.raises(ValueError, match="RIFF/WAVE"):
+        parse_wav(b"RIFFxxxxNOPE" + bytes(8))
+    with _pt.raises(ValueError, match="FORM/AIFF"):
+        parse_aiff(b"FORMxxxxNOPE" + bytes(8))
+    bad = bytearray(build_wav(codes.tobytes(), 7, 1, 8000, 8))
+    st.pack_into("<H", bad, 20, 3)      # IEEE-float tag
+    with _pt.raises(NotImplementedError, match="format tag 3"):
+        parse_wav(bytes(bad))
+
+
+def test_audio_formats_spark_dispatch(spark):
+    """synthesize_audio_formats → decode_media_real: each residue
+    class's RMS equals the formula-derived value."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.audio import (
+        alaw_to_linear, ulaw_to_linear)
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_audio_formats)
+
+    rows = [(i, f"audio payload {i} " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["media_id"]: r for r in
+           decode_media_real(synthesize_audio_formats(
+               df, "doc_id", "text")).collect()}
+    for i, text in rows:
+        bts = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+        c = i % 4
+        if c <= 1:
+            codes = bts[np.arange(600) % len(bts)]
+            v = (ulaw_to_linear if c == 0 else alaw_to_linear)(codes)
+            n, rate = 600, 8000
+        elif c == 2:
+            v = (bts[np.arange(400) % len(bts)] - 128) * 256
+            n, rate = 400, 22050
+        else:
+            b = bts[np.arange(400) % len(bts)]
+            v = (b - 128) * 256 + b
+            n, rate = 400, 44100
+        want = float(np.sqrt((v.astype(float) ** 2).mean()))
+        r = got[i]
+        assert abs(r["mean_value"] - want) < 1e-9, i
+        assert (r["n_samples"], r["sample_rate"]) == (n, rate), i
+        assert r["kind"] == "audio"
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
