@@ -79,6 +79,7 @@ HEADLINE = [
     "s_grib2_ingest",         # WMO GRIB2 sections + bit-packed fields
     "mm_exif_metadata",       # APP1/IFD metadata walk, zero pixel decode
     "mm_decode_audio_formats",  # G.711 mu/A-law + AIFF + 24-bit PCM
+    "mm_audio_container_meta",  # MP3/Ogg walks, zero decode
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

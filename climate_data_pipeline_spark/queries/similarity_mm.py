@@ -1401,6 +1401,48 @@ def multimodal_decode_audio_formats(spark: SparkSession,
                       "n_samples", "mean_value"))
 
 
+@query("mm_audio_container_meta", oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 4 <= 1 THEN 'mp3' ELSE 'ogg' END AS container,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 20 + doc_id % 40
+            WHEN 1 THEN 10 + doc_id % 30
+            WHEN 2 THEN 6 + doc_id % 20
+            ELSE 4 + doc_id % 10 END AS BIGINT) AS n_units,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 32000
+            WHEN 2 THEN 48000 ELSE 44100 END AS INTEGER)
+         AS sample_rate,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1
+            WHEN 2 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+       CASE doc_id % 4
+         WHEN 0 THEN CAST((20 + doc_id % 40) * 1152 AS DOUBLE) / 44100
+         WHEN 1 THEN CAST((10 + doc_id % 30) * 1152 AS DOUBLE) / 32000
+         WHEN 2 THEN CAST((5 + doc_id % 20) * 960 AS DOUBLE) / 48000
+         ELSE CAST((3 + doc_id % 10) * 441 AS DOUBLE) / 44100
+       END AS duration_s
+FROM documents
+""")
+def multimodal_audio_container_meta(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """MP3/Ogg screening WITHOUT decode — duration, rate, channels,
+    unit counts from pure container walks (``operators/audio_meta.py``):
+    the MPEG frame-header walk (published bitrate/rate index tables,
+    padding-aware frame lengths, ID3v2 syncsafe skip, ID3v1 trailer
+    exclusion) and the Ogg page walk (real lacing, per-page CRC-32
+    VERIFIED, Vorbis identification header, granule-position
+    duration). Frame payloads are junk by construction — the MDCT
+    codecs stay loud — so this pins exactly what a curation pipeline
+    uses: screening stats at parse cost. The oracle re-derives every
+    stat arithmetically from the id; a wrong bitrate table entry,
+    frame-length formula, syncsafe decode, lacing walk or granule
+    convention shifts the hash."""
+    from ..operators.audio_meta import (audio_container_meta,
+                                        synthesize_compressed_audio)
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_compressed_audio(docs, "doc_id", "text")
+    return audio_container_meta(media)
+
+
 @query("mm_video_frames_mp4", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

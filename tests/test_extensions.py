@@ -1584,6 +1584,75 @@ def test_audio_formats_spark_dispatch(spark):
         assert r["kind"] == "audio"
 
 
+def test_mp3_ogg_metadata_walkers():
+    """MP3 frame-header and Ogg page walks: published index tables,
+    padding-aware frame lengths, ID3 tag handling, verified per-page
+    CRCs, granule-position durations; desync and tampering raise."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.audio_meta import (
+        build_mp3, build_ogg_vorbis, ogg_crc, parse_mp3_meta,
+        parse_ogg_meta)
+
+    m = parse_mp3_meta(build_mp3(30, bitrate_idx=9, rate_idx=0))
+    assert (m["n_frames"], m["sample_rate"], m["channels"]) \
+        == (30, 44100, 2)
+    assert m["bitrate_kbps"] == 128.0
+    assert m["duration_s"] == 30 * 1152 / 44100
+    m = parse_mp3_meta(build_mp3(12, bitrate_idx=14, rate_idx=2,
+                                 mono=True, id3v2=b"junktag" * 10,
+                                 id3v1=True))
+    assert (m["channels"], m["bitrate_kbps"]) == (1, 320.0)
+    assert m["has_id3v2"] and m["has_id3v1"]
+    with _pt.raises(ValueError, match="sync lost"):
+        parse_mp3_meta(b"\x00" * 100)
+
+    o = parse_ogg_meta(build_ogg_vorbis(777, 48000, 2, 10, 960))
+    assert (o["n_pages"], o["serial"], o["sample_rate"]) \
+        == (11, 777, 48000)
+    assert o["last_granule"] == 9600 and o["eos"]
+    assert o["duration_s"] == 9600 / 48000
+    # Ogg CRC parameters: poly 0x04C11DB7, init 0, no reflection —
+    # the catalogue check value for "123456789"
+    assert ogg_crc(b"123456789") == 0x89A1897F
+    blob = bytearray(build_ogg_vorbis(5, 44100, 1, 3, 441))
+    blob[-10] ^= 0x40
+    with _pt.raises(ValueError, match="CRC"):
+        parse_ogg_meta(bytes(blob))
+    np.testing.assert_equal(True, True)
+
+
+def test_mp3_ogg_spark_screening(spark):
+    """synthesize_compressed_audio → audio_container_meta: every stat
+    re-derives from the id across the four residue classes."""
+    from climate_data_pipeline_spark.operators.audio_meta import (
+        audio_container_meta, synthesize_compressed_audio)
+
+    rows = [(i, f"aud {i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["media_id"]: r for r in
+           audio_container_meta(synthesize_compressed_audio(
+               df, "doc_id", "text")).collect()}
+    for i, _ in rows:
+        r = got[i]
+        c = i % 4
+        if c == 0:
+            want = ("mp3", 20 + i % 40, 44100, 2,
+                    (20 + i % 40) * 1152 / 44100)
+        elif c == 1:
+            want = ("mp3", 10 + i % 30, 32000, 1,
+                    (10 + i % 30) * 1152 / 32000)
+        elif c == 2:
+            want = ("ogg", 6 + i % 20, 48000, 2,
+                    (5 + i % 20) * 960 / 48000)
+        else:
+            want = ("ogg", 4 + i % 10, 44100, 1,
+                    (3 + i % 10) * 441 / 44100)
+        assert (r["container"], r["n_units"], r["sample_rate"],
+                r["channels"], r["duration_s"]) == want, i
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
