@@ -593,3 +593,61 @@ def grib2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_present"),
                  F.max("lat").alias("la1"),
                  F.avg("value").alias("mean_value")))
+
+
+@query("s_warc_extract", oracle="""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+),
+esc AS (
+  SELECT doc_id, text,
+         replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                 '>', '&gt;') AS e
+  FROM t
+),
+h AS (
+  SELECT doc_id, text,
+         '<html><head><title>Doc ' || doc_id || '</title>'
+         || '<style>p { color: #000; }</style>'
+         || '<script>var x = ''<p>not text</p>'';</script>'
+         || '</head><!-- crawler comment ' || doc_id || ' -->'
+         || '<body><h1>Doc ' || doc_id || '</h1>'
+         || '<p>' || e || '</p></body></html>' AS html
+  FROM esc
+),
+rec AS (
+  SELECT doc_id, strlen(html) AS n_body_bytes,
+         trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'),
+              ' ') AS ct
+  FROM h
+),
+fin AS (
+  SELECT doc_id, n_body_bytes,
+         'Doc ' || doc_id || ' Doc ' || doc_id
+           || CASE WHEN ct = '' THEN '' ELSE ' ' || ct END AS rt
+  FROM rec
+)
+SELECT doc_id, 'https://example.org/doc/' || doc_id AS uri,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+            AS INTEGER) AS http_status,
+       CAST(n_body_bytes AS BIGINT) AS n_body_bytes,
+       CAST(length(rt) AS BIGINT) AS n_chars,
+       md5(rt) AS text_md5
+FROM fin
+""")
+def warc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest + HTML text extraction round trip — the Common
+    Crawl entry point of a web-scale text pipeline, end to end:
+    documents render into REAL WARC response records (WARC/1.0
+    headers, Content-Length framing, a genuine HTTP envelope, every
+    odd id's archive in the member-per-record GZIP layout) whose HTML
+    wraps the escaped text among script/style/comment distractors;
+    ``sources/warc.py`` walks the records back out, splits the HTTP
+    response, strips tags/scripts/comments, unescapes entities in a
+    single pass and collapses whitespace. The oracle mirrors the
+    template and the collapse in SQL and pins the recovered text by
+    MD5 — a wrong record frame, gzip member walk, tag strip order,
+    entity pass or whitespace class shifts the hash of every row."""
+    from ..sources.warc import synthesize_warc, warc_extract
+    docs = load_table(spark, sf_dir, "documents")
+    return warc_extract(synthesize_warc(docs, "doc_id", "text"))

@@ -1653,6 +1653,75 @@ def test_mp3_ogg_spark_screening(spark):
                 r["channels"], r["duration_s"]) == want, i
 
 
+def test_warc_parse_and_html_extraction():
+    """WARC record walk (plain + member-per-record gzip), HTTP
+    envelope split, tag/script/comment stripping, single-pass entity
+    unescape, whitespace collapse; malformed archives raise."""
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.sources.warc import (
+        build_warc, build_warc_response, html_escape, html_text,
+        parse_warc)
+
+    text = "Hello <world> & \"friends\"  \n\t multiple   spaces"
+    html = (f"<html><head><title>T</title><style>p{{x}}</style>"
+            f"<script>var s='<p>no</p>';</script></head>"
+            f"<!-- c --><body><p>{html_escape(text)}</p>"
+            f"</body></html>").encode()
+    got = html_text(html)
+    assert got == 'T Hello <world> & "friends" multiple spaces'
+    # literal entity-looking source text survives ONE unescape pass
+    assert html_text(f"<p>{html_escape('&#10; and &amp;')}</p>"
+                     .encode()) == "&#10; and &amp;"
+
+    rec = build_warc_response("https://x.org/1", html,
+                              "2024-01-01T00:00:00Z", "0" * 32, 200)
+    rec2 = build_warc_response("https://x.org/2", b"<p>two</p>",
+                               "2024-01-02T00:00:00Z", "1" * 32, 404)
+    for gz in (False, True):
+        recs = parse_warc(build_warc([rec, rec2], gzip_members=gz))
+        assert len(recs) == 2
+        assert recs[0]["uri"] == "https://x.org/1"
+        assert recs[0]["http_status"] == 200
+        assert recs[1]["http_status"] == 404
+        assert recs[0]["body"] == html
+        assert recs[0]["http_content_type"] \
+            == "text/html; charset=utf-8"
+    with _pt.raises(ValueError, match="version line"):
+        parse_warc(b"NOT A WARC FILE AT ALL\r\n\r\n")
+    blob = build_warc([rec])
+    with _pt.raises(ValueError):
+        parse_warc(blob[:len(blob) // 2])
+    gzblob = bytearray(build_warc([rec], gzip_members=True))
+    with _pt.raises(ValueError):
+        parse_warc(bytes(gzblob[:len(gzblob) // 2]))
+
+
+def test_warc_spark_extraction(spark):
+    """synthesize_warc → warc_extract: recovered text equals the
+    collapsed original prefixed by the template headings, per id."""
+    import hashlib
+    import re
+
+    from climate_data_pipeline_spark.sources.warc import (
+        synthesize_warc, warc_extract)
+
+    rows = [(i, f"warc body {i} with  spaces\n and & <tags> {i}")
+            for i in range(7)] + [(7, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           warc_extract(synthesize_warc(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        ct = re.sub(r"[ \t\n\r\f\v]+", " ", text or "").strip(" ")
+        want = f"Doc {i} Doc {i}" + (f" {ct}" if ct else "")
+        r = got[i]
+        assert r["text_md5"] == hashlib.md5(want.encode()).hexdigest()
+        assert r["n_chars"] == len(want)
+        assert r["http_status"] == (404 if i % 7 == 0 else 200)
+        assert r["uri"] == f"https://example.org/doc/{i}"
+
+
 def test_text_family_null_and_empty_safe(spark):
     """Null / empty / whitespace-only text must flow through the text and
     dedup operators without crashing and with sensible outputs."""
