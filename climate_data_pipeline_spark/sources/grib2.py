@@ -122,6 +122,12 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
         sec[snum] = msg[p:p + slen]
         p += slen
         if snum == 7:
+            # repeated sections 3-7 would mean MORE fields in this
+            # message; decoding only the first silently loses data
+            if p < len(msg) - 4:
+                raise NotImplementedError(
+                    "multi-field GRIB2 message (repeated sections "
+                    "after the first section 7) not supported")
             break
     for need in (1, 3, 4, 5, 7):
         if need not in sec:
