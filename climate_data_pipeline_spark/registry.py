@@ -72,14 +72,15 @@ def query(name: str, oracle: str | None = None):
 # follows in registration order, so ~35 of the long-standing names stay
 # in the sample for round-over-round continuity. Refresh each round.
 DRIVER_ROTATION = [
-    # changed this round — give the driver direct eyes on them
+    # NEW this round — give the driver direct eyes on every fresh
+    # codec/source family
+    "mm_decode_tiff", "mm_decode_webp", "mm_decode_flac",
+    "s_grib2_ingest", "mm_exif_metadata", "mm_decode_audio_formats",
+    "mm_audio_container_meta", "s_warc_extract",
+    "mm_decode_gif", "mm_decode_bmp", "mm_video_frames_mp4",
+    # changed earlier in the round (sample-bounded evaluators)
     "dedup_semantic_eval", "dedup_minhash_eval", "text_winnow_overlap",
     "dedup_clusters",
-    # never driver-sampled families (full-registry sweep green only)
-    "a11_pricing_summary", "a1_monthly_mean", "tpch_q6_forecast_revenue",
-    "sim_cosine_pairs", "sim_lsh_ann", "mm_decode_jpeg", "mm_video_frames",
-    "text_quality", "dedup_minhash", "split_deterministic",
-    "a9_mann_kendall",
 ]
 
 
