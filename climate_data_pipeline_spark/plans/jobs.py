@@ -240,7 +240,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
                   lm_filter: bool = False, normalize: bool = False,
                   near_dedup: bool = False,
                   progress: ProgressFn | None = None,
-                  time_limit: float | None = 3600.0) -> dict:
+                  time_limit: float | None = 3600.0,
+                  docs_df=None) -> dict:
     """The full training-data curation job in one call: load documents →
     [optional Unicode NFC normalization] → [optional heuristic quality
     gate] → [optional LM-perplexity gate] →
@@ -282,7 +283,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str, output_dir: str,
         return _curate_corpus_staged(
             spark, sf_dir, output_dir, text_col, id_col, split_weights,
             keep_split, n_shards, salt, quality_filter, lm_filter,
-            normalize, near_dedup, prog, pinned)
+            normalize, near_dedup, prog, pinned, docs_df=docs_df)
     except Exception as exc:
         # any-exception → failed dict, mirroring celery_tasks.py:77-81
         return _failed(exc, output_dir=output_dir, steps=prog.steps)
@@ -295,7 +296,7 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
                           split_weights, keep_split, n_shards, salt,
                           quality_filter, lm_filter, normalize,
                           near_dedup, prog: _Progress,
-                          pinned: list) -> dict:
+                          pinned: list, docs_df=None) -> dict:
     from pyspark.sql import functions as F
 
     from pyspark import StorageLevel
@@ -315,7 +316,8 @@ def _curate_corpus_staged(spark, sf_dir, output_dir, text_col, id_col,
         return frame
 
     prog.step("loading")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = docs_df if docs_df is not None \
+        else load_table(spark, sf_dir, "documents")
     doc_cols = docs.columns
     n_in = docs.count()
     if normalize:
@@ -642,3 +644,62 @@ def curate_media_corpus(spark: SparkSession, sf_dir: str,
         "output_info": info,
         "steps": prog.steps,
     }
+
+
+def curate_web_corpus(spark: SparkSession, sf_dir: str,
+                      output_dir: str, warc_df=None,
+                      min_status: int = 200, max_status: int = 299,
+                      min_chars: int = 1,
+                      quality_filter: bool = False,
+                      near_dedup: bool = False,
+                      split_weights: dict | None = None,
+                      keep_split: str = "train", n_shards: int = 8,
+                      salt: str = "",
+                      progress: ProgressFn | None = None,
+                      time_limit: float | None = 3600.0) -> dict:
+    """The crawl-to-corpus job end to end: WARC archives → record
+    walk + HTML text extraction (``sources/warc.py``) → HTTP-status /
+    minimum-length screens → the SAME staged curation pipeline as
+    `curate_corpus` (quality gates, exact dedup, optional MinHash
+    near-dedup, deterministic split, sharded write) over the
+    RECOVERED text. Stage order is the 100 TB story: the extraction
+    is one Arrow ``mapInPandas`` over payload bytes that never leave
+    their executor, status/length screens drop junk before any
+    hashing, and everything downstream reuses the audited corpus
+    stages unchanged.
+
+    ``warc_df`` is any (doc_id, payload) frame of WARC archives —
+    defaults to `synthesize_warc` over the documents table so the job
+    runs against driver testdata. Returns the curate_corpus audit
+    dict extended with the crawl screens' counts."""
+    from pyspark.sql import functions as F
+
+    from ..sources.warc import synthesize_warc, warc_extract
+
+    prog = _Progress(progress, time_limit)
+    try:
+        prog.step("warc_extract")
+        if warc_df is None:
+            docs = load_table(spark, sf_dir, "documents")
+            warc_df = synthesize_warc(docs, "doc_id", "text")
+        extracted = warc_extract(warc_df, include_text=True)
+        n_records = extracted.count()
+        prog.step("http_screen")
+        kept = extracted.where(
+            (F.col("http_status").between(min_status, max_status))
+            & (F.col("n_chars") >= min_chars))
+        n_http_ok = kept.count()
+        corpus = kept.select("doc_id", "uri", "text")
+        result = curate_corpus(
+            spark, sf_dir, output_dir, text_col="text",
+            id_col="doc_id", split_weights=split_weights,
+            keep_split=keep_split, n_shards=n_shards, salt=salt,
+            quality_filter=quality_filter, near_dedup=near_dedup,
+            progress=progress, time_limit=time_limit,
+            docs_df=corpus)
+        result["n_warc_records"] = n_records
+        result["n_http_ok"] = n_http_ok
+        result.setdefault("steps", prog.steps + result.get("steps", []))
+        return result
+    except Exception as exc:
+        return _failed(exc, output_dir=output_dir, steps=prog.steps)

@@ -199,15 +199,21 @@ def synthesize_warc(df, id_col: str, text_col: str):
 
 
 def warc_extract(payload_df, id_col: str = "doc_id",
-                 payload_col: str = "payload"):
+                 payload_col: str = "payload",
+                 include_text: bool = False):
     """WARC → extracted-text projection: one row per response record
     with HTTP status, URI, body size, and the md5 + length of the
     tag-stripped, entity-unescaped, whitespace-collapsed text — the
-    exact artifact a text-curation pipeline feeds downstream."""
+    exact artifact a text-curation pipeline feeds downstream.
+    ``include_text`` adds the recovered text itself (the corpus
+    column a curation job continues with; off by default so the
+    screening projection stays narrow)."""
     import pandas as pd
 
     out_schema = ("doc_id long, uri string, http_status int, "
                   "n_body_bytes long, n_chars long, text_md5 string")
+    if include_text:
+        out_schema += ", text string"
 
     def _extract(batches):
         for pdf in batches:
@@ -218,12 +224,14 @@ def warc_extract(payload_df, id_col: str = "doc_id",
                     if rec["type"] != "response":
                         continue
                     text = html_text(rec["body"])
-                    rows.append((int(i), rec["uri"],
-                                 rec["http_status"],
-                                 len(rec["body"]), len(text),
-                                 hashlib.md5(text.encode()).hexdigest()))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "uri", "http_status", "n_body_bytes",
-                "n_chars", "text_md5"])
+                    row = (int(i), rec["uri"], rec["http_status"],
+                           len(rec["body"]), len(text),
+                           hashlib.md5(text.encode()).hexdigest())
+                    rows.append(row + (text,) if include_text else row)
+            cols = ["doc_id", "uri", "http_status", "n_body_bytes",
+                    "n_chars", "text_md5"]
+            if include_text:
+                cols.append("text")
+            yield pd.DataFrame(rows, columns=cols)
 
     return payload_df.mapInPandas(_extract, schema=out_schema)

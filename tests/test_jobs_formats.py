@@ -446,3 +446,47 @@ def test_curate_media_corpus_same_id_duplicates_collapse(spark, sf_small,
     assert m["status"] == "completed"
     assert m["stage_counts"] == {"input": 3, "unique_payloads": 1,
                                  "decoded": 1, "kept": 1}
+
+
+def test_curate_web_corpus_end_to_end(spark, sf_small, tmp_path):
+    """curate_web_corpus: WARC extraction feeds the SAME audited
+    curation stages — HTTP/length screens, exact dedup over recovered
+    text, sharded write; duplicate pages collapse, non-2xx pages and
+    empty extractions are screened before any hashing."""
+    from climate_data_pipeline_spark.plans.jobs import curate_web_corpus
+    from climate_data_pipeline_spark.sources.warc import (
+        build_warc, build_warc_response, html_escape)
+
+    def page(doc_id, text, status=200, gz=False):
+        html = (f"<html><body><p>{html_escape(text)}</p>"
+                f"</body></html>").encode()
+        rec = build_warc_response(f"https://t.org/{doc_id}", html,
+                                  "2024-01-01T00:00:00Z",
+                                  f"{doc_id:032x}", status)
+        return build_warc([rec], gzip_members=gz)
+
+    rows = [
+        (0, bytearray(page(0, "unique page zero", gz=True))),
+        (1, bytearray(page(1, "shared   body", gz=False))),
+        (2, bytearray(page(2, "shared body"))),   # dups after collapse
+        (3, bytearray(page(3, "gone page", status=404))),
+        (4, bytearray(page(4, ""))),              # empty extraction
+    ]
+    warc_df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = str(tmp_path / "web")
+    m = curate_web_corpus(spark, sf_small, out, warc_df=warc_df,
+                          n_shards=2, split_weights={"train": 1.0})
+    assert m["status"] == "completed", m
+    assert m["n_warc_records"] == 5
+    assert m["n_http_ok"] == 3                   # 404 + empty screened
+    # ids 1 and 2 collapse to the same text after whitespace collapse
+    assert m["n_input"] == 3 and m["n_after_dedup"] == 2
+    assert m["dedup_removed"] == 1
+    got = spark.read.parquet(out)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["shared body", "unique page zero"]
+
+    # failure protocol: impossible time limit -> failed dict
+    m = curate_web_corpus(spark, sf_small, out, warc_df=warc_df,
+                          time_limit=-1.0)
+    assert m["status"] == "failed"
