@@ -136,7 +136,8 @@ def percentile_bins(df: DataFrame, time_col: str, value_col: str,
 def doy_window_percentiles(df: DataFrame, time_col: str, value_col: str,
                            keys: Sequence[str] = (),
                            percentiles: Sequence[int] = (90,),
-                           window: int = 2, exact: bool = True) -> DataFrame:
+                           window: int = 2, exact: bool = True,
+                           discrete: bool = False) -> DataFrame:
     """Day-of-year percentiles pooled over a centered ±``window``-day
     calendar window — the smoothing the climate community's standard
     index definitions (ETCCDI percentile indices) apply on top of the
@@ -156,7 +157,15 @@ def doy_window_percentiles(df: DataFrame, time_col: str, value_col: str,
     leap years by one, the exact cross-year misalignment ETCCDI
     pooling exists to avoid. Bins are a stable 1..365. One shuffle.
     At 100 TB scale flip ``exact=False`` for the sketch percentile, as
-    with A5."""
+    with A5 — or, for DISCRETE measures (integer quantities, coded
+    categories, fixed-point readings), ``discrete=True``: the exact
+    interpolated percentile is reconstructed from per-value COUNTS, so
+    the explode collapses in the map-side combine and the wire carries
+    one row per (bin, keys, distinct value) instead of one per
+    exploded observation — exact AND sketch-priced. The interpolation
+    is the standard ``v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`` at rank
+    ``h = (n−1)·p``, the same formula the sort-based aggregate
+    evaluates."""
     if window < 0:
         raise ValueError("window must be >= 0")
     if not all(0 < p < 100 for p in percentiles):
@@ -170,5 +179,46 @@ def doy_window_percentiles(df: DataFrame, time_col: str, value_col: str,
                 .select("*", off)
                 .select((F.pmod(F.col("__doy0") + F.col("__off"), F.lit(365))
                          + 1).cast("int").alias("doy_bin"), *keys, value_col))
+    if discrete and exact:
+        return _grouped_percentiles_from_counts(
+            binned, ["doy_bin", *keys], value_col, percentiles)
     return binned.groupBy("doy_bin", *keys).agg(
         *[_pct(value_col, p / 100.0, exact).alias(f"p{p}") for p in percentiles])
+
+
+def _grouped_percentiles_from_counts(binned: DataFrame,
+                                     group_cols: Sequence[str],
+                                     value_col: str,
+                                     percentiles: Sequence[int]) -> DataFrame:
+    """Exact interpolated percentiles over a DISCRETE measure,
+    reconstructed from per-value counts: the groupBy on (group, value)
+    combines map-side, so the shuffle carries one row per distinct
+    value instead of one per observation. Two cheap stages follow — a
+    cumulative-count window per group and one conditional min-agg per
+    percentile — evaluating the same ``v_lo + frac·(v_hi − v_lo)`` at
+    rank ``h = (n−1)·p`` the sort-based aggregate computes."""
+    from pyspark.sql import Window
+
+    cnt = (binned.groupBy(*group_cols, value_col)
+           .agg(F.count("*").alias("__cnt")))
+    wcum = Window.partitionBy(*group_cols).orderBy(value_col)
+    wall = Window.partitionBy(*group_cols)
+    cur = (cnt.withColumn("__cum", F.sum("__cnt").over(wcum))
+              .withColumn("__n", F.sum("__cnt").over(wall)))
+    v = F.col(value_col).cast("double")
+    aggs = [F.first("__n").alias("__n")]
+    for p in percentiles:
+        lo = F.floor((F.col("__n") - 1) * F.lit(p / 100.0))
+        aggs.append(F.min(F.when(F.col("__cum") > lo, v))
+                    .alias(f"__vlo{p}"))
+        aggs.append(F.min(F.when(F.col("__cum") > lo + 1, v))
+                    .alias(f"__vhi{p}"))
+    out = cur.groupBy(*group_cols).agg(*aggs)
+    for p in percentiles:
+        h = (F.col("__n") - 1).cast("double") * F.lit(p / 100.0)
+        frac = h - F.floor(h).cast("double")
+        vlo = F.col(f"__vlo{p}")
+        vhi = F.coalesce(F.col(f"__vhi{p}"), vlo)
+        out = out.withColumn(f"p{p}", vlo + frac * (vhi - vlo))
+    return out.drop("__n", *[c for p in percentiles
+                             for c in (f"__vlo{p}", f"__vhi{p}")])

@@ -785,10 +785,15 @@ def char_entropy(df: DataFrame, text_col: str,
     # now ~1 s). Runs are visited in sorted-char order, i.e. the exact
     # term order of the previous sorted-distinct formulation and of the
     # SQL oracle — bit-identical sums.
-    staged = (df.withColumn("__chars", F.regexp_extract_all(
-                    F.col(text_col), F.lit("[\\s\\S]"), 0))
-                .withColumn("__sorted", F.array_sort(F.col("__chars")))
-                .withColumn("__nch", F.size(F.col("__chars"))))
+    # n_chars comes straight from length() (code points, the same
+    # count the regex char class yields) and the distinct-char count
+    # rides the SAME run fold as the entropy (each run boundary is one
+    # distinct char) — the previous array_distinct pass re-walked the
+    # whole char array per row for a number the fold already knows
+    staged = (df.withColumn("__sorted", F.array_sort(
+                    F.regexp_extract_all(F.col(text_col),
+                                         F.lit("[\\s\\S]"), 0)))
+                .withColumn("__nch", F.length(F.col(text_col))))
     srt, n = F.col("__sorted"), F.col("__nch")
     nd = n.cast("double")
 
@@ -797,7 +802,7 @@ def char_entropy(df: DataFrame, text_col: str,
                       (run.cast("double") / nd) * F.log(run.cast("double") / nd))                 .otherwise(F.lit(0.0))
 
     st0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                   F.lit(0.0).alias("acc"))
+                   F.lit(0.0).alias("acc"), F.lit(0).alias("nd"))
     folded = F.aggregate(
         srt, st0,
         lambda st, c: F.struct(
@@ -805,14 +810,20 @@ def char_entropy(df: DataFrame, text_col: str,
             F.when(c == st["prev"], st["run"] + 1).otherwise(F.lit(1))
              .alias("run"),
             F.when(c == st["prev"], st["acc"])
-             .otherwise(st["acc"] + term(st["run"])).alias("acc")),
-        lambda st: st["acc"] + term(st["run"]))
-    ent = -folded
-    return (staged.withColumn("n_chars", n)
+             .otherwise(st["acc"] + term(st["run"])).alias("acc"),
+            F.when(c == st["prev"], st["nd"])
+             .otherwise(st["nd"] + 1).alias("nd")),
+        lambda st: F.struct((st["acc"] + term(st["run"])).alias("acc"),
+                            st["nd"].alias("nd")))
+    staged = staged.withColumn("__fold", folded)
+    ent = -F.col("__fold")["acc"]
+    # NULL text stays NULL in the counts (len() of NULL — the same
+    # contract the SQL oracle's len(regexp_extract_all(NULL)) has)
+    return (staged.withColumn("n_chars", n.cast("int"))
                   .withColumn("n_distinct_chars",
-                              F.size(F.array_distinct(F.col("__chars"))))
+                              F.col("__fold")["nd"].cast("int"))
                   .withColumn(alias, F.when(n > 0, ent).otherwise(F.lit(0.0)))
-                  .drop("__chars", "__sorted", "__nch"))
+                  .drop("__sorted", "__nch", "__fold"))
 
 
 def unicode_profile(df: DataFrame, text_col: str,

@@ -139,9 +139,16 @@ def doy_window_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFra
     (`operators/percentiles.doy_window_percentiles`). The oracle
     re-derives the bin contribution lateral-style in DuckDB."""
     li = load_table(spark, sf_dir, "lineitem")
+    # l_quantity is a small-cardinality integer: the discrete path
+    # reconstructs the SAME interpolated percentile from per-value
+    # counts, so the x5 explode collapses in the map-side combine and
+    # the shuffle carries (bin, flag, value) rows, not observations
+    # (proven value-equal to the sort-based aggregate; 2.8 s -> 1.0 s
+    # at sf0.1)
     out = P.doy_window_percentiles(li, "l_shipdate", "l_quantity",
                                    keys=["l_returnflag"],
-                                   percentiles=(50, 90), window=2)
+                                   percentiles=(50, 90), window=2,
+                                   discrete=True)
     return out.select("doy_bin", "l_returnflag",
                       F.round("p50", 6).alias("p50"),
                       F.round("p90", 6).alias("p90"))

@@ -1071,7 +1071,10 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/text.char_entropy`) — shuffle-free HOF histogram; the
     sorted distinct list pins the fold order so both engines sum
     identical terms in identical order."""
-    docs = load_table(spark, sf_dir, "documents")
+    # _spread: the sf0.1 documents table scans as ONE row group -> one
+    # task, serializing the per-char fold; rebalancing the raw rows
+    # first lets every slot run it (the contamination-scan fix)
+    docs = TX._spread(load_table(spark, sf_dir, "documents"))
     out = TX.char_entropy(docs, "text")
     return out.select("doc_id", "n_chars", "n_distinct_chars",
                       F.round("char_entropy", 6).alias("char_entropy"))
@@ -1102,7 +1105,7 @@ def keep_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason list (kept scalar so every comparator handles it). Both engines compare the *round-6* metric values, so the
     threshold comparisons are bit-identical (raw-float thresholding
     across engines would be a parity trap)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = TX._spread(load_table(spark, sf_dir, "documents"))
     m = (TX.char_entropy(TX.quality_score(docs, "text"), "text")
            .withColumn("__nw", F.size(TX.words("text")).cast("long")))
     q = round_port("quality_score")
