@@ -339,14 +339,18 @@ def synthesize_gif(df: DataFrame, id_col: str, text_col: str,
 
 def synthesize_bmp(df: DataFrame, id_col: str, text_col: str,
                    rgb_every: int = 3,
-                   topdown_every: int = 2) -> DataFrame:
+                   topdown_every: int = 2,
+                   rle_every: int = 5) -> DataFrame:
     """Build REAL BMPs deterministically from text rows: 16×16 images,
     pixels = the cycled UTF-8 text bytes — every ``rgb_every``-th id a
     24-bit BGR DIB, the others 8-bit through a grayscale palette;
     every ``topdown_every``-th id stored TOP-DOWN (negative height),
     the rest bottom-up, so a reader with the row order wrong decodes
     wrong pixels (caught per pixel, not per mean, in tests; the mean
-    oracle stays orientation-invariant by construction)."""
+    oracle stays orientation-invariant by construction). Every
+    8-bit id with ``media_id % rle_every == 1`` is BI_RLE8-compressed
+    (encoded runs + absolute mode + escapes; bottom-up per spec) —
+    same pixels, so the RLE walk sits under the same oracle."""
     out_schema = MEDIA_SCHEMA
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -365,6 +369,8 @@ def synthesize_bmp(df: DataFrame, id_col: str, text_col: str,
                 return build_bmp(px, top_down=td)
             idx = np.resize(np.frombuffer(raw, np.uint8),
                             256).reshape(16, 16)
+            if rle_every > 0 and media_id % rle_every == 1:
+                return build_bmp(idx, palette=gray, rle=True)
             return build_bmp(idx, palette=gray, top_down=td)
 
         for pdf in batches:
@@ -391,7 +397,8 @@ def synthesize_tiff(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     - 0: RGB chunky, little-endian, uncompressed, one strip
     - 1: 8-bit gray, little-endian, LZW + horizontal Predictor 2,
-         4-row strips (real variable-width early-change streams)
+         TILED 16×16 (the GeoTIFF organization; real variable-width
+         early-change streams)
     - 2: 8-bit palette-color, PackBits, ColorMap entries ``v*257`` so
          the standard ``>>8`` expansion returns the byte exactly
     - 3: 16-bit gray, BIG-endian, Deflate — samples ``byte*257``, so
@@ -421,8 +428,11 @@ def synthesize_tiff(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 return build_tiff(px, photometric=2)
             g = np.resize(bts, 256).reshape(16, 16)
             if c == 1:
+                # TILED organization (the GeoTIFF default): same
+                # pixels, so the oracle is untouched while the tile
+                # walk + per-tile predictor sit under the same hash
                 return build_tiff(g, photometric=1, compression=5,
-                                  predictor=2, rows_per_strip=4)
+                                  predictor=2, tile_size=(16, 16))
             if c == 2:
                 return build_tiff(g, photometric=3, colormap=cmap,
                                   compression=32773)

@@ -301,9 +301,6 @@ def parse_tiff(data: bytes) -> dict:
             return default
         return tags[tag][1]
 
-    if T_TILE_W in tags or T_TILE_L in tags:
-        raise NotImplementedError("tiled TIFF not supported "
-                                  "(strip organization only)")
     w = val(T_WIDTH)[0]
     h = val(T_LENGTH)[0]
     spp = val(T_SPP, (1,))[0]
@@ -330,57 +327,94 @@ def parse_tiff(data: bytes) -> dict:
     if predictor not in (1, 2):
         raise NotImplementedError(f"predictor {predictor} not supported")
 
-    offsets = val(T_STRIP_OFF)
-    counts = val(T_STRIP_CNT)
-    rows_per_strip = val(T_ROWS_PER_STRIP, (h,))[0]
-    if len(offsets) != len(counts):
-        raise ValueError("StripOffsets/StripByteCounts length mismatch")
-    n_strips = -(-h // rows_per_strip)
-    if len(offsets) != n_strips:
-        raise ValueError(f"{len(offsets)} strips for {h} rows at "
-                         f"{rows_per_strip} rows/strip")
-
-    row_bytes = w * spp * (depth // 8)
-    chunks = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data):
-            raise ValueError("TIFF strip beyond payload")
-        strip_rows = min(rows_per_strip, h - si * rows_per_strip)
-        want = strip_rows * row_bytes
-        raw = data[off:off + cnt]
-        if comp == 1:
-            if len(raw) < want:
-                raise ValueError("TIFF uncompressed strip truncated")
-            raw = raw[:want]
-        elif comp == 5:
-            raw = lzw_decode(raw, want)
-        elif comp in (8, 32946):
-            raw = zlib.decompress(raw)
-            if len(raw) != want:
-                raise ValueError("TIFF deflate strip size mismatch")
-        elif comp == 32773:
-            raw = packbits_decode(raw, want)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {comp} not supported "
-                "(none/LZW/Deflate/PackBits only)")
-        chunks.append(raw)
-    flat = b"".join(chunks)
-
     dt = np.dtype(("<u2" if bo == "<" else ">u2") if depth == 16
                   else np.uint8)
-    px = np.frombuffer(flat, dt).reshape(h, w * spp if spp > 1 else w)
-    if spp > 1:
-        px = px.reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing: each sample stored as the delta from
-        # the same sample one pixel left; undo with a row-wise cumsum,
-        # wrapping in the sample's own modular arithmetic (axis 1 is
-        # the pixel axis for both (h, w) and chunky (h, w, 3))
-        px = np.cumsum(px, axis=1, dtype=np.int64).astype(
-            np.uint16 if depth == 16 else np.uint8)
+    out_dt = np.uint16 if depth == 16 else np.uint8
+
+    def decompress(raw: bytes, want: int) -> bytes:
+        if comp == 1:
+            if len(raw) < want:
+                raise ValueError("TIFF uncompressed chunk truncated")
+            return raw[:want]
+        if comp == 5:
+            return lzw_decode(raw, want)
+        if comp in (8, 32946):
+            out = zlib.decompress(raw)
+            if len(out) != want:
+                raise ValueError("TIFF deflate chunk size mismatch")
+            return out
+        if comp == 32773:
+            return packbits_decode(raw, want)
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported "
+            "(none/LZW/Deflate/PackBits only)")
+
+    def undiff(arr: np.ndarray) -> np.ndarray:
+        # horizontal differencing: each sample stored as the delta
+        # from the same sample one pixel left; undo with a row-wise
+        # cumsum, wrapping in the sample's own modular arithmetic
+        # (axis 1 is the pixel axis for (rows, cols) and chunky
+        # (rows, cols, spp) alike)
+        return np.cumsum(arr, axis=1, dtype=np.int64).astype(out_dt)
+
+    if T_TILE_W in tags or T_TILE_L in tags:
+        # tiled organization (the GeoTIFF default): fixed tw×th tiles
+        # in row-major tile order, each compressed independently and
+        # PADDED to the full tile size at the right/bottom edges; the
+        # predictor runs within each tile's own rows
+        tw = val(T_TILE_W)[0]
+        th = val(T_TILE_L)[0]
+        if tw % 16 or th % 16:
+            raise ValueError(f"TIFF tile size {tw}x{th} not a "
+                             "multiple of 16")
+        offsets = val(324)              # TileOffsets
+        counts = val(325)               # TileByteCounts
+        across = -(-w // tw)
+        down = -(-h // th)
+        if len(offsets) != across * down or len(counts) != len(offsets):
+            raise ValueError("TileOffsets count disagrees with the "
+                             "tile grid")
+        shape = (h, w, spp) if spp > 1 else (h, w)
+        px = np.zeros(shape, out_dt)
+        want = tw * th * spp * (depth // 8)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError("TIFF tile beyond payload")
+            raw = decompress(data[off:off + cnt], want)
+            tile = np.frombuffer(raw, dt).reshape(
+                (th, tw, spp) if spp > 1 else (th, tw))
+            tile = undiff(tile) if predictor == 2 \
+                else tile.astype(out_dt)
+            y0 = (ti // across) * th
+            x0 = (ti % across) * tw
+            ch = min(th, h - y0)
+            cw = min(tw, w - x0)
+            px[y0:y0 + ch, x0:x0 + cw] = tile[:ch, :cw]
     else:
-        px = px.astype(np.uint16 if depth == 16 else np.uint8)
+        offsets = val(T_STRIP_OFF)
+        counts = val(T_STRIP_CNT)
+        rows_per_strip = val(T_ROWS_PER_STRIP, (h,))[0]
+        if len(offsets) != len(counts):
+            raise ValueError("StripOffsets/StripByteCounts length "
+                             "mismatch")
+        n_strips = -(-h // rows_per_strip)
+        if len(offsets) != n_strips:
+            raise ValueError(f"{len(offsets)} strips for {h} rows at "
+                             f"{rows_per_strip} rows/strip")
+        row_bytes = w * spp * (depth // 8)
+        chunks = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError("TIFF strip beyond payload")
+            strip_rows = min(rows_per_strip, h - si * rows_per_strip)
+            chunks.append(decompress(data[off:off + cnt],
+                                     strip_rows * row_bytes))
+        flat = b"".join(chunks)
+        px = np.frombuffer(flat, dt).reshape(h, w * spp if spp > 1
+                                             else w)
+        if spp > 1:
+            px = px.reshape(h, w, spp)
+        px = undiff(px) if predictor == 2 else px.astype(out_dt)
 
     if photo == 0:
         # WhiteIsZero: invert to intensity so 0 is black everywhere
@@ -425,13 +459,17 @@ def _entry(bo: str, tag: int, typ: int, vals: tuple,
 def build_tiff(px: np.ndarray, photometric: int = 1,
                compression: int = 1, predictor: int = 1,
                big_endian: bool = False, rows_per_strip: int | None = None,
-               colormap: np.ndarray | None = None) -> bytes:
+               colormap: np.ndarray | None = None,
+               tile_size: tuple | None = None) -> bytes:
     """Assemble a spec-shaped classic TIFF from an (h, w) gray /
     palette-index grid (uint8 or uint16 for gray) or an (h, w, 3)
     uint8 RGB grid. ``photometric`` 0 stores the INVERTED samples so
     the decoded intensity equals the input (a decoder that ignores
     WhiteIsZero reads wrong pixels). ``colormap`` is an (n, 3) array
-    of 16-bit channel values for photometric 3."""
+    of 16-bit channel values for photometric 3. ``tile_size`` (tw,
+    th), multiples of 16, switches to the TILED organization (the
+    GeoTIFF default): row-major tiles, each compressed independently,
+    edge tiles zero-padded to the full tile size per spec."""
     px = np.asarray(px)
     bo = ">" if big_endian else "<"
     if photometric == 2:
@@ -454,9 +492,7 @@ def build_tiff(px: np.ndarray, photometric: int = 1,
     rows_per_strip = rows_per_strip or h
     sample_dt = np.dtype((bo + "u2") if depth == 16 else "u1")
 
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        band = px[y0:y0 + rows_per_strip]
+    def encode_chunk(band: np.ndarray) -> bytes:
         if predictor == 2:
             zshape = list(band.shape)
             zshape[1] = 1
@@ -465,23 +501,45 @@ def build_tiff(px: np.ndarray, photometric: int = 1,
             band = band.astype(np.uint16 if depth == 16 else np.uint8)
         raw = band.astype(sample_dt).tobytes()
         if compression == 1:
-            strips.append(raw)
-        elif compression == 5:
-            strips.append(lzw_encode(raw))
-        elif compression == 8:
-            strips.append(zlib.compress(raw, 6))
-        elif compression == 32773:
-            strips.append(packbits_encode(raw))
-        else:
-            raise ValueError(f"build_tiff compression {compression}")
+            return raw
+        if compression == 5:
+            return lzw_encode(raw)
+        if compression == 8:
+            return zlib.compress(raw, 6)
+        if compression == 32773:
+            return packbits_encode(raw)
+        raise ValueError(f"build_tiff compression {compression}")
+
+    if tile_size is not None:
+        tw, th = tile_size
+        if tw % 16 or th % 16:
+            raise ValueError("tile size must be a multiple of 16")
+        pad_h = -(-h // th) * th
+        pad_w = -(-w // tw) * tw
+        pshape = (pad_h, pad_w, spp) if spp > 1 else (pad_h, pad_w)
+        padded = np.zeros(pshape, px.dtype)
+        padded[:h, :w] = px
+        strips = [encode_chunk(padded[y0:y0 + th, x0:x0 + tw])
+                  for y0 in range(0, pad_h, th)
+                  for x0 in range(0, pad_w, tw)]
+    else:
+        strips = [encode_chunk(px[y0:y0 + rows_per_strip])
+                  for y0 in range(0, h, rows_per_strip)]
 
     tag_list = [
         (T_WIDTH, 3, (w,)), (T_LENGTH, 3, (h,)),
         (T_BPS, 3, (depth,) * spp), (T_COMP, 3, (compression,)),
         (T_PHOTO, 3, (photometric,)),
-        (T_SPP, 3, (spp,)), (T_ROWS_PER_STRIP, 3, (rows_per_strip,)),
+        (T_SPP, 3, (spp,)),
         (T_PLANAR, 3, (1,)),
     ]
+    if tile_size is not None:
+        tag_list += [(T_TILE_W, 3, (tile_size[0],)),
+                     (T_TILE_L, 3, (tile_size[1],))]
+        off_tag, cnt_tag = 324, 325
+    else:
+        tag_list.append((T_ROWS_PER_STRIP, 3, (rows_per_strip,)))
+        off_tag, cnt_tag = T_STRIP_OFF, T_STRIP_CNT
     if predictor != 1:
         tag_list.append((T_PREDICTOR, 3, (predictor,)))
     if photometric == 3:
@@ -490,20 +548,20 @@ def build_tiff(px: np.ndarray, photometric: int = 1,
                          tuple(int(v) for v in cm.T.reshape(-1))))
     n_strips = len(strips)
     # layout: header(8) IFD [entries + next-ptr] extras... strips...
-    n_entries = len(tag_list) + 2       # + StripOffsets, StripByteCounts
+    n_entries = len(tag_list) + 2       # + chunk offsets/byte-counts
     ifd_off = 8
     ifd_len = 2 + 12 * n_entries + 4
     base = ifd_off + ifd_len
 
-    # strip offsets depend on extras length: build extras in two passes
+    # chunk offsets depend on extras length: build extras in two passes
     def render(strip_base: int) -> tuple[bytes, list]:
         extra: list = []
         full = sorted(
             tag_list
-            + [(T_STRIP_OFF, 4, tuple(
+            + [(off_tag, 4, tuple(
                 strip_base + sum(len(s) for s in strips[:i])
                 for i in range(n_strips))),
-               (T_STRIP_CNT, 4, tuple(len(s) for s in strips))])
+               (cnt_tag, 4, tuple(len(s) for s in strips))])
         body = b"".join(_entry(bo, t, ty, v, extra, base)
                         for t, ty, v in full)
         return body, extra

@@ -1145,7 +1145,7 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIFF round trip through the full baseline support matrix, no
     external media libraries: documents render into genuine classic
     TIFFs across five residue classes — RGB uncompressed, gray
-    LZW+Predictor-2 in 4-row strips (real early-change variable-width
+    LZW+Predictor-2 TILED (real early-change variable-width
     streams), palette PackBits, 16-bit big-endian Deflate (samples
     byte*257, so the mean is exactly 257× the byte mean — a wrong
     byte order or sample width shifts it), and WhiteIsZero big-endian

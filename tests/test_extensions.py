@@ -927,15 +927,26 @@ def test_bmp_codec_roundtrip_and_loud_seams():
         np.testing.assert_array_equal(
             parse_bmp(build_bmp(idx, palette=pal, top_down=td)),
             pal[idx])
+    # BI_RLE8: runs, absolute mode, escapes — exact pixels back
+    for shape in ((11, 7), (16, 16), (9, 40)):
+        pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+        runs = rng.integers(0, 4, shape).astype(np.uint8)
+        np.testing.assert_array_equal(
+            parse_bmp(build_bmp(runs, palette=pal, rle=True)),
+            pal[runs])
+        lits = rng.integers(0, 256, shape).astype(np.uint8)
+        np.testing.assert_array_equal(
+            parse_bmp(build_bmp(lits, palette=pal, rle=True)),
+            pal[lits])
     with _pt.raises(ValueError, match="BM magic"):
         parse_bmp(b"XX" + bytes(60))
     good = build_bmp(np.zeros((4, 4, 3), np.uint8))
     with _pt.raises(ValueError, match="truncated"):
         parse_bmp(good[:30])
-    rle = bytearray(good)
-    st.pack_into("<I", rle, 30, 1)
+    rle4 = bytearray(good)
+    st.pack_into("<I", rle4, 30, 2)     # BI_RLE4 stays loud
     with _pt.raises(NotImplementedError, match="compressed"):
-        parse_bmp(bytes(rle))
+        parse_bmp(bytes(rle4))
 
 
 def test_gif_bmp_spark_dispatch_block_means(spark):
@@ -1031,6 +1042,22 @@ def test_tiff_codec_roundtrip_and_loud_seams():
         parse_tiff(build_tiff(big, photometric=1, compression=5,
                               predictor=2, rows_per_strip=10))["px"],
         big)
+    # TILED organization (GeoTIFF default): exact-fit grids, padded
+    # edges, per-tile predictor, every codec, RGB and 16-bit
+    for (th_, tw_), ts in [((32, 32), (16, 16)), ((40, 56), (16, 32)),
+                           ((33, 17), (16, 16))]:
+        g = rng.integers(0, 256, (th_, tw_), dtype=np.uint8)
+        for tkw in (dict(), dict(compression=5, predictor=2),
+                    dict(compression=32773, big_endian=True)):
+            np.testing.assert_array_equal(
+                parse_tiff(build_tiff(g, photometric=1, tile_size=ts,
+                                      **tkw))["px"], g)
+    trgb = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        parse_tiff(build_tiff(trgb, photometric=2, tile_size=(16, 16),
+                              compression=5, predictor=2))["px"], trgb)
+    with _pt.raises(ValueError, match="multiple of 16"):
+        build_tiff(gray, photometric=1, tile_size=(10, 16))
     # loud seams
     with _pt.raises(ValueError, match="byte order"):
         parse_tiff(b"XX" + bytes(20))
