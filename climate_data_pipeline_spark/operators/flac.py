@@ -542,7 +542,6 @@ def _write_subframe(w: _Writer, s: np.ndarray, bits: int,
         res = s[order:].copy()
         for j, c in enumerate(coefs):
             res -= c * s[order - 1 - j:len(s) - 1 - j]
-        res >>= 0
         _write_residuals(w, res, len(s), order, porder,
                          force_escape=True)
         return
