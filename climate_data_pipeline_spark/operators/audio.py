@@ -43,9 +43,12 @@ def alaw_to_linear(codes: np.ndarray) -> np.ndarray:
 
 def parse_wav(data: bytes) -> dict:
     """RIFF/WAVE → {sample_rate, n_channels, format, bits, samples}
-    with ``samples`` an (n_frames, channels) int32 grid. Formats: 1
-    (PCM, 8-bit unsigned centred / 16/24/32-bit signed LE), 6
-    (A-law), 7 (μ-law); anything else raises by tag."""
+    with ``samples`` an (n_frames, channels) int32 grid (float32 for
+    the IEEE-float format). Formats: 1 (PCM, 8-bit unsigned centred /
+    16/24/32-bit signed LE), 3 (IEEE float32), 6 (A-law), 7 (μ-law),
+    and 0xFFFE WAVE_FORMAT_EXTENSIBLE (the modern multichannel /
+    >16-bit container — the real format tag comes from the first two
+    bytes of the SubFormat GUID); anything else raises by tag."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
     pos = 12
@@ -60,6 +63,13 @@ def parse_wav(data: bytes) -> dict:
         if cid == b"fmt ":
             tag, nch, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
+            if tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: cbSize(2) validbits(2)
+                # channelmask(4) SubFormat GUID — whose first two
+                # bytes are the actual format tag
+                if len(body) < 26:
+                    raise ValueError("extensible fmt chunk truncated")
+                (tag,) = struct.unpack_from("<H", body, 24)
             fmt = (tag, nch, rate, bits)
         elif cid == b"data":
             raw = body
@@ -67,6 +77,15 @@ def parse_wav(data: bytes) -> dict:
     if fmt is None or raw is None:
         raise ValueError("WAV without fmt/data chunks")
     tag, nch, rate, bits = fmt
+    if tag == 3:
+        if bits != 32:
+            raise NotImplementedError(f"{bits}-bit IEEE-float WAV "
+                                      "(32-bit only)")
+        s = np.frombuffer(raw, "<f4").astype(np.float32)
+        n = len(s) - len(s) % nch
+        return {"sample_rate": rate, "n_channels": nch,
+                "format": "float32", "bits": bits,
+                "samples": s[:n].reshape(-1, nch)}
     if tag == 1:
         if bits == 8:
             s = np.frombuffer(raw, np.uint8).astype(np.int32) - 128
@@ -101,12 +120,22 @@ def parse_wav(data: bytes) -> dict:
             "bits": bits, "samples": s[:n].reshape(-1, nch)}
 
 
+_KSDATAFORMAT_SUFFIX = bytes((0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+                              0x80, 0x00, 0x00, 0xAA, 0x00, 0x38,
+                              0x9B, 0x71))
+
+
 def build_wav(raw: bytes, tag: int, nch: int, rate: int,
-              bits: int) -> bytes:
-    """RIFF/WAVE container around pre-encoded sample bytes."""
+              bits: int, extensible: bool = False) -> bytes:
+    """RIFF/WAVE container around pre-encoded sample bytes;
+    ``extensible`` wraps the tag in a WAVE_FORMAT_EXTENSIBLE header
+    (the real tag moves into the SubFormat GUID's first two bytes)."""
     block = nch * (bits // 8)
-    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * block,
-                      block, bits)
+    fmt = struct.pack("<HHIIHH", 0xFFFE if extensible else tag,
+                      nch, rate, rate * block, block, bits)
+    if extensible:
+        fmt += struct.pack("<HHI", 22, bits, 0) \
+            + struct.pack("<H", tag) + _KSDATAFORMAT_SUFFIX
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(raw)) + raw

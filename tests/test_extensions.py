@@ -1569,9 +1569,22 @@ def test_audio_formats_codec_and_g711():
         parse_wav(b"RIFFxxxxNOPE" + bytes(8))
     with _pt.raises(ValueError, match="FORM/AIFF"):
         parse_aiff(b"FORMxxxxNOPE" + bytes(8))
+    # WAVE_FORMAT_EXTENSIBLE: real tag rides the SubFormat GUID
+    m = parse_wav(build_wav(s16[:200].astype("<i2").tobytes(), 1, 2,
+                            48000, 16, extensible=True))
+    assert m["format"] == "pcm" and m["samples"].shape == (100, 2)
+    m = parse_wav(build_wav(codes.tobytes(), 7, 1, 8000, 8,
+                            extensible=True))
+    np.testing.assert_array_equal(m["samples"][:, 0],
+                                  ulaw_to_linear(codes))
+    # IEEE float32
+    f = (rng.random(60).astype(np.float32) - 0.5)
+    m = parse_wav(build_wav(f.tobytes(), 3, 1, 44100, 32))
+    assert m["format"] == "float32"
+    np.testing.assert_array_equal(m["samples"][:, 0], f)
     bad = bytearray(build_wav(codes.tobytes(), 7, 1, 8000, 8))
-    st.pack_into("<H", bad, 20, 3)      # IEEE-float tag
-    with _pt.raises(NotImplementedError, match="format tag 3"):
+    st.pack_into("<H", bad, 20, 2)      # ADPCM stays loud
+    with _pt.raises(NotImplementedError, match="format tag 2"):
         parse_wav(bytes(bad))
 
 
