@@ -80,6 +80,8 @@ def parse_mp3_meta(data: bytes) -> dict:
         ridx = (h >> 10) & 3
         padding = (h >> 9) & 1
         mode = (h >> 6) & 3
+        if bidx == 15:
+            raise ValueError("MP3 'bad' bitrate index 15")
         if version == 3:
             br, sr, spf = MP3_BITRATES[bidx], MP3_RATES[ridx], 1152
         elif version in (2, 0):

@@ -286,7 +286,15 @@ def exif_metadata(media_df: DataFrame, id_col: str = "media_id",
                             pdf[payload_col]):
                 meta = parse_jpeg_exif(bytes(p))
                 if meta is None:
-                    rows.append({"media_id": int(i)})
+                    # FULL null row: a batch of all-EXIF-less payloads
+                    # must still produce every schema column, or the
+                    # Arrow conversion dies on the missing names
+                    rows.append({
+                        "media_id": int(i), "byte_order": None,
+                        "orientation": None, "make": None,
+                        "model": None, "datetime": None, "iso": None,
+                        "exposure_s": None, "pixel_x": None,
+                        "pixel_y": None, "lat": None, "lon": None})
                     continue
                 exp = None
                 if meta["exposure_num"] is not None:

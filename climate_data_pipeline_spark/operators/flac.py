@@ -261,6 +261,19 @@ def _read_residuals(r: _Reader, block_size: int, order: int) -> np.ndarray:
             continue
         mask = (1 << param) - 1
         shift_base = 32 - param
+        if param > 25:
+            # the 32-bit window can't hold param + a 7-bit intra-byte
+            # offset: take the generic reader for these rare (legal,
+            # 32-bit-sample) parameters
+            r.pos = pos
+            for i in range(n):
+                q = r.read_unary()
+                u = (q << param) | r.read(param)
+                out[k] = (u >> 1) ^ -(u & 1)
+                k += 1
+            pos = r.pos
+            oj = bisect.bisect_left(ones, pos)
+            continue
         try:
             for i in range(n):
                 t = ones[oj]
@@ -597,7 +610,14 @@ def build_flac(samples: np.ndarray, sample_rate: int = 8000,
         else:
             w.write({"left_side": 8, "right_side": 9,
                      "mid_side": 10}[stereo], 4)
-        w.write(4, 3)                   # 16-bit samples
+        # sample-size code must agree with the width the subframes
+        # are actually written at (a hardcoded 16 desynced 8/24-bit
+        # builds against their own headers)
+        ss_codes = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+        if bits not in ss_codes:
+            raise ValueError(f"build_flac cannot code {bits}-bit "
+                             "samples in a frame header")
+        w.write(ss_codes[bits], 3)
         w.write(0, 1)
         _coded_number_write(w, fi)
         if bs <= 256:

@@ -199,7 +199,12 @@ def _grouped_percentiles_from_counts(binned: DataFrame,
     rank ``h = (n−1)·p`` the sort-based aggregate computes."""
     from pyspark.sql import Window
 
-    cnt = (binned.groupBy(*group_cols, value_col)
+    # NULL measures are ignored, matching the sort-based percentile
+    # aggregate (a group whose values are ALL null disappears here,
+    # where the sort path would emit it with null percentiles — don't
+    # use the discrete path when that distinction matters)
+    cnt = (binned.where(F.col(value_col).isNotNull())
+           .groupBy(*group_cols, value_col)
            .agg(F.count("*").alias("__cnt")))
     wcum = Window.partitionBy(*group_cols).orderBy(value_col)
     wall = Window.partitionBy(*group_cols)

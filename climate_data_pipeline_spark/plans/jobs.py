@@ -699,7 +699,9 @@ def curate_web_corpus(spark: SparkSession, sf_dir: str,
             docs_df=corpus)
         result["n_warc_records"] = n_records
         result["n_http_ok"] = n_http_ok
-        result.setdefault("steps", prog.steps + result.get("steps", []))
+        # curate_corpus always returns its own steps — PREPEND the
+        # crawl stages so the audit lists the whole pipeline
+        result["steps"] = prog.steps + result.get("steps", [])
         return result
     except Exception as exc:
         return _failed(exc, output_dir=output_dir, steps=prog.steps)

@@ -391,7 +391,11 @@ def grib2_long(payload_df, id_col: str = "msg_id",
                 for m in parse_grib2(bytes(payload)):
                     vals = m["values"]
                     nj, ni = vals.shape
-                    lat = m["la1"] - m["dlat"] * np.arange(nj)
+                    # parse_grib2 returns the grid north-first for
+                    # BOTH scan modes; the northern edge is la1 for
+                    # -y scans and la2 for +y scans — max() covers both
+                    north = max(m["la1"], m["la2"])
+                    lat = north - m["dlat"] * np.arange(nj)
                     lon = m["lo1"] + m["dlon"] * np.arange(ni)
                     latg, long_ = np.meshgrid(lat, lon, indexing="ij")
                     mask = ~np.isnan(vals)

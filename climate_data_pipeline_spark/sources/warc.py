@@ -35,7 +35,7 @@ _TAG_SCRIPT = re.compile(rb"<(script|style)\b[^>]*>.*?</\1\s*>",
                          re.IGNORECASE | re.DOTALL)
 _TAG_COMMENT = re.compile(rb"<!--.*?-->", re.DOTALL)
 _TAG_ANY = re.compile(rb"<[^>]*>")
-_ENTITY = re.compile(r"&(amp|lt|gt|quot|apos|#39|#x?[0-9a-fA-F]+);")
+_ENTITY = re.compile(r"&(amp|lt|gt|quot|apos|#[0-9]+|#[xX][0-9a-fA-F]+);")
 _WS = re.compile(r"[ \t\n\r\f\v]+")
 
 
@@ -56,9 +56,10 @@ def _entity_sub(m: re.Match) -> str:
         return '"'
     if e in ("apos", "#39"):
         return "'"
-    if e.startswith("#x") or e.startswith("#X"):
-        return chr(int(e[2:], 16))
-    return chr(int(e[1:]))
+    v = int(e[2:], 16) if e[1] in "xX" else int(e[1:])
+    if v > 0x10FFFF or 0xD800 <= v <= 0xDFFF:
+        return m.group(0)       # out-of-range wild entity: keep as-is
+    return chr(v)
 
 
 def html_text(html: bytes) -> str:
