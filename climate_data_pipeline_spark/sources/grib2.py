@@ -233,15 +233,24 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                 param: tuple = (0, 0), forecast_hours: int = 0,
                 bitmap: np.ndarray | None = None,
                 png_packed: bool = False,
-                discipline: int = 0) -> bytes:
+                discipline: int = 0,
+                scan_positive_y: bool = False) -> bytes:
     """Assemble one spec-shaped GRIB2 message from an (nj, ni) grid of
     PACKED integer values X (the stored field is
     ``(ref + X·2^binary_scale)/10^decimal_scale``). ``bitmap`` is an
     optional (nj, ni) bool grid of PRESENT cells — X then supplies
     only the present cells, row-major. ``png_packed`` emits data
     representation template 5.41 (values as an 8-bit grayscale PNG)
-    instead of 5.0 simple packing."""
+    instead of 5.0 simple packing. ``scan_positive_y`` stores the grid
+    south-to-north (scan mode 0x40): the SAME (nj, ni) input is still
+    interpreted north-first — rows are flipped on write and ``la1``
+    becomes the SOUTHERN edge, as real +y archives encode it."""
     vals = np.asarray(values, np.int64)
+    if scan_positive_y:
+        if bitmap is not None or png_packed:
+            raise ValueError("scan_positive_y supports plain "
+                             "simple-packed grids")
+        vals = vals[::-1]               # stored south-to-north
     nj, ni = (bitmap.shape if bitmap is not None else vals.shape)
     n_data = int(bitmap.sum()) if bitmap is not None \
         else int(vals.size)
@@ -255,8 +264,13 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
           + struct.pack(">HBBBBB", y, mo, dd, hh, mi, ss)
           + bytes([0, 1]))
 
-    # scan mode 0x00 runs north→south: la1 is the northern edge
-    la2 = la1 - dlat * (nj - 1)
+    # scan 0x00 runs north→south (la1 = northern edge); 0x40 runs
+    # south→north (caller's la1 still names the north edge — it moves
+    # to la2 and the southern edge becomes la1, the +y convention)
+    if scan_positive_y:
+        la1, la2 = la1 - dlat * (nj - 1), la1
+    else:
+        la2 = la1 - dlat * (nj - 1)
     lo2 = lo1 + dlon * (ni - 1)
     g = (bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
          + struct.pack(">H", 0)                      # template 3.0
@@ -270,7 +284,7 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
          + struct.pack(">I", round(lo2 * 1e6))
          + struct.pack(">I", round(dlon * 1e6))
          + struct.pack(">I", round(dlat * 1e6))
-         + bytes([0x00]))                            # scan +x, -y
+         + bytes([0x40 if scan_positive_y else 0x00]))
     s4 = (struct.pack(">H", 0) + struct.pack(">H", 0)
           + bytes([param[0], param[1], 0, 0, 0]) + struct.pack(">H", 0)
           + bytes([0, 1]) + struct.pack(">I", forecast_hours)

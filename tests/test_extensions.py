@@ -2906,3 +2906,26 @@ def test_synthesize_png_emits_interlaced_payloads(spark):
         ch = 3 if i % 3 == 0 else 1
         pxb = np.resize(np.frombuffer(text.encode(), np.uint8), 256 * ch)
         assert abs(got[i]["mean_value"] - float(pxb.mean())) < 1e-9, i
+
+
+def test_flac_rice_parameter_over_25_fallback():
+    """5-bit Rice parameters above 25 (legal for 32-bit samples)
+    overflow the fast path's 32-bit remainder window — they must take
+    the generic reader, not raise 'negative shift count'."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import flac as FL
+
+    vals = np.array([123456789, -987654321, 5, -6, 0, 77777777,
+                     -1, 2 ** 30], np.int64)
+    w = FL._Writer()
+    w.write(1, 2)                       # residual method 1: 5-bit params
+    w.write(0, 4)                       # partition order 0
+    param = 26
+    w.write(param, 5)
+    for v in FL._zigzag(vals).tolist():
+        w.write_unary(v >> param)
+        w.write(v, param)
+    r = FL._Reader(w.finish())
+    got = FL._read_residuals(r, len(vals), 0)
+    np.testing.assert_array_equal(got, vals)

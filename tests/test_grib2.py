@@ -137,3 +137,36 @@ def test_grib2_spark_synthesis_classes(spark):
         else:
             want = float(cells[::2].sum())
         assert vals[i]["sum(value)"] == want, i
+
+
+def test_grib2_positive_y_scan_georeferencing(spark):
+    """Scan mode 0x40 (south-to-north, common in real archives): the
+    decoded grid is normalized north-first AND grib2_long labels each
+    row with the latitude of the NORTHERN edge downward — the
+    regression the round-7 review caught (la1 is the southern edge
+    for +y scans)."""
+    import pandas as pd
+
+    from climate_data_pipeline_spark.sources.grib2 import grib2_long
+
+    rng = np.random.default_rng(48)
+    v = rng.integers(0, 256, (4, 3), dtype=np.int64)
+    down = build_grib2(v, la1=50.0)                      # scan 0x00
+    up = build_grib2(v, la1=50.0, scan_positive_y=True)  # scan 0x40
+    for blob in (down, up):
+        m = parse_grib2(blob)[0]
+        np.testing.assert_array_equal(m["values"], v.astype(float))
+    df = spark.createDataFrame(
+        pd.DataFrame({"msg_id": [0, 1],
+                      "payload": [bytearray(down), bytearray(up)]}))
+    rows = grib2_long(df).collect()
+    by_msg = {}
+    for r in rows:
+        by_msg.setdefault(r["msg_id"], []).append(r)
+    for mid in (0, 1):
+        got = {(round(r["lat"], 6), round(r["lon"], 6)): r["value"]
+               for r in by_msg[mid]}
+        for j in range(4):
+            for i in range(3):
+                assert got[(50.0 - 0.5 * j, 10.0 + 0.5 * i)] \
+                    == float(v[j, i]), (mid, j, i)
