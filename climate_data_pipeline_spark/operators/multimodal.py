@@ -4,12 +4,19 @@ decode / feature-extract / frame-sample operators over Arrow-batched
 ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition-parallel
-UDF shape, row-multiplying frame sampling — is real and tested. The
-actual codec step is STUBBED: the container has no image/audio libraries,
-so ``decode_media(..., real=True)`` raises ``NotImplementedError`` with a
-clear marker, and the default decoder is a deterministic fake (byte-level
-statistics standing in for pixels/samples). Swapping in PIL/librosa/ffmpeg
-changes only the inner function, not the distributed plan.
+UDF shape, row-multiplying frame sampling — is real and tested, and so
+are the CODECS: ``decode_media_real`` dispatches on magic bytes to the
+repo's own pure-python decoders (netpbm, PNG at every legal depth,
+baseline+progressive JPEG, GIF, BMP incl. RLE8, TIFF incl. tiles,
+WebP VP8L, WAV PCM/G.711/float/extensible, AIFF, FLAC, MJPEG-AVI,
+MP4), every one exercised against genuinely compressed payloads the
+synthesizers here emit and value-checked against SQL oracles. Formats
+whose codecs are out of dependency-free scope (lossy VP8, H.264,
+MP3/Vorbis MDCT audio, arithmetic-coded JPEG) raise a crisp
+per-payload error — or get metadata-only walkers (``mp4_info``,
+``operators/audio_meta``) where screening stats are the honest
+contract. ``decode_media`` (the byte-statistics fake) remains as the
+cheap plumbing-demo twin.
 """
 
 from __future__ import annotations

@@ -2929,3 +2929,41 @@ def test_flac_rice_parameter_over_25_fallback():
     r = FL._Reader(w.finish())
     got = FL._read_residuals(r, len(vals), 0)
     np.testing.assert_array_equal(got, vals)
+
+
+def test_flac_wasted_bits_subframes():
+    """Wasted-bits shifts (spec: subframes may drop k trailing zero
+    bits; samples are read at bits−k and shifted back): hand-built
+    CONSTANT and FIXED-0 subframes with k=2 decode to the shifted
+    values."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import flac as FL
+
+    # CONSTANT, 16-bit, wasted=2: value coded at 14 bits
+    w = FL._Writer()
+    w.write(0, 1)                       # pad
+    w.write(0, 6)                       # type CONSTANT
+    w.write(1, 1)                       # wasted-bits flag
+    w.write_unary(1)                    # k-1 = 1 -> k = 2
+    w.write(-1234 & 0x3FFF, 14)
+    r = FL._Reader(w.finish())
+    got = FL._read_subframe(r, 5, 16)
+    np.testing.assert_array_equal(got, np.full(5, -1234 << 2))
+
+    # FIXED order 0 (pure residuals), wasted=1
+    vals = np.array([7, -3, 0, 255], np.int64)
+    w = FL._Writer()
+    w.write(0, 1)
+    w.write(8, 6)                       # FIXED order 0
+    w.write(1, 1)
+    w.write_unary(0)                    # k = 1
+    w.write(0, 2)                       # rice method 0
+    w.write(0, 4)                       # partition order 0
+    w.write(4, 4)                       # rice param 4
+    for v in FL._zigzag(vals).tolist():
+        w.write_unary(v >> 4)
+        w.write(v, 4)
+    r = FL._Reader(w.finish())
+    got = FL._read_subframe(r, len(vals), 16)
+    np.testing.assert_array_equal(got, vals << 1)
