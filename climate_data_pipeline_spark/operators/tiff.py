@@ -246,6 +246,25 @@ def _read_ifd(data: bytes, bo: str) -> dict[int, tuple]:
     return read_ifd_at(data, bo, ifd_off)
 
 
+def _ifd_offsets(data: bytes, bo: str) -> list[int]:
+    """Walk the IFD chain (multi-page TIFFs link pages through the
+    next-IFD pointer after each entry table)."""
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    out = []
+    while off:
+        if off + 2 > len(data):
+            raise ValueError("TIFF IFD offset beyond payload")
+        out.append(off)
+        (n,) = struct.unpack_from(bo + "H", data, off)
+        nxt_at = off + 2 + 12 * n
+        if nxt_at + 4 > len(data):
+            raise ValueError("TIFF IFD chain truncated")
+        (off,) = struct.unpack_from(bo + "I", data, nxt_at)
+        if len(out) > 10000:
+            raise ValueError("TIFF IFD chain loops")
+    return out
+
+
 def read_ifd_at(data: bytes, bo: str, ifd_off: int) -> dict[int, tuple]:
     """Parse one IFD at an explicit offset — the first image IFD, or
     an EXIF/GPS sub-IFD reached through a pointer tag. Unknown field
@@ -283,6 +302,16 @@ def parse_tiff(data: bytes) -> dict:
     inverted so 0 is always black) or an (h, w, 3) RGB grid (palette
     expanded through the ColorMap, 16-bit entries scaled to the
     sample width by the standard >>8)."""
+    pages = parse_tiff_pages(data)
+    first = pages[0]
+    first["n_pages"] = len(pages)
+    return first
+
+
+def parse_tiff_pages(data: bytes) -> list[dict]:
+    """Decode EVERY page of a (possibly multi-page) TIFF — scanned
+    documents routinely chain pages through the next-IFD pointer, and
+    decoding only the first would silently lose data."""
     if data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF payload (missing II/MM byte order)")
     bo = "<" if data[:2] == b"II" else ">"
@@ -292,8 +321,11 @@ def parse_tiff(data: bytes) -> dict:
                                   "(classic TIFF only)")
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
-    tags = _read_ifd(data, bo)
+    return [_parse_page(data, bo, read_ifd_at(data, bo, off))
+            for off in _ifd_offsets(data, bo)]
 
+
+def _parse_page(data: bytes, bo: str, tags: dict) -> dict:
     def val(tag: int, default=None):
         if tag not in tags:
             if default is None:
@@ -470,8 +502,49 @@ def build_tiff(px: np.ndarray, photometric: int = 1,
     th), multiples of 16, switches to the TILED organization (the
     GeoTIFF default): row-major tiles, each compressed independently,
     edge tiles zero-padded to the full tile size per spec."""
-    px = np.asarray(px)
     bo = ">" if big_endian else "<"
+    head = (b"MM" if big_endian else b"II") + struct.pack(bo + "HI",
+                                                          42, 8)
+    return head + _page_block(px, photometric, compression, predictor,
+                              bo, rows_per_strip, colormap, tile_size,
+                              block_start=8, next_ptr=0)
+
+
+def build_tiff_multipage(grids: list, photometric: int = 1,
+                         compression: int = 1, predictor: int = 1,
+                         big_endian: bool = False,
+                         rows_per_strip: int | None = None,
+                         colormap: np.ndarray | None = None,
+                         tile_size: tuple | None = None) -> bytes:
+    """Multi-page TIFF (the scanned-document layout): one IFD chain,
+    each page an independent image block, linked through the next-IFD
+    pointers. Page options are shared; pages may differ in size."""
+    if not grids:
+        raise ValueError("build_tiff_multipage wants at least one page")
+    bo = ">" if big_endian else "<"
+    opts = (photometric, compression, predictor, bo, rows_per_strip,
+            colormap, tile_size)
+    # block lengths are position-independent: measure with a dummy
+    # start, then render each page at its real offset linking forward
+    lengths = [len(_page_block(g, *opts, block_start=8, next_ptr=0))
+               for g in grids]
+    starts = [8]
+    for ln in lengths[:-1]:
+        starts.append(starts[-1] + ln)
+    out = bytearray((b"MM" if big_endian else b"II")
+                    + struct.pack(bo + "HI", 42, 8))
+    for i, g in enumerate(grids):
+        nxt = starts[i + 1] if i + 1 < len(grids) else 0
+        out += _page_block(g, *opts, block_start=starts[i],
+                           next_ptr=nxt)
+    return bytes(out)
+
+
+def _page_block(px: np.ndarray, photometric: int, compression: int,
+                predictor: int, bo: str, rows_per_strip: int | None,
+                colormap: np.ndarray | None, tile_size: tuple | None,
+                block_start: int, next_ptr: int) -> bytes:
+    px = np.asarray(px)
     if photometric == 2:
         if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
             raise ValueError("RGB build_tiff wants (h, w, 3) uint8")
@@ -547,11 +620,12 @@ def build_tiff(px: np.ndarray, photometric: int = 1,
         tag_list.append((T_COLORMAP, 3,
                          tuple(int(v) for v in cm.T.reshape(-1))))
     n_strips = len(strips)
-    # layout: header(8) IFD [entries + next-ptr] extras... strips...
+    # block layout: IFD [entries + next-ptr] extras... chunks... —
+    # the BLOCK's length is position-independent, so a multi-page
+    # writer can measure pages with a dummy start and then place them
     n_entries = len(tag_list) + 2       # + chunk offsets/byte-counts
-    ifd_off = 8
     ifd_len = 2 + 12 * n_entries + 4
-    base = ifd_off + ifd_len
+    base = block_start + ifd_len
 
     # chunk offsets depend on extras length: build extras in two passes
     def render(strip_base: int) -> tuple[bytes, list]:
@@ -571,10 +645,8 @@ def build_tiff(px: np.ndarray, photometric: int = 1,
     body, extra = render(strip_base)
     assert sum(len(e) for e in extra) == sum(len(e) for e in probe)
     out = bytearray()
-    out += (b"MM" if big_endian else b"II")
-    out += struct.pack(bo + "HI", 42, ifd_off)
     out += struct.pack(bo + "H", n_entries) + body
-    out += struct.pack(bo + "I", 0)     # next-IFD pointer: none
+    out += struct.pack(bo + "I", next_ptr)
     out += b"".join(extra)
     out += b"".join(strips)
     return bytes(out)

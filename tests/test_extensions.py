@@ -2967,3 +2967,31 @@ def test_flac_wasted_bits_subframes():
     r = FL._Reader(w.finish())
     got = FL._read_subframe(r, len(vals), 16)
     np.testing.assert_array_equal(got, vals << 1)
+
+
+def test_tiff_multipage_chain():
+    """Multi-page TIFFs (the scanned-document layout) decode EVERY
+    page through the next-IFD chain — pages of different sizes, every
+    codec, tiled pages; parse_tiff reports n_pages on page one."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.tiff import (
+        build_tiff_multipage, parse_tiff, parse_tiff_pages)
+
+    rng = np.random.default_rng(79)
+    g1 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    g2 = rng.integers(0, 256, (24, 8), dtype=np.uint8)
+    g3 = rng.integers(0, 256, (5, 30), dtype=np.uint8)
+    for kw in (dict(), dict(compression=5, predictor=2),
+               dict(compression=8, big_endian=True)):
+        blob = build_tiff_multipage([g1, g2, g3], **kw)
+        pages = parse_tiff_pages(blob)
+        assert len(pages) == 3
+        for p, want in zip(pages, (g1, g2, g3)):
+            np.testing.assert_array_equal(p["px"], want)
+        assert parse_tiff(blob)["n_pages"] == 3
+    blob = build_tiff_multipage(
+        [g1, rng.integers(0, 256, (32, 48), np.uint8)],
+        compression=5, tile_size=(16, 16))
+    pages = parse_tiff_pages(blob)
+    assert len(pages) == 2 and pages[1]["px"].shape == (32, 48)
