@@ -2995,3 +2995,53 @@ def test_tiff_multipage_chain():
         compression=5, tile_size=(16, 16))
     pages = parse_tiff_pages(blob)
     assert len(pages) == 2 and pages[1]["px"].shape == (32, 48)
+
+
+def test_webp_max_symbol_preface_and_gif_local_palette():
+    """Two decoder paths no encoder here emits, pinned by hand-built
+    streams: the VP8L code-length MAX-SYMBOL preface (reads stop after
+    N code-length symbols, remaining lengths implicitly zero) and a
+    GIF frame carrying a LOCAL color table that overrides the global
+    one."""
+    import struct
+
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import webp as W
+    from climate_data_pipeline_spark.operators.gif import (lzw_encode,
+                                                           parse_gif)
+
+    bw = W._BitWriter()
+    bw.write(0, 1)              # full (non-simple) code
+    bw.write(0, 4)              # num_code_lengths = 4
+    for ln in (1, 0, 0, 1):     # CL lengths in kOrder: 17→1, 1→1
+        bw.write(ln, 3)
+    bw.write(1, 1)              # USE the max-symbol preface
+    bw.write(0, 3)              # length_nbits = 2
+    bw.write(0, 2)              # max_symbol = 2 CL reads
+    bw.write(0, 1)              # symbol 0 → length 1
+    bw.write(0, 1)              # symbol 1 → length 1
+    br = W._BitReader(bw.finish() + bytes(4))
+    h = W._read_code(br, 256)
+    assert h.table == {(1, 0): 0, (1, 1): 1}
+
+    w = ht = 4
+    idx = (np.arange(16, dtype=np.uint8) % 4).reshape(4, 4)
+    gct = np.zeros((4, 3), np.uint8)            # global: all black
+    lct = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30],
+                    [40, 40, 40]], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, ht, 0x80 | 1 | (1 << 4), 0, 0)
+    out += gct.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, ht, 0x80 | 1)
+    out += lct.tobytes()
+    out.append(2)
+    raster = lzw_encode(idx.reshape(-1), 2)
+    for i in range(0, len(raster), 255):
+        blk = raster[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)
+    out.append(0x3B)
+    meta = parse_gif(bytes(out))
+    np.testing.assert_array_equal(meta["frames"][0]["px"], lct[idx])
