@@ -81,6 +81,7 @@ HEADLINE = [
     "mm_decode_audio_formats",  # G.711 mu/A-law + AIFF + 24-bit PCM
     "mm_audio_container_meta",  # MP3/Ogg walks, zero decode
     "s_warc_extract",         # WARC walk + gzip members + HTML strip
+    "mm_decode_ico",          # favicon ICONDIR walk, largest-entry pick
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

@@ -660,6 +660,61 @@ def synthesize_audio_formats(df: DataFrame, id_col: str,
               .mapInPandas(_synth, schema=out_schema))
 
 
+def synthesize_ico(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build REAL ICO favicons deterministically from text rows,
+    through three residue classes of ``media_id % 3``:
+
+    - 0: one 16×16 8-bit DIB entry (gray palette, pixels = cycled
+         text bytes, doubled-height header + AND mask rows)
+    - 1: a 32×32 PNG entry (the modern large-size convention) PLUS a
+         16×16 DIB — the decoder must pick the LARGEST entry
+    - 2: one DIB whose AND mask marks every cell with byte % 5 == 0
+         transparent — alpha changes, the RGB mean must not
+
+    Every class is lossless, so a SQL oracle re-derives the largest
+    entry's mean from the text bytes."""
+    out_schema = MEDIA_SCHEMA
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .ico import build_ico
+
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, 1)
+
+        def ico(text: str, media_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8)
+            g16 = bts[np.arange(256) % len(bts)].reshape(16, 16)
+            c = media_id % 3
+            if c == 0:
+                return build_ico([{"kind": "dib", "idx": g16,
+                                   "palette": pal}])
+            if c == 1:
+                g32 = bts[np.arange(1024) % len(bts)].reshape(32, 32)
+                return build_ico([{"kind": "png", "px": g32},
+                                  {"kind": "dib", "idx": g16,
+                                   "palette": pal}])
+            return build_ico([{"kind": "dib", "idx": g16,
+                               "palette": pal,
+                               "mask": (g16 % 5 == 0)}])
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [ico(t, i) for t, i in
+                        zip(pdf[text_col].fillna(""), ids)]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": ["image/x-icon"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+            })
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_synth, schema=out_schema))
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
     """REAL codec path — pure-python decoders for every container the
     suite synthesizes (binary netpbm P5/P6 images; PNG with full
@@ -788,6 +843,16 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     "sample_rate": None, "n_samples": None,
                     "mean_value": float(px.astype(np.float64).mean())}
 
+        def decode_ico(p: bytes) -> dict:
+            from .ico import parse_ico
+            imgs = parse_ico(p)
+            big = max(imgs, key=lambda m: m["width"] * m["height"])
+            return {"kind": "image", "width": big["width"],
+                    "height": big["height"], "n_channels": 4,
+                    "sample_rate": None, "n_samples": len(imgs),
+                    "mean_value": float(big["px"][:, :, :3]
+                                        .astype(np.float64).mean())}
+
         def decode_webp(p: bytes) -> dict:
             from .webp import parse_webp
             meta = parse_webp(p)
@@ -863,6 +928,9 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                     metas.append(decode_gif(b))
                 elif b[:2] == b"BM":
                     metas.append(decode_bmp(b))
+                elif b[:4] in (b"\x00\x00\x01\x00",
+                               b"\x00\x00\x02\x00"):
+                    metas.append(decode_ico(b))
                 elif b[:4] in (b"II\x2a\x00", b"MM\x00\x2a",
                                b"II\x2b\x00", b"MM\x00\x2b"):
                     # classic TIFF both byte orders (BigTIFF magics

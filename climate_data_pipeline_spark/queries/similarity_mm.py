@@ -1443,6 +1443,56 @@ def multimodal_audio_container_meta(spark: SparkSession,
     return audio_container_meta(media)
 
 
+@query("mm_decode_ico", oracle="""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT media_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT media_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT media_id, media_id % 3 AS c,
+         CASE WHEN media_id % 3 = 1 THEN 1024 ELSE 256 END AS n
+  FROM b
+)
+SELECT m.media_id, 'image' AS kind,
+       CAST(CASE WHEN c = 1 THEN 32 ELSE 16 END AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS n_channels,
+       CAST(CASE WHEN c = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(range(n),
+            i -> bytes[CAST(i % len(bytes) AS INT) + 1]))
+            AS DOUBLE) / n AS mean_value
+FROM m JOIN b ON b.media_id = m.media_id
+""")
+def multimodal_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO (favicon) round trip — the one image container every web
+    crawl collects: documents render into real ICONDIRs across three
+    residue classes (a 16×16 8-bit DIB entry with the doubled-height
+    header + AND-mask rows; a 32×32 PNG entry PLUS a 16×16 DIB so the
+    decoder must pick the LARGEST; a DIB whose AND mask punches
+    byte%5==0 cells transparent — alpha changes, the RGB mean must
+    not) and decode back through ``operators/ico.py``, which reuses
+    the repo's PNG decoder for PNG entries. The oracle re-derives the
+    largest entry's mean from the text bytes; a wrong entry pick,
+    bottom-up row order, palette expansion or doubled-height split
+    shifts the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_ico(docs, "doc_id", "text")
+    return (MM.decode_media_real(media)
+              .select("media_id", "kind", "width", "n_channels",
+                      "n_samples", "mean_value"))
+
+
 @query("mm_video_frames_mp4", oracle="""
 WITH pay AS (
   SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx

@@ -3045,3 +3045,47 @@ def test_webp_max_symbol_preface_and_gif_local_palette():
     out.append(0x3B)
     meta = parse_gif(bytes(out))
     np.testing.assert_array_equal(meta["frames"][0]["px"], lct[idx])
+
+
+def test_ico_codec_and_spark_dispatch(spark):
+    """ICO build/parse: DIB entries with doubled-height headers and
+    AND masks, PNG entries, largest-entry selection in the dispatch;
+    malformed payloads raise."""
+    import numpy as np
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.operators.ico import (build_ico,
+                                                           parse_ico)
+    from climate_data_pipeline_spark.operators.multimodal import (
+        decode_media_real, synthesize_ico)
+
+    rng = np.random.default_rng(83)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, 1)
+    g16 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    g32 = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    mask = np.zeros((16, 16), bool)
+    mask[:2, :3] = True
+    imgs = parse_ico(build_ico([
+        {"kind": "dib", "idx": g16, "palette": pal, "mask": mask},
+        {"kind": "png", "px": g32}]))
+    assert [m["kind"] for m in imgs] == ["dib", "png"]
+    np.testing.assert_array_equal(imgs[0]["px"][:, :, 0], g16)
+    np.testing.assert_array_equal(imgs[0]["px"][:, :, 3] == 0, mask)
+    np.testing.assert_array_equal(imgs[1]["px"][:, :, 0], g32)
+    with _pt.raises(ValueError, match="ICONDIR"):
+        parse_ico(b"\x00\x01junk")
+
+    rows = [(i, f"ico payload {i} " * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["media_id"]: r for r in
+           decode_media_real(synthesize_ico(df, "doc_id", "text"))
+           .collect()}
+    for i, text in rows:
+        bts = np.frombuffer(text.encode(), np.uint8)
+        c = i % 3
+        n = 1024 if c == 1 else 256
+        want = float(bts[np.arange(n) % len(bts)].mean())
+        r = got[i]
+        assert abs(r["mean_value"] - want) < 1e-9, i
+        assert r["width"] == (32 if c == 1 else 16)
+        assert r["n_samples"] == (2 if c == 1 else 1)
