@@ -47,6 +47,10 @@ def parse_ico(data: bytes) -> list[dict]:
         if body[:8] == b"\x89PNG\r\n\x1a\n":
             px, ctype = png_pixels(body)
             h, w, ch = px.shape
+            if int(px.max(initial=0)) > 255:
+                # 16-bit PNG entries: assigning int32 samples into the
+                # uint8 RGBA grid would silently wrap modulo 256
+                raise NotImplementedError("16-bit PNG entry in ICO")
             rgba = np.zeros((h, w, 4), np.uint8)
             if ctype in (4, 6):          # alpha present
                 rgba[:, :, :3] = px[:, :, :ch - 1] if ch > 2 \
@@ -63,6 +67,8 @@ def parse_ico(data: bytes) -> list[dict]:
 
 
 def _parse_ico_dib(body: bytes) -> dict:
+    if len(body) < 40:
+        raise ValueError("ICO DIB header truncated")
     (hdr,) = struct.unpack_from("<I", body, 0)
     if hdr != 40:
         raise NotImplementedError(f"ICO DIB header size {hdr} "

@@ -838,9 +838,13 @@ def decode_media_real(df: DataFrame) -> DataFrame:
             meta = parse_tiff(p)
             px = meta["px"]
             ch = 1 if px.ndim == 2 else px.shape[2]
+            # n_samples carries the PAGE count (multi-page scans):
+            # page one's stats, the chain length reported — the same
+            # contract decode_ico uses for its entry count
             return {"kind": "image", "width": meta["width"],
                     "height": meta["height"], "n_channels": ch,
-                    "sample_rate": None, "n_samples": None,
+                    "sample_rate": None,
+                    "n_samples": int(meta["n_pages"]),
                     "mean_value": float(px.astype(np.float64).mean())}
 
         def decode_ico(p: bytes) -> dict:

@@ -302,10 +302,28 @@ def parse_tiff(data: bytes) -> dict:
     inverted so 0 is always black) or an (h, w, 3) RGB grid (palette
     expanded through the ColorMap, 16-bit entries scaled to the
     sample width by the standard >>8)."""
-    pages = parse_tiff_pages(data)
-    first = pages[0]
-    first["n_pages"] = len(pages)
+    if data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload (missing II/MM byte order)")
+    bo = "<" if data[:2] == b"II" else ">"
+    _check_magic(data, bo)
+    offs = _ifd_offsets(data, bo)
+    if not offs:
+        raise ValueError("TIFF with no IFDs (first-IFD offset is 0)")
+    # decode ONLY the first page (a 100-page scan shouldn't pay 100
+    # decompressions for one page's stats); the chain walk is a cheap
+    # metadata pass that still reports the page count
+    first = _parse_page(data, bo, read_ifd_at(data, bo, offs[0]))
+    first["n_pages"] = len(offs)
     return first
+
+
+def _check_magic(data: bytes, bo: str) -> None:
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic == 43:
+        raise NotImplementedError("BigTIFF (magic 43) not supported "
+                                  "(classic TIFF only)")
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
 
 
 def parse_tiff_pages(data: bytes) -> list[dict]:
@@ -315,14 +333,12 @@ def parse_tiff_pages(data: bytes) -> list[dict]:
     if data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF payload (missing II/MM byte order)")
     bo = "<" if data[:2] == b"II" else ">"
-    (magic,) = struct.unpack_from(bo + "H", data, 2)
-    if magic == 43:
-        raise NotImplementedError("BigTIFF (magic 43) not supported "
-                                  "(classic TIFF only)")
-    if magic != 42:
-        raise ValueError(f"bad TIFF magic {magic}")
+    _check_magic(data, bo)
+    offs = _ifd_offsets(data, bo)
+    if not offs:
+        raise ValueError("TIFF with no IFDs (first-IFD offset is 0)")
     return [_parse_page(data, bo, read_ifd_at(data, bo, off))
-            for off in _ifd_offsets(data, bo)]
+            for off in offs]
 
 
 def _parse_page(data: bytes, bo: str, tags: dict) -> dict:
@@ -524,19 +540,25 @@ def build_tiff_multipage(grids: list, photometric: int = 1,
     bo = ">" if big_endian else "<"
     opts = (photometric, compression, predictor, bo, rows_per_strip,
             colormap, tile_size)
-    # block lengths are position-independent: measure with a dummy
-    # start, then render each page at its real offset linking forward
+    # block lengths are position-independent ONLY between starts of
+    # equal parity (_entry's word-alignment pad depends on the
+    # absolute offset): measure at an EVEN dummy start and keep every
+    # real start even by padding odd blocks with one inert byte
     lengths = [len(_page_block(g, *opts, block_start=8, next_ptr=0))
                for g in grids]
     starts = [8]
     for ln in lengths[:-1]:
-        starts.append(starts[-1] + ln)
+        starts.append(starts[-1] + ln + (ln & 1))
     out = bytearray((b"MM" if big_endian else b"II")
                     + struct.pack(bo + "HI", 42, 8))
     for i, g in enumerate(grids):
         nxt = starts[i + 1] if i + 1 < len(grids) else 0
-        out += _page_block(g, *opts, block_start=starts[i],
-                           next_ptr=nxt)
+        block = _page_block(g, *opts, block_start=starts[i],
+                            next_ptr=nxt)
+        assert len(block) == lengths[i], "page block length drifted"
+        out += block
+        if len(block) & 1:
+            out += b"\x00"
     return bytes(out)
 
 

@@ -2995,6 +2995,19 @@ def test_tiff_multipage_chain():
         compression=5, tile_size=(16, 16))
     pages = parse_tiff_pages(blob)
     assert len(pages) == 2 and pages[1]["px"].shape == (32, 48)
+    # ODD-length page blocks: the word-alignment pad makes block
+    # length depend on start parity, so starts are kept even — a
+    # 5x3 first page with multi-strip followers corrupted the chain
+    # before the fix
+    g5 = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    blob = build_tiff_multipage([g5, g1, g1], rows_per_strip=2)
+    pages = parse_tiff_pages(blob)
+    assert len(pages) == 3
+    np.testing.assert_array_equal(pages[0]["px"], g5)
+    np.testing.assert_array_equal(pages[2]["px"], g1)
+    import pytest as _pt2
+    with _pt2.raises(ValueError, match="no IFDs"):
+        parse_tiff(b"II*\x00\x00\x00\x00\x00")
 
 
 def test_webp_max_symbol_preface_and_gif_local_palette():
