@@ -13,11 +13,15 @@ GRIB's sign-and-magnitude integer encoding, Ni/Nj, scan modes 0 and
 category/number, forecast time), section 5 data representation
 templates 5.0 (simple packing: IEEE reference value R, binary scale
 E, decimal scale D, any bits-per-value width — values are
-``(R + X·2^E)/10^D``) and 5.41 (PNG packing, decoded through this
+``(R + X·2^E)/10^D``), 5.2 (complex packing: NG groups, each with its
+own reference and bit width, group widths/lengths themselves
+bit-packed streams), 5.3 (complex packing with first- or second-order
+spatial differencing — the template operational ECMWF/NOAA NWP output
+overwhelmingly uses) and 5.41 (PNG packing, decoded through this
 repo's own ``operators/png.py``), section 6 bitmaps (indicator 0 =
 explicit bitmap, 255 = none), and section 7 bit-packed data. Other
-grid/product/representation templates (complex packing, JPEG 2000,
-spectral, Lambert/Gaussian grids) raise a crisp
+grid/product/representation templates (JPEG 2000, spectral,
+Lambert/Gaussian grids, missing-value management) raise a crisp
 ``NotImplementedError`` naming the template — the codec-family
 loud-seam convention: never silent wrong values.
 
@@ -81,6 +85,207 @@ def _pack_bits(values: np.ndarray, nbits: int) -> bytes:
     bits = ((vals[:, None] >> np.arange(nbits - 1, -1, -1)) & 1) \
         .astype(np.uint8).reshape(-1)
     return np.packbits(bits).tobytes()
+
+
+def _sm_bytes_enc(val: int, nbytes: int) -> bytes:
+    """Sign-and-magnitude big-endian integer in ``nbytes`` bytes (the
+    template-7.3 extra-descriptor encoding: top bit of the first byte
+    flags negative)."""
+    sign = val < 0
+    mag = -val if sign else val
+    if mag >> (8 * nbytes - 1):
+        raise ValueError(f"magnitude {mag} overflows {nbytes}-byte "
+                         "sign-magnitude field")
+    raw = mag | (1 << (8 * nbytes - 1)) if sign else mag
+    return raw.to_bytes(nbytes, "big")
+
+
+def _sm_bytes_dec(buf: bytes) -> int:
+    raw = int.from_bytes(buf, "big")
+    sign_bit = 1 << (8 * len(buf) - 1)
+    return -(raw & ~sign_bit) if raw & sign_bit else raw
+
+
+def _unpack_complex(s5: bytes, s7_body: bytes, n_data: int,
+                    nbits: int, dtemplate: int) -> np.ndarray:
+    """Decode data representation template 5.2 (complex packing) or
+    5.3 (complex packing + spatial differencing), data templates
+    7.2/7.3: NG groups, each a (reference, width, length) triple whose
+    three descriptor streams are themselves bit-packed (each padded to
+    a byte boundary), followed by one continuous value bitstream.
+    Returns the integer field X (spatial differences already
+    reconstructed for 5.3) — the caller applies ``(R + X·2^E)/10^D``.
+
+    Layout per the public WMO FM 92 templates; reconstruction order
+    matches the normative notes (first ``order`` values are carried
+    verbatim in the extra descriptors; every later packed value gets
+    the overall minimum added back before the running sum)."""
+    split = s5[21]
+    miss_mgmt = s5[22]
+    if split != 1:
+        raise NotImplementedError(
+            f"GRIB2 group-splitting method {split} (general group "
+            "splitting = 1 only)")
+    if miss_mgmt != 0:
+        raise NotImplementedError(
+            f"GRIB2 missing-value management {miss_mgmt} (explicit "
+            "bitmaps only; primary/secondary substitution "
+            "unsupported)")
+    (ng,) = struct.unpack_from(">I", s5, 31)
+    ref_gw = s5[35]
+    bits_gw = s5[36]
+    (ref_gl,) = struct.unpack_from(">I", s5, 37)
+    len_inc = s5[41]
+    (last_len,) = struct.unpack_from(">I", s5, 42)
+    bits_gl = s5[46]
+
+    pos = 0
+    order = 0
+    ival1 = ival2 = gmin = 0
+    if dtemplate == 3:
+        order = s5[47]
+        nb_extra = s5[48]
+        if order not in (1, 2):
+            raise NotImplementedError(
+                f"GRIB2 spatial differencing order {order} (1/2 only)")
+        if nb_extra == 0:
+            raise ValueError("GRIB2 template 5.3 with zero extra-"
+                             "descriptor octets")
+        ival1 = _sm_bytes_dec(s7_body[pos:pos + nb_extra])
+        pos += nb_extra
+        if order == 2:
+            ival2 = _sm_bytes_dec(s7_body[pos:pos + nb_extra])
+            pos += nb_extra
+        gmin = _sm_bytes_dec(s7_body[pos:pos + nb_extra])
+        pos += nb_extra
+
+    def take(width: int, count: int) -> np.ndarray:
+        nonlocal pos
+        nbytes = (width * count + 7) // 8
+        out = _unpack_bits(s7_body[pos:pos + nbytes], width, count)
+        pos += nbytes
+        return out
+
+    refs = take(nbits, ng)
+    widths = ref_gw + take(bits_gw, ng)
+    lengths = ref_gl + take(bits_gl, ng) * len_inc
+    if ng:
+        lengths[-1] = last_len
+    if int(lengths.sum()) != n_data:
+        raise ValueError("GRIB2 complex-packed group lengths disagree "
+                         "with the point count")
+
+    bit_budget = int((widths * lengths).sum())
+    if bit_budget > 8 * (len(s7_body) - pos):
+        raise ValueError("GRIB2 complex-packed value stream shorter "
+                         "than the group descriptors demand")
+    bits = np.unpackbits(np.frombuffer(s7_body[pos:], np.uint8),
+                         count=bit_budget)
+    x = np.empty(n_data, np.int64)
+    bo = vo = 0
+    for g in range(int(ng)):
+        w, ln, rf = int(widths[g]), int(lengths[g]), int(refs[g])
+        if w == 0:
+            x[vo:vo + ln] = rf
+        else:
+            weights = (1 << np.arange(w - 1, -1, -1)).astype(np.int64)
+            x[vo:vo + ln] = rf + (bits[bo:bo + w * ln]
+                                  .reshape(ln, w).astype(np.int64)
+                                  @ weights)
+        bo += w * ln
+        vo += ln
+
+    if dtemplate == 3:
+        x[order:] += gmin
+        x[0] = ival1
+        if order == 2:
+            x[1] = ival2
+            x[2:] = np.cumsum(np.cumsum(x[2:])
+                              + (ival2 - ival1)) + ival2
+        else:
+            x[1:] = np.cumsum(x[1:]) + ival1
+    return x
+
+
+def _pack_complex(flat: np.ndarray, group_size: int,
+                  spatial_diff_order: int = 0
+                  ) -> tuple[bytes, bytes, int]:
+    """Complex-pack ``flat`` (non-negative int64) into the template
+    5.2/5.3 section-5 tail and section-7 body. Returns
+    ``(s5_tail, s7_body, nbits_refs)`` where ``s5_tail`` is the
+    template bytes from octet 22 onward (group split method …) and
+    ``nbits_refs`` goes into octet 20. Groups are consecutive runs of
+    ``group_size`` points (general group splitting, method 1)."""
+    vals = np.asarray(flat, np.int64)
+    n = int(vals.size)
+    if n == 0:
+        raise ValueError("complex packing wants at least one value")
+    extra = b""
+    order = int(spatial_diff_order)
+    if order:
+        if order not in (1, 2):
+            raise ValueError("spatial differencing order must be 1/2")
+        if n <= order:
+            raise ValueError("field shorter than the differencing "
+                             "order")
+        ivals = [int(vals[k]) for k in range(order)]
+        d = vals.copy()
+        d[order:] = np.diff(vals, n=order)
+        gmin = int(d[order:].min())
+        d[order:] -= gmin
+        d[:order] = 0
+        mags = [abs(v) for v in ivals + [gmin]] + [1]
+        nb_extra = (max(mags).bit_length() + 1 + 7) // 8
+        extra = b"".join(_sm_bytes_enc(v, nb_extra)
+                         for v in ivals + [gmin])
+        vals = d
+
+    ng = (n + group_size - 1) // group_size
+    bounds = [(g * group_size, min((g + 1) * group_size, n))
+              for g in range(ng)]
+    refs = np.array([int(vals[a:b].min()) for a, b in bounds],
+                    np.int64)
+    widths = np.array(
+        [int(int(vals[a:b].max() - refs[g]).bit_length())
+         for g, (a, b) in enumerate(bounds)], np.int64)
+    lengths = np.array([b - a for a, b in bounds], np.int64)
+
+    nbits_refs = int(refs.max()).bit_length() if refs.size else 0
+    ref_gw = int(widths.min())
+    bits_gw = int((widths - ref_gw).max()).bit_length()
+    ref_gl = int(lengths.min())
+    bits_gl = int((lengths - ref_gl).max()).bit_length()
+
+    s5_tail = (bytes([1, 0])                      # split=1, no missing
+               + struct.pack(">I", 0) * 2         # missing substitutes
+               + struct.pack(">I", ng)
+               + bytes([ref_gw, bits_gw])
+               + struct.pack(">I", ref_gl)
+               + bytes([1])                       # length increment
+               + struct.pack(">I", int(lengths[-1]))
+               + bytes([bits_gl]))
+    if order:
+        s5_tail += bytes([order, len(extra) // (order + 1)])
+
+    body = (extra
+            + _pack_bits(refs, nbits_refs)
+            + _pack_bits(widths - ref_gw, bits_gw)
+            + _pack_bits((lengths - ref_gl), bits_gl))
+    stream = bytearray()
+    acc = bitn = 0
+    for g, (a, b) in enumerate(bounds):
+        w = int(widths[g])
+        if w == 0:
+            continue
+        for v in (vals[a:b] - refs[g]).tolist():
+            acc = (acc << w) | int(v)
+            bitn += w
+            while bitn >= 8:
+                bitn -= 8
+                stream.append((acc >> bitn) & 0xFF)
+    if bitn:
+        stream.append((acc << (8 - bitn)) & 0xFF)
+    return s5_tail, body + bytes(stream), nbits_refs
 
 
 def parse_grib2(data: bytes) -> list[dict]:
@@ -196,6 +401,8 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
     s7 = sec[7]
     if dtemplate == 0:
         x = _unpack_bits(s7[5:], nbits, n_data)
+    elif dtemplate in (2, 3):           # complex (+spatial diff)
+        x = _unpack_complex(s5, s7[5:], n_data, nbits, dtemplate)
     elif dtemplate == 41:               # PNG packing
         from ..operators.png import png_pixels
         px, _ctype = png_pixels(bytes(s7[5:]))
@@ -206,7 +413,8 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
     else:
         raise NotImplementedError(
             f"GRIB2 data representation template 5.{dtemplate} not "
-            "supported (5.0 simple / 5.41 PNG only)")
+            "supported (5.0 simple / 5.2 complex / 5.3 complex+"
+            "spatial-diff / 5.41 PNG only)")
     y = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
 
     values = np.full(ni * nj, np.nan)
@@ -233,6 +441,9 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                 param: tuple = (0, 0), forecast_hours: int = 0,
                 bitmap: np.ndarray | None = None,
                 png_packed: bool = False,
+                complex_packed: bool = False,
+                spatial_diff_order: int = 0,
+                group_size: int = 8,
                 discipline: int = 0,
                 scan_positive_y: bool = False) -> bytes:
     """Assemble one spec-shaped GRIB2 message from an (nj, ni) grid of
@@ -241,7 +452,12 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
     optional (nj, ni) bool grid of PRESENT cells — X then supplies
     only the present cells, row-major. ``png_packed`` emits data
     representation template 5.41 (values as an 8-bit grayscale PNG)
-    instead of 5.0 simple packing. ``scan_positive_y`` stores the grid
+    instead of 5.0 simple packing. ``complex_packed`` emits template
+    5.2 (general group splitting into runs of ``group_size`` points,
+    per-group reference + width); with ``spatial_diff_order`` 1 or 2
+    it emits template 5.3 (values differenced before grouping, first
+    value(s) and overall minimum carried as sign-magnitude extra
+    descriptors in section 7). ``scan_positive_y`` stores the grid
     south-to-north (scan mode 0x40): the SAME (nj, ni) input is still
     interpreted north-first — rows are flipped on write and ``la1``
     becomes the SOUTHERN edge, as real +y archives encode it."""
@@ -290,24 +506,34 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
           + bytes([0, 1]) + struct.pack(">I", forecast_hours)
           + bytes([1, 0]) + struct.pack(">I", 0)
           + bytes([255, 0]) + struct.pack(">I", 0))
+    if complex_packed and png_packed:
+        raise ValueError("pick one of complex_packed / png_packed")
+    s5_tail = b""
+    if complex_packed:
+        dtemplate = 3 if spatial_diff_order else 2
+        s5_tail, packed, nbits = _pack_complex(
+            flat, group_size, spatial_diff_order)
+    elif png_packed:
+        from ..operators.png import build_gray_png
+        if flat.size and (int(flat.max()) > 255 or int(flat.min()) < 0):
+            raise ValueError("PNG packing wants 8-bit values")
+        packed = build_gray_png(flat.astype(np.uint8).reshape(1, -1))
+        dtemplate = 41
+    else:
+        packed = _pack_bits(flat, nbits)
+        dtemplate = 0
     s5 = (struct.pack(">I", n_data)
-          + struct.pack(">H", 41 if png_packed else 0)
+          + struct.pack(">H", dtemplate)
           + struct.pack(">f", ref)
           + struct.pack(">H", _sm_enc(binary_scale, 16))
           + struct.pack(">H", _sm_enc(decimal_scale, 16))
-          + bytes([nbits, 0]))
+          + bytes([nbits, 0])
+          + s5_tail)
     if bitmap is not None:
         s6 = bytes([0]) + np.packbits(
             bitmap.reshape(-1).astype(np.uint8)).tobytes()
     else:
         s6 = bytes([255])
-    if png_packed:
-        from ..operators.png import build_gray_png
-        if flat.size and (int(flat.max()) > 255 or int(flat.min()) < 0):
-            raise ValueError("PNG packing wants 8-bit values")
-        packed = build_gray_png(flat.astype(np.uint8).reshape(1, -1))
-    else:
-        packed = _pack_bits(flat, nbits)
     s7 = packed
 
     body = (_section(1, s1) + _section(3, g) + _section(4, s4)
@@ -373,6 +599,66 @@ def synthesize_grib2(df, id_col: str, text_col: str):
                 return build_grib2(cells[::2], nbits=8,
                                    bitmap=bm.reshape(8, 8), la1=la1)
             return build_grib2(cells.reshape(8, 8), png_packed=True,
+                               la1=la1)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def synthesize_grib2_complex(df, id_col: str, text_col: str):
+    """Build REAL complex-packed GRIB2 messages deterministically from
+    text rows — the template-5.2/5.3 twin of ``synthesize_grib2``,
+    four residue classes of ``msg_id % 4``:
+
+    - 0: template 5.2 with a BITMAP (even cells present), group size 5
+         — groups, widths and the bitmap walk interact
+    - 1: template 5.2, values = 17·byte + 3 (wide group references),
+         group size 7 — 64 % 7 ≠ 0 exercises the true-last-length and
+         nonzero scaled-group-length paths
+    - 2: template 5.3 first-order spatial differencing, group size 8
+    - 3: template 5.3 SECOND-order differencing with reference 50 and
+         binary scale −1: decoded field = 50 + (byte>>1)·0.5 — exact
+         halves, order-independent sums
+
+    ``la1 = (msg_id % 121) − 60`` again covers both hemispheres."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)]
+            la1 = float((msg_id % 121) - 60)
+            c = msg_id % 4
+            if c == 0:
+                bm = np.zeros(64, bool)
+                bm[::2] = True
+                return build_grib2(cells[::2], bitmap=bm.reshape(8, 8),
+                                   complex_packed=True, group_size=5,
+                                   la1=la1)
+            if c == 1:
+                return build_grib2((cells * 17 + 3).reshape(8, 8),
+                                   complex_packed=True, group_size=7,
+                                   la1=la1)
+            if c == 2:
+                return build_grib2(cells.reshape(8, 8),
+                                   complex_packed=True,
+                                   spatial_diff_order=1, group_size=8,
+                                   la1=la1)
+            return build_grib2((cells >> 1).reshape(8, 8), ref=50.0,
+                               binary_scale=-1, complex_packed=True,
+                               spatial_diff_order=2, group_size=6,
                                la1=la1)
 
         for pdf in batches:

@@ -79,9 +79,111 @@ def test_grib2_multi_message_and_loud_seams():
     p = 16
     while tamper[p + 4] != 5:
         p += st.unpack_from(">I", tamper, p)[0]
-    tamper[p + 9:p + 11] = (2).to_bytes(2, "big")
-    with pytest.raises(NotImplementedError, match="5.2"):
+    tamper[p + 9:p + 11] = (40).to_bytes(2, "big")   # JPEG 2000
+    with pytest.raises(NotImplementedError, match="5.40"):
         parse_grib2(bytes(tamper))
+
+
+def test_grib2_complex_packing_roundtrip():
+    """Templates 5.2/5.3: per-group references and widths, uneven last
+    groups, zero-width constant groups, negative-going series (negative
+    overall minimum in the extra descriptors), scale application."""
+    rng = np.random.default_rng(49)
+    for trial in range(20):
+        nj, ni = int(rng.integers(2, 9)), int(rng.integers(2, 11))
+        v = rng.integers(0, 500, (nj, ni), dtype=np.int64)
+        gs = int(rng.integers(2, 14))
+        for order in (0, 1, 2):
+            m = parse_grib2(build_grib2(
+                v, complex_packed=True, spatial_diff_order=order,
+                group_size=gs))[0]
+            assert m["template"] == ("5.3" if order else "5.2")
+            np.testing.assert_array_equal(m["values"], v.astype(float))
+    # strictly decreasing field: every difference negative
+    z = np.array([900, 700, 520, 360, 220, 100, 40, 10],
+                 np.int64).reshape(2, 4)
+    for order in (1, 2):
+        got = parse_grib2(build_grib2(z, complex_packed=True,
+                                      spatial_diff_order=order,
+                                      group_size=3))[0]["values"]
+        np.testing.assert_array_equal(got, z.astype(float))
+    # constant field: all group widths zero
+    c = np.full((5, 5), 7, np.int64)
+    np.testing.assert_array_equal(
+        parse_grib2(build_grib2(c, complex_packed=True))[0]["values"],
+        c.astype(float))
+    # scaling composes with complex packing
+    v = rng.integers(0, 64, (4, 4), dtype=np.int64)
+    m = parse_grib2(build_grib2(v, ref=50.0, binary_scale=-1,
+                                complex_packed=True,
+                                spatial_diff_order=2, group_size=5))[0]
+    np.testing.assert_array_equal(m["values"], 50.0 + v * 0.5)
+
+
+def test_grib2_complex_packing_bitmap_and_seams():
+    rng = np.random.default_rng(50)
+    bm = np.zeros((6, 8), bool)
+    bm.reshape(-1)[1::3] = True
+    present = rng.integers(0, 300, int(bm.sum()), dtype=np.int64)
+    m = parse_grib2(build_grib2(present, bitmap=bm,
+                                complex_packed=True, group_size=5))[0]
+    vals = m["values"]
+    np.testing.assert_array_equal(vals[bm], present.astype(float))
+    assert np.isnan(vals[~bm]).all()
+    # loud seams: group-splitting method 0, missing-value management,
+    # spatial differencing order 3 — each named in the error
+    import struct as st
+    v = rng.integers(0, 256, (4, 4), dtype=np.int64)
+    blob = build_grib2(v, complex_packed=True)
+    p = 16
+    while blob[p + 4] != 5:
+        p += st.unpack_from(">I", blob, p)[0]
+    for off, val, pat in ((21, 0, "group-splitting"),
+                          (22, 1, "missing-value management")):
+        bad = bytearray(blob)
+        bad[p + off] = val
+        with pytest.raises(NotImplementedError, match=pat):
+            parse_grib2(bytes(bad))
+    blob3 = build_grib2(v, complex_packed=True, spatial_diff_order=1)
+    p = 16
+    while blob3[p + 4] != 5:
+        p += st.unpack_from(">I", blob3, p)[0]
+    bad = bytearray(blob3)
+    bad[p + 47] = 3
+    with pytest.raises(NotImplementedError, match="order 3"):
+        parse_grib2(bytes(bad))
+    with pytest.raises(ValueError, match="one of"):
+        build_grib2(v, complex_packed=True, png_packed=True)
+
+
+def test_grib2_complex_spark_synthesis_classes(spark):
+    """synthesize_grib2_complex → grib2_long: all four residue classes
+    decode to byte-derived values; bitmap class exposes 32 cells."""
+    from climate_data_pipeline_spark.sources.grib2 import \
+        synthesize_grib2_complex
+
+    rows = [(i, f"complex grib {i} " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    long = grib2_long(synthesize_grib2_complex(df, "doc_id", "text"))
+    meta = {r["msg_id"]: r for r in
+            long.groupBy("msg_id", "template").count().collect()}
+    vals = {r["msg_id"]: r for r in
+            long.groupBy("msg_id").sum("value").collect()}
+    for i, text in rows:
+        c = i % 4
+        assert meta[i]["template"] == ("5.3" if c >= 2 else "5.2")
+        assert meta[i]["count"] == (32 if c == 0 else 64)
+        bts = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+        cells = bts[np.arange(64) % len(bts)]
+        if c == 0:
+            want = float(cells[::2].sum())
+        elif c == 1:
+            want = float((cells * 17 + 3).sum())
+        elif c == 2:
+            want = float(cells.sum())
+        else:
+            want = float((50.0 + (cells >> 1) * 0.5).sum())
+        assert vals[i]["sum(value)"] == want, i
 
 
 def test_grib2_distributed_file_read(spark, tmp_path):
