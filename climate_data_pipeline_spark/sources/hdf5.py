@@ -17,8 +17,11 @@ Fixed Array, Extensible Array for appendable unlimited-dimension
 datasets, v2 B-tree), dense link AND attribute storage (fractal
 heap + name v2 B-trees), and compound datatypes (numpy structured
 arrays; one long-model variable per member). Features beyond that
-(szip, multi-level fractal heaps, array-valued compound members, ...)
-raise a crisp ``NotImplementedError`` naming the feature.
+(multi-level fractal heaps, array-valued compound members, nbit/
+scaleoffset filters, ...) raise a crisp ``NotImplementedError`` naming
+the feature. Szip (CCSDS 121.0 extended-Rice, the filter CMIP/ERA5
+archive files frequently carry) decodes for real through
+``sources/szip.py``.
 
 Reader semantics (the netCDF-4 data model):
 - dimension order per variable from the ``DIMENSION_LIST`` attribute
@@ -63,6 +66,7 @@ MSG_ATTR_INFO = 0x0015
 FILTER_DEFLATE = 1
 FILTER_SHUFFLE = 2
 FILTER_FLETCHER32 = 3
+FILTER_SZIP = 4
 
 
 class H5Unsupported(NotImplementedError):
@@ -842,15 +846,18 @@ class H5File:
         for i in reversed(range(len(filters))):
             if mask & (1 << i):
                 continue
-            fid, _vals = filters[i]
+            fid, vals = filters[i]
             if fid == FILTER_FLETCHER32:
                 raw = raw[:-4]
             elif fid == FILTER_DEFLATE:
                 raw = zlib.decompress(raw)
             elif fid == FILTER_SHUFFLE:
                 raw = _unshuffle(raw, typesize)
+            elif fid == FILTER_SZIP:
+                from .szip import h5_szip_decode
+                raw = h5_szip_decode(raw, vals)
             else:
-                names = {4: "szip", 5: "nbit", 6: "scaleoffset"}
+                names = {5: "nbit", 6: "scaleoffset"}
                 raise H5Unsupported(
                     f"HDF5 filter {fid} ({names.get(fid, 'unknown')}) "
                     "not supported; re-write with deflate/shuffle")
@@ -1562,13 +1569,16 @@ def _defilter_static(raw: bytes, filters, typesize: int,
     for i in reversed(range(len(filters))):
         if mask & (1 << i):
             continue
-        fid, _vals = filters[i]
+        fid, vals = filters[i]
         if fid == FILTER_FLETCHER32:
             raw = raw[:-4]
         elif fid == FILTER_DEFLATE:
             raw = zlib.decompress(raw)
         elif fid == FILTER_SHUFFLE:
             raw = _unshuffle(raw, typesize)
+        elif fid == FILTER_SZIP:
+            from .szip import h5_szip_decode
+            raw = h5_szip_decode(raw, vals)
         else:
             raise H5Unsupported(f"HDF5 filter {fid} not supported")
     return raw
@@ -1699,15 +1709,34 @@ class _Writer:
                 + b"\x00" * 4 + block)
 
 
+def _szip_client(dtype) -> tuple[int, int, int, int]:
+    """H5Zszip client data for the fixture writer: (options_mask,
+    bits_per_pixel, pixels_per_block, pixels_per_scanline) — EC+NN
+    preprocessing, LSB byte order (the writer normalizes arrays to
+    little-endian)."""
+    from .szip import EC_OPTION_MASK, LSB_OPTION_MASK, NN_OPTION_MASK
+    if dtype.itemsize not in (1, 2, 4) or dtype.kind not in "iu":
+        raise H5Unsupported(
+            f"szip fixture writer wants 1/2/4-byte integer dtypes, "
+            f"got {dtype}")
+    return (EC_OPTION_MASK | NN_OPTION_MASK | LSB_OPTION_MASK,
+            dtype.itemsize * 8, 16, 128)
+
+
 def write_hdf5(path: str, dims: dict[str, np.ndarray],
                variables: dict[str, tuple[list[str], np.ndarray, dict]],
                attrs: dict | None = None,
                chunks: dict[str, tuple[int, ...]] | None = None,
-               compress: bool = False) -> str:
+               compress: bool | str = False) -> str:
     """Write a netCDF-4-flavoured HDF5 file (v0 superblock profile):
     coordinate datasets carry CLASS=DIMENSION_SCALE/NAME, data variables
     carry DIMENSION_LIST object references; optional chunked layout with
-    shuffle+deflate. Readable by any HDF5 library and by `H5File`."""
+    shuffle+deflate (``compress=True``) or szip — CCSDS 121.0
+    extended-Rice through ``sources/szip.py``, the H5Zszip client-data
+    and 4-byte-header framing (``compress="szip"``, integer dtypes of
+    1/2/4 bytes). Readable by any HDF5 library (szip wants an
+    szlib/libaec-enabled build, as with any szip file) and by
+    `H5File`."""
     W = _Writer
     chunks = chunks or {}
     # each dims value: array OR (array, attrs) tuple (e.g. CF units)
@@ -1765,7 +1794,13 @@ def write_hdf5(path: str, dims: dict[str, np.ndarray],
                     + b"".join(struct.pack("<I", c) for c in ch) \
                     + struct.pack("<I", arr.dtype.itemsize)
                 msgs.append((MSG_LAYOUT, body))
-                if compress:
+                if compress == "szip":
+                    cli = _szip_client(arr.dtype)
+                    filt = bytes([1, 1]) + b"\x00" * 6
+                    filt += struct.pack("<HHHH", FILTER_SZIP, 0, 1, 4) \
+                        + struct.pack("<4i", *cli)
+                    msgs.append((MSG_FILTERS, filt))
+                elif compress:
                     filt = bytes([1, 2]) + b"\x00" * 6
                     filt += struct.pack("<HHHH", FILTER_SHUFFLE, 0, 0, 1) \
                         + struct.pack("<i", arr.dtype.itemsize) \
@@ -1827,7 +1862,10 @@ def write_hdf5(path: str, dims: dict[str, np.ndarray],
                 piece = arr[sel]
                 block[tuple(slice(0, p) for p in piece.shape)] = piece
                 raw = np.ascontiguousarray(block).tobytes()
-                if compress:
+                if compress == "szip":
+                    from .szip import h5_szip_encode
+                    raw = h5_szip_encode(raw, _szip_client(arr.dtype))
+                elif compress:
                     from .zarr2 import _shuffle
                     raw = zlib.compress(_shuffle(raw, arr.dtype.itemsize),
                                         4)
