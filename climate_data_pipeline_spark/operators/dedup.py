@@ -358,8 +358,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 .select("id_a", "id_b", "n_common", "jaccard"))
 
 
+def _components_single_task(p: DataFrame, u: str = "u",
+                            v: str = "v") -> DataFrame:
+    """Connected components with ALL edges in ONE executor task:
+    path-compressing union-find inside ``mapInPandas`` (never a driver
+    collect — the distributed contract holds, the kernel just runs on
+    one core). Labels are component minima, identical to the iterative
+    algorithms' output.
+
+    This is the small-graph arm of the adaptive clustering operators:
+    the near-dup pair list AFTER candidate generation is usually tiny
+    (quasi-cliques at J ≥ 0.5), and the iterative rounds then cost
+    pure per-job scheduling floor — the same size-based runtime choice
+    AQE makes between shuffle and broadcast joins. Callers gate it on
+    an edge count; above the gate the O(log n)-round algorithms run."""
+    import pandas as pd
+
+    id_type = p.schema[u].dataType.simpleString()
+
+    def _uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf[u], pdf[v]):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        ids = list(parent)
+        yield pd.DataFrame({"id": ids, "label": [find(x) for x in ids]})
+
+    return p.coalesce(1).mapInPandas(
+        _uf, schema=f"id {id_type}, label {id_type}")
+
+
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
-                       id_b: str = "id_b", max_rounds: int = 20) -> DataFrame:
+                       id_b: str = "id_b", max_rounds: int = 20,
+                       small_graph_edges: int = 0) -> DataFrame:
     """Connected components over a near-duplicate pair list → one row per
     member ``(id, cluster_id, is_canonical)`` where ``cluster_id`` is the
     minimum id reachable through pair edges (the canonical survivor).
@@ -377,6 +421,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     O(log n) large-star/small-star alternative only pays off on
     long-chain topologies that near-dup thresholds (J ≥ 0.5) cannot
     produce. ``max_rounds`` bounds the adversarial case.
+
+    ``small_graph_edges`` > 0 arms the adaptive fast path: if the
+    checkpointed edge list holds at most that many edges, components
+    run in one ``_components_single_task`` union-find job instead of
+    the round loop — the count costs one cheap job over in-memory
+    blocks and replaces 2-4 scheduling-floor rounds. 0 (default)
+    always runs the distributed rounds.
     """
     # duplicate edges don't affect a min-aggregation, so no distinct()
     # (saves a full shuffle of the edge list before the loop).
@@ -388,6 +439,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # branch before its blocks land in the block manager.
     p = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
               .localCheckpoint())
+    if small_graph_edges and p.count() <= small_graph_edges:
+        # lazy checkpoint: consumers that reference the labels twice
+        # (keep-best's semi-join + final join) run the kernel once
+        labels = _components_single_task(p).localCheckpoint(eager=False)
+        return labels.select(
+            F.col("id"), F.col("label").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_canonical"))
     # Self-loops fold each node's OWN label into the neighbor-min, so a
     # round is ONE join + ONE aggregation (min over Γ(u) ∪ {u}) — the
     # old labels-rejoin (+ its exchange and AQE scheduling round-trip)
@@ -455,7 +513,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
 
 def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                             id_b: str = "id_b",
-                            max_rounds: int = 50) -> DataFrame:
+                            max_rounds: int = 50,
+                            small_graph_edges: int = 0) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rewiring (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — same output contract as ``duplicate_clusters``:
@@ -479,11 +538,22 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     2-4 rounds still win (see ``duplicate_clusters`` docstring). Each
     half is one groupBy + one join on the current edge set; edges are
     ``localCheckpoint``ed per round so plan depth stays constant.
+
+    ``small_graph_edges`` > 0 arms the same adaptive single-task
+    union-find arm as ``duplicate_clusters`` — below the gate the
+    rewiring rounds are pure scheduling floor; above it the O(log n)
+    rounds run (see ``_components_single_task``).
     """
     edges = (pairs.select(F.least(id_a, id_b).alias("lo"),
                           F.greatest(id_a, id_b).alias("hi"))
                   .where(F.col("lo") != F.col("hi"))
                   .distinct().localCheckpoint())
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        labels = (_components_single_task(edges, "lo", "hi")
+                  .localCheckpoint(eager=False))
+        return labels.select(
+            F.col("id"), F.col("label").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_canonical"))
     nodes = (edges.select(F.col("lo").alias("id"))
                   .union(edges.select(F.col("hi").alias("id")))
                   .distinct())
@@ -809,7 +879,8 @@ def blocked_entity_clusters(df: DataFrame, id_col: str, name_col: str,
 
 
 def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
-                    min_len: int = 20) -> DataFrame:
+                    min_len: int = 20,
+                    combinable: bool = True) -> DataFrame:
     """EXACT duplicated-substring spans at ``min_len``-gram
     granularity — the primitive under suffix-array training-data dedup
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -824,16 +895,24 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     Spark-first shape (a distributed suffix array is the wrong tool on
     an engine with shuffles): positions explode MAP-SIDE (×len, no
     key), each gram keys on ``md5(substring)`` — uniform across
-    DISTINCT grams (hot keys still concentrate: a corpus-wide
-    boilerplate gram ships every occurrence to one window partition;
-    when viral grams are expected, pre-aggregate with a combinable
-    groupBy count and join back instead); duplicated positions are
-    flagged by a count window over the gram hash (one scan of the
-    dominant explode+md5 stage — the groupBy + semi-join-back
-    alternative reads it twice, see the inline note); interval merging
-    is the classic lag/cummax island walk INSIDE the per-document
-    window partitioning (one more shuffle on the id). Nothing is ever
-    corpus × corpus; every stage is linear in total characters."""
+    DISTINCT grams. Duplicated-position flagging has two shapes:
+
+    - ``combinable=True`` (default, the 100 TB path): pre-aggregate
+      ``groupBy(__h).count()`` — a COMBINABLE aggregate, so a viral
+      corpus-wide boilerplate gram collapses map-side to one row per
+      task before the shuffle — keep hashes with count > 1 and
+      semi-join the gram stream back on ``__h``. No single reducer
+      ever receives every occurrence of a hot gram; the cost is
+      reading the explode+md5 stage twice (the two exchange children
+      prune different columns, so ReuseExchange can't unify them).
+    - ``combinable=False``: a count window over the gram hash — one
+      scan of the dominant linear stage, but every occurrence of a
+      gram lands on one window partition; fine when no gram is viral.
+
+    Interval merging is the classic lag/cummax island walk INSIDE the
+    per-document window partitioning (one more shuffle on the id).
+    Nothing is ever corpus × corpus; every stage is linear in total
+    characters."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     grams = (_spread(df).select(F.col(id_col), norm.alias("__norm"))
                .where(F.length("__norm") >= min_len)
@@ -846,15 +925,17 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                        F.md5(F.expr(
                            f"substring(__norm, __p, {int(min_len)})"))
                        .alias("__h")))
-    # duplicated-position flagging via a count window over the gram
-    # hash — ONE shuffle on __h and ONE scan of the explode+md5 stage
-    # (a groupBy + semi-join back reads the dominant linear stage
-    # twice: the two exchange children prune different columns, so
-    # ReuseExchange can't unify them)
-    hits = (grams.withColumn(
-        "__n", F.count("*").over(Window.partitionBy("__h")))
-        .where(F.col("__n") > 1)
-        .select(id_col, "__p"))
+    if combinable:
+        dup_hashes = (grams.groupBy("__h")
+                      .agg(F.count("*").alias("__n"))
+                      .where(F.col("__n") > 1))
+        hits = (grams.join(dup_hashes.select("__h"), "__h", "left_semi")
+                .select(id_col, "__p"))
+    else:
+        hits = (grams.withColumn(
+            "__n", F.count("*").over(Window.partitionBy("__h")))
+            .where(F.col("__n") > 1)
+            .select(id_col, "__p"))
     w = Window.partitionBy(id_col).orderBy("__p")
     ends = F.col("__p") + (min_len - 1)
     # island when this gram does not overlap/extend the running span

@@ -947,9 +947,111 @@ def _bpe_truncate_batch(batch: list[tuple[str, str, int]],
     return batch
 
 
+def _bpe_apply_merges(vocab: DataFrame,
+                      merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply an ordered merge list to the vocabulary's ``symbols``
+    column with the standard left-to-right non-overlapping pass, one
+    Arrow kernel (the same pass the training loop applies per batch)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = list(merges)
+
+    def _apply(s: pd.Series) -> pd.Series:
+        out = []
+        for sym in s:
+            toks = sym.split(" ")
+            for a, b in pairs:
+                res, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                toks = res
+            out.append(" ".join(toks))
+        return pd.Series(out)
+
+    _apply.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return vocab.withColumn("symbols",
+                            pandas_udf(_apply, "string")(F.col("symbols")))
+
+
+def _bpe_single_task(vocab: DataFrame, n_merges: int) -> DataFrame:
+    """Exact sequential BPE over the whole frequency-weighted
+    vocabulary in ONE executor task (``mapInPandas`` after
+    ``coalesce(1)`` — never a driver collect): one merge at a time,
+    argmax by (count desc, pair asc), left-to-right non-overlapping
+    application, incremental pair-count maintenance via a pair→words
+    inverted index so each merge touches only the words containing it.
+    Returns ``(merge_rank, left, right)`` rows.
+
+    This is the small-vocabulary arm of the adaptive trainer — by
+    construction merge-for-merge identical to reference sequential BPE
+    (stronger than the batched rounds' equivalence argument). The
+    distributed rounds remain the path for vocabularies above the
+    caller's gate."""
+    import pandas as pd
+
+    def _kernel(batches):
+        from collections import defaultdict
+        words_ = []                       # [tokens list, freq]
+        for pdf in batches:
+            for sym, n in zip(pdf["symbols"], pdf["n"]):
+                toks = sym.split(" ")
+                if len(toks) >= 2:
+                    words_.append([toks, int(n)])
+        counts: dict = defaultdict(int)
+        where: dict = defaultdict(set)
+        for wi, (toks, n) in enumerate(words_):
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] += n
+                where[p].add(wi)
+        merges = []
+        for _ in range(n_merges):
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            a, b = best
+            merges.append(best)
+            for wi in list(where.get(best, ())):
+                toks, n = words_[wi]
+                for i in range(len(toks) - 1):
+                    p = (toks[i], toks[i + 1])
+                    counts[p] -= n
+                    if counts[p] <= 0:
+                        counts.pop(p, None)
+                    where[p].discard(wi)
+                res, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                words_[wi][0] = res
+                for i in range(len(res) - 1):
+                    p = (res[i], res[i + 1])
+                    counts[p] += n
+                    where[p].add(wi)
+        yield pd.DataFrame(
+            {"merge_rank": range(1, len(merges) + 1),
+             "left": [a for a, _ in merges],
+             "right": [b for _, b in merges]})
+
+    return vocab.select("symbols", "n").coalesce(1).mapInPandas(
+        _kernel, schema="merge_rank long, left string, right string")
+
+
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 20,
               checkpoint_every: int = 8, batch_limit: int = 256,
-              mode: str = "exact",
+              mode: str = "exact", small_vocab_words: int = 0,
               stats: dict | None = None) -> tuple[list[tuple[str, str]],
                                                   DataFrame]:
     """Distributed BPE tokenizer training — the full iterative loop, not
@@ -1004,7 +1106,14 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 20,
     ≈ n_merges / |top| rather than per-chain-link; the merge ORDER is
     then approximate (vocabularies are equivalent in practice, and the
     token-coverage property holds by construction), so ``fast`` is not
-    the oracle path."""
+    the oracle path.
+
+    ``small_vocab_words`` > 0 arms the adaptive single-task arm: when
+    the checkpointed vocabulary holds at most that many words, the
+    whole training runs as ONE exact sequential BPE inside a single
+    executor task (``_bpe_single_task``) — merge-for-merge identical
+    to the reference algorithm, one job instead of 2 per round. 0
+    (default) always runs the distributed rounds."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -1013,6 +1122,19 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 20,
                .withColumn("symbols",
                            F.array_join(F.split("word", ""), " "))
                .localCheckpoint())
+
+    if small_vocab_words and vocab.count() <= small_vocab_words:
+        # adaptive single-task arm: exact sequential BPE in one job
+        # (see _bpe_single_task) — the batched rounds below are pure
+        # scheduling floor when the vocabulary fits one task
+        rows = _bpe_single_task(vocab, n_merges) \
+            .orderBy("merge_rank").collect()
+        merges = [(r["left"], r["right"]) for r in rows]
+        if stats is not None:
+            stats["rounds"] = 1
+            stats["merges_per_round"] = [len(merges)]
+        final = _bpe_apply_merges(vocab, merges)
+        return merges, final
 
     # live symbol set, maintained driver-side for the string-coincidence
     # check in the batch truncation (initial alphabet + merged tokens)

@@ -728,11 +728,15 @@ def dedup_clusters_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     (``operators/dedup.duplicate_clusters_star``) — the variant that stays
     fast on long-chain pair graphs where label propagation's round count
     is the graph diameter. Checked against the same reachability-closure
-    oracle, so both algorithms are proven to produce identical clusters."""
+    oracle, so both algorithms are proven to produce identical clusters.
+    The adaptive small-graph gate is armed (near-dup pair lists at
+    J ≥ 0.5 are quasi-clique-tiny, where the rewiring rounds are pure
+    scheduling floor); the star rounds themselves stay pinned by the
+    long-chain/topology unit tests in test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
                                   n=3, min_jaccard=0.5)
-    return D.duplicate_clusters_star(pairs)
+    return D.duplicate_clusters_star(pairs, small_graph_edges=2_000_000)
 
 
 @query("dedup_ngram_jaccard_dfcap", oracle=f"""
@@ -798,20 +802,21 @@ def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
                                   n=3, min_jaccard=0.5)
-    members = D.duplicate_clusters(pairs).select("id", "cluster_id")
+    members = (D.duplicate_clusters(pairs, small_graph_edges=2_000_000)
+               .select("id", "cluster_id"))
     # score only CLUSTER MEMBERS: the quality pass (regex + stopword
     # scans over full text) is the expensive projection, and only docs
     # that have a duplicate need ranking — the semi join runs before
     # the scoring so the corpus-minus-duplicates majority never pays it
     member_docs = docs.join(
-        members.select(F.col("id").alias("doc_id")), "doc_id",
-        "left_semi")
+        F.broadcast(members.select(F.col("id").alias("doc_id"))),
+        "doc_id", "left_semi")
     quality = (TX.quality_score(member_docs, "text")
                .select(F.col("doc_id").alias("id"),
                        round_port("quality_score").alias("quality")))
     key = (F.round((F.lit(1.0) - F.col("quality")) * 1_000_000)
             .cast("long") * F.lit(1 << 42) + F.col("id"))
-    return (members.join(quality, "id")
+    return (F.broadcast(members).join(quality, "id")
             .groupBy("cluster_id")
             .agg(F.count("*").alias("n_members"),
                  F.min(key).alias("__k"))
@@ -1353,9 +1358,13 @@ def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 merge rounds over the frequency-weighted vocabulary; returns the
     ordered merge table. One bounded-explode aggregation plus a
     one-row driver scalar per round — the iterative-operator contract
-    of `duplicate_clusters`."""
+    of `duplicate_clusters`. The adaptive single-task arm is armed
+    (the corpus vocabulary fits one task, where per-round scheduling
+    floor dominates); the batched distributed rounds stay pinned
+    merge-for-merge by test_bpe_train_matches_reference_impl."""
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = TX.bpe_train(docs, "text", n_merges=12)
+    merges, _ = TX.bpe_train(docs, "text", n_merges=12,
+                             small_vocab_words=1_000_000)
     rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "merge_rank long, left string, right string, merged string")

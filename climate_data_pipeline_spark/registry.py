@@ -72,15 +72,19 @@ def query(name: str, oracle: str | None = None):
 # follows in registration order, so ~35 of the long-standing names stay
 # in the sample for round-over-round continuity. Refresh each round.
 DRIVER_ROTATION = [
-    # NEW this round — give the driver direct eyes on every fresh
-    # codec/source family
-    "mm_decode_tiff", "mm_decode_webp", "mm_decode_flac",
-    "s_grib2_ingest", "mm_exif_metadata", "mm_decode_audio_formats",
-    "mm_audio_container_meta", "s_warc_extract",
-    "mm_decode_gif", "mm_decode_bmp", "mm_video_frames_mp4",
-    # changed earlier in the round (sample-bounded evaluators)
-    "dedup_semantic_eval", "dedup_minhash_eval", "text_winnow_overlap",
-    "dedup_clusters",
+    # NEW/CHANGED this round — complex-packed GRIB2, the adaptive
+    # small-graph clustering arm, the combinable duplicate-spans
+    # flagging, the single-task BPE arm
+    "s_grib2_complex_ingest", "dedup_clusters_star", "dedup_keep_best",
+    "text_bpe_train", "text_duplicate_spans", "dedup_clusters",
+    # never driver-sampled families (behavioral / tsmodel / interval /
+    # spatial / incremental) — rotate them in front of the 50-name cut
+    "sessionization", "hopping_window", "rolling_time_range",
+    "spell_summary_users", "ts_changepoint_cusum",
+    "forecast_baseline_eval", "harmonic_seasonal_fit",
+    "seasonal_decompose", "acf_lag_autocorr", "sim_knn_graph",
+    "etccdi_rx5day", "er_customer_clusters", "incremental_cdc_refresh",
+    "spatial_bilinear_regrid", "text_gopher_rules",
 ]
 
 

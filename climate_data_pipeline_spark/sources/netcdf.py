@@ -321,18 +321,42 @@ def long_to_hdf5(df: DataFrame, path: str,
         attrs=attrs or {}, chunks=chunks, compress=compress)
 
 
+# Single-file export is inherently driver-side; fail LOUDLY above this
+# rather than letting `.toPandas()` OOM the driver raw (the serving
+# layer's MAX_POINTS pattern, serving.py:85). Large results belong in
+# the distributed parquet/zarr sinks.
+MAX_EXPORT_BYTES = 4 << 30
+
+
 def _long_to_grid(df: DataFrame, dim_cols: Sequence[str],
-                  var_cols: Sequence[str] | None):
+                  var_cols: Sequence[str] | None,
+                  max_bytes: int = MAX_EXPORT_BYTES):
     """Collect long rows and densify to coordinate vectors + N-D arrays
     (shared by the NetCDF and Zarr exporters). Returns
     (``{dim: (attrs, values)}``, ``{var: (dims, array, attrs)}``); a
-    datetime64 dimension is CF-encoded as 'hours since <min>'."""
+    datetime64 dimension is CF-encoded as 'hours since <min>'.
+
+    Estimates the collected size (rows × schema bytes/row) FIRST and
+    raises above ``max_bytes`` — a single-file export is driver-side
+    by contract (see module docstring), so an oversized one must fail
+    with a named limit, not an opaque driver OOM."""
     import pandas as pd
+
+    from .io import estimate_row_bytes
 
     dim_cols = list(dim_cols)
     if var_cols is None:
         var_cols = [c for c in df.columns if c not in dim_cols]
-    pdf = df.select(*dim_cols, *var_cols).toPandas()
+    proj = df.select(*dim_cols, *var_cols)
+    n_rows = proj.count()
+    est = n_rows * estimate_row_bytes(proj)
+    if est > max_bytes:
+        raise ValueError(
+            f"single-file export would collect ~{est / 2**30:.1f} GiB "
+            f"({n_rows:,} rows) to the driver, above the "
+            f"{max_bytes / 2**30:.1f} GiB cap — write the distributed "
+            "parquet/zarr sinks instead, or export a slice")
+    pdf = proj.toPandas()
 
     raw: dict[str, np.ndarray] = {}
     for d in dim_cols:

@@ -246,24 +246,16 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str,
                     "view_id", "click_id", "view_ts", "click_ts"))
 
 
-def streaming_running_zscore_tws(spark: SparkSession, sf_dir: str,
-                                 min_history: int = 5) -> DataFrame:
-    """The same per-user running anomaly detector as
-    `streaming_running_zscore`, on the `transformWithStateInPandas`
-    API (StatefulProcessor + typed ValueState): the arbitrary-state
-    successor to `applyInPandasWithState`, with composable named state
-    variables and timers. Requires the RocksDB state-store provider
-    (`spark.sql.streaming.stateStore.providerClass`) and the
-    ``protobuf`` package (the state-server protocol); the equivalence
-    test auto-skips where protobuf isn't installed."""
+def make_zscore_detector(min_history: int = 5):
+    """StatefulProcessor class for the per-user running z-score — a
+    module-level factory so the kernel is unit-drivable with a stub
+    handle where the protobuf state-server transport isn't installed
+    (the parity test runs the LOGIC everywhere; the transport itself
+    exercises only on protobuf-equipped hosts)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-
-    ev = _read_events_stream(spark, sf_dir)
-    out_schema = ("user_id long, event_id long, value double, "
-                  "history_n long, zscore double")
 
     class Detector(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -302,6 +294,25 @@ def streaming_running_zscore_tws(spark: SparkSession, sf_dir: str,
         def close(self) -> None:
             pass
 
+    return Detector
+
+
+def streaming_running_zscore_tws(spark: SparkSession, sf_dir: str,
+                                 min_history: int = 5) -> DataFrame:
+    """The same per-user running anomaly detector as
+    `streaming_running_zscore`, on the `transformWithStateInPandas`
+    API (StatefulProcessor + typed ValueState): the arbitrary-state
+    successor to `applyInPandasWithState`, with composable named state
+    variables and timers. Plan construction works anywhere; EXECUTION
+    requires the RocksDB state-store provider
+    (`spark.sql.streaming.stateStore.providerClass`) and the
+    ``protobuf`` package (the state-server protocol). The kernel class
+    comes from `make_zscore_detector`, so the parity test drives the
+    same logic with a stub handle where protobuf is absent."""
+    ev = _read_events_stream(spark, sf_dir)
+    out_schema = ("user_id long, event_id long, value double, "
+                  "history_n long, zscore double")
+    Detector = make_zscore_detector(min_history)
     return (ev.groupBy("user_id")
               .transformWithStateInPandas(statefulProcessor=Detector(),
                                           outputStructType=out_schema,

@@ -275,6 +275,43 @@ def test_star_clusters_equal_propagation_on_corpus_pairs(spark, sf_dir):
     assert prop == star
 
 
+def test_small_graph_kernel_equals_iterative_clusters(spark):
+    """The adaptive single-task union-find arm (small_graph_edges > 0)
+    must produce exactly the iterative algorithms' output — chains,
+    cliques, isolated pairs, random graphs — for BOTH operators, and
+    the gate must leave large graphs on the distributed rounds."""
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],          # path
+        [(i, j) for i in range(1, 6) for j in range(i + 1, 6)],  # clique
+        [(rng.randrange(100), rng.randrange(100)) for _ in range(150)],
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        want = {(r["id"], r["cluster_id"], r["is_canonical"])
+                for r in D.duplicate_clusters(pairs).collect()}
+        fast = {(r["id"], r["cluster_id"], r["is_canonical"])
+                for r in D.duplicate_clusters(
+                    pairs, small_graph_edges=10_000).collect()}
+        fast_star = {(r["id"], r["cluster_id"], r["is_canonical"])
+                     for r in D.duplicate_clusters_star(
+                         pairs, small_graph_edges=10_000).collect()}
+        assert fast == want
+        assert fast_star == want
+    # gate respected: a threshold below the edge count forces the
+    # distributed rounds (observable through max_rounds exhaustion)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 12)],
+                                  ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(chain, max_rounds=2, small_graph_edges=3)
+    ok = D.duplicate_clusters(chain, max_rounds=2,
+                              small_graph_edges=100)
+    assert all(r["cluster_id"] == 1 for r in ok.collect())
+
+
 def test_blocked_entity_clusters_equal_iterative(spark, sf_dir):
     # the fused per-block union-find must produce exactly the clusters
     # the generic iterative operators find on the same link set
@@ -503,6 +540,32 @@ def test_contamination_bounds_and_exact_copy(spark):
            for r in contamination_check(corpus, bench, "text", "doc_id").collect()}
     assert out[100] == 1.0   # every shingle of the copy is in the corpus
     assert out[101] == 0.0   # none of the novel doc's shingles appear
+
+
+def test_bpe_single_task_arm_equals_distributed(spark):
+    """The adaptive single-task trainer (small_vocab_words > 0) must be
+    merge-for-merge identical to the distributed batched rounds, final
+    vocabulary included; the gate must respect the threshold."""
+    from climate_data_pipeline_spark.operators.text import bpe_train
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    st_d, st_s = {}, {}
+    merges_d, vocab_d = bpe_train(docs, "text", n_merges=60,
+                                  stats=st_d)
+    merges_s, vocab_s = bpe_train(docs, "text", n_merges=60,
+                                  small_vocab_words=10_000_000,
+                                  stats=st_s)
+    assert merges_s == merges_d
+    assert st_s["rounds"] == 1 and st_d["rounds"] > 1
+    vd = {r["word"]: (r["n"], r["symbols"]) for r in vocab_d.collect()}
+    vs = {r["word"]: (r["n"], r["symbols"]) for r in vocab_s.collect()}
+    assert vs == vd
+    # threshold below the vocab size keeps the distributed rounds
+    st = {}
+    merges_g, _ = bpe_train(docs, "text", n_merges=10,
+                            small_vocab_words=1, stats=st)
+    assert st["rounds"] > 1 and merges_g == merges_d[:10]
 
 
 def test_bpe_train_matches_reference_impl(spark):

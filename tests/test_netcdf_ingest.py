@@ -391,3 +391,22 @@ def test_cf_time_encoding_keeps_subhour_resolution(spark, tmp_path):
     ts2 = netcdf3.decode_cf_time(netcdf3.read_var(buf2, f2, "time"), u2)
     np.testing.assert_array_equal(ts2.astype("datetime64[ns]"),
                                   times_s.values)
+
+
+def test_export_size_guard_raises_loudly(spark, tmp_path):
+    """_long_to_grid estimates (rows x schema bytes) BEFORE toPandas
+    and names the cap — an oversized single-file export must fail
+    descriptively, never OOM the driver raw."""
+    import pytest
+
+    from climate_data_pipeline_spark.sources.netcdf import (
+        _long_to_grid, long_to_netcdf3)
+
+    df = spark.range(1000).selectExpr(
+        "CAST(id AS DOUBLE) AS time", "CAST(id % 7 AS DOUBLE) AS lat",
+        "CAST(id % 3 AS DOUBLE) AS lon", "CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="GiB cap"):
+        _long_to_grid(df, ["time", "lat", "lon"], None, max_bytes=1024)
+    # within the cap the same frame still exports
+    out = str(tmp_path / "small.nc")
+    long_to_netcdf3(df.limit(20), out, dim_cols=["time", "lat", "lon"])

@@ -296,6 +296,22 @@ def test_segment_dedup_uses_combinable_agg_not_window(spark, sf_small):
     assert "row_number" not in plan
 
 
+def test_duplicate_spans_no_hot_key_window_on_gram_hash(spark,
+                                                        sf_small):
+    """The default duplicated-position flagging must be the combinable
+    groupBy(gram hash) + semi-join-back — a count window over the gram
+    hash ships every occurrence of a viral boilerplate gram to one
+    reducer. The only window left is the per-document island walk."""
+    plan = _plan(spark, sf_small, "text_duplicate_spans")
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
+    # exactly one Window operator (the island walk on the doc id),
+    # none keyed on the gram hash
+    import re
+    wins = [m for m in re.findall(r"Window \[[^\]]*\]", plan)]
+    assert all("__h" not in w for w in wins), wins
+
+
 def test_contamination_bloom_probe_is_broadcast_only(spark, sf_small):
     """The bloom bitmap must enter the corpus scan as broadcast hash
     probes; no nested-loop/cartesian anywhere."""
