@@ -77,6 +77,8 @@ HEADLINE = [
     "mm_decode_webp",         # VP8L prefix codes + cache/LZ77/transforms
     "mm_decode_flac",         # Rice-coded frames + CRC walk + stereo
     "s_grib2_ingest",         # WMO GRIB2 sections + bit-packed fields
+    "s_grib2_complex_ingest", # GRIB2 5.2/5.3 groups + spatial differencing
+    "s_hdf5_szip_ingest",     # HDF5 szip (CCSDS Rice) chunk pipeline
     "mm_exif_metadata",       # APP1/IFD metadata walk, zero pixel decode
     "mm_decode_audio_formats",  # G.711 mu/A-law + AIFF + 24-bit PCM
     "mm_audio_container_meta",  # MP3/Ogg walks, zero decode
@@ -87,18 +89,16 @@ HEADLINE = [
 # Multi-job / clustering-family queries benched in their own section so
 # their trend is visible in BENCH JSON round-over-round. The
 # ground-truth evaluators (*_eval, winnow_overlap) run on deterministic
-# md5-bucket samples mirrored into their oracles; the clustering
-# queries pay a bounded number of fixed-cost propagation jobs. Two
-# members straddle the envelope on a loaded host by construction, not
-# data volume: dedup_clusters_star's O(log n) star-rewiring rounds are
-# ~5 sequential tiny Spark jobs (the ANY-topology scale path — proven
-# output-equal to the in-envelope dedup_clusters, which is the default
-# for near-dup quasi-cliques), and dedup_keep_best is the sequential
-# SUM of two individually in-envelope pipelines (pair generation +
-# clustering, then member-only quality ranking). At cluster scale the
-# per-job scheduling floor amortizes into real work; locally it is the
-# dominant term and tracks host load ~1:1.
+# md5-bucket samples mirrored into their oracles. Round 8 removed the
+# old scheduling-floor straddlers: below the small-graph gate the
+# clustering queries run ONE single-task union-find job instead of
+# 3-5 propagation/rewiring rounds (output-identical, plan-tested), and
+# bpe_train's small-vocab arm runs one exact sequential kernel — the
+# iterative algorithms remain the >gate scale path with their own
+# tests. Pair generation (prefix+length+positional-filtered Jaccard
+# join) is now the dominant term in this family.
 OFF_HEADLINE = [
+    "text_bpe_train",          # vocab groupBy + single-task exact BPE arm
     "sim_cosine_pairs",        # banded LSH + sketch prefilter + rerank
     "dedup_semantic_clusters", # LSH pair graph -> connected components
     "dedup_semantic_prune",    # SemDeDup corpus prune end-to-end

@@ -332,15 +332,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
              # MEMORY_AND_DISK with LRU eviction; callers that need
              # the memory back own the unpersist.
              .cache())
-    # prefix length for Jaccard t: |x| − ⌈t·|x|⌉ + 1
+    # prefix length for Jaccard t: |x| − ⌈t·|x|⌉ + 1; positions ride
+    # along for the PPJoin positional filter below
     pre = arr.select(
-        "id", F.explode(F.expr(
+        "id", "n_sh", F.posexplode(F.expr(
             f"slice(__sh, 1, n_sh - CAST(ceil({min_jaccard} * n_sh) "
-            "AS INT) + 1)")).alias("shingle"))
+            "AS INT) + 1)")).alias("__pos", "shingle"))
+    # two further LOSSLESS prunes (Bayardo/Xiao PPJoin, public) applied
+    # INSIDE the join so pruned rows never reach the distinct or the
+    # array-shipping verify — measured 39M → far fewer candidate pairs
+    # on a densely-replicated 10× corpus (see PERFORMANCE.md round 8):
+    # - length filter: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|)
+    # - positional filter: a pair's FIRST common prefix element at
+    #   positions (i, j) bounds the whole intersection by
+    #   1 + min(|A|−i−1, |B|−j−1); if that can't reach
+    #   α = ⌈t·(|A|+|B|)/(1+t)⌉ the pair can't reach J ≥ t. The first
+    #   common element has no common predecessors by definition, so
+    #   every qualifying pair keeps at least that one row — lossless.
+    t = float(min_jaccard)
+    n_a, n_b = F.col("a.n_sh"), F.col("b.n_sh")
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (n_a + n_b))
+    ubound = 1 + F.least(n_a - F.col("a.__pos") - 1,
+                         n_b - F.col("b.__pos") - 1)
     cand = (pre.alias("a")
                .join(pre.alias("b"),
                      (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col("a.id") < F.col("b.id")))
+                     & (F.col("a.id") < F.col("b.id"))
+                     & (F.least(n_a, n_b)
+                        >= F.lit(t) * F.greatest(n_a, n_b))
+                     & (ubound >= alpha))
                .select(F.col("a.id").alias("id_a"),
                        F.col("b.id").alias("id_b"))
                .distinct())

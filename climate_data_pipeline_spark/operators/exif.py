@@ -118,11 +118,24 @@ def parse_jpeg_exif(jpeg: bytes) -> dict | None:
     if jpeg[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
-    while pos + 4 <= len(jpeg):
+    while pos + 2 <= len(jpeg):
         if jpeg[pos] != 0xFF:
             raise ValueError("JPEG marker stream desynchronized")
+        # optional 0xFF fill bytes are legal between segments (ITU
+        # T.81 B.1.1.2) — skip runs before reading the marker byte
+        while pos + 1 < len(jpeg) and jpeg[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(jpeg):
+            return None
         marker = jpeg[pos + 1]
         if marker == 0xD9 or marker == 0xDA:     # EOI / start of scan
+            return None
+        # length-less standalone markers (TEM 0x01, RST 0xD0-0xD7)
+        # carry no segment-length field
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(jpeg):
             return None
         (seg_len,) = struct.unpack_from(">H", jpeg, pos + 2)
         body = jpeg[pos + 4:pos + 2 + seg_len]

@@ -627,23 +627,42 @@ def build_flac(samples: np.ndarray, sample_rate: int = 8000,
         hdr = w.out if not w.nbits else None
         assert hdr is not None, "frame header must be byte-aligned"
         w.write(crc8(bytes(w.out)), 8)
+        # the FINAL block can be shorter than block_size; the requested
+        # partition/prediction orders may then violate the spec's
+        # bs % 2^porder == 0 and first-partition > order constraints —
+        # clamp per frame (and fall back to verbatim when the tail is
+        # shorter than the prediction order) instead of emitting a
+        # stream every spec-correct decoder rejects
+        pred_order = (int(mode[-1]) if mode.startswith("fixed")
+                      else 2 if mode == "lpc2" else 0)
+        eff_mode = mode
+        if pred_order and bs <= pred_order:
+            eff_mode, pred_order = "verbatim", 0
+        eff_porder = porder
+        while eff_porder > 0 and (bs % (1 << eff_porder)
+                                  or (bs >> eff_porder) <= pred_order):
+            eff_porder -= 1
         if stereo is None:
             for ch in range(nch):
-                _write_subframe(w, blk[:, ch], bits, mode, porder)
+                _write_subframe(w, blk[:, ch], bits, eff_mode,
+                                eff_porder)
         else:
             left = blk[:, 0]
             right = blk[:, 1]
             if stereo == "left_side":
-                _write_subframe(w, left, bits, mode, porder)
-                _write_subframe(w, left - right, bits + 1, mode, porder)
+                _write_subframe(w, left, bits, eff_mode, eff_porder)
+                _write_subframe(w, left - right, bits + 1, eff_mode,
+                                eff_porder)
             elif stereo == "right_side":
-                _write_subframe(w, left - right, bits + 1, mode, porder)
-                _write_subframe(w, right, bits, mode, porder)
+                _write_subframe(w, left - right, bits + 1, eff_mode,
+                                eff_porder)
+                _write_subframe(w, right, bits, eff_mode, eff_porder)
             else:
                 mid = (left + right) >> 1
                 side = left - right
-                _write_subframe(w, mid, bits, mode, porder)
-                _write_subframe(w, side, bits + 1, mode, porder)
+                _write_subframe(w, mid, bits, eff_mode, eff_porder)
+                _write_subframe(w, side, bits + 1, eff_mode,
+                                eff_porder)
         w.align()
         frame = bytes(w.out)
         frame += struct.pack(">H", crc16(frame))

@@ -656,6 +656,57 @@ def grib2_complex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.avg("value").alias("mean_value")))
 
 
+@query("s_hdf5_szip_ingest", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT msg_id, msg_id % 3 AS c,
+         list_transform(range(64),
+                        i -> bytes[CAST(i % len(bytes) AS INT) + 1])
+           AS cells
+  FROM b
+)
+SELECT msg_id,
+       CASE c WHEN 0 THEN 'uint8' WHEN 1 THEN 'int16'
+              ELSE 'uint32' END AS dtype,
+       CAST(64 AS BIGINT) AS n_vals,
+       CASE c
+         WHEN 1 THEN CAST(127 * list_sum(cells) AS DOUBLE) / 64
+         WHEN 2 THEN CAST(65537 * list_sum(cells) AS DOUBLE) / 128
+         ELSE CAST(list_sum(cells) AS DOUBLE) / 64
+       END AS mean_value
+FROM m
+""")
+def hdf5_szip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szip-compressed NetCDF4/HDF5 ingest round trip, no szlib/h5py:
+    documents render into REAL HDF5 containers (8×8 variables, chunked
+    layouts with uneven chunk grids, the szip filter — CCSDS 121.0
+    extended-Rice through ``sources/szip.py`` — and a CF scale_factor
+    class) and decode back through the pure-Python HDF5 reader inside
+    one Arrow ``mapInPandas``. The DuckDB oracle re-derives each file's
+    dtype, cell count and mean from the text bytes: a wrong Rice
+    split, zero-block run, NN unmapping, chunk-padding slice or
+    scale application shifts the hash. (Class 2's decoded field is
+    byte·65537·0.5 — exact halves, so the ÷128 oracle form is exact.)"""
+    from ..sources.hdf5 import hdf5_szip_stats, synthesize_hdf5_szip
+    docs = load_table(spark, sf_dir, "documents")
+    return hdf5_szip_stats(synthesize_hdf5_szip(docs, "doc_id", "text"))
+
+
 @query("s_warc_extract", oracle="""
 WITH t AS (
   SELECT doc_id, coalesce(text, '') AS text FROM documents

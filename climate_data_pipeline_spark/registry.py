@@ -75,7 +75,8 @@ DRIVER_ROTATION = [
     # NEW/CHANGED this round — complex-packed GRIB2, the adaptive
     # small-graph clustering arm, the combinable duplicate-spans
     # flagging, the single-task BPE arm
-    "s_grib2_complex_ingest", "dedup_clusters_star", "dedup_keep_best",
+    "s_grib2_complex_ingest", "s_hdf5_szip_ingest",
+    "dedup_clusters_star", "dedup_keep_best",
     "text_bpe_train", "text_duplicate_spans", "dedup_clusters",
     # never driver-sampled families (behavioral / tsmodel / interval /
     # spatial / incremental) — rotate them in front of the 50-name cut

@@ -1981,3 +1981,95 @@ def write_hdf5(path: str, dims: dict[str, np.ndarray],
     with open(path, "wb") as fh:
         fh.write(bytes(out))
     return path
+
+
+def synthesize_hdf5_szip(df, id_col: str, text_col: str):
+    """Build REAL szip-compressed NetCDF4/HDF5 files deterministically
+    from text rows — the driver-facing twin of the GRIB2 synthesizers:
+    each document renders into an in-memory HDF5 container whose one
+    8×8 data variable derives from the cycled UTF-8 text bytes, chunked
+    + szip-filtered through ``write_hdf5(compress="szip")``, across
+    three residue classes of ``msg_id % 3``:
+
+    - 0: uint8 cells, one 8×8 chunk (single-chunk szip stream)
+    - 1: int16 values = 127·byte, chunks (3, 5) — chunk-grid padding,
+         uneven tails, 16-bit NN preprocessing
+    - 2: uint32 values = 65537·byte with ``scale_factor = 0.5``,
+         chunks (4, 4) — 32-bit samples and CF unpacking ON TOP of the
+         szip decode (decoded field = byte·65537/2, exact halves)
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        def h5(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)].reshape(8, 8)
+            c = msg_id % 3
+            if c == 0:
+                arr, chunks, attrs = cells.astype(np.uint8), (8, 8), {}
+            elif c == 1:
+                arr, chunks, attrs = \
+                    (cells * 127).astype(np.int16), (3, 5), {}
+            else:
+                arr, chunks, attrs = ((cells * 65537).astype(np.uint32),
+                                      (4, 4), {"scale_factor": 0.5})
+            fd, path = tempfile.mkstemp(suffix=".h5")
+            os.close(fd)
+            try:
+                write_hdf5(path,
+                           {"y": np.arange(8, dtype=np.int32),
+                            "x": np.arange(8, dtype=np.int32)},
+                           {"v": (["y", "x"], arr, attrs)},
+                           chunks={"v": chunks}, compress="szip")
+                with open(path, "rb") as fh:
+                    return fh.read()
+            finally:
+                os.unlink(path)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [h5(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    import pandas as pd  # noqa: F811 (closure import for executors)
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def hdf5_szip_stats(payload_df, id_col: str = "msg_id",
+                    payload_col: str = "payload"):
+    """Decode szip-compressed HDF5 payloads executor-side (one Arrow
+    ``mapInPandas``, the chunk pipeline incl. the szip filter and CF
+    scale_factor unpacking) → per-file (msg_id, dtype, n_vals,
+    mean_value)."""
+    import pandas as pd
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = {"msg_id": [], "dtype": [], "n_vals": [],
+                    "mean_value": []}
+            for mid, payload in zip(pdf[id_col].astype("int64"),
+                                    pdf[payload_col]):
+                f = H5File(bytes(payload))
+                ds = f.datasets["v"]
+                vals = f.read("v").astype(np.float64)
+                scale = ds.attrs.get("scale_factor")
+                if scale is not None:
+                    vals = vals * float(scale)
+                rows["msg_id"].append(int(mid))
+                rows["dtype"].append(ds.dtype.name)
+                rows["n_vals"].append(int(vals.size))
+                rows["mean_value"].append(float(vals.mean()))
+            yield pd.DataFrame(rows)
+
+    return payload_df.mapInPandas(
+        _decode, schema=("msg_id long, dtype string, n_vals long, "
+                         "mean_value double"))

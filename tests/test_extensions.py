@@ -766,9 +766,12 @@ def test_png_codec_all_filters_and_loud_paths(spark):
 def test_ngram_jaccard_prefix_filter_is_lossless(spark):
     """Prefix filtering (AllPairs/PPJoin) must return EXACTLY the
     brute-force Jaccard >= t pair set — rare-first global ordering,
-    per-set prefix |x| - ceil(t|x|) + 1, array_intersect verify. Checked
-    against an all-pairs numpy computation on a corpus salted with
-    exact copies, near-misses and disjoint docs, at two thresholds."""
+    per-set prefix |x| - ceil(t|x|) + 1, plus the round-8 length
+    filter (min >= t*max) and positional filter (first-common-element
+    intersection upper bound vs alpha), array_intersect verify.
+    Checked against an all-pairs numpy computation on a corpus salted
+    with exact copies, near-misses and disjoint docs, at two
+    thresholds."""
     import itertools
 
     import numpy as np
@@ -1557,6 +1560,18 @@ def test_exif_roundtrip_and_jpeg_insertion():
         parse_jpeg_exif(b"NOTAJPEG")
     with _pt.raises(ValueError, match="byte order"):
         parse_exif_tiff(b"XX" + bytes(10))
+    # legal wild-JPEG constructs before the Exif APP1: 0xFF fill bytes
+    # between segments (T.81 B.1.1.2) and length-less standalone
+    # markers (TEM 0x01, RST 0xD0-0xD7) must not desynchronize the walk
+    import struct as _st
+    app1 = wj[2:2 + 4 + _st.unpack(">H", wj[4:6])[0] - 2]
+    weird = (b"\xFF\xD8" + b"\xFF\xFF\xFF\x01"        # fill + TEM
+             + b"\xFF\xD3"                            # RST3
+             + b"\xFF" + app1[1:]                     # the APP1 itself
+             + j[2:])
+    assert parse_jpeg_exif(weird)["orientation"] == 6
+    # fill bytes with no EXIF anywhere still return None, not an error
+    assert parse_jpeg_exif(b"\xFF\xD8\xFF\xFF\xFF\xD9") is None
 
 
 def test_exif_spark_extraction(spark):
@@ -2969,6 +2984,37 @@ def test_synthesize_png_emits_interlaced_payloads(spark):
         ch = 3 if i % 3 == 0 else 1
         pxb = np.resize(np.frombuffer(text.encode(), np.uint8), 256 * ch)
         assert abs(got[i]["mean_value"] - float(pxb.mean())) < 1e-9, i
+
+
+def test_flac_partial_final_block_clamps_orders():
+    """The final block of a non-multiple-length stream may violate the
+    requested partition/prediction orders (bs % 2^porder != 0, or a
+    tail shorter than the predictor) — build_flac must clamp per frame
+    (verbatim fallback for ultra-short tails) instead of emitting a
+    stream spec-correct decoders reject."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators.flac import (build_flac,
+                                                            decode_flac)
+
+    rng = np.random.default_rng(51)
+    cases = [(1537, 512, "fixed2", 1),     # the reported repro
+             (513, 512, "fixed4", 3),      # 1-sample tail < order
+             (1000, 512, "fixed2", 2),     # 488 % 4 == 0 but odd porder
+             (515, 256, "lpc2", 2),
+             (130, 128, "fixed3", 0)]
+    for n, bsz, mode, po in cases:
+        mono = rng.integers(-2000, 2000, n).astype(np.int64)
+        out = decode_flac(build_flac(mono, mode=mode, porder=po,
+                                     block_size=bsz))
+        np.testing.assert_array_equal(
+            np.asarray(out["samples"]).reshape(-1), mono)
+        st = rng.integers(-2000, 2000, (n, 2)).astype(np.int64)
+        out = decode_flac(build_flac(st, mode=mode, porder=po,
+                                     block_size=bsz,
+                                     stereo="left_side"))
+        np.testing.assert_array_equal(
+            np.asarray(out["samples"]).reshape(-1, 2), st)
 
 
 def test_flac_rice_parameter_over_25_fallback():

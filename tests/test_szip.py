@@ -207,3 +207,30 @@ def test_hdf5_szip_file_roundtrip_and_distributed(spark, tmp_path):
     assert hits == 3                                # one per variable
     with pytest.raises(H5Unsupported, match="nbit"):
         H5File(bytes(blob)).read("temp")
+
+
+def test_hdf5_szip_synthesis_classes(spark):
+    """synthesize_hdf5_szip → hdf5_szip_stats: each residue class
+    decodes to the byte-derived mean (incl. the scale_factor class's
+    exact halves) with the right dtype."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources.hdf5 import (
+        hdf5_szip_stats, synthesize_hdf5_szip)
+
+    rows = [(i, f"szip payload {i} " * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["msg_id"]: r for r in
+           hdf5_szip_stats(synthesize_hdf5_szip(
+               df, "doc_id", "text")).collect()}
+    for i, text in rows:
+        bts = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+        cells = bts[np.arange(64) % len(bts)]
+        c = i % 3
+        want_dtype = ("uint8", "int16", "uint32")[c]
+        want_mean = (float(cells.mean()),
+                     float((cells * 127).mean()),
+                     float((cells * 65537).sum()) / 128)[c]
+        assert got[i]["dtype"] == want_dtype
+        assert got[i]["n_vals"] == 64
+        assert got[i]["mean_value"] == want_mean, i
