@@ -656,6 +656,62 @@ def grib2_complex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.avg("value").alias("mean_value")))
 
 
+@query("s_grib2_interval_ingest", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT msg_id, msg_id % 3 AS c,
+         list_transform(range(64),
+                        i -> bytes[CAST(i % len(bytes) AS INT) + 1])
+           AS cells
+  FROM b
+)
+SELECT msg_id,
+       CAST(msg_id % 4 AS INTEGER) AS stat_process,
+       CAST(1 + msg_id % 96 AS INTEGER) AS stat_hours,
+       '2021-' || lpad(CAST(1 + msg_id % 12 AS VARCHAR), 2, '0')
+         || '-' || lpad(CAST(1 + msg_id % 28 AS VARCHAR), 2, '0')
+         || ' ' || lpad(CAST(msg_id % 24 AS VARCHAR), 2, '0')
+         || ':00:00' AS interval_end,
+       CASE c
+         WHEN 2 THEN CAST(list_sum(list_transform(cells,
+                          x -> 200 + (x // 2))) AS DOUBLE) / 128
+         ELSE CAST(list_sum(cells) AS DOUBLE) / 64
+       END AS mean_value
+FROM m
+""")
+def grib2_interval_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 product template 4.8 round trip (statistics over a time
+    interval — accumulated precipitation / max temperature, the
+    products operational archives actually publish): documents render
+    into real 4.8 messages whose statistical process, interval length
+    and interval-end calendar walk derive from the id, across three
+    data-representation classes (8-bit simple, complex 5.2, 7-bit
+    halves with reference 100). The DuckDB oracle re-derives every
+    metadata field and the field mean from id arithmetic and text
+    bytes — a wrong octet offset in the 4.8 tail or a broken interval
+    end shifts the hash."""
+    from ..sources.grib2 import (grib2_interval_stats,
+                                 synthesize_grib2_interval)
+    docs = load_table(spark, sf_dir, "documents")
+    return grib2_interval_stats(
+        synthesize_grib2_interval(docs, "doc_id", "text"))
+
+
 @query("s_hdf5_szip_ingest", oracle="""
 WITH pay AS (
   SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx

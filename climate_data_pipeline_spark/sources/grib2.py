@@ -6,11 +6,15 @@ edition 2 specification (the section/template/octet layout is
 normative and openly published).
 
 Decodes: multi-message files (each ``GRIB…7777`` envelope), section 1
-identification (reference time), section 3 grid definition template
+identification (reference time), section 3 grid definition templates
 3.0 (regular latitude/longitude grids, microdegree coordinates in
 GRIB's sign-and-magnitude integer encoding, Ni/Nj, scan modes 0 and
-+y), section 4 product definition template 4.0 (parameter
-category/number, forecast time), section 5 data representation
++y) and 3.40 (regular Gaussian grids — latitudes are the Legendre
+quadrature nodes, N in octets 68-71), section 4 product definition
+templates 4.0 (parameter category/number, forecast time) and 4.8
+(statistics over a time interval: interval end, statistical process —
+the accumulation/max products archives publish), section 5 data
+representation
 templates 5.0 (simple packing: IEEE reference value R, binary scale
 E, decimal scale D, any bits-per-value width — values are
 ``(R + X·2^E)/10^D``), 5.2 (complex packing: NG groups, each with its
@@ -20,8 +24,8 @@ spatial differencing — the template operational ECMWF/NOAA NWP output
 overwhelmingly uses) and 5.41 (PNG packing, decoded through this
 repo's own ``operators/png.py``), section 6 bitmaps (indicator 0 =
 explicit bitmap, 255 = none), and section 7 bit-packed data. Other
-grid/product/representation templates (JPEG 2000, spectral,
-Lambert/Gaussian grids, missing-value management) raise a crisp
+grid/product/representation templates (JPEG 2000, spectral, Lambert,
+reduced-Gaussian, missing-value management) raise a crisp
 ``NotImplementedError`` naming the template — the codec-family
 loud-seam convention: never silent wrong values.
 
@@ -288,6 +292,15 @@ def _pack_complex(flat: np.ndarray, group_size: int,
     return s5_tail, body + bytes(stream), nbits_refs
 
 
+def gaussian_latitudes(n: int) -> np.ndarray:
+    """The 2N regular-Gaussian-grid latitudes (degrees, north→south):
+    arcsines of the Legendre-polynomial P_2N roots — the quadrature
+    nodes ECMWF's N-series grids are defined on (public WMO template
+    3.40 / ECMWF grid documentation)."""
+    nodes, _w = np.polynomial.legendre.leggauss(2 * int(n))
+    return np.degrees(np.arcsin(nodes))[::-1].copy()
+
+
 def parse_grib2(data: bytes) -> list[dict]:
     """Parse every GRIB2 message in ``data`` → list of dicts with
     keys: discipline, ref_time (ISO string), param_category,
@@ -345,33 +358,65 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
 
     s3 = sec[3]
     (gtemplate,) = struct.unpack_from(">H", s3, 12)
-    if gtemplate != 0:
+    if gtemplate not in (0, 40):
         raise NotImplementedError(
             f"GRIB2 grid template 3.{gtemplate} not supported "
-            "(3.0 regular lat/lon only)")
+            "(3.0 regular / 3.40 Gaussian lat/lon only)")
     ni, nj = struct.unpack_from(">II", s3, 30)
     la1 = _sm_int(struct.unpack_from(">I", s3, 46)[0], 32) / 1e6
     lo1 = struct.unpack_from(">I", s3, 50)[0] / 1e6
     la2 = _sm_int(struct.unpack_from(">I", s3, 55)[0], 32) / 1e6
     lo2 = struct.unpack_from(">I", s3, 59)[0] / 1e6
     dlon = struct.unpack_from(">I", s3, 63)[0] / 1e6
-    dlat = struct.unpack_from(">I", s3, 67)[0] / 1e6
     scan = s3[71]
-    if scan not in (0x00, 0x40):
-        raise NotImplementedError(f"GRIB2 scanning mode 0x{scan:02X} "
-                                  "not supported")
+    if gtemplate == 40:
+        # octets 68-71 carry N (parallels pole→equator), not Dj: the
+        # nj = 2N grid latitudes are the Gaussian quadrature nodes
+        (n_par,) = struct.unpack_from(">I", s3, 67)
+        if scan != 0x00:
+            raise NotImplementedError(
+                "GRIB2 Gaussian grids support scan mode 0x00 only")
+        if nj != 2 * n_par:
+            raise NotImplementedError(
+                f"GRIB2 Gaussian grid with Nj={nj} != 2N={2 * n_par} "
+                "(latitude-band subsets unsupported)")
+        dlat = 0.0
+        lats = gaussian_latitudes(int(n_par))
+        rec["gaussian_n"] = int(n_par)
+    else:
+        dlat = struct.unpack_from(">I", s3, 67)[0] / 1e6
+        if scan not in (0x00, 0x40):
+            raise NotImplementedError(
+                f"GRIB2 scanning mode 0x{scan:02X} not supported")
+        # the grid is normalized north-first for BOTH scan modes (see
+        # the flip below); the northern edge is la1 for -y scans and
+        # la2 for +y scans
+        lats = max(la1, la2) - dlat * np.arange(int(nj))
     rec.update(ni=int(ni), nj=int(nj), la1=la1, lo1=lo1, la2=la2,
-               lo2=lo2, dlat=dlat, dlon=dlon)
+               lo2=lo2, dlat=dlat, dlon=dlon, lats=lats)
 
     s4 = sec[4]
     (ptemplate,) = struct.unpack_from(">H", s4, 7)
-    if ptemplate != 0:
+    if ptemplate not in (0, 8):
         raise NotImplementedError(
             f"GRIB2 product template 4.{ptemplate} not supported "
-            "(4.0 analysis/forecast only)")
+            "(4.0 analysis/forecast and 4.8 statistical interval only)")
     rec["param_category"] = s4[9]
     rec["param_number"] = s4[10]
     rec["forecast_hours"] = struct.unpack_from(">I", s4, 18)[0]
+    if ptemplate == 8:
+        # octets 35-41: end of the overall time interval; 42: number
+        # of time-range specs; 47: statistical process of the first
+        # (outermost) spec — 0 avg, 1 accumulation, 2 max, 3 min
+        (ey,) = struct.unpack_from(">H", s4, 34)
+        rec["interval_end"] = (f"{ey:04d}-{s4[36]:02d}-{s4[37]:02d} "
+                               f"{s4[38]:02d}:{s4[39]:02d}:{s4[40]:02d}")
+        n_ranges = s4[41]
+        if n_ranges < 1:
+            raise ValueError("GRIB2 template 4.8 with zero time-range "
+                             "specifications")
+        rec["stat_process"] = s4[46]
+        rec["stat_hours"] = struct.unpack_from(">I", s4, 49)[0]
 
     s5 = sec[5]
     (n_points,) = struct.unpack_from(">I", s5, 5)
@@ -445,6 +490,8 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                 spatial_diff_order: int = 0,
                 group_size: int = 8,
                 discipline: int = 0,
+                gaussian: bool = False,
+                stat: tuple | None = None,
                 scan_positive_y: bool = False) -> bytes:
     """Assemble one spec-shaped GRIB2 message from an (nj, ni) grid of
     PACKED integer values X (the stored field is
@@ -457,7 +504,14 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
     per-group reference + width); with ``spatial_diff_order`` 1 or 2
     it emits template 5.3 (values differenced before grouping, first
     value(s) and overall minimum carried as sign-magnitude extra
-    descriptors in section 7). ``scan_positive_y`` stores the grid
+    descriptors in section 7). ``gaussian`` emits grid template 3.40
+    (regular Gaussian: nj must be even, N = nj/2 in octets 68-71,
+    la1/la2 = the first/last quadrature latitudes; ``la1``/``dlat``
+    args are ignored). ``stat=(process, hours, end_time)`` emits
+    product template 4.8 (statistics over a time interval: process 0
+    avg / 1 accumulation / 2 max / 3 min, interval length in hours,
+    ``end_time`` a (y, mo, d, h, mi, s) tuple) instead of 4.0.
+    ``scan_positive_y`` stores the grid
     south-to-north (scan mode 0x40): the SAME (nj, ni) input is still
     interpreted north-first — rows are flipped on write and ``la1``
     becomes the SOUTHERN edge, as real +y archives encode it."""
@@ -483,13 +537,27 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
     # scan 0x00 runs north→south (la1 = northern edge); 0x40 runs
     # south→north (caller's la1 still names the north edge — it moves
     # to la2 and the southern edge becomes la1, the +y convention)
-    if scan_positive_y:
-        la1, la2 = la1 - dlat * (nj - 1), la1
+    if gaussian:
+        if scan_positive_y or bitmap is not None:
+            raise ValueError("gaussian grids support plain north-first "
+                             "full grids here")
+        if nj % 2:
+            raise ValueError("regular Gaussian grid wants an even Nj "
+                             "(= 2N parallels)")
+        glats = gaussian_latitudes(nj // 2)
+        la1, la2 = float(glats[0]), float(glats[-1])
+        dj_field = nj // 2                           # octets 68-71 = N
+        gtemplate = 40
     else:
-        la2 = la1 - dlat * (nj - 1)
+        if scan_positive_y:
+            la1, la2 = la1 - dlat * (nj - 1), la1
+        else:
+            la2 = la1 - dlat * (nj - 1)
+        dj_field = round(dlat * 1e6)
+        gtemplate = 0
     lo2 = lo1 + dlon * (ni - 1)
     g = (bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
-         + struct.pack(">H", 0)                      # template 3.0
+         + struct.pack(">H", gtemplate)              # 3.0 / 3.40
          + bytes([6]) + bytes(15)                    # spherical earth
          + struct.pack(">II", ni, nj)
          + struct.pack(">II", 0, 0)                  # basic angle
@@ -499,13 +567,24 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
          + struct.pack(">I", _sm_enc(round(la2 * 1e6), 32))
          + struct.pack(">I", round(lo2 * 1e6))
          + struct.pack(">I", round(dlon * 1e6))
-         + struct.pack(">I", round(dlat * 1e6))
+         + struct.pack(">I", dj_field)
          + bytes([0x40 if scan_positive_y else 0x00]))
-    s4 = (struct.pack(">H", 0) + struct.pack(">H", 0)
+    s4 = (struct.pack(">H", 0)
+          + struct.pack(">H", 8 if stat is not None else 0)
           + bytes([param[0], param[1], 0, 0, 0]) + struct.pack(">H", 0)
           + bytes([0, 1]) + struct.pack(">I", forecast_hours)
           + bytes([1, 0]) + struct.pack(">I", 0)
           + bytes([255, 0]) + struct.pack(">I", 0))
+    if stat is not None:
+        process, hours, end_time = stat
+        ey, emo, ed, eh, emi, es = end_time
+        s4 += (struct.pack(">H", ey)
+               + bytes([emo, ed, eh, emi, es])
+               + bytes([1])                          # 1 time range
+               + struct.pack(">I", 0)                # no missing
+               + bytes([process, 2, 1])              # incr type, hours
+               + struct.pack(">I", hours)
+               + bytes([1]) + struct.pack(">I", 0))
     if complex_packed and png_packed:
         raise ValueError("pick one of complex_packed / png_packed")
     s5_tail = b""
@@ -691,11 +770,10 @@ def grib2_long(payload_df, id_col: str = "msg_id",
                 for m in parse_grib2(bytes(payload)):
                     vals = m["values"]
                     nj, ni = vals.shape
-                    # parse_grib2 returns the grid north-first for
-                    # BOTH scan modes; the northern edge is la1 for
-                    # -y scans and la2 for +y scans — max() covers both
-                    north = max(m["la1"], m["la2"])
-                    lat = north - m["dlat"] * np.arange(nj)
+                    # the parser computes the north-first latitude
+                    # vector per grid template (regular spacing for
+                    # 3.0, quadrature nodes for 3.40 Gaussian)
+                    lat = m["lats"]
                     lon = m["lo1"] + m["dlon"] * np.arange(ni)
                     latg, long_ = np.meshgrid(lat, lon, indexing="ij")
                     mask = ~np.isnan(vals)
@@ -724,3 +802,78 @@ def read_grib2_long(spark, path_glob: str):
              .select(F.monotonically_increasing_id().alias("msg_id"),
                      F.col("content").alias("payload")))
     return grib2_long(files)
+
+
+def synthesize_grib2_interval(df, id_col: str, text_col: str):
+    """Build REAL template-4.8 GRIB2 messages (statistics over a time
+    interval — the accumulation/max products operational archives
+    actually publish) deterministically from text rows: statistical
+    process = ``msg_id % 4`` (avg/accum/max/min), interval length
+    ``1 + msg_id % 96`` hours, interval end walking a calendar from
+    the id; three residue classes of ``msg_id % 3`` pick the data
+    representation (8-bit simple / complex 5.2 / 7-bit halves with
+    reference 100)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)]
+            stat = (msg_id % 4, 1 + msg_id % 96,
+                    (2021, 1 + msg_id % 12, 1 + msg_id % 28,
+                     msg_id % 24, 0, 0))
+            c = msg_id % 3
+            if c == 0:
+                return build_grib2(cells.reshape(8, 8), nbits=8,
+                                   stat=stat)
+            if c == 1:
+                return build_grib2(cells.reshape(8, 8),
+                                   complex_packed=True, group_size=6,
+                                   stat=stat)
+            return build_grib2((cells >> 1).reshape(8, 8), ref=100.0,
+                               binary_scale=-1, nbits=7, stat=stat)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def grib2_interval_stats(payload_df, id_col: str = "msg_id",
+                         payload_col: str = "payload"):
+    """Decode template-4.8 GRIB2 payloads executor-side → one row per
+    message with the statistical-interval metadata and the field mean:
+    (msg_id, stat_process, stat_hours, interval_end, mean_value)."""
+    import pandas as pd
+
+    def _decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"msg_id": [], "stat_process": [], "stat_hours": [],
+                    "interval_end": [], "mean_value": []}
+            for mid, payload in zip(pdf[id_col].astype("int64"),
+                                    pdf[payload_col]):
+                for m in parse_grib2(bytes(payload)):
+                    rows["msg_id"].append(int(mid))
+                    rows["stat_process"].append(int(m["stat_process"]))
+                    rows["stat_hours"].append(int(m["stat_hours"]))
+                    rows["interval_end"].append(m["interval_end"])
+                    rows["mean_value"].append(
+                        float(np.nanmean(m["values"])))
+            yield pd.DataFrame(rows)
+
+    return payload_df.mapInPandas(
+        _decode, schema=("msg_id long, stat_process int, "
+                         "stat_hours int, interval_end string, "
+                         "mean_value double"))

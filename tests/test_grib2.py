@@ -186,6 +186,66 @@ def test_grib2_complex_spark_synthesis_classes(spark):
         assert vals[i]["sum(value)"] == want, i
 
 
+def test_grib2_gaussian_grid_and_interval_statistics(spark):
+    """Grid template 3.40: latitudes are the Legendre quadrature nodes
+    (validated against leggauss directly) and ride into grib2_long's
+    per-row georeferencing; product template 4.8 carries the
+    statistical process / interval length / interval end; both compose
+    with complex packing. Odd Nj and +y Gaussian scans stay loud."""
+    import pandas as pd
+
+    from climate_data_pipeline_spark.sources.grib2 import (
+        gaussian_latitudes, synthesize_grib2_interval,
+        grib2_interval_stats)
+
+    rng = np.random.default_rng(52)
+    v = rng.integers(0, 256, (8, 5), dtype=np.int64)
+    m = parse_grib2(build_grib2(v, gaussian=True))[0]
+    assert m["gaussian_n"] == 4
+    want = np.degrees(np.arcsin(
+        np.polynomial.legendre.leggauss(8)[0]))[::-1]
+    np.testing.assert_allclose(m["lats"], want)
+    np.testing.assert_array_equal(m["values"], v.astype(float))
+    # the long model places every row on the quadrature latitude
+    df = spark.createDataFrame(pd.DataFrame(
+        {"msg_id": [0], "payload": [bytearray(build_grib2(
+            v, gaussian=True, complex_packed=True, group_size=5))]}))
+    lats = sorted({round(r["lat"], 9) for r in grib2_long(df).collect()},
+                  reverse=True)
+    np.testing.assert_allclose(lats, want, rtol=1e-9)
+    # template 4.8 metadata round trip
+    m = parse_grib2(build_grib2(v, stat=(1, 24,
+                                         (2021, 6, 2, 12, 0, 0))))[0]
+    assert (m["stat_process"], m["stat_hours"]) == (1, 24)
+    assert m["interval_end"] == "2021-06-02 12:00:00"
+    # synthesis classes decode to byte-derived means + id-derived stats
+    rows = [(i, f"interval {i} " * (i + 2)) for i in range(6)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["msg_id"]: r for r in grib2_interval_stats(
+        synthesize_grib2_interval(sdf, "doc_id", "text")).collect()}
+    for i, text in rows:
+        bts = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+        cells = bts[np.arange(64) % len(bts)]
+        assert got[i]["stat_process"] == i % 4
+        assert got[i]["stat_hours"] == 1 + i % 96
+        want_mean = (float((100.0 + (cells >> 1) * 0.5).mean())
+                     if i % 3 == 2 else float(cells.mean()))
+        assert got[i]["mean_value"] == want_mean, i
+    # loud seams
+    with pytest.raises(ValueError, match="even Nj"):
+        build_grib2(rng.integers(0, 9, (7, 4), dtype=np.int64),
+                    gaussian=True)
+    blob = bytearray(build_grib2(v, gaussian=True))
+    import struct as st
+    p = 16
+    while blob[p + 4] != 3:
+        p += st.unpack_from(">I", blob, p)[0]
+    bad = bytearray(blob)
+    bad[p + 71] = 0x40
+    with pytest.raises(NotImplementedError, match="scan mode 0x00"):
+        parse_grib2(bytes(bad))
+
+
 def test_grib2_distributed_file_read(spark, tmp_path):
     """binaryFile → grib2_long: several files, several messages each,
     decoded on executors into the long climate shape."""
