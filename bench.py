@@ -80,6 +80,7 @@ HEADLINE = [
     "s_grib2_complex_ingest", # GRIB2 5.2/5.3 groups + spatial differencing
     "s_hdf5_szip_ingest",     # HDF5 szip (CCSDS Rice) chunk pipeline
     "s_grib2_interval_ingest", # product template 4.8 interval stats
+    "s_grib2_reduced_ingest",  # reduced Gaussian ragged parallels
     "mm_exif_metadata",       # APP1/IFD metadata walk, zero pixel decode
     "mm_decode_audio_formats",  # G.711 mu/A-law + AIFF + 24-bit PCM
     "mm_audio_container_meta",  # MP3/Ogg walks, zero decode

@@ -712,6 +712,61 @@ def grib2_interval_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_grib2_interval(docs, "doc_id", "text"))
 
 
+@query("s_grib2_reduced_ingest", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT msg_id,
+         list_transform(range(8), j -> 4 + CAST((msg_id + j) % 5
+                                                AS BIGINT)) AS pl
+  FROM b
+),
+n AS (
+  SELECT msg_id, pl, list_sum(pl) AS np FROM m
+)
+SELECT n.msg_id,
+       CAST(n.np AS BIGINT) AS n_points,
+       list_max(list_transform(n.pl,
+                k -> (k - 1) * (360.0 / k))) AS max_lon,
+       CAST(list_sum(list_transform(range(CAST(n.np AS BIGINT)),
+            i -> b.bytes[CAST(i % len(b.bytes) AS INT) + 1]))
+            AS DOUBLE) / n.np AS mean_value
+FROM n JOIN b ON b.msg_id = n.msg_id
+""")
+def grib2_reduced_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REDUCED Gaussian grid ingest (grid template 3.40 with Ni
+    missing and a per-parallel point-count list — ERA5's native
+    layout): documents render into real reduced-grid messages whose
+    parallel profile ``pl[j] = 4 + (msg_id + j) % 5`` derives from the
+    id (alternating simple and complex-5.3 packing), decode through
+    the ragged-grid path in ``grib2_long`` (each parallel's points at
+    spacing 360/pl[j]), and aggregate per message. The oracle
+    re-derives the total point count, the easternmost longitude
+    ``max_j (pl_j − 1)·(360/pl_j)`` — pinning the per-parallel spacing
+    — and the mean from text bytes."""
+    from ..sources.grib2 import grib2_long, synthesize_grib2_reduced
+    docs = load_table(spark, sf_dir, "documents")
+    long = grib2_long(synthesize_grib2_reduced(docs, "doc_id", "text"))
+    return (long.groupBy("msg_id")
+            .agg(F.count("*").alias("n_points"),
+                 F.max("lon").alias("max_lon"),
+                 F.avg("value").alias("mean_value")))
+
+
 @query("s_hdf5_szip_ingest", oracle="""
 WITH pay AS (
   SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx

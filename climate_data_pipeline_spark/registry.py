@@ -76,7 +76,7 @@ DRIVER_ROTATION = [
     # small-graph clustering arm, the combinable duplicate-spans
     # flagging, the single-task BPE arm
     "s_grib2_complex_ingest", "s_hdf5_szip_ingest",
-    "s_grib2_interval_ingest",
+    "s_grib2_interval_ingest", "s_grib2_reduced_ingest",
     "dedup_clusters_star", "dedup_keep_best",
     "text_bpe_train", "text_duplicate_spans", "dedup_clusters",
     # never driver-sampled families (behavioral / tsmodel / interval /

@@ -9,8 +9,10 @@ Decodes: multi-message files (each ``GRIB…7777`` envelope), section 1
 identification (reference time), section 3 grid definition templates
 3.0 (regular latitude/longitude grids, microdegree coordinates in
 GRIB's sign-and-magnitude integer encoding, Ni/Nj, scan modes 0 and
-+y) and 3.40 (regular Gaussian grids — latitudes are the Legendre
-quadrature nodes, N in octets 68-71), section 4 product definition
++y) and 3.40 (regular AND reduced Gaussian grids — latitudes are the
+Legendre quadrature nodes, N in octets 68-71; reduced grids carry one
+point count per parallel in section 3's optional list, ERA5's native
+layout), section 4 product definition
 templates 4.0 (parameter category/number, forecast time) and 4.8
 (statistics over a time interval: interval end, statistical process —
 the accumulation/max products archives publish), section 5 data
@@ -25,7 +27,8 @@ overwhelmingly uses) and 5.41 (PNG packing, decoded through this
 repo's own ``operators/png.py``), section 6 bitmaps (indicator 0 =
 explicit bitmap, 255 = none), and section 7 bit-packed data. Other
 grid/product/representation templates (JPEG 2000, spectral, Lambert,
-reduced-Gaussian, missing-value management) raise a crisp
+Gaussian latitude-band subsets, missing-value management) raise a
+crisp
 ``NotImplementedError`` naming the template — the codec-family
 loud-seam convention: never silent wrong values.
 
@@ -369,6 +372,7 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
     lo2 = struct.unpack_from(">I", s3, 59)[0] / 1e6
     dlon = struct.unpack_from(">I", s3, 63)[0] / 1e6
     scan = s3[71]
+    pl = None
     if gtemplate == 40:
         # octets 68-71 carry N (parallels pole→equator), not Dj: the
         # nj = 2N grid latitudes are the Gaussian quadrature nodes
@@ -380,6 +384,24 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
             raise NotImplementedError(
                 f"GRIB2 Gaussian grid with Nj={nj} != 2N={2 * n_par} "
                 "(latitude-band subsets unsupported)")
+        if ni == 0xFFFFFFFF:
+            # REDUCED Gaussian grid (ERA5's native layout): Ni is
+            # 'missing' and section 3's optional list carries one
+            # point count per parallel (octet 11 = list item width,
+            # octet 12 = interpretation 1)
+            lw, interp = s3[10], s3[11]
+            if interp != 1 or lw not in (2, 4):
+                raise NotImplementedError(
+                    f"GRIB2 reduced grid with list interpretation "
+                    f"{interp} / item width {lw} (parallels list of "
+                    "2- or 4-octet counts only)")
+            pl = np.array(struct.unpack_from(
+                f">{int(nj)}{'H' if lw == 2 else 'I'}", s3, 72),
+                np.int64)
+            if pl.min() < 1:
+                raise ValueError("GRIB2 reduced grid with an empty "
+                                 "parallel")
+            rec["pl"] = pl
         dlat = 0.0
         lats = gaussian_latitudes(int(n_par))
         rec["gaussian_n"] = int(n_par)
@@ -427,6 +449,7 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
     nbits = s5[19]
     rec["template"] = f"5.{dtemplate}"
 
+    n_grid = int(pl.sum()) if pl is not None else int(ni * nj)
     bitmap = None
     if 6 in sec:
         s6 = sec[6]
@@ -434,11 +457,11 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
         if ind == 0:
             bitmap = np.unpackbits(
                 np.frombuffer(s6[6:], np.uint8),
-                count=ni * nj).astype(bool)
+                count=n_grid).astype(bool)
         elif ind != 255:
             raise NotImplementedError(
                 f"GRIB2 bitmap indicator {ind} (0/255 only)")
-    n_data = int(bitmap.sum()) if bitmap is not None else ni * nj
+    n_data = int(bitmap.sum()) if bitmap is not None else n_grid
     if n_points != n_data:
         raise ValueError("GRIB2 section-5 point count disagrees with "
                          "grid/bitmap")
@@ -462,11 +485,17 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
             "spatial-diff / 5.41 PNG only)")
     y = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
 
-    values = np.full(ni * nj, np.nan)
+    values = np.full(n_grid, np.nan)
     if bitmap is not None:
         values[bitmap] = y
     else:
         values[:] = y
+    if pl is not None:
+        # reduced grids are inherently ragged: values stay the
+        # row-major 1-D point stream; rec["pl"] names each parallel's
+        # point count (scan 0x00 enforced above)
+        rec["values"] = values
+        return rec
     grid = values.reshape(nj, ni)
     if scan == 0x40:                    # +y scanning: south-to-north
         grid = grid[::-1]
@@ -491,6 +520,7 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                 group_size: int = 8,
                 discipline: int = 0,
                 gaussian: bool = False,
+                reduced_pl=None,
                 stat: tuple | None = None,
                 scan_positive_y: bool = False) -> bytes:
     """Assemble one spec-shaped GRIB2 message from an (nj, ni) grid of
@@ -521,9 +551,20 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
             raise ValueError("scan_positive_y supports plain "
                              "simple-packed grids")
         vals = vals[::-1]               # stored south-to-north
-    nj, ni = (bitmap.shape if bitmap is not None else vals.shape)
-    n_data = int(bitmap.sum()) if bitmap is not None \
-        else int(vals.size)
+    if reduced_pl is not None:
+        if not gaussian or bitmap is not None or scan_positive_y:
+            raise ValueError("reduced_pl wants gaussian=True and a "
+                             "plain 1-D point stream")
+        reduced_pl = np.asarray(reduced_pl, np.int64)
+        nj, ni = int(reduced_pl.size), None
+        if vals.ndim != 1 or vals.size != int(reduced_pl.sum()):
+            raise ValueError("reduced grid values must be the 1-D "
+                             "row-major stream of sum(pl) points")
+        n_data = int(vals.size)
+    else:
+        nj, ni = (bitmap.shape if bitmap is not None else vals.shape)
+        n_data = int(bitmap.sum()) if bitmap is not None \
+            else int(vals.size)
     flat = vals.reshape(-1)
     if bitmap is not None and flat.size != n_data:
         raise ValueError("values must cover exactly the bitmap's "
@@ -555,11 +596,23 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
             la2 = la1 - dlat * (nj - 1)
         dj_field = round(dlat * 1e6)
         gtemplate = 0
-    lo2 = lo1 + dlon * (ni - 1)
-    g = (bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
+    if reduced_pl is not None:
+        lo2 = 0.0
+        dlon = 0.0
+        list_hdr = bytes([4, 1])        # 4-octet counts, interp 1
+        ni_field = 0xFFFFFFFF           # Ni 'missing' for reduced
+        pl_tail = b"".join(struct.pack(">I", int(k))
+                           for k in reduced_pl)
+    else:
+        lo2 = lo1 + dlon * (ni - 1)
+        list_hdr = bytes([0, 0])
+        ni_field = ni
+        pl_tail = b""
+    g = (bytes([0]) + struct.pack(">I", n_data if reduced_pl is not None
+                                  else ni * nj) + list_hdr
          + struct.pack(">H", gtemplate)              # 3.0 / 3.40
          + bytes([6]) + bytes(15)                    # spherical earth
-         + struct.pack(">II", ni, nj)
+         + struct.pack(">II", ni_field, nj)
          + struct.pack(">II", 0, 0)                  # basic angle
          + struct.pack(">I", _sm_enc(round(la1 * 1e6), 32))
          + struct.pack(">I", round(lo1 * 1e6))
@@ -568,7 +621,8 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
          + struct.pack(">I", round(lo2 * 1e6))
          + struct.pack(">I", round(dlon * 1e6))
          + struct.pack(">I", dj_field)
-         + bytes([0x40 if scan_positive_y else 0x00]))
+         + bytes([0x40 if scan_positive_y else 0x00])
+         + pl_tail)
     s4 = (struct.pack(">H", 0)
           + struct.pack(">H", 8 if stat is not None else 0)
           + bytes([param[0], param[1], 0, 0, 0]) + struct.pack(">H", 0)
@@ -761,6 +815,14 @@ def grib2_long(payload_df, id_col: str = "msg_id",
     def _decode(batches):
         import numpy as np
 
+        lon_cache: dict = {}
+
+        def _par_lons(k: int) -> np.ndarray:
+            got = lon_cache.get(k)
+            if got is None:
+                got = lon_cache[k] = np.arange(k) * (360.0 / k)
+            return got
+
         for pdf in batches:
             rows = {k: [] for k in ("msg_id", "template", "ref_time",
                                     "param_category", "param_number",
@@ -769,13 +831,26 @@ def grib2_long(payload_df, id_col: str = "msg_id",
                                     pdf[payload_col]):
                 for m in parse_grib2(bytes(payload)):
                     vals = m["values"]
-                    nj, ni = vals.shape
-                    # the parser computes the north-first latitude
-                    # vector per grid template (regular spacing for
-                    # 3.0, quadrature nodes for 3.40 Gaussian)
-                    lat = m["lats"]
-                    lon = m["lo1"] + m["dlon"] * np.arange(ni)
-                    latg, long_ = np.meshgrid(lat, lon, indexing="ij")
+                    if m.get("pl") is not None:
+                        # reduced Gaussian: ragged parallels — each
+                        # parallel j holds pl[j] points at spacing
+                        # 360/pl[j] from lo1
+                        pl = m["pl"]
+                        latf = np.repeat(m["lats"], pl)
+                        lonf = m["lo1"] + np.concatenate(
+                            [_par_lons(int(k)) for k in pl])
+                    else:
+                        nj, ni = vals.shape
+                        # the parser computes the north-first latitude
+                        # vector per grid template (regular spacing
+                        # for 3.0, quadrature nodes for 3.40 Gaussian)
+                        lat = m["lats"]
+                        lon = m["lo1"] + m["dlon"] * np.arange(ni)
+                        latg, long_ = np.meshgrid(lat, lon,
+                                                  indexing="ij")
+                        latf = latg.reshape(-1)
+                        lonf = long_.reshape(-1)
+                        vals = vals.reshape(-1)
                     mask = ~np.isnan(vals)
                     n = int(mask.sum())
                     rows["msg_id"].extend([int(mid)] * n)
@@ -784,8 +859,8 @@ def grib2_long(payload_df, id_col: str = "msg_id",
                     rows["param_category"].extend(
                         [m["param_category"]] * n)
                     rows["param_number"].extend([m["param_number"]] * n)
-                    rows["lat"].extend(latg[mask].tolist())
-                    rows["lon"].extend(long_[mask].tolist())
+                    rows["lat"].extend(latf[mask].tolist())
+                    rows["lon"].extend(lonf[mask].tolist())
                     rows["value"].extend(vals[mask].tolist())
             yield pd.DataFrame(rows)
 
@@ -877,3 +952,42 @@ def grib2_interval_stats(payload_df, id_col: str = "msg_id",
         _decode, schema=("msg_id long, stat_process int, "
                          "stat_hours int, interval_end string, "
                          "mean_value double"))
+
+
+def synthesize_grib2_reduced(df, id_col: str, text_col: str):
+    """Build REAL reduced-Gaussian-grid GRIB2 messages (template 3.40
+    with Ni missing + the per-parallel point-count list) from text
+    rows: 8 parallels (N = 4) with profile ``pl[j] = 4 + (msg_id+j)%5``
+    and values = text bytes cycled over the sum(pl)-point stream;
+    even ids pack simple 8-bit, odd ids complex 5.3 order 1 — the
+    packing must be transparent to the decoded field."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            pl = np.array([4 + (msg_id + j) % 5 for j in range(8)],
+                          np.int64)
+            n = int(pl.sum())
+            flat = bts[np.arange(n) % len(bts)]
+            if msg_id % 2:
+                return build_grib2(flat, gaussian=True, reduced_pl=pl,
+                                   lo1=0.0, complex_packed=True,
+                                   spatial_diff_order=1, group_size=6)
+            return build_grib2(flat, gaussian=True, reduced_pl=pl,
+                               lo1=0.0, nbits=8)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))

@@ -246,6 +246,58 @@ def test_grib2_gaussian_grid_and_interval_statistics(spark):
         parse_grib2(bytes(bad))
 
 
+def test_grib2_reduced_gaussian_grid(spark):
+    """Reduced Gaussian grids (Ni missing + per-parallel point-count
+    list, ERA5's native layout): the ragged 1-D stream round-trips
+    through every packing, grib2_long places parallel j's points at
+    spacing 360/pl[j] on the quadrature latitude, and malformed lists
+    stay loud."""
+    import pandas as pd
+
+    from climate_data_pipeline_spark.sources.grib2 import \
+        gaussian_latitudes
+
+    rng = np.random.default_rng(53)
+    pl = np.array([4, 7, 9, 10, 10, 9, 7, 4], np.int64)
+    flat = rng.integers(0, 256, int(pl.sum())).astype(np.int64)
+    for kw in ({}, {"complex_packed": True, "group_size": 5},
+               {"complex_packed": True, "spatial_diff_order": 2},
+               {"stat": (1, 12, (2022, 3, 4, 6, 0, 0))}):
+        m = parse_grib2(build_grib2(flat, gaussian=True, reduced_pl=pl,
+                                    lo1=0.0, **kw))[0]
+        assert np.array_equal(m["pl"], pl) and m["gaussian_n"] == 4
+        np.testing.assert_array_equal(m["values"], flat.astype(float))
+    # long-model georeferencing: per-parallel spacing + quadrature lats
+    blob = build_grib2(flat, gaussian=True, reduced_pl=pl, lo1=0.0)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"msg_id": [0], "payload": [bytearray(blob)]}))
+    rows = grib2_long(df).collect()
+    assert len(rows) == int(pl.sum())
+    glats = gaussian_latitudes(4)
+    by_lat = {}
+    for r in rows:
+        by_lat.setdefault(round(r["lat"], 9), []).append(r["lon"])
+    assert len(by_lat) == 8
+    for j, lat in enumerate(np.round(glats, 9)):
+        lons = sorted(by_lat[lat])
+        k = int(pl[j])
+        assert len(lons) == k
+        np.testing.assert_allclose(lons, np.arange(k) * (360.0 / k))
+    # loud seams: bad interpretation byte, empty parallel, misuse
+    import struct as st
+    bad = bytearray(blob)
+    p = 16
+    while bad[p + 4] != 3:
+        p += st.unpack_from(">I", bad, p)[0]
+    bad[p + 11] = 3
+    with pytest.raises(NotImplementedError, match="interpretation"):
+        parse_grib2(bytes(bad))
+    with pytest.raises(ValueError, match="1-D"):
+        build_grib2(flat[:-1], gaussian=True, reduced_pl=pl)
+    with pytest.raises(ValueError, match="gaussian=True"):
+        build_grib2(flat, reduced_pl=pl)
+
+
 def test_grib2_distributed_file_read(spark, tmp_path):
     """binaryFile → grib2_long: several files, several messages each,
     decoded on executors into the long climate shape."""
