@@ -278,21 +278,19 @@ def _pack_complex(flat: np.ndarray, group_size: int,
             + _pack_bits(refs, nbits_refs)
             + _pack_bits(widths - ref_gw, bits_gw)
             + _pack_bits((lengths - ref_gl), bits_gl))
-    stream = bytearray()
-    acc = bitn = 0
+    # one CONTINUOUS value bitstream across groups (byte padding only
+    # at the very end) — vectorized per group, no per-value loop
+    chunks = []
     for g, (a, b) in enumerate(bounds):
         w = int(widths[g])
         if w == 0:
             continue
-        for v in (vals[a:b] - refs[g]).tolist():
-            acc = (acc << w) | int(v)
-            bitn += w
-            while bitn >= 8:
-                bitn -= 8
-                stream.append((acc >> bitn) & 0xFF)
-    if bitn:
-        stream.append((acc << (8 - bitn)) & 0xFF)
-    return s5_tail, body + bytes(stream), nbits_refs
+        v = vals[a:b] - refs[g]
+        chunks.append(((v[:, None] >> np.arange(w - 1, -1, -1)) & 1)
+                      .astype(np.uint8).reshape(-1))
+    stream = (np.packbits(np.concatenate(chunks)).tobytes()
+              if chunks else b"")
+    return s5_tail, body + stream, nbits_refs
 
 
 def gaussian_latitudes(n: int) -> np.ndarray:
@@ -326,30 +324,41 @@ def parse_grib2(data: bytes) -> list[dict]:
             raise ValueError("GRIB2 message truncated")
         if msg[-4:] != b"7777":
             raise ValueError("GRIB2 message missing 7777 trailer")
-        out.append(_parse_message(msg, discipline))
+        out.extend(_parse_message(msg, discipline))
         pos += total_len
     if not out:
         raise ValueError("no GRIB2 messages in payload")
     return out
 
 
-def _parse_message(msg: bytes, discipline: int) -> dict:
+def _parse_message(msg: bytes, discipline: int) -> list[dict]:
+    """One GRIB…7777 envelope → one rec per FIELD: the spec allows
+    sections 2-7 to repeat inside a message (each section 7 closes a
+    field), unrepeated sections carrying over — so the walk snapshots
+    the live section set at every section 7. A bitmap indicator 254
+    ('previously defined bitmap applies') reuses the last explicit
+    bitmap through the shared carry."""
     p = 16                              # past section 0
-    sec: dict[int, bytes] = {}
-    rec: dict = {"discipline": discipline}
+    cur: dict[int, bytes] = {}
+    snapshots: list[dict[int, bytes]] = []
     while p < len(msg) - 4:
         (slen,) = struct.unpack_from(">I", msg, p)
         snum = msg[p + 4]
-        sec[snum] = msg[p:p + slen]
+        if slen < 5 or not 1 <= snum <= 7:
+            raise ValueError("GRIB2 section chain desynchronized")
+        cur[snum] = msg[p:p + slen]
         p += slen
         if snum == 7:
-            # repeated sections 3-7 would mean MORE fields in this
-            # message; decoding only the first silently loses data
-            if p < len(msg) - 4:
-                raise NotImplementedError(
-                    "multi-field GRIB2 message (repeated sections "
-                    "after the first section 7) not supported")
-            break
+            snapshots.append(dict(cur))
+    if not snapshots:
+        raise ValueError("GRIB2 message missing section 7")
+    carry: dict = {}
+    return [_parse_field(sec, discipline, carry) for sec in snapshots]
+
+
+def _parse_field(sec: dict[int, bytes], discipline: int,
+                 carry: dict) -> dict:
+    rec: dict = {"discipline": discipline}
     for need in (1, 3, 4, 5, 7):
         if need not in sec:
             raise ValueError(f"GRIB2 message missing section {need}")
@@ -458,9 +467,16 @@ def _parse_message(msg: bytes, discipline: int) -> dict:
             bitmap = np.unpackbits(
                 np.frombuffer(s6[6:], np.uint8),
                 count=n_grid).astype(bool)
+            carry["bitmap"] = bitmap
+        elif ind == 254:                # previously defined bitmap
+            bitmap = carry.get("bitmap")
+            if bitmap is None or bitmap.size != n_grid:
+                raise ValueError(
+                    "GRIB2 bitmap indicator 254 without a matching "
+                    "previously-defined bitmap in this message")
         elif ind != 255:
             raise NotImplementedError(
-                f"GRIB2 bitmap indicator {ind} (0/255 only)")
+                f"GRIB2 bitmap indicator {ind} (0/254/255 only)")
     n_data = int(bitmap.sum()) if bitmap is not None else n_grid
     if n_points != n_data:
         raise ValueError("GRIB2 section-5 point count disagrees with "
@@ -991,3 +1007,42 @@ def synthesize_grib2_reduced(df, id_col: str, text_col: str):
 
     return (_spread(df).select(F.col(id_col), F.col(text_col))
             .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def build_grib2_multifield(messages: list[bytes],
+                           reuse_bitmap: bool = False) -> bytes:
+    """Fuse single-field messages (from ``build_grib2``) into ONE
+    multi-field GRIB2 envelope: the first message contributes sections
+    1 and 3, every message its sections 4-7 (all must share identical
+    section-1/3 bytes — the repeated-section inheritance contract).
+    ``reuse_bitmap`` replaces any later section 6 that is byte-equal
+    to the last explicit bitmap with the indicator-254
+    'previously defined bitmap applies' stub."""
+    def split(msg: bytes) -> dict[int, bytes]:
+        p, out = 16, {}
+        while p < len(msg) - 4:
+            (slen,) = struct.unpack_from(">I", msg, p)
+            out[msg[p + 4]] = msg[p:p + slen]
+            p += slen
+        return out
+
+    if not messages:
+        raise ValueError("no messages to fuse")
+    parts = [split(m) for m in messages]
+    for q in parts[1:]:
+        if q[1] != parts[0][1] or q[3] != parts[0][3]:
+            raise ValueError("multi-field fusion wants identical "
+                             "section 1 and section 3 across fields")
+    body = parts[0][1] + parts[0][3]
+    last_explicit_s6 = None
+    for q in parts:
+        s6 = q[6]
+        if reuse_bitmap and s6[5] == 0:
+            if s6 == last_explicit_s6:
+                s6 = _section(6, bytes([254]))
+            else:
+                last_explicit_s6 = q[6]
+        body += q[4] + q[5] + s6 + q[7]
+    total = 16 + len(body) + 4
+    head = messages[0][:8] + struct.pack(">Q", total)
+    return head + body + b"7777"

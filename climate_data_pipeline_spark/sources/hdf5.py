@@ -1723,7 +1723,7 @@ def _szip_client(dtype) -> tuple[int, int, int, int]:
             dtype.itemsize * 8, 16, 128)
 
 
-def write_hdf5(path: str, dims: dict[str, np.ndarray],
+def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
                variables: dict[str, tuple[list[str], np.ndarray, dict]],
                attrs: dict | None = None,
                chunks: dict[str, tuple[int, ...]] | None = None,
@@ -1736,7 +1736,8 @@ def write_hdf5(path: str, dims: dict[str, np.ndarray],
     and 4-byte-header framing (``compress="szip"``, integer dtypes of
     1/2/4 bytes). Readable by any HDF5 library (szip wants an
     szlib/libaec-enabled build, as with any szip file) and by
-    `H5File`."""
+    `H5File`. ``path=None`` returns the container BYTES instead of
+    writing a file (the in-memory synthesis path)."""
     W = _Writer
     chunks = chunks or {}
     # each dims value: array OR (array, attrs) tuple (e.g. CF units)
@@ -1978,6 +1979,8 @@ def write_hdf5(path: str, dims: dict[str, np.ndarray],
     gc += struct.pack("<HHI", 0, 0, 0) + struct.pack("<Q", 0)
     out[gcol_addr:gcol_addr + len(gc)] = gc
 
+    if path is None:
+        return bytes(out)
     with open(path, "wb") as fh:
         fh.write(bytes(out))
     return path
@@ -1989,7 +1992,8 @@ def synthesize_hdf5_szip(df, id_col: str, text_col: str):
     each document renders into an in-memory HDF5 container whose one
     8×8 data variable derives from the cycled UTF-8 text bytes, chunked
     + szip-filtered through ``write_hdf5(compress="szip")``, across
-    three residue classes of ``msg_id % 3``:
+    three residue classes of ``msg_id % 3`` (containers are built
+    fully in memory — no executor temp files):
 
     - 0: uint8 cells, one 8×8 chunk (single-chunk szip stream)
     - 1: int16 values = 127·byte, chunks (3, 5) — chunk-grid padding,
@@ -1998,9 +2002,6 @@ def synthesize_hdf5_szip(df, id_col: str, text_col: str):
          chunks (4, 4) — 32-bit samples and CF unpacking ON TOP of the
          szip decode (decoded field = byte·65537/2, exact halves)
     """
-    import os
-    import tempfile
-
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -2020,18 +2021,12 @@ def synthesize_hdf5_szip(df, id_col: str, text_col: str):
             else:
                 arr, chunks, attrs = ((cells * 65537).astype(np.uint32),
                                       (4, 4), {"scale_factor": 0.5})
-            fd, path = tempfile.mkstemp(suffix=".h5")
-            os.close(fd)
-            try:
-                write_hdf5(path,
-                           {"y": np.arange(8, dtype=np.int32),
-                            "x": np.arange(8, dtype=np.int32)},
-                           {"v": (["y", "x"], arr, attrs)},
-                           chunks={"v": chunks}, compress="szip")
-                with open(path, "rb") as fh:
-                    return fh.read()
-            finally:
-                os.unlink(path)
+            return write_hdf5(None,
+                              {"y": np.arange(8, dtype=np.int32),
+                               "x": np.arange(8, dtype=np.int32)},
+                              {"v": (["y", "x"], arr, attrs)},
+                              chunks={"v": chunks},
+                              compress="szip")
 
         for pdf in batches:
             ids = pdf.iloc[:, 0].astype("int64")

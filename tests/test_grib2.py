@@ -298,6 +298,70 @@ def test_grib2_reduced_gaussian_grid(spark):
         build_grib2(flat, reduced_pl=pl)
 
 
+def test_grib2_multi_field_messages_and_bitmap_254(spark):
+    """One GRIB…7777 envelope may carry several FIELDS (sections 2-7
+    repeat; unrepeated sections inherit): every section 7 closes a
+    field, and bitmap indicator 254 reuses the last explicit bitmap.
+    grib2_long expands every field of every message."""
+    import pandas as pd
+    import struct as st
+
+    from climate_data_pipeline_spark.sources.grib2 import \
+        build_grib2_multifield
+
+    rng = np.random.default_rng(54)
+    bm = np.zeros(64, bool)
+    bm[::2] = True
+    bm = bm.reshape(8, 8)
+    fields, msgs = [], []
+    for k in range(3):
+        pv = rng.integers(0, 200, int(bm.sum())).astype(np.int64)
+        fields.append(pv)
+        msgs.append(build_grib2(pv, bitmap=bm, param=(0, k), nbits=8,
+                                la1=12.0))
+    fused = build_grib2_multifield(msgs, reuse_bitmap=True)
+    # the 254 stubs actually shrank the envelope vs three full bitmaps
+    assert len(fused) < sum(len(m) for m in msgs) - 2 * 20
+    recs = parse_grib2(fused)
+    assert [r["param_number"] for r in recs] == [0, 1, 2]
+    for rec, pv in zip(recs, fields):
+        np.testing.assert_array_equal(rec["values"][bm],
+                                      pv.astype(float))
+        assert np.isnan(rec["values"][~bm]).all()
+    # packing may vary per field within one message
+    m2 = build_grib2_multifield([
+        build_grib2(rng.integers(0, 99, (4, 4)).astype(np.int64),
+                    param=(0, 0)),
+        build_grib2(rng.integers(0, 99, (4, 4)).astype(np.int64),
+                    param=(0, 1), complex_packed=True,
+                    spatial_diff_order=1)])
+    assert [r["template"] for r in parse_grib2(m2)] == ["5.0", "5.3"]
+    # long model: one payload → all fields' cells
+    df = spark.createDataFrame(pd.DataFrame(
+        {"msg_id": [0], "payload": [bytearray(fused)]}))
+    rows = grib2_long(df).collect()
+    assert len(rows) == 3 * 32
+    by_param = {}
+    for r in rows:
+        by_param.setdefault(r["param_number"], 0.0)
+        by_param[r["param_number"]] += r["value"]
+    for k, pv in enumerate(fields):
+        assert by_param[k] == float(pv.sum())
+    # 254 without a previously defined bitmap is loud
+    lone = build_grib2(rng.integers(0, 9, (4, 4)).astype(np.int64))
+    bad = bytearray(lone)
+    p = 16
+    while bad[p + 4] != 6:
+        p += st.unpack_from(">I", bad, p)[0]
+    bad[p + 5] = 254
+    with pytest.raises(ValueError, match="254"):
+        parse_grib2(bytes(bad))
+    # fusion refuses mismatched grids
+    with pytest.raises(ValueError, match="identical"):
+        build_grib2_multifield([msgs[0], build_grib2(
+            rng.integers(0, 9, (4, 4)).astype(np.int64))])
+
+
 def test_grib2_distributed_file_read(spark, tmp_path):
     """binaryFile → grib2_long: several files, several messages each,
     decoded on executors into the long climate shape."""
