@@ -17,9 +17,11 @@ Fixed Array, Extensible Array for appendable unlimited-dimension
 datasets, v2 B-tree), dense link AND attribute storage (fractal
 heap + name v2 B-trees), and compound datatypes (numpy structured
 arrays; one long-model variable per member). Features beyond that
-(multi-level fractal heaps, array-valued compound members, nbit/
-scaleoffset filters, ...) raise a crisp ``NotImplementedError`` naming
-the feature. Szip (CCSDS 121.0 extended-Rice, the filter CMIP/ERA5
+(multi-level fractal heaps, nbit/scaleoffset filters, ...) raise a
+crisp ``NotImplementedError`` naming the feature. Array datatypes
+(class 10, and v1 compound members' inline dimensionality) map to
+numpy subarray dtypes — the per-member wind-vector/level-profile
+station-obs shape. Szip (CCSDS 121.0 extended-Rice, the filter CMIP/ERA5
 archive files frequently carry) decodes for real through
 ``sources/szip.py``.
 
@@ -578,12 +580,19 @@ class H5File:
                     p += ((end - p) // 8 + 1) * 8
                     (off,) = struct.unpack_from("<I", body, p)
                     p += 4
+                    mdims = ()
                     if version == 1:
+                        # v1 members carry inline dimensionality: the
+                        # 4 dim slots are always present; ndims of
+                        # them are real — an array-valued member
                         ndims = body[p]
-                        if ndims:
-                            raise H5Unsupported(
-                                "array-valued compound member (v1 "
-                                "dimensionality) not supported")
+                        if ndims > 4:
+                            raise ValueError(
+                                "HDF5 v1 compound member with more "
+                                "than 4 dimensions")
+                        dims4 = struct.unpack_from("<4I", body,
+                                                   p + 12)
+                        mdims = tuple(int(d) for d in dims4[:ndims])
                         p += 1 + 3 + 4 + 4 + 16
                 else:
                     raise H5Unsupported(
@@ -594,20 +603,45 @@ class H5File:
                         f"compound member {name!r} of kind "
                         f"{member['kind']!r} not supported")
                 p += used
-                fields.append((name, off, member["dtype"]))
+                mdt = member["dtype"]
+                if version == 1 and mdims:
+                    mdt = np.dtype((mdt, mdims))
+                fields.append((name, off, mdt))
             dt = np.dtype({"names": [f[0] for f in fields],
                            "formats": [f[2] for f in fields],
                            "offsets": [f[1] for f in fields],
                            "itemsize": size})
             return ({"kind": "compound", "size": size, "dtype": dt},
                     p - pos)
+        if cls == 10:                         # array (spec IV.A.2.h)
+            p = pos + 8
+            ndims = body[p]
+            p += 1
+            if version == 2:
+                p += 3                        # reserved
+            elif version != 3:
+                raise H5Unsupported(
+                    f"array datatype version {version}")
+            adims = struct.unpack_from(f"<{ndims}I", body, p)
+            p += 4 * ndims
+            if version == 2:
+                p += 4 * ndims                # permutation (identity)
+            base, used = H5File._parse_datatype(body, p)
+            if base.get("dtype") is None:
+                raise H5Unsupported(
+                    f"array datatype over {base['kind']!r} base not "
+                    "supported")
+            p += used
+            return ({"kind": "array", "size": size,
+                     "dtype": np.dtype((base["dtype"],
+                                        tuple(int(d) for d in adims)))},
+                    p - pos)
         if cls == 9:                          # variable length
             vtype = bits[0] & 0x0F
             base, used = H5File._parse_datatype(body, pos + 8)
             return ({"kind": "vlen_string" if vtype == 1 else "vlen",
                      "size": size, "base": base}, 8 + used)
-        names = {2: "time", 4: "bitfield", 5: "opaque",
-                 8: "enum", 10: "array"}
+        names = {2: "time", 4: "bitfield", 5: "opaque", 8: "enum"}
         raise H5Unsupported(
             f"HDF5 datatype class {cls} ({names.get(cls, '?')}) not "
             "supported (outside the netCDF-4 classic-model profile)")

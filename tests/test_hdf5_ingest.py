@@ -1397,3 +1397,105 @@ def test_compound_256_byte_offsets_are_two_bytes():
     assert got.dtype.itemsize == 256
     for n in names:
         np.testing.assert_array_equal(got[n], rec[n])
+
+
+def test_array_datatype_class10_and_v1_inline_dims():
+    """Array datatypes map to numpy subarray dtypes: class 10 (v2 with
+    permutation slots and v3 without) standalone and inside a v3
+    compound, plus the v1 compound member's INLINE dimensionality —
+    the wind-vector/level-profile station-obs record shapes."""
+    import struct
+
+    from climate_data_pipeline_spark.sources.hdf5 import H5File
+
+    def dt_header(version: int, cls: int, size: int,
+                  bits=(0, 0, 0)) -> bytes:
+        return (bytes([(version << 4) | cls, *bits])
+                + struct.pack("<I", size))
+
+    # little-endian f4 base type (class 1 v1): bit field 0x00, props
+    f4 = (dt_header(1, 1, 4)
+          + struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127))
+
+    # class 10 v3: ndims=2, dims (3, 2), f4 base → ('<f4', (3, 2))
+    arr_v3 = dt_header(3, 10, 24) + bytes([2]) \
+        + struct.pack("<II", 3, 2) + f4
+    info, used = H5File._parse_datatype(arr_v3, 0)
+    assert info["kind"] == "array"
+    assert info["dtype"] == np.dtype(("<f4", (3, 2)))
+    assert used == len(arr_v3)
+
+    # class 10 v2: 3 reserved bytes + permutation slots after dims
+    arr_v2 = dt_header(2, 10, 12) + bytes([1]) + bytes(3) \
+        + struct.pack("<I", 3) + struct.pack("<I", 0) + f4
+    info, used = H5File._parse_datatype(arr_v2, 0)
+    assert info["dtype"] == np.dtype(("<f4", (3,)))
+    assert used == len(arr_v2)
+
+    # v3 compound {t: f8, wind: f4[3]} — offsets 1-byte (size 20 < 256)
+    f8 = (dt_header(1, 1, 8)
+          + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+    wind = dt_header(3, 10, 12) + bytes([1]) + struct.pack("<I", 3) + f4
+    comp = (dt_header(3, 6, 20, bits=(2, 0, 0))
+            + b"t\x00" + bytes([0]) + f8
+            + b"wind\x00" + bytes([8]) + wind)
+    info, used = H5File._parse_datatype(comp, 0)
+    want = np.dtype({"names": ["t", "wind"],
+                     "formats": ["<f8", ("<f4", (3,))],
+                     "offsets": [0, 8], "itemsize": 20})
+    assert info["dtype"] == want
+    assert used == len(comp)
+
+    # v1 compound member with inline dimensionality: name padded to 8,
+    # 4-byte offset, ndims=1 + reserved(3) + perm(4) + reserved(4) +
+    # four 4-byte dim slots (first = 3), then the f4 base
+    m1 = (b"t\x00" + bytes(6) + struct.pack("<I", 0)
+          + bytes([0]) + bytes(3) + bytes(4) + bytes(4)
+          + struct.pack("<4I", 0, 0, 0, 0) + f8)
+    m2 = (b"wind\x00" + bytes(3) + struct.pack("<I", 8)
+          + bytes([1]) + bytes(3) + bytes(4) + bytes(4)
+          + struct.pack("<4I", 3, 0, 0, 0) + f4)
+    comp1 = dt_header(1, 6, 20, bits=(2, 0, 0)) + m1 + m2
+    info, used = H5File._parse_datatype(comp1, 0)
+    assert info["dtype"] == want
+    assert used == len(comp1)
+
+    # a full hand-assembled file: v3 superblock, compound-with-array
+    # dataset read back value-exact
+    from climate_data_pipeline_spark.sources.hdf5 import MAGIC
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(b_))
+                         + bytes([0]) + b_ for t, b_ in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    nrow = 7
+    rng = np.random.default_rng(7)
+    rec = np.zeros(nrow, dtype=want)
+    rec["t"] = rng.normal(280.0, 5.0, nrow)
+    rec["wind"] = rng.normal(0.0, 10.0, (nrow, 3)).astype("<f4")
+    daddr = place(rec.tobytes())
+    ds = bytes([2, 1, 0, 1]) + Q(nrow)
+    lay = bytes([3, 1]) + struct.pack("<QQ", daddr, rec.nbytes)
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, comp), (0x0008, lay)]))
+    li = bytes([0, 0]) + Q(UNDEF) + Q(UNDEF)
+    link = bytes([1, 0, 3]) + b"obs" + Q(v_oh)
+    root = place(ohdr([(0x0002, li), (0x0006, link)]))
+    sb = (MAGIC + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    got = H5File(sb + b"".join(alloc)).read("obs")
+    assert got.dtype == want
+    np.testing.assert_array_equal(got["t"], rec["t"])
+    np.testing.assert_array_equal(got["wind"], rec["wind"])
