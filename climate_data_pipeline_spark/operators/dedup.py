@@ -351,7 +351,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     #   every qualifying pair keeps at least that one row — lossless.
     t = float(min_jaccard)
     n_a, n_b = F.col("a.n_sh"), F.col("b.n_sh")
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (n_a + n_b))
+    # the 1e-9 slack keeps BOTH thresholds on the safe (keep) side of
+    # IEEE rounding: a pair sitting EXACTLY on a boundary (min = t·max,
+    # or α landing on an integer) is QUALIFYING, and whether the float
+    # product rounds a hair above the exact rational depends on (t,
+    # size) — e.g. float 0.8 is above 4/5 before the multiply rounds
+    # it back. Slack can only ever admit an extra candidate, never
+    # drop one, so the filters stay lossless for every threshold
+    # rather than per-lucky-rounding
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (n_a + n_b) - F.lit(1e-9))
     ubound = 1 + F.least(n_a - F.col("a.__pos") - 1,
                          n_b - F.col("b.__pos") - 1)
     cand = (pre.alias("a")
@@ -359,7 +367,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                      (F.col("a.shingle") == F.col("b.shingle"))
                      & (F.col("a.id") < F.col("b.id"))
                      & (F.least(n_a, n_b)
-                        >= F.lit(t) * F.greatest(n_a, n_b))
+                        >= F.lit(t) * F.greatest(n_a, n_b) - F.lit(1e-9))
                      & (ubound >= alpha))
                .select(F.col("a.id").alias("id_a"),
                        F.col("b.id").alias("id_b"))

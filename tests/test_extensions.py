@@ -787,6 +787,13 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
         texts.append(" ".join(rng.choice(vocab, size=k)))
     texts += [texts[0], texts[1] + " extra tail words here",
               texts[2], texts[2]]
+    # an EXACT-boundary pair for t=0.8: B's 4 shingles ⊂ A's 5
+    # (7-word doc vs its 6-word prefix) → J = 4/5 = t precisely, so
+    # it must survive the length/positional prunes (the IEEE-slack
+    # regression: a float threshold rounding a hair above 4/5 would
+    # drop it)
+    seven = "b1 b2 b3 b4 b5 b6 b7"
+    texts += [seven, " ".join(seven.split()[:6])]
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
