@@ -24,10 +24,46 @@ Scale design (the point of each algorithm):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import _spread, fingerprint, words
+
+# Bounded plan-keyed cache for the jaccard shingle-array table (see
+# ngram_jaccard_pairs): within one query the table feeds the prefix
+# explode AND both verify joins; across a session, repeated runs over
+# the SAME corpus (bench iterations, a tuning sweep) hit the same
+# entry. The LRU bound is the lifetime contract — a full-registry
+# sweep over many distinct corpora evicts (and unpersists) old
+# entries instead of accumulating MEMORY_AND_DISK blocks until
+# storage-memory pressure.
+_ARR_CACHE: "OrderedDict[int, DataFrame]" = OrderedDict()
+_ARR_CACHE_MAX = 4
+
+
+def _cache_bounded(df: DataFrame) -> DataFrame:
+    """``df.cache()`` with an LRU lifetime: at most ``_ARR_CACHE_MAX``
+    distinct plans stay persisted; eviction unpersists. Keyed on the
+    canonicalized plan's semantic hash (the same identity Spark's own
+    CacheManager uses), so logically-identical plans share one entry."""
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:                                  # pragma: no cover
+        return df.cache()         # non-classic backends: uncapped cache
+    hit = _ARR_CACHE.get(key)
+    if hit is not None:
+        _ARR_CACHE.move_to_end(key)
+        return hit
+    _ARR_CACHE[key] = df.cache()
+    while len(_ARR_CACHE) > _ARR_CACHE_MAX:
+        _, old = _ARR_CACHE.popitem(last=False)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:                              # pragma: no cover
+            pass
+    return df
 
 # 64 permutations / 16 bands of 4: estimator std sqrt(J(1-J))/8 ≈ 0.06
 # at J=0.5 — production-grade threshold resolution. (The registry's
@@ -323,15 +359,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
              .agg(F.expr("transform(sort_array(collect_set("
                          "struct(__df, shingle))), x -> x.shingle)")
                   .alias("__sh"))
-             .withColumn("n_sh", F.size("__sh"))
-             # plan-keyed cache, intentionally left registered: the
-             # array table feeds the prefix explode AND both verify
-             # joins, and CacheManager canonicalization lets repeated
-             # runs over the same corpus (bench iterations, a tuning
-             # session) reuse it. One entry per distinct input plan,
-             # MEMORY_AND_DISK with LRU eviction; callers that need
-             # the memory back own the unpersist.
-             .cache())
+             .withColumn("n_sh", F.size("__sh")))
+    # plan-keyed BOUNDED cache (module LRU above): the array table
+    # feeds the prefix explode AND both verify joins, and repeated
+    # runs over the same corpus reuse the entry; distinct corpora
+    # beyond the bound evict-and-unpersist instead of accumulating
+    # MEMORY_AND_DISK blocks for the life of the session.
+    arr = _cache_bounded(arr)
     # prefix length for Jaccard t: |x| − ⌈t·|x|⌉ + 1; positions ride
     # along for the PPJoin positional filter below
     pre = arr.select(
@@ -400,30 +434,46 @@ def _components_single_task(p: DataFrame, u: str = "u",
     pure per-job scheduling floor — the same size-based runtime choice
     AQE makes between shuffle and broadcast joins. Callers gate it on
     an edge count; above the gate the O(log n)-round algorithms run."""
+    import numpy as np
     import pandas as pd
 
     id_type = p.schema[u].dataType.simpleString()
 
     def _uf(batches):
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
+        # vectorized kernel, NOT a per-edge interpreted union-find:
+        # with the callers' gate armed at millions of edges a pure-
+        # Python loop would cost more than the scheduling rounds it
+        # replaces. Ids → dense indices via np.unique (sorted, so the
+        # component-minimum INDEX is the component-minimum ID), then
+        # min-label propagation with pointer jumping: scatter-min
+        # across edges + path-halving per round, O(E) numpy work per
+        # round, rounds = O(log n) worst case, O(1)-ish on the
+        # quasi-clique graphs near-dup thresholds produce.
+        chunks_u, chunks_v = [], []
         for pdf in batches:
-            for a, b in zip(pdf[u], pdf[v]):
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-        ids = list(parent)
-        yield pd.DataFrame({"id": ids, "label": [find(x) for x in ids]})
+            chunks_u.append(pdf[u].to_numpy())
+            chunks_v.append(pdf[v].to_numpy())
+        if not chunks_u:
+            yield pd.DataFrame({"id": [], "label": []})
+            return
+        ids, edges = np.unique(
+            np.concatenate(chunks_u + chunks_v), return_inverse=True)
+        ne = sum(len(c) for c in chunks_u)
+        ea, eb = edges[:ne], edges[ne:]
+        lbl = np.arange(len(ids))
+        while True:
+            before = lbl.copy()
+            np.minimum.at(lbl, ea, lbl[eb])
+            np.minimum.at(lbl, eb, lbl[ea])
+            lbl = lbl[lbl]                       # path halving
+            if np.array_equal(lbl, before):
+                break
+        while True:                              # full compression
+            nxt = lbl[lbl]
+            if np.array_equal(nxt, lbl):
+                break
+            lbl = nxt
+        yield pd.DataFrame({"id": ids, "label": ids[lbl]})
 
     return p.coalesce(1).mapInPandas(
         _uf, schema=f"id {id_type}, label {id_type}")
@@ -1162,7 +1212,8 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
 
 
 def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
-                          n: int = 3) -> DataFrame:
+                          n: int = 3, max_df: int | None = None,
+                          id_col: str | None = None) -> DataFrame:
     """Pairwise content overlap between corpus sources: for every source
     pair, how many distinct word n-gram shingles they share, and the
     overlap coefficient |A∩B| / min(|A|, |B|). The provenance audit a
@@ -1186,12 +1237,35 @@ def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
     source-set signature before the pair explode (weighted pair counts)
     ADDS an array-keyed shuffle that costs more than the explode it
     saves at every tested scale (A/B at sf0.1: 1.4 s vs 1.8 s) — the
-    pair stream's map-side partial SUM already absorbs the volume."""
+    pair stream's map-side partial SUM already absorbs the volume.
+
+    ``max_df`` (requires ``id_col``) arms the load-bounded variant:
+    shingles present in MORE than ``max_df`` documents — corpus-wide
+    boilerplate, the hot keys that dominate both the distinct-shingle
+    agg and the collect_set state — are dropped before the set
+    aggregation via a BROADCAST anti-join (the blacklist of hot
+    shingles is small by definition; the keep-set is not, so the
+    polarity matters). Overlap is then over the capped shingle
+    universe, mirrored exactly in the query oracle — the same
+    documented-variant contract as ``ngram_jaccard_pairs(max_df=)``."""
+    if max_df is not None and id_col is None:
+        raise ValueError("max_df requires id_col (document identity "
+                         "defines the frequency being capped)")
     ss = (_spread(df).select(F.col(source_col).alias("__src"),
+                             *([F.col(id_col).alias("__id")]
+                               if max_df is not None else []),
                              words(text_col).alias("__w"))
             .where(F.size("__w") >= n)
-            .select("__src", F.explode(
+            .select("__src", *(["__id"] if max_df is not None else []),
+                    F.explode(
                 shingles_from_words(F.col("__w"), n)).alias("shingle")))
+    if max_df is not None:
+        hot = (ss.select("__id", "shingle").distinct()
+                 .groupBy("shingle").agg(F.count("*").alias("__df"))
+                 .where(F.col("__df") > max_df)
+                 .select("shingle"))
+        ss = (ss.join(F.broadcast(hot), "shingle", "left_anti")
+                .select("__src", "shingle"))
     sets = (ss.groupBy("shingle")
               .agg(F.array_sort(F.collect_set("__src")).alias("__set")))
     totals = (sets.select(F.explode("__set").alias("__src"))

@@ -802,21 +802,29 @@ def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
                                   n=3, min_jaccard=0.5)
+    # checkpoint: members feeds BOTH the semi-join and the final join —
+    # without it the whole jaccard+clustering pipeline runs twice
     members = (D.duplicate_clusters(pairs, small_graph_edges=2_000_000)
-               .select("id", "cluster_id"))
+               .select("id", "cluster_id").localCheckpoint())
+    # broadcast only when the member set is provably small (same
+    # size-based gate as the clustering arm choice); above it the set
+    # is unbounded on dup-heavy corpora and a forced broadcast can OOM
+    # — let AQE pick the join strategy there
+    _hint = (F.broadcast if members.count() <= 2_000_000
+             else (lambda d: d))
     # score only CLUSTER MEMBERS: the quality pass (regex + stopword
     # scans over full text) is the expensive projection, and only docs
     # that have a duplicate need ranking — the semi join runs before
     # the scoring so the corpus-minus-duplicates majority never pays it
     member_docs = docs.join(
-        F.broadcast(members.select(F.col("id").alias("doc_id"))),
+        _hint(members.select(F.col("id").alias("doc_id"))),
         "doc_id", "left_semi")
     quality = (TX.quality_score(member_docs, "text")
                .select(F.col("doc_id").alias("id"),
                        round_port("quality_score").alias("quality")))
     key = (F.round((F.lit(1.0) - F.col("quality")) * 1_000_000)
             .cast("long") * F.lit(1 << 42) + F.col("id"))
-    return (F.broadcast(members).join(quality, "id")
+    return (_hint(members).join(quality, "id")
             .groupBy("cluster_id")
             .agg(F.count("*").alias("n_members"),
                  F.min(key).alias("__k"))
@@ -1263,6 +1271,45 @@ def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the same matrix with a naive self-join."""
     docs = load_table(spark, sf_dir, "documents")
     return D.source_overlap_matrix(docs, "text", "source")
+
+
+@query("corpus_source_overlap_dfcap", oracle=f"""
+WITH words AS (SELECT doc_id, source, {_W} AS w FROM documents),
+ds0 AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+hot AS (SELECT shingle FROM ds0 GROUP BY shingle
+        HAVING count(DISTINCT doc_id) > 20),
+ds AS (SELECT DISTINCT source, shingle FROM ds0
+       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+tot AS (SELECT source, count(*) AS n FROM ds GROUP BY 1),
+sh AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS n_shared
+       FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       round(n_shared / least(ta.n, tb.n), 9) AS overlap
+FROM sh
+JOIN tot ta ON sh.source_a = ta.source
+JOIN tot tb ON sh.source_b = tb.source
+""")
+def source_overlap_dfcap_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Load-bounded source-overlap audit: 3-gram shingles present in
+    more than 20 documents (corpus boilerplate — the hot keys that
+    make the uncapped arm the most load-sensitive headline query) are
+    dropped via a broadcast anti-join BEFORE the shingle-keyed set
+    aggregation; overlap is over the capped universe, and the oracle
+    re-derives the identical definition so the scale optimization is
+    itself correctness-checked. Same documented-variant contract as
+    `dedup_ngram_jaccard_dfcap` (queries/text_dedup.py:742)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.source_overlap_matrix(docs, "text", "source",
+                                   max_df=20, id_col="doc_id")
 
 
 @query("text_perplexity", oracle=f"""

@@ -347,7 +347,11 @@ def _long_to_grid(df: DataFrame, dim_cols: Sequence[str],
     dim_cols = list(dim_cols)
     if var_cols is None:
         var_cols = [c for c in df.columns if c not in dim_cols]
-    proj = df.select(*dim_cols, *var_cols)
+    # localCheckpoint BEFORE the guard count: the count and the
+    # subsequent toPandas otherwise each execute the full upstream
+    # pipeline (twice the work for uncached inputs); after the
+    # checkpoint both actions read materialized blocks
+    proj = df.select(*dim_cols, *var_cols).localCheckpoint()
     n_rows = proj.count()
     est = n_rows * estimate_row_bytes(proj)
     if est > max_bytes:

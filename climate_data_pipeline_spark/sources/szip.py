@@ -314,7 +314,12 @@ def szip_encode(samples: np.ndarray, options_mask: int, bpp: int,
                     w.put_fs(z)
                 b += z
                 continue
-            best_k, best_cost = -1, nb * bpp     # uncompressed cost
+            # both options emit the reference sample at bpp bits, so
+            # cost ONLY the non-reference body on both sides — an
+            # nb*bpp baseline would bias selection toward split-sample
+            # by ref*bpp bits (ratio-only; round-trip unaffected)
+            best_k, best_cost = -1, (nb - ref) * bpp
+
             for k in range(0, max(bpp - 1, 1)):
                 cost = int((body >> k).sum()) + body.size * (k + 1)
                 if cost < best_cost:

@@ -2368,6 +2368,32 @@ def test_source_overlap_matrix_counts_shared_shingles(spark):
     assert r["overlap"] == 0.5
 
 
+def test_source_overlap_max_df_drops_boilerplate(spark):
+    """The df-capped arm must BIND: a boilerplate shingle present in
+    more than max_df documents is excluded from shared counts AND from
+    the per-source totals (overlap is over the capped universe)."""
+    rows = [(i, "common boiler plate", f"s{i % 2 + 1}") for i in range(6)]
+    rows += [(10, "common boiler plate rare pair one", "s1"),
+             (11, "common boiler plate rare pair two", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    uncapped = {(r["source_a"], r["source_b"]): r
+                for r in D.source_overlap_matrix(df, "text", "source")
+                .collect()}
+    capped = {(r["source_a"], r["source_b"]): r
+              for r in D.source_overlap_matrix(
+                  df, "text", "source", max_df=4, id_col="doc_id")
+              .collect()}
+    # 'common boiler plate' spans 8 docs > 4 → dropped in the capped arm
+    assert uncapped[("s1", "s2")]["n_shared"] > capped[("s1", "s2")]["n_shared"]
+    # totals shrink too: the dropped shingle no longer counts for either
+    assert capped[("s1", "s2")]["n_a"] < uncapped[("s1", "s2")]["n_a"]
+    # shared-but-rare shingles survive ('boiler plate rare', 'plate rare
+    # pair' in exactly 2 docs each)
+    assert capped[("s1", "s2")]["n_shared"] >= 1
+    with pytest.raises(ValueError, match="id_col"):
+        D.source_overlap_matrix(df, "text", "source", max_df=4)
+
+
 def test_source_overlap_pairs_are_ordered_and_complete(docs):
     out = D.source_overlap_matrix(docs, "text", "source").collect()
     for r in out:

