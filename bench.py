@@ -81,6 +81,10 @@ HEADLINE = [
     "s_hdf5_szip_ingest",     # HDF5 szip (CCSDS Rice) chunk pipeline
     "s_grib2_interval_ingest", # product template 4.8 interval stats
     "s_grib2_reduced_ingest",  # reduced Gaussian ragged parallels
+    "s_grib2_missing_ingest",  # 5.2/5.3 embedded missing-value mgmt
+    "s_grib2_lambert_ingest",  # Lambert conformal inverse projection
+    "s_hdf5_nbit_ingest",      # HDF5 nbit + scaleoffset filters
+    "corpus_source_overlap_dfcap",  # df-capped source overlap matrix
     "mm_exif_metadata",       # APP1/IFD metadata walk, zero pixel decode
     "mm_decode_audio_formats",  # G.711 mu/A-law + AIFF + 24-bit PCM
     "mm_audio_container_meta",  # MP3/Ogg walks, zero decode
@@ -292,6 +296,19 @@ def main() -> None:
 
     serving = bench_serving(spark, sf_dir)
 
+    # round-9: the sf0.1 envelope stopped discriminating (headline
+    # mean ~0.6 s), so the shuffle-heavy families are ALSO measured
+    # at a deterministic 10× replica corpus with a same-session A/B
+    # baseline — the ratio is immune to the cross-session host drift
+    # that false-flagged five regressions in BENCH_r08. Disable with
+    # BENCH_SCALE10X=0 for quick iteration runs.
+    scale10x = None
+    if os.environ.get("BENCH_SCALE10X", "1") != "0":
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from scale_bench import run_scale10x
+        scale10x = run_scale10x(spark, sf_dir)
+
     total = round(sum(per_query.values()), 4)
     print(json.dumps({"details": details, "n_queries": len(HEADLINE)},
                      indent=None), file=sys.stderr)
@@ -303,6 +320,7 @@ def main() -> None:
         "queries": per_query,
         "off_headline": off_headline,
         "serving_ms": serving,
+        "scale10x": scale10x,
         "host": host,
         "sf": sf,
     }))

@@ -72,21 +72,23 @@ def query(name: str, oracle: str | None = None):
 # follows in registration order, so ~35 of the long-standing names stay
 # in the sample for round-over-round continuity. Refresh each round.
 DRIVER_ROTATION = [
-    # NEW/CHANGED this round — complex-packed GRIB2, the adaptive
-    # small-graph clustering arm, the combinable duplicate-spans
-    # flagging, the single-task BPE arm
-    "s_grib2_complex_ingest", "s_hdf5_szip_ingest",
-    "s_grib2_interval_ingest", "s_grib2_reduced_ingest",
-    "dedup_clusters_star", "dedup_keep_best",
-    "text_bpe_train", "text_duplicate_spans", "dedup_clusters",
-    # never driver-sampled families (behavioral / tsmodel / interval /
-    # spatial / incremental) — rotate them in front of the 50-name cut
-    "sessionization", "hopping_window", "rolling_time_range",
-    "spell_summary_users", "ts_changepoint_cusum",
-    "forecast_baseline_eval", "harmonic_seasonal_fit",
-    "seasonal_decompose", "acf_lag_autocorr", "sim_knn_graph",
-    "etccdi_rx5day", "er_customer_clusters", "incremental_cdc_refresh",
-    "spatial_bilinear_regrid", "text_gopher_rules",
+    # NEW/CHANGED this round (9) — GRIB2 missing-value management +
+    # Lambert conformal grids, HDF5 nbit/scaleoffset filters, the
+    # df-capped source-overlap arm, the gated-broadcast keep_best and
+    # the numpy union-find under the clustering family
+    "s_grib2_missing_ingest", "s_grib2_lambert_ingest",
+    "s_hdf5_nbit_ingest", "corpus_source_overlap_dfcap",
+    "corpus_source_overlap", "dedup_keep_best", "dedup_clusters",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcap",
+    # never driver-sampled in r07/r08 (VERDICT r8 ask #7): the mm_*
+    # media family and mid-range TPC-H shapes — rotate them in front
+    # of the 50-name cut
+    "mm_frame_dedup", "mm_decode_jpeg", "mm_video_frames",
+    "mm_audio_features", "mm_image_resize", "mm_decode_png",
+    "mm_decode_ico", "mm_frame_sample", "mm_decode_real",
+    "tpch_q9_product_profit", "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_shippers", "tpch_q21_waiting_orders",
 ]
 
 

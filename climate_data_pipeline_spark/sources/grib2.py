@@ -114,30 +114,43 @@ def _sm_bytes_dec(buf: bytes) -> int:
 
 
 def _unpack_complex(s5: bytes, s7_body: bytes, n_data: int,
-                    nbits: int, dtemplate: int) -> np.ndarray:
+                    nbits: int, dtemplate: int
+                    ) -> tuple[np.ndarray, np.ndarray | None]:
     """Decode data representation template 5.2 (complex packing) or
     5.3 (complex packing + spatial differencing), data templates
     7.2/7.3: NG groups, each a (reference, width, length) triple whose
     three descriptor streams are themselves bit-packed (each padded to
     a byte boundary), followed by one continuous value bitstream.
-    Returns the integer field X (spatial differences already
-    reconstructed for 5.3) — the caller applies ``(R + X·2^E)/10^D``.
+    Returns ``(X, missing)`` — the integer field (spatial differences
+    already reconstructed for 5.3; the caller applies
+    ``(R + X·2^E)/10^D``) and a bool mask of embedded-missing points
+    (None when octet 23's missing-value management is 0).
 
     Layout per the public WMO FM 92 templates; reconstruction order
     matches the normative notes (first ``order`` values are carried
     verbatim in the extra descriptors; every later packed value gets
-    the overall minimum added back before the running sum)."""
+    the overall minimum added back before the running sum).
+
+    Missing-value management (octet 23 = 1 primary / 2 primary +
+    secondary — accumulation products use it to embed the
+    no-observation sentinel INSIDE group values instead of a bitmap):
+    in a width-w > 0 group the all-ones offset 2^w − 1 marks a primary
+    missing point and 2^w − 2 a secondary one; a width-0 group is
+    entirely missing when its REFERENCE carries the same all-ones
+    markers in the reference width. For 5.3 the spatial-differencing
+    recurrence runs over the NON-missing subsequence only (the
+    normative ordering: missing points never enter the running
+    sums)."""
     split = s5[21]
     miss_mgmt = s5[22]
     if split != 1:
         raise NotImplementedError(
             f"GRIB2 group-splitting method {split} (general group "
             "splitting = 1 only)")
-    if miss_mgmt != 0:
+    if miss_mgmt not in (0, 1, 2):
         raise NotImplementedError(
-            f"GRIB2 missing-value management {miss_mgmt} (explicit "
-            "bitmaps only; primary/secondary substitution "
-            "unsupported)")
+            f"GRIB2 missing-value management {miss_mgmt} (0 none / "
+            "1 primary / 2 primary+secondary only)")
     (ng,) = struct.unpack_from(">I", s5, 31)
     ref_gw = s5[35]
     bits_gw = s5[36]
@@ -189,55 +202,114 @@ def _unpack_complex(s5: bytes, s7_body: bytes, n_data: int,
     bits = np.unpackbits(np.frombuffer(s7_body[pos:], np.uint8),
                          count=bit_budget)
     x = np.empty(n_data, np.int64)
+    miss = np.zeros(n_data, bool) if miss_mgmt else None
+    ref_m1 = (1 << nbits) - 1           # width-0 reference markers
+    ref_m2 = ref_m1 - 1
     bo = vo = 0
     for g in range(int(ng)):
         w, ln, rf = int(widths[g]), int(lengths[g]), int(refs[g])
         if w == 0:
-            x[vo:vo + ln] = rf
+            if miss_mgmt and (rf == ref_m1
+                              or (miss_mgmt == 2 and rf == ref_m2)):
+                x[vo:vo + ln] = 0
+                miss[vo:vo + ln] = True
+            else:
+                x[vo:vo + ln] = rf
         else:
             weights = (1 << np.arange(w - 1, -1, -1)).astype(np.int64)
-            x[vo:vo + ln] = rf + (bits[bo:bo + w * ln]
-                                  .reshape(ln, w).astype(np.int64)
-                                  @ weights)
+            raw = (bits[bo:bo + w * ln].reshape(ln, w).astype(np.int64)
+                   @ weights)
+            if miss_mgmt:
+                m1 = (1 << w) - 1
+                mk = raw == m1
+                if miss_mgmt == 2:
+                    mk |= raw == m1 - 1
+                miss[vo:vo + ln] = mk
+                raw = np.where(mk, -rf, raw)    # x = 0 at missing slots
+            x[vo:vo + ln] = rf + raw
         bo += w * ln
         vo += ln
 
     if dtemplate == 3:
-        x[order:] += gmin
-        x[0] = ival1
-        if order == 2:
-            x[1] = ival2
-            x[2:] = np.cumsum(np.cumsum(x[2:])
-                              + (ival2 - ival1)) + ival2
+        if miss is not None and miss.any():
+            # recurrence over the non-missing subsequence only
+            nm = ~miss
+            z = x[nm]
+            if z.size <= order:
+                raise ValueError("GRIB2 5.3 field with fewer non-"
+                                 "missing points than the "
+                                 "differencing order")
+            z[order:] += gmin
+            z[0] = ival1
+            if order == 2:
+                z[1] = ival2
+                z[2:] = np.cumsum(np.cumsum(z[2:])
+                                  + (ival2 - ival1)) + ival2
+            else:
+                z[1:] = np.cumsum(z[1:]) + ival1
+            x[nm] = z
         else:
-            x[1:] = np.cumsum(x[1:]) + ival1
-    return x
+            x[order:] += gmin
+            x[0] = ival1
+            if order == 2:
+                x[1] = ival2
+                x[2:] = np.cumsum(np.cumsum(x[2:])
+                                  + (ival2 - ival1)) + ival2
+            else:
+                x[1:] = np.cumsum(x[1:]) + ival1
+    return x, miss
 
 
 def _pack_complex(flat: np.ndarray, group_size: int,
-                  spatial_diff_order: int = 0
+                  spatial_diff_order: int = 0,
+                  miss_primary: np.ndarray | None = None,
+                  miss_secondary: np.ndarray | None = None
                   ) -> tuple[bytes, bytes, int]:
     """Complex-pack ``flat`` (non-negative int64) into the template
     5.2/5.3 section-5 tail and section-7 body. Returns
     ``(s5_tail, s7_body, nbits_refs)`` where ``s5_tail`` is the
     template bytes from octet 22 onward (group split method …) and
     ``nbits_refs`` goes into octet 20. Groups are consecutive runs of
-    ``group_size`` points (general group splitting, method 1)."""
-    vals = np.asarray(flat, np.int64)
+    ``group_size`` points (general group splitting, method 1).
+
+    ``miss_primary`` / ``miss_secondary`` (bool masks over ``flat``;
+    values at masked slots are ignored) arm missing-value management
+    1/2: masked points are stored as the in-group all-ones markers
+    (2^w − 1 primary, 2^w − 2 secondary) and group widths/references
+    widen just enough that no legitimate offset or width-0 reference
+    collides with a marker — the decoder-side contract in
+    ``_unpack_complex``. With spatial differencing the recurrence
+    covers the non-missing subsequence only."""
+    vals = np.asarray(flat, np.int64).copy()
     n = int(vals.size)
     if n == 0:
         raise ValueError("complex packing wants at least one value")
+    mp = (np.zeros(n, bool) if miss_primary is None
+          else np.asarray(miss_primary, bool).reshape(-1))
+    ms = (np.zeros(n, bool) if miss_secondary is None
+          else np.asarray(miss_secondary, bool).reshape(-1))
+    if mp.size != n or ms.size != n:
+        raise ValueError("missing masks must match the value count")
+    if (mp & ms).any():
+        raise ValueError("a point cannot be both primary- and "
+                         "secondary-missing")
+    mgmt = 2 if miss_secondary is not None else (
+        1 if miss_primary is not None else 0)
+    missing = mp | ms
+    nm = ~missing
+
     extra = b""
     order = int(spatial_diff_order)
     if order:
         if order not in (1, 2):
             raise ValueError("spatial differencing order must be 1/2")
-        if n <= order:
+        z = vals[nm] if mgmt else vals
+        if int(z.size) <= order:
             raise ValueError("field shorter than the differencing "
                              "order")
-        ivals = [int(vals[k]) for k in range(order)]
-        d = vals.copy()
-        d[order:] = np.diff(vals, n=order)
+        ivals = [int(z[k]) for k in range(order)]
+        d = z.copy()
+        d[order:] = np.diff(z, n=order)
         gmin = int(d[order:].min())
         d[order:] -= gmin
         d[:order] = 0
@@ -245,26 +317,67 @@ def _pack_complex(flat: np.ndarray, group_size: int,
         nb_extra = (max(mags).bit_length() + 1 + 7) // 8
         extra = b"".join(_sm_bytes_enc(v, nb_extra)
                          for v in ivals + [gmin])
-        vals = d
+        if mgmt:
+            vals[nm] = d
+        else:
+            vals = d
 
+    reserve = mgmt                       # marker codes kept clear
     ng = (n + group_size - 1) // group_size
     bounds = [(g * group_size, min((g + 1) * group_size, n))
               for g in range(ng)]
-    refs = np.array([int(vals[a:b].min()) for a, b in bounds],
-                    np.int64)
-    widths = np.array(
-        [int(int(vals[a:b].max() - refs[g]).bit_length())
-         for g, (a, b) in enumerate(bounds)], np.int64)
+    refs = np.zeros(ng, np.int64)
+    widths = np.zeros(ng, np.int64)
+    all_missing = np.zeros(ng, bool)     # refs patched after nbits known
+    all_secondary = np.zeros(ng, bool)
+    for g, (a, b) in enumerate(bounds):
+        pres = nm[a:b]
+        if mgmt and not pres.any():
+            all_missing[g] = True
+            all_secondary[g] = bool(ms[a:b].all())
+            if not all_secondary[g] and not mp[a:b].all():
+                # mixed primary/secondary: per-value markers need w>=2
+                widths[g] = 2
+                all_missing[g] = False
+                refs[g] = 0
+            continue
+        gv = vals[a:b][pres] if mgmt else vals[a:b]
+        refs[g] = int(gv.min())
+        maxoff = int(gv.max() - refs[g])
+        w = maxoff.bit_length()
+        if mgmt and (missing[a:b].any() or w > 0):
+            # group carries per-value codes: keep the top `reserve`
+            # codes free of legitimate offsets
+            while w < 64 and maxoff > (1 << w) - 1 - reserve:
+                w += 1
+            if missing[a:b].any():
+                w = max(w, 1 if mgmt == 1 else 2)
+        widths[g] = w
     lengths = np.array([b - a for a, b in bounds], np.int64)
 
-    nbits_refs = int(refs.max()).bit_length() if refs.size else 0
+    legit = refs[~all_missing]
+    max_ref = int(legit.max()) if legit.size else 0
+    nbits_refs = max_ref.bit_length()
+    if mgmt:
+        # width-0 reference markers must stay distinct from any
+        # legitimate reference
+        while nbits_refs < 64 and max_ref > (1 << nbits_refs) - 1 - reserve:
+            nbits_refs += 1
+        nbits_refs = max(nbits_refs, 1 if mgmt == 1 else 2)
+        refs[all_missing & ~all_secondary] = (1 << nbits_refs) - 1
+        refs[all_missing & all_secondary] = (1 << nbits_refs) - 2
+
     ref_gw = int(widths.min())
     bits_gw = int((widths - ref_gw).max()).bit_length()
     ref_gl = int(lengths.min())
     bits_gl = int((lengths - ref_gl).max()).bit_length()
 
-    s5_tail = (bytes([1, 0])                      # split=1, no missing
-               + struct.pack(">I", 0) * 2         # missing substitutes
+    subs = (struct.pack(">f", 9999.0) if mgmt >= 1
+            else struct.pack(">I", 0))
+    subs += (struct.pack(">f", 8888.0) if mgmt == 2
+             else struct.pack(">I", 0))
+    s5_tail = (bytes([1, mgmt])                   # split=1, mgmt
+               + subs                             # missing substitutes
                + struct.pack(">I", ng)
                + bytes([ref_gw, bits_gw])
                + struct.pack(">I", ref_gl)
@@ -286,11 +399,54 @@ def _pack_complex(flat: np.ndarray, group_size: int,
         if w == 0:
             continue
         v = vals[a:b] - refs[g]
+        if mgmt:
+            m1 = (1 << w) - 1
+            v = np.where(mp[a:b], m1, v)
+            v = np.where(ms[a:b], m1 - 1, v)
         chunks.append(((v[:, None] >> np.arange(w - 1, -1, -1)) & 1)
                       .astype(np.uint8).reshape(-1))
     stream = (np.packbits(np.concatenate(chunks)).tobytes()
               if chunks else b"")
     return s5_tail, body + stream, nbits_refs
+
+
+def lambert_latlon(ni: int, nj: int, la1: float, lo1: float,
+                   lad: float, lov: float, dx: float, dy: float,
+                   latin1: float, latin2: float,
+                   radius: float = 6371229.0
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cell (lat, lon) in degrees for a Lambert-conformal grid
+    (template 3.30, spherical earth, northern projection centre,
+    scan +x+y): forward-project the (la1, lo1) anchor, lay the
+    x/y metre grid, inverse-project every node. The conic constant
+    n, cone factor F and radius function are the public spherical
+    Lambert equations (Snyder, 'Map Projections — A Working Manual',
+    USGS PP 1395, eqs. 15-1..15-11); tangent cones (latin1 == latin2)
+    use n = sin(latin1)."""
+    rad = np.pi / 180.0
+    p1, p2 = latin1 * rad, latin2 * rad
+    if latin1 == latin2:
+        cn = np.sin(p1)
+    else:
+        cn = (np.log(np.cos(p1) / np.cos(p2))
+              / np.log(np.tan(np.pi / 4 + p2 / 2)
+                       / np.tan(np.pi / 4 + p1 / 2)))
+    cf = np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** cn / cn
+    rho = lambda phi: (radius * cf                         # noqa: E731
+                       / np.tan(np.pi / 4 + phi / 2) ** cn)
+    rho0 = rho(lad * rad)
+    r1 = rho(la1 * rad)
+    th1 = cn * (lo1 - lov) * rad
+    x1, y1 = r1 * np.sin(th1), rho0 - r1 * np.cos(th1)
+    x = x1 + dx * np.arange(ni)
+    y = y1 + dy * np.arange(nj)
+    xg, yg = np.meshgrid(x, y)                   # (nj, ni)
+    rg = np.hypot(xg, rho0 - yg) * np.sign(cn)
+    tg = np.arctan2(xg, rho0 - yg)
+    lat = (2 * np.arctan((radius * cf / rg) ** (1.0 / cn))
+           - np.pi / 2) / rad
+    lon = lov + tg / cn / rad
+    return lat, lon
 
 
 def gaussian_latitudes(n: int) -> np.ndarray:
@@ -356,6 +512,48 @@ def _parse_message(msg: bytes, discipline: int) -> list[dict]:
     return [_parse_field(sec, discipline, carry) for sec in snapshots]
 
 
+_EARTH_RADII = {0: 6367470.0, 6: 6371229.0}
+
+
+def _parse_lambert_grid(s3: bytes, rec: dict, ni: int, nj: int) -> None:
+    """Template 3.30 (Lambert conformal) section-3 fields → per-cell
+    ``lat2d``/``lon2d`` degree arrays in STORAGE order via the
+    spherical inverse projection (``lambert_latlon``). Regional NWP
+    archives (HRRR/NAM) are this template; scan mode +x+y (0x40) and
+    the northern projection centre are the operational layout — other
+    combinations stay loud."""
+    earth = s3[14]
+    radius = _EARTH_RADII.get(earth)
+    if radius is None:
+        raise NotImplementedError(
+            f"GRIB2 Lambert grid with earth-shape code {earth} "
+            "(spherical codes 0/6 only)")
+    la1 = _sm_int(struct.unpack_from(">I", s3, 38)[0], 32) / 1e6
+    lo1 = struct.unpack_from(">I", s3, 42)[0] / 1e6
+    lad = _sm_int(struct.unpack_from(">I", s3, 47)[0], 32) / 1e6
+    lov = struct.unpack_from(">I", s3, 51)[0] / 1e6
+    dx = struct.unpack_from(">I", s3, 55)[0] / 1e3      # mm → m
+    dy = struct.unpack_from(">I", s3, 59)[0] / 1e3
+    centre = s3[63]
+    scan = s3[64]
+    latin1 = _sm_int(struct.unpack_from(">I", s3, 65)[0], 32) / 1e6
+    latin2 = _sm_int(struct.unpack_from(">I", s3, 69)[0], 32) / 1e6
+    if centre & 0x80:
+        raise NotImplementedError(
+            "GRIB2 Lambert grid with the SOUTH pole on the projection "
+            "plane (northern-centre cones only)")
+    if scan != 0x40:
+        raise NotImplementedError(
+            f"GRIB2 Lambert scanning mode 0x{scan:02X} (+x+y 0x40 "
+            "only)")
+    lat2d, lon2d = lambert_latlon(ni, nj, la1, lo1, lad, lov, dx, dy,
+                                  latin1, latin2, radius)
+    rec.update(ni=ni, nj=nj, la1=la1, lo1=lo1, la2=0.0, lo2=0.0,
+               dlat=0.0, dlon=0.0, lats=lat2d[:, 0],
+               lat2d=lat2d, lon2d=lon2d, lad=lad, lov=lov,
+               latin1=latin1, latin2=latin2, dx_m=dx, dy_m=dy)
+
+
 def _parse_field(sec: dict[int, bytes], discipline: int,
                  carry: dict) -> dict:
     rec: dict = {"discipline": discipline}
@@ -370,17 +568,23 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
 
     s3 = sec[3]
     (gtemplate,) = struct.unpack_from(">H", s3, 12)
-    if gtemplate not in (0, 40):
+    if gtemplate not in (0, 30, 40):
         raise NotImplementedError(
             f"GRIB2 grid template 3.{gtemplate} not supported "
-            "(3.0 regular / 3.40 Gaussian lat/lon only)")
+            "(3.0 regular / 3.30 Lambert conformal / 3.40 Gaussian "
+            "lat/lon only)")
     ni, nj = struct.unpack_from(">II", s3, 30)
-    la1 = _sm_int(struct.unpack_from(">I", s3, 46)[0], 32) / 1e6
-    lo1 = struct.unpack_from(">I", s3, 50)[0] / 1e6
-    la2 = _sm_int(struct.unpack_from(">I", s3, 55)[0], 32) / 1e6
-    lo2 = struct.unpack_from(">I", s3, 59)[0] / 1e6
-    dlon = struct.unpack_from(">I", s3, 63)[0] / 1e6
-    scan = s3[71]
+    if gtemplate == 30:
+        _parse_lambert_grid(s3, rec, int(ni), int(nj))
+        scan = 0x40                      # +x+y, enforced in the parse
+        pl = None
+    else:
+        la1 = _sm_int(struct.unpack_from(">I", s3, 46)[0], 32) / 1e6
+        lo1 = struct.unpack_from(">I", s3, 50)[0] / 1e6
+        la2 = _sm_int(struct.unpack_from(">I", s3, 55)[0], 32) / 1e6
+        lo2 = struct.unpack_from(">I", s3, 59)[0] / 1e6
+        dlon = struct.unpack_from(">I", s3, 63)[0] / 1e6
+        scan = s3[71]
     pl = None
     if gtemplate == 40:
         # octets 68-71 carry N (parallels pole→equator), not Dj: the
@@ -414,7 +618,7 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
         dlat = 0.0
         lats = gaussian_latitudes(int(n_par))
         rec["gaussian_n"] = int(n_par)
-    else:
+    elif gtemplate == 0:
         dlat = struct.unpack_from(">I", s3, 67)[0] / 1e6
         if scan not in (0x00, 0x40):
             raise NotImplementedError(
@@ -423,8 +627,9 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
         # the flip below); the northern edge is la1 for -y scans and
         # la2 for +y scans
         lats = max(la1, la2) - dlat * np.arange(int(nj))
-    rec.update(ni=int(ni), nj=int(nj), la1=la1, lo1=lo1, la2=la2,
-               lo2=lo2, dlat=dlat, dlon=dlon, lats=lats)
+    if gtemplate != 30:
+        rec.update(ni=int(ni), nj=int(nj), la1=la1, lo1=lo1, la2=la2,
+                   lo2=lo2, dlat=dlat, dlon=dlon, lats=lats)
 
     s4 = sec[4]
     (ptemplate,) = struct.unpack_from(">H", s4, 7)
@@ -483,10 +688,12 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
                          "grid/bitmap")
 
     s7 = sec[7]
+    emb_miss = None
     if dtemplate == 0:
         x = _unpack_bits(s7[5:], nbits, n_data)
     elif dtemplate in (2, 3):           # complex (+spatial diff)
-        x = _unpack_complex(s5, s7[5:], n_data, nbits, dtemplate)
+        x, emb_miss = _unpack_complex(s5, s7[5:], n_data, nbits,
+                                      dtemplate)
     elif dtemplate == 41:               # PNG packing
         from ..operators.png import png_pixels
         px, _ctype = png_pixels(bytes(s7[5:]))
@@ -500,6 +707,10 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
             "supported (5.0 simple / 5.2 complex / 5.3 complex+"
             "spatial-diff / 5.41 PNG only)")
     y = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
+    if emb_miss is not None:
+        # embedded-missing points (management 1/2) land as NaN — the
+        # same absent-cell ingest contract as bitmap-masked cells
+        y[emb_miss] = np.nan
 
     values = np.full(n_grid, np.nan)
     if bitmap is not None:
@@ -513,7 +724,9 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
         rec["values"] = values
         return rec
     grid = values.reshape(nj, ni)
-    if scan == 0x40:                    # +y scanning: south-to-north
+    # regular lat/lon grids are normalized north-first; Lambert keeps
+    # STORAGE order (lat2d/lon2d were computed per stored cell)
+    if scan == 0x40 and gtemplate == 0:  # +y scanning: south-to-north
         grid = grid[::-1]
     rec["values"] = grid
     return rec
@@ -538,7 +751,10 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                 gaussian: bool = False,
                 reduced_pl=None,
                 stat: tuple | None = None,
-                scan_positive_y: bool = False) -> bytes:
+                scan_positive_y: bool = False,
+                missing_primary: np.ndarray | None = None,
+                missing_secondary: np.ndarray | None = None,
+                lambert: dict | None = None) -> bytes:
     """Assemble one spec-shaped GRIB2 message from an (nj, ni) grid of
     PACKED integer values X (the stored field is
     ``(ref + X·2^binary_scale)/10^decimal_scale``). ``bitmap`` is an
@@ -560,8 +776,27 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
     ``scan_positive_y`` stores the grid
     south-to-north (scan mode 0x40): the SAME (nj, ni) input is still
     interpreted north-first — rows are flipped on write and ``la1``
-    becomes the SOUTHERN edge, as real +y archives encode it."""
+    becomes the SOUTHERN edge, as real +y archives encode it.
+    ``missing_primary``/``missing_secondary`` (bool grids shaped like
+    ``values``; require ``complex_packed``) arm template 5.2/5.3
+    missing-value management 1/2: masked points are embedded in-group
+    as the all-ones markers (value at masked slots ignored) — the
+    no-bitmap sentinel encoding accumulation products use.
+    ``lambert`` emits grid template 3.30 (Lambert conformal, sphere):
+    a dict with ``lad``, ``lov``, ``latin1``, ``latin2`` (degrees),
+    ``dx``, ``dy`` (metres); ``la1``/``lo1`` args anchor the first
+    grid point, scan mode is +x+y (0x40) as regional NWP archives
+    (HRRR/NAM) encode it, and ``dlat``/``dlon`` args are ignored."""
     vals = np.asarray(values, np.int64)
+    if (missing_primary is not None or missing_secondary is not None) \
+            and not complex_packed:
+        raise ValueError("missing-value management is a template "
+                         "5.2/5.3 feature — pass complex_packed=True")
+    if lambert is not None and (gaussian or reduced_pl is not None
+                                or bitmap is not None or png_packed
+                                or scan_positive_y):
+        raise ValueError("lambert grids here are plain (nj, ni) "
+                         "fields (simple or complex packed)")
     if scan_positive_y:
         if bitmap is not None or png_packed:
             raise ValueError("scan_positive_y supports plain "
@@ -624,21 +859,43 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
         list_hdr = bytes([0, 0])
         ni_field = ni
         pl_tail = b""
-    g = (bytes([0]) + struct.pack(">I", n_data if reduced_pl is not None
-                                  else ni * nj) + list_hdr
-         + struct.pack(">H", gtemplate)              # 3.0 / 3.40
-         + bytes([6]) + bytes(15)                    # spherical earth
-         + struct.pack(">II", ni_field, nj)
-         + struct.pack(">II", 0, 0)                  # basic angle
-         + struct.pack(">I", _sm_enc(round(la1 * 1e6), 32))
-         + struct.pack(">I", round(lo1 * 1e6))
-         + bytes([0x30])                             # resolution flags
-         + struct.pack(">I", _sm_enc(round(la2 * 1e6), 32))
-         + struct.pack(">I", round(lo2 * 1e6))
-         + struct.pack(">I", round(dlon * 1e6))
-         + struct.pack(">I", dj_field)
-         + bytes([0x40 if scan_positive_y else 0x00])
-         + pl_tail)
+    if lambert is not None:
+        g = (bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
+             + struct.pack(">H", 30)                 # 3.30 Lambert
+             + bytes([6]) + bytes(15)                # spherical earth
+             + struct.pack(">II", ni, nj)
+             + struct.pack(">I", _sm_enc(round(la1 * 1e6), 32))
+             + struct.pack(">I", round(lo1 * 1e6))
+             + bytes([0x30])                         # resolution flags
+             + struct.pack(">I", _sm_enc(round(lambert["lad"] * 1e6),
+                                         32))
+             + struct.pack(">I", round(lambert["lov"] * 1e6))
+             + struct.pack(">I", round(lambert["dx"] * 1e3))   # mm
+             + struct.pack(">I", round(lambert["dy"] * 1e3))
+             + bytes([0])                            # centre: N pole
+             + bytes([0x40])                         # scan +x +y
+             + struct.pack(">I", _sm_enc(round(lambert["latin1"] * 1e6),
+                                         32))
+             + struct.pack(">I", _sm_enc(round(lambert["latin2"] * 1e6),
+                                         32))
+             + struct.pack(">I", _sm_enc(round(-90 * 1e6), 32))
+             + struct.pack(">I", 0))                 # southern pole
+    else:
+        g = (bytes([0]) + struct.pack(">I", n_data if reduced_pl is not None
+                                      else ni * nj) + list_hdr
+             + struct.pack(">H", gtemplate)              # 3.0 / 3.40
+             + bytes([6]) + bytes(15)                    # spherical earth
+             + struct.pack(">II", ni_field, nj)
+             + struct.pack(">II", 0, 0)                  # basic angle
+             + struct.pack(">I", _sm_enc(round(la1 * 1e6), 32))
+             + struct.pack(">I", round(lo1 * 1e6))
+             + bytes([0x30])                             # resolution flags
+             + struct.pack(">I", _sm_enc(round(la2 * 1e6), 32))
+             + struct.pack(">I", round(lo2 * 1e6))
+             + struct.pack(">I", round(dlon * 1e6))
+             + struct.pack(">I", dj_field)
+             + bytes([0x40 if scan_positive_y else 0x00])
+             + pl_tail)
     s4 = (struct.pack(">H", 0)
           + struct.pack(">H", 8 if stat is not None else 0)
           + bytes([param[0], param[1], 0, 0, 0]) + struct.pack(">H", 0)
@@ -661,7 +918,13 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
     if complex_packed:
         dtemplate = 3 if spatial_diff_order else 2
         s5_tail, packed, nbits = _pack_complex(
-            flat, group_size, spatial_diff_order)
+            flat, group_size, spatial_diff_order,
+            miss_primary=(None if missing_primary is None
+                          else np.asarray(missing_primary,
+                                          bool).reshape(-1)),
+            miss_secondary=(None if missing_secondary is None
+                            else np.asarray(missing_secondary,
+                                            bool).reshape(-1)))
     elif png_packed:
         from ..operators.png import build_gray_png
         if flat.size and (int(flat.max()) > 255 or int(flat.min()) < 0):
@@ -855,6 +1118,12 @@ def grib2_long(payload_df, id_col: str = "msg_id",
                         latf = np.repeat(m["lats"], pl)
                         lonf = m["lo1"] + np.concatenate(
                             [_par_lons(int(k)) for k in pl])
+                    elif m.get("lat2d") is not None:
+                        # Lambert conformal: lat/lon are genuinely 2-D
+                        # fields, one value per stored cell
+                        latf = m["lat2d"].reshape(-1)
+                        lonf = m["lon2d"].reshape(-1)
+                        vals = vals.reshape(-1)
                     else:
                         nj, ni = vals.shape
                         # the parser computes the north-first latitude
@@ -998,6 +1267,123 @@ def synthesize_grib2_reduced(df, id_col: str, text_col: str):
                                    spatial_diff_order=1, group_size=6)
             return build_grib2(flat, gaussian=True, reduced_pl=pl,
                                lo1=0.0, nbits=8)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def synthesize_grib2_missing(df, id_col: str, text_col: str):
+    """Build REAL GRIB2 messages with template-5.2/5.3 MISSING-VALUE
+    MANAGEMENT (octet 23 = 1/2 — the no-bitmap sentinel encoding
+    accumulation products publish) deterministically from text rows.
+    Cell i is primary-missing when ``(byte_i + i) % 7 == 0`` and (for
+    management-2 classes) secondary-missing when ``(byte_i + i) % 11
+    == 0`` — always 48+ of the 64 cells survive. Four residue classes
+    of ``msg_id % 4``:
+
+    - 0: template 5.2, management 1, group size 5
+    - 1: template 5.2, management 2 (primary + secondary), values
+         17·byte + 3, group size 7
+    - 2: template 5.3 first-order differencing, management 1
+    - 3: template 5.3 SECOND-order differencing, management 2,
+         reference 50 + binary scale −1 (exact halves)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)]
+            idx = np.arange(64)
+            mp = (cells + idx) % 7 == 0
+            ms = ((cells + idx) % 11 == 0) & ~mp
+            c = msg_id % 4
+            if c == 0:
+                return build_grib2(cells.reshape(8, 8),
+                                   complex_packed=True, group_size=5,
+                                   missing_primary=mp.reshape(8, 8))
+            if c == 1:
+                return build_grib2((cells * 17 + 3).reshape(8, 8),
+                                   complex_packed=True, group_size=7,
+                                   missing_primary=mp.reshape(8, 8),
+                                   missing_secondary=ms.reshape(8, 8))
+            if c == 2:
+                return build_grib2(cells.reshape(8, 8),
+                                   complex_packed=True,
+                                   spatial_diff_order=1, group_size=8,
+                                   missing_primary=mp.reshape(8, 8))
+            return build_grib2((cells >> 1).reshape(8, 8), ref=50.0,
+                               binary_scale=-1, complex_packed=True,
+                               spatial_diff_order=2, group_size=6,
+                               missing_primary=mp.reshape(8, 8),
+                               missing_secondary=ms.reshape(8, 8))
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def synthesize_grib2_lambert(df, id_col: str, text_col: str):
+    """Build REAL Lambert-conformal (grid template 3.30) GRIB2
+    messages deterministically from text rows — the HRRR/NAM regional
+    layout: 8×8 grids anchored at integer-degree (la1, lo1) with
+    integer-metre spacing (all exact in the microdegree/millimetre
+    wire fields), cone parameters from the id. Three residue classes
+    of ``msg_id % 3``:
+
+    - 0: TANGENT cone (latin1 == latin2 → n = sin latin1),
+         8-bit simple packing
+    - 1: secant cone (latin2 = latin1 + 15), complex 5.2
+    - 2: secant cone, complex 5.3 order 2, reference 50 + binary
+         scale −1 (exact halves)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)]
+            c = msg_id % 3
+            latin1 = float(25 + msg_id % 10)
+            lam = dict(lad=latin1, lov=float(250 + msg_id % 20),
+                       latin1=latin1,
+                       latin2=latin1 if c == 0 else latin1 + 15.0,
+                       dx=3000.0 * (1 + msg_id % 3),
+                       dy=3000.0 * (1 + msg_id % 3))
+            la1 = float(18 + msg_id % 12)
+            lo1 = lam["lov"] - 6.0 + float(msg_id % 13)
+            if c == 0:
+                return build_grib2(cells.reshape(8, 8), nbits=8,
+                                   la1=la1, lo1=lo1, lambert=lam)
+            if c == 1:
+                return build_grib2(cells.reshape(8, 8),
+                                   complex_packed=True, group_size=5,
+                                   la1=la1, lo1=lo1, lambert=lam)
+            return build_grib2((cells >> 1).reshape(8, 8), ref=50.0,
+                               binary_scale=-1, complex_packed=True,
+                               spatial_diff_order=2, group_size=6,
+                               la1=la1, lo1=lo1, lambert=lam)
 
         for pdf in batches:
             ids = pdf.iloc[:, 0].astype("int64")

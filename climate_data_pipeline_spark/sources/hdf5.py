@@ -17,13 +17,15 @@ Fixed Array, Extensible Array for appendable unlimited-dimension
 datasets, v2 B-tree), dense link AND attribute storage (fractal
 heap + name v2 B-trees), and compound datatypes (numpy structured
 arrays; one long-model variable per member). Features beyond that
-(multi-level fractal heaps, nbit/scaleoffset filters, ...) raise a
+(multi-level fractal heaps, float-scaled scaleoffset, ...) raise a
 crisp ``NotImplementedError`` naming the feature. Array datatypes
 (class 10, and v1 compound members' inline dimensionality) map to
 numpy subarray dtypes — the per-member wind-vector/level-profile
 station-obs shape. Szip (CCSDS 121.0 extended-Rice, the filter CMIP/ERA5
 archive files frequently carry) decodes for real through
-``sources/szip.py``.
+``sources/szip.py``; nbit (filter 5) and integer scaleoffset
+(filter 6) decode natively since round 9 (``_nbit_decode`` /
+``_scaleoffset_decode``).
 
 Reader semantics (the netCDF-4 data model):
 - dimension order per variable from the ``DIMENSION_LIST`` attribute
@@ -69,6 +71,80 @@ FILTER_DEFLATE = 1
 FILTER_SHUFFLE = 2
 FILTER_FLETCHER32 = 3
 FILTER_SZIP = 4
+FILTER_NBIT = 5
+FILTER_SCALEOFFSET = 6
+
+
+def _unpack_msb(buf: bytes, width: int, count: int) -> np.ndarray:
+    """``count`` ``width``-bit big-endian (MSB-first) integers from a
+    continuous bitstream — the packing convention both H5Znbit and
+    H5Zscaleoffset use (their per-byte walks emit each value's
+    significant bits most-significant-first)."""
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8),
+                         count=width * count)
+    weights = (1 << np.arange(width - 1, -1, -1)).astype(np.uint64)
+    return bits.reshape(count, width).astype(np.uint64) @ weights
+
+
+def _pack_msb(vals: np.ndarray, width: int) -> bytes:
+    v = np.asarray(vals, np.uint64)
+    bits = ((v[:, None] >> np.arange(width - 1, -1, -1)
+             .astype(np.uint64)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def _nbit_decode(raw: bytes, info: dict, n_elems: int | None) -> bytes:
+    """H5Z_FILTER_NBIT (id 5, public H5Znbit.c format): the stream is
+    each element's [bit_offset, bit_offset + precision) field packed
+    MSB-first; the datatype message carries precision/offset (that is
+    where the library's set-local reads them too). Full-precision
+    datatypes pass through (the library's need-not-compress flag)."""
+    size = info.get("size")
+    if info.get("kind") != "int" or not size or n_elems is None:
+        raise H5Unsupported(
+            "HDF5 nbit filter on a non-fixed-point datatype")
+    prec = info.get("precision", size * 8)
+    off = info.get("bit_offset", 0)
+    if off == 0 and prec >= size * 8:
+        return raw                      # need-not-compress passthrough
+    field = _unpack_msb(raw, prec, n_elems) << np.uint64(off)
+    order = ">" if info["dtype"].byteorder == ">" else "<"
+    return field.astype(np.dtype(f"{order}u{size}")).tobytes()
+
+
+def _scaleoffset_decode(raw: bytes, cd_values, info: dict,
+                        n_elems: int | None) -> bytes:
+    """H5Z_FILTER_SCALEOFFSET (id 6, public H5Zscaleoffset.c format):
+    a 4-byte little-endian ``minbits`` + 8-byte little-endian
+    ``minval`` header, then each element's ``(value − minval)``
+    packed MSB-first in ``minbits`` bits; minbits 0 means the chunk is
+    the constant ``minval``. Integer scaling (H5Z_SO_INT) only —
+    float D/E-scaling is lossy re-quantization and stays loud."""
+    size = info.get("size")
+    if info.get("kind") != "int" or not size or n_elems is None:
+        raise H5Unsupported(
+            "HDF5 scaleoffset filter on a non-fixed-point datatype "
+            "(float D/E-scaling unsupported)")
+    if cd_values and int(cd_values[0]) != 2:   # H5Z_SO_INT == 2
+        raise H5Unsupported(
+            f"HDF5 scaleoffset scale type {cd_values[0]} "
+            "(integer H5Z_SO_INT only)")
+    minbits = int.from_bytes(raw[0:4], "little")
+    minval = int.from_bytes(raw[4:12], "little")
+    if minbits >= size * 8:
+        # library stores the chunk uncompressed after the header
+        vals = np.frombuffer(raw[12:], info["dtype"],
+                             count=n_elems)
+        return vals.tobytes()
+    if minbits == 0:
+        out = np.full(n_elems, minval, np.uint64)
+    else:
+        out = _unpack_msb(raw[12:], minbits, n_elems) \
+            + np.uint64(minval)
+    out &= np.uint64((1 << (size * 8)) - 1) if size < 8 \
+        else np.uint64(0xFFFFFFFFFFFFFFFF)
+    order = ">" if info["dtype"].byteorder == ">" else "<"
+    return out.astype(np.dtype(f"{order}u{size}")).tobytes()
 
 
 class H5Unsupported(NotImplementedError):
@@ -544,8 +620,13 @@ class H5File:
             signed = bool(bits[0] & 0x08)
             be = bool(bits[0] & 0x01)
             code = f"{'>' if be else '<'}{'i' if signed else 'u'}{size}"
+            # bit offset + precision (properties): full-width for
+            # ordinary types; the nbit filter stores ONLY these bits,
+            # so the datatype message is the decode contract
+            boff, bprec = struct.unpack_from("<HH", body, pos + 8)
             return ({"kind": "int", "size": size,
-                     "dtype": np.dtype(code)}, 8 + 4)
+                     "dtype": np.dtype(code), "bit_offset": boff,
+                     "precision": bprec or size * 8}, 8 + 4)
         if cls == 1:                          # IEEE float
             be = bool(bits[0] & 0x01)
             return ({"kind": "float", "size": size,
@@ -871,11 +952,14 @@ class H5File:
         return out
 
     def _defilter(self, raw: bytes, filters, typesize: int,
-                  mask: int = 0) -> bytes:
+                  mask: int = 0, dtype_info: dict | None = None,
+                  n_elems: int | None = None) -> bytes:
         """Undo the pipeline in reverse. ``mask`` is the chunk's filter
         mask: bit i set = pipeline filter i was SKIPPED for this chunk
         (spec IV.A.2.l) — e.g. an optional deflate that didn't shrink an
-        incompressible chunk — so only unmasked filters are undone."""
+        incompressible chunk — so only unmasked filters are undone.
+        ``dtype_info``/``n_elems`` feed the nbit/scaleoffset decoders
+        (datatype-message precision/offset and chunk element count)."""
         from .zarr2 import _unshuffle
         for i in reversed(range(len(filters))):
             if mask & (1 << i):
@@ -890,11 +974,15 @@ class H5File:
             elif fid == FILTER_SZIP:
                 from .szip import h5_szip_decode
                 raw = h5_szip_decode(raw, vals)
+            elif fid == FILTER_NBIT:
+                raw = _nbit_decode(raw, dtype_info or {}, n_elems)
+            elif fid == FILTER_SCALEOFFSET:
+                raw = _scaleoffset_decode(raw, vals, dtype_info or {},
+                                          n_elems)
             else:
-                names = {5: "nbit", 6: "scaleoffset"}
                 raise H5Unsupported(
-                    f"HDF5 filter {fid} ({names.get(fid, 'unknown')}) "
-                    "not supported; re-write with deflate/shuffle")
+                    f"HDF5 filter {fid} not supported; re-write with "
+                    "deflate/shuffle")
         return raw
 
     def read(self, name: str) -> np.ndarray:
@@ -1244,7 +1332,9 @@ class H5File:
         for offs, size, mask, data_addr in self._chunks(ds):
             raw = self.buf[data_addr:data_addr + size]
             if ds.filters:
-                raw = self._defilter(raw, ds.filters, dtype.itemsize, mask)
+                raw = self._defilter(raw, ds.filters, dtype.itemsize,
+                                     mask, dtype_info=ds.dtype_info,
+                                     n_elems=int(np.prod(chunks)))
             arr = np.frombuffer(raw, dtype=dtype,
                                 count=int(np.prod(chunks)))
             arr = arr.astype(dtype.newbyteorder("=")).reshape(chunks)
@@ -1651,7 +1741,9 @@ class _Writer:
 
     @staticmethod
     def _dt_msg(arr_dtype: np.dtype | None, str_size: int | None = None,
-                vlen_ref: bool = False) -> bytes:
+                vlen_ref: bool = False,
+                precision_offset: tuple[int, int] | None = None
+                ) -> bytes:
         if vlen_ref:
             # vlen(sequence) of object references
             inner = bytes([0x07 | (1 << 4)]) + bytes([0, 0, 0]) \
@@ -1665,9 +1757,11 @@ class _Writer:
         if dt.kind in ("i", "u"):
             bits0 = (0x08 if dt.kind == "i" else 0) \
                 | (0x01 if dt.byteorder == ">" else 0)
+            prec, boff = (precision_offset
+                          or (dt.itemsize * 8, 0))
             return bytes([0x00 | (1 << 4), bits0, 0, 0]) \
                 + struct.pack("<I", dt.itemsize) \
-                + struct.pack("<HH", 0, dt.itemsize * 8)
+                + struct.pack("<HH", boff, prec)
         if dt.kind == "f":
             # bit-field byte 1 = sign-bit location: bit 31 for f4,
             # bit 63 for f8 (a fixed 0x3F here is out of range for f4
@@ -1761,7 +1855,8 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
                variables: dict[str, tuple[list[str], np.ndarray, dict]],
                attrs: dict | None = None,
                chunks: dict[str, tuple[int, ...]] | None = None,
-               compress: bool | str = False) -> str:
+               compress: bool | str = False,
+               nbit_spec: tuple[int, int] = (12, 0)) -> str:
     """Write a netCDF-4-flavoured HDF5 file (v0 superblock profile):
     coordinate datasets carry CLASS=DIMENSION_SCALE/NAME, data variables
     carry DIMENSION_LIST object references; optional chunked layout with
@@ -1771,7 +1866,14 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
     1/2/4 bytes). Readable by any HDF5 library (szip wants an
     szlib/libaec-enabled build, as with any szip file) and by
     `H5File`. ``path=None`` returns the container BYTES instead of
-    writing a file (the in-memory synthesis path)."""
+    writing a file (the in-memory synthesis path).
+
+    ``compress="nbit"`` emits filter 5 on integer chunked variables:
+    only the ``nbit_spec = (precision, bit_offset)`` field of each
+    element is stored (the datatype message carries the same
+    precision/offset — the decode contract). ``compress="scaleoffset"``
+    emits filter 6 (integer H5Z_SO_INT): per-chunk minbits/minval
+    header + offset-packed values."""
     W = _Writer
     chunks = chunks or {}
     # each dims value: array OR (array, attrs) tuple (e.g. CF units)
@@ -1819,8 +1921,11 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
             else:
                 vdims, arr, vattrs = variables[n]
                 arr = np.asarray(arr)
+            po = (nbit_spec if compress == "nbit" and n in chunks
+                  and arr.dtype.kind in ("i", "u") else None)
             msgs = [(MSG_DATASPACE, W._ds_msg(arr.shape)),
-                    (MSG_DATATYPE, W._dt_msg(arr.dtype))]
+                    (MSG_DATATYPE, W._dt_msg(arr.dtype,
+                                             precision_offset=po))]
             ch = chunks.get(n)
             if ch:
                 rank = len(arr.shape)
@@ -1834,6 +1939,37 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
                     filt = bytes([1, 1]) + b"\x00" * 6
                     filt += struct.pack("<HHHH", FILTER_SZIP, 0, 1, 4) \
                         + struct.pack("<4i", *cli)
+                    msgs.append((MSG_FILTERS, filt))
+                elif compress == "nbit":
+                    # client data mirrors H5Znbit's atomic layout:
+                    # [nparms, reserved, nelmts, need-not-compress,
+                    #  ATOMIC, size, order, precision, offset] — the
+                    # reader's contract is the datatype message, the
+                    # cd_values ride along for library parity
+                    prec, boff = nbit_spec
+                    cd = [9, 0, int(np.prod(ch)),
+                          int(boff == 0 and prec >= arr.dtype.itemsize
+                              * 8),
+                          1, arr.dtype.itemsize,
+                          1 if arr.dtype.byteorder == ">" else 0,
+                          prec, boff]
+                    filt = bytes([1, 1]) + b"\x00" * 6
+                    filt += struct.pack("<HHHH", FILTER_NBIT, 0, 0,
+                                        len(cd)) \
+                        + b"".join(struct.pack("<I", v) for v in cd) \
+                        + b"\x00" * 4           # odd nvalues pad
+                    msgs.append((MSG_FILTERS, filt))
+                elif compress == "scaleoffset":
+                    # [scale type H5Z_SO_INT, scale factor 0 = auto,
+                    #  nelmts, class, size, sign, order, fill-unset]
+                    cd = [2, 0, int(np.prod(ch)), 0,
+                          arr.dtype.itemsize,
+                          1 if arr.dtype.kind == "i" else 0,
+                          1 if arr.dtype.byteorder == ">" else 0, 0]
+                    filt = bytes([1, 1]) + b"\x00" * 6
+                    filt += struct.pack("<HHHH", FILTER_SCALEOFFSET,
+                                        0, 0, len(cd)) \
+                        + b"".join(struct.pack("<I", v) for v in cd)
                     msgs.append((MSG_FILTERS, filt))
                 elif compress:
                     filt = bytes([1, 2]) + b"\x00" * 6
@@ -1900,6 +2036,35 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
                 if compress == "szip":
                     from .szip import h5_szip_encode
                     raw = h5_szip_encode(raw, _szip_client(arr.dtype))
+                elif compress == "nbit":
+                    prec, boff = nbit_spec
+                    flat = block.reshape(-1).astype(np.uint64)
+                    if prec + boff > arr.dtype.itemsize * 8:
+                        raise ValueError("nbit precision+offset wider "
+                                         "than the datatype")
+                    if (flat >> np.uint64(boff + prec)).any() if \
+                            boff + prec < 64 else False:
+                        raise ValueError("values exceed the nbit "
+                                         "precision window")
+                    raw = _pack_msb(
+                        (flat >> np.uint64(boff))
+                        & np.uint64((1 << prec) - 1), prec)
+                elif compress == "scaleoffset":
+                    flat = block.reshape(-1).astype(np.int64)
+                    mn = int(flat.min())
+                    minbits = int(flat.max() - mn).bit_length()
+                    if minbits >= arr.dtype.itemsize * 8:
+                        # library semantics: a full-width span stores
+                        # the ORIGINAL values after the header
+                        minbits = arr.dtype.itemsize * 8
+                        raw = (minbits.to_bytes(4, "little")
+                               + bytes(8) + raw)
+                    else:
+                        raw = (minbits.to_bytes(4, "little")
+                               + (mn & 0xFFFFFFFFFFFFFFFF)
+                               .to_bytes(8, "little"))
+                        if minbits:
+                            raw += _pack_msb(flat - mn, minbits)
                 elif compress:
                     from .zarr2 import _shuffle
                     raw = zlib.compress(_shuffle(raw, arr.dtype.itemsize),
@@ -2102,3 +2267,54 @@ def hdf5_szip_stats(payload_df, id_col: str = "msg_id",
     return payload_df.mapInPandas(
         _decode, schema=("msg_id long, dtype string, n_vals long, "
                          "mean_value double"))
+
+
+def synthesize_hdf5_nbit_so(df, id_col: str, text_col: str):
+    """Build REAL nbit- and scaleoffset-filtered NetCDF4/HDF5 files
+    deterministically from text rows (the round-9 twin of
+    ``synthesize_hdf5_szip`` — the last two named NetCDF4 filter seams,
+    filters 5 and 6). Three residue classes of ``msg_id % 3``:
+
+    - 0: NBIT int32, precision 8 / offset 0 (values = bytes),
+         chunks (3, 5) — chunk-grid padding under the bitstream
+    - 1: NBIT int32, precision 8 / offset 2 (values = 4·byte) — the
+         offset window must shift, not mask
+    - 2: SCALEOFFSET int32, values = 1000·byte − 50000 — a NEGATIVE
+         per-chunk minval exercises the two's-complement header
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        def h5(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)].reshape(8, 8)
+            c = msg_id % 3
+            if c == 0:
+                arr, kw = cells.astype(np.int32), dict(
+                    compress="nbit", nbit_spec=(8, 0),
+                    chunks={"v": (3, 5)})
+            elif c == 1:
+                arr, kw = (cells << 2).astype(np.int32), dict(
+                    compress="nbit", nbit_spec=(8, 2),
+                    chunks={"v": (4, 4)})
+            else:
+                arr, kw = (cells * 1000 - 50000).astype(np.int32), dict(
+                    compress="scaleoffset", chunks={"v": (3, 5)})
+            return write_hdf5(None,
+                              {"y": np.arange(8, dtype=np.int32),
+                               "x": np.arange(8, dtype=np.int32)},
+                              {"v": (["y", "x"], arr, {})}, **kw)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [h5(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    import pandas as pd  # noqa: F811 (closure import for executors)
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))

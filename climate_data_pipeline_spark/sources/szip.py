@@ -59,41 +59,78 @@ def _id_len(bpp: int) -> int:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "nbits")
+    """Vectorized bit reader: the payload is unpacked to a bit array
+    ONCE (np.unpackbits) and the one-bit positions are indexed for
+    fundamental-sequence scans — FS codewords resolve by searchsorted
+    over ``ones`` instead of a per-bit Python loop, and multi-field
+    reads (k-bit low parts, uncompressed blocks) come back as one
+    reshape-matmul. Decoding a ~1M-sample CMIP/ERA5 chunk is numpy
+    work, not interpreted bit twiddling."""
+    __slots__ = ("bits", "ones", "pos", "nbits")
+
+    _W: dict[int, np.ndarray] = {}
 
     def __init__(self, data: bytes):
-        self.data = data
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.ones = np.flatnonzero(self.bits)
         self.pos = 0
-        self.nbits = 8 * len(data)
+        self.nbits = self.bits.size
+
+    @classmethod
+    def _weights(cls, n: int) -> np.ndarray:
+        w = cls._W.get(n)
+        if w is None:
+            w = cls._W[n] = (1 << np.arange(n - 1, -1, -1)) \
+                .astype(np.int64)
+        return w
 
     def get(self, n: int) -> int:
         if n == 0:
             return 0
         if self.pos + n > self.nbits:
             raise ValueError("szip stream exhausted mid-field")
-        out = 0
-        pos = self.pos
-        for _ in range(n):
-            out = (out << 1) | ((self.data[pos >> 3] >> (7 - (pos & 7)))
-                                & 1)
-            pos += 1
-        self.pos = pos
-        return out
+        sl = self.bits[self.pos:self.pos + n]
+        self.pos += n
+        return int(sl.astype(np.int64) @ self._weights(n))
+
+    def get_run(self, width: int, count: int) -> np.ndarray:
+        """``count`` consecutive ``width``-bit MSB-first fields as one
+        int64 array (zero-width → zeros)."""
+        if count == 0 or width == 0:
+            return np.zeros(count, np.int64)
+        need = width * count
+        if self.pos + need > self.nbits:
+            raise ValueError("szip stream exhausted mid-field")
+        sl = self.bits[self.pos:self.pos + need]
+        self.pos += need
+        return (sl.reshape(count, width).astype(np.int64)
+                @ self._weights(width))
 
     def get_fs(self) -> int:
         """Fundamental sequence: count zeros up to the terminating 1."""
-        pos = self.pos
-        n = 0
-        while True:
-            if pos >= self.nbits:
-                raise ValueError("szip stream exhausted inside an FS "
-                                 "codeword")
-            if (self.data[pos >> 3] >> (7 - (pos & 7))) & 1:
-                break
-            n += 1
-            pos += 1
-        self.pos = pos + 1
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i >= self.ones.size:
+            raise ValueError("szip stream exhausted inside an FS "
+                             "codeword")
+        one = int(self.ones[i])
+        n = one - self.pos
+        self.pos = one + 1
         return n
+
+    def get_fs_run(self, count: int) -> np.ndarray:
+        """``count`` back-to-back FS codewords as one int64 array:
+        the zero-run lengths are first differences of the next
+        ``count`` one-bit positions."""
+        if count == 0:
+            return np.zeros(0, np.int64)
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i + count > self.ones.size:
+            raise ValueError("szip stream exhausted inside an FS "
+                             "codeword")
+        sel = self.ones[i:i + count].astype(np.int64)
+        fs = np.diff(sel, prepend=np.int64(self.pos - 1)) - 1
+        self.pos = int(sel[-1]) + 1
+        return fs
 
 
 class _BitWriter:
@@ -122,6 +159,22 @@ class _BitWriter:
             val -= 16
         self.put(1, val + 1)
 
+    def put_bits(self, bits: np.ndarray) -> None:
+        """Append a uint8 0/1 bit array in one packbits call — the
+        vectorized bulk path for whole-block unary + low-bit streams
+        (the per-value put()/put_fs() loops were the encoder's cost
+        on ~1M-sample chunks)."""
+        if self.nacc:
+            prefix = ((self.acc >> np.arange(self.nacc - 1, -1, -1))
+                      & 1).astype(np.uint8)
+            bits = np.concatenate([prefix, bits])
+            self.acc = self.nacc = 0
+        n8 = (bits.size // 8) * 8
+        self.out += np.packbits(bits[:n8]).tobytes()
+        for b in bits[n8:].tolist():          # ≤ 7 tail bits
+            self.acc = (self.acc << 1) | int(b)
+            self.nacc += 1
+
     def bytes(self) -> bytes:
         if self.nacc:
             self.out.append((self.acc << (8 - self.nacc)) & 0xFF)
@@ -131,43 +184,66 @@ class _BitWriter:
 
 def _unmap(mapped: np.ndarray, bpp: int) -> np.ndarray:
     """Undo NN preprocessing over ONE reference-sample interval:
-    slot 0 is the raw reference, later slots are mapped differences."""
+    slot 0 is the raw reference, later slots are mapped differences.
+
+    Vectorized on the zigzag fast path: while every mapped value
+    satisfies ``d ≤ 2θ`` the deltas are plain zigzag and the sample
+    sequence is one cumsum — and zigzag deltas can never leave
+    [0, xmax], so the FIRST violation of ``d > 2θ`` (computed against
+    the optimistic prefix, which is exact up to that point) is the
+    only place the saturated branch can start. Each saturated sample
+    is handled scalar, then the vector pass resumes — real imagery
+    saturates rarely, so the common cost is one cumsum per interval."""
     xmax = (1 << bpp) - 1
-    out = np.empty(mapped.size, np.int64)
+    n = mapped.size
+    out = np.empty(n, np.int64)
     prev = int(mapped[0])
+    if prev < 0 or prev > xmax:
+        raise ValueError("szip NN unmap left the sample range — "
+                         "corrupt stream or wrong parameters")
     out[0] = prev
-    for t in range(1, mapped.size):
-        d = int(mapped[t])
-        theta = min(prev, xmax - prev)
-        if d > 2 * theta:
-            delta = d - theta if theta == prev else theta - d
-        elif d & 1:
-            delta = -((d + 1) >> 1)
-        else:
-            delta = d >> 1
-        prev += delta
-        if prev < 0 or prev > xmax:
-            raise ValueError("szip NN unmap left the sample range — "
-                             "corrupt stream or wrong parameters")
-        out[t] = prev
+    t = 1
+    while t < n:
+        d = mapped[t:]
+        zig = np.where(d & 1, -((d + 1) >> 1), d >> 1)
+        x = prev + np.cumsum(zig)
+        prevs = np.empty_like(x)
+        prevs[0] = prev
+        prevs[1:] = x[:-1]
+        theta = np.minimum(prevs, xmax - prevs)
+        bad = np.flatnonzero(d > 2 * theta)
+        stop = int(bad[0]) if bad.size else int(d.size)
+        out[t:t + stop] = x[:stop]
+        t += stop
+        if stop < d.size:
+            p = int(prevs[stop])
+            dd, th = int(d[stop]), int(theta[stop])
+            p += dd - th if th == p else th - dd
+            if p < 0 or p > xmax:
+                raise ValueError("szip NN unmap left the sample range "
+                                 "— corrupt stream or wrong "
+                                 "parameters")
+            out[t] = prev = p
+            t += 1
+        elif stop:
+            prev = int(x[stop - 1])
     return out
 
 
 def _map_deltas(x: np.ndarray, bpp: int) -> np.ndarray:
-    """NN-preprocess one scanline: slot 0 raw, later slots mapped."""
+    """NN-preprocess one scanline: slot 0 raw, later slots mapped.
+    Unlike the unmap, the forward map has NO recurrence (θ depends on
+    the previous ORIGINAL sample) — fully vectorized."""
     xmax = (1 << bpp) - 1
     out = np.empty(x.size, np.int64)
     out[0] = x[0]
-    prev = int(x[0])
-    for t in range(1, x.size):
-        cur = int(x[t])
+    if x.size > 1:
+        prev, cur = x[:-1], x[1:]
         delta = cur - prev
-        theta = min(prev, xmax - prev)
-        if -theta <= delta <= theta:
-            out[t] = 2 * delta if delta >= 0 else -2 * delta - 1
-        else:
-            out[t] = theta + abs(delta)
-        prev = cur
+        theta = np.minimum(prev, xmax - prev)
+        zig = np.where(delta >= 0, 2 * delta, -2 * delta - 1)
+        out[1:] = np.where(np.abs(delta) <= theta, zig,
+                           theta + np.abs(delta))
     return out
 
 
@@ -245,16 +321,18 @@ def szip_decode(payload: bytes, options_mask: int, bpp: int,
                                          "the scanline")
                     b += z                       # slots already zero
             elif bid == uncomp_id:
-                for i in range(nb):
-                    mapped[lo + i] = r.get(bpp)
+                mapped[lo:lo + nb] = r.get_run(bpp, nb)
                 b += 1
             else:
                 k = bid - 1
                 if ref:
                     mapped[0] = r.get(bpp)
-                fs_parts = [r.get_fs() for _ in range(nb - ref)]
-                for i, fs in enumerate(fs_parts):
-                    mapped[lo + ref + i] = (fs << k) | r.get(k)
+                # the defining split: FS high parts for the whole
+                # block first, THEN the k-bit low parts — two
+                # vectorized reads, no per-sample loop
+                fs = r.get_fs_run(nb - ref)
+                mapped[lo + ref:lo + nb] = (fs << k) | r.get_run(
+                    k, nb - ref)
                 b += 1
         if preprocess:
             out[done:done + scan_px] = _unmap(mapped, bpp)
@@ -326,17 +404,25 @@ def szip_encode(samples: np.ndarray, options_mask: int, bpp: int,
                     best_k, best_cost = k, cost
             if best_k < 0 or best_k + 1 >= uncomp_id:
                 w.put(uncomp_id, idl)
-                for v in mapped[lo:lo + nb].tolist():
-                    w.put(int(v), bpp)
+                blk = mapped[lo:lo + nb]
+                w.put_bits(((blk[:, None]
+                             >> np.arange(bpp - 1, -1, -1)) & 1)
+                           .astype(np.uint8).reshape(-1))
             else:
                 k = best_k
                 w.put(k + 1, idl)
                 if ref:
                     w.put(int(mapped[0]), bpp)
-                for v in body.tolist():
-                    w.put_fs(int(v) >> k)
-                for v in body.tolist():
-                    w.put(int(v) & ((1 << k) - 1), k)
+                hi = body >> k
+                unary = np.zeros(int(hi.sum()) + hi.size, np.uint8)
+                unary[np.cumsum(hi + 1) - 1] = 1
+                if k:
+                    low = ((body[:, None]
+                            >> np.arange(k - 1, -1, -1)) & 1) \
+                        .astype(np.uint8).reshape(-1)
+                    w.put_bits(np.concatenate([unary, low]))
+                else:
+                    w.put_bits(unary)
             b += 1
     return w.bytes()
 

@@ -130,8 +130,9 @@ def test_grib2_complex_packing_bitmap_and_seams():
     vals = m["values"]
     np.testing.assert_array_equal(vals[bm], present.astype(float))
     assert np.isnan(vals[~bm]).all()
-    # loud seams: group-splitting method 0, missing-value management,
-    # spatial differencing order 3 — each named in the error
+    # loud seams: group-splitting method 0, an UNKNOWN missing-value
+    # management code (1/2 are supported since round 9), spatial
+    # differencing order 3 — each named in the error
     import struct as st
     v = rng.integers(0, 256, (4, 4), dtype=np.int64)
     blob = build_grib2(v, complex_packed=True)
@@ -139,7 +140,7 @@ def test_grib2_complex_packing_bitmap_and_seams():
     while blob[p + 4] != 5:
         p += st.unpack_from(">I", blob, p)[0]
     for off, val, pat in ((21, 0, "group-splitting"),
-                          (22, 1, "missing-value management")):
+                          (22, 3, "missing-value management")):
         bad = bytearray(blob)
         bad[p + off] = val
         with pytest.raises(NotImplementedError, match=pat):
@@ -448,3 +449,103 @@ def test_grib2_positive_y_scan_georeferencing(spark):
             for i in range(3):
                 assert got[(50.0 - 0.5 * j, 10.0 + 0.5 * i)] \
                     == float(v[j, i]), (mid, j, i)
+
+
+def test_grib2_missing_value_management_roundtrip():
+    """Template 5.2/5.3 octet-23 missing management (1 and 2): masked
+    points come back NaN, every other point exact — including the
+    5.3 recurrence running over the non-missing subsequence only,
+    width-0 all-missing groups, and scale application after markers."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 200, 64).astype(np.int64)
+    idx = np.arange(64)
+    mp = (vals + idx) % 7 == 0
+    ms = ((vals + idx) % 11 == 0) & ~mp
+    assert mp.any() and ms.any()
+
+    for kwargs, exp_vals, exp_miss in [
+        (dict(complex_packed=True, group_size=5,
+              missing_primary=mp.reshape(8, 8)),
+         vals.astype(float), mp),
+        (dict(complex_packed=True, group_size=7,
+              missing_primary=mp.reshape(8, 8),
+              missing_secondary=ms.reshape(8, 8)),
+         vals.astype(float), mp | ms),
+        (dict(complex_packed=True, spatial_diff_order=1, group_size=8,
+              missing_primary=mp.reshape(8, 8)),
+         vals.astype(float), mp),
+        (dict(complex_packed=True, spatial_diff_order=2, group_size=6,
+              ref=50.0, binary_scale=-1,
+              missing_primary=mp.reshape(8, 8),
+              missing_secondary=ms.reshape(8, 8)),
+         50.0 + vals * 0.5, mp | ms),
+    ]:
+        v = vals >> 1 if kwargs.get("binary_scale") == -1 else vals
+        exp = (50.0 + (vals >> 1) * 0.5
+               if kwargs.get("binary_scale") == -1
+               else vals.astype(float))
+        m = parse_grib2(build_grib2(v.reshape(8, 8), **kwargs))[0]
+        got = m["values"].reshape(-1)
+        assert np.isnan(got[exp_miss]).all(), kwargs
+        np.testing.assert_allclose(got[~exp_miss], exp[~exp_miss])
+
+    # an ALL-missing group (width-0 reference marker path)
+    mp2 = np.zeros(64, bool)
+    mp2[8:16] = True                      # group 2 of size-8 groups
+    m = parse_grib2(build_grib2(vals.reshape(8, 8),
+                                complex_packed=True, group_size=8,
+                                missing_primary=mp2.reshape(8, 8)))[0]
+    got = m["values"].reshape(-1)
+    assert np.isnan(got[8:16]).all()
+    np.testing.assert_allclose(got[~mp2], vals[~mp2])
+
+    # loud seams
+    with pytest.raises(ValueError, match="complex_packed"):
+        build_grib2(vals.reshape(8, 8), nbits=8,
+                    missing_primary=mp.reshape(8, 8))
+    with pytest.raises(ValueError, match="both primary"):
+        build_grib2(vals.reshape(8, 8), complex_packed=True,
+                    missing_primary=mp.reshape(8, 8),
+                    missing_secondary=mp.reshape(8, 8))
+
+
+def test_grib2_lambert_conformal_grid():
+    """Grid template 3.30: anchor cell inverse-projects back to
+    (la1, lo1) exactly, tangent and secant cones, packed values
+    transparent to the projection; wrong scan/centre stay loud."""
+    from climate_data_pipeline_spark.sources.grib2 import lambert_latlon
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 250, 64).astype(np.int64)
+    for latin2, packing in [(38.0, {}),
+                            (53.0, dict(complex_packed=True,
+                                        group_size=5))]:
+        lam = dict(lad=38.0, lov=262.0, latin1=38.0, latin2=latin2,
+                   dx=3000.0, dy=3000.0)
+        m = parse_grib2(build_grib2(vals.reshape(8, 8), nbits=8,
+                                    la1=21.0, lo1=237.0, lambert=lam,
+                                    **packing))[0]
+        assert m["lat2d"].shape == (8, 8)
+        assert abs(m["lat2d"][0, 0] - 21.0) < 1e-6
+        assert abs(m["lon2d"][0, 0] - 237.0) < 1e-6
+        # +y scan: northward rows increase latitude near the anchor
+        assert m["lat2d"][1, 0] > m["lat2d"][0, 0]
+        np.testing.assert_allclose(m["values"].reshape(-1), vals)
+
+    # the projection matches a hand-computed forward round trip:
+    # project every decoded (lat, lon) forward and recover the x/y grid
+    lat, lon = lambert_latlon(8, 8, 21.0, 237.0, 38.0, 262.0,
+                              3000.0, 3000.0, 38.0, 53.0)
+    rad = np.pi / 180
+    p1, p2 = 38.0 * rad, 53.0 * rad
+    cn = (np.log(np.cos(p1) / np.cos(p2))
+          / np.log(np.tan(np.pi / 4 + p2 / 2)
+                   / np.tan(np.pi / 4 + p1 / 2)))
+    cf = np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** cn / cn
+    R = 6371229.0
+    rho = R * cf / np.tan(np.pi / 4 + lat * rad / 2) ** cn
+    rho0 = R * cf / np.tan(np.pi / 4 + 38.0 * rad / 2) ** cn
+    x = rho * np.sin(cn * (lon - 262.0) * rad)
+    y = rho0 - rho * np.cos(cn * (lon - 262.0) * rad)
+    np.testing.assert_allclose(np.diff(x, axis=1), 3000.0, rtol=1e-9)
+    np.testing.assert_allclose(np.diff(y, axis=0), 3000.0, rtol=1e-9)

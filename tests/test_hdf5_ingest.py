@@ -1499,3 +1499,86 @@ def test_array_datatype_class10_and_v1_inline_dims():
     assert got.dtype == want
     np.testing.assert_array_equal(got["t"], rec["t"])
     np.testing.assert_array_equal(got["wind"], rec["wind"])
+
+
+def test_nbit_scaleoffset_write_read_roundtrip():
+    """Filters 5/6 (round 9): encoder→reader round trips across
+    precisions, offsets, signed ranges, chunk padding and the
+    constant-chunk (minbits 0) path."""
+    rng = np.random.default_rng(9)
+    t = np.arange(10.0)
+    cases = [
+        (rng.integers(0, 4096, (10, 6)).astype(np.int32),
+         dict(compress="nbit", nbit_spec=(12, 0))),
+        ((rng.integers(0, 256, (10, 6)).astype(np.int32)) << 2,
+         dict(compress="nbit", nbit_spec=(8, 2))),
+        (rng.integers(0, 1024, (10, 6)).astype(np.int16),
+         dict(compress="nbit", nbit_spec=(10, 0))),
+        (rng.integers(-500, 900, (10, 6)).astype(np.int32),
+         dict(compress="scaleoffset")),
+        (np.full((10, 6), -7, np.int32), dict(compress="scaleoffset")),
+        (rng.integers(0, 60000, (10, 6)).astype(np.uint16),
+         dict(compress="scaleoffset")),
+    ]
+    for arr, kw in cases:
+        buf = write_hdf5(None, {"time": t},
+                         {"v": (["time"], arr, {})},
+                         chunks={"v": (4, 6)}, **kw)
+        got = open_hdf5(buf).read("v")
+        np.testing.assert_array_equal(got, arr), kw
+
+
+def test_nbit_hand_assembled_bitstream():
+    """Decode contract pinned INDEPENDENTLY of the encoder: the nbit
+    stream is each element's [offset, offset+precision) field packed
+    MSB-first (H5Znbit's byte walk) — assembled here bit-by-bit from
+    the spec understanding, then pushed through _nbit_decode."""
+    from climate_data_pipeline_spark.sources.hdf5 import _nbit_decode
+
+    # 3 elements of int16, precision 5, offset 1:
+    # values 0b10110<<1, 0b00001<<1, 0b11111<<1
+    fields = [0b10110, 0b00001, 0b11111]
+    bitstring = "".join(f"{f:05b}" for f in fields)   # MSB-first
+    bitstring += "0" * (-len(bitstring) % 8)
+    raw = bytes(int(bitstring[i:i + 8], 2)
+                for i in range(0, len(bitstring), 8))
+    info = {"kind": "int", "size": 2, "dtype": np.dtype("<i2"),
+            "precision": 5, "bit_offset": 1}
+    out = np.frombuffer(_nbit_decode(raw, info, 3), "<i2")
+    np.testing.assert_array_equal(out, [f << 1 for f in fields])
+
+
+def test_scaleoffset_hand_assembled_stream():
+    """Scaleoffset decode contract pinned by hand: 4-byte LE minbits +
+    8-byte LE (two's complement) minval header, then (value − minval)
+    in minbits bits MSB-first per element."""
+    from climate_data_pipeline_spark.sources.hdf5 import (
+        _scaleoffset_decode)
+
+    # minval = -5, offsets [0, 3, 7] in 3 bits → values [-5, -2, 2]
+    offs = [0b000, 0b011, 0b111]
+    bitstring = "".join(f"{o:03b}" for o in offs)
+    bitstring += "0" * (-len(bitstring) % 8)
+    raw = ((3).to_bytes(4, "little")
+           + ((-5) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+           + bytes(int(bitstring[i:i + 8], 2)
+                   for i in range(0, len(bitstring), 8)))
+    info = {"kind": "int", "size": 4, "dtype": np.dtype("<i4")}
+    out = np.frombuffer(_scaleoffset_decode(raw, (2, 0), info, 3),
+                        "<i4")
+    np.testing.assert_array_equal(out, [-5, -2, 2])
+
+    # minbits 0: the whole chunk is the constant minval
+    raw0 = ((0).to_bytes(4, "little")
+            + ((42) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"))
+    out0 = np.frombuffer(_scaleoffset_decode(raw0, (2, 0), info, 4),
+                         "<i4")
+    np.testing.assert_array_equal(out0, [42, 42, 42, 42])
+
+    # loud seams: float D-scaling (scale type 0) and float datatypes
+    with pytest.raises(hdf5.H5Unsupported, match="scale type 0"):
+        _scaleoffset_decode(raw0, (0, 2), info, 4)
+    with pytest.raises(hdf5.H5Unsupported, match="non-fixed-point"):
+        _scaleoffset_decode(raw0, (2, 0),
+                            {"kind": "float", "size": 4,
+                             "dtype": np.dtype("<f4")}, 4)

@@ -194,18 +194,19 @@ def test_hdf5_szip_file_roundtrip_and_distributed(spark, tmp_path):
     for i in range(24):
         for j in range(5):
             assert got[(i, j)] == pytest.approx(temp[i, j] * 0.01)
-    # unsupported filters stay loud and named
+    # unsupported filters stay loud and named (nbit/scaleoffset are
+    # REAL since round 9 — patch to an unregistered id instead)
     from climate_data_pipeline_spark.sources.hdf5 import H5Unsupported
     blob = bytearray(open(path, "rb").read())
     import struct
     sig = struct.pack("<HHHH", 4, 0, 1, 4)
     at, hits = blob.find(sig), 0
     while at >= 0:
-        blob[at:at + 2] = struct.pack("<H", 5)      # nbit
+        blob[at:at + 2] = struct.pack("<H", 7)      # unknown filter
         hits += 1
         at = blob.find(sig, at + 1)
     assert hits == 3                                # one per variable
-    with pytest.raises(H5Unsupported, match="nbit"):
+    with pytest.raises(H5Unsupported, match="filter 7"):
         H5File(bytes(blob)).read("temp")
 
 

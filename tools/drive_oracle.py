@@ -29,6 +29,27 @@ assert len(rows) > 0
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 qs, oracles = mod.queries(), mod.oracle_sql()
+
+# session fingerprint (r8 verdict ask #8): makes round-over-round
+# sweeps comparable the way BENCH's host block does
+import os
+
+_fp = {"master": spark.sparkContext.master,
+       "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+       "spark": spark.version, "cpus": os.cpu_count()}
+try:
+    _fp["loadavg_1m"] = round(os.getloadavg()[0], 2)
+except OSError:
+    pass
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.lower().startswith("model name"):
+                _fp["cpu_model"] = _line.split(":", 1)[1].strip()
+                break
+except OSError:
+    pass
+print("session:", " ".join(f"{k}={v}" for k, v in _fp.items()))
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 assert set(oracles) <= set(qs)
 
