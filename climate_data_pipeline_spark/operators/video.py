@@ -196,16 +196,30 @@ def synthesize_avi_mjpeg(df: DataFrame, id_col: str, text_col: str,
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q = np.ones((8, 8), np.int64)
         q[0, 0] = 8
+        # the encoder is a pure function of the 4 tile bytes (the
+        # dedup premise: equal tuples → byte-identical JPEG), and
+        # corpus text 4-grams repeat heavily — memoize per executor
+        memo: dict[tuple, bytes] = {}
+
+        def frame(vals: np.ndarray) -> bytes:
+            key = tuple(vals.tolist())
+            got = memo.get(key)
+            if got is None:
+                px = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0),
+                               8, 1)
+                got = encode_jpeg_baseline(px.astype(np.uint8),
+                                           quant_tables=(q, q))
+                if len(memo) < 200_000:       # ~60 MB cap
+                    memo[key] = got
+            return got
 
         def vid(text: str, media_id: int) -> tuple[bytes, str]:
             raw = (text.encode("utf-8") or b"\x00")
             bts = np.frombuffer(raw, dtype=np.uint8)
             frames = []
             for f in range(n_frames):
-                vals = bts[(4 * f + np.arange(4)) % len(bts)]
-                px = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0), 8, 1)
-                frames.append(encode_jpeg_baseline(
-                    px.astype(np.uint8), quant_tables=(q, q)))
+                frames.append(frame(bts[(4 * f + np.arange(4))
+                                        % len(bts)]))
             use_mp4 = (container == "mp4"
                        or (container == "mixed" and media_id % 2 == 1))
             if use_mp4:
@@ -308,8 +322,59 @@ def video_frame_hashes(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_hashes, schema=out_schema)
 
 
+def synthesize_frame_hashes(df: DataFrame, id_col: str, text_col: str,
+                            n_frames: int = 6) -> DataFrame:
+    """Fused synthesize→fingerprint for the frame-dedup bench path:
+    one ``mapInPandas`` builds each document's MJPEG frames and emits
+    ``(media_id, frame_md5)`` directly — the frame BYTES never cross
+    an Arrow boundary (the generic ``synthesize_avi_mjpeg`` →
+    ``video_frame_hashes`` chain pays two Python worker stages and a
+    full payload serialization between them; the fingerprints are the
+    only thing the dedup report needs). Identical frames by
+    construction ⇔ identical 4-byte tile tuples, so the md5 is
+    computed per DISTINCT tuple and memoized."""
+    import hashlib
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = np.ones((8, 8), np.int64)
+        q[0, 0] = 8
+        memo: dict[tuple, str] = {}
+
+        def fhash(vals: np.ndarray) -> str:
+            key = tuple(vals.tolist())
+            got = memo.get(key)
+            if got is None:
+                px = np.repeat(np.repeat(vals.reshape(2, 2), 8, 0),
+                               8, 1)
+                got = hashlib.md5(encode_jpeg_baseline(
+                    px.astype(np.uint8),
+                    quant_tables=(q, q))).hexdigest()
+                if len(memo) < 500_000:
+                    memo[key] = got
+            return got
+
+        for pdf in batches:
+            out_ids, out_md5 = [], []
+            for mid, text in zip(pdf.iloc[:, 0].astype("int64"),
+                                 pdf.iloc[:, 1].fillna("")):
+                raw = (text.encode("utf-8") or b"\x00")
+                bts = np.frombuffer(raw, dtype=np.uint8)
+                for f in range(n_frames):
+                    out_ids.append(int(mid))
+                    out_md5.append(fhash(
+                        bts[(4 * f + np.arange(4)) % len(bts)]))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out_ids, dtype="int64"),
+                "frame_md5": out_md5})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth,
+                         schema="media_id long, frame_md5 string"))
+
+
 def frame_dedup_report(df: DataFrame,
-                       ids: DataFrame | None = None) -> DataFrame:
+                       ids: DataFrame | None = None,
+                       hashes: DataFrame | None = None) -> DataFrame:
     """Corpus-wide frame-level exact-dup report over video payloads:
     for EVERY video (zero-frame containers included, with all-zero
     counts), how many of its frames are byte-duplicated elsewhere in
@@ -341,9 +406,15 @@ def frame_dedup_report(df: DataFrame,
     # side's build job lands the blocks before the main branch reads
     # them), so constructing the report stays side-effect free while
     # the payload walk still happens once and the blocks are released
-    # with the DataFrame instead of pinned in CacheManager
-    h = (video_frame_hashes(df).select("media_id", "frame_md5")
-         .localCheckpoint(eager=False))
+    # with the DataFrame instead of pinned in CacheManager.
+    # ``hashes`` (media_id, frame_md5) skips the payload walk entirely
+    # — the fused-synthesis fast path (synthesize_frame_hashes).
+    if hashes is not None:
+        h = (hashes.select("media_id", "frame_md5")
+             .localCheckpoint(eager=False))
+    else:
+        h = (video_frame_hashes(df).select("media_id", "frame_md5")
+             .localCheckpoint(eager=False))
     dup_hashes = (h.groupBy("frame_md5")
                    .agg(F.count("*").alias("__n"))
                    .where(F.col("__n") > 1)
@@ -359,6 +430,10 @@ def frame_dedup_report(df: DataFrame,
     # zero-frame videos produce no hash rows — restore them with
     # all-zero counts so the report covers every input video
     if ids is None:
+        if df is None:
+            raise ValueError("frame_dedup_report(hashes=...) needs "
+                             "ids= — zero-frame videos are absent "
+                             "from the hash stream")
         ids = df.select("media_id").distinct()
     else:
         ids = ids.select("media_id").distinct()

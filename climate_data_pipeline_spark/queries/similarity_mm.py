@@ -1641,9 +1641,15 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table directly — deriving it from the media stream
     would synthesize every payload a second time."""
     docs = load_table(spark, sf_dir, "documents")
-    media = VID.synthesize_avi_mjpeg(docs, "doc_id", "text", n_frames=6)
+    # fused synthesize→fingerprint: (media_id, frame_md5) come out of
+    # ONE mapInPandas — frame bytes never cross an Arrow boundary
+    # (same md5-over-encoded-JPEG identity; the unfused
+    # synthesize_avi_mjpeg → video_frame_hashes chain is pinned equal
+    # in test_video_codec)
+    h = VID.synthesize_frame_hashes(docs, "doc_id", "text", n_frames=6)
     return VID.frame_dedup_report(
-        media, ids=docs.select(F.col("doc_id").alias("media_id")))
+        None, ids=docs.select(F.col("doc_id").alias("media_id")),
+        hashes=h)
 
 
 @query("mm_image_resize", oracle="""

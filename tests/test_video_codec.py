@@ -318,3 +318,39 @@ def test_mixed_container_frame_ops_agree(spark):
     # the mixed set really contains both container types
     types = {r["media_type"] for r in mixed.select("media_type").collect()}
     assert types == {"video/x-msvideo", "video/mp4"}
+
+
+def test_fused_frame_hashes_equal_unfused_chain(spark):
+    """synthesize_frame_hashes (one mapInPandas, no payload Arrow
+    round trip) must emit exactly the rows of the generic
+    synthesize_avi_mjpeg → video_frame_hashes chain — same md5 over
+    the same encoded frame bytes — and the report built from it must
+    match row-for-row."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.operators import video as VID
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the quick brown fox", "the quick brown fox",
+             "jumps over the lazy dog", "", "aaaabbbbcccc",
+             "the quick brown fox jumps"])],
+        "doc_id long, text string")
+    unfused = (VID.video_frame_hashes(
+        VID.synthesize_avi_mjpeg(docs, "doc_id", "text", n_frames=6))
+        .select("media_id", "frame_md5"))
+    fused = VID.synthesize_frame_hashes(docs, "doc_id", "text",
+                                        n_frames=6)
+    a = sorted(map(tuple, unfused.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    ra = sorted(map(tuple, VID.frame_dedup_report(
+        VID.synthesize_avi_mjpeg(docs, "doc_id", "text", n_frames=6),
+        ids=ids).collect()))
+    rb = sorted(map(tuple, VID.frame_dedup_report(
+        None, ids=ids, hashes=fused).collect()))
+    assert ra == rb
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ids="):
+        VID.frame_dedup_report(None, hashes=fused).collect()
