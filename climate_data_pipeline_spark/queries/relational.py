@@ -1011,6 +1011,69 @@ def hdf5_szip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdf5_szip_stats(synthesize_hdf5_szip(docs, "doc_id", "text"))
 
 
+@query("s_grib2_jpeg2000_ingest", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT msg_id, msg_id % 4 AS c,
+         CAST((msg_id % 121) - 60 AS DOUBLE) AS la1,
+         list_transform(range(64),
+                        i -> bytes[CAST(i % len(bytes) AS INT) + 1])
+           AS cells
+  FROM b
+)
+SELECT msg_id,
+       '5.40' AS template,
+       CAST(CASE WHEN c = 2 THEN 32 ELSE 64 END AS BIGINT) AS n_present,
+       la1,
+       CASE c
+         WHEN 1 THEN CAST(list_sum(list_transform(cells,
+                          x -> 16 * x + 7)) AS DOUBLE) / 64
+         WHEN 2 THEN CAST(list_sum(list_transform(range(32),
+                          i -> cells[2*i + 1])) AS DOUBLE) / 32
+         WHEN 3 THEN CAST(list_sum(list_transform(cells,
+                          x -> 200 + (x // 2))) AS DOUBLE) / 128
+         ELSE CAST(list_sum(cells) AS DOUBLE) / 64
+       END AS mean_value
+FROM m
+""")
+def grib2_jpeg2000_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG2000-packed GRIB2 ingest (data representation template 5.40
+    — the last named GRIB2 packing seam, closed in round 9): documents
+    render into real messages whose section 7 is a genuine lossless
+    J2K codestream produced by the from-scratch Part-1 codec in
+    ``sources/j2k.py`` (MQ arithmetic coder, EBCOT tier-1/tier-2,
+    reversible 5/3 wavelet), then decode back through the same
+    spec-derived decoder into the long climate table. Classes cover
+    2-D wavelet grids, 12-bit depths, the (1, n) bitmap layout
+    g2clib emits for masked fields, and scale application on top of
+    the codec. Decoded values are exact integers/halves, so sums stay
+    order-independent and the oracle re-derives every mean from text
+    bytes — a wrong lifting step, context model, tag tree or packet
+    length would shift the hash."""
+    from ..sources.grib2 import grib2_long, synthesize_grib2_jpeg2000
+    docs = load_table(spark, sf_dir, "documents")
+    long = grib2_long(synthesize_grib2_jpeg2000(docs, "doc_id", "text"))
+    return (long.groupBy("msg_id", "template")
+            .agg(F.count("*").alias("n_present"),
+                 F.max("lat").alias("la1"),
+                 F.avg("value").alias("mean_value")))
+
+
 @query("s_hdf5_nbit_ingest", oracle="""
 WITH pay AS (
   SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx

@@ -23,12 +23,15 @@ E, decimal scale D, any bits-per-value width — values are
 own reference and bit width, group widths/lengths themselves
 bit-packed streams), 5.3 (complex packing with first- or second-order
 spatial differencing — the template operational ECMWF/NOAA NWP output
-overwhelmingly uses) and 5.41 (PNG packing, decoded through this
-repo's own ``operators/png.py``), section 6 bitmaps (indicator 0 =
-explicit bitmap, 255 = none), and section 7 bit-packed data. Other
-grid/product/representation templates (JPEG 2000, spectral, Lambert,
-Gaussian latitude-band subsets, missing-value management) raise a
-crisp
+overwhelmingly uses, with octet-23 missing-value management 1/2),
+5.40 (JPEG 2000 packing, decoded through the from-scratch Part-1
+codec in ``sources/j2k.py``) and 5.41 (PNG packing, decoded through
+this repo's own ``operators/png.py``), grid templates 3.0 / 3.30
+(Lambert conformal) / 3.40 (regular + reduced Gaussian), section 6
+bitmaps (indicator 0 = explicit bitmap, 254 = previously defined,
+255 = none), and section 7 bit-packed data. Other grid/product/
+representation templates (spectral, space-view, CCSDS/AEC packing,
+Gaussian latitude-band subsets) raise a crisp
 ``NotImplementedError`` naming the template — the codec-family
 loud-seam convention: never silent wrong values.
 
@@ -694,6 +697,13 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
     elif dtemplate in (2, 3):           # complex (+spatial diff)
         x, emb_miss = _unpack_complex(s5, s7[5:], n_data, nbits,
                                       dtemplate)
+    elif dtemplate == 40:               # JPEG 2000 packing
+        from .j2k import decode_j2k
+        img, _info = decode_j2k(bytes(s7[5:]))
+        x = img.astype(np.int64).reshape(-1)
+        if x.size != n_data:
+            raise ValueError("GRIB2 JPEG2000-packed field size "
+                             f"{x.size} != point count {n_data}")
     elif dtemplate == 41:               # PNG packing
         from ..operators.png import png_pixels
         px, _ctype = png_pixels(bytes(s7[5:]))
@@ -705,7 +715,7 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
         raise NotImplementedError(
             f"GRIB2 data representation template 5.{dtemplate} not "
             "supported (5.0 simple / 5.2 complex / 5.3 complex+"
-            "spatial-diff / 5.41 PNG only)")
+            "spatial-diff / 5.40 JPEG2000 / 5.41 PNG only)")
     y = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
     if emb_miss is not None:
         # embedded-missing points (management 1/2) land as NaN — the
@@ -744,6 +754,7 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                 param: tuple = (0, 0), forecast_hours: int = 0,
                 bitmap: np.ndarray | None = None,
                 png_packed: bool = False,
+                jpeg2000_packed: bool = False,
                 complex_packed: bool = False,
                 spatial_diff_order: int = 0,
                 group_size: int = 8,
@@ -912,10 +923,29 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                + bytes([process, 2, 1])              # incr type, hours
                + struct.pack(">I", hours)
                + bytes([1]) + struct.pack(">I", 0))
-    if complex_packed and png_packed:
-        raise ValueError("pick one of complex_packed / png_packed")
+    if sum((complex_packed, png_packed, jpeg2000_packed)) > 1:
+        raise ValueError("pick one of complex_packed / png_packed / "
+                         "jpeg2000_packed")
     s5_tail = b""
-    if complex_packed:
+    if jpeg2000_packed:
+        # template 5.40: octet 22 = original field type, 23 =
+        # compression type (0 lossless), 24 = ratio (255 for lossless);
+        # section 7 = a raw J2K codestream of the field as a grayscale
+        # image — (nj, ni) full grids, (1, n_data) under a bitmap (the
+        # shape NCEP's g2clib uses for masked fields)
+        from .j2k import encode_j2k
+        if flat.size and (int(flat.min()) < 0
+                          or int(flat.max()) >> nbits):
+            raise ValueError(f"JPEG2000 packing wants values in "
+                             f"[0, 2^{nbits})")
+        shape = (1, n_data) if (bitmap is not None
+                                or reduced_pl is not None) \
+            else (nj, ni)
+        packed = encode_j2k(flat.reshape(shape), depth=nbits,
+                            levels=2)
+        dtemplate = 40
+        s5_tail = bytes([0, 255])       # lossless, ratio N/A
+    elif complex_packed:
         dtemplate = 3 if spatial_diff_order else 2
         s5_tail, packed, nbits = _pack_complex(
             flat, group_size, spatial_diff_order,
@@ -1384,6 +1414,59 @@ def synthesize_grib2_lambert(df, id_col: str, text_col: str):
                                binary_scale=-1, complex_packed=True,
                                spatial_diff_order=2, group_size=6,
                                la1=la1, lo1=lo1, lambert=lam)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def synthesize_grib2_jpeg2000(df, id_col: str, text_col: str):
+    """Build REAL JPEG2000-packed GRIB2 messages (data representation
+    template 5.40 — newer ECMWF disseminations and NCEP archives)
+    deterministically from text rows; the payload wraps a genuine
+    lossless J2K codestream from ``sources/j2k.py`` (MQ coder, EBCOT,
+    reversible 5/3). Four residue classes of ``msg_id % 4``:
+
+    - 0: 8-bit values = bytes, full 8×8 grid (2-D wavelet path)
+    - 1: 12-bit values = 16·byte + 7
+    - 2: BITMAP with even cells present — masked fields ride as a
+         (1, n_data) image, the g2clib layout
+    - 3: 7-bit with reference 100 and binary scale −1 (exact halves)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)]
+            la1 = float((msg_id % 121) - 60)
+            c = msg_id % 4
+            if c == 0:
+                return build_grib2(cells.reshape(8, 8), nbits=8,
+                                   jpeg2000_packed=True, la1=la1)
+            if c == 1:
+                return build_grib2((cells * 16 + 7).reshape(8, 8),
+                                   nbits=12, jpeg2000_packed=True,
+                                   la1=la1)
+            if c == 2:
+                bm = np.zeros(64, bool)
+                bm[::2] = True
+                return build_grib2(cells[::2], nbits=8,
+                                   bitmap=bm.reshape(8, 8),
+                                   jpeg2000_packed=True, la1=la1)
+            return build_grib2((cells >> 1).reshape(8, 8), ref=100.0,
+                               binary_scale=-1, nbits=7,
+                               jpeg2000_packed=True, la1=la1)
 
         for pdf in batches:
             ids = pdf.iloc[:, 0].astype("int64")

@@ -74,13 +74,15 @@ def test_grib2_multi_message_and_loud_seams():
         parse_grib2(good[:len(good) // 2])
     # unsupported data representation template is named: walk the
     # section chain to find section 5 and rewrite its template id
+    # (5.40 JPEG2000 is REAL since round 9 — 5.42 CCSDS/AEC is the
+    # remaining named seam)
     import struct as st
     tamper = bytearray(build_grib2(v))
     p = 16
     while tamper[p + 4] != 5:
         p += st.unpack_from(">I", tamper, p)[0]
-    tamper[p + 9:p + 11] = (40).to_bytes(2, "big")   # JPEG 2000
-    with pytest.raises(NotImplementedError, match="5.40"):
+    tamper[p + 9:p + 11] = (42).to_bytes(2, "big")   # CCSDS/AEC
+    with pytest.raises(NotImplementedError, match="5.42"):
         parse_grib2(bytes(tamper))
 
 
