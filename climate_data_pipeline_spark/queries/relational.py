@@ -1074,6 +1074,64 @@ def grib2_jpeg2000_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.avg("value").alias("mean_value")))
 
 
+@query("s_grib2_aec_ingest", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT msg_id, msg_id % 4 AS c,
+         CAST((msg_id % 121) - 60 AS DOUBLE) AS la1,
+         list_transform(range(64),
+                        i -> bytes[CAST(i % len(bytes) AS INT) + 1])
+           AS cells
+  FROM b
+)
+SELECT msg_id,
+       '5.42' AS template,
+       CAST(64 AS BIGINT) AS n_present,
+       la1,
+       CASE c
+         WHEN 1 THEN CAST(list_sum(list_transform(cells,
+                          x -> 16 * x + 3)) AS DOUBLE) / 64
+         WHEN 3 THEN CAST(list_sum(list_transform(cells,
+                          x -> 200 + (x // 2))) AS DOUBLE) / 128
+         ELSE CAST(list_sum(cells) AS DOUBLE) / 64
+       END AS mean_value
+FROM m
+""")
+def grib2_aec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCSDS/AEC-packed GRIB2 ingest (data representation template
+    5.42 — libaec adaptive entropy coding, the packing newer
+    ECMWF/EUMETSAT disseminations carry): documents render into real
+    messages whose section 7 is a genuine CCSDS 121.0-B-2 stream from
+    the same pure-Python coder that closed the HDF5 szip seam
+    (``sources/szip.py``), with the AEC framing — flags octet,
+    B-2-only 64-sample blocks, reference-sample intervals, and the
+    AEC_PAD_RSI per-interval byte alignment. The oracle re-derives
+    each message's mean from text bytes: a wrong split-sample k,
+    zero-block run, NN unmap or RSI pad placement shifts the hash."""
+    from ..sources.grib2 import grib2_long, synthesize_grib2_aec
+    docs = load_table(spark, sf_dir, "documents")
+    long = grib2_long(synthesize_grib2_aec(docs, "doc_id", "text"))
+    return (long.groupBy("msg_id", "template")
+            .agg(F.count("*").alias("n_present"),
+                 F.max("lat").alias("la1"),
+                 F.avg("value").alias("mean_value")))
+
+
 @query("s_hdf5_nbit_ingest", oracle="""
 WITH pay AS (
   SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx

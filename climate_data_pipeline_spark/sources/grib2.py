@@ -711,11 +711,32 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
         if x.size < n_data:
             raise ValueError("GRIB2 PNG-packed field smaller than the "
                              "point count")
+    elif dtemplate == 42:               # CCSDS/AEC packing
+        # template 5.42: octet 22 = CCSDS (libaec) flags, 23 = block
+        # size, 24-25 = reference sample interval in blocks; section 7
+        # is a CCSDS 121.0-B-2 stream — the same adaptive-entropy
+        # coder as the HDF5 szip filter, decoded through
+        # ``sources/szip.py`` with the AEC framing translated
+        from .szip import NN_OPTION_MASK, szip_decode
+        aec_flags = s5[21]
+        block = s5[22]
+        (rsi,) = struct.unpack_from(">H", s5, 23)
+        if aec_flags & 0x01:            # AEC_DATA_SIGNED
+            raise NotImplementedError(
+                "GRIB2 CCSDS packing with signed samples")
+        if aec_flags & 0x10:            # AEC_RESTRICTED
+            raise NotImplementedError(
+                "GRIB2 CCSDS restricted low-entropy coding")
+        opts = NN_OPTION_MASK if aec_flags & 0x08 else 0
+        x = szip_decode(bytes(s7[5:]), opts, nbits, block,
+                        rsi * block, n_data,
+                        pad_scanline=bool(aec_flags & 0x20))
     else:
         raise NotImplementedError(
             f"GRIB2 data representation template 5.{dtemplate} not "
             "supported (5.0 simple / 5.2 complex / 5.3 complex+"
-            "spatial-diff / 5.40 JPEG2000 / 5.41 PNG only)")
+            "spatial-diff / 5.40 JPEG2000 / 5.41 PNG / 5.42 CCSDS "
+            "only)")
     y = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
     if emb_miss is not None:
         # embedded-missing points (management 1/2) land as NaN — the
@@ -755,6 +776,9 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                 bitmap: np.ndarray | None = None,
                 png_packed: bool = False,
                 jpeg2000_packed: bool = False,
+                aec_packed: bool = False,
+                aec_block: int = 16, aec_rsi: int = 8,
+                aec_pad_rsi: bool = False,
                 complex_packed: bool = False,
                 spatial_diff_order: int = 0,
                 group_size: int = 8,
@@ -923,11 +947,27 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                + bytes([process, 2, 1])              # incr type, hours
                + struct.pack(">I", hours)
                + bytes([1]) + struct.pack(">I", 0))
-    if sum((complex_packed, png_packed, jpeg2000_packed)) > 1:
+    if sum((complex_packed, png_packed, jpeg2000_packed,
+            aec_packed)) > 1:
         raise ValueError("pick one of complex_packed / png_packed / "
-                         "jpeg2000_packed")
+                         "jpeg2000_packed / aec_packed")
     s5_tail = b""
-    if jpeg2000_packed:
+    if aec_packed:
+        # template 5.42: flags = AEC_DATA_MSB | AEC_DATA_PREPROCESS
+        # (+ AEC_PAD_RSI), block size, 2-octet reference interval
+        from .szip import NN_OPTION_MASK, szip_encode
+        if flat.size and (int(flat.min()) < 0
+                          or int(flat.max()) >> nbits):
+            raise ValueError(f"CCSDS packing wants values in "
+                             f"[0, 2^{nbits})")
+        aec_flags = 0x04 | 0x08 | (0x20 if aec_pad_rsi else 0)
+        packed = szip_encode(flat, NN_OPTION_MASK, nbits, aec_block,
+                             aec_rsi * aec_block,
+                             pad_scanline=aec_pad_rsi)
+        dtemplate = 42
+        s5_tail = bytes([aec_flags, aec_block]) \
+            + struct.pack(">H", aec_rsi)
+    elif jpeg2000_packed:
         # template 5.40: octet 22 = original field type, 23 =
         # compression type (0 lossless), 24 = ratio (255 for lossless);
         # section 7 = a raw J2K codestream of the field as a grayscale
@@ -1467,6 +1507,60 @@ def synthesize_grib2_jpeg2000(df, id_col: str, text_col: str):
             return build_grib2((cells >> 1).reshape(8, 8), ref=100.0,
                                binary_scale=-1, nbits=7,
                                jpeg2000_packed=True, la1=la1)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def synthesize_grib2_aec(df, id_col: str, text_col: str):
+    """Build REAL CCSDS/AEC-packed GRIB2 messages (data representation
+    template 5.42 — the libaec packing newer ECMWF/EUMETSAT streams
+    carry) deterministically from text rows; payloads are genuine
+    CCSDS 121.0-B-2 streams from ``sources/szip.py`` with the AEC
+    framing. Four residue classes of ``msg_id % 4``:
+
+    - 0: block 16 / RSI 8, 8-bit values = bytes
+    - 1: block 32 / RSI 4, 12-bit values = 16·byte + 3
+    - 2: block 64 / RSI 2 with AEC_PAD_RSI (the B-2-only block size
+         and the per-interval byte alignment)
+    - 3: block 8 / RSI 16, 7-bit with reference 100 and binary scale
+         −1 (exact halves)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)]
+            la1 = float((msg_id % 121) - 60)
+            c = msg_id % 4
+            if c == 0:
+                return build_grib2(cells.reshape(8, 8), nbits=8,
+                                   aec_packed=True, la1=la1)
+            if c == 1:
+                return build_grib2((cells * 16 + 3).reshape(8, 8),
+                                   nbits=12, aec_packed=True,
+                                   aec_block=32, aec_rsi=4, la1=la1)
+            if c == 2:
+                return build_grib2(cells.reshape(8, 8), nbits=8,
+                                   aec_packed=True, aec_block=64,
+                                   aec_rsi=2, aec_pad_rsi=True,
+                                   la1=la1)
+            return build_grib2((cells >> 1).reshape(8, 8), ref=100.0,
+                               binary_scale=-1, nbits=7,
+                               aec_packed=True, aec_block=8,
+                               aec_rsi=16, la1=la1)
 
         for pdf in batches:
             ids = pdf.iloc[:, 0].astype("int64")

@@ -175,10 +175,14 @@ class _BitWriter:
             self.acc = (self.acc << 1) | int(b)
             self.nacc += 1
 
-    def bytes(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary (AEC_PAD_RSI scanline alignment)."""
         if self.nacc:
             self.out.append((self.acc << (8 - self.nacc)) & 0xFF)
             self.acc = self.nacc = 0
+
+    def bytes(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -260,14 +264,17 @@ def _se_split(gamma: int) -> tuple[int, int]:
 
 def szip_decode(payload: bytes, options_mask: int, bpp: int,
                 pixels_per_block: int, pixels_per_scanline: int,
-                n_pixels: int) -> np.ndarray:
+                n_pixels: int, pad_scanline: bool = False) -> np.ndarray:
     """Decode a CCSDS 121.0 coded stream of ``n_pixels`` samples →
     int64 array. Raises ``ValueError`` on malformed streams and
-    ``NotImplementedError`` on parameters outside the profile."""
+    ``NotImplementedError`` on parameters outside the profile.
+    Block sizes up to 64 cover the 121.0-B-2 (libaec) profile GRIB2
+    template 5.42 uses; ``pad_scanline`` byte-aligns the stream after
+    every reference-sample interval (libaec's AEC_PAD_RSI)."""
     if not 1 <= bpp <= 32:
         raise NotImplementedError(f"szip bits-per-pixel {bpp} "
                                   "(1..32 only)")
-    if pixels_per_block < 2 or pixels_per_block > 32 \
+    if pixels_per_block < 2 or pixels_per_block > 64 \
             or pixels_per_block % 2:
         raise ValueError(f"szip pixels-per-block {pixels_per_block}")
     preprocess = bool(options_mask & NN_OPTION_MASK)
@@ -339,17 +346,22 @@ def szip_decode(payload: bytes, options_mask: int, bpp: int,
         else:
             out[done:done + scan_px] = mapped
         done += scan_px
+        if pad_scanline:
+            r.pos = (r.pos + 7) & ~7
     return out
 
 
 def szip_encode(samples: np.ndarray, options_mask: int, bpp: int,
                 pixels_per_block: int,
-                pixels_per_scanline: int) -> bytes:
+                pixels_per_scanline: int,
+                pad_scanline: bool = False) -> bytes:
     """Encode samples (non-negative, < 2^bpp) into a CCSDS 121.0
     stream ``szip_decode`` inverts bit-exactly. Chooses per block among
     zero-block runs (with the remainder-of-segment escape), the best
     split-sample k, and no-compression; second extension is decoder-
-    side only (pinned by hand-assembled streams in the tests)."""
+    side only (pinned by hand-assembled streams in the tests).
+    ``pad_scanline`` byte-aligns after every reference interval
+    (AEC_PAD_RSI)."""
     x = np.asarray(samples, np.int64)
     if x.size == 0:
         raise ValueError("szip wants at least one sample")
@@ -424,6 +436,8 @@ def szip_encode(samples: np.ndarray, options_mask: int, bpp: int,
                 else:
                     w.put_bits(unary)
             b += 1
+        if pad_scanline:
+            w.align()
     return w.bytes()
 
 

@@ -74,15 +74,15 @@ def test_grib2_multi_message_and_loud_seams():
         parse_grib2(good[:len(good) // 2])
     # unsupported data representation template is named: walk the
     # section chain to find section 5 and rewrite its template id
-    # (5.40 JPEG2000 is REAL since round 9 — 5.42 CCSDS/AEC is the
-    # remaining named seam)
+    # (5.40 JPEG2000 and 5.42 CCSDS/AEC are REAL since round 9 —
+    # spectral 5.50 is the remaining named seam)
     import struct as st
     tamper = bytearray(build_grib2(v))
     p = 16
     while tamper[p + 4] != 5:
         p += st.unpack_from(">I", tamper, p)[0]
-    tamper[p + 9:p + 11] = (42).to_bytes(2, "big")   # CCSDS/AEC
-    with pytest.raises(NotImplementedError, match="5.42"):
+    tamper[p + 9:p + 11] = (50).to_bytes(2, "big")   # spectral
+    with pytest.raises(NotImplementedError, match="5.50"):
         parse_grib2(bytes(tamper))
 
 
@@ -551,3 +551,45 @@ def test_grib2_lambert_conformal_grid():
     y = rho0 - rho * np.cos(cn * (lon - 262.0) * rad)
     np.testing.assert_allclose(np.diff(x, axis=1), 3000.0, rtol=1e-9)
     np.testing.assert_allclose(np.diff(y, axis=0), 3000.0, rtol=1e-9)
+
+
+def test_grib2_ccsds_aec_template_roundtrip():
+    """Template 5.42 (CCSDS/AEC via sources/szip.py): every framing
+    axis — block sizes incl. the B-2-only 64, reference intervals,
+    AEC_PAD_RSI byte alignment, scale on top, bitmaps, zero runs —
+    round-trips exactly; signed/restricted flags stay loud."""
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 256, 64).astype(np.int64)
+    for kw in (dict(), dict(aec_block=32, aec_rsi=4),
+               dict(aec_block=64, aec_rsi=2, aec_pad_rsi=True),
+               dict(aec_block=8, aec_rsi=16)):
+        m = parse_grib2(build_grib2(vals.reshape(8, 8), nbits=8,
+                                    aec_packed=True, **kw))[0]
+        assert m["template"] == "5.42"
+        np.testing.assert_array_equal(m["values"].reshape(-1), vals)
+    bm = np.zeros(64, bool)
+    bm[1::2] = True
+    m = parse_grib2(build_grib2(vals[1::2] >> 1, ref=100.0,
+                                binary_scale=-1, nbits=7,
+                                bitmap=bm.reshape(8, 8),
+                                aec_packed=True))[0]
+    got = m["values"].reshape(-1)
+    np.testing.assert_allclose(got[1::2], 100 + (vals[1::2] >> 1) * 0.5)
+    assert np.isnan(got[::2]).all()
+    z = np.zeros(64, np.int64)
+    z[30:34] = 7
+    m = parse_grib2(build_grib2(z.reshape(8, 8), nbits=8,
+                                aec_packed=True))[0]
+    np.testing.assert_array_equal(m["values"].reshape(-1), z)
+    # loud flags: signed (0x01) and restricted (0x10)
+    import struct as st
+    blob = bytearray(build_grib2(vals.reshape(8, 8), nbits=8,
+                                 aec_packed=True))
+    p = 16
+    while blob[p + 4] != 5:
+        p += st.unpack_from(">I", blob, p)[0]
+    for flag, pat in ((0x01, "signed"), (0x10, "restricted")):
+        bad = bytearray(blob)
+        bad[p + 21] |= flag
+        with pytest.raises(NotImplementedError, match=pat):
+            parse_grib2(bytes(bad))
