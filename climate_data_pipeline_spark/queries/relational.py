@@ -1132,6 +1132,74 @@ def grib2_aec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.avg("value").alias("mean_value")))
 
 
+@query("s_grib2_spectral_ingest", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+slots AS (
+  SELECT row_number() OVER (ORDER BY mm.m, nn.n, pp.part) - 1 AS i,
+         mm.m, nn.n, pp.part
+  FROM range(8) mm(m)
+  JOIN range(8) nn(n) ON nn.n >= mm.m
+  CROSS JOIN (VALUES (0), (1)) pp(part)
+),
+v AS (
+  SELECT b.msg_id, b.msg_id % 3 AS c, s.m, s.n, s.part,
+         bytes[CAST(s.i % len(bytes) AS INT) + 1] AS x
+  FROM b CROSS JOIN slots s
+)
+SELECT msg_id,
+       CASE WHEN c = 0 THEN '5.50' ELSE '5.51' END AS template,
+       CAST(m AS INTEGER) AS m, CAST(n AS INTEGER) AS n,
+       CAST(part AS INTEGER) AS part,
+       CASE
+         WHEN c = 0 THEN CAST(x AS DOUBLE)
+         WHEN c = 1 AND m <= 2 AND n <= 2
+           THEN CAST(CAST(100 + x / 2.0 AS REAL) AS DOUBLE)
+         WHEN c = 1
+           THEN (100 + x / 2.0) / (n * (n + 1))
+         WHEN m <= 3 AND n <= 3
+           THEN CAST(CAST(16 * x + 5 AS REAL) AS DOUBLE)
+         ELSE CAST(16 * x + 5 AS DOUBLE)
+              / (CAST(n * (n + 1) AS DOUBLE) * (n * (n + 1)))
+       END AS coeff
+FROM v
+""")
+def grib2_spectral_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-harmonic GRIB2 ingest (grid template 3.50, data
+    templates 5.50 simple and 5.51 complex with Laplacian scaling —
+    ECMWF's model-level archive shape): documents render into real
+    T7-truncation messages and decode into one row per coefficient
+    (m, n, real/imag) through ``grib2_spectral_long`` — spectral
+    fields have no lat/lon until a Legendre synthesis, so the ingest
+    contract is the coefficient domain. Per-row comparison (no
+    cross-row float sums), and every arithmetic step is either exact
+    (integers, halves, float32-representable subsets) or a single
+    IEEE division with exact operands — including the integer-power
+    Laplacian factors — so the DuckDB oracle reproduces each
+    coefficient bit-for-bit from text bytes: a wrong sub-truncation
+    mask, Ts count, Laplacian exponent or sequence order shifts the
+    hash."""
+    from ..sources.grib2 import (grib2_spectral_long,
+                                 synthesize_grib2_spectral)
+    docs = load_table(spark, sf_dir, "documents")
+    return grib2_spectral_long(
+        synthesize_grib2_spectral(docs, "doc_id", "text"))
+
+
 @query("s_hdf5_nbit_ingest", oracle="""
 WITH pay AS (
   SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx

@@ -25,13 +25,17 @@ bit-packed streams), 5.3 (complex packing with first- or second-order
 spatial differencing — the template operational ECMWF/NOAA NWP output
 overwhelmingly uses, with octet-23 missing-value management 1/2),
 5.40 (JPEG 2000 packing, decoded through the from-scratch Part-1
-codec in ``sources/j2k.py``) and 5.41 (PNG packing, decoded through
-this repo's own ``operators/png.py``), grid templates 3.0 / 3.30
-(Lambert conformal) / 3.40 (regular + reduced Gaussian), section 6
-bitmaps (indicator 0 = explicit bitmap, 254 = previously defined,
+codec in ``sources/j2k.py``), 5.41 (PNG packing, decoded through
+this repo's own ``operators/png.py``), 5.42 (CCSDS/AEC through
+``sources/szip.py``) and 5.50/5.51 (spherical-harmonic simple +
+complex packing with Laplacian scaling and the IEEE sub-truncation,
+decoded to the coefficient domain via ``grib2_spectral_long``), grid
+templates 3.0 / 3.30 (Lambert conformal) / 3.40 (regular + reduced
+Gaussian) / 3.50 (spherical harmonics), section 6 bitmaps
+(indicator 0 = explicit bitmap, 254 = previously defined,
 255 = none), and section 7 bit-packed data. Other grid/product/
-representation templates (spectral, space-view, CCSDS/AEC packing,
-Gaussian latitude-band subsets) raise a crisp
+representation templates (space-view, Gaussian latitude-band
+subsets) raise a crisp
 ``NotImplementedError`` naming the template — the codec-family
 loud-seam convention: never silent wrong values.
 
@@ -557,6 +561,95 @@ def _parse_lambert_grid(s3: bytes, rec: dict, ni: int, nj: int) -> None:
                latin1=latin1, latin2=latin2, dx_m=dx, dy_m=dy)
 
 
+def _spectral_mn(j: int, m: int) -> tuple[np.ndarray, np.ndarray,
+                                          np.ndarray]:
+    """Sequence metadata for a triangular-truncation coefficient
+    stream (the ECMWF order): for m = 0..M, n = m..J, parts
+    (real, imag) — returns per-VALUE (m, n, part) arrays."""
+    ms, ns = [], []
+    for mm in range(m + 1):
+        for nn in range(mm, j + 1):
+            ms += [mm, mm]
+            ns += [nn, nn]
+    part = np.tile(np.array([0, 1], np.int64), len(ms) // 2)
+    return np.array(ms, np.int64), np.array(ns, np.int64), part
+
+
+def _parse_spectral_field(sec: dict[int, bytes], rec: dict) -> dict:
+    """Sections 4/5/7 of a spherical-harmonic field (grid 3.50, data
+    5.50 simple / 5.51 complex packing with Laplacian scaling and an
+    IEEE-float unpacked sub-truncation). ``rec['values']`` is the
+    1-D coefficient sequence; ``rec['spectral'] = True``."""
+    s4 = sec[4]
+    (ptemplate,) = struct.unpack_from(">H", s4, 7)
+    if ptemplate != 0:
+        raise NotImplementedError(
+            f"GRIB2 spectral product template 4.{ptemplate} "
+            "(4.0 only)")
+    rec["param_category"] = s4[9]
+    rec["param_number"] = s4[10]
+    rec["forecast_hours"] = struct.unpack_from(">I", s4, 18)[0]
+
+    s5 = sec[5]
+    (n_points,) = struct.unpack_from(">I", s5, 5)
+    (dtemplate,) = struct.unpack_from(">H", s5, 9)
+    (ref,) = struct.unpack_from(">f", s5, 11)
+    e = _sm_int(struct.unpack_from(">H", s5, 15)[0], 16)
+    d = _sm_int(struct.unpack_from(">H", s5, 17)[0], 16)
+    nbits = s5[19]
+    rec["template"] = f"5.{dtemplate}"
+    if 6 in sec and sec[6][5] != 255:
+        raise NotImplementedError("GRIB2 spectral field with a bitmap")
+    mlist, nlist, part = _spectral_mn(rec["spectral_j"],
+                                      rec["spectral_m"])
+    if mlist.size != n_points:
+        raise ValueError(
+            f"GRIB2 spectral point count {n_points} disagrees with "
+            f"the J={rec['spectral_j']} truncation ({mlist.size})")
+    s7 = sec[7]
+    if dtemplate == 50:
+        x = _unpack_bits(s7[5:], nbits, n_points)
+        y = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
+    elif dtemplate == 51:
+        p_lap = _sm_int(struct.unpack_from(">I", s5, 20)[0], 32) / 1e6
+        js, ks, ms_ = struct.unpack_from(">HHH", s5, 24)
+        (ts,) = struct.unpack_from(">I", s5, 30)
+        prec = s5[34]
+        if prec != 1:
+            raise NotImplementedError(
+                f"GRIB2 spectral subset precision code {prec} "
+                "(IEEE 32-bit = 1 only)")
+        subset = (mlist <= ms_) & (nlist <= js)
+        if int(subset.sum()) != ts:
+            raise ValueError("GRIB2 spectral sub-truncation count "
+                             "disagrees with Ts")
+        floats = np.frombuffer(s7[5:5 + 4 * ts], ">f4").astype(
+            np.float64)
+        x = _unpack_bits(s7[5 + 4 * ts:], nbits, n_points - ts)
+        ypk = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
+        nn = nlist[~subset]
+        lam = (nn * (nn + 1)).astype(np.float64)
+        if float(p_lap).is_integer():
+            # exact integer Laplacian powers (the oracle-checkable
+            # classes): (n(n+1))^p as exact ints → one IEEE division
+            factor = ((nn * (nn + 1)).astype(object)
+                      ** int(p_lap)).astype(np.float64)
+        else:
+            factor = lam ** p_lap
+        y = np.empty(n_points, np.float64)
+        y[subset] = floats
+        y[~subset] = ypk / factor
+    else:
+        raise NotImplementedError(
+            f"GRIB2 spectral data representation template "
+            f"5.{dtemplate} (5.50 simple / 5.51 complex only)")
+    rec["spectral"] = True
+    rec["values"] = y
+    rec["coeff_m"], rec["coeff_n"], rec["coeff_part"] = \
+        mlist, nlist, part
+    return rec
+
+
 def _parse_field(sec: dict[int, bytes], discipline: int,
                  carry: dict) -> dict:
     rec: dict = {"discipline": discipline}
@@ -571,11 +664,33 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
 
     s3 = sec[3]
     (gtemplate,) = struct.unpack_from(">H", s3, 12)
-    if gtemplate not in (0, 30, 40):
+    if gtemplate not in (0, 30, 40, 50):
         raise NotImplementedError(
             f"GRIB2 grid template 3.{gtemplate} not supported "
             "(3.0 regular / 3.30 Lambert conformal / 3.40 Gaussian "
-            "lat/lon only)")
+            "lat/lon / 3.50 spherical harmonics only)")
+    if gtemplate == 50:
+        # spherical harmonic coefficients: J, K, M pentagonal
+        # resolution parameters + representation type/mode — there is
+        # no lat/lon grid; the field is the coefficient sequence
+        j_, k_, m_ = struct.unpack_from(">III", s3, 14)
+        rep_type, rep_mode = s3[26], s3[27]
+        if rep_type != 1:
+            raise NotImplementedError(
+                f"GRIB2 spectral representation type {rep_type} "
+                "(associated Legendre = 1 only)")
+        if not (j_ == k_ == m_):
+            raise NotImplementedError(
+                "GRIB2 spectral pentagonal truncation with J != K != "
+                "M (triangular truncation only)")
+        rec.update(spectral_j=int(j_), spectral_k=int(k_),
+                   spectral_m=int(m_), spectral_mode=int(rep_mode),
+                   ni=0, nj=0, la1=0.0, lo1=0.0, la2=0.0, lo2=0.0,
+                   dlat=0.0, dlon=0.0, lats=None)
+        scan = 0
+        pl = None
+        ni = nj = 0
+        return _parse_spectral_field(sec, rec)
     ni, nj = struct.unpack_from(">II", s3, 30)
     if gtemplate == 30:
         _parse_lambert_grid(s3, rec, int(ni), int(nj))
@@ -1179,6 +1294,10 @@ def grib2_long(payload_df, id_col: str = "msg_id",
             for mid, payload in zip(pdf[id_col].astype("int64"),
                                     pdf[payload_col]):
                 for m in parse_grib2(bytes(payload)):
+                    if m.get("spectral"):
+                        raise ValueError(
+                            "grib2_long got a spherical-harmonic "
+                            "field — use grib2_spectral_long")
                     vals = m["values"]
                     if m.get("pl") is not None:
                         # reduced Gaussian: ragged parallels — each
@@ -1561,6 +1680,155 @@ def synthesize_grib2_aec(df, id_col: str, text_col: str):
                                binary_scale=-1, nbits=7,
                                aec_packed=True, aec_block=8,
                                aec_rsi=16, la1=la1)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def build_grib2_spectral(x: np.ndarray, j: int, ref: float = 0.0,
+                         binary_scale: int = 0, decimal_scale: int = 0,
+                         nbits: int = 8,
+                         laplacian_p: float | None = None,
+                         subset_trunc: int = 0,
+                         ref_time: tuple = (2020, 1, 1, 0, 0, 0),
+                         param: tuple = (0, 0),
+                         discipline: int = 0) -> bytes:
+    """Assemble a spherical-harmonic GRIB2 message (grid template
+    3.50, triangular truncation J=K=M=``j``): ``x`` is the packed
+    integer sequence over the ECMWF coefficient order (m=0..J,
+    n=m..J, real/imag), stored field = ``(R + X·2^E)/10^D``. With
+    ``laplacian_p`` (data template 5.51) the sub-truncation
+    ``m,n ≤ subset_trunc`` is stored as IEEE 32-bit floats of its
+    Y values and every packed coefficient decodes to
+    ``Y · (n(n+1))^(−p)``; without it template 5.50 simple packing."""
+    x = np.asarray(x, np.int64)
+    mlist, nlist, _part = _spectral_mn(j, j)
+    if x.size != mlist.size:
+        raise ValueError(f"spectral J={j} wants {mlist.size} values, "
+                         f"got {x.size}")
+    y, mo, dd, hh, mi, ss = ref_time
+    s1 = (struct.pack(">HHBBB", 0, 0, 2, 1, 1)
+          + struct.pack(">HBBBBB", y, mo, dd, hh, mi, ss)
+          + bytes([0, 1]))
+    g = (bytes([0]) + struct.pack(">I", int(x.size)) + bytes([0, 0])
+         + struct.pack(">H", 50)
+         + struct.pack(">III", j, j, j)
+         + bytes([1, 1]))                # Legendre, complex-pack mode
+    s4 = (struct.pack(">H", 0) + struct.pack(">H", 0)
+          + bytes([param[0], param[1], 0, 0, 0]) + struct.pack(">H", 0)
+          + bytes([0, 1]) + struct.pack(">I", 0)
+          + bytes([1, 0]) + struct.pack(">I", 0)
+          + bytes([255, 0]) + struct.pack(">I", 0))
+    yvals = (ref + x.astype(np.float64)
+             * (2.0 ** binary_scale)) / (10.0 ** decimal_scale)
+    if laplacian_p is None:
+        packed = _pack_bits(x, nbits)
+        s5 = (struct.pack(">I", int(x.size)) + struct.pack(">H", 50)
+              + struct.pack(">f", ref)
+              + struct.pack(">H", _sm_enc(binary_scale, 16))
+              + struct.pack(">H", _sm_enc(decimal_scale, 16))
+              + bytes([nbits, 0]))
+    else:
+        subset = (mlist <= subset_trunc) & (nlist <= subset_trunc)
+        ts = int(subset.sum())
+        if (nlist[~subset] == 0).any():
+            raise ValueError("Laplacian scaling over an n=0 "
+                             "coefficient — widen the sub-truncation")
+        floats = yvals[subset].astype(">f4").tobytes()
+        packed = floats + _pack_bits(x[~subset], nbits)
+        s5 = (struct.pack(">I", int(x.size)) + struct.pack(">H", 51)
+              + struct.pack(">f", ref)
+              + struct.pack(">H", _sm_enc(binary_scale, 16))
+              + struct.pack(">H", _sm_enc(decimal_scale, 16))
+              + bytes([nbits])
+              + struct.pack(">I", _sm_enc(round(laplacian_p * 1e6),
+                                          32))
+              + struct.pack(">HHH", subset_trunc, subset_trunc,
+                            subset_trunc)
+              + struct.pack(">I", ts)
+              + bytes([1]))               # IEEE 32-bit subset
+    s6 = bytes([255])
+    body = (_section(1, s1) + _section(3, g) + _section(4, s4)
+            + _section(5, s5) + _section(6, s6) + _section(7, packed))
+    total = 16 + len(body) + 4
+    head = (b"GRIB" + bytes([0, 0, discipline, 2])
+            + struct.pack(">Q", total))
+    return head + body + b"7777"
+
+
+def grib2_spectral_long(payload_df, id_col: str = "msg_id",
+                        payload_col: str = "payload"):
+    """Decode spherical-harmonic GRIB2 payloads executor-side → one
+    row per COEFFICIENT VALUE: (msg_id, template, m, n, part, coeff)
+    with part 0 = real, 1 = imaginary — the coefficient-domain twin of
+    ``grib2_long`` (spectral fields have no lat/lon grid until a
+    Legendre synthesis, which is a separate transform, not ingest)."""
+    import pandas as pd
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = {"msg_id": [], "template": [], "m": [], "n": [],
+                    "part": [], "coeff": []}
+            for mid, payload in zip(pdf[id_col].astype("int64"),
+                                    pdf[payload_col]):
+                for rec in parse_grib2(bytes(payload)):
+                    if not rec.get("spectral"):
+                        raise ValueError("grib2_spectral_long got a "
+                                         "grid-point field")
+                    k = rec["values"].size
+                    rows["msg_id"].extend([int(mid)] * k)
+                    rows["template"].extend([rec["template"]] * k)
+                    rows["m"].extend(rec["coeff_m"].tolist())
+                    rows["n"].extend(rec["coeff_n"].tolist())
+                    rows["part"].extend(rec["coeff_part"].tolist())
+                    rows["coeff"].extend(rec["values"].tolist())
+            yield pd.DataFrame(rows)
+
+    return payload_df.mapInPandas(
+        _decode, schema=("msg_id long, template string, m int, n int, "
+                         "part int, coeff double"))
+
+
+def synthesize_grib2_spectral(df, id_col: str, text_col: str):
+    """Build REAL spherical-harmonic GRIB2 messages (grid template
+    3.50, T7 triangular truncation → 72 coefficient values) from text
+    rows — ECMWF's model-level archive shape. Three residue classes of
+    ``msg_id % 3``:
+
+    - 0: template 5.50 simple packing, X = bytes
+    - 1: template 5.51, Laplacian p = 1, sub-truncation 2 (12 IEEE
+         floats), reference 100 + binary scale −1 (exact halves;
+         packed coefficients decode to Y / (n(n+1)))
+    - 2: template 5.51, p = 2, sub-truncation 3, 12-bit X = 16·b + 5"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(72) % len(bts)]
+            c = msg_id % 3
+            if c == 0:
+                return build_grib2_spectral(cells, 7, nbits=8)
+            if c == 1:
+                return build_grib2_spectral(cells, 7, ref=100.0,
+                                            binary_scale=-1, nbits=8,
+                                            laplacian_p=1.0,
+                                            subset_trunc=2)
+            return build_grib2_spectral(cells * 16 + 5, 7, nbits=12,
+                                        laplacian_p=2.0,
+                                        subset_trunc=3)
 
         for pdf in batches:
             ids = pdf.iloc[:, 0].astype("int64")

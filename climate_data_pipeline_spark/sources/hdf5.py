@@ -17,8 +17,9 @@ Fixed Array, Extensible Array for appendable unlimited-dimension
 datasets, v2 B-tree), dense link AND attribute storage (fractal
 heap + name v2 B-trees), and compound datatypes (numpy structured
 arrays; one long-model variable per member). Features beyond that
-(multi-level fractal heaps, float-scaled scaleoffset, ...) raise a
-crisp ``NotImplementedError`` naming the feature. Array datatypes
+(filtered fractal heaps, float-scaled scaleoffset, ...) raise a
+crisp ``NotImplementedError`` naming the feature. Fractal heaps walk
+arbitrarily deep indirect-block trees (multi-level) since round 9. Array datatypes
 (class 10, and v1 compound members' inline dimensionality) map to
 numpy subarray dtypes — the per-member wind-vector/level-profile
 station-obs shape. Szip (CCSDS 121.0 extended-Rice, the filter CMIP/ERA5
@@ -360,29 +361,42 @@ class H5File:
             return {"heap_id_len": heap_id_len, "off_size": off_size,
                     "flags": flags,
                     "blocks": [(0, start_block, root_block)]}
-        # root is an INDIRECT block: the doubling table says row 0 and
-        # row 1 hold table_width direct blocks of start_block bytes,
-        # row i>=1 holds table_width blocks of start_block·2^(i-1);
-        # rows past the max-direct size would hold child INDIRECT
-        # blocks — loud until a real producer needs multi-level heaps.
+        # root is an INDIRECT block: the doubling table says rows 0
+        # and 1 hold table_width direct blocks of start_block bytes,
+        # row i>=2 holds table_width blocks of start_block·2^(i-1);
+        # rows past the max-direct size hold child INDIRECT blocks —
+        # each covering its row's span, with its own row count
+        # rows(span) = log2(span) − log2(start) − log2(width) + 1
+        # (libhdf5's H5HF dtable size→rows relation). Recursing makes
+        # arbitrarily deep (multi-level) heaps readable — groups with
+        # very many dense links land here.
         max_direct_rows = (max_direct.bit_length()
                            - start_block.bit_length()) + 2
-        if cur_rows > max_direct_rows:
-            raise H5Unsupported(
-                "multi-level fractal heap (indirect blocks below the "
-                "root) not supported")
-        if b[root_block:root_block + 4] != b"FHIB":
-            raise ValueError("bad fractal heap indirect block signature")
-        pos = root_block + 4 + 1 + 8 + off_size
-        blocks, heap_off = [], 0
-        for row in range(cur_rows):
-            size = start_block * (1 << max(row - 1, 0))
-            for _ in range(table_width):
-                (daddr,) = struct.unpack_from("<Q", b, pos)
-                pos += 8
-                if daddr != UNDEF:
-                    blocks.append((heap_off, size, daddr))
-                heap_off += size
+        blocks: list[tuple[int, int, int]] = []
+
+        def walk_indirect(iaddr: int, nrows: int, base_off: int) -> None:
+            if b[iaddr:iaddr + 4] != b"FHIB":
+                raise ValueError(
+                    "bad fractal heap indirect block signature")
+            pos = iaddr + 4 + 1 + 8 + off_size
+            heap_off = base_off
+            for row in range(nrows):
+                size = start_block * (1 << max(row - 1, 0))
+                for _ in range(table_width):
+                    (daddr,) = struct.unpack_from("<Q", b, pos)
+                    pos += 8
+                    if daddr != UNDEF:
+                        if row < max_direct_rows:
+                            blocks.append((heap_off, size, daddr))
+                        else:
+                            child_rows = (size.bit_length()
+                                          - start_block.bit_length()
+                                          - table_width.bit_length()
+                                          + 2)
+                            walk_indirect(daddr, child_rows, heap_off)
+                    heap_off += size
+
+        walk_indirect(root_block, cur_rows, 0)
         return {"heap_id_len": heap_id_len, "off_size": off_size,
                 "flags": flags, "blocks": blocks}
 

@@ -842,17 +842,16 @@ def test_appendable_profile_grid_and_distributed(spark, tmp_path):
 
 
 def test_latest_profile_loud_unsupported_paths():
-    # multi-level fractal heaps (indirect blocks BELOW the root — rows
-    # past the max-direct size) refuse loudly; start=512, max=1024
-    # allows 3 direct rows, so cur_rows=4 implies indirect children
-    frhp = (b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 0) + bytes([0])
+    # FILTERED fractal heaps refuse loudly (multi-level heaps are
+    # supported since round 9 — see the positive test below)
+    frhp = (b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 2) + bytes([0])
             + struct.pack("<I", 512) + b"\x00" * 96
             + struct.pack("<H", 4) + struct.pack("<QQ", 512, 1024)
             + struct.pack("<HH", 32, 1) + struct.pack("<Q", 4096)
             + struct.pack("<H", 4) + bytes(4))
     f = H5File.__new__(H5File)
     f.buf = frhp
-    with pytest.raises(H5Unsupported, match="multi-level"):
+    with pytest.raises(H5Unsupported, match="filtered fractal heap"):
         f._fractal_heap(0)
 
 
@@ -1582,3 +1581,108 @@ def test_scaleoffset_hand_assembled_stream():
         _scaleoffset_decode(raw0, (2, 0),
                             {"kind": "float", "size": 4,
                              "dtype": np.dtype("<f4")}, 4)
+
+
+def test_fractal_heap_multi_level_indirect_blocks():
+    """Round 9: a fractal heap whose root's doubling-table rows run
+    PAST the max-direct size — those rows hold child INDIRECT blocks
+    (spec III.F), each covering its row's span with its own row count
+    rows(span) = log2(span) − log2(start) − log2(width) + 1. Links
+    resolve from root-direct blocks AND from direct blocks below a
+    child indirect block; the fixture is hand-assembled so the
+    reader's geometry cannot be validated by its own writer."""
+    import struct
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(b_))
+                         + bytes([0]) + b_ for t, b_ in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    data = np.array([3.25, -1.5, 9.0], dtype="<f8")
+    daddr = place(data.tobytes())
+    props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    dt = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+          + struct.pack("<I", 8) + props)
+    ds = bytes([2, 1, 0, 1]) + Q(3)
+    lay = bytes([3, 1]) + struct.pack("<QQ", daddr, data.nbytes)
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+
+    # heap geometry: start 128, width 2, max direct 256 →
+    # max_direct_rows = 3 (rows 0/1 at 128, row 2 at 256); root with
+    # cur_rows = 4 puts row 3 (span 512 each) as INDIRECT children
+    # with child rows = 10 − 8 − 2 + 2 = 2 (4 × 128-byte directs)
+    start, width = 128, 2
+    hdr_len = 4 + 1 + 8 + 4
+
+    def direct_block(base: int, link_msgs: list[bytes]):
+        body, local, ids = b"", hdr_len, []
+        for lm in link_msgs:
+            assert local + len(lm) <= start
+            ids.append(bytes([0]) + struct.pack("<I", base + local)
+                       + struct.pack("<H", len(lm)))
+            body += lm
+            local += len(lm)
+        addr = place((b"FHDB" + bytes([0]) + Q(0) + bytes(4)
+                      + body).ljust(start, b"\x00"))
+        return addr, ids
+
+    def link(n: str) -> bytes:
+        return bytes([1, 0, len(n)]) + n.encode() + Q(v_oh)
+
+    names_root = ["a00", "a01", "a02", "a03"]
+    names_deep = ["z00", "z01", "z02"]
+    ids: list[bytes] = []
+    # root row 0, entry 0 at heap offset 0: two links
+    d0, i0 = direct_block(0, [link(n) for n in names_root[:2]])
+    ids += i0
+    # root row 1, entry 1 at heap offset 384: two links
+    d1, i1 = direct_block(384, [link(n) for n in names_root[2:]])
+    ids += i1
+    # child indirect (row 3, entry 0) covers [1024, 1536): its row-1
+    # entry 1 direct block sits at heap offset 1024 + 384 = 1408
+    dz, iz = direct_block(1408, [link(n) for n in names_deep])
+    ids += iz
+    child = place(b"FHIB" + bytes([0]) + Q(0)
+                  + struct.pack("<I", 1024)
+                  + Q(UNDEF) + Q(UNDEF) + Q(UNDEF) + Q(dz) + bytes(4))
+    fhib = place(b"FHIB" + bytes([0]) + Q(0) + bytes(4)
+                 + Q(d0) + Q(UNDEF)                 # row 0
+                 + Q(UNDEF) + Q(d1)                 # row 1
+                 + Q(UNDEF) + Q(UNDEF)              # row 2 (256 each)
+                 + Q(child) + Q(UNDEF)              # row 3: indirect
+                 + bytes(4))
+    nrecs = [struct.pack("<I", i) + hid for i, hid in enumerate(ids)]
+    nlf = place(b"BTLF" + bytes([0, 5]) + b"".join(nrecs) + bytes(4))
+    nhd = place(b"BTHD" + bytes([0, 5])
+                + struct.pack("<IHH", 2048, 11, 0) + bytes([100, 40])
+                + Q(nlf) + struct.pack("<H", len(nrecs)) + Q(len(nrecs))
+                + bytes(4))
+    frhp = place(b"FRHP" + bytes([0])
+                 + struct.pack("<HH", 7, 0) + bytes([0])
+                 + struct.pack("<I", 512) + Q(0) + Q(UNDEF) + Q(0)
+                 + Q(UNDEF) + Q(2048) + Q(2048) + Q(2048)
+                 + Q(len(ids)) + Q(0) + Q(0) + Q(0) + Q(0)
+                 + struct.pack("<H", width) + Q(start) + Q(256)
+                 + struct.pack("<HH", 32, 1) + Q(fhib)
+                 + struct.pack("<H", 4) + bytes(4))
+    li = bytes([0, 0]) + Q(frhp) + Q(nhd)
+    root = place(ohdr([(0x0002, li)]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    f = H5File(sb + b"".join(alloc))
+    assert sorted(f.datasets) == sorted(names_root + names_deep)
+    np.testing.assert_array_equal(f.read("z01"), data)
+    np.testing.assert_array_equal(f.read("a03"), data)
