@@ -546,3 +546,90 @@ def test_avi_container_roundtrip_total(nf, fps, with_index, seed):
     meta = parse_avi_mjpeg(avi)
     assert meta["frames"] == frames
     assert meta["fps"] == fps
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(1, 16),
+       st.integers(0, 3), st.integers(2, 6), st.integers(2, 6),
+       st.randoms(use_true_random=False))
+def test_j2k_codestream_roundtrip_fuzz(h, w, depth, levels, cbw_exp,
+                                       cbh_exp, rnd):
+    """Property: every (shape × depth × decomposition × codeblock)
+    combination round-trips bit-exactly through the full J2K stack —
+    MQ, EBCOT, tag trees, packets, 5/3 DWT."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources.j2k import (decode_j2k,
+                                                         encode_j2k)
+
+    rng = np.random.default_rng(rnd.randrange(2 ** 32))
+    img = rng.integers(0, 1 << depth, (h, w)).astype(np.int64)
+    blob = encode_j2k(img, depth, levels=levels,
+                      cb_exp=(cbw_exp, cbh_exp))
+    got, info = decode_j2k(blob)
+    assert info["depth"] == depth
+    assert np.array_equal(got, img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 200), st.integers(1, 16),
+       st.sampled_from([8, 16, 32, 64]), st.integers(1, 8),
+       st.booleans(), st.booleans(),
+       st.randoms(use_true_random=False))
+def test_szip_aec_profile_roundtrip_fuzz(n, bpp, block, rsi,
+                                         preprocess, pad, rnd):
+    """Property: the CCSDS coder inverts itself across the whole AEC
+    parameter lattice (block sizes incl. 64, scanline padding, with
+    and without NN preprocessing, ragged tails)."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources.szip import (
+        NN_OPTION_MASK, szip_decode, szip_encode)
+
+    rng = np.random.default_rng(rnd.randrange(2 ** 32))
+    # mix smooth and spiky data so zero-block / split-sample /
+    # no-compression branches all fire across examples
+    if rng.random() < 0.5:
+        data = (np.cumsum(rng.integers(-2, 3, n))
+                % (1 << bpp)).astype(np.int64)
+    else:
+        data = rng.integers(0, 1 << bpp, n).astype(np.int64)
+    opts = NN_OPTION_MASK if preprocess else 0
+    enc = szip_encode(data, opts, bpp, block, rsi * block,
+                      pad_scanline=pad)
+    dec = szip_decode(enc, opts, bpp, block, rsi * block, n,
+                      pad_scanline=pad)
+    assert np.array_equal(dec, data)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 9), st.integers(0, 5),
+       st.sampled_from([None, 1.0, 2.0]),
+       st.randoms(use_true_random=False))
+def test_grib2_spectral_roundtrip_fuzz(j, sub, lap, rnd):
+    """Property: spherical-harmonic messages round-trip for every
+    truncation/sub-truncation/Laplacian combination; the subset mask
+    and packed division land on the right slots."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources.grib2 import (
+        _spectral_mn, build_grib2_spectral, parse_grib2)
+
+    rng = np.random.default_rng(rnd.randrange(2 ** 32))
+    ml, nl, _ = _spectral_mn(j, j)
+    x = rng.integers(0, 256, ml.size).astype(np.int64)
+    if lap is None:
+        rec = parse_grib2(build_grib2_spectral(x, j, nbits=8))[0]
+        np.testing.assert_array_equal(rec["values"], x.astype(float))
+        return
+    sub = min(sub, j)
+    rec = parse_grib2(build_grib2_spectral(
+        x, j, nbits=8, laplacian_p=lap, subset_trunc=sub))[0]
+    subset = (ml <= sub) & (nl <= sub)
+    np.testing.assert_array_equal(
+        rec["values"][subset],
+        x[subset].astype(np.float32).astype(np.float64))
+    nn = nl[~subset]
+    factor = (nn * (nn + 1)).astype(float) ** int(lap)
+    np.testing.assert_array_equal(rec["values"][~subset],
+                                  x[~subset] / factor)
