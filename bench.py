@@ -87,6 +87,7 @@ HEADLINE = [
     "s_grib2_jpeg2000_ingest", # template 5.40: from-scratch J2K codec
     "s_grib2_aec_ingest",      # template 5.42: CCSDS/AEC via szip.py
     "s_grib2_spectral_ingest", # 3.50 spherical harmonics, 5.50/5.51
+    "s_grib2_spaceview_ingest", # 3.90 geostationary perspective
     "corpus_source_overlap_dfcap",  # df-capped source overlap matrix
     "mm_exif_metadata",       # APP1/IFD metadata walk, zero pixel decode
     "mm_decode_audio_formats",  # G.711 mu/A-law + AIFF + 24-bit PCM

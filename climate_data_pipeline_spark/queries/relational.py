@@ -1200,6 +1200,124 @@ def grib2_spectral_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_grib2_spectral(docs, "doc_id", "text"))
 
 
+@query("s_grib2_spaceview_ingest", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT msg_id, msg_id % 3 AS c,
+         list_transform(range(64),
+                        i -> bytes[CAST(i % len(bytes) AS INT) + 1])
+           AS cells,
+         CASE msg_id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 140.0
+              ELSE 255.0 END AS lop,
+         CASE msg_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 5 ELSE 7 END AS dd,
+         CASE msg_id % 3 WHEN 0 THEN 3.5 WHEN 1 THEN 3.0
+              ELSE 4.0 END AS pp
+  FROM b
+),
+geo AS (
+  SELECT msg_id, c, cells, lop,
+         6610710 * 1e-6 * CAST(6371229 AS DOUBLE) AS hh,
+         list_transform(range(64), k -> struct_pack(
+             k := k,
+             x := (CAST(k % 8 AS DOUBLE) - pp)
+                  * (2 * asin(1e6 / 6610710) / dd),
+             y := (CAST(k // 8 AS DOUBLE) - pp)
+                  * (2 * asin(1e6 / 6610710) / dd))) AS ang
+  FROM m
+),
+px AS (
+  SELECT msg_id, c, cells, lop, hh,
+         list_transform(ang, s -> struct_pack(
+             k := s.k,
+             cxy := cos(s.x) * cos(s.y),
+             sinx := sin(s.x),
+             cx_siny := cos(s.x) * sin(s.y))) AS tr
+  FROM geo
+),
+hit AS (
+  SELECT msg_id, c, cells, lop, hh,
+         list_filter(list_transform(tr, s -> struct_pack(
+             k := s.k, cxy := s.cxy, sinx := s.sinx,
+             cx_siny := s.cx_siny,
+             disc := hh * hh * s.cxy * s.cxy
+                     - (hh * hh - CAST(6371229 AS DOUBLE) * 6371229))),
+             s -> s.disc > 0) AS pts
+  FROM px
+),
+vec AS (
+  SELECT msg_id, c, cells, lop, hh,
+         list_transform(pts, s -> struct_pack(
+             k := s.k,
+             sx := (hh * s.cxy - sqrt(s.disc)) * s.cxy,
+             sy := -(hh * s.cxy - sqrt(s.disc)) * s.sinx,
+             sz := (hh * s.cxy - sqrt(s.disc)) * s.cx_siny)) AS pts
+  FROM hit
+),
+ll AS (
+  SELECT msg_id, c, cells, lop,
+         list_transform(pts, s -> struct_pack(
+             k := s.k,
+             lat := degrees(atan(s.sz
+                 / sqrt((hh - s.sx) * (hh - s.sx) + s.sy * s.sy))),
+             lon := lop - degrees(atan(s.sy / (hh - s.sx))))) AS lls,
+         list_transform(pts, s -> cells[CAST(s.k AS INT) + 1]) AS vals
+  FROM vec
+)
+SELECT msg_id,
+       CASE WHEN c = 1 THEN '5.2' ELSE '5.0' END AS template,
+       CAST(len(vals) AS BIGINT) AS n_present,
+       round(list_min(list_transform(lls, s -> s.lat)), 4) AS lat_min,
+       round(list_max(list_transform(lls, s -> s.lat)), 4) AS lat_max,
+       round(list_min(list_transform(lls, s -> s.lon)), 4) AS lon_min,
+       round(list_max(list_transform(lls, s -> s.lon)), 4) AS lon_max,
+       CASE WHEN c = 2
+            THEN CAST(list_sum(list_transform(vals,
+                               v -> 200 + (v // 2))) AS DOUBLE)
+                 / (2 * len(vals))
+            ELSE CAST(list_sum(vals) AS DOUBLE) / len(vals)
+       END AS mean_value
+FROM ll
+""")
+def grib2_spaceview_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-view GRIB2 ingest (grid template 3.90 — EUMETSAT/GOES
+    geostationary full-disk products, the last named grid seam):
+    documents render into real 3.90 messages whose 8×8 grids straddle
+    the limb, and decode through the normalized geostationary inverse
+    (`spaceview_latlon`, the public CGMS/GOES-R equations, spherical
+    case): off-disk pixels are absent cells, on-disk ones carry 2-D
+    lat/lon. The oracle re-derives the full chain — scan angles,
+    intersection quadratic, disk membership, per-pixel lat/lon — in
+    SQL with the identical operation sequence (lat/lon extrema at
+    4 dp; limb margins are ~1e-3 relative, so the on-disk set cannot
+    flip on float noise) plus the exact on-disk mean."""
+    from ..sources.grib2 import grib2_long, synthesize_grib2_spaceview
+    docs = load_table(spark, sf_dir, "documents")
+    long = grib2_long(synthesize_grib2_spaceview(docs, "doc_id",
+                                                 "text"))
+    return (long.groupBy("msg_id", "template")
+            .agg(F.count("*").alias("n_present"),
+                 F.round(F.min("lat"), 4).alias("lat_min"),
+                 F.round(F.max("lat"), 4).alias("lat_max"),
+                 F.round(F.min("lon"), 4).alias("lon_min"),
+                 F.round(F.max("lon"), 4).alias("lon_max"),
+                 F.avg("value").alias("mean_value")))
+
+
 @query("s_hdf5_nbit_ingest", oracle="""
 WITH pay AS (
   SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx

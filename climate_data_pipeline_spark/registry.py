@@ -78,7 +78,7 @@ DRIVER_ROTATION = [
     # the numpy union-find under the clustering family
     "s_grib2_missing_ingest", "s_grib2_lambert_ingest",
     "s_grib2_jpeg2000_ingest", "s_grib2_aec_ingest",
-    "s_grib2_spectral_ingest",
+    "s_grib2_spectral_ingest", "s_grib2_spaceview_ingest",
     "s_hdf5_nbit_ingest", "corpus_source_overlap_dfcap",
     "corpus_source_overlap", "dedup_keep_best", "dedup_clusters",
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcap",

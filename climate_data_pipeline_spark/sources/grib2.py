@@ -31,11 +31,12 @@ this repo's own ``operators/png.py``), 5.42 (CCSDS/AEC through
 complex packing with Laplacian scaling and the IEEE sub-truncation,
 decoded to the coefficient domain via ``grib2_spectral_long``), grid
 templates 3.0 / 3.30 (Lambert conformal) / 3.40 (regular + reduced
-Gaussian) / 3.50 (spherical harmonics), section 6 bitmaps
+Gaussian) / 3.50 (spherical harmonics) / 3.90 (geostationary space
+view with off-disk masking), section 6 bitmaps
 (indicator 0 = explicit bitmap, 254 = previously defined,
 255 = none), and section 7 bit-packed data. Other grid/product/
-representation templates (space-view, Gaussian latitude-band
-subsets) raise a crisp
+representation templates (Gaussian latitude-band subsets, azimuthal/
+Mercator regionals) raise a crisp
 ``NotImplementedError`` naming the template — the codec-family
 loud-seam convention: never silent wrong values.
 
@@ -650,6 +651,83 @@ def _parse_spectral_field(sec: dict[int, bytes], rec: dict) -> dict:
     return rec
 
 
+def spaceview_latlon(ni: int, nj: int, lop: float, dx: int, dy: int,
+                     xp: float, yp: float, nr: int,
+                     radius: float = 6371229.0):
+    """Per-cell (lat, lon, on_disk) for a geostationary space-view
+    grid (template 3.90, spherical earth, sub-satellite latitude 0,
+    scan +x+y): normalized geostationary projection inverse (the
+    public CGMS LRIT/HRIT / GOES-R PUG equations, spherical case —
+    the intersection quadratic has a = 1). Off-disk pixels (negative
+    discriminant) come back NaN with ``on_disk`` False."""
+    h = nr * 1e-6 * radius
+    step = 2.0 * np.arcsin(1e6 / nr)
+    x = (np.arange(ni) - xp) * (step / dx)
+    y = (np.arange(nj) - yp) * (step / dy)
+    xg, yg = np.meshgrid(x, y)                    # (nj, ni)
+    cxy = np.cos(xg) * np.cos(yg)
+    disc = h * h * cxy * cxy - (h * h - radius * radius)
+    on = disc > 0
+    rs = np.where(on, h * cxy - np.sqrt(np.where(on, disc, 0.0)),
+                  np.nan)
+    # grouping is deliberate and mirrored EXACTLY by the SQL oracle
+    # (plain sqrt-of-squares, not hypot; sz multiplies the
+    # precomputed cos·sin) so both engines run the same IEEE ops
+    sx = rs * cxy
+    sy = -rs * np.sin(xg)
+    sz = rs * (np.cos(xg) * np.sin(yg))
+    lat = np.degrees(np.arctan(
+        sz / np.sqrt((h - sx) * (h - sx) + sy * sy)))
+    lon = lop - np.degrees(np.arctan(sy / (h - sx)))
+    lat[~on] = np.nan
+    lon[~on] = np.nan
+    return lat, lon, on
+
+
+def _parse_spaceview_grid(s3: bytes, rec: dict, ni: int,
+                          nj: int) -> None:
+    """Template 3.90 (space view / geostationary) section-3 fields →
+    per-cell ``lat2d``/``lon2d`` + the on-disk mask. EUMETSAT/GOES
+    full-disk products are this template; spherical earth,
+    sub-satellite latitude 0, scan +x+y, zero orientation/offsets —
+    other combinations stay loud."""
+    earth = s3[14]
+    radius = _EARTH_RADII.get(earth)
+    if radius is None:
+        raise NotImplementedError(
+            f"GRIB2 space-view grid with earth-shape code {earth} "
+            "(spherical codes 0/6 only)")
+    lap = _sm_int(struct.unpack_from(">I", s3, 38)[0], 32) / 1e6
+    lop = struct.unpack_from(">I", s3, 42)[0] / 1e6
+    dx = struct.unpack_from(">I", s3, 47)[0]
+    dy = struct.unpack_from(">I", s3, 51)[0]
+    xp = struct.unpack_from(">I", s3, 55)[0] / 1e3
+    yp = struct.unpack_from(">I", s3, 59)[0] / 1e3
+    scan = s3[63]
+    (orient,) = struct.unpack_from(">I", s3, 64)
+    (nr,) = struct.unpack_from(">I", s3, 68)
+    xo, yo = struct.unpack_from(">II", s3, 72)
+    if lap != 0.0:
+        raise NotImplementedError(
+            "GRIB2 space-view with nonzero sub-satellite latitude")
+    if scan != 0x40:
+        raise NotImplementedError(
+            f"GRIB2 space-view scanning mode 0x{scan:02X} (+x+y 0x40 "
+            "only)")
+    if orient or xo or yo:
+        raise NotImplementedError(
+            "GRIB2 space-view with grid orientation / origin offsets")
+    if nr == 0xFFFFFFFF:
+        raise NotImplementedError(
+            "GRIB2 space-view from infinite distance (orthographic)")
+    lat2d, lon2d, on = spaceview_latlon(ni, nj, lop, int(dx), int(dy),
+                                        xp, yp, int(nr), radius)
+    rec.update(ni=ni, nj=nj, la1=0.0, lo1=lop, la2=0.0, lo2=0.0,
+               dlat=0.0, dlon=0.0, lats=lat2d[:, 0],
+               lat2d=lat2d, lon2d=lon2d, offdisk=~on,
+               lop=lop, nr=int(nr))
+
+
 def _parse_field(sec: dict[int, bytes], discipline: int,
                  carry: dict) -> dict:
     rec: dict = {"discipline": discipline}
@@ -664,11 +742,12 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
 
     s3 = sec[3]
     (gtemplate,) = struct.unpack_from(">H", s3, 12)
-    if gtemplate not in (0, 30, 40, 50):
+    if gtemplate not in (0, 30, 40, 50, 90):
         raise NotImplementedError(
             f"GRIB2 grid template 3.{gtemplate} not supported "
             "(3.0 regular / 3.30 Lambert conformal / 3.40 Gaussian "
-            "lat/lon / 3.50 spherical harmonics only)")
+            "lat/lon / 3.50 spherical harmonics / 3.90 space view "
+            "only)")
     if gtemplate == 50:
         # spherical harmonic coefficients: J, K, M pentagonal
         # resolution parameters + representation type/mode — there is
@@ -695,6 +774,10 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
     if gtemplate == 30:
         _parse_lambert_grid(s3, rec, int(ni), int(nj))
         scan = 0x40                      # +x+y, enforced in the parse
+        pl = None
+    elif gtemplate == 90:
+        _parse_spaceview_grid(s3, rec, int(ni), int(nj))
+        scan = 0x40
         pl = None
     else:
         la1 = _sm_int(struct.unpack_from(">I", s3, 46)[0], 32) / 1e6
@@ -745,7 +828,7 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
         # the flip below); the northern edge is la1 for -y scans and
         # la2 for +y scans
         lats = max(la1, la2) - dlat * np.arange(int(nj))
-    if gtemplate != 30:
+    if gtemplate not in (30, 90):
         rec.update(ni=int(ni), nj=int(nj), la1=la1, lo1=lo1, la2=la2,
                    lo2=lo2, dlat=dlat, dlon=dlon, lats=lats)
 
@@ -870,10 +953,15 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
         rec["values"] = values
         return rec
     grid = values.reshape(nj, ni)
-    # regular lat/lon grids are normalized north-first; Lambert keeps
-    # STORAGE order (lat2d/lon2d were computed per stored cell)
+    # regular lat/lon grids are normalized north-first; Lambert and
+    # space view keep STORAGE order (lat2d/lon2d are per stored cell)
     if scan == 0x40 and gtemplate == 0:  # +y scanning: south-to-north
         grid = grid[::-1]
+    if "offdisk" in rec:
+        # space view: pixels beyond the limb have no geolocation or
+        # physical value — absent cells, like a bitmap mask
+        grid = grid.copy()
+        grid[rec["offdisk"]] = np.nan
     rec["values"] = grid
     return rec
 
@@ -904,7 +992,8 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                 scan_positive_y: bool = False,
                 missing_primary: np.ndarray | None = None,
                 missing_secondary: np.ndarray | None = None,
-                lambert: dict | None = None) -> bytes:
+                lambert: dict | None = None,
+                spaceview: dict | None = None) -> bytes:
     """Assemble one spec-shaped GRIB2 message from an (nj, ni) grid of
     PACKED integer values X (the stored field is
     ``(ref + X·2^binary_scale)/10^decimal_scale``). ``bitmap`` is an
@@ -946,6 +1035,12 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
                                 or bitmap is not None or png_packed
                                 or scan_positive_y):
         raise ValueError("lambert grids here are plain (nj, ni) "
+                         "fields (simple or complex packed)")
+    if spaceview is not None and (gaussian or reduced_pl is not None
+                                  or bitmap is not None or png_packed
+                                  or scan_positive_y
+                                  or lambert is not None):
+        raise ValueError("spaceview grids here are plain (nj, ni) "
                          "fields (simple or complex packed)")
     if scan_positive_y:
         if bitmap is not None or png_packed:
@@ -1009,7 +1104,23 @@ def build_grib2(values: np.ndarray, ref: float = 0.0,
         list_hdr = bytes([0, 0])
         ni_field = ni
         pl_tail = b""
-    if lambert is not None:
+    if spaceview is not None:
+        g = (bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
+             + struct.pack(">H", 90)                 # 3.90 space view
+             + bytes([6]) + bytes(15)                # spherical earth
+             + struct.pack(">II", ni, nj)
+             + struct.pack(">I", 0)                  # Lap = 0
+             + struct.pack(">I", round(spaceview["lop"] * 1e6))
+             + bytes([0x30])                         # resolution flags
+             + struct.pack(">I", int(spaceview["dx"]))
+             + struct.pack(">I", int(spaceview["dy"]))
+             + struct.pack(">I", round(spaceview["xp"] * 1e3))
+             + struct.pack(">I", round(spaceview["yp"] * 1e3))
+             + bytes([0x40])                         # scan +x +y
+             + struct.pack(">I", 0)                  # orientation
+             + struct.pack(">I", int(spaceview["nr"]))
+             + struct.pack(">II", 0, 0))             # Xo, Yo
+    elif lambert is not None:
         g = (bytes([0]) + struct.pack(">I", ni * nj) + bytes([0, 0])
              + struct.pack(">H", 30)                 # 3.30 Lambert
              + bytes([6]) + bytes(15)                # spherical earth
@@ -1829,6 +1940,59 @@ def synthesize_grib2_spectral(df, id_col: str, text_col: str):
             return build_grib2_spectral(cells * 16 + 5, 7, nbits=12,
                                         laplacian_p=2.0,
                                         subset_trunc=3)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [grib(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
+
+
+def synthesize_grib2_spaceview(df, id_col: str, text_col: str):
+    """Build REAL space-view GRIB2 messages (grid template 3.90 —
+    EUMETSAT/GOES full-disk geostationary products) from text rows:
+    8×8 grids straddling the limb so on-disk counts, off-disk masking
+    and the perspective inverse all engage. Three residue classes of
+    ``msg_id % 3`` with FIXED geometries (limb margins are orders of
+    magnitude above float noise, so the on-disk set is robustly
+    reproducible):
+
+    - 0: sub-satellite 0°E, disk spans 6 of 8 grids (32 on-disk),
+         8-bit simple packing
+    - 1: 140°E, disk 5 grids (21 on-disk), complex 5.2
+    - 2: 255°E, disk 7 grids (37 on-disk), 7-bit with reference 100 +
+         binary scale −1 (exact halves)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        import numpy as np
+
+        def grib(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)]
+            c = msg_id % 3
+            if c == 0:
+                sv = dict(lop=0.0, dx=6, dy=6, xp=3.5, yp=3.5,
+                          nr=6610710)
+                return build_grib2(cells.reshape(8, 8), nbits=8,
+                                   spaceview=sv)
+            if c == 1:
+                sv = dict(lop=140.0, dx=5, dy=5, xp=3.0, yp=3.0,
+                          nr=6610710)
+                return build_grib2(cells.reshape(8, 8),
+                                   complex_packed=True, group_size=5,
+                                   spaceview=sv)
+            sv = dict(lop=255.0, dx=7, dy=7, xp=4.0, yp=4.0,
+                      nr=6610710)
+            return build_grib2((cells >> 1).reshape(8, 8), ref=100.0,
+                               binary_scale=-1, nbits=7, spaceview=sv)
 
         for pdf in batches:
             ids = pdf.iloc[:, 0].astype("int64")

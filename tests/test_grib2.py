@@ -74,8 +74,9 @@ def test_grib2_multi_message_and_loud_seams():
         parse_grib2(good[:len(good) // 2])
     # unsupported data representation template is named: walk the
     # section chain to find section 5 and rewrite its template id
-    # (5.40 JPEG2000 and 5.42 CCSDS/AEC are REAL since round 9 —
-    # spectral 5.50 is the remaining named seam)
+    # (5.40 JPEG2000, 5.42 CCSDS/AEC and spectral 5.50/5.51 are REAL
+    # since round 9 — but 5.50 on a LAT/LON grid is still a
+    # contradiction the parser rejects by name)
     import struct as st
     tamper = bytearray(build_grib2(v))
     p = 16
@@ -662,3 +663,50 @@ def test_grib2_spectral_spark_long(spark):
         assert all(r["n"] >= r["m"] for r in rs)
     with pytest.raises(Exception, match="spherical-harmonic"):
         grib2_long(payloads).collect()
+
+
+def test_grib2_spaceview_template_roundtrip():
+    """Grid template 3.90 (geostationary space view): on-disk pixels
+    carry the perspective-inverse lat/lon, off-disk pixels are absent
+    cells, the sub-satellite pixel sits near (0, lop); unsupported
+    scan/orientation/offsets stay loud."""
+    from climate_data_pipeline_spark.sources.grib2 import (
+        build_grib2, spaceview_latlon)
+
+    rng = np.random.default_rng(14)
+    vals = rng.integers(0, 256, 64).astype(np.int64)
+    sv = dict(lop=0.0, dx=6, dy=6, xp=3.5, yp=3.5, nr=6610710)
+    m = parse_grib2(build_grib2(vals.reshape(8, 8), nbits=8,
+                                spaceview=sv))[0]
+    lat, lon, on = spaceview_latlon(8, 8, 0.0, 6, 6, 3.5, 3.5,
+                                    6610710)
+    got = m["values"]
+    np.testing.assert_array_equal(got[on], vals.reshape(8, 8)[on])
+    assert np.isnan(got[~on]).all()
+    assert int(on.sum()) == 32
+    np.testing.assert_allclose(m["lat2d"][on], lat[on])
+    # center pixels are near the sub-satellite point, edges near ±52°
+    assert abs(m["lat2d"][3, 3]) < 15 and abs(m["lon2d"][3, 3]) < 15
+    assert np.nanmax(np.abs(m["lat2d"])) > 45
+    # longitude shifts with lop; complex packing transparent
+    sv2 = dict(lop=140.0, dx=5, dy=5, xp=3.0, yp=3.0, nr=6610710)
+    m2 = parse_grib2(build_grib2(vals.reshape(8, 8),
+                                 complex_packed=True, group_size=5,
+                                 spaceview=sv2))[0]
+    assert abs(np.nanmean(m2["lon2d"]) - 140.0) < 30
+    assert int((~np.isnan(m2["values"])).sum()) == 21
+    # loud seams: tampered scan mode / orientation
+    import struct as st
+    blob = bytearray(build_grib2(vals.reshape(8, 8), nbits=8,
+                                 spaceview=sv))
+    p = 16
+    while blob[p + 4] != 3:
+        p += st.unpack_from(">I", blob, p)[0]
+    bad = bytearray(blob)
+    bad[p + 63] = 0x00
+    with pytest.raises(NotImplementedError, match="scanning mode"):
+        parse_grib2(bytes(bad))
+    bad = bytearray(blob)
+    bad[p + 64:p + 68] = (45_000_000).to_bytes(4, "big")
+    with pytest.raises(NotImplementedError, match="orientation"):
+        parse_grib2(bytes(bad))
