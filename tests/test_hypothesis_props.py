@@ -633,3 +633,32 @@ def test_grib2_spectral_roundtrip_fuzz(j, sub, lap, rnd):
     factor = (nn * (nn + 1)).astype(float) ** int(lap)
     np.testing.assert_array_equal(rec["values"][~subset],
                                   x[~subset] / factor)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(3, 12), st.integers(3, 12),
+       st.floats(0.0, 359.0), st.randoms(use_true_random=False))
+def test_grib2_spaceview_roundtrip_fuzz(ni, nj, lop, rnd):
+    """Property: space-view messages round-trip for varied grid shapes
+    and sub-satellite longitudes — on-disk values exact, off-disk
+    NaN, and the on-disk set identical between builder input and
+    decoded output."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.sources.grib2 import (
+        build_grib2, parse_grib2, spaceview_latlon)
+
+    rng = np.random.default_rng(rnd.randrange(2 ** 32))
+    lop = round(lop, 3)                   # exact microdegrees
+    vals = rng.integers(0, 256, (nj, ni)).astype(np.int64)
+    dx = max(2, min(ni, nj) - 2)
+    sv = dict(lop=lop, dx=dx, dy=dx, xp=(ni - 1) / 2.0,
+              yp=(nj - 1) / 2.0, nr=6610710)
+    m = parse_grib2(build_grib2(vals, nbits=8, spaceview=sv))[0]
+    lat, lon, on = spaceview_latlon(ni, nj, lop, dx, dx,
+                                    sv["xp"], sv["yp"], 6610710)
+    got = m["values"]
+    assert np.array_equal(got[on], vals[on].astype(float))
+    assert np.isnan(got[~on]).all()
+    assert np.isfinite(m["lat2d"][on]).all()
+    assert (np.abs(m["lat2d"][on]) <= 90.0).all()
