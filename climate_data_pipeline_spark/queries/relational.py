@@ -875,11 +875,11 @@ p AS (
 g AS (
   SELECT *,
          pi() / 180 AS rad,
-         CASE WHEN latin1 = latin2 THEN sin(latin1 * pi() / 180)
-              ELSE ln(cos(latin1 * pi() / 180)
-                      / cos(latin2 * pi() / 180))
-                   / ln(tan(pi() / 4 + latin2 * pi() / 360)
-                        / tan(pi() / 4 + latin1 * pi() / 360))
+         CASE WHEN latin1 = latin2 THEN sin(latin1 * (pi() / 180))
+              ELSE ln(cos(latin1 * (pi() / 180))
+                      / cos(latin2 * (pi() / 180)))
+                   / ln(tan(pi() / 4 + latin2 * (pi() / 180) / 2)
+                        / tan(pi() / 4 + latin1 * (pi() / 180) / 2))
          END AS cn
   FROM p
 ),

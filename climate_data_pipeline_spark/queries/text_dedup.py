@@ -596,9 +596,16 @@ WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
 """)
 def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.5 via the inverted-index (sparse) join —
-    never materializes |docs|² pairs."""
+    never materializes |docs|² pairs. The density gate is armed
+    (``auto_cap=True``): on a duplication-heavy corpus where Σdf²/Σdf
+    crosses ``dedup.JACCARD_GATE_MEAN_DF`` the join auto-routes to the
+    ``max_df``-capped production arm (see ``dedup_ngram_jaccard_dfcap``
+    for the always-capped contract and its mirrored oracle); at the
+    oracle scales the gate stays open and the result is the exact
+    uncapped join this SQL describes."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.5)
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                 min_jaccard=0.5, auto_cap=True)
 
 
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
@@ -712,7 +719,7 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just 1-hop neighborhoods."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                  n=3, min_jaccard=0.5)
+                                  n=3, min_jaccard=0.5, auto_cap=True)
     return D.duplicate_clusters(pairs)
 
 
@@ -735,7 +742,7 @@ def dedup_clusters_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     long-chain/topology unit tests in test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                  n=3, min_jaccard=0.5)
+                                  n=3, min_jaccard=0.5, auto_cap=True)
     return D.duplicate_clusters_star(pairs, small_graph_edges=2_000_000)
 
 
@@ -801,7 +808,7 @@ def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     round_port's k/1e6 division is replayed bit-for-bit)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                  n=3, min_jaccard=0.5)
+                                  n=3, min_jaccard=0.5, auto_cap=True)
     # checkpoint: members feeds BOTH the semi-join and the final join —
     # without it the whole jaccard+clustering pipeline runs twice
     members = (D.duplicate_clusters(pairs, small_graph_edges=2_000_000)

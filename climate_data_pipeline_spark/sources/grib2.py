@@ -449,7 +449,12 @@ def lambert_latlon(ni: int, nj: int, la1: float, lo1: float,
     x = x1 + dx * np.arange(ni)
     y = y1 + dy * np.arange(nj)
     xg, yg = np.meshgrid(x, y)                   # (nj, ni)
-    rg = np.hypot(xg, rho0 - yg) * np.sign(cn)
+    # plain sqrt-of-squares, not np.hypot: the oracle SQL writes
+    # sqrt(x*x + (rho0-y)*(rho0-y)) and hypot's extra-precision path
+    # can differ in the last ulp — mirror the exact operation sequence
+    # (same convention as spaceview_latlon below)
+    dyg = rho0 - yg
+    rg = np.sqrt(xg * xg + dyg * dyg) * np.sign(cn)
     tg = np.arctan2(xg, rho0 - yg)
     lat = (2 * np.arctan((radius * cf / rg) ** (1.0 / cn))
            - np.pi / 2) / rad
@@ -925,6 +930,12 @@ def _parse_field(sec: dict[int, bytes], discipline: int,
         if aec_flags & 0x10:            # AEC_RESTRICTED
             raise NotImplementedError(
                 "GRIB2 CCSDS restricted low-entropy coding")
+        if not aec_flags & 0x04:        # AEC_DATA_MSB absent
+            raise NotImplementedError(
+                "GRIB2 CCSDS packing with LSB-first samples")
+        if aec_flags & 0x02:            # AEC_DATA_3BYTE
+            raise NotImplementedError(
+                "GRIB2 CCSDS packing with 3-byte sample storage")
         opts = NN_OPTION_MASK if aec_flags & 0x08 else 0
         x = szip_decode(bytes(s7[5:]), opts, nbits, block,
                         rsi * block, n_data,

@@ -875,6 +875,17 @@ def encode_j2k(img: np.ndarray, depth: int, signed: bool = False,
     # growth (5/3 gains ≤ 2 bits per orientation step)
     gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
     eps = {b: depth + gain[b] for b in gain}
+    # QCD stores each subband exponent in a 5-bit field (e << 3 in one
+    # byte); eps > 31 would wrap silently and decode to wrong values.
+    # The HH exponent is depth + 2, so depth >= 30 cannot be represented.
+    if levels > 0 and max(eps.values()) > 31:
+        raise J2KUnsupported(
+            f"component depth {depth}: HH subband exponent "
+            f"{max(eps.values())} exceeds the 5-bit QCD field")
+    if levels == 0 and eps["LL"] > 31:
+        raise J2KUnsupported(
+            f"component depth {depth}: LL subband exponent exceeds "
+            f"the 5-bit QCD field")
 
     body = bytearray()
     for r in range(levels + 1):

@@ -814,6 +814,46 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
         assert got == want, f"t={t}: {got ^ want}"
 
 
+def test_ngram_jaccard_density_gate(spark):
+    """The auto_cap density gate (round-9 verdict ask #3): on a sparse
+    corpus Σdf²/Σdf stays under the threshold, the gate stays open and
+    the result is EXACTLY the uncapped join; on a duplication-heavy
+    corpus it engages and the result is EXACTLY the explicit
+    max_df=JACCARD_GATE_CAP arm. Both decisions are recorded in
+    LAST_JACCARD_GATE."""
+    import climate_data_pipeline_spark.operators.dedup as D
+
+    vocab = [f"w{i}" for i in range(200)]
+    sparse = [(i, " ".join(vocab[(i * 7 + j) % 200] for j in range(12)))
+              for i in range(30)]
+    df = spark.createDataFrame(sparse, "doc_id long, text string")
+    open_pairs = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, min_jaccard=0.5,
+        auto_cap=True).collect()}
+    assert D.LAST_JACCARD_GATE is not None
+    assert D.LAST_JACCARD_GATE["engaged"] is False
+    exact = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, min_jaccard=0.5).collect()}
+    assert open_pairs == exact
+
+    # 60 near-copies of one boilerplate doc: every shingle's df ≈ 60,
+    # mean df far above the gate threshold
+    boiler = " ".join(vocab[:20])
+    dense = [(i, boiler + f" tail{i}") for i in range(60)]
+    dd = spark.createDataFrame(dense, "doc_id long, text string")
+    gated = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+             D.ngram_jaccard_pairs(dd, "text", "doc_id", n=3,
+                                   min_jaccard=0.5,
+                                   auto_cap=True).collect()}
+    assert D.LAST_JACCARD_GATE["engaged"] is True
+    assert D.LAST_JACCARD_GATE["max_df"] == D.JACCARD_GATE_CAP
+    capped = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+              D.ngram_jaccard_pairs(dd, "text", "doc_id", n=3,
+                                    min_jaccard=0.5,
+                                    max_df=D.JACCARD_GATE_CAP).collect()}
+    assert gated == capped
+
+
 def test_png_truncated_idat_raises_value_error():
     """A zlib stream that inflates to fewer bytes than the scanlines
     need must surface as the loud 'truncated' ValueError (jpeg.py

@@ -589,11 +589,18 @@ def test_grib2_ccsds_aec_template_roundtrip():
     p = 16
     while blob[p + 4] != 5:
         p += st.unpack_from(">I", blob, p)[0]
-    for flag, pat in ((0x01, "signed"), (0x10, "restricted")):
+    for flag, pat in ((0x01, "signed"), (0x10, "restricted"),
+                      (0x02, "3-byte")):
         bad = bytearray(blob)
         bad[p + 21] |= flag
         with pytest.raises(NotImplementedError, match=pat):
             parse_grib2(bytes(bad))
+    # AEC_DATA_MSB (0x04) absent = LSB-first samples: also loud — a
+    # real-world LSB stream must not silently mis-decode
+    bad = bytearray(blob)
+    bad[p + 21] &= ~0x04
+    with pytest.raises(NotImplementedError, match="LSB"):
+        parse_grib2(bytes(bad))
 
 
 def test_grib2_spectral_templates_roundtrip():

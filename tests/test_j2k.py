@@ -154,3 +154,18 @@ def test_grib2_jpeg2000_template_roundtrip():
     with pytest.raises(ValueError, match="one of"):
         build_grib2(vals.reshape(8, 8), jpeg2000_packed=True,
                     png_packed=True)
+
+
+def test_j2k_depth_guard_5bit_qcd_field():
+    """QCD subband exponents live in a 5-bit field; eps = depth + gain
+    (HH gain 2) must stay <= 31 or the byte wraps and the codestream
+    silently decodes wrong — the encoder must refuse, not corrupt."""
+    img = (np.arange(64) % 64).reshape(8, 8)
+    with pytest.raises(J2KUnsupported, match="5-bit QCD"):
+        encode_j2k(img, depth=30)
+    # depth 29 (HH eps 31) is the last representable depth and must
+    # still round-trip losslessly
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 1 << 29, (8, 8)).astype(np.int64)
+    out, _ = decode_j2k(encode_j2k(big, depth=29))
+    np.testing.assert_array_equal(out, big)

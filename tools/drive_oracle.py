@@ -50,7 +50,7 @@ try:
 except OSError:
     pass
 print("session:", " ".join(f"{k}={v}" for k, v in _fp.items()))
-print(f"{len(qs)} queries, {len(oracles)} oracles")
+print(f"{len(qs)} queries, {len(oracles)} oracles", flush=True)
 assert set(oracles) <= set(qs)
 
 con = duckdb.connect()
@@ -78,12 +78,12 @@ for name, fn in sorted(qs.items()):
         continue
     got = fn(spark, SF).toPandas()
     if name not in oracles:
-        print(f"  {name}: rows-only, {len(got)} rows")
+        print(f"  {name}: rows-only, {len(got)} rows", flush=True)
         continue
     want = con.execute(oracles[name]).fetchdf()
     hg, hw = canon_hash(got), canon_hash(want)
     status = "OK " if hg == hw else "FAIL"
     fails += hg != hw
-    print(f"  {status} {name}: spark {len(got)}x{len(got.columns)} [{hg}] oracle {len(want)}x{len(want.columns)} [{hw}]")
+    print(f"  {status} {name}: spark {len(got)}x{len(got.columns)} [{hg}] oracle {len(want)}x{len(want.columns)} [{hw}]", flush=True)
 
 print("RESULT:", "FAIL" if fails else "ALL-MATCH")
