@@ -72,25 +72,34 @@ def query(name: str, oracle: str | None = None):
 # follows in registration order, so ~35 of the long-standing names stay
 # in the sample for round-over-round continuity. Refresh each round.
 DRIVER_ROTATION = [
-    # NEW/CHANGED this round (9) — GRIB2 missing-value management +
-    # Lambert conformal grids, HDF5 nbit/scaleoffset filters, the
-    # df-capped source-overlap arm, the gated-broadcast keep_best and
-    # the numpy union-find under the clustering family
-    "s_grib2_missing_ingest", "s_grib2_lambert_ingest",
-    "s_grib2_jpeg2000_ingest", "s_grib2_aec_ingest",
-    "s_grib2_spectral_ingest", "s_grib2_spaceview_ingest",
-    "s_hdf5_nbit_ingest", "corpus_source_overlap_dfcap",
-    "corpus_source_overlap", "dedup_keep_best", "dedup_clusters",
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcap",
-    # never driver-sampled in r07/r08 (VERDICT r8 ask #7): the mm_*
-    # media family and mid-range TPC-H shapes — rotate them in front
-    # of the 50-name cut
-    "mm_frame_dedup", "mm_decode_jpeg", "mm_video_frames",
-    "mm_audio_features", "mm_image_resize", "mm_decode_png",
-    "mm_decode_ico", "mm_frame_sample", "mm_decode_real",
-    "tpch_q9_product_profit", "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_shippers", "tpch_q21_waiting_orders",
+    # NEW/CHANGED this round (10) — the jaccard density gate rides
+    # under these four, the Lambert oracle was op-mirrored, and the
+    # streaming/MP3/HDF5-scaleoffset queries are new
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_clusters_star",
+    "dedup_keep_best", "s_grib2_lambert_ingest",
+    "stream_rollup_parity", "mm_decode_mp3", "s_hdf5_scaleoffset_f",
+    # never driver-sampled through r09 (VERDICT r9 ask #1): the
+    # SURVEY §2 operator heart — temporal aggregations, trends,
+    # climate indices, resampling — plus the core dedup/text/sim
+    # names. All sweep-green every round; this puts them under the
+    # driver's independent-session gate of record.
+    "a1_monthly_mean", "a2_seasonal_mean", "a3_annual_mean",
+    "a4_climatology_month", "a4_climatology_season",
+    "a4_climatology_hour", "a8_linear_trend", "a9_mann_kendall",
+    "a9_mk_s_stat", "a9_mk_z_p", "a9_seasonal_mann_kendall",
+    "a10_trend_confidence", "a11_global_stats", "a11_pricing_summary",
+    "a12_region_stats", "w1_rolling_mean", "w4_resample_ffill",
+    "w5_resample_interp", "etccdi_day_counts", "etccdi_r95ptot",
+    "etccdi_dtr_sdii", "wsdi_warm_spell_index", "csdi_cold_spell_index",
+    "season_onset_date", "trend_field_significance",
+    "series_correlation_matrix", "dedup_exact", "dedup_minhash",
+    "dedup_minhash_affine", "dedup_simhash", "dedup_simhash64",
+    "dedup_incremental", "text_token_stats", "text_quality",
+    "text_language_id", "text_fingerprint", "text_contamination",
+    "sim_cosine_topk", "sim_lsh_ann", "dedup_semantic_clusters",
+    "sim_ivf_seeded", "stats_correlation", "weighted_median_groups",
+    "p4_point_select", "s2_projected_scan",
+    "tpch_q6_forecast_revenue", "tpch_q19_disjunctive_revenue",
 ]
 
 
