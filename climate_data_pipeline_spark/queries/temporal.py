@@ -78,6 +78,36 @@ def monthly_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n")))
 
 
+# --- §2.9: the incremental (Structured Streaming) twin of A1, under the
+# --- same oracle gate as every batch operator ---
+
+@query("stream_rollup_parity", oracle=f"""
+SELECT date_trunc('day', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_exact_sum('value', 2)} AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays the events table through the Structured Streaming tumbling
+    rollup (``streaming/rollup.streaming_rollup``: file stream →
+    watermark → windowed agg → memory sink, driven to completion) and
+    returns the sink contents as a batch DataFrame. The value aggregate
+    is the scaled-integer exact sum, so the incremental accumulation
+    across micro-batches is associative and the result hash-matches the
+    one-shot batch SQL the oracle runs — the streaming twin proven
+    equivalent to its batch operator, not just 'runs'."""
+    from ..streaming.rollup import run_stream_to_memory, streaming_rollup
+
+    agg = streaming_rollup(spark, sf_dir, window="1 day",
+                           watermark="1 hour", exact_scale=2)
+    sink = "stream_rollup_parity_sink"
+    spark.catalog.dropTempView(sink)          # no-op when absent
+    run_stream_to_memory(agg, sink, output_mode="complete")
+    return spark.table(sink)
+
+
 # --- A2: seasonal mean (DJF/MAM/JJA/SON with December→next season-year) ---
 
 @query("a2_seasonal_mean", oracle="""

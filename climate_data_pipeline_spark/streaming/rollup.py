@@ -47,17 +47,30 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_rollup(spark: SparkSession, sf_dir: str,
                      window: str = "1 day",
-                     watermark: str = "1 hour") -> DataFrame:
+                     watermark: str = "1 hour",
+                     exact_scale: int | None = None) -> DataFrame:
     """Tumbling-window mean/count per event_type with late-data watermark —
     the incremental A1. State per (window, event_type) is dropped once the
-    watermark passes, so state size is bounded at any input rate."""
+    watermark passes, so state size is bounded at any input rate.
+
+    ``exact_scale`` swaps the float mean for the package's scaled-integer
+    exact sum (``functions.exact``): the incremental per-batch partial
+    aggregation then accumulates in associative longs, so the final
+    value is bit-identical to the batch rollup REGARDLESS of how input
+    files were split into micro-batches — the property the
+    ``stream_rollup_parity`` oracle check rests on."""
+    from ..functions.exact import exact_sum
+
     ev = _read_events_stream(spark, sf_dir)
+    if exact_scale is not None:
+        val, val_name = exact_sum("value", exact_scale), "sum_value"
+    else:
+        val, val_name = F.avg("value"), "avg_value"
     return (ev.withWatermark("ts", watermark)
               .groupBy(F.window("ts", window).alias("w"), "event_type")
-              .agg(F.count("*").alias("n"),
-                   F.avg("value").alias("avg_value"))
+              .agg(F.count("*").alias("n"), val.alias(val_name))
               .select(F.col("w.start").alias("window_start"),
-                      "event_type", "n", "avg_value"))
+                      "event_type", "n", val_name))
 
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str,
