@@ -306,12 +306,16 @@ def main() -> None:
     # baseline — the ratio is immune to the cross-session host drift
     # that false-flagged five regressions in BENCH_r08. Disable with
     # BENCH_SCALE10X=0 for quick iteration runs.
-    scale10x = None
+    scale10x = curate10x = None
     if os.environ.get("BENCH_SCALE10X", "1") != "0":
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "tools"))
-        from scale_bench import run_scale10x
+        from scale_bench import run_curate10x, run_scale10x
         scale10x = run_scale10x(spark, sf_dir)
+        # round-10: the staged curation pipeline end-to-end at ×10 —
+        # the 100 TB claim rests on the stage ordering, so the
+        # composition itself is scale-measured, not just its parts
+        curate10x = run_curate10x(spark, sf_dir)
 
     total = round(sum(per_query.values()), 4)
     print(json.dumps({"details": details, "n_queries": len(HEADLINE)},
@@ -325,6 +329,7 @@ def main() -> None:
         "off_headline": off_headline,
         "serving_ms": serving,
         "scale10x": scale10x,
+        "curate10x": curate10x,
         "host": host,
         "sf": sf,
     }))

@@ -1370,6 +1370,60 @@ def hdf5_nbit_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_hdf5_nbit_so(docs, "doc_id", "text"))
 
 
+@query("s_hdf5_scaleoffset_f", oracle="""
+WITH pay AS (
+  SELECT doc_id AS msg_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+pb AS (
+  SELECT msg_id,
+         list_transform(range(length(hx) // 2),
+                        i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT),
+                                                  2)) AS INTEGER))
+           AS raw
+  FROM pay
+),
+b AS (
+  SELECT msg_id, CASE WHEN len(raw) = 0 THEN [0] ELSE raw END AS bytes
+  FROM pb
+),
+m AS (
+  SELECT msg_id, msg_id % 3 AS c,
+         list_transform(range(64),
+                        i -> bytes[CAST(i % len(bytes) AS INT) + 1])
+           AS cells
+  FROM b
+)
+SELECT msg_id,
+       CASE c WHEN 1 THEN 'float64' ELSE 'float32' END AS dtype,
+       CAST(64 AS BIGINT) AS n_vals,
+       CASE c
+         WHEN 0 THEN CAST(list_sum(cells) AS DOUBLE) / 256 - 10.0
+         WHEN 1 THEN CAST(list_sum(cells) AS DOUBLE) / 512 + 5.0
+         ELSE CAST(msg_id % 7 AS DOUBLE) * 0.25 + 1.0
+       END AS mean_value
+FROM m
+""")
+def hdf5_scaleoffset_float_ingest(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Float-D-scale SCALEOFFSET NetCDF4/HDF5 ingest round trip
+    (H5Z_SO_FLOAT_DSCALE — the last named NetCDF4 filter seam, closed
+    in round 10): documents render into real HDF5 containers whose
+    chunked float variable is D-scale packed (encoded =
+    lround((v − min)·10^D) in the dataset's own float width, minval
+    header = the min float's IEEE bytes; one class per float width
+    plus a minbits-0 constant class), and decode back through the
+    pure-Python HDF5 reader. Fixture values are exact binary
+    fractions — quarters at D=2, eighths at D=3 — whose scaled
+    integers divide back exactly, so every mean the oracle re-derives
+    from text bytes is bit-deterministic; a wrong reconstruction
+    width, minval byte order or D factor shifts the hash."""
+    from ..sources.hdf5 import hdf5_szip_stats, synthesize_hdf5_so_float
+    docs = load_table(spark, sf_dir, "documents")
+    return hdf5_szip_stats(
+        synthesize_hdf5_so_float(docs, "doc_id", "text"))
+
+
 @query("s_warc_extract", oracle="""
 WITH t AS (
   SELECT doc_id, coalesce(text, '') AS text FROM documents

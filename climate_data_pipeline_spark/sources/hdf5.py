@@ -119,17 +119,29 @@ def _scaleoffset_decode(raw: bytes, cd_values, info: dict,
     a 4-byte little-endian ``minbits`` + 8-byte little-endian
     ``minval`` header, then each element's ``(value − minval)``
     packed MSB-first in ``minbits`` bits; minbits 0 means the chunk is
-    the constant ``minval``. Integer scaling (H5Z_SO_INT) only —
-    float D/E-scaling is lossy re-quantization and stays loud."""
+    the constant ``minval``. Integer scaling (H5Z_SO_INT == 2) and
+    float D-scaling (H5Z_SO_FLOAT_DSCALE == 0: encoded =
+    lround((v − min)·10^D), minval = the min FLOAT's IEEE bits,
+    reconstruction v = int/10^D + min in the dataset's own float
+    width — H5Zscaleoffset.c's postdecompress macros verbatim).
+    E-scaling (1) is unimplemented in the library itself and stays
+    loud by name."""
     size = info.get("size")
+    stype = int(cd_values[0]) if cd_values else 2
+    if stype == 1:
+        raise H5Unsupported(
+            "HDF5 scaleoffset float E-scaling (H5Z_SO_FLOAT_ESCALE — "
+            "unimplemented in libhdf5 as well)")
+    if stype == 0:
+        return _scaleoffset_decode_fd(raw, cd_values, info, n_elems)
     if info.get("kind") != "int" or not size or n_elems is None:
         raise H5Unsupported(
-            "HDF5 scaleoffset filter on a non-fixed-point datatype "
-            "(float D/E-scaling unsupported)")
-    if cd_values and int(cd_values[0]) != 2:   # H5Z_SO_INT == 2
+            "HDF5 scaleoffset H5Z_SO_INT filter on a non-fixed-point "
+            "datatype")
+    if stype != 2:
         raise H5Unsupported(
-            f"HDF5 scaleoffset scale type {cd_values[0]} "
-            "(integer H5Z_SO_INT only)")
+            f"HDF5 scaleoffset scale type {stype} "
+            "(H5Z_SO_INT / H5Z_SO_FLOAT_DSCALE only)")
     minbits = int.from_bytes(raw[0:4], "little")
     minval = int.from_bytes(raw[4:12], "little")
     if minbits >= size * 8:
@@ -146,6 +158,41 @@ def _scaleoffset_decode(raw: bytes, cd_values, info: dict,
         else np.uint64(0xFFFFFFFFFFFFFFFF)
     order = ">" if info["dtype"].byteorder == ">" else "<"
     return out.astype(np.dtype(f"{order}u{size}")).tobytes()
+
+
+def _scaleoffset_decode_fd(raw: bytes, cd_values, info: dict,
+                           n_elems: int | None) -> bytes:
+    """H5Z_SO_FLOAT_DSCALE decode: cd_values[1] is the decimal scale
+    factor D; the 8-byte minval header holds the chunk-minimum FLOAT's
+    IEEE bytes (little-endian, low bytes for f4); each packed integer
+    i reconstructs as ``(ftype)(i / 10^D + min)`` with the divide and
+    add in the dataset's own float width (float32 arithmetic for f4 —
+    C promotes int/powf(10,D)+min to float, never double). A
+    full-width minbits stores the ORIGINAL float values after the
+    header (the library's incompressible-chunk path)."""
+    size = info.get("size")
+    if info.get("kind") != "float" or size not in (4, 8) \
+            or n_elems is None:
+        raise H5Unsupported(
+            "HDF5 scaleoffset D-scale filter on a non-float datatype")
+    ftype = np.float32 if size == 4 else np.float64
+    d_val = int(cd_values[1]) if len(cd_values) > 1 else 0
+    minbits = int.from_bytes(raw[0:4], "little")
+    if minbits >= size * 8:
+        # incompressible chunk: original float values follow the header
+        vals = np.frombuffer(raw[12:], np.dtype(f"<f{size}"),
+                             count=n_elems)
+        order = ">" if info["dtype"].byteorder == ">" else "<"
+        return vals.astype(np.dtype(f"{order}f{size}")).tobytes()
+    minval = np.frombuffer(raw[4:4 + size], f"<f{size}")[0]
+    if minbits == 0:
+        ints = np.zeros(n_elems, np.uint64)
+    else:
+        ints = _unpack_msb(raw[12:], minbits, n_elems)
+    pow10 = ftype(10) ** ftype(d_val)
+    vals = (ints.astype(ftype) / pow10 + ftype(minval)).astype(ftype)
+    order = ">" if info["dtype"].byteorder == ">" else "<"
+    return vals.astype(np.dtype(f"{order}f{size}")).tobytes()
 
 
 class H5Unsupported(NotImplementedError):
@@ -332,10 +379,13 @@ class H5File:
 
     def _fractal_heap(self, addr: int) -> dict:
         """Parse a fractal heap header (spec III.F) far enough to
-        resolve MANAGED heap IDs. Supported shape: root is a single
-        direct block (current-rows == 0) and no I/O filters — exactly
-        what dense link/attribute storage produces until a group grows
-        past the starting block size; indirect roots raise loudly."""
+        resolve MANAGED heap IDs. Supported shapes: single-direct-block
+        roots, multi-level indirect roots, and I/O-FILTERED heaps —
+        when the header carries filter information (spec: a Filter
+        Pipeline message body), every direct block is stored through
+        that pipeline; the header holds the filtered root direct
+        block's stored size + filter mask, and indirect blocks carry a
+        (stored size, filter mask) pair per child direct block."""
         b = self.buf
         if b[addr:addr + 4] != b"FRHP":
             raise ValueError("bad fractal heap signature")
@@ -353,14 +403,23 @@ class H5File:
         (start_rows,) = struct.unpack_from("<H", b, pos + 20)
         (root_block,) = struct.unpack_from("<Q", b, pos + 22)
         (cur_rows,) = struct.unpack_from("<H", b, pos + 30)
+        filters = None
+        root_stored = root_mask = None
         if filter_len:
-            raise H5Unsupported("filtered fractal heap not supported")
+            # filtered heap: size of filtered root direct block (8,
+            # lengths), I/O filter mask (4), then the pipeline message
+            fpos = pos + 32
+            (root_stored,) = struct.unpack_from("<Q", b, fpos)
+            (root_mask,) = struct.unpack_from("<I", b, fpos + 8)
+            filters = self._parse_filters(
+                bytes(b[fpos + 12:fpos + 12 + filter_len]))
         off_size = -(-max_heap_bits // 8)
         if cur_rows == 0:
             # root IS a single direct block covering [0, start_block)
             return {"heap_id_len": heap_id_len, "off_size": off_size,
-                    "flags": flags,
-                    "blocks": [(0, start_block, root_block)]}
+                    "flags": flags, "filters": filters,
+                    "blocks": [(0, start_block, root_block,
+                                root_stored, root_mask)]}
         # root is an INDIRECT block: the doubling table says rows 0
         # and 1 hold table_width direct blocks of start_block bytes,
         # row i>=2 holds table_width blocks of start_block·2^(i-1);
@@ -372,7 +431,7 @@ class H5File:
         # very many dense links land here.
         max_direct_rows = (max_direct.bit_length()
                            - start_block.bit_length()) + 2
-        blocks: list[tuple[int, int, int]] = []
+        blocks: list[tuple] = []
 
         def walk_indirect(iaddr: int, nrows: int, base_off: int) -> None:
             if b[iaddr:iaddr + 4] != b"FHIB":
@@ -385,9 +444,18 @@ class H5File:
                 for _ in range(table_width):
                     (daddr,) = struct.unpack_from("<Q", b, pos)
                     pos += 8
+                    stored = mask = None
+                    if filters is not None and row < max_direct_rows:
+                        # filtered child DIRECT entries carry stored
+                        # size (lengths) + filter mask; child indirect
+                        # entries are address-only
+                        (stored,) = struct.unpack_from("<Q", b, pos)
+                        (mask,) = struct.unpack_from("<I", b, pos + 8)
+                        pos += 12
                     if daddr != UNDEF:
                         if row < max_direct_rows:
-                            blocks.append((heap_off, size, daddr))
+                            blocks.append((heap_off, size, daddr,
+                                           stored, mask))
                         else:
                             child_rows = (size.bit_length()
                                           - start_block.bit_length()
@@ -398,7 +466,7 @@ class H5File:
 
         walk_indirect(root_block, cur_rows, 0)
         return {"heap_id_len": heap_id_len, "off_size": off_size,
-                "flags": flags, "blocks": blocks}
+                "flags": flags, "filters": filters, "blocks": blocks}
 
     def _fheap_object(self, heap: dict, heap_id: bytes) -> bytes:
         """Resolve a managed heap ID → object bytes. ID layout:
@@ -415,8 +483,20 @@ class H5File:
         # heap offsets address the managed space INCLUDING block
         # headers; each direct block covers [block_off, block_off +
         # size), so the object sits at daddr + (off − block_off)
-        for block_off, size, daddr in heap["blocks"]:
+        for block_off, size, daddr, stored, mask in heap["blocks"]:
             if block_off <= off < block_off + size:
+                if heap.get("filters") is not None:
+                    # filtered heap: the WHOLE direct block (header
+                    # included) went through the pipeline — undo the
+                    # unmasked filters, then index the plain block
+                    blk = _defilter_static(
+                        bytes(b[daddr:daddr + stored]),
+                        heap["filters"], 1, mask or 0)
+                    if blk[:4] != b"FHDB":
+                        raise ValueError(
+                            "bad fractal heap direct block signature "
+                            "(after defilter)")
+                    return blk[off - block_off:off - block_off + length]
                 if b[daddr:daddr + 4] != b"FHDB":
                     raise ValueError(
                         "bad fractal heap direct block signature")
@@ -1870,7 +1950,8 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
                attrs: dict | None = None,
                chunks: dict[str, tuple[int, ...]] | None = None,
                compress: bool | str = False,
-               nbit_spec: tuple[int, int] = (12, 0)) -> str:
+               nbit_spec: tuple[int, int] = (12, 0),
+               so_dscale: int = 2) -> str:
     """Write a netCDF-4-flavoured HDF5 file (v0 superblock profile):
     coordinate datasets carry CLASS=DIMENSION_SCALE/NAME, data variables
     carry DIMENSION_LIST object references; optional chunked layout with
@@ -1886,8 +1967,11 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
     only the ``nbit_spec = (precision, bit_offset)`` field of each
     element is stored (the datatype message carries the same
     precision/offset — the decode contract). ``compress="scaleoffset"``
-    emits filter 6 (integer H5Z_SO_INT): per-chunk minbits/minval
-    header + offset-packed values."""
+    emits filter 6: integer H5Z_SO_INT (per-chunk minbits/minval
+    header + offset-packed values) for fixed-point dtypes, or float
+    H5Z_SO_FLOAT_DSCALE with decimal factor ``so_dscale`` for f4/f8
+    (encoded = lround((v - min)*10^D) in the dataset's float width,
+    minval header = the min float's IEEE bytes)."""
     W = _Writer
     chunks = chunks or {}
     # each dims value: array OR (array, attrs) tuple (e.g. CF units)
@@ -1974,12 +2058,20 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
                         + b"\x00" * 4           # odd nvalues pad
                     msgs.append((MSG_FILTERS, filt))
                 elif compress == "scaleoffset":
-                    # [scale type H5Z_SO_INT, scale factor 0 = auto,
-                    #  nelmts, class, size, sign, order, fill-unset]
-                    cd = [2, 0, int(np.prod(ch)), 0,
-                          arr.dtype.itemsize,
-                          1 if arr.dtype.kind == "i" else 0,
-                          1 if arr.dtype.byteorder == ">" else 0, 0]
+                    # [scale type, scale factor, nelmts, class, size,
+                    #  sign, order, fill-unset] — H5Z_SO_INT (2) with
+                    # auto factor for fixed-point data, or
+                    # H5Z_SO_FLOAT_DSCALE (0) with the decimal factor
+                    # ``so_dscale`` for float data
+                    if arr.dtype.kind == "f":
+                        cd = [0, int(so_dscale), int(np.prod(ch)), 1,
+                              arr.dtype.itemsize, 0,
+                              1 if arr.dtype.byteorder == ">" else 0, 0]
+                    else:
+                        cd = [2, 0, int(np.prod(ch)), 0,
+                              arr.dtype.itemsize,
+                              1 if arr.dtype.kind == "i" else 0,
+                              1 if arr.dtype.byteorder == ">" else 0, 0]
                     filt = bytes([1, 1]) + b"\x00" * 6
                     filt += struct.pack("<HHHH", FILTER_SCALEOFFSET,
                                         0, 0, len(cd)) \
@@ -2064,21 +2156,45 @@ def write_hdf5(path: str | None, dims: dict[str, np.ndarray],
                         (flat >> np.uint64(boff))
                         & np.uint64((1 << prec) - 1), prec)
                 elif compress == "scaleoffset":
-                    flat = block.reshape(-1).astype(np.int64)
-                    mn = int(flat.min())
-                    minbits = int(flat.max() - mn).bit_length()
-                    if minbits >= arr.dtype.itemsize * 8:
-                        # library semantics: a full-width span stores
-                        # the ORIGINAL values after the header
-                        minbits = arr.dtype.itemsize * 8
-                        raw = (minbits.to_bytes(4, "little")
-                               + bytes(8) + raw)
+                    if arr.dtype.kind == "f":
+                        # H5Z_SO_FLOAT_DSCALE: lround((v − min)·10^D)
+                        # with the subtract/multiply in the dataset's
+                        # own float width (H5Zscaleoffset.c modify_1);
+                        # minval header = the min float's IEEE bytes
+                        ftype = block.dtype.type
+                        flatf = block.reshape(-1)
+                        mnf = ftype(flatf.min())
+                        pw = ftype(10) ** ftype(so_dscale)
+                        scaled = ((flatf - mnf) * pw).astype(np.float64)
+                        ints = np.floor(scaled + 0.5).astype(np.uint64)
+                        minbits = int(ints.max()).bit_length()
+                        isz = arr.dtype.itemsize
+                        if minbits >= isz * 8:
+                            raw = ((isz * 8).to_bytes(4, "little")
+                                   + bytes(8) + raw)
+                        else:
+                            mb = np.array([mnf], f"<f{isz}").tobytes()
+                            raw = (minbits.to_bytes(4, "little")
+                                   + mb.ljust(8, b"\x00"))
+                            if minbits:
+                                raw += _pack_msb(ints, minbits)
                     else:
-                        raw = (minbits.to_bytes(4, "little")
-                               + (mn & 0xFFFFFFFFFFFFFFFF)
-                               .to_bytes(8, "little"))
-                        if minbits:
-                            raw += _pack_msb(flat - mn, minbits)
+                        flat = block.reshape(-1).astype(np.int64)
+                        mn = int(flat.min())
+                        minbits = int(flat.max() - mn).bit_length()
+                        if minbits >= arr.dtype.itemsize * 8:
+                            # library semantics: a full-width span
+                            # stores the ORIGINAL values after the
+                            # header
+                            minbits = arr.dtype.itemsize * 8
+                            raw = (minbits.to_bytes(4, "little")
+                                   + bytes(8) + raw)
+                        else:
+                            raw = (minbits.to_bytes(4, "little")
+                                   + (mn & 0xFFFFFFFFFFFFFFFF)
+                                   .to_bytes(8, "little"))
+                            if minbits:
+                                raw += _pack_msb(flat - mn, minbits)
                 elif compress:
                     from .zarr2 import _shuffle
                     raw = zlib.compress(_shuffle(raw, arr.dtype.itemsize),
@@ -2281,6 +2397,60 @@ def hdf5_szip_stats(payload_df, id_col: str = "msg_id",
     return payload_df.mapInPandas(
         _decode, schema=("msg_id long, dtype string, n_vals long, "
                          "mean_value double"))
+
+
+def synthesize_hdf5_so_float(df, id_col: str, text_col: str):
+    """Build REAL float-D-scale scaleoffset-filtered NetCDF4/HDF5
+    files deterministically from text rows (round 10 — the last named
+    NetCDF4 filter seam: H5Z_SO_FLOAT_DSCALE). Values are EXACT binary
+    fractions whose scaled integers divide back exactly, so the decode
+    is bit-deterministic and the oracle can re-derive means in plain
+    SQL. Three residue classes of ``msg_id % 3``:
+
+    - 0: float32, D=2, values = 0.25·byte − 10.0 (quarters with a
+         negative chunk min), chunks (3, 5)
+    - 1: float64, D=3, values = 0.125·byte + 5.0 (eighths), chunks
+         (4, 4)
+    - 2: float32 CONSTANT field (0.25·(msg_id % 7) + 1.0) — every
+         chunk takes the minbits-0 header-only path
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.text import _spread
+
+    def _synth(batches):
+        def h5(text: str, msg_id: int) -> bytes:
+            raw = (text.encode("utf-8") or b"\x00")
+            bts = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            cells = bts[np.arange(64) % len(bts)].reshape(8, 8)
+            c = msg_id % 3
+            if c == 0:
+                arr = (cells.astype(np.float32) * np.float32(0.25)
+                       - np.float32(10.0)).astype(np.float32)
+                kw = dict(chunks={"v": (3, 5)}, so_dscale=2)
+            elif c == 1:
+                arr = cells.astype(np.float64) * 0.125 + 5.0
+                kw = dict(chunks={"v": (4, 4)}, so_dscale=3)
+            else:
+                arr = np.full((8, 8), (msg_id % 7) * 0.25 + 1.0,
+                              np.float32)
+                kw = dict(chunks={"v": (3, 5)}, so_dscale=2)
+            return write_hdf5(None,
+                              {"y": np.arange(8, dtype=np.int32),
+                               "x": np.arange(8, dtype=np.int32)},
+                              {"v": (["y", "x"], arr, {})},
+                              compress="scaleoffset", **kw)
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].astype("int64")
+            payloads = [h5(t, i) for t, i in
+                        zip(pdf.iloc[:, 1].fillna(""), ids)]
+            yield pd.DataFrame({"msg_id": ids, "payload": payloads})
+
+    import pandas as pd  # noqa: F811 (closure import for executors)
+    return (_spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(_synth, schema="msg_id long, payload binary"))
 
 
 def synthesize_hdf5_nbit_so(df, id_col: str, text_col: str):

@@ -841,18 +841,186 @@ def test_appendable_profile_grid_and_distributed(spark, tmp_path):
     assert pruned.count() == 8 * 3
 
 
-def test_latest_profile_loud_unsupported_paths():
-    # FILTERED fractal heaps refuse loudly (multi-level heaps are
-    # supported since round 9 — see the positive test below)
-    frhp = (b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 2) + bytes([0])
-            + struct.pack("<I", 512) + b"\x00" * 96
-            + struct.pack("<H", 4) + struct.pack("<QQ", 512, 1024)
-            + struct.pack("<HH", 32, 1) + struct.pack("<Q", 4096)
-            + struct.pack("<H", 4) + bytes(4))
-    f = H5File.__new__(H5File)
-    f.buf = frhp
-    with pytest.raises(H5Unsupported, match="filtered fractal heap"):
-        f._fractal_heap(0)
+def test_fractal_heap_filtered_single_direct_root():
+    """A FILTERED fractal heap (header carries a deflate pipeline;
+    every direct block is stored compressed, whole-block including the
+    FHDB header) with a single-direct-block root: dense links resolve
+    through the defilter path (round-10 — the last fractal-heap seam).
+    The stored root size comes from the header's filtered-root fields."""
+    import struct
+    import zlib
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(b_))
+                         + bytes([0]) + b_ for t, b_ in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    data = np.array([4.25, -1.5], dtype="<f8")
+    daddr = place(data.tobytes())
+    props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    dt = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+          + struct.pack("<I", 8) + props)
+    ds = bytes([2, 1, 0, 1]) + Q(2)
+    lay = bytes([3, 1]) + struct.pack("<QQ", daddr, data.nbytes)
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+
+    names = ["alpha", "beta", "gamma"]
+    links = [bytes([1, 0, len(n)]) + n.encode() + Q(v_oh)
+             for n in names]
+    hdr_len = 4 + 1 + 8 + 4
+    body, ids, local = b"", [], hdr_len
+    for lm in links:
+        ids.append(bytes([0]) + struct.pack("<I", local)
+                   + struct.pack("<H", len(lm)))
+        body += lm
+        local += len(lm)
+    start = 512
+    plain = (b"FHDB" + bytes([0]) + Q(0) + bytes(4) + body) \
+        .ljust(start, b"\x00")
+    stored = zlib.compress(plain, 6)
+    db = place(stored)
+
+    nrecs = [struct.pack("<I", i) + hid for i, hid in enumerate(ids)]
+    nlf = place(b"BTLF" + bytes([0, 5]) + b"".join(nrecs) + bytes(4))
+    nhd = place(b"BTHD" + bytes([0, 5])
+                + struct.pack("<IHH", 2048, 11, 0) + bytes([100, 40])
+                + Q(nlf) + struct.pack("<H", len(nrecs)) + Q(len(nrecs))
+                + bytes(4))
+    # filter pipeline message v2: deflate level 6
+    filt = bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) \
+        + struct.pack("<i", 6)
+    frhp = place(b"FRHP" + bytes([0])
+                 + struct.pack("<HH", 7, len(filt)) + bytes([0])
+                 + struct.pack("<I", 512) + Q(0) + Q(UNDEF) + Q(0)
+                 + Q(UNDEF) + Q(local) + Q(start) + Q(local)
+                 + Q(len(ids)) + Q(0) + Q(0) + Q(0) + Q(0)
+                 + struct.pack("<H", 4) + Q(start) + Q(4096)
+                 + struct.pack("<HH", 32, 1) + Q(db)
+                 + struct.pack("<H", 0)
+                 + Q(len(stored)) + struct.pack("<I", 0) + filt
+                 + bytes(4))
+    li = bytes([0, 0]) + Q(frhp) + Q(nhd)
+    root = place(ohdr([(0x0002, li)]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    f = H5File(sb + b"".join(alloc))
+    assert sorted(f.datasets) == sorted(names)
+    np.testing.assert_array_equal(f.read("beta"), data)
+
+
+def test_fractal_heap_filtered_indirect_root():
+    """Filtered fractal heap whose root is an FHIB indirect block:
+    each child DIRECT entry carries (address, stored size, filter
+    mask) and every direct block deflates independently; links
+    resolve across compressed block boundaries. A mask bit set for
+    one block means that block skipped the filter — stored verbatim."""
+    import struct
+    import zlib
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    alloc: list[bytes] = []
+    cur = [48]
+
+    def place(blob: bytes) -> int:
+        pos = cur[0]
+        alloc.append(blob)
+        cur[0] += len(blob)
+        return pos
+
+    Q = lambda v: struct.pack("<Q", v)  # noqa: E731
+
+    def ohdr(msgs) -> bytes:
+        block = b"".join(bytes([t]) + struct.pack("<H", len(b_))
+                         + bytes([0]) + b_ for t, b_ in msgs)
+        return (b"OHDR" + bytes([2, 0x02])
+                + struct.pack("<I", len(block)) + block + bytes(4))
+
+    data = np.array([7.0, 8.0, 9.0], dtype="<f8")
+    daddr = place(data.tobytes())
+    props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    dt = (bytes([0x01 | (1 << 4), 0x20, 0x3F, 0])
+          + struct.pack("<I", 8) + props)
+    ds = bytes([2, 1, 0, 1]) + Q(3)
+    lay = bytes([3, 1]) + struct.pack("<QQ", daddr, data.nbytes)
+    v_oh = place(ohdr([(0x0001, ds), (0x0003, dt), (0x0008, lay)]))
+
+    names = [f"w{i:02d}" for i in range(15)]
+    links = [bytes([1, 0, len(n)]) + n.encode() + Q(v_oh)
+             for n in names]
+    start, width = 128, 2
+    hdr_len = 4 + 1 + 8 + 4
+    entries, ids = [], []
+    it = iter(links)
+    done = False
+    for blk in range(4):
+        base = blk * start
+        body, local = b"", hdr_len
+        while not done and local + 20 <= start:
+            try:
+                lm = next(it)
+            except StopIteration:
+                done = True
+                break
+            if local + len(lm) > start:
+                break
+            ids.append(bytes([0]) + struct.pack("<I", base + local)
+                       + struct.pack("<H", len(lm)))
+            body += lm
+            local += len(lm)
+        plain = (b"FHDB" + bytes([0]) + Q(0) + bytes(4)
+                 + body).ljust(start, b"\x00")
+        if blk == 2:
+            # filter mask bit 0 set: this block skipped deflate
+            entries.append((place(plain), len(plain), 1))
+        else:
+            stored = zlib.compress(plain, 6)
+            entries.append((place(stored), len(stored), 0))
+    assert len(ids) == 15, len(ids)
+
+    fhib = place(b"FHIB" + bytes([0]) + Q(0) + bytes(4)
+                 + b"".join(Q(a) + Q(sz) + struct.pack("<I", m)
+                            for a, sz, m in entries)
+                 + bytes(4))
+    nrecs = [struct.pack("<I", i) + hid for i, hid in enumerate(ids)]
+    nlf = place(b"BTLF" + bytes([0, 5]) + b"".join(nrecs) + bytes(4))
+    nhd = place(b"BTHD" + bytes([0, 5])
+                + struct.pack("<IHH", 2048, 11, 0) + bytes([100, 40])
+                + Q(nlf) + struct.pack("<H", len(nrecs)) + Q(len(nrecs))
+                + bytes(4))
+    filt = bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) \
+        + struct.pack("<i", 6)
+    frhp = place(b"FRHP" + bytes([0])
+                 + struct.pack("<HH", 7, len(filt)) + bytes([0])
+                 + struct.pack("<I", 512) + Q(0) + Q(UNDEF) + Q(0)
+                 + Q(UNDEF) + Q(512) + Q(512) + Q(512)
+                 + Q(len(ids)) + Q(0) + Q(0) + Q(0) + Q(0)
+                 + struct.pack("<H", width) + Q(start) + Q(256)
+                 + struct.pack("<HH", 32, 1) + Q(fhib)
+                 + struct.pack("<H", 2)
+                 + Q(0) + struct.pack("<I", 0) + filt
+                 + bytes(4))
+    li = bytes([0, 0]) + Q(frhp) + Q(nhd)
+    root = place(ohdr([(0x0002, li)]))
+    sb = (MAGIC_SIG + bytes([3, 8, 8, 0])
+          + struct.pack("<QQQQ", 0, UNDEF, cur[0], root) + bytes(4))
+    f = H5File(sb + b"".join(alloc))
+    assert sorted(f.datasets) == names
+    np.testing.assert_array_equal(f.read("w03"), data)   # block 0/1
+    np.testing.assert_array_equal(f.read("w12"), data)   # unfiltered blk
+    np.testing.assert_array_equal(f.read("w14"), data)   # last block
 
 
 def test_fractal_heap_indirect_root_dense_links():
@@ -1574,13 +1742,76 @@ def test_scaleoffset_hand_assembled_stream():
                          "<i4")
     np.testing.assert_array_equal(out0, [42, 42, 42, 42])
 
-    # loud seams: float D-scaling (scale type 0) and float datatypes
-    with pytest.raises(hdf5.H5Unsupported, match="scale type 0"):
+    # loud seams: class/scale-type mismatches and E-scaling (which
+    # libhdf5 itself leaves unimplemented)
+    with pytest.raises(hdf5.H5Unsupported, match="non-float"):
         _scaleoffset_decode(raw0, (0, 2), info, 4)
     with pytest.raises(hdf5.H5Unsupported, match="non-fixed-point"):
         _scaleoffset_decode(raw0, (2, 0),
                             {"kind": "float", "size": 4,
                              "dtype": np.dtype("<f4")}, 4)
+    with pytest.raises(hdf5.H5Unsupported, match="E-scal"):
+        _scaleoffset_decode(raw0, (1, 2), info, 4)
+
+
+def test_scaleoffset_float_dscale_hand_assembled():
+    """H5Z_SO_FLOAT_DSCALE decode contract pinned by hand (round 10):
+    minval header = the chunk-minimum FLOAT's IEEE bytes; each packed
+    integer i reconstructs as (f4)(i / 10^D + min) in FLOAT32
+    arithmetic. Ints chosen so i/10^D is an exact quarter — any
+    double-width detour or misplaced min add shifts the bits."""
+    from climate_data_pipeline_spark.sources.hdf5 import (
+        _scaleoffset_decode)
+
+    # D = 2, min = -1.25f, offsets [0, 25, 150] → [-1.25, -1.0, 0.25]
+    offs = [0, 25, 150]
+    bitstring = "".join(f"{o:08b}" for o in offs)
+    raw = ((8).to_bytes(4, "little")
+           + np.float32(-1.25).tobytes().ljust(8, b"\x00")
+           + bytes(int(bitstring[i:i + 8], 2)
+                   for i in range(0, len(bitstring), 8)))
+    finfo = {"kind": "float", "size": 4, "dtype": np.dtype("<f4")}
+    out = np.frombuffer(_scaleoffset_decode(raw, (0, 2), finfo, 3),
+                        "<f4")
+    np.testing.assert_array_equal(out, np.array([-1.25, -1.0, 0.25],
+                                                np.float32))
+    # minbits 0: constant chunk at the min float
+    raw0 = ((0).to_bytes(4, "little")
+            + np.float32(3.75).tobytes().ljust(8, b"\x00"))
+    out0 = np.frombuffer(_scaleoffset_decode(raw0, (0, 2), finfo, 4),
+                         "<f4")
+    np.testing.assert_array_equal(out0, np.full(4, 3.75, np.float32))
+    # full-width minbits: original floats follow the header verbatim
+    orig = np.array([1.1, -2.2], np.float32)
+    rawf = ((32).to_bytes(4, "little") + bytes(8) + orig.tobytes())
+    outf = np.frombuffer(_scaleoffset_decode(rawf, (0, 2), finfo, 2),
+                         "<f4")
+    np.testing.assert_array_equal(outf, orig)
+
+
+def test_scaleoffset_float_dscale_write_read_roundtrip():
+    """Float D-scale encoder→reader round trips: f4 quarters at D=2
+    with a negative chunk min, f8 eighths at D=3, constant chunks
+    (minbits 0), chunk-grid padding — all bit-exact because the
+    fixture values are exact binary fractions whose scaled integers
+    divide back exactly."""
+    rng = np.random.default_rng(21)
+    t = np.arange(8.0)
+    cases = [
+        ((rng.integers(0, 200, (8, 6)).astype(np.float32) * 0.25
+          - 10.0).astype(np.float32), 2, (3, 6)),
+        (rng.integers(0, 500, (8, 6)).astype(np.float64) * 0.125 + 5.0,
+         3, (4, 4)),
+        (np.full((8, 6), -2.5, np.float32), 2, (3, 5)),
+    ]
+    for arr, d, ch in cases:
+        buf = write_hdf5(None, {"time": t},
+                         {"v": (["time"], arr, {})},
+                         chunks={"v": ch}, compress="scaleoffset",
+                         so_dscale=d)
+        got = open_hdf5(buf).read("v")
+        assert got.dtype == arr.dtype
+        np.testing.assert_array_equal(got, arr)
 
 
 def test_fractal_heap_multi_level_indirect_blocks():

@@ -172,6 +172,94 @@ def run_scale10x(spark, sf_dir: str, queries=None, warmup: int = 1,
     }
 
 
+def _curated_fingerprint(spark, out_dir: str, max_id: int | None = None):
+    """Order-independent fingerprint of a curated-shard directory:
+    (row count, Σ crc32(doc_id|text) as signed-64 wrap). ``max_id``
+    restricts to the replica-0 id range so the ×10 run's kept set can
+    be compared against the base run's on the SAME documents."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(out_dir)
+    if max_id is not None:
+        df = df.where(F.col("doc_id") < max_id)
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.concat_ws("|", F.col("doc_id").cast("string"),
+                                  F.col("text")))).alias("h")).first()
+    return int(r.n), int(r.h or 0)
+
+
+def run_curate10x(spark, sf_dir: str,
+                  out_base: str = "/tmp/cdps_curate10x") -> dict:
+    """End-to-end scale model of the STAGED curation pipeline (round-9
+    verdict ask #2): `plans/jobs.curate_corpus` with every stage armed
+    (NFC normalize → quality gate → exact dedup → MinHash-LSH
+    near-dedup → deterministic split → sharded write) run at `sf_dir`
+    and at the ×10 replica corpus in the SAME session, with per-stage
+    wall times from the job's own progress protocol. The 100 TB claim
+    rests on the stage ORDERING (each gate pays only for survivors);
+    this measures that composition, not isolated queries.
+
+    Output equivalence: the ×10 corpus contains replica 0 verbatim,
+    and every duplicate group's canonical member is its minimum id —
+    so the ×10 run's kept set RESTRICTED to replica-0 ids must equal
+    the base run's kept set exactly (same rows, same text). Recorded
+    as `outputs_match` via an order-independent fingerprint."""
+    import shutil
+
+    from climate_data_pipeline_spark.plans.jobs import curate_corpus
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    big_dir = build_corpus(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    def run(label: str, d: str) -> dict:
+        marks: list[tuple[str, float]] = []
+        out = f"{out_base}_{label}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = curate_corpus(
+            spark, d, out, quality_filter=True, normalize=True,
+            near_dedup=True,
+            progress=lambda _s, name, el: marks.append((name, el)))
+        total = time.perf_counter() - t0
+        if res.get("status") == "failed":
+            raise RuntimeError(f"curate_corpus failed at {label}: "
+                               f"{res.get('error')}")
+        stages = {}
+        for i, (name, el) in enumerate(marks):
+            end = marks[i + 1][1] if i + 1 < len(marks) else total
+            stages[name] = round(end - el, 3)
+        return {"total_s": round(total, 3), "stages_s": stages,
+                "counts": {k: res[k] for k in
+                           ("n_input", "n_after_quality", "n_after_dedup",
+                            "n_after_near_dedup", "n_written")},
+                "out": out}
+
+    run("warmup", sf_dir)       # discard: JIT/codegen/page-cache warm
+    base = run("base", sf_dir)
+    big = run("x10", big_dir)
+    fp_base = _curated_fingerprint(spark, base["out"])
+    fp_big0 = _curated_fingerprint(spark, big["out"], max_id=n_docs)
+    ratios = {k: round(big["stages_s"][k] / base["stages_s"][k], 2)
+              for k in base["stages_s"]
+              if base["stages_s"].get(k, 0) > 0.05 and k in big["stages_s"]}
+    return {
+        "protocol": "curate_corpus(normalize+quality+exact-dedup+"
+                    "minhash-near-dedup+split+shard-write), same-session "
+                    "A/B base vs x10 replica corpus; outputs_match = "
+                    "x10 kept set restricted to replica-0 ids == base "
+                    "kept set (count + crc32 fingerprint)",
+        "base": {k: base[k] for k in ("total_s", "stages_s", "counts")},
+        "x10": {k: big[k] for k in ("total_s", "stages_s", "counts")},
+        "ratio_total": round(big["total_s"] / base["total_s"], 2),
+        "ratio_stages": ratios,
+        "outputs_match": fp_base == fp_big0,
+        "fingerprint_base": fp_base,
+        "fingerprint_x10_replica0": fp_big0,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
