@@ -1913,3 +1913,87 @@ def semantic_clusters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = SIM.lsh_band_pairs(emb, threshold=0.4, dim=64)
     from ..operators import dedup as D
     return D.duplicate_clusters(pairs)
+
+
+# --- mm_decode_mp3: the MPEG-1 Layer III MDCT chain (round 10) ----------
+
+# Golden per-class constants at global_gain = 210 (amplitude index
+# k = 0), frozen from the decoder itself: the fixture gain is
+# 210 + 4k, a POWER-OF-TWO factor, and the whole MDCT chain is
+# linear, so every decoded sample — and hence the rms/peak features —
+# scales bit-exactly by 2^k (verified feature-level in
+# test_mp3_codec). The oracle therefore checks genuinely
+# data-dependent values (k comes from each document's first text
+# byte) against goldens that pin the chain: any change to side-info
+# parsing, count1 decode, requantization, MS scaling, reorder, alias
+# butterflies, IMDCT windows, overlap-add or frequency inversion
+# shifts every row's hash. Class axes (media_id % 7): silence, line 0,
+# the subband-boundary alias pair, MS stereo, short blocks, 32 kHz,
+# dense alternating signs.
+_MP3_GOLD = [
+    # (rms, peak, sample_rate, channels, n_sub_samples)
+    (0.0, 0.0, 44100, 1, 2304),
+    (0.11147599487907975, 0.7071067811865478, 44100, 1, 2304),
+    (0.1585772075879051, 0.9701425001453325, 44100, 1, 2304),
+    (0.08221442393994807, 0.7044160264027589, 44100, 2, 4608),
+    (0.0686348574640588, 0.9159756150367541, 44100, 1, 2304),
+    (0.11739163693953893, 0.9980973490458728, 32000, 1, 2304),
+    (0.49814124407437527, 7.216363513223049, 44100, 1, 2304),
+]
+
+
+def _mp3_case(field: int) -> str:
+    # the rms/peak goldens must reach DuckDB as exact DOUBLEs: a bare
+    # (or even CAST) decimal literal routes through DECIMAL parsing
+    # and lands one ulp off — casting from a STRING literal parses
+    # straight to the shortest-round-trip double
+    cast = field in (0, 1)
+    arms = "\n         ".join(
+        f"WHEN {c} THEN " + (f"CAST('{_MP3_GOLD[c][field]!r}' AS DOUBLE)"
+                             if cast else f"{_MP3_GOLD[c][field]!r}")
+        for c in range(7))
+    return f"CASE media_id % 7\n         {arms} END"
+
+
+_MP3_ORACLE = f"""
+WITH pay AS (
+  SELECT doc_id AS media_id, hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+b AS (
+  SELECT media_id,
+         CASE WHEN length(hx) = 0 THEN 0
+              ELSE CAST(('0x' || substr(hx, 1, 2)) AS INTEGER)
+         END AS b0
+  FROM pay
+),
+k AS (SELECT media_id, CAST(b0 % 8 AS DOUBLE) AS k FROM b)
+SELECT media_id,
+       CAST({_mp3_case(2)} AS INTEGER) AS sample_rate,
+       CAST({_mp3_case(3)} AS INTEGER) AS channels,
+       CAST(2 AS BIGINT) AS n_frames,
+       CAST({_mp3_case(4)} AS BIGINT) AS n_sub_samples,
+       ({_mp3_case(0)}) * power(2.0, k) AS rms,
+       ({_mp3_case(1)}) * power(2.0, k) AS peak
+FROM k
+"""
+
+
+@query("mm_decode_mp3", oracle=_MP3_ORACLE)
+def multimodal_decode_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 (MPEG-1 Layer III) decode through the from-scratch MDCT
+    chain (`operators/mp3.py`): documents render into REAL Layer III
+    streams — spec-layout headers, side info, bit reservoir, count1
+    table-B spectral coding — whose amplitude is set by the first
+    text byte through a power-of-two global gain, and decode back to
+    time-domain subband samples via requantization → MS stereo →
+    reorder → alias reduction → 36/12-point IMDCT → overlap-add →
+    frequency inversion. One Arrow ``mapInPandas`` per side; payloads
+    never shuffle. The golden-fixture oracle re-derives each row's
+    exact rms/peak as (frozen chain constant) × 2^(byte % 8) — see
+    `_MP3_GOLD`. The remaining loud seams (Annex-B big-values code
+    tables, the 512-tap synthesis window) are documented in the module
+    and README."""
+    from ..operators.mp3 import mp3_mdct_features, synthesize_mp3
+    docs = load_table(spark, sf_dir, "documents")
+    return mp3_mdct_features(synthesize_mp3(docs, "doc_id", "text"))
