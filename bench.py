@@ -94,6 +94,9 @@ HEADLINE = [
     "mm_audio_container_meta",  # MP3/Ogg walks, zero decode
     "s_warc_extract",         # WARC walk + gzip members + HTML strip
     "mm_decode_ico",          # favicon ICONDIR walk, largest-entry pick
+    "mm_decode_mp3",          # Layer III MDCT chain (round 10)
+    "s_hdf5_scaleoffset_f",   # HDF5 float D-scale scaleoffset filter
+    "stream_rollup_parity",   # Structured Streaming tumbling rollup
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

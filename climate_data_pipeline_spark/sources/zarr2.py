@@ -287,7 +287,8 @@ def blosc_compress(data: bytes, typesize: int, cname: str = "zstd",
 
 def _decode_chunk(raw: bytes, compressor: dict | None,
                   dtype: np.dtype, chunk_shape: tuple[int, ...],
-                  order: str) -> np.ndarray:
+                  order: str, transpose: list[int] | None = None
+                  ) -> np.ndarray:
     cid = (compressor or {}).get("id")
     if compressor is None:
         buf = raw
@@ -310,6 +311,12 @@ def _decode_chunk(raw: bytes, compressor: dict | None,
     else:
         raise NotImplementedError(f"compressor {cid!r} not supported")
     arr = np.frombuffer(buf, dtype=dtype)
+    if transpose is not None:
+        # v3 transpose codec: bytes hold the chunk with axes permuted
+        # to ``transpose``; reshape to the STORED shape, then invert
+        stored = tuple(chunk_shape[t] for t in transpose)
+        inv = np.argsort(transpose)
+        return arr.reshape(stored, order=order).transpose(inv)
     return arr.reshape(chunk_shape, order=order)
 
 
@@ -342,7 +349,7 @@ def _decode_shard(raw: bytes, za: dict, dtype: np.dtype,
         if off == missing:
             continue
         arr = _decode_chunk(raw[off:off + nbytes], sh.get("compressor"),
-                            dtype, inner, order)
+                            dtype, inner, order, sh.get("transpose"))
         sel = tuple(slice(i * c, min((i + 1) * c, s))
                     for i, c, s in zip(idx, inner, shard_shape))
         crop = tuple(slice(0, sl.stop - sl.start) for sl in sel)
@@ -356,7 +363,8 @@ def _decode_chunk_file(raw: bytes, za: dict, dtype: np.dtype,
     chunks and v3 shards."""
     if "_shard" in za:
         return _decode_shard(raw, za, dtype, chunks, order)
-    return _decode_chunk(raw, za.get("compressor"), dtype, chunks, order)
+    return _decode_chunk(raw, za.get("compressor"), dtype, chunks, order,
+                         za.get("_transpose"))
 
 
 def _fill_for(fill, dtype: np.dtype):
@@ -399,16 +407,28 @@ def crc32c(data: bytes) -> int:
 
 
 def _v3_codec_chain(codecs: list, allow_sharding: bool = True):
-    """→ (endian, compressor-dict | None, shard-config | None) from a
-    v3 codec chain; shared by the array node and the sharding codec's
-    inner chain (where nested sharding is refused)."""
+    """→ (endian, compressor-dict | None, shard-config | None,
+    transpose-order | None) from a v3 codec chain; shared by the array
+    node and the sharding codec's inner chain (where nested sharding
+    is refused). ``transpose`` codecs (array→array axis permutations)
+    compose left-to-right into one stored-axis order."""
     endian = "little"
     compressor = None
     shard = None
+    transpose = None
     for c in codecs or []:
         nm = c.get("name")
         cfg = c.get("configuration") or {}
-        if nm == "bytes":
+        if nm == "transpose":
+            order = list(cfg.get("order") or [])
+            if sorted(order) != list(range(len(order))):
+                raise ValueError(f"transpose order {order} is not a "
+                                 "permutation")
+            # composing T1 then T2: encoded axis j reads source axis
+            # T1[T2[j]]
+            transpose = order if transpose is None \
+                else [transpose[j] for j in order]
+        elif nm == "bytes":
             endian = cfg.get("endian", "little")
         elif nm == "blosc":
             # frames self-describe cname/shuffle; config needed only to write
@@ -421,8 +441,13 @@ def _v3_codec_chain(codecs: list, allow_sharding: bool = True):
             if not allow_sharding:
                 raise NotImplementedError(
                     "nested sharding_indexed codecs not supported")
-            i_end, i_comp, _ = _v3_codec_chain(cfg.get("codecs"),
-                                               allow_sharding=False)
+            if transpose is not None:
+                raise NotImplementedError(
+                    "transpose codec OUTSIDE a sharding_indexed codec "
+                    "(an axis-permuted shard grid) not supported — "
+                    "put the transpose in the inner chain")
+            i_end, i_comp, _, i_tr = _v3_codec_chain(
+                cfg.get("codecs"), allow_sharding=False)
             index_names = [ic.get("name")
                            for ic in cfg.get("index_codecs") or []]
             for n in index_names:
@@ -431,13 +456,14 @@ def _v3_codec_chain(codecs: list, allow_sharding: bool = True):
                         f"shard index codec {n!r} not supported")
             shard = {"inner_chunks": list(cfg["chunk_shape"]),
                      "compressor": i_comp, "endian": i_end,
+                     "transpose": i_tr,
                      "index_location": cfg.get("index_location", "end"),
                      "index_crc": "crc32c" in index_names}
         else:
             raise NotImplementedError(
                 f"zarr v3 codec {nm!r} not supported (supported: bytes, "
-                f"blosc, zstd, gzip, sharding_indexed)")
-    return endian, compressor, shard
+                f"transpose, blosc, zstd, gzip, sharding_indexed)")
+    return endian, compressor, shard, transpose
 
 
 def _v3_to_v2_meta(node: dict) -> dict:
@@ -446,9 +472,11 @@ def _v3_to_v2_meta(node: dict) -> dict:
     both format versions. ``sharding_indexed`` is translated to a
     ``_shard`` sidecar on the v2 dict: the outer chunk grid addresses
     SHARD objects, each holding an inner-chunk grid + binary index
-    (decoded by `_decode_shard`). Unsupported v3 codecs (transpose,
-    nested sharding, ...) raise with a clear message."""
-    endian, compressor, shard = _v3_codec_chain(node.get("codecs"))
+    (decoded by `_decode_shard`); ``transpose`` codecs become a
+    ``_transpose`` stored-axis order applied per chunk. Unsupported v3
+    codecs (nested sharding, ...) raise with a clear message."""
+    endian, compressor, shard, transpose = _v3_codec_chain(
+        node.get("codecs"))
     if shard is not None:
         # a sharded array's byte order comes from the INNER chain's
         # bytes codec (the outer chain is just the sharding codec) —
@@ -475,6 +503,8 @@ def _v3_to_v2_meta(node: dict) -> dict:
     }
     if shard is not None:
         za["_shard"] = shard
+    if transpose is not None:
+        za["_transpose"] = transpose
     attrs = dict(node.get("attributes") or {})
     if node.get("dimension_names"):
         attrs["_ARRAY_DIMENSIONS"] = list(node["dimension_names"])
@@ -883,13 +913,20 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
                 chunks: dict[str, list[int]] | None = None,
                 codec: str = "zstd",
                 attrs: dict | None = None,
-                shards: dict[str, list[int]] | None = None) -> str:
+                shards: dict[str, list[int]] | None = None,
+                transpose: dict[str, list[int]] | None = None) -> str:
     """Write a Zarr v3 group store (what zarr-python ≥ 3 / new xarray
     write by default): root ``zarr.json`` group, per-array ``zarr.json``
     with bytes+compression codec chain, default ``c/``-prefixed chunk
     keys, ``dimension_names`` carrying the xarray dimension mapping.
     ``codec`` ∈ zstd | gzip | blosc | none. Primarily the fixture/export
     twin of the v3 read path; chunking semantics mirror `write_zarr`.
+
+    ``transpose``: per-variable axis order arming the v3 ``transpose``
+    codec — chunks are stored with their axes permuted to that order
+    (F-order storage for 2-D arrays is ``[1, 0]``); composes with
+    sharding (the transpose rides in the inner chain, per the spec's
+    array→array placement).
 
     ``shards``: per-variable SHARD shape enabling the
     ``sharding_indexed`` codec (zarr-python 3's shards=...): the chunk
@@ -905,8 +942,13 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
         json.dump({"zarr_format": 3, "node_type": "group",
                    "attributes": attrs or {}}, fh)
 
-    def codec_chain():
-        chain = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    def codec_chain(tr: list[int] | None):
+        chain = []
+        if tr is not None:
+            chain.append({"name": "transpose",
+                          "configuration": {"order": list(tr)}})
+        chain.append({"name": "bytes",
+                      "configuration": {"endian": "little"}})
         if codec == "zstd":
             chain.append({"name": "zstd", "configuration": {"level": 3}})
         elif codec == "gzip":
@@ -941,7 +983,11 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
             raise NotImplementedError(
                 f"dtype {arr.dtype} not supported by the v3 writer")
         fill = float("nan") if arr.dtype.kind == "f" else 0
-        codecs = codec_chain()
+        tr = (transpose or {}).get(name)
+        if tr is not None and sorted(tr) != list(range(arr.ndim)):
+            raise ValueError(f"transpose order {tr} is not a "
+                             f"permutation of rank {arr.ndim}")
+        codecs = codec_chain(tr)
         outer = list(shard_shape) if shard_shape else list(chunk_shape)
         if shard_shape:
             if any(s % c for s, c in zip(shard_shape, chunk_shape)):
@@ -980,6 +1026,8 @@ def write_zarr3(path: str, dims: dict[str, np.ndarray],
             block = np.full(chunk_shape, np_fill, dtype=le.dtype)
             piece = le[block_sel]
             block[tuple(slice(0, p) for p in piece.shape)] = piece
+            if tr is not None:
+                block = np.ascontiguousarray(block.transpose(tr))
             return compress(block.tobytes(), le.dtype.itemsize)
 
         grid = _chunk_grid(arr.shape, outer)
