@@ -50,6 +50,25 @@ def test_impulse_matches_independent_imdct_rederivation():
     assert not s[:, 1:, :].any()
 
 
+def test_subband1_impulse_pins_frequency_inversion():
+    """Line 26 → subband 1, k = 8 — far enough from the 18-line
+    boundary that the alias butterflies leave it untouched, so the
+    decoded subband-1 output must equal the independent IMDCT+window
+    re-derivation WITH odd time samples negated (frequency inversion
+    applies to odd subbands). A missing or mis-indexed inversion
+    flips half the samples."""
+    s, _ = decode_mp3(encode_mp3_count1([(26, 1)], n_frames=1))
+    i = np.arange(36)
+    z = np.cos(np.pi / 72.0 * (2 * i + 1 + 18) * (2 * 8 + 1)) \
+        * np.sin(np.pi / 36.0 * (i + 0.5))
+    want0, want1 = z[:18].copy(), (z[18:] + z[:18]).copy()
+    want0[1::2] *= -1
+    want1[1::2] *= -1
+    np.testing.assert_array_equal(s[:18, 1, 0], want0)
+    np.testing.assert_array_equal(s[18:36, 1, 0], want1)
+    assert not s[:, 0, 0].any() and not s[:, 2:, :].any()
+
+
 def test_gain_scaling_is_bitwise_power_of_two():
     for kw in (dict(lines=[(0, 1)]),
                dict(lines=[(17, 1), (18, -1)]),
