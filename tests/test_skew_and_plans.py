@@ -418,3 +418,38 @@ def test_jaccard_arr_cache_is_bounded(spark):
     D.ngram_jaccard_pairs(docs, "text", "doc_id", n=2,
                           min_jaccard=0.3).count()
     assert len(D._ARR_CACHE) == mid
+
+
+def test_mp3_decode_plan_is_shuffle_free(spark, sf_small):
+    """mm_decode_mp3 (round 10): synth → decode is a straight
+    mapInPandas chain — payloads must NEVER cross an Exchange (at
+    100 TB a payload shuffle is the difference between linear
+    scale-out and a network-bound job)."""
+    plan = _plan(spark, sf_small, "mm_decode_mp3")
+    assert plan.count("MapInPandas") >= 2   # synthesize + decode
+    # exactly one Exchange, and it is _spread's round-robin of the
+    # TINY (doc_id, text) input rows — in the top-down plan print it
+    # must sit BELOW (after) every MapInPandas, i.e. payloads created
+    # by the synth stage never cross it
+    assert plan.count("Exchange ") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert plan.rindex("MapInPandas") < plan.index("Exchange ")
+
+
+def test_stream_rollup_parity_batch_twin_single_shuffle(spark, sf_small):
+    """The streaming rollup's BATCH twin (same groupBy shape the
+    micro-batches run): one shuffle with map-side partials — the
+    incremental path inherits the same partial-agg property, which is
+    what makes the exact-sum accumulation micro-batch-order-free."""
+    from pyspark.sql import functions as F
+
+    from climate_data_pipeline_spark.functions.exact import exact_sum
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    df = (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 exact_sum("value", 2).alias("sum_value")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange ") == 1
+    assert "partial_" in plan
