@@ -107,6 +107,20 @@ def _win36(block_type: int) -> np.ndarray:
 _WIN = {bt: _win36(bt) for bt in (0, 1, 3)}
 
 
+def _crc16_mpeg(data: bytes) -> int:
+    """The MPEG audio frame CRC: CRC-16 poly 0x8005, init 0xFFFF,
+    unreflected (catalog name CRC-16/CMS, check 0xAEE7 — pinned in
+    test_spec_vectors). Covers the last two header bytes + the side
+    info for Layer III."""
+    c = 0xFFFF
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+    return c
+
+
 class _Bits:
     """MSB-first bit reader over a bytes buffer."""
 
@@ -189,9 +203,16 @@ def _parse_frames(data: bytes) -> tuple[list[dict], int, int]:
                                  "is_pos ratio table)")
         frame_len = 144 * br_kbps * 1000 // sr + padding
         body = pos + 4
-        if not protection:              # protection_bit 0 = CRC present
-            body += 2
         si_len = 17 if nch == 1 else 32
+        if not protection:              # protection_bit 0 = CRC present
+            (stored,) = struct.unpack_from(">H", data, body)
+            body += 2
+            want = _crc16_mpeg(data[pos + 2:pos + 4]
+                               + data[body:body + si_len])
+            if stored != want:
+                raise ValueError(
+                    f"MP3 frame CRC mismatch at byte {pos}: stored "
+                    f"0x{stored:04X}, computed 0x{want:04X}")
         si = _parse_side_info(data[body:body + si_len], nch)
         main = bytes(data[body + si_len:pos + frame_len])
         frames.append({"ms": mode == 1 and bool(mode_ext & 2),
@@ -478,7 +499,8 @@ def encode_mp3_count1(lines: list[tuple[int, int]], n_frames: int = 2,
                       block_type: int = 0, ms_stereo: bool = False,
                       bitrate_idx: int = 9,
                       scalefac_compress: int = 0,
-                      scfsi_band0: bool = False) -> bytes:
+                      scfsi_band0: bool = False,
+                      protected: bool = False) -> bytes:
     """Build a REAL MPEG-1 Layer III stream whose spectral content is
     count1-coded: ``lines`` is a list of (line_index, ±1); every
     granule of every frame carries the same content at ``global_gain``.
@@ -570,11 +592,14 @@ def encode_mp3_count1(lines: list[tuple[int, int]], n_frames: int = 2,
                          f"({frame_len}B) — raise bitrate_idx")
     mode = 1 if ms_stereo else 3               # joint stereo / mono
     mode_ext = 2 if ms_stereo else 0           # MS on, intensity off
-    h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+    h = ((0x7FF << 21) | (3 << 19) | (1 << 17)
+         | ((0 if protected else 1) << 16)
          | (bitrate_idx << 12) | (ridx << 10) | (0 << 9)
          | (mode << 6) | (mode_ext << 4))
-    frame = (struct.pack(">I", h) + side + main_bytes) \
-        .ljust(frame_len, b"\x00")
+    hdr = struct.pack(">I", h)
+    crc = (struct.pack(">H", _crc16_mpeg(hdr[2:4] + side))
+           if protected else b"")
+    frame = (hdr + crc + side + main_bytes).ljust(frame_len, b"\x00")
     return frame * n_frames
 
 

@@ -203,3 +203,20 @@ def test_count1_sign_convention_and_dense_quads():
     neg, _ = decode_mp3(encode_mp3_count1(
         [(i, -v) for i, v in lines], n_frames=1))
     np.testing.assert_array_equal(neg, -s)
+
+
+def test_protected_frames_verify_crc():
+    """protection_bit 0: the frame CRC (CRC-16/CMS over the last two
+    header bytes + side info) is verified — a protected stream
+    decodes identically to its unprotected twin, and a corrupted
+    side-info byte is caught loudly instead of desynchronizing the
+    bit reservoir."""
+    a, _ = decode_mp3(encode_mp3_count1([(0, 1), (9, -1)], n_frames=2))
+    b, _ = decode_mp3(encode_mp3_count1([(0, 1), (9, -1)], n_frames=2,
+                                        protected=True))
+    np.testing.assert_array_equal(a, b)
+    bad = bytearray(encode_mp3_count1([(0, 1)], n_frames=1,
+                                      protected=True))
+    bad[8] ^= 0x40
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_mp3(bytes(bad))

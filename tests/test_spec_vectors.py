@@ -184,3 +184,12 @@ def test_deflate_streams_from_stdlib_decode_through_hdf5_chunks():
             # is unnecessary: trailing zeros after a complete zlib
             # stream are ignored by decompress
         np.testing.assert_array_equal(H5File(bytes(buf)).read("v"), arr)
+
+
+def test_mpeg_audio_crc_catalog_check():
+    """The MPEG audio frame CRC is CRC-16/CMS: poly 0x8005, init
+    0xFFFF, unreflected — catalog check value 0xAEE7 for
+    b'123456789'."""
+    from climate_data_pipeline_spark.operators.mp3 import _crc16_mpeg
+
+    assert _crc16_mpeg(b"123456789") == 0xAEE7
