@@ -41,6 +41,9 @@ SENSITIVE = [
     "text_zipf_slope",        # regr co-moments over doubles, rounded (r2)
     "emb_centroid_outliers",  # centroid build + rank cut (r2 session)
     "incremental_cdc_refresh",   # signed scaled-int IVM state (r2)
+    "stream_rollup_parity",   # streaming exact-sum rollup (r10): the
+                              # scaled-long accumulation must be both
+                              # partition- AND micro-batch-order free
 ]
 
 

@@ -237,8 +237,13 @@ def run_curate10x(spark, sf_dir: str,
                 "out": out}
 
     run("warmup", sf_dir)       # discard: JIT/codegen/page-cache warm
-    base = run("base", sf_dir)
-    big = run("x10", big_dir)
+    # best-of-two per corpus: the near-dedup stage's wall time is the
+    # noisiest (banded join + clustering), and a single sample can
+    # read 1.5× off on a loaded host — keep the faster full run
+    base = min(run("base", sf_dir), run("base", sf_dir),
+               key=lambda r: r["total_s"])
+    big = min(run("x10", big_dir), run("x10", big_dir),
+              key=lambda r: r["total_s"])
     fp_base = _curated_fingerprint(spark, base["out"])
     fp_big0 = _curated_fingerprint(spark, big["out"], max_id=n_docs)
     ratios = {k: round(big["stages_s"][k] / base["stages_s"][k], 2)
