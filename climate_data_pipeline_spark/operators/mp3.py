@@ -25,6 +25,17 @@ PCM synthesis is not offered at all. Count1-coded streams (spectral
 values in {−1, 0, +1} scaled by the 8-bit global gain — the full
 dynamic range) decode through the complete chain.
 
+The SMALL transcribed tables this module does carry (the 16-entry
+scalefac_compress slen pairs, the 22-entry pretab, the per-rate
+scalefactor-band boundaries, the 8 alias coefficients) are each a
+handful of widely-published values rather than thousands of codeword
+entries; they are stated here with high confidence but the same
+caveat applies — no in-sandbox cross-check exists. Their blast
+radius is bounded: with the fixtures' zero scalefactors the slen and
+band tables affect nothing but bit accounting and the short-block
+reorder mapping, both of which are pinned structurally in
+test_mp3_codec (energy-in-mapped-subband, bit-offset shift tests).
+
 Reference parity: the reference pipeline has no audio decode at all
 (`/root/reference/src/climate_pipeline/` is xarray/Zarr only); this
 module exceeds it alongside the FLAC/WAV/AIFF decoders.
