@@ -469,6 +469,10 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, dict]:
             for ch in range(nch):
                 g = f["granules"][gr][ch]
                 start_bit = br.p
+                if start_bit + g["part23"] > len(reservoir) * 8:
+                    raise ValueError(
+                        f"part2_3_length {g['part23']} overruns the "
+                        "bit reservoir (corrupt side info)")
                 sf = _read_scalefactors(br, g, f["scfsi"][ch],
                                         prev_sf[ch], gr)
                 if gr == 0:

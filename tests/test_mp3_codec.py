@@ -220,3 +220,58 @@ def test_protected_frames_verify_crc():
     bad[8] ^= 0x40
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_mp3(bytes(bad))
+
+
+def test_hypothesis_fuzz_encode_decode_chain():
+    """Property fuzz over the encoder's whole parameter space: any
+    legal count1 line set, gain, rate, block type and stereo flag must
+    decode without error to the right shape, obey the streaming prefix
+    property, and (for gain steps of 4) stay bitwise linear."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        lines=st.lists(
+            st.tuples(st.integers(0, 199),
+                      st.sampled_from([1, -1])),
+            max_size=12, unique_by=lambda t: t[0]),
+        gain=st.integers(190, 242),
+        rate=st.sampled_from([44100, 48000, 32000]),
+        bt=st.sampled_from([0, 2]),
+        ms=st.booleans(),
+    )
+    def prop(lines, gain, rate, bt, ms):
+        blob = encode_mp3_count1(lines, n_frames=2, sample_rate=rate,
+                                 global_gain=gain, block_type=bt,
+                                 ms_stereo=ms)
+        s, info = decode_mp3(blob)
+        nch = 2 if ms else 1
+        assert s.shape == (72, 32, nch)
+        assert info["sample_rate"] == rate
+        assert np.isfinite(s).all()
+        if not lines:
+            assert not s.any()
+        one, _ = decode_mp3(encode_mp3_count1(
+            lines, n_frames=1, sample_rate=rate, global_gain=gain,
+            block_type=bt, ms_stereo=ms))
+        np.testing.assert_array_equal(s[:36], one)
+        up, _ = decode_mp3(encode_mp3_count1(
+            lines, n_frames=2, sample_rate=rate, global_gain=gain + 4,
+            block_type=bt, ms_stereo=ms))
+        np.testing.assert_array_equal(up, s * 2.0)
+
+    prop()
+
+
+def test_part23_overrun_is_loud():
+    """A side info whose part2_3_length reaches past the buffered main
+    data must raise a clear ValueError, not an IndexError out of the
+    bit reader."""
+    blob = bytearray(encode_mp3_count1([(0, 1)], n_frames=1))
+    si = int.from_bytes(blob[4:21], "big")
+    shift = 17 * 8 - 18 - 12
+    si = (si & ~(0xFFF << shift)) | (4000 << shift)   # part23 = 4000
+    blob[4:21] = si.to_bytes(17, "big")
+    with pytest.raises(ValueError, match="overruns the bit reservoir"):
+        decode_mp3(bytes(blob))
