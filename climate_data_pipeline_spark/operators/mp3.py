@@ -209,9 +209,7 @@ def _parse_frames(data: bytes) -> tuple[list[dict], int, int]:
             rate, channels = sr, nch
         elif sr != rate or nch != channels:
             raise ValueError("MP3 stream changes format mid-stream")
-        if mode == 1 and mode_ext & 1:
-            raise Mp3Unsupported("intensity stereo (the spec's "
-                                 "is_pos ratio table)")
+        is_flag = mode == 1 and bool(mode_ext & 1)
         frame_len = 144 * br_kbps * 1000 // sr + padding
         body = pos + 4
         si_len = 17 if nch == 1 else 32
@@ -227,7 +225,7 @@ def _parse_frames(data: bytes) -> tuple[list[dict], int, int]:
         si = _parse_side_info(data[body:body + si_len], nch)
         main = bytes(data[body + si_len:pos + frame_len])
         frames.append({"ms": mode == 1 and bool(mode_ext & 2),
-                       "main": main, **si})
+                       "is": is_flag, "main": main, **si})
         pos += frame_len
     if not frames:
         raise ValueError("MP3 payload with no audio frames")
@@ -444,6 +442,47 @@ def _imdct_granule(xr: np.ndarray, g: dict, store: np.ndarray
     return out
 
 
+def _intensity_process(xrs, ixs, sfs, g_pair, ms: bool, rate: int):
+    """MPEG-1 intensity stereo (ISO 11172-3 2.4.3.4.9.3): in the
+    scalefactor bands ABOVE the right channel's last nonzero spectral
+    line, the left channel carries the summed signal and the RIGHT
+    channel's scalefactors carry the position code —
+    ratio = tan(is_pos·π/12), L = x·ratio/(1+ratio), R = x/(1+ratio);
+    is_pos 7 is the no-processing escape (those bands fall back to MS
+    when the MS flag rides along, else pass through). Below the bound
+    plain stereo/MS applies. Long blocks only — intensity with short
+    windows multiplies the bound bookkeeping per window and stays a
+    named seam."""
+    import bisect
+
+    for g in g_pair:
+        if g["ws"] and g["block_type"] == 2:
+            raise Mp3Unsupported("intensity stereo with short blocks")
+    bounds = SFB_LONG[rate]
+    nz = np.nonzero(ixs[1])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    start_sfb = bisect.bisect_left(bounds, last)
+    m, sd = xrs
+    L, R = m.copy(), sd.copy()
+    inv = 1.0 / np.sqrt(2.0)
+    if ms:
+        lo_end = bounds[min(start_sfb, 22)]
+        L[:lo_end] = (m[:lo_end] + sd[:lo_end]) * inv
+        R[:lo_end] = (m[:lo_end] - sd[:lo_end]) * inv
+    for sfb in range(start_sfb, 22):
+        lo, hi = bounds[sfb], bounds[sfb + 1]
+        is_pos = sfs[1]["l"][min(sfb, 21)]
+        if is_pos == 7:
+            if ms:
+                L[lo:hi] = (m[lo:hi] + sd[lo:hi]) * inv
+                R[lo:hi] = (m[lo:hi] - sd[lo:hi]) * inv
+            continue
+        ratio = np.tan(is_pos * np.pi / 12.0)
+        L[lo:hi] = m[lo:hi] * (ratio / (1.0 + ratio))
+        R[lo:hi] = m[lo:hi] * (1.0 / (1.0 + ratio))
+    return [L, R]
+
+
 def decode_mp3(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode an MPEG-1 Layer III stream through the full MDCT chain →
     (samples, info). ``samples`` has shape (n_granules·18, 32, nch):
@@ -465,7 +504,7 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, dict]:
         reservoir += f["main"]
         br = _Bits(reservoir, start_byte * 8)
         for gr in range(2):
-            xrs = []
+            xrs, ixs, sfs = [], [], []
             for ch in range(nch):
                 g = f["granules"][gr][ch]
                 start_bit = br.p
@@ -479,8 +518,14 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, dict]:
                     prev_sf[ch] = sf
                 ix = _huffman_decode(br, g, start_bit, SFB_LONG[rate])
                 br.p = start_bit + g["part23"]   # ancillary-bit skip
+                ixs.append(ix)
+                sfs.append(sf)
                 xrs.append(_requantize(ix, g, sf, rate))
-            if nch == 2 and f["ms"]:
+            if nch == 2 and f["is"]:
+                xrs = _intensity_process(xrs, ixs, sfs,
+                                         f["granules"][gr], f["ms"],
+                                         rate)
+            elif nch == 2 and f["ms"]:
                 m, s = xrs
                 inv = 1.0 / np.sqrt(2.0)
                 xrs = [(m + s) * inv, (m - s) * inv]
@@ -515,7 +560,10 @@ def encode_mp3_count1(lines: list[tuple[int, int]], n_frames: int = 2,
                       bitrate_idx: int = 9,
                       scalefac_compress: int = 0,
                       scfsi_band0: bool = False,
-                      protected: bool = False) -> bytes:
+                      protected: bool = False,
+                      intensity: list[int] | None = None,
+                      right_lines: list[tuple[int, int]] | None = None
+                      ) -> bytes:
     """Build a REAL MPEG-1 Layer III stream whose spectral content is
     count1-coded: ``lines`` is a list of (line_index, ±1); every
     granule of every frame carries the same content at ``global_gain``.
@@ -523,13 +571,26 @@ def encode_mp3_count1(lines: list[tuple[int, int]], n_frames: int = 2,
     joint-stereo frame with an all-zero side channel (decodes to
     L = R = M/√2). The stream is decodable by any Layer III decoder —
     headers, side info, and the count1 table-B codes are all spec-
-    layout; only the spectral coding REPERTOIRE is restricted."""
+    layout; only the spectral coding REPERTOIRE is restricted.
+
+    ``intensity``: 21 is_pos values (0..7) arm intensity-stereo coding
+    (mode_ext bit 0, composable with ``ms_stereo``): channel 0 carries
+    ``lines``; the RIGHT channel's scalefactors carry the is_pos codes
+    (scalefac_compress 13 → 3 bits everywhere) and its spectral data is
+    ``right_lines`` (count1-coded; their top line sets the intensity
+    bound — empty means the whole spectrum is intensity-coded)."""
     if lines and max(idx for idx, _ in lines) > 572:
         raise ValueError("count1 lines end at 575 (last quadruple)")
     sr = sample_rate
     ridx = _RATE_IDX[sr]
     br_kbps = MP3_BITRATES[bitrate_idx]
-    nch = 2 if ms_stereo else 1
+    nch = 2 if (ms_stereo or intensity is not None) else 1
+    if intensity is not None:
+        if len(intensity) != 21 or any(not 0 <= v <= 7
+                                       for v in intensity):
+            raise ValueError("intensity needs 21 is_pos values in 0..7")
+        if block_type == 2:
+            raise ValueError("intensity fixtures are long-block only")
     # count1 payload bits
     nq = (max(idx for idx, _ in lines) // 4 + 1) if lines else 0
     quads = [[0, 0, 0, 0] for _ in range(nq)]
@@ -546,21 +607,40 @@ def encode_mp3_count1(lines: list[tuple[int, int]], n_frames: int = 2,
     if block_type == 2 and scalefac_compress:
         raise ValueError("zero-valued scalefactor exercise is wired "
                          "for long blocks only")
-    payload = _BitWriter()
-    for q in quads:
-        code = sum((1 << (3 - j)) for j, v in enumerate(q) if v)
-        payload.put(code ^ 0xF, 4)
-        for v in q:
-            if v:
-                payload.put(1 if v < 0 else 0, 1)
+    def quad_bits(ls: list[tuple[int, int]]) -> _BitWriter:
+        n = (max(i for i, _ in ls) // 4 + 1) if ls else 0
+        qs = [[0, 0, 0, 0] for _ in range(n)]
+        for idx, sign in ls:
+            if sign not in (1, -1):
+                raise ValueError("count1 values are ±1")
+            qs[idx // 4][idx % 4] = sign
+        w = _BitWriter()
+        for q in qs:
+            code = sum((1 << (3 - j)) for j, v in enumerate(q) if v)
+            w.put(code ^ 0xF, 4)
+            for v in q:
+                if v:
+                    w.put(1 if v < 0 else 0, 1)
+        return w
+
+    payload = quad_bits(lines)
     part23 = {0: len(payload.bits) + sf_bits_g0,
               1: len(payload.bits) + sf_bits_g1}
+    # right channel of an intensity frame: is_pos scalefactors at
+    # scalefac_compress 13 (slen 3/3 → 63 bits) + its own count1 data
+    r_payload = quad_bits(right_lines or []) if intensity is not None \
+        else None
+    part23_r = (63 + len(r_payload.bits)) if r_payload is not None else 0
 
     def granule_bits(w: _BitWriter, gr: int, content: bool) -> None:
-        w.put(part23[gr] if content else 0, 12)  # part2_3_length
+        if not content and intensity is not None:
+            w.put(part23_r, 12)
+        else:
+            w.put(part23[gr] if content else 0, 12)  # part2_3_length
         w.put(0, 9)                            # big_values
         w.put(global_gain, 8)
-        w.put(scalefac_compress, 4)
+        w.put(13 if (not content and intensity is not None)
+              else scalefac_compress, 4)
         if block_type == 2 and content:
             w.put(1, 1)                        # window switching
             w.put(2, 2)                        # block type 2
@@ -598,6 +678,10 @@ def encode_mp3_count1(lines: list[tuple[int, int]], n_frames: int = 2,
                 for _ in range(nsf):
                     main.put(0, 1)             # zero scalefactors
                 main.bits.extend(payload.bits)
+            elif intensity is not None:
+                for v in intensity:            # is_pos codes, 3 bits
+                    main.put(v, 3)
+                main.bits.extend(r_payload.bits)
     main_bytes = main.bytes_padded()
 
     frame_len = 144 * br_kbps * 1000 // sr
@@ -605,8 +689,9 @@ def encode_mp3_count1(lines: list[tuple[int, int]], n_frames: int = 2,
     if need > frame_len:
         raise ValueError(f"content ({need}B) exceeds the frame "
                          f"({frame_len}B) — raise bitrate_idx")
-    mode = 1 if ms_stereo else 3               # joint stereo / mono
-    mode_ext = 2 if ms_stereo else 0           # MS on, intensity off
+    mode = 1 if nch == 2 else 3                # joint stereo / mono
+    mode_ext = (2 if ms_stereo else 0) | (1 if intensity is not None
+                                          else 0)
     h = ((0x7FF << 21) | (3 << 19) | (1 << 17)
          | ((0 if protected else 1) << 16)
          | (bitrate_idx << 12) | (ridx << 10) | (0 << 9)

@@ -175,12 +175,13 @@ def test_loud_seams_raise_by_name():
     bad[4:21] = si3.to_bytes(17, "big")
     with pytest.raises(Mp3Unsupported, match="table A"):
         decode_mp3(bytes(bad))
-    # intensity stereo (joint stereo, mode_ext bit 0)
-    st = bytearray(encode_mp3_count1([(0, 1)], n_frames=1,
-                                     ms_stereo=True))
+    # intensity stereo with SHORT blocks (the remaining intensity
+    # seam — long-block intensity is real, see the dedicated tests)
+    st = bytearray(encode_mp3_count1([(5, 1)], n_frames=1,
+                                     block_type=2, ms_stereo=True))
     h = struct.unpack_from(">I", st, 0)[0] | (1 << 4)
     struct.pack_into(">I", st, 0, h)
-    with pytest.raises(Mp3Unsupported, match="intensity"):
+    with pytest.raises(Mp3Unsupported, match="intensity stereo with"):
         decode_mp3(bytes(st))
     # MPEG-2 (LSF)
     v2 = bytearray(blob)
@@ -275,3 +276,72 @@ def test_part23_overrun_is_loud():
     blob[4:21] = si.to_bytes(17, "big")
     with pytest.raises(ValueError, match="overruns the bit reservoir"):
         decode_mp3(bytes(blob))
+
+
+def test_intensity_stereo_long_blocks():
+    """MPEG-1 intensity stereo (round 10): ratio = tan(is_pos·π/12),
+    L = x·ratio/(1+ratio), R = x/(1+ratio) in the bands above the
+    right channel's last nonzero line; is_pos 7 is the no-processing
+    escape; the bound comes from the right channel's own spectrum.
+    Each property checked against the mono twin."""
+    mono, _ = decode_mp3(encode_mp3_count1([(0, 1)], n_frames=1))
+    m = mono[:, :, 0]
+    # is_pos 0: everything pans hard right
+    s0, info = decode_mp3(encode_mp3_count1(
+        [(0, 1)], n_frames=1, intensity=[0] * 21))
+    assert info["channels"] == 2
+    assert not s0[:, :, 0].any()
+    np.testing.assert_array_equal(s0[:, :, 1], m)
+    # is_pos 3: ratio = tan(π/4) (1 to within an ulp) → equal halves
+    s3, _ = decode_mp3(encode_mp3_count1(
+        [(0, 1)], n_frames=1, intensity=[3] * 21))
+    np.testing.assert_allclose(s3[:, :, 0], m * 0.5, rtol=0,
+                               atol=1e-15)
+    np.testing.assert_allclose(s3[:, :, 1], m * 0.5, rtol=0,
+                               atol=1e-15)
+    # is_pos 7: escape — left passes through, right stays silent
+    s7, _ = decode_mp3(encode_mp3_count1(
+        [(0, 1)], n_frames=1, intensity=[7] * 21))
+    np.testing.assert_array_equal(s7[:, :, 0], m)
+    assert not s7[:, :, 1].any()
+    # general is_pos: both channels scale by the exact formula factors
+    for pos in (1, 2, 4, 5, 6):
+        sp, _ = decode_mp3(encode_mp3_count1(
+            [(0, 1)], n_frames=1, intensity=[pos] * 21))
+        r = np.tan(pos * np.pi / 12.0)
+        # the decoder scales SPECTRAL values then IMDCTs; scaling the
+        # IMDCT output instead agrees to within accumulation ulps
+        np.testing.assert_allclose(sp[:, :, 0], m * (r / (1.0 + r)),
+                                   rtol=0, atol=1e-15)
+        np.testing.assert_allclose(sp[:, :, 1], m * (1.0 / (1.0 + r)),
+                                   rtol=0, atol=1e-15)
+
+
+def test_intensity_bound_from_right_channel_spectrum():
+    """right_lines=[(3, +1)] puts the right channel's last nonzero
+    line at 3 → the intensity region starts at the next band boundary
+    (line 4): band 0 stays plain stereo (left keeps its line-0
+    content, right keeps its own line-3 content) while line 6 in
+    band 1 pans right under is_pos 0. MS composes below the bound."""
+    sb, _ = decode_mp3(encode_mp3_count1(
+        [(0, 1), (6, 1)], n_frames=1, intensity=[0] * 21,
+        right_lines=[(3, 1)]))
+    only0, _ = decode_mp3(encode_mp3_count1([(0, 1)], n_frames=1))
+    only3, _ = decode_mp3(encode_mp3_count1([(3, 1)], n_frames=1))
+    only6, _ = decode_mp3(encode_mp3_count1([(6, 1)], n_frames=1))
+    np.testing.assert_array_equal(sb[:, :, 0], only0[:, :, 0])
+    np.testing.assert_allclose(sb[:, :, 1],
+                               only3[:, :, 0] + only6[:, :, 0],
+                               rtol=0, atol=1e-15)
+    # MS+IS: below the bound the mid/side rotation applies
+    sm, _ = decode_mp3(encode_mp3_count1(
+        [(0, 1), (6, 1)], n_frames=1, intensity=[0] * 21,
+        right_lines=[(3, 1)], ms_stereo=True))
+    inv = 1.0 / np.sqrt(2.0)
+    np.testing.assert_allclose(
+        sm[:, :, 0], (only0[:, :, 0] + only3[:, :, 0]) * inv,
+        rtol=0, atol=1e-15)
+    np.testing.assert_allclose(
+        sm[:, :, 1],
+        (only0[:, :, 0] - only3[:, :, 0]) * inv + only6[:, :, 0],
+        rtol=0, atol=1e-15)
