@@ -97,6 +97,7 @@ HEADLINE = [
     "mm_decode_mp3",          # Layer III MDCT chain (round 10)
     "s_hdf5_scaleoffset_f",   # HDF5 float D-scale scaleoffset filter
     "stream_rollup_parity",   # Structured Streaming tumbling rollup
+    "text_url_canonicalize",  # crawl-frontier URL dedup, pure JVM regex
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

@@ -1280,3 +1280,72 @@ def bpe_encode(df: DataFrame, text_col: str,
     enc = pandas_udf(_enc, "array<string>")(F.col(text_col))
     return (df.withColumn("tokens", enc)
               .withColumn("n_tokens", F.size("tokens").cast("long")))
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (round 10) — the crawl-pipeline dedup key
+# --------------------------------------------------------------------------
+
+# query parameters that carry tracking state, not content identity —
+# the standard strip set (utm_* per the urchin convention, plus the
+# click-id params the major platforms append)
+URL_TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "ref_src")
+
+
+def canonical_url(col) -> Column:
+    """Canonicalize a URL column with pure JVM-side expressions — the
+    aggregation key for URL-level dedup of a web crawl (the step ahead
+    of content dedup: exact-duplicate *fetches* never reach hashing).
+
+    Normalizations (each a content-preserving equivalence for http(s)):
+    lowercase scheme and host, strip the fragment, drop default ports
+    (http:80 / https:443), drop a leading ``www.``, collapse duplicate
+    path slashes, strip one trailing slash (non-root, empty path →
+    ``/``), drop tracking query parameters (``utm_*`` +
+    ``URL_TRACKING_PARAMS``), and sort the surviving parameters
+    byte-wise. Mirrored verbatim by the ``text_url_canonicalize``
+    oracle SQL; both engines use the same simple regex class so
+    RE2/Java syntax differences cannot bite."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(F.trim(c), "#.*", "")         # fragment off
+    scheme = F.lower(F.regexp_extract(
+        u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+             .when(scheme == "https",
+                   F.regexp_replace(host, ":443$", ""))
+             .otherwise(host))
+    host = F.regexp_replace(host, "^www\\.", "")
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path = F.regexp_replace(path, "//+", "/")
+    path = F.regexp_replace(path, "(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_replace(pathq, "^[^?]*\\??", "")
+
+    def _keep(p):
+        name = F.split(p, "=")[0]
+        tracked = name.startswith("utm_")
+        for t in URL_TRACKING_PARAMS:
+            tracked = tracked | (name == t)
+        return (p != "") & ~tracked
+
+    params = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), _keep)), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(params == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), params)))
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-level dedup: canonicalize, then keep the minimum id per
+    canonical URL with the duplicate count — one hash aggregation on
+    the canonical key (the crawl-frontier dedup shape; at 100 TB this
+    runs BEFORE any payload fetch/hash so duplicate fetches are never
+    paid for)."""
+    return (df.withColumn("canon_url", canonical_url(url_col))
+              .groupBy("canon_url")
+              .agg(F.min(id_col).alias("keep_" + id_col),
+                   F.count("*").cast("long").alias("n_fetches")))

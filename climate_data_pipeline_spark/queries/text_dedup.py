@@ -1783,3 +1783,130 @@ def quality_calibrated_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "q",
         round_port(F.percent_rank().over(w_src), 9).alias("q_calibrated"),
         round_port(F.percent_rank().over(w_all), 9).alias("q_global"))
+
+
+# --- URL-level dedup (round 10): the crawl-frontier canonical key ------
+
+_URL_SYNTH_SPARK = """
+CASE doc_id % 6
+  WHEN 0 THEN 'HTTPS://WWW.EXAMPLE' || CAST(doc_id % 5 AS STRING)
+           || '.COM:443/docs//' || CAST(doc_id % 7 AS STRING)
+           || '/?utm_source=feed&b=' || CAST(doc_id % 3 AS STRING)
+           || '&a=' || CAST(doc_id % 4 AS STRING)
+           || '&fbclid=x' || CAST(doc_id AS STRING) || '#frag'
+  WHEN 1 THEN 'https://example' || CAST(doc_id % 5 AS STRING)
+           || '.com/docs/' || CAST(doc_id % 7 AS STRING)
+           || '?a=' || CAST(doc_id % 4 AS STRING)
+           || '&b=' || CAST(doc_id % 3 AS STRING)
+  WHEN 2 THEN 'http://Example' || CAST(doc_id % 5 AS STRING)
+           || '.com:80/'
+  WHEN 3 THEN 'http://example' || CAST(doc_id % 5 AS STRING) || '.com'
+  WHEN 4 THEN 'https://example' || CAST(doc_id % 5 AS STRING)
+           || '.com/p/' || substring(md5(encode(coalesce(text, ''),
+                                      'utf-8')), 1, 8) || '/'
+  ELSE 'https://sub.example' || CAST(doc_id % 5 AS STRING)
+           || '.com/path?ref=tw&id=' || CAST(doc_id AS STRING) || '#s'
+END
+"""
+
+
+@query("text_url_canonicalize", oracle="""
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'HTTPS://WWW.EXAMPLE' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.COM:443/docs//' || CAST(doc_id % 7 AS VARCHAR)
+                    || '/?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+                    || '&a=' || CAST(doc_id % 4 AS VARCHAR)
+                    || '&fbclid=x' || CAST(doc_id AS VARCHAR) || '#frag'
+           WHEN 1 THEN 'https://example' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com/docs/' || CAST(doc_id % 7 AS VARCHAR)
+                    || '?a=' || CAST(doc_id % 4 AS VARCHAR)
+                    || '&b=' || CAST(doc_id % 3 AS VARCHAR)
+           WHEN 2 THEN 'http://Example' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com:80/'
+           WHEN 3 THEN 'http://example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+           WHEN 4 THEN 'https://example' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com/p/' || substr(md5(coalesce(text, '')), 1, 8) || '/'
+           ELSE 'https://sub.example' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.com/path?ref=tw&id=' || CAST(doc_id AS VARCHAR) || '#s'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(trim(url), '#.*', '') AS nofrag
+  FROM u
+),
+sp AS (
+  SELECT doc_id,
+         lower(regexp_extract(nofrag,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(nofrag,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+  FROM parts
+),
+hp AS (
+  SELECT doc_id, scheme, rest,
+         CASE
+           WHEN scheme = 'http' THEN regexp_replace(
+                lower(regexp_extract(rest, '^([^/?]*)', 1)), ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(
+                lower(regexp_extract(rest, '^([^/?]*)', 1)), ':443$', '')
+           ELSE lower(regexp_extract(rest, '^([^/?]*)', 1))
+         END AS host0,
+         regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM sp
+),
+pq AS (
+  SELECT doc_id, scheme,
+         regexp_replace(host0, '^www\\.', '') AS host,
+         regexp_replace(regexp_replace(
+             regexp_extract(pathq, '^([^?]*)', 1), '//+', '/', 'g'),
+             '(.)/$', '\\1') AS path0,
+         regexp_replace(pathq, '^[^?]*\\??', '') AS query
+  FROM hp
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+         || CASE WHEN params = '' THEN '' ELSE '?' || params END
+           AS canon_url
+  FROM (
+    SELECT doc_id, scheme, host, path0,
+           -- coalesce: DuckDB's array_to_string of an EMPTY list is
+           -- NULL, which would null the whole concatenation
+           coalesce(array_to_string(list_sort(list_filter(
+               str_split(query, '&'),
+               p -> p <> ''
+                    AND NOT starts_with(str_split(p, '=')[1], 'utm_')
+                    AND NOT list_contains(
+                        ['fbclid', 'gclid', 'msclkid', 'ref',
+                         'ref_src'], str_split(p, '=')[1]))), '&'), '')
+             AS params
+    FROM pq
+  )
+)
+SELECT canon_url, min(doc_id) AS keep_doc_id,
+       count(*) AS n_fetches
+FROM canon GROUP BY 1
+""")
+def url_canonicalize_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup end to end: documents render into six
+    residue classes of messy-but-equivalent URLs (mixed-case scheme and
+    host, www prefixes, default ports, duplicate and trailing slashes,
+    fragments, tracking parameters, unsorted query strings — classes 0
+    and 1 canonicalize to the SAME url, as do 2 and 3), the
+    canonicalizer (`operators/text.canonical_url`, pure JVM-side
+    regex/array expressions — no UDF) normalizes them, and `url_dedup`
+    keeps min-id + fetch count per canonical key. One hash aggregation;
+    the oracle mirrors every normalization step in SQL, so a changed
+    regex, an unsorted parameter list, or a dropped equivalence class
+    shifts the hash. At 100 TB this key dedups the crawl FRONTIER —
+    duplicate fetches are dropped before any payload is hashed."""
+    from ..operators.text import url_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.withColumn("url", F.expr(_URL_SYNTH_SPARK.strip()))
+    return url_dedup(with_url, "url", "doc_id")

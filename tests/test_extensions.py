@@ -3284,3 +3284,43 @@ def test_ico_codec_and_spark_dispatch(spark):
         assert abs(r["mean_value"] - want) < 1e-9, i
         assert r["width"] == (32 if c == 1 else 16)
         assert r["n_samples"] == (2 if c == 1 else 1)
+
+
+def test_canonical_url_equivalence_classes(spark):
+    """URL canonicalization (round 10): every normalization axis —
+    case, www, default ports, duplicate/trailing slashes, fragments,
+    tracking params, parameter order — maps equivalent fetches to ONE
+    key, while genuinely different URLs stay distinct."""
+    from climate_data_pipeline_spark.operators.text import (
+        canonical_url,
+        url_dedup,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&b=2&a=1"
+            "&fbclid=z#frag"),
+        (2, "https://example.com/a/b?a=1&b=2"),
+        (3, "http://Example.com:80/"),
+        (4, "http://example.com"),
+        (5, "https://example.com/a/b/"),
+        (6, "https://sub.example.com/path?ref=tw&id=9"),
+        (7, "ftp://Files.Example.com:21/pub/"),
+        (8, "https://example.com:443/a/b?b=2&a=1&utm_campaign=c"),
+        (9, "https://example.com/a/b?a=2&b=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {r.doc_id: r.c for r in
+             df.select("doc_id",
+                       canonical_url("url").alias("c")).collect()}
+    assert canon[1] == canon[2] == canon[8] \
+        == "https://example.com/a/b?a=1&b=2"
+    assert canon[3] == canon[4] == "http://example.com/"
+    assert canon[5] == "https://example.com/a/b"
+    assert canon[6] == "https://sub.example.com/path?id=9"
+    # non-default port and non-http scheme are preserved
+    assert canon[7] == "ftp://files.example.com:21/pub"
+    assert canon[9] == "https://example.com/a/b?a=2&b=2"
+    dedup = {r.canon_url: (r.keep_doc_id, r.n_fetches)
+             for r in url_dedup(df, "url", "doc_id").collect()}
+    assert dedup["https://example.com/a/b?a=1&b=2"] == (1, 3)
+    assert dedup["http://example.com/"] == (3, 2)
