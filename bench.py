@@ -98,6 +98,7 @@ HEADLINE = [
     "s_hdf5_scaleoffset_f",   # HDF5 float D-scale scaleoffset filter
     "stream_rollup_parity",   # Structured Streaming tumbling rollup
     "text_url_canonicalize",  # crawl-frontier URL dedup, pure JVM regex
+    "crawl_robots_screen",    # RFC 9309 robots.txt compliance screen
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

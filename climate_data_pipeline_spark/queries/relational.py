@@ -1480,3 +1480,88 @@ def warc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warc import synthesize_warc, warc_extract
     docs = load_table(spark, sf_dir, "documents")
     return warc_extract(synthesize_warc(docs, "doc_id", "text"))
+
+
+@query("crawl_robots_screen", oracle="""
+WITH c AS (
+  SELECT doc_id,
+         doc_id % 20 AS h,
+         doc_id % 5 AS cls
+  FROM documents
+)
+SELECT doc_id,
+       'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       CASE cls
+         WHEN 0 THEN '/private' || CAST(h % 3 AS VARCHAR) || '/page'
+                  || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/private' || CAST(h % 3 AS VARCHAR) || '/ok/x'
+         WHEN 2 THEN '/data/secret' || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN '/data/pub' || CAST(doc_id AS VARCHAR)
+         ELSE '/pub/' || CAST(doc_id AS VARCHAR)
+       END AS path,
+       NOT (h % 7 <> 3 AND ((h % 2 = 0 AND cls = 2)
+                            OR (h % 2 = 1 AND cls = 0))) AS allowed
+FROM c
+""")
+def crawl_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance screening (RFC 9309) for the crawl
+    pipeline: documents map to 20 synthetic hosts whose robots.txt
+    bodies are REAL text (a ``*`` group disallowing a /privateN/
+    subtree with an /ok carve-out; even hosts add a ``trainbot`` group
+    disallowing /data/ with a wildcard-$ Allow carve-out; every
+    h%7==3 host has NO robots file), and five path classes per doc
+    probe each rule interaction. The engine side parses the bodies
+    for real (`sources/warc.parse_robots`) and evaluates
+    longest-match/allow-tie/group-selection semantics
+    (`robots_decision`) inside one Arrow ``mapInPandas`` after a
+    broadcast join of the tiny per-host robots table; the oracle
+    re-derives every verdict from the CONSTRUCTION arithmetic, so a
+    wrong group choice, specificity measure, tie-break, wildcard
+    handling or missing-file default flips rows."""
+    from ..sources.warc import robots_screen
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 20).alias("h"),
+        (F.col("doc_id") % 5).alias("cls"))
+    cand = c.select(
+        "doc_id",
+        F.concat(F.lit("h"), F.col("h").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(F.col("cls") == 0,
+               F.concat(F.lit("/private"),
+                        (F.col("h") % 3).cast("string"),
+                        F.lit("/page"), F.col("doc_id").cast("string")))
+         .when(F.col("cls") == 1,
+               F.concat(F.lit("/private"),
+                        (F.col("h") % 3).cast("string"),
+                        F.lit("/ok/x")))
+         .when(F.col("cls") == 2,
+               F.concat(F.lit("/data/secret"),
+                        F.col("doc_id").cast("string")))
+         .when(F.col("cls") == 3,
+               F.concat(F.lit("/data/pub"),
+                        F.col("doc_id").cast("string")))
+         .otherwise(F.concat(F.lit("/pub/"),
+                             F.col("doc_id").cast("string")))
+         .alias("path"))
+    hosts = (c.select("h").distinct()
+              .where(F.col("h") % 7 != 3)
+              .select(
+                  F.concat(F.lit("h"), F.col("h").cast("string"),
+                           F.lit(".example.com")).alias("host"),
+                  F.concat(
+                      F.lit("# synthetic robots\nUser-agent: *\n"
+                            "Disallow: /private"),
+                      (F.col("h") % 3).cast("string"),
+                      F.lit("/\nAllow: /private"),
+                      (F.col("h") % 3).cast("string"),
+                      F.lit("/ok\n"),
+                      F.when(F.col("h") % 2 == 0,
+                             F.lit("\nUser-agent: trainbot\n"
+                                   "Disallow: /data/\n"
+                                   "Allow: /data/pub*\n"
+                                   "Crawl-delay: 2\n"))
+                       .otherwise(F.lit("")))
+                  .alias("robots_txt")))
+    return robots_screen(cand, hosts, agent="trainbot")

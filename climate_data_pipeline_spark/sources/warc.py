@@ -236,3 +236,127 @@ def warc_extract(payload_df, id_col: str = "doc_id",
             yield pd.DataFrame(rows, columns=cols)
 
     return payload_df.mapInPandas(_extract, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309) — crawl-compliance screening (round 10)
+# --------------------------------------------------------------------------
+
+def parse_robots(text: str) -> list[tuple[str, str, str]]:
+    """Parse one robots.txt body → [(agent_lowercase, rule, path)]
+    with rule ∈ {'allow', 'disallow'}: consecutive ``User-agent``
+    lines open a group that the following Allow/Disallow lines attach
+    to (RFC 9309 §2.2.1 — a rule line closes the agent run); comments
+    (#), blank lines and unknown directives (crawl-delay, sitemap)
+    are skipped; an empty Disallow value is dropped (it permits
+    everything and must not win longest-match with length 0)."""
+    rules: list[tuple[str, str, str]] = []
+    agents: list[str] = []
+    collecting = True
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not collecting:
+                agents, collecting = [], True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            collecting = False
+            if val:
+                for a in agents:
+                    rules.append((a, key, val))
+        # other directives (sitemap, crawl-delay, ...) are ignored but
+        # still close the user-agent run per the RFC's group grammar
+        elif key in ("crawl-delay", "sitemap", "host"):
+            collecting = False
+    return rules
+
+
+def robots_decision(rules: list[tuple[str, str, str]], agent: str,
+                    path: str) -> bool:
+    """RFC 9309 §2.2.2 evaluation: the group is the rules for the
+    longest user-agent token that is a prefix of ``agent`` (falling
+    back to ``*``); within the group the rule with the LONGEST
+    matching path prefix wins, Allow winning length ties; no match —
+    or no group at all — means allowed. Wildcards: ``*`` matches any
+    run, a trailing ``$`` anchors the end (the two metacharacters the
+    RFC defines)."""
+    agent = agent.lower()
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for a, rule, p in rules:
+        groups.setdefault(a, []).append((rule, p))
+    candidates = [a for a in groups
+                  if a != "*" and agent.startswith(a)]
+    if candidates:
+        chosen = groups[max(candidates, key=len)]
+    elif "*" in groups:
+        chosen = groups["*"]
+    else:
+        return True
+    best: tuple[int, int] | None = None   # (match_len, allow_pref)
+    verdict = True
+    for rule, pat in chosen:
+        m = _robots_match_len(pat, path)
+        if m is None:
+            continue
+        key = (m, 1 if rule == "allow" else 0)
+        if best is None or key > best:
+            best = key
+            verdict = rule == "allow"
+    return verdict
+
+
+def _robots_match_len(pattern: str, path: str) -> int | None:
+    """Longest-match length of an RFC 9309 pattern against ``path`` —
+    the LITERAL length of the pattern (the RFC's specificity measure)
+    if it matches as a prefix, else None. ``*`` matches any character
+    run; trailing ``$`` anchors the end of the path."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    pat = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in pat)
+    rx = "^" + rx + ("$" if anchored else "")
+    if _re.search(rx, path) is None:
+        return None
+    return len(pat.replace("*", ""))
+
+
+def robots_screen(candidates, robots, agent: str,
+                  host_col: str = "host", path_col: str = "path",
+                  robots_col: str = "robots_txt"):
+    """Screen fetch candidates against per-host robots.txt bodies:
+    broadcast-join the (host, robots_txt) table onto the candidate
+    list (robots tables are tiny next to a frontier), evaluate RFC
+    9309 longest-match per row in one Arrow ``mapInPandas`` over the
+    joined partitions (parse each host's body once per batch via a
+    memo), and return candidates + ``allowed``. A host with NO
+    robots.txt row is allowed (the RFC's unavailable-file rule)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    joined = candidates.join(F.broadcast(robots), host_col, "left")
+    cols = candidates.columns
+
+    def _screen(batches):
+        memo: dict[str, list] = {}
+        for pdf in batches:
+            out = []
+            for body in pdf[robots_col]:
+                key = body if isinstance(body, str) else ""
+                if key not in memo:
+                    memo[key] = parse_robots(key)
+                out.append(memo[key])
+            pdf = pdf.copy()
+            pdf["allowed"] = [
+                robots_decision(rules, agent, p)
+                for rules, p in zip(out, pdf[path_col])]
+            yield pdf[cols + ["allowed"]]
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in candidates.schema.fields)
+    return joined.mapInPandas(_screen, schema=schema + ", allowed boolean")

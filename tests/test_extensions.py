@@ -3324,3 +3324,67 @@ def test_canonical_url_equivalence_classes(spark):
              for r in url_dedup(df, "url", "doc_id").collect()}
     assert dedup["https://example.com/a/b?a=1&b=2"] == (1, 3)
     assert dedup["http://example.com/"] == (3, 2)
+
+
+def test_robots_rfc9309_semantics():
+    """RFC 9309 evaluation pinned directly: group selection (longest
+    matching agent token, * fallback, no-group default-allow),
+    longest-match specificity with Allow winning ties, wildcard runs,
+    $-anchoring, empty-Disallow dropping, comment/unknown-directive
+    handling, and the agent-run grammar (a rule line closes the
+    User-agent run)."""
+    from climate_data_pipeline_spark.sources.warc import (
+        parse_robots,
+        robots_decision,
+    )
+
+    body = (
+        "# header comment\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "\n"
+        "User-agent: trainbot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /t/\n"
+        "Allow: /t/data*.json$\n"
+        "Crawl-delay: 5\n"
+        "Disallow:\n"           # empty value: permits, never matches
+        "Sitemap: https://x/sitemap.xml\n"
+    )
+    rules = parse_robots(body)
+    # both agents of the shared group got both rules
+    assert ("otherbot", "disallow", "/t/") in rules
+    dec = robots_decision
+    assert dec(rules, "TrainBot", "/t/x") is False          # case-ins.
+    assert dec(rules, "trainbot", "/t/data1.json") is True  # $-anchor
+    assert dec(rules, "trainbot", "/t/data1.jsonx") is False
+    assert dec(rules, "trainbot-v2", "/t/x") is False       # prefix
+    assert dec(rules, "trainbot", "/private/x") is True     # own group
+    assert dec(rules, "randombot", "/private/x") is False   # * group
+    assert dec(rules, "randombot", "/private/okay") is True # tie→allow
+    assert dec(rules, "randombot", "/pub") is True          # no match
+    assert dec([], "anybot", "/anything") is True           # no rules
+    # a rule line closes the agent run: a later User-agent opens a NEW
+    # group rather than extending the previous one
+    two = parse_robots("User-agent: a\nDisallow: /x/\n"
+                       "User-agent: b\nDisallow: /y/\n")
+    assert dec(two, "a", "/y/z") is True
+    assert dec(two, "b", "/y/z") is False
+
+
+def test_robots_screen_missing_host_allows(spark):
+    """robots_screen: a candidate whose host has no robots row is
+    allowed (RFC unavailable-file rule); present hosts evaluate."""
+    from climate_data_pipeline_spark.sources.warc import robots_screen
+
+    cand = spark.createDataFrame(
+        [(1, "a.com", "/private/x"), (2, "a.com", "/pub"),
+         (3, "nofile.com", "/private/x")],
+        "doc_id long, host string, path string")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string")
+    got = {r.doc_id: r.allowed
+           for r in robots_screen(cand, robots, "anybot").collect()}
+    assert got == {1: False, 2: True, 3: True}
