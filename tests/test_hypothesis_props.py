@@ -662,3 +662,76 @@ def test_grib2_spaceview_roundtrip_fuzz(ni, nj, lop, rnd):
     assert np.isnan(got[~on]).all()
     assert np.isfinite(m["lat2d"][on]).all()
     assert (np.abs(m["lat2d"][on]) <= 90.0).all()
+
+
+def test_canonical_url_idempotent_and_equivalence_invariant(spark):
+    """Property fuzz for URL canonicalization: for URLs assembled from
+    random components, (1) canonicalization is IDEMPOTENT —
+    canon(canon(u)) == canon(u) — and (2) injecting any equivalence
+    transformation (uppercasing scheme/host, adding the default port,
+    a www prefix, a trailing slash, duplicate slashes, a fragment,
+    tracking parameters, or permuting the query) never changes the
+    canonical form."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from climate_data_pipeline_spark.operators.text import canonical_url
+
+    label = st.text("abcdefghij0123456789", min_size=1, max_size=6)
+
+    @st.composite
+    def urls(draw):
+        scheme = draw(st.sampled_from(["http", "https"]))
+        host = ".".join(draw(st.lists(label, min_size=2, max_size=3)))
+        segs = draw(st.lists(label, min_size=0, max_size=3))
+        path = "/" + "/".join(segs) if segs else ""
+        params = draw(st.lists(
+            st.tuples(label, label), max_size=3,
+            unique_by=lambda kv: kv[0]))
+        base = f"{scheme}://{host}{path}"
+        if params:
+            base += "?" + "&".join(f"{k}={v}" for k, v in params)
+        # equivalence injections, each optional
+        if draw(st.booleans()):
+            base = base.replace(scheme + "://",
+                                scheme.upper() + "://", 1)
+        if draw(st.booleans()):
+            port = ":80" if scheme == "http" else ":443"
+            base = base.replace(host, host + port, 1)
+        if draw(st.booleans()):
+            base = base.replace("://", "://www.", 1)
+        if draw(st.booleans()) and "?" not in base:
+            base += "/"
+        if draw(st.booleans()):
+            base += "#frag" + draw(label)
+        if draw(st.booleans()):
+            sep = "&" if "?" in base.split("#")[0] else "?"
+            pre = base.split("#")[0] + sep + "utm_source=x&fbclid=y"
+            base = pre + ("#" + base.split("#", 1)[1]
+                          if "#" in base else "")
+        plain = f"{scheme}://{host}{path or ''}"
+        if params:
+            plain += "?" + "&".join(
+                f"{k}={v}" for k, v in sorted(params))
+        return base, plain
+
+    @settings(max_examples=30, deadline=None)
+    @given(pairs=st.lists(urls(), min_size=1, max_size=8))
+    def prop(pairs):
+        df = spark.createDataFrame(
+            [(i, b, p) for i, (b, p) in enumerate(pairs)],
+            "i long, messy string, plain string")
+        rows = df.select(
+            canonical_url("messy").alias("c1"),
+            canonical_url("plain").alias("cp")).collect()
+        for r in rows:
+            # the messy and plain variants canonicalize identically
+            assert r.c1 == r.cp, (r.c1, r.cp)
+        # idempotence: canonicalizing the canonical form is a no-op
+        again = df.select(canonical_url("messy").alias("c"))
+        re_rows = again.select(
+            "c", canonical_url("c").alias("c2")).collect()
+        for r in re_rows:
+            assert r.c == r.c2, (r.c, r.c2)
+
+    prop()
