@@ -99,6 +99,7 @@ HEADLINE = [
     "stream_rollup_parity",   # Structured Streaming tumbling rollup
     "text_url_canonicalize",  # crawl-frontier URL dedup, pure JVM regex
     "crawl_robots_screen",    # RFC 9309 robots.txt compliance screen
+    "crawl_sitemap_extract",  # sitemaps.org XML frontier discovery
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

@@ -1565,3 +1565,107 @@ def crawl_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(F.lit("")))
                   .alias("robots_txt")))
     return robots_screen(cand, hosts, agent="trainbot")
+
+
+@query("crawl_sitemap_extract", oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 20 AS h,
+         CASE WHEN doc_id % 11 = 0 THEN 1 ELSE doc_id % 4 END AS kmax,
+         doc_id % 11 = 0 AS is_index
+  FROM documents
+),
+e AS (
+  SELECT d.doc_id, d.h, d.is_index, t.k
+  FROM d CROSS JOIN generate_series(0, 3) AS t(k)
+  WHERE t.k <= d.kmax
+)
+SELECT doc_id,
+       CASE WHEN is_index THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+       CASE WHEN is_index
+            THEN 'https://h' || CAST(h AS VARCHAR)
+                 || '.example.com/sitemap' || CAST(k AS VARCHAR)
+                 || '.xml'
+            ELSE 'https://h' || CAST(h AS VARCHAR)
+                 || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+                 || '/' || CAST(k AS VARCHAR)
+       END AS loc,
+       CASE WHEN is_index
+            THEN '2024-03-0' || CAST(k + 1 AS VARCHAR)
+            WHEN k % 2 = 0
+            THEN '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR),
+                                 2, '0')
+                 || '-' || lpad(CAST(k + 1 AS VARCHAR), 2, '0')
+       END AS lastmod,
+       CASE WHEN NOT is_index AND k % 3 = 0 THEN 'daily'
+            WHEN NOT is_index AND k % 3 = 1 THEN 'weekly'
+       END AS changefreq,
+       CASE WHEN NOT is_index AND k % 3 <> 2
+            THEN CAST('0.' || CAST((k + 1) * 2 AS VARCHAR) AS DOUBLE)
+       END AS priority
+FROM e
+""")
+def crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingest (sitemaps.org 0.9) — the crawl-frontier
+    DISCOVERY step ahead of URL dedup and the robots screen: documents
+    render into REAL sitemap XML (namespaced ``<urlset>`` documents
+    with per-entry optional lastmod/changefreq/priority; every 11th
+    doc a ``<sitemapindex>``), and `sources/warc.sitemap_extract`
+    parses them back with a real XML parser in one Arrow kernel. The
+    oracle re-derives every entry from the construction arithmetic —
+    priorities are string-built on both sides ('0.2', '0.4', …) so the
+    doubles compare bit-exactly — and a dropped optional field, a
+    namespace slip or an entry-count error shifts the hash."""
+    from ..sources.warc import sitemap_extract
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", (F.col("doc_id") % 20).alias("h"),
+        F.when(F.col("doc_id") % 11 == 0, 1)
+         .otherwise(F.col("doc_id") % 4).alias("kmax"),
+        (F.col("doc_id") % 11 == 0).alias("is_index"))
+    ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    url_entry = F.concat(
+        F.lit("<url><loc>https://h"), F.col("h").cast("string"),
+        F.lit(".example.com/page/"), F.col("doc_id").cast("string"),
+        F.lit("/"), F.col("k").cast("string"), F.lit("</loc>"),
+        F.when(F.col("k") % 2 == 0, F.concat(
+            F.lit("<lastmod>2024-"),
+            F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("k") + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.when(F.col("k") % 3 == 0, F.lit(
+            "<changefreq>daily</changefreq>"))
+         .when(F.col("k") % 3 == 1, F.lit(
+             "<changefreq>weekly</changefreq>"))
+         .otherwise(F.lit("")),
+        F.when(F.col("k") % 3 != 2, F.concat(
+            F.lit("<priority>0."),
+            ((F.col("k") + 1) * 2).cast("string"),
+            F.lit("</priority>"))).otherwise(F.lit("")),
+        F.lit("</url>"))
+    idx_entry = F.concat(
+        F.lit("<sitemap><loc>https://h"), F.col("h").cast("string"),
+        F.lit(".example.com/sitemap"), F.col("k").cast("string"),
+        F.lit(".xml</loc><lastmod>2024-03-0"),
+        (F.col("k") + 1).cast("string"),
+        F.lit("</lastmod></sitemap>"))
+    entries = (d.withColumn("k", F.explode(F.sequence(
+                   F.lit(0), F.col("kmax"))))
+                .withColumn("entry", F.when(F.col("is_index"),
+                                            idx_entry)
+                                      .otherwise(url_entry))
+                .groupBy("doc_id", "is_index")
+                .agg(F.concat_ws("", F.collect_list("entry"))
+                      .alias("body")))
+    xml = entries.select(
+        "doc_id",
+        F.when(F.col("is_index"),
+               F.concat(F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                              "<sitemapindex" + ns + ">"),
+                        F.col("body"), F.lit("</sitemapindex>")))
+         .otherwise(
+               F.concat(F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                              "<urlset" + ns + ">"),
+                        F.col("body"), F.lit("</urlset>")))
+         .alias("sitemap_xml"))
+    return sitemap_extract(xml, "sitemap_xml", "doc_id")

@@ -360,3 +360,74 @@ def robots_screen(candidates, robots, agent: str,
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in candidates.schema.fields)
     return joined.mapInPandas(_screen, schema=schema + ", allowed boolean")
+
+
+# --------------------------------------------------------------------------
+# sitemaps (sitemaps.org 0.9) — crawl-frontier discovery (round 10)
+# --------------------------------------------------------------------------
+
+def parse_sitemap(xml_text: str) -> list[dict]:
+    """Parse one sitemap document (sitemaps.org 0.9 schema) → entry
+    dicts. Handles BOTH document kinds: ``<urlset>`` (url → loc,
+    optional lastmod/changefreq/priority) and ``<sitemapindex>``
+    (sitemap → loc, optional lastmod). Namespaces are stripped (the
+    protocol pins one namespace; real-world files omit or alias it),
+    entries without a ``<loc>`` are skipped per the spec's required
+    field, and a malformed document raises ValueError loudly."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed sitemap XML: {exc}") from exc
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap document (root <{kind}>)")
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    out: list[dict] = []
+    for node in root:
+        if local(node.tag) != child_tag:
+            continue
+        fields = {local(c.tag): (c.text or "").strip() for c in node}
+        if not fields.get("loc"):
+            continue
+        out.append({
+            "kind": kind, "loc": fields["loc"],
+            "lastmod": fields.get("lastmod"),
+            "changefreq": fields.get("changefreq"),
+            "priority": float(fields["priority"])
+            if fields.get("priority") else None,
+        })
+    return out
+
+
+def sitemap_extract(df, xml_col: str, id_col: str):
+    """Explode sitemap documents into one row per entry (Arrow
+    ``mapInPandas``; the XML never shuffles) →
+    (id, kind, loc, lastmod, changefreq, priority)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = {"sid": [], "kind": [], "loc": [], "lastmod": [],
+                    "changefreq": [], "priority": []}
+            for sid, xml in zip(pdf[id_col].astype("int64"),
+                                pdf[xml_col]):
+                for e in parse_sitemap(xml):
+                    rows["sid"].append(int(sid))
+                    for k in ("kind", "loc", "lastmod", "changefreq",
+                              "priority"):
+                        rows[k].append(e[k])
+            yield pd.DataFrame(rows)
+
+    return (df.select(F.col(id_col), F.col(xml_col))
+              .mapInPandas(_extract,
+                           schema=("sid long, kind string, loc string, "
+                                   "lastmod string, changefreq string, "
+                                   "priority double"))
+              .withColumnRenamed("sid", id_col))

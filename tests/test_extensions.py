@@ -3388,3 +3388,35 @@ def test_robots_screen_missing_host_allows(spark):
     got = {r.doc_id: r.allowed
            for r in robots_screen(cand, robots, "anybot").collect()}
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_sitemap_parse_edge_cases():
+    """sitemaps.org parsing: namespaced and bare documents, optional
+    fields, loc-less entries skipped, sitemapindex kind, malformed XML
+    and non-sitemap roots loud."""
+    import pytest as _pt
+
+    from climate_data_pipeline_spark.sources.warc import parse_sitemap
+
+    ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    doc = (f'<?xml version="1.0"?><urlset{ns}>'
+           "<url><loc>https://e.com/a</loc><lastmod>2024-01-02"
+           "</lastmod><changefreq>daily</changefreq>"
+           "<priority>0.8</priority></url>"
+           "<url><loc> https://e.com/b </loc></url>"
+           "<url><lastmod>2024-01-01</lastmod></url>"
+           "</urlset>")
+    got = parse_sitemap(doc)
+    assert len(got) == 2                      # loc-less entry skipped
+    assert got[0] == {"kind": "urlset", "loc": "https://e.com/a",
+                      "lastmod": "2024-01-02", "changefreq": "daily",
+                      "priority": 0.8}
+    assert got[1]["loc"] == "https://e.com/b"   # whitespace trimmed
+    assert got[1]["priority"] is None
+    idx = ("<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc>"
+           "</sitemap></sitemapindex>")
+    assert parse_sitemap(idx)[0]["kind"] == "sitemapindex"
+    with _pt.raises(ValueError, match="not a sitemap"):
+        parse_sitemap("<html></html>")
+    with _pt.raises(ValueError, match="malformed"):
+        parse_sitemap("<urlset><url>")
