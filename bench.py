@@ -100,6 +100,7 @@ HEADLINE = [
     "text_url_canonicalize",  # crawl-frontier URL dedup, pure JVM regex
     "crawl_robots_screen",    # RFC 9309 robots.txt compliance screen
     "crawl_sitemap_extract",  # sitemaps.org XML frontier discovery
+    "crawl_main_content",     # link-density boilerplate cut, pure HOFs
 ]
 
 # Multi-job / clustering-family queries benched in their own section so

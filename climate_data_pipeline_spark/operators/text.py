@@ -1349,3 +1349,53 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
               .groupBy("canon_url")
               .agg(F.min(id_col).alias("keep_" + id_col),
                    F.count("*").cast("long").alias("n_fetches")))
+
+
+# --------------------------------------------------------------------------
+# main-content extraction (round 10) — link-density boilerplate removal
+# --------------------------------------------------------------------------
+
+_BLOCK_RX = (r"(?i)</?(?:div|p|li|ul|ol|nav|footer|header|aside|table"
+             r"|tr|td|h[1-6]|section|article|br)[^>]*>")
+_ANCHOR_RX = r"(?is)<a[^>]*>(.*?)</a>"
+
+
+def _html_text(c: Column) -> Column:
+    """Strip tags, unescape the three escaped entities (&lt;/&gt;
+    BEFORE &amp; so a literal '&lt;' in the source text survives the
+    round trip), collapse whitespace."""
+    t = F.regexp_replace(c, "<[^>]*>", " ")
+    t = F.regexp_replace(t, "&lt;", "<")
+    t = F.regexp_replace(t, "&gt;", ">")
+    t = F.regexp_replace(t, "&amp;", "&")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def main_content(html_col, min_chars: int = 25,
+                 link_density_denom: int = 3) -> Column:
+    """Boilerplate removal by LINK DENSITY (the boilerpipe/jusText
+    family's core signal, public) with pure JVM-side higher-order
+    functions — no UDF: split the page into blocks at block-level tag
+    boundaries, measure each block's visible text and its
+    anchor-enclosed text, and keep blocks that are long enough
+    (``min_chars``) and link-sparse (link chars ≤ text chars /
+    ``link_density_denom`` — an integer ratio, so the filter is exact
+    arithmetic). Returns a struct (n_blocks, n_kept, main_text):
+    navs, footers, sidebars and link farms drop; running text stays.
+    Mirrored step-for-step by the ``crawl_main_content`` oracle."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    blocks = F.split(c, _BLOCK_RX)
+    cleaned = F.transform(blocks, lambda b: F.struct(
+        _html_text(b).alias("text"),
+        F.length(_html_text(F.concat_ws(" ", F.regexp_extract_all(
+            b, F.lit(_ANCHOR_RX), F.lit(1))))).alias("link_chars")))
+    nonempty = F.filter(cleaned, lambda x: x["text"] != "")
+    kept = F.filter(nonempty, lambda x:
+                    (F.length(x["text"]) >= min_chars)
+                    & (x["link_chars"] * link_density_denom
+                       <= F.length(x["text"])))
+    return F.struct(
+        F.size(nonempty).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(F.transform(kept, lambda x: x["text"]), " ")
+         .alias("main_text"))

@@ -1910,3 +1910,65 @@ def url_canonicalize_documents(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     with_url = docs.withColumn("url", F.expr(_URL_SYNTH_SPARK.strip()))
     return url_dedup(with_url, "url", "doc_id")
+
+
+# --- main-content extraction (round 10): link-density boilerplate cut --
+
+@query("crawl_main_content", oracle="""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+),
+ct AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g'),
+              ' ') AS body
+  FROM t
+),
+parts AS (
+  SELECT doc_id, body,
+         'Doc ' || CAST(doc_id AS VARCHAR)
+           || ' main heading for this page' AS h1
+  FROM ct
+)
+SELECT doc_id,
+       -- visible blocks: nav, h1, article text (when non-empty),
+       -- aside, footer
+       CAST(CASE WHEN body = '' THEN 4 ELSE 5 END AS BIGINT)
+         AS n_blocks,
+       CAST(CASE WHEN length(body) >= 25 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_kept,
+       CASE WHEN length(body) >= 25 THEN h1 || ' ' || body
+            ELSE h1 END AS main_text
+FROM parts
+""")
+def crawl_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction end to end: documents render into full
+    pages — a link-farm ``<nav>``, an ``<h1>`` heading, the article
+    text in ``<p>`` (entity-escaped), an ``<aside>`` ad block and a
+    link-only ``<footer>`` — and `operators/text.main_content`
+    recovers exactly the heading + article by link-density filtering,
+    entirely in JVM higher-order functions (split → per-block
+    transform with nested regexp_extract_all → filter → join; ZERO
+    UDFs, one narrow projection). The oracle re-derives block counts
+    and the exact main text from the construction; a broken entity
+    round trip, a wrong density ratio, or a block-boundary slip
+    shifts every hash."""
+    from ..operators.text import main_content
+    docs = load_table(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                             "&", "&amp;"),
+            "<", "&lt;"), ">", "&gt;")
+    html = F.concat(
+        F.lit('<body><nav><a href="/">Home</a> <a href="/a">About'
+              '</a> <a href="/c">Contact</a></nav><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(" main heading for this page</h1><p>"), esc,
+        F.lit('</p><aside><a href="/ad">sponsored thing</a></aside>'
+              "<footer><a>Privacy</a> <a>Terms</a> · 2024</footer>"
+              "</body>"))
+    out = docs.select(
+        "doc_id", main_content(html).alias("mc"))
+    return out.select("doc_id", "mc.n_blocks", "mc.n_kept",
+                      "mc.main_text")

@@ -79,7 +79,7 @@ DRIVER_ROTATION = [
     "dedup_keep_best", "s_grib2_lambert_ingest",
     "stream_rollup_parity", "mm_decode_mp3", "s_hdf5_scaleoffset_f",
     "text_url_canonicalize", "crawl_robots_screen",
-    "crawl_sitemap_extract",
+    "crawl_sitemap_extract", "crawl_main_content",
     # never driver-sampled through r09 (VERDICT r9 ask #1): the
     # SURVEY §2 operator heart — temporal aggregations, trends,
     # climate indices, resampling — plus the core dedup/text/sim

@@ -3420,3 +3420,33 @@ def test_sitemap_parse_edge_cases():
         parse_sitemap("<html></html>")
     with _pt.raises(ValueError, match="malformed"):
         parse_sitemap("<urlset><url>")
+
+
+def test_main_content_link_density(spark):
+    """main_content: link farms (nav/footer), short blocks and
+    link-heavy asides drop; running text and headings stay; escaped
+    entities round-trip (&lt; before &amp; so a literal '&lt;' in the
+    source survives); the density ratio is exact integer arithmetic."""
+    from climate_data_pipeline_spark.operators.text import main_content
+
+    html = ('<body><nav><a>One</a> <a>Two</a> <a>Three</a></nav>'
+            '<h1>A heading long enough to pass the bar</h1>'
+            '<p>Running text with a literal &amp;lt; marker and an '
+            '&amp; ampersand, plus <a href="u">a link</a> inside.</p>'
+            '<p>short</p>'
+            '<footer><a>Privacy</a> <a>Terms</a></footer></body>')
+    r = (spark.createDataFrame([(1, html)], "i long, html string")
+              .select(main_content("html").alias("mc"))
+              .select("mc.*").first())
+    assert r.n_blocks == 5
+    assert r.n_kept == 2
+    assert r.main_text == ("A heading long enough to pass the bar "
+                           "Running text with a literal &lt; marker "
+                           "and an & ampersand, plus a link inside.")
+    # a block that is MOSTLY one long link still drops at any length
+    linky = ('<body><p><a href="u">' + "x" * 100 + '</a> tail</p>'
+             '<p>' + "y " * 30 + '</p></body>')
+    r2 = (spark.createDataFrame([(1, linky)], "i long, html string")
+               .select(main_content("html").alias("mc"))
+               .select("mc.*").first())
+    assert r2.n_kept == 1 and r2.main_text.startswith("y y")
