@@ -67,7 +67,7 @@ HEADLINE = [
     "text_gopher_rules",      # 7-rule integer-arithmetic filter, shuffle-free
     "dsir_importance_weights", # hashed-bigram likelihood ratios, 2 scans
     "text_winnow_fingerprints", # rolling-hash winnowing, 1 window shuffle
-    "text_duplicate_spans",   # exact dup-substring spans, 1 md5 shuffle
+    "text_duplicate_spans",   # exact dup-substring spans, 1 gram shuffle
     "mm_image_resize",        # PNG decode + area pool, Arrow kernel
     "mm_decode_jpeg",         # baseline JPEG Huffman/DCT round trip
     "mm_video_frames",        # MJPEG AVI walk + sampled-frame decode

@@ -1021,8 +1021,13 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
 
     Spark-first shape (a distributed suffix array is the wrong tool on
     an engine with shuffles): positions explode MAP-SIDE (×len, no
-    key), each gram keys on ``md5(substring)`` — uniform across
-    DISTINCT grams. Duplicated-position flagging has two shapes:
+    key), each gram keys on the RAW ``min_len``-char substring — the
+    grouping is identical to the former ``md5(substring)`` key (both
+    are injective over distinct grams) but skips one md5 per character
+    of corpus and shuffles 20-byte grams instead of 32-byte hex
+    digests (r11, guide §2.3 "shuffle fewer bytes"). Hash partitioning
+    over distinct grams stays uniform. Duplicated-position flagging
+    has two shapes:
 
     - ``combinable=True`` (default, the 100 TB path): pre-aggregate
       ``groupBy(__h).count()`` — a COMBINABLE aggregate, so a viral
@@ -1049,8 +1054,8 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                            F.length("__norm") - (min_len - 1)))
                        .alias("__p"))
                .select(id_col, "__p",
-                       F.md5(F.expr(
-                           f"substring(__norm, __p, {int(min_len)})"))
+                       F.expr(
+                           f"substring(__norm, __p, {int(min_len)})")
                        .alias("__h")))
     if combinable:
         dup_hashes = (grams.groupBy("__h")

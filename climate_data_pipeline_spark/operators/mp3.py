@@ -84,32 +84,92 @@ _CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
 _CS = 1.0 / np.sqrt(1.0 + _CI * _CI)
 _CA = _CI * _CS
 
+# --- deterministic trig (r11) ------------------------------------------
+# Every trig constant in the chain is cos/sin of a RATIONAL multiple of
+# pi. libm's cos/sin round differently across glibc builds, and a 1-ulp
+# table shift propagates through IMDCT + overlap-add into the decoded
+# samples — which broke the frozen _MP3_GOLD oracle constants when the
+# sandbox host changed between rounds. These evaluate sin(pi*num/den)
+# with EXACT integer quadrant folding + a fixed-order Taylor polynomial
+# on [0, pi/4]: nothing but IEEE +,-,*,/ (each exactly rounded), so the
+# tables are bit-identical on every host, forever.
+
+_PI = 3.141592653589793  # float64 nearest to pi (0x1.921fb54442d18p+1)
+
+
+def _tsin(x: float) -> float:
+    """Taylor sin on [0, pi/4], fixed evaluation order."""
+    x2 = x * x
+    acc = 1.0
+    for k in range(10, 0, -1):
+        acc = 1.0 - acc * x2 / ((2 * k) * (2 * k + 1))
+    return x * acc
+
+
+def _tcos(x: float) -> float:
+    """Taylor cos on [0, pi/4], fixed evaluation order."""
+    x2 = x * x
+    acc = 1.0
+    for k in range(10, 0, -1):
+        acc = 1.0 - acc * x2 / ((2 * k - 1) * (2 * k))
+    return acc
+
+
+def _sinpi(num: int, den: int) -> float:
+    """sin(pi*num/den) — quadrant folding in exact integers, then
+    Taylor on an argument <= pi/4 (full relative accuracy, no
+    cancellation; den-2*num folding covers the cos branch)."""
+    num %= 2 * den
+    sign = 1.0
+    if num >= den:
+        num -= den
+        sign = -1.0
+    if 2 * num > den:
+        num = den - num
+    if 4 * num <= den:
+        return sign * _tsin((_PI * num) / den)
+    return sign * _tcos((_PI * (den - 2 * num)) / (2 * den))
+
+
+def _cospi(num: int, den: int) -> float:
+    """cos(pi*num/den) = sin(pi/2 - pi*num/den), exact in integers."""
+    return _sinpi(den - 2 * num, 2 * den)
+
+
 # IMDCT cosine matrices (formula-defined): 36-point for long blocks,
 # 12-point for each short window
-_I36 = np.arange(36)[:, None]
-_K18 = np.arange(18)[None, :]
-_COS36 = np.cos(np.pi / 72.0 * (2 * _I36 + 1 + 18) * (2 * _K18 + 1))
-_I12 = np.arange(12)[:, None]
-_K6 = np.arange(6)[None, :]
-_COS12 = np.cos(np.pi / 24.0 * (2 * _I12 + 1 + 6) * (2 * _K6 + 1))
-_W12 = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+_COS36 = np.array([[_cospi((2 * i + 19) * (2 * k + 1), 72)
+                    for k in range(18)] for i in range(36)])
+_COS12 = np.array([[_cospi((2 * i + 7) * (2 * k + 1), 24)
+                    for k in range(6)] for i in range(12)])
+_W12 = np.array([_sinpi(2 * j + 1, 24) for j in range(12)])
+
+
+# intensity-stereo L/R factors per is_pos 0..6: with ratio =
+# tan(is_pos*pi/12), L gets ratio/(1+ratio) = sin/(sin+cos) and R gets
+# 1/(1+ratio) = cos/(sin+cos) — the sin/cos form is algebraically
+# identical, deterministic, and exact at is_pos=6 (tan undefined:
+# everything panned left, which the huge-finite libm tan only
+# approximated to within ~6e-17)
+_IS_LR = [(_sinpi(p, 12) / (_sinpi(p, 12) + _cospi(p, 12)),
+           _cospi(p, 12) / (_sinpi(p, 12) + _cospi(p, 12)))
+          for p in range(7)]
 
 
 def _win36(block_type: int) -> np.ndarray:
-    i = np.arange(36)
-    w = np.sin(np.pi / 36.0 * (i + 0.5))
+    w = np.array([_sinpi(2 * i + 1, 72) for i in range(36)])
     if block_type == 0:
         return w
     if block_type == 1:                   # start window
         out = w.copy()
         out[18:24] = 1.0
-        out[24:30] = np.sin(np.pi / 12.0 * (i[24:30] - 18 + 0.5))
+        out[24:30] = [_sinpi(2 * (i - 18) + 1, 24) for i in range(24, 30)]
         out[30:] = 0.0
         return out
     if block_type == 3:                   # stop window
         out = w.copy()
         out[:6] = 0.0
-        out[6:12] = np.sin(np.pi / 12.0 * (i[6:12] - 6 + 0.5))
+        out[6:12] = [_sinpi(2 * (i - 6) + 1, 24) for i in range(6, 12)]
         out[12:18] = 1.0
         return out
     raise ValueError(f"long-window block type {block_type}")
@@ -452,7 +512,17 @@ def _intensity_process(xrs, ixs, sfs, g_pair, ms: bool, rate: int):
     when the MS flag rides along, else pass through). Below the bound
     plain stereo/MS applies. Long blocks only — intensity with short
     windows multiplies the bound bookkeeping per window and stays a
-    named seam."""
+    named seam.
+
+    DOCUMENTED DEVIATION (ADVICE r10): the bound derives from the right
+    channel's last nonzero DECODED line, not the spec's zero_part
+    boundary (the end of the big_values+count1 coded region). For this
+    decoder's support matrix the two coincide except when the right
+    channel's count1 region ends in all-zero quads — such externally
+    encoded streams would get lower bands intensity-processed than a
+    reference decoder. Self-consistent with every fixture/golden; a
+    zero_part-exact bound is deferred until big-values decode exists
+    (the seam that actually gates external streams)."""
     import bisect
 
     for g in g_pair:
@@ -477,9 +547,9 @@ def _intensity_process(xrs, ixs, sfs, g_pair, ms: bool, rate: int):
                 L[lo:hi] = (m[lo:hi] + sd[lo:hi]) * inv
                 R[lo:hi] = (m[lo:hi] - sd[lo:hi]) * inv
             continue
-        ratio = np.tan(is_pos * np.pi / 12.0)
-        L[lo:hi] = m[lo:hi] * (ratio / (1.0 + ratio))
-        R[lo:hi] = m[lo:hi] * (1.0 / (1.0 + ratio))
+        lf, rf = _IS_LR[is_pos]
+        L[lo:hi] = m[lo:hi] * lf
+        R[lo:hi] = m[lo:hi] * rf
     return [L, R]
 
 
@@ -685,7 +755,10 @@ def encode_mp3_count1(lines: list[tuple[int, int]], n_frames: int = 2,
     main_bytes = main.bytes_padded()
 
     frame_len = 144 * br_kbps * 1000 // sr
-    need = 4 + len(side) + len(main_bytes)
+    # include the 2 CRC bytes when protected (r11, ADVICE fix: a
+    # near-full protected frame used to pass the check yet overflow
+    # frame_len, shifting the next frame's sync by 2 bytes)
+    need = 4 + (2 if protected else 0) + len(side) + len(main_bytes)
     if need > frame_len:
         raise ValueError(f"content ({need}B) exceeds the frame "
                          f"({frame_len}B) — raise bitrate_idx")

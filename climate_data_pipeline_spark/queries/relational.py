@@ -1518,8 +1518,11 @@ def crawl_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives every verdict from the CONSTRUCTION arithmetic, so a
     wrong group choice, specificity measure, tie-break, wildcard
     handling or missing-file default flips rows."""
+    from ..operators.text import _spread
     from ..sources.warc import robots_screen
-    docs = load_table(spark, sf_dir, "documents")
+    # _spread (r11): the single-task documents scan would serialize the
+    # candidate construction AND the Arrow robots kernel on one core
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     c = docs.select(
         "doc_id",
         (F.col("doc_id") % 20).alias("h"),
@@ -1615,8 +1618,11 @@ def crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     priorities are string-built on both sides ('0.2', '0.4', …) so the
     doubles compare bit-exactly — and a dropped optional field, a
     namespace slip or an entry-count error shifts the hash."""
+    from ..operators.text import _spread
     from ..sources.warc import sitemap_extract
-    docs = load_table(spark, sf_dir, "documents")
+    # _spread (r11): rebalance the single-task scan ahead of the XML
+    # synthesis + Arrow parse kernel (both CPU-bound, zero-shuffle)
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id", (F.col("doc_id") % 20).alias("h"),
         F.when(F.col("doc_id") % 11 == 0, 1)

@@ -1931,14 +1931,20 @@ def semantic_clusters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the subband-boundary alias pair, MS stereo, short blocks, 32 kHz,
 # dense alternating signs.
 _MP3_GOLD = [
-    # (rms, peak, sample_rate, channels, n_sub_samples)
+    # (rms, peak, sample_rate, channels, n_sub_samples) — refrozen r11
+    # after the decoder's trig tables became host-independent
+    # (operators/mp3.py `_sinpi`/`_cospi`: exact integer quadrant
+    # folding + fixed-order Taylor, pure IEEE arithmetic). The r10
+    # goldens were frozen from libm-built tables and broke by 1 ulp
+    # when the sandbox host's glibc changed; these constants are now
+    # reproducible on any host.
     (0.0, 0.0, 44100, 1, 2304),
-    (0.11147599487907975, 0.7071067811865478, 44100, 1, 2304),
-    (0.1585772075879051, 0.9701425001453325, 44100, 1, 2304),
-    (0.08221442393994807, 0.7044160264027589, 44100, 2, 4608),
-    (0.0686348574640588, 0.9159756150367541, 44100, 1, 2304),
-    (0.11739163693953893, 0.9980973490458728, 32000, 1, 2304),
-    (0.49814124407437527, 7.216363513223049, 44100, 1, 2304),
+    (0.11147599487907975, 0.7071067811865476, 44100, 1, 2304),
+    (0.15857720758790517, 0.9701425001453323, 44100, 1, 2304),
+    (0.08221442393994803, 0.7044160264027586, 44100, 2, 4608),
+    (0.06863485746405877, 0.9159756150367534, 44100, 1, 2304),
+    (0.11739163693953904, 0.9980973490458729, 32000, 1, 2304),
+    (0.4981412440743758, 7.21636351322307, 44100, 1, 2304),
 ]
 
 

@@ -1906,8 +1906,11 @@ def url_canonicalize_documents(spark: SparkSession,
     regex, an unsorted parameter list, or a dropped equivalence class
     shifts the hash. At 100 TB this key dedups the crawl FRONTIER —
     duplicate fetches are dropped before any payload is hashed."""
-    from ..operators.text import url_dedup
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import _spread, url_dedup
+    # _spread (r11): the compacted documents parquet scans as ONE task,
+    # serializing the whole JVM regex pipeline on a single core — the
+    # shuffle moves only raw rows and is a no-op at real scan widths
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     with_url = docs.withColumn("url", F.expr(_URL_SYNTH_SPARK.strip()))
     return url_dedup(with_url, "url", "doc_id")
 
@@ -1953,8 +1956,11 @@ def crawl_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the exact main text from the construction; a broken entity
     round trip, a wrong density ratio, or a block-boundary slip
     shifts every hash."""
-    from ..operators.text import main_content
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text import _spread, main_content
+    # _spread (r11): single-row-group scan = one task; the per-block
+    # regexp/HOF pipeline below is the heaviest pure-JVM compute in the
+    # suite and parallelizes linearly once the scan is rebalanced
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     esc = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),

@@ -259,24 +259,29 @@ class TagTree:
         while lw > 1 or lh > 1:
             lw, lh = (lw + 1) // 2, (lh + 1) // 2
             self.dims.append((lw, lh))
-        self.value = [np.full((dh, dw), _TT_UNKNOWN, np.int64)
+        # plain nested lists (r11): the grids are tiny (≤ a few dozen
+        # codeblocks) and every access is a scalar read/write — numpy
+        # scalar indexing was pure overhead here
+        self.value = [[[_TT_UNKNOWN] * dw for _ in range(dh)]
                       for dw, dh in self.dims]
-        self.low = [np.zeros((dh, dw), np.int64) for dw, dh in self.dims]
-        self.known = [np.zeros((dh, dw), bool) for dw, dh in self.dims]
+        self.low = [[[0] * dw for _ in range(dh)] for dw, dh in self.dims]
+        self.known = [[[False] * dw for _ in range(dh)]
+                      for dw, dh in self.dims]
 
     def set(self, x: int, y: int, v: int) -> None:
-        self.value[0][y, x] = v
+        self.value[0][y][x] = v
 
     def finalize(self) -> None:
         """Encoder side: ancestor value = min over its leaves."""
         for k in range(1, len(self.dims)):
             prev = self.value[k - 1]
             dw, dh = self.dims[k]
-            cur = np.full((dh, dw), _TT_UNKNOWN, np.int64)
-            for yy in range(prev.shape[0]):
-                for xx in range(prev.shape[1]):
-                    q = min(cur[yy // 2, xx // 2], prev[yy, xx])
-                    cur[yy // 2, xx // 2] = q
+            cur = [[_TT_UNKNOWN] * dw for _ in range(dh)]
+            for yy, row in enumerate(prev):
+                crow = cur[yy // 2]
+                for xx, v in enumerate(row):
+                    if v < crow[xx // 2]:
+                        crow[xx // 2] = v
             self.value[k] = cur
 
     def _path(self, x: int, y: int):
@@ -286,38 +291,42 @@ class TagTree:
     def encode(self, bw, x: int, y: int, threshold: int) -> None:
         low = 0
         for k, xx, yy in self._path(x, y):
-            if low > self.low[k][yy, xx]:
-                self.low[k][yy, xx] = low
+            lrow = self.low[k][yy]
+            if low > lrow[xx]:
+                lrow[xx] = low
             else:
-                low = int(self.low[k][yy, xx])
-            v = int(self.value[k][yy, xx])
+                low = lrow[xx]
+            v = self.value[k][yy][xx]
             while low < threshold:
                 if low >= v:
-                    if not self.known[k][yy, xx]:
+                    krow = self.known[k][yy]
+                    if not krow[xx]:
                         bw.put_bit(1)
-                        self.known[k][yy, xx] = True
+                        krow[xx] = True
                     break
                 bw.put_bit(0)
                 low += 1
-            self.low[k][yy, xx] = low
+            lrow[xx] = low
 
     def decode(self, br, x: int, y: int, threshold: int) -> bool:
         """Advance leaf (x, y)'s knowledge to ``threshold``; returns
         True when the leaf value is known to be < threshold (its
-        resolved value is then in ``value[0][y, x]``)."""
+        resolved value is then in ``value[0][y][x]``)."""
         low = 0
         for k, xx, yy in self._path(x, y):
-            if low > self.low[k][yy, xx]:
-                self.low[k][yy, xx] = low
+            lrow = self.low[k][yy]
+            if low > lrow[xx]:
+                lrow[xx] = low
             else:
-                low = int(self.low[k][yy, xx])
-            while low < threshold and low < self.value[k][yy, xx]:
+                low = lrow[xx]
+            vrow = self.value[k][yy]
+            while low < threshold and low < vrow[xx]:
                 if br.get_bit():
-                    self.value[k][yy, xx] = low
+                    vrow[xx] = low
                 else:
                     low += 1
-            self.low[k][yy, xx] = low
-        return bool(self.value[0][y, x] < threshold)
+            lrow[xx] = low
+        return self.value[0][y][x] < threshold
 
 
 # ---------------------------------------------------------------------------
@@ -402,92 +411,84 @@ class _HdrReader:
 # reversible 5/3 DWT (Annex F)
 # ---------------------------------------------------------------------------
 
-def _sr_1d(low: np.ndarray, high: np.ndarray) -> np.ndarray:
-    """1-D synthesis (inverse 5/3) of a signal starting at index 0:
-    low at even positions (ceil(n/2) samples), high at odd."""
-    n = low.size + high.size
-    x = np.empty(n, np.int64)
-    x[0::2] = low
-    x[1::2] = high
-    if n == 1:
-        return x
-    # even (update) lifting undo: X[2n] -= floor((H[n-1]+H[n]+2)/4)
-    ev = x[0::2]
-    h = x[1::2]
-    left = np.empty(ev.size, np.int64)
-    right = np.empty(ev.size, np.int64)
-    left[0] = h[0]                               # symmetric extension
-    left[1:] = h[:ev.size - 1]
-    if ev.size <= h.size:
-        right[:] = h[:ev.size]
-    else:
-        right[:h.size] = h
-        right[h.size:] = h[h.size - 1]
-    ev -= (left + right + 2) >> 2
-    # odd (predict) lifting undo: X[2n+1] += floor((E[n]+E[n+1])/2)
-    lefte = ev[:h.size]
-    righte = np.empty(h.size, np.int64)
-    if h.size < ev.size:
-        righte[:] = ev[1:1 + h.size]
-    else:
-        righte[:ev.size - 1] = ev[1:]
-        righte[ev.size - 1:] = ev[ev.size - 1]
-    h += (lefte + righte) >> 1
-    return x
+def _axslice(a: np.ndarray, s: slice, axis: int) -> np.ndarray:
+    return a[s] if axis == 0 else a[:, s]
 
 
-def _sd_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """1-D analysis (forward 5/3): → (low, high)."""
-    n = x.size
+def _sd_2d(x: np.ndarray, axis: int) -> tuple[np.ndarray, np.ndarray]:
+    """2-D analysis (forward 5/3) along ``axis`` — every row/column
+    lifted at once (identical integer arithmetic to the per-lane 1-D
+    form, minus the Python-level lane loop)."""
+    n = x.shape[axis]
+    if axis == 0:
+        ev = x[0::2].astype(np.int64)
+        od = x[1::2].astype(np.int64)
+    else:
+        ev = x[:, 0::2].astype(np.int64)
+        od = x[:, 1::2].astype(np.int64)
     if n == 1:
-        return x.copy(), np.zeros(0, np.int64)
-    ev = x[0::2].astype(np.int64).copy()
-    od = x[1::2].astype(np.int64).copy()
-    lefte = ev[:od.size]
-    righte = np.empty(od.size, np.int64)
-    if od.size < ev.size:
-        righte[:] = ev[1:1 + od.size]
-    else:
-        righte[:ev.size - 1] = ev[1:]
-        righte[ev.size - 1:] = ev[ev.size - 1]
-    od -= (lefte + righte) >> 1
-    left = np.empty(ev.size, np.int64)
-    right = np.empty(ev.size, np.int64)
-    left[0] = od[0]
-    left[1:] = od[:ev.size - 1]
-    if ev.size <= od.size:
-        right[:] = od[:ev.size]
-    else:
-        right[:od.size] = od
-        right[od.size:] = od[od.size - 1]
+        return ev, od
+    ne, no = ev.shape[axis], od.shape[axis]
+    # odd (predict): X[2n+1] -= floor((E[n]+E[n+1])/2), symmetric ext
+    righte = _axslice(ev, slice(1, 1 + no), axis) if no < ne else \
+        np.concatenate([_axslice(ev, slice(1, None), axis),
+                        _axslice(ev, slice(-1, None), axis)], axis)
+    od -= (_axslice(ev, slice(None, no), axis) + righte) >> 1
+    # even (update): X[2n] += floor((H[n-1]+H[n]+2)/4)
+    left = np.concatenate([_axslice(od, slice(0, 1), axis),
+                           _axslice(od, slice(None, ne - 1), axis)], axis)
+    right = _axslice(od, slice(None, ne), axis) if ne <= no else \
+        np.concatenate([od, _axslice(od, slice(-1, None), axis)], axis)
     ev += (left + right + 2) >> 2
     return ev, od
 
 
+def _sr_2d(low: np.ndarray, high: np.ndarray, axis: int) -> np.ndarray:
+    """2-D synthesis (inverse 5/3) along ``axis``: low lanes at even
+    positions, high at odd — the exact inverse of ``_sd_2d``."""
+    n = low.shape[axis] + high.shape[axis]
+    shape = list(low.shape)
+    shape[axis] = n
+    x = np.empty(shape, np.int64)
+    if axis == 0:
+        x[0::2] = low
+        x[1::2] = high
+        ev, h = x[0::2], x[1::2]
+    else:
+        x[:, 0::2] = low
+        x[:, 1::2] = high
+        ev, h = x[:, 0::2], x[:, 1::2]
+    if n == 1:
+        return x
+    ne, no = ev.shape[axis], h.shape[axis]
+    # even (update) undo
+    left = np.concatenate([_axslice(h, slice(0, 1), axis),
+                           _axslice(h, slice(None, ne - 1), axis)], axis)
+    right = _axslice(h, slice(None, ne), axis) if ne <= no else \
+        np.concatenate([h, _axslice(h, slice(-1, None), axis)], axis)
+    ev -= (left + right + 2) >> 2
+    # odd (predict) undo
+    lefte = _axslice(ev, slice(None, no), axis)
+    righte = _axslice(ev, slice(1, 1 + no), axis) if no < ne else \
+        np.concatenate([_axslice(ev, slice(1, None), axis),
+                        _axslice(ev, slice(-1, None), axis)], axis)
+    h += (lefte + righte) >> 1
+    return x
+
+
 def fdwt53(img: np.ndarray, levels: int) -> list[dict]:
     """Forward multi-level 5/3: returns [{'LL'|'HL'|'LH'|'HH': array}]
-    with index 0 = deepest level's bands (incl. final LL)."""
+    with index 0 = deepest level's bands (incl. final LL). Lifting runs
+    whole-axis vectorized (r11): the old per-column/per-row ``_sd_1d``
+    loop was ~30% of the J2K round trip at GRIB2 field sizes."""
     ll = img.astype(np.int64)
     stack = []
     for _ in range(levels):
         # vertical first (forward = reverse of HOR_SR∘VER_SR inverse)
-        lo_v = np.empty(((ll.shape[0] + 1) // 2, ll.shape[1]), np.int64)
-        hi_v = np.empty((ll.shape[0] // 2, ll.shape[1]), np.int64)
-        for j in range(ll.shape[1]):
-            lo_v[:, j], hi_v[:, j] = _sd_1d(ll[:, j])
-        out = {}
-        lo_ll = np.empty((lo_v.shape[0], (ll.shape[1] + 1) // 2),
-                         np.int64)
-        hi_hl = np.empty((lo_v.shape[0], ll.shape[1] // 2), np.int64)
-        for i in range(lo_v.shape[0]):
-            lo_ll[i], hi_hl[i] = _sd_1d(lo_v[i])
-        lo_lh = np.empty((hi_v.shape[0], (ll.shape[1] + 1) // 2),
-                         np.int64)
-        hi_hh = np.empty((hi_v.shape[0], ll.shape[1] // 2), np.int64)
-        for i in range(hi_v.shape[0]):
-            lo_lh[i], hi_hh[i] = _sd_1d(hi_v[i])
-        out["HL"], out["LH"], out["HH"] = hi_hl, lo_lh, hi_hh
-        stack.append(out)
+        lo_v, hi_v = _sd_2d(ll, 0)
+        lo_ll, hi_hl = _sd_2d(lo_v, 1)
+        lo_lh, hi_hh = _sd_2d(hi_v, 1)
+        stack.append({"HL": hi_hl, "LH": lo_lh, "HH": hi_hh})
         ll = lo_ll
     stack.reverse()
     stack.insert(0, {"LL": ll})
@@ -498,21 +499,10 @@ def idwt53(bands: list[dict]) -> np.ndarray:
     """Inverse of ``fdwt53`` (2D_INTERLEAVE + HOR_SR + VER_SR)."""
     ll = bands[0]["LL"]
     for lev in bands[1:]:
-        hl, lh, hh = lev["HL"], lev["LH"], lev["HH"]
-        h = ll.shape[0] + lh.shape[0]
-        w = ll.shape[1] + hl.shape[1]
-        # horizontal synthesis of the two row groups
-        top = np.empty((ll.shape[0], w), np.int64)
-        for i in range(ll.shape[0]):
-            top[i] = _sr_1d(ll[i], hl[i])
-        bot = np.empty((lh.shape[0], w), np.int64)
-        for i in range(lh.shape[0]):
-            bot[i] = _sr_1d(lh[i], hh[i])
-        # vertical synthesis
-        out = np.empty((h, w), np.int64)
-        for j in range(w):
-            out[:, j] = _sr_1d(top[:, j], bot[:, j])
-        ll = out
+        # horizontal synthesis of the two row groups, then vertical
+        top = _sr_2d(ll, lev["HL"], 1)
+        bot = _sr_2d(lev["LH"], lev["HH"], 1)
+        ll = _sr_2d(top, bot, 0)
     return ll
 
 # ---------------------------------------------------------------------------
@@ -563,18 +553,21 @@ class _T1Block:
 
     def __init__(self, w: int, h: int, band: str):
         self.w, self.h, self.band = w, h, band
-        self.sig = np.zeros((h + 2, w + 2), np.int8)
-        self.sgn = np.zeros((h + 2, w + 2), np.int8)
-        self.refined = np.zeros((h, w), bool)
-        self.coded = np.zeros((h, w), bool)
+        # plain nested lists (r11): every access in the three coding
+        # passes is a scalar read/write on a small grid — numpy scalar
+        # indexing cost ~3× the whole pass logic
+        self.sig = [[0] * (w + 2) for _ in range(h + 2)]
+        self.sgn = [[0] * (w + 2) for _ in range(h + 2)]
+        self.refined = [[False] * w for _ in range(h)]
+        self.coded = [[False] * w for _ in range(h)]
 
     def _hvd(self, x: int, y: int) -> tuple[int, int, int]:
         s = self.sig
-        yy, xx = y + 1, x + 1
-        hh = int(s[yy, xx - 1]) + int(s[yy, xx + 1])
-        vv = int(s[yy - 1, xx]) + int(s[yy + 1, xx])
-        dd = (int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
-              + int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1]))
+        xx = x + 1
+        up, row, dn = s[y], s[y + 1], s[y + 2]
+        hh = row[xx - 1] + row[xx + 1]
+        vv = up[xx] + dn[xx]
+        dd = up[xx - 1] + up[xx + 1] + dn[xx - 1] + dn[xx + 1]
         return hh, vv, dd
 
     def _sc(self, x: int, y: int) -> tuple[int, int]:
@@ -582,47 +575,52 @@ class _T1Block:
         yy, xx = y + 1, x + 1
 
         def contrib(sy, sx):
-            if not s[sy, sx]:
+            if not s[sy][sx]:
                 return 0
-            return -1 if g[sy, sx] else 1
+            return -1 if g[sy][sx] else 1
 
         hc = max(-1, min(1, contrib(yy, xx - 1) + contrib(yy, xx + 1)))
         vc = max(-1, min(1, contrib(yy - 1, xx) + contrib(yy + 1, xx)))
         return _SC_TABLE[(hc, vc)]
+
+    def _reset_coded(self) -> None:
+        for row in self.coded:
+            for i in range(len(row)):
+                row[i] = False
 
     # the three passes; `self.bitop_*` are supplied by the subclass
     def _pass_spp(self) -> None:
         for y0 in range(0, self.h, 4):
             for x in range(self.w):
                 for y in range(y0, min(y0 + 4, self.h)):
-                    if self.sig[y + 1, x + 1]:
+                    if self.sig[y + 1][x + 1]:
                         continue
                     h, v, d = self._hvd(x, y)
                     if h + v + d == 0:
                         continue
                     became = self.bitop_zc(x, y, _zc_ctx(h, v, d,
                                                          self.band))
-                    self.coded[y, x] = True
+                    self.coded[y][x] = True
                     if became:
                         ctx, xr = self._sc(x, y)
                         neg = self.bitop_sc(x, y, ctx, xr)
-                        self.sig[y + 1, x + 1] = 1
-                        self.sgn[y + 1, x + 1] = neg
+                        self.sig[y + 1][x + 1] = 1
+                        self.sgn[y + 1][x + 1] = neg
 
     def _pass_mrp(self) -> None:
         for y0 in range(0, self.h, 4):
             for x in range(self.w):
                 for y in range(y0, min(y0 + 4, self.h)):
-                    if not self.sig[y + 1, x + 1] or self.coded[y, x]:
+                    if not self.sig[y + 1][x + 1] or self.coded[y][x]:
                         continue
-                    if self.refined[y, x]:
+                    if self.refined[y][x]:
                         ctx = 16
                     else:
                         h, v, d = self._hvd(x, y)
                         ctx = 15 if h + v + d else 14
                     self.bitop_mr(x, y, ctx)
-                    self.refined[y, x] = True
-                    self.coded[y, x] = True
+                    self.refined[y][x] = True
+                    self.coded[y][x] = True
 
     def _pass_cup(self) -> None:
         for y0 in range(0, self.h, 4):
@@ -632,8 +630,8 @@ class _T1Block:
                 if y0 + 4 <= self.h:
                     run = True
                     for k in range(4):
-                        if self.coded[y0 + k, x] \
-                                or self.sig[y0 + k + 1, x + 1]:
+                        if self.coded[y0 + k][x] \
+                                or self.sig[y0 + k + 1][x + 1]:
                             run = False
                             break
                         h, v, d = self._hvd(x, y0 + k)
@@ -649,12 +647,12 @@ class _T1Block:
                     # significance bit is implied by the RL escape)
                     ctx, xr = self._sc(x, y)
                     neg = self.bitop_sc(x, y, ctx, xr)
-                    self.sig[y + 1, x + 1] = 1
-                    self.sgn[y + 1, x + 1] = neg
+                    self.sig[y + 1][x + 1] = 1
+                    self.sgn[y + 1][x + 1] = neg
                     self.became(x, y)
                     y += 1
                 for yy in range(y, min(y0 + 4, self.h)):
-                    if self.coded[yy, x] or self.sig[yy + 1, x + 1]:
+                    if self.coded[yy][x] or self.sig[yy + 1][x + 1]:
                         continue
                     h, v, d = self._hvd(x, yy)
                     became = self.bitop_zc(x, yy, _zc_ctx(h, v, d,
@@ -662,8 +660,8 @@ class _T1Block:
                     if became:
                         ctx, xr = self._sc(x, yy)
                         neg = self.bitop_sc(x, yy, ctx, xr)
-                        self.sig[yy + 1, x + 1] = 1
-                        self.sgn[yy + 1, x + 1] = neg
+                        self.sig[yy + 1][x + 1] = 1
+                        self.sgn[yy + 1][x + 1] = neg
 
     def became(self, x: int, y: int) -> None:   # decoder hook
         pass
@@ -677,27 +675,30 @@ class T1Encoder(_T1Block):
     def __init__(self, coeffs: np.ndarray, band: str):
         h, w = coeffs.shape
         super().__init__(w, h, band)
-        self.mag = np.abs(coeffs).astype(np.int64)
-        self.neg = (coeffs < 0).astype(np.int8)
+        cl = np.asarray(coeffs, np.int64).tolist()
+        self.mag = [[v if v >= 0 else -v for v in row] for row in cl]
+        self.neg = [[1 if v < 0 else 0 for v in row] for row in cl]
         self.mq = MQEncoder()
         self.plane = 0
 
     def bitop_zc(self, x, y, ctx) -> int:
-        bit = int((self.mag[y, x] >> self.plane) & 1)
+        bit = (self.mag[y][x] >> self.plane) & 1
         self.mq.encode(bit, ctx)
         return bit
 
     def bitop_sc(self, x, y, ctx, xorbit) -> int:
-        neg = int(self.neg[y, x])
+        neg = self.neg[y][x]
         self.mq.encode(neg ^ xorbit, ctx)
         return neg
 
     def bitop_mr(self, x, y, ctx) -> None:
-        self.mq.encode(int((self.mag[y, x] >> self.plane) & 1), ctx)
+        self.mq.encode((self.mag[y][x] >> self.plane) & 1, ctx)
 
     def bitop_rl(self, x, y0):
-        bits = [int((self.mag[y0 + k, x] >> self.plane) & 1)
-                for k in range(4)]
+        p = self.plane
+        mg = self.mag
+        bits = [(mg[y0][x] >> p) & 1, (mg[y0 + 1][x] >> p) & 1,
+                (mg[y0 + 2][x] >> p) & 1, (mg[y0 + 3][x] >> p) & 1]
         if not any(bits):
             self.mq.encode(0, _CTX_RL)
             return None
@@ -708,14 +709,14 @@ class T1Encoder(_T1Block):
         return first
 
     def run(self) -> tuple[bytes, int, int]:
-        mx = int(self.mag.max()) if self.mag.size else 0
+        mx = max((v for row in self.mag for v in row), default=0)
         nbp = mx.bit_length()
         if nbp == 0:
             return b"", 0, 0
         npasses = 0
         for p in range(nbp - 1, -1, -1):
             self.plane = p
-            self.coded[:] = False
+            self._reset_coded()
             if p != nbp - 1:
                 self._pass_spp()
                 self._pass_mrp()
@@ -731,7 +732,7 @@ class T1Decoder(_T1Block):
     def __init__(self, w: int, h: int, band: str, data: bytes,
                  npasses: int, nbp: int):
         super().__init__(w, h, band)
-        self.mag = np.zeros((h, w), np.int64)
+        self.mag = [[0] * w for _ in range(h)]
         self.mq = MQDecoder(data)
         self.npasses = npasses
         self.nbp = nbp
@@ -740,14 +741,14 @@ class T1Decoder(_T1Block):
     def bitop_zc(self, x, y, ctx) -> int:
         bit = self.mq.decode(ctx)
         if bit:
-            self.mag[y, x] |= 1 << self.plane
+            self.mag[y][x] |= 1 << self.plane
         return bit
 
     def bitop_sc(self, x, y, ctx, xorbit) -> int:
         return self.mq.decode(ctx) ^ xorbit
 
     def bitop_mr(self, x, y, ctx) -> None:
-        self.mag[y, x] |= self.mq.decode(ctx) << self.plane
+        self.mag[y][x] |= self.mq.decode(ctx) << self.plane
 
     def bitop_rl(self, x, y0):
         if not self.mq.decode(_CTX_RL):
@@ -756,7 +757,7 @@ class T1Decoder(_T1Block):
         return first
 
     def became(self, x, y) -> None:
-        self.mag[y, x] |= 1 << self.plane
+        self.mag[y][x] |= 1 << self.plane
 
     def run(self) -> np.ndarray:
         left = self.npasses
@@ -764,7 +765,7 @@ class T1Decoder(_T1Block):
         first = True
         while left > 0 and p >= 0:
             self.plane = p
-            self.coded[:] = False
+            self._reset_coded()
             if not first:
                 self._pass_spp()
                 left -= 1
@@ -778,9 +779,15 @@ class T1Decoder(_T1Block):
             left -= 1
             first = False
             p -= 1
-        out = self.mag.copy()
-        neg = self.sgn[1:-1, 1:-1].astype(bool)
-        out[neg] = -out[neg]
+        if self.w == 0 or self.h == 0:
+            return np.zeros((self.h, self.w), np.int64)
+        out = np.array(self.mag, np.int64)
+        for y in range(self.h):
+            row = out[y]
+            srow = self.sgn[y + 1]
+            for x in range(self.w):
+                if srow[x + 1]:
+                    row[x] = -row[x]
         return out
 
 # ---------------------------------------------------------------------------
@@ -920,7 +927,7 @@ def encode_j2k(img: np.ndarray, depth: int, signed: bool = False,
                 t = 1
                 while True:
                     zbp_t.encode(hdr, gx, gy, t)
-                    if zbp_t.value[0][gy, gx] < t:
+                    if zbp_t.value[0][gy][gx] < t:
                         break
                     t += 1
                 _put_npasses(hdr, npasses)
@@ -1071,12 +1078,12 @@ def decode_j2k(data: bytes) -> tuple[np.ndarray, dict]:
                 "dims": (bw_, bh_), "grid": (nx, ny), "cbs": cbs,
                 "mb": mb, "incl": TagTree(nx, ny),
                 "zbp": TagTree(nx, ny),
-                "included": np.zeros((ny, nx), bool),
-                "zbp_v": np.zeros((ny, nx), np.int64),
+                "included": [[False] * nx for _ in range(ny)],
+                "zbp_v": [[0] * nx for _ in range(ny)],
                 "data": [[bytearray() for _ in range(nx)]
                          for _ in range(ny)],
-                "passes": np.zeros((ny, nx), np.int64),
-                "lblock": np.full((ny, nx), 3, np.int64),
+                "passes": [[0] * nx for _ in range(ny)],
+                "lblock": [[3] * nx for _ in range(ny)],
             }
         res_state.append(bandstates)
 
@@ -1095,24 +1102,24 @@ def decode_j2k(data: bytes) -> tuple[np.ndarray, dict]:
                 st = res_state[r][bname]
                 nx, ny = st["grid"]
                 for gx, gy, x0, y0, cw, ch in st["cbs"]:
-                    if not st["included"][gy, gx]:
+                    if not st["included"][gy][gx]:
                         inc = st["incl"].decode(br, gx, gy, layer + 1)
                     else:
                         inc = bool(br.get_bit())
                     if not inc:
                         continue
-                    if not st["included"][gy, gx]:
+                    if not st["included"][gy][gx]:
                         t = 1
                         while not st["zbp"].decode(br, gx, gy, t):
                             t += 1
-                        st["zbp_v"][gy, gx] = t - 1
-                        st["included"][gy, gx] = True
+                        st["zbp_v"][gy][gx] = t - 1
+                        st["included"][gy][gx] = True
                     np_ = _get_npasses(br)
-                    st["passes"][gy, gx] += np_
-                    lblock = int(st["lblock"][gy, gx])
+                    st["passes"][gy][gx] += np_
+                    lblock = int(st["lblock"][gy][gx])
                     while br.get_bit():
                         lblock += 1
-                    st["lblock"][gy, gx] = lblock
+                    st["lblock"][gy][gx] = lblock
                     nbits = lblock + int(np.floor(np.log2(np_)))
                     ln = br.get(nbits)
                     contributions.append((st, gx, gy, ln))
@@ -1141,10 +1148,10 @@ def decode_j2k(data: bytes) -> tuple[np.ndarray, dict]:
             bw_, bh_ = st["dims"]
             arr = np.zeros((bh_, bw_), np.int64)
             for gx, gy, x0, y0, cw, ch in st["cbs"]:
-                np_ = int(st["passes"][gy, gx])
+                np_ = int(st["passes"][gy][gx])
                 if not np_:
                     continue
-                nbp = st["mb"] - int(st["zbp_v"][gy, gx])
+                nbp = st["mb"] - int(st["zbp_v"][gy][gx])
                 dec = T1Decoder(cw, ch, bname,
                                 bytes(st["data"][gy][gx]), np_, nbp)
                 arr[y0:y0 + ch, x0:x0 + cw] = dec.run()

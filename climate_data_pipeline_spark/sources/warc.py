@@ -269,9 +269,13 @@ def parse_robots(text: str) -> list[tuple[str, str, str]]:
             if val:
                 for a in agents:
                     rules.append((a, key, val))
-        # other directives (sitemap, crawl-delay, ...) are ignored but
-        # still close the user-agent run per the RFC's group grammar
-        elif key in ("crawl-delay", "sitemap", "host"):
+        # ANY other key:value directive — recognized (sitemap,
+        # crawl-delay, host) or unknown (clean-param, ...) — is ignored
+        # but still closes the user-agent run per the RFC's group
+        # grammar (r11, ADVICE fix: an unknown directive between groups
+        # used to leave collecting=True, merging the next User-agent
+        # line into the previous group)
+        else:
             collecting = False
     return rules
 

@@ -3371,6 +3371,15 @@ def test_robots_rfc9309_semantics():
                        "User-agent: b\nDisallow: /y/\n")
     assert dec(two, "a", "/y/z") is True
     assert dec(two, "b", "/y/z") is False
+    # r11 (ADVICE fix): an UNKNOWN directive between groups also closes
+    # the agent run — the next User-agent opens a new group instead of
+    # merging into the previous one and inheriting its rules
+    three = parse_robots("User-agent: a\nDisallow: /x/\n"
+                         "Clean-param: utm_source\n"
+                         "User-agent: b\nDisallow: /y/\n")
+    assert dec(three, "b", "/x/z") is True
+    assert dec(three, "a", "/y/z") is True
+    assert dec(three, "b", "/y/z") is False
 
 
 def test_robots_screen_missing_host_allows(spark):

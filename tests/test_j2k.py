@@ -57,7 +57,7 @@ def test_tag_tree_roundtrip_mixed_thresholds():
             for y in range(h):
                 for x in range(w):
                     if td.decode(br, x, y, t) and res[y, x] < 0:
-                        res[y, x] = td.value[0][y, x]
+                        res[y, x] = td.value[0][y][x]
         assert np.array_equal(res, vals)
 
 

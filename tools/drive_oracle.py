@@ -77,6 +77,18 @@ for name, fn in sorted(qs.items()):
     if only is not None and name not in only:
         continue
     got = fn(spark, SF).toPandas()
+    if name in ("dedup_ngram_jaccard", "dedup_clusters",
+                "dedup_clusters_star", "dedup_keep_best"):
+        # ADVICE r10: these oracles pin the UNCAPPED exact-Jaccard
+        # arm, but auto_cap routes to the capped arm when the corpus
+        # density metric crosses the gate — a gate flip on a denser
+        # verify corpus must read as a LOUD arm change here, not as an
+        # opaque hash mismatch downstream
+        from climate_data_pipeline_spark.operators import dedup as _dd
+        g = _dd.LAST_JACCARD_GATE
+        assert g is None or not g.get("engaged"), (
+            f"{name}: jaccard density gate ENGAGED ({g}) — the oracle "
+            f"mirrors the uncapped arm; verify corpus too dense")
     if name not in oracles:
         print(f"  {name}: rows-only, {len(got)} rows", flush=True)
         continue
