@@ -325,21 +325,48 @@ def main() -> None:
         curate10x = run_curate10x(spark, sf_dir)
 
     total = round(sum(per_query.values()), 4)
-    print(json.dumps({"details": details, "n_queries": len(HEADLINE)},
-                     indent=None), file=sys.stderr)
+    # FULL-fidelity record (per-query percentiles, off-headline,
+    # serving, scale10x/curate10x, host fingerprint) → stderr: redirect
+    # to a file at freeze and mine for PERFORMANCE.md. Keeps every
+    # field the r10 stdout line carried.
+    print(json.dumps({
+        "details": details, "n_queries": len(HEADLINE),
+        "off_headline": off_headline, "serving_ms": serving,
+        "scale10x": scale10x, "curate10x": curate10x, "host": host,
+        "sf": sf, "n": iterations,
+    }), file=sys.stderr)
+    # ONE compact stdout line, LAST, ≤ ~1950 chars (r11, round-10
+    # verdict ask #3): the driver's BENCH artifact keeps only a
+    # 2000-char stdout tail, and the old ~10 KB line arrived with its
+    # head cut off — every round's `parsed` read null and the headline
+    # numbers survived only in PERFORMANCE.md prose. Contract keys
+    # (metric/value/unit/queries/sf) unchanged; every r10 query name
+    # kept; per-query values rounded to 2 dp to fit (full precision is
+    # in the stderr record); `env` adds the envelope verdict + worst
+    # rows so the committed artifact is self-contained.
+    worst = max(per_query, key=per_query.get)
+    offworst = (max(off_headline, key=lambda k: off_headline[k]["mean_s"])
+                if off_headline else None)
     print(json.dumps({
         "metric": "headline_query_mean_runtime_total",
         "value": total,
         "unit": "sec",
         "n": iterations,
-        "queries": per_query,
-        "off_headline": off_headline,
-        "serving_ms": serving,
-        "scale10x": scale10x,
-        "curate10x": curate10x,
-        "host": host,
         "sf": sf,
-    }))
+        "queries": {k: round(v, 2) for k, v in per_query.items()},
+        "env": {
+            "worst": worst,
+            "wmean": round(per_query[worst], 3),
+            "wmax": round(details[worst]["max_s"], 2),
+            "over2": sum(v >= 2.0 for v in per_query.values()),
+            "offworst": offworst,
+            "offwmean": (round(off_headline[offworst]["mean_s"], 3)
+                         if offworst else None),
+            "srv_p95_ms": serving.get("point_query_miss_p95_ms"),
+            "load1m": host.get("loadavg_1m"),
+            "cpus": host.get("cpus"),
+        },
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

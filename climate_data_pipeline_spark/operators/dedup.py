@@ -291,6 +291,94 @@ def incremental_dedup(corpus: DataFrame | None, batch: DataFrame,
                     F.col("n_matches").isNotNull().alias("is_dup")))
 
 
+# Hot-bucket sub-split threshold for the banded LSH self-join (r11,
+# guide §2.5): a band bucket of B members yields B² candidate rows in
+# ONE join task — AQE's skew handling cannot split a single key, so a
+# viral boilerplate bucket at 100 TB concentrates a shuffle partition
+# into a straggler. Buckets larger than this are split into
+# ceil(B/threshold) deterministic sub-groups (pmod(xxhash64(id), k))
+# and pairs are generated group×group — the candidate SET is identical
+# (each unordered pair matches exactly once: the left side is
+# replicated across partner groups), only the join parallelism
+# changes, so every oracle hash is untouched whether or not the split
+# engages. 1024² ≈ 1M pair rows is where one task visibly straggles.
+MINHASH_HOT_BUCKET = 1024
+
+# Engage the sub-split join only above this input size (same
+# scale-adaptive arm pattern as the clustering small-graph gate): the
+# split arm adds a count window + wider join keys — measured +0.65 s
+# at sf0.1 where no bucket can be hot enough to matter — while at
+# corpus scale the window is noise next to the join it balances. Both
+# arms produce IDENTICAL pairs (tested), so the gate can never flip a
+# result, only a plan. The estimate is the free inputFiles() metadata
+# peek (non-file sources read as 0 → naive arm unless forced).
+MINHASH_GUARD_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total size of the scan's backing files — a driver-side metadata
+    peek (0 for non-file sources)."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return 0
+            total += os.path.getsize(p.path)
+        return total
+    except OSError:
+        return 0
+
+
+def _banded_self_pairs(banded: DataFrame,
+                       hot_threshold: int = MINHASH_HOT_BUCKET,
+                       guard: bool = True) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) from a (id, band, key)
+    table — the LSH bucket self-join, with oversized buckets sub-split
+    for balanced join tasks (see MINHASH_HOT_BUCKET). Output is
+    provably identical to the naive self-join (``guard=False``).
+
+    ONE unified join, no hot/cold arms: a count window attaches the
+    bucket size, every row gets a deterministic sub-group
+    ``__g = pmod(xxhash64(id), k)`` with ``k = ceil(size/threshold)``
+    (cold buckets: k = 1, g = 0), and the left side replicates over
+    the k partner groups — pair (x, y) with x.id < y.id matches
+    exactly once, where x's partner index equals y's group. The join
+    keys gain ``__g``, so a hot bucket's pairs spread over k² balanced
+    tasks instead of one. (A first cut with a groupBy-sizes +
+    broadcast anti-join hot/cold split recomputed the 64-md5 band
+    table five times and cost 3.5× on the disengaged path — measured,
+    rejected; the window form costs one narrow shuffle.)"""
+    if not guard:
+        a, b = banded.alias("a"), banded.alias("b")
+        return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                          & (F.col("a.key") == F.col("b.key"))
+                          & (F.col("a.id") < F.col("b.id")))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"))
+                 .distinct())
+    w = Window.partitionBy("band", "key")
+    bw = (banded.withColumn(
+              "__k", F.ceil(F.count("*").over(w)
+                            / hot_threshold).cast("int"))
+                .withColumn("__g", F.pmod(F.xxhash64("id"),
+                                          F.col("__k")).cast("int")))
+    left = bw.withColumn("__pg", F.explode(
+        F.sequence(F.lit(0), F.col("__k") - 1)))
+    return (left.alias("a")
+            .join(bw.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.__pg") == F.col("b.__g"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+
+
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS,
                   n: int = 3, min_est: float = 0.5,
@@ -299,17 +387,14 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Signatures are banded (num_perm/bands rows per band); docs sharing any
     full band key become candidates (join on the band hash, not all
-    pairs); the estimate is the fraction of matching signature components.
+    pairs — and hot buckets sub-split, see ``_banded_self_pairs``); the
+    estimate is the fraction of matching signature components.
     """
     sig = minhash_signatures(df, text_col, id_col, num_perm, n,
                              scheme=scheme).cache()
     banded = band_table(sig, num_perm, bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                      & (F.col("a.key") == F.col("b.key"))
-                      & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
+    cand = _banded_self_pairs(
+        banded, guard=_input_bytes(df) >= MINHASH_GUARD_MIN_BYTES)
     sa = sig.selectExpr("id AS id_a",
                         *[f"mh{i} AS a{i}" for i in range(num_perm)])
     sb = sig.selectExpr("id AS id_b",

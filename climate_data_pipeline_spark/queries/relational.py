@@ -1518,11 +1518,13 @@ def crawl_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives every verdict from the CONSTRUCTION arithmetic, so a
     wrong group choice, specificity measure, tie-break, wildcard
     handling or missing-file default flips rows."""
-    from ..operators.text import _spread
     from ..sources.warc import robots_screen
-    # _spread (r11): the single-task documents scan would serialize the
-    # candidate construction AND the Arrow robots kernel on one core
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # no _spread here (r11, measured): same-session A/B at sf0.1 put the
+    # rebalance at 1.80 s vs 1.38 s without — the robots kernel is too
+    # cheap per row for a repartition + 32-task fan-out to pay at this
+    # volume (crawl_main_content, whose per-row regex work is ~10×, DOES
+    # carry _spread and wins 3.7×)
+    docs = load_table(spark, sf_dir, "documents")
     c = docs.select(
         "doc_id",
         (F.col("doc_id") % 20).alias("h"),
@@ -1618,11 +1620,10 @@ def crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     priorities are string-built on both sides ('0.2', '0.4', …) so the
     doubles compare bit-exactly — and a dropped optional field, a
     namespace slip or an entry-count error shifts the hash."""
-    from ..operators.text import _spread
     from ..sources.warc import sitemap_extract
-    # _spread (r11): rebalance the single-task scan ahead of the XML
-    # synthesis + Arrow parse kernel (both CPU-bound, zero-shuffle)
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # no _spread (r11, measured 1.98 s vs 1.35 s without at sf0.1 —
+    # see crawl_robots_screen)
+    docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", (F.col("doc_id") % 20).alias("h"),
         F.when(F.col("doc_id") % 11 == 0, 1)

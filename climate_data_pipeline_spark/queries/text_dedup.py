@@ -1906,11 +1906,12 @@ def url_canonicalize_documents(spark: SparkSession,
     regex, an unsorted parameter list, or a dropped equivalence class
     shifts the hash. At 100 TB this key dedups the crawl FRONTIER —
     duplicate fetches are dropped before any payload is hashed."""
-    from ..operators.text import _spread, url_dedup
-    # _spread (r11): the compacted documents parquet scans as ONE task,
-    # serializing the whole JVM regex pipeline on a single core — the
-    # shuffle moves only raw rows and is a no-op at real scan widths
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    from ..operators.text import url_dedup
+    # no _spread (r11, measured 1.24 s vs 0.83 s without at sf0.1): the
+    # single-task scan feeds ONE map-side partial aggregation — adding a
+    # row shuffle ahead of it costs more than the regex it parallelizes
+    # at this volume (contrast crawl_main_content)
+    docs = load_table(spark, sf_dir, "documents")
     with_url = docs.withColumn("url", F.expr(_URL_SYNTH_SPARK.strip()))
     return url_dedup(with_url, "url", "doc_id")
 

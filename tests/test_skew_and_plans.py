@@ -453,3 +453,41 @@ def test_stream_rollup_parity_batch_twin_single_shuffle(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange ") == 1
     assert "partial_" in plan
+
+
+def test_minhash_hot_bucket_subsplit_identical_pairs(spark):
+    """r11 hot-bucket guard: the sub-split banded self-join must yield
+    EXACTLY the naive join's candidate pairs — including a viral bucket
+    far above the threshold — while spreading the hot bucket's join
+    work over ceil(size/threshold)² keyed sub-tasks."""
+    from climate_data_pipeline_spark.operators.dedup import (
+        _banded_self_pairs,
+    )
+
+    rows = [(i, 0, "viral") for i in range(900)] + \
+           [(i, 1, f"k{i % 37}") for i in range(300)] + \
+           [(i, 2, "pairless") for i in (5000,)]
+    banded = spark.createDataFrame(rows, "id long, band int, key string")
+    split = _banded_self_pairs(banded, hot_threshold=128, guard=True)
+    naive = _banded_self_pairs(banded, guard=False)
+    assert split.exceptAll(naive).count() == 0
+    assert naive.exceptAll(split).count() == 0
+    # the guarded plan carries the sub-group join key (pmod over the
+    # per-bucket k) — the thing that splits a viral bucket's pairs
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "explode" in plan
+
+
+def test_minhash_pairs_guard_gate_is_size_adaptive(spark, sf_small):
+    """minhash_pairs engages the sub-split arm only above the input-size
+    gate: small file-backed inputs plan the naive join (no pmod key),
+    and both arms are output-identical by the test above, so the gate
+    can never flip a result."""
+    from climate_data_pipeline_spark.operators import dedup as D
+    from climate_data_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    small = D.minhash_pairs(docs, "text", "doc_id", num_perm=12, bands=4)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" not in plan
+    assert D._input_bytes(docs) < D.MINHASH_GUARD_MIN_BYTES
