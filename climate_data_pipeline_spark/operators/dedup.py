@@ -1380,13 +1380,21 @@ def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
 
     ``max_df`` (requires ``id_col``) arms the load-bounded variant:
     shingles present in MORE than ``max_df`` documents — corpus-wide
-    boilerplate, the hot keys that dominate both the distinct-shingle
-    agg and the collect_set state — are dropped before the set
-    aggregation via a BROADCAST anti-join (the blacklist of hot
-    shingles is small by definition; the keep-set is not, so the
-    polarity matters). Overlap is then over the capped shingle
-    universe, mirrored exactly in the query oracle — the same
-    documented-variant contract as ``ngram_jaccard_pairs(max_df=)``."""
+    boilerplate — are excluded from the overlap universe, mirrored
+    exactly in the query oracle (the same documented-variant contract
+    as ``ngram_jaccard_pairs(max_df=)``). r11 shape (guide §2.4
+    "remove shuffles outright"): ONE distinct over (src, id, shingle)
+    triples (combinable — map-side partials collapse repeats), then
+    ONE aggregation producing the source set AND the document
+    frequency together, filtered to ``df ≤ max_df`` *after* the agg.
+    The former shape scanned the explode twice and added a count agg +
+    broadcast anti-join; per-shingle agg state is bounded by
+    |sources| either way, so aggregating the hot shingles before
+    dropping them is safe. Same-session A/B at sf0.1 (10 interleaved
+    noop-sink iterations): median 2.83 s vs 3.63 s (1.28×), min 2.38 s
+    vs 3.43 s (1.44×); whole-plan 23 → 14 Exchanges, 6 → 3 parquet
+    scans (plans/r11/corpus_source_overlap_dfcap_*.txt); output
+    hash-identical."""
     if max_df is not None and id_col is None:
         raise ValueError("max_df requires id_col (document identity "
                          "defines the frequency being capped)")
@@ -1399,14 +1407,21 @@ def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
                     F.explode(
                 shingles_from_words(F.col("__w"), n)).alias("shingle")))
     if max_df is not None:
-        hot = (ss.select("__id", "shingle").distinct()
-                 .groupBy("shingle").agg(F.count("*").alias("__df"))
-                 .where(F.col("__df") > max_df)
-                 .select("shingle"))
-        ss = (ss.join(F.broadcast(hot), "shingle", "left_anti")
-                .select("__src", "shingle"))
-    sets = (ss.groupBy("shingle")
-              .agg(F.array_sort(F.collect_set("__src")).alias("__set")))
+        # one distinct + one agg: df and the source set come out of the
+        # SAME aggregation ((id → src) is functional, so count over
+        # distinct triples IS the document frequency); hot shingles
+        # drop after the agg, where their state was |sources|-bounded
+        trip = ss.distinct()
+        sets = (trip.groupBy("shingle")
+                    .agg(F.array_sort(F.collect_set("__src"))
+                          .alias("__set"),
+                         F.count("*").alias("__df"))
+                    .where(F.col("__df") <= max_df)
+                    .select("shingle", "__set"))
+    else:
+        sets = (ss.groupBy("shingle")
+                  .agg(F.array_sort(F.collect_set("__src"))
+                        .alias("__set")))
     totals = (sets.select(F.explode("__set").alias("__src"))
                   .groupBy("__src").agg(F.count("*").alias("n_total")))
     srcs = sets.where(F.size("__set") >= 2)

@@ -72,36 +72,42 @@ def query(name: str, oracle: str | None = None):
 # follows in registration order, so ~35 of the long-standing names stay
 # in the sample for round-over-round continuity. Refresh each round.
 DRIVER_ROTATION = [
-    # NEW/CHANGED this round (10) — the jaccard density gate rides
-    # under these four, the Lambert oracle was op-mirrored, and the
-    # streaming/MP3/HDF5-scaleoffset queries are new
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_clusters_star",
-    "dedup_keep_best", "s_grib2_lambert_ingest",
-    "stream_rollup_parity", "mm_decode_mp3", "s_hdf5_scaleoffset_f",
-    "text_url_canonicalize", "crawl_robots_screen",
-    "crawl_sitemap_extract", "crawl_main_content",
-    # never driver-sampled through r09 (VERDICT r9 ask #1): the
-    # SURVEY §2 operator heart — temporal aggregations, trends,
-    # climate indices, resampling — plus the core dedup/text/sim
-    # names. All sweep-green every round; this puts them under the
-    # driver's independent-session gate of record.
-    "a1_monthly_mean", "a2_seasonal_mean", "a3_annual_mean",
-    "a4_climatology_month", "a4_climatology_season",
-    "a4_climatology_hour", "a8_linear_trend", "a9_mann_kendall",
-    "a9_mk_s_stat", "a9_mk_z_p", "a9_seasonal_mann_kendall",
-    "a10_trend_confidence", "a11_global_stats", "a11_pricing_summary",
-    "a12_region_stats", "w1_rolling_mean", "w4_resample_ffill",
-    "w5_resample_interp", "etccdi_day_counts", "etccdi_r95ptot",
-    "etccdi_dtr_sdii", "wsdi_warm_spell_index", "csdi_cold_spell_index",
-    "season_onset_date", "trend_field_significance",
-    "series_correlation_matrix", "dedup_exact", "dedup_minhash",
-    "dedup_minhash_affine", "dedup_simhash", "dedup_simhash64",
-    "dedup_incremental", "text_token_stats", "text_quality",
-    "text_language_id", "text_fingerprint", "text_contamination",
-    "sim_cosine_topk", "sim_lsh_ann", "dedup_semantic_clusters",
-    "sim_ivf_seeded", "stats_correlation", "weighted_median_groups",
-    "p4_point_select", "s2_projected_scan",
+    # CHANGED in round 11 (optimization round): the J2K Tier-1/DWT
+    # rewrite rides under s_grib2_jpeg2000_ingest; the MP3 chain's
+    # host-independent trig tables + refrozen goldens under
+    # mm_decode_mp3; the hot-bucket sub-split + size gate under the
+    # minhash family; the gram-key change under text_duplicate_spans;
+    # the _spread rebalance under crawl_main_content; the robots
+    # group-grammar fix under crawl_robots_screen.
+    "mm_decode_mp3", "s_grib2_jpeg2000_ingest", "crawl_main_content",
+    "text_duplicate_spans", "dedup_minhash", "dedup_minhash_affine",
+    "dedup_incremental", "crawl_robots_screen", "text_url_canonicalize",
+    "crawl_sitemap_extract",
+    # next slice of the never-driver-sampled backlog (85 names after
+    # r10; VERDICT r10 ask #1) — similarity/sampling flagships, the
+    # mm/media umbrella queries, the text-statistics family, and the
+    # remaining TPC-H shapes. All sweep-green every round.
+    "sim_cosine_pairs", "sim_cosine_topk_many", "sim_quantized_topk",
+    "sim_lsh_ann", "sim_lsh_multiprobe", "sim_lsh_recall_eval",
+    "sim_ivf_seeded", "sim_ivf_recall_eval", "sim_hard_negatives",
+    "dedup_semantic_clusters", "dedup_semantic_prune",
+    "p4_point_select", "s2_projected_scan", "f9_json_extract",
+    "mm_decode", "mm_features", "split_deterministic",
+    "split_leakage_safe", "sample_quota_per_lang",
+    "sample_weighted_per_lang", "sample_correlated",
+    "corpus_token_budget_mix", "train_shard_manifest",
+    "dsir_importance_weights", "lang_temperature_weights",
+    "lang_temperature_resample", "stats_correlation",
+    "weighted_median_groups", "weighted_mean_groups",
+    "stats_moments", "stats_mode", "winsorized_stats",
+    "profile_table_columns", "emb_label_centroids",
+    "emb_centroid_classify", "emb_centroid_outliers",
+    "text_winnow_fingerprints", "text_segment_dedup",
+    "text_perplexity", "text_bigram_lm", "text_bpe_encode",
+    "text_bpe_pair_counts", "text_lexical_diversity",
+    "text_pii_scan", "text_repetition", "text_tfidf_top",
     "tpch_q6_forecast_revenue", "tpch_q19_disjunctive_revenue",
+    "tpch_q3_shipping_priority", "tpch_q18_large_orders",
 ]
 
 
