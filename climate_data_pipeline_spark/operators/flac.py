@@ -74,26 +74,33 @@ class _Reader:
     """MSB-first bit reader (the FLAC convention), byte-position aware
     so CRC spans can be taken from the underlying buffer."""
 
-    __slots__ = ("data", "pos", "_winl", "_ones")
+    __slots__ = ("data", "pos", "_winl", "_ones", "_win_np", "_ones_np")
 
     def __init__(self, data: bytes, byte_pos: int = 0):
         self.data = data
         self.pos = byte_pos * 8
         self._winl = None
         self._ones = None
+        self._win_np = None
+        self._ones_np = None
 
     def aux(self) -> tuple[list, list]:
         """Per-payload decode accelerators, built once and reused by
         every Rice partition: a 32-bit big-endian window per byte
-        offset, and the positions of all 1 bits."""
+        offset, and the positions of all 1 bits. Kept as plain lists
+        for the scalar loop (numpy scalar indexing is ~3× slower);
+        the numpy originals are stashed for the vectorized
+        whole-partition path (``_rice_decode_vec``)."""
         if self._winl is None:
             d = np.frombuffer(self.data, np.uint8).astype(np.uint32)
             padded = np.concatenate([d, np.zeros(4, np.uint32)])
-            self._winl = ((padded[:-3] << 24) | (padded[1:-2] << 16)
-                          | (padded[2:-1] << 8) | padded[3:]).tolist()
-            self._ones = np.flatnonzero(
+            self._win_np = ((padded[:-3] << 24) | (padded[1:-2] << 16)
+                            | (padded[2:-1] << 8) | padded[3:])
+            self._winl = self._win_np.tolist()
+            self._ones_np = np.flatnonzero(
                 np.unpackbits(np.frombuffer(self.data,
-                                            np.uint8))).tolist()
+                                            np.uint8))).astype(np.int64)
+            self._ones = self._ones_np.tolist()
         return self._winl, self._ones
 
     def read(self, n: int) -> int:
@@ -223,6 +230,80 @@ def _zigzag(v: np.ndarray) -> np.ndarray:
 FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
 
 
+# below this many values a Rice partition decodes faster in the plain
+# scalar loop than through the vectorized chase's fixed numpy overhead
+# (measured single-thread on full decode_flac: 128-value partitions
+# 0.94x, 256-value 0.95x, 512-value 1.24x, 1024-value 1.32x,
+# 4096-value 1.42x — the crossover sits between 256 and 512)
+_RICE_VEC_MIN = 512
+
+
+def _rice_decode_vec(r: _Reader, pos: int, param: int, n: int):
+    """Decode one whole Rice partition (n values, non-escape,
+    param <= 25) with numpy instead of a per-value Python loop.
+
+    A Rice value is q zero bits, a terminating 1 bit, then param
+    remainder bits; the terminator of value i+1 is the first 1 bit at
+    or after (terminator_i + 1 + param) — 1 bits *inside* a remainder
+    field are payload, not terminators. Over the payload's sorted
+    1-bit index ``ones`` that recurrence is the pointer chase
+    ``j -> nxt[j]`` with ``nxt = searchsorted(ones, ones + 1 + param)``,
+    and the chase is resolved in log2(n) vectorized gathers by index
+    doubling (nxt2 = nxt[nxt] jumps 2 values, nxt4 jumps 4, ...).
+    A valid chain consumes at most param+1 ones per value (terminator
+    + remainder bits), so the slice ``ones[j0 : j0 + n*(param+1) + 1]``
+    provably contains it; reaching the slice end means the stream ran
+    out of 1 bits mid-partition (truncated). Remainders then gather
+    from the 32-bit byte windows exactly like the scalar loop.
+
+    Returns (values int64 array, end bit position), or None to make
+    the caller fall back to the scalar loop (quotient too large for
+    shifted int64 arithmetic — the scalar path has Python bigints)."""
+    ones_np = r._ones_np
+    j0 = int(np.searchsorted(ones_np, pos))
+    span = n * (param + 1) + 1
+    sl = ones_np[j0:j0 + span]
+    m = len(sl)
+    if m == 0:
+        raise ValueError("FLAC rice stream truncated")
+    step = param + 1
+    # nxt with a self-looping sentinel at index m so overshoot is inert
+    nxt = np.empty(m + 1, np.int64)
+    nxt[:m] = np.searchsorted(sl, sl + step)
+    nxt[m] = m
+    idx = np.empty(n, np.int64)
+    idx[0] = 0
+    filled = 1
+    while filled < n:
+        take = min(filled, n - filled)
+        idx[filled:filled + take] = nxt[idx[:take]]
+        filled += take
+        if filled < n:
+            nxt = nxt[nxt]
+    # the chase is monotone (nxt[j] > j below the sentinel), so the
+    # last index is the maximum; hitting the sentinel means the ones
+    # ran out mid-chain (a full slice of span entries provably
+    # contains any valid chain, so this only fires when the slice was
+    # cut short by the global end of the stream's 1 bits)
+    if idx[-1] >= m:
+        raise ValueError("FLAC rice stream truncated")
+    t = sl[idx]
+    q = np.empty(n, np.int64)
+    q[0] = int(t[0]) - pos
+    q[1:] = t[1:] - t[:-1] - step
+    if int(q.max()) >= (1 << 37):
+        return None
+    if param:
+        rpos = t + 1
+        rem = ((r._win_np[rpos >> 3]
+                >> np.uint32(32 - param) - (rpos & 7).astype(np.uint32))
+               & np.uint32((1 << param) - 1)).astype(np.int64)
+        u = (q << param) | rem
+    else:
+        u = q
+    return (u >> 1) ^ -(u & 1), int(t[-1]) + 1 + param
+
+
 def _read_residuals(r: _Reader, block_size: int, order: int) -> np.ndarray:
     method = r.read(2)
     if method > 1:
@@ -259,6 +340,14 @@ def _read_residuals(r: _Reader, block_size: int, order: int) -> np.ndarray:
             pos = r.pos
             oj = bisect.bisect_left(ones, pos)
             continue
+        if param <= 25 and n >= _RICE_VEC_MIN:
+            vec = _rice_decode_vec(r, pos, param, n)
+            if vec is not None:
+                out[k:k + n], pos = vec
+                k += n
+                r.pos = pos
+                oj = bisect.bisect_left(ones, pos)
+                continue
         mask = (1 << param) - 1
         shift_base = 32 - param
         if param > 25:

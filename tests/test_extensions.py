@@ -3113,6 +3113,56 @@ def test_flac_rice_parameter_over_25_fallback():
     np.testing.assert_array_equal(got, vals)
 
 
+def test_flac_rice_vectorized_partition_matches_scalar():
+    """The vectorized whole-partition Rice path (index-doubling
+    terminator chase, r11) must decode bit-identically to the scalar
+    loop — values AND final bit position — across partition sizes
+    straddling _RICE_VEC_MIN, parameter magnitudes, partition orders,
+    all-zero (param 0) partitions, and must agree with it on
+    truncated streams."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import flac as FL
+
+    rng = np.random.default_rng(11)
+    old_min = FL._RICE_VEC_MIN
+    try:
+        for bs, order, porder, scale in [
+                (4096, 0, 0, 3), (4096, 2, 0, 900), (4096, 1, 1, 40),
+                (2048, 4, 1, 70000), (1024, 0, 0, 0.4),
+                (1024, 3, 0, 0), (512, 0, 0, 12)]:
+            nvals = bs - order
+            res = np.round(rng.standard_normal(nvals)
+                           * scale).astype(np.int64)
+            w = FL._Writer()
+            FL._write_residuals(w, res, bs, order, porder)
+            data = w.finish()
+            FL._RICE_VEC_MIN = 10 ** 9          # scalar only
+            r1 = FL._Reader(data)
+            scalar = FL._read_residuals(r1, bs, order)
+            FL._RICE_VEC_MIN = 1                # vector whenever legal
+            r2 = FL._Reader(data)
+            vec = FL._read_residuals(r2, bs, order)
+            np.testing.assert_array_equal(scalar, vec)
+            assert r1.pos == r2.pos
+            np.testing.assert_array_equal(vec, res)
+            # a mid-stream cut must raise the same truncation error
+            cut = data[:len(data) // 3]
+            for vm in (10 ** 9, 1):
+                FL._RICE_VEC_MIN = vm
+                try:
+                    FL._read_residuals(FL._Reader(cut), bs, order)
+                    outcomes = True
+                except ValueError:
+                    outcomes = False
+                if vm == 10 ** 9:
+                    scalar_ok = outcomes
+                else:
+                    assert outcomes == scalar_ok
+    finally:
+        FL._RICE_VEC_MIN = old_min
+
+
 def test_flac_wasted_bits_subframes():
     """Wasted-bits shifts (spec: subframes may drop k trailing zero
     bits; samples are read at bits−k and shifted back): hand-built
