@@ -43,6 +43,7 @@ module exceeds it alongside the FLAC/WAV/AIFF decoders.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -429,6 +430,9 @@ def _requantize(ix: np.ndarray, g: dict, sf: dict, rate: int
     nz = np.nonzero(ix)[0]
     if nz.size == 0:
         return xr
+    # |ix| <= 1 for every supported stream (big-values table 0 decodes
+    # to zeros; count1 table B codes +-1), so the 4/3 power is exactly
+    # 1.0 on any libm (IEEE requires pow(1, y) == 1) — no host seam
     mag = np.abs(ix[nz]).astype(np.float64) ** (4.0 / 3.0)
     sgn = np.sign(ix[nz]).astype(np.float64)
     gg = 0.25 * (g["global_gain"] - 210)
@@ -449,8 +453,32 @@ def _requantize(ix: np.ndarray, g: dict, sf: dict, rate: int
         if g["ws"] and g["block_type"] == 2 and g["mixed"]:
             raise Mp3Unsupported("mixed short/long blocks (rare "
                                  "encoder mode; pure short/long only)")
-    xr[nz] = sgn * mag * np.exp2(exps)
+    xr[nz] = sgn * mag * _exp2_quarter(exps)
     return xr
+
+
+# 2^(f/4) for f = 0..3, correctly rounded float64 (derived once with
+# 50-digit decimal arithmetic; committed as constants so no libm call
+# can shift them per host)
+_EXP2_Q = np.array([1.0,
+                    float.fromhex("0x1.306fe0a31b715p+0"),   # 2^(1/4)
+                    float.fromhex("0x1.6a09e667f3bcdp+0"),   # 2^(1/2)
+                    float.fromhex("0x1.ae89f995ad3adp+0")])  # 2^(3/4)
+
+
+def _exp2_quarter(exps: np.ndarray) -> np.ndarray:
+    """Deterministic 2**exps for exponents that are exact multiples of
+    1/4 (always true here: gains/scalefactors are integers and the
+    scale step is 0.5 or 1.0, all exactly representable). libm exp2 is
+    not correctly rounded on every glibc, so split into an exact
+    power-of-two part (ldexp, pure bit manipulation) times one of four
+    frozen quarter-step constants."""
+    q = 4.0 * exps
+    qi = np.rint(q).astype(np.int64)
+    if not np.array_equal(q, qi.astype(np.float64)):
+        raise Mp3Unsupported("non-quarter-integer requantizer exponent")
+    n, f = np.divmod(qi, 4)
+    return _EXP2_Q[f] * np.ldexp(1.0, n)
 
 
 def _reorder_short(xr: np.ndarray, rate: int) -> np.ndarray:
@@ -479,26 +507,37 @@ def _alias_reduce(xr: np.ndarray) -> None:
             xr[b + i] = hi * _CS[i] + lo * _CA[i]
 
 
+def _matcols_det(A: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Deterministic (A @ X): fixed-order column accumulation with
+    elementwise IEEE ops only. BLAS dgemv/dgemm summation order (and
+    FMA contraction) varies by host build, and a 1-ulp shift in a
+    decoded sample breaks the frozen _MP3_GOLD bit contract — every
+    sum here must be reproducible on any host, forever."""
+    acc = A[:, 0:1] * X[0:1, :]
+    for j in range(1, X.shape[0]):
+        acc += A[:, j:j + 1] * X[j:j + 1, :]
+    return acc
+
+
 def _imdct_granule(xr: np.ndarray, g: dict, store: np.ndarray
                    ) -> np.ndarray:
-    """Per-subband IMDCT + window + overlap-add + frequency inversion.
-    ``store`` is the (32, 18) overlap state, updated in place; returns
-    the granule's (18, 32) time-domain subband samples."""
-    out = np.empty((18, 32))
+    """Per-subband IMDCT + window + overlap-add + frequency inversion,
+    vectorized across all 32 subbands (the granule shares one window
+    type; mixed blocks are a loud seam upstream). ``store`` is the
+    (32, 18) overlap state, updated in place; returns the granule's
+    (18, 32) time-domain subband samples."""
     short = g["ws"] and g["block_type"] == 2
-    for sb in range(32):
-        X = xr[18 * sb:18 * sb + 18]
-        if short:
-            z = np.zeros(36)
-            for w in range(3):
-                zw = _COS12 @ X[3 * np.arange(6) + w]
-                z[6 + 6 * w:18 + 6 * w] += zw * _W12
-        else:
-            z = (_COS36 @ X) * _WIN[g["block_type"]]
-        out[:, sb] = z[:18] + store[sb]
-        store[sb] = z[18:]
-        if sb & 1:                        # frequency inversion
-            out[1::2, sb] = -out[1::2, sb]
+    Xm = xr.reshape(32, 18).T                    # (18, 32)
+    if short:
+        z = np.zeros((36, 32))
+        for w in range(3):
+            zw = _matcols_det(_COS12, Xm[w::3, :]) * _W12[:, None]
+            z[6 + 6 * w:18 + 6 * w, :] += zw
+    else:
+        z = _matcols_det(_COS36, Xm) * _WIN[g["block_type"]][:, None]
+    out = z[:18, :] + store.T
+    store[:, :] = z[18:, :].T
+    out[1::2, 1::2] = -out[1::2, 1::2]           # frequency inversion
     return out
 
 
@@ -849,7 +888,11 @@ def mp3_mdct_features(media_df, id_col: str = "media_id",
                 rows["channels"].append(int(info["channels"]))
                 rows["n_frames"].append(int(info["n_frames"]))
                 rows["n_sub_samples"].append(int(s.size))
-                rows["rms"].append(float(np.sqrt((s * s).mean())))
+                # fsum: exactly rounded sum (order-independent), so
+                # the rms never depends on numpy's reduction kernels
+                rows["rms"].append(math.sqrt(
+                    math.fsum((s * s).ravel()) / s.size) if s.size
+                    else 0.0)
                 rows["peak"].append(float(np.abs(s).max())
                                     if s.size else 0.0)
             yield pd.DataFrame(rows)

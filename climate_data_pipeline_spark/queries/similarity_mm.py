@@ -1932,19 +1932,26 @@ def semantic_clusters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dense alternating signs.
 _MP3_GOLD = [
     # (rms, peak, sample_rate, channels, n_sub_samples) — refrozen r11
-    # after the decoder's trig tables became host-independent
-    # (operators/mp3.py `_sinpi`/`_cospi`: exact integer quadrant
-    # folding + fixed-order Taylor, pure IEEE arithmetic). The r10
-    # goldens were frozen from libm-built tables and broke by 1 ulp
-    # when the sandbox host's glibc changed; these constants are now
-    # reproducible on any host.
+    # after the decoder became fully host-independent. Two passes:
+    # (a) trig tables moved off libm (operators/mp3.py `_sinpi`/
+    # `_cospi`: exact integer quadrant folding + fixed-order Taylor,
+    # pure IEEE arithmetic); (b) the remaining nondeterminism closed —
+    # the IMDCT matvec left BLAS (`_matcols_det`: fixed-order column
+    # accumulation; dgemv summation order/FMA varies per host and
+    # shifted the dense class-6 fixture by 1 ulp), 2^exps became
+    # ldexp x frozen quarter-step constants (`_exp2_quarter`; libm
+    # exp2 is not correctly rounded everywhere), and rms uses
+    # `math.fsum` (exactly rounded, order-independent). Only the
+    # class-6 constants moved (the other classes' sums have <= 2
+    # terms, exact under any order); all are now reproducible on any
+    # host, forever.
     (0.0, 0.0, 44100, 1, 2304),
     (0.11147599487907975, 0.7071067811865476, 44100, 1, 2304),
     (0.15857720758790517, 0.9701425001453323, 44100, 1, 2304),
     (0.08221442393994803, 0.7044160264027586, 44100, 2, 4608),
     (0.06863485746405877, 0.9159756150367534, 44100, 1, 2304),
     (0.11739163693953904, 0.9980973490458729, 32000, 1, 2304),
-    (0.4981412440743758, 7.21636351322307, 44100, 1, 2304),
+    (0.49814124407437593, 7.216363513223071, 44100, 1, 2304),
 ]
 
 
