@@ -63,11 +63,47 @@ def crc8(data: bytes) -> int:
     return c
 
 
+# x^(8s) mod P16 per byte-distance s — CRC is GF(2)-linear, so a whole
+# message folds as XOR_i clmul(byte_i, x^(8*(n-1-i)+16)) mod P: eight
+# vectorized shift-XORs + one reduce replace the per-byte Python loop.
+# The table grows on demand to the longest frame seen (one zero-byte
+# CRC step per entry).
+_CRC16_POW = [1]
+_CRC16_POW_NP = np.array(_CRC16_POW, np.int64)
+
+
+def _crc16_pow(upto: int) -> np.ndarray:
+    global _CRC16_POW_NP
+    t = _CRC16_POW
+    if len(t) <= upto:
+        while len(t) <= upto:
+            c = t[-1]
+            t.append(_CRC16_TABLE[(c >> 8) & 0xFF]
+                     ^ ((c << 8) & 0xFFFF))
+        _CRC16_POW_NP = np.array(t, np.int64)
+    return _CRC16_POW_NP
+
+
 def crc16(data: bytes) -> int:
-    c = 0
-    for b in data:
-        c = _CRC16_TABLE[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
-    return c
+    n = len(data)
+    # crossover measured on 2026-08 sandbox hardware: the table loop
+    # wins to ~600 bytes (35us at 256B vs 54us vectorized), the fold
+    # wins 2.8x at 2.6 KB
+    if n < 512:
+        c = 0
+        for b in data:
+            c = _CRC16_TABLE[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+        return c
+    pow_np = _crc16_pow(n + 1)
+    d = np.frombuffer(data, np.uint8).astype(np.int64)
+    # byte i sits 8*(n-1-i)+16 bits above the remainder: exponent
+    # index (n-1-i)+2 in units of 8 bits
+    e = pow_np[2:n + 2][::-1]
+    prod = ((d & 1) * e)
+    for k in range(1, 8):
+        prod ^= ((d >> k) & 1) * (e << k)
+    v = int(np.bitwise_xor.reduce(prod))          # < 2^23
+    return (v & 0xFFFF) ^ _CRC16_TABLE[v >> 16]
 
 
 class _Reader:
@@ -173,6 +209,24 @@ class _Writer:
             self.write(0, 32)
             n -= 32
         self.write(1, n + 1)
+
+    def write_bitarray(self, bits: np.ndarray) -> None:
+        """Append a 0/1 ``uint8`` bit array in one shot (np.packbits on
+        the byte-aligned body) — the bulk sink for the vectorized
+        residual writer. Bit-exact with per-value ``write`` calls."""
+        if self.nbits:
+            pre = np.empty(self.nbits, np.uint8)
+            for i in range(self.nbits):
+                pre[i] = (self.acc >> (self.nbits - 1 - i)) & 1
+            bits = np.concatenate([pre, bits])
+            self.acc = 0
+            self.nbits = 0
+        nfull = (len(bits) >> 3) << 3
+        if nfull:
+            self.out += np.packbits(bits[:nfull]).tobytes()
+        for b in bits[nfull:].tolist():
+            self.acc = (self.acc << 1) | int(b)
+            self.nbits += 1
 
     def align(self) -> None:
         if self.nbits:
@@ -333,6 +387,20 @@ def _read_residuals(r: _Reader, block_size: int, order: int) -> np.ndarray:
             if raw_bits == 0:
                 out[k:k + n] = 0
                 k += n
+            elif raw_bits <= 25:
+                # n fixed-width fields, back to back: gather all of
+                # them from the 32-bit windows in one shot (a field
+                # plus its <=7-bit intra-byte offset fits in 32 bits)
+                starts = r.pos + raw_bits * np.arange(n, dtype=np.int64)
+                if int(starts[-1]) + raw_bits > 8 * len(r.data):
+                    raise ValueError("FLAC bitstream truncated")
+                v = ((r._win_np[starts >> 3]
+                      >> np.uint32(32 - raw_bits)
+                      - (starts & 7).astype(np.uint32))
+                     & np.uint32((1 << raw_bits) - 1)).astype(np.int64)
+                out[k:k + n] = v - ((v >> (raw_bits - 1)) << raw_bits)
+                k += n
+                r.pos += raw_bits * n
             else:
                 for i in range(n):
                     out[k] = r.read_signed(raw_bits)
@@ -389,6 +457,42 @@ def _read_residuals(r: _Reader, block_size: int, order: int) -> np.ndarray:
     return out
 
 
+# vectorized writer engages at/above this many values per partition
+# (measured single-thread on full build_flac over the bench fixture
+# mix — see OPTIMIZATION_r11.md; per-value _Writer.write costs ~2 us
+# while the bit-array assembly is a dozen whole-partition numpy ops,
+# so the crossover is low) and below this total-bit cap (pathological
+# rice params make sum(q) huge; the scalar loop has Python bigints)
+_ENC_VEC_MIN = 32
+_ENC_VEC_MAX_BITS = 1 << 26
+
+
+def _rice_bits_vec(u: np.ndarray, param: int) -> np.ndarray | None:
+    """0/1 bit array for one whole Rice partition: per value q zero
+    bits, the 1 terminator, param remainder bits MSB-first. None when
+    the partition is too large to assemble (caller falls back)."""
+    q = u >> param
+    ends = np.cumsum(q + 1 + param)
+    total = int(ends[-1])
+    if total > _ENC_VEC_MAX_BITS:
+        return None
+    bits = np.zeros(total, np.uint8)
+    bits[ends - param - 1] = 1
+    for b in range(param):
+        bits[ends - param + b] = ((u >> (param - 1 - b)) & 1)
+    return bits
+
+
+def _raw_bits_vec(chunk: np.ndarray, raw_bits: int) -> np.ndarray:
+    """0/1 bit array for an escaped partition: n fixed-width two's-
+    complement fields, MSB-first."""
+    vals = chunk.astype(np.int64) & ((1 << raw_bits) - 1)
+    m = np.empty((len(vals), raw_bits), np.uint8)
+    for b in range(raw_bits):
+        m[:, b] = (vals >> (raw_bits - 1 - b)) & 1
+    return m.reshape(-1)
+
+
 def _write_residuals(w: _Writer, res: np.ndarray, block_size: int,
                      order: int, porder: int = 0,
                      force_escape: bool = False) -> None:
@@ -405,20 +509,29 @@ def _write_residuals(w: _Writer, res: np.ndarray, block_size: int,
                            .bit_length() + 1)
             w.write(15, 4)
             w.write(raw_bits, 5)
-            for v in chunk:
-                w.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
+            if n >= _ENC_VEC_MIN:
+                w.write_bitarray(_raw_bits_vec(chunk, raw_bits))
+            else:
+                for v in chunk:
+                    w.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
         else:
             mean = float(u.mean()) if len(u) else 0.0
             param = max(0, int(mean).bit_length() - 1) if mean >= 1 \
                 else 0
             param = min(param, 14)
             w.write(param, 4)
-            # one write per value: q leading zeros, the terminating 1,
-            # and the param-bit remainder as a single chunk
-            terminator = 1 << param
-            mask = terminator - 1
-            for v in u.tolist():
-                w.write(terminator | (v & mask), (v >> param) + 1 + param)
+            bits = _rice_bits_vec(u, param) if n >= _ENC_VEC_MIN \
+                else None
+            if bits is not None:
+                w.write_bitarray(bits)
+            else:
+                # one write per value: q leading zeros, the
+                # terminating 1, and the param-bit remainder
+                terminator = 1 << param
+                mask = terminator - 1
+                for v in u.tolist():
+                    w.write(terminator | (v & mask),
+                            (v >> param) + 1 + param)
         pos += n
 
 
@@ -461,12 +574,28 @@ def _read_subframe(r: _Reader, block_size: int, bits: int) -> np.ndarray:
             raise ValueError("FLAC negative LPC shift")
         coefs = [r.read_signed(precision) for _ in range(order)]
         res = _read_residuals(r, block_size, order)
-        out = np.empty(block_size, np.int64)
-        out[:order] = warm
-        for i in range(order, block_size):
-            pred = sum(c * int(out[i - 1 - j])
-                       for j, c in enumerate(coefs)) >> shift
-            out[i] = res[i - order] + pred
+        if shift == 0 and order <= 4 \
+                and tuple(coefs) == FIXED_COEFS[order]:
+            # LPC carrying the binomial FIXED-k coefficients at shift
+            # 0 IS the k-th finite-difference predictor (encoders emit
+            # this shape when the quantizer lands on the fixed poles):
+            # reconstruct by the same integer-exact cumsum pyramid as
+            # the FIXED branch instead of a per-sample Python loop
+            wa = np.asarray(warm, np.int64)
+            cur = res
+            for j in range(order, 0, -1):
+                cur = np.diff(wa, n=j - 1)[-1] + np.cumsum(cur)
+            out = np.concatenate([wa, cur])
+        else:
+            # genuine LPC is a serial recurrence; keep the loop on
+            # plain Python ints (numpy scalar indexing is ~3x slower)
+            hist = list(map(int, warm))
+            rl = res.tolist()
+            for i in range(block_size - order):
+                pred = sum(c * hist[-1 - j]
+                           for j, c in enumerate(coefs)) >> shift
+                hist.append(rl[i] + pred)
+            out = np.array(hist, np.int64)
     else:
         raise ValueError(f"FLAC reserved subframe type {stype}")
     return out << wasted if wasted else out

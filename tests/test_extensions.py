@@ -3163,6 +3163,101 @@ def test_flac_rice_vectorized_partition_matches_scalar():
         FL._RICE_VEC_MIN = old_min
 
 
+def test_flac_vectorized_encoder_bit_identical():
+    """The whole-partition bit-array writer (r11: _rice_bits_vec /
+    _raw_bits_vec + _Writer.write_bitarray) must emit BYTE-identical
+    streams to the per-value write() loop across partition orders,
+    residual magnitudes, escape partitions, and misaligned writer
+    state (odd leading bit counts)."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import flac as FL
+
+    rng = np.random.default_rng(23)
+    old_min = FL._ENC_VEC_MIN
+    try:
+        for bs, order, porder, scale, escape in [
+                (512, 2, 2, 900, False), (512, 1, 0, 40, False),
+                (1024, 0, 1, 0, False), (4096, 3, 2, 70000, False),
+                (512, 2, 1, 30000, True), (256, 0, 0, 5, True)]:
+            res = np.round(rng.standard_normal(bs - order)
+                           * scale).astype(np.int64)
+            outs = []
+            for vec_min in (1, 10 ** 9):
+                FL._ENC_VEC_MIN = vec_min
+                w = FL._Writer()
+                w.write(0b101, 3)       # misalign: partial byte state
+                FL._write_residuals(w, res, bs, order, porder,
+                                    force_escape=escape)
+                outs.append(w.finish())
+            assert outs[0] == outs[1], (bs, order, porder, escape)
+    finally:
+        FL._ENC_VEC_MIN = old_min
+
+
+def test_flac_crc16_fold_matches_table_loop():
+    """The GF(2)-linear crc16 fold (r11) must equal the byte-wise
+    table loop on both sides of its size gate, including the empty
+    and single-byte edges."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import flac as FL
+
+    def table_loop(data: bytes) -> int:
+        c = 0
+        for b in data:
+            c = FL._CRC16_TABLE[((c >> 8) ^ b) & 0xFF] \
+                ^ ((c << 8) & 0xFFFF)
+        return c
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 7, 511, 512, 513, 1000, 4096):
+        for _ in range(4):
+            d = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+            assert FL.crc16(d) == table_loop(d), n
+
+
+def test_flac_escape_vector_read_and_lpc_fast_path():
+    """r11 decode fast paths: (a) escaped raw partitions gather all
+    fixed-width fields in one shot — roundtrip must stay lossless and
+    truncation loud; (b) LPC carrying the FIXED-k binomial at shift 0
+    reconstructs via the cumsum pyramid — must equal the generic
+    per-sample recurrence (forced by hiding the coefficient match)."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import flac as FL
+
+    rng = np.random.default_rng(17)
+    # (a) escaped partitions, raw widths spanning the 25-bit vec limit
+    # (3e7 forces raw_bits ~27 > 25: the scalar fallback arm)
+    for scale in (5, 3000, 30000, 3e7):
+        res = np.round(rng.standard_normal(1022) * scale).astype(
+            np.int64)
+        w = FL._Writer()
+        FL._write_residuals(w, res, 1024, 2, 1, force_escape=True)
+        data = w.finish()
+        got = FL._read_residuals(FL._Reader(data), 1024, 2)
+        np.testing.assert_array_equal(got, res)
+        try:
+            FL._read_residuals(FL._Reader(data[:len(data) // 2]),
+                               1024, 2)
+            raise AssertionError("truncated escape stream not loud")
+        except ValueError:
+            pass
+    # (b) lpc2 stream: fast path vs generic loop, bit-identical
+    s = (rng.integers(-128, 128, size=2048) * 256).astype(np.int64)
+    blob = FL.build_flac(s, block_size=512, mode="lpc2", porder=1)
+    fast = FL.decode_flac(blob)["samples"]
+    old = FL.FIXED_COEFS
+    try:
+        FL.FIXED_COEFS = ((), (None,), (None,), (None,), (None,))
+        generic = FL.decode_flac(blob)["samples"]
+    finally:
+        FL.FIXED_COEFS = old
+    np.testing.assert_array_equal(fast, generic)
+    np.testing.assert_array_equal(fast.ravel(), s)
+
+
 def test_flac_wasted_bits_subframes():
     """Wasted-bits shifts (spec: subframes may drop k trailing zero
     bits; samples are read at bits−k and shifted back): hand-built
