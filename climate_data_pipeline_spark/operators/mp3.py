@@ -876,25 +876,44 @@ def mp3_mdct_features(media_df, id_col: str = "media_id",
     import pandas as pd
 
     def _decode(batches):
+        # content-addressed decode dedup: features are a pure function
+        # of the payload bytes, and real corpora (and the fixtures)
+        # carry byte-identical streams many times over — decode each
+        # distinct payload once per task and reuse the feature tuple.
+        # Bounded like the video frame memo (~2-3 KB/stream, so the
+        # 50k cap is ~150 MB worst case); within one task of one run,
+        # never across runs.
+        memo: dict[bytes, tuple] = {}
+
+        def feats(payload: bytes) -> tuple:
+            got = memo.get(payload)
+            if got is None:
+                s, info = decode_mp3(payload)
+                got = (int(info["sample_rate"]), int(info["channels"]),
+                       int(info["n_frames"]), int(s.size),
+                       # fsum: exactly rounded sum (order-independent),
+                       # so the rms never depends on numpy reductions
+                       math.sqrt(math.fsum((s * s).ravel()) / s.size)
+                       if s.size else 0.0,
+                       float(np.abs(s).max()) if s.size else 0.0)
+                if len(memo) < 50_000:
+                    memo[payload] = got
+            return got
+
         for pdf in batches:
             rows = {"media_id": [], "sample_rate": [], "channels": [],
                     "n_frames": [], "n_sub_samples": [], "rms": [],
                     "peak": []}
             for mid, payload in zip(pdf[id_col].astype("int64"),
                                     pdf[payload_col]):
-                s, info = decode_mp3(bytes(payload))
+                sr, ch, nf, ns, rms, peak = feats(bytes(payload))
                 rows["media_id"].append(int(mid))
-                rows["sample_rate"].append(int(info["sample_rate"]))
-                rows["channels"].append(int(info["channels"]))
-                rows["n_frames"].append(int(info["n_frames"]))
-                rows["n_sub_samples"].append(int(s.size))
-                # fsum: exactly rounded sum (order-independent), so
-                # the rms never depends on numpy's reduction kernels
-                rows["rms"].append(math.sqrt(
-                    math.fsum((s * s).ravel()) / s.size) if s.size
-                    else 0.0)
-                rows["peak"].append(float(np.abs(s).max())
-                                    if s.size else 0.0)
+                rows["sample_rate"].append(sr)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(nf)
+                rows["n_sub_samples"].append(ns)
+                rows["rms"].append(rms)
+                rows["peak"].append(peak)
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(

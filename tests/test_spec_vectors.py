@@ -56,8 +56,11 @@ def test_ogg_crc_against_bitwise_rederivation():
                     if reg & 0x80000000 else (reg << 1) & 0xFFFFFFFF
         return reg
 
+    # lengths straddle the r11 vectorized-fold gate (512 bytes): the
+    # table loop below it, the GF(2) fold above it, both exact
     for blob in (b"", b"\x00", b"123456789", b"OggS" * 33,
-                 bytes(range(256))):
+                 bytes(range(256)), b"\xa5" * 511, b"\x5a" * 512,
+                 bytes(range(256)) * 3, b"OggS" * 1024):
         assert ogg_crc(blob) == bitwise(blob)
 
 
