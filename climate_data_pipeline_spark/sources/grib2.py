@@ -462,13 +462,26 @@ def lambert_latlon(ni: int, nj: int, la1: float, lo1: float,
     return lat, lon
 
 
+_GAUSS_LAT_CACHE: dict[int, np.ndarray] = {}
+
+
 def gaussian_latitudes(n: int) -> np.ndarray:
     """The 2N regular-Gaussian-grid latitudes (degrees, north→south):
     arcsines of the Legendre-polynomial P_2N roots — the quadrature
     nodes ECMWF's N-series grids are defined on (public WMO template
-    3.40 / ECMWF grid documentation)."""
-    nodes, _w = np.polynomial.legendre.leggauss(2 * int(n))
-    return np.degrees(np.arcsin(nodes))[::-1].copy()
+    3.40 / ECMWF grid documentation). Memoized per N: the leggauss
+    eigensolve was the DOMINANT per-message cost of reduced-Gaussian
+    parse/build, yet the nodes are a pure function of the grid size
+    (an ingest run sees a handful of N values across millions of
+    messages)."""
+    n = int(n)
+    got = _GAUSS_LAT_CACHE.get(n)
+    if got is None:
+        nodes, _w = np.polynomial.legendre.leggauss(2 * n)
+        got = np.degrees(np.arcsin(nodes))[::-1].copy()
+        if len(_GAUSS_LAT_CACHE) < 1024:
+            _GAUSS_LAT_CACHE[n] = got
+    return got.copy()       # callers own their array; cache stays pure
 
 
 def parse_grib2(data: bytes) -> list[dict]:
