@@ -43,6 +43,24 @@ from .text import _spread, fingerprint, words
 _ARR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _ARR_CACHE_MAX = 4
 
+# source_overlap_matrix: its source-set subtree has THREE consumers
+# (totals twice, the pair explode), and AQE's stage cache does not
+# reuse the identical exchanges (verified: executed plan shows 3
+# parquet scans, 0 ReusedExchange with AQE on; with AQE off the
+# classic ReuseExchange rule collapses them to 1 scan + 2
+# ReusedExchange — an AQE gap, not a plan-shape bug). A lazy
+# localCheckpoint materializes the set table once per execution, but
+# it also hides the collect_set pipeline behind an ExistingRDD scan in
+# explain output (blinding the plan-audit gate) and measured only
+# +3-7% at sf0.1 where the pruned recomputes are cheap. So the gate is
+# SCALE-ADAPTIVE like the minhash hot-bucket guard: below the size
+# threshold the plan stays fully visible and Spark recomputes the
+# small subtree; above it (where a 3x corpus re-scan dominates
+# everything) the checkpoint arm engages. Results are identical either
+# way (same rows; the gate can never flip a hash). None = auto.
+SOURCE_OVERLAP_CHECKPOINT: bool | None = None
+SOURCE_OVERLAP_CKPT_MIN_BYTES = 256 * 1024 * 1024
+
 
 def _cache_bounded(df: DataFrame) -> DataFrame:
     """``df.cache()`` with an LRU lifetime: at most ``_ARR_CACHE_MAX``
@@ -1422,6 +1440,18 @@ def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
         sets = (ss.groupBy("shingle")
                   .agg(F.array_sort(F.collect_set("__src"))
                         .alias("__set")))
+    # three consumers read ``sets``; see SOURCE_OVERLAP_CHECKPOINT for
+    # why the shared subtree is materialized above the size gate and
+    # recomputed (with a fully visible plan) below it. The shingle
+    # column is dropped first — no consumer reads it, so only the
+    # source-set arrays ever materialize.
+    ckpt = SOURCE_OVERLAP_CHECKPOINT
+    if ckpt is None:
+        ckpt = _input_bytes(df) >= SOURCE_OVERLAP_CKPT_MIN_BYTES
+    if ckpt:
+        sets = sets.select("__set").localCheckpoint(eager=False)
+    else:
+        sets = sets.select("__set")
     totals = (sets.select(F.explode("__set").alias("__src"))
                   .groupBy("__src").agg(F.count("*").alias("n_total")))
     srcs = sets.where(F.size("__set") >= 2)

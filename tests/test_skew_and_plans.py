@@ -347,10 +347,41 @@ def test_perplexity_stream_single_join_and_no_cartesian(spark, sf_small):
 def test_source_overlap_no_distinct_before_collect_set(spark, sf_small):
     """collect_set's partial aggregation IS the dedup — a separate
     distinct() would add a full-stream shuffle. The pair explode must
-    be an ordinary Generate, never a self-join of the stream."""
+    be an ordinary Generate, never a self-join of the stream. (Below
+    the r11 checkpoint size gate the plan stays fully visible — this
+    test is also the guard that the gate defaults OFF at test scale.)"""
     plan = _plan(spark, sf_small, "corpus_source_overlap")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert plan.count("partial_collect_set") >= 1
+    assert "ExistingRDD" not in plan
+
+
+def test_source_overlap_checkpoint_gate(spark, sf_small):
+    """r11: the source-set subtree has three consumers and AQE never
+    reuses their exchanges, so above a size gate the subtree is
+    materialized once (lazy localCheckpoint). Forcing the arm on must
+    (a) show the checkpoint boundary in the plan and (b) return
+    EXACTLY the rows of the visible-plan arm — the gate can never
+    flip a result."""
+    from climate_data_pipeline_spark.operators import dedup as D
+
+    name = "corpus_source_overlap"
+    old = D.SOURCE_OVERLAP_CHECKPOINT
+    try:
+        D.SOURCE_OVERLAP_CHECKPOINT = True
+        plan_on = _plan(spark, sf_small, name)
+        assert "ExistingRDD" in plan_on
+        from climate_data_pipeline_spark.registry import queries
+        on = queries()[name](spark, sf_small).toPandas()
+        D.SOURCE_OVERLAP_CHECKPOINT = False
+        off = queries()[name](spark, sf_small).toPandas()
+    finally:
+        D.SOURCE_OVERLAP_CHECKPOINT = old
+    key = ["source_a", "source_b"]
+    on = on.sort_values(key).reset_index(drop=True)
+    off = off.sort_values(key).reset_index(drop=True)
+    import pandas.testing as pt
+    pt.assert_frame_equal(on, off)
 
 
 def test_multiprobe_is_bucket_equi_join(spark, sf_small):
