@@ -36,6 +36,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 ENGLISH_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
                      "it", "that", "this", "for", "on", "with", "as", "at")
 
+# lm_perplexity: materialize the bigram pair-count table once above a
+# size gate (see the comment at its use site; None = auto by input
+# size, True/False force an arm for A/B and tests)
+LM_PC_CHECKPOINT: bool | None = None
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Rebalance a DataFrame whose scan yields fewer partitions than the
@@ -573,10 +578,13 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
     engine-portable; the keep flag compares the round-6 average, never
     a raw float.
 
-    Plan shape: tokenize once, one bounded bigram explode reused for
-    BOTH the LM counts and the scoring stream; the conditional-total
-    table derives from the pair counts (no second pass over the data);
-    V is a broadcast one-row aggregate. The fully-scored LM — pair
+    Plan shape: the conditional-total table derives from the bigram
+    pair counts; above a size gate the pair-count table (vocab²-
+    bounded) is materialized once so its two consumers share it —
+    AQE's stage cache does not reuse their identical exchanges (r11,
+    see LM_PC_CHECKPOINT) — and the corpus then pays exactly three
+    passes: pair counts, vocabulary, scoring. V is a broadcast
+    one-row aggregate. The fully-scored LM — pair
     count ⋈ context total ⋈ V, with the micro-nat log-prob already
     computed — is assembled on the vocabulary-sized side FIRST, so the
     token stream pays exactly ONE equi join + one grouped sum. No
@@ -597,8 +605,22 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
     if lm is not None:
         pc, cc, vocab = lm
     else:
-        pc, cc, vocab = train_bigram_lm(ref if ref is not None else df,
-                                        text_col, id_col)
+        train = ref if ref is not None else df
+        pc, cc, vocab = train_bigram_lm(train, text_col, id_col)
+        # pc has TWO consumers (the LM join side and the context-total
+        # derivation) and AQE's stage cache does not reuse their
+        # identical exchanges (the same gap documented at
+        # dedup.SOURCE_OVERLAP_CHECKPOINT), so the corpus-wide bigram
+        # aggregation re-runs per consumer. Above the size gate,
+        # materialize the vocab²-bounded pair-count table once (lazy —
+        # inside the timed action, recomputed from parquet per run);
+        # below it the plan stays fully visible for the audit gate.
+        from .dedup import SOURCE_OVERLAP_CKPT_MIN_BYTES, _input_bytes
+        if LM_PC_CHECKPOINT or (LM_PC_CHECKPOINT is None and
+                                _input_bytes(train)
+                                >= SOURCE_OVERLAP_CKPT_MIN_BYTES):
+            pc = pc.localCheckpoint(eager=False)
+            cc = pc.groupBy("cur").agg(F.sum("__c").alias("__total"))
     if ref is None and lm is None:
         # self-trained: every scored bigram exists in the LM, so the
         # fully-scored LM assembles vocabulary-side and the token

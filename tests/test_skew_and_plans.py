@@ -384,6 +384,32 @@ def test_source_overlap_checkpoint_gate(spark, sf_small):
     pt.assert_frame_equal(on, off)
 
 
+def test_lm_perplexity_pc_checkpoint_gate(spark, sf_small):
+    """r11: the bigram pair-count table has two consumers (LM join
+    side, context totals) and AQE never reuses their exchanges; above
+    the size gate it is materialized once. Forcing the arm on must
+    show the checkpoint boundary and return exactly the visible-plan
+    arm's rows; the default at test scale keeps the plan visible."""
+    from climate_data_pipeline_spark.operators import text as T
+    from climate_data_pipeline_spark.registry import queries
+
+    name = "text_perplexity"
+    plan = _plan(spark, sf_small, name)
+    assert "ExistingRDD" not in plan        # gate off at test scale
+    old = T.LM_PC_CHECKPOINT
+    try:
+        T.LM_PC_CHECKPOINT = True
+        on = queries()[name](spark, sf_small).toPandas()
+        T.LM_PC_CHECKPOINT = False
+        off = queries()[name](spark, sf_small).toPandas()
+    finally:
+        T.LM_PC_CHECKPOINT = old
+    on = on.sort_values("doc_id").reset_index(drop=True)
+    off = off.sort_values("doc_id").reset_index(drop=True)
+    import pandas.testing as pt
+    pt.assert_frame_equal(on, off)
+
+
 def test_multiprobe_is_bucket_equi_join(spark, sf_small):
     plan = _plan(spark, sf_small, "sim_lsh_multiprobe")
     assert "CartesianProduct" not in plan
