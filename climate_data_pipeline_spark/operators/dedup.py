@@ -333,6 +333,25 @@ MINHASH_HOT_BUCKET = 1024
 MINHASH_GUARD_MIN_BYTES = 256 * 1024 * 1024
 
 
+def checkpoint_above_gate(small: DataFrame, source: DataFrame,
+                          force: bool | None = None,
+                          min_bytes: int | None = None) -> DataFrame:
+    """Size-gated lazy materialization of a SMALL table that several
+    consumers derive from a BIG source scan. AQE's stage cache does
+    not reuse identical exchanges across consumers (see
+    SOURCE_OVERLAP_CHECKPOINT), so each consumer re-runs the source
+    scan; above the gate the small table is materialized once per
+    execution (lazy localCheckpoint — inside the timed action,
+    recomputed from the inputs every run), below it the plan stays
+    fully visible for the audit gate. ``force`` pins an arm (tests /
+    A/B); results are identical either way."""
+    if min_bytes is None:
+        min_bytes = SOURCE_OVERLAP_CKPT_MIN_BYTES
+    engage = force if force is not None \
+        else _input_bytes(source) >= min_bytes
+    return small.localCheckpoint(eager=False) if engage else small
+
+
 def _input_bytes(df: DataFrame) -> int:
     """Total size of the scan's backing files — a driver-side metadata
     peek (0 for non-file sources)."""

@@ -410,6 +410,36 @@ def test_lm_perplexity_pc_checkpoint_gate(spark, sf_small):
     pt.assert_frame_equal(on, off)
 
 
+def test_auto_checkpoint_gates_preserve_results(spark, sf_small):
+    """r11: every auto size-gated materialization site
+    (dedup.checkpoint_above_gate consumers — temperature weights,
+    seasonal Mann-Kendall) must return exactly the visible-plan arm's
+    rows when the gate is forced on by zeroing the byte threshold."""
+    import pandas.testing as pt
+
+    from climate_data_pipeline_spark.operators import dedup as D
+    from climate_data_pipeline_spark.registry import queries
+
+    names = ["lang_temperature_resample", "a9_seasonal_mann_kendall"]
+    base = {}
+    for n in names:
+        base[n] = queries()[n](spark, sf_small).toPandas()
+    old = D.SOURCE_OVERLAP_CKPT_MIN_BYTES
+    try:
+        D.SOURCE_OVERLAP_CKPT_MIN_BYTES = 0
+        # prove the arm actually engaged (else the equality below is
+        # vacuous): the checkpoint boundary shows as an RDD scan
+        assert "ExistingRDD" in _plan(spark, sf_small, names[0])
+        for n in names:
+            got = queries()[n](spark, sf_small).toPandas()
+            cols = list(base[n].columns)
+            pt.assert_frame_equal(
+                got.sort_values(cols).reset_index(drop=True),
+                base[n].sort_values(cols).reset_index(drop=True))
+    finally:
+        D.SOURCE_OVERLAP_CKPT_MIN_BYTES = old
+
+
 def test_multiprobe_is_bucket_equi_join(spark, sf_small):
     plan = _plan(spark, sf_small, "sim_lsh_multiprobe")
     assert "CartesianProduct" not in plan
