@@ -72,14 +72,25 @@ def query(name: str, oracle: str | None = None):
 # follows in registration order, so ~35 of the long-standing names stay
 # in the sample for round-over-round continuity. Refresh each round.
 DRIVER_ROTATION = [
-    # CHANGED in round 11 (optimization round): the J2K Tier-1/DWT
-    # rewrite rides under s_grib2_jpeg2000_ingest; the MP3 chain's
-    # host-independent trig tables + refrozen goldens under
-    # mm_decode_mp3; the hot-bucket sub-split + size gate under the
-    # minhash family; the gram-key change under text_duplicate_spans;
-    # the _spread rebalance under crawl_main_content; the robots
-    # group-grammar fix under crawl_robots_screen.
-    "mm_decode_mp3", "s_grib2_jpeg2000_ingest", "crawl_main_content",
+    # CHANGED in round 11 (optimization round). r11a: the J2K
+    # Tier-1/DWT rewrite rides under s_grib2_jpeg2000_ingest; the
+    # hot-bucket sub-split + size gate under the minhash family; the
+    # gram-key change under text_duplicate_spans; the _spread
+    # rebalance under crawl_main_content; the robots group-grammar
+    # fix under crawl_robots_screen. r11b: the fully host-independent
+    # MP3 chain + content-addressed decode memo under mm_decode_mp3;
+    # the vectorized Rice encoder / escape reads / LPC fast path /
+    # crc16 fold under mm_decode_flac (and the mm_decode umbrella);
+    # the Ogg CRC fold under mm_audio_container_meta; the
+    # Gaussian-latitude memo under s_grib2_reduced_ingest; the
+    # size-gated shared-subtree materializations under
+    # corpus_source_overlap(_dfcap), text_perplexity,
+    # lang_temperature_resample and a9_seasonal_mann_kendall.
+    "mm_decode_mp3", "mm_decode_flac", "mm_audio_container_meta",
+    "s_grib2_reduced_ingest", "corpus_source_overlap",
+    "corpus_source_overlap_dfcap", "text_perplexity",
+    "lang_temperature_resample", "a9_seasonal_mann_kendall",
+    "mm_decode", "s_grib2_jpeg2000_ingest", "crawl_main_content",
     "text_duplicate_spans", "dedup_minhash", "dedup_minhash_affine",
     "dedup_incremental", "crawl_robots_screen", "text_url_canonicalize",
     "crawl_sitemap_extract",
