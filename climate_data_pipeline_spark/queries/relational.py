@@ -149,7 +149,13 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      f"{year}-12-31"))
                  .select("o_custkey").distinct())
 
-    c95, c96 = cohort(1995), cohort(1996)
+    # each cohort feeds THREE set operations; AQE never reuses their
+    # identical exchanges, so the fact table was scanned six times
+    # (executed-plan audit, r11) — above the size gate each
+    # |customers|-bounded cohort materializes once
+    from ..operators.dedup import checkpoint_above_gate
+    c95 = checkpoint_above_gate(cohort(1995), o)
+    c96 = checkpoint_above_gate(cohort(1996), o)
     rows = [
         ("intersect", c95.intersect(c96)),
         ("except", c95.exceptAll(c96).distinct()),
