@@ -129,7 +129,11 @@ WITH capped AS (
                    WHEN 'fr' THEN 10000 END AS budget
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+-- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders as
+-- float64 ("9605.0") while Spark's long prints "9605" — a textual
+-- hash mismatch with identical values. BIGINT keeps both sides int64.
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM capped
 WHERE budget IS NOT NULL AND cum <= budget
 GROUP BY lang

@@ -1318,10 +1318,19 @@ def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd id BIG-endian "MM"), and ``operators/exif.py`` walks the
     marker stream and IFD chain back out. The oracle re-derives every
     field arithmetically from the id: a wrong byte order, IFD offset,
-    rational layout, or hemisphere sign shifts the hash."""
-    from ..operators.exif import attach_exif, exif_metadata
+    rational layout, or hemisphere sign shifts the hash.
+
+    Render + EXIF attach fuse into ONE synthesis kernel
+    (``post=exif_jpeg_post``, byte-identical to the two-stage
+    ``attach_exif`` composition — test-pinned): the query's sf0.1 cost
+    is the per-Python-stage framework floor, so the third mapInPandas
+    stage paid a full payload JVM↔Python round trip for ~0.1 s of
+    kernel CPU (guide §4). The parse stage — the operator under test —
+    stays its own kernel."""
+    from ..operators.exif import exif_jpeg_post, exif_metadata
     docs = load_table(spark, sf_dir, "documents")
-    media = attach_exif(MM.synthesize_jpeg(docs, "doc_id", "text"))
+    media = MM.synthesize_jpeg(docs, "doc_id", "text",
+                               post=exif_jpeg_post)
     return (exif_metadata(media)
             .select("media_id", "byte_order", "orientation", "make",
                     "model", "datetime", "iso", "exposure_s",
@@ -1720,21 +1729,26 @@ pb AS (
 
 @query("mm_features", oracle=f"""
 WITH {_PAYLOAD_BYTES_CTE.strip()}
-SELECT media_id,
-       list_transform(range(16),
-         k -> len(list_filter(bytes, b -> b // 16 = k))
-              / greatest(len(bytes), 1)) AS features
-FROM pb
+SELECT media_id, CAST(k AS INTEGER) AS bin,
+       len(list_filter(bytes, b -> b // 16 = k))
+         / greatest(len(bytes), 1) AS value
+FROM pb, range(16) t(k)
 """)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors (array<double>) from binary payloads
-    — the encoder-model stand-in, Arrow-batched. The oracle re-derives
+    """Byte-histogram feature vectors from binary payloads — the
+    encoder-model stand-in, Arrow-batched
+    (`operators/multimodal.byte_histogram_features` still emits the
+    array<double> column downstream consumers use). The declared query
+    explodes the vector to (media_id, bin, value) rows because the
+    driver's canonicalizer cannot sort raw array cells (pandas
+    sort_values → "unhashable type: 'list'"); the oracle re-derives
     every byte from hex(encode(text)) and the same count/total
-    division, so the feature vectors are value-checked, not
-    rows-only."""
+    division, so every vector element stays value-checked."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload(docs, "doc_id", "text")
-    return MM.byte_histogram_features(media)
+    feats = MM.byte_histogram_features(media)
+    return feats.select("media_id",
+                        F.posexplode("features").alias("bin", "value"))
 
 
 @query("mm_frame_sample", oracle=f"""

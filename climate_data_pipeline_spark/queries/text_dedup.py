@@ -1462,7 +1462,7 @@ WITH enc AS (
   FROM documents
 )
 SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
-       tokens[1:12] AS tokens_head
+       array_to_string(tokens[1:12], '|') AS tokens_head
 FROM enc
 """
 
@@ -1475,11 +1475,15 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size, and the output is the training-ready token
     stream. The oracle replays the exact merge passes as sentinel-
     delimited string rewrites, so tokens are value-checked
-    end-to-end."""
+    end-to-end. tokens_head is emitted '|'-joined (tokens are
+    [a-z0-9]+, so the delimiter is unambiguous): the driver's
+    canonicalizer cannot sort raw array cells (pandas sort_values →
+    "unhashable type: 'list'")."""
     docs = load_table(spark, sf_dir, "documents")
     return (TX.bpe_encode(docs, "text", _BPE_PINNED_MERGES)
             .select("doc_id", "n_tokens",
-                    F.slice("tokens", 1, 12).alias("tokens_head")))
+                    F.concat_ws("|", F.slice("tokens", 1, 12))
+                     .alias("tokens_head")))
 
 
 @query("er_customer_clusters", oracle="""

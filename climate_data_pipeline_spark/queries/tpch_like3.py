@@ -140,12 +140,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("tpch_q12_late_shipment_priority", oracle="""
+-- CASTs: DuckDB SUM(int) yields HUGEINT → float64 in pandas, a textual
+-- hash mismatch vs Spark's int64 (same values); BIGINT aligns dtypes.
 SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 365
             THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'

@@ -45,9 +45,31 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.reset_index(drop=True)
 
 
+def _assert_driver_canonicalizable(pdf: pd.DataFrame, side: str, name: str) -> None:
+    """The driver's canonicalizer (unlike normalize() below) has no
+    list→tuple rescue and hashes CSV text with default float formatting:
+    a raw array/struct cell crashes its pandas sort_values with
+    "unhashable type" (mm_features, r11 gate) and an int64-vs-float64
+    dtype split prints "9605" vs "9605.0" — a hash mismatch on equal
+    values (corpus_token_budget_mix, r11 gate: DuckDB SUM(BIGINT) →
+    HUGEINT → float64). Enforce both driver rules on BOTH engines'
+    outputs so the local gate predicts the driver's."""
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            bad = pdf[c].map(lambda v: isinstance(v, (list, np.ndarray, dict)))
+            assert not bad.any(), (
+                f"[{name}] {side} column {c!r} holds raw array/struct cells — "
+                f"the driver's canonicalizer cannot sort them; emit rows or a "
+                f"delimited string instead"
+            )
+
+
 def assert_parity(spark_df, sql: str, sf_dir: str, name: str = "?") -> None:
-    got = normalize(spark_df.toPandas())
-    want = normalize(run_oracle(sql, sf_dir))
+    got = spark_df.toPandas()
+    want = run_oracle(sql, sf_dir)
+    _assert_driver_canonicalizable(got, "spark", name)
+    _assert_driver_canonicalizable(want, "oracle", name)
+    got, want = normalize(got), normalize(want)
 
     assert list(got.columns) == list(want.columns), (
         f"[{name}] column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
@@ -63,6 +85,16 @@ def assert_parity(spark_df, sql: str, sf_dir: str, name: str = "?") -> None:
         if gk in "iu" and wk in "iu":
             assert got[c].dtype == want[c].dtype, (
                 f"[{name}] integer width mismatch on {c}: {got[c].dtype} vs {want[c].dtype}"
+            )
+        # int-vs-float split: equal values hash differently as CSV text
+        # in the driver ("9605" vs "9605.0") — e.g. an uncast DuckDB
+        # SUM(BIGINT) (→ HUGEINT → float64) against a Spark long
+        if gk in _NUMERIC and wk in _NUMERIC:
+            assert (gk in "iu") == (wk in "iu") and (gk == "b") == (wk == "b"), (
+                f"[{name}] numeric dtype split on {c}: {got[c].dtype} vs "
+                f"{want[c].dtype} — the driver hashes these as different "
+                f"text; CAST the oracle (or the query) so both sides share "
+                f"an int, float or bool dtype"
             )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True,
                                   obj=f"query {name}")
