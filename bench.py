@@ -268,7 +268,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    def run_once(name: str) -> float:
+    # r12 (round-11 verdict ask #2): timed iterations run COLD.
+    # Operator-level .cache()/.persist() sites (minhash signature
+    # tables, jaccard shingle arrays, contamination blooms) are matched
+    # by Spark's CacheManager across per-iteration rebuilt DataFrames,
+    # so warmup used to populate them and the timed iterations read
+    # warm intermediates (measured r11: dedup_minhash 0.73-1.01 s warm
+    # vs 1.26-1.64 s cold). Clearing BEFORE the timer of every timed
+    # iteration makes each measurement a first run: cache population
+    # cost lands inside the timed region, nothing persists between
+    # iterations. Methodology change is additions-only (same query
+    # names, same noop sink, same n/warmup); declared loudly in
+    # PERFORMANCE.md + OPTIMIZATION_r12.md and flagged as "cold": 1 in
+    # the env block. Warmups still run (JIT/codegen/scan-listing warm,
+    # as any steady-state cluster would be); only Spark-cached DATA is
+    # dropped.
+    from climate_data_pipeline_spark.operators.dedup import (
+        clear_intermediate_caches,
+    )
+
+    def run_once(name: str, cold: bool = True) -> float:
+        if cold:
+            clear_intermediate_caches()
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
@@ -365,6 +387,7 @@ def main() -> None:
             "srv_p95_ms": serving.get("point_query_miss_p95_ms"),
             "load1m": host.get("loadavg_1m"),
             "cpus": host.get("cpus"),
+            "cold": 1,  # r12: timed iterations clear Spark caches first
         },
     }, separators=(",", ":")))
 

@@ -87,6 +87,23 @@ def _cache_bounded(df: DataFrame) -> DataFrame:
             pass
     return df
 
+
+def clear_intermediate_caches() -> None:
+    """Unpersist and FORGET every ``_ARR_CACHE`` entry (bench cold-start
+    hook). ``spark.catalog.clearCache()`` alone is not enough: it drops
+    the cached data but the memoized DataFrame objects here would still
+    be handed out WITHOUT re-registering with the CacheManager, so
+    subsequent iterations would recompute without caching — neither the
+    warm steady state nor an honest cold start. Dropping the entries
+    makes the next call re-``cache()`` a fresh plan, so cache population
+    lands inside the timed region the way a first run pays it."""
+    while _ARR_CACHE:
+        _, old = _ARR_CACHE.popitem(last=False)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:                              # pragma: no cover
+            pass
+
 # 64 permutations / 16 bands of 4: estimator std sqrt(J(1-J))/8 ≈ 0.06
 # at J=0.5 — production-grade threshold resolution. (The registry's
 # `dedup_minhash` pins the original 12/4 config explicitly for oracle
