@@ -242,40 +242,53 @@ def build_exif_jpeg(jpeg: bytes, fields: dict,
 # Spark operators
 # ---------------------------------------------------------------------------
 
+def exif_fields_for_id(i: int) -> dict:
+    """The deterministic per-id EXIF fixture fields: orientation cycles
+    1..8, ISO in camera stops, capture time walks a calendar, GPS covers
+    all four hemisphere quadrants through degree/minute/second RATIONALS
+    with a non-trivial denominator."""
+    return {
+        "orientation": 1 + i % 8,
+        "make": f"Acme Imaging {i % 5}",
+        "model": f"Model X{i % 13}",
+        "datetime": (f"2023:{1 + i % 12:02d}:{1 + i % 28:02d} "
+                     f"{i % 24:02d}:00:00"),
+        "iso": 100 * (1 + i % 32),
+        "exposure": (1, 1 + i % 2000),
+        "pixel_x": 16, "pixel_y": 16,
+        "lat_ref": "N" if i % 2 == 0 else "S",
+        "lat_dms": ((i % 90, 1), (i % 60, 1), (i * 7 % 600, 10)),
+        "lon_ref": "E" if i % 4 < 2 else "W",
+        "lon_dms": ((i % 180, 1), (i * 3 % 60, 1),
+                    (i * 11 % 600, 10)),
+    }
+
+
+def exif_jpeg_post(payload: bytes, i: int) -> bytes:
+    """Per-payload EXIF insertion (every odd id BIG-endian "MM" — both
+    wild byte orders in one corpus), shaped as a ``post=`` hook for
+    ``multimodal.synthesize_jpeg`` so render + attach run in ONE
+    mapInPandas kernel: payload bytes cross the JVM↔Python boundary
+    once instead of three times (guide §4 — at sf0.1 the EXIF query's
+    cost is the per-Python-stage framework floor, not kernel CPU)."""
+    return build_exif_jpeg(payload, exif_fields_for_id(i),
+                           big_endian=bool(i % 2))
+
+
 def attach_exif(media_df: DataFrame, id_col: str = "media_id",
                 payload_col: str = "payload") -> DataFrame:
-    """Insert deterministic EXIF metadata into JPEG payloads: every
-    field derives from the media id (orientation cycles 1..8, ISO in
-    camera stops, capture time walks a calendar, GPS covers all four
-    hemisphere quadrants through degree/minute/second RATIONALS with
-    a non-trivial denominator), and every odd id is written
-    BIG-endian ("MM") — both wild byte orders in one corpus."""
+    """Insert deterministic EXIF metadata into JPEG payloads (the
+    standalone two-stage composition; `exif_jpeg_post` is the fused
+    one-kernel equivalent — byte-identical output, pinned by
+    test_exif_fused_synthesis_matches_two_stage)."""
     out_schema = media_df.schema
 
     def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fields(i: int) -> dict:
-            return {
-                "orientation": 1 + i % 8,
-                "make": f"Acme Imaging {i % 5}",
-                "model": f"Model X{i % 13}",
-                "datetime": (f"2023:{1 + i % 12:02d}:{1 + i % 28:02d} "
-                             f"{i % 24:02d}:00:00"),
-                "iso": 100 * (1 + i % 32),
-                "exposure": (1, 1 + i % 2000),
-                "pixel_x": 16, "pixel_y": 16,
-                "lat_ref": "N" if i % 2 == 0 else "S",
-                "lat_dms": ((i % 90, 1), (i % 60, 1), (i * 7 % 600, 10)),
-                "lon_ref": "E" if i % 4 < 2 else "W",
-                "lon_dms": ((i % 180, 1), (i * 3 % 60, 1),
-                            (i * 11 % 600, 10)),
-            }
-
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             pdf = pdf.copy()
             pdf[payload_col] = [
-                build_exif_jpeg(bytes(p), fields(int(i)),
-                                big_endian=bool(int(i) % 2))
+                exif_jpeg_post(bytes(p), int(i))
                 for p, i in zip(pdf[payload_col], ids)]
             pdf["n_bytes"] = pdf[payload_col].map(len).astype("int64")
             yield pdf
@@ -333,7 +346,12 @@ def exif_metadata(media_df: DataFrame, id_col: str = "media_id",
                     out[col] = out[col].astype(dt)
             yield out
 
-    return media_df.mapInPandas(_extract, schema=out_schema)
+    # project to just (id, payload): mapInPandas is opaque to Spark's
+    # column pruning, so without the select every other media column
+    # (media_type, n_bytes) is serialized across the Python boundary
+    # for nothing (guide §4.1)
+    return (media_df.select(id_col, payload_col)
+                    .mapInPandas(_extract, schema=out_schema))
 
 
 __all__ = ["parse_exif_tiff", "parse_jpeg_exif", "build_exif_blob",

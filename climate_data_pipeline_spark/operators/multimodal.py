@@ -241,7 +241,8 @@ def synthesize_png(df: DataFrame, id_col: str, text_col: str,
 
 def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
                     restart_interval: int = 3,
-                    progressive_every: int = 0) -> DataFrame:
+                    progressive_every: int = 0,
+                    post=None) -> DataFrame:
     """Build REAL baseline JPEGs deterministically from text rows: 32×32
     grayscale images of sixteen 8×8 BLOCK-CONSTANT tiles whose values
     are the cycled UTF-8 bytes of the text, entropy-coded through the
@@ -259,7 +260,13 @@ def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
     DC-first + refinement scans, two spectral AC bands at Al=1 with
     EOB-run coding, AC refinement — which round-trips equally exactly
     (the Annex-G scans reassemble the identical coefficients), so the
-    same text-byte oracle pins the progressive decode path too."""
+    same text-byte oracle pins the progressive decode path too.
+
+    ``post``: optional ``(payload: bytes, media_id: int) -> bytes``
+    applied per payload INSIDE the synth kernel — container-level
+    fixture decoration (e.g. `exif.exif_jpeg_post`) fuses into this
+    stage instead of paying a second mapInPandas round trip of the
+    full payload bytes (guide §4)."""
     out_schema = MEDIA_SCHEMA
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -283,6 +290,9 @@ def synthesize_jpeg(df: DataFrame, id_col: str, text_col: str,
             ids = pdf[id_col].astype("int64")
             payloads = [jpg(t, i) for t, i in
                         zip(pdf[text_col].fillna(""), ids)]
+            if post is not None:
+                payloads = [post(p, int(i))
+                            for p, i in zip(payloads, ids)]
             yield pd.DataFrame({
                 "media_id": ids,
                 "media_type": ["image/jpeg"] * len(payloads),

@@ -1646,6 +1646,26 @@ def test_exif_spark_extraction(spark):
         assert r["exposure_s"] == 1.0 / (1 + i % 2000)
 
 
+def test_exif_fused_synthesis_matches_two_stage(spark):
+    """The fused render+attach kernel (synthesize_jpeg post=exif_jpeg_post,
+    one mapInPandas — what mm_exif_metadata runs) is PAYLOAD-BYTE-identical
+    to the two-stage attach_exif(synthesize_jpeg(...)) composition, so the
+    r12 stage fusion can never move the query's hash."""
+    from climate_data_pipeline_spark.operators.exif import (attach_exif,
+                                                            exif_jpeg_post)
+    from climate_data_pipeline_spark.operators.multimodal import \
+        synthesize_jpeg
+
+    rows = [(i, f"fused exif {i} " * (i + 1)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    two = {r["media_id"]: (bytes(r["payload"]), r["n_bytes"]) for r in
+           attach_exif(synthesize_jpeg(df, "doc_id", "text")).collect()}
+    one = {r["media_id"]: (bytes(r["payload"]), r["n_bytes"]) for r in
+           synthesize_jpeg(df, "doc_id", "text",
+                           post=exif_jpeg_post).collect()}
+    assert one == two
+
+
 def test_audio_formats_codec_and_g711():
     """operators/audio.py: G.711 μ-law/A-law expansion pinned to the
     CCITT reference points, PCM 8/16/24/32 WAV, AIFF with the 80-bit
