@@ -268,51 +268,59 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     whole-document hashes (``fingerprint``) and bag-of-shingles
     (MinHash) both miss copied REGIONS.
 
-    Spark-first shape: positions explode map-side (bounded ×len), the
-    k-gram hash is the CLOSED FORM of the rolling hash — k explicit
-    ``ascii(substring)·Bᵉ mod M`` terms in whole-stage codegen, no
-    Python — and the window minimum rides ONE shuffle on the id. The
-    rightmost-min tie rule is encoded into a single integer key
-    (``hash·2³² + (2³²−1−pos)``) so plain ``min()`` implements it
-    identically in any engine; only COMPLETE windows select (docs
-    shorter than k+w−1 characters yield no fingerprints, pinned).
+    Spark-first shape (r12): winnowing is PER-DOCUMENT LOCAL, so the
+    whole selection runs inside one projection with higher-order
+    functions — per-position closed-form k-gram hashes
+    (``ascii(substring)·Bᵉ mod M``), the rightmost-min tie rule encoded
+    into a single integer key (``hash·2³² + (2³²−1−pos)``), a sliding
+    ``array_min`` over each complete w-window, ``array_distinct`` per
+    document, THEN the explode of just the selected fingerprints.
+    ZERO exchanges: the former shape exploded one row per character
+    position and paid a full shuffle + sort (window by id) plus a
+    distinct shuffle of the char-level stream — at 100 TB that is two
+    corpus-character-scale exchanges for a computation that never
+    crosses a document boundary. Output rows are distinct by
+    construction (array_distinct within a doc; the id separates docs),
+    so no final ``distinct()`` is needed; only COMPLETE windows select
+    (docs shorter than k+w−1 characters yield no fingerprints, pinned;
+    test_winnowing_matches_numpy_reference pins the exact (pos, hash)
+    set against an independent SIGMOD-2003 transcription).
 
     Returns distinct ``(id, pos, hash)`` — pos is the 1-based offset
     of the selected k-gram in the normalized text."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
     B, M = _WINNOW_B, _WINNOW_M
+    # same integer math as the former exploded arm: k terms, each
+    # ≤ 255·(M−1) < 2^39, k-term sum < 2^42 — exact in int64
     terms = " + ".join(
         f"CAST(ascii(substring(__norm, __p + {j}, 1)) AS BIGINT) "
         f"* {pow(B, k - 1 - j, M)}"
         for j in range(k))
-    grams = (_spread(df).select(
+    # h < 2^31 so h·2^32 + (2^32−1−pos) < 2^63 (pos is the 1-based
+    # sequence value __p itself — one fused transform, no index pass)
+    keys = (f"transform(sequence(1, length(__norm) - {k - 1}), "
+            f"__p -> (({terms}) % {M}) * 4294967296 + "
+            f"{(1 << 32) - 1} - __p)")
+    # allocation-free sliding min: aggregate over the w window indices
+    # (a slice()+array_min would copy a w-element array per position)
+    sel = (f"array_distinct(transform("
+           f"sequence({w}, size(__keys)), "
+           f"__e -> aggregate(sequence(__e - {w - 1}, __e), "
+           f"9223372036854775807L, "
+           f"(__a, __j) -> least(__a, element_at(__keys, __j)))))")
+    return (_spread(df).select(
         F.col(id_col),
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
          .alias("__norm"))
         .where(F.length("__norm") >= k + w - 1)
-        .select(id_col, "__norm",
-                F.explode(F.sequence(
-                    F.lit(1), F.length("__norm") - (k - 1)))
-                 .alias("__p"))
-        .select(id_col, F.col("__p"),
-                F.expr(f"({terms}) % {M}").alias("__h")))
-    key = (F.col("__h") * F.lit(1 << 32)
-           + (F.lit((1 << 32) - 1) - F.col("__p")))
-    win = (Window.partitionBy(id_col).orderBy("__p")
-           .rowsBetween(-(w - 1), 0))
-    sel = (grams.select(
-        id_col,
-        F.min(key).over(win).alias("__mk"),
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy("__p")).alias("__rn"))
-        .where(F.col("__rn") >= w))
-    return (sel.select(
-        F.col(id_col),
-        (F.lit((1 << 32) - 1) - F.col("__mk") % F.lit(1 << 32))
-        .alias("pos"),
-        F.expr("__mk DIV 4294967296").alias("hash"))
-        .distinct())
+        .select(id_col, F.expr(keys).alias("__keys"))
+        .select(id_col, F.explode(F.expr(sel)).alias("__mk"))
+        .select(
+            F.col(id_col),
+            (F.lit((1 << 32) - 1) - F.col("__mk") % F.lit(1 << 32))
+            .alias("pos"),
+            F.expr("__mk DIV 4294967296").alias("hash")))
 
 
 # ---------------------------------------------------------------------------
