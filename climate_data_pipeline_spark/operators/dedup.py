@@ -388,12 +388,14 @@ def _input_bytes(df: DataFrame) -> int:
 
 
 def _banded_self_pairs(banded: DataFrame,
-                       hot_threshold: int = MINHASH_HOT_BUCKET,
-                       guard: bool = True) -> DataFrame:
-    """Distinct candidate id pairs (id_a < id_b) from a (id, band, key)
-    table — the LSH bucket self-join, with oversized buckets sub-split
-    for balanced join tasks (see MINHASH_HOT_BUCKET). Output is
-    provably identical to the naive self-join (``guard=False``).
+                       hot_threshold: int | None = None,
+                       guard: bool = True,
+                       extra_cols: tuple = (),
+                       distinct: bool = True) -> DataFrame:
+    """Candidate id pairs (id_a < id_b) from a (id, band, key) table —
+    the LSH bucket self-join, with oversized buckets sub-split for
+    balanced join tasks (see MINHASH_HOT_BUCKET). Output is provably
+    identical to the naive self-join (``guard=False``).
 
     ONE unified join, no hot/cold arms: a count window attaches the
     bucket size, every row gets a deterministic sub-group
@@ -405,15 +407,27 @@ def _banded_self_pairs(banded: DataFrame,
     tasks instead of one. (A first cut with a groupBy-sizes +
     broadcast anti-join hot/cold split recomputed the 64-md5 band
     table five times and cost 3.5× on the disengaged path — measured,
-    rejected; the window form costs one narrow shuffle.)"""
+    rejected; the window form costs one narrow shuffle.)
+
+    ``extra_cols`` ride the join to both sides as ``__a<c>``/``__b<c>``
+    (the sim_* packed sketch words need to survive for the Hamming
+    prefilter); ``distinct=False`` returns the raw match stream — the
+    per-(band, key) match multiset is identical between arms (each
+    unordered pair matches exactly once per shared bucket either way),
+    so callers may filter before their own dedup."""
+    if hot_threshold is None:   # resolve at CALL time (tests repatch it)
+        hot_threshold = MINHASH_HOT_BUCKET
+    sel = ([F.col("a.id").alias("id_a")]
+           + [F.col(f"a.{c}").alias(f"__a{c}") for c in extra_cols]
+           + [F.col("b.id").alias("id_b")]
+           + [F.col(f"b.{c}").alias(f"__b{c}") for c in extra_cols])
     if not guard:
         a, b = banded.alias("a"), banded.alias("b")
-        return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                          & (F.col("a.key") == F.col("b.key"))
-                          & (F.col("a.id") < F.col("b.id")))
-                 .select(F.col("a.id").alias("id_a"),
-                         F.col("b.id").alias("id_b"))
-                 .distinct())
+        out = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.key") == F.col("b.key"))
+                         & (F.col("a.id") < F.col("b.id")))
+                .select(*sel))
+        return out.distinct() if distinct else out
     w = Window.partitionBy("band", "key")
     bw = (banded.withColumn(
               "__k", F.ceil(F.count("*").over(w)
@@ -422,15 +436,14 @@ def _banded_self_pairs(banded: DataFrame,
                                           F.col("__k")).cast("int")))
     left = bw.withColumn("__pg", F.explode(
         F.sequence(F.lit(0), F.col("__k") - 1)))
-    return (left.alias("a")
-            .join(bw.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.key") == F.col("b.key"))
-                  & (F.col("a.__pg") == F.col("b.__g"))
-                  & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"))
-            .distinct())
+    out = (left.alias("a")
+           .join(bw.alias("b"),
+                 (F.col("a.band") == F.col("b.band"))
+                 & (F.col("a.key") == F.col("b.key"))
+                 & (F.col("a.__pg") == F.col("b.__g"))
+                 & (F.col("a.id") < F.col("b.id")))
+           .select(*sel))
+    return out.distinct() if distinct else out
 
 
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,

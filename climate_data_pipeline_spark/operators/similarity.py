@@ -608,14 +608,24 @@ def lsh_band_pairs(df: DataFrame, id_col: str = "vec_id",
     sig_cols = [f"__sig{w}" for w in range(n_words)] \
         if h_max is not None else []
     banded = base.select(
-        F.col(id_col),
-        F.posexplode(F.col("__vals")).alias("band", "val"), *sig_cols)
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "val",
-                      *[F.col(c).alias(f"__a{c}") for c in sig_cols])
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "val",
-                      *[F.col(c).alias(f"__b{c}") for c in sig_cols])
-    cand = (a.join(b, ["band", "val"])
-             .where(F.col("id_a") < F.col("id_b")))
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col("__vals")).alias("band", "key"), *sig_cols)
+    # the self equi-join routes through the shared hot-bucket sub-split
+    # (dedup._banded_self_pairs): band population is bounded by
+    # construction (≤ 2^band_bits values per band from sign bits of
+    # near-uniform projections), but a DEGENERATE corpus — all-identical
+    # or near-identical embeddings — concentrates one (band, value)
+    # bucket into a single join task that AQE cannot split (one key).
+    # Size-gated like minhash: naive equi-join below
+    # MINHASH_GUARD_MIN_BYTES (bench/driver/tests — plan unchanged),
+    # sub-split above; arms are match-multiset identical, so the sketch
+    # filter and the distinct see the same stream either way
+    # (test_lsh_band_pairs_hot_bucket_subsplit_identical).
+    from .dedup import (MINHASH_GUARD_MIN_BYTES, _banded_self_pairs,
+                        _input_bytes)
+    cand = _banded_self_pairs(
+        banded, guard=_input_bytes(df) >= MINHASH_GUARD_MIN_BYTES,
+        extra_cols=tuple(sig_cols), distinct=False)
     if h_max is not None:
         ham = " + ".join(f"bit_count(__a__sig{w} ^ __b__sig{w})"
                          for w in range(n_words))

@@ -565,6 +565,35 @@ def test_minhash_hot_bucket_subsplit_identical_pairs(spark):
     assert "pmod" in plan and "explode" in plan
 
 
+def test_lsh_band_pairs_hot_bucket_subsplit_identical(spark, monkeypatch):
+    """r12: the sim_* banded self-join shares the minhash hot-bucket
+    sub-split. On a DEGENERATE corpus (every embedding identical — all
+    rows land in ONE (band, value) bucket per band, the single-key skew
+    AQE cannot split), the guarded arm must yield exactly the naive
+    arm's pairs, and its plan must carry the pmod sub-group key."""
+    from climate_data_pipeline_spark.operators import dedup as D
+    from climate_data_pipeline_spark.operators.similarity import \
+        lsh_band_pairs
+
+    vec = [float(j % 7) / 7.0 + 0.1 for j in range(16)]
+    rows = [(i, vec) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    naive = lsh_band_pairs(df, threshold=0.9, n_bands=4, band_bits=2,
+                           dim=16).collect()
+    # in-memory input → _input_bytes = 0 → force the guard via the gate
+    monkeypatch.setattr(D, "MINHASH_GUARD_MIN_BYTES", 0)
+    monkeypatch.setattr(D, "MINHASH_HOT_BUCKET", 16)
+    split_df = lsh_band_pairs(df, threshold=0.9, n_bands=4, band_bits=2,
+                              dim=16)
+    plan = split_df._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan
+    split = split_df.collect()
+    assert sorted(map(tuple, split)) == sorted(map(tuple, naive))
+    # every pair of 120 identical vectors is a near-dup: non-vacuous
+    assert len(split) == 120 * 119 // 2
+
+
 def test_minhash_pairs_guard_gate_is_size_adaptive(spark, sf_small):
     """minhash_pairs engages the sub-split arm only above the input-size
     gate: small file-backed inputs plan the naive join (no pmod key),
