@@ -43,23 +43,30 @@ from .text import _spread, fingerprint, words
 _ARR_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _ARR_CACHE_MAX = 4
 
-# source_overlap_matrix: its source-set subtree has THREE consumers
-# (totals twice, the pair explode), and AQE's stage cache does not
-# reuse the identical exchanges (verified: executed plan shows 3
-# parquet scans, 0 ReusedExchange with AQE on; with AQE off the
-# classic ReuseExchange rule collapses them to 1 scan + 2
-# ReusedExchange — an AQE gap, not a plan-shape bug). A lazy
-# localCheckpoint materializes the set table once per execution, but
-# it also hides the collect_set pipeline behind an ExistingRDD scan in
-# explain output (blinding the plan-audit gate) and measured only
-# +3-7% at sf0.1 where the pruned recomputes are cheap. So the gate is
-# SCALE-ADAPTIVE like the minhash hot-bucket guard: below the size
-# threshold the plan stays fully visible and Spark recomputes the
-# small subtree; above it (where a 3x corpus re-scan dominates
-# everything) the checkpoint arm engages. Results are identical either
-# way (same rows; the gate can never flip a hash). None = auto.
+# source_overlap_matrix / checkpoint_above_gate consumers: a small
+# derived table with several consumers of one big source scan. The r11
+# premise was that AQE's stage cache never reuses the consumers'
+# identical exchanges (3 scans, 0 ReusedExchange observed then), so a
+# size gate engaged a lazy localCheckpoint above 256 MB of input.
+# RETRACTED in r12, on direct measurement (tools/gate_ab.py,
+# plans/r12/gate_ab_*.txt):
+#   1. the premise no longer holds — executed plans at sf0.1, 54 MB and
+#      3.3 GB all show AQE ReusedExchange on the heavy exchanges (the
+#      residual extra "scans" are cheap column-pruned file reads);
+#   2. interleaved above-gate A/Bs show the engaged arm LOSING
+#      steady-state: set_ops 7.5 s vs 4.6-5.8 s at 279 MB and
+#      37-48 s vs 20-37 s at 3.3 GB; corpus_source_overlap a wash
+#      (64-88 s both arms at 54 MB);
+#   3. mechanically, under AQE a lazy localCheckpoint executes the
+#      checkpointed subtree's stages EAGERLY and serially at
+#      Dataset-build time, losing the one-DAG parallelism the naive
+#      plan gets for free.
+# The force arms stay (tests pin both arms row-identical; the A/B
+# harness drives them), but nothing auto-engages:
+# SOURCE_OVERLAP_CKPT_MIN_BYTES is None = never. Results are identical
+# either way (same rows; the gate can never flip a hash).
 SOURCE_OVERLAP_CHECKPOINT: bool | None = None
-SOURCE_OVERLAP_CKPT_MIN_BYTES = 256 * 1024 * 1024
+SOURCE_OVERLAP_CKPT_MIN_BYTES: int | None = None  # r12: auto retracted
 
 
 def _cache_bounded(df: DataFrame) -> DataFrame:
@@ -353,19 +360,20 @@ MINHASH_GUARD_MIN_BYTES = 256 * 1024 * 1024
 def checkpoint_above_gate(small: DataFrame, source: DataFrame,
                           force: bool | None = None,
                           min_bytes: int | None = None) -> DataFrame:
-    """Size-gated lazy materialization of a SMALL table that several
-    consumers derive from a BIG source scan. AQE's stage cache does
-    not reuse identical exchanges across consumers (see
-    SOURCE_OVERLAP_CHECKPOINT), so each consumer re-runs the source
-    scan; above the gate the small table is materialized once per
-    execution (lazy localCheckpoint — inside the timed action,
-    recomputed from the inputs every run), below it the plan stays
-    fully visible for the audit gate. ``force`` pins an arm (tests /
-    A/B); results are identical either way."""
+    """Materialization point for a SMALL table that several consumers
+    derive from a BIG source scan. RETRACTED as an auto-engaging
+    optimization in r12 — see the SOURCE_OVERLAP_CHECKPOINT block for
+    the measurements (AQE reuses the heavy exchanges after all, and the
+    forced checkpoint arm measured SLOWER above the old gate at every
+    tested scale). Nothing engages unless ``force=True`` or a caller
+    passes an explicit ``min_bytes`` (tests and tools/gate_ab.py pin
+    the arms; they remain row-identical by construction — the gate can
+    never flip a hash)."""
     if min_bytes is None:
         min_bytes = SOURCE_OVERLAP_CKPT_MIN_BYTES
     engage = force if force is not None \
-        else _input_bytes(source) >= min_bytes
+        else (min_bytes is not None
+              and _input_bytes(source) >= min_bytes)
     return small.localCheckpoint(eager=False) if engage else small
 
 
@@ -1489,14 +1497,16 @@ def source_overlap_matrix(df: DataFrame, text_col: str, source_col: str,
         sets = (ss.groupBy("shingle")
                   .agg(F.array_sort(F.collect_set("__src"))
                         .alias("__set")))
-    # three consumers read ``sets``; see SOURCE_OVERLAP_CHECKPOINT for
-    # why the shared subtree is materialized above the size gate and
-    # recomputed (with a fully visible plan) below it. The shingle
+    # three consumers read ``sets``; AQE reuses the heavy exchange
+    # across them (executed plans at every tested scale — see the
+    # SOURCE_OVERLAP_CHECKPOINT retraction note), so nothing engages
+    # the checkpoint arm unless a test/harness forces it. The shingle
     # column is dropped first — no consumer reads it, so only the
     # source-set arrays ever materialize.
     ckpt = SOURCE_OVERLAP_CHECKPOINT
     if ckpt is None:
-        ckpt = _input_bytes(df) >= SOURCE_OVERLAP_CKPT_MIN_BYTES
+        ckpt = (SOURCE_OVERLAP_CKPT_MIN_BYTES is not None
+                and _input_bytes(df) >= SOURCE_OVERLAP_CKPT_MIN_BYTES)
     if ckpt:
         sets = sets.select("__set").localCheckpoint(eager=False)
     else:

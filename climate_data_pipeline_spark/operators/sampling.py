@@ -232,9 +232,11 @@ def temperature_weights(df: DataFrame, group_col: str, token_col: str,
            .agg(F.count("*").alias("n_docs"),
                 F.sum(token_col).alias("n_tokens")))
     # |groups| rows (single digits for language mixes) derived from a
-    # corpus-wide scan, consumed by tot, shares AND (via shares) z —
-    # without the gate each consumer re-scans the corpus (AQE never
-    # reuses their exchanges; 4 scans measured on the executed plan)
+    # corpus-wide scan, consumed by tot, shares AND (via shares) z.
+    # The r11 auto-engaging size gate was retracted in r12 (see
+    # dedup.SOURCE_OVERLAP_CHECKPOINT: AQE reuses the heavy exchanges,
+    # and the checkpoint arm measured slower above the old gate); the
+    # force flag remains for the arm-equality test.
     from .dedup import checkpoint_above_gate
     g = checkpoint_above_gate(g, df, force=TEMPERATURE_WEIGHTS_CHECKPOINT)
     tot = g.agg(F.sum("n_tokens").alias("__tot"))

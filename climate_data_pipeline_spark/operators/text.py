@@ -616,16 +616,16 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
         train = ref if ref is not None else df
         pc, cc, vocab = train_bigram_lm(train, text_col, id_col)
         # pc has TWO consumers (the LM join side and the context-total
-        # derivation) and AQE's stage cache does not reuse their
-        # identical exchanges (the same gap documented at
-        # dedup.SOURCE_OVERLAP_CHECKPOINT), so the corpus-wide bigram
-        # aggregation re-runs per consumer. Above the size gate,
-        # materialize the vocab²-bounded pair-count table once (lazy —
-        # inside the timed action, recomputed from parquet per run);
-        # below it the plan stays fully visible for the audit gate.
+        # derivation). The r11 size-gated checkpoint here was RETRACTED
+        # in r12 with the rest of the pattern (see
+        # dedup.SOURCE_OVERLAP_CHECKPOINT): executed plans show AQE
+        # reusing the heavy exchanges after all, and the forced
+        # checkpoint arm measured slower above the old gate. The force
+        # flag stays for the arm-equality test.
         from .dedup import SOURCE_OVERLAP_CKPT_MIN_BYTES, _input_bytes
         if LM_PC_CHECKPOINT or (LM_PC_CHECKPOINT is None and
-                                _input_bytes(train)
+                                SOURCE_OVERLAP_CKPT_MIN_BYTES is not None
+                                and _input_bytes(train)
                                 >= SOURCE_OVERLAP_CKPT_MIN_BYTES):
             pc = pc.localCheckpoint(eager=False)
             cc = pc.groupBy("cur").agg(F.sum("__c").alias("__total"))

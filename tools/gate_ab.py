@@ -1,13 +1,22 @@
 """Above-gate A/B for the checkpoint_above_gate sites (r11 verdict ask #4).
 
-The five size-gated materializations engage only above 256 MB of source
-input; bench, driver and tests all run far below it, so until r12 the
-claimed win ("stop re-scanning the corpus once per consumer") had
-equivalence evidence but no above-gate timing. This harness builds a
-genuinely >256 MB input ONCE (off-bench, deterministic replication),
-then runs the gated query with the gate FORCED OFF vs ON, interleaved
-A-B-A-B in one session, asserting row equality between arms and
-recording executed-plan parquet-scan counts + timings.
+The r11 size-gated materializations engaged only above 256 MB of source
+input; bench, driver and tests all ran far below it, so the claimed win
+("stop re-scanning the corpus once per consumer") had equivalence
+evidence but no above-gate timing. This harness builds a genuinely
+above-gate input ONCE (off-bench, deterministic replication), then runs
+the gated query with the gate FORCED OFF vs ON, interleaved A-B-A-B in
+one session, asserting row equality between arms and recording
+executed-plan parquet-scan counts + timings.
+
+OUTCOME (r12): the measurements RETRACTED the pattern — executed plans
+at every tested scale show AQE ReusedExchange on the heavy exchanges
+(against the r11 "no reuse" premise), and the forced-checkpoint arm ran
+slower steady-state at 279 MB and 3.3 GB (set_ops: 7.5 s vs 4.6-5.8 s,
+37-48 s vs 20-37 s) and a wash at 54 MB (source_overlap, 64-88 s both
+arms). The auto gates are now off
+(dedup.SOURCE_OVERLAP_CKPT_MIN_BYTES = None); this harness keeps the
+forced arms runnable so the retraction stays reproducible.
 
 Usage: python tools/gate_ab.py {source_overlap|set_ops} [iters]
 Writes plans/r12/gate_ab_<site>.txt (plan excerpts + timings).
@@ -115,10 +124,18 @@ def main() -> None:
 
     def run(engaged: bool, want_plan: bool) -> tuple:
         arm(engaged)
-        df = fn(spark, big)
         spark.sparkContext.setJobDescription(
             f"gate_ab:{site}:{'on' if engaged else 'off'}")
+        # the QUERY BUILD must sit inside the timer: under AQE,
+        # localCheckpoint(eager=False) executes the checkpointed
+        # subtree's shuffle stages at Dataset-build time (AQE
+        # materializes query stages to re-optimize before toRdd
+        # returns), so an untimed build lets the engaged arm's main
+        # work escape the measurement — the first cut of this harness
+        # reported 0.9 s for a 60 s computation that way. bench.py's
+        # run_once builds inside the timer for the same reason.
         t0 = time.perf_counter()
+        df = fn(spark, big)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         plan = rows = None
