@@ -880,12 +880,19 @@ def mp3_mdct_features(media_df, id_col: str = "media_id",
         # of the payload bytes, and real corpora (and the fixtures)
         # carry byte-identical streams many times over — decode each
         # distinct payload once per task and reuse the feature tuple.
-        # Bounded like the video frame memo (~2-3 KB/stream, so the
-        # 50k cap is ~150 MB worst case); within one task of one run,
-        # never across runs.
+        # Bounded by ACCUMULATED KEY BYTES (r12, per r11 ADVICE): the
+        # memo keys on the full payload, so an entry-count cap alone
+        # scales worst-case memory with payload size — real-world
+        # multi-MB streams would blow the old "50k entries ≈ 150 MB"
+        # estimate. 128 MB of keys ≈ the old budget at fixture sizes;
+        # oversized payloads just decode without memoizing. Within one
+        # task of one run, never across runs.
         memo: dict[bytes, tuple] = {}
+        memo_bytes = 0
+        MEMO_BYTES_MAX = 128 * 1024 * 1024
 
         def feats(payload: bytes) -> tuple:
+            nonlocal memo_bytes
             got = memo.get(payload)
             if got is None:
                 s, info = decode_mp3(payload)
@@ -896,8 +903,9 @@ def mp3_mdct_features(media_df, id_col: str = "media_id",
                        math.sqrt(math.fsum((s * s).ravel()) / s.size)
                        if s.size else 0.0,
                        float(np.abs(s).max()) if s.size else 0.0)
-                if len(memo) < 50_000:
+                if memo_bytes + len(payload) <= MEMO_BYTES_MAX:
                     memo[payload] = got
+                    memo_bytes += len(payload)
             return got
 
         for pdf in batches:

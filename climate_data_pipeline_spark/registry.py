@@ -72,53 +72,45 @@ def query(name: str, oracle: str | None = None):
 # follows in registration order, so ~35 of the long-standing names stay
 # in the sample for round-over-round continuity. Refresh each round.
 DRIVER_ROTATION = [
-    # CHANGED in round 11 (optimization round). r11a: the J2K
-    # Tier-1/DWT rewrite rides under s_grib2_jpeg2000_ingest; the
-    # hot-bucket sub-split + size gate under the minhash family; the
-    # gram-key change under text_duplicate_spans; the _spread
-    # rebalance under crawl_main_content; the robots group-grammar
-    # fix under crawl_robots_screen. r11b: the fully host-independent
-    # MP3 chain + content-addressed decode memo under mm_decode_mp3;
-    # the vectorized Rice encoder / escape reads / LPC fast path /
-    # crc16 fold under mm_decode_flac (and the mm_decode umbrella);
-    # the Ogg CRC fold under mm_audio_container_meta; the
-    # Gaussian-latitude memo under s_grib2_reduced_ingest; the
-    # size-gated shared-subtree materializations under
-    # corpus_source_overlap(_dfcap), text_perplexity,
-    # lang_temperature_resample and a9_seasonal_mann_kendall.
-    "mm_decode_mp3", "mm_decode_flac", "mm_audio_container_meta",
-    "s_grib2_reduced_ingest", "corpus_source_overlap",
-    "corpus_source_overlap_dfcap", "text_perplexity",
-    "lang_temperature_resample", "a9_seasonal_mann_kendall",
-    "mm_decode", "s_grib2_jpeg2000_ingest", "crawl_main_content",
-    "text_duplicate_spans", "dedup_minhash", "dedup_minhash_affine",
-    "dedup_incremental", "crawl_robots_screen", "text_url_canonicalize",
-    "crawl_sitemap_extract",
-    # next slice of the never-driver-sampled backlog (85 names after
-    # r10; VERDICT r10 ask #1) — similarity/sampling flagships, the
-    # mm/media umbrella queries, the text-statistics family, and the
-    # remaining TPC-H shapes. All sweep-green every round.
-    "sim_cosine_pairs", "sim_cosine_topk_many", "sim_quantized_topk",
-    "sim_lsh_ann", "sim_lsh_multiprobe", "sim_lsh_recall_eval",
-    "sim_ivf_seeded", "sim_ivf_recall_eval", "sim_hard_negatives",
-    "dedup_semantic_clusters", "dedup_semantic_prune",
-    "p4_point_select", "s2_projected_scan", "f9_json_extract",
-    "mm_decode", "mm_features", "split_deterministic",
-    "split_leakage_safe", "sample_quota_per_lang",
-    "sample_weighted_per_lang", "sample_correlated",
-    "corpus_token_budget_mix", "train_shard_manifest",
-    "dsir_importance_weights", "lang_temperature_weights",
-    "lang_temperature_resample", "stats_correlation",
-    "weighted_median_groups", "weighted_mean_groups",
-    "stats_moments", "stats_mode", "winsorized_stats",
-    "profile_table_columns", "emb_label_centroids",
+    # Round 12 (optimization round 2). FIRST: the two r11 gate
+    # failures, both fixed this round — mm_features (array column
+    # crashed the driver canonicalizer; now exploded to rows) and
+    # corpus_token_budget_mix (oracle SUM→HUGEINT→float64 textual hash
+    # split; oracle now CASTs to BIGINT) — followed by everything
+    # whose query or shared code path changed this round: the other
+    # two canonicalizability fixes (text_bpe_encode tokens joined,
+    # tpch_q12 oracle CAST), the winnowing zero-shuffle rewrite (and
+    # its consumers text_winnow_overlap + stream_rollup_parity), the
+    # fused-EXIF synthesis, and the lsh_band_pairs hot-bucket
+    # sub-split consumers (sim/semantic family + dedup_minhash via the
+    # generalized _banded_self_pairs); set_ops and
+    # corpus_source_overlap carry the above-gate A/B evidence.
+    "mm_features", "corpus_token_budget_mix", "text_bpe_encode",
+    "tpch_q12_late_shipment_priority", "text_winnow_fingerprints",
+    "text_winnow_overlap", "stream_rollup_parity", "mm_exif_metadata",
+    "sim_cosine_pairs", "dedup_semantic_clusters",
+    "dedup_semantic_prune", "dedup_semantic_eval", "dedup_minhash",
+    "set_ops", "corpus_source_overlap",
+    # THEN: the never-driver-sampled backlog (51 names after r11; the
+    # three backlog names changed this round are already fronted
+    # above). 35 slots remain in the 50-name sample, so the 13 LEAST
+    # NOVEL backlog names — TPC-H shapes sharing machinery with the
+    # eight tpch_* queries already driver-verified, all sweep-green
+    # every round — stay deferred: q3, q4, q5, q6, q7, q8, q10, q11,
+    # q14, q16, q18, q19, q22. Everything else enters the gate now.
+    "coarsen_blocks", "corpus_source_report", "date_functions",
     "emb_centroid_classify", "emb_centroid_outliers",
-    "text_winnow_fingerprints", "text_segment_dedup",
-    "text_perplexity", "text_bigram_lm", "text_bpe_encode",
-    "text_bpe_pair_counts", "text_lexical_diversity",
-    "text_pii_scan", "text_repetition", "text_tfidf_top",
-    "tpch_q6_forecast_revenue", "tpch_q19_disjunctive_revenue",
-    "tpch_q3_shipping_priority", "tpch_q18_large_orders",
+    "emb_label_centroids", "ewma_user_series", "incremental_rollup",
+    "j_cross_join", "math_functions", "pivot_agg",
+    "quality_calibrated_rank", "sim_ivf_ann",
+    "spatial_nearest_station", "string_functions", "text_bigram_lm",
+    "text_bpe_pair_counts", "text_char_entropy", "text_chunk_windows",
+    "text_clean_normalize", "text_contamination_bloom",
+    "text_keep_filter", "text_lexical_diversity", "text_nfc_normalize",
+    "text_pii_scan", "text_repetition", "text_segment_dedup",
+    "text_tfidf_top", "text_tokenizer_fertility",
+    "text_unicode_profile", "text_vocabulary", "text_zipf_slope",
+    "unpivot_melt", "zorder_cluster_key", "tpch_q2_min_cost_supplier",
 ]
 
 
