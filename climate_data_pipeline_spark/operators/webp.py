@@ -188,8 +188,10 @@ class _Huffman:
         if self.flat is not None:
             d, p = br.data, br.pos
             i = p >> 3
-            window = (d[i] | (d[i + 1] << 8) | (d[i + 2] << 16)) \
-                >> (p & 7)
+            # only the low 8 post-shift bits feed the peek table, and
+            # the shift is < 8 — a 2-byte window suffices (r12: one
+            # index+shift+or fewer per symbol in the hottest loop)
+            window = (d[i] | (d[i + 1] << 8)) >> (p & 7)
             sym, ln = self.flat[_REV8[window & 0xFF]]
             if p + ln > br.nbits:
                 raise ValueError("VP8L bitstream truncated")
@@ -492,7 +494,11 @@ def _read_entropy_coded(br: _BitReader, w: int, h: int,
     cache_bits = br.read(4) if br.read(1) else 0
     if cache_bits and not 1 <= cache_bits <= 11:
         raise ValueError(f"VP8L color-cache bits {cache_bits}")
-    cache = np.zeros(1 << cache_bits, np.uint32) if cache_bits else None
+    # plain Python list, not numpy: the decode loop reads/writes one
+    # cell per pixel, and numpy SCALAR indexing is ~3x the surrounding
+    # logic (the J2K r11 lesson; same applies to ``out`` below)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cache_shift = 32 - cache_bits
 
     meta = None
     meta_bits = 0
@@ -517,7 +523,7 @@ def _read_entropy_coded(br: _BitReader, w: int, h: int,
                        _read_code(br, 256), _read_code(br, 40)))
 
     n = cur_w * h
-    out = np.zeros(n, np.uint32)
+    out = [0] * n           # plain list: see the ``cache`` note above
     pos = 0
     g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
     while pos < n:
@@ -534,7 +540,7 @@ def _read_entropy_coded(br: _BitReader, w: int, h: int,
             out[pos] = px
             pos += 1
             if cache is not None:
-                cache[_cache_key(px, cache_bits)] = px
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> cache_shift] = px
         elif s < CACHE_BASE:
             length = _prefix_value(s - GREEN_BASE, br)
             dist_code = _prefix_value(g_dist.read(br), br)
@@ -548,7 +554,7 @@ def _read_entropy_coded(br: _BitReader, w: int, h: int,
             if dist > pos or pos + length > n:
                 raise ValueError("VP8L backward reference out of range")
             if cache is None:
-                if dist >= length:      # non-overlapping: vectorized
+                if dist >= length:      # non-overlapping: one slice copy
                     out[pos:pos + length] = \
                         out[pos - dist:pos - dist + length]
                     pos += length
@@ -558,9 +564,10 @@ def _read_entropy_coded(br: _BitReader, w: int, h: int,
                         pos += 1
             else:
                 for _ in range(length):
-                    px = int(out[pos - dist])
+                    px = out[pos - dist]
                     out[pos] = px
-                    cache[_cache_key(px, cache_bits)] = px
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF)
+                          >> cache_shift] = px
                     pos += 1
         else:
             idx = s - CACHE_BASE
@@ -569,6 +576,7 @@ def _read_entropy_coded(br: _BitReader, w: int, h: int,
             out[pos] = cache[idx]
             pos += 1
 
+    out = np.array(out, dtype=np.uint32)
     for ttype, bits, t_w, tdata in reversed(transforms):
         if ttype == 2:
             out = _inv_subtract_green(out)
