@@ -256,6 +256,29 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                   "frame_mean double")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # content-addressed frame-decode dedup (the mp3_mdct_features
+        # pattern): (width, height, mean) is a pure function of the
+        # frame's JPEG bytes, and MJPEG corpora repeat frames heavily
+        # (shared intro/outro cards, block-constant synthetics — the
+        # sf0.1 fixture set has ~1k distinct frames across 15k sampled
+        # decodes). Bounded by accumulated key bytes like the mp3
+        # memo; within one task of one run, never across runs.
+        memo: dict[bytes, tuple] = {}
+        memo_bytes = 0
+        MEMO_BYTES_MAX = 128 * 1024 * 1024
+
+        def frame_stats(fb: bytes) -> tuple:
+            nonlocal memo_bytes
+            got = memo.get(fb)
+            if got is None:
+                px = decode_jpeg(fb)
+                got = (int(px.shape[1]), int(px.shape[0]),
+                       float(px.astype(np.float64).mean()))
+                if memo_bytes + len(fb) <= MEMO_BYTES_MAX:
+                    memo[fb] = got
+                    memo_bytes += len(fb)
+            return got
+
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "width": [],
                     "height": [], "frame_mean": []}
@@ -263,13 +286,13 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                               pdf["payload"]):
                 meta = parse_video(bytes(p))
                 for idx in range(0, len(meta["frames"]), every_n):
-                    px = decode_jpeg(meta["frames"][idx])
+                    w_, h_, mean_ = frame_stats(
+                        bytes(meta["frames"][idx]))
                     rows["media_id"].append(int(mid))
                     rows["frame_idx"].append(idx)
-                    rows["width"].append(px.shape[1])
-                    rows["height"].append(px.shape[0])
-                    rows["frame_mean"].append(
-                        float(px.astype(np.float64).mean()))
+                    rows["width"].append(w_)
+                    rows["height"].append(h_)
+                    rows["frame_mean"].append(mean_)
             yield pd.DataFrame({
                 "media_id": pd.Series(rows["media_id"], dtype="int64"),
                 "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),

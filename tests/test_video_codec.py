@@ -354,3 +354,31 @@ def test_fused_frame_hashes_equal_unfused_chain(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="ids="):
         VID.frame_dedup_report(None, hashes=fused).collect()
+
+
+def test_frame_decode_memo_matches_direct_decode(spark):
+    """r12: decode_video_frames' content-addressed frame memo must
+    produce exactly the per-frame direct-decode stats — repeated frames
+    (duplicate texts, overlapping 4-gram windows) included."""
+    import numpy as np
+
+    from climate_data_pipeline_spark.operators import video as VID
+    from climate_data_pipeline_spark.operators.video import (decode_jpeg,
+                                                             parse_video)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["dup dup dup", "dup dup dup", "zzz", "",
+             "abcdefghijklmnop" * 3])],
+        "doc_id long, text string")
+    media = VID.synthesize_avi_mjpeg(docs, "doc_id", "text", n_frames=6)
+    got = sorted(map(tuple, VID.decode_video_frames(media, every_n=2)
+                     .collect()))
+    want = []
+    for r in media.collect():
+        meta = parse_video(bytes(r["payload"]))
+        for idx in range(0, len(meta["frames"]), 2):
+            px = decode_jpeg(meta["frames"][idx])
+            want.append((r["media_id"], idx, px.shape[1], px.shape[0],
+                         float(px.astype(np.float64).mean())))
+    assert got == sorted(want)
