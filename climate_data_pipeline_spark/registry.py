@@ -81,25 +81,29 @@ DRIVER_ROTATION = [
     # two canonicalizability fixes (text_bpe_encode tokens joined,
     # tpch_q12 oracle CAST), the winnowing zero-shuffle rewrite (and
     # its consumers text_winnow_overlap + stream_rollup_parity), the
-    # fused-EXIF synthesis, and the lsh_band_pairs hot-bucket
-    # sub-split consumers (sim/semantic family + dedup_minhash via the
-    # generalized _banded_self_pairs); set_ops and
-    # corpus_source_overlap carry the above-gate A/B evidence.
+    # fused-EXIF synthesis, the frame-decode memo (both
+    # decode_video_frames consumers), and the lsh_band_pairs
+    # hot-bucket sub-split consumers (sim/semantic family +
+    # dedup_minhash via the generalized _banded_self_pairs); set_ops
+    # and corpus_source_overlap carry the above-gate A/B evidence.
     "mm_features", "corpus_token_budget_mix", "text_bpe_encode",
     "tpch_q12_late_shipment_priority", "text_winnow_fingerprints",
     "text_winnow_overlap", "stream_rollup_parity", "mm_exif_metadata",
+    "mm_video_frames", "mm_video_frames_mp4",
     "sim_cosine_pairs", "dedup_semantic_clusters",
     "dedup_semantic_prune", "dedup_semantic_eval", "dedup_minhash",
     "set_ops", "corpus_source_overlap",
     # THEN: the never-driver-sampled backlog (51 names after r11; the
     # three backlog names changed this round are already fronted
-    # above). 35 slots remain in the 50-name sample, so the 13 LEAST
-    # NOVEL backlog names — TPC-H shapes sharing machinery with the
-    # eight tpch_* queries already driver-verified, all sweep-green
-    # every round — stay deferred: q3, q4, q5, q6, q7, q8, q10, q11,
-    # q14, q16, q18, q19, q22. Everything else enters the gate now.
+    # above). 33 slots remain in the 50-name sample, so the 15 LEAST
+    # NOVEL backlog names stay deferred, all sweep-green every round:
+    # 14 TPC-H shapes sharing machinery with the eight tpch_* queries
+    # already driver-verified (q2, q3, q4, q5, q6, q7, q8, q10, q11,
+    # q14, q16, q18, q19, q22) and emb_centroid_outliers, whose
+    # centroid machinery the fronted emb_centroid_classify +
+    # emb_label_centroids verify. Everything else enters the gate now.
     "coarsen_blocks", "corpus_source_report", "date_functions",
-    "emb_centroid_classify", "emb_centroid_outliers",
+    "emb_centroid_classify",
     "emb_label_centroids", "ewma_user_series", "incremental_rollup",
     "j_cross_join", "math_functions", "pivot_agg",
     "quality_calibrated_rank", "sim_ivf_ann",
@@ -110,7 +114,7 @@ DRIVER_ROTATION = [
     "text_pii_scan", "text_repetition", "text_segment_dedup",
     "text_tfidf_top", "text_tokenizer_fertility",
     "text_unicode_profile", "text_vocabulary", "text_zipf_slope",
-    "unpivot_melt", "zorder_cluster_key", "tpch_q2_min_cost_supplier",
+    "unpivot_melt", "zorder_cluster_key",
 ]
 
 
